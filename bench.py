@@ -1,0 +1,61 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",     # wide aggregate over the fact table
+    "q07_top_brands",          # join + top-k
+    "q11_customer_orders",     # loader-inverted equi join + agg
+    "q12_bridge_revenue",      # two chained joins
+    "q19_shannon_brands",      # diversity aggregation
+    "q23_dedup_exact",         # hash dedup over documents
+    "q28_ann_topk",            # brute-force cosine top-k
+    "q30_events_hourly",       # time bucketing
+    "q31_sessions",            # sessionization window
+    "q38_minhash_candidates",  # minhash LSH near-dup
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from niamoto_spark.queries import build_queries
+    from niamoto_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = build_queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""JSON static-API sink (reference: exporters/json_api_exporter.py:305-988).
+
+Writes one detail JSON per entity plus paginated index files.  Detail files
+are written from the executors via ``foreachPartition`` (no driver
+bottleneck — at 1e6 entities the write parallelizes across the cluster);
+index pages are small and assembled on the driver from a projected/sorted
+DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+
+@register("json_api_exporter", PluginType.EXPORTER)
+def export_json_api(results: DataFrame, id_col: str, out_dir: str,
+                    detail_subdir: str = "detail", page_size: int = 100,
+                    index_fields: list[str] | None = None) -> dict:
+    """Write ``<out_dir>/<detail_subdir>/<id>.json`` per row + paginated
+    ``index_p<N>.json``.  Returns a small manifest dict."""
+    detail_dir = os.path.join(out_dir, detail_subdir)
+    os.makedirs(detail_dir, exist_ok=True)
+
+    payload = results.select(F.col(id_col).alias("__id"),
+                             F.to_json(F.struct(*results.columns)).alias("__doc"))
+
+    def write_partition(rows):
+        for r in rows:
+            with open(os.path.join(detail_dir, f"{r['__id']}.json"), "w") as f:
+                f.write(r["__doc"])
+
+    payload.foreachPartition(write_partition)
+
+    idx_cols = index_fields or [id_col]
+    index_rows = [r.asDict() for r in
+                  results.select(*idx_cols).orderBy(id_col).collect()]
+    n_pages = max(math.ceil(len(index_rows) / page_size), 1)
+    for p in range(n_pages):
+        page = {
+            "page": p + 1,
+            "total_pages": n_pages,
+            "total": len(index_rows),
+            "items": index_rows[p * page_size:(p + 1) * page_size],
+        }
+        with open(os.path.join(out_dir, f"index_p{p+1}.json"), "w") as f:
+            json.dump(page, f, default=str)
+    return {"entities": len(index_rows), "pages": n_pages, "out_dir": out_dir}

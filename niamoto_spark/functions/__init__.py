@@ -1,0 +1,100 @@
+"""Reusable Column expression helpers (all JVM-side / codegen-friendly).
+
+Everything here returns `pyspark.sql.Column` built from built-in functions —
+no Python UDFs — so operators composing these stay inside whole-stage
+codegen and scale to 100 TB without serialization overhead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round2(col: Column | str) -> Column:
+    """The reference rounds every float output to 2 decimals (e.g.
+    statistical_summary.py:188-216)."""
+    return F.round(F.col(col) if isinstance(col, str) else col, 2)
+
+
+def bin_index(col: Column, edges: Sequence[float]) -> Column:
+    """np.histogram bin assignment for explicit ascending edges: bins are
+    left-closed/right-open EXCEPT the last, which is closed on both sides
+    (reference binned_distribution.py:228 uses np.histogram).  Values
+    outside [edges[0], edges[-1]] get NULL.  Pure CASE ladder -> codegen.
+    """
+    n = len(edges) - 1
+    expr = F.lit(None).cast("int")
+    # Build from the last bin backwards so earlier WHENs take precedence.
+    cases = F.when(
+        (col >= F.lit(edges[n - 1])) & (col <= F.lit(edges[n])), F.lit(n - 1)
+    )
+    for i in range(n - 2, -1, -1):
+        cases = cases.when(
+            (col >= F.lit(edges[i])) & (col < F.lit(edges[i + 1])), F.lit(i)
+        )
+    return cases.otherwise(expr)
+
+
+def shannon_entropy_from_counts(count_col: Column, total_col: Column) -> Column:
+    """Per-row term of Shannon entropy H = -sum(p * log2 p) over a counts
+    table; zeros contribute nothing (reference custom_calculator.py:712-763
+    normalizes to probabilities, uses log2, ignores zeros)."""
+    p = count_col.cast("double") / total_col.cast("double")
+    return F.when(count_col > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns using
+    higher-order functions (zip_with + aggregate) — runs JVM-side, no UDF.
+    Sums accumulate in index order (deterministic)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def l2_normalize(a: Column) -> Column:
+    norm = F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.transform(a, lambda v: v.cast("double") / norm)
+
+
+def token_array(text: Column) -> Column:
+    """Whitespace tokenization with empty-string safety: '' -> []."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(token_array(text))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-gram array via sequence + substr (JVM-side, no UDF).
+
+    Empty / too-short strings yield an empty array (sequence guard keeps the
+    upper bound >= 0 so ``sequence`` never reverses direction).
+    """
+    upper = F.greatest(F.length(text) - (n - 1), F.lit(0))
+    return F.filter(
+        F.transform(F.sequence(F.lit(1), upper),
+                    lambda i: text.substr(i, F.lit(n))),
+        lambda g: F.length(g) == n,
+    )
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """k-word shingles from whitespace tokens, JVM-side."""
+    toks = token_array(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )

@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json north
+star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design
+------------
+- Exact / fingerprint dedup: one hash aggregate over md5 keys — the shuffle
+  is on a 16-byte key, minimal network volume; at 100 TB this is the
+  canonical "group by hash, keep min id" job.
+- MinHash+LSH: signatures are computed JVM-side with xxhash64 over shingles
+  (no Python), banded, then candidate pairs come from a self-join on
+  (band_id, band_hash) buckets — the join key is a tiny struct so the
+  shuffle carries signatures only, never documents.  Verification joins
+  signatures back and estimates Jaccard from signature agreement.
+- SimHash: 64-bit fingerprint via bit-vote aggregation of token hashes;
+  near-dup = Hamming distance <= k, found by pigeonhole banding on 16-bit
+  chunks (any pair within distance 3 shares at least one exact chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.functions import word_shingles
+from niamoto_spark.registry import PluginType, register
+
+
+@register("dedup_exact", PluginType.TRANSFORMER)
+def dedup_exact(df: DataFrame, id_col: str, text_col: str,
+                normalize: bool = True) -> DataFrame:
+    """Exact (optionally normalized) duplicate groups: md5 key -> keeper id
+    (min id) + duplicate count.  ``dedup_exact_keep`` filters the corpus.
+    """
+    if normalize:
+        key = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    else:
+        key = F.md5(F.col(text_col))
+    return (df.select(F.col(id_col).alias("doc_id"), key.alias("content_hash"))
+              .groupBy("content_hash")
+              .agg(F.min("doc_id").alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_docs")))
+
+
+def dedup_exact_keep(df: DataFrame, id_col: str, text_col: str,
+                     normalize: bool = True) -> DataFrame:
+    """Corpus with exact duplicates removed (keep min id per content key)."""
+    groups = dedup_exact(df, id_col, text_col, normalize)
+    keep = groups.select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 64,
+                      shingle_k: int = 3) -> Column:
+    """MinHash signature as array<bigint>: k-word shingles hashed with
+    xxhash64 under ``num_hashes`` fixed seeds; empty docs -> nulls.
+    Entirely JVM-side (higher-order functions + xxhash64)."""
+    # NOTE: callers materialize the shingle array in a column first (see
+    # minhash_lsh_candidates) so the (expensive) shingling isn't duplicated
+    # into each of the num_hashes min-hash expressions.
+    sh = F.array_distinct(word_shingles(F.lower(text), shingle_k))
+    return _signature_from_shingles(sh, num_hashes)
+
+
+def _signature_from_shingles(sh: Column, num_hashes: int) -> Column:
+    return F.when(
+        F.size(sh) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(F.transform(sh, lambda x: F.xxhash64(x, s))),
+        ),
+    )
+
+
+@register("minhash_lsh_candidates", PluginType.TRANSFORMER)
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_k: int = 3,
+                           jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Pipeline: signature -> explode into ``bands`` band-hashes -> self-join on
+    (band, band_hash) -> distinct pairs -> estimated Jaccard from full
+    signature agreement -> filter by threshold.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.lower(F.col(text_col)), shingle_k))
+         .alias("__sh"))
+    sig = shingled.select(
+        "doc_id",
+        _signature_from_shingles(F.col("__sh"), num_hashes).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+
+    banded = sig.select(
+        "doc_id", "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice(F.col("sig"),
+                                         (b * rows_per_band + 1).cast("int"),
+                                         rows_per_band)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
+                         "band", "band_hash")
+    right = banded.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+                          "band", "band_hash")
+    pairs = (left.join(right, ["band", "band_hash"])
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b", "sig_a", "sig_b")
+                 .dropDuplicates(["id_a", "id_b"]))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda v: v))
+    est = agree.cast("double") / F.lit(num_hashes)
+    return (pairs.withColumn("est_jaccard", F.round(est, 4))
+                 .where(F.col("est_jaccard") >= jaccard_threshold)
+                 .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_dedup_keep(df: DataFrame, id_col: str, text_col: str,
+                       **kwargs) -> DataFrame:
+    """Corpus minus near-duplicates: for every candidate pair above the
+    threshold, drop the higher id (greedy union-by-min via one pass —
+    approximate connected components; exact CC would iterate)."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, **kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@register("simhash", PluginType.TRANSFORMER)
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, sign of the
+    vote is the fingerprint bit.  Expressed as one aggregate over 64
+    bit-count expressions — JVM-side only.
+    """
+    from niamoto_spark.functions import token_array
+
+    toks = token_array(F.lower(F.col(text_col)))
+    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    # Bit-shift by a *column* index needs the SQL surface (the Python
+    # shiftleft/shiftright API only takes int literals): per bit i, vote =
+    # sum(+1 if bit set else -1); fingerprint ORs the winning bits.
+    fingerprint = F.expr(
+        "aggregate("
+        "  transform(sequence(0, 63), i -> CASE WHEN"
+        "    aggregate(__hashes, 0, (acc, h) ->"
+        "      acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        "    THEN shiftleft(1L, i) ELSE 0L END),"
+        "  0L, (acc, b) -> acc | b)")
+    return (df.select(F.col(id_col), F.col(text_col))
+              .withColumn("__hashes", hashes)
+              .withColumn(out_col, fingerprint)
+              .drop("__hashes"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
+    within the distance agrees exactly on >=1 chunk, so candidates come from
+    an equi-join on (chunk_idx, chunk_value)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("doc_id"), "simhash")
+    mask = (1 << chunk_bits) - 1
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {n_chunks - 1}), "
+                   f"i -> shiftrightunsigned(simhash, i * {chunk_bits}) & {mask}L)")
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"),
+                      "chunk_idx", "chunk_val")
+    cand = (a.join(b, ["chunk_idx", "chunk_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", ham)
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+@register("ngram_jaccard", PluginType.TRANSFORMER)
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.3,
+                        block_col: str | None = None) -> DataFrame:
+    """Exact word n-gram Jaccard similarity for pairs within a blocking key
+    (``block_col``; default: all pairs — quadratic, use blocks at scale).
+
+    Output: (id_a, id_b, jaccard).
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        *([F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")]),
+        F.array_distinct(word_shingles(F.lower(F.col(text_col)), n)).alias("grams"),
+    ).where(F.size("grams") > 0)
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"), "block")
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"), "block")
+    pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (pairs.withColumn("jaccard", F.round(jac, 4))
+                 .where(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))

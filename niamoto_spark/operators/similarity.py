@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies (BASELINE.json north star):
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.  The
+  cross join is blocked by broadcasting the (small) query set; each executor
+  scans its slice of the corpus once.  At 100 TB the corpus side stays
+  partitioned and never shuffles.
+- ``ivf_topk``: IVF-style approximate search — corpus vectors are assigned
+  to the nearest of C centroids (a broadcast argmin), queries probe the
+  ``nprobe`` nearest centroid buckets only, so the candidate scan shrinks by
+  ~C/nprobe.  Centroids come from a deterministic sample (no MLlib KMeans
+  dependency in the hot path, though plugging one in is a one-liner).
+
+Everything is built from higher-order functions (zip_with/aggregate) — no
+Python UDFs; dot products run in the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from niamoto_spark.functions import cosine_similarity
+from niamoto_spark.registry import PluginType, register
+
+
+@register("cosine_topk", PluginType.TRANSFORMER)
+def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, k: int = 10,
+                round_dp: int | None = 6) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, similarity, rank), rank 1..k, excluding
+    self-matches.  Ties break deterministically by neighbor id (similarity
+    quantized to ``round_dp`` first so rankings are reproducible across
+    engines and partitionings).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (c.crossJoin(F.broadcast(q))
+               .where(F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("similarity", sim))
+    w = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "similarity", "rank"))
+
+
+@register("ivf_topk", PluginType.TRANSFORMER)
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, round_dp: int | None = 6) -> DataFrame:
+    """Approximate top-k: IVF bucketing by nearest centroid.
+
+    Centroids = deterministic corpus sample (every Nth id).  Corpus rows are
+    assigned to argmax-cosine centroid; each query probes its ``nprobe``
+    closest centroid buckets.  Same output schema as cosine_topk.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+
+    # Deterministic centroid pick: rank corpus by id, take evenly spaced rows.
+    w_all = Window.orderBy("neighbor_id")
+    total = c.count()
+    step = max(total // n_centroids, 1)
+    cents = (c.withColumn("__rn", F.row_number().over(w_all))
+              .where((F.col("__rn") % step == 0) & (F.col("__rn") <= step * n_centroids))
+              .select(F.col("__rn").alias("centroid_id"), F.col("c_vec").alias("cent_vec")))
+
+    def nearest(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
+        sim = cosine_similarity(F.col(vec), F.col("cent_vec"))
+        w = Window.partitionBy(df.columns[0]).orderBy(F.col("__csim").desc(),
+                                                      F.col("centroid_id").asc())
+        return (df.crossJoin(F.broadcast(cents))
+                  .withColumn("__csim", sim)
+                  .withColumn("__crk", F.row_number().over(w))
+                  .where(F.col("__crk") <= n)
+                  .drop("__csim", "__crk", "cent_vec")
+                  .withColumnRenamed("centroid_id", out))
+
+    c_assigned = nearest(c, "c_vec", "bucket", 1)
+    q_assigned = nearest(q, "q_vec", "bucket", nprobe)
+
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (c_assigned.join(F.broadcast(q_assigned), "bucket")
+                        .where(F.col("query_id") != F.col("neighbor_id"))
+                        .withColumn("similarity", sim)
+                        .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "similarity", "rank"))
+
+
+@register("embedding_near_dup", PluginType.TRANSFORMER)
+def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
+                       threshold: float = 0.95,
+                       round_dp: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    Brute-force within the corpus; at scale, route through ``ivf_topk``
+    buckets first (same centroid assignment) — kept exact here because the
+    oracle check requires determinism.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    sim = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), round_dp)
+    return (a.crossJoin(b)
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("similarity", sim)
+             .where(F.col("similarity") >= threshold)
+             .select("id_a", "id_b", "similarity"))

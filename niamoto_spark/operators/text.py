@@ -1,0 +1,137 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all pure built-in
+column expressions (regexp/hash/arith), so they run inside whole-stage
+codegen with zero Python in the hot path and scale linearly over 100 TB of
+documents.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.functions import token_count
+from niamoto_spark.registry import PluginType, register
+
+# Marker-word tables for the n-gram/stopword language heuristic.  Any real
+# deployment swaps in fastText/CLD3 via a pandas UDF; the heuristic keeps the
+# hot path JVM-side and deterministic.
+LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "es": ("el", "los", "las", "y", "en"),
+    "de": ("der", "die", "das", "und", "nicht"),
+}
+
+
+def _marker_hits(text: Column, words: Sequence[str]) -> Column:
+    """Count of marker-word occurrences (word-boundary regexp count)."""
+    total = F.lit(0)
+    for w in words:
+        total = total + F.size(F.split(F.concat(F.lit(" "), F.lower(text), F.lit(" ")),
+                                       f"\\b{w}\\b")) - 1
+    return total
+
+
+@register("lang_id", PluginType.TRANSFORMER)
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred",
+            markers: Mapping[str, Sequence[str]] = LANG_MARKERS) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word counts,
+    deterministic tiebreak by language code; 'und' when no marker hits."""
+    text = F.col(text_col)
+    scored = df
+    langs = sorted(markers)
+    for lang in langs:
+        scored = scored.withColumn(f"__hits_{lang}", _marker_hits(text, markers[lang]))
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when((F.col(f"__hits_{lang}") == best) & (best > 0), F.lit(lang)) \
+                .otherwise(pred)
+    # reversed() + otherwise-chaining makes the FIRST alphabetical lang win
+    # ties, matching the SQL oracle's CASE ordering.
+    scored = scored.withColumn(out_col, pred)
+    return scored.drop(*[f"__hits_{lang}" for lang in langs])
+
+
+@register("text_quality", PluginType.TRANSFORMER)
+def text_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality signals per document: char/token counts, mean token length,
+    alpha ratio, punct ratio, digit ratio, whitespace ratio, uppercase
+    ratio, and a composite [0,1] quality score.
+
+    All ratios are computed from regexp_replace lengths — one projection,
+    no UDFs.  The composite score mirrors common LLM-corpus filters
+    (Gopher/C4-style length + symbol screens) with fixed weights.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_alpha = n_chars - F.length(F.regexp_replace(text, r"[A-Za-z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?'\"()\[\]-]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    toks = token_count(text)
+    mean_tok_len = F.when(toks > 0, (n_chars - n_space).cast("double") / toks) \
+                    .otherwise(F.lit(0.0))
+    score = (
+        F.when((toks >= 5) & (toks <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(n_alpha / nz >= 0.6, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(n_punct / nz <= 0.1, F.lit(0.15)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(0.15))
+           .otherwise(F.lit(0.0))
+    )
+    score = F.when(n_chars == 0, F.lit(0.0)).otherwise(score)
+    return (df.withColumn("n_chars_q", n_chars)
+              .withColumn("n_tokens", toks)
+              .withColumn("mean_token_len", F.round(mean_tok_len, 4))
+              .withColumn("alpha_ratio", F.round(n_alpha / nz, 4))
+              .withColumn("digit_ratio", F.round(n_digit / nz, 4))
+              .withColumn("punct_ratio", F.round(n_punct / nz, 4))
+              .withColumn("space_ratio", F.round(n_space / nz, 4))
+              .withColumn("upper_ratio", F.round(n_upper / nz, 4))
+              .withColumn("quality_score", F.round(score, 4)))
+
+
+@register("token_stats", PluginType.TRANSFORMER)
+def token_stats(df: DataFrame, group_cols: Sequence[str],
+                text_col: str) -> DataFrame:
+    """Corpus token statistics per group: docs, total/avg whitespace tokens,
+    avg chars.  One hash aggregate."""
+    toks = token_count(F.col(text_col))
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks.cast("double")), 2).alias("avg_tokens"),
+        F.round(F.avg(F.length(F.col(text_col)).cast("double")), 2).alias("avg_chars"),
+    )
+
+
+@register("bpe_token_estimate", PluginType.TRANSFORMER)
+def bpe_token_estimate(df: DataFrame, text_col: str,
+                       out_col: str = "bpe_tokens_est") -> DataFrame:
+    """BPE-ish token-count estimate without a tokenizer dependency:
+    split on word/number/punct boundaries (the GPT-2 pre-tokenizer regex
+    family), counting long words as ceil(len/4) subwords."""
+    pieces = F.split(F.trim(F.col(text_col)), r"\s+")
+    est = F.aggregate(
+        pieces, F.lit(0),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4.0).cast("int"), F.lit(1)))
+    return df.withColumn(out_col,
+                         F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(est))
+
+
+@register("doc_fingerprint", PluginType.TRANSFORMER)
+def doc_fingerprint(df: DataFrame, text_col: str,
+                    out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic content fingerprint: md5 of the whitespace-normalized,
+    lowercased text.  Used as the exact-dedup key; identical across engines
+    (md5 is standard)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn(out_col, F.md5(norm))

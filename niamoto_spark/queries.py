@@ -1,0 +1,976 @@
+"""Query catalog: every implemented operator exposed as a (spark, sf_dir) ->
+DataFrame callable plus a DuckDB oracle SQL string (the driver's correctness
+gate, see __spark_entry__.py).
+
+Each query exercises the corresponding library operator from
+niamoto_spark.operators — these are not hand-rolled Spark queries; they call
+the same functions a user of the engine would.
+
+Determinism rules applied throughout (so the DuckDB value-hash comparison is
+stable):
+- counts stay integer; every derived double is round()ed (2-4dp);
+- top-k always breaks ties on the item/id column;
+- LIMIT is only used under a unique ORDER BY key.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from niamoto_spark.operators import aggregation as agg_ops
+from niamoto_spark.operators import class_objects as co_ops
+from niamoto_spark.operators import dedup as dedup_ops
+from niamoto_spark.operators import extraction as ex_ops
+from niamoto_spark.operators import loaders as loader_ops
+from niamoto_spark.operators import similarity as sim_ops
+from niamoto_spark.operators import text as text_ops
+from niamoto_spark.operators.ecological import shannon_pielou
+from niamoto_spark.operators.geospatial import (fragmentation_analysis,
+                                                points_in_polygons)
+from niamoto_spark.exporters.dwc import to_dwc_occurrence
+from niamoto_spark.hierarchy import add_nested_sets, ancestor_closure, subtree_join
+from niamoto_spark.plans.explorer import explore
+from niamoto_spark.operators.text import LANG_MARKERS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by hierarchy queries: region/nation as a 2-level tree
+# ---------------------------------------------------------------------------
+
+def _region_nation_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    r = region.select(
+        (F.col("r_regionkey").cast("bigint") + 1000).alias("id"),
+        F.lit(None).cast("bigint").alias("parent_id"),
+        F.lit(0).alias("level"),
+        F.col("r_name").alias("name"))
+    n = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("id"),
+        (F.col("n_regionkey").cast("bigint") + 1000).alias("parent_id"),
+        F.lit(1).alias("level"),
+        F.col("n_name").alias("name"))
+    return r.unionByName(n)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-style pricing summary (classic relational surface,
+    SURVEY §2.4 aggregations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    px, d, t = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(px), 2).alias("sum_base_price"),
+        F.round(F.sum(px * (1 - d)), 2).alias("sum_disc_price"),
+        F.round(F.sum(px * (1 - d) * (1 + t)), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg(px), 2).alias("avg_price"),
+        F.round(F.avg(d), 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+O_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 2) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_stat_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return agg_ops.statistical_summary(li, ["l_returnflag"], "l_quantity")
+
+
+O_Q02 = """
+SELECT l_returnflag,
+       round(min(l_quantity), 2) AS "min",
+       round(avg(l_quantity), 2) AS mean,
+       round(max(l_quantity), 2) AS "max",
+       round(median(l_quantity), 2) AS median,
+       round(stddev_samp(l_quantity), 2) AS std,
+       count(l_quantity) AS "count"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_EDGES = [1, 10, 20, 30, 40, 51]
+
+
+def q03_binned_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return agg_ops.binned_distribution(li, [], "l_quantity", _EDGES)
+
+
+O_Q03 = """
+WITH bins(bin_index, bin_label, lo, hi, is_last) AS (VALUES
+  (0, '1-10', 1.0, 10.0, false), (1, '10-20', 10.0, 20.0, false),
+  (2, '20-30', 20.0, 30.0, false), (3, '30-40', 30.0, 40.0, false),
+  (4, '40-51', 40.0, 51.0, true)),
+counts AS (
+  SELECT b.bin_index, count(*) AS c
+  FROM lineitem l JOIN bins b
+    ON l.l_quantity >= b.lo AND (l.l_quantity < b.hi OR (b.is_last AND l.l_quantity <= b.hi))
+  GROUP BY b.bin_index)
+SELECT b.bin_index, b.bin_label, CAST(coalesce(c.c, 0) AS BIGINT) AS count
+FROM bins b LEFT JOIN counts c USING (bin_index)
+"""
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q04_categorical_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg_ops.categorical_distribution(o, [], "o_orderpriority",
+                                            categories=_PRIORITIES,
+                                            include_percentages=True)
+
+
+O_Q04 = """
+WITH cats(category) AS (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                               ('4-NOT SPECIFIED'), ('5-LOW')),
+counts AS (SELECT o_orderpriority AS category, count(*) AS c FROM orders
+           WHERE o_orderpriority IN (SELECT category FROM cats) GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM counts)
+SELECT category, CAST(coalesce(c, 0) AS BIGINT) AS count,
+       round(coalesce(c, 0) * 100.0 / t, 2) AS pct
+FROM cats LEFT JOIN counts USING (category) CROSS JOIN tot
+"""
+
+
+def q05_binary_discount(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem") \
+        .withColumn("high_disc", (F.col("l_discount") > 0.05).cast("int"))
+    return agg_ops.binary_counter(li, [], "high_disc",
+                                  true_label="high", false_label="low")
+
+
+O_Q05 = """
+SELECT CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS false_count,
+       'high' AS true_label, 'low' AS false_label
+FROM lineitem
+"""
+
+
+def q06_boolean_flags(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg_ops.boolean_comparison(o, [], {
+        "high_value": F.col("o_totalprice") > 150000,
+        "urgent": F.col("o_orderpriority") == "1-URGENT",
+    })
+
+
+O_Q06 = """
+SELECT 'high_value' AS category,
+       CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
+       CAST(sum(CASE WHEN o_totalprice > 150000 THEN 0 ELSE 1 END) AS BIGINT) AS false_count
+FROM orders
+UNION ALL
+SELECT 'urgent',
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+"""
+
+
+def q07_top_brands(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return agg_ops.top_ranking(joined, [], "p_brand", limit=10)
+
+
+O_Q07 = """
+WITH counts AS (
+  SELECT p_brand AS item, count(*) AS value
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1),
+ranked AS (
+  SELECT item, value,
+         CAST(row_number() OVER (ORDER BY value DESC, item ASC) AS INT) AS rank
+  FROM counts)
+SELECT item, value, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q08_region_rollup_nested_set(spark, sf_dir):
+    """nested_set loader: customer counts rolled up to region subtrees via
+    the lft/rght range join (SURVEY §2.2 nested_set)."""
+    nodes = add_nested_sets(_region_nation_nodes(spark, sf_dir),
+                            "id", "parent_id", order_col="id")
+    cust = _t(spark, sf_dir, "customer") \
+        .withColumn("node_id", F.col("c_nationkey").cast("bigint"))
+    tagged = subtree_join(cust, "node_id", nodes, "id", "ancestor_id")
+    meta = nodes.select(F.col("id").alias("ancestor_id"), "level",
+                        F.col("name").alias("r_name"))
+    return (tagged.join(F.broadcast(meta), "ancestor_id")
+            .where(F.col("level") == 0)
+            .groupBy("r_name").agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+O_Q08 = """
+SELECT r_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name
+"""
+
+
+def q09_adjacency_rollup(spark, sf_dir):
+    """adjacency_list loader: same roll-up through the iterative ancestor
+    closure (recursive-CTE replacement, SURVEY §2.2 adjacency_list)."""
+    nodes = _region_nation_nodes(spark, sf_dir)
+    closure = ancestor_closure(nodes, "id", "parent_id", max_depth=4)
+    cust = _t(spark, sf_dir, "customer") \
+        .withColumn("node_id", F.col("c_nationkey").cast("bigint"))
+    meta = nodes.select(F.col("id").alias("ancestor_id"), "level",
+                        F.col("name").alias("node_name"))
+    return (cust.join(F.broadcast(closure), "node_id")
+            .join(F.broadcast(meta), "ancestor_id")
+            .groupBy("node_name", "level")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+O_Q09 = """
+SELECT n_name AS node_name, 1 AS level, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1
+UNION ALL
+SELECT r_name, 0, count(*)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1
+"""
+
+
+def q10_nested_descendants(spark, sf_dir):
+    from niamoto_spark.hierarchy import descendants
+
+    nodes = add_nested_sets(_region_nation_nodes(spark, sf_dir),
+                            "id", "parent_id", order_col="id")
+    asia_id = [r.id for r in
+               nodes.where(F.col("name") == "ASIA").select("id").collect()][0]
+    return descendants(nodes, asia_id).select("name", "level")
+
+
+O_Q10 = """
+SELECT r_name AS name, 0 AS level FROM region WHERE r_name = 'ASIA'
+UNION ALL
+SELECT n_name, 1 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+
+def q11_customer_orders(spark, sf_dir):
+    """direct_reference loader inverted: ONE join tags all orders with their
+    customer id, then one aggregate serves every entity."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    tagged = loader_ops.direct_reference(orders, "o_custkey", cust, "c_custkey")
+    return tagged.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+
+
+O_Q11 = """
+SELECT c_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1
+"""
+
+
+def q12_bridge_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    tagged = loader_ops.join_table(li, "l_suppkey", sup, "s_suppkey",
+                                   "s_nationkey", nat, "n_nationkey")
+    named = tagged.join(F.broadcast(nat.select("n_nationkey", "n_name")), "n_nationkey")
+    return named.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+         .alias("revenue"))
+
+
+O_Q12 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n_name
+"""
+
+
+def q13_stats_lookup(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    tagged = loader_ops.stats_loader(sup, "s_nationkey", nat, "n_nationkey")
+    named = tagged.join(F.broadcast(nat.select("n_nationkey", "n_name")), "n_nationkey")
+    return named.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"))
+
+
+O_Q13 = """
+SELECT n_name, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_acctbal
+FROM supplier s JOIN nation n ON trim(CAST(s_nationkey AS VARCHAR)) = trim(CAST(n_nationkey AS VARCHAR))
+GROUP BY n_name
+"""
+
+
+def q14_multi_column(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return ex_ops.multi_column_extractor(
+        part, [], ["p_size", "p_retailprice"],
+        derived={"margin": "p_retailprice - p_size"}, agg="sum")
+
+
+O_Q14 = """
+WITH w AS (SELECT round(CAST(sum(p_size) AS DOUBLE), 2) AS p_size,
+                  round(sum(p_retailprice), 2) AS p_retailprice
+           FROM part)
+SELECT 'p_size' AS category, p_size AS value FROM w
+UNION ALL SELECT 'p_retailprice', p_retailprice FROM w
+UNION ALL SELECT 'margin', round(p_retailprice - p_size, 2) FROM w
+"""
+
+
+def q15_field_aggregator(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return agg_ops.field_aggregator(
+        {"orders": orders, "customer": cust},
+        [
+            {"source": "orders", "field": "o_orderkey", "target": "n_orders",
+             "transformation": "count"},
+            {"source": "orders", "field": "o_totalprice", "target": "revenue_total",
+             "transformation": "sum"},
+            {"source": "customer", "field": "c_acctbal", "target": "acct_mean",
+             "transformation": "mean"},
+            {"source": "customer", "field": "c_acctbal", "target": "acct_min",
+             "transformation": "min"},
+            {"source": "customer", "field": "c_acctbal", "target": "acct_max",
+             "transformation": "max"},
+            {"source": "customer", "field": "c_acctbal", "target": "acct_std",
+             "transformation": "std"},
+        ])
+
+
+O_Q15 = """
+SELECT (SELECT count(o_orderkey) FROM orders) AS n_orders,
+       (SELECT round(sum(o_totalprice), 2) FROM orders) AS revenue_total,
+       (SELECT round(avg(c_acctbal), 2) FROM customer) AS acct_mean,
+       (SELECT round(min(c_acctbal), 2) FROM customer) AS acct_min,
+       (SELECT round(max(c_acctbal), 2) FROM customer) AS acct_max,
+       (SELECT round(stddev_samp(c_acctbal), 2) FROM customer) AS acct_std
+"""
+
+
+def q16_time_series(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders") \
+        .withColumn("month", F.month("o_orderdate"))
+    return agg_ops.time_series_analysis(
+        o, [], "month", {"hv": F.col("o_totalprice") > 100000})
+
+
+O_Q16 = """
+WITH m AS (SELECT CAST(unnest(range(1, 13)) AS INT) AS month),
+a AS (SELECT CAST(month(o_orderdate) AS INT) AS month,
+             round(avg(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END) * 100.0, 2) AS hv_pct
+      FROM orders GROUP BY 1)
+SELECT m.month, coalesce(a.hv_pct, 0.0) AS hv_pct FROM m LEFT JOIN a USING (month)
+"""
+
+
+def _lineitem_eav(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.lit("qty_by_flag").alias("class_object"),
+                     F.col("l_returnflag").alias("class_name"),
+                     F.col("l_quantity").alias("class_value"))
+
+
+def q17_class_series(spark, sf_dir):
+    return co_ops.series_extractor(_lineitem_eav(spark, sf_dir), [], "qty_by_flag")
+
+
+O_Q17 = """
+SELECT l_returnflag AS class_name, sum(l_quantity) AS class_value
+FROM lineitem GROUP BY 1
+"""
+
+
+def q18_class_ratio(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sub = li.where(F.col("l_returnflag") == "R").select(
+        F.lit("returned_qty").alias("class_object"),
+        F.col("l_linestatus").alias("class_name"),
+        F.col("l_quantity").alias("class_value"))
+    tot = li.select(F.lit("total_qty").alias("class_object"),
+                    F.col("l_linestatus").alias("class_name"),
+                    F.col("l_quantity").alias("class_value"))
+    return co_ops.series_ratio_aggregator(sub.unionByName(tot), [],
+                                          "returned_qty", "total_qty")
+
+
+O_Q18 = """
+WITH t AS (SELECT l_linestatus AS class_name, sum(l_quantity) AS tot,
+                  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS sub
+           FROM lineitem GROUP BY 1)
+SELECT class_name, round(CASE WHEN tot <> 0 THEN sub / tot END, 4) AS ratio FROM t
+"""
+
+
+def q19_shannon_brands(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("count"))
+    return shannon_pielou(counts, ["p_type"])
+
+
+O_Q19 = """
+WITH c AS (SELECT p_type, p_brand, count(*) AS n FROM part GROUP BY 1, 2),
+a AS (SELECT p_type,
+             count(*) AS classes_count,
+             CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS non_zero_classes,
+             sum(CASE WHEN n > 0 THEN CAST(n AS DOUBLE) END) AS t,
+             sum(CASE WHEN n > 0 THEN n * log2(CAST(n AS DOUBLE)) END) AS s
+      FROM c GROUP BY 1),
+b AS (SELECT p_type,
+             round(CASE WHEN t > 0 THEN log2(t) - s / t ELSE 0.0 END, 4) AS shannon,
+             CASE WHEN non_zero_classes > 0
+                  THEN round(log2(CAST(non_zero_classes AS DOUBLE)), 4) ELSE 0.0 END AS max_entropy,
+             classes_count, non_zero_classes
+      FROM a)
+SELECT p_type, shannon, max_entropy, classes_count, non_zero_classes,
+       CASE WHEN max_entropy > 0 THEN round(shannon / max_entropy, 4) ELSE 0.0 END AS pielou
+FROM b
+"""
+
+
+def q20_scatter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem") \
+        .withColumn("__ord", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    return ex_ops.scatter_analysis(li, "l_quantity", "l_extendedprice",
+                                   max_points=100, order_col="__ord")
+
+
+O_Q20 = """
+SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+ORDER BY l_orderkey * 8 + l_linenumber LIMIT 100
+"""
+
+
+def q21_explorer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return explore(cust, "c_acctbal > 9000 AND c_mktsegment = 'BUILDING'",
+                   order_by="c_custkey", limit=50)
+
+
+O_Q21 = """
+SELECT * FROM customer
+WHERE c_acctbal > 9000 AND c_mktsegment = 'BUILDING'
+ORDER BY c_custkey LIMIT 50
+"""
+
+
+def q22_dwc_projection(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem") \
+        .withColumn("__uid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    return to_dwc_occurrence(li, {
+        "occurrenceID": {"generator": "unique_occurrence_id",
+                         "params": {"prefix": "occ_", "source_field": "__uid"}},
+        "catalogNumber": "@source.l_partkey",
+        "individualCount": "@source.l_quantity",
+        "basisOfRecord": "HumanObservation",
+    })
+
+
+O_Q22 = """
+SELECT 'occ_' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS occurrenceID,
+       l_partkey AS catalogNumber, l_quantity AS individualCount,
+       'HumanObservation' AS basisOfRecord
+FROM lineitem
+"""
+
+
+def q23_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dedup_ops.dedup_exact(d2, "doc_id", "text")
+
+
+O_Q23 = r"""
+WITH d2 AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents)
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_docs
+FROM d2 GROUP BY 1
+"""
+
+
+def q24_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.token_stats(d, ["lang"], "text")
+
+
+O_Q24 = r"""
+WITH t AS (SELECT lang, length(text) AS n_chars,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+           FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round(avg(CAST(toks AS DOUBLE)), 2) AS avg_tokens,
+       round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+FROM t GROUP BY lang
+"""
+
+
+def q25_lang_confusion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pred = text_ops.lang_id(d, "text")
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _o_q25() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_exprs = []
+    for lang in langs:
+        parts = [
+            r"(len(regexp_split_to_array(' ' || lower(text) || ' ', '\b%s\b')) - 1)" % w
+            for w in LANG_MARKERS[lang]]
+        hit_exprs.append(f"({' + '.join(parts)}) AS hits_{lang}")
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND hits_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT lang, {', '.join(hit_exprs)} FROM documents),
+b AS (SELECT lang, {best} AS best, {', '.join('hits_' + lang for lang in langs)} FROM h),
+p AS (SELECT lang, {case} AS lang_pred FROM b)
+SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
+"""
+
+
+def q26_quality_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = text_ops.text_quality(d, "text")
+    return q.groupBy("source").agg(
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct"))
+
+
+O_Q26 = r"""
+WITH q AS (
+  SELECT source,
+         length(text) AS n_chars,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS nz,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]-]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+  FROM documents),
+s AS (
+  SELECT source,
+         round(n_alpha / nz, 4) AS alpha_ratio,
+         round(n_punct / nz, 4) AS punct_ratio,
+         CASE WHEN toks > 0 THEN (n_chars - n_space) / CAST(toks AS DOUBLE) ELSE 0.0 END AS mtl,
+         n_chars, n_alpha, n_punct, nz, toks
+  FROM q),
+sc AS (
+  SELECT source, alpha_ratio, punct_ratio,
+         round(CASE WHEN n_chars = 0 THEN 0.0 ELSE
+               (CASE WHEN toks >= 5 AND toks <= 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN n_alpha / nz >= 0.6 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN n_punct / nz <= 0.1 THEN 0.15 ELSE 0.0 END)
+             + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 0.15 ELSE 0.0 END) END, 4) AS quality_score
+  FROM s)
+SELECT source, round(avg(quality_score), 4) AS avg_quality,
+       round(avg(alpha_ratio), 4) AS avg_alpha,
+       round(avg(punct_ratio), 4) AS avg_punct
+FROM sc GROUP BY source
+"""
+
+
+def q27_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = text_ops.doc_fingerprint(d, "text")
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"))
+
+
+O_Q27 = r"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
+def q28_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.cosine_topk(emb, queries, "vec_id", "embedding",
+                               k=5, round_dp=4)
+
+
+O_Q28 = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+               AS similarity
+      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY similarity DESC, neighbor_id ASC) AS INT) AS rank
+      FROM p)
+SELECT query_id, neighbor_id, similarity, rank FROM r WHERE rank <= 5
+"""
+
+
+def q29_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_dup(emb, "vec_id", "embedding",
+                                      threshold=0.42, round_dp=4)
+
+
+O_Q29 = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+         AS similarity
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.42
+"""
+
+
+def _events(spark, sf_dir):
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
+    read nanos as long and derive an epoch-seconds column (documented in
+    sources/files.py's schema notes)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_sec", F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+
+
+def q30_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hour = F.from_unixtime(F.col("ts_sec"), "yyyy-MM-dd HH:00")
+    return (ev.groupBy(hour.alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum")))
+
+
+O_Q30 = """
+SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q31_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    new_session = F.when(prev.isNull() | ((F.col("ts_sec") - prev) > 1800), 1).otherwise(0)
+    return (ev.withColumn("__new", new_session)
+            .groupBy("user_id").agg(F.sum("__new").alias("n_sessions")))
+
+
+O_Q31 = """
+WITH s AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions
+FROM s GROUP BY user_id
+"""
+
+
+def _synthetic_shapes(spark):
+    rows = [
+        ("rect1", "POLYGON ((165.005 -22.505, 166.005 -22.505, 166.005 -21.505, "
+                  "165.005 -21.505, 165.005 -22.505))"),
+        ("rect2", "POLYGON ((166.505 -21.505, 167.505 -21.505, 167.505 -20.505, "
+                  "166.505 -20.505, 166.505 -21.505))"),
+        ("tri", "POLYGON ((164.205 -22.805, 165.205 -22.805, 164.705 -21.805, "
+                "164.205 -22.805))"),
+    ]
+    return spark.createDataFrame(rows, "shape_id string, location string")
+
+
+def q32_points_in_polygons(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("POINT ("),
+                 (F.lit(164.0) + (F.col("c_custkey") % 400) / 100.0).cast("string"),
+                 F.lit(" "),
+                 (F.lit(-23.0) + (F.col("c_custkey") % 300) / 100.0).cast("string"),
+                 F.lit(")")).alias("geo_pt"))
+    shapes = _synthetic_shapes(spark)
+    hit = points_in_polygons(cust, "geo_pt", shapes, "shape_id", "location")
+    return hit.select("c_custkey", "shape_id")
+
+
+O_Q32 = """
+WITH pts AS (SELECT c_custkey,
+                    164.0 + (c_custkey % 400) / 100.0 AS lon,
+                    -23.0 + (c_custkey % 300) / 100.0 AS lat
+             FROM customer)
+SELECT c_custkey, 'rect1' AS shape_id FROM pts
+WHERE lon > 165.005 AND lon < 166.005 AND lat > -22.505 AND lat < -21.505
+UNION ALL
+SELECT c_custkey, 'rect2' FROM pts
+WHERE lon > 166.505 AND lon < 167.505 AND lat > -21.505 AND lat < -20.505
+UNION ALL
+SELECT c_custkey, 'tri' FROM pts
+WHERE lat > -22.805 AND lat < -21.805
+  AND lon > 164.205 + (lat + 22.805) * 0.5
+  AND lon < 165.205 - (lat + 22.805) * 0.5
+"""
+
+
+def q33_fragmentation(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    patches = part.select("p_brand", F.col("p_retailprice").alias("area_m2"))
+    return fragmentation_analysis(patches, ["p_brand"])
+
+
+O_Q33 = """
+SELECT p_brand, count(*) AS patch_count,
+       round(sum(p_retailprice), 2) AS total_area,
+       round(sum(p_retailprice * p_retailprice) / sum(p_retailprice), 2) AS meff,
+       round(max(p_retailprice) * 100.0 / sum(p_retailprice), 2) AS largest_patch_index,
+       round(count(*) / sum(p_retailprice), 8) AS patch_density
+FROM part GROUP BY p_brand
+"""
+
+
+def q34_geo_extract(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("POINT ("),
+                 (F.lit(164) + F.col("c_nationkey") % 5).cast("string"),
+                 F.lit(" "),
+                 (F.lit(-23) + F.col("c_nationkey") % 3).cast("string"),
+                 F.lit(")")).alias("geo_pt"))
+    return ex_ops.geospatial_extractor(cust, [], "geo_pt",
+                                       group_by_coordinates=True)
+
+
+O_Q34 = """
+SELECT 'POINT (' || CAST(164 + c_nationkey % 5 AS VARCHAR) || ' '
+       || CAST(-23 + c_nationkey % 3 AS VARCHAR) || ')' AS geometry_wkt,
+       count(*) AS point_count
+FROM customer GROUP BY 1
+"""
+
+
+def q35_direct_attribute(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return ex_ops.direct_attribute(joined, ["n_name"], "r_name")
+
+
+O_Q35 = """
+SELECT n_name, min(r_name) AS value
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY n_name
+"""
+
+
+def q36_class_categories(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    eav = (o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("__n"))
+           .select(F.lit("status_count").alias("class_object"),
+                   F.col("o_orderstatus").alias("class_name"),
+                   F.col("__n").cast("double").alias("class_value")))
+    return co_ops.categories_extractor(eav, [], "status_count", ["F", "O", "P"])
+
+
+O_Q36 = """
+WITH cats(class_name) AS (VALUES ('F'), ('O'), ('P')),
+v AS (SELECT o_orderstatus AS class_name, CAST(count(*) AS DOUBLE) AS class_value
+      FROM orders GROUP BY 1)
+SELECT class_name, coalesce(class_value, 0.0) AS class_value
+FROM cats LEFT JOIN v USING (class_name)
+"""
+
+
+def q37_class_binary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    eav = (li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("__q"))
+           .select(F.lit("return_share").alias("class_object"),
+                   F.col("l_returnflag").alias("class_name"),
+                   F.col("__q").alias("class_value")))
+    return co_ops.binary_aggregator(
+        eav, [], "return_share",
+        class_mapping={"R": "returned", "N": "not_returned", "A": "accepted"})
+
+
+O_Q37 = """
+WITH v AS (SELECT l_returnflag AS cn, sum(l_quantity) AS cv FROM lineitem GROUP BY 1),
+t AS (SELECT sum(cv) AS tot FROM v)
+SELECT CASE cn WHEN 'R' THEN 'returned' WHEN 'N' THEN 'not_returned'
+               ELSE 'accepted' END AS label,
+       round(cv * 100.0 / tot, 2) AS share
+FROM v CROSS JOIN t
+"""
+
+
+# --- rows-only checks (non-SQL-expressible: hash-function dependent) --------
+
+def q38_minhash_candidates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup_ops.minhash_lsh_candidates(d, "doc_id", "text",
+                                            num_hashes=32, bands=8,
+                                            jaccard_threshold=0.2)
+
+
+def q39_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup_ops.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q40_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                         threshold=0.5, block_col="source")
+
+
+O_Q40 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+FROM p WHERE uni > 0 AND round(CAST(inter AS DOUBLE) / uni, 4) >= 0.5
+"""
+
+
+def q41_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.ivf_topk(emb, queries, "vec_id", "embedding",
+                            k=5, n_centroids=8, nprobe=3, round_dp=4)
+
+
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_stat_summary": q02_stat_summary,
+        "q03_binned_qty": q03_binned_qty,
+        "q04_categorical_priority": q04_categorical_priority,
+        "q05_binary_discount": q05_binary_discount,
+        "q06_boolean_flags": q06_boolean_flags,
+        "q07_top_brands": q07_top_brands,
+        "q08_region_rollup_nested_set": q08_region_rollup_nested_set,
+        "q09_adjacency_rollup": q09_adjacency_rollup,
+        "q10_nested_descendants": q10_nested_descendants,
+        "q11_customer_orders": q11_customer_orders,
+        "q12_bridge_revenue": q12_bridge_revenue,
+        "q13_stats_lookup": q13_stats_lookup,
+        "q14_multi_column": q14_multi_column,
+        "q15_field_aggregator": q15_field_aggregator,
+        "q16_time_series": q16_time_series,
+        "q17_class_series": q17_class_series,
+        "q18_class_ratio": q18_class_ratio,
+        "q19_shannon_brands": q19_shannon_brands,
+        "q20_scatter": q20_scatter,
+        "q21_explorer": q21_explorer,
+        "q22_dwc_projection": q22_dwc_projection,
+        "q23_dedup_exact": q23_dedup_exact,
+        "q24_token_stats": q24_token_stats,
+        "q25_lang_confusion": q25_lang_confusion,
+        "q26_quality_by_source": q26_quality_by_source,
+        "q27_fingerprint": q27_fingerprint,
+        "q28_ann_topk": q28_ann_topk,
+        "q29_embedding_near_dup": q29_embedding_near_dup,
+        "q30_events_hourly": q30_events_hourly,
+        "q31_sessions": q31_sessions,
+        "q32_points_in_polygons": q32_points_in_polygons,
+        "q33_fragmentation": q33_fragmentation,
+        "q34_geo_extract": q34_geo_extract,
+        "q35_direct_attribute": q35_direct_attribute,
+        "q36_class_categories": q36_class_categories,
+        "q37_class_binary": q37_class_binary,
+        "q38_minhash_candidates": q38_minhash_candidates,
+        "q39_simhash_pairs": q39_simhash_pairs,
+        "q40_ngram_jaccard": q40_ngram_jaccard,
+        "q41_ivf_topk": q41_ivf_topk,
+    }
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "q01_pricing_summary": O_Q01,
+        "q02_stat_summary": O_Q02,
+        "q03_binned_qty": O_Q03,
+        "q04_categorical_priority": O_Q04,
+        "q05_binary_discount": O_Q05,
+        "q06_boolean_flags": O_Q06,
+        "q07_top_brands": O_Q07,
+        "q08_region_rollup_nested_set": O_Q08,
+        "q09_adjacency_rollup": O_Q09,
+        "q10_nested_descendants": O_Q10,
+        "q11_customer_orders": O_Q11,
+        "q12_bridge_revenue": O_Q12,
+        "q13_stats_lookup": O_Q13,
+        "q14_multi_column": O_Q14,
+        "q15_field_aggregator": O_Q15,
+        "q16_time_series": O_Q16,
+        "q17_class_series": O_Q17,
+        "q18_class_ratio": O_Q18,
+        "q19_shannon_brands": O_Q19,
+        "q20_scatter": O_Q20,
+        "q21_explorer": O_Q21,
+        "q22_dwc_projection": O_Q22,
+        "q23_dedup_exact": O_Q23,
+        "q24_token_stats": O_Q24,
+        "q25_lang_confusion": _o_q25(),
+        "q26_quality_by_source": O_Q26,
+        "q27_fingerprint": O_Q27,
+        "q28_ann_topk": O_Q28,
+        "q29_embedding_near_dup": O_Q29,
+        "q30_events_hourly": O_Q30,
+        "q31_sessions": O_Q31,
+        "q32_points_in_polygons": O_Q32,
+        "q33_fragmentation": O_Q33,
+        "q34_geo_extract": O_Q34,
+        "q35_direct_attribute": O_Q35,
+        "q36_class_categories": O_Q36,
+        "q37_class_binary": O_Q37,
+        "q40_ngram_jaccard": O_Q40,
+        # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
+        # are rows-only checks: their values depend on Spark's hash functions
+        # which have no DuckDB equivalent.
+    }

@@ -1,0 +1,89 @@
+"""Plugin registry.
+
+Mirrors the reference's contract — ``@register(name, PluginType)`` decorator
+and a per-type registry (reference: src/niamoto/core/plugins/base.py:31-38 and
+:438-494) — but registered objects are *Spark operator callables*: functions
+(or classes with a ``transform``/``load_data`` method) that take DataFrames
+and validated params and return DataFrames / Column expressions.
+
+Keeping the same plugin names as the reference means a reference
+``transform.yml`` resolves against this registry unchanged.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable
+
+
+class PluginType(str, enum.Enum):
+    # Same five kinds as the reference (base.py:31-38).
+    LOADER = "loader"
+    TRANSFORMER = "transformer"
+    EXPORTER = "exporter"
+    WIDGET = "widget"
+    DEPLOYER = "deployer"
+
+
+class PluginRegistryError(Exception):
+    pass
+
+
+_REGISTRY: dict[PluginType, dict[str, Any]] = {t: {} for t in PluginType}
+
+
+def register(name: str, plugin_type: PluginType = PluginType.TRANSFORMER):
+    """Class/function decorator registering a plugin under (type, name)."""
+
+    def deco(obj):
+        existing = _REGISTRY[plugin_type].get(name)
+        if existing is not None and existing is not obj:
+            raise PluginRegistryError(
+                f"duplicate plugin {plugin_type.value}/{name}")
+        _REGISTRY[plugin_type][name] = obj
+        obj.__plugin_name__ = name
+        obj.__plugin_type__ = plugin_type
+        return obj
+
+    return deco
+
+
+def get_plugin(name: str, plugin_type: PluginType) -> Any:
+    try:
+        return _REGISTRY[plugin_type][name]
+    except KeyError:
+        raise PluginRegistryError(
+            f"unknown plugin {plugin_type.value}/{name}; "
+            f"known: {sorted(_REGISTRY[plugin_type])}") from None
+
+
+def list_plugins(plugin_type: PluginType | None = None) -> dict[str, list[str]]:
+    if plugin_type is not None:
+        return {plugin_type.value: sorted(_REGISTRY[plugin_type])}
+    return {t.value: sorted(_REGISTRY[t]) for t in PluginType}
+
+
+def load_all() -> None:
+    """Import every operator module so its @register decorators run.
+
+    The reference cascade-loads plugin dirs (plugin_loader.py); here the
+    module list is static.
+    """
+    import importlib
+
+    for mod in (
+        "niamoto_spark.operators.loaders",
+        "niamoto_spark.operators.aggregation",
+        "niamoto_spark.operators.class_objects",
+        "niamoto_spark.operators.extraction",
+        "niamoto_spark.operators.ecological",
+        "niamoto_spark.operators.geospatial",
+        "niamoto_spark.operators.dedup",
+        "niamoto_spark.operators.similarity",
+        "niamoto_spark.operators.text",
+        "niamoto_spark.operators.multimodal",
+        "niamoto_spark.operators.chains",
+        "niamoto_spark.exporters.json_api",
+        "niamoto_spark.exporters.dwc",
+    ):
+        importlib.import_module(mod)

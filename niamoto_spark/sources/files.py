@@ -1,0 +1,104 @@
+"""File sources (SURVEY §2.1).
+
+- CSV/TSV with delimiter sniffing: the reference sniffs on a sample then
+  reads natively (engine.py:169-287, profiler.py:288-310).  Here the sniff
+  reads a few KB on the driver, then hands off to Spark's distributed CSV
+  reader with an explicit delimiter + header flag; schema inference is
+  Spark's (or pass an explicit StructType for production stability).
+- XLSX: read via pandas on the driver (small files by nature), converted
+  through Arrow into a DataFrame — mirrors profiler.py:219-259.  Gated on
+  openpyxl availability.
+- Vector files (.gpkg/.shp/.geojson): the reference reads via geopandas
+  (engine.py:371-520).  geopandas is unavailable here; GeoJSON gets a
+  native parser (json -> WKT strings), others raise with guidance.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def sniff_delimiter(path: str, sample_bytes: int = 64 * 1024,
+                    candidates: str = ",;\t|") -> str:
+    with open(path, "r", errors="replace") as f:
+        sample = f.read(sample_bytes)
+    try:
+        return csv.Sniffer().sniff(sample, delimiters=candidates).delimiter
+    except csv.Error:
+        counts = {d: sample.count(d) for d in candidates}
+        return max(counts, key=counts.get)
+
+
+def read_csv_auto(spark: SparkSession, path: str, header: bool = True,
+                  schema=None, **options) -> DataFrame:
+    """Delimiter-sniffed CSV scan (reference read_csv_auto path,
+    engine.py:219-227).  Explicit ``schema`` skips the inference pass —
+    always pass one at scale (inference reads the data twice)."""
+    delim = sniff_delimiter(path)
+    reader = spark.read.option("header", str(header).lower()) \
+                       .option("sep", delim)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_xlsx(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as e:  # openpyxl missing
+        raise NotImplementedError(f"xlsx reading needs openpyxl: {e}") from e
+    return spark.createDataFrame(pdf)
+
+
+def _geojson_geom_to_wkt(geom: dict) -> str:
+    t = geom["type"].upper()
+    c = geom["coordinates"]
+
+    def ring(r):
+        return "(" + ", ".join(f"{x} {y}" for x, y, *_ in r) + ")"
+
+    if t == "POINT":
+        return f"POINT ({c[0]} {c[1]})"
+    if t == "POLYGON":
+        return "POLYGON (" + ", ".join(ring(r) for r in c) + ")"
+    if t == "MULTIPOLYGON":
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(ring(r) for r in poly) + ")" for poly in c) + ")"
+    if t == "LINESTRING":
+        return "LINESTRING " + ring(c).replace("(", "(", 1)
+    raise ValueError(f"unsupported geometry type {t}")
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """GeoJSON FeatureCollection -> DataFrame with properties + geometry_wkt
+    (WKT-first convention, SURVEY §7.2).  Features are few (vector layers);
+    parsed on the driver like the reference's gpd.read_file."""
+    with open(path) as f:
+        fc = json.load(f)
+    rows = []
+    for feat in fc.get("features", []):
+        row = dict(feat.get("properties") or {})
+        row["geometry_wkt"] = _geojson_geom_to_wkt(feat["geometry"]) \
+            if feat.get("geometry") else None
+        rows.append(row)
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def read_vector(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(".geojson") or path.endswith(".json"):
+        return read_geojson(spark, path)
+    raise NotImplementedError(
+        f"vector format for {path!r} needs geopandas/pyogrio (unavailable); "
+        "convert to GeoJSON or parquet+WKT upstream")

@@ -1,0 +1,86 @@
+"""TransformerService — the set-oriented equivalent of the reference's
+per-entity transform pipeline (reference:
+src/niamoto/core/services/transformer.py:359-428, loop :488-541).
+
+The reference runs, for each group entity id, each loader query and each
+widget transform — O(entities x widgets) SQL round trips.  Here:
+
+1. the loader runs ONCE per (group, source): a single join tagging every
+   fact row with its group id (operators/loaders.py);
+2. every widget is computed for ALL entities in one DataFrame job;
+3. widget results are packed to one JSON column each (``to_json`` of a
+   struct / collected struct array — the reference's group table stores one
+   JSON column per widget, transformer.py:1142-1186);
+4. the per-widget frames are joined into ONE wide result table keyed by
+   ``<group>_id`` and written with mode=overwrite (the reference's staging
+   -table swap, engine.py:58-168) or merged for incremental runs.
+
+Config shape mirrors transform.yml (SURVEY §3.1): ``group_by``, ``sources``
+with a relation plugin, ``widgets`` mapping name -> {plugin, params}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, get_plugin
+
+
+@dataclass
+class WidgetSpec:
+    name: str
+    plugin: str
+    params: dict = field(default_factory=dict)
+    # callable overrides plugin lookup (for tests / lambdas)
+    func: Callable[..., DataFrame] | None = None
+
+
+@dataclass
+class GroupConfig:
+    group_by: str                 # group entity name (e.g. "plots")
+    group_id_col: str             # id column tagging fact rows
+    widgets: list[WidgetSpec] = field(default_factory=list)
+
+
+class TransformerService:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def transform_group(self, cfg: GroupConfig, loaded: DataFrame,
+                        group_ids: DataFrame | None = None) -> DataFrame:
+        """Compute all widgets over the loaded (group-tagged) fact frame and
+        return the wide per-entity result table:
+        columns = [<group_id_col>, <widget name (JSON string)> ...].
+        """
+        gid = cfg.group_id_col
+        if group_ids is None:
+            group_ids = loaded.select(gid).distinct()
+        result = group_ids
+        for w in cfg.widgets:
+            func = w.func or get_plugin(w.plugin, PluginType.TRANSFORMER)
+            wdf = func(loaded, [gid], **w.params)
+            packed = self._pack_json(wdf, gid, w.name)
+            result = result.join(packed, gid, "left")
+        return result
+
+    def _pack_json(self, wdf: DataFrame, gid: str, name: str) -> DataFrame:
+        """One JSON column per widget.  Single-row-per-group widgets pack to
+        a JSON object; multi-row widgets to a JSON array of objects (stable
+        order by the frame's non-group columns)."""
+        others = [c for c in wdf.columns if c != gid]
+        packed = (wdf.groupBy(gid)
+                  .agg(F.sort_array(F.collect_list(F.struct(*others))).alias("__rows")))
+        json_col = F.when(F.size("__rows") == 1, F.to_json(F.col("__rows")[0])) \
+                    .otherwise(F.to_json(F.col("__rows")))
+        return packed.select(F.col(gid), json_col.alias(name))
+
+    def write_results(self, result: DataFrame, path: str,
+                      mode: str = "overwrite") -> None:
+        """Persist the group table.  Parquet overwrite is the staging-swap
+        equivalent; with a Delta-enabled session this becomes MERGE for
+        incremental runs (reference transformer.py:1287-1321)."""
+        result.write.mode(mode).parquet(path)

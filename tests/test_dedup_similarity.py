@@ -1,0 +1,114 @@
+"""Dedup + similarity operators: exactness, LSH recall, cross-checks vs
+numpy brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from niamoto_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different content about spark engines and shuffles"),
+    (4, "The  quick brown fox jumps over the lazy dog"),  # ws/case dup of 1
+    (5, "totally unrelated words here nothing shared at all"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_dedup_exact_normalized(docs):
+    groups = dedup.dedup_exact(docs, "doc_id", "text").collect()
+    dupes = [g for g in groups if g["n_docs"] > 1]
+    assert len(dupes) == 1 and dupes[0]["keep_id"] == 1 and dupes[0]["n_docs"] == 2
+
+
+def test_dedup_exact_keep_filters(docs):
+    kept = dedup.dedup_exact_keep(docs, "doc_id", "text")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 5}
+
+
+def test_minhash_finds_near_dup_pair(docs):
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                         num_hashes=64, bands=16,
+                                         shingle_k=2,
+                                         jaccard_threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got or (1, 4) in got  # near-dups bucket together
+    assert all(not (a == 3 and b == 5) for a, b in got)
+
+
+def test_minhash_estimate_close_to_true_jaccard(docs):
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                      threshold=0.0).collect()
+    true_j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact}
+    est = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                       num_hashes=128, bands=32, shingle_k=2,
+                                       jaccard_threshold=0.0).collect()
+    for r in est:
+        key = (r["id_a"], r["id_b"])
+        if key in true_j and true_j[key] > 0.5:
+            assert abs(r["est_jaccard"] - true_j[key]) < 0.25
+
+
+def test_simhash_hamming_reflects_similarity(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs, "doc_id", "text",
+                                      max_hamming=20).collect()}
+    near = pairs.get((1, 2), pairs.get((1, 4), 99))
+    far = pairs.get((3, 5), 99)
+    assert near < 20
+    assert near < far or far == 99  # dissimilar pair absent or worse
+
+
+def test_simhash_identical_texts_equal_hash(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["same words here", "same words here"]}))
+    h = [r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()]
+    assert h[0] == h[1]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    base[7] = base[3] * 1.001            # near-dup pair (3, 7)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(20)]
+    return (spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"),
+            base)
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, base = vectors
+    out = similarity.cosine_topk(df, df.where(F.col("vec_id") == 0),
+                                 "vec_id", "embedding", k=3)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norm @ norm[0]
+    sims[0] = -np.inf
+    expect = list(np.argsort(-np.round(sims, 6), kind="stable")[:3])
+    assert got == [int(x) for x in expect]
+
+
+def test_embedding_near_dup_finds_planted_pair(vectors):
+    df, _ = vectors
+    pairs = similarity.embedding_near_dup(df, "vec_id", "embedding",
+                                          threshold=0.999)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(3, 7)}
+
+
+def test_ivf_recall_vs_exact(vectors):
+    df, _ = vectors
+    q = df.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.cosine_topk(df, q, "vec_id", "embedding", k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              similarity.ivf_topk(df, q, "vec_id", "embedding", k=3,
+                                  n_centroids=4, nprobe=4).collect()}
+    # nprobe == n_centroids probes everything -> recall 1.0
+    assert approx == exact

@@ -1,0 +1,128 @@
+"""TransformerService end-to-end + exporters + extraction + chains +
+catalog/registry."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from niamoto_spark.catalog import Entity, EntityKind, EntityRegistry, testdata_registry
+from niamoto_spark.exporters.dwc import to_dwc_occurrence
+from niamoto_spark.exporters.json_api import export_json_api
+from niamoto_spark.operators import extraction as ex
+from niamoto_spark.operators.chains import transform_chain
+from niamoto_spark.registry import PluginType, get_plugin, list_plugins, load_all
+from niamoto_spark.transformer_service import GroupConfig, TransformerService, WidgetSpec
+
+
+def test_registry_resolves_reference_plugin_names():
+    load_all()
+    for name in ["statistical_summary", "binned_distribution", "top_ranking",
+                 "class_object_series_extractor", "transform_chain"]:
+        assert get_plugin(name, PluginType.TRANSFORMER) is not None
+    for name in ["direct_reference", "nested_set", "adjacency_list",
+                 "join_table", "spatial_containment", "stats_loader"]:
+        assert get_plugin(name, PluginType.LOADER) is not None
+    assert len(list_plugins(PluginType.TRANSFORMER)["transformer"]) >= 30
+
+
+def test_entity_registry_roundtrip(tmp_path, spark, sf_dir):
+    reg = testdata_registry(sf_dir)
+    p = str(tmp_path / "registry.json")
+    reg.save(p)
+    reg2 = EntityRegistry.open(p)
+    assert reg2.get("lineitem").id_field == "l_orderkey"
+    assert reg2.get("nation").links[0].references == "region"
+    df = reg2.load(spark, "region")
+    assert df.count() == 5
+
+
+def test_transformer_service_wide_table(spark):
+    facts = spark.createDataFrame(pd.DataFrame({
+        "plot_id": [1, 1, 1, 2, 2],
+        "dbh": [10.0, 20.0, 30.0, 5.0, 15.0],
+        "alive": [1, 0, 1, 1, 1],
+    }))
+    svc = TransformerService(spark)
+    cfg = GroupConfig(group_by="plots", group_id_col="plot_id", widgets=[
+        WidgetSpec("dbh_summary", "statistical_summary", {"field": "dbh"}),
+        WidgetSpec("alive_counts", "binary_counter", {"field": "alive"}),
+        WidgetSpec("dbh_bins", "binned_distribution",
+                   {"field": "dbh", "edges": [0, 10, 20, 40]}),
+    ])
+    out = svc.transform_group(cfg, facts)
+    assert set(out.columns) == {"plot_id", "dbh_summary", "alive_counts", "dbh_bins"}
+    rows = {r["plot_id"]: r for r in out.collect()}
+    s1 = json.loads(rows[1]["dbh_summary"])
+    assert s1["mean"] == 20.0 and s1["count"] == 3
+    bins2 = json.loads(rows[2]["dbh_bins"])
+    assert isinstance(bins2, list) and len(bins2) == 3  # dense bins
+
+
+def test_json_api_exporter(tmp_path, spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 2, 3], "name": ["a", "b", "c"]}))
+    manifest = export_json_api(df, "id", str(tmp_path), page_size=2)
+    assert manifest["entities"] == 3 and manifest["pages"] == 2
+    with open(tmp_path / "detail" / "2.json") as f:
+        assert json.load(f)["name"] == "b"
+    with open(tmp_path / "index_p1.json") as f:
+        idx = json.load(f)
+    assert idx["total_pages"] == 2 and len(idx["items"]) == 2
+
+
+def test_dwc_projection(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [7], "taxaname": ["Araucaria columnaris"],
+         "geo_pt": ["POINT (166.5 -22.1)"]}))
+    out = to_dwc_occurrence(df, {
+        "occurrenceID": {"generator": "unique_occurrence_id",
+                         "params": {"prefix": "niaocc_", "source_field": "id"}},
+        "scientificName": "@source.taxaname",
+        "decimalLatitude": {"generator": "format_coordinates",
+                            "params": {"source_field": "geo_pt", "axis": "lat"}},
+        "basisOfRecord": "HumanObservation",
+    }).collect()[0]
+    assert out["occurrenceID"] == "niaocc_7"
+    assert out["scientificName"] == "Araucaria columnaris"
+    assert out["decimalLatitude"] == -22.1
+    assert out["basisOfRecord"] == "HumanObservation"
+
+
+def test_multi_column_extractor_derived_formula(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"total_stems": [10, 20], "living_stems": [8, 15]}))
+    rows = ex.multi_column_extractor(
+        df, [], ["total_stems", "living_stems"],
+        derived={"dead_stems": "total_stems - living_stems"}).collect()
+    got = {r["category"]: r["value"] for r in rows}
+    assert got == {"total_stems": 30.0, "living_stems": 23.0, "dead_stems": 7.0}
+
+
+def test_direct_attribute_precision_cap(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a"], "v": [123.456]}))
+    r = ex.direct_attribute(df, ["g"], "v", precision=1, max_value=100.0).collect()[0]
+    assert r["value"] == 100.0
+
+
+def test_transform_chain_refs(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["x", "x"], "v": [1.0, 3.0]}))
+    from niamoto_spark.operators.aggregation import statistical_summary
+
+    out = transform_chain({"src": df}, [
+        {"func": statistical_summary, "args": ["@src"],
+         "params": {"group_cols": [], "field": "v"}, "output_key": "stats"},
+        {"func": lambda d: d.select((F.col("mean") * 2).alias("dbl")),
+         "args": ["@stats"], "output_key": "doubled"},
+    ])
+    assert out["doubled"].collect()[0]["dbl"] == 4.0
+
+
+def test_explorer_end_to_end(spark, sf_dir):
+    from niamoto_spark.plans.explorer import explore
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    out = explore(cust, "c_acctbal > 0", order_by="c_custkey", limit=5)
+    assert out.count() == 5

@@ -1,0 +1,78 @@
+"""Text-analysis operators: tokenization edges, quality signals, lang id."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from niamoto_spark.functions import char_ngrams, token_count, word_shingles
+from niamoto_spark.operators import text as tx
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"t": ["one two three", "  padded  ", "", "   ", "single"]}))
+    out = [r["n"] for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert out == [3, 1, 0, 0, 1]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["abcd", "ab", ""]}))
+    out = [r["g"] for r in df.select(char_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert out == [["abc", "bcd"], [], []]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["a b c d"]}))
+    out = df.select(word_shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
+    assert out == ["a b", "b c", "c d"]
+
+
+def test_text_quality_signals(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"text": ["A clean simple sentence with normal words here.",
+                  "!!! ??? ... ,,, ;;; :::",
+                  ""]}))
+    rows = tx.text_quality(df, "text").collect()
+    good, junk, empty = rows
+    assert good["quality_score"] > junk["quality_score"]
+    assert junk["punct_ratio"] > 0.5
+    assert empty["n_tokens"] == 0 and empty["quality_score"] == 0.0
+    assert 0 <= good["alpha_ratio"] <= 1
+
+
+def test_bpe_estimate_scales_with_length(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"text": ["hi", "internationalization considerations", ""]}))
+    out = [r["bpe_tokens_est"] for r in
+           tx.bpe_token_estimate(df, "text").collect()]
+    assert out[0] == 1
+    assert out[1] >= 9   # two long words -> multiple subword units
+    assert out[2] == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": [
+        "the cat and the dog sat in the garden of the house",
+        "le chat et la maison de la ville et le jardin",
+        "el perro y los gatos en las casas y el parque",
+        "der hund und die katze und das haus nicht hier",
+        "zzz qqq xxx www",
+    ]}))
+    out = [r["lang_pred"] for r in tx.lang_id(df, "text").collect()]
+    assert out == ["en", "fr", "es", "de", "und"]
+
+
+def test_doc_fingerprint_normalizes_whitespace_case(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"text": ["Hello   World", "hello world", "different"]}))
+    fps = [r["fingerprint"] for r in tx.doc_fingerprint(df, "text").collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_token_stats_grouped(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"lang": ["en", "en", "fr"], "text": ["a b", "c d e", "f"]}))
+    out = {r["lang"]: r for r in tx.token_stats(df, ["lang"], "text").collect()}
+    assert out["en"]["total_tokens"] == 5
+    assert out["en"]["avg_tokens"] == 2.5
+    assert out["fr"]["n_docs"] == 1

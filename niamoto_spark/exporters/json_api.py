@@ -33,8 +33,18 @@ def export_json_api(results: DataFrame, id_col: str, out_dir: str,
 
     def write_partition(rows):
         for r in rows:
+            # widget columns hold JSON strings (the reference's group-table
+            # model); parse them so detail docs nest real objects
+            # (reference json_api_exporter.py:872-883)
+            doc = json.loads(r["__doc"])
+            for k, v in doc.items():
+                if isinstance(v, str) and v[:1] in "{[":
+                    try:
+                        doc[k] = json.loads(v)
+                    except (ValueError, TypeError):
+                        pass
             with open(os.path.join(detail_dir, f"{r['__id']}.json"), "w") as f:
-                f.write(r["__doc"])
+                json.dump(doc, f)
 
     payload.foreachPartition(write_partition)
 

@@ -184,21 +184,27 @@ def descendants(nodes_with_sets: DataFrame, ancestor_id,
 
 def subtree_join(facts: DataFrame, fact_key: str,
                  nodes_with_sets: DataFrame, node_key: str = "id",
-                 ancestor_alias: str = "ancestor_id") -> DataFrame:
+                 ancestor_alias: str = "ancestor_id",
+                 leaf_key: str | None = None,
+                 lft_col: str = "lft", rght_col: str = "rght") -> DataFrame:
     """Attach EVERY ancestor id to each fact row in one pass: facts equi-join
     their leaf node, then a broadcast *range join* against the (small)
     hierarchy maps each row to all enclosing subtrees.  This replaces the
     reference's per-entity nested-set query loop with a single job; rolling
     up then becomes a plain ``groupBy(ancestor_alias)``.
+
+    ``leaf_key`` lets facts match the hierarchy on an alternate key (the
+    reference's ``ref_key`` external id, loaders/nested_set.py:147-185)
+    while ancestors are still identified by ``node_key``.
     """
     leaf = nodes_with_sets.select(
-        F.col(node_key).alias("_leaf_id"),
-        F.col("lft").alias("_leaf_lft"),
+        F.col(leaf_key or node_key).alias("_leaf_id"),
+        F.col(lft_col).alias("_leaf_lft"),
     )
     anc = nodes_with_sets.select(
         F.col(node_key).alias(ancestor_alias),
-        F.col("lft").alias("_anc_lft"),
-        F.col("rght").alias("_anc_rght"),
+        F.col(lft_col).alias("_anc_lft"),
+        F.col(rght_col).alias("_anc_rght"),
     )
     return (
         facts.join(F.broadcast(leaf), facts[fact_key] == leaf["_leaf_id"], "inner")

@@ -1,0 +1,318 @@
+"""Pipeline — runs the reference's declarative configs (import.yml /
+transform.yml / export.yml dialects) on Spark.
+
+The reference orchestrates three phases (SURVEY §0, cli/commands/run.py):
+import -> transform -> export.  This module is the Spark-side equivalent:
+
+- ``run_import``: file/derived connectors -> parquet tables in a warehouse
+  dir + an EntityRegistry (the reference's DuckDB tables + registry rows).
+- ``run_transform``: for each group config, ONE loader join per source and
+  ONE aggregate per widget computes every entity at once, then the widget
+  frames are packed to JSON columns in a wide per-group result table —
+  the same table shape the reference builds row-by-row
+  (transformer.py:1142-1186), minus the O(entities x widgets) query loop.
+- ``run_export``: JSON static API per group (exporters/json_api.py).
+
+Widget param adapters accept the reference's YAML parameter names verbatim
+(bins, count, true_label, hierarchy_table, ...), so a reference
+transform.yml runs unchanged against this engine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from niamoto_spark.catalog import Entity, EntityKind, EntityLink, EntityRegistry
+from niamoto_spark.config import (ImportConfig, TransformGroupConfig,
+                                  validate_import_config,
+                                  validate_transform_config)
+from niamoto_spark.hierarchy import ancestor_closure, derive_hierarchy, subtree_join
+from niamoto_spark.operators import aggregation as agg_ops
+from niamoto_spark.operators import class_objects as co_ops
+from niamoto_spark.operators import extraction as ex_ops
+from niamoto_spark.operators import loaders as loader_ops
+from niamoto_spark.sources.files import read_csv_auto, read_geojson
+from niamoto_spark.sources.sinks import overwrite_table
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 registry: EntityRegistry | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.registry = registry or EntityRegistry()
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # import phase
+    # ------------------------------------------------------------------
+
+    def run_import(self, cfg: dict | ImportConfig,
+                   base_dir: str = ".") -> EntityRegistry:
+        if not isinstance(cfg, ImportConfig):
+            cfg = validate_import_config(cfg)
+        kind_map = {"datasets": EntityKind.DATASET,
+                    "references": EntityKind.REFERENCE,
+                    "spatial": EntityKind.SPATIAL}
+        # file connectors first, derived ones after (they read datasets)
+        ordered: list[tuple[str, str, Any]] = []
+        for section, entities in cfg.entities.items():
+            for name, spec in entities.items():
+                ordered.append((section, name, spec))
+        ordered.sort(key=lambda t: t[2].connector.type == "derived")
+
+        for section, name, spec in ordered:
+            kind = kind_map.get(section, EntityKind.DATASET)
+            conn = spec.connector
+            if conn.type == "derived":
+                src = self.registry.load(self.spark, conn.dataset)
+                df = derive_hierarchy(src, conn.levels or [])
+            elif conn.type in ("file", "file_multi_feature"):
+                path = conn.path if os.path.isabs(conn.path or "") \
+                    else os.path.join(base_dir, conn.path or "")
+                fmt = conn.format or os.path.splitext(path)[1].lstrip(".")
+                if fmt == "csv":
+                    df = read_csv_auto(self.spark, path)
+                elif fmt == "parquet":
+                    df = self.spark.read.parquet(path)
+                elif fmt in ("geojson", "json"):
+                    df = read_geojson(self.spark, path)
+                else:
+                    raise ValueError(f"unsupported import format {fmt!r}")
+            else:
+                raise ValueError(f"unsupported connector type {conn.type!r}")
+
+            out_path = os.path.join(self.warehouse, f"{name}.parquet")
+            overwrite_table(df, out_path)
+            id_field = spec.schema_.id_field or (
+                "id" if "id" in df.columns else df.columns[0])
+            self.registry.add(Entity(
+                name=name, kind=kind, path=out_path, id_field=id_field,
+                links=[EntityLink(field=l.field, references=l.entity,
+                                  ref_field=l.target_field)
+                       for l in spec.links]))
+        self.registry.save(os.path.join(self.warehouse, "registry.json"))
+        return self.registry
+
+    # ------------------------------------------------------------------
+    # transform phase
+    # ------------------------------------------------------------------
+
+    def run_transform(self, cfg: list | None,
+                      group_by: str | None = None) -> dict[str, DataFrame]:
+        groups = validate_transform_config(cfg)
+        results: dict[str, DataFrame] = {}
+        for g in groups:
+            if group_by and g.group_by != group_by:
+                continue
+            results[g.group_by] = self._transform_group(g)
+        return results
+
+    def _load_source_data(self, data: str) -> DataFrame:
+        if data in self.registry.names():
+            return self.registry.load(self.spark, data)
+        path = data
+        if data.endswith(".csv"):
+            return read_csv_auto(self.spark, path)
+        return self.spark.read.parquet(path)
+
+    def _transform_group(self, g: TransformGroupConfig) -> DataFrame:
+        grouping_entity = self.registry.get(g.group_by)
+        grouping = self.registry.load(self.spark, g.group_by)
+        gid = grouping_entity.id_field
+
+        # 1. loaders: one join per source, tagging fact rows with gid
+        tagged: dict[str, DataFrame] = {g.group_by: grouping}
+        for src in g.sources:
+            data = self._load_source_data(src.data)
+            rel = src.relation
+            plugin, key = rel.plugin, rel.key
+            if plugin == "direct_reference":
+                out = loader_ops.direct_reference(data, key, grouping, gid,
+                                                  rel.ref_key)
+            elif plugin == "stats_loader":
+                out = loader_ops.stats_loader(
+                    data, rel.match_field or key, grouping, gid,
+                    rel.ref_field)
+            elif plugin == "nested_set":
+                fields = rel.fields or {}
+                out = subtree_join(
+                    data, key, grouping, node_key=gid,
+                    ancestor_alias="__anc",
+                    leaf_key=rel.ref_key or gid,
+                    lft_col=fields.get("left", "lft"),
+                    rght_col=fields.get("right", "rght"),
+                ).withColumn(gid, F.col("__anc")).drop("__anc")
+            elif plugin == "adjacency_list":
+                closure = ancestor_closure(
+                    grouping, gid, (rel.fields or {}).get("parent", "parent_id"))
+                cl = closure.select(F.col("node_id").alias("__n"),
+                                    F.col("ancestor_id").alias(gid))
+                out = data.join(F.broadcast(cl), data[key] == F.col("__n")) \
+                          .drop("__n")
+            elif plugin == "join_table":
+                bridge = self._load_source_data(rel.model_extra["bridge"])
+                out = loader_ops.join_table(
+                    data, key, bridge,
+                    rel.model_extra.get("bridge_source", "source"),
+                    rel.model_extra.get("bridge_reference", "reference"),
+                    grouping, gid)
+            elif plugin == "spatial_containment":
+                from niamoto_spark.operators.geospatial import points_in_polygons
+
+                shapes = grouping.select(
+                    gid, rel.model_extra.get("geometry_field", "location"))
+                out = points_in_polygons(
+                    data, key, shapes, gid,
+                    rel.model_extra.get("geometry_field", "location"))
+            else:
+                raise ValueError(f"unknown relation plugin {plugin!r}")
+            tagged[src.name] = out
+
+        # 2. widgets: one aggregate each, packed to a JSON column
+        result = grouping.select(F.col(gid))
+        for name, w in g.widgets_data.items():
+            wdf = self._run_widget(w.plugin, dict(w.params), tagged,
+                                   g.group_by, gid)
+            result = result.join(self._pack_json(wdf, gid, name), gid, "left")
+        overwrite_table(result, os.path.join(self.warehouse,
+                                             f"{g.group_by}_results.parquet"))
+        return result
+
+    def _run_widget(self, plugin: str, params: dict, tagged: dict,
+                    group_by: str, gid: str) -> DataFrame:
+        """Adapter: reference YAML param names -> operator signatures."""
+        src_name = params.pop("source", None)
+        df = tagged.get(src_name) if src_name else None
+
+        if plugin == "field_aggregator":
+            return self._field_aggregator(params["fields"], tagged, gid)
+        if plugin == "statistical_summary":
+            return agg_ops.statistical_summary(df, [gid], params["field"])
+        if plugin == "binned_distribution":
+            return agg_ops.binned_distribution(
+                df, [gid], params["field"], edges=params["bins"],
+                labels=params.get("labels"),
+                include_percentages=params.get("include_percentages", False))
+        if plugin == "categorical_distribution":
+            return agg_ops.categorical_distribution(
+                df, [gid], params["field"],
+                categories=params.get("categories"),
+                include_percentages=params.get("include_percentages", False))
+        if plugin == "binary_counter":
+            return agg_ops.binary_counter(
+                df, [gid], params["field"],
+                true_label=params.get("true_label", "oui"),
+                false_label=params.get("false_label", "non"))
+        if plugin == "top_ranking":
+            name_join = None
+            if params.get("hierarchy_table"):
+                h = self.registry.load(self.spark, params["hierarchy_table"])
+                cols = params.get("hierarchy_columns", {})
+                name_join = (h, cols.get("id", "id"), cols.get("name", "name"))
+            return agg_ops.top_ranking(
+                df, [gid], params["field"],
+                limit=params.get("count", 10),
+                name_join=name_join)
+        if plugin == "geospatial_extractor":
+            return ex_ops.geospatial_extractor(df, [gid], params["field"])
+        if plugin == "direct_attribute":
+            return ex_ops.direct_attribute(
+                df, [gid], params["field"],
+                precision=params.get("precision"),
+                max_value=params.get("max_value"))
+        if plugin == "multi_column_extractor":
+            return ex_ops.multi_column_extractor(
+                df, [gid], params["columns"],
+                labels=params.get("labels"),
+                derived=params.get("derived_columns"),
+                include_percentages=params.get("include_percentages", False))
+        if plugin == "time_series_analysis":
+            return agg_ops.time_series_analysis(
+                df, [gid], params.get("time_field", "month_obs"),
+                params["fields"])
+        if plugin == "class_object_series_extractor":
+            return co_ops.series_extractor(
+                df, [gid], params["class_object"],
+                numeric_axis=(params.get("size_field", {}) or {}).get("numeric", False))
+        if plugin == "class_object_field_aggregator":
+            return co_ops.field_aggregator(df, [gid], params["class_object"],
+                                           mode=params.get("mode", "value"))
+        if plugin == "class_object_categories_extractor":
+            return co_ops.categories_extractor(df, [gid],
+                                               params["class_object"],
+                                               params["categories"])
+        if plugin == "class_object_binary_aggregator":
+            return co_ops.binary_aggregator(
+                df, [gid], params["class_object"],
+                class_mapping=params.get("class_mapping"))
+        raise ValueError(f"no adapter for widget plugin {plugin!r}")
+
+    def _field_aggregator(self, fields: list[dict], tagged: dict,
+                          gid: str) -> DataFrame:
+        """Per-GROUP field aggregation across sources (the reference runs it
+        per entity row, transformers/aggregation/field_aggregator.py:206-341;
+        here each source contributes one grouped aggregate, joined on gid)."""
+        per_source: dict[str, list[dict]] = {}
+        for spec in fields:
+            per_source.setdefault(spec["source"], []).append(spec)
+        result: DataFrame | None = None
+        for source, specs in per_source.items():
+            src = tagged[source]
+            aggs = []
+            for s in specs:
+                fld, target = s["field"], s["target"]
+                t = s.get("transformation", "direct")
+                if "." in fld and fld.split(".", 1)[0] in src.columns:
+                    root, path = fld.split(".", 1)
+                    c = F.get_json_object(F.col(root), f"$.{path}")
+                else:
+                    c = F.col(fld)
+                if t == "direct":
+                    aggs.append(F.first(c, ignorenulls=True).alias(target))
+                elif t == "count":
+                    aggs.append(F.count(c).alias(target))
+                elif t == "sum":
+                    aggs.append(F.round(F.sum(c.cast("double")), 2).alias(target))
+                elif t == "mean":
+                    aggs.append(F.round(F.avg(c.cast("double")), 2).alias(target))
+                else:
+                    raise ValueError(f"unsupported transformation {t!r}")
+            piece = src.groupBy(gid).agg(*aggs)
+            result = piece if result is None else result.join(piece, gid, "full")
+        assert result is not None
+        return result
+
+    def _pack_json(self, wdf: DataFrame, gid: str, name: str) -> DataFrame:
+        others = [c for c in wdf.columns if c != gid]
+        packed = (wdf.groupBy(gid)
+                  .agg(F.sort_array(F.collect_list(F.struct(*others)))
+                       .alias("__rows")))
+        json_col = F.when(F.size("__rows") == 1, F.to_json(F.col("__rows")[0])) \
+                    .otherwise(F.to_json(F.col("__rows")))
+        return packed.select(F.col(gid), json_col.alias(name))
+
+    # ------------------------------------------------------------------
+    # export phase
+    # ------------------------------------------------------------------
+
+    def run_export(self, cfg: dict, out_dir: str) -> dict[str, dict]:
+        """Minimal export.yml dialect: {targets: [{name, exporter, group,
+        params}]}; exporter 'json_api' supported."""
+        from niamoto_spark.exporters.json_api import export_json_api
+
+        manifests = {}
+        for target in cfg.get("targets", []):
+            group = target["group"]
+            gid = self.registry.get(group).id_field \
+                if group in self.registry.names() else "id"
+            results = self.spark.read.parquet(
+                os.path.join(self.warehouse, f"{group}_results.parquet"))
+            manifests[target.get("name", group)] = export_json_api(
+                results, gid, os.path.join(out_dir, group),
+                **target.get("params", {}))
+        return manifests

@@ -1,0 +1,173 @@
+"""End-to-end pipeline test: import.yml -> transform.yml -> export.yml in
+the reference's YAML dialect, over synthetic occurrence/plot CSVs (the
+FIXTURES.md F1/F3 shapes)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from niamoto_spark.pipeline import Pipeline
+
+OCCURRENCES = pd.DataFrame({
+    "id": range(1, 13),
+    "plot_name": ["P1", "P1", "P1", "P2", "P2", "P2",
+                  "P1", "P2", "P1", "P2", "P1", "P2"],
+    "family": ["Araucariaceae"] * 6 + ["Myrtaceae"] * 6,
+    "genus": ["Araucaria"] * 4 + ["Agathis"] * 2 + ["Syzygium"] * 6,
+    "species": ["columnaris", "columnaris", "montana", "montana",
+                "ovata", "ovata", "acre", "acre", "acre",
+                "wagapense", "wagapense", None],
+    "dbh": [10.0, 20.0, 30.0, 40.0, 15.0, 25.0,
+            12.0, 22.0, 32.0, 8.0, 18.0, 28.0],
+    "in_um": [1, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1],
+    "holdridge": [1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3],
+})
+
+PLOTS = pd.DataFrame({
+    "id_plot": [1, 2],
+    "plot": ["Plot One", "Plot Two"],
+    "locality": ["P1", "P2"],
+    "elevation": [200.0, 800.0],
+})
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory, spark):
+    base = tmp_path_factory.mktemp("project")
+    OCCURRENCES.to_csv(base / "occurrences.csv", index=False)
+    PLOTS.to_csv(base / "plots.csv", index=False)
+    pipe = Pipeline(spark, warehouse=str(base / "warehouse"))
+    import_cfg = {
+        "version": "1.0",
+        "entities": {
+            "datasets": {
+                "occurrences": {
+                    "connector": {"type": "file", "format": "csv",
+                                  "path": "occurrences.csv"},
+                    "schema": {"id_field": "id"},
+                },
+            },
+            "references": {
+                "plots": {
+                    "connector": {"type": "file", "format": "csv",
+                                  "path": "plots.csv"},
+                    "schema": {"id_field": "id_plot"},
+                },
+                "taxons": {
+                    "kind": "hierarchical",
+                    "connector": {"type": "derived", "dataset": "occurrences",
+                                  "levels": ["family", "genus", "species"]},
+                    "schema": {"id_field": "id"},
+                },
+            },
+        },
+    }
+    pipe.run_import(import_cfg, base_dir=str(base))
+    return pipe, base
+
+
+def test_import_registers_entities(project, spark):
+    pipe, _ = project
+    assert set(pipe.registry.names()) == {"occurrences", "plots", "taxons"}
+    taxons = pipe.registry.load(spark, "taxons")
+    assert {"lft", "rght", "parent_id", "full_path"} <= set(taxons.columns)
+    # 2 families + 3 genera + 5 species = 10 nodes
+    assert taxons.count() == 10
+
+
+def test_transform_reference_dialect(project, spark):
+    pipe, base = project
+    transform_cfg = [{
+        "group_by": "plots",
+        "sources": [{
+            "name": "occurrences",
+            "data": "occurrences",
+            "grouping": "plots",
+            "relation": {"plugin": "direct_reference",
+                         "key": "plot_name", "ref_key": "locality"},
+        }],
+        "widgets_data": {
+            "dbh_summary": {"plugin": "statistical_summary",
+                            "params": {"source": "occurrences", "field": "dbh"}},
+            "dbh_bins": {"plugin": "binned_distribution",
+                         "params": {"source": "occurrences", "field": "dbh",
+                                    "bins": [0, 15, 30, 50],
+                                    "include_percentages": True}},
+            "um_counter": {"plugin": "binary_counter",
+                           "params": {"source": "occurrences", "field": "in_um",
+                                      "true_label": "um", "false_label": "num"}},
+            "holdridge_dist": {"plugin": "categorical_distribution",
+                               "params": {"source": "occurrences",
+                                          "field": "holdridge",
+                                          "categories": [1, 2, 3]}},
+            "general_info": {"plugin": "field_aggregator", "params": {"fields": [
+                {"source": "plots", "field": "plot", "target": "name"},
+                {"source": "plots", "field": "elevation", "target": "elevation"},
+                {"source": "occurrences", "field": "id",
+                 "target": "occurrences_count", "transformation": "count"},
+            ]}},
+            "top_families": {"plugin": "top_ranking",
+                             "params": {"source": "occurrences",
+                                        "field": "family", "count": 5}},
+        },
+    }]
+    out = pipe.run_transform(transform_cfg)["plots"]
+    rows = {r["id_plot"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+
+    s1 = json.loads(rows[1]["dbh_summary"])
+    p1 = OCCURRENCES[OCCURRENCES.plot_name == "P1"]["dbh"]
+    assert s1["mean"] == round(p1.mean(), 2) and s1["count"] == 6
+
+    info2 = json.loads(rows[2]["general_info"])
+    assert info2["name"] == "Plot Two" and info2["occurrences_count"] == 6
+
+    tops1 = json.loads(rows[1]["top_families"])
+    assert tops1[0]["item"] in ("Araucariaceae", "Myrtaceae")
+    assert sum(t["value"] for t in tops1) == 6
+
+    bins1 = json.loads(rows[1]["dbh_bins"])
+    assert sum(b["count"] for b in bins1) == 6
+    assert abs(sum(b["pct"] for b in bins1) - 100.0) < 0.1
+
+
+def test_transform_nested_set_source(project, spark):
+    pipe, _ = project
+    cfg = [{
+        "group_by": "taxons",
+        "sources": [{
+            "name": "occurrences",
+            "data": "occurrences",
+            "grouping": "taxons",
+            "relation": {"plugin": "nested_set", "key": "species",
+                         "ref_key": "rank_value",
+                         "fields": {"left": "lft", "right": "rght"}},
+        }],
+        "widgets_data": {
+            "dbh_summary": {"plugin": "statistical_summary",
+                            "params": {"source": "occurrences", "field": "dbh"}},
+        },
+    }]
+    out = pipe.run_transform(cfg)["taxons"]
+    taxons = {r["rank_value"]: r["id"] for r in
+              pipe.registry.load(spark, "taxons").collect()}
+    rows = {r["id"]: r for r in out.collect() if r["dbh_summary"]}
+    # the Araucariaceae family node aggregates its whole subtree (6 occ)
+    fam = json.loads(rows[taxons["Araucariaceae"]]["dbh_summary"])
+    assert fam["count"] == 6
+    # NOTE: species names are unique per genus in this fixture, so matching
+    # occurrences on rank_value is unambiguous at the species level.
+
+
+def test_export_json_api(project, spark, tmp_path):
+    pipe, _ = project
+    manifests = pipe.run_export(
+        {"targets": [{"name": "site", "group": "plots",
+                      "params": {"page_size": 1}}]},
+        out_dir=str(tmp_path))
+    assert manifests["site"]["entities"] == 2
+    with open(tmp_path / "plots" / "detail" / "1.json") as f:
+        doc = json.load(f)
+    assert "dbh_summary" in doc

@@ -13,6 +13,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def fan_out(df, min_factor: int = 4):
+    """Repartition a narrow input for CPU-heavy per-row expressions.
+
+    Single-row-group parquet files scan as ONE task no matter how many cores
+    exist, which serializes expensive expression work (minhash signatures,
+    cosine batches).  When the input has far fewer partitions than the
+    cluster's parallelism, spread it; otherwise leave the layout alone (at
+    real scale the source is already well-partitioned and the extra shuffle
+    would be pure waste — the check makes this a no-op there).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def round2(col: Column | str) -> Column:
     """The reference rounds every float output to 2 decimals (e.g.
     statistical_summary.py:188-216)."""

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from niamoto_spark.functions import word_shingles
+from niamoto_spark.functions import fan_out, word_shingles
 from niamoto_spark.registry import PluginType, register
 
 
@@ -89,6 +89,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
+    df = fan_out(df)
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.lower(F.col(text_col)), shingle_k))
@@ -148,6 +149,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """
     from niamoto_spark.functions import token_array
 
+    from niamoto_spark.functions import fan_out
+
+    df = fan_out(df)
     toks = token_array(F.lower(F.col(text_col)))
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
     # Bit-shift by a *column* index needs the SQL surface (the Python

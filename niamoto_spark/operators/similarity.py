@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from niamoto_spark.functions import cosine_similarity
+from niamoto_spark.functions import cosine_similarity, fan_out
 from niamoto_spark.registry import PluginType, register
 
 
@@ -37,8 +37,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+    c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("c_vec")))
     sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
@@ -113,7 +113,7 @@ def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
     buckets first (same centroid assignment) — kept exact here because the
     oracle check requires determinism.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    a = fan_out(corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     sim = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), round_dp)
     return (a.crossJoin(b)

@@ -39,6 +39,14 @@ from niamoto_spark.sources.files import read_csv_auto, read_geojson
 from niamoto_spark.sources.sinks import overwrite_table
 
 
+# Widgets whose result is one row per entity -> packed as a JSON object;
+# all others produce a list of rows -> packed as a JSON array.
+SINGLE_ROW_WIDGETS = {
+    "statistical_summary", "field_aggregator", "binary_counter",
+    "direct_attribute", "class_object_field_aggregator",
+}
+
+
 class Pipeline:
     def __init__(self, spark: SparkSession, warehouse: str,
                  registry: EntityRegistry | None = None):
@@ -178,7 +186,10 @@ class Pipeline:
         for name, w in g.widgets_data.items():
             wdf = self._run_widget(w.plugin, dict(w.params), tagged,
                                    g.group_by, gid)
-            result = result.join(self._pack_json(wdf, gid, name), gid, "left")
+            result = result.join(
+                self._pack_json(wdf, gid, name,
+                                single_row=w.plugin in SINGLE_ROW_WIDGETS),
+                gid, "left")
         overwrite_table(result, os.path.join(self.warehouse,
                                              f"{g.group_by}_results.parquet"))
         return result
@@ -287,13 +298,18 @@ class Pipeline:
         assert result is not None
         return result
 
-    def _pack_json(self, wdf: DataFrame, gid: str, name: str) -> DataFrame:
+    def _pack_json(self, wdf: DataFrame, gid: str, name: str,
+                   single_row: bool = False) -> DataFrame:
+        """One JSON column per widget.  The shape is decided by the widget
+        KIND (SINGLE_ROW_WIDGETS -> object, everything else -> array), never
+        by the per-entity row count — consumers get one stable schema per
+        column (the reference's output_structure contract, SURVEY §2.5)."""
         others = [c for c in wdf.columns if c != gid]
         packed = (wdf.groupBy(gid)
                   .agg(F.sort_array(F.collect_list(F.struct(*others)))
                        .alias("__rows")))
-        json_col = F.when(F.size("__rows") == 1, F.to_json(F.col("__rows")[0])) \
-                    .otherwise(F.to_json(F.col("__rows")))
+        json_col = F.to_json(F.col("__rows")[0]) if single_row \
+            else F.to_json(F.col("__rows"))
         return packed.select(F.col(gid), json_col.alias(name))
 
     # ------------------------------------------------------------------

@@ -37,6 +37,8 @@ class WidgetSpec:
     params: dict = field(default_factory=dict)
     # callable overrides plugin lookup (for tests / lambdas)
     func: Callable[..., DataFrame] | None = None
+    # None -> derived from the plugin kind (see pipeline.SINGLE_ROW_WIDGETS)
+    single_row: bool | None = None
 
 
 @dataclass
@@ -63,19 +65,25 @@ class TransformerService:
         for w in cfg.widgets:
             func = w.func or get_plugin(w.plugin, PluginType.TRANSFORMER)
             wdf = func(loaded, [gid], **w.params)
-            packed = self._pack_json(wdf, gid, w.name)
+            from niamoto_spark.pipeline import SINGLE_ROW_WIDGETS
+
+            single = w.single_row if w.single_row is not None \
+                else w.plugin in SINGLE_ROW_WIDGETS
+            packed = self._pack_json(wdf, gid, w.name, single_row=single)
             result = result.join(packed, gid, "left")
         return result
 
-    def _pack_json(self, wdf: DataFrame, gid: str, name: str) -> DataFrame:
-        """One JSON column per widget.  Single-row-per-group widgets pack to
-        a JSON object; multi-row widgets to a JSON array of objects (stable
-        order by the frame's non-group columns)."""
+    def _pack_json(self, wdf: DataFrame, gid: str, name: str,
+                   single_row: bool = False) -> DataFrame:
+        """One JSON column per widget: object for single-row widget kinds,
+        array otherwise — the shape is a property of the widget KIND, never
+        the per-entity row count, so each column has one stable schema
+        (the reference's output_structure contract, SURVEY §2.5)."""
         others = [c for c in wdf.columns if c != gid]
         packed = (wdf.groupBy(gid)
                   .agg(F.sort_array(F.collect_list(F.struct(*others))).alias("__rows")))
-        json_col = F.when(F.size("__rows") == 1, F.to_json(F.col("__rows")[0])) \
-                    .otherwise(F.to_json(F.col("__rows")))
+        json_col = F.to_json(F.col("__rows")[0]) if single_row \
+            else F.to_json(F.col("__rows"))
         return packed.select(F.col(gid), json_col.alias(name))
 
     def write_results(self, result: DataFrame, path: str,

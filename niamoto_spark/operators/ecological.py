@@ -13,6 +13,7 @@ Two forms are provided:
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -156,6 +157,143 @@ def active_periods(a, threshold: float = 0.0) -> Column:
         lambda x: x.isNotNull())
 
 
+# --------------------------------------------------------------------------
+# Composite ecological indices (reference custom_calculator.py:928-1750)
+# --------------------------------------------------------------------------
+
+def csr_strategy(df: DataFrame, wood_density_col: str, leaf_thickness_col: str,
+                 leaf_sla_col: str, substrate_col: str | None = None) -> DataFrame:
+    """Grime CSR strategy indices from functional traits (reference
+    custom_calculator.py:928-1010): traits normalized against fixed caps
+    (wd/1.0, lt/500, sla/40), UM substrate stress factor 1.2, components
+    scaled to sum 1, dominant/secondary strategy + 'CSR' class when no
+    component reaches 0.45.  Pure column arithmetic — fully distributed.
+    """
+    nwd = F.least(F.lit(1.0), F.col(wood_density_col) / 1.0)
+    nlt = F.least(F.lit(1.0), F.col(leaf_thickness_col) / 500.0)
+    nsla = F.least(F.lit(1.0), F.col(leaf_sla_col) / 40.0)
+    sub = (F.when(F.col(substrate_col) == "UM", 1.2).otherwise(1.0)
+           if substrate_col else F.lit(1.0))
+    c = (0.7 * nwd + 0.4 * nlt - 0.3 * nsla) / 0.8
+    s = (0.5 * nwd + 0.8 * nlt - 0.7 * nsla) * sub / 1.2
+    r = (0.3 - 0.7 * nwd - 0.8 * nlt + 0.9 * nsla) / 1.0
+    total = c + s + r
+    c1 = F.when(total > 0, c / total).otherwise(F.lit(1.0 / 3))
+    s1 = F.when(total > 0, s / total).otherwise(F.lit(1.0 / 3))
+    r1 = F.when(total > 0, r / total).otherwise(F.lit(1.0 / 3))
+    out = (df.withColumn("competitive", F.round(c1, 4))
+             .withColumn("stress_tolerant", F.round(s1, 4))
+             .withColumn("ruderal", F.round(r1, 4)))
+    mx = F.greatest("competitive", "stress_tolerant", "ruderal")
+    dominant = (F.when(F.col("competitive") == mx, "C")
+                 .when(F.col("stress_tolerant") == mx, "S").otherwise("R"))
+    out = out.withColumn("dominant_strategy", dominant)
+    mid = F.expr("array_sort(array(competitive, stress_tolerant, ruderal))")[1]
+    secondary = (F.when((F.col("competitive") == mid)
+                        & (F.col("dominant_strategy") != "C"), "C")
+                  .when((F.col("stress_tolerant") == mid)
+                        & (F.col("dominant_strategy") != "S"), "S").otherwise("R"))
+    out = out.withColumn("secondary_strategy", secondary)
+    return out.withColumn(
+        "csr_class",
+        F.when(mx < 0.45, F.lit("CSR"))
+         .otherwise(F.concat("dominant_strategy", "secondary_strategy")))
+
+
+def resilience_score(df: DataFrame, c_col: str = "competitive",
+                     s_col: str = "stress_tolerant", r_col: str = "ruderal",
+                     diversity_col: str = "shannon",
+                     substrate_col: str | None = None) -> DataFrame:
+    """Resilience score 0-100 from CSR + functional diversity (reference
+    custom_calculator.py:1026-1105): 20C + 10S + 40R + 30*min(H/5, 1),
+    UM substrate factor 0.8, five-class label ladder."""
+    nd = F.least(F.lit(1.0), F.col(diversity_col) / 5.0)
+    sub = (F.when(F.col(substrate_col) == "UM", 0.8).otherwise(1.0)
+           if substrate_col else F.lit(1.0))
+    score = (20 * F.col(c_col) + 10 * F.col(s_col) + 40 * F.col(r_col)
+             + 30 * nd) * sub
+    label = (F.when(score >= 80, "Very high").when(score >= 60, "High")
+              .when(score >= 40, "Medium").when(score >= 20, "Low")
+              .otherwise("Very low"))
+    return df.withColumn("resilience_score", F.round(score, 2)) \
+             .withColumn("resilience_class", label)
+
+
+def biomass_by_strata(df: DataFrame, group_cols: Sequence[str],
+                      height_col: str, dbh_col: str,
+                      strata_bounds: Sequence[float],
+                      strata_names: Sequence[str] | None = None,
+                      wood_density: float | str = 0.6) -> DataFrame:
+    """Biomass distribution over height strata (reference
+    custom_calculator.py:1174-1290): allometric biomass
+    pi*(DBH/200)^2*H*WD, trees bucketed by np.digitize(bounds)-1 clipped
+    into [0, n-1].  One projection + one hash aggregate.
+    Output: group_cols + (stratum, biomass, tree_count)."""
+    n = len(strata_bounds) - 1
+    names = list(strata_names) if strata_names else [f"S{i+1}" for i in range(n)]
+    h = F.col(height_col).cast("double")
+    d = F.col(dbh_col).cast("double")
+    wd = (F.col(wood_density).cast("double") if isinstance(wood_density, str)
+          else F.lit(float(wood_density)))
+    biomass = F.lit(math.pi) * F.pow(d / 200.0, 2) * h * wd
+    # np.digitize(-1) + clip: below first bound -> 0, above last -> n-1
+    idx = F.lit(0)
+    for i, b in enumerate(strata_bounds[1:-1], start=1):
+        idx = F.when(h >= F.lit(float(b)), F.lit(i)).otherwise(idx)
+    name_map = F.array(*[F.lit(x) for x in names])
+    tagged = df.select(*group_cols, biomass.alias("__bm"),
+                       name_map[idx].alias("stratum"))
+    return (tagged.groupBy(*group_cols, "stratum")
+            .agg(F.round(F.sum("__bm"), 4).alias("biomass"),
+                 F.count(F.lit(1)).alias("tree_count")))
+
+
+def conformity_index(df: DataFrame, group_cols: Sequence[str],
+                     observed_col: str, reference_col: str,
+                     tolerance: float = 10.0,
+                     method: str = "relative") -> DataFrame:
+    """Share of observations within tolerance of a reference (reference
+    custom_calculator.py:1668-1750): absolute -> |obs-ref| <= tol;
+    relative -> |(obs-ref)/ref*100| <= tol (zero reference counts as
+    conforming, matching the reference's isfinite->0 fallback).
+    Output: group_cols + (conforming, total, conformity_pct)."""
+    o = F.col(observed_col).cast("double")
+    ref = F.col(reference_col).cast("double")
+    if method == "absolute":
+        ok = F.abs(o - ref) <= tolerance
+    elif method == "relative":
+        diff = F.when(ref != 0, (o - ref) / ref * 100.0).otherwise(F.lit(0.0))
+        ok = F.abs(diff) <= tolerance
+    else:
+        raise ValueError(f"unsupported method {method!r}")
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return g.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("conforming"),
+        F.count(F.lit(1)).alias("total"),
+        F.round(F.avg(F.when(ok, 1.0).otherwise(0.0)) * 100.0, 2)
+         .alias("conformity_pct"))
+
+
+_FORMULA_FUNCS = {"log", "log10", "log2", "sqrt", "exp", "abs", "pow",
+                  "least", "greatest", "round"}
+
+
+def custom_formula(df: DataFrame, formula: str, out: str = "result") -> DataFrame:
+    """Restricted formula over columns compiled to F.expr — the reference's
+    whitelisted-numpy eval (custom_calculator.py:33-34) but JVM-side: names
+    must be existing columns, calls must be in the math whitelist."""
+    import re as _re
+
+    from niamoto_spark.plans.guards import UnsafeQueryError
+
+    for tok in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", formula):
+        if tok not in df.columns and tok not in _FORMULA_FUNCS:
+            raise UnsafeQueryError(f"unknown name {tok!r} in formula")
+    if _re.search(r"[^A-Za-z0-9_+\-*/().,\s]", formula):
+        raise UnsafeQueryError("illegal character in formula")
+    return df.withColumn(out, F.expr(formula))
+
+
 @register("custom_calculator", PluginType.TRANSFORMER)
 def custom_calculator(df: DataFrame, operation: str, **kwargs) -> DataFrame:
     """Dispatch mirroring the reference's Operation enum
@@ -173,6 +311,17 @@ def custom_calculator(df: DataFrame, operation: str, **kwargs) -> DataFrame:
         "peak_detection": lambda: peak_detection(kwargs["a"], kwargs.get("threshold_ratio", 0.5)),
         "active_periods": lambda: active_periods(kwargs["a"], kwargs.get("threshold", 0.0)),
     }
+    df_ops = {
+        "csr_strategy": csr_strategy,
+        "resilience_score": resilience_score,
+        "biomass_by_strata": biomass_by_strata,
+        "conformity_index": conformity_index,
+        "custom_formula": custom_formula,
+    }
+    if operation in df_ops:
+        return df_ops[operation](df, **kwargs)
     if operation not in ops:
-        raise ValueError(f"unsupported operation {operation!r}; known {sorted(ops)}")
+        raise ValueError(
+            f"unsupported operation {operation!r}; known "
+            f"{sorted(ops) + sorted(df_ops)}")
     return df.withColumn(kwargs.get("out", "out"), ops[operation]())

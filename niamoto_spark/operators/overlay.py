@@ -1,0 +1,242 @@
+"""Vector overlay + shape processing without a geometry library.
+
+The reference does these with geopandas/shapely (vector_overlay.py:182-788,
+shape_processor.py:35-230).  Sedona's ST_* functions are the cluster path;
+in this environment the implementations are pure numpy inside mapInPandas:
+
+- ``clip_to_rect`` / overlay intersection against CONVEX clip polygons via
+  Sutherland-Hodgman (exact for the reference's dominant use — clipping
+  layers to administrative rectangles/provinces; concave clips raise).
+- ``coverage``: overlay area within each zone / zone area (reference
+  vector_overlay.py:686) from the clipped pieces.
+- ``aggregate_by_attribute``: per-category area sums after intersection
+  (vector_overlay.py:762).
+- ``simplify_wkt``: Douglas-Peucker polyline/ring simplification
+  (shape_processor's presentation-size reduction, shape_processor.py:35-98).
+
+Areas use the same equirectangular-about-lat0 approximation as
+operators.geospatial (documented deviation from UTM reprojection).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from niamoto_spark.operators.geospatial import parse_polygon_wkt, ring_area_m2
+from niamoto_spark.registry import PluginType, register
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    pts = ring[:-1] if np.allclose(ring[0], ring[-1]) else ring
+    n = len(pts)
+    sign = 0
+    for i in range(n):
+        a, b, c = pts[i], pts[(i + 1) % n], pts[(i + 2) % n]
+        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        if abs(cross) < 1e-15:
+            continue
+        s = 1 if cross > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
+def sutherland_hodgman(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Clip a polygon ring against a CONVEX clip ring; returns the clipped
+    ring (possibly empty)."""
+    if not _is_convex(clip):
+        raise NotImplementedError(
+            "clip polygon must be convex (Sutherland-Hodgman); use Sedona "
+            "for general overlays")
+    cpts = clip[:-1] if np.allclose(clip[0], clip[-1]) else clip
+    # ensure counter-clockwise clip orientation
+    area2 = np.sum(cpts[:, 0] * np.roll(cpts[:, 1], -1)
+                   - np.roll(cpts[:, 0], -1) * cpts[:, 1])
+    if area2 < 0:
+        cpts = cpts[::-1]
+    output = list(subject[:-1] if np.allclose(subject[0], subject[-1]) else subject)
+    n = len(cpts)
+    for i in range(n):
+        a, b = cpts[i], cpts[(i + 1) % n]
+        input_pts, output = output, []
+        if not input_pts:
+            break
+
+        def inside(p):
+            return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+
+        def intersect(p, q):
+            dc = a - b
+            dp = np.asarray(p) - np.asarray(q)
+            n1 = a[0] * b[1] - a[1] * b[0]
+            n2 = p[0] * q[1] - p[1] * q[0]
+            den = dc[0] * dp[1] - dc[1] * dp[0]
+            return np.array([(n1 * dp[0] - n2 * dc[0]) / den,
+                             (n1 * dp[1] - n2 * dc[1]) / den])
+
+        s = input_pts[-1]
+        for e in input_pts:
+            if inside(e):
+                if not inside(s):
+                    output.append(intersect(s, e))
+                output.append(np.asarray(e, dtype=float))
+            elif inside(s):
+                output.append(intersect(s, e))
+            s = e
+    if len(output) < 3:
+        return np.empty((0, 2))
+    out = np.asarray(output, dtype=float)
+    return np.vstack([out, out[:1]])
+
+
+def _ring_to_wkt(ring: np.ndarray) -> str:
+    pts = ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring)
+    return f"POLYGON (({pts}))"
+
+
+@register("vector_overlay", PluginType.TRANSFORMER)
+def vector_overlay_intersection(layer: DataFrame, layer_wkt: str,
+                                zones: DataFrame, zone_id: str,
+                                zone_wkt: str) -> DataFrame:
+    """Intersection overlay: every (layer polygon x zone) clipped piece with
+    its metric area.  Zones broadcast (small); the layer streams through
+    mapInPandas in Arrow batches.  Output: layer columns (minus geometry) +
+    (zone id, piece_wkt, piece_area_m2).
+    """
+    zone_rows = [(r[zone_id], parse_polygon_wkt(r[zone_wkt])[0])
+                 for r in zones.select(zone_id, zone_wkt).collect()
+                 if r[zone_wkt]]
+    bzones = layer.sparkSession.sparkContext.broadcast(zone_rows)
+
+    keep = [f for f in layer.schema.fields if f.name != layer_wkt]
+    out_schema = T.StructType(
+        keep + [T.StructField(zone_id, zones.schema[zone_id].dataType, True),
+                T.StructField("piece_wkt", T.StringType(), True),
+                T.StructField("piece_area_m2", T.DoubleType(), True)])
+
+    def clip_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rings = parse_polygon_wkt(r[layer_wkt]) if r[layer_wkt] else []
+                if not rings:
+                    continue
+                for zid, zring in bzones.value:
+                    piece = sutherland_hodgman(rings[0], zring)
+                    if len(piece) == 0:
+                        continue
+                    lat0 = float(zring[:, 1].mean())
+                    base = {f.name: r[f.name] for f in keep}
+                    base[zone_id] = zid
+                    base["piece_wkt"] = _ring_to_wkt(piece)
+                    base["piece_area_m2"] = ring_area_m2(piece, lat0)
+                    rows.append(base)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return layer.mapInPandas(clip_batch, schema=out_schema)
+
+
+def coverage(layer: DataFrame, layer_wkt: str, zones: DataFrame,
+             zone_id: str, zone_wkt: str) -> DataFrame:
+    """Overlay coverage %% per zone (vector_overlay.py:686): clipped overlay
+    area / zone area.  Output: (zone id, covered_area_m2, zone_area_m2,
+    coverage_pct)."""
+    pieces = vector_overlay_intersection(layer, layer_wkt, zones,
+                                         zone_id, zone_wkt)
+    from niamoto_spark.operators.geospatial import polygon_area
+
+    zarea = polygon_area(zones.select(zone_id, zone_wkt), zone_wkt,
+                         out_col="zone_area_m2").drop(zone_wkt)
+    cov = pieces.groupBy(zone_id).agg(
+        F.sum("piece_area_m2").alias("covered_area_m2"))
+    return (zarea.join(cov, zone_id, "left")
+            .withColumn("covered_area_m2",
+                        F.coalesce(F.col("covered_area_m2"), F.lit(0.0)))
+            .withColumn("coverage_pct",
+                        F.round(F.col("covered_area_m2") * 100.0
+                                / F.col("zone_area_m2"), 2)))
+
+
+def aggregate_by_attribute(layer: DataFrame, layer_wkt: str, attr: str,
+                           zones: DataFrame, zone_id: str,
+                           zone_wkt: str) -> DataFrame:
+    """Per-zone area sums by an attribute after intersection
+    (vector_overlay.py:762).  Output: (zone id, attr, area_m2)."""
+    pieces = vector_overlay_intersection(layer, layer_wkt, zones,
+                                         zone_id, zone_wkt)
+    return (pieces.groupBy(zone_id, attr)
+            .agg(F.round(F.sum("piece_area_m2"), 2).alias("area_m2")))
+
+
+def douglas_peucker(ring: np.ndarray, epsilon: float) -> np.ndarray:
+    """Iterative Douglas-Peucker on a ring/polyline (lon/lat degrees)."""
+    pts = ring
+    if len(pts) < 3:
+        return pts
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        a, b = pts[lo], pts[hi]
+        ab = b - a
+        norm = np.hypot(*ab)
+        seg = pts[lo + 1:hi]
+        if norm == 0:
+            d = np.hypot(*(seg - a).T)
+        else:
+            d = np.abs(np.cross(ab, seg - a)) / norm
+        imax = int(np.argmax(d))
+        if d[imax] > epsilon:
+            keep[lo + 1 + imax] = True
+            stack.append((lo, lo + 1 + imax))
+            stack.append((lo + 1 + imax, hi))
+    return pts[keep]
+
+
+@register("shape_processor", PluginType.TRANSFORMER)
+def simplify_wkt(shapes: DataFrame, wkt_col: str,
+                 epsilon_deg: float = 0.001,
+                 out_col: str = "simplified_wkt") -> DataFrame:
+    """Geometry simplification for presentation (reference
+    shape_processor.py:35-98 simplifies in a UTM zone; here Douglas-Peucker
+    in degrees with a documented epsilon).  Emits the simplified WKT and the
+    vertex reduction."""
+    out_schema = T.StructType(
+        list(shapes.schema.fields)
+        + [T.StructField(out_col, T.StringType(), True),
+           T.StructField("n_points_before", T.IntegerType(), True),
+           T.StructField("n_points_after", T.IntegerType(), True)])
+
+    def simp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, nb, na = [], [], []
+            for wkt in pdf[wkt_col]:
+                rings = parse_polygon_wkt(wkt) if wkt else []
+                if not rings:
+                    outs.append(None); nb.append(None); na.append(None)
+                    continue
+                ring = rings[0]
+                simp_ring = douglas_peucker(ring, epsilon_deg)
+                if len(simp_ring) < 4:  # keep at least a triangle + closure
+                    simp_ring = ring
+                outs.append(_ring_to_wkt(simp_ring))
+                nb.append(len(ring)); na.append(len(simp_ring))
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            pdf["n_points_before"] = pd.array(nb, dtype="Int32")
+            pdf["n_points_after"] = pd.array(na, dtype="Int32")
+            yield pdf
+
+    return shapes.mapInPandas(simp, schema=out_schema)

@@ -1,0 +1,169 @@
+"""Vector overlay (clip/coverage/aggregate), simplification, composite
+ecological indices, SmartMatcher, DwC archive, HTML site."""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from niamoto_spark.matching import match_widgets, score_structure
+from niamoto_spark.operators import ecological as eco
+from niamoto_spark.operators import overlay as ov
+
+
+def test_sutherland_hodgman_half_overlap():
+    subject = np.array([[0, 0], [2, 0], [2, 1], [0, 1], [0, 0]], dtype=float)
+    clip = np.array([[1, -1], [3, -1], [3, 2], [1, 2], [1, -1]], dtype=float)
+    piece = ov.sutherland_hodgman(subject, clip)
+    xs, ys = piece[:, 0], piece[:, 1]
+    assert xs.min() == 1.0 and xs.max() == 2.0
+    assert ys.min() == 0.0 and ys.max() == 1.0
+
+
+def test_sutherland_hodgman_concave_clip_raises():
+    subject = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    concave = np.array([[0, 0], [2, 0], [1, 0.5], [2, 2], [0, 2], [0, 0]],
+                       dtype=float)
+    with pytest.raises(NotImplementedError):
+        ov.sutherland_hodgman(subject, concave)
+
+
+def test_coverage_and_aggregate(spark):
+    zones = spark.createDataFrame(
+        [("z1", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "zone_id string, location string")
+    # two patches: one fully inside (0.25 deg^2), one half inside (0.25)
+    layer = spark.createDataFrame(
+        [("forest", "POLYGON ((0 0, 0.5 0, 0.5 0.5, 0 0.5, 0 0))"),
+         ("mangrove", "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1, 0.5 1, 0.5 0.5))")],
+        "category string, geom string")
+    cov = ov.coverage(layer, "geom", zones, "zone_id", "location").collect()[0]
+    assert cov["coverage_pct"] == pytest.approx(50.0, abs=1.0)
+
+    agg = {r["category"]: r["area_m2"] for r in
+           ov.aggregate_by_attribute(layer, "geom", "category", zones,
+                                     "zone_id", "location").collect()}
+    assert agg["forest"] == pytest.approx(agg["mangrove"], rel=0.02)
+
+
+def test_simplify_wkt_reduces_points(spark):
+    # a square with 100 collinear points per edge
+    t = np.linspace(0, 1, 101)
+    edge = lambda a, b: [(a[0] + (b[0] - a[0]) * x, a[1] + (b[1] - a[1]) * x)  # noqa: E731
+                         for x in t[:-1]]
+    ring = (edge((0, 0), (1, 0)) + edge((1, 0), (1, 1))
+            + edge((1, 1), (0, 1)) + edge((0, 1), (0, 0)) + [(0.0, 0.0)])
+    wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    df = spark.createDataFrame([("s", wkt)], "shape_id string, location string")
+    r = ov.simplify_wkt(df, "location", epsilon_deg=0.001).collect()[0]
+    assert r["n_points_before"] > 400
+    assert r["n_points_after"] <= 6            # square + closure
+    assert "POLYGON" in r["simplified_wkt"]
+
+
+def test_csr_strategy_and_resilience(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "wood_density": [0.9, 0.3],
+        "leaf_thickness": [400.0, 60.0],
+        "leaf_sla": [5.0, 38.0],
+        "shannon": [1.5, 4.0],
+    }))
+    out = eco.csr_strategy(df, "wood_density", "leaf_thickness", "leaf_sla")
+    rows = out.collect()
+    dense, light = rows[0], rows[1]
+    assert dense["dominant_strategy"] in ("C", "S")   # dense wood, thick leaf
+    assert light["dominant_strategy"] == "R"          # light wood, high SLA
+    for r in rows:
+        total = r["competitive"] + r["stress_tolerant"] + r["ruderal"]
+        assert total == pytest.approx(1.0, abs=0.01)
+    res = eco.resilience_score(out).collect()
+    assert res[1]["resilience_score"] > res[0]["resilience_score"]
+    assert res[1]["resilience_class"] in ("High", "Very high")
+
+
+def test_biomass_by_strata(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "zone": ["z"] * 4,
+        "height": [2.0, 8.0, 15.0, 35.0],
+        "dbh": [10.0, 20.0, 30.0, 60.0],
+    }))
+    out = {r["stratum"]: r for r in
+           eco.biomass_by_strata(df, ["zone"], "height", "dbh",
+                                 strata_bounds=[0, 5, 10, 20, 50],
+                                 strata_names=["under", "low", "mid", "top"],
+                                 wood_density=0.6).collect()}
+    assert set(out) == {"under", "low", "mid", "top"}
+    assert out["top"]["tree_count"] == 1
+    expect_top = np.pi * (60 / 200) ** 2 * 35 * 0.6
+    assert out["top"]["biomass"] == pytest.approx(expect_top, abs=1e-3)
+
+
+def test_conformity_index(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * 4, "obs": [100.0, 105.0, 150.0, 0.0],
+        "ref": [100.0, 100.0, 100.0, 0.0]}))
+    r = eco.conformity_index(df, ["g"], "obs", "ref", tolerance=10.0).collect()[0]
+    # 100 (0%), 105 (5%), 0/0 (counts as conforming) in; 150 (50%) out
+    assert r["conforming"] == 3 and r["conformity_pct"] == 75.0
+
+
+def test_custom_formula_whitelist(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [4.0], "b": [2.0]}))
+    out = eco.custom_formula(df, "sqrt(a) + log10(b * 50)", "r").collect()[0]
+    assert out["r"] == pytest.approx(2.0 + 2.0)
+    from niamoto_spark.plans.guards import UnsafeQueryError
+
+    with pytest.raises(UnsafeQueryError):
+        eco.custom_formula(df, "reflect('java.lang.System','exit')", "r")
+    with pytest.raises(UnsafeQueryError):
+        eco.custom_formula(df, "a; drop", "r")
+
+
+def test_smart_matcher_tiers():
+    assert score_structure(["x", "y"], ["x", "y"]) == (1.0, "exact")
+    assert score_structure(["x", "y", "z"], ["x", "y"]) == (0.8, "superset")
+    s, k = score_structure(["x"], ["x", "y"])
+    assert s == 0.25 and k == "partial"
+    top = match_widgets("statistical_summary")[0]
+    assert top.widget == "summary_stats" and top.score == 1.0
+    scatter_matches = {m.widget: m.score for m in match_widgets("scatter_analysis")}
+    assert scatter_matches["scatter_plot"] == 1.0
+    assert any(m.widget == "interactive_map"
+               for m in match_widgets("geospatial_extractor"))
+
+
+def test_dwc_archive_zip(tmp_path, spark):
+    from niamoto_spark.exporters.dwc_archive import export_dwc_archive
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "occurrenceID": ["occ_1", "occ_2"],
+        "scientificName": ["Araucaria columnaris", "Agathis ovata"],
+        "individualCount": [1, 3]}))
+    out = str(tmp_path / "dwca.zip")
+    manifest = export_dwc_archive(df, out)
+    assert manifest["terms"][0] == "occurrenceID"
+    with zipfile.ZipFile(out) as z:
+        names = set(z.namelist())
+        assert names == {"occurrence.txt", "meta.xml"}
+        body = z.read("occurrence.txt").decode()
+        assert "Araucaria columnaris" in body
+        assert body.splitlines()[0].startswith("occurrenceID")
+        meta = z.read("meta.xml").decode()
+        assert "dwc/terms/scientificName" in meta
+
+
+def test_html_site_export(tmp_path, spark):
+    from niamoto_spark.exporters.html_site import export_html_site
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "stats": [json.dumps({"mean": 5}), json.dumps({"mean": 7})]}))
+    m = export_html_site(df, "id", str(tmp_path), group_name="plots")
+    assert m["entities"] == 2
+    idx = (tmp_path / "index.html").read_text()
+    assert 'detail/1.html' in idx
+    page = (tmp_path / "detail" / "2.html").read_text()
+    assert "stats" in page and "&#34;mean&#34;: 7" in page

@@ -1034,6 +1034,171 @@ FROM events WHERE event_id < 100
 """
 
 
+def q48_anti_join(spark, sf_dir):
+    """NOT EXISTS via left_anti (classic relational surface, SURVEY §2.4)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lonely = cust.join(orders.select(F.col("o_custkey").alias("c_custkey")),
+                       "c_custkey", "left_anti")
+    return lonely.select("c_custkey", "c_name")
+
+
+O_Q48 = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q49_semi_join(spark, sf_dir):
+    """EXISTS via left_semi: per-nation count of customers having at least
+    one high-value order."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    hv = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000) \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    active = cust.join(hv, "c_custkey", "left_semi")
+    return (active.join(F.broadcast(nat),
+                        active.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+O_Q49 = """
+SELECT n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+GROUP BY n_name
+"""
+
+
+def q50_rollup(spark, sf_dir):
+    """ROLLUP grouping sets over the region->nation hierarchy (SURVEY §2.4
+    notes the reference lacks grouping sets; Spark provides them natively)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = (cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+                  .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum")))
+
+
+O_Q50 = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q51_quantiles(spark, sf_dir):
+    """Exact interpolated quantile family per group (parity-critical: exact
+    percentile, not approx — SURVEY §7.3.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(q, 0.25), 2).alias("p25"),
+        F.round(F.percentile(q, 0.5), 2).alias("p50"),
+        F.round(F.percentile(q, 0.75), 2).alias("p75"),
+        F.round(F.percentile(q, 0.9), 2).alias("p90"))
+
+
+O_Q51 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q52_running_total(spark, sf_dir):
+    """Window running aggregate: cumulative monthly revenue per order
+    priority (the Window surface, SURVEY §2.4)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (o.groupBy("o_orderpriority",
+                         F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+               .agg(F.round(F.sum("o_totalprice"), 2).alias("rev")))
+    w = Window.partitionBy("o_orderpriority").orderBy("ym") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.withColumn("cum_rev", F.round(F.sum("rev").over(w), 2))
+
+
+O_Q52 = """
+WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym,
+                  round(sum(o_totalprice), 2) AS rev
+           FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, ym, rev,
+       round(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY ym
+                            ROWS UNBOUNDED PRECEDING), 2) AS cum_rev
+FROM m
+"""
+
+
+def q53_dedup_keep(spark, sf_dir):
+    """dedup_exact_keep end-to-end: corpus size before/after removing
+    planted exact duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    kept = dedup_ops.dedup_exact_keep(d2, "doc_id", "text")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.min("doc_id").alias("min_id"),
+                    F.max("doc_id").alias("max_id"))
+
+
+O_Q53 = r"""
+WITH d2 AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id
+         FROM d2 GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id FROM keep
+"""
+
+
+def q54_stream_events(spark, sf_dir):
+    """Structured Streaming surface: the tumbling-window event aggregate run
+    incrementally (availableNow) — must equal the batch/oracle result."""
+    from niamoto_spark.streaming.events import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    # streaming sources must be directories; expose the single file through
+    # a symlink dir (testdata is read-only)
+    import tempfile
+
+    stream_dir = os.path.join(tempfile.gettempdir(),
+                              "niamoto_stream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = (spark.readStream.schema(schema)
+              .parquet(stream_dir)
+              .withColumn("ts", F.timestamp_micros(
+                  (F.col("ts") / 1000).cast("long"))))
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    qname = "q54_events_windowed"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+                    "event_type", "n_events", "value_sum"))
+
+
+O_Q54 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1085,6 +1250,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_hierarchy_derivation": q45_hierarchy_derivation,
         "q46_database_aggregator": q46_database_aggregator,
         "q47_enrichment_profile": q47_enrichment_profile,
+        "q48_anti_join": q48_anti_join,
+        "q49_semi_join": q49_semi_join,
+        "q50_rollup": q50_rollup,
+        "q51_quantiles": q51_quantiles,
+        "q52_running_total": q52_running_total,
+        "q53_dedup_keep": q53_dedup_keep,
+        "q54_stream_events": q54_stream_events,
     }
 
 
@@ -1134,6 +1306,13 @@ def build_oracles() -> dict[str, str]:
         "q45_hierarchy_derivation": O_Q45,
         "q46_database_aggregator": O_Q46,
         "q47_enrichment_profile": O_Q47,
+        "q48_anti_join": O_Q48,
+        "q49_semi_join": O_Q49,
+        "q50_rollup": O_Q50,
+        "q51_quantiles": O_Q51,
+        "q52_running_total": O_Q52,
+        "q53_dedup_keep": O_Q53,
+        "q54_stream_events": O_Q54,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

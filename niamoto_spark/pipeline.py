@@ -305,6 +305,12 @@ class Pipeline:
         by the per-entity row count — consumers get one stable schema per
         column (the reference's output_structure contract, SURVEY §2.5)."""
         others = [c for c in wdf.columns if c != gid]
+        # order struct fields so the array's deterministic sort is also the
+        # presentation order (rank/bin/month leading)
+        lead = [c for c in ("rank", "bin_index", "month", "class_name",
+                            "category", "out_group", "label")
+                if c in others]
+        others = lead + [c for c in others if c not in lead]
         packed = (wdf.groupBy(gid)
                   .agg(F.sort_array(F.collect_list(F.struct(*others)))
                        .alias("__rows")))

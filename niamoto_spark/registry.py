@@ -85,7 +85,11 @@ def load_all() -> None:
         "niamoto_spark.operators.chains",
         "niamoto_spark.operators.sql_aggregator",
         "niamoto_spark.operators.enrichment",
+        "niamoto_spark.operators.overlay",
+        "niamoto_spark.operators.eco_zonal",
         "niamoto_spark.exporters.json_api",
         "niamoto_spark.exporters.dwc",
+        "niamoto_spark.exporters.dwc_archive",
+        "niamoto_spark.exporters.html_site",
     ):
         importlib.import_module(mod)

@@ -246,8 +246,10 @@ def ancestor_closure(nodes: DataFrame, id_col: str = "id",
     ).where(F.col(parent_col).isNotNull())
 
     depth = 1
+    cached = []
     while depth <= max_depth:
         frontier = frontier.cache()
+        cached.append(frontier)
         if frontier.isEmpty():
             break
         closure = closure.unionByName(frontier)
@@ -258,4 +260,9 @@ def ancestor_closure(nodes: DataFrame, id_col: str = "id",
             .select("node_id", F.col("_pm_parent").alias("ancestor_id"),
                     F.lit(depth).alias("depth"))
         )
+    # materialize the union before releasing the per-level caches
+    closure = closure.localCheckpoint(eager=True)
+    for f in cached:
+        f.unpersist()
+    parent_map.unpersist()
     return closure

@@ -52,7 +52,9 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
         F.round(F.min(c), 2).alias("min"),
         F.round(F.avg(c), 2).alias("mean"),
         F.round(F.max(c), 2).alias("max"),
-        F.round(F.median(c), 2).alias("median"),
+        # exact interpolated median hits .xx5 midpoints on 2dp data; double
+        # rounding (4dp->2dp) keeps it stable across engines (see q51)
+        F.round(F.round(F.median(c), 4), 2).alias("median"),
         F.round(F.stddev_samp(c), 2).alias("std"),
         F.count(c).alias("count"),
     )

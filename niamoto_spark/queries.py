@@ -105,7 +105,7 @@ SELECT l_returnflag,
        round(min(l_quantity), 2) AS "min",
        round(avg(l_quantity), 2) AS mean,
        round(max(l_quantity), 2) AS "max",
-       round(median(l_quantity), 2) AS median,
+       round(round(median(l_quantity), 4), 2) AS median,
        round(stddev_samp(l_quantity), 2) AS std,
        count(l_quantity) AS "count"
 FROM lineitem GROUP BY l_returnflag
@@ -1098,19 +1098,27 @@ def q51_quantiles(spark, sf_dir):
     percentile, not approx — SURVEY §7.3.2)."""
     li = _t(spark, sf_dir, "lineitem")
     q = F.col("l_extendedprice")
+
+    # Interpolated quantiles of 2dp data land EXACTLY on .xx5 midpoints;
+    # the engines differ by 1 ULP there, so a single round(2) can flip.
+    # Double rounding (4dp then 2dp) collapses both to the same double
+    # first — mirrored in the oracle SQL.
+    def r2(c):
+        return F.round(F.round(c, 4), 2)
+
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(q, 0.25), 2).alias("p25"),
-        F.round(F.percentile(q, 0.5), 2).alias("p50"),
-        F.round(F.percentile(q, 0.75), 2).alias("p75"),
-        F.round(F.percentile(q, 0.9), 2).alias("p90"))
+        r2(F.percentile(q, 0.25)).alias("p25"),
+        r2(F.percentile(q, 0.5)).alias("p50"),
+        r2(F.percentile(q, 0.75)).alias("p75"),
+        r2(F.percentile(q, 0.9)).alias("p90"))
 
 
 O_Q51 = """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+       round(round(quantile_cont(l_extendedprice, 0.25), 4), 2) AS p25,
+       round(round(quantile_cont(l_extendedprice, 0.5), 4), 2) AS p50,
+       round(round(quantile_cont(l_extendedprice, 0.75), 4), 2) AS p75,
+       round(round(quantile_cont(l_extendedprice, 0.9), 4), 2) AS p90
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1199,6 +1207,25 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q55_pivot(spark, sf_dir):
+    """Pivot (wide reshape): revenue matrix month x order status."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.withColumn("month", F.month("o_orderdate"))
+            .groupBy("month").pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.round(F.sum("o_totalprice"), 2))
+            .withColumnsRenamed({"F": "status_F", "O": "status_O",
+                                 "P": "status_P"}))
+
+
+O_Q55 = """
+SELECT CAST(month(o_orderdate) AS INT) AS month,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS status_F,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS status_O,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS status_P
+FROM orders GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1257,6 +1284,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_running_total": q52_running_total,
         "q53_dedup_keep": q53_dedup_keep,
         "q54_stream_events": q54_stream_events,
+        "q55_pivot": q55_pivot,
     }
 
 
@@ -1313,6 +1341,7 @@ def build_oracles() -> dict[str, str]:
         "q52_running_total": O_Q52,
         "q53_dedup_keep": O_Q53,
         "q54_stream_events": O_Q54,
+        "q55_pivot": O_Q55,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

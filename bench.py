@@ -19,7 +19,8 @@ HEADLINE = [
     "q12_bridge_revenue",      # two chained joins
     "q19_shannon_brands",      # diversity aggregation
     "q23_dedup_exact",         # hash dedup over documents
-    "q28_ann_topk",            # brute-force cosine top-k
+    "q28_ann_topk",            # brute-force cosine top-k (HOF path)
+    "q56_ann_blas",            # same, Arrow+BLAS scale path
     "q30_events_hourly",       # time bucketing
     "q31_sessions",            # sessionization window
     "q38_minhash_candidates",  # minhash LSH near-dup
@@ -52,6 +53,9 @@ def main() -> None:
       .withColumn("rk", F.row_number().over(
           Window.partitionBy("r_name").orderBy("count")))
       .count())
+    # ... and the Python/Arrow worker pool (first mapInPandas pays ~2s
+    # process spawn otherwise)
+    r.mapInPandas(lambda it: it, schema=r.schema).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -52,6 +52,72 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                   .select("query_id", "neighbor_id", "similarity", "rank"))
 
 
+@register("cosine_topk_blas", PluginType.TRANSFORMER)
+def cosine_topk_blas(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 10,
+                     round_dp: int | None = 4) -> DataFrame:
+    """Exact top-k cosine neighbors via Arrow-batched numpy matmul.
+
+    The scale path for brute-force ANN: the query matrix (small) is
+    broadcast; each Arrow batch of corpus vectors becomes one BLAS
+    ``corpus_batch @ queries.T`` — orders of magnitude fewer interpreter
+    steps than per-element higher-order functions.  Per-batch partial top-k
+    keeps the shuffle tiny: only (batches x queries x k) candidate rows
+    reach the final window.
+
+    Same output contract as ``cosine_topk``; similarities are quantized to
+    ``round_dp`` so BLAS summation order cannot perturb the ranking.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType, False),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType, False),
+        T.StructField("similarity", T.DoubleType(), True),
+    ])
+
+    def batch_topk(batches):
+        qi, qm = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ qm.T                      # (batch, n_queries)
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
+            rows = []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                mask = c_ids != qi[j]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) > k:
+                    # partial top-k inside the batch (sim desc, id asc)
+                    order = np.lexsort((c_ids[cand_idx], -col[cand_idx]))
+                    cand_idx = cand_idx[order[:k]]
+                for i in cand_idx:
+                    rows.append((qi[j].item(), c_ids[i].item(), float(col[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                                  "similarity"])
+
+    partial = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        batch_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(),
+                                               F.col("neighbor_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= k)
+                   .select("query_id", "neighbor_id", "similarity", "rank"))
+
+
 @register("ivf_topk", PluginType.TRANSFORMER)
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 10, n_centroids: int = 16,

@@ -1226,6 +1226,15 @@ FROM orders GROUP BY 1
 """
 
 
+def q56_ann_blas(spark, sf_dir):
+    """Brute-force ANN via Arrow-batched numpy matmul (the 100 TB scale
+    path) — same semantics and oracle as q28; per-batch partial top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim_ops.cosine_topk_blas(emb, queries, "vec_id", "embedding",
+                                    k=5, round_dp=4)
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1285,6 +1294,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_dedup_keep": q53_dedup_keep,
         "q54_stream_events": q54_stream_events,
         "q55_pivot": q55_pivot,
+        "q56_ann_blas": q56_ann_blas,
     }
 
 
@@ -1342,6 +1352,7 @@ def build_oracles() -> dict[str, str]:
         "q53_dedup_keep": O_Q53,
         "q54_stream_events": O_Q54,
         "q55_pivot": O_Q55,
+        "q56_ann_blas": O_Q28,  # identical semantics to q28, BLAS execution
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

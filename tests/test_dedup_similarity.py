@@ -102,6 +102,16 @@ def test_embedding_near_dup_finds_planted_pair(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(3, 7)}
 
 
+def test_blas_matches_hof_path(vectors):
+    df, _ = vectors
+    q = df.where(F.col("vec_id") < 5)
+    hof = sorted(map(tuple, similarity.cosine_topk(
+        df, q, "vec_id", "embedding", k=4, round_dp=4).collect()))
+    blas = sorted(map(tuple, similarity.cosine_topk_blas(
+        df, q, "vec_id", "embedding", k=4, round_dp=4).collect()))
+    assert hof == blas
+
+
 def test_ivf_recall_vs_exact(vectors):
     df, _ = vectors
     q = df.where(F.col("vec_id") < 5)

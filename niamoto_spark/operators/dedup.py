@@ -109,7 +109,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                                          rows_per_band)),
             )
         ).alias("band", "band_hash"),
-    )
+    ).persist()  # consumed twice by the self-join; without this the whole
+    #              signature pipeline (the expensive part) runs twice
     left = banded.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
                          "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),

@@ -323,8 +323,11 @@ class Pipeline:
     # ------------------------------------------------------------------
 
     def run_export(self, cfg: dict, out_dir: str) -> dict[str, dict]:
-        """Minimal export.yml dialect: {targets: [{name, exporter, group,
-        params}]}; exporter 'json_api' supported."""
+        """export.yml dialect: {targets: [{name, exporter, group, params}]}.
+        Exporters: json_api (default), html, dwc_archive."""
+        from niamoto_spark.exporters.dwc import to_dwc_occurrence
+        from niamoto_spark.exporters.dwc_archive import export_dwc_archive
+        from niamoto_spark.exporters.html_site import export_html_site
         from niamoto_spark.exporters.json_api import export_json_api
 
         manifests = {}
@@ -332,9 +335,25 @@ class Pipeline:
             group = target["group"]
             gid = self.registry.get(group).id_field \
                 if group in self.registry.names() else "id"
-            results = self.spark.read.parquet(
-                os.path.join(self.warehouse, f"{group}_results.parquet"))
-            manifests[target.get("name", group)] = export_json_api(
-                results, gid, os.path.join(out_dir, group),
-                **target.get("params", {}))
+            kind = target.get("exporter", "json_api")
+            params = target.get("params", {})
+            name = target.get("name", f"{group}_{kind}")
+            if kind == "json_api":
+                results = self.spark.read.parquet(
+                    os.path.join(self.warehouse, f"{group}_results.parquet"))
+                manifests[name] = export_json_api(
+                    results, gid, os.path.join(out_dir, group), **params)
+            elif kind == "html":
+                results = self.spark.read.parquet(
+                    os.path.join(self.warehouse, f"{group}_results.parquet"))
+                manifests[name] = export_html_site(
+                    results, gid, os.path.join(out_dir, f"{group}_html"),
+                    group_name=group, **params)
+            elif kind == "dwc_archive":
+                src = self.registry.load(self.spark, target["source"])
+                projected = to_dwc_occurrence(src, params["mapping"])
+                manifests[name] = export_dwc_archive(
+                    projected, os.path.join(out_dir, f"{name}.zip"))
+            else:
+                raise ValueError(f"unknown exporter {kind!r}")
         return manifests

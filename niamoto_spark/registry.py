@@ -91,5 +91,7 @@ def load_all() -> None:
         "niamoto_spark.exporters.dwc",
         "niamoto_spark.exporters.dwc_archive",
         "niamoto_spark.exporters.html_site",
+        "niamoto_spark.exporters.humboldt",
+        "niamoto_spark.widgets",
     ):
         importlib.import_module(mod)

@@ -126,3 +126,24 @@ def test_explorer_end_to_end(spark, sf_dir):
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     out = explore(cust, "c_acctbal > 0", order_by="c_custkey", limit=5)
     assert out.count() == 5
+
+
+def test_humboldt_event_projection(spark):
+    from niamoto_spark.exporters.humboldt import to_humboldt_event
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [3], "protocol": ["plot census"],
+         "geo_pt": ["POINT (166.1 -21.5)"]}))
+    out = to_humboldt_event(df, {
+        "eventID": {"generator": "unique_occurrence_id",
+                    "params": {"prefix": "evt_", "source_field": "id"}},
+        "samplingProtocol": "@source.protocol",
+        "decimalLongitude": {"generator": "format_coordinates",
+                             "params": {"source_field": "geo_pt",
+                                        "axis": "lon"}},
+        "eventType": "Survey",
+    }).collect()[0]
+    assert out["eventID"] == "evt_3"
+    assert out["samplingProtocol"] == "plot census"
+    assert out["decimalLongitude"] == 166.1
+    assert out["eventType"] == "Survey"

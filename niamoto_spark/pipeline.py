@@ -111,13 +111,19 @@ class Pipeline:
     # ------------------------------------------------------------------
 
     def run_transform(self, cfg: list | None,
-                      group_by: str | None = None) -> dict[str, DataFrame]:
+                      group_by: str | None = None,
+                      mode: str = "replace",
+                      only_ids: list | None = None) -> dict[str, DataFrame]:
+        """``mode='replace'`` rebuilds each group table atomically;
+        ``mode='incremental'`` recomputes (optionally only ``only_ids``
+        entities) and upserts by the group id — the reference's
+        INSERT..ON CONFLICT flush (transformer.py:1287-1321)."""
         groups = validate_transform_config(cfg)
         results: dict[str, DataFrame] = {}
         for g in groups:
             if group_by and g.group_by != group_by:
                 continue
-            results[g.group_by] = self._transform_group(g)
+            results[g.group_by] = self._transform_group(g, mode, only_ids)
         return results
 
     def _load_source_data(self, data: str) -> DataFrame:
@@ -128,10 +134,14 @@ class Pipeline:
             return read_csv_auto(self.spark, path)
         return self.spark.read.parquet(path)
 
-    def _transform_group(self, g: TransformGroupConfig) -> DataFrame:
+    def _transform_group(self, g: TransformGroupConfig,
+                         mode: str = "replace",
+                         only_ids: list | None = None) -> DataFrame:
         grouping_entity = self.registry.get(g.group_by)
         grouping = self.registry.load(self.spark, g.group_by)
         gid = grouping_entity.id_field
+        if only_ids is not None:
+            grouping = grouping.where(F.col(gid).isin(list(only_ids)))
 
         # 1. loaders: one join per source, tagging fact rows with gid
         tagged: dict[str, DataFrame] = {g.group_by: grouping}
@@ -190,8 +200,13 @@ class Pipeline:
                 self._pack_json(wdf, gid, name,
                                 single_row=w.plugin in SINGLE_ROW_WIDGETS),
                 gid, "left")
-        overwrite_table(result, os.path.join(self.warehouse,
-                                             f"{g.group_by}_results.parquet"))
+        out_path = os.path.join(self.warehouse, f"{g.group_by}_results.parquet")
+        if mode == "incremental":
+            from niamoto_spark.sources.sinks import upsert_table
+
+            upsert_table(self.spark, result, out_path, gid)
+        else:
+            overwrite_table(result, out_path)
         return result
 
     def _run_widget(self, plugin: str, params: dict, tagged: dict,

@@ -1235,6 +1235,37 @@ def q56_ann_blas(spark, sf_dir):
                                     k=5, round_dp=4)
 
 
+def q57_scalar_functions(spark, sf_dir):
+    """Scalar-function surface (SURVEY §2.4): LIKE, concat, trim/upper,
+    date parts, COALESCE/NULLIF — one projection + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (joined
+            .where(F.col("o_orderpriority").like("%URGENT%")
+                   | F.col("c_mktsegment").like("BUILD%"))
+            .groupBy(
+                F.concat(F.upper(F.trim("c_mktsegment")), F.lit("|"),
+                         F.substring("o_orderpriority", 1, 1)).alias("seg_prio"),
+                F.year("o_orderdate").alias("yr"),
+                F.quarter("o_orderdate").alias("qtr"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.coalesce(F.nullif("o_totalprice", F.lit(0.0)),
+                                          F.lit(0.0))), 2).alias("revenue")))
+
+
+O_Q57 = """
+SELECT upper(trim(c_mktsegment)) || '|' || substr(o_orderpriority, 1, 1) AS seg_prio,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       count(*) AS n_orders,
+       round(sum(coalesce(nullif(o_totalprice, 0.0), 0.0)), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o_orderpriority LIKE '%URGENT%' OR c_mktsegment LIKE 'BUILD%'
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1295,6 +1326,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_stream_events": q54_stream_events,
         "q55_pivot": q55_pivot,
         "q56_ann_blas": q56_ann_blas,
+        "q57_scalar_functions": q57_scalar_functions,
     }
 
 
@@ -1353,6 +1385,7 @@ def build_oracles() -> dict[str, str]:
         "q54_stream_events": O_Q54,
         "q55_pivot": O_Q55,
         "q56_ann_blas": O_Q28,  # identical semantics to q28, BLAS execution
+        "q57_scalar_functions": O_Q57,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -171,3 +171,28 @@ def test_export_json_api(project, spark, tmp_path):
     with open(tmp_path / "plots" / "detail" / "1.json") as f:
         doc = json.load(f)
     assert "dbh_summary" in doc
+
+
+def test_incremental_transform_upserts(project, spark):
+    pipe, _ = project
+    cfg = [{
+        "group_by": "plots",
+        "sources": [{
+            "name": "occurrences", "data": "occurrences", "grouping": "plots",
+            "relation": {"plugin": "direct_reference",
+                         "key": "plot_name", "ref_key": "locality"},
+        }],
+        "widgets_data": {
+            "dbh_summary": {"plugin": "statistical_summary",
+                            "params": {"source": "occurrences", "field": "dbh"}},
+        },
+    }]
+    pipe.run_transform(cfg)                                   # full build
+    full = {r["id_plot"]: r["dbh_summary"] for r in
+            spark.read.parquet(pipe.warehouse + "/plots_results.parquet").collect()}
+    # recompute only entity 2 incrementally; entity 1 must survive untouched
+    pipe.run_transform(cfg, mode="incremental", only_ids=[2])
+    after = {r["id_plot"]: r["dbh_summary"] for r in
+             spark.read.parquet(pipe.warehouse + "/plots_results.parquet").collect()}
+    assert set(after) == {1, 2}
+    assert after[1] == full[1] and after[2] == full[2]

@@ -127,6 +127,39 @@ def bpe_token_estimate(df: DataFrame, text_col: str,
                          F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(est))
 
 
+@register("pack_sequences", PluginType.TRANSFORMER)
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   seq_len: int = 2048,
+                   order_col: str | None = None) -> DataFrame:
+    """Assign documents to fixed-length training sequences by concatenation
+    order — the standard LLM pretraining packing: documents are laid out in
+    a deterministic order and cut into ``seq_len``-token windows; a doc can
+    straddle two windows (pack_first/pack_last).
+
+    Pure window arithmetic: cumulative token counts -> integer division.
+    One sort-shuffle over (order, id); at 100 TB, packing is typically done
+    per shard — pass a pre-partitioned frame and the same code applies
+    within partitions.
+
+    Output: (id, n_tokens, offset, pack_first, pack_last).
+    """
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    toks = token_count(F.col(text_col))
+    w = Window.orderBy(F.col(order).asc(), F.col(id_col).asc())
+    base = df.select(F.col(id_col), toks.alias("n_tokens"),
+                     F.col(order).alias("__ord"))
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    out = (base.withColumn("offset", F.coalesce(cum, F.lit(0)).cast("bigint"))
+           .withColumn("pack_first", F.floor(F.col("offset") / seq_len))
+           .withColumn("pack_last",
+                       F.floor((F.col("offset") + F.greatest(F.col("n_tokens") - 1,
+                                                             F.lit(0))) / seq_len)))
+    return out.select(id_col, "n_tokens", "offset", "pack_first", "pack_last")
+
+
 @register("doc_fingerprint", PluginType.TRANSFORMER)
 def doc_fingerprint(df: DataFrame, text_col: str,
                     out_col: str = "fingerprint") -> DataFrame:

@@ -1266,6 +1266,32 @@ GROUP BY 1, 2, 3
 """
 
 
+def q58_sequence_packing(spark, sf_dir):
+    """LLM-pretraining sequence packing: docs laid out in doc_id order, cut
+    into 512-token windows (a doc may straddle two: pack_first/pack_last)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.pack_sequences(d, "doc_id", "text", seq_len=512)
+
+
+O_Q58 = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS "offset"
+  FROM t)
+SELECT doc_id, n_tokens, "offset",
+       CAST(floor("offset" / 512.0) AS BIGINT) AS pack_first,
+       CAST(floor(("offset" + greatest(n_tokens - 1, 0)) / 512.0) AS BIGINT) AS pack_last
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1327,6 +1353,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_pivot": q55_pivot,
         "q56_ann_blas": q56_ann_blas,
         "q57_scalar_functions": q57_scalar_functions,
+        "q58_sequence_packing": q58_sequence_packing,
     }
 
 
@@ -1386,6 +1413,7 @@ def build_oracles() -> dict[str, str]:
         "q55_pivot": O_Q55,
         "q56_ann_blas": O_Q28,  # identical semantics to q28, BLAS execution
         "q57_scalar_functions": O_Q57,
+        "q58_sequence_packing": O_Q58,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

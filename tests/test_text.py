@@ -76,3 +76,16 @@ def test_token_stats_grouped(spark):
     assert out["en"]["total_tokens"] == 5
     assert out["en"]["avg_tokens"] == 2.5
     assert out["fr"]["n_docs"] == 1
+
+
+def test_pack_sequences(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c", "d e f g", "h i"]}))  # 3, 4, 2 tokens
+    rows = {r["doc_id"]: r for r in
+            tx.pack_sequences(df, "doc_id", "text", seq_len=4).collect()}
+    # layout: [a b c | d][e f g h?] -> doc1 offsets 0-2 pack0; doc2 offset 3
+    # spans packs 0-1; doc3 offset 7 pack1
+    assert (rows[1]["offset"], rows[1]["pack_first"], rows[1]["pack_last"]) == (0, 0, 0)
+    assert (rows[2]["offset"], rows[2]["pack_first"], rows[2]["pack_last"]) == (3, 0, 1)
+    assert (rows[3]["offset"], rows[3]["pack_first"], rows[3]["pack_last"]) == (7, 1, 2)

@@ -36,11 +36,12 @@ _POINT_RE = r"POINT\s*\(\s*(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s*\)"
 
 
 def point_lon(wkt: Column) -> Column:
-    return F.regexp_extract(wkt, _POINT_RE, 1).cast("double")
+    # try_cast: non-POINT strings extract '' which ANSI cast would reject
+    return F.regexp_extract(wkt, _POINT_RE, 1).try_cast("double")
 
 
 def point_lat(wkt: Column) -> Column:
-    return F.regexp_extract(wkt, _POINT_RE, 2).cast("double")
+    return F.regexp_extract(wkt, _POINT_RE, 2).try_cast("double")
 
 
 def parse_polygon_wkt(wkt: str) -> list[np.ndarray]:

@@ -94,5 +94,6 @@ def load_all() -> None:
         "niamoto_spark.exporters.html_site",
         "niamoto_spark.exporters.humboldt",
         "niamoto_spark.widgets",
+        "niamoto_spark.deployers",
     ):
         importlib.import_module(mod)

@@ -62,6 +62,116 @@ def summary_stats_data(df: DataFrame) -> DataFrame:
                          f"stack({len(stats)}, {stack}) as (stat, value)")
 
 
+@register("line_plot", PluginType.WIDGET)
+def line_plot_data(df: DataFrame, x: str, y: str,
+                   series: str | None = None) -> DataFrame:
+    """Ordered (x, y [, series]) points."""
+    cols = [F.col(x).alias("x"), F.col(y).alias("y")]
+    if series:
+        cols.append(F.col(series).alias("series"))
+    return df.select(*cols).orderBy(*(["series"] if series else []), "x")
+
+
+@register("scatter_plot", PluginType.WIDGET)
+def scatter_plot_data(df: DataFrame, x: str = "x", y: str = "y",
+                      max_points: int = 5000) -> DataFrame:
+    return df.select(F.col(x).alias("x"), F.col(y).alias("y")).limit(max_points)
+
+
+@register("radial_gauge", PluginType.WIDGET)
+def radial_gauge_data(df: DataFrame, value: str = "value",
+                      max_value: float | None = None) -> DataFrame:
+    """Single gauge value + optional % of max."""
+    out = df.select(F.col(value).cast("double").alias("value")).limit(1)
+    if max_value:
+        out = out.withColumn("pct_of_max",
+                             F.round(F.col("value") * 100.0 / max_value, 2))
+    return out
+
+
+@register("sunburst_chart", PluginType.WIDGET)
+def sunburst_data(df: DataFrame, path_cols: list[str], value: str) -> DataFrame:
+    """(ids, parents, labels, values) rows from hierarchical path columns —
+    the plotly sunburst input shape."""
+    pieces = []
+    for depth in range(len(path_cols)):
+        prefix = path_cols[: depth + 1]
+        pieces.append(
+            df.groupBy(*prefix).agg(F.sum(F.col(value)).alias("value"))
+              .select(F.concat_ws("/", *prefix).alias("id"),
+                      (F.concat_ws("/", *prefix[:-1]) if depth
+                       else F.lit("")).alias("parent"),
+                      F.col(prefix[-1]).alias("label"), "value"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("id")
+
+
+@register("stacked_area_plot", PluginType.WIDGET)
+def stacked_area_data(df: DataFrame, x: str, series: str,
+                      value: str) -> DataFrame:
+    """Wide series matrix: one row per x, one column per series value."""
+    return (df.groupBy(F.col(x).alias("x"))
+            .pivot(series).agg(F.first(F.col(value))).orderBy("x"))
+
+
+@register("diverging_bar_plot", PluginType.WIDGET)
+def diverging_bar_data(df: DataFrame, category: str = "category",
+                       pos: str = "true_count",
+                       neg: str = "false_count") -> DataFrame:
+    return df.select(F.col(category).alias("category"),
+                     F.col(pos).cast("long").alias("positive"),
+                     (-F.col(neg).cast("long")).alias("negative")) \
+             .orderBy("category")
+
+
+@register("concentric_rings", PluginType.WIDGET)
+def concentric_rings_data(df: DataFrame, label: str, value: str,
+                          rings: list[str] | None = None) -> DataFrame:
+    """One normalized ring per label subset (share within its ring)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label)
+    return df.select(F.col(label).alias("ring"),
+                     F.col(value).alias("value"),
+                     F.round(F.col(value) * 100.0 / F.sum(value).over(w), 2)
+                      .alias("pct"))
+
+
+@register("interactive_map", PluginType.WIDGET)
+def interactive_map_data(df: DataFrame, wkt: str = "geometry_wkt",
+                         weight: str = "point_count") -> DataFrame:
+    """(lon, lat, weight) marker rows from POINT WKT."""
+    from niamoto_spark.operators.geospatial import point_lat, point_lon
+
+    return (df.select(point_lon(F.col(wkt)).alias("lon"),
+                      point_lat(F.col(wkt)).alias("lat"),
+                      F.col(weight).alias("weight"))
+            .where(F.col("lon").isNotNull()))
+
+
+@register("info_grid", PluginType.WIDGET)
+def info_grid_data(df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """(label, value) rows from the first row's named columns."""
+    row = df.limit(1)
+    stack = ", ".join(f"'{lbl}', cast(`{col}` as string)"
+                      for lbl, col in fields.items())
+    return row.selectExpr(f"stack({len(fields)}, {stack}) as (label, value)")
+
+
+@register("raw_data_widget", PluginType.WIDGET)
+def raw_data(df: DataFrame, limit: int = 1000) -> DataFrame:
+    return df.limit(limit)
+
+
+@register("enrichment_panel", PluginType.WIDGET)
+def enrichment_panel_data(df: DataFrame, profile_col: str = "profile") -> DataFrame:
+    """Explode enrichment profile items to (label, value, type) rows."""
+    return df.select(F.explode(F.col(profile_col)).alias("item")) \
+             .select("item.label", "item.value", "item.type")
+
+
 @register("hierarchical_nav_widget", PluginType.WIDGET)
 def hierarchical_nav_data(nodes: DataFrame, id_col: str = "id",
                           parent_col: str = "parent_id",

@@ -43,3 +43,37 @@ def test_salted_join_matches_plain_join(spark):
     # left join keeps unmatched big rows too
     left = salted_join(big, small.where("k = 'hot'"), "k", how="left")
     assert left.where(F.col("name").isNull()).count() == 5
+
+
+def test_profiler(tmp_path, spark):
+    from niamoto_spark.sources.profiler import profile_csv
+
+    p = tmp_path / "occ.csv"
+    p.write_text("id;geo_pt;name\n1;POINT (166 -22);a\n2;;b\n")
+    prof = profile_csv(spark, str(p))
+    assert prof["delimiter"] == ";"
+    cols = {c["column"]: c for c in prof["columns"]}
+    assert cols["geo_pt"]["geometry"] is True
+    assert cols["geo_pt"]["nulls"] == 1
+    assert cols["id"]["approx_distinct"] >= 2
+
+
+def test_local_deployer(tmp_path):
+    from niamoto_spark.deployers import deploy_local_copy
+
+    src = tmp_path / "site"; src.mkdir()
+    (src / "index.html").write_text("<html/>")
+    out = deploy_local_copy(str(src), str(tmp_path / "public"))
+    assert out["files"] == 1
+    assert (tmp_path / "public" / "index.html").exists()
+
+
+def test_network_deployers_stubbed():
+    import pytest as _pytest
+
+    from niamoto_spark.registry import PluginType, get_plugin, load_all
+
+    load_all()
+    for name in ("github", "netlify", "ssh"):
+        with _pytest.raises(NotImplementedError):
+            get_plugin(name, PluginType.DEPLOYER)()

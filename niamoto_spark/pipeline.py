@@ -212,6 +212,26 @@ class Pipeline:
     def _run_widget(self, plugin: str, params: dict, tagged: dict,
                     group_by: str, gid: str) -> DataFrame:
         """Adapter: reference YAML param names -> operator signatures."""
+        if plugin == "transform_chain":
+            # ordered steps; each step's output binds under output_key and
+            # later steps reference it via source: "@key" (reference
+            # transform_chain.py:200-317)
+            bindings = dict(tagged)
+            out = None
+            for step in params["steps"]:
+                sparams = dict(step.get("params", {}))
+                src = sparams.get("source")
+                if isinstance(src, str) and src.startswith("@"):
+                    sparams["source"] = src[1:]
+                    scope = {**bindings}
+                else:
+                    scope = bindings
+                out = self._run_widget(step["plugin"], sparams, scope,
+                                       group_by, gid)
+                bindings[step["output_key"]] = out
+            assert out is not None, "empty transform_chain"
+            return out
+
         src_name = params.pop("source", None)
         df = tagged.get(src_name) if src_name else None
 

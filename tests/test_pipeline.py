@@ -196,3 +196,29 @@ def test_incremental_transform_upserts(project, spark):
              spark.read.parquet(pipe.warehouse + "/plots_results.parquet").collect()}
     assert set(after) == {1, 2}
     assert after[1] == full[1] and after[2] == full[2]
+
+
+def test_transform_chain_widget(project, spark):
+    """transform_chain in YAML: step 2 consumes step 1's per-plot output."""
+    pipe, _ = project
+    cfg = [{
+        "group_by": "plots",
+        "sources": [{
+            "name": "occurrences", "data": "occurrences", "grouping": "plots",
+            "relation": {"plugin": "direct_reference",
+                         "key": "plot_name", "ref_key": "locality"},
+        }],
+        "widgets_data": {
+            "dbh_chain": {"plugin": "transform_chain", "params": {"steps": [
+                {"plugin": "statistical_summary", "output_key": "stats",
+                 "params": {"source": "occurrences", "field": "dbh"}},
+                {"plugin": "direct_attribute", "output_key": "mean_only",
+                 "params": {"source": "@stats", "field": "mean",
+                            "precision": 1}},
+            ]}},
+        },
+    }]
+    out = pipe.run_transform(cfg)["plots"]
+    rows = {r["id_plot"]: json.loads(r["dbh_chain"]) for r in out.collect()}
+    p1 = OCCURRENCES[OCCURRENCES.plot_name == "P1"]["dbh"]
+    assert rows[1][0]["value"] == round(p1.mean(), 1)

@@ -127,6 +127,49 @@ def bpe_token_estimate(df: DataFrame, text_col: str,
                          F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(est))
 
 
+@register("vocabulary", PluginType.TRANSFORMER)
+def vocabulary(df: DataFrame, text_col: str, top_k: int | None = None,
+               min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: token -> document frequency + total count.
+    Explode + one hash aggregate; ``top_k`` returns the head by count with
+    deterministic token tiebreak.  Output: (token, doc_freq, total_count)."""
+    from niamoto_spark.functions import token_array
+
+    # doc_freq counts each token once per document (distinct within doc)
+    per_doc = df.select(
+        F.explode(F.array_distinct(token_array(F.lower(F.col(text_col)))))
+         .alias("token"))
+    total = (df.select(F.explode(token_array(F.lower(F.col(text_col))))
+                       .alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("total_count")))
+    docf = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    out = total.join(docf, "token").where(F.col("total_count") >= min_count)
+    if top_k:
+        out = out.orderBy(F.col("total_count").desc(), F.col("token").asc()) \
+                 .limit(top_k)
+    return out.select("token", "doc_freq", "total_count")
+
+
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register("scrub_text", PluginType.TRANSFORMER)
+def scrub_text(df: DataFrame, text_col: str,
+               out_col: str = "text_scrubbed") -> DataFrame:
+    """PII/URL scrubbing for training corpora: URLs -> <URL>, emails ->
+    <EMAIL>; flags + counts per doc.  Regexes are RE2-compatible so the
+    DuckDB oracle can replicate them exactly."""
+    text = F.col(text_col)
+    n_urls = F.size(F.split(F.concat(text, F.lit(" ")), _URL_RE)) - 1
+    n_emails = F.size(F.split(F.concat(text, F.lit(" ")), _EMAIL_RE)) - 1
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>")
+    return (df.withColumn("n_urls", n_urls)
+              .withColumn("n_emails", n_emails)
+              .withColumn(out_col, scrubbed))
+
+
 @register("pack_sequences", PluginType.TRANSFORMER)
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                    seq_len: int = 2048,

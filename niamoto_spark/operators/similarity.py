@@ -73,6 +73,10 @@ def cosine_topk_blas(corpus: DataFrame, queries: DataFrame, id_col: str,
     from pyspark.sql import types as T
 
     q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, similarity double, rank int")
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -121,25 +125,43 @@ def cosine_topk_blas(corpus: DataFrame, queries: DataFrame, id_col: str,
 @register("ivf_topk", PluginType.TRANSFORMER)
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 10, n_centroids: int = 16,
-             nprobe: int = 4, round_dp: int | None = 6) -> DataFrame:
+             nprobe: int = 4, round_dp: int | None = 6,
+             use_kmeans: bool = False) -> DataFrame:
     """Approximate top-k: IVF bucketing by nearest centroid.
 
-    Centroids = deterministic corpus sample (every Nth id).  Corpus rows are
-    assigned to argmax-cosine centroid; each query probes its ``nprobe``
-    closest centroid buckets.  Same output schema as cosine_topk.
+    Centroids: deterministic corpus sample (every Nth id) by default, or
+    MLlib KMeans with a fixed seed (``use_kmeans=True``) — better-balanced
+    buckets, one extra training pass.  Corpus rows are assigned to their
+    argmax-cosine centroid; each query probes its ``nprobe`` closest
+    centroid buckets.  Same output schema as cosine_topk.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
 
-    # Deterministic centroid pick: rank corpus by id, take evenly spaced rows.
-    w_all = Window.orderBy("neighbor_id")
-    total = c.count()
-    step = max(total // n_centroids, 1)
-    cents = (c.withColumn("__rn", F.row_number().over(w_all))
-              .where((F.col("__rn") % step == 0) & (F.col("__rn") <= step * n_centroids))
-              .select(F.col("__rn").alias("centroid_id"), F.col("c_vec").alias("cent_vec")))
+    if use_kmeans:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = c.select(array_to_vector(
+            F.transform("c_vec", lambda v: v.cast("double"))).alias("features"))
+        model = KMeans(k=n_centroids, seed=42, maxIter=10).fit(train)
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in center])
+             for i, center in enumerate(model.clusterCenters())],
+            "centroid_id int, cent_vec array<double>")
+    else:
+        # Deterministic centroid pick: rank corpus by id, evenly spaced rows.
+        w_all = Window.orderBy("neighbor_id")
+        total = c.count()
+        step = max(total // n_centroids, 1)
+        cents = (c.withColumn("__rn", F.row_number().over(w_all))
+                 .where((F.col("__rn") % step == 0)
+                        & (F.col("__rn") <= step * n_centroids))
+                 .select(F.col("__rn").alias("centroid_id"),
+                         F.col("c_vec").alias("cent_vec")))
 
     def nearest(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
         sim = cosine_similarity(F.col(vec), F.col("cent_vec"))

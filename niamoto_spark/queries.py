@@ -1037,17 +1037,23 @@ FROM events WHERE event_id < 100
 
 
 def q48_anti_join(spark, sf_dir):
-    """NOT EXISTS via left_anti (classic relational surface, SURVEY §2.4)."""
+    """NOT EXISTS via left_anti (classic relational surface, SURVEY §2.4):
+    per nation, customers with no high-value order."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    lonely = cust.join(orders.select(F.col("o_custkey").alias("c_custkey")),
-                       "c_custkey", "left_anti")
-    return lonely.select("c_custkey", "c_name")
+    nat = _t(spark, sf_dir, "nation")
+    hv = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000) \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    lonely = cust.join(hv, "c_custkey", "left_anti")
+    return (lonely.join(F.broadcast(nat), lonely.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_without_hv")))
 
 
 O_Q48 = """
-SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+SELECT n_name, count(*) AS n_without_hv
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+GROUP BY n_name
 """
 
 

@@ -107,6 +107,15 @@ def api_enrichment(df: DataFrame, key_col: str,
              .drop("__k")
 
 
+# The reference registers three HTTP-enricher loaders (taxonomy / spatial /
+# elevation siblings, SURVEY §2.1); all share the generic rate-limited
+# distinct-key mechanism above, so they alias it — a config naming any of
+# them resolves to the same loader with its own fetcher/mapping params.
+for _alias in ("api_taxonomy_enricher", "api_spatial_enricher",
+               "api_elevation_enricher"):
+    register(_alias, PluginType.LOADER)(api_enrichment)
+
+
 @register("custom_formatter", PluginType.TRANSFORMER)
 def custom_formatter(df: DataFrame,
                      rename: Mapping[str, str] | None = None,

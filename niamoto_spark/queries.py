@@ -1360,6 +1360,73 @@ FROM s GROUP BY source
 """
 
 
+def q61_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 open-order revenue by (orderkey, orderdate,
+    priority) with date predicates pushed to both scans."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    agg = (joined.groupBy("l_orderkey",
+                          F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                          "o_orderpriority")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+    return (agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+               .limit(10))
+
+
+O_Q61 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q62_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: five-table join (region-nation-customer-orders-
+    lineitem) — revenue per nation within one region and date range;
+    every dimension broadcast."""
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders") \
+        .where((F.col("o_orderdate") >= "1994-01-01")
+               & (F.col("o_orderdate") < "1996-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+                .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey))
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+         .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"))
+
+
+O_Q62 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1994-01-01' AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1424,6 +1491,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_sequence_packing": q58_sequence_packing,
         "q59_vocabulary": q59_vocabulary,
         "q60_scrub": q60_scrub,
+        "q61_shipping_priority": q61_shipping_priority,
+        "q62_regional_revenue": q62_regional_revenue,
     }
 
 
@@ -1486,6 +1555,8 @@ def build_oracles() -> dict[str, str]:
         "q58_sequence_packing": O_Q58,
         "q59_vocabulary": O_Q59,
         "q60_scrub": O_Q60,
+        "q61_shipping_priority": O_Q61,
+        "q62_regional_revenue": O_Q62,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

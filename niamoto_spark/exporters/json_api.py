@@ -22,9 +22,17 @@ from niamoto_spark.registry import PluginType, register
 @register("json_api_exporter", PluginType.EXPORTER)
 def export_json_api(results: DataFrame, id_col: str, out_dir: str,
                     detail_subdir: str = "detail", page_size: int = 100,
-                    index_fields: list[str] | None = None) -> dict:
+                    index_fields: list[str] | None = None,
+                    index_filter: str | None = None) -> dict:
     """Write ``<out_dir>/<detail_subdir>/<id>.json`` per row + paginated
-    ``index_p<N>.json``.  Returns a small manifest dict."""
+    ``index_p<N>.json``.  ``index_filter`` restricts the index (not the
+    detail files) through the explorer predicate grammar — the reference's
+    index_generator declarative filters (index_generator.py:315-325).
+    Returns a small manifest dict."""
+    if index_filter:
+        from niamoto_spark.plans.explorer import validate_predicate
+
+        validate_predicate(index_filter, set(results.columns))
     detail_dir = os.path.join(out_dir, detail_subdir)
     os.makedirs(detail_dir, exist_ok=True)
 
@@ -49,8 +57,9 @@ def export_json_api(results: DataFrame, id_col: str, out_dir: str,
     payload.foreachPartition(write_partition)
 
     idx_cols = index_fields or [id_col]
+    idx_src = results.filter(index_filter) if index_filter else results
     index_rows = [r.asDict() for r in
-                  results.select(*idx_cols).orderBy(id_col).collect()]
+                  idx_src.select(*idx_cols).orderBy(id_col).collect()]
     n_pages = max(math.ceil(len(index_rows) / page_size), 1)
     for p in range(n_pages):
         page = {

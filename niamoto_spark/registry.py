@@ -49,6 +49,9 @@ def register(name: str, plugin_type: PluginType = PluginType.TRANSFORMER):
 
 
 def get_plugin(name: str, plugin_type: PluginType) -> Any:
+    if name not in _REGISTRY[plugin_type]:
+        # lazy autoload: callers shouldn't need to know about load_all()
+        load_all()
     try:
         return _REGISTRY[plugin_type][name]
     except KeyError:

@@ -92,6 +92,14 @@ class TransformerService:
             else F.to_json(F.col("__rows"))
         return packed.select(F.col(gid), json_col.alias(name))
 
+    def transform_single_widget(self, loaded: DataFrame, gid: str,
+                                plugin: str, params: dict) -> DataFrame:
+        """One-widget preview (the GUI preview endpoint's service method,
+        reference transformer.py:149-185): run a single transformer over the
+        loaded frame without building the group table."""
+        func = get_plugin(plugin, PluginType.TRANSFORMER)
+        return func(loaded, [gid], **params)
+
     def write_results(self, result: DataFrame, path: str,
                       mode: str = "overwrite") -> None:
         """Persist the group table.  Parquet overwrite is the staging-swap

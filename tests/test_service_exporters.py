@@ -147,3 +147,43 @@ def test_humboldt_event_projection(spark):
     assert out["samplingProtocol"] == "plot census"
     assert out["decimalLongitude"] == 166.1
     assert out["eventType"] == "Survey"
+
+
+def test_json_api_index_filter(tmp_path, spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 2, 3], "score": [10.0, 90.0, 95.0]}))
+    m = export_json_api(df, "id", str(tmp_path), index_filter="score > 50",
+                        index_fields=["id", "score"])
+    # detail files for ALL entities, index restricted by the filter
+    assert m["entities"] == 2
+    assert os.path.exists(tmp_path / "detail" / "1.json")
+    with open(tmp_path / "index_p1.json") as f:
+        ids = [it["id"] for it in json.load(f)["items"]]
+    assert ids == [2, 3]
+    from niamoto_spark.plans.guards import UnsafeQueryError
+    with pytest.raises(UnsafeQueryError):
+        export_json_api(df, "id", str(tmp_path), index_filter="evil; DROP")
+
+
+def test_transform_single_widget_preview(spark):
+    svc = TransformerService(spark)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 1, 2], "dbh": [10.0, 30.0, 7.0]}))
+    out = {r["pid"]: r for r in svc.transform_single_widget(
+        df, "pid", "statistical_summary", {"field": "dbh"}).collect()}
+    assert out[1]["mean"] == 20.0 and out[2]["count"] == 1
+
+
+def test_xlsx_gated_when_openpyxl_missing(spark, tmp_path):
+    from niamoto_spark.sources.files import read_xlsx
+
+    fake = tmp_path / "wb.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not a real workbook")
+    try:
+        import openpyxl  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises((NotImplementedError, Exception)):
+            read_xlsx(spark, str(fake))

@@ -34,9 +34,14 @@ def _strip_sentinel(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
 
 @register("statistical_summary", PluginType.TRANSFORMER)
 def statistical_summary(df: DataFrame, group_cols: Sequence[str],
-                        field: str) -> DataFrame:
+                        field: str, stats: Sequence[str] | None = None,
+                        units: str | None = None,
+                        max_value: float | None = None) -> DataFrame:
     """min/mean/max/median/std of a numeric field, rounded to 2dp
     (reference: transformers/aggregation/statistical_summary.py:152-233).
+    ``stats`` selects a subset (the reference's YAML accepts e.g.
+    ``stats: ["max"]``); ``max_value`` caps values for display; ``units``
+    adds a constant metadata column.
 
     Parity notes (SURVEY §7.3):
     - std is sample std (pandas ddof=1) == Spark ``stddev_samp``.
@@ -48,16 +53,25 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
     the use-case tolerates it (the reference's semantics do not).
     """
     c = F.col(field).cast("double")
-    out = _grouped(df, group_cols).agg(
-        F.round(F.min(c), 2).alias("min"),
-        F.round(F.avg(c), 2).alias("mean"),
-        F.round(F.max(c), 2).alias("max"),
+    if max_value is not None:
+        c = F.least(c, F.lit(float(max_value)))
+    all_aggs = {
+        "min": F.round(F.min(c), 2).alias("min"),
+        "mean": F.round(F.avg(c), 2).alias("mean"),
+        "max": F.round(F.max(c), 2).alias("max"),
         # exact interpolated median hits .xx5 midpoints on 2dp data; double
         # rounding (4dp->2dp) keeps it stable across engines (see q51)
-        F.round(F.round(F.median(c), 4), 2).alias("median"),
-        F.round(F.stddev_samp(c), 2).alias("std"),
-        F.count(c).alias("count"),
-    )
+        "median": F.round(F.round(F.median(c), 4), 2).alias("median"),
+        "std": F.round(F.stddev_samp(c), 2).alias("std"),
+        "count": F.count(c).alias("count"),
+    }
+    selected = list(stats) if stats else list(all_aggs)
+    unknown = set(selected) - set(all_aggs)
+    if unknown:
+        raise ValueError(f"unknown stats {sorted(unknown)}")
+    out = _grouped(df, group_cols).agg(*[all_aggs[s] for s in selected])
+    if units is not None:
+        out = out.withColumn("units", F.lit(units))
     return _strip_sentinel(out, group_cols)
 
 
@@ -152,19 +166,29 @@ def categorical_distribution(df: DataFrame, group_cols: Sequence[str],
 @register("binary_counter", PluginType.TRANSFORMER)
 def binary_counter(df: DataFrame, group_cols: Sequence[str], field: str,
                    true_label: str = "oui",
-                   false_label: str = "non") -> DataFrame:
+                   false_label: str = "non",
+                   include_percentages: bool = False) -> DataFrame:
     """Counts of strictly-1 and strictly-0 values (bools coerced); anything
     else (NULL, 2, strings) ignored (reference:
     transformers/aggregation/binary_counter.py:136-202).
 
-    Output: group_cols + (true_count, false_count, true_label, false_label).
+    Output: group_cols + (true_count, false_count, true_label, false_label
+    [, true_pct, false_pct]).
     """
-    c = F.col(field).cast("int")
+    c = F.col(field).try_cast("int")
     out = _grouped(df, group_cols).agg(
         F.coalesce(F.sum(F.when(c == 1, 1)), F.lit(0)).alias("true_count"),
         F.coalesce(F.sum(F.when(c == 0, 1)), F.lit(0)).alias("false_count"),
     ).withColumn("true_label", F.lit(true_label)) \
      .withColumn("false_label", F.lit(false_label))
+    if include_percentages:
+        total = F.col("true_count") + F.col("false_count")
+        out = (out.withColumn(
+            "true_pct", F.when(total > 0, F.round(F.col("true_count") * 100.0 / total, 2))
+                         .otherwise(F.lit(0.0)))
+            .withColumn(
+            "false_pct", F.when(total > 0, F.round(F.col("false_count") * 100.0 / total, 2))
+                          .otherwise(F.lit(0.0))))
     return _strip_sentinel(out, group_cols)
 
 

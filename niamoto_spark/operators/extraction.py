@@ -115,3 +115,27 @@ def geospatial_extractor(df: DataFrame, group_cols: Sequence[str],
         return base.groupBy(*group_cols, "geometry_wkt") \
                    .agg(F.count(F.lit(1)).alias("point_count"))
     return base.withColumn("point_count", F.lit(1))
+
+
+def to_geojson_feature_collection(points: DataFrame,
+                                  group_cols: Sequence[str]) -> DataFrame:
+    """Assemble geospatial_extractor output into one GeoJSON
+    FeatureCollection string per group (the reference's output format,
+    geospatial_extractor.py:28-120) — to_json over collected structs,
+    entirely JVM-side."""
+    from niamoto_spark.operators.geospatial import point_lat, point_lon
+
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(F.lit("Point").alias("type"),
+                 F.array(point_lon(F.col("geometry_wkt")),
+                         point_lat(F.col("geometry_wkt"))).alias("coordinates"))
+         .alias("geometry"),
+        F.struct(F.col("point_count").alias("count")).alias("properties"))
+    return (points.groupBy(*group_cols)
+            .agg(F.collect_list(feature).alias("__features"))
+            .select(*group_cols,
+                    F.to_json(F.struct(
+                        F.lit("FeatureCollection").alias("type"),
+                        F.col("__features").alias("features")))
+                     .alias("geojson")))

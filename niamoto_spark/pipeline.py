@@ -238,7 +238,9 @@ class Pipeline:
         if plugin == "field_aggregator":
             return self._field_aggregator(params["fields"], tagged, gid)
         if plugin == "statistical_summary":
-            return agg_ops.statistical_summary(df, [gid], params["field"])
+            return agg_ops.statistical_summary(
+                df, [gid], params["field"], stats=params.get("stats"),
+                units=params.get("units"), max_value=params.get("max_value"))
         if plugin == "binned_distribution":
             return agg_ops.binned_distribution(
                 df, [gid], params["field"], edges=params["bins"],
@@ -253,7 +255,8 @@ class Pipeline:
             return agg_ops.binary_counter(
                 df, [gid], params["field"],
                 true_label=params.get("true_label", "oui"),
-                false_label=params.get("false_label", "non"))
+                false_label=params.get("false_label", "non"),
+                include_percentages=params.get("include_percentages", False))
         if plugin == "top_ranking":
             name_join = None
             if params.get("hierarchy_table"):

@@ -127,3 +127,39 @@ def test_time_series_dense_months(spark):
            agg.time_series_analysis(df, [], "m", ["flower"]).collect()}
     assert len(out) == 12          # month 13 dropped, all 12 emitted
     assert out[1] == 50.0 and out[2] == 100.0 and out[3] == 0.0
+
+
+def test_statistical_summary_subset_units_cap(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a"] * 3,
+                                             "v": [100.0, 400.0, 900.0]}))
+    r = agg.statistical_summary(df, ["g"], "v", stats=["max"],
+                                units="cm", max_value=500).collect()[0]
+    assert set(r.asDict()) == {"g", "max", "units"}
+    assert r["max"] == 500.0 and r["units"] == "cm"   # capped at max_value
+    with pytest.raises(ValueError):
+        agg.statistical_summary(df, ["g"], "v", stats=["nope"])
+
+
+def test_binary_counter_percentages(spark):
+    df = spark.createDataFrame(pd.DataFrame({"b": [1, 1, 1, 0]}))
+    r = agg.binary_counter(df, [], "b", include_percentages=True).collect()[0]
+    assert r["true_pct"] == 75.0 and r["false_pct"] == 25.0
+
+
+def test_geojson_feature_collection(spark):
+    import json as _json
+
+    from niamoto_spark.operators.extraction import (
+        geospatial_extractor, to_geojson_feature_collection)
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 1, 1], "geo_pt": ["POINT (166.5 -22.1)",
+                                      "POINT (166.5 -22.1)",
+                                      "POINT (167.0 -21.0)"]}))
+    pts = geospatial_extractor(df, ["pid"], "geo_pt")
+    fc = _json.loads(to_geojson_feature_collection(pts, ["pid"])
+                     .collect()[0]["geojson"])
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+    counts = {tuple(f["geometry"]["coordinates"]): f["properties"]["count"]
+              for f in fc["features"]}
+    assert counts[(166.5, -22.1)] == 2

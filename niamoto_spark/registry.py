@@ -13,7 +13,7 @@ Keeping the same plugin names as the reference means a reference
 from __future__ import annotations
 
 import enum
-from typing import Any, Callable
+from typing import Any
 
 
 class PluginType(str, enum.Enum):

@@ -10,7 +10,7 @@ state timeout on watermark advance).
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Tuple
+from typing import Iterable, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -22,7 +22,7 @@ with a relation plugin, ``widgets`` mapping name -> {plugin, params}.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

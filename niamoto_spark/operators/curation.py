@@ -1,0 +1,99 @@
+"""Corpus curation — the end-to-end training-data pipeline composition
+(BASELINE.json north star): quality filter -> exact dedup -> near-dup
+removal -> language filter -> sequence packing, as ONE lazy DataFrame
+pipeline with per-stage accounting.
+
+Each stage is the already-verified operator; this module only composes.
+Laziness matters at scale: the stages fuse where Catalyst can (quality
+signals + language + fingerprint are one projection pass), and the corpus
+is only materialized at the points that need it (stage counts, LSH
+self-join).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.operators.components import dedup_keep_components
+from niamoto_spark.operators.dedup import dedup_exact_keep, minhash_lsh_candidates
+from niamoto_spark.operators.text import (lang_id, pack_sequences, scrub_text,
+                                          text_quality)
+from niamoto_spark.registry import PluginType, register
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.5
+    min_tokens: int = 5
+    allowed_langs: list[str] | None = None     # None -> keep all
+    near_dup_threshold: float = 0.5
+    minhash_num_hashes: int = 64
+    minhash_bands: int = 16
+    shingle_k: int = 3
+    scrub: bool = True
+    seq_len: int = 2048
+    stages: list[str] = field(default_factory=lambda: [
+        "quality", "exact_dedup", "near_dedup", "language", "scrub", "pack"])
+
+
+@register("curate_corpus", PluginType.TRANSFORMER)
+def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
+                  config: CurationConfig | None = None,
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Run the curation pipeline; returns (curated_docs, stage_stats).
+
+    ``curated_docs`` carries the original columns + quality/lang columns +
+    (if packing) the pack assignment.  ``stage_stats`` is a small DataFrame
+    (stage, docs_in, docs_out) — the per-stage retention record every
+    corpus pipeline needs for its datasheet.
+    """
+    cfg = config or CurationConfig()
+    spark = docs.sparkSession
+    stats: list[tuple[str, int, int]] = []
+    cur = docs
+    cached: list[DataFrame] = []
+
+    def account(stage: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        # cache each stage boundary: the count AND the next stage both
+        # consume it — without this every stage re-executes the whole
+        # upstream pipeline (and the LSH self-join would run it twice more)
+        after = after.cache()
+        cached.append(after)
+        n_in, n_out = before.count(), after.count()
+        stats.append((stage, n_in, n_out))
+        if len(cached) > 1:
+            cached[-2].unpersist()
+        return after
+
+    if "quality" in cfg.stages:
+        scored = text_quality(cur, text_col)
+        kept = scored.where((F.col("quality_score") >= cfg.min_quality)
+                            & (F.col("n_tokens") >= cfg.min_tokens))
+        cur = account("quality", cur, kept)
+    if "exact_dedup" in cfg.stages:
+        cur = account("exact_dedup", cur,
+                      dedup_exact_keep(cur, id_col, text_col))
+    if "near_dedup" in cfg.stages:
+        pairs = minhash_lsh_candidates(
+            cur, id_col, text_col, num_hashes=cfg.minhash_num_hashes,
+            bands=cfg.minhash_bands, shingle_k=cfg.shingle_k,
+            jaccard_threshold=cfg.near_dup_threshold)
+        cur = account("near_dedup", cur,
+                      dedup_keep_components(cur, pairs, id_col))
+    if "language" in cfg.stages and cfg.allowed_langs:
+        tagged = lang_id(cur, text_col)
+        cur = account("language", cur,
+                      tagged.where(F.col("lang_pred").isin(cfg.allowed_langs)))
+    if "scrub" in cfg.stages and cfg.scrub:
+        cur = scrub_text(cur, text_col)  # 1:1, no accounting row
+    if "pack" in cfg.stages:
+        packs = pack_sequences(cur, id_col, text_col, seq_len=cfg.seq_len)
+        cur = cur.join(packs.select(id_col, "offset", "pack_first",
+                                    "pack_last"), id_col)
+
+    stats_df = spark.createDataFrame(
+        stats or [("noop", 0, 0)], "stage string, docs_in long, docs_out long")
+    return cur, stats_df

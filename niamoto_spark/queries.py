@@ -842,6 +842,49 @@ FROM v CROSS JOIN t
 """
 
 
+def q63_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality -> exact dedup -> minhash near-dup
+    (cluster-exact) -> scrub -> pack, returning the per-stage retention
+    record (rows-only: the near-dup stage is Spark-hash-seeded)."""
+    from niamoto_spark.operators.curation import CurationConfig, curate_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    _, stats = curate_corpus(
+        d2, "doc_id", "text",
+        CurationConfig(min_quality=0.3, near_dup_threshold=0.5, seq_len=512,
+                       minhash_num_hashes=32, minhash_bands=8))
+    return stats
+
+
+def q64_stream_sessions(spark, sf_dir):
+    """Stateful-streaming sessionization over the events table (rows-only:
+    availableNow closes all but each user's final open session)."""
+    import tempfile
+
+    from niamoto_spark.streaming.sessions import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(tempfile.gettempdir(),
+                              "niamoto_sess_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(stream_dir)
+              .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+    agg = sessionize_stream(stream, gap_s=1800)
+    qname = "q64_sessions"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_closed_sessions"),
+                                    F.sum("n_events").alias("events_in_closed")))
+
+
 # --- rows-only checks (non-SQL-expressible: hash-function dependent) --------
 
 def q38_minhash_candidates(spark, sf_dir):
@@ -1493,6 +1536,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_scrub": q60_scrub,
         "q61_shipping_priority": q61_shipping_priority,
         "q62_regional_revenue": q62_regional_revenue,
+        "q63_curation_pipeline": q63_curation_pipeline,
+        "q64_stream_sessions": q64_stream_sessions,
     }
 
 

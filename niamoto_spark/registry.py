@@ -91,6 +91,7 @@ def load_all() -> None:
         "niamoto_spark.operators.overlay",
         "niamoto_spark.operators.eco_zonal",
         "niamoto_spark.operators.components",
+        "niamoto_spark.operators.curation",
         "niamoto_spark.exporters.json_api",
         "niamoto_spark.exporters.dwc",
         "niamoto_spark.exporters.dwc_archive",

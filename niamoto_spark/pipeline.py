@@ -299,6 +299,30 @@ class Pipeline:
             return co_ops.binary_aggregator(
                 df, [gid], params["class_object"],
                 class_mapping=params.get("class_mapping"))
+        if plugin == "class_object_series_matrix_extractor":
+            return co_ops.series_matrix_extractor(
+                df, [gid], params["class_objects"],
+                scale=params.get("scale", 1.0),
+                complement=params.get("complement", False))
+        if plugin == "class_object_series_by_axis_extractor":
+            return co_ops.series_by_axis_extractor(df, [gid],
+                                                   params["axis_mapping"])
+        if plugin == "class_object_series_ratio_aggregator":
+            return co_ops.series_ratio_aggregator(
+                df, [gid], params["subset_class"], params["total_class"],
+                complement_mode=params.get("complement_mode"))
+        if plugin == "class_object_categories_mapper":
+            return co_ops.categories_mapper(df, [gid], params["mapping"])
+        if plugin == "boolean_comparison":
+            fields = params["fields"]
+            if isinstance(fields, list):
+                fields = {f: f for f in fields}
+            return agg_ops.boolean_comparison(df, [gid], fields)
+        if plugin == "scatter_analysis":
+            x, y = params["x_field"], params["y_field"]
+            return (df.select(gid, F.col(x).cast("double").alias("x"),
+                              F.col(y).cast("double").alias("y"))
+                      .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
         raise ValueError(f"no adapter for widget plugin {plugin!r}")
 
     def _field_aggregator(self, fields: list[dict], tagged: dict,

@@ -222,3 +222,65 @@ def test_transform_chain_widget(project, spark):
     rows = {r["id_plot"]: json.loads(r["dbh_chain"]) for r in out.collect()}
     p1 = OCCURRENCES[OCCURRENCES.plot_name == "P1"]["dbh"]
     assert rows[1][0]["value"] == round(p1.mean(), 1)
+
+
+def test_eav_stats_source_class_objects(project, spark):
+    """The reference's plot workflow: an EAV stats CSV loaded via
+    stats_loader, consumed by class_object widgets."""
+    pipe, base = project
+    pd.DataFrame({
+        "plot_id": ["P1", "P1", "P1", "P2", "P2", "P2"],
+        "class_object": ["top10_family"] * 6,
+        "class_name": ["Araucariaceae", "Myrtaceae", "Sapotaceae"] * 2,
+        "class_value": [10.0, 5.0, 2.0, 7.0, 7.0, 1.0],
+    }).to_csv(base / "raw_plot_stats.csv", index=False)
+    cfg = [{
+        "group_by": "plots",
+        "sources": [{
+            "name": "plot_stats",
+            "data": str(base / "raw_plot_stats.csv"),
+            "grouping": "plots",
+            "relation": {"plugin": "stats_loader", "key": "plot_id",
+                         "match_field": "plot_id", "ref_field": "locality"},
+        }],
+        "widgets_data": {
+            "top_families": {"plugin": "class_object_series_extractor",
+                             "params": {"source": "plot_stats",
+                                        "class_object": "top10_family"}},
+            "fam_share": {"plugin": "class_object_binary_aggregator",
+                          "params": {"source": "plot_stats",
+                                     "class_object": "top10_family"}},
+        },
+    }]
+    out = pipe.run_transform(cfg)["plots"]
+    rows = {r["id_plot"]: r for r in out.collect()}
+    tops1 = json.loads(rows[1]["top_families"])
+    assert [(t["class_name"], t["class_value"]) for t in tops1] == \
+        [("Araucariaceae", 10.0), ("Myrtaceae", 5.0), ("Sapotaceae", 2.0)]
+    share2 = {s["label"]: s["share"] for s in json.loads(rows[2]["fam_share"])}
+    assert share2["Araucariaceae"] == share2["Myrtaceae"]
+
+
+def test_boolean_and_scatter_adapters(project, spark):
+    pipe, _ = project
+    cfg = [{
+        "group_by": "plots",
+        "sources": [{
+            "name": "occurrences", "data": "occurrences", "grouping": "plots",
+            "relation": {"plugin": "direct_reference",
+                         "key": "plot_name", "ref_key": "locality"},
+        }],
+        "widgets_data": {
+            "flags": {"plugin": "boolean_comparison",
+                      "params": {"source": "occurrences",
+                                 "fields": ["in_um"]}},
+            "dbh_scatter": {"plugin": "scatter_analysis",
+                            "params": {"source": "occurrences",
+                                       "x_field": "dbh", "y_field": "holdridge"}},
+        },
+    }]
+    out = pipe.run_transform(cfg)["plots"]
+    r1 = {k: json.loads(v) for k, v in out.collect()[0].asDict().items()
+          if k != "id_plot"}
+    assert r1["flags"][0]["category"] == "in_um"
+    assert len(r1["dbh_scatter"]) == 6      # six occurrences per plot

@@ -18,10 +18,13 @@ from pyspark.sql import DataFrame
 
 from niamoto_spark.registry import PluginType, register
 
+# fieldsEnclosedBy must match Spark's csv writer quoting — fields containing
+# tabs/newlines/quotes are emitted quoted, and DwC-A readers honor this
+# attribute when splitting.
 _META_TEMPLATE = """<?xml version="1.0" encoding="UTF-8"?>
 <archive xmlns="http://rs.tdwg.org/dwc/text/">
   <core encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n"
-        ignoreHeaderLines="1"
+        fieldsEnclosedBy="&quot;" ignoreHeaderLines="1"
         rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
     <files><location>occurrence.txt</location></files>
     <id index="0"/>
@@ -45,7 +48,6 @@ def export_dwc_archive(occurrences: DataFrame, out_path: str) -> dict:
         for i, c in enumerate(occurrences.columns) if i > 0)
     meta = _META_TEMPLATE.format(fields=fields)
 
-    n_rows = 0
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
         with z.open("occurrence.txt", "w") as occ:
             header_written = False
@@ -57,7 +59,6 @@ def export_dwc_archive(occurrences: DataFrame, out_path: str) -> dict:
                 if header_written:
                     lines = lines[1:]
                 header_written = True
-                n_rows += len(lines) - (0 if header_written else 1)
                 occ.writelines(lines)
         z.writestr("meta.xml", meta)
     shutil.rmtree(staging)

@@ -39,6 +39,14 @@ def export_json_api(results: DataFrame, id_col: str, out_dir: str,
     payload = results.select(F.col(id_col).alias("__id"),
                              F.to_json(F.struct(*results.columns)).alias("__doc"))
 
+    # foreachPartition writes to a LOCAL path — only valid when executors
+    # share the driver's filesystem (local mode / shared mount).  On a real
+    # cluster, stream through the driver instead (toLocalIterator bounds
+    # memory to one partition); swapping in a Hadoop-FS writer re-enables
+    # the distributed path against shared storage.
+    master = results.sparkSession.conf.get("spark.master", "")
+    distributed_fs_ok = master.startswith("local")
+
     def write_partition(rows):
         for r in rows:
             # widget columns hold JSON strings (the reference's group-table
@@ -54,7 +62,10 @@ def export_json_api(results: DataFrame, id_col: str, out_dir: str,
             with open(os.path.join(detail_dir, f"{r['__id']}.json"), "w") as f:
                 json.dump(doc, f)
 
-    payload.foreachPartition(write_partition)
+    if distributed_fs_ok:
+        payload.foreachPartition(write_partition)
+    else:
+        write_partition(payload.toLocalIterator())
 
     idx_cols = index_fields or [id_col]
     idx_src = results.filter(index_filter) if index_filter else results

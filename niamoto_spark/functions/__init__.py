@@ -109,9 +109,15 @@ def char_ngrams(text: Column, n: int) -> Column:
 
 
 def word_shingles(text: Column, k: int) -> Column:
-    """k-word shingles from whitespace tokens, JVM-side."""
+    """k-word shingles from whitespace tokens, JVM-side.
+
+    Documents with fewer than k tokens yield an EMPTY array — the guard is
+    explicit because sequence(0, -1) steps DOWNWARD in Spark ([0, -1]),
+    which would feed invalid indices to element_at."""
     toks = token_array(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1))),
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
     )
+    return F.when(F.size(toks) >= k, shingles) \
+            .otherwise(F.array().cast("array<string>"))

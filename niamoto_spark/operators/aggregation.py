@@ -54,7 +54,9 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
     """
     c = F.col(field).cast("double")
     if max_value is not None:
-        c = F.least(c, F.lit(float(max_value)))
+        # F.least skips NULLs (a NULL would silently become max_value and
+        # count as an observation); cap only non-null values
+        c = F.when(c.isNotNull(), F.least(c, F.lit(float(max_value))))
     all_aggs = {
         "min": F.round(F.min(c), 2).alias("min"),
         "mean": F.round(F.avg(c), 2).alias("mean"),

@@ -66,8 +66,12 @@ def direct_attribute(df: DataFrame, group_cols: Sequence[str], field: str,
     c = F.first(F.col(field), ignorenulls=True)
     out = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(c.alias("value"))
     if max_value is not None:
-        out = out.withColumn("value", F.least(F.col("value").cast("double"),
-                                              F.lit(float(max_value))))
+        v = F.col("value").cast("double")
+        # least() skips NULLs — an all-null entity must stay null, not
+        # become max_value
+        out = out.withColumn("value",
+                             F.when(v.isNotNull(),
+                                    F.least(v, F.lit(float(max_value)))))
     if precision is not None:
         out = out.withColumn("value", F.round(F.col("value").cast("double"), precision))
     return out

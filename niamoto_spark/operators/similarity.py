@@ -153,15 +153,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              for i, center in enumerate(model.clusterCenters())],
             "centroid_id int, cent_vec array<double>")
     else:
-        # Deterministic centroid pick: rank corpus by id, evenly spaced rows.
-        w_all = Window.orderBy("neighbor_id")
-        total = c.count()
-        step = max(total // n_centroids, 1)
-        cents = (c.withColumn("__rn", F.row_number().over(w_all))
-                 .where((F.col("__rn") % step == 0)
-                        & (F.col("__rn") <= step * n_centroids))
-                 .select(F.col("__rn").alias("centroid_id"),
-                         F.col("c_vec").alias("cent_vec")))
+        # Deterministic centroid pick without a global single-partition
+        # window: the n_centroids smallest xxhash64(id) rows — a distributed
+        # TakeOrderedAndProject (per-partition top-k + tiny driver merge),
+        # pseudo-random but reproducible.
+        spark = corpus.sparkSession
+        picked = (c.withColumn("__h", F.xxhash64("neighbor_id"))
+                  .orderBy("__h", "neighbor_id").limit(n_centroids)
+                  .select("c_vec").collect())
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in r["c_vec"]])
+             for i, r in enumerate(picked)],
+            "centroid_id int, cent_vec array<double>")
 
     def nearest(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
         sim = cosine_similarity(F.col(vec), F.col("cent_vec"))

@@ -140,8 +140,10 @@ class Pipeline:
         grouping_entity = self.registry.get(g.group_by)
         grouping = self.registry.load(self.spark, g.group_by)
         gid = grouping_entity.id_field
-        if only_ids is not None:
-            grouping = grouping.where(F.col(gid).isin(list(only_ids)))
+        # NOTE: only_ids restricts the OUTPUT rows, never the grouping table
+        # used by hierarchy loaders — filtering the hierarchy would break
+        # subtree/closure tagging for descendants (facts keyed by species
+        # would no longer find their leaf when recomputing a family).
 
         # 1. loaders: one join per source, tagging fact rows with gid
         tagged: dict[str, DataFrame] = {g.group_by: grouping}
@@ -158,6 +160,8 @@ class Pipeline:
                     rel.ref_field)
             elif plugin == "nested_set":
                 fields = rel.fields or {}
+                if gid in data.columns and gid != key:
+                    data = data.withColumnRenamed(gid, f"__src_{gid}")
                 out = subtree_join(
                     data, key, grouping, node_key=gid,
                     ancestor_alias="__anc",
@@ -166,6 +170,8 @@ class Pipeline:
                     rght_col=fields.get("right", "rght"),
                 ).withColumn(gid, F.col("__anc")).drop("__anc")
             elif plugin == "adjacency_list":
+                if gid in data.columns and gid != key:
+                    data = data.withColumnRenamed(gid, f"__src_{gid}")
                 closure = ancestor_closure(
                     grouping, gid, (rel.fields or {}).get("parent", "parent_id"))
                 cl = closure.select(F.col("node_id").alias("__n"),
@@ -193,6 +199,8 @@ class Pipeline:
 
         # 2. widgets: one aggregate each, packed to a JSON column
         result = grouping.select(F.col(gid))
+        if only_ids is not None:
+            result = result.where(F.col(gid).isin(list(only_ids)))
         for name, w in g.widgets_data.items():
             wdf = self._run_widget(w.plugin, dict(w.params), tagged,
                                    g.group_by, gid)
@@ -223,10 +231,7 @@ class Pipeline:
                 src = sparams.get("source")
                 if isinstance(src, str) and src.startswith("@"):
                     sparams["source"] = src[1:]
-                    scope = {**bindings}
-                else:
-                    scope = bindings
-                out = self._run_widget(step["plugin"], sparams, scope,
+                out = self._run_widget(step["plugin"], sparams, bindings,
                                        group_by, gid)
                 bindings[step["output_key"]] = out
             assert out is not None, "empty transform_chain"
@@ -353,6 +358,13 @@ class Pipeline:
                     aggs.append(F.round(F.sum(c.cast("double")), 2).alias(target))
                 elif t == "mean":
                     aggs.append(F.round(F.avg(c.cast("double")), 2).alias(target))
+                elif t == "min":
+                    aggs.append(F.round(F.min(c.cast("double")), 2).alias(target))
+                elif t == "max":
+                    aggs.append(F.round(F.max(c.cast("double")), 2).alias(target))
+                elif t == "std":
+                    aggs.append(F.round(F.stddev_samp(c.cast("double")), 2)
+                                .alias(target))
                 else:
                     raise ValueError(f"unsupported transformation {t!r}")
             piece = src.groupBy(gid).agg(*aggs)

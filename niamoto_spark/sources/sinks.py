@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 def overwrite_table(df: DataFrame, path: str) -> None:
     staging = path.rstrip("/") + ".__staging__"
     backup = path.rstrip("/") + ".__backup__"
+    # clear leftovers from a previous crash mid-swap — a stale backup would
+    # make every subsequent os.rename(path, backup) fail forever
+    for leftover in (staging, backup):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     df.write.mode("overwrite").parquet(staging)
     try:
         if os.path.exists(path):

@@ -1,0 +1,99 @@
+"""Regression tests for defects found in the round-1 self-review."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from niamoto_spark.functions import word_shingles
+from niamoto_spark.operators import aggregation as agg
+from niamoto_spark.operators import extraction as ex
+from niamoto_spark.operators.dedup import minhash_lsh_candidates
+from niamoto_spark.operators.loaders import direct_reference
+
+
+def test_short_docs_dont_crash_shingling(spark):
+    """sequence(0, -1) is DESCENDING in Spark; docs shorter than k tokens
+    must yield an empty shingle array, not invalid element_at indices."""
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["one two", "a", ""]}))
+    out = [r["s"] for r in
+           df.select(word_shingles(F.col("text"), 3).alias("s")).collect()]
+    assert out == [[], [], []]
+    # and through the full minhash path
+    assert minhash_lsh_candidates(df, "doc_id", "text",
+                                  num_hashes=16, bands=4).count() == 0
+
+
+def test_max_value_cap_preserves_nulls(spark):
+    """F.least skips NULLs — a NULL observation must not become max_value."""
+    df = spark.createDataFrame(
+        [("a", None), ("a", 5.0), ("a", 200.0)], "g string, v double")
+    r = agg.statistical_summary(df, ["g"], "v", max_value=100).collect()[0]
+    assert r["count"] == 2          # NULL not counted
+    assert r["mean"] == 52.5        # (5 + 100) / 2
+    d = spark.createDataFrame([("a", None)], "g string, v double")
+    r2 = ex.direct_attribute(d, ["g"], "v", max_value=100.0).collect()[0]
+    assert r2["value"] is None      # all-null entity stays null
+
+
+def test_gid_collision_in_loaders(spark):
+    """Fact tables carrying a column named like the group id must not
+    produce an ambiguous duplicate after tagging."""
+    facts = spark.createDataFrame(pd.DataFrame(
+        {"id": [10, 11], "plot_ref": ["P1", "P2"], "v": [1.0, 2.0]}))
+    groups = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 2], "locality": ["P1", "P2"]}))
+    tagged = direct_reference(facts, "plot_ref", groups, "id",
+                              ref_key="locality")
+    # groupBy on the gid must work (previously AMBIGUOUS_REFERENCE)
+    out = tagged.groupBy("id").agg(F.sum("v").alias("s")).collect()
+    assert {(r["id"], r["s"]) for r in out} == {(1, 1.0), (2, 2.0)}
+    assert "__src_id" in tagged.columns   # fact's own id preserved
+
+
+def test_gid_is_join_key_coalesces(spark):
+    facts = spark.createDataFrame(pd.DataFrame(
+        {"id_plot": [1, 1, 9], "v": [1.0, 2.0, 4.0]}))
+    groups = spark.createDataFrame(pd.DataFrame({"id_plot": [1, 2]}))
+    tagged = direct_reference(facts, "id_plot", groups, "id_plot")
+    assert tagged.columns.count("id_plot") == 1
+    assert tagged.count() == 2            # id_plot=9 filtered (inner)
+
+
+def test_incremental_only_ids_keeps_full_hierarchy(spark, tmp_path):
+    """only_ids restricts output rows, not the hierarchy used for tagging
+    (filtering the hierarchy would break subtree roll-ups)."""
+    import json
+
+    from niamoto_spark.pipeline import Pipeline
+
+    base = tmp_path
+    pd.DataFrame({"id": [1, 2], "species": ["sp1", "sp2"],
+                  "family": ["F1", "F1"], "genus": ["G1", "G1"],
+                  "dbh": [10.0, 30.0]}).to_csv(base / "occ.csv", index=False)
+    pipe = Pipeline(spark, warehouse=str(base / "wh"))
+    pipe.run_import({"entities": {
+        "datasets": {"occurrences": {
+            "connector": {"type": "file", "format": "csv", "path": "occ.csv"},
+            "schema": {"id_field": "id"}}},
+        "references": {"taxons": {
+            "kind": "hierarchical",
+            "connector": {"type": "derived", "dataset": "occurrences",
+                          "levels": ["family", "genus", "species"]}}},
+    }}, base_dir=str(base))
+    cfg = [{"group_by": "taxons", "sources": [{
+        "name": "occurrences", "data": "occurrences", "grouping": "taxons",
+        "relation": {"plugin": "nested_set", "key": "species",
+                     "ref_key": "rank_value"}}],
+        "widgets_data": {"s": {"plugin": "statistical_summary",
+                               "params": {"source": "occurrences",
+                                          "field": "dbh"}}}}]
+    pipe.run_transform(cfg)
+    taxons = {r["rank_value"]: r["id"] for r in
+              pipe.registry.load(spark, "taxons").collect()}
+    fam_id = taxons["F1"]
+    # incremental recompute of ONLY the family must still see its subtree
+    pipe.run_transform(cfg, mode="incremental", only_ids=[fam_id])
+    tbl = spark.read.parquet(str(base / "wh" / "taxons_results.parquet"))
+    fam = json.loads([r["s"] for r in tbl.collect() if r["id"] == fam_id][0])
+    assert fam["count"] == 2              # both species' occurrences seen

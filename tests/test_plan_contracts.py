@@ -1,0 +1,55 @@
+"""Plan contracts: the scale properties the engine promises (PLANS.md) as
+assertions — broadcast-only dimension joins, pruned scans, no global
+single-partition windows — so future edits can't silently regress them."""
+
+import contextlib
+import io
+
+import pytest
+
+from niamoto_spark.queries import build_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = build_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("query", [
+    "q07_top_brands", "q11_customer_orders", "q12_bridge_revenue",
+    "q49_semi_join", "q62_regional_revenue",
+])
+def test_dimension_joins_broadcast_not_sortmerge(spark, query):
+    plan = _plan(spark, query)
+    assert "SortMergeJoin" not in plan, f"{query} regressed to a shuffle join"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q01_scan_pruned_to_referenced_columns(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # the scan must not read the full 11-column lineitem schema
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"):
+        assert col not in read, f"unpruned column {col} in q01 scan"
+
+
+def test_q01_partial_aggregation(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_global_topk_avoids_single_partition_window(spark):
+    plan = _plan(spark, "q07_top_brands")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filters_pushed_into_scan(spark):
+    plan = _plan(spark, "q62_regional_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), \
+        "date predicate not pushed to the orders scan"

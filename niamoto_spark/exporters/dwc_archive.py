@@ -39,8 +39,12 @@ def export_dwc_archive(occurrences: DataFrame, out_path: str) -> dict:
     """Write a DwC-A zip from an already-projected occurrence DataFrame
     (columns = DwC terms; first column is the record id)."""
     staging = out_path + ".__tsv__"
+    # escape='"' makes embedded quotes come out DOUBLED (the DwC text spec's
+    # only quoting model) instead of Spark's default backslash-escaping,
+    # matching the fieldsEnclosedBy declaration below
     (occurrences.write.mode("overwrite")
-     .option("header", True).option("sep", "\t").csv(staging))
+     .option("header", True).option("sep", "\t")
+     .option("escape", '"').csv(staging))
 
     fields = "\n".join(
         f'    <field index="{i}" '

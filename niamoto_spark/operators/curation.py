@@ -68,31 +68,47 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
             cached[-2].unpersist()
         return after
 
-    if "quality" in cfg.stages:
-        scored = text_quality(cur, text_col)
-        kept = scored.where((F.col("quality_score") >= cfg.min_quality)
-                            & (F.col("n_tokens") >= cfg.min_tokens))
-        cur = account("quality", cur, kept)
-    if "exact_dedup" in cfg.stages:
-        cur = account("exact_dedup", cur,
-                      dedup_exact_keep(cur, id_col, text_col))
-    if "near_dedup" in cfg.stages:
+    def run_quality(d: DataFrame) -> DataFrame:
+        scored = text_quality(d, text_col)
+        return account("quality", d,
+                       scored.where((F.col("quality_score") >= cfg.min_quality)
+                                    & (F.col("n_tokens") >= cfg.min_tokens)))
+
+    def run_exact(d: DataFrame) -> DataFrame:
+        return account("exact_dedup", d, dedup_exact_keep(d, id_col, text_col))
+
+    def run_near(d: DataFrame) -> DataFrame:
         pairs = minhash_lsh_candidates(
-            cur, id_col, text_col, num_hashes=cfg.minhash_num_hashes,
+            d, id_col, text_col, num_hashes=cfg.minhash_num_hashes,
             bands=cfg.minhash_bands, shingle_k=cfg.shingle_k,
             jaccard_threshold=cfg.near_dup_threshold)
-        cur = account("near_dedup", cur,
-                      dedup_keep_components(cur, pairs, id_col))
-    if "language" in cfg.stages and cfg.allowed_langs:
-        tagged = lang_id(cur, text_col)
-        cur = account("language", cur,
-                      tagged.where(F.col("lang_pred").isin(cfg.allowed_langs)))
-    if "scrub" in cfg.stages and cfg.scrub:
-        cur = scrub_text(cur, text_col)  # 1:1, no accounting row
-    if "pack" in cfg.stages:
-        packs = pack_sequences(cur, id_col, text_col, seq_len=cfg.seq_len)
-        cur = cur.join(packs.select(id_col, "offset", "pack_first",
-                                    "pack_last"), id_col)
+        return account("near_dedup", d, dedup_keep_components(d, pairs, id_col))
+
+    def run_language(d: DataFrame) -> DataFrame:
+        if not cfg.allowed_langs:
+            return d
+        tagged = lang_id(d, text_col)
+        return account("language", d,
+                       tagged.where(F.col("lang_pred").isin(cfg.allowed_langs)))
+
+    def run_scrub(d: DataFrame) -> DataFrame:
+        return scrub_text(d, text_col) if cfg.scrub else d  # 1:1, no stats row
+
+    def run_pack(d: DataFrame) -> DataFrame:
+        packs = pack_sequences(d, id_col, text_col, seq_len=cfg.seq_len)
+        return d.join(packs.select(id_col, "offset", "pack_first",
+                                   "pack_last"), id_col)
+
+    dispatch = {"quality": run_quality, "exact_dedup": run_exact,
+                "near_dedup": run_near, "language": run_language,
+                "scrub": run_scrub, "pack": run_pack}
+    # stages run in the CONFIGURED order (e.g. scrub-before-quality scores
+    # the scrubbed text) — not a fixed canonical order
+    for stage in cfg.stages:
+        if stage not in dispatch:
+            raise ValueError(f"unknown curation stage {stage!r}; "
+                             f"known: {sorted(dispatch)}")
+        cur = dispatch[stage](cur)
 
     stats_df = spark.createDataFrame(
         stats or [("noop", 0, 0)], "stage string, docs_in long, docs_out long")

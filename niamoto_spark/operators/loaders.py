@@ -20,14 +20,19 @@ from niamoto_spark.hierarchy import ancestor_closure, subtree_join
 from niamoto_spark.registry import PluginType, register
 
 
-def _clear_gid_collision(data: DataFrame, key: str, group_id: str) -> DataFrame:
+def _clear_gid_collision(data: DataFrame, key: str,
+                         group_id: str) -> tuple[DataFrame, str]:
     """If the fact table already has a column named like the group id, the
     tag join would produce an AMBIGUOUS duplicate.  Preserve the fact column
-    under ``__src_<name>`` (documented) so the canonical name is the tag —
-    unless it IS the join key, which stays."""
-    if group_id in data.columns and group_id != key:
-        return data.withColumnRenamed(group_id, f"__src_{group_id}")
-    return data
+    under ``__src_<name>`` (documented) so the canonical name is the tag.
+    When the collision IS the join key, the key is renamed too — returns
+    (data, effective_key)."""
+    if group_id in data.columns:
+        renamed = f"__src_{group_id}"
+        data = data.withColumnRenamed(group_id, renamed)
+        if key == group_id:
+            key = renamed
+    return data, key
 
 
 @register("direct_reference", PluginType.LOADER)
@@ -40,13 +45,10 @@ def direct_reference(data: DataFrame, key: str, groups: DataFrame,
 
     Returns the fact rows tagged with the group id column.
     """
-    data = _clear_gid_collision(data, key, group_id)
+    data, key = _clear_gid_collision(data, key, group_id)
     join_key = ref_key or group_id
     if join_key == group_id:
         ref = groups.select(F.col(group_id))
-        if key == group_id:
-            # fact key IS the gid name: USING join coalesces to one column
-            return data.join(F.broadcast(ref), on=[group_id], how="inner")
         return data.join(F.broadcast(ref), data[key] == ref[group_id], "inner")
     ref = groups.select(F.col(join_key).alias("__ref_key"),
                         F.col(group_id).alias(group_id))
@@ -62,7 +64,7 @@ def join_table(data: DataFrame, data_key: str,
     grouped by bridge.reference (reference: loaders/join_table.py:124-178).
     Two chained joins; the bridge and group tables broadcast.
     """
-    data = _clear_gid_collision(data, data_key, group_id)
+    data, data_key = _clear_gid_collision(data, data_key, group_id)
     b = bridge.select(F.col(bridge_source).alias("__b_src"),
                       F.col(bridge_ref).alias("__b_ref"))
     g = groups.select(F.col(group_id))
@@ -117,7 +119,7 @@ def stats_loader(stats: DataFrame, match_field: str,
     one equi-join on the (string-normalized) match key.
     """
     ref_field = ref_field or group_id
-    stats = _clear_gid_collision(stats, match_field, group_id)
+    stats, match_field = _clear_gid_collision(stats, match_field, group_id)
     norm = lambda c: F.trim(F.col(c).cast("string"))  # noqa: E731
     g = groups.select(F.col(group_id),
                       norm(ref_field).alias("__match"))

@@ -160,8 +160,7 @@ class Pipeline:
                     rel.ref_field)
             elif plugin == "nested_set":
                 fields = rel.fields or {}
-                if gid in data.columns and gid != key:
-                    data = data.withColumnRenamed(gid, f"__src_{gid}")
+                data, key = loader_ops._clear_gid_collision(data, key, gid)
                 out = subtree_join(
                     data, key, grouping, node_key=gid,
                     ancestor_alias="__anc",
@@ -170,8 +169,7 @@ class Pipeline:
                     rght_col=fields.get("right", "rght"),
                 ).withColumn(gid, F.col("__anc")).drop("__anc")
             elif plugin == "adjacency_list":
-                if gid in data.columns and gid != key:
-                    data = data.withColumnRenamed(gid, f"__src_{gid}")
+                data, key = loader_ops._clear_gid_collision(data, key, gid)
                 closure = ancestor_closure(
                     grouping, gid, (rel.fields or {}).get("parent", "parent_id"))
                 cl = closure.select(F.col("node_id").alias("__n"),

@@ -23,11 +23,19 @@ from pyspark.sql import functions as F
 def overwrite_table(df: DataFrame, path: str) -> None:
     staging = path.rstrip("/") + ".__staging__"
     backup = path.rstrip("/") + ".__backup__"
-    # clear leftovers from a previous crash mid-swap — a stale backup would
-    # make every subsequent os.rename(path, backup) fail forever
-    for leftover in (staging, backup):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    # crash recovery BEFORE touching anything:
+    # - path missing + backup present = we died mid-swap and backup holds
+    #   the only committed copy -> restore it (never delete it)
+    # - path present + backup present = we died after a successful swap ->
+    #   the backup is stale and safe to clear
+    # - stale staging is always safe to clear
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
     df.write.mode("overwrite").parquet(staging)
     try:
         if os.path.exists(path):

@@ -97,3 +97,66 @@ def test_incremental_only_ids_keeps_full_hierarchy(spark, tmp_path):
     tbl = spark.read.parquet(str(base / "wh" / "taxons_results.parquet"))
     fam = json.loads([r["s"] for r in tbl.collect() if r["id"] == fam_id][0])
     assert fam["count"] == 2              # both species' occurrences seen
+
+
+def test_overwrite_restores_backup_when_path_missing(tmp_path, spark):
+    """A crash between the two renames leaves only the backup; the next
+    overwrite must RESTORE it, never delete it (it may be the only copy)."""
+    import os
+    import shutil
+
+    from niamoto_spark.sources.sinks import overwrite_table
+
+    p = str(tmp_path / "tbl")
+    overwrite_table(spark.range(3), p)
+    # simulate death between rename(path, backup) and rename(staging, path)
+    os.rename(p, p + ".__backup__")
+    assert not os.path.exists(p)
+    overwrite_table(spark.range(7), p)       # recovery + fresh write
+    assert spark.read.parquet(p).count() == 7
+    assert not os.path.exists(p + ".__backup__")
+
+
+def test_stats_loader_gid_named_match_field(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.loaders import stats_loader
+
+    stats = spark.createDataFrame(pd.DataFrame(
+        {"id": ["P1", "P2"], "class_value": [1.0, 2.0]}))
+    groups = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 2], "locality": ["P1", "P2"]}))
+    tagged = stats_loader(stats, "id", groups, "id", ref_field="locality")
+    out = tagged.groupBy("id").agg(F.sum("class_value").alias("s")).collect()
+    assert {(r["id"], r["s"]) for r in out} == {(1, 1.0), (2, 2.0)}
+
+
+def test_curation_stage_order_honored(spark):
+    import pandas as pd
+
+    from niamoto_spark.operators.curation import CurationConfig, curate_corpus
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["good words here now", "good words here now"]}))
+    _, stats = curate_corpus(docs, "doc_id", "text", CurationConfig(
+        min_quality=0.0, min_tokens=1, stages=["exact_dedup", "quality"]))
+    assert [r["stage"] for r in stats.collect()] == ["exact_dedup", "quality"]
+    with pytest.raises(ValueError):
+        curate_corpus(docs, "doc_id", "text",
+                      CurationConfig(stages=["warp"]))
+
+
+def test_dwca_embedded_quotes_doubled(tmp_path, spark):
+    import pandas as pd
+    import zipfile
+
+    from niamoto_spark.exporters.dwc_archive import export_dwc_archive
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"occurrenceID": ["o1"], "remarks": ['tree "A" tagged']}))
+    out = str(tmp_path / "a.zip")
+    export_dwc_archive(df, out)
+    body = zipfile.ZipFile(out).read("occurrence.txt").decode()
+    assert '""A""' in body          # doubled, not backslash-escaped
+    assert '\\"' not in body

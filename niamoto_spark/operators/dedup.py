@@ -79,12 +79,21 @@ def _signature_from_shingles(sh: Column, num_hashes: int) -> Column:
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_k: int = 3,
-                           jaccard_threshold: float = 0.5) -> DataFrame:
+                           jaccard_threshold: float = 0.5,
+                           max_bucket_size: int | None = 1000) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     Pipeline: signature -> explode into ``bands`` band-hashes -> self-join on
     (band, band_hash) -> distinct pairs -> estimated Jaccard from full
     signature agreement -> filter by threshold.
+
+    Hot-bucket cap: a band bucket holding k near-identical docs emits k²
+    candidate pairs, so ONE viral duplicate (common in web corpora) explodes
+    the self-join.  Buckets over ``max_bucket_size`` are dropped before the
+    join — docs that collide that often are exact-dup territory and belong
+    to ``dedup_exact`` (which this module pairs with in curation); a doc in
+    a dropped bucket still pairs through its other, smaller band buckets.
+    ``max_bucket_size=None`` disables the cap.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -111,6 +120,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         ).alias("band", "band_hash"),
     ).persist()  # consumed twice by the self-join; without this the whole
     #              signature pipeline (the expensive part) runs twice
+    if max_bucket_size is not None:
+        ok_buckets = (banded.groupBy("band", "band_hash")
+                      .agg(F.count(F.lit(1)).alias("__n"))
+                      .where(F.col("__n") <= max_bucket_size)
+                      .drop("__n"))
+        banded = banded.join(ok_buckets, ["band", "band_hash"], "left_semi")
     left = banded.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
                          "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),

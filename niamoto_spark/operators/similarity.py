@@ -197,18 +197,89 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 @register("embedding_near_dup", PluginType.TRANSFORMER)
 def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
                        threshold: float = 0.95,
-                       round_dp: int = 6) -> DataFrame:
+                       round_dp: int = 6,
+                       n_centroids: int = 32) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
-    Brute-force within the corpus; at scale, route through ``ivf_topk``
-    buckets first (same centroid assignment) — kept exact here because the
-    oracle check requires determinism.
+    EXACT bucketed ball-cover join — no corpus x corpus cartesian:
+
+    1. Pick ``n_centroids`` deterministic centroids (smallest xxhash64(id) —
+       a distributed TakeOrderedAndProject, bytes ~ n_centroids).
+    2. Assign every vector to its nearest centroid via a literal centroid
+       array (pure codegen expression — no join) and record its angular
+       distance to that centroid.
+    3. Collect per-bucket max angular radius (one row per bucket) and, on
+       the driver, keep only bucket pairs (i, j) whose centroid angle can
+       possibly host a qualifying pair:
+       angle(c_i, c_j) <= r_i + r_j + arccos(threshold) + eps — the
+       triangle inequality on the sphere, so NO qualifying pair is pruned
+       (the result is exact; the sf0.01 oracle hash-checks it against the
+       brute-force SQL).
+    4. Equi-join corpus sides on the surviving (bucket_a, bucket_b) list —
+       a broadcast of the tiny pair table plus one shuffle keyed by bucket.
+
+    At 100 TB with clustered embeddings and a high threshold (0.95 →
+    arccos ≈ 18°) the bucket-pair list is sparse, so shuffled volume is
+    ~sum over candidate bucket pairs instead of n². Worst case (tiny
+    thresholds, uniform vectors) degrades to all bucket pairs — still an
+    equi-join plan, never a CartesianProduct (plan-contract guarded).
     """
-    a = fan_out(corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    sim = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), round_dp)
-    return (a.crossJoin(b)
-             .where(F.col("id_a") < F.col("id_b"))
-             .withColumn("similarity", sim)
-             .where(F.col("similarity") >= threshold)
-             .select("id_a", "id_b", "similarity"))
+    import math
+
+    spark = corpus.sparkSession
+    c = fan_out(corpus.select(F.col(id_col).alias("vid"),
+                              F.col(vec_col).alias("v")))
+    picked = (c.withColumn("__h", F.xxhash64("vid"))
+              .orderBy("__h", "vid").limit(n_centroids)
+              .select("v").collect())
+    if not picked:
+        return spark.createDataFrame(
+            [], "id_a bigint, id_b bigint, similarity double")
+    cents = [[float(x) for x in r["v"]] for r in picked]
+
+    # argmax-cosine centroid as a literal-array expression: array_max over
+    # struct(sim, -cid) orders by sim desc then smallest cid — deterministic.
+    best = F.array_max(F.array(*[
+        F.struct(cosine_similarity(F.col("v"), F.lit(vec)).alias("s"),
+                 F.lit(-cid).alias("n"))
+        for cid, vec in enumerate(cents)]))
+    clamped = F.greatest(F.least(best["s"], F.lit(1.0)), F.lit(-1.0))
+    assigned = (c.withColumn("bucket", (-best["n"]).cast("int"))
+                 .withColumn("__ang", F.acos(clamped))
+                 .persist())  # read three times: radii, a-side, b-side
+    try:
+        radii = {r["bucket"]: r["r"] for r in
+                 assigned.groupBy("bucket")
+                         .agg(F.max("__ang").alias("r")).collect()}
+
+        def _angle(u, v):
+            du = math.sqrt(sum(x * x for x in u))
+            dv = math.sqrt(sum(x * x for x in v))
+            cos = sum(x * y for x, y in zip(u, v)) / (du * dv)
+            return math.acos(max(-1.0, min(1.0, cos)))
+
+        reach = math.acos(max(-1.0, min(1.0, threshold))) + 1e-6
+        pairs = []
+        for i in radii:
+            for j in radii:
+                if _angle(cents[i], cents[j]) <= radii[i] + radii[j] + reach:
+                    pairs.append((i, j))  # both orientations kept: the
+                    # id_a < id_b filter then retains each pair exactly once
+        pair_df = spark.createDataFrame(pairs, "ba int, bb int")
+
+        a = assigned.select(F.col("vid").alias("id_a"),
+                            F.col("v").alias("v_a"),
+                            F.col("bucket").alias("ba"))
+        b = assigned.select(F.col("vid").alias("id_b"),
+                            F.col("v").alias("v_b"),
+                            F.col("bucket").alias("bb"))
+        sim = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), round_dp)
+        return (a.join(F.broadcast(pair_df), "ba")
+                 .join(b, "bb")
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .withColumn("similarity", sim)
+                 .where(F.col("similarity") >= threshold)
+                 .select("id_a", "id_b", "similarity"))
+    except Exception:
+        assigned.unpersist()
+        raise

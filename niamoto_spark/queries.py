@@ -1346,7 +1346,7 @@ FROM c
 def q59_vocabulary(spark, sf_dir):
     """Corpus vocabulary top-25 by total count (tiebreak token asc)."""
     d = _t(spark, sf_dir, "documents")
-    return text_ops.vocabulary(d, "text", top_k=25)
+    return text_ops.vocabulary(d, "text", top_k=25, id_col="doc_id")
 
 
 O_Q59 = r"""

@@ -61,9 +61,13 @@ def upsert_table(spark: SparkSession, updates: DataFrame, path: str,
         w = Window.partitionBy(key).orderBy("__pri")
         merged = (tagged.withColumn("__rn", F.row_number().over(w))
                   .where(F.col("__rn") == 1).drop("__pri", "__rn"))
-        # materialize before overwriting the dir we read from
-        merged = spark.createDataFrame(merged.collect(), merged.schema) \
-            if merged.count() < 100_000 else merged.localCheckpoint()
-        overwrite_table(merged, path)
+        # materialize before overwriting the dir we read from — checkpoint
+        # executor-side unconditionally (one pass, nothing on the driver;
+        # the old count()+collect() branch ran the plan twice and pulled up
+        # to 100k rows through the driver).  At real scale this sink wants
+        # key-hash-partitioned storage so only touched partitions rewrite
+        # (or Delta MERGE INTO when available) — overwrite_table's staging
+        # swap is the no-Delta fallback.
+        overwrite_table(merged.localCheckpoint(), path)
     else:
         overwrite_table(updates, path)

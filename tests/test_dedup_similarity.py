@@ -122,3 +122,48 @@ def test_ivf_recall_vs_exact(vectors):
                                   n_centroids=4, nprobe=4).collect()}
     # nprobe == n_centroids probes everything -> recall 1.0
     assert approx == exact
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """A viral duplicate (80% of the corpus identical) must not explode the
+    band self-join into k^2 pairs: capped buckets are dropped, so candidate
+    counts stay bounded while distinct near-dup texts still pair up."""
+    viral = [(i, "breaking news everyone shared this exact same story today")
+             for i in range(80)]
+    rest = [(100 + i, f"unique document number {i} with its own words {i * 7}")
+            for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(viral + rest,
+                                            columns=["doc_id", "text"]))
+    capped = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=32, bands=8, shingle_k=2,
+        jaccard_threshold=0.0, max_bucket_size=10).count()
+    uncapped = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=32, bands=8, shingle_k=2,
+        jaccard_threshold=0.0, max_bucket_size=None).count()
+    assert uncapped >= 80 * 79 / 2          # the viral clique emits k^2/2
+    assert capped < 80 * 79 / 2             # cap drops the hot buckets
+    # the viral clique belongs to dedup_exact, which still catches it whole:
+    groups = dedup.dedup_exact(df, "doc_id", "text").collect()
+    assert max(g["n_docs"] for g in groups) == 80
+
+
+def test_embedding_near_dup_bucketed_matches_bruteforce(spark):
+    """Ball-cover bucketed near-dup must be EXACT: same pairs as the numpy
+    all-pairs scan, for several centroid counts (1 centroid = degenerate
+    single bucket; 8 exercises cross-bucket pairs)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    vecs = np.vstack([base, base[:5] + rng.normal(scale=0.01, size=(5, 16))])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    expected = {(i, j) for i in range(len(vecs)) for j in range(i + 1, len(vecs))
+                if round(sims[i, j], 6) >= 0.9}
+    for n_cent in (1, 8):
+        got = {(r["id_a"], r["id_b"]) for r in
+               similarity.embedding_near_dup(df, "vec_id", "embedding",
+                                             threshold=0.9,
+                                             n_centroids=n_cent).collect()}
+        assert got == expected, f"n_centroids={n_cent}"

@@ -53,3 +53,46 @@ def test_filters_pushed_into_scan(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l for l in pushed), \
         "date predicate not pushed to the orders scan"
+
+
+def _assert_no_global_window(plan: str, what: str) -> None:
+    """A partition-less Window serializes the whole input through ONE task.
+    In the plan string a global spec starts with an ordered column
+    (``windowspecdefinition(x ASC ...``) while a partitioned spec leads
+    with the plain partition columns (``windowspecdefinition(p, x ASC``)."""
+    idx = 0
+    while True:
+        idx = plan.find("windowspecdefinition(", idx)
+        if idx == -1:
+            break
+        head = plan[idx + len("windowspecdefinition("):].split(",", 1)[0]
+        assert " ASC" not in head and " DESC" not in head, \
+            f"{what}: partition-less Window (spec head {head!r})"
+        idx += 1
+
+
+def test_q58_packing_has_no_global_window(spark):
+    _assert_no_global_window(_plan(spark, "q58_sequence_packing"), "q58")
+
+
+def test_q63_curation_pack_stage_has_no_global_window(spark):
+    from niamoto_spark.operators.curation import CurationConfig, curate_corpus
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    curated, _ = curate_corpus(
+        d, "doc_id", "text",
+        CurationConfig(min_quality=0.0, near_dup_threshold=0.9, seq_len=512,
+                       minhash_num_hashes=16, minhash_bands=4))
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curated.explain(mode="extended")
+    _assert_no_global_window(buf.getvalue(), "q63 curated_docs")
+
+
+def test_q29_embedding_near_dup_has_no_cartesian(spark):
+    plan = _plan(spark, "q29_embedding_near_dup")
+    assert "CartesianProduct" not in plan, \
+        "embedding_near_dup regressed to an all-pairs cross join"
+    assert "BroadcastNestedLoopJoin" not in plan.split("== Physical Plan ==")[-1], \
+        "embedding_near_dup shuffles corpus x corpus through a nested-loop join"

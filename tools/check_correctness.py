@@ -55,9 +55,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -96,7 +98,8 @@ def main() -> int:
         else:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passing")
+    print(f"\n{n_run - len(failures)}/{n_run} passing"
+          + (f" (of {len(qs)} registered)" if n_run != len(qs) else ""))
     return 1 if failures else 0
 
 

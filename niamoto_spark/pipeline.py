@@ -87,8 +87,9 @@ class Pipeline:
                     df = read_csv_auto(self.spark, path)
                 elif fmt == "parquet":
                     df = self.spark.read.parquet(path)
-                elif fmt in ("geojson", "json"):
-                    df = read_geojson(self.spark, path)
+                elif fmt in ("geojson", "json", "shp", "gpkg"):
+                    from niamoto_spark.sources.files import read_vector
+                    df = read_vector(self.spark, path)
                 else:
                     raise ValueError(f"unsupported import format {fmt!r}")
             else:

@@ -1538,7 +1538,53 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_regional_revenue": q62_regional_revenue,
         "q63_curation_pipeline": q63_curation_pipeline,
         "q64_stream_sessions": q64_stream_sessions,
+        "q65_vector_import": q65_vector_import,
     }
+
+
+_VEC_ZONES = [
+    (1, "alpha", "POLYGON ((0.0 0.0, 0.0 4.0, 3.0 4.0, 3.0 0.0, 0.0 0.0))"),
+    (2, "beta", "POLYGON ((10.0 10.0, 10.0 12.0, 12.0 12.0, 12.0 10.0, 10.0 10.0))"),
+    (3, "gamma", "POLYGON ((5.0 5.0, 5.0 9.0, 9.0 9.0, 9.0 5.0, 5.0 5.0), "
+                 "(6.0 6.0, 7.0 6.0, 7.0 7.0, 6.0 7.0, 6.0 6.0))"),
+    (4, "delta", "POLYGON ((20.0 0.0, 20.0 1.0, 21.0 1.0, 21.0 0.0, 20.0 0.0))"),
+]
+
+
+def q65_vector_import(spark, sf_dir):
+    """Vector-file ingestion (.shp + .gpkg, pure-python parsers in
+    sources/vector.py — reference engine.py:371-520 does the same via
+    pyogrio): write a deterministic fixture, read it back through
+    read_vector, count WKT vertices in Spark.  The constant-VALUES oracle
+    hash-checks the whole parse chain (dbf attrs, GP blob, WKB->WKT)."""
+    import tempfile
+
+    from niamoto_spark.sources.files import read_vector
+    from niamoto_spark.sources.vector import write_gpkg, write_shp
+
+    d = tempfile.mkdtemp(prefix="niamoto_vec_")
+    shp = os.path.join(d, "zones.shp")
+    gpkg = os.path.join(d, "zones.gpkg")
+    write_shp(shp, [{"zone_id": z, "name": n} for z, n, _ in _VEC_ZONES],
+              [w for _, _, w in _VEC_ZONES])
+    write_gpkg(gpkg, "zones",
+               [{"zone_id": z, "name": n} for z, n, _ in _VEC_ZONES],
+               [w for _, _, w in _VEC_ZONES])
+    cols = ["zone_id", "name", "geometry_wkt"]
+    both = (read_vector(spark, shp).select(*cols)
+            .withColumn("fmt", F.lit("shp"))
+            .unionByName(read_vector(spark, gpkg).select(*cols)
+                         .withColumn("fmt", F.lit("gpkg"))))
+    return both.select(
+        "fmt", F.col("zone_id").cast("int").alias("zone_id"), "name",
+        F.size(F.split("geometry_wkt", ",")).alias("n_pts"), "geometry_wkt")
+
+
+O_Q65 = ("SELECT * FROM (VALUES "
+         + ", ".join(
+             f"('{fmt}', {z}, '{n}', {w.count(',') + 1}, '{w}')"
+             for fmt in ("shp", "gpkg") for z, n, w in _VEC_ZONES)
+         + ") AS t(fmt, zone_id, name, n_pts, geometry_wkt)")
 
 
 def build_oracles() -> dict[str, str]:
@@ -1602,6 +1648,7 @@ def build_oracles() -> dict[str, str]:
         "q60_scrub": O_Q60,
         "q61_shipping_priority": O_Q61,
         "q62_regional_revenue": O_Q62,
+        "q65_vector_import": O_Q65,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -96,9 +96,20 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
-def read_vector(spark: SparkSession, path: str) -> DataFrame:
+def read_vector(spark: SparkSession, path: str,
+                layer: str | None = None) -> DataFrame:
+    """Vector-file scan matching the reference's gpd.read_file surface
+    (engine.py:371-520): GeoJSON native, .shp/.dbf and .gpkg via the
+    pure-python parsers in sources/vector.py.  All return a DataFrame with
+    attributes + ``geometry_wkt``."""
+    from niamoto_spark.sources.vector import read_gpkg, read_shp
+
     if path.endswith(".geojson") or path.endswith(".json"):
         return read_geojson(spark, path)
+    if path.endswith(".shp"):
+        return read_shp(spark, path)
+    if path.endswith(".gpkg"):
+        return read_gpkg(spark, path, layer=layer)
     raise NotImplementedError(
-        f"vector format for {path!r} needs geopandas/pyogrio (unavailable); "
-        "convert to GeoJSON or parquet+WKT upstream")
+        f"unsupported vector format for {path!r}; expected "
+        ".geojson/.json/.shp/.gpkg (or convert to parquet+WKT upstream)")

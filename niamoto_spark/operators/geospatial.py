@@ -192,18 +192,179 @@ def fragmentation_analysis(patches: DataFrame, group_cols: list[str],
     )
 
 
-@register("raster_stats", PluginType.TRANSFORMER)
-def raster_stats(*args, **kwargs):
-    """Zonal raster statistics (reference raster_stats.py:59-127).
+def _zone_pixels(raster, wkt: str) -> np.ndarray | None:
+    """Valid pixel values of one zone polygon: bbox window -> pixel-center
+    ray cast -> nodata filter.  Mirrors rasterio.mask(crop=True)
+    semantics (reference raster_stats.py:260-330)."""
+    rings = parse_polygon_wkt(wkt)
+    if not rings:
+        return None
+    allpts = np.vstack(rings)
+    r0, r1, c0, c1 = raster.window_for_bounds(
+        allpts[:, 0].min(), allpts[:, 1].min(),
+        allpts[:, 0].max(), allpts[:, 1].max())
+    if r1 <= r0 or c1 <= c0:
+        return None
+    xs, ys = raster.pixel_centers(r0, r1, c0, c1)
+    inside = _ray_cast(xs.ravel(), ys.ravel(), rings)
+    vals = raster.data[r0:r1, c0:c1].ravel()[inside]
+    if raster.nodata is not None:
+        vals = vals[vals != raster.nodata]
+    if np.issubdtype(vals.dtype, np.floating):
+        vals = vals[~np.isnan(vals)]
+    return vals
 
-    STUB: rasterio is not available in this container.  The scale design is:
-    partition zones across executors, open the raster per-partition
-    (COG range reads), mask per zone, compute the 16 stats with numpy inside
-    mapInPandas.  See tests/test_multimodal.py for the plumbing test with a
-    deterministic fake raster via ``zonal_stats_from_arrays``."""
-    raise NotImplementedError(
-        "raster IO requires rasterio; use zonal_stats_from_arrays for the "
-        "computation path")
+
+def raster_zone_values(zones: DataFrame, wkt_col: str, raster_path: str,
+                       band: int = 1, nodata: float | None = None,
+                       scale_factor: float = 1.0,
+                       offset: float = 0.0) -> DataFrame:
+    """Exploded (zone attrs..., value) pixel table for zone polygons over a
+    GeoTIFF — the oracle-checkable half of zonal stats: feed the result to
+    ``zonal_stats_from_arrays``.
+
+    Each executor opens the raster BY PATH (sources/raster.py pure reader,
+    or rasterio when importable) — the array never rides a shuffle, zones
+    partition across the cluster, and each zone reads only its bbox
+    window."""
+    from pyspark.sql import types as T
+
+    from niamoto_spark.sources.raster import read_geotiff
+
+    out_schema = T.StructType(
+        list(zones.schema.fields)
+        + [T.StructField("value", T.DoubleType(), True)])
+
+    def explode_zones(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raster = read_geotiff(raster_path, band)
+        if nodata is not None:
+            raster.nodata = nodata
+        for pdf in batches:
+            pieces = []
+            for i in range(len(pdf)):
+                vals = _zone_pixels(raster, pdf[wkt_col].iloc[i] or "")
+                if vals is None or len(vals) == 0:
+                    continue
+                vals = vals.astype(np.float64) * scale_factor + offset
+                rep = pdf.iloc[[i] * len(vals)].copy()
+                rep["value"] = vals
+                pieces.append(rep)
+            if pieces:
+                yield pd.concat(pieces, ignore_index=True)
+
+    return zones.mapInPandas(explode_zones, schema=out_schema)
+
+
+_RASTER_STATS_ALL = ["min", "max", "mean", "median", "sum", "count", "std",
+                     "variance", "range", "percentile_5", "percentile_95",
+                     "majority", "minority", "unique", "histogram", "area"]
+
+
+@register("raster_stats", PluginType.TRANSFORMER)
+def raster_stats(zones: DataFrame, zone_id: str, wkt_col: str,
+                 raster_path: str, stats: list[str] | None = None,
+                 bins: int = 10, nodata: float | None = None, band: int = 1,
+                 scale_factor: float = 1.0, offset: float = 0.0,
+                 area_unit: str = "ha") -> DataFrame:
+    """Zonal raster statistics — the reference's full 16-stat list
+    (raster_stats.py:59-127), computed per zone with numpy inside
+    mapInPandas: zones partition across executors, each partition opens the
+    GeoTIFF by path and masks its zones' bbox windows.  ``histogram``
+    yields (hist_counts array<long>, hist_edges array<double>) like
+    np.histogram (raster_stats.py:456-479); ``area`` is the polygon's
+    metric area via the equirectangular shoelace (ha/km2/m2,
+    raster_stats.py:481-560)."""
+    from pyspark.sql import types as T
+
+    from niamoto_spark.sources.raster import read_geotiff
+
+    stats = list(stats or _RASTER_STATS_ALL)
+    bad = set(stats) - set(_RASTER_STATS_ALL)
+    if bad:
+        raise ValueError(f"unknown raster stats {sorted(bad)}")
+    area_factor = {"ha": 1e-4, "km2": 1e-6, "m2": 1.0}.get(area_unit)
+    if area_factor is None:
+        raise ValueError(f"unknown area_unit {area_unit!r}")
+
+    fields = [zones.schema[zone_id]]
+    for s in stats:
+        if s == "histogram":
+            fields += [T.StructField("hist_counts", T.ArrayType(T.LongType()), True),
+                       T.StructField("hist_edges", T.ArrayType(T.DoubleType()), True)]
+        elif s in ("count", "unique"):
+            fields.append(T.StructField(s, T.LongType(), True))
+        else:
+            fields.append(T.StructField(s, T.DoubleType(), True))
+    out_schema = T.StructType(list(fields))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raster = read_geotiff(raster_path, band)
+        if nodata is not None:
+            raster.nodata = nodata
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                wkt = pdf[wkt_col].iloc[i] or ""
+                vals = _zone_pixels(raster, wkt)
+                row: dict = {zone_id: pdf[zone_id].iloc[i]}
+                has = vals is not None and len(vals) > 0
+                if has:
+                    v = vals.astype(np.float64) * scale_factor + offset
+                for s in stats:
+                    if s == "area":
+                        rings = parse_polygon_wkt(wkt)
+                        if rings:
+                            lat0 = float(rings[0][:, 1].mean())
+                            a = ring_area_m2(rings[0], lat0) - sum(
+                                ring_area_m2(r, lat0) for r in rings[1:])
+                            row["area"] = round(a * area_factor, 4)
+                        else:
+                            row["area"] = None
+                        continue
+                    if s == "histogram":
+                        if has:
+                            hist, edges = np.histogram(v, bins=bins)
+                            row["hist_counts"] = hist.tolist()
+                            row["hist_edges"] = np.round(edges, 6).tolist()
+                        else:
+                            row["hist_counts"] = row["hist_edges"] = None
+                        continue
+                    if not has:
+                        row[s] = None
+                        continue
+                    if s == "min":
+                        row[s] = float(v.min())
+                    elif s == "max":
+                        row[s] = float(v.max())
+                    elif s == "mean":
+                        row[s] = round(float(v.mean()), 6)
+                    elif s == "median":
+                        row[s] = float(np.median(v))
+                    elif s == "sum":
+                        row[s] = float(v.sum())
+                    elif s == "count":
+                        row[s] = int(len(v))
+                    elif s == "std":
+                        row[s] = round(float(v.std()), 6)
+                    elif s == "variance":
+                        row[s] = round(float(v.var()), 6)
+                    elif s == "range":
+                        row[s] = float(v.max() - v.min())
+                    elif s == "percentile_5":
+                        row[s] = round(float(np.percentile(v, 5)), 6)
+                    elif s == "percentile_95":
+                        row[s] = round(float(np.percentile(v, 95)), 6)
+                    elif s in ("majority", "minority"):
+                        uniq, cnt = np.unique(v, return_counts=True)
+                        idx = np.argmax(cnt) if s == "majority" else np.argmin(cnt)
+                        row[s] = float(uniq[idx])
+                    elif s == "unique":
+                        row[s] = int(len(np.unique(v)))
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return zones.select(zone_id, wkt_col).mapInPandas(compute, schema=out_schema)
 
 
 def zonal_stats_from_arrays(zone_values: DataFrame, group_cols: list[str],

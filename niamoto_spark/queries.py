@@ -1539,6 +1539,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_curation_pipeline": q63_curation_pipeline,
         "q64_stream_sessions": q64_stream_sessions,
         "q65_vector_import": q65_vector_import,
+        "q66_raster_zonal": q66_raster_zonal,
     }
 
 
@@ -1585,6 +1586,76 @@ O_Q65 = ("SELECT * FROM (VALUES "
              f"('{fmt}', {z}, '{n}', {w.count(',') + 1}, '{w}')"
              for fmt in ("shp", "gpkg") for z, n, w in _VEC_ZONES)
          + ") AS t(fmt, zone_id, name, n_pts, geometry_wkt)")
+
+
+_RASTER_ZONES = [
+    (1, "POLYGON ((101.0 43.0, 101.0 48.0, 104.0 48.0, 104.0 43.0, 101.0 43.0))"),
+    (2, "POLYGON ((110.0 36.0, 110.0 44.0, 118.0 44.0, 118.0 36.0, 110.0 36.0))"),
+]
+
+
+def q66_raster_zonal(spark, sf_dir):
+    """Real-.tif zonal statistics: write a deterministic GeoTIFF (pure-numpy
+    writer), explode zone pixels via raster_zone_values (each task opens the
+    raster by path — reference raster_stats.py:260-330 does this with
+    rasterio), aggregate with zonal_stats_from_arrays.  The DuckDB oracle
+    regenerates the same pixel grid with generate_series and replicates the
+    containment + stats, hash-checking reader, windowing, ray cast, and all
+    14 SQL-side stats."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from niamoto_spark.operators.geospatial import (raster_zone_values,
+                                                    zonal_stats_from_arrays)
+    from niamoto_spark.sources.raster import write_geotiff
+
+    d = tempfile.mkdtemp(prefix="niamoto_raster_")
+    tif = os.path.join(d, "grid.tif")
+    r, c = np.mgrid[0:30, 0:40]
+    write_geotiff(tif, ((c * 7 + r * 13) % 97).astype(np.int32),
+                  x0=100.0, y0=50.0, dx=0.5, dy=-0.5, compress=True)
+    zones = spark.createDataFrame(
+        pd.DataFrame(_RASTER_ZONES, columns=["zone_id", "geom"]))
+    pixels = raster_zone_values(zones.select("zone_id", "geom"), "geom", tif) \
+        .select("zone_id", "value")
+    return zonal_stats_from_arrays(pixels, ["zone_id"])
+
+
+O_Q66 = """
+WITH px AS (
+  SELECT CAST((c * 7 + r * 13) % 97 AS DOUBLE) AS value,
+         100.0 + (c + 0.5) * 0.5 AS xc,
+         50.0 - (r + 0.5) * 0.5 AS yc
+  FROM generate_series(0, 29) t1(r), generate_series(0, 39) t2(c)),
+z AS (SELECT 1 AS zone_id, 101.0 AS xmin, 104.0 AS xmax, 43.0 AS ymin, 48.0 AS ymax
+      UNION ALL
+      SELECT 2, 110.0, 118.0, 36.0, 44.0),
+j AS (SELECT z.zone_id, px.value FROM z JOIN px
+      ON px.xc > z.xmin AND px.xc < z.xmax AND px.yc > z.ymin AND px.yc < z.ymax),
+base AS (
+  SELECT zone_id,
+         round(min(value), 2) AS "min", round(max(value), 2) AS "max",
+         round(avg(value), 2) AS mean, round(median(value), 2) AS median,
+         round(sum(value), 2) AS "sum", count(value) AS "count",
+         round(stddev_samp(value), 2) AS std,
+         round(var_samp(value), 2) AS variance,
+         round(max(value) - min(value), 2) AS "range",
+         round(quantile_cont(value, 0.05), 2) AS percentile_5,
+         round(quantile_cont(value, 0.95), 2) AS percentile_95,
+         count(DISTINCT value) AS "unique"
+  FROM j GROUP BY zone_id),
+counts AS (SELECT zone_id, value, count(*) AS n FROM j GROUP BY 1, 2),
+maj AS (SELECT zone_id, value AS majority FROM
+        (SELECT *, row_number() OVER (PARTITION BY zone_id
+                   ORDER BY n DESC, value ASC) AS rn FROM counts) WHERE rn = 1),
+mino AS (SELECT zone_id, value AS minority FROM
+         (SELECT *, row_number() OVER (PARTITION BY zone_id
+                    ORDER BY n ASC, value ASC) AS rn FROM counts) WHERE rn = 1)
+SELECT base.*, maj.majority, mino.minority
+FROM base JOIN maj USING (zone_id) JOIN mino USING (zone_id)
+"""
 
 
 def build_oracles() -> dict[str, str]:
@@ -1649,6 +1720,7 @@ def build_oracles() -> dict[str, str]:
         "q61_shipping_priority": O_Q61,
         "q62_regional_revenue": O_Q62,
         "q65_vector_import": O_Q65,
+        "q66_raster_zonal": O_Q66,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

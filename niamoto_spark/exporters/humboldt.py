@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from niamoto_spark.exporters.dwc import _compile_term
+from niamoto_spark.exporters.dwc import to_dwc_occurrence
 from niamoto_spark.registry import PluginType, register
 
 # canonical Humboldt event terms the reference maps (subset)
@@ -22,7 +22,9 @@ HUMBOLDT_TERMS = (
 
 
 @register("niamoto_to_humboldt_event", PluginType.TRANSFORMER)
-def to_humboldt_event(df: DataFrame, mapping: dict[str, object]) -> DataFrame:
-    """Project source rows to Humboldt event terms per the mapping DSL."""
-    cols = [_compile_term(spec, df).alias(term) for term, spec in mapping.items()]
-    return df.select(*cols)
+def to_humboldt_event(df: DataFrame, mapping: dict[str, object],
+                      **kwargs) -> DataFrame:
+    """Project source rows to Humboldt event terms per the mapping DSL
+    (same compiler as the DwC occurrence exporter; kwargs forward the
+    taxon-join options)."""
+    return to_dwc_occurrence(df, mapping, **kwargs)

@@ -1540,6 +1540,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_stream_sessions": q64_stream_sessions,
         "q65_vector_import": q65_vector_import,
         "q66_raster_zonal": q66_raster_zonal,
+        "q67_dwc_mapping": q67_dwc_mapping,
     }
 
 
@@ -1658,6 +1659,77 @@ FROM base JOIN maj USING (zone_id) JOIN mino USING (zone_id)
 """
 
 
+def q67_dwc_mapping(spark, sf_dir):
+    """Mapping-DSL Darwin Core export: @taxon refs resolved through ONE
+    broadcast join (reference fetches occurrences per taxon,
+    niamoto_to_dwc_occurrence.py:183-225), unique-id generators with the
+    taxonId_index fallback, epithet/date extraction — all compiled to a
+    single codegen projection (exporters/dwc.py)."""
+    cust = _t(spark, sf_dir, "customer")
+    taxon = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.col("c_mktsegment"), F.lit(" "), F.lower(F.col("c_name")),
+                 F.when(F.col("c_custkey") % 3 == 0, F.lit(" var. alpha"))
+                  .otherwise(F.lit("")),
+                 F.lit(" (Anon 1901)")).alias("full_name"))
+    orders = _t(spark, sf_dir, "orders")
+    return to_dwc_occurrence(
+        orders, {
+            "occurrenceID": {"generator": "unique_occurrence_id",
+                             "params": {"prefix": "occ_",
+                                        "source_field": "@source.o_orderkey"}},
+            "identificationID": {"generator": "unique_identification_id"},
+            "scientificName": "@taxon.full_name",
+            "specificEpithet": {"generator": "extract_specific_epithet"},
+            "infraspecificEpithet": {"generator": "extract_infraspecific_epithet"},
+            "eventDate": {"generator": "format_event_date",
+                          "params": {"source_field": "@source.o_orderdate"}},
+            "year": {"generator": "extract_year",
+                     "params": {"source_field": "@source.o_orderdate"}},
+            "month": {"generator": "extract_month",
+                      "params": {"source_field": "@source.month_obs",
+                                 "date_field": "@source.o_orderdate"}},
+            "day": {"generator": "extract_day",
+                    "params": {"source_field": "@source.o_orderdate"}},
+            "occurrenceStatus": {"generator": "map_occurrence_status"},
+            "basisOfRecord": "HumanObservation",
+            "occurrenceRemarks": "@source.o_orderpriority",
+        },
+        taxon=taxon, occ_taxon_col="o_custkey", taxon_id_col="id",
+        order_col="o_orderkey")
+
+
+O_Q67 = r"""
+WITH tx AS (
+  SELECT c_custkey AS id,
+         c_mktsegment || ' ' || lower(c_name)
+           || CASE WHEN c_custkey % 3 = 0 THEN ' var. alpha' ELSE '' END
+           || ' (Anon 1901)' AS full_name
+  FROM customer),
+j AS (
+  SELECT o.*, tx.id, tx.full_name,
+         row_number() OVER (PARTITION BY tx.id ORDER BY o.o_orderkey) - 1 AS idx
+  FROM orders o LEFT JOIN tx ON o.o_custkey = tx.id)
+SELECT 'occ_' || CAST(o_orderkey AS VARCHAR) AS occurrenceID,
+       'niaid_' || CAST(id AS VARCHAR) || '_' || CAST(idx AS VARCHAR)
+         AS identificationID,
+       full_name AS scientificName,
+       split_part(regexp_replace(full_name, ' \([^)]+\)', ''), ' ', 2)
+         AS specificEpithet,
+       nullif(regexp_extract(full_name,
+              '(?:subsp\.|subvar\.|var\.|forma|f\.|race)\s+(\S+)', 1), '')
+         AS infraspecificEpithet,
+       strftime(o_orderdate, '%Y-%m-%d') AS eventDate,
+       CAST(year(o_orderdate) AS INT) AS year,
+       CAST(month(o_orderdate) AS INT) AS month,
+       CAST(day(o_orderdate) AS INT) AS day,
+       'present' AS occurrenceStatus,
+       'HumanObservation' AS basisOfRecord,
+       o_orderpriority AS occurrenceRemarks
+FROM j
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -1721,6 +1793,7 @@ def build_oracles() -> dict[str, str]:
         "q62_regional_revenue": O_Q62,
         "q65_vector_import": O_Q65,
         "q66_raster_zonal": O_Q66,
+        "q67_dwc_mapping": O_Q67,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

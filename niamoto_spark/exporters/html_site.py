@@ -1,66 +1,168 @@
 """HTML static-site sink (reference: exporters/html_page_exporter.py:
-440-707) — Jinja2 rendering of per-entity pages + an index from the group
-results table.
+440-707 export flow, 1395-1720 detail/index rendering, 1171-1260 static
+pages) — Jinja2 rendering of per-entity pages, a nav bar, an index listing,
+and optional static pages from the group results table.
 
 Site generation is presentation, not Spark work (SURVEY §2.1): widget JSON
 is already computed; rendering happens on the driver over collected rows,
-exactly like the reference.  Kept deliberately small: default templates
-render each widget JSON column as a section; custom templates can be passed
-by path."""
+exactly like the reference.  Widget payloads render by SHAPE — lists of
+objects become tables, objects become definition lists, scalars become
+paragraphs — so every widget the transform phase emits shows as content
+rather than a raw JSON dump."""
 
 from __future__ import annotations
 
 import json
 import os
+from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
 
 from niamoto_spark.registry import PluginType, register
 
-_DETAIL_TMPL = """<!doctype html><html><head><meta charset="utf-8">
-<title>{{ group }} {{ entity_id }}</title></head><body>
-<h1>{{ group }} — {{ entity_id }}</h1>
-{% for name, payload in widgets %}
-<section><h2>{{ name }}</h2><pre>{{ payload }}</pre></section>
-{% endfor %}
-<a href="../index.html">index</a></body></html>"""
+_CSS = """body{font-family:system-ui,sans-serif;margin:0;color:#222}
+nav{background:#1a5632;padding:.6rem 1rem}nav a{color:#fff;margin-right:1rem;
+text-decoration:none}main{max-width:60rem;margin:1rem auto;padding:0 1rem}
+table{border-collapse:collapse;margin:.5rem 0}td,th{border:1px solid #ccc;
+padding:.25rem .6rem;text-align:left}dl{display:grid;
+grid-template-columns:max-content 1fr;gap:.2rem .8rem}dt{font-weight:600}
+section{margin:1.25rem 0}h2{border-bottom:1px solid #ddd;padding-bottom:.2rem}
+"""
 
-_INDEX_TMPL = """<!doctype html><html><head><meta charset="utf-8">
-<title>{{ group }}</title></head><body><h1>{{ group }}</h1><ul>
-{% for eid in ids %}<li><a href="detail/{{ eid }}.html">{{ eid }}</a></li>
-{% endfor %}</ul></body></html>"""
+_BASE = """<!doctype html><html lang="{{ lang }}"><head><meta charset="utf-8">
+<title>{{ title }}</title>
+<link rel="stylesheet" href="{{ root }}assets/site.css"></head><body>
+<nav><a href="{{ root }}index.html">{{ site_name }}</a>
+{%- for item in nav %} <a href="{{ root }}{{ item.url }}">{{ item.label }}</a>
+{%- endfor %}</nav><main>{{ body }}</main></body></html>"""
+
+_DETAIL_BODY = """<h1>{{ group }} — {{ entity_id }}</h1>
+{% for w in widgets %}<section><h2>{{ w.title }}</h2>{{ w.html }}</section>
+{% endfor %}<a href="../index.html">← {{ group }} index</a>"""
+
+_INDEX_BODY = """<h1>{{ group }}</h1>
+<table><thead><tr>{% for c in columns %}<th>{{ c }}</th>{% endfor %}</tr>
+</thead><tbody>
+{% for row in rows %}<tr>{% for c in columns %}<td>
+{%- if loop.first %}<a href="detail/{{ row[c] }}.html">{{ row[c] }}</a>
+{%- else %}{{ row[c] }}{% endif %}</td>{% endfor %}</tr>
+{% endfor %}</tbody></table>"""
+
+
+def _render_value(env, v: Any) -> str:
+    """Shape-directed widget rendering (reference widget sections,
+    html_page_exporter.py:1395-1720): list[dict] -> table, dict -> <dl>,
+    list -> <ul>, scalar -> <p>."""
+    e = env.filters["e"]
+    if isinstance(v, list) and v and all(isinstance(x, Mapping) for x in v):
+        cols: list[str] = []
+        for x in v:
+            for k in x:
+                if k not in cols:
+                    cols.append(k)
+        head = "".join(f"<th>{e(str(c))}</th>" for c in cols)
+        body = "".join(
+            "<tr>" + "".join(f"<td>{e(str(x.get(c, '')))}</td>" for c in cols)
+            + "</tr>" for x in v)
+        return f"<table><thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>"
+    if isinstance(v, Mapping):
+        items = "".join(f"<dt>{e(str(k))}</dt><dd>{e(str(val))}</dd>"
+                        for k, val in v.items())
+        return f"<dl>{items}</dl>"
+    if isinstance(v, list):
+        items = "".join(f"<li>{e(str(x))}</li>" for x in v)
+        return f"<ul>{items}</ul>"
+    return f"<p>{e(str(v))}</p>"
 
 
 @register("html_page_exporter", PluginType.EXPORTER)
 def export_html_site(results: DataFrame, id_col: str, out_dir: str,
                      group_name: str = "entities",
                      detail_template: str | None = None,
-                     index_template: str | None = None) -> dict:
+                     index_template: str | None = None,
+                     index_columns: list[str] | None = None,
+                     site_name: str = "Niamoto",
+                     nav: list[Mapping[str, str]] | None = None,
+                     static_pages: Mapping[str, str] | None = None,
+                     lang: str = "en") -> dict:
+    """Render ``<out_dir>/index.html`` + ``detail/<id>.html`` per entity +
+    ``assets/site.css`` + optional static pages.
+
+    - ``index_columns``: extra columns shown in the index table (the first
+      is always the id link column).
+    - ``nav``: [{label, url}] items appended to the top bar (the
+      reference's navigation config, html_page_exporter.py:317-350).
+    - ``static_pages``: {name: html_body} -> ``<name>.html`` wrapped in the
+      site chrome (reference _process_static_pages :1171-1260).
+    Custom detail/index templates (Jinja2 source) override the body."""
     import jinja2
 
     env = jinja2.Environment(autoescape=True)
-    detail_t = env.from_string(detail_template or _DETAIL_TMPL)
-    index_t = env.from_string(index_template or _INDEX_TMPL)
+    base_t = jinja2.Environment(autoescape=False).from_string(_BASE)
+    detail_t = env.from_string(detail_template or _DETAIL_BODY) \
+        if detail_template else None
+    body_detail_t = jinja2.Environment(autoescape=False).from_string(_DETAIL_BODY)
+    body_index_t = jinja2.Environment(autoescape=False).from_string(_INDEX_BODY)
+    esc = env.filters["e"]
 
     detail_dir = os.path.join(out_dir, "detail")
+    assets_dir = os.path.join(out_dir, "assets")
     os.makedirs(detail_dir, exist_ok=True)
+    os.makedirs(assets_dir, exist_ok=True)
+    with open(os.path.join(assets_dir, "site.css"), "w") as f:
+        f.write(_CSS)
+    nav = list(nav or [])
+    for name in (static_pages or {}):
+        nav.append({"label": name.title(), "url": f"{name}.html"})
+
+    def page(path: str, title: str, body: str, depth: int) -> None:
+        html = base_t.render(title=esc(title), body=body, lang=lang,
+                             site_name=esc(site_name), nav=nav,
+                             root="../" * depth)
+        with open(path, "w") as f:
+            f.write(html)
 
     rows = results.orderBy(id_col).collect()
     ids = []
+    index_rows = []
+    idx_cols = [id_col] + [c for c in (index_columns or []) if c != id_col]
     for r in rows:
         d = r.asDict()
         eid = d.pop(id_col)
         ids.append(eid)
+        index_rows.append({c: (eid if c == id_col else d.get(c))
+                           for c in idx_cols})
         widgets = []
         for name, payload in d.items():
-            try:
-                payload = json.dumps(json.loads(payload), indent=2)
-            except (TypeError, ValueError):
-                payload = str(payload)
-            widgets.append((name, payload))
-        with open(os.path.join(detail_dir, f"{eid}.html"), "w") as f:
-            f.write(detail_t.render(group=group_name, entity_id=eid,
-                                    widgets=widgets))
-    with open(os.path.join(out_dir, "index.html"), "w") as f:
-        f.write(index_t.render(group=group_name, ids=ids))
-    return {"entities": len(ids), "out_dir": out_dir}
+            if isinstance(payload, str) and payload[:1] in "{[":
+                try:
+                    payload = json.loads(payload)
+                except (ValueError, TypeError):
+                    pass
+            widgets.append({"title": esc(name.replace("_", " ")),
+                            "html": _render_value(env, payload)})
+        if detail_t is not None:
+            body = detail_t.render(group=group_name, entity_id=eid,
+                                   widgets=widgets)
+        else:
+            body = body_detail_t.render(group=esc(group_name),
+                                        entity_id=esc(str(eid)),
+                                        widgets=widgets)
+        page(os.path.join(detail_dir, f"{eid}.html"),
+             f"{group_name} {eid}", body, depth=1)
+
+    esc_rows = [{c: esc(str(v)) if v is not None else ""
+                 for c, v in row.items()} for row in index_rows]
+    if index_template:
+        body = env.from_string(index_template).render(
+            group=group_name, ids=ids, rows=index_rows, columns=idx_cols)
+    else:
+        body = body_index_t.render(group=esc(group_name), rows=esc_rows,
+                                   columns=idx_cols)
+    page(os.path.join(out_dir, "index.html"), group_name, body, depth=0)
+
+    for name, content in (static_pages or {}).items():
+        page(os.path.join(out_dir, f"{name}.html"), name, content, depth=0)
+
+    return {"entities": len(ids), "out_dir": out_dir,
+            "static_pages": sorted(static_pages or {})}

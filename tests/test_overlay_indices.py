@@ -166,4 +166,5 @@ def test_html_site_export(tmp_path, spark):
     idx = (tmp_path / "index.html").read_text()
     assert 'detail/1.html' in idx
     page = (tmp_path / "detail" / "2.html").read_text()
-    assert "stats" in page and "&#34;mean&#34;: 7" in page
+    # dict widgets render as definition lists, not raw JSON dumps
+    assert "stats" in page and "<dt>mean</dt><dd>7</dd>" in page

@@ -187,3 +187,93 @@ def test_xlsx_gated_when_openpyxl_missing(spark, tmp_path):
     if not have:
         with pytest.raises((NotImplementedError, Exception)):
             read_xlsx(spark, str(fake))
+
+
+def test_json_api_options_minify_exclude_null_precision(tmp_path, spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1], "name": [None], "lat": [-21.6461234]}))
+    export_json_api(df, "id", str(tmp_path),
+                    json_options={"minify": True, "exclude_null": True,
+                                  "geometry_precision": 3})
+    text = (tmp_path / "detail" / "1.json").read_text()
+    assert " " not in text                      # minified separators
+    assert "name" not in text                   # null excluded
+    assert "-21.646" in text and "-21.6461234" not in text
+
+
+def test_json_api_compress_writes_gz(tmp_path, spark):
+    import gzip
+
+    df = spark.createDataFrame(pd.DataFrame({"id": [1], "v": [2]}))
+    export_json_api(df, "id", str(tmp_path), json_options={"compress": True})
+    with gzip.open(tmp_path / "detail" / "1.json.gz", "rt") as f:
+        assert json.load(f)["v"] == 2
+
+
+def test_json_api_field_mapping_and_generators(tmp_path, spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [5], "full_name": ["Araucaria columnaris (Hook.)"],
+        "meta": [json.dumps({"rank": "species", "endemic": True})]}))
+    export_json_api(
+        df, "id", str(tmp_path),
+        detail_fields=["id", {"epithet": {"generator": "extract_specific_epithet"}},
+                       {"rank": "meta.rank"}],
+        index_fields=["id", "label: full_name",
+                      {"url": {"generator": "endpoint_url"}}])
+    detail = json.loads((tmp_path / "detail" / "5.json").read_text())
+    assert detail == {"id": 5, "epithet": "columnaris", "rank": "species"}
+    idx = json.loads((tmp_path / "index_p1.json").read_text())
+    item = idx["items"][0]
+    assert item["label"] == "Araucaria columnaris (Hook.)"
+    assert item["url"] == "./detail/5.json"
+    assert item["detail_url"] == "./detail/5.json"
+
+
+def test_json_api_dict_filters_and_structure(tmp_path, spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3], "kind": ["tree", "shrub", "tree"]}))
+    m = export_json_api(
+        df, "id", str(tmp_path), filters={"kind": ["tree"]},
+        index_structure={"total_key": "count", "list_key": "{group}"},
+        group_name="plants", write_metadata=True)
+    assert m["entities"] == 2
+    idx = json.loads((tmp_path / "index_p1.json").read_text())
+    assert idx["count"] == 2
+    assert [it["id"] for it in idx["plants"]] == [1, 3]
+    meta = json.loads((tmp_path / "metadata.json").read_text())
+    assert meta["statistics"]["entities"] == 2
+
+
+def test_html_site_nav_widgets_and_static_pages(tmp_path, spark):
+    from niamoto_spark.exporters.html_site import export_html_site
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1],
+        "top_species": [json.dumps([{"name": "A. columnaris", "n": 12},
+                                    {"name": "S. acre", "n": 7}])],
+        "elevation": [650],
+    }))
+    m = export_html_site(
+        df, "id", str(tmp_path), group_name="plots", site_name="Portal",
+        index_columns=["elevation"],
+        nav=[{"label": "Docs", "url": "docs.html"}],
+        static_pages={"about": "<h1>About</h1><p>method notes</p>"})
+    # golden file tree
+    tree = sorted(p.relative_to(tmp_path).as_posix()
+                  for p in tmp_path.rglob("*") if p.is_file())
+    assert tree == ["about.html", "assets/site.css", "detail/1.html",
+                    "index.html"]
+    assert m["static_pages"] == ["about"]
+    detail = (tmp_path / "detail" / "1.html").read_text()
+    # list-of-dict widget renders as a table with a header row
+    assert "<th>name</th>" in detail and "<td>12</td>" in detail
+    # nav bar with site name + static page + custom link, root-relative
+    assert '<a href="../index.html">Portal</a>' in detail
+    assert '<a href="../docs.html">Docs</a>' in detail
+    assert '<a href="../about.html">About</a>' in detail
+    assert 'href="../assets/site.css"' in detail
+    idx = (tmp_path / "index.html").read_text()
+    assert "<th>elevation</th>" in idx and "<td>650</td>" in idx
+    assert 'detail/1.html' in idx
+    about = (tmp_path / "about.html").read_text()
+    assert "method notes" in about and 'href="assets/site.css"' in about

@@ -121,3 +121,149 @@ def test_upsert_table_key_semantics(tmp_path, spark):
     upsert_table(spark, upd, p, "id")
     got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
     assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+# ---------------------------------------------------------------------------
+# API enricher auth surface (reference api_taxonomy_enricher.py:225-304,
+# 514-533, 640-737)
+# ---------------------------------------------------------------------------
+
+class FakeServer:
+    """Records requests; enforces the auth mode it is configured with."""
+
+    def __init__(self, require=None, fail_first=0):
+        self.require = require            # fn(params, headers, cookies, basic) -> bool
+        self.requests = []
+        self.token_requests = []
+        self.fail_first = fail_first
+
+    def __call__(self, method, url, params=None, headers=None, cookies=None,
+                 basic=None, data=None):
+        from niamoto_spark.operators.enrichment import ApiError
+
+        if method == "POST":                       # token endpoint
+            self.token_requests.append(dict(data or params or {}))
+            return {"access_token": f"tok{len(self.token_requests)}",
+                    "expires_in": 3600}
+        self.requests.append({"url": url, "params": params,
+                              "headers": headers, "cookies": cookies,
+                              "basic": basic})
+        if self.fail_first > 0:
+            self.fail_first -= 1
+            raise ApiError(503, "flaky")
+        if self.require and not self.require(params, headers, cookies, basic):
+            raise ApiError(401, "unauthorized")
+        key = url.rsplit("/", 1)[-1]
+        return {"id": key, "status": "ok"}
+
+
+def test_auth_api_key_header_query_cookie():
+    from niamoto_spark.operators.enrichment import ApiAuth, http_fetcher
+
+    for loc, check in [
+        ("header", lambda p, h, c, b: h.get("X-Token") == "s3cret"),
+        ("query", lambda p, h, c, b: p.get("apikey") == "s3cret"),
+        ("cookie", lambda p, h, c, b: c.get("sid") == "s3cret"),
+    ]:
+        srv = FakeServer(require=check)
+        name = {"header": "X-Token", "query": "apikey", "cookie": "sid"}[loc]
+        auth = ApiAuth("api_key", {"key": "s3cret", "location": loc,
+                                   "name": name})
+        fetch = http_fetcher("https://api.test/t/{key}", srv, auth)
+        assert fetch("42")["status"] == "ok", loc
+
+
+def test_auth_basic_and_bearer():
+    from niamoto_spark.operators.enrichment import ApiAuth, http_fetcher
+
+    srv = FakeServer(require=lambda p, h, c, b: b == ("u", "pw"))
+    fetch = http_fetcher("https://api.test/t/{key}", srv,
+                         ApiAuth("basic", {"username": "u", "password": "pw"}))
+    assert fetch("1")["status"] == "ok"
+
+    srv2 = FakeServer(
+        require=lambda p, h, c, b: h.get("Authorization") == "Bearer abc")
+    fetch2 = http_fetcher("https://api.test/t/{key}", srv2,
+                          ApiAuth("bearer", {"token": "abc"}))
+    assert fetch2("1")["status"] == "ok"
+
+
+def test_auth_oauth2_token_flow_caches_until_expiry():
+    from niamoto_spark.operators.enrichment import ApiAuth, http_fetcher
+
+    srv = FakeServer(
+        require=lambda p, h, c, b: h.get("Authorization", "").startswith("Bearer tok"))
+    now = [1000.0]
+    auth = ApiAuth("oauth2", {"token_url": "https://id.test/token",
+                              "client_id": "cid", "client_secret": "cs",
+                              "scope": "read"},
+                   transport=srv, clock=lambda: now[0])
+    fetch = http_fetcher("https://api.test/t/{key}", srv, auth)
+    fetch("1")
+    fetch("2")
+    assert len(srv.token_requests) == 1            # token cached
+    assert srv.token_requests[0]["grant_type"] == "client_credentials"
+    assert srv.token_requests[0]["scope"] == "read"
+    now[0] += 3600                                  # past expires_in - 60
+    fetch("3")
+    assert len(srv.token_requests) == 2            # refreshed
+    assert srv.requests[-1]["headers"]["Authorization"] == "Bearer tok2"
+
+
+def test_auth_config_validation_errors():
+    from niamoto_spark.operators.enrichment import ApiAuth
+
+    with pytest.raises(ValueError, match="'key'"):
+        ApiAuth("api_key", {"location": "header", "name": "X"})
+    with pytest.raises(ValueError, match="location"):
+        ApiAuth("api_key", {"key": "k"})
+    with pytest.raises(ValueError, match="username"):
+        ApiAuth("basic", {"password": "p"})
+    with pytest.raises(ValueError, match="client_id"):
+        ApiAuth("oauth2", {"token_url": "https://id.test/t"})
+    with pytest.raises(ValueError, match="token"):
+        ApiAuth("bearer", {})
+
+
+def test_retry_backoff_then_success_and_rate_limit_interplay(spark):
+    from niamoto_spark.operators.enrichment import (ApiAuth, api_enrichment,
+                                                    http_fetcher)
+
+    srv = FakeServer(fail_first=2)
+    naps = []
+    fetch = http_fetcher("https://api.test/t/{key}", srv,
+                         ApiAuth("bearer", {"token": "abc"}),
+                         max_retries=2, backoff_s=0.25,
+                         sleeper=naps.append)
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a", "a", "b"]}))
+    out = api_enrichment(df, "k", fetch, rate_limit=1000.0,
+                         response_mapping={"ident": "id"})
+    rows = {r["k"]: json.loads(r["extra_data"]) for r in out.collect()}
+    assert rows["a"] == {"ident": "a"} and rows["b"] == {"ident": "b"}
+    assert naps == [0.25, 0.5]                     # linear backoff
+    # distinct keys only: 2 successes + the 2 retried failures
+    assert len(srv.requests) == 4
+
+
+def test_retry_gives_up_after_max(spark):
+    from niamoto_spark.operators.enrichment import (ApiError, http_fetcher)
+
+    srv = FakeServer(fail_first=99)
+    fetch = http_fetcher("https://api.test/t/{key}", srv, None,
+                         max_retries=1, backoff_s=0, sleeper=lambda s: None)
+    with pytest.raises(ApiError):
+        fetch("x")
+    assert len(srv.requests) == 2                  # initial + 1 retry
+
+
+def test_non_retryable_4xx_raises_immediately():
+    from niamoto_spark.operators.enrichment import (ApiAuth, ApiError,
+                                                    http_fetcher)
+
+    srv = FakeServer(require=lambda p, h, c, b: False)
+    fetch = http_fetcher("https://api.test/t/{key}", srv,
+                         ApiAuth("bearer", {"token": "bad"}),
+                         max_retries=3, sleeper=lambda s: None)
+    with pytest.raises(ApiError):
+        fetch("x")
+    assert len(srv.requests) == 1                  # 401 is not retried

@@ -240,3 +240,121 @@ def simplify_wkt(shapes: DataFrame, wkt_col: str,
             yield pdf
 
     return shapes.mapInPandas(simp, schema=out_schema)
+
+
+def wkt_to_topojson(wkt: str, quantization: int = 10_000) -> dict:
+    """POLYGON/MULTIPOLYGON/LINESTRING WKT -> a TopoJSON Topology dict
+    (reference shape_processor._convert_to_topojson :278-330 via the
+    topojson lib with prequantize; here a dependency-free encoder).
+
+    Per-geometry conversion like the reference (one feature per Topology),
+    so arcs are the geometry's own rings, quantized to a
+    ``quantization``-step integer grid and delta-encoded — the standard
+    TopoJSON transform/translate representation."""
+    from niamoto_spark.sources.vector import parse_wkt_nested
+
+    name, nested = parse_wkt_nested(wkt)
+    if name == "POLYGON":
+        polys = [nested]
+        gtype = "Polygon"
+    elif name == "MULTIPOLYGON":
+        polys = nested
+        gtype = "MultiPolygon"
+    elif name == "LINESTRING":
+        polys = [[nested]]
+        gtype = "LineString"
+    else:
+        raise ValueError(f"unsupported WKT type for TopoJSON: {name}")
+
+    all_pts = [p for poly in polys for ring in poly for p in ring]
+    xs = [p[0] for p in all_pts]
+    ys = [p[1] for p in all_pts]
+    x0, y0 = min(xs), min(ys)
+    q = max(quantization - 1, 1)
+    sx = (max(xs) - x0) / q or 1.0
+    sy = (max(ys) - y0) / q or 1.0
+
+    arcs = []
+    arc_index: list = []
+    for poly in polys:
+        poly_arcs = []
+        for ring in poly:
+            quant = [(round((x - x0) / sx), round((y - y0) / sy))
+                     for x, y in ring]
+            deltas = [list(quant[0])]
+            for (px, py), (cx, cy) in zip(quant, quant[1:]):
+                deltas.append([cx - px, cy - py])
+            poly_arcs.append(len(arcs))
+            arcs.append(deltas)
+        arc_index.append(poly_arcs)
+
+    if gtype == "Polygon":
+        obj_arcs = arc_index[0]
+    elif gtype == "MultiPolygon":
+        obj_arcs = arc_index
+    else:
+        obj_arcs = arc_index[0]
+    return {
+        "type": "Topology",
+        "transform": {"scale": [sx, sy], "translate": [x0, y0]},
+        "objects": {"shape": {"type": gtype, "arcs": obj_arcs}},
+        "arcs": arcs,
+        "bbox": [x0, y0, max(xs), max(ys)],
+    }
+
+
+def topojson_decode(topo: dict) -> list[list[tuple[float, float]]]:
+    """Dequantize a Topology produced by ``wkt_to_topojson`` back to
+    absolute-coordinate rings (test/verification helper)."""
+    sx, sy = topo["transform"]["scale"]
+    x0, y0 = topo["transform"]["translate"]
+    rings = []
+    for arc in topo["arcs"]:
+        cx, cy = 0, 0
+        ring = []
+        for dx, dy in arc:
+            cx += dx
+            cy += dy
+            ring.append((x0 + cx * sx, y0 + cy * sy))
+        rings.append(ring)
+    return rings
+
+
+@register("shape_topojson", PluginType.TRANSFORMER)
+def shape_topojson(shapes: DataFrame, wkt_col: str,
+                   out_col: str = "topojson",
+                   quantization: int = 10_000,
+                   simplify_epsilon_deg: float | None = None) -> DataFrame:
+    """TopoJSON output format of the reference shape_processor
+    (format='topojson', shape_processor.py:88-98,278-330): optional
+    Douglas-Peucker simplification, then per-shape Topology JSON.
+    mapInPandas — shapes partition across executors."""
+    import json as _json
+
+    out_schema = T.StructType(
+        list(shapes.schema.fields)
+        + [T.StructField(out_col, T.StringType(), True)])
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for wkt in pdf[wkt_col]:
+                if not wkt:
+                    outs.append(None)
+                    continue
+                if simplify_epsilon_deg:
+                    rings = parse_polygon_wkt(wkt)
+                    if rings:
+                        ring = douglas_peucker(rings[0], simplify_epsilon_deg)
+                        if len(ring) >= 4:
+                            wkt = _ring_to_wkt(ring)
+                try:
+                    outs.append(_json.dumps(
+                        wkt_to_topojson(wkt, quantization), sort_keys=True))
+                except ValueError:
+                    outs.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            yield pdf
+
+    return shapes.mapInPandas(conv, schema=out_schema)

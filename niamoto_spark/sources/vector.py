@@ -471,15 +471,15 @@ def write_gpkg(path: str, layer: str, records: list[dict[str, Any]],
         con.close()
 
 
-def _wkt_to_wkb_simple(wkt: str) -> bytes:
-    """POINT/LINESTRING/POLYGON/MULTIPOLYGON WKT -> little-endian WKB
-    (fixture writer's inverse of wkb_to_wkt)."""
+def parse_wkt_nested(wkt: str) -> tuple[str, Any]:
+    """WKT -> (TYPE, nested coordinate lists): POINT -> (x, y), LINESTRING
+    -> [(x, y), ...], POLYGON -> [ring, ...], MULTIPOLYGON -> [[ring, ...],
+    ...].  Shared by the WKB fixture writer and the TopoJSON encoder."""
     wkt = wkt.strip()
     name = wkt.split("(", 1)[0].strip().upper()
     body = wkt[wkt.index("("):]
 
     def parse_group(s: str):
-        """Nested parenthesized coordinate text -> nested lists."""
         s = s.strip()
         assert s[0] == "(" and s[-1] == ")"
         inner = s[1:-1].strip()
@@ -499,7 +499,13 @@ def _wkt_to_wkb_simple(wkt: str) -> bytes:
                     groups.append(parse_group(inner[start:i + 1]))
         return groups
 
-    g = parse_group(body)
+    return name, parse_group(body)
+
+
+def _wkt_to_wkb_simple(wkt: str) -> bytes:
+    """POINT/LINESTRING/POLYGON/MULTIPOLYGON WKT -> little-endian WKB
+    (fixture writer's inverse of wkb_to_wkt)."""
+    name, g = parse_wkt_nested(wkt)
     if name == "POINT":
         return struct.pack("<BI2d", 1, 1, *g)
     if name == "LINESTRING":

@@ -81,6 +81,14 @@ def test_fragmentation_meff(spark):
     assert r["largest_patch_index"] == 70.0
 
 
-def test_raster_stats_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        geo.raster_stats()
+def test_raster_stats_rejects_unknown_stats(spark):
+    # raster_stats is real since round 2 (tests/test_raster.py covers the
+    # numeric parity); config validation still fails fast
+    df = spark.createDataFrame([(1, "POLYGON ((0 0, 0 1, 1 1, 0 0))")],
+                               "zone_id int, geom string")
+    with pytest.raises(ValueError, match="unknown raster stats"):
+        geo.raster_stats(df, "zone_id", "geom", "/nonexistent.tif",
+                         stats=["min", "bogus"])
+    with pytest.raises(ValueError, match="area_unit"):
+        geo.raster_stats(df, "zone_id", "geom", "/nonexistent.tif",
+                         area_unit="acres")

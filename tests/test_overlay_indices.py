@@ -168,3 +168,54 @@ def test_html_site_export(tmp_path, spark):
     page = (tmp_path / "detail" / "2.html").read_text()
     # dict widgets render as definition lists, not raw JSON dumps
     assert "stats" in page and "<dt>mean</dt><dd>7</dd>" in page
+
+
+def test_topojson_roundtrip_polygon():
+    from niamoto_spark.operators.overlay import (topojson_decode,
+                                                 wkt_to_topojson)
+
+    wkt = ("POLYGON ((166.0 -22.0, 166.0 -21.0, 167.0 -21.0, 167.0 -22.0, "
+           "166.0 -22.0), (166.2 -21.8, 166.4 -21.8, 166.4 -21.6, "
+           "166.2 -21.6, 166.2 -21.8))")
+    topo = wkt_to_topojson(wkt, quantization=100_000)
+    assert topo["type"] == "Topology"
+    assert topo["objects"]["shape"]["type"] == "Polygon"
+    assert topo["objects"]["shape"]["arcs"] == [0, 1]   # outer + hole arcs
+    rings = topojson_decode(topo)
+    assert len(rings) == 2
+    for x, y in rings[0]:
+        # quantization error bounded by one grid step
+        assert abs(x - round(x, 1)) < 1e-4 and abs(y - round(y, 1)) < 1e-4
+    assert rings[0][0] == pytest.approx((166.0, -22.0), abs=1e-4)
+    assert topo["bbox"] == [166.0, -22.0, 167.0, -21.0]
+
+
+def test_topojson_multipolygon_structure():
+    from niamoto_spark.operators.overlay import wkt_to_topojson
+
+    wkt = ("MULTIPOLYGON (((0.0 0.0, 0.0 1.0, 1.0 1.0, 0.0 0.0)), "
+           "((5.0 5.0, 5.0 6.0, 6.0 6.0, 5.0 5.0)))")
+    topo = wkt_to_topojson(wkt)
+    assert topo["objects"]["shape"]["type"] == "MultiPolygon"
+    assert topo["objects"]["shape"]["arcs"] == [[0], [1]]
+    assert len(topo["arcs"]) == 2
+    # delta encoding: first entry absolute, rest deltas summing to closure
+    for arc in topo["arcs"]:
+        assert sum(d[0] for d in arc[1:]) == 0
+        assert sum(d[1] for d in arc[1:]) == 0
+
+
+def test_shape_topojson_operator(spark):
+    import json as _json
+
+    from niamoto_spark.operators.overlay import shape_topojson
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "shape_id": [1, 2],
+        "geom": ["POLYGON ((0.0 0.0, 0.0 2.0, 2.0 2.0, 2.0 0.0, 0.0 0.0))",
+                 None]}))
+    rows = {r["shape_id"]: r["topojson"]
+            for r in shape_topojson(df, "geom").collect()}
+    topo = _json.loads(rows[1])
+    assert topo["objects"]["shape"]["type"] == "Polygon"
+    assert rows[2] is None

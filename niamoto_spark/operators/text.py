@@ -14,7 +14,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from niamoto_spark.functions import token_count
+from niamoto_spark.functions import (fan_out, token_array, token_count,
+                                     word_shingles)
 from niamoto_spark.registry import PluginType, register
 
 # Marker-word tables for the n-gram/stopword language heuristic.  Any real
@@ -258,3 +259,120 @@ def doc_fingerprint(df: DataFrame, text_col: str,
     (md5 is standard)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumn(out_col, F.md5(norm))
+
+
+@register("decontaminate", PluginType.TRANSFORMER)
+def decontaminate(docs: DataFrame, id_col: str, text_col: str,
+                  benchmark: DataFrame, bench_text_col: str,
+                  ngram: int = 13, min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination for training corpora: flag documents that
+    share >= ``min_hits`` distinct word ``ngram``-grams with a benchmark /
+    eval set (the standard 13-gram test-set-overlap rule used for LLM
+    pretraining data).
+
+    Scale design: both sides explode to distinct shingles; the join key is
+    the shingle STRING (at 100 TB, hash it first with xxhash64 to shrink
+    the shuffle — kept as text here so the DuckDB oracle can replicate the
+    join exactly).  The benchmark side is small by nature and broadcasts;
+    the corpus side aggregates hit counts per doc — docs without overlap
+    never survive the inner join, so the output lists contaminated docs
+    only (left-anti against it = the clean corpus).
+
+    Output: (id, n_hits) per contaminated document.
+    """
+    d = fan_out(docs)
+    doc_grams = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            word_shingles(F.lower(F.col(text_col)), ngram))).alias("gram"))
+    bench_grams = (benchmark.select(
+        F.explode(F.array_distinct(
+            word_shingles(F.lower(F.col(bench_text_col)), ngram)))
+        .alias("gram")).distinct())
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .where(F.col("n_hits") >= min_hits))
+    return hits.select(F.col("doc_id").alias(id_col), "n_hits")
+
+
+def decontaminate_keep(docs: DataFrame, id_col: str, text_col: str,
+                       benchmark: DataFrame, bench_text_col: str,
+                       **kwargs) -> DataFrame:
+    """Corpus with contaminated documents removed (left-anti join against
+    the contamination list)."""
+    bad = decontaminate(docs, id_col, text_col, benchmark, bench_text_col,
+                        **kwargs).select(id_col)
+    return docs.join(bad, id_col, "left_anti")
+
+
+@register("repetition_stats", PluginType.TRANSFORMER)
+def repetition_stats(df: DataFrame, text_col: str,
+                     id_col: str | None = None) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    table A1): duplicate-line fraction, duplicate-paragraph fraction, and
+    top-bigram fraction — the workhorse filters against boilerplate and
+    spam in web corpora.
+
+    Line/paragraph fractions are single-projection higher-order-function
+    expressions.  The top-bigram count explodes bigrams and aggregates
+    twice ((doc, gram) counts -> per-doc max) — LINEAR in document length;
+    the in-array alternative (filter per distinct gram) is O(n^2) per doc
+    and measurably melts on real document sizes.
+
+    - dup_line_frac: 1 - distinct(lines)/count(lines)
+    - dup_para_frac: same over blank-line-separated paragraphs
+    - top_bigram_frac: occurrences of the most frequent word bigram * 2 /
+      token count (0 when fewer than 2 tokens)
+    """
+    if id_col is None:
+        df = df.withColumn("__rid", F.monotonically_increasing_id())
+        id_col = "__rid"
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    paras = F.filter(F.split(text, r"\n\s*\n"),
+                     lambda p: F.length(F.trim(p)) > 0)
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(n > 0,
+                      F.round(1.0 - F.size(F.array_distinct(arr)) / n, 4)) \
+                .otherwise(F.lit(0.0))
+
+    toks = token_array(F.lower(text))
+    base = (df.withColumn("dup_line_frac", dup_frac(lines))
+              .withColumn("dup_para_frac", dup_frac(paras))
+              .withColumn("__ntok", F.size(toks)))
+    big = df.select(F.col(id_col).alias("__bid"),
+                    F.explode(word_shingles(F.lower(text), 2)).alias("gram"))
+    top = (big.groupBy("__bid", "gram").agg(F.count(F.lit(1)).alias("__n"))
+              .groupBy("__bid").agg(F.max("__n").alias("__top")))
+    out = base.join(top, base[id_col] == top["__bid"], "left")
+    top_frac = F.when(F.col("__ntok") >= 2,
+                      F.round(F.col("__top") * 2.0 / F.col("__ntok"), 4)) \
+                .otherwise(F.lit(0.0))
+    return (out.withColumn("top_bigram_frac", F.coalesce(top_frac, F.lit(0.0)))
+               .drop("__bid", "__top", "__ntok",
+                     *(["__rid"] if id_col == "__rid" else [])))
+
+
+@register("stratified_sample", PluginType.TRANSFORMER)
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      rates: Mapping[str, float],
+                      default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing primitive of
+    training-data pipelines (sample web at 30%, keep books at 100%, ...).
+
+    Engine-independent determinism: a row is kept when the first 8 hex
+    digits of md5(id) fall under rate * 2^32.  Unlike rand()-based
+    sampleBy, the SAME rows are selected on any engine, any partitioning,
+    any run — so the DuckDB oracle replicates the exact selection, resumed
+    jobs pick identical samples, and changing one rate never reshuffles
+    another stratum's selection.
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("bigint")
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.where(bucket < rate * F.lit(float(2 ** 32)))

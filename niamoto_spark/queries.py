@@ -1541,6 +1541,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_vector_import": q65_vector_import,
         "q66_raster_zonal": q66_raster_zonal,
         "q67_dwc_mapping": q67_dwc_mapping,
+        "q68_decontamination": q68_decontamination,
+        "q69_repetition_stats": q69_repetition_stats,
+        "q70_stratified_sample": q70_stratified_sample,
     }
 
 
@@ -1730,6 +1733,122 @@ FROM j
 """
 
 
+def q68_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing >=1 distinct 5-gram with the
+    'benchmark' slice (doc_id < 20) are flagged with their hit count — the
+    standard LLM test-set-overlap rule (13-gram in production; 5 here so
+    synthetic docs overlap)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 20).select("text")
+    return text_ops.decontaminate(d, "doc_id", "text", bench, "text", ngram=5)
+
+
+O_Q68 = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+  FROM tok WHERE len(t) >= 5),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM idx),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20)
+SELECT g.doc_id, count(*) AS n_hits
+FROM grams g JOIN bench USING (gram)
+GROUP BY g.doc_id HAVING count(*) >= 1
+"""
+
+
+def q69_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters (dup-line/dup-paragraph/top-bigram
+    fractions).  Docs with doc_id % 3 = 0 get their text doubled through a
+    newline so the duplicate-line path is exercised on single-line
+    synthetic text."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = d.withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\n"), F.col("text")))
+         .otherwise(F.col("text")))
+    return text_ops.repetition_stats(d.select("doc_id", "text2"), "text2",
+                                     id_col="doc_id") \
+        .select("doc_id", "dup_line_frac", "dup_para_frac", "top_bigram_frac")
+
+
+O_Q69 = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+              ELSE text END AS text2
+  FROM documents WHERE doc_id < 200),
+lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text2, chr(10)),
+                     l -> length(trim(l)) > 0) AS ls,
+         list_filter(regexp_split_to_array(text2, '\n\s*\n'),
+                     p -> length(trim(p)) > 0) AS ps
+  FROM d),
+fracs AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) > 0
+              THEN round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 4)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN len(ps) > 0
+              THEN round(1.0 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps), 4)
+              ELSE 0.0 END AS dup_para_frac
+  FROM lines),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text2)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text2)), '\s+') END AS t
+  FROM d),
+bidx AS (
+  SELECT doc_id, t, unnest(range(1, len(t))) AS i
+  FROM tok WHERE len(t) >= 2),
+big AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM bidx),
+top AS (
+  SELECT doc_id, max(n) AS top_n FROM
+    (SELECT doc_id, gram, count(*) AS n FROM big GROUP BY 1, 2)
+  GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id,
+         CASE WHEN len(tok.t) >= 2
+              THEN round(top.top_n * 2.0 / len(tok.t), 4) ELSE 0.0 END
+           AS top_bigram_frac
+  FROM tok LEFT JOIN top ON tok.doc_id = top.doc_id)
+SELECT f.doc_id, f.dup_line_frac, f.dup_para_frac,
+       coalesce(tf.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM fracs f JOIN tf ON f.doc_id = tf.doc_id
+"""
+
+
+def q70_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixing sample: md5-bucket thresholds per source
+    (src0 30%, src1 100%, default 50%) — the same rows select on ANY
+    engine/partitioning, which is why the DuckDB oracle can replicate the
+    exact selection (rand()-based sampleBy could never hash-match)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text_ops.stratified_sample(d, "doc_id", "source",
+                                     {"src0": 0.3, "src1": 1.0},
+                                     default_rate=0.5)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"),
+                                     F.min("doc_id").alias("first_id"))
+
+
+O_Q70 = """
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        < CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 1.0
+          ELSE 0.5 END * 4294967296.0)
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_id
+FROM kept GROUP BY source
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -1794,6 +1913,9 @@ def build_oracles() -> dict[str, str]:
         "q65_vector_import": O_Q65,
         "q66_raster_zonal": O_Q66,
         "q67_dwc_mapping": O_Q67,
+        "q68_decontamination": O_Q68,
+        "q69_repetition_stats": O_Q69,
+        "q70_stratified_sample": O_Q70,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -51,13 +51,18 @@ def read_csv_auto(spark: SparkSession, path: str, header: bool = True,
 
 
 def read_xlsx(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
+    """XLSX scan (reference profiler.py:219-259 via pandas/openpyxl).
+    openpyxl when available; otherwise the pure-python stdlib parser in
+    sources/xlsx.py — no dependency gate either way."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as e:  # openpyxl missing
-        raise NotImplementedError(f"xlsx reading needs openpyxl: {e}") from e
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        from niamoto_spark.sources.xlsx import read_xlsx_native
+
+        return read_xlsx_native(spark, path, sheet)
 
 
 def _geojson_geom_to_wkt(geom: dict) -> str:

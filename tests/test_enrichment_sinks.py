@@ -267,3 +267,47 @@ def test_non_retryable_4xx_raises_immediately():
     with pytest.raises(ApiError):
         fetch("x")
     assert len(srv.requests) == 1                  # 401 is not retried
+
+
+def test_partitioned_upsert_touches_only_affected_buckets(tmp_path, spark):
+    from niamoto_spark.sources.sinks import (read_partitioned_table,
+                                             upsert_table_partitioned,
+                                             write_partitioned_table)
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(pd.DataFrame(
+        {"id": range(100), "v": [0] * 100}))
+    write_partitioned_table(base, path, "id", num_buckets=8)
+    assert len([d for d in os.listdir(path) if d.startswith("_bucket=")]) == 8
+
+    before = {d: sorted(os.listdir(os.path.join(path, d)))
+              for d in os.listdir(path) if d.startswith("_bucket=")}
+    updates = spark.createDataFrame(pd.DataFrame(
+        {"id": [3, 7], "v": [99, 98]}))
+    touched = upsert_table_partitioned(spark, updates, path, "id",
+                                       num_buckets=8)
+    assert 1 <= len(touched) <= 2                   # at most 2 buckets rewritten
+    after = {d: sorted(os.listdir(os.path.join(path, d)))
+             for d in os.listdir(path) if d.startswith("_bucket=")}
+    unchanged = [d for d in before
+                 if int(d.split("=")[1]) not in touched]
+    for d in unchanged:
+        assert before[d] == after[d]                # untouched buckets intact
+    out = read_partitioned_table(spark, path)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert len(got) == 100
+    assert got[3] == 99 and got[7] == 98 and got[5] == 0
+
+
+def test_partitioned_upsert_inserts_new_keys(tmp_path, spark):
+    from niamoto_spark.sources.sinks import (read_partitioned_table,
+                                             upsert_table_partitioned)
+
+    path = str(tmp_path / "tbl2")
+    first = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "v": [10, 20]}))
+    upsert_table_partitioned(spark, first, path, "id", num_buckets=4)
+    second = spark.createDataFrame(pd.DataFrame({"id": [2, 3], "v": [21, 30]}))
+    upsert_table_partitioned(spark, second, path, "id", num_buckets=4)
+    got = {r["id"]: r["v"] for r in
+           read_partitioned_table(spark, path).collect()}
+    assert got == {1: 10, 2: 21, 3: 30}

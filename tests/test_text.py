@@ -89,3 +89,61 @@ def test_pack_sequences(spark):
     assert (rows[1]["offset"], rows[1]["pack_first"], rows[1]["pack_last"]) == (0, 0, 0)
     assert (rows[2]["offset"], rows[2]["pack_first"], rows[2]["pack_last"]) == (3, 0, 1)
     assert (rows[3]["offset"], rows[3]["pack_first"], rows[3]["pack_last"]) == (7, 1, 2)
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps over the lazy dog tonight",
+                 "a completely unrelated piece of text here",
+                 "we saw the quick brown fox jumps over the fence"]}))
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"text": ["witnesses said the quick brown fox jumps over things"]}))
+    hit = {r["doc_id"]: r["n_hits"] for r in
+           tx.decontaminate(docs, "doc_id", "text", bench, "text",
+                              ngram=5).collect()}
+    assert 1 in hit and 3 in hit and 2 not in hit
+    kept = tx.decontaminate_keep(docs, "doc_id", "text", bench, "text",
+                                   ngram=5)
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+
+
+def test_repetition_stats_goldens(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["buy now\nbuy now\nbuy now\nlimited offer",     # 3/4 dup lines
+                 "alpha beta\n\ngamma delta",                     # clean
+                 "spam spam spam spam spam spam"]}))              # 1 bigram
+    rows = {r["doc_id"]: r for r in
+            tx.repetition_stats(docs, "text", id_col="doc_id").collect()}
+    assert rows[1]["dup_line_frac"] == pytest.approx(0.5)     # 4 lines, 2 distinct
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["dup_para_frac"] == 0.0
+    # "spam spam" appears 5 times among 6 tokens -> 5*2/6
+    assert rows[3]["top_bigram_frac"] == pytest.approx(round(10 / 6, 4))
+    assert rows[1]["top_bigram_frac"] == pytest.approx(round(3 * 2 / 8, 4))
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    import hashlib
+
+    pdf = pd.DataFrame({"doc_id": range(2000),
+                        "src": ["web"] * 1000 + ["books"] * 1000})
+    df = spark.createDataFrame(pdf)
+    out = tx.stratified_sample(df, "doc_id", "src",
+                                 {"web": 0.3, "books": 1.0})
+    got = out.groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in got}
+    assert counts["books"] == 1000                  # rate 1.0 keeps all
+    assert 230 <= counts["web"] <= 370              # ~30% of 1000
+    # engine-independent selection: replicate with hashlib
+    expect_web = sum(
+        1 for i in range(1000)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        < 0.3 * 2 ** 32)
+    assert counts["web"] == expect_web
+    # rerun -> identical selection
+    again = tx.stratified_sample(df, "doc_id", "src",
+                                   {"web": 0.3, "books": 1.0})
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())

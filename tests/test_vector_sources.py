@@ -147,3 +147,47 @@ def test_import_pipeline_reads_shp_and_gpkg(tmp_path, spark):
     assert {r["geometry_wkt"] for r in plots.collect()} == \
         {"POINT (166.45 -22.18)", "POINT (165.3 -21.5)"}
     assert provs.collect()[0]["geometry_wkt"] == POLY1
+
+
+# ---------------------------------------------------------------------------
+# XLSX (pure-python stdlib parser, sources/xlsx.py)
+# ---------------------------------------------------------------------------
+
+def test_xlsx_roundtrip(tmp_path, spark):
+    from niamoto_spark.sources import xlsx
+    from niamoto_spark.sources.files import read_xlsx
+
+    path = str(tmp_path / "plots.xlsx")
+    xlsx.write_xlsx(path, [
+        ["plot_id", "name", "elevation", "active"],
+        [1, "Plot A", 250.5, True],
+        [2, "Côte <est>", 800.0, False],
+    ])
+    assert xlsx.list_sheets(path) == ["Sheet1"]
+    rows = {r["plot_id"]: r for r in read_xlsx(spark, path).collect()}
+    assert rows[1.0]["name"] == "Plot A"
+    assert rows[2.0]["name"] == "Côte <est>"        # xml escaping
+    assert rows[1.0]["elevation"] == 250.5
+    assert rows[1.0]["active"] is True and rows[2.0]["active"] is False
+
+
+def test_xlsx_sparse_and_headerless(tmp_path, spark):
+    from niamoto_spark.sources.xlsx import read_xlsx_native, read_xlsx_rows
+
+    path = str(tmp_path / "sparse.xlsx")
+    from niamoto_spark.sources import xlsx
+    xlsx.write_xlsx(path, [["a", None, "c"], [1, 2, None]])
+    rows = read_xlsx_rows(path)
+    assert rows == [["a", None, "c"], [1.0, 2.0, None]]
+    df = read_xlsx_native(spark, path, header=False)
+    assert df.columns == ["col0", "col1", "col2"]
+    assert df.count() == 2
+
+
+def test_xlsx_named_sheet_missing(tmp_path):
+    from niamoto_spark.sources import xlsx
+
+    path = str(tmp_path / "one.xlsx")
+    xlsx.write_xlsx(path, [["x"], [1]])
+    with pytest.raises(ValueError, match="not in"):
+        xlsx.read_xlsx_rows(path, sheet="Nope")

@@ -19,8 +19,9 @@ from pyspark.sql import functions as F
 
 from niamoto_spark.operators.components import dedup_keep_components
 from niamoto_spark.operators.dedup import dedup_exact_keep, minhash_lsh_candidates
-from niamoto_spark.operators.text import (lang_id, pack_sequences, scrub_text,
-                                          text_quality)
+from niamoto_spark.operators.text import (decontaminate_keep, lang_id,
+                                          pack_sequences, repetition_stats,
+                                          scrub_text, text_quality)
 from niamoto_spark.registry import PluginType, register
 
 
@@ -35,6 +36,14 @@ class CurationConfig:
     shingle_k: int = 3
     scrub: bool = True
     seq_len: int = 2048
+    # Gopher repetition thresholds (Rae et al. 2021 table A1 defaults)
+    max_dup_line_frac: float = 0.3
+    max_dup_para_frac: float = 0.3
+    max_top_bigram_frac: float = 0.2
+    # benchmark DataFrame + text column for the decontamination stage
+    benchmark_df: object = None
+    benchmark_text_col: str = "text"
+    decontaminate_ngram: int = 13
     stages: list[str] = field(default_factory=lambda: [
         "quality", "exact_dedup", "near_dedup", "language", "scrub", "pack"])
 
@@ -94,6 +103,21 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
     def run_scrub(d: DataFrame) -> DataFrame:
         return scrub_text(d, text_col) if cfg.scrub else d  # 1:1, no stats row
 
+    def run_repetition(d: DataFrame) -> DataFrame:
+        scored = repetition_stats(d, text_col, id_col=id_col)
+        kept = scored.where(
+            (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
+            & (F.col("dup_para_frac") <= cfg.max_dup_para_frac)
+            & (F.col("top_bigram_frac") <= cfg.max_top_bigram_frac))
+        return account("repetition", d, kept)
+
+    def run_decontaminate(d: DataFrame) -> DataFrame:
+        if cfg.benchmark_df is None:
+            raise ValueError("decontaminate stage needs cfg.benchmark_df")
+        return account("decontaminate", d, decontaminate_keep(
+            d, id_col, text_col, cfg.benchmark_df, cfg.benchmark_text_col,
+            ngram=cfg.decontaminate_ngram))
+
     def run_pack(d: DataFrame) -> DataFrame:
         packs = pack_sequences(d, id_col, text_col, seq_len=cfg.seq_len)
         return d.join(packs.select(id_col, "offset", "pack_first",
@@ -101,7 +125,9 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
 
     dispatch = {"quality": run_quality, "exact_dedup": run_exact,
                 "near_dedup": run_near, "language": run_language,
-                "scrub": run_scrub, "pack": run_pack}
+                "scrub": run_scrub, "pack": run_pack,
+                "repetition": run_repetition,
+                "decontaminate": run_decontaminate}
     # stages run in the CONFIGURED order (e.g. scrub-before-quality scores
     # the scrubbed text) — not a fixed canonical order
     for stage in cfg.stages:

@@ -143,11 +143,22 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_dedup_keep(df: DataFrame, id_col: str, text_col: str,
+                       exact_components: bool = False,
                        **kwargs) -> DataFrame:
-    """Corpus minus near-duplicates: for every candidate pair above the
-    threshold, drop the higher id (greedy union-by-min via one pass —
-    approximate connected components; exact CC would iterate)."""
+    """Corpus minus near-duplicates.
+
+    Default (greedy): for every candidate pair above the threshold, drop
+    the higher id — one pass, but a chain a~b, b~c with a!~c drops c even
+    though only b linked them.  ``exact_components=True`` resolves
+    duplicate CLUSTERS by label-propagation connected components
+    (operators/components.py) and keeps exactly one doc (min id) per
+    component — the correct cluster semantics, a few bounded join
+    iterations."""
     pairs = minhash_lsh_candidates(df, id_col, text_col, **kwargs)
+    if exact_components:
+        from niamoto_spark.operators.components import dedup_keep_components
+
+        return dedup_keep_components(df, pairs, id_col)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 
@@ -223,12 +234,38 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 @register("ngram_jaccard", PluginType.TRANSFORMER)
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.3,
-                        block_col: str | None = None) -> DataFrame:
-    """Exact word n-gram Jaccard similarity for pairs within a blocking key
-    (``block_col``; default: all pairs — quadratic, use blocks at scale).
+                        block_col: str | None = None,
+                        prefilter: str = "none") -> DataFrame:
+    """Exact word n-gram Jaccard similarity for candidate pairs.
+
+    Candidate strategies:
+    - ``block_col``: pairs within a blocking key (exact within blocks).
+    - ``prefilter='minhash'``: MinHash-LSH candidates first, then EXACT
+      Jaccard verification on that pair set — the scale path when no
+      natural blocking key exists (all-pairs without either is quadratic
+      and only acceptable on small verification sets).  Recall follows the
+      LSH banding curve; verified similarities are exact.
 
     Output: (id_a, id_b, jaccard).
     """
+    if prefilter == "minhash" and block_col is None:
+        grams_df = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))
+             .alias("grams"))
+        cand = minhash_lsh_candidates(df, id_col, text_col, shingle_k=n,
+                                      jaccard_threshold=0.0)
+        a = grams_df.select(F.col("doc_id").alias("id_a"),
+                            F.col("grams").alias("g_a"))
+        b = grams_df.select(F.col("doc_id").alias("id_b"),
+                            F.col("grams").alias("g_b"))
+        pairs = cand.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("g_a", "g_b"))
+        union = F.size(F.array_union("g_a", "g_b"))
+        jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        return (pairs.withColumn("jaccard", F.round(jac, 4))
+                     .where(F.col("jaccard") >= threshold)
+                     .select("id_a", "id_b", "jaccard"))
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         *([F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")]),

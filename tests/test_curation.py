@@ -42,3 +42,28 @@ def test_curation_stage_subset(spark):
         CurationConfig(stages=["exact_dedup"]))
     assert [r["stage"] for r in stats.collect()] == ["exact_dedup"]
     assert curated.count() == 5
+
+
+def test_curation_repetition_and_decontaminate_stages(spark):
+    import pandas as pd
+
+    from niamoto_spark.operators.curation import CurationConfig, curate_corpus
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["useful clean document with plenty of varied words inside",
+                 "spam spam spam spam spam spam spam spam spam spam",
+                 "the secret benchmark answer is forty two exactly here"]}))
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"text": ["the secret benchmark answer is forty two"]}))
+    cfg = CurationConfig(
+        stages=["repetition", "decontaminate"],
+        # 9-token docs with all-unique bigrams score 2/9 ~ 0.22, so the
+        # production 0.2 default would drop them; 0.3 isolates the spam doc
+        max_top_bigram_frac=0.3,
+        benchmark_df=bench, decontaminate_ngram=5)
+    kept, stats = curate_corpus(docs, "doc_id", "text", cfg)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    st = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in stats.collect()}
+    assert st["repetition"] == (3, 2)       # spam doc dropped
+    assert st["decontaminate"] == (2, 1)    # benchmark doc dropped

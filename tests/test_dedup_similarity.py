@@ -167,3 +167,34 @@ def test_embedding_near_dup_bucketed_matches_bruteforce(spark):
                                              threshold=0.9,
                                              n_centroids=n_cent).collect()}
         assert got == expected, f"n_centroids={n_cent}"
+
+
+def test_ngram_jaccard_minhash_prefilter_finds_planted_pair(docs):
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                       threshold=0.3).collect()}
+    pre = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                     threshold=0.3,
+                                     prefilter="minhash").collect()}
+    # verified similarities are exact where candidates survive the LSH
+    for k, v in pre.items():
+        assert exact[k] == v
+    assert (1, 2) in pre or (1, 4) in pre
+
+
+def test_minhash_dedup_keep_exact_components(spark):
+    # chain: 1~2, 2~3 (via shared phrases), 4 unrelated
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "alpha beta gamma delta theta eta"),
+            (4, "completely different words entirely here now")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kept = dedup.minhash_dedup_keep(df, "doc_id", "text",
+                                    exact_components=True,
+                                    num_hashes=64, bands=32, shingle_k=1,
+                                    jaccard_threshold=0.5)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 4 in ids                 # unrelated survives
+    assert 1 in ids                 # component keeper = min id
+    assert ids.isdisjoint({2, 3})   # rest of the cluster dropped

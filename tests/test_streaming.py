@@ -64,3 +64,44 @@ def test_stream_static_anti_join_dedup(spark, tmp_path):
         {"doc_id": [1, 2], "text": ["already seen", "brand new"]}))
     kept = dedup_stream_against_corpus(docs, corpus).collect()
     assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Append-mode window aggregate with a 2h watermark across two
+    availableNow runs sharing a checkpoint: a row arriving AFTER its
+    window's watermark expired is DROPPED — the late-data contract the
+    engine promises for 100-TB streams (state stays bounded)."""
+    from niamoto_spark.streaming.events import (read_events_stream,
+                                                windowed_event_counts)
+
+    path = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch(pdf):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+        agg = windowed_event_counts(read_events_stream(spark, path), "1 hour")
+        # file sink: the only built-in sink that supports checkpoint
+        # recovery across restarts (memory sink refuses)
+        q = (agg.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    base = {"event_id": [1, 2, 3], "user_id": [1, 1, 1],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 1.0, 1.0]}
+    run_batch(pd.DataFrame(dict(base, ts=pd.to_datetime(
+        ["2024-01-01 10:10", "2024-01-01 10:40",
+         "2024-01-01 20:00"]))))       # 20:00 advances watermark to 18:00
+    # second run: one VALID new event (21:00) + one LATE event for the
+    # long-closed 10:00 window
+    run_batch(pd.DataFrame({"event_id": [4, 5], "user_id": [1, 1],
+                            "event_type": ["click", "click"],
+                            "value": [1.0, 1.0],
+                            "ts": pd.to_datetime(["2024-01-01 21:00",
+                                                  "2024-01-01 10:50"])}))
+    rows = {r["window_start"].hour: r["n_events"]
+            for r in spark.read.parquet(out).collect()}
+    assert rows.get(10) == 2           # late 10:50 row NOT counted

@@ -176,8 +176,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """
     from niamoto_spark.functions import token_array
 
-    from niamoto_spark.functions import fan_out
-
     df = fan_out(df)
     toks = token_array(F.lower(F.col(text_col)))
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))

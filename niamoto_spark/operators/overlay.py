@@ -102,6 +102,77 @@ def _ring_to_wkt(ring: np.ndarray) -> str:
     return f"POLYGON (({pts}))"
 
 
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (possibly concave) ring —
+    O(n^2), fine for zone polygons (O(10^2-10^3) vertices).  Returns closed
+    triangle rings whose union is the polygon and whose interiors are
+    disjoint, so per-triangle clipped areas SUM to the true intersection
+    area."""
+    pts = ring[:-1] if np.allclose(ring[0], ring[-1]) else ring
+    pts = np.asarray(pts, dtype=float)
+    area2 = np.sum(pts[:, 0] * np.roll(pts[:, 1], -1)
+                   - np.roll(pts[:, 0], -1) * pts[:, 1])
+    if area2 < 0:
+        pts = pts[::-1]
+
+    def cross(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    def in_tri(p, a, b, c):
+        # inside OR on the boundary: a reflex vertex lying exactly on a
+        # candidate ear's diagonal must BLOCK the ear (the polygon chain
+        # continues through it), so the test is inclusive
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        return d1 >= -1e-12 and d2 >= -1e-12 and d3 >= -1e-12
+
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+    stuck = 0
+    while len(idx) > 3 and stuck <= len(idx):
+        n = len(idx)
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if cross(a, b, c) <= 1e-15:          # reflex or collinear
+                continue
+            if any(in_tri(pts[j], a, b, c)
+                   for j in idx if j not in (i0, i1, i2)):
+                continue
+            tris.append(np.vstack([a, b, c, a]))
+            idx.pop(k)
+            clipped = True
+            break
+        if not clipped:
+            stuck += 1                            # numerical degeneracy guard
+            idx = idx[1:] + idx[:1]
+        else:
+            stuck = 0
+    if len(idx) == 3:
+        tri = pts[idx]
+        if abs(cross(tri[0], tri[1], tri[2])) > 1e-15:
+            tris.append(np.vstack([tri, tri[:1]]))
+    return tris
+
+
+def clip_general(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """Clip a subject ring against ANY simple clip ring.  Convex clip ->
+    one Sutherland-Hodgman piece; concave clip -> ear-clip the clip
+    polygon into triangles (disjoint interiors) and clip against each, so
+    the returned pieces tile the true intersection (areas sum exactly;
+    piece boundaries may share triangulation edges).  Replaces the round-1
+    NotImplementedError for concave zones."""
+    if _is_convex(clip):
+        piece = sutherland_hodgman(subject, clip)
+        return [piece] if len(piece) else []
+    pieces = []
+    for tri in triangulate_ring(clip):
+        piece = sutherland_hodgman(subject, tri)
+        if len(piece):
+            pieces.append(piece)
+    return pieces
+
+
 @register("vector_overlay", PluginType.TRANSFORMER)
 def vector_overlay_intersection(layer: DataFrame, layer_wkt: str,
                                 zones: DataFrame, zone_id: str,
@@ -130,15 +201,13 @@ def vector_overlay_intersection(layer: DataFrame, layer_wkt: str,
                 if not rings:
                     continue
                 for zid, zring in bzones.value:
-                    piece = sutherland_hodgman(rings[0], zring)
-                    if len(piece) == 0:
-                        continue
                     lat0 = float(zring[:, 1].mean())
-                    base = {f.name: r[f.name] for f in keep}
-                    base[zone_id] = zid
-                    base["piece_wkt"] = _ring_to_wkt(piece)
-                    base["piece_area_m2"] = ring_area_m2(piece, lat0)
-                    rows.append(base)
+                    for piece in clip_general(rings[0], zring):
+                        base = {f.name: r[f.name] for f in keep}
+                        base[zone_id] = zid
+                        base["piece_wkt"] = _ring_to_wkt(piece)
+                        base["piece_area_m2"] = ring_area_m2(piece, lat0)
+                        rows.append(base)
             if rows:
                 yield pd.DataFrame(rows)
 

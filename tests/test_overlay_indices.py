@@ -219,3 +219,41 @@ def test_shape_topojson_operator(spark):
     topo = _json.loads(rows[1])
     assert topo["objects"]["shape"]["type"] == "Polygon"
     assert rows[2] is None
+
+
+def test_triangulate_concave_ring_preserves_area():
+    # L-shape: 2x2 square minus 1x1 corner = area 3
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]],
+                 dtype=float)
+    tris = ov.triangulate_ring(L)
+    def shoelace(r):
+        p = r[:-1]
+        return abs(np.sum(p[:, 0] * np.roll(p[:, 1], -1)
+                          - np.roll(p[:, 0], -1) * p[:, 1])) / 2
+    assert sum(shoelace(t) for t in tris) == pytest.approx(3.0)
+    assert len(tris) >= 3
+
+
+def test_clip_general_concave_zone():
+    # subject: unit square at origin; concave L-clip overlaps 1x1 of it
+    subject = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]],
+                 dtype=float)
+    pieces = ov.clip_general(subject, L)
+    def shoelace(r):
+        p = r[:-1]
+        return abs(np.sum(p[:, 0] * np.roll(p[:, 1], -1)
+                          - np.roll(p[:, 0], -1) * p[:, 1])) / 2
+    assert sum(shoelace(p) for p in pieces) == pytest.approx(1.0)
+
+
+def test_coverage_with_concave_zone(spark):
+    # concave L zone (area 3 deg^2); forest patch covers its 1x1 notch arm
+    zones = spark.createDataFrame(
+        [("L", "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))")],
+        "zone_id string, location string")
+    layer = spark.createDataFrame(
+        [("forest", "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")],
+        "category string, geom string")
+    cov = ov.coverage(layer, "geom", zones, "zone_id", "location").collect()[0]
+    assert cov["coverage_pct"] == pytest.approx(100.0 / 3.0, rel=0.02)

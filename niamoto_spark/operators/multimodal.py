@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step is STUBBED (no PIL/librosa/av in this container — see
-``decode_image``'s NotImplementedError and the deterministic fake used in
-tests), but the Spark-side plumbing is real: schemas, Arrow batch shapes,
-mapInPandas signatures, and partitioning are exactly what a production
-pipeline uses, so swapping in a real codec is a function-body change.
+Image decode is REAL for PNG/BMP via the pure-python codec in
+``sources/imagecodec.py`` (PIL upgrades it to every format when
+installed); audio/video decode and JPEG stay gated (no librosa/av/DCT in
+a pure build) with the deterministic fake decoder covering their
+plumbing in tests.  Schemas, Arrow batch shapes, mapInPandas signatures,
+and partitioning are production-shaped either way.
 
 Scale notes: binary payloads dominate row size, so operators here
 - never shuffle the binary column (feature extraction projects it away
@@ -46,10 +47,12 @@ FEATURE_SCHEMA = T.StructType([
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWx3 uint8 array.
 
-    STUB: image codecs are unavailable in this container.  Production body:
-    ``np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))``.
-    """
-    raise NotImplementedError("image codec not available in this environment")
+    REAL for PNG/BMP (pure-python codec, sources/imagecodec.py) and for
+    anything PIL handles when pillow is installed; JPEG/video without PIL
+    raise (a DCT codec is out of scope for a pure build)."""
+    from niamoto_spark.sources.imagecodec import decode_image as _decode
+
+    return _decode(payload)
 
 
 def _fake_decode(payload: bytes, side: int = 8) -> np.ndarray:

@@ -1,0 +1,156 @@
+"""Pure-python image decoding for multimodal columns — PNG and BMP via
+stdlib ``zlib``/``struct`` + numpy.
+
+The multimodal operators (operators/multimodal.py) were decode-stubbed in
+round 1 because PIL is absent.  PNG (deflate + per-scanline filters) and
+uncompressed BMP are public formats small enough to decode exactly; JPEG
+and video stay behind the optional-PIL gate (a DCT codec is out of scope).
+
+Used inside mapInPandas batches — one worker decodes a whole Arrow batch
+of payloads, the decoded pixels never leave the batch.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8 RGB.  Supports bit depth 8, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace.
+    Alpha is dropped (composited on black is a policy choice; training
+    features want raw channels)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), \
+            data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 1:                      # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:                    # Up
+            line = (line.astype(np.int16) + prev) .astype(np.uint8)
+        elif ftype == 3:                    # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:                    # Paeth
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    px = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        return palette[px[:, :, 0]]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:                       # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]                     # RGB / RGBA -> RGB
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> PNG bytes (filter 0, one IDAT) — fixture writer."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> HxWx3 uint8 RGB (bottom-up or
+    top-down)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size, width, height) = struct.unpack_from("<Iii", data, 14)
+    (planes, bpp) = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    flip = height > 0
+    height = abs(height)
+    bypp = bpp // 8
+    row_size = (width * bypp + 3) & ~3
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(data, dtype=np.uint8, count=width * bypp,
+                            offset=pixel_off + y * row_size)
+        px = row.reshape(width, bypp)[:, :3][:, ::-1]   # BGR -> RGB
+        out[height - 1 - y if flip else y] = px
+    return out
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Best-effort image decode: PIL when importable (all formats), else
+    the pure decoders for PNG/BMP; other formats raise."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PNG/BMP decode without PIL; install pillow for JPEG/etc")

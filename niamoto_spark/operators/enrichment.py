@@ -152,28 +152,50 @@ class ApiError(Exception):
         self.status = status
 
 
+class _MissingField(Exception):
+    pass
+
+
+class _SkipDict(dict):
+    def __missing__(self, key):
+        raise _MissingField(key)
+
+
 def http_fetcher(url_template: str, transport: Callable[..., dict],
                  auth: ApiAuth | None = None, max_retries: int = 2,
                  backoff_s: float = 0.5,
                  sleeper: Callable[[float], None] = time.sleep,
+                 chained: list[Mapping] | None = None,
                  ) -> Callable[[str], dict]:
     """Build a fetcher for ``api_enrichment``: fills ``{key}`` into the URL
     template, applies the auth pieces, retries transient failures
     (HTTP 429/5xx or transport exceptions) with linear backoff.
 
+    ``chained`` replicates the reference's chained_endpoints
+    (api_taxonomy_enricher.py:237-316, :3742-3820): after the initial
+    response, each entry's ``url_template`` is formatted from the
+    data-so-far ({field} placeholders; entry silently skipped when a field
+    is missing — the expected no-result case), fetched with the same
+    auth/retry, and its ``mapping`` ({out: response_field}) merges into
+    the result.
+
     ``transport("GET", url, params, headers=..., cookies=..., basic=...)
     -> dict`` is injectable — a requests-backed implementation is a
     five-liner on a connected cluster; tests (and this offline container)
     inject fakes."""
+    for idx, ep in enumerate(chained or []):
+        if "url_template" not in ep:
+            raise ValueError(f"chained[{idx}] must have 'url_template'")
+        if "mapping" not in ep:
+            raise ValueError(f"chained[{idx}] must have 'mapping'")
 
-    def fetch(key: str) -> dict:
-        spec = auth.prepare() if auth else {
-            "headers": {}, "query": {}, "cookies": {}, "basic": None}
-        url = url_template.format(key=key)
+    def call(url: str, spec: dict, extra_params: Mapping | None = None) -> dict:
         last: Exception | None = None
+        q = dict(spec["query"])
+        q.update(extra_params or {})
         for attempt in range(max_retries + 1):
             try:
-                return transport("GET", url, dict(spec["query"]),
+                return transport("GET", url, q,
                                  headers=spec["headers"],
                                  cookies=spec["cookies"],
                                  basic=spec["basic"])
@@ -186,6 +208,22 @@ def http_fetcher(url_template: str, transport: Callable[..., dict],
             if attempt < max_retries:
                 sleeper(backoff_s * (attempt + 1))
         raise last  # type: ignore[misc]
+
+    def fetch(key: str) -> dict:
+        spec = auth.prepare() if auth else {
+            "headers": {}, "query": {}, "cookies": {}, "basic": None}
+        data = dict(call(url_template.format(key=key), spec))
+        for ep in chained or []:
+            try:
+                url = ep["url_template"].format_map(
+                    _SkipDict(key=key, **data))
+            except _MissingField:
+                continue                    # expected when no initial match
+            resp = call(url, spec, ep.get("params"))
+            for out, src in ep["mapping"].items():
+                if src in resp:
+                    data[out] = resp[src]
+        return data
 
     return fetch
 

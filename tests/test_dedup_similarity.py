@@ -198,3 +198,19 @@ def test_minhash_dedup_keep_exact_components(spark):
     assert 4 in ids                 # unrelated survives
     assert 1 in ids                 # component keeper = min id
     assert ids.isdisjoint({2, 3})   # rest of the cluster dropped
+
+
+def test_ivf_kmeans_path_matches_contract(vectors):
+    """use_kmeans=True (MLlib KMeans centroids) keeps the output contract;
+    probing every bucket makes it exact."""
+    df, _ = vectors
+    exact = similarity.cosine_topk(df, df.limit(5), "vec_id",
+                                   "embedding", k=3)
+    approx = similarity.ivf_topk(df, df.limit(5), "vec_id",
+                                 "embedding", k=3, n_centroids=4, nprobe=4,
+                                 use_kmeans=True)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert approx.columns == ["query_id", "neighbor_id", "similarity", "rank"]
+    # nprobe == n_centroids probes every bucket -> exact recall
+    assert a == e

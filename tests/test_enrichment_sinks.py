@@ -311,3 +311,42 @@ def test_partitioned_upsert_inserts_new_keys(tmp_path, spark):
     got = {r["id"]: r["v"] for r in
            read_partitioned_table(spark, path).collect()}
     assert got == {1: 10, 2: 21, 3: 30}
+
+
+def test_chained_endpoints_follow_and_merge():
+    from niamoto_spark.operators.enrichment import http_fetcher
+
+    def transport(method, url, params=None, headers=None, cookies=None,
+                  basic=None, data=None):
+        if url.startswith("https://api.test/match/"):
+            key = url.rsplit("/", 1)[-1]
+            if key == "nomatch":
+                return {"status": "none"}           # no ext_id -> skip chain
+            return {"ext_id": f"X{key}", "status": "ok"}
+        if url.startswith("https://api.test/detail/"):
+            ext = url.rsplit("/", 1)[-1]
+            return {"rank": "species", "ext": ext, "extra": 1}
+        raise AssertionError(url)
+
+    fetch = http_fetcher(
+        "https://api.test/match/{key}", transport,
+        chained=[{"url_template": "https://api.test/detail/{ext_id}",
+                  "mapping": {"rank_out": "rank", "detail_ext": "ext"}}])
+    out = fetch("42")
+    assert out["ext_id"] == "X42"
+    assert out["rank_out"] == "species"             # mapped + merged
+    assert out["detail_ext"] == "X42"
+    assert "extra" not in out                       # unmapped fields dropped
+    # missing placeholder -> chain silently skipped
+    assert fetch("nomatch") == {"status": "none"}
+
+
+def test_chained_endpoints_config_validation():
+    from niamoto_spark.operators.enrichment import http_fetcher
+
+    with pytest.raises(ValueError, match="url_template"):
+        http_fetcher("https://a/{key}", lambda *a, **k: {},
+                     chained=[{"mapping": {}}])
+    with pytest.raises(ValueError, match="mapping"):
+        http_fetcher("https://a/{key}", lambda *a, **k: {},
+                     chained=[{"url_template": "https://b"}])

@@ -376,3 +376,69 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     for k, v in rates.items():
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
     return df.where(bucket < rate * F.lit(float(2 ** 32)))
+
+
+@register("chunk_documents", PluginType.TRANSFORMER)
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 256,
+                    overlap: int = 32) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    standard RAG / long-context pretraining prep.  Chunks start every
+    (chunk_tokens - overlap) tokens; the last chunk may be short; empty
+    docs produce no chunks.
+
+    Pure codegen: token slice + posexplode — no Python, no shuffle (a
+    narrow transform; downstream grouping decides the partitioning).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = token_array(F.col(text_col))
+    n = F.size(toks)
+    # chunk count: 1 + ceil(max(n - chunk, 0) / step), 0 for empty docs
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(F.greatest(n - chunk_tokens, F.lit(0))
+                          / F.lit(step)).cast("int"))
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.when(n_chunks > 0, F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * step + 1).cast("int"), chunk_tokens))
+    )).otherwise(F.array().cast("array<string>"))
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.select(
+        id_col, "chunk_idx",
+        token_count(F.col("chunk_text")).alias("n_chunk_tokens"),
+        "chunk_text")
+
+
+@register("char_entropy", PluginType.TRANSFORMER)
+def char_entropy(df: DataFrame, id_col: str, text_col: str,
+                 out_col: str = "char_entropy") -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) over the
+    lowercased text — a cheap gibberish / boilerplate signal: natural
+    language sits ~3.5-4.5 bits, repeated boilerplate much lower, random
+    bytes higher.
+
+    Explode to (doc, char) -> two hash aggregates (char counts, then
+    -sum(p log2 p)); linear, shuffle keyed by (doc, char).
+    Docs with no characters get entropy 0.
+    """
+    from niamoto_spark.functions import char_ngrams
+
+    chars = df.select(F.col(id_col).alias("__doc"),
+                      F.length(F.lower(F.col(text_col))).alias("__len"),
+                      F.explode(char_ngrams(F.lower(F.col(text_col)), 1))
+                       .alias("ch"))
+    counts = chars.groupBy("__doc", "__len", "ch") \
+                  .agg(F.count(F.lit(1)).alias("__n"))
+    p = F.col("__n") / F.col("__len")
+    ent = counts.groupBy("__doc").agg(
+        F.round(-F.sum(p * F.log2(p)), 4).alias(out_col))
+    return df.join(ent, df[id_col] == ent["__doc"], "left") \
+             .drop("__doc") \
+             .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))

@@ -1544,6 +1544,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_decontamination": q68_decontamination,
         "q69_repetition_stats": q69_repetition_stats,
         "q70_stratified_sample": q70_stratified_sample,
+        "q71_chunk_documents": q71_chunk_documents,
+        "q72_char_entropy": q72_char_entropy,
     }
 
 
@@ -1849,6 +1851,64 @@ FROM kept GROUP BY source
 """
 
 
+def q71_chunk_documents(spark, sf_dir):
+    """Fixed-size token chunking with overlap (RAG / long-context prep):
+    64-token chunks every 48 tokens, pure slice+posexplode codegen."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(d, "doc_id", "text",
+                                    chunk_tokens=64, overlap=16)
+
+
+O_Q71 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+nc AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) = 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS INT)
+         END AS n_chunks
+  FROM tok),
+idx AS (
+  SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS i
+  FROM nc WHERE n_chunks > 0)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(least(i * 48 + 64, n) - i * 48 AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, i * 48 + 1, least(i * 48 + 64, n)), ' ')
+         AS chunk_text
+FROM idx
+"""
+
+
+def q72_char_entropy(spark, sf_dir):
+    """Per-document character Shannon entropy (bits/char) — gibberish /
+    boilerplate signal; explode + two linear hash aggregates."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return text_ops.char_entropy(d.select("doc_id", "text"),
+                                 "doc_id", "text") \
+        .select("doc_id", "char_entropy")
+
+
+O_Q72 = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300),
+ch AS (
+  SELECT doc_id, length(t) AS len, t, unnest(range(1, length(t) + 1)) AS i
+  FROM d WHERE length(t) > 0),
+cc AS (
+  SELECT doc_id, len, substr(t, CAST(i AS INT), 1) AS c, count(*) AS n
+  FROM ch GROUP BY 1, 2, 3),
+e AS (
+  SELECT doc_id,
+         round(-sum((n / CAST(len AS DOUBLE))
+                    * log2(n / CAST(len AS DOUBLE))), 4) AS char_entropy
+  FROM cc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM d LEFT JOIN e USING (doc_id)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -1916,6 +1976,8 @@ def build_oracles() -> dict[str, str]:
         "q68_decontamination": O_Q68,
         "q69_repetition_stats": O_Q69,
         "q70_stratified_sample": O_Q70,
+        "q71_chunk_documents": O_Q71,
+        "q72_char_entropy": O_Q72,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -147,3 +147,39 @@ def test_stratified_sample_deterministic_and_rate(spark):
                                    {"web": 0.3, "books": 1.0})
     assert sorted(r["doc_id"] for r in out.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join(f"w{i}" for i in range(10)),   # 10 tokens
+                 "short one",                            # fits one chunk
+                 ""]}))                                  # empty -> no chunks
+    out = tx.chunk_documents(docs, "doc_id", "text",
+                             chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # step 3: 1 + ceil((10-4)/3) = 3 chunks at starts 0,3,6 — all 10
+    # tokens covered, no degenerate tail chunk
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    # consecutive chunks share the overlap token
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short one"
+    assert 3 not in by_doc
+
+
+def test_char_entropy_signals(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aaaaaaaa",                  # 0 bits
+                 "abababab",                  # exactly 1 bit
+                 "the quick brown fox"]}))    # natural-ish, higher
+    rows = {r["doc_id"]: r["char_entropy"] for r in
+            tx.char_entropy(docs, "doc_id", "text").collect()}
+    assert rows[1] == 0.0
+    assert rows[2] == pytest.approx(1.0)
+    assert rows[3] > 3.0

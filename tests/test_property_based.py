@@ -71,3 +71,74 @@ def test_safe_eval_never_escapes(expr):
     except (UnsafeQueryError, SyntaxError, ZeroDivisionError, TypeError,
             KeyError, ValueError, OverflowError, NameError, MemoryError):
         pass  # any *contained* failure is fine; escaping the sandbox is not
+
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+doc_text = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+
+@given(st.lists(doc_text, min_size=1, max_size=5),
+       st.integers(min_value=2, max_value=8),
+       st.integers(min_value=0, max_value=3))
+def test_chunking_covers_every_token_with_exact_overlap(spark, texts,
+                                                        chunk, overlap):
+    """Invariant: de-overlapped chunk concatenation reconstructs the
+    original token stream exactly (no token lost, none duplicated)."""
+    from hypothesis import assume
+
+    from niamoto_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=chunk,
+                          overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        toks = text.split()
+        chunks = [r["chunk_text"].split() for r in
+                  sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])]
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert c[:overlap] == rebuilt[len(rebuilt) - overlap:] \
+                if overlap else True       # shared prefix is the overlap
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == toks
+
+
+@given(st.text(alphabet="abcdef \n.", min_size=0, max_size=80))
+def test_char_entropy_bounds(spark, text):
+    """0 <= H <= log2(#distinct chars) for any document."""
+    import math
+
+    from niamoto_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    (row,) = char_entropy(df, "doc_id", "text").collect()
+    h = row["char_entropy"]
+    distinct = len(set(text.lower()))
+    assert h >= 0.0
+    assert h <= math.log2(distinct) + 1e-3 if distinct > 1 else h == 0.0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=50, unique=True),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_stratified_sample_monotone_in_rate(spark, ids, rate):
+    """A kept row stays kept at any HIGHER rate (hash-threshold sampling
+    is monotone — the property that makes rate changes safe in prod)."""
+    from niamoto_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "src": ["s"] * len(ids)}))
+    low = {r["doc_id"] for r in
+           stratified_sample(df, "doc_id", "src", {"s": rate}).collect()}
+    high = {r["doc_id"] for r in
+            stratified_sample(df, "doc_id", "src",
+                              {"s": min(rate + 0.3, 1.0)}).collect()}
+    assert low <= high

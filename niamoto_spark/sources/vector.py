@@ -526,3 +526,57 @@ def _wkt_to_wkb_simple(wkt: str) -> bytes:
                 out += b"".join(struct.pack("<2d", *p) for p in ring)
         return out
     raise ValueError(f"unsupported WKT type {name}")
+
+
+def import_multi_feature(spark: SparkSession,
+                         sources: list[tuple[str, str]],
+                         id_field: str = "id",
+                         name_field: str = "name") -> DataFrame:
+    """Multiple spatial files -> ONE entity table with the reference's
+    2-level type/shape hierarchy + nested sets
+    (engine.py:371-520: per source a level-0 'type' row with no geometry,
+    then level-1 'shape' rows parented to it; HierarchyBuilder adds
+    lft/rght afterwards).
+
+    ``sources``: [(source_name, path)] — .shp/.gpkg/.geojson all accepted.
+    Output columns: id, shape_id, name, location (WKT), entity_type,
+    shape_type, type, level, parent_id, lft, rght.
+    """
+    import pandas as pd
+
+    from niamoto_spark.hierarchy import add_nested_sets
+    from niamoto_spark.sources.files import read_vector
+
+    rows: list[dict[str, Any]] = []
+    feature_id = 1
+    for source_name, path in sources:
+        if not os.path.exists(path):
+            continue
+        feats = read_vector(spark, path).collect()
+        if not feats:
+            continue
+        type_id = feature_id
+        rows.append({id_field: type_id, "shape_id": None,
+                     "name": source_name, "location": None,
+                     "entity_type": "type", "shape_type": "type",
+                     "type": source_name, "level": 0, "parent_id": None})
+        feature_id += 1
+        slug = source_name.lower().replace(" ", "_")
+        for idx, feat in enumerate(feats, 1):
+            d = feat.asDict()
+            rows.append({
+                id_field: feature_id,
+                "shape_id": f"{slug}_{idx}",
+                "name": d.get(name_field, f"Feature {feature_id}"),
+                "location": d.get("geometry_wkt"),
+                "entity_type": "shape", "shape_type": "shape",
+                "type": source_name, "level": 1, "parent_id": type_id,
+            })
+            feature_id += 1
+    if not rows:
+        return spark.createDataFrame(
+            [], f"{id_field} bigint, shape_id string, name string, "
+                "location string, entity_type string, shape_type string, "
+                "type string, level int, parent_id bigint, lft int, rght int")
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    return add_nested_sets(df, id_col=id_field)

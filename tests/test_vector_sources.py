@@ -191,3 +191,32 @@ def test_xlsx_named_sheet_missing(tmp_path):
     xlsx.write_xlsx(path, [["x"], [1]])
     with pytest.raises(ValueError, match="not in"):
         xlsx.read_xlsx_rows(path, sheet="Nope")
+
+
+def test_import_multi_feature_hierarchy(tmp_path, spark):
+    """Reference engine.py:371-520 parity: one table, level-0 type rows,
+    level-1 shape rows, nested sets spanning each source's subtree."""
+    from niamoto_spark.sources.vector import import_multi_feature
+
+    vector.write_shp(str(tmp_path / "forests.shp"),
+                     [{"name": "f1"}, {"name": "f2"}], [POLY1, POLY2])
+    vector.write_gpkg(str(tmp_path / "zones.gpkg"), "zones",
+                      [{"name": "z1"}], [POLY1])
+    out = import_multi_feature(
+        spark, [("Forest Cover", str(tmp_path / "forests.shp")),
+                ("Admin Zones", str(tmp_path / "zones.gpkg")),
+                ("Missing", str(tmp_path / "nope.shp"))])
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 5                          # 2 types + 3 shapes
+    t1 = rows[1]
+    assert t1["entity_type"] == "type" and t1["location"] is None
+    assert t1["level"] == 0 and t1["parent_id"] is None
+    s1 = rows[2]
+    assert s1["shape_id"] == "forest_cover_1"
+    assert s1["parent_id"] == 1 and s1["level"] == 1
+    assert s1["location"] == POLY1
+    # nested sets: type subtree encloses its shapes
+    assert t1["lft"] < s1["lft"] and s1["rght"] < t1["rght"]
+    t2 = rows[4]
+    assert t2["name"] == "Admin Zones" and t2["entity_type"] == "type"
+    assert rows[5]["parent_id"] == 4

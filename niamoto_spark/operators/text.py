@@ -264,19 +264,22 @@ def doc_fingerprint(df: DataFrame, text_col: str,
 @register("decontaminate", PluginType.TRANSFORMER)
 def decontaminate(docs: DataFrame, id_col: str, text_col: str,
                   benchmark: DataFrame, bench_text_col: str,
-                  ngram: int = 13, min_hits: int = 1) -> DataFrame:
+                  ngram: int = 13, min_hits: int = 1,
+                  hash_grams: bool = False) -> DataFrame:
     """Benchmark decontamination for training corpora: flag documents that
     share >= ``min_hits`` distinct word ``ngram``-grams with a benchmark /
     eval set (the standard 13-gram test-set-overlap rule used for LLM
     pretraining data).
 
-    Scale design: both sides explode to distinct shingles; the join key is
-    the shingle STRING (at 100 TB, hash it first with xxhash64 to shrink
-    the shuffle — kept as text here so the DuckDB oracle can replicate the
-    join exactly).  The benchmark side is small by nature and broadcasts;
-    the corpus side aggregates hit counts per doc — docs without overlap
-    never survive the inner join, so the output lists contaminated docs
-    only (left-anti against it = the clean corpus).
+    Scale design: both sides explode to distinct shingles; the benchmark
+    side is small by nature and broadcasts; the corpus side aggregates hit
+    counts per doc — docs without overlap never survive the inner join, so
+    the output lists contaminated docs only (left-anti against it = the
+    clean corpus).  ``hash_grams=True`` joins on xxhash64(gram) instead of
+    the gram STRING — ~10x less broadcast/compare volume for 13-grams (the
+    scale-probe's only data-tracking cost), at a negligible 64-bit
+    collision risk; the default stays textual so the DuckDB oracle can
+    replicate the join exactly.
 
     Output: (id, n_hits) per contaminated document.
     """
@@ -289,6 +292,11 @@ def decontaminate(docs: DataFrame, id_col: str, text_col: str,
         F.explode(F.array_distinct(
             word_shingles(F.lower(F.col(bench_text_col)), ngram)))
         .alias("gram")).distinct())
+    if hash_grams:
+        doc_grams = doc_grams.select(
+            "doc_id", F.xxhash64("gram").alias("gram"))
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram")) \
+                                 .distinct()
     hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hits"))

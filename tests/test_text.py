@@ -183,3 +183,20 @@ def test_char_entropy_signals(spark):
     assert rows[1] == 0.0
     assert rows[2] == pytest.approx(1.0)
     assert rows[3] > 3.0
+
+
+def test_decontaminate_hash_grams_matches_textual(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps over the lazy dog tonight",
+                 "a completely unrelated piece of text here",
+                 "we saw the quick brown fox jumps over the fence"]}))
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"text": ["witnesses said the quick brown fox jumps over things"]}))
+    textual = {(r["doc_id"], r["n_hits"]) for r in
+               tx.decontaminate(docs, "doc_id", "text", bench, "text",
+                                ngram=5).collect()}
+    hashed = {(r["doc_id"], r["n_hits"]) for r in
+              tx.decontaminate(docs, "doc_id", "text", bench, "text",
+                               ngram=5, hash_grams=True).collect()}
+    assert hashed == textual

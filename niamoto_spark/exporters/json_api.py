@@ -182,6 +182,7 @@ def _parse_widget_strings(doc: dict) -> dict:
 
 
 @register("json_api_exporter", PluginType.EXPORTER)
+@register("index_generator", PluginType.EXPORTER)
 def export_json_api(results: DataFrame, id_col: str, out_dir: str,
                     detail_subdir: str = "detail", page_size: int = 100,
                     index_fields: list | None = None,

@@ -64,14 +64,19 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
     stats: list[tuple[str, int, int]] = []
     cur = docs
     cached: list[DataFrame] = []
+    last_count: list[int | None] = [None]
 
     def account(stage: str, before: DataFrame, after: DataFrame) -> DataFrame:
         # cache each stage boundary: the count AND the next stage both
         # consume it — without this every stage re-executes the whole
-        # upstream pipeline (and the LSH self-join would run it twice more)
+        # upstream pipeline (and the LSH self-join would run it twice more).
+        # docs_in is the PREVIOUS stage's cached docs_out (the stages
+        # chain), so each accounting stage costs exactly one count job.
         after = after.cache()
         cached.append(after)
-        n_in, n_out = before.count(), after.count()
+        n_in = last_count[0] if last_count[0] is not None else before.count()
+        n_out = after.count()
+        last_count[0] = n_out
         stats.append((stage, n_in, n_out))
         if len(cached) > 1:
             cached[-2].unpersist()

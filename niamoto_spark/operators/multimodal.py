@@ -2,10 +2,11 @@
 
 Image decode is REAL for PNG/BMP via the pure-python codec in
 ``sources/imagecodec.py`` (PIL upgrades it to every format when
-installed); audio/video decode and JPEG stay gated (no librosa/av/DCT in
-a pure build) with the deterministic fake decoder covering their
-plumbing in tests.  Schemas, Arrow batch shapes, mapInPandas signatures,
-and partitioning are production-shaped either way.
+installed) and audio decode is REAL for PCM WAV (stdlib ``wave``);
+JPEG/compressed-audio/video stay gated (no DCT/librosa/av in a pure
+build) with the deterministic fake decoder covering their plumbing in
+tests.  Schemas, Arrow batch shapes, mapInPandas signatures, and
+partitioning are production-shaped either way.
 
 Scale notes: binary payloads dominate row size, so operators here
 - never shuffle the binary column (feature extraction projects it away
@@ -131,3 +132,86 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
                                                .cast("int"), F.lit(0)) - 1, F.lit(0)),
                         F.lit(every_n))
     return df.select("media_id", F.explode(frames).alias("frame_idx"))
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.DoubleType(), True),
+    T.StructField("zero_crossing_rate", T.DoubleType(), True),
+])
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float32 samples in [-1, 1] shaped (n, channels),
+    sample_rate).  Stdlib ``wave`` — 8/16/32-bit PCM; no codec deps, so
+    audio decode is REAL for the container format training corpora
+    actually store raw audio in."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    arr = np.frombuffer(raw, dtype=dtype).reshape(-1, channels)
+    if width == 1:                          # unsigned 8-bit
+        samples = (arr.astype(np.float32) - 128.0) / 128.0
+    else:
+        samples = arr.astype(np.float32) / float(2 ** (8 * width - 1))
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """float samples in [-1,1] (n, channels) -> 16-bit PCM WAV bytes
+    (fixture writer)."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1] if samples.ndim == 2 else 1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@register("audio_features", PluginType.TRANSFORMER)
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio signals from WAV payloads: duration, RMS energy,
+    peak amplitude, zero-crossing rate — the standard cheap filters for
+    audio training corpora (silence / clipping / noise screens).  Decode +
+    numpy inside mapInPandas; the binary column never leaves the batch."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, rate = decode_wav(bytes(r["payload"]))
+                mono = samples.mean(axis=1)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) \
+                    if len(mono) > 1 else 0.0
+                rows.append({
+                    "media_id": r["media_id"],
+                    "sample_rate": rate,
+                    "n_channels": samples.shape[1],
+                    "duration_s": round(len(mono) / rate, 6),
+                    "rms": round(float(np.sqrt(np.mean(mono ** 2))), 6),
+                    "peak": round(float(np.abs(mono).max()), 6)
+                    if len(mono) else 0.0,
+                    "zero_crossing_rate": round(zc, 6),
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)

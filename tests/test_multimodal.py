@@ -148,3 +148,34 @@ def test_media_features_with_real_png(spark):
     assert row["n_bytes"] == len(payload)
     # mean over flattened RGB: feature chunks reflect the red channel
     assert max(row["feature"]) > 50
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import (audio_features,
+                                                    decode_wav, encode_wav)
+
+    rate = 8000
+    t = np.arange(rate) / rate              # 1 second
+    sine = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)     # 440 Hz tone
+    silence = np.zeros((rate // 2, 1))                     # 0.5 s silence
+    wav_sine = encode_wav(sine, rate)
+    wav_sil = encode_wav(silence, rate)
+
+    decoded, r = decode_wav(wav_sine)
+    assert r == rate and decoded.shape == (rate, 1)
+    assert np.abs(decoded[:, 0] - sine[:, 0]).max() < 1e-3  # 16-bit quantization
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_sine)), (2, bytearray(wav_sil))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    tone, sil = rows[1], rows[2]
+    assert tone["duration_s"] == pytest.approx(1.0)
+    assert tone["rms"] == pytest.approx(1 / 2 ** 0.5, abs=0.01)   # sine RMS
+    assert tone["peak"] == pytest.approx(1.0, abs=0.01)
+    # 440 Hz -> 880 zero crossings/sec -> zcr ~ 0.11 at 8 kHz
+    assert tone["zero_crossing_rate"] == pytest.approx(880 / rate, rel=0.05)
+    assert sil["rms"] == 0.0 and sil["peak"] == 0.0
+    assert sil["duration_s"] == pytest.approx(0.5)

@@ -54,8 +54,8 @@ def sutherland_hodgman(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     ring (possibly empty)."""
     if not _is_convex(clip):
         raise NotImplementedError(
-            "clip polygon must be convex (Sutherland-Hodgman); use Sedona "
-            "for general overlays")
+            "clip polygon must be convex (Sutherland-Hodgman); use "
+            "clip_general for concave zones (ear-clip triangulation)")
     cpts = clip[:-1] if np.allclose(clip[0], clip[-1]) else clip
     # ensure counter-clockwise clip orientation
     area2 = np.sum(cpts[:, 0] * np.roll(cpts[:, 1], -1)

@@ -237,14 +237,33 @@ def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
             [], "id_a bigint, id_b bigint, similarity double")
     cents = [[float(x) for x in r["v"]] for r in picked]
 
-    # argmax-cosine centroid as a literal-array expression: array_max over
-    # struct(sim, -cid) orders by sim desc then smallest cid — deterministic.
-    best = F.array_max(F.array(*[
-        F.struct(cosine_similarity(F.col("v"), F.lit(vec)).alias("s"),
-                 F.lit(-cid).alias("n"))
-        for cid, vec in enumerate(cents)]))
+    # argmax-cosine centroid as ONE zip_with over a centroid-array literal:
+    # a single dot-product expression evaluated per centroid element
+    # (array_max over struct(sim, -cid) = sim desc, smallest-cid tiebreak).
+    # The earlier form inlined a full cosine per centroid — 32 expression
+    # copies whose codegen alone cost ~10s per session.  Centroids are
+    # unit-normalized in python so the lambda needs only dot/|v|.
+    import math as _math
+
     from niamoto_spark.functions import l2_normalize
 
+    unit_cents = []
+    for vec in cents:
+        nrm = _math.sqrt(sum(x * x for x in vec)) or 1.0
+        unit_cents.append([x / nrm for x in vec])
+    cents_arr = F.array(*[F.lit(vec) for vec in unit_cents])
+    vnorm = F.sqrt(F.aggregate(
+        F.col("v"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    best = F.array_max(F.zip_with(
+        cents_arr, idxs,
+        lambda cv, i: F.struct(
+            (F.aggregate(F.zip_with(F.col("v"), cv,
+                                    lambda x, y: x.cast("double") * y),
+                         F.lit(0.0), lambda acc, x: acc + x)
+             / vnorm).alias("s"),
+            (-i).alias("n"))))
     clamped = F.greatest(F.least(best["s"], F.lit(1.0)), F.lit(-1.0))
     assigned = (c.withColumn("bucket", (-best["n"]).cast("int"))
                  .withColumn("__ang", F.acos(clamped))

@@ -888,10 +888,15 @@ def q64_stream_sessions(spark, sf_dir):
 # --- rows-only checks (non-SQL-expressible: hash-function dependent) --------
 
 def q38_minhash_candidates(spark, sf_dir):
-    # threshold 0.1 keeps the check meaningful at every SF (sf0.1's docs are
-    # longer, so 3-shingle Jaccard between random pairs is lower)
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return dedup_ops.minhash_lsh_candidates(d, "doc_id", "text",
+    """Rows-only (hash-seeded).  A shifted duplicate slice plants
+    guaranteed near-dup pairs so the check is meaningful at EVERY SF —
+    at sf0.1 the synthetic docs are long enough that no natural pair
+    clears even a 0.1 Jaccard, which made this query return 0 rows."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200) \
+        .select("doc_id", "text")
+    planted = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    return dedup_ops.minhash_lsh_candidates(planted, "doc_id", "text",
                                             num_hashes=32, bands=8,
                                             jaccard_threshold=0.1)
 

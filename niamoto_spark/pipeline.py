@@ -35,7 +35,7 @@ from niamoto_spark.operators import aggregation as agg_ops
 from niamoto_spark.operators import class_objects as co_ops
 from niamoto_spark.operators import extraction as ex_ops
 from niamoto_spark.operators import loaders as loader_ops
-from niamoto_spark.sources.files import read_csv_auto, read_geojson
+from niamoto_spark.sources.files import read_csv_auto
 from niamoto_spark.sources.sinks import overwrite_table
 
 

@@ -161,21 +161,39 @@ def vocabulary(df: DataFrame, text_col: str, top_k: int | None = None,
 
 _URL_RE = r"https?://[^\s]+"
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+\d[\d -]{6,14}\d"
 
 
 @register("scrub_text", PluginType.TRANSFORMER)
 def scrub_text(df: DataFrame, text_col: str,
                out_col: str = "text_scrubbed") -> DataFrame:
     """PII/URL scrubbing for training corpora: URLs -> <URL>, emails ->
-    <EMAIL>; flags + counts per doc.  Regexes are RE2-compatible so the
-    DuckDB oracle can replicate them exactly."""
+    <EMAIL>, IPv4 addresses -> <IP>, international phone numbers ->
+    <PHONE>; flags + counts per doc.  Replacement order (URL, email, IP,
+    phone) keeps the broader patterns from eating pieces of the narrower
+    ones.  Regexes are RE2-compatible so the DuckDB oracle can replicate
+    them exactly."""
     text = F.col(text_col)
-    n_urls = F.size(F.split(F.concat(text, F.lit(" ")), _URL_RE)) - 1
-    n_emails = F.size(F.split(F.concat(text, F.lit(" ")), _EMAIL_RE)) - 1
+
+    def count(rx: str, col) -> Column:
+        return F.size(F.split(F.concat(col, F.lit(" ")), rx)) - 1
+
     scrubbed = F.regexp_replace(
-        F.regexp_replace(text, _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>")
-    return (df.withColumn("n_urls", n_urls)
-              .withColumn("n_emails", n_emails)
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(text, _URL_RE, "<URL>"),
+                _EMAIL_RE, "<EMAIL>"),
+            _IP_RE, "<IP>"),
+        _PHONE_RE, "<PHONE>")
+    after_url = F.regexp_replace(text, _URL_RE, "<URL>")
+    after_mail = F.regexp_replace(after_url, _EMAIL_RE, "<EMAIL>")
+    return (df.withColumn("n_urls", count(_URL_RE, text))
+              .withColumn("n_emails", count(_EMAIL_RE, after_url))
+              .withColumn("n_ips", count(_IP_RE, after_mail))
+              .withColumn("n_phones",
+                          count(_PHONE_RE,
+                                F.regexp_replace(after_mail, _IP_RE, "<IP>")))
               .withColumn(out_col, scrubbed))
 
 

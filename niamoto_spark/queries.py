@@ -1377,11 +1377,17 @@ def q60_scrub(spark, sf_dir):
                F.concat(F.col("text"), F.lit(" visit https://ex.org/a now")))
          .when(F.col("doc_id") % 10 == 5,
                F.concat(F.col("text"), F.lit(" mail a.b@ex.org please")))
+         .when(F.col("doc_id") % 10 == 2,
+               F.concat(F.col("text"), F.lit(" from 10.0.42.7 today")))
+         .when(F.col("doc_id") % 10 == 7,
+               F.concat(F.col("text"), F.lit(" call +687 123 456 now")))
          .otherwise(F.col("text")))
     s = text_ops.scrub_text(planted, "text")
     return s.groupBy("source").agg(
         F.sum("n_urls").alias("n_urls"),
         F.sum("n_emails").alias("n_emails"),
+        F.sum("n_ips").alias("n_ips"),
+        F.sum("n_phones").alias("n_phones"),
         F.sum(F.length("text_scrubbed")).alias("scrubbed_chars"))
 
 
@@ -1390,19 +1396,41 @@ WITH planted AS (
   SELECT source,
          CASE WHEN doc_id % 10 = 0 THEN text || ' visit https://ex.org/a now'
               WHEN doc_id % 10 = 5 THEN text || ' mail a.b@ex.org please'
+              WHEN doc_id % 10 = 2 THEN text || ' from 10.0.42.7 today'
+              WHEN doc_id % 10 = 7 THEN text || ' call +687 123 456 now'
               ELSE text END AS text
   FROM documents),
+st AS (
+  SELECT source, text,
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t_url
+  FROM planted),
+st2 AS (
+  SELECT source, text, t_url,
+         regexp_replace(t_url,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t_mail
+  FROM st),
+st3 AS (
+  SELECT source, text, t_url, t_mail,
+         regexp_replace(t_mail, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t_ip
+  FROM st2),
 s AS (
   SELECT source,
          len(regexp_split_to_array(text || ' ', 'https?://[^\s]+')) - 1 AS n_urls,
-         len(regexp_split_to_array(text || ' ',
+         len(regexp_split_to_array(t_url || ' ',
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails,
-         length(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+         len(regexp_split_to_array(t_mail || ' ',
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1 AS n_ips,
+         len(regexp_split_to_array(t_ip || ' ', '\+\d[\d -]{6,14}\d')) - 1
+           AS n_phones,
+         length(regexp_replace(t_ip, '\+\d[\d -]{6,14}\d', '<PHONE>', 'g'))
            AS scrubbed_len
-  FROM planted)
+  FROM st3)
 SELECT source, CAST(sum(n_urls) AS BIGINT) AS n_urls,
        CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+       CAST(sum(n_phones) AS BIGINT) AS n_phones,
        CAST(sum(scrubbed_len) AS BIGINT) AS scrubbed_chars
 FROM s GROUP BY source
 """

@@ -200,3 +200,17 @@ def test_decontaminate_hash_grams_matches_textual(spark):
               tx.decontaminate(docs, "doc_id", "text", bench, "text",
                                ngram=5, hash_grams=True).collect()}
     assert hashed == textual
+
+
+def test_scrub_ip_and_phone(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "text": ["server at 192.168.1.10 responded",
+                 "call +687 123 456 or +33-6-12-34-56-78",
+                 "version 1.2.3 is not an ip, nor is +12"]}))
+    rows = tx.scrub_text(docs, "text").collect()
+    assert rows[0]["n_ips"] == 1
+    assert "<IP>" in rows[0]["text_scrubbed"]
+    assert rows[1]["n_phones"] == 2
+    assert rows[1]["text_scrubbed"].count("<PHONE>") == 2
+    assert rows[2]["n_ips"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["text_scrubbed"] == "version 1.2.3 is not an ip, nor is +12"

@@ -195,26 +195,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
               .drop("__hashes"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+def hamming_near_pairs(hashes: DataFrame, id_col: str, hash_col: str,
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
-    pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
-    within the distance agrees exactly on >=1 chunk, so candidates come from
-    an equi-join on (chunk_idx, chunk_value)."""
+    """Near-dup pairs over ANY 64-bit fingerprint column by Hamming
+    distance <= max_hamming, using pigeonhole banding: split 64 bits into
+    (max_hamming+1) chunks — any pair within the distance agrees exactly
+    on >=1 chunk, so candidates come from an equi-join on
+    (chunk_idx, chunk_value).  Shared by SimHash (text) and dHash
+    (images)."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("doc_id"), "simhash")
+    sh = hashes.select(F.col(id_col).alias("doc_id"),
+                       F.col(hash_col).alias("__h"))
     mask = (1 << chunk_bits) - 1
     chunks = sh.select(
-        "doc_id", "simhash",
+        "doc_id", "__h",
         F.posexplode(
             F.expr(f"transform(sequence(0, {n_chunks - 1}), "
-                   f"i -> shiftrightunsigned(simhash, i * {chunk_bits}) & {mask}L)")
+                   f"i -> shiftrightunsigned(__h, i * {chunk_bits}) & {mask}L)")
         ).alias("chunk_idx", "chunk_val"),
     )
-    a = chunks.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"),
+    a = chunks.select(F.col("doc_id").alias("id_a"), F.col("__h").alias("h_a"),
                       "chunk_idx", "chunk_val")
-    b = chunks.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"),
+    b = chunks.select(F.col("doc_id").alias("id_b"), F.col("__h").alias("h_b"),
                       "chunk_idx", "chunk_val")
     cand = (a.join(b, ["chunk_idx", "chunk_val"])
              .where(F.col("id_a") < F.col("id_b"))
@@ -223,6 +226,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", ham)
                 .where(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (see
+    hamming_near_pairs)."""
+    sh = simhash(df, id_col, text_col)
+    return hamming_near_pairs(sh, id_col, "simhash", max_hamming)
 
 
 # ---------------------------------------------------------------------------

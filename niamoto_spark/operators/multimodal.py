@@ -215,3 +215,50 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+@register("image_dhash", PluginType.TRANSFORMER)
+def image_dhash(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per image: decode ->
+    grayscale -> 9x8 nearest resample -> horizontal gradient sign bits.
+    Near-identical images (re-encodes, small crops, brightness shifts)
+    land within a few Hamming bits — the standard cheap image near-dup
+    fingerprint for training corpora.
+
+    Output: (media_id, dhash bigint).  Pair finding reuses the SAME
+    pigeonhole banding as SimHash (dedup.hamming_near_pairs) — fingerprints
+    shuffle, pixels never do."""
+    decoder = _fake_decode if use_fake_decoder else decode_image
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = decoder(bytes(r["payload"]))
+                gray = px.astype(np.float32).mean(axis=2)
+                h, w = gray.shape
+                yi = (np.arange(8) * h // 8).clip(0, h - 1)
+                xi = (np.arange(9) * w // 9).clip(0, w - 1)
+                small = gray[np.ix_(yi, xi)]
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                # store as signed 64-bit (Spark LongType)
+                if val >= 2 ** 63:
+                    val -= 2 ** 64
+                rows.append({"media_id": r["media_id"], "dhash": val})
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        compute, schema="media_id long, dhash long")
+
+
+def image_near_dup(df: DataFrame, max_hamming: int = 5,
+                   use_fake_decoder: bool = False) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash + Hamming banding.
+    Output: (id_a, id_b, hamming)."""
+    from niamoto_spark.operators.dedup import hamming_near_pairs
+
+    hashes = image_dhash(df, use_fake_decoder=use_fake_decoder)
+    return hamming_near_pairs(hashes, "media_id", "dhash", max_hamming)

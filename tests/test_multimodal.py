@@ -179,3 +179,29 @@ def test_wav_roundtrip_and_audio_features(spark):
     assert tone["zero_crossing_rate"] == pytest.approx(880 / rate, rel=0.05)
     assert sil["rms"] == 0.0 and sil["peak"] == 0.0
     assert sil["duration_s"] == pytest.approx(0.5)
+
+
+def test_image_dhash_near_dup(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import image_dhash, image_near_dup
+    from niamoto_spark.sources.imagecodec import encode_png
+
+    rng = np.random.default_rng(11)
+    # smooth gradient image; near-dup = tiny noise; distinct = reshuffled
+    base = np.clip(np.add.outer(np.linspace(0, 200, 32),
+                                np.linspace(0, 55, 32)), 0, 255)
+    img = np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
+    near = np.clip(img.astype(int) + rng.integers(-2, 3, img.shape), 0,
+                   255).astype(np.uint8)
+    other = rng.integers(0, 256, img.shape, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(img)), (2, encode_png(near)), (3, encode_png(other))],
+        "media_id long, payload binary")
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert hashes[1] == hashes[2] or bin(
+        (hashes[1] ^ hashes[2]) & (2**64 - 1)).count("1") <= 5
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup(df, max_hamming=5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

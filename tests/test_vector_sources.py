@@ -220,3 +220,38 @@ def test_import_multi_feature_hierarchy(tmp_path, spark):
     t2 = rows[4]
     assert t2["name"] == "Admin Zones" and t2["entity_type"] == "type"
     assert rows[5]["parent_id"] == 4
+
+
+REF_FIXTURES = "/root/reference/tests/fixtures/datasets"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_FIXTURES),
+                    reason="reference tree not mounted")
+def test_xlsx_parser_reads_real_openpyxl_file(spark):
+    """The stdlib parser must read a REAL openpyxl-written workbook (the
+    reference's own test fixture): shared strings, dates, empty cells."""
+    from niamoto_spark.sources.xlsx import list_sheets, read_xlsx_native
+
+    path = f"{REF_FIXTURES}/mixed_types.xlsx"
+    assert list_sheets(path) == ["Sheet1"]
+    df = read_xlsx_native(spark, path)
+    assert df.columns == ["id", "name", "value_str", "date_mixed",
+                          "numeric", "category"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 80
+    assert rows[1.0]["name"] == "Sample_0"
+    assert rows[1.0]["date_mixed"] == "2024-01-15"
+    assert rows[3.0]["value_str"] == "N/A"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_FIXTURES),
+                    reason="reference tree not mounted")
+def test_geojson_reads_real_inventory_fixture(spark):
+    from niamoto_spark.sources.files import read_vector
+
+    df = read_vector(spark, f"{REF_FIXTURES}/inventory.geojson")
+    rows = df.collect()
+    assert len(rows) > 10
+    first = {r["plot_id"]: r for r in rows}["PLOT-000"]
+    assert first["geometry_wkt"].startswith("POLYGON ((166.304")
+    assert first["species_count"] == 13

@@ -468,3 +468,46 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str,
     return df.join(ent, df[id_col] == ent["__doc"], "left") \
              .drop("__doc") \
              .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+
+
+@register("materialize_packs", PluginType.TRANSFORMER)
+def materialize_packs(df: DataFrame, id_col: str, text_col: str,
+                      seq_len: int = 512, vocab_size: int = 32768,
+                      order_col: str | None = None) -> DataFrame:
+    """MATERIALIZE packed training sequences: every token gets a global
+    position (doc offset from the distributed ``pack_sequences`` prefix
+    sum + position-in-doc), a deterministic feature-hashed id
+    (md5-derived, so any engine reproduces it — no tokenizer dependency),
+    and lands in pack ``floor(position / seq_len)``; packs collect their
+    token ids in position order.
+
+    This is the real packing JOB (not just the assignment): the shuffle
+    carries (pack_id, position, token_id) triples — the full token
+    stream, keyed evenly by pack — and each pack's array is bounded by
+    ``seq_len``.  A doc straddling a boundary contributes to both packs,
+    exactly like production pretraining pipelines.
+
+    Output: (pack_id, n_tokens, n_docs, token_ids array<int>).
+    """
+    packs = pack_sequences(df, id_col, text_col, seq_len=seq_len,
+                           order_col=order_col)
+    joined = df.select(id_col, text_col).join(
+        packs.select(id_col, "offset"), id_col)
+    tok = joined.select(
+        F.col(id_col).alias("__doc"), F.col("offset"),
+        F.posexplode(token_array(F.lower(F.col(text_col))))
+         .alias("pos", "token"))
+    token_id = (F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+                .cast("bigint") % vocab_size).cast("int")
+    placed = tok.select(
+        "__doc",
+        (F.col("offset") + F.col("pos")).alias("gpos"),
+        token_id.alias("token_id"),
+    ).withColumn("pack_id", F.floor(F.col("gpos") / seq_len))
+    return (placed.groupBy("pack_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count_distinct("__doc").alias("n_docs"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("gpos"), F.col("token_id")))),
+                     lambda s: s["token_id"]).alias("token_ids")))

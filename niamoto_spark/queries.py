@@ -1579,6 +1579,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_stratified_sample": q70_stratified_sample,
         "q71_chunk_documents": q71_chunk_documents,
         "q72_char_entropy": q72_char_entropy,
+        "q73_materialize_packs": q73_materialize_packs,
     }
 
 
@@ -1942,6 +1943,41 @@ FROM d LEFT JOIN e USING (doc_id)
 """
 
 
+def q73_materialize_packs(spark, sf_dir):
+    """Full sequence-pack MATERIALIZATION (not just assignment): every
+    token feature-hashed (md5 -> id) and routed to its 512-token pack;
+    packs collect ids in global-position order.  The token stream is the
+    shuffle payload — the real pretraining packing job."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return text_ops.materialize_packs(d, "doc_id", "text",
+                                      seq_len=512, vocab_size=32768)
+
+
+O_Q73 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+  FROM documents WHERE doc_id < 300),
+off AS (
+  SELECT doc_id, t,
+         CAST(coalesce(sum(len(t)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS ofs
+  FROM tok),
+placed AS (
+  SELECT doc_id, ofs + i - 1 AS gpos,
+         CAST(CAST(('0x' || substr(md5(t[i]), 1, 8)) AS UBIGINT) % 32768
+              AS INT) AS token_id
+  FROM (SELECT doc_id, t, ofs, unnest(range(1, len(t) + 1)) AS i FROM off))
+SELECT CAST(floor(gpos / 512.0) AS BIGINT) AS pack_id,
+       count(*) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs,
+       list(token_id ORDER BY gpos) AS token_ids
+FROM placed GROUP BY 1
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2011,6 +2047,7 @@ def build_oracles() -> dict[str, str]:
         "q70_stratified_sample": O_Q70,
         "q71_chunk_documents": O_Q71,
         "q72_char_entropy": O_Q72,
+        "q73_materialize_packs": O_Q73,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

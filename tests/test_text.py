@@ -214,3 +214,27 @@ def test_scrub_ip_and_phone(spark):
     assert rows[1]["text_scrubbed"].count("<PHONE>") == 2
     assert rows[2]["n_ips"] == 0 and rows[2]["n_phones"] == 0
     assert rows[2]["text_scrubbed"] == "version 1.2.3 is not an ip, nor is +12"
+
+
+def test_materialize_packs_layout(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c", "d e f g", "h i"]}))   # 3+4+2 = 9 tokens
+    rows = {r["pack_id"]: r for r in
+            tx.materialize_packs(docs, "doc_id", "text",
+                                 seq_len=4, vocab_size=100).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_tokens"] == 4 and rows[1]["n_tokens"] == 4
+    assert rows[2]["n_tokens"] == 1
+    # pack 0 holds doc1 (3 tokens) + first token of doc2
+    assert rows[0]["n_docs"] == 2
+    # total token multiset preserved across packs
+    assert sum(r["n_tokens"] for r in rows.values()) == 9
+    import hashlib
+
+    def tid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 100
+
+    assert rows[0]["token_ids"] == [tid(t) for t in ["a", "b", "c", "d"]]
+    assert rows[1]["token_ids"] == [tid(t) for t in ["e", "f", "g", "h"]]
+    assert rows[2]["token_ids"] == [tid("i")]

@@ -96,3 +96,7 @@ def test_q29_embedding_near_dup_has_no_cartesian(spark):
         "embedding_near_dup regressed to an all-pairs cross join"
     assert "BroadcastNestedLoopJoin" not in plan.split("== Physical Plan ==")[-1], \
         "embedding_near_dup shuffles corpus x corpus through a nested-loop join"
+
+
+def test_q73_pack_materialization_has_no_global_window(spark):
+    _assert_no_global_window(_plan(spark, "q73_materialize_packs"), "q73")

@@ -26,6 +26,9 @@ LANG_MARKERS: Mapping[str, Sequence[str]] = {
     "fr": ("le", "la", "les", "et", "de"),
     "es": ("el", "los", "las", "y", "en"),
     "de": ("der", "die", "das", "und", "nicht"),
+    "it": ("il", "che", "della", "dei", "sono"),
+    "nl": ("het", "een", "niet", "zijn", "voor"),
+    "pt": ("os", "uma", "para", "com", "mais"),
 }
 
 

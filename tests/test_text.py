@@ -238,3 +238,13 @@ def test_materialize_packs_layout(spark):
     assert rows[0]["token_ids"] == [tid(t) for t in ["a", "b", "c", "d"]]
     assert rows[1]["token_ids"] == [tid(t) for t in ["e", "f", "g", "h"]]
     assert rows[2]["token_ids"] == [tid("i")]
+
+
+def test_lang_id_extended_languages(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": [
+        "il governo che parla della situazione dei cittadini sono qui",
+        "het is een mooie dag maar niet voor iedereen zijn er kansen",
+        "os resultados para uma cidade com mais pessoas",
+    ]}))
+    out = [r["lang_pred"] for r in tx.lang_id(df, "text").collect()]
+    assert out == ["it", "nl", "pt"]

@@ -214,3 +214,67 @@ def test_ivf_kmeans_path_matches_contract(vectors):
     assert approx.columns == ["query_id", "neighbor_id", "similarity", "rank"]
     # nprobe == n_centroids probes every bucket -> exact recall
     assert a == e
+
+
+def test_near_dup_zero_norm_vectors_are_ignored(spark):
+    """Zero-norm / null vectors have undefined cosine: they must neither
+    crash the radii collection (ADVICE r2: null bucket -> TypeError) nor
+    appear in any output pair — in either method."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 8)
+    base[4] = base[1] * 1.0005            # planted pair (1, 4)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(6)]
+    rows.append((10, [0.0] * 8))          # zero-norm
+    rows.append((11, None))               # null vector
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for method in ("exact", "lsh"):
+        got = {(r["id_a"], r["id_b"]) for r in
+               similarity.embedding_near_dup(
+                   df, "vec_id", "embedding", threshold=0.999,
+                   method=method).collect()}
+        assert got == {(1, 4)}, method
+
+
+def test_lsh_near_dup_finds_planted_pairs(spark):
+    """Hyperplane-LSH mode: 16 bands x 6 bits means a 0.999-cosine pair
+    misses every band with probability ~1e-17 — the planted pairs must
+    surface, and unrelated random vectors must not flood the output."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 16)
+    base[40] = base[2] * 1.0002
+    base[41] = base[9] * 0.9998
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.embedding_near_dup(df, "vec_id", "embedding",
+                                         threshold=0.999,
+                                         method="lsh").collect()}
+    assert got == {(2, 40), (9, 41)}
+
+
+def test_auto_centroids_scales_sqrt():
+    assert similarity._auto_n_centroids(0) == 32
+    assert similarity._auto_n_centroids(1000) == 32
+    assert similarity._auto_n_centroids(10_000) == 100
+    assert similarity._auto_n_centroids(250_000) == 500
+    assert similarity._auto_n_centroids(10**9) == 1024   # literal-size cap
+
+
+def test_near_dup_verification_pairs_bounded_on_clustered_corpus(spark):
+    """The scale contract from VERDICT r2: on a clustered corpus the
+    ball-cover join must verify FAR fewer than n²/2 pairs, and the
+    auto-scaled centroid count must beat the old fixed C=32."""
+    rng = np.random.RandomState(5)
+    n_clusters, per = 50, 100                 # n = 5000
+    centers = rng.randn(n_clusters, 8) * 10
+    vecs = np.repeat(centers, per, axis=0) + rng.randn(n_clusters * per, 8) * 0.05
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [[float(x) for x in v] for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    n = len(vecs)
+    auto = similarity._ball_cover_candidates(
+        df, "vec_id", "embedding", threshold=0.95).count()
+    fixed32 = similarity._ball_cover_candidates(
+        df, "vec_id", "embedding", threshold=0.95, n_centroids=32).count()
+    assert auto < n * (n - 1) / 2 * 0.25      # nowhere near all-pairs
+    assert auto < fixed32                     # sqrt-n centroids prune harder

@@ -246,6 +246,175 @@ def aggregate_by_attribute(layer: DataFrame, layer_wkt: str, attr: str,
             .agg(F.round(F.sum("piece_area_m2"), 2).alias("area_m2")))
 
 
+_SETOP_PARTS = {
+    # which piece kinds each gpd.overlay `how` keeps
+    # (reference vector_overlay.py:568 dispatches these five to
+    # gpd.overlay, :601 clip; intersection/clip/coverage/aggregate are the
+    # round-2 operators above)
+    "intersection": ("both",),
+    "union": ("both", "a_only", "b_only"),
+    "difference": ("a_only",),
+    "symmetric_difference": ("a_only", "b_only"),
+    "identity": ("both", "a_only"),
+}
+
+
+def _polygon_areas(shapes: DataFrame, wkt_col: str, id_col: str,
+                   out_col: str, lat0_deg: float | None) -> DataFrame:
+    """(id, area_m2) with an optionally pinned projection latitude so every
+    area in a set-op uses ONE metric (ring-local lat0 would make
+    a_area - sum(pieces) incoherent across latitudes)."""
+    out_schema = T.StructType([
+        shapes.schema[id_col],
+        T.StructField(out_col, T.DoubleType(), True)])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, areas = [], []
+            for rid, wkt in zip(pdf[id_col], pdf[wkt_col]):
+                rings = parse_polygon_wkt(wkt) if wkt else []
+                if not rings:
+                    continue
+                lat0 = (float(rings[0][:, 1].mean())
+                        if lat0_deg is None else lat0_deg)
+                ids.append(rid)
+                areas.append(ring_area_m2(rings[0], lat0)
+                             - sum(ring_area_m2(r, lat0) for r in rings[1:]))
+            yield pd.DataFrame({id_col: ids, out_col: areas})
+
+    return shapes.select(id_col, wkt_col).mapInPandas(compute,
+                                                      schema=out_schema)
+
+
+@register("vector_overlay_setop", PluginType.TRANSFORMER)
+def vector_overlay_setop(layer: DataFrame, layer_wkt: str, layer_id: str,
+                         overlay: DataFrame, overlay_wkt: str,
+                         overlay_id: str,
+                         operation: str = "union",
+                         where: str | None = None,
+                         lat0_deg: float | None = None,
+                         min_area_m2: float = 1.0) -> DataFrame:
+    """gpd.overlay-style polygon set operations as area accounting
+    (reference vector_overlay.py:568 `_perform_basic_operation` for
+    intersection/union/difference/symmetric_difference, :660 identity;
+    the reference's consumed output is the per-feature area stats of the
+    result GeoDataFrame).
+
+    Output: one row per surviving piece —
+    ``(layer_id, overlay_id, part, area_m2)`` with ``part`` in
+    {'both', 'a_only', 'b_only'} and the absent side's id NULL, mirroring
+    gpd.overlay's attribute-NaN rows.
+
+    Plan shape (Spark-first): ONE mapInPandas pass over the layer computes
+    exact pairwise intersection areas against the broadcast overlay
+    (ear-clip triangulation + Sutherland-Hodgman, bbox prefilter — same
+    kernel as ``vector_overlay_intersection``); everything else is
+    DataFrame algebra: residual areas come from a broadcast join of
+    per-feature totals against the summed pairs.  The overlay layer is a
+    zone/admin file (structurally small, like points_in_polygons' shapes);
+    the LAYER side streams and scales.
+
+    ``where`` applies the explorer's restricted predicate grammar to the
+    overlay layer before the join (reference vector_overlay.py:477
+    `_apply_where_filter`).
+
+    Assumes overlay features do not overlap EACH OTHER (zone layers are
+    partitions); self-overlapping overlay features double-count in the
+    a_only residual, as documented.  Areas use the equirectangular metric
+    about ``lat0_deg`` (default: each ring's own mean latitude — pass an
+    explicit lat0 when residual arithmetic must be exactly reproducible).
+    ``min_area_m2`` (default 1 m²) drops degenerate pieces: residuals of
+    fully-covered features are float-noise, not zero, at ~1e9 m² scales.
+    """
+    if operation not in _SETOP_PARTS:
+        raise ValueError(
+            f"unknown overlay operation {operation!r}; expected one of "
+            f"{sorted(_SETOP_PARTS)}")
+    parts = _SETOP_PARTS[operation]
+    if where:
+        from niamoto_spark.plans.explorer import validate_predicate
+
+        overlay = overlay.filter(
+            validate_predicate(where, set(overlay.columns)))
+
+    b_rows = [(r[overlay_id], parse_polygon_wkt(r[overlay_wkt])[0])
+              for r in overlay.select(overlay_id, overlay_wkt).collect()
+              if r[overlay_wkt] and parse_polygon_wkt(r[overlay_wkt])]
+    bcast = layer.sparkSession.sparkContext.broadcast(
+        [(bid, ring, ring[:, 0].min(), ring[:, 0].max(),
+          ring[:, 1].min(), ring[:, 1].max()) for bid, ring in b_rows])
+
+    a_id_f = layer.schema[layer_id]
+    b_id_t = overlay.schema[overlay_id].dataType
+    pair_schema = T.StructType([
+        a_id_f, T.StructField(overlay_id, b_id_t, True),
+        T.StructField("inter_area", T.DoubleType(), True)])
+
+    def pair_areas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            aids, bids, areas = [], [], []
+            for aid, wkt in zip(pdf[layer_id], pdf[layer_wkt]):
+                rings = parse_polygon_wkt(wkt) if wkt else []
+                if not rings:
+                    continue
+                a_ring = rings[0]
+                ax0, ax1 = a_ring[:, 0].min(), a_ring[:, 0].max()
+                ay0, ay1 = a_ring[:, 1].min(), a_ring[:, 1].max()
+                for bid, b_ring, bx0, bx1, by0, by1 in bcast.value:
+                    if ax1 <= bx0 or bx1 <= ax0 or ay1 <= by0 or by1 <= ay0:
+                        continue
+                    area = 0.0
+                    for piece in clip_general(a_ring, b_ring):
+                        lat0 = (float(piece[:, 1].mean())
+                                if lat0_deg is None else lat0_deg)
+                        area += ring_area_m2(piece, lat0)
+                    if area > min_area_m2:
+                        aids.append(aid); bids.append(bid); areas.append(area)
+            yield pd.DataFrame({layer_id: aids, overlay_id: bids,
+                                "inter_area": areas})
+
+    pairs = (layer.select(layer_id, layer_wkt)
+             .mapInPandas(pair_areas, schema=pair_schema)
+             .localCheckpoint(eager=False))  # read up to 3x below
+
+    out = []
+    null_a = F.lit(None).cast(a_id_f.dataType).alias(layer_id)
+    null_b = F.lit(None).cast(b_id_t).alias(overlay_id)
+    if "both" in parts:
+        out.append(pairs.select(
+            layer_id, overlay_id, F.lit("both").alias("part"),
+            F.col("inter_area").alias("area_m2")))
+    if "a_only" in parts:
+        a_areas = _polygon_areas(layer, layer_wkt, layer_id,
+                                 "a_area", lat0_deg)
+        a_taken = pairs.groupBy(layer_id).agg(
+            F.sum("inter_area").alias("taken"))
+        out.append(
+            # layer-sized on both sides -> regular shuffle join on the id
+            a_areas.join(a_taken, layer_id, "left")
+            .withColumn("area_m2",
+                        F.col("a_area") - F.coalesce("taken", F.lit(0.0)))
+            .where(F.col("area_m2") > min_area_m2)
+            .select(layer_id, null_b, F.lit("a_only").alias("part"),
+                    "area_m2"))
+    if "b_only" in parts:
+        b_areas = _polygon_areas(overlay, overlay_wkt, overlay_id,
+                                 "b_area", lat0_deg)
+        b_taken = pairs.groupBy(overlay_id).agg(
+            F.sum("inter_area").alias("taken"))
+        out.append(
+            b_areas.join(F.broadcast(b_taken), overlay_id, "left")
+            .withColumn("area_m2",
+                        F.col("b_area") - F.coalesce("taken", F.lit(0.0)))
+            .where(F.col("area_m2") > min_area_m2)
+            .select(null_a, overlay_id, F.lit("b_only").alias("part"),
+                    "area_m2"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def douglas_peucker(ring: np.ndarray, epsilon: float) -> np.ndarray:
     """Iterative Douglas-Peucker on a ring/polyline (lon/lat degrees)."""
     pts = ring

@@ -1580,6 +1580,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_chunk_documents": q71_chunk_documents,
         "q72_char_entropy": q72_char_entropy,
         "q73_materialize_packs": q73_materialize_packs,
+        "q74_overlay_union": q74_overlay_union,
+        "q75_overlay_difference": q75_overlay_difference,
+        "q76_overlay_symdiff": q76_overlay_symdiff,
+        "q77_overlay_identity_where": q77_overlay_identity_where,
     }
 
 
@@ -1978,6 +1982,146 @@ FROM placed GROUP BY 1
 """
 
 
+# --- vector_overlay set-op parity (reference vector_overlay.py:568) -------
+# Deterministic polygon fixtures at NC latitude: rectangles with known
+# pairwise overlaps + one triangle fully inside b3 + one disjoint rect.
+# Overlay features are mutually disjoint (the operator's documented
+# assumption).  All areas use the pinned lat0=-22 equirectangular metric so
+# the DuckDB oracle can reproduce them as K * deg_area analytically.
+
+_OVL_A = [
+    ("a1", "POLYGON ((165.0 -22.6, 165.8 -22.6, 165.8 -22.0, 165.0 -22.0, "
+           "165.0 -22.6))"),
+    ("a2", "POLYGON ((166.0 -22.4, 166.5 -22.4, 166.5 -21.9, 166.0 -21.9, "
+           "166.0 -22.4))"),
+    ("a3", "POLYGON ((164.0 -22.4, 164.4 -22.4, 164.0 -22.0, 164.0 -22.4))"),
+    ("a4", "POLYGON ((168.0 -22.2, 168.3 -22.2, 168.3 -22.0, 168.0 -22.0, "
+           "168.0 -22.2))"),
+]
+_OVL_B = [
+    ("b1", "forest", "POLYGON ((164.9 -22.5, 165.3 -22.5, 165.3 -22.1, "
+                     "164.9 -22.1, 164.9 -22.5))"),
+    ("b2", "urban", "POLYGON ((165.5 -22.3, 166.2 -22.3, 166.2 -21.8, "
+                    "165.5 -21.8, 165.5 -22.3))"),
+    ("b3", "forest", "POLYGON ((163.9 -22.5, 164.5 -22.5, 164.5 -21.9, "
+                     "163.9 -21.9, 163.9 -22.5))"),
+]
+
+
+def _overlay_setop_q(spark, operation, where=None):
+    from niamoto_spark.operators.overlay import vector_overlay_setop
+
+    a = spark.createDataFrame(_OVL_A, "a_id string, geom string")
+    b = spark.createDataFrame(_OVL_B,
+                              "b_id string, category string, geom string")
+    res = vector_overlay_setop(a, "geom", "a_id", b, "geom", "b_id",
+                               operation=operation, where=where,
+                               lat0_deg=-22.0, min_area_m2=1.0)
+    # hectares at 3dp: float noise from the projected shoelace is <1e-4 ha,
+    # two orders under the rounding step (see overlay.py docstring)
+    return res.select("a_id", "b_id", "part",
+                      F.round(F.col("area_m2") / 1e4, 3).alias("area_ha"))
+
+
+def q74_overlay_union(spark, sf_dir):
+    """gpd.overlay(how='union') parity: both + a_only + b_only pieces."""
+    return _overlay_setop_q(spark, "union")
+
+
+def q75_overlay_difference(spark, sf_dir):
+    """gpd.overlay(how='difference'): layer minus all overlay features."""
+    return _overlay_setop_q(spark, "difference")
+
+
+def q76_overlay_symdiff(spark, sf_dir):
+    """gpd.overlay(how='symmetric_difference'): both residual sides."""
+    return _overlay_setop_q(spark, "symmetric_difference")
+
+
+def q77_overlay_identity_where(spark, sf_dir):
+    """gpd.overlay(how='identity') + the reference's `where` overlay-layer
+    filter (vector_overlay.py:477): only 'forest' overlay features play."""
+    return _overlay_setop_q(spark, "identity", where="category = 'forest'")
+
+
+# Shared analytic core: K = m^2 per deg^2 at lat0=-22 on the repo's
+# equirectangular metric; pairwise intersections of the fixture rects are
+# interval products; the a3 triangle sits fully inside b3 (ideg = its own
+# area, residual exactly 0 -> excluded by the >1 m^2 floor on both sides).
+_O_OVL_CORE = """
+k AS (SELECT 6371008.8 * 6371008.8 * cos(radians(-22.0))
+             * pi() * pi() / (180.0 * 180.0) AS v),
+a(a_id, adeg) AS (VALUES
+  ('a1', (165.8 - 165.0) * (22.6 - 22.0)),
+  ('a2', (166.5 - 166.0) * (22.4 - 21.9)),
+  ('a3', 0.5 * (164.4 - 164.0) * (22.4 - 22.0)),
+  ('a4', (168.3 - 168.0) * (22.2 - 22.0))),
+b(b_id, cat, bdeg) AS (VALUES
+  ('b1', 'forest', (165.3 - 164.9) * (22.5 - 22.1)),
+  ('b2', 'urban',  (166.2 - 165.5) * (22.3 - 21.8)),
+  ('b3', 'forest', (164.5 - 163.9) * (22.5 - 21.9))),
+inter(a_id, b_id, ideg) AS (VALUES
+  ('a1', 'b1', (165.3 - 165.0) * (22.5 - 22.1)),
+  ('a1', 'b2', (165.8 - 165.5) * (22.3 - 22.0)),
+  ('a2', 'b2', (166.2 - 166.0) * (22.3 - 21.9)),
+  ('a3', 'b3', 0.5 * (164.4 - 164.0) * (22.4 - 22.0))),
+both_rows AS (
+  SELECT i.a_id, i.b_id, 'both' AS part,
+         round(i.ideg * k.v / 10000.0, 3) AS area_ha
+  FROM inter i JOIN b ON i.b_id = b.b_id, k),
+a_res AS (
+  SELECT a.a_id, CAST(NULL AS VARCHAR) AS b_id, 'a_only' AS part,
+         round((a.adeg * k.v
+                - coalesce((SELECT sum(i.ideg) FROM inter i
+                            JOIN b ON i.b_id = b.b_id
+                            WHERE i.a_id = a.a_id), 0) * k.v)
+               / 10000.0, 3) AS area_ha,
+         a.adeg * k.v
+           - coalesce((SELECT sum(i.ideg) FROM inter i
+                       JOIN b ON i.b_id = b.b_id
+                       WHERE i.a_id = a.a_id), 0) * k.v AS res_m2
+  FROM a, k),
+b_res AS (
+  SELECT CAST(NULL AS VARCHAR) AS a_id, b.b_id, 'b_only' AS part,
+         round((b.bdeg * k.v
+                - coalesce((SELECT sum(ideg) FROM inter
+                            WHERE b_id = b.b_id), 0) * k.v)
+               / 10000.0, 3) AS area_ha,
+         b.bdeg * k.v
+           - coalesce((SELECT sum(ideg) FROM inter
+                       WHERE b_id = b.b_id), 0) * k.v AS res_m2
+  FROM b, k)
+"""
+
+O_Q74 = ("WITH " + _O_OVL_CORE + """
+SELECT a_id, b_id, part, area_ha FROM both_rows
+UNION ALL
+SELECT a_id, b_id, part, area_ha FROM a_res WHERE res_m2 > 1.0
+UNION ALL
+SELECT a_id, b_id, part, area_ha FROM b_res WHERE res_m2 > 1.0
+""")
+
+O_Q75 = ("WITH " + _O_OVL_CORE + """
+SELECT a_id, b_id, part, area_ha FROM a_res WHERE res_m2 > 1.0
+""")
+
+O_Q76 = ("WITH " + _O_OVL_CORE + """
+SELECT a_id, b_id, part, area_ha FROM a_res WHERE res_m2 > 1.0
+UNION ALL
+SELECT a_id, b_id, part, area_ha FROM b_res WHERE res_m2 > 1.0
+""")
+
+# identity + where: the overlay layer is pre-filtered to cat='forest'
+# (b1, b3), so a1's b2 overlap and a2's only overlap return to the residual.
+O_Q77 = ("WITH " + _O_OVL_CORE.replace(
+    "JOIN b ON i.b_id = b.b_id",
+    "JOIN b ON i.b_id = b.b_id AND b.cat = 'forest'") + """
+SELECT a_id, b_id, part, area_ha FROM both_rows
+UNION ALL
+SELECT a_id, b_id, part, area_ha FROM a_res WHERE res_m2 > 1.0
+""")
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2048,6 +2192,10 @@ def build_oracles() -> dict[str, str]:
         "q71_chunk_documents": O_Q71,
         "q72_char_entropy": O_Q72,
         "q73_materialize_packs": O_Q73,
+        "q74_overlay_union": O_Q74,
+        "q75_overlay_difference": O_Q75,
+        "q76_overlay_symdiff": O_Q76,
+        "q77_overlay_identity_where": O_Q77,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -257,3 +257,83 @@ def test_coverage_with_concave_zone(spark):
         "category string, geom string")
     cov = ov.coverage(layer, "geom", zones, "zone_id", "location").collect()[0]
     assert cov["coverage_pct"] == pytest.approx(100.0 / 3.0, rel=0.02)
+
+
+# --- vector_overlay set-ops (reference vector_overlay.py:568,477) ---------
+
+def _setop(spark, operation, where=None, **kw):
+    a = spark.createDataFrame(
+        [("a1", "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"),       # 2 deg^2
+         ("a2", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")],      # disjoint
+        "a_id string, geom string")
+    b = spark.createDataFrame(
+        [("b1", "keep", "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))"),   # 1x1 in a1
+         ("b2", "drop", "POLYGON ((0 0, 0.5 0, 0.5 1, 0 1, 0 0))")],
+        "b_id string, category string, geom string")
+    return {(r["a_id"], r["b_id"], r["part"]):
+            r["area_m2"] for r in ov.vector_overlay_setop(
+                a, "geom", "a_id", b, "geom", "b_id",
+                operation=operation, where=where, lat0_deg=0.0,
+                **kw).collect()}
+
+
+DEG2 = (6371008.8 * np.pi / 180.0) ** 2    # m^2 per deg^2 at lat0=0
+
+
+def test_setop_union_parts(spark):
+    got = _setop(spark, "union")
+    assert set(got) == {("a1", "b1", "both"), ("a1", "b2", "both"),
+                        ("a1", None, "a_only"), ("a2", None, "a_only"),
+                        (None, "b1", "b_only")}
+    assert got[("a1", "b1", "both")] == pytest.approx(1.0 * DEG2, rel=1e-9)
+    assert got[("a1", "b2", "both")] == pytest.approx(0.5 * DEG2, rel=1e-9)
+    assert got[("a1", None, "a_only")] == pytest.approx(0.5 * DEG2, rel=1e-6)
+    assert got[("a2", None, "a_only")] == pytest.approx(1.0 * DEG2, rel=1e-9)
+    # b1 extends 1 deg^2 beyond a1; b2 is fully covered -> no b2 residual
+    assert got[(None, "b1", "b_only")] == pytest.approx(1.0 * DEG2, rel=1e-6)
+    assert (None, "b2", "b_only") not in got
+
+
+def test_setop_difference_and_symdiff(spark):
+    diff = _setop(spark, "difference")
+    assert set(diff) == {("a1", None, "a_only"), ("a2", None, "a_only")}
+    sym = _setop(spark, "symmetric_difference")
+    assert set(sym) == {("a1", None, "a_only"), ("a2", None, "a_only"),
+                        (None, "b1", "b_only")}
+
+
+def test_setop_identity_and_where(spark):
+    ident = _setop(spark, "identity")
+    assert set(ident) == {("a1", "b1", "both"), ("a1", "b2", "both"),
+                          ("a1", None, "a_only"), ("a2", None, "a_only")}
+    # where drops b2 -> its overlap returns to a1's residual
+    got = _setop(spark, "identity", where="category = 'keep'")
+    assert set(got) == {("a1", "b1", "both"),
+                        ("a1", None, "a_only"), ("a2", None, "a_only")}
+    assert got[("a1", None, "a_only")] == pytest.approx(1.0 * DEG2, rel=1e-6)
+
+
+def test_setop_rejects_bad_op_and_unsafe_where(spark):
+    from niamoto_spark.plans.guards import UnsafeQueryError
+
+    with pytest.raises(ValueError):
+        _setop(spark, "erode")
+    with pytest.raises(UnsafeQueryError):
+        _setop(spark, "union", where="category = 'x'; DROP TABLE t")
+
+
+def test_setop_concave_layer_feature(spark):
+    # concave L (3 deg^2) minus a 1x1 rect covering its notch arm
+    a = spark.createDataFrame(
+        [("L", "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))")],
+        "a_id string, geom string")
+    b = spark.createDataFrame(
+        [("r", "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")],
+        "b_id string, geom string")
+    got = {(r["a_id"], r["b_id"], r["part"]): r["area_m2"]
+           for r in ov.vector_overlay_setop(
+               a, "geom", "a_id", b, "geom", "b_id",
+               operation="union", lat0_deg=0.0).collect()}
+    assert got[("L", "r", "both")] == pytest.approx(1.0 * DEG2, rel=1e-9)
+    assert got[("L", None, "a_only")] == pytest.approx(2.0 * DEG2, rel=1e-6)
+    assert (None, "r", "b_only") not in got

@@ -100,3 +100,31 @@ def test_q29_embedding_near_dup_has_no_cartesian(spark):
 
 def test_q73_pack_materialization_has_no_global_window(spark):
     _assert_no_global_window(_plan(spark, "q73_materialize_packs"), "q73")
+
+
+def test_ngram_jaccard_default_is_not_all_pairs(spark):
+    """VERDICT r2 #2: with no block_col the default must route through the
+    minhash prefilter (banded equi-join), never the constant-lit(1) block
+    self-join; explicit all-pairs needs allow_all_pairs=True."""
+    import pandas as pd
+
+    from niamoto_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20),
+        "text": [f"alpha beta gamma delta epsilon {i}" for i in range(20)]}))
+    out = ngram_jaccard_pairs(d, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="extended")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # the r2 all-pairs disguise: an equi-join whose key is the constant 1
+    assert "[block]" not in plan and "1 AS block" not in plan
+
+    with pytest.raises(ValueError, match="all-pairs"):
+        ngram_jaccard_pairs(d, "doc_id", "text", prefilter="none")
+    # the escape hatch still exists for small verification sets
+    assert ngram_jaccard_pairs(d, "doc_id", "text", prefilter="none",
+                               allow_all_pairs=True).columns == \
+        ["id_a", "id_b", "jaccard"]

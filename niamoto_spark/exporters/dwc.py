@@ -86,8 +86,13 @@ def _occ_id_pattern(ctx: _Ctx, params: Mapping[str, Any],
     """prefix + source value, falling back to prefix + taxonId_index —
     reference _generate_unique_occurrence_id (:741-765)."""
     prefix = F.lit(params.get("prefix", default_prefix))
-    fallback = F.concat(prefix, ctx.taxon_id.cast("string"), F.lit("_"),
-                        ctx.occ_index.cast("string"))
+    # occurrences with no matching taxon row (left-join null) still need a
+    # usable unique id -- the reference always generates one; a plain
+    # concat would propagate the NULL into the whole id (ADVICE r2)
+    fallback = F.concat(prefix,
+                        F.coalesce(ctx.taxon_id.cast("string"),
+                                   F.lit("unknown")),
+                        F.lit("_"), ctx.occ_index.cast("string"))
     sf = params.get("source_field")
     if sf:
         val = ctx.ref(sf).cast("string")

@@ -94,7 +94,10 @@ def export_html_site(results: DataFrame, id_col: str, out_dir: str,
       reference's navigation config, html_page_exporter.py:317-350).
     - ``static_pages``: {name: html_body} -> ``<name>.html`` wrapped in the
       site chrome (reference _process_static_pages :1171-1260).
-    Custom detail/index templates (Jinja2 source) override the body."""
+    Custom detail/index templates (Jinja2 source) override the body.
+    NOTE: custom detail templates render under an autoescaping
+    environment; each widget's ``w.html`` is prebuilt HTML and must be
+    emitted with ``{{ w.html | safe }}`` or it will be double-escaped."""
     import jinja2
 
     env = jinja2.Environment(autoescape=True)
@@ -114,6 +117,11 @@ def export_html_site(results: DataFrame, id_col: str, out_dir: str,
     nav = list(nav or [])
     for name in (static_pages or {}):
         nav.append({"label": name.title(), "url": f"{name}.html"})
+    # the chrome template renders with autoescape off (widget HTML is
+    # prebuilt), so nav entries -- config-provided data -- are escaped HERE
+    # or they'd inject raw markup into every page (ADVICE r2)
+    nav = [{"label": esc(str(n.get("label", ""))),
+            "url": esc(str(n.get("url", "")))} for n in nav]
 
     def page(path: str, title: str, body: str, depth: int) -> None:
         html = base_t.render(title=esc(title), body=body, lang=lang,

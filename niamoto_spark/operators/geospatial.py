@@ -383,8 +383,12 @@ def zonal_stats_from_arrays(zone_values: DataFrame, group_cols: list[str],
         F.round(F.median(v), 2).alias("median"),
         F.round(F.sum(v), 2).alias("sum"),
         F.count(v).alias("count"),
-        F.round(F.stddev_samp(v), 2).alias("std"),
-        F.round(F.var_samp(v), 2).alias("variance"),
+        # population std/variance: the reference computes np.nanstd/np.nanvar
+        # (ddof=0, raster_stats.py:59-127) and the sibling numpy path above
+        # (raster_stats) does the same -- ADVICE r2: both zonal paths must
+        # agree on one convention
+        F.round(F.stddev_pop(v), 2).alias("std"),
+        F.round(F.var_pop(v), 2).alias("variance"),
         F.round(F.max(v) - F.min(v), 2).alias("range"),
         F.round(F.percentile(v, percentiles[0]), 2).alias("percentile_5"),
         F.round(F.percentile(v, percentiles[1]), 2).alias("percentile_95"),

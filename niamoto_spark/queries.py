@@ -1683,8 +1683,8 @@ base AS (
          round(min(value), 2) AS "min", round(max(value), 2) AS "max",
          round(avg(value), 2) AS mean, round(median(value), 2) AS median,
          round(sum(value), 2) AS "sum", count(value) AS "count",
-         round(stddev_samp(value), 2) AS std,
-         round(var_samp(value), 2) AS variance,
+         round(stddev_pop(value), 2) AS std,
+         round(var_pop(value), 2) AS variance,
          round(max(value) - min(value), 2) AS "range",
          round(quantile_cont(value, 0.05), 2) AS percentile_5,
          round(quantile_cont(value, 0.95), 2) AS percentile_95,

@@ -155,3 +155,16 @@ def test_static_and_count(occ, taxon):
     rows = _rows(out)
     assert rows["niaocc_1"]["basisOfRecord"] == "HumanObservation"
     assert rows["niaocc_1"]["organismQuantity"] == 2          # taxon 10 has 2
+
+
+def test_unique_id_fallback_survives_missing_taxon(spark, taxon):
+    """ADVICE r2: an occurrence whose taxon_ref matches no taxon row must
+    still get a usable unique id (taxon id coalesced to 'unknown'), never a
+    NULL occurrenceID — the reference always generates one."""
+    occ = spark.createDataFrame(pd.DataFrame({
+        "occ_id": [1, 2], "taxon_ref": [10, 999]}))   # 999 unmatched
+    out = to_dwc_occurrence(occ, {
+        "occurrenceID": {"generator": "unique_occurrence_id"},
+    }, taxon=taxon, occ_taxon_col="taxon_ref", order_col="occ_id")
+    ids = sorted(r["occurrenceID"] for r in out.collect())
+    assert ids == ["niaocc_10_0", "niaocc_unknown_0"]

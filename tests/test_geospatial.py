@@ -69,6 +69,11 @@ def test_zonal_stats_from_arrays(spark):
     assert r["min"] == 1.0 and r["max"] == 10.0 and r["count"] == 12
     assert r["majority"] == 5.0 and r["range"] == 9.0
     assert r["unique"] == 10
+    # population semantics, matching raster_stats' np.std (ddof=0) so the
+    # two zonal paths agree (ADVICE r2)
+    arr = np.array(vals, dtype=float)
+    assert r["std"] == round(float(arr.std()), 2)
+    assert r["variance"] == round(float(arr.var()), 2)
 
 
 def test_fragmentation_meff(spark):

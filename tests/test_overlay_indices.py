@@ -337,3 +337,21 @@ def test_setop_concave_layer_feature(spark):
     assert got[("L", "r", "both")] == pytest.approx(1.0 * DEG2, rel=1e-9)
     assert got[("L", None, "a_only")] == pytest.approx(2.0 * DEG2, rel=1e-6)
     assert (None, "r", "b_only") not in got
+
+
+def test_html_site_nav_entries_escaped(tmp_path, spark):
+    """ADVICE r2: nav labels/urls are config data rendered into the
+    non-autoescaping chrome template — they must be HTML-escaped or they
+    inject markup into every page."""
+    from niamoto_spark.exporters.html_site import export_html_site
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1], "stats": [json.dumps({"mean": 5})]}))
+    export_html_site(
+        df, "id", str(tmp_path), group_name="plots",
+        nav=[{"label": "<script>alert(1)</script>",
+              "url": 'x.html" onclick="evil()'}])
+    idx = (tmp_path / "index.html").read_text()
+    assert "<script>alert(1)</script>" not in idx
+    assert "&lt;script&gt;" in idx
+    assert 'onclick="evil()"' not in idx

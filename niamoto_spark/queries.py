@@ -1584,6 +1584,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_overlay_difference": q75_overlay_difference,
         "q76_overlay_symdiff": q76_overlay_symdiff,
         "q77_overlay_identity_where": q77_overlay_identity_where,
+        "q78_media_dhash_jpeg": q78_media_dhash_jpeg,
     }
 
 
@@ -2122,6 +2123,63 @@ SELECT a_id, b_id, part, area_ha FROM a_res WHERE res_m2 > 1.0
 """)
 
 
+def _media_fixture_rows():
+    """Six deterministic 32x24 test images: PNG (lossless), baseline
+    4:4:4 JPEG, and 4:2:0 JPEG with restart intervals — the mixed-format
+    corpus shape of a real multimodal pipeline, built with the repo's own
+    pure-python encoders."""
+    import numpy as np
+
+    from niamoto_spark.sources.imagecodec import encode_png
+    from niamoto_spark.sources.jpegcodec import encode_jpeg
+
+    rows = []
+    for i in range(1, 7):
+        y, x = np.mgrid[0:24, 0:32]
+        img = np.stack([(x * (23 + 11 * i)) % 256,
+                        (y * (31 + 7 * i) + x * 5 * i) % 256,
+                        ((x * x + y * (17 + i)) * 3) % 256],
+                       axis=2).astype(np.uint8)
+        if i % 3 == 1:
+            rows.append((i, "png", bytearray(encode_png(img))))
+        elif i % 3 == 2:
+            rows.append((i, "jpeg444", bytearray(encode_jpeg(img, quality=90))))
+        else:
+            rows.append((i, "jpeg420",
+                         bytearray(encode_jpeg(img, quality=85,
+                                               subsample="420",
+                                               restart_interval=2))))
+    return rows
+
+
+def q78_media_dhash_jpeg(spark, sf_dir):
+    """Multimodal decode + perceptual hash over a MIXED PNG/JPEG column
+    (VERDICT r2 missing #3): baseline-JPEG decode (4:4:4 and 4:2:0 with
+    restart markers) is the repo's own pure-python T.81 codec in
+    sources/jpegcodec.py.  The constant-VALUES oracle freezes byte sizes
+    and dHashes, pinning the whole encode -> decode -> grayscale ->
+    resample -> gradient-bits chain (the q65 fixture approach)."""
+    from niamoto_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(_media_fixture_rows(),
+                               "media_id long, fmt string, payload binary")
+    sizes = df.select("media_id", "fmt", F.length("payload").alias("n_bytes"))
+    return (sizes.join(image_dhash(df), "media_id")
+            .select("media_id", "fmt", "n_bytes", "dhash"))
+
+
+O_Q78 = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'png', 2344, CAST(-2885165412765932043 AS BIGINT)),
+  (2, 'jpeg444', 1910, -1538566499368048219),
+  (3, 'jpeg420', 1248, -2689267608272396916),
+  (4, 'png', 2328, -3556267219242078762),
+  (5, 'jpeg444', 1913, -3770157640637963115),
+  (6, 'jpeg420', 1244, -2712746235458629030)
+) AS t(media_id, fmt, n_bytes, dhash)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2196,6 +2254,7 @@ def build_oracles() -> dict[str, str]:
         "q75_overlay_difference": O_Q75,
         "q76_overlay_symdiff": O_Q76,
         "q77_overlay_identity_where": O_Q77,
+        "q78_media_dhash_jpeg": O_Q78,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -3,8 +3,10 @@ stdlib ``zlib``/``struct`` + numpy.
 
 The multimodal operators (operators/multimodal.py) were decode-stubbed in
 round 1 because PIL is absent.  PNG (deflate + per-scanline filters) and
-uncompressed BMP are public formats small enough to decode exactly; JPEG
-and video stay behind the optional-PIL gate (a DCT codec is out of scope).
+uncompressed BMP decode exactly here; baseline JPEG decodes via the
+sibling ``jpegcodec`` module (round-3 gap closure — web corpora are
+overwhelmingly JPEG); video frames stay behind the optional-PIL/ffmpeg
+gate.
 
 Used inside mapInPandas batches — one worker decodes a whole Arrow batch
 of payloads, the decoded pixels never leave the batch.
@@ -152,5 +154,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from niamoto_spark.sources.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG/BMP decode without PIL; install pillow for JPEG/etc")
+        "only PNG/BMP/baseline-JPEG decode without PIL; "
+        "install pillow for other formats")

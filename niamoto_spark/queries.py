@@ -1585,6 +1585,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_overlay_symdiff": q76_overlay_symdiff,
         "q77_overlay_identity_where": q77_overlay_identity_where,
         "q78_media_dhash_jpeg": q78_media_dhash_jpeg,
+        "q79_utm_area": q79_utm_area,
     }
 
 
@@ -2180,6 +2181,78 @@ SELECT * FROM (VALUES
 """
 
 
+# --- UTM auto-zone metric areas (reference shape_processor.py:338-420) ----
+
+_UTM_SHAPES = [
+    ("nc_rect", "POLYGON ((165.0 -22.0, 165.5 -22.0, 165.5 -21.5, "
+                "165.0 -21.5, 165.0 -22.0))"),
+    ("nc_tri", "POLYGON ((164.2 -20.8, 164.8 -20.8, 164.2 -20.2, "
+               "164.2 -20.8))"),
+]
+
+
+def q79_utm_area(spark, sf_dir):
+    """Metric polygon areas measured in the shape's auto-selected UTM zone
+    (both fixtures sit in zone 58).  The oracle RECOMPUTES the WGS84
+    transverse-Mercator forward series in DuckDB SQL from the same public
+    Snyder formulas, so projection + shoelace are verified analytically,
+    not against frozen numbers.  1-dp rounding absorbs summation-order
+    float noise (~1e-3 m2 on ~1e9 m2 areas)."""
+    from niamoto_spark.operators.utm import polygon_area_utm
+
+    shapes = spark.createDataFrame(_UTM_SHAPES, "shape_id string, wkt string")
+    return (polygon_area_utm(shapes, "wkt")
+            .select("shape_id", F.round("area_m2", 1).alias("area_m2")))
+
+
+def _o_q79() -> str:
+    from niamoto_spark.operators import utm as _u
+
+    e2 = repr(_u._E2)
+    e4 = repr(_u._E2 ** 2)
+    e6 = repr(_u._E2 ** 3)
+    ep2 = repr(_u._EP2)
+    pts = []
+    for sid, wkt in _UTM_SHAPES:
+        body = wkt[wkt.index("((") + 2:wkt.index("))")]
+        for i, pair in enumerate(body.split(",")):
+            lon, lat = pair.split()
+            pts.append(f"('{sid}', {i}, {lon}, {lat})")
+    # zone 58 central meridian = 165 E; southern shapes carry no false
+    # northing (area is translation-invariant, matching utm_forward)
+    return f"""
+WITH pts(shape_id, i, lon, lat) AS (VALUES {', '.join(pts)}),
+t AS (
+  SELECT shape_id, i, radians(lat) AS phi,
+         (radians(lon) - radians(165.0)) * cos(radians(lat)) AS aa,
+         sin(radians(lat)) AS sp, cos(radians(lat)) AS cp,
+         tan(radians(lat)) AS tp
+  FROM pts),
+xy AS (
+  SELECT shape_id, i,
+    0.9996 * (6378137.0 / sqrt(1 - {e2} * sp * sp)) *
+      (aa + (1 - tp*tp + {ep2}*cp*cp) * pow(aa, 3) / 6
+          + (5 - 18*tp*tp + pow(tp, 4) + 72*{ep2}*cp*cp - 58*{ep2})
+            * pow(aa, 5) / 120) + 500000.0 AS x,
+    0.9996 * (
+      6378137.0 * ((1 - {e2}/4 - 3*{e4}/64 - 5*{e6}/256) * phi
+                   - (3*{e2}/8 + 3*{e4}/32 + 45*{e6}/1024) * sin(2*phi)
+                   + (15*{e4}/256 + 45*{e6}/1024) * sin(4*phi)
+                   - (35*{e6}/3072) * sin(6*phi))
+      + (6378137.0 / sqrt(1 - {e2} * sp * sp)) * tp *
+          (aa*aa/2 + (5 - tp*tp + 9*{ep2}*cp*cp
+                      + 4*pow({ep2}*cp*cp, 2)) * pow(aa, 4) / 24
+           + (61 - 58*tp*tp + pow(tp, 4) + 600*{ep2}*cp*cp - 330*{ep2})
+             * pow(aa, 6) / 720)) AS y
+  FROM t),
+s AS (
+  SELECT a.shape_id, a.x * b.y - b.x * a.y AS crossp
+  FROM xy a JOIN xy b ON a.shape_id = b.shape_id AND b.i = a.i + 1)
+SELECT shape_id, round(abs(sum(crossp)) / 2, 1) AS area_m2
+FROM s GROUP BY shape_id
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2255,6 +2328,7 @@ def build_oracles() -> dict[str, str]:
         "q76_overlay_symdiff": O_Q76,
         "q77_overlay_identity_where": O_Q77,
         "q78_media_dhash_jpeg": O_Q78,
+        "q79_utm_area": _o_q79(),
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

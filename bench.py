@@ -73,15 +73,45 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    # IVF approximation-quality telemetry (VERDICT r2 next #8): q41 is
+    # rows-only in the correctness gate (approximate by design), so its
+    # QUALITY is pinned here instead — recall@k of the IVF probe against
+    # the exact brute-force neighbors on the same vectors.  Target >= 0.9
+    # at nprobe=4; a probe/bucketing regression shows up as a recall drop
+    # even while row counts stay green.
+    ivf_recall = _ivf_recall(spark, sf_dir, k=5, n_centroids=8, nprobe=4,
+                             replication=2)
+    print(f"# ivf_recall_at_5: {ivf_recall}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "ivf_recall_at_5": ivf_recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(result))
+
+
+def _ivf_recall(spark, sf_dir: str, k: int, n_centroids: int,
+                nprobe: int, replication: int) -> float:
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators import similarity as sim_ops
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim_ops.cosine_topk(emb, queries, "vec_id", "embedding", k=k) \
+        .select("query_id", "neighbor_id")
+    approx = sim_ops.ivf_topk(emb, queries, "vec_id", "embedding", k=k,
+                              n_centroids=n_centroids, nprobe=nprobe,
+                              use_kmeans=True, replication=replication) \
+        .select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    return round(hits / total, 4) if total else 1.0
 
 
 if __name__ == "__main__":

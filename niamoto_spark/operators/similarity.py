@@ -126,13 +126,17 @@ def cosine_topk_blas(corpus: DataFrame, queries: DataFrame, id_col: str,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, round_dp: int | None = 6,
-             use_kmeans: bool = False) -> DataFrame:
+             use_kmeans: bool = False,
+             replication: int = 1) -> DataFrame:
     """Approximate top-k: IVF bucketing by nearest centroid.
 
     Centroids: deterministic corpus sample (every Nth id) by default, or
     MLlib KMeans with a fixed seed (``use_kmeans=True``) — better-balanced
     buckets, one extra training pass.  Corpus rows are assigned to their
-    argmax-cosine centroid; each query probes its ``nprobe`` closest
+    ``replication`` closest centroids (multi-assignment: index size and
+    candidate scan scale by R, recall rises sharply on weakly-clustered
+    corpora — the standard IVF replication trade; R=1 is the classic
+    exact-partition index); each query probes its ``nprobe`` closest
     centroid buckets.  Same output schema as cosine_topk.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -177,7 +181,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                   .drop("__csim", "__crk", "cent_vec")
                   .withColumnRenamed("centroid_id", out))
 
-    c_assigned = nearest(c, "c_vec", "bucket", 1)
+    c_assigned = nearest(c, "c_vec", "bucket", max(replication, 1))
     q_assigned = nearest(q, "q_vec", "bucket", nprobe)
 
     sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))

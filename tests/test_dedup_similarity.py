@@ -278,3 +278,25 @@ def test_near_dup_verification_pairs_bounded_on_clustered_corpus(spark):
         df, "vec_id", "embedding", threshold=0.95, n_centroids=32).count()
     assert auto < n * (n - 1) / 2 * 0.25      # nowhere near all-pairs
     assert auto < fixed32                     # sqrt-n centroids prune harder
+
+
+def test_ivf_replication_improves_recall(vectors):
+    """IVF multi-assignment (VERDICT r2 next #8): replicating each corpus
+    vector into its top-2 buckets must not lose pairs vs R=1 on the same
+    probe budget, and with enough replication recall becomes exact."""
+    df, _ = vectors
+    queries = df.limit(5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.cosine_topk(df, queries, "vec_id", "embedding",
+                                    k=3).collect()}
+
+    def recall(repl):
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               similarity.ivf_topk(df, queries, "vec_id", "embedding",
+                                   k=3, n_centroids=4, nprobe=2,
+                                   replication=repl).collect()}
+        return len(exact & got) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r2 >= r1
+    assert r4 == 1.0       # R == n_centroids -> every bucket holds everything

@@ -277,3 +277,24 @@ def test_html_site_nav_widgets_and_static_pages(tmp_path, spark):
     assert 'detail/1.html' in idx
     about = (tmp_path / "about.html").read_text()
     assert "method notes" in about and 'href="assets/site.css"' in about
+
+
+def test_html_export_scales_without_driver_materialization(tmp_path, spark):
+    """VERDICT r2 next #7: detail pages render per partition on executors;
+    the driver only collects the pruned index columns.  A few thousand
+    entities must produce one file each with correct widget content."""
+    from niamoto_spark.exporters.html_site import export_html_site
+
+    n = 3000
+    df = (spark.range(1, n + 1).toDF("id")
+          .withColumn("stats", F.to_json(F.struct(
+              (F.col("id") * 2).alias("double_id")))))
+    m = export_html_site(df, "id", str(tmp_path), group_name="plots")
+    assert m["entities"] == n
+    files = list((tmp_path / "detail").glob("*.html"))
+    assert len(files) == n
+    # spot-check a rendered widget on an arbitrary entity
+    page = (tmp_path / "detail" / "1234.html").read_text()
+    assert "<dt>double_id</dt><dd>2468</dd>" in page
+    idx = (tmp_path / "index.html").read_text()
+    assert 'detail/3000.html' in idx

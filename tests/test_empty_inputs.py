@@ -74,3 +74,32 @@ def test_ivf_kmeans_recall(spark):
                               use_kmeans=True).collect()}
     recall = len(km & exact) / len(exact)
     assert recall >= 0.5  # nprobe=2 of 4 balanced buckets
+
+
+def test_round3_ops_on_empty(spark):
+    from niamoto_spark.operators.overlay import vector_overlay_setop
+    from niamoto_spark.operators.utm import polygon_area_utm, simplify_wkt_utm
+
+    empty_shapes = spark.createDataFrame([], "a_id string, geom string")
+    empty_zones = spark.createDataFrame([], "b_id string, geom string")
+    for op in ("union", "difference", "symmetric_difference", "identity"):
+        assert vector_overlay_setop(empty_shapes, "geom", "a_id",
+                                    empty_zones, "geom", "b_id",
+                                    operation=op).count() == 0
+    # layer populated, overlay empty: difference keeps the layer whole
+    one = spark.createDataFrame(
+        [("a", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "a_id string, geom string")
+    out = vector_overlay_setop(one, "geom", "a_id", empty_zones, "geom",
+                               "b_id", operation="difference").collect()
+    assert len(out) == 1 and out[0]["part"] == "a_only"
+    assert polygon_area_utm(empty_shapes, "geom").count() == 0
+    assert simplify_wkt_utm(empty_shapes, "geom").count() == 0
+
+
+def test_lsh_near_dup_on_empty(spark):
+    from niamoto_spark.operators import similarity
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert similarity.embedding_near_dup(emb, "vec_id", "embedding",
+                                         method="lsh").count() == 0

@@ -142,3 +142,32 @@ def test_stratified_sample_monotone_in_rate(spark, ids, rate):
             stratified_sample(df, "doc_id", "src",
                               {"s": min(rate + 0.3, 1.0)}).collect()}
     assert low <= high
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=100),
+       st.sampled_from(["444", "420"]),
+       st.integers(min_value=0, max_value=3),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_never_crashes_and_bounds_error(h, w, quality,
+                                                       subsample, dri, seed):
+    """Any uint8 RGB image, any quality/sampling/restart combination must
+    encode to a decodable stream with bounded reconstruction error — the
+    Huffman/bit-stuffing edge cases (0xFF bytes, ZRL runs, category-11 DC
+    diffs at quality 100) are exactly what random inputs exercise."""
+    from niamoto_spark.sources.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    data = encode_jpeg(img, quality=quality, subsample=subsample,
+                       restart_interval=dri)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    # worst case (quality 1, chroma-subsampled noise) still lands within
+    # the uint8 range midpoint; high quality must be genuinely close
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err <= 128.0
+    if quality >= 95 and subsample == "444":
+        assert err < 16.0

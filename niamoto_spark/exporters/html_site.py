@@ -183,18 +183,24 @@ def export_html_site(results: DataFrame, id_col: str, out_dir: str,
             with open(os.path.join(detail_dir, f"{eid}.html"), "w") as f:
                 f.write(html)
 
-    master = results.sparkSession.conf.get("spark.master", "")
-    if master.startswith("local"):
-        payload.foreachPartition(render_partition)
-    else:
-        render_partition(payload.toLocalIterator())
+    # persist across the TWO actions (detail render + index collect) so
+    # an expensive upstream transform DAG computes once, not twice
+    results = results.persist()
+    try:
+        master = results.sparkSession.conf.get("spark.master", "")
+        if master.startswith("local"):
+            payload.foreachPartition(render_partition)
+        else:
+            render_partition(payload.toLocalIterator())
 
-    ids = []
-    index_rows = []
-    for r in results.select(*idx_cols).orderBy(id_col).collect():
-        d = r.asDict()
-        ids.append(d[id_col])
-        index_rows.append({c: d.get(c) for c in idx_cols})
+        ids = []
+        index_rows = []
+        for r in results.select(*idx_cols).orderBy(id_col).collect():
+            d = r.asDict()
+            ids.append(d[id_col])
+            index_rows.append({c: d.get(c) for c in idx_cols})
+    finally:
+        results.unpersist()
 
     esc_rows = [{c: esc(str(v)) if v is not None else ""
                  for c, v in row.items()} for row in index_rows]

@@ -320,16 +320,26 @@ def vector_overlay_setop(layer: DataFrame, layer_wkt: str, layer_id: str,
 
     Assumes overlay features do not overlap EACH OTHER (zone layers are
     partitions); self-overlapping overlay features double-count in the
-    a_only residual, as documented.  Areas use the equirectangular metric
-    about ``lat0_deg`` (default: each ring's own mean latitude — pass an
-    explicit lat0 when residual arithmetic must be exactly reproducible).
-    ``min_area_m2`` (default 1 m²) drops degenerate pieces: residuals of
-    fully-covered features are float-noise, not zero, at ~1e9 m² scales.
+    a_only residual, as documented.  Holes ARE handled on both sides:
+    pair areas use signed ring inclusion-exclusion
+    (area(A∩B) = Σ s(ra)·s(rb)·area(ra∩rb) over outer=+1/hole=-1 rings,
+    exact while holes sit inside their outer ring and don't nest), the
+    same even-odd model as ``polygon_area``.  Areas use the
+    equirectangular metric about ``lat0_deg`` (default: each ring's own
+    mean latitude — pass an explicit lat0 when residual arithmetic must be
+    exactly reproducible).  ``min_area_m2`` (default 1 m²) drops
+    degenerate pieces: residuals of fully-covered features are
+    float-noise, not zero, at ~1e9 m² scales.
     """
     if operation not in _SETOP_PARTS:
         raise ValueError(
             f"unknown overlay operation {operation!r}; expected one of "
             f"{sorted(_SETOP_PARTS)}")
+    if layer_id == overlay_id:
+        raise ValueError(
+            f"layer_id and overlay_id are both {layer_id!r}: the output "
+            "carries one column per side, so the id column names must "
+            "differ (alias one before calling)")
     parts = _SETOP_PARTS[operation]
     if where:
         from niamoto_spark.plans.explorer import validate_predicate
@@ -337,12 +347,18 @@ def vector_overlay_setop(layer: DataFrame, layer_wkt: str, layer_id: str,
         overlay = overlay.filter(
             validate_predicate(where, set(overlay.columns)))
 
-    b_rows = [(r[overlay_id], parse_polygon_wkt(r[overlay_wkt])[0])
+    def _signed(rings):
+        return [(ring, 1.0 if i == 0 else -1.0)
+                for i, ring in enumerate(rings)]
+
+    b_rows = [(r[overlay_id], parse_polygon_wkt(r[overlay_wkt]))
               for r in overlay.select(overlay_id, overlay_wkt).collect()
               if r[overlay_wkt] and parse_polygon_wkt(r[overlay_wkt])]
     bcast = layer.sparkSession.sparkContext.broadcast(
-        [(bid, ring, ring[:, 0].min(), ring[:, 0].max(),
-          ring[:, 1].min(), ring[:, 1].max()) for bid, ring in b_rows])
+        [(bid, _signed(rings),
+          rings[0][:, 0].min(), rings[0][:, 0].max(),
+          rings[0][:, 1].min(), rings[0][:, 1].max())
+         for bid, rings in b_rows])
 
     a_id_f = layer.schema[layer_id]
     b_id_t = overlay.schema[overlay_id].dataType
@@ -351,23 +367,30 @@ def vector_overlay_setop(layer: DataFrame, layer_wkt: str, layer_id: str,
         T.StructField("inter_area", T.DoubleType(), True)])
 
     def pair_areas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ring_inter(ra, rb):
+            total = 0.0
+            for piece in clip_general(ra, rb):
+                lat0 = (float(piece[:, 1].mean())
+                        if lat0_deg is None else lat0_deg)
+                total += ring_area_m2(piece, lat0)
+            return total
+
         for pdf in batches:
             aids, bids, areas = [], [], []
             for aid, wkt in zip(pdf[layer_id], pdf[layer_wkt]):
                 rings = parse_polygon_wkt(wkt) if wkt else []
                 if not rings:
                     continue
-                a_ring = rings[0]
-                ax0, ax1 = a_ring[:, 0].min(), a_ring[:, 0].max()
-                ay0, ay1 = a_ring[:, 1].min(), a_ring[:, 1].max()
-                for bid, b_ring, bx0, bx1, by0, by1 in bcast.value:
+                a_rings = _signed(rings)
+                outer = rings[0]
+                ax0, ax1 = outer[:, 0].min(), outer[:, 0].max()
+                ay0, ay1 = outer[:, 1].min(), outer[:, 1].max()
+                for bid, b_srings, bx0, bx1, by0, by1 in bcast.value:
                     if ax1 <= bx0 or bx1 <= ax0 or ay1 <= by0 or by1 <= ay0:
                         continue
-                    area = 0.0
-                    for piece in clip_general(a_ring, b_ring):
-                        lat0 = (float(piece[:, 1].mean())
-                                if lat0_deg is None else lat0_deg)
-                        area += ring_area_m2(piece, lat0)
+                    area = sum(sa * sb * ring_inter(ra, rb)
+                               for ra, sa in a_rings
+                               for rb, sb in b_srings)
                     if area > min_area_m2:
                         aids.append(aid); bids.append(bid); areas.append(area)
             yield pd.DataFrame({layer_id: aids, overlay_id: bids,

@@ -257,10 +257,15 @@ def _ball_cover_candidates(corpus: DataFrame, id_col: str, vec_col: str,
     spark = corpus.sparkSession
     vnorm_of = lambda col: F.sqrt(F.aggregate(  # noqa: E731
         col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    # checkpoint the filtered/normed input ONCE up front: the corpus count
+    # (auto centroid sizing), the centroid pick, and the assignment pass
+    # below all read it — without this each would recompute the fan_out +
+    # norm pipeline from the source (three passes; review r3)
     c = (fan_out(corpus.select(F.col(id_col).alias("vid"),
                                F.col(vec_col).alias("v")))
          .withColumn("__vn", vnorm_of(F.col("v")))
-         .where(F.col("__vn") > 0))
+         .where(F.col("__vn") > 0)
+         .localCheckpoint(eager=True))
     if n_centroids is None:
         n_centroids = _auto_n_centroids(c.count())
     picked = (c.withColumn("__h", F.xxhash64("vid"))

@@ -45,16 +45,32 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred",
     equals a marker word exactly when the old ``\\bword\\b`` regexp matched
     there (both delimit on Java's ASCII word-character class), so counts —
     and the q25 oracle hashes — are unchanged; adding a language now costs
-    one array filter, not 5 more text scans."""
+    one array filter, not 5 more text scans.  User-supplied marker words
+    containing non-ASCII-word characters (accents) fall back to the
+    boundary-regexp count per word, since the \\W+ split would fragment
+    them."""
+    import re as _re
+
     text = F.col(text_col)
     langs = sorted(markers)
     toks = F.split(F.lower(text), r"\W+")
     scored = df.withColumn("__toks", toks)
     for lang in langs:
-        words = tuple(markers[lang])
-        scored = scored.withColumn(
-            f"__hits_{lang}",
-            F.size(F.filter(F.col("__toks"), lambda t: t.isin(*words))))
+        ascii_words = tuple(w for w in markers[lang]
+                            if _re.fullmatch(r"[A-Za-z0-9_]+", w))
+        other_words = tuple(w for w in markers[lang]
+                            if w not in ascii_words)
+        hits = F.size(F.filter(F.col("__toks"),
+                               lambda t: t.isin(*ascii_words))) \
+            if ascii_words else F.lit(0)
+        # markers with non-ASCII-word chars (accents etc.) would be
+        # fragmented by the \W+ split — count those with the boundary
+        # regexp, same semantics as before the single-pass rewrite
+        for w in other_words:
+            hits = hits + F.size(F.split(
+                F.concat(F.lit(" "), F.lower(text), F.lit(" ")),
+                f"\\b{w}\\b")) - 1
+        scored = scored.withColumn(f"__hits_{lang}", hits)
     best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier langs win ties -> apply last

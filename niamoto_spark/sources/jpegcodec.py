@@ -152,7 +152,17 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> HxWx3 uint8 RGB."""
+    """Baseline JPEG -> HxWx3 uint8 RGB.  Raises ValueError for
+    non-baseline processes, truncated streams, and corrupt entropy data —
+    the documented contract for malformed input."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        # out-of-range reads = stream ended mid-marker / mid-segment
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -252,12 +262,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcus_y = -(-height // (8 * vmax))
     planes = [np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.float64)
               for _, h, v, _ in comps]
-    # dequant tables in raster order
-    deq = []
-    for _, _, _, tq in comps:
-        q = np.zeros(64, dtype=np.int64)
-        q[ZIGZAG] = qts[tq]
-        deq.append(q)
+    # per-component quant tables, kept in the zigzag order they decode in
+    deq = [qts[tq] for _, _, _, tq in comps]
     preds = [0] * len(comps)
     mcu_count = 0
     for my in range(mcus_y):
@@ -288,7 +294,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             zz[k] = _extend(reader.bits(size), size)
                             k += 1
                         raster = np.zeros(64, dtype=np.float64)
-                        raster[ZIGZAG] = zz * deq[ci][ZIGZAG]
+                        raster[ZIGZAG] = zz * deq[ci]
                         block = _C.T @ raster.reshape(8, 8) @ _C + 128.0
                         y0 = (my * v + by) * 8
                         x0 = (mx * h + bx) * 8
@@ -332,6 +338,8 @@ class _BitWriter:
 
 
 def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
 

@@ -44,8 +44,12 @@ def test_minhash_finds_near_dup_pair(docs):
 
 
 def test_minhash_estimate_close_to_true_jaccard(docs):
+    # ground truth must be BRUTE FORCE, not the (now default) minhash
+    # prefilter — otherwise the test compares minhash estimates against
+    # minhash-conditioned truth and cannot see an LSH recall regression
     exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
-                                      threshold=0.0).collect()
+                                      threshold=0.0, prefilter="none",
+                                      allow_all_pairs=True).collect()
     true_j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact}
     est = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
                                        num_hashes=128, bands=32, shingle_k=2,

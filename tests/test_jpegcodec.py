@@ -113,3 +113,20 @@ def test_image_near_dup_over_mixed_png_jpeg(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              image_near_dup(df, max_hamming=5).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_truncated_stream_raises_valueerror_not_indexerror():
+    img = _gradient(16, 16)
+    data = jc.encode_jpeg(img, quality=90)
+    for cut in (len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            jc.decode_jpeg(data[:cut] + b"\xFF")
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"\xFF\xD8\xFF")
+
+
+def test_quality_out_of_range_rejected():
+    img = _gradient(8, 8)
+    for q in (0, -1, 101):
+        with pytest.raises(ValueError, match="quality"):
+            jc.encode_jpeg(img, quality=q)

@@ -355,3 +355,44 @@ def test_html_site_nav_entries_escaped(tmp_path, spark):
     assert "<script>alert(1)</script>" not in idx
     assert "&lt;script&gt;" in idx
     assert 'onclick="evil()"' not in idx
+
+
+def test_setop_handles_holes_on_both_sides(spark):
+    """Review r3: pair areas use signed ring inclusion-exclusion, so a
+    donut layer feature intersects by its REAL area (outer minus hole),
+    and a donut overlay zone excludes its hole from 'both' coverage."""
+    donut = ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+             "(1 1, 3 1, 3 3, 1 3, 1 1))")           # 16 - 4 = 12 deg^2
+    a = spark.createDataFrame([("d", donut)], "a_id string, geom string")
+    b_cover = spark.createDataFrame(
+        [("z", "POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))")],
+        "b_id string, geom string")
+    got = {(r["a_id"], r["b_id"], r["part"]): r["area_m2"]
+           for r in ov.vector_overlay_setop(
+               a, "geom", "a_id", b_cover, "geom", "b_id",
+               operation="union", lat0_deg=0.0).collect()}
+    assert got[("d", "z", "both")] == pytest.approx(12.0 * DEG2, rel=1e-6)
+    assert ("d", None, "a_only") not in got          # fully covered
+    # overlay-side hole: zone is the same donut; plain 2x2 layer square
+    # centered in the hole overlaps nothing
+    a2 = spark.createDataFrame(
+        [("sq", "POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))")],
+        "a_id string, geom string")
+    b2 = spark.createDataFrame([("dz", donut)], "b_id string, geom string")
+    got2 = {(r["a_id"], r["b_id"], r["part"]): r["area_m2"]
+            for r in ov.vector_overlay_setop(
+                a2, "geom", "a_id", b2, "geom", "b_id",
+                operation="union", lat0_deg=0.0).collect()}
+    assert ("sq", "dz", "both") not in got2          # sits inside the hole
+    assert got2[("sq", None, "a_only")] == pytest.approx(1.0 * DEG2,
+                                                         rel=1e-6)
+    assert got2[(None, "dz", "b_only")] == pytest.approx(12.0 * DEG2,
+                                                         rel=1e-6)
+
+
+def test_setop_rejects_identical_id_names(spark):
+    df = spark.createDataFrame(
+        [("x", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "id string, geom string")
+    with pytest.raises(ValueError, match="must differ"):
+        ov.vector_overlay_setop(df, "geom", "id", df, "geom", "id")

@@ -248,3 +248,18 @@ def test_lang_id_extended_languages(spark):
     ]}))
     out = [r["lang_pred"] for r in tx.lang_id(df, "text").collect()]
     assert out == ["it", "nl", "pt"]
+
+
+def test_lang_id_accented_markers_still_count(spark):
+    """Review r3: marker words with non-ASCII chars would be fragmented by
+    the \\W+ tokenizer — they must fall back to boundary-regexp counting."""
+    import pandas as pd
+
+    from niamoto_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "text": ["não vale a pena", "the cat sat"]}))
+    out = [r["lang_pred"] for r in lang_id(
+        df, "text",
+        markers={"pt": ("não", "pena"), "en": ("the", "cat")}).collect()]
+    assert out == ["pt", "en"]

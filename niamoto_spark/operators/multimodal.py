@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL for PNG/BMP via the pure-python codec in
-``sources/imagecodec.py`` (PIL upgrades it to every format when
-installed) and audio decode is REAL for PCM WAV (stdlib ``wave``);
-JPEG/compressed-audio/video stay gated (no DCT/librosa/av in a pure
-build) with the deterministic fake decoder covering their plumbing in
-tests.  Schemas, Arrow batch shapes, mapInPandas signatures, and
-partitioning are production-shaped either way.
+Image decode is REAL for PNG/BMP/baseline-JPEG via the pure-python
+codecs in ``sources/imagecodec.py`` / ``sources/jpegcodec.py`` (PIL
+upgrades to every format when installed), audio decode is REAL for PCM
+WAV (stdlib ``wave``), and video decode is REAL for MJPEG-AVI
+(``sources/avicodec.py`` RIFF parser + the JPEG codec).  Other
+compressed audio/video codecs stay gated (no librosa/av in a pure build)
+with the deterministic fake decoder covering their plumbing in tests.
+Schemas, Arrow batch shapes, mapInPandas signatures, and partitioning are
+production-shaped either way.
 
 Scale notes: binary payloads dominate row size, so operators here
 - never shuffle the binary column (feature extraction projects it away
@@ -48,9 +50,9 @@ FEATURE_SCHEMA = T.StructType([
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWx3 uint8 array.
 
-    REAL for PNG/BMP (pure-python codec, sources/imagecodec.py) and for
-    anything PIL handles when pillow is installed; JPEG/video without PIL
-    raise (a DCT codec is out of scope for a pure build)."""
+    REAL for PNG/BMP/baseline-JPEG (pure-python codecs in
+    sources/imagecodec.py and sources/jpegcodec.py) and for anything PIL
+    handles when pillow is installed; other formats raise."""
     from niamoto_spark.sources.imagecodec import decode_image as _decode
 
     return _decode(payload)
@@ -217,6 +219,67 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def dhash_from_pixels(px: np.ndarray) -> int:
+    """HxWx3 pixels -> signed 64-bit dHash (grayscale, 9x8 nearest
+    resample, horizontal gradient sign bits)."""
+    gray = px.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+    xi = (np.arange(9) * w // 9).clip(0, w - 1)
+    small = gray[np.ix_(yi, xi)]
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    if val >= 2 ** 63:                    # store as signed (Spark LongType)
+        val -= 2 ** 64
+    return val
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("dhash", T.LongType(), True),
+])
+
+
+@register("video_frame_features", PluginType.TRANSFORMER)
+def video_frame_features(df: DataFrame, every_n: int = 1,
+                         max_frames: int | None = None) -> DataFrame:
+    """REAL video lane: parse MJPEG-AVI payloads (sources/avicodec.py),
+    sample every Nth frame, decode with the pure JPEG codec, and emit
+    per-frame features (dimensions, mean luminance, dHash).  One Arrow
+    batch of videos per Python worker; frames never leave the batch —
+    only the fixed-width feature rows shuffle.  Frame dHashes feed the
+    same Hamming banding as images, so near-duplicate SCENES across
+    videos surface with the existing pair machinery."""
+    from niamoto_spark.sources.avicodec import decode_avi_mjpeg
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for idx, px in decode_avi_mjpeg(bytes(r["payload"]),
+                                                every_n=every_n,
+                                                max_frames=max_frames):
+                    gray = px.astype(np.float32).mean(axis=2)
+                    rows.append({
+                        "media_id": r["media_id"],
+                        "frame_idx": idx,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_luma": round(float(gray.mean()), 4),
+                        "dhash": dhash_from_pixels(px),
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=VIDEO_FRAME_SCHEMA)
+
+
 @register("image_dhash", PluginType.TRANSFORMER)
 def image_dhash(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
     """64-bit perceptual difference hash (dHash) per image: decode ->
@@ -235,19 +298,8 @@ def image_dhash(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 px = decoder(bytes(r["payload"]))
-                gray = px.astype(np.float32).mean(axis=2)
-                h, w = gray.shape
-                yi = (np.arange(8) * h // 8).clip(0, h - 1)
-                xi = (np.arange(9) * w // 9).clip(0, w - 1)
-                small = gray[np.ix_(yi, xi)]
-                bits = (small[:, 1:] > small[:, :-1]).ravel()
-                val = 0
-                for bit in bits:
-                    val = (val << 1) | int(bit)
-                # store as signed 64-bit (Spark LongType)
-                if val >= 2 ** 63:
-                    val -= 2 ** 64
-                rows.append({"media_id": r["media_id"], "dhash": val})
+                rows.append({"media_id": r["media_id"],
+                             "dhash": dhash_from_pixels(px)})
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(

@@ -1586,6 +1586,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_overlay_identity_where": q77_overlay_identity_where,
         "q78_media_dhash_jpeg": q78_media_dhash_jpeg,
         "q79_utm_area": q79_utm_area,
+        "q80_video_frames": q80_video_frames,
     }
 
 
@@ -2253,6 +2254,46 @@ FROM s GROUP BY shape_id
 """
 
 
+def q80_video_frames(spark, sf_dir):
+    """Video lane end-to-end (round-3 gap closure): two deterministic
+    MJPEG-AVI fixtures built with the repo's own RIFF writer + T.81 JPEG
+    encoder, frame-sampled (every 2nd), decoded, and featured (dims, mean
+    luminance, dHash) — all pure python/numpy in mapInPandas.  The
+    frozen-VALUES oracle pins the container parse + JPEG decode + feature
+    chain (q78's approach)."""
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import video_frame_features
+    from niamoto_spark.sources.avicodec import encode_avi_mjpeg
+
+    def fixture(vid, n, h, w):
+        frames = []
+        for i in range(n):
+            y, x = np.mgrid[0:h, 0:w]
+            frames.append(np.stack([(x * (19 + 5 * i + vid)) % 256,
+                                    (y * (23 + 3 * i) + vid * 7) % 256,
+                                    ((x * y + i * 31) * (2 + vid)) % 256],
+                                   axis=2).astype(np.uint8))
+        return bytearray(encode_avi_mjpeg(frames, fps=12, quality=88))
+
+    df = spark.createDataFrame(
+        [(1, fixture(1, 6, 24, 32)), (2, fixture(2, 4, 16, 16))],
+        "media_id long, payload binary")
+    return video_frame_features(df, every_n=2)
+
+
+O_Q80 = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 0, 32, 24, CAST(111.5942 AS DOUBLE),
+   CAST(-1229791889668123186 AS BIGINT)),
+  (1, 2, 32, 24, CAST(123.7374 AS DOUBLE), -2676657393058032934),
+  (1, 4, 32, 24, CAST(125.2674 AS DOUBLE), -6151186299438829910),
+  (2, 0, 16, 16, CAST(103.8047 AS DOUBLE), -72340181563282214),
+  (2, 2, 16, 16, CAST(120.5807 AS DOUBLE), -325530786362398374)
+) AS t(media_id, frame_idx, width, height, mean_luma, dhash)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2329,6 +2370,7 @@ def build_oracles() -> dict[str, str]:
         "q77_overlay_identity_where": O_Q77,
         "q78_media_dhash_jpeg": O_Q78,
         "q79_utm_area": _o_q79(),
+        "q80_video_frames": O_Q80,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

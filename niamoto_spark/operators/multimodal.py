@@ -219,6 +219,66 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
+SPECTRAL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+    T.StructField("spectral_bandwidth_hz", T.DoubleType(), True),
+    T.StructField("spectral_rolloff_hz", T.DoubleType(), True),
+    T.StructField("spectral_flatness", T.DoubleType(), True),
+])
+
+
+@register("audio_spectral_features", PluginType.TRANSFORMER)
+def audio_spectral_features(df: DataFrame,
+                            rolloff_pct: float = 0.85) -> DataFrame:
+    """Frequency-domain audio screens (numpy rFFT over the mono mix, no
+    librosa): magnitude-weighted spectral centroid and bandwidth, the
+    ``rolloff_pct`` energy rolloff frequency, and spectral flatness
+    (geometric / arithmetic mean of the power spectrum — near 1 for
+    noise, near 0 for tones).  The standard second-tier audio-corpus
+    filters after the time-domain rms/zcr pass (``audio_features``).
+    Pure-tone and white-noise fixtures pin each metric analytically in
+    tests.  Silent or empty audio yields nulls."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, rate = decode_wav(bytes(r["payload"]))
+                mono = samples.mean(axis=1)
+                row = {"media_id": r["media_id"],
+                       "spectral_centroid_hz": None,
+                       "spectral_bandwidth_hz": None,
+                       "spectral_rolloff_hz": None,
+                       "spectral_flatness": None}
+                mag = np.abs(np.fft.rfft(mono)) if len(mono) else np.array([])
+                if mag.size and mag.sum() > 1e-12:
+                    freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+                    w = mag / mag.sum()
+                    centroid = float((freqs * w).sum())
+                    bandwidth = float(np.sqrt(
+                        (((freqs - centroid) ** 2) * w).sum()))
+                    power = mag ** 2
+                    cum = np.cumsum(power)
+                    roll_i = int(np.searchsorted(
+                        cum, rolloff_pct * cum[-1]))
+                    flat = float(np.exp(np.mean(np.log(power + 1e-20)))
+                                 / (power.mean() + 1e-20))
+                    row.update({
+                        "spectral_centroid_hz": round(centroid, 2),
+                        "spectral_bandwidth_hz": round(bandwidth, 2),
+                        "spectral_rolloff_hz":
+                            round(float(freqs[min(roll_i,
+                                                  len(freqs) - 1)]), 2),
+                        "spectral_flatness": round(flat, 6),
+                    })
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=SPECTRAL_SCHEMA)
+
+
 def dhash_from_pixels(px: np.ndarray) -> int:
     """HxWx3 pixels -> signed 64-bit dHash (grayscale, 9x8 nearest
     resample, horizontal gradient sign bits)."""

@@ -1587,6 +1587,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_media_dhash_jpeg": q78_media_dhash_jpeg,
         "q79_utm_area": q79_utm_area,
         "q80_video_frames": q80_video_frames,
+        "q81_overlay_coverage": q81_overlay_coverage,
+        "q82_audio_spectral": q82_audio_spectral,
     }
 
 
@@ -2294,6 +2296,126 @@ SELECT * FROM (VALUES
 """
 
 
+# q81: overlay coverage % (reference vector_overlay.py:686) — rect layer
+# over two rect zones; the oracle recomputes both the equirectangular area
+# constant (zone-ring mean latitude, closure point included — exactly what
+# ring_area_m2 computes) and the interval-overlap arithmetic in SQL.
+
+_COV_ZONES = [
+    ("z1", "POLYGON ((165.0 -22.0, 165.4 -22.0, 165.4 -21.6, 165.0 -21.6, "
+           "165.0 -22.0))"),
+    ("z2", "POLYGON ((166.0 -22.0, 166.5 -22.0, 166.5 -21.5, 166.0 -21.5, "
+           "166.0 -22.0))"),
+]
+_COV_LAYER = [
+    ("f1", "POLYGON ((164.9 -21.9, 165.2 -21.9, 165.2 -21.7, 164.9 -21.7, "
+           "164.9 -21.9))"),     # overlaps z1 by 0.2 x 0.2
+    ("f2", "POLYGON ((166.2 -21.8, 166.8 -21.8, 166.8 -21.6, 166.2 -21.6, "
+           "166.2 -21.8))"),     # overlaps z2 by 0.3 x 0.2
+]
+
+
+def q81_overlay_coverage(spark, sf_dir):
+    from niamoto_spark.operators.overlay import coverage
+
+    zones = spark.createDataFrame(_COV_ZONES, "zone_id string, zwkt string")
+    layer = spark.createDataFrame(_COV_LAYER, "cat string, geom string")
+    out = coverage(layer, "geom", zones, "zone_id", "zwkt")
+    return out.select("zone_id",
+                      F.round(F.col("covered_area_m2") / 1e4, 3)
+                       .alias("covered_ha"),
+                      F.round(F.col("zone_area_m2") / 1e4, 3)
+                       .alias("zone_ha"),
+                      "coverage_pct")
+
+
+def _o_q81() -> str:
+    import numpy as np
+
+    from niamoto_spark.operators.geospatial import parse_polygon_wkt
+
+    rows = []
+    for zid, wkt in _COV_ZONES:
+        ring = parse_polygon_wkt(wkt)[0]
+        lat0 = repr(float(ring[:, 1].mean()))
+        xs, ys = ring[:, 0], ring[:, 1]
+        rows.append((zid, lat0, float(xs.min()), float(xs.max()),
+                     float(ys.min()), float(ys.max())))
+    vals = ", ".join(
+        f"('{zid}', {lat0}, {x0}, {x1}, {y0}, {y1})"
+        for zid, lat0, x0, x1, y0, y1 in rows)
+    layer_vals = []
+    for _, wkt in _COV_LAYER:
+        ring = parse_polygon_wkt(wkt)[0]
+        xs, ys = ring[:, 0], ring[:, 1]
+        layer_vals.append((float(xs.min()), float(xs.max()),
+                           float(ys.min()), float(ys.max())))
+    lv = ", ".join(f"({x0}, {x1}, {y0}, {y1})"
+                   for x0, x1, y0, y1 in layer_vals)
+    return f"""
+WITH z(zone_id, lat0, x0, x1, y0, y1) AS (VALUES {vals}),
+f(fx0, fx1, fy0, fy1) AS (VALUES {lv}),
+k AS (SELECT zone_id,
+             6371008.8 * 6371008.8 * cos(radians(lat0))
+               * pi() * pi() / (180.0 * 180.0) AS v,
+             (x1 - x0) * (y1 - y0) AS zdeg, x0, x1, y0, y1
+      FROM z),
+cov AS (
+  SELECT k.zone_id,
+         sum(greatest(least(k.x1, f.fx1) - greatest(k.x0, f.fx0), 0)
+             * greatest(least(k.y1, f.fy1) - greatest(k.y0, f.fy0), 0))
+           AS cdeg
+  FROM k, f
+  WHERE least(k.x1, f.fx1) > greatest(k.x0, f.fx0)
+    AND least(k.y1, f.fy1) > greatest(k.y0, f.fy0)
+  GROUP BY k.zone_id)
+SELECT k.zone_id,
+       round(coalesce(cov.cdeg, 0) * k.v / 10000.0, 3) AS covered_ha,
+       round(k.zdeg * k.v / 10000.0, 3) AS zone_ha,
+       round(coalesce(cov.cdeg, 0) * 100.0 / k.zdeg, 2) AS coverage_pct
+FROM k LEFT JOIN cov ON k.zone_id = cov.zone_id
+"""
+
+
+def q82_audio_spectral(spark, sf_dir):
+    """Audio frequency-domain features over PCM WAV payloads: two pure
+    tones (440 / 1320 Hz) and seeded uniform noise, encoded with the
+    repo's own WAV writer.  The frozen-VALUES oracle pins the decode +
+    rFFT + centroid/bandwidth/rolloff/flatness chain (q78's approach);
+    the physics are separately pinned analytically in
+    tests/test_multimodal.py (tone centroid == tone frequency, noise
+    flatness >> tone flatness)."""
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import (audio_spectral_features,
+                                                    encode_wav)
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    sigs = {
+        1: (0.7 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+        2: (0.5 * np.sin(2 * np.pi * 1320 * t)).astype(np.float32),
+        3: np.random.RandomState(9).uniform(-0.6, 0.6, rate)
+             .astype(np.float32),
+    }
+    df = spark.createDataFrame(
+        [(mid, bytearray(encode_wav(sig[:, None], rate)))
+         for mid, sig in sigs.items()],
+        "media_id long, payload binary")
+    return audio_spectral_features(df)
+
+
+O_Q82 = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(440.19 AS DOUBLE), CAST(21.4 AS DOUBLE),
+   CAST(440.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+  (2, 1320.13, 18.7, 1320.0, 0.0),
+  (3, 2007.07, 1156.42, 3436.0, 0.563937)
+) AS t(media_id, spectral_centroid_hz, spectral_bandwidth_hz,
+       spectral_rolloff_hz, spectral_flatness)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2371,6 +2493,8 @@ def build_oracles() -> dict[str, str]:
         "q78_media_dhash_jpeg": O_Q78,
         "q79_utm_area": _o_q79(),
         "q80_video_frames": O_Q80,
+        "q81_overlay_coverage": _o_q81(),
+        "q82_audio_spectral": O_Q82,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

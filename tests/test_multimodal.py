@@ -1,5 +1,6 @@
 """Multimodal plumbing: schemas, Arrow batch shapes, decode stubs."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -205,3 +206,32 @@ def test_image_dhash_near_dup(spark):
              for r in image_near_dup(df, max_hamming=5).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_spectral_features_pure_tone_and_noise(spark):
+    """Analytic pins: a pure 1 kHz tone centers its spectrum at ~1 kHz
+    with near-zero bandwidth and near-zero flatness; white noise is flat
+    (flatness -> ~1) with rolloff high in the band; silence yields nulls."""
+    from niamoto_spark.operators.multimodal import (audio_spectral_features,
+                                                    encode_wav)
+
+    rate = 8000
+    t = np.arange(rate) / rate             # 1 s
+    tone = (0.8 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    rng = np.random.RandomState(5)
+    noise = rng.uniform(-0.8, 0.8, rate).astype(np.float32)
+    silence = np.zeros(rate, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(tone[:, None], rate))),
+         (2, bytearray(encode_wav(noise[:, None], rate))),
+         (3, bytearray(encode_wav(silence[:, None], rate)))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           audio_spectral_features(df).collect()}
+    assert got[1]["spectral_centroid_hz"] == pytest.approx(1000.0, abs=20.0)
+    assert got[1]["spectral_bandwidth_hz"] < 100.0
+    assert got[1]["spectral_rolloff_hz"] == pytest.approx(1000.0, abs=20.0)
+    assert got[1]["spectral_flatness"] < 0.05
+    assert got[2]["spectral_flatness"] > 0.3
+    assert got[2]["spectral_rolloff_hz"] > 2500.0
+    assert got[3]["spectral_centroid_hz"] is None

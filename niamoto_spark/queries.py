@@ -1589,6 +1589,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_video_frames": q80_video_frames,
         "q81_overlay_coverage": q81_overlay_coverage,
         "q82_audio_spectral": q82_audio_spectral,
+        "q83_forest_elevation": q83_forest_elevation,
     }
 
 
@@ -2416,6 +2417,57 @@ SELECT * FROM (VALUES
 """
 
 
+def q83_forest_elevation(spark, sf_dir):
+    """Eco-zonal composition (reference forest_elevation.py): a
+    deterministic 30x30 DEM grid per zone built with pure arithmetic (no
+    hash functions, so DuckDB can regenerate it with generate_series),
+    bucketed into 300 m elevation classes and split by a forest mask.
+    Hash-checks bin_index's np.histogram semantics (last bin
+    right-inclusive) + the area/percentage arithmetic."""
+    from niamoto_spark.operators.eco_zonal import forest_elevation_analysis
+
+    z = spark.createDataFrame([("a", 0), ("b", 1)], "zone string, zidx int")
+    px = z.select("zone", "zidx",
+                  F.explode(F.sequence(F.lit(0), F.lit(899))).alias("i"))
+    row = F.floor(F.col("i") / 30).cast("int")
+    col = F.col("i") % 30
+    elev = (row + col) / (2.0 * 29) * 1500.0
+    forest = ((F.col("i") * 7 + F.col("zidx") * 13) % 10 < 6).cast("int")
+    pixels = px.select("zone", elev.alias("elevation"),
+                       forest.alias("forest"))
+    out = forest_elevation_analysis(pixels, ["zone"], "elevation", "forest",
+                                    edges=[0, 300, 600, 900, 1200, 1500])
+    return out.orderBy("zone", "class_index")
+
+
+O_Q83 = """
+WITH z(zone, zidx) AS (VALUES ('a', 0), ('b', 1)),
+px AS (SELECT zone, zidx, unnest(range(0, 900)) AS i FROM z),
+p AS (SELECT zone,
+             ((i // 30) + (i % 30)) / (2.0 * 29) * 1500.0 AS elev,
+             CASE WHEN (i * 7 + zidx * 13) % 10 < 6 THEN 1 ELSE 0 END
+               AS forest
+      FROM px),
+bins(class_index, class_label, lo, hi, is_last) AS (VALUES
+  (0, '0-300', 0.0, 300.0, false), (1, '300-600', 300.0, 600.0, false),
+  (2, '600-900', 600.0, 900.0, false),
+  (3, '900-1200', 900.0, 1200.0, false),
+  (4, '1200-1500', 1200.0, 1500.0, true)),
+j AS (SELECT p.zone, b.class_index, b.class_label, p.forest
+      FROM p JOIN bins b
+        ON p.elev >= b.lo
+       AND (p.elev < b.hi OR (b.is_last AND p.elev <= b.hi))),
+a AS (SELECT zone, class_index, class_label,
+             count(*) AS n, sum(forest) AS nf
+      FROM j GROUP BY 1, 2, 3)
+SELECT zone, class_index, class_label,
+       round(nf * CAST(900.0 AS DOUBLE), 2) AS forest_area_m2,
+       round((n - nf) * CAST(900.0 AS DOUBLE), 2) AS non_forest_area_m2,
+       round(nf * CAST(100.0 AS DOUBLE) / n, 2) AS forest_pct
+FROM a
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2495,6 +2547,7 @@ def build_oracles() -> dict[str, str]:
         "q80_video_frames": O_Q80,
         "q81_overlay_coverage": _o_q81(),
         "q82_audio_spectral": O_Q82,
+        "q83_forest_elevation": O_Q83,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -215,7 +215,9 @@ def _auto_n_centroids(n: int) -> int:
 
 def _ball_cover_candidates(corpus: DataFrame, id_col: str, vec_col: str,
                            threshold: float,
-                           n_centroids: int | None = None) -> DataFrame:
+                           n_centroids: int | None = None,
+                           max_split_rounds: int = 3,
+                           max_total_centroids: int = 4096) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from the exact ball-cover
     bucketing — every qualifying pair is present (no false negatives);
     verification (the dot product + threshold) happens in the caller.
@@ -234,19 +236,30 @@ def _ball_cover_candidates(corpus: DataFrame, id_col: str, vec_col: str,
     3. Assign every vector to its argmax-cosine centroid with ONE zip_with
        over a centroid-array literal (codegen size is O(1) in C — the
        centroids are data, not code) and record the angular distance.
-    4. Keep only bucket pairs (i, j) whose centroid angle can host a
+    4. FAT-BUCKET SPLITTING (VERDICT r2 #1, second half): a bucket whose
+       angular radius exceeds the reach defeats the triangle-inequality
+       prune — with sqrt(n) hash-picked centroids this happens whenever
+       the corpus has more natural clusters than centroids (two distant
+       clusters share a bucket and its radius spans them).  Up to
+       ``max_split_rounds`` times: pick extra centroids from inside each
+       fat bucket (deterministic smallest-hash among points further than
+       reach/2 from the current centroid) and re-assign.  Each round is
+       one linear pass; centroid count is capped at
+       ``max_total_centroids`` (the array literal is data, but per-row
+       assignment cost is O(C)).
+    5. Keep only bucket pairs (i, j) whose centroid angle can host a
        qualifying pair: angle(c_i, c_j) <= r_i + r_j + arccos(threshold)
        + eps (triangle inequality on the sphere — exact, no pruning of
        true pairs).  The C x C pruning runs as one numpy gram matrix.
-    5. Equi-join corpus sides on the surviving (bucket_a, bucket_b) list —
+    6. Equi-join corpus sides on the surviving (bucket_a, bucket_b) list —
        broadcast of the tiny pair table + one shuffle keyed by bucket;
        never a CartesianProduct (plan-contract guarded).
 
-    The assigned frame is materialized with ``localCheckpoint(eager=True)``
-    rather than ``persist()``: it is read three times (radii, a-side,
-    b-side), and checkpoint blocks are released by the ContextCleaner when
-    the result goes out of scope — no CacheManager entry to leak (ADVICE
-    r2).  On a multi-executor cluster swap for a reliable checkpoint dir.
+    Frames are materialized with ``localCheckpoint(eager=True)`` rather
+    than ``persist()``: checkpoint blocks are released by the
+    ContextCleaner when the result goes out of scope — no CacheManager
+    entry to leak (ADVICE r2).  On a multi-executor cluster swap for a
+    reliable checkpoint dir.
     """
     import math
 
@@ -258,7 +271,7 @@ def _ball_cover_candidates(corpus: DataFrame, id_col: str, vec_col: str,
     vnorm_of = lambda col: F.sqrt(F.aggregate(  # noqa: E731
         col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     # checkpoint the filtered/normed input ONCE up front: the corpus count
-    # (auto centroid sizing), the centroid pick, and the assignment pass
+    # (auto centroid sizing), the centroid pick, and the assignment passes
     # below all read it — without this each would recompute the fan_out +
     # norm pipeline from the source (three passes; review r3)
     c = (fan_out(corpus.select(F.col(id_col).alias("vid"),
@@ -276,22 +289,25 @@ def _ball_cover_candidates(corpus: DataFrame, id_col: str, vec_col: str,
             [], "id_a bigint, id_b bigint, v_a array<double>, v_b array<double>")
     cents = np.array([[float(x) for x in r["v"]] for r in picked])
     unit_cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    reach = math.acos(max(-1.0, min(1.0, threshold))) + 1e-6
 
-    # argmax-cosine centroid as ONE zip_with over a centroid-array literal
-    # (array_max over struct(sim, -cid) = sim desc, smallest-cid tiebreak).
-    cents_arr = F.array(*[F.lit([float(x) for x in vec])
-                          for vec in unit_cents])
-    idxs = F.sequence(F.lit(0), F.lit(len(picked) - 1))
-    best = F.array_max(F.zip_with(
-        cents_arr, idxs,
-        lambda cv, i: F.struct(
-            (F.aggregate(F.zip_with(F.col("v"), cv,
-                                    lambda x, y: x.cast("double") * y),
-                         F.lit(0.0), lambda acc, x: acc + x)
-             / F.col("__vn")).alias("s"),
-            (-i).alias("n"))))
-    clamped = F.greatest(F.least(best["s"], F.lit(1.0)), F.lit(-1.0))
-    assigned = (c.withColumn("bucket", (-best["n"]).cast("int"))
+    def _assign(ucents: np.ndarray) -> DataFrame:
+        # argmax-cosine centroid as ONE zip_with over a centroid-array
+        # literal (array_max over struct(sim, -cid) = sim desc,
+        # smallest-cid tiebreak); codegen size is O(1) in C.
+        cents_arr = F.array(*[F.lit([float(x) for x in vec])
+                              for vec in ucents])
+        idxs = F.sequence(F.lit(0), F.lit(len(ucents) - 1))
+        best = F.array_max(F.zip_with(
+            cents_arr, idxs,
+            lambda cv, i: F.struct(
+                (F.aggregate(F.zip_with(F.col("v"), cv,
+                                        lambda x, y: x.cast("double") * y),
+                             F.lit(0.0), lambda acc, x: acc + x)
+                 / F.col("__vn")).alias("s"),
+                (-i).alias("n"))))
+        clamped = F.greatest(F.least(best["s"], F.lit(1.0)), F.lit(-1.0))
+        return (c.withColumn("bucket", (-best["n"]).cast("int"))
                  .withColumn("__ang", F.acos(clamped))
                  # normalize ONCE here: pair verification then needs a
                  # single dot product per pair instead of dot + two norms
@@ -299,9 +315,63 @@ def _ball_cover_candidates(corpus: DataFrame, id_col: str, vec_col: str,
                  .select("vid", "v", "bucket", "__ang")
                  .localCheckpoint(eager=True))
 
-    radii = {r["bucket"]: r["r"] for r in
-             assigned.groupBy("bucket").agg(F.max("__ang").alias("r")).collect()}
-    reach = math.acos(max(-1.0, min(1.0, threshold))) + 1e-6
+    from pyspark.sql import Window
+
+    def _est_work(ucents, radii, sizes):
+        """Upper bound on verification pairs implied by an assignment:
+        sum of |bucket_i| * |bucket_j| over surviving bucket pairs."""
+        live = sorted(radii)
+        gram = np.clip(ucents[live] @ ucents[live].T, -1.0, 1.0)
+        ang = np.arccos(gram)
+        r_vec = np.array([radii[b] for b in live])
+        keep = ang <= (r_vec[:, None] + r_vec[None, :] + reach)
+        s = np.array([sizes[b] for b in live], dtype=np.float64)
+        return float((keep * np.outer(s, s)).sum())
+
+    best_state = None                     # (est_work, assigned, radii, cents)
+    for round_no in range(max_split_rounds + 1):
+        assigned = _assign(unit_cents)
+        stats = assigned.groupBy("bucket").agg(
+            F.max("__ang").alias("r"), F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__ang") <= reach / 2, 1).otherwise(0))
+             .alias("n_close")).collect()
+        radii = {r["bucket"]: r["r"] for r in stats}
+        sizes = {r["bucket"]: r["n"] for r in stats}
+        work = _est_work(unit_cents, radii, sizes)
+        if best_state is None or work < best_state[0] * 0.7:
+            best_state = (work, assigned, radii, unit_cents)
+        else:
+            # splitting stopped paying (unclusterable data: radii stay
+            # above the reach no matter how many centroids) — keep the
+            # cheapest assignment seen and stop burning passes
+            break
+        fat = [b for b, r in radii.items() if r > reach]
+        total = sum(sizes.values())
+        frac_close = sum(r["n_close"] for r in stats) / max(total, 1)
+        if round_no == 0 and frac_close < 0.25:
+            # performance heuristic (exactness is unaffected): when almost
+            # no point sits within reach/2 of ANY centroid, the corpus has
+            # no cluster structure at this threshold — more centroids
+            # cannot shrink radii below the reach, so don't burn
+            # assignment passes trying (the uniform-embedding case)
+            break
+        if (not fat or round_no == max_split_rounds
+                or len(unit_cents) >= max_total_centroids):
+            break
+        per_bucket = max(1, (max_total_centroids - len(unit_cents))
+                         // max(len(fat), 1))
+        w = Window.partitionBy("bucket").orderBy(F.xxhash64("vid"), "vid")
+        extras = (assigned
+                  .where(F.col("bucket").isin([int(b) for b in fat])
+                         & (F.col("__ang") > reach / 2))
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") <= min(per_bucket, 4))
+                  .select("v").collect())
+        if not extras:
+            break
+        new = np.array([[float(x) for x in r["v"]] for r in extras])
+        unit_cents = np.vstack([unit_cents, new])  # extras are unit already
+    _, assigned, radii, unit_cents = best_state
     live = sorted(radii)
     gram = np.clip(unit_cents[live] @ unit_cents[live].T, -1.0, 1.0)
     angles = np.arccos(gram)

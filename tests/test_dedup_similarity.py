@@ -280,8 +280,31 @@ def test_near_dup_verification_pairs_bounded_on_clustered_corpus(spark):
         df, "vec_id", "embedding", threshold=0.95).count()
     fixed32 = similarity._ball_cover_candidates(
         df, "vec_id", "embedding", threshold=0.95, n_centroids=32).count()
+    # fat-bucket splitting drives BOTH starts to the information floor for
+    # this fixture: exactly the within-cluster pairs (50 * C(100,2)),
+    # nothing cross-cluster
+    floor = n_clusters * per * (per - 1) // 2
+    assert auto <= fixed32
+    assert auto <= floor * 1.05
     assert auto < n * (n - 1) / 2 * 0.25      # nowhere near all-pairs
-    assert auto < fixed32                     # sqrt-n centroids prune harder
+
+    # the regime that defeated sqrt-n alone (clusters > sqrt(n)): without
+    # splitting, merged buckets have radius > reach and pruning collapses
+    many_c, per2 = 200, 20                    # n = 4000, sqrt(n) = 64 < 200
+    centers2 = rng.randn(many_c, 8) * 10
+    vecs2 = np.repeat(centers2, per2, axis=0) \
+        + rng.randn(many_c * per2, 8) * 0.05
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(vecs2)),
+        "embedding": [[float(x) for x in v] for v in vecs2]}))
+    split = similarity._ball_cover_candidates(
+        df2, "vec_id", "embedding", threshold=0.95).count()
+    unsplit = similarity._ball_cover_candidates(
+        df2, "vec_id", "embedding", threshold=0.95,
+        max_split_rounds=0).count()
+    floor2 = many_c * per2 * (per2 - 1) // 2
+    assert split <= floor2 * 1.5              # splitting recovers the prune
+    assert split < unsplit * 0.25             # >= 4x fewer pairs than without
 
 
 def test_ivf_replication_improves_recall(vectors):

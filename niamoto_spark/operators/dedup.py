@@ -66,11 +66,24 @@ def minhash_signature(text: Column, num_hashes: int = 64,
 
 
 def _signature_from_shingles(sh: Column, num_hashes: int) -> Column:
+    # hash each shingle STRING once to a long, then derive the per-seed
+    # minima by re-hashing the fixed-width long: num_hashes passes over
+    # 8-byte values instead of num_hashes passes over 20-40-byte strings
+    # (2-3x less hash work on the hottest dedup path; still proper
+    # independent hash functions, unlike affine-permutation shortcuts
+    # which ANSI-mode overflow rules disallow)
+    hashed = F.transform(sh, lambda x: F.xxhash64(x))
+    return _signature_from_hashed(hashed, F.size(sh), num_hashes)
+
+
+def _signature_from_hashed(hashed: Column, n_shingles: Column,
+                           num_hashes: int) -> Column:
     return F.when(
-        F.size(sh) > 0,
+        n_shingles > 0,
         F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda s: F.array_min(F.transform(sh, lambda x: F.xxhash64(x, s))),
+            lambda s: F.array_min(
+                F.transform(hashed, lambda h: F.xxhash64(h, s))),
         ),
     )
 
@@ -106,9 +119,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.lower(F.col(text_col)), shingle_k))
          .alias("__sh"))
-    sig = shingled.select(
+    # materialize the per-shingle string hash in its own projection so the
+    # num_hashes seed passes below re-hash 8-byte longs, not the strings
+    # (CollapseProject keeps non-cheap multi-referenced aliases separate)
+    hashed = shingled.select(
+        "doc_id", F.size("__sh").alias("__n"),
+        F.transform(F.col("__sh"), lambda x: F.xxhash64(x)).alias("__hl"))
+    sig = hashed.select(
         "doc_id",
-        _signature_from_shingles(F.col("__sh"), num_hashes).alias("sig"),
+        _signature_from_hashed(F.col("__hl"), F.col("__n"),
+                               num_hashes).alias("sig"),
     ).where(F.col("sig").isNotNull())
 
     banded = sig.select(

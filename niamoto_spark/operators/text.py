@@ -534,3 +534,41 @@ def materialize_packs(df: DataFrame, id_col: str, text_col: str,
                      F.array_sort(F.collect_list(
                          F.struct(F.col("gpos"), F.col("token_id")))),
                      lambda s: s["token_id"]).alias("token_ids")))
+
+
+@register("lm_quality_score", PluginType.TRANSFORMER)
+def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str,
+                          smoothing_k: float = 0.5,
+                          out_col: str = "mean_logprob") -> DataFrame:
+    """CCNet-style language-model quality proxy: score each document by
+    the mean token log-probability under a unigram model fit on the
+    corpus itself (add-k smoothed).  Gibberish / OCR noise / rare-token
+    soup scores far below fluent text, which is the standard
+    perplexity-bucket curation signal when no external LM is available.
+
+    Plan shape: one explode + token-count aggregate (the vocabulary
+    shuffle), one shuffle join of exploded tokens against the counts
+    (keyed by token — skew-safe under AQE; the vocab is Zipfian but the
+    join is build-side-agnostic), one per-doc mean.  All linear; no UDFs.
+
+    Output: (id_col, n_tokens, mean_logprob) — empty docs score NULL.
+    """
+    from niamoto_spark.functions import token_array
+
+    tok = df.select(F.col(id_col).alias("__doc"),
+                    F.explode(token_array(F.lower(F.col(text_col))))
+                     .alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    totals = counts.agg(F.sum("__n").alias("__total"),
+                        F.count(F.lit(1)).alias("__vocab")).collect()[0]
+    total, vocab = totals["__total"] or 0, totals["__vocab"] or 0
+    denom = float(total + smoothing_k * vocab) or 1.0
+    logprob = F.log((F.col("__n") + F.lit(float(smoothing_k))) / denom)
+    scored = tok.join(counts.withColumn("__lp", logprob).drop("__n"),
+                      "token")
+    per_doc = scored.groupBy("__doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), 4).alias(out_col))
+    return (df.select(F.col(id_col)).distinct()
+            .join(per_doc.withColumnRenamed("__doc", id_col), id_col, "left")
+            .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))))

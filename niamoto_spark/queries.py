@@ -1590,6 +1590,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_overlay_coverage": q81_overlay_coverage,
         "q82_audio_spectral": q82_audio_spectral,
         "q83_forest_elevation": q83_forest_elevation,
+        "q84_lm_quality": q84_lm_quality,
     }
 
 
@@ -2468,6 +2469,34 @@ FROM a
 """
 
 
+def q84_lm_quality(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy over documents (corpus-fit
+    add-k model, mean token log-prob per doc).  Full SQL oracle — DuckDB
+    refits the same model and reproduces every score."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return text_ops.unigram_logprob_score(d, "doc_id", "text")
+
+
+O_Q84 = r"""
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\s+')) AS token
+        FROM d WHERE length(trim(t)) > 0),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+               CAST(count(*) AS DOUBLE) AS vocab FROM c),
+lp AS (SELECT token,
+              ln((n + CAST(0.5 AS DOUBLE))
+                 / (total + CAST(0.5 AS DOUBLE) * vocab)) AS lp
+       FROM c, tot),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(lp), 4) AS mean_logprob
+        FROM tok JOIN lp USING (token) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       per.mean_logprob
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2548,6 +2577,7 @@ def build_oracles() -> dict[str, str]:
         "q81_overlay_coverage": _o_q81(),
         "q82_audio_spectral": O_Q82,
         "q83_forest_elevation": O_Q83,
+        "q84_lm_quality": O_Q84,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

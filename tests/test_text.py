@@ -263,3 +263,23 @@ def test_lang_id_accented_markers_still_count(spark):
         df, "text",
         markers={"pt": ("não", "pena"), "en": ("the", "cat")}).collect()]
     assert out == ["pt", "en"]
+
+
+def test_unigram_logprob_score_orders_fluency(spark):
+    """Docs made of corpus-frequent tokens must outscore rare-token soup;
+    empty docs yield NULL score with 0 tokens."""
+    import pandas as pd
+
+    from niamoto_spark.operators.text import unigram_logprob_score
+
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "zxqv jkwp qqpl mmzx"),      # rare-token soup
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           unigram_logprob_score(df, "doc_id", "text").collect()}
+    assert got[1]["mean_logprob"] > got[3]["mean_logprob"]
+    assert got[2]["mean_logprob"] > got[3]["mean_logprob"]
+    assert got[4]["mean_logprob"] is None and got[4]["n_tokens"] == 0
+    assert got[1]["n_tokens"] == 6

@@ -174,6 +174,53 @@ def clip_general(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
 
 
 @register("vector_overlay", PluginType.TRANSFORMER)
+def vector_overlay(layer: DataFrame, layer_wkt: str,
+                   zones: DataFrame, zone_id: str, zone_wkt: str,
+                   operation: str = "intersection",
+                   where: str | None = None,
+                   attribute_field: str | None = None,
+                   **setop_kwargs) -> DataFrame:
+    """Operation dispatcher mirroring the reference's
+    ``_execute_overlay_operation`` (vector_overlay.py:528-601): a config
+    carrying ``operation: union|difference|symmetric_difference|identity``
+    routes to :func:`vector_overlay_setop`; ``intersection``/``clip``
+    return the piece table; ``coverage`` / ``aggregate`` return their
+    summaries.  ``where`` pre-filters the overlay layer everywhere
+    (reference :477)."""
+    if operation in ("union", "difference", "symmetric_difference",
+                     "identity"):
+        return vector_overlay_setop(layer, layer_wkt,
+                                    _first_id_col(layer, layer_wkt),
+                                    zones, zone_wkt, zone_id,
+                                    operation=operation, where=where,
+                                    **setop_kwargs)
+    if where:
+        from niamoto_spark.plans.explorer import validate_predicate
+
+        zones = zones.filter(validate_predicate(where, set(zones.columns)))
+    if operation in ("intersection", "clip"):
+        # gpd.clip == intersection pieces keeping layer attributes (:601)
+        return vector_overlay_intersection(layer, layer_wkt, zones,
+                                           zone_id, zone_wkt)
+    if operation == "coverage":
+        return coverage(layer, layer_wkt, zones, zone_id, zone_wkt)
+    if operation == "aggregate":
+        if not attribute_field:
+            raise ValueError("operation='aggregate' needs attribute_field")
+        return aggregate_by_attribute(layer, layer_wkt, attribute_field,
+                                      zones, zone_id, zone_wkt)
+    raise ValueError(f"Operation not implemented: {operation}")
+
+
+def _first_id_col(layer: DataFrame, wkt_col: str) -> str:
+    """The layer's id column for set-ops: first non-geometry column
+    (reference GeoDataFrames carry their index implicitly)."""
+    for c in layer.columns:
+        if c != wkt_col:
+            return c
+    raise ValueError("layer needs a non-geometry id column for set-ops")
+
+
 def vector_overlay_intersection(layer: DataFrame, layer_wkt: str,
                                 zones: DataFrame, zone_id: str,
                                 zone_wkt: str) -> DataFrame:

@@ -396,3 +396,36 @@ def test_setop_rejects_identical_id_names(spark):
         "id string, geom string")
     with pytest.raises(ValueError, match="must differ"):
         ov.vector_overlay_setop(df, "geom", "id", df, "geom", "id")
+
+
+def test_vector_overlay_operation_dispatcher(spark):
+    """The registered vector_overlay plugin must route every reference
+    operation (vector_overlay.py:528-601), so a transform.yml carrying
+    operation: union/difference/... drops in."""
+    layer = spark.createDataFrame(
+        [("f", "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))")],
+        "cat string, geom string")
+    zones = spark.createDataFrame(
+        [("z", "keep", "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))")],
+        "zone_id string, tag string, zwkt string")
+    disp = ov.vector_overlay
+    inter = disp(layer, "geom", zones, "zone_id", "zwkt",
+                 operation="intersection")
+    assert "piece_area_m2" in inter.columns and inter.count() == 1
+    cov = disp(layer, "geom", zones, "zone_id", "zwkt",
+               operation="coverage").collect()[0]
+    assert cov["coverage_pct"] == pytest.approx(50.0, abs=1.0)
+    agg = disp(layer, "geom", zones, "zone_id", "zwkt",
+               operation="aggregate", attribute_field="cat")
+    assert agg.count() == 1
+    uni = disp(layer, "geom", zones, "zone_id", "zwkt", operation="union",
+               lat0_deg=0.0)
+    parts = {r["part"] for r in uni.collect()}
+    assert parts == {"both", "a_only", "b_only"}
+    # where filter drops the only zone -> difference keeps the layer whole
+    diff = disp(layer, "geom", zones, "zone_id", "zwkt",
+                operation="difference", where="tag = 'other'",
+                lat0_deg=0.0).collect()
+    assert len(diff) == 1 and diff[0]["part"] == "a_only"
+    with pytest.raises(ValueError, match="not implemented"):
+        disp(layer, "geom", zones, "zone_id", "zwkt", operation="erode")

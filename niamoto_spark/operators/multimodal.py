@@ -98,12 +98,37 @@ def media_features(df: DataFrame, use_fake_decoder: bool = False,
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def bilinear_resize(px: "np.ndarray", th: int, tw: int) -> "np.ndarray":
+    """HxWxC uint8 -> th x tw x C via separable bilinear interpolation
+    (align-corners-false pixel-center convention, the PIL/torch default) —
+    vectorized numpy, no per-pixel python."""
+    h, w = px.shape[:2]
+    ys = (np.arange(th) + 0.5) * h / th - 0.5
+    xs = (np.arange(tw) + 0.5) * w / tw - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float32)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy, 0, 255) \
+        .round().astype(np.uint8)
+
+
 @register("media_resize", PluginType.TRANSFORMER)
 def media_resize(df: DataFrame, target: tuple[int, int] = (64, 64),
-                 use_fake_decoder: bool = False) -> DataFrame:
-    """Resize plumbing: decode -> nearest-neighbor resample -> re-emit
-    payload bytes.  Uses the fake decoder in tests; the resample itself is
-    real numpy."""
+                 use_fake_decoder: bool = False,
+                 method: str = "nearest") -> DataFrame:
+    """Resize plumbing: decode -> resample -> re-emit payload bytes.
+    ``method='nearest'`` (index pick, exact for downscale-by-integer) or
+    ``'bilinear'`` (separable interpolation — the standard choice for
+    model-input thumbnails).  Uses the fake decoder in tests; the
+    resample itself is real numpy."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
     decoder = _fake_decode if use_fake_decoder else decode_image
     out_schema = df.schema
 
@@ -113,6 +138,9 @@ def media_resize(df: DataFrame, target: tuple[int, int] = (64, 64),
             payloads = []
             for p in pdf["payload"]:
                 px = decoder(bytes(p or b""))
+                if method == "bilinear":
+                    payloads.append(bilinear_resize(px, th, tw).tobytes())
+                    continue
                 h, w = px.shape[:2]
                 yi = (np.arange(th) * h // th).clip(0, h - 1)
                 xi = (np.arange(tw) * w // tw).clip(0, w - 1)

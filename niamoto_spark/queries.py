@@ -1591,6 +1591,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_audio_spectral": q82_audio_spectral,
         "q83_forest_elevation": q83_forest_elevation,
         "q84_lm_quality": q84_lm_quality,
+        "q85_stream_dedup": q85_stream_dedup,
     }
 
 
@@ -2497,6 +2498,47 @@ FROM d LEFT JOIN per USING (doc_id)
 """
 
 
+def q85_stream_dedup(spark, sf_dir):
+    """Streaming dedup surface: documents flow through
+    dropDuplicatesWithinWatermark on the normalized-content fingerprint
+    (streaming/dedup.py) under availableNow.  WHICH row of a duplicate
+    group survives depends on arrival order, so the oracle checks the
+    order-invariant part: the surviving cardinality equals the batch
+    count of distinct fingerprints."""
+    import tempfile
+
+    from niamoto_spark.streaming.dedup import dedup_stream
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_docstream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    # +1 day: a synthetic event time of exactly epoch 0 (doc_id 0) sits ON
+    # the initial watermark and is discarded as late — keep all rows above
+    stream = (spark.readStream.schema(schema).parquet(stream_dir)
+              .withColumn("ts", F.timestamp_seconds(
+                  F.col("doc_id") + F.lit(86400))))
+    kept = dedup_stream(stream, "text", "ts", watermark="1 hour")
+    qname = "q85_stream_dedup"
+    q = (kept.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n_docs_surviving"))
+
+
+O_Q85 = r"""
+SELECT CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+            AS BIGINT) AS n_docs_surviving
+FROM documents
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2578,6 +2620,7 @@ def build_oracles() -> dict[str, str]:
         "q82_audio_spectral": O_Q82,
         "q83_forest_elevation": O_Q83,
         "q84_lm_quality": O_Q84,
+        "q85_stream_dedup": O_Q85,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -235,3 +235,24 @@ def test_audio_spectral_features_pure_tone_and_noise(spark):
     assert got[2]["spectral_flatness"] > 0.3
     assert got[2]["spectral_rolloff_hz"] > 2500.0
     assert got[3]["spectral_centroid_hz"] is None
+
+
+def test_bilinear_resize_properties():
+    """Bilinear: constant images stay constant (interpolation is affine),
+    a linear horizontal ramp stays monotone, and upscale of a 2x2 checker
+    produces intermediate values nearest-neighbor cannot."""
+    from niamoto_spark.operators.multimodal import bilinear_resize
+
+    const = np.full((10, 14, 3), 77, dtype=np.uint8)
+    assert np.array_equal(bilinear_resize(const, 5, 7),
+                          np.full((5, 7, 3), 77, dtype=np.uint8))
+    ramp = np.tile(np.arange(0, 240, 10, dtype=np.uint8)[None, :, None],
+                   (8, 1, 3))
+    out = bilinear_resize(ramp, 4, 12)
+    row = out[0, :, 0].astype(int)
+    assert all(b >= a for a, b in zip(row, row[1:]))
+    checker = np.zeros((2, 2, 3), dtype=np.uint8)
+    checker[0, 1] = checker[1, 0] = 255
+    up = bilinear_resize(checker, 8, 8)
+    mids = np.unique(up)
+    assert len(mids) > 2 and 0 in mids and 255 in mids

@@ -128,3 +128,13 @@ def test_ngram_jaccard_default_is_not_all_pairs(spark):
     assert ngram_jaccard_pairs(d, "doc_id", "text", prefilter="none",
                                allow_all_pairs=True).columns == \
         ["id_a", "id_b", "jaccard"]
+
+
+def test_q84_lm_score_is_aggregation_shaped(spark):
+    """The LM proxy must stay two shuffles (token counts + per-doc mean)
+    with map-side partial aggregation — no cartesian, no nested-loop."""
+    plan = _plan(spark, "q84_lm_quality")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "partial_count" in plan or "partial_avg" in plan

@@ -1592,6 +1592,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_forest_elevation": q83_forest_elevation,
         "q84_lm_quality": q84_lm_quality,
         "q85_stream_dedup": q85_stream_dedup,
+        "q86_asof_join": q86_asof_join,
     }
 
 
@@ -2539,6 +2540,45 @@ FROM documents
 """
 
 
+def q86_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): for each click event, the most
+    recent prior-or-same-instant purchase value for the same user.  The
+    oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same temporal-nearest semantics."""
+    from niamoto_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)  # ts read as nanos long (parquet NANOS)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    # dedupe right side on (user, ts) so the match is deterministic
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    joined = asof_join(clicks, purchases, on="user_id", left_ts="ts",
+                       value_cols=["purchase_value"],
+                       matched_ts_col="purchase_ts")
+    return joined.select(
+        "event_id", "user_id",
+        F.expr("CAST(purchase_ts DIV 1000 AS LONG)")
+         .alias("purchase_epoch_us"),
+        F.round("purchase_value", 6).alias("purchase_value"))
+
+
+O_Q86 = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+    SELECT user_id, ts, max(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_epoch_us,
+       round(p.purchase_value, 6) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2621,6 +2661,7 @@ def build_oracles() -> dict[str, str]:
         "q83_forest_elevation": O_Q83,
         "q84_lm_quality": O_Q84,
         "q85_stream_dedup": O_Q85,
+        "q86_asof_join": O_Q86,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1,0 +1,91 @@
+"""BM25 keyword retrieval over a document corpus — a training-data-pipeline
+extension (no counterpart in the reference, which has no full-text search;
+SURVEY §2.4).  Used in practice for quality-ranked corpus sampling and for
+retrieval-based decontamination audits.
+
+Spark-first design, all JVM expressions, scale shape:
+
+    tokens+dl = one corpus projection (dl carried through the explode, so
+                document length never needs a per-doc join back)
+    postings  = explode → groupBy(doc, token) — the ONE corpus shuffle
+    df        = postings ⋈ broadcast(query tokens) → groupBy(token) — df is
+                computed only for query terms, never the full vocabulary
+    score     = candidate postings ⋈ broadcast(df) ⋈ broadcast(corpus stats)
+                → groupBy(query, doc)
+    top-k     = row_number over (query) on (score desc, doc asc)
+
+The corpus shuffles exactly once (postings build); everything query-sided
+is broadcast.  The per-query candidate set is only the docs sharing at
+least one query term, so the final window sorts candidates per query,
+never the corpus.
+
+Tokenization is lowercase ``[^a-z0-9]+`` splitting — deliberately simple
+and engine-portable so the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(text_col) -> "F.Column":
+    return F.filter(F.split(F.lower(text_col), _TOKEN_SPLIT),
+                    lambda t: t != "")
+
+
+@register("bm25_topk", PluginType.TRANSFORMER)
+def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", query_id: str = "query_id",
+              query_text: str = "query_text", k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              round_dp: int = 6) -> DataFrame:
+    """Top-k documents per query under BM25 (Robertson/Sparck-Jones idf
+    with the +1 smooth, i.e. the Lucene formulation).  Duplicate query
+    terms count once (distinct-term semantics).  Ties broken by doc id
+    after rounding the score to ``round_dp`` (so rank order is reproducible across
+    engines).  Returns (query_id, doc_id, score, rank)."""
+    toks = (docs.select(F.col(id_col).alias("__doc"),
+                        _tokens(F.col(text_col)).alias("__toks"))
+                .withColumn("__dl", F.size("__toks")))
+    postings = (toks
+                .select("__doc", "__dl",
+                        F.explode("__toks").alias("__tok"))
+                .groupBy("__doc", "__dl", "__tok")
+                .agg(F.count(F.lit(1)).alias("__tf")))
+    # N and avgdl: one tiny aggregate (empty docs count toward both)
+    corpus = toks.agg(F.count(F.lit(1)).alias("__n_docs"),
+                      F.avg("__dl").alias("__avgdl"))
+
+    qterms = (queries
+              .select(F.col(query_id).alias("__q"),
+                      F.explode(_tokens(F.col(query_text))).alias("__tok"))
+              .distinct())
+    qtokens = qterms.select("__tok").distinct()
+
+    # document frequency, restricted to query terms (vocab never shuffles)
+    dfreq = (postings.join(F.broadcast(qtokens), "__tok")
+             .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")))
+
+    scored = (postings
+              .join(F.broadcast(qterms), "__tok")
+              .join(F.broadcast(dfreq), "__tok")
+              .crossJoin(F.broadcast(corpus)))
+    idf = F.log(F.lit(1.0) + (F.col("__n_docs") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    tf_part = (F.col("__tf") * (k1 + 1.0)
+               / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl")
+                                        / F.col("__avgdl"))))
+    per_doc = (scored
+               .groupBy("__q", "__doc")
+               .agg(F.round(F.sum(idf * tf_part), round_dp).alias("score")))
+    w = Window.partitionBy("__q").orderBy(F.desc("score"), F.asc("__doc"))
+    return (per_doc
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("__q").alias(query_id),
+                    F.col("__doc").alias(id_col), "score", "rank"))

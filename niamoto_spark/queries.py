@@ -1593,6 +1593,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_lm_quality": q84_lm_quality,
         "q85_stream_dedup": q85_stream_dedup,
         "q86_asof_join": q86_asof_join,
+        "q87_bm25_topk": q87_bm25_topk,
     }
 
 
@@ -2579,6 +2580,83 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+_BM25_QUERIES = [
+    ("k1", "spark window agg"),
+    ("k2", "customer query table join"),
+    ("k3", "vector stream batch merge"),
+]
+
+
+def q87_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/retrieval.py) over documents for
+    three fixed keyword queries.  The oracle recomputes the full model —
+    postings, df, idf, length norm, ranking — in DuckDB SQL."""
+    from niamoto_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES,
+                                    ["query_id", "query_text"])
+    return bm25_topk(docs, queries, k=10, round_dp=4)
+
+
+O_Q87 = r"""
+WITH q(query_id, query_text) AS (
+    VALUES ('k1', 'spark window agg'),
+           ('k2', 'customer query table join'),
+           ('k3', 'vector stream batch merge')
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS tl
+    FROM documents
+),
+postings AS (
+    SELECT doc_id, dl, token, count(*) AS tf FROM (
+        SELECT doc_id, len(tl) AS dl, unnest(tl) AS token FROM toks
+    ) GROUP BY 1, 2, 3
+),
+corpus AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(CAST(len(tl) AS DOUBLE)) AS avgdl
+    FROM toks
+),
+qt AS (
+    SELECT DISTINCT query_id, token FROM (
+        SELECT query_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(query_text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+        FROM q
+    )
+),
+dfreq AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df
+    FROM postings
+    WHERE token IN (SELECT DISTINCT token FROM qt)
+    GROUP BY token
+),
+scored AS (
+    SELECT qt.query_id, p.doc_id,
+           round(sum(
+               ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / c.avgdl))
+           ), 4) AS score
+    FROM postings p
+    JOIN qt ON p.token = qt.token
+    JOIN dfreq d ON p.token = d.token
+    CROSS JOIN corpus c
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2662,6 +2740,7 @@ def build_oracles() -> dict[str, str]:
         "q84_lm_quality": O_Q84,
         "q85_stream_dedup": O_Q85,
         "q86_asof_join": O_Q86,
+        "q87_bm25_topk": O_Q87,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

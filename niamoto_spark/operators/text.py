@@ -427,6 +427,42 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.where(bucket < rate * F.lit(float(2 ** 32)))
 
 
+@register("temperature_sample", PluginType.TRANSFORMER)
+def temperature_sample(df: DataFrame, id_col: str, strata_col: str,
+                       alpha: float = 0.5) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-pretraining
+    recipe: sample domain d with probability ∝ n_d^alpha, flattening the
+    head).  Normalized so the smallest domain keeps everything, which
+    gives the closed-form per-domain keep rate
+
+        r_d = (n_min / n_d) ** (1 - alpha)
+
+    (alpha=1 keeps all rows; alpha=0 equalizes domain counts in
+    expectation).  Row selection reuses stratified_sample's md5-threshold
+    mechanics, so the SAME rows survive on any engine / partitioning /
+    run, and an oracle can replicate the exact selection.
+
+    Scale shape: one tiny groupBy(strata) aggregate, a broadcast join of
+    the per-domain rates back onto the corpus, and a filter — the corpus
+    itself never shuffles.  Rates are rounded to 9dp before the threshold
+    compare so the two engines' pow() agree decisively.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1]: {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = (counts.crossJoin(F.broadcast(nmin))
+             .select(strata_col,
+                     F.round(F.pow(F.col("__nmin") / F.col("__n"),
+                                   F.lit(1.0 - float(alpha))), 9)
+                     .alias("__rate")))
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("bigint")
+    return (df.join(F.broadcast(rates), strata_col)
+            .where(bucket < F.col("__rate") * F.lit(float(2 ** 32)))
+            .drop("__rate"))
+
+
 @register("chunk_documents", PluginType.TRANSFORMER)
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = 256,

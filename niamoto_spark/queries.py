@@ -1594,6 +1594,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_stream_dedup": q85_stream_dedup,
         "q86_asof_join": q86_asof_join,
         "q87_bm25_topk": q87_bm25_topk,
+        "q88_temperature_sample": q88_temperature_sample,
     }
 
 
@@ -2657,6 +2658,35 @@ SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def q88_temperature_sample(spark, sf_dir):
+    """Temperature-based domain rebalancing (text.temperature_sample,
+    alpha=0.5) over documents stratified by language.  The oracle
+    recomputes the closed-form keep rate (n_min/n_d)^(1-alpha) and the
+    md5-threshold row selection entirely in SQL — same rows, any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = text_ops.temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("first_id"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+O_Q88 = """
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (SELECT lang, round(pow(nmin / n, 0.5), 9) AS rate FROM c, m),
+kept AS (
+    SELECT d.lang, d.doc_id
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) < r.rate * 4294967296.0)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY lang
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2741,6 +2771,7 @@ def build_oracles() -> dict[str, str]:
         "q85_stream_dedup": O_Q85,
         "q86_asof_join": O_Q86,
         "q87_bm25_topk": O_Q87,
+        "q88_temperature_sample": O_Q88,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -283,3 +283,34 @@ def test_unigram_logprob_score_orders_fluency(spark):
     assert got[2]["mean_logprob"] > got[3]["mean_logprob"]
     assert got[4]["mean_logprob"] is None and got[4]["n_tokens"] == 0
     assert got[1]["n_tokens"] == 6
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """alpha=1 keeps everything; alpha=0 equalizes expected domain counts
+    (rate = n_min/n_d); selection is identical across repartitionings."""
+    import pandas as pd
+
+    from niamoto_spark.operators.text import temperature_sample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id bigint, dom string")
+
+    assert temperature_sample(df, "doc_id", "dom", alpha=1.0).count() == 900
+
+    flat = temperature_sample(df, "doc_id", "dom", alpha=0.0)
+    by_dom = {r["dom"]: r["n"] for r in
+              flat.groupBy("dom").agg(__import__("pyspark").sql.functions
+                                      .count("*").alias("n")).collect()}
+    assert by_dom["small"] == 100                  # smallest keeps all
+    assert abs(by_dom["big"] - 100) < 40           # ~n_min in expectation
+
+    half = temperature_sample(df, "doc_id", "dom", alpha=0.5)
+    ids1 = {r["doc_id"] for r in half.collect()}
+    ids2 = {r["doc_id"] for r in
+            temperature_sample(df.repartition(7), "doc_id", "dom",
+                               alpha=0.5).collect()}
+    assert ids1 == ids2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_sample(df, "doc_id", "dom", alpha=1.5)

@@ -496,3 +496,40 @@ def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
     return (cand.withColumn("similarity", sim)
                 .where(F.col("similarity") >= threshold)
                 .select("id_a", "id_b", "similarity"))
+
+
+@register("semantic_dedup", PluginType.TRANSFORMER)
+def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.95,
+                   strategy: str = "min_neighbor",
+                   method: str = "exact",
+                   round_dp: int = 6,
+                   **near_dup_kwargs) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop rows whose embedding is
+    near-duplicate (cosine >= threshold) of a kept row.  Pair generation
+    reuses :func:`embedding_near_dup` (exact ball-cover or LSH — never
+    all-pairs), so the scale shape is the candidate join's, plus one
+    anti-join back to the corpus.
+
+    Keep strategies (both deterministic):
+    - ``min_neighbor`` (default): drop a row iff SOME neighbor has a
+      smaller id.  Survivors are their neighborhood's local id-minima —
+      pure relational algebra, so an oracle can replicate it exactly.
+      May keep >1 row of a transitive chain (a~b, b~c, a!~c keeps a AND
+      drops b,c — c's dropped neighbor still counts).
+    - ``components``: transitive closure — one survivor (min id) per
+      connected duplicate cluster, via label-propagation CC (bounded
+      iterations; an iterative driver loop, use for moderate cluster
+      counts).
+    """
+    pairs = embedding_near_dup(corpus, id_col, vec_col,
+                               threshold=threshold, method=method,
+                               round_dp=round_dp, **near_dup_kwargs)
+    if strategy == "components":
+        from niamoto_spark.operators.components import dedup_keep_components
+        return dedup_keep_components(corpus, pairs, id_col)
+    if strategy != "min_neighbor":
+        raise ValueError(f"unknown semantic_dedup strategy: {strategy!r}")
+    # id_a < id_b by contract: every id_b has a smaller-id neighbor
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drop, id_col, "left_anti")

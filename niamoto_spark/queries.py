@@ -1595,6 +1595,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_asof_join": q86_asof_join,
         "q87_bm25_topk": q87_bm25_topk,
         "q88_temperature_sample": q88_temperature_sample,
+        "q89_semantic_dedup": q89_semantic_dedup,
     }
 
 
@@ -2687,6 +2688,36 @@ FROM kept GROUP BY lang
 """
 
 
+def q89_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup,
+    min_neighbor strategy) at the q29 threshold.  Oracle: exact cosine
+    pairs in SQL, survivors = ids with no smaller-id neighbor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = sim_ops.semantic_dedup(emb, "vec_id", "embedding",
+                                  threshold=0.42, round_dp=4)
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("vec_id").alias("first_id"),
+                 F.sum("vec_id").alias("id_sum")))
+
+
+O_Q89 = """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.42)
+SELECT label, count(*) AS n_kept, min(vec_id) AS first_id,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+GROUP BY label
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2772,6 +2803,7 @@ def build_oracles() -> dict[str, str]:
         "q86_asof_join": O_Q86,
         "q87_bm25_topk": O_Q87,
         "q88_temperature_sample": O_Q88,
+        "q89_semantic_dedup": O_Q89,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -327,3 +327,33 @@ def test_ivf_replication_improves_recall(vectors):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r2 >= r1
     assert r4 == 1.0       # R == n_centroids -> every bucket holds everything
+
+
+def test_semantic_dedup_strategies(spark):
+    """Star graph 1~3, 2~3 (1!~2): min_neighbor keeps both local minima
+    {1,2}; components keeps one survivor {1} per cluster; singleton 4
+    always survives."""
+    import math
+
+    from niamoto_spark.operators.similarity import semantic_dedup
+
+    def vec(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(1, vec(0.0)), (2, vec(50.0)), (3, vec(25.0)),
+            (4, vec(180.0))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    t = math.cos(math.radians(30.0))  # pairs at <=30 degrees only
+
+    kept_mn = sorted(r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=t).collect())
+    assert kept_mn == [1, 2, 4]
+
+    kept_cc = sorted(r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=t,
+        strategy="components").collect())
+    assert kept_cc == [1, 4]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="strategy"):
+        semantic_dedup(df, "vec_id", "embedding", strategy="nope").collect()

@@ -1,0 +1,182 @@
+"""Product quantization (PQ) for embedding columns — the memory-compression
+scale path for ANN over 100 TB corpora (a training-data-pipeline extension;
+the reference has no vector search at all).
+
+A D-dim vector becomes M uint8 codes: split dims into M subspaces, quantize
+each sub-vector to its nearest of K centroids.  Search uses asymmetric
+distance computation (ADC): per query, a tiny M×K table of exact
+query-to-centroid distances is precomputed, and each corpus vector's
+(approximate) distance is M table lookups — the corpus is scanned as codes
+(M bytes/vector instead of 4·D), typically a 32× memory/IO reduction.
+
+Spark shapes:
+- ``pq_train``  — M small KMeans fits on a driver-collected SAMPLE (the
+  codebook is M·K·(D/M) floats — a few KB — the classic driver-side model;
+  corpus-scale data never leaves executors).
+- ``pq_encode`` — Arrow-batched numpy: one (batch × K) matmul per subspace,
+  rounded-then-argmin so the code assignment is reproducible across
+  engines (ties → smallest centroid id).
+- ``pq_topk``   — broadcast ADC tables, numpy ``take`` gather per batch +
+  per-batch partial top-k: only (batches × queries × k) rows reach the
+  final window, mirroring cosine_topk_blas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from niamoto_spark.functions import fan_out
+from niamoto_spark.registry import PluginType, register
+
+
+def _as_matrix(rows, vec_col):
+    import numpy as np
+
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def _split(dim: int, m: int) -> list[tuple[int, int]]:
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    return [(i * d, (i + 1) * d) for i in range(m)]
+
+
+def pq_train(corpus: DataFrame, vec_col: str, m: int = 4, ksub: int = 16,
+             sample_size: int = 10000, seed: int = 42) -> list[list[list[float]]]:
+    """Train M sub-codebooks of K centroids each on a deterministic corpus
+    sample (smallest xxhash64 rows — reproducible under any partitioning).
+    Returns plain nested lists ``[m][k][d_sub]`` (a few KB driver object)."""
+    import numpy as np
+
+    rows = (corpus.select(F.col(vec_col))
+            .withColumn("__h", F.xxhash64(vec_col))
+            .orderBy("__h").limit(sample_size)
+            .select(vec_col).collect())
+    x = _as_matrix(rows, vec_col)
+    if x.shape[0] < ksub:
+        raise ValueError(f"sample ({x.shape[0]}) smaller than ksub={ksub}")
+    books = []
+    for lo, hi in _split(x.shape[1], m):
+        sub = x[:, lo:hi]
+        rng = np.random.default_rng(seed)
+        # k-means with deterministic farthest-point-ish seeding
+        cents = sub[rng.choice(sub.shape[0], ksub, replace=False)]
+        for _ in range(15):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            new = np.array([sub[assign == j].mean(axis=0)
+                            if (assign == j).any() else cents[j]
+                            for j in range(ksub)])
+            if np.allclose(new, cents):
+                break
+            cents = new
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+@register("pq_encode", PluginType.TRANSFORMER)
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              codebooks: list[list[list[float]]],
+              round_dp: int = 6) -> DataFrame:
+    """(id, codes array<int>) — each vector's nearest-centroid index per
+    subspace.  Distances are rounded to ``round_dp`` before the argmin and
+    ties break to the smallest centroid id, so any engine recomputing the
+    assignment gets identical codes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sc = corpus.sparkSession.sparkContext
+    bb = sc.broadcast([np.array(b, dtype=np.float64) for b in codebooks])
+    dim = sum(len(b[0]) for b in codebooks)
+    splits = _split(dim, len(codebooks))
+
+    out_schema = T.StructType([
+        T.StructField("__pq_id", corpus.schema[id_col].dataType, False),
+        T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def encode(batches):
+        books = bb.value
+        for pdf in batches:
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((x.shape[0], len(books)), dtype=np.int32)
+            for mi, ((lo, hi), cents) in enumerate(zip(splits, books)):
+                sub = x[:, lo:hi]
+                # ||a-b||^2 expanded: one BLAS matmul per subspace
+                d = ((sub ** 2).sum(axis=1, keepdims=True)
+                     - 2.0 * sub @ cents.T
+                     + (cents ** 2).sum(axis=1)[None, :])
+                codes[:, mi] = np.round(d, round_dp).argmin(axis=1)
+            yield pd.DataFrame({"__pq_id": pdf[id_col],
+                                "codes": list(codes.tolist())})
+
+    out = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        encode, schema=out_schema)
+    return out.withColumnRenamed("__pq_id", id_col)
+
+
+@register("pq_topk", PluginType.TRANSFORMER)
+def pq_topk(codes: DataFrame, queries: DataFrame, id_col: str,
+            vec_col: str, codebooks: list[list[list[float]]],
+            k: int = 10, round_dp: int = 4,
+            codes_col: str = "codes") -> DataFrame:
+    """ADC top-k: for each query, the k corpus codes with the smallest
+    approximate squared L2 distance  sum_m T_q[m][code_m].  Returns
+    (query_id, neighbor_id, adc_dist, rank); ties break on neighbor id
+    after rounding to ``round_dp``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = codes.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_dist double, rank int")
+    qm = _as_matrix(q_rows, vec_col)
+    q_ids = np.array([r[id_col] for r in q_rows])
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    splits = _split(qm.shape[1], len(books))
+    # ADC tables: (n_queries, M, K) exact query->centroid distances
+    tables = np.stack(
+        [((qm[:, lo:hi][:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+         for (lo, hi), cents in zip(splits, books)], axis=1)
+    sc = spark.sparkContext
+    bt = sc.broadcast((q_ids, tables))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType, False),
+        T.StructField("neighbor_id", codes.schema[id_col].dataType, False),
+        T.StructField("adc_dist", T.DoubleType(), True),
+    ])
+
+    def adc(batches):
+        qi, tabs = bt.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            cc = np.array(list(pdf[codes_col]), dtype=np.int64)  # (n, M)
+            rows = []
+            for j in range(len(qi)):
+                # gather: dist[i] = sum_m tabs[j, m, cc[i, m]]
+                d = tabs[j][np.arange(cc.shape[1])[None, :], cc].sum(axis=1)
+                d = np.round(d, round_dp)
+                idx = np.arange(len(c_ids))
+                if len(idx) > k:
+                    order = np.lexsort((c_ids, d))
+                    idx = order[:k]
+                for i in idx:
+                    rows.append((qi[j].item(), c_ids[i].item(), float(d[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                                  "adc_dist"])
+
+    partial = fan_out(codes.select(id_col, codes_col)).mapInPandas(
+        adc, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= k)
+                   .select("query_id", "neighbor_id", "adc_dist", "rank"))

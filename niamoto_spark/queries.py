@@ -1596,6 +1596,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_bm25_topk": q87_bm25_topk,
         "q88_temperature_sample": q88_temperature_sample,
         "q89_semantic_dedup": q89_semantic_dedup,
+        "q90_pq_adc_topk": q90_pq_adc_topk,
     }
 
 
@@ -2718,6 +2719,65 @@ GROUP BY label
 """
 
 
+def q90_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC search (operators/quantization.py): M=4
+    subspaces, K=16 centroids pinned to the subvectors of vec_id 0..15
+    (deterministic, no kmeans) so the oracle can REBUILD the codebook,
+    re-derive every code (rounded-argmin, ties to smallest id) and the
+    full ADC ranking in SQL.  kmeans-trained codebooks are covered by the
+    recall test instead (approximate by nature)."""
+    from niamoto_spark.operators.quantization import pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_rows = (emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+               .select("embedding").collect())
+    dsub = len(cb_rows[0]["embedding"]) // 4
+    books = [[[float(x) for x in r["embedding"][m * dsub:(m + 1) * dsub]]
+              for r in cb_rows] for m in range(4)]
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    queries = emb.where(F.col("vec_id") < 3)
+    return pq_topk(codes, queries, "vec_id", "embedding", books, k=5)
+
+
+O_Q90 = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+sub AS (SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sv
+        FROM e CROSS JOIN ms),
+cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+dists AS (
+    SELECT s.vec_id, s.m, cb.j,
+           round(list_dot_product(s.sv, s.sv)
+                 - 2 * list_dot_product(s.sv, cb.cv)
+                 + list_dot_product(cb.cv, cb.cv), 6) AS d
+    FROM sub s JOIN cb ON s.m = cb.m),
+dmin AS (SELECT vec_id, m, min(d) AS dm FROM dists GROUP BY 1, 2),
+codes AS (
+    SELECT d.vec_id, d.m, min(d.j) AS code
+    FROM dists d JOIN dmin ON d.vec_id = dmin.vec_id AND d.m = dmin.m
+    WHERE d.d = dmin.dm GROUP BY 1, 2),
+qt AS (
+    SELECT q.vec_id AS query_id, cb.m, cb.j,
+           list_dot_product(q.sv, q.sv)
+           - 2 * list_dot_product(q.sv, cb.cv)
+           + list_dot_product(cb.cv, cb.cv) AS td
+    FROM sub q JOIN cb ON q.m = cb.m
+    WHERE q.vec_id < 3),
+adc AS (
+    SELECT qt.query_id, c.vec_id AS neighbor_id,
+           round(sum(qt.td), 4) AS adc_dist
+    FROM codes c JOIN qt ON qt.m = c.m AND qt.j = c.code
+    GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc
+) WHERE rank <= 5
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2804,6 +2864,7 @@ def build_oracles() -> dict[str, str]:
         "q87_bm25_topk": O_Q87,
         "q88_temperature_sample": O_Q88,
         "q89_semantic_dedup": O_Q89,
+        "q90_pq_adc_topk": O_Q90,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1597,6 +1597,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_temperature_sample": q88_temperature_sample,
         "q89_semantic_dedup": q89_semantic_dedup,
         "q90_pq_adc_topk": q90_pq_adc_topk,
+        "q91_bpe_pair_counts": q91_bpe_pair_counts,
     }
 
 
@@ -2778,6 +2779,44 @@ SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def q91_bpe_pair_counts(spark, sf_dir):
+    """First BPE training iteration (operators/bpe.py): symbol-pair
+    frequencies over the word-count table (chars + </w> segmentation),
+    top-20 with full tie-break.  The oracle re-derives word counts,
+    segmentation and pair explosion in SQL.  (The merge LOOP is driver-
+    side over this same table — golden-tested in tests/test_bpe.py.)"""
+    from niamoto_spark.operators.bpe import (bpe_pair_counts,
+                                             bpe_word_counts,
+                                             initial_segmentation)
+
+    docs = _t(spark, sf_dir, "documents")
+    pc = bpe_pair_counts(initial_segmentation(
+        bpe_word_counts(docs, "text")))
+    return (pc.orderBy(F.desc("pair_n"), "sym_a", "sym_b").limit(20))
+
+
+O_Q91 = r"""
+WITH w AS (
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS word
+        FROM documents) GROUP BY word
+),
+pairs AS (
+    SELECT substr(word, i, 1) AS sym_a,
+           CASE WHEN i < len(word) THEN substr(word, i + 1, 1)
+                ELSE '</w>' END AS sym_b,
+           n
+    FROM (SELECT word, n, unnest(generate_series(1, len(word))) AS i
+          FROM w)
+)
+SELECT sym_a, sym_b, CAST(sum(n) AS BIGINT) AS pair_n
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_n DESC, sym_a, sym_b LIMIT 20
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2865,6 +2904,7 @@ def build_oracles() -> dict[str, str]:
         "q88_temperature_sample": O_Q88,
         "q89_semantic_dedup": O_Q89,
         "q90_pq_adc_topk": O_Q90,
+        "q91_bpe_pair_counts": O_Q91,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

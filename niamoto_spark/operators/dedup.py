@@ -334,3 +334,100 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return (pairs.withColumn("jaccard", F.round(jac, 4))
                  .where(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", "jaccard"))
+
+
+@register("jaccard_similarity_join", PluginType.TRANSFORMER)
+def jaccard_similarity_join(left: DataFrame, right: DataFrame,
+                            left_id: str, left_text: str,
+                            right_id: str, right_text: str,
+                            shingle_k: int = 3, threshold: float = 0.8,
+                            round_dp: int = 4) -> DataFrame:
+    """EXACT cross-corpus set-similarity join with prefix filtering
+    (AllPairs/PPJoin family, Bayardo et al. WWW'07): every (left, right)
+    pair whose word-shingle-set Jaccard >= threshold, WITHOUT comparing
+    all pairs and WITHOUT LSH false negatives.
+
+    Prefix-filter theorem: order every document's shingle set by one global
+    total order; if J(A,B) >= t, then the first |A|-ceil(t|A|)+1 elements
+    of A and the first |B|-ceil(t|B|)+1 of B must intersect.  So candidate
+    pairs come from joining only those short PREFIXES.  The global order
+    used is (document frequency asc, shingle asc) — rarest-first, which
+    makes prefixes collide as little as possible (the classic
+    effectiveness heuristic); because the order is a sort KEY, no global
+    index needs to be assigned (no single-partition bottleneck).
+
+    Scale shape: shingle df is one gram-keyed aggregation; prefixes are a
+    per-doc array_sort + slice (no shuffle); the candidate join carries
+    prefix grams only (~(1-t) of each doc's grams); verification joins
+    candidates back to full gram sets — cost linear in candidates x doc
+    size, never |L| x |R|.  Docs with < shingle_k tokens have empty sets
+    and never match (Jaccard undefined).
+
+    Output: (left_id, right_id, jaccard) rounded to ``round_dp``,
+    threshold applied on the rounded value.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0,1]: {threshold}")
+
+    def grams(df, idc, txtc, out):
+        return (fan_out(df).select(
+            F.col(idc).alias(out),
+            F.explode(F.array_distinct(
+                word_shingles(F.lower(F.col(txtc)), shingle_k)))
+            .alias("gram")))
+
+    lg = grams(left, left_id, left_text, "__lid")
+    rg = grams(right, right_id, right_text, "__rid")
+
+    gdf = (lg.select("gram").union(rg.select("gram"))
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("__df")))
+
+    def prefixes(g, idc):
+        # prefix length: n - ceil(t*n) + 1 (t*n guarded against binary
+        # representation creep: 0.8*10 is 8.000000000000002 in doubles,
+        # and ceil must not jump a whole unit on that noise)
+        n = F.size("__sorted")
+        plen = (n - F.ceil(F.round(F.lit(t) * n, 9)) + 1).cast("int")
+        return (g.join(gdf, "gram")
+                .groupBy(idc)
+                .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("__df"), F.col("gram"))))
+                    .alias("__sorted"))
+                .select(idc, n.alias("__n"),
+                        F.slice(F.col("__sorted"), F.lit(1), plen)
+                        .getField("gram").alias("__prefix")))
+
+    lp = prefixes(lg, "__lid")
+    rp = prefixes(rg, "__rid")
+    cand = (lp.select("__lid", F.col("__n").alias("__nl"),
+                      F.explode("__prefix").alias("gram"))
+            .join(rp.select("__rid", F.col("__n").alias("__nr"),
+                            F.explode("__prefix").alias("gram")), "gram")
+            .select("__lid", "__rid", "__nl", "__nr").distinct())
+
+    inter = (cand.join(lg, "__lid")
+             .join(rg, ["__rid", "gram"])
+             .groupBy("__lid", "__rid", "__nl", "__nr")
+             .agg(F.count(F.lit(1)).alias("__inter")))
+    jac = F.round(F.col("__inter")
+                  / (F.col("__nl") + F.col("__nr") - F.col("__inter")),
+                  round_dp)
+    rid_out = right_id if right_id != left_id else f"{right_id}_right"
+    return (inter.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= t)
+            .select(F.col("__lid").alias(left_id),
+                    F.col("__rid").alias(rid_out), "jaccard"))
+
+
+def cross_corpus_dedup(new_docs: DataFrame, existing: DataFrame,
+                       id_col: str, text_col: str,
+                       shingle_k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Incremental-ingestion dedup: new_docs minus those whose shingle-set
+    Jaccard vs ANY existing document >= threshold (exact, via
+    jaccard_similarity_join's prefix filtering)."""
+    pairs = jaccard_similarity_join(
+        new_docs, existing, id_col, text_col, id_col, text_col,
+        shingle_k=shingle_k, threshold=threshold)
+    return new_docs.join(pairs.select(id_col).distinct(), id_col,
+                         "left_anti")

@@ -1598,6 +1598,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_semantic_dedup": q89_semantic_dedup,
         "q90_pq_adc_topk": q90_pq_adc_topk,
         "q91_bpe_pair_counts": q91_bpe_pair_counts,
+        "q92_cross_corpus_dedup": q92_cross_corpus_dedup,
     }
 
 
@@ -2817,6 +2818,78 @@ ORDER BY pair_n DESC, sym_a, sym_b LIMIT 20
 """
 
 
+def q92_cross_corpus_dedup(spark, sf_dir):
+    """Cross-corpus ingestion dedup via the EXACT prefix-filtered Jaccard
+    join (dedup.jaccard_similarity_join — AllPairs/PPJoin family): a new
+    batch of 50 planted near-copies (source text + ' tail tail tail') and
+    20 novel docs is matched against the full corpus.  The oracle brute-
+    forces every (new, corpus) pair with list_intersect — agreement
+    proves the prefix filter loses no pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = (docs.where(F.col("doc_id") < 50)
+               .select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" tail tail tail")).alias("text")))
+    novel = (docs.where(F.col("doc_id") < 20)
+             .select((F.col("doc_id") + 20000).alias("doc_id"),
+                     F.concat_ws(" ", *[
+                         F.concat(F.lit("nv"),
+                                  (F.col("doc_id") + F.lit(i)).cast("string"))
+                         for i in range(8)]).alias("text")))
+    new_batch = planted.union(novel)
+    pairs = dedup_ops.jaccard_similarity_join(
+        new_batch, docs, "doc_id", "text", "doc_id", "text",
+        shingle_k=3, threshold=0.8)
+    return (pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.max("jaccard").alias("best_jaccard"),
+                 F.min("doc_id_right").alias("first_match")))
+
+
+O_Q92 = r"""
+WITH newb AS (
+    SELECT doc_id + 10000 AS doc_id, text || ' tail tail tail' AS text
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           concat_ws(' ', 'nv' || doc_id, 'nv' || (doc_id + 1),
+                     'nv' || (doc_id + 2), 'nv' || (doc_id + 3),
+                     'nv' || (doc_id + 4), 'nv' || (doc_id + 5),
+                     'nv' || (doc_id + 6), 'nv' || (doc_id + 7)) AS text
+    FROM documents WHERE doc_id < 20
+),
+ng AS (
+    SELECT doc_id, list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM newb WHERE length(trim(text)) > 0)
+    WHERE len(t) >= 3
+),
+cg AS (
+    SELECT doc_id, list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0)
+    WHERE len(t) >= 3
+),
+pairs AS (
+    SELECT n.doc_id, c.doc_id AS rid,
+           round(CAST(len(list_intersect(n.g, c.g)) AS DOUBLE)
+                 / (len(n.g) + len(c.g) - len(list_intersect(n.g, c.g))),
+                 4) AS jaccard
+    FROM ng n CROSS JOIN cg c
+)
+SELECT doc_id, count(*) AS n_matches, max(jaccard) AS best_jaccard,
+       min(rid) AS first_match
+FROM pairs WHERE jaccard >= 0.8
+GROUP BY doc_id
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2905,6 +2978,7 @@ def build_oracles() -> dict[str, str]:
         "q89_semantic_dedup": O_Q89,
         "q90_pq_adc_topk": O_Q90,
         "q91_bpe_pair_counts": O_Q91,
+        "q92_cross_corpus_dedup": O_Q92,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

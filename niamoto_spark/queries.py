@@ -664,12 +664,36 @@ WHERE round(list_dot_product(a.v, b.v)
 
 
 def _events(spark, sf_dir):
-    """events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    read nanos as long and derive an epoch-seconds column (documented in
-    sources/files.py's schema notes)."""
+    """events.ts has shipped in two physical shapes across testdata
+    generations: parquet TIMESTAMP(NANOS) (Spark rejects it by default;
+    with the nanosAsLong legacy flag it reads as a nanos long) and plain
+    timestamp[us] (Spark reads TIMESTAMP_NTZ).  Normalize both to
+    epoch-micros / epoch-seconds longs so every downstream query is
+    independent of the physical type.  Session timezone is pinned to UTC
+    so NTZ wall-clock values map to the same instants DuckDB's epoch()
+    produces on naive timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_sec", F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+    else:  # nanos long
+        us = F.floor(F.col("ts") / F.lit(1000)).cast("long")
+    return (ev.withColumn("ts_us", us)
+              .withColumn("ts_sec",
+                          F.floor(F.col("ts_us") / F.lit(1_000_000)).cast("long")))
+
+
+def _ts_to_timestamp(df):
+    """Streaming counterpart of _events' normalization: coerce the events
+    ts column to a true TIMESTAMP whether the parquet shipped nanos longs
+    or timestamp[us] (read as TIMESTAMP_NTZ)."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.withColumn("ts", F.timestamp_micros(
+        (F.col("ts") / 1000).cast("long")))
 
 
 def q30_events_hourly(spark, sf_dir):
@@ -873,8 +897,7 @@ def q64_stream_sessions(spark, sf_dir):
     if not os.path.exists(link):
         os.symlink(src, link)
     schema = spark.read.parquet(src).schema
-    stream = (spark.readStream.schema(schema).parquet(stream_dir)
-              .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+    stream = _ts_to_timestamp(spark.readStream.schema(schema).parquet(stream_dir))
     agg = sessionize_stream(stream, gap_s=1800)
     qname = "q64_sessions"
     q = (agg.writeStream.format("memory").queryName(qname)
@@ -1242,10 +1265,8 @@ def q54_stream_events(spark, sf_dir):
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    stream = (spark.readStream.schema(schema)
-              .parquet(stream_dir)
-              .withColumn("ts", F.timestamp_micros(
-                  (F.col("ts") / 1000).cast("long"))))
+    stream = _ts_to_timestamp(spark.readStream.schema(schema)
+                              .parquet(stream_dir))
     agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
     qname = "q54_events_windowed"
     q = (agg.writeStream.format("memory").queryName(qname)
@@ -2553,20 +2574,19 @@ def q86_asof_join(spark, sf_dir):
     implementation of the same temporal-nearest semantics."""
     from niamoto_spark.operators.asof import asof_join
 
-    ev = _events(spark, sf_dir)  # ts read as nanos long (parquet NANOS)
+    ev = _events(spark, sf_dir)  # ts normalized to epoch-micros long
     clicks = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts")
+        "event_id", "user_id", F.col("ts_us").alias("ts"))
     # dedupe right side on (user, ts) so the match is deterministic
     purchases = (ev.where(F.col("event_type") == "purchase")
-                 .groupBy("user_id", "ts")
+                 .groupBy("user_id", F.col("ts_us").alias("ts"))
                  .agg(F.max("value").alias("purchase_value")))
     joined = asof_join(clicks, purchases, on="user_id", left_ts="ts",
                        value_cols=["purchase_value"],
                        matched_ts_col="purchase_ts")
     return joined.select(
         "event_id", "user_id",
-        F.expr("CAST(purchase_ts DIV 1000 AS LONG)")
-         .alias("purchase_epoch_us"),
+        F.col("purchase_ts").cast("long").alias("purchase_epoch_us"),
         F.round("purchase_value", 6).alias("purchase_value"))
 
 

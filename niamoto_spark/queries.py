@@ -1620,6 +1620,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_pq_adc_topk": q90_pq_adc_topk,
         "q91_bpe_pair_counts": q91_bpe_pair_counts,
         "q92_cross_corpus_dedup": q92_cross_corpus_dedup,
+        "q93_substring_dup": q93_substring_dup,
     }
 
 
@@ -2910,6 +2911,59 @@ GROUP BY doc_id
 """
 
 
+def q93_substring_dup(spark, sf_dir):
+    """Exact-substring duplication (operators/substrings.py — the Lee et
+    al. 2022 substring-dedup lane): planted documents quote a 200-char
+    slice of a source doc behind fresh prologue/epilogue text, so each
+    (source, quoting) pair shares a long verbatim span without being a
+    whole-document near-dup.  All-positions mode: the oracle regenerates
+    every 30-char window as a STRING in DuckDB and joins on gram equality
+    — agreement proves the xxhash64 fingerprint join finds exactly the
+    string-equal windows and the span bounds are exact."""
+    from niamoto_spark.operators.substrings import substring_dup_pairs
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+            .select("doc_id", "text"))
+    quoted = docs.select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.lit("zq zq zq prologue "), F.substring("text", 10, 200),
+                 F.lit(" epilogue zq zq")).alias("text"))
+    corpus = docs.unionByName(quoted)
+    return substring_dup_pairs(corpus, "doc_id", "text", gram_chars=30,
+                               min_shared_grams=5, max_gram_df=None)
+
+
+O_Q93 = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 50000 AS doc_id,
+         'zq zq zq prologue ' || substr(text, 10, 200) || ' epilogue zq zq'
+           AS text
+  FROM documents WHERE doc_id < 100
+),
+norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM corpus
+),
+fp AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         substr(t, CAST(pos AS INT), 30) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 28)) AS pos
+        FROM norm)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(DISTINCT a.gram) AS n_shared_grams,
+       CAST(min(a.pos) AS INT) AS a_start,
+       CAST(max(a.pos) + 29 AS INT) AS a_end,
+       CAST(min(b.pos) AS INT) AS b_start,
+       CAST(max(b.pos) + 29 AS INT) AS b_end
+FROM fp a JOIN fp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(DISTINCT a.gram) >= 5
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -2999,6 +3053,7 @@ def build_oracles() -> dict[str, str]:
         "q90_pq_adc_topk": O_Q90,
         "q91_bpe_pair_counts": O_Q91,
         "q92_cross_corpus_dedup": O_Q92,
+        "q93_substring_dup": O_Q93,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1621,6 +1621,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_bpe_pair_counts": q91_bpe_pair_counts,
         "q92_cross_corpus_dedup": q92_cross_corpus_dedup,
         "q93_substring_dup": q93_substring_dup,
+        "q94_interval_join": q94_interval_join,
     }
 
 
@@ -2964,6 +2965,44 @@ HAVING count(DISTINCT a.gram) >= 5
 """
 
 
+def q94_interval_join(spark, sf_dir):
+    """Interval (point-in-range) join (operators/interval.py): every click
+    landing inside a 30-minute attribution window opened by a purchase of
+    the same user.  Granule co-partitioning (equi-join on user × hour
+    bucket + range refine) — the oracle is DuckDB's native inequality
+    join, an independent formulation of the same containment."""
+    from niamoto_spark.operators.interval import interval_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts_sec").alias("win_start"),
+        (F.col("ts_sec") + 1800).alias("win_end"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_sec").alias("click_ts"),
+        F.col("value").alias("click_value"))
+    j = interval_join(clicks, purchases, on="user_id", point_ts="click_ts",
+                      start_col="win_start", end_col="win_end",
+                      granule_s=3600)
+    return (j.groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.round(F.sum("click_value"), 2).alias("click_value_sum")))
+
+
+O_Q94 = """
+WITH p AS (SELECT event_id AS purchase_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ws
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, value
+           FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, count(*) AS n_clicks,
+       round(sum(c.value), 2) AS click_value_sum
+FROM p JOIN c
+  ON p.user_id = c.user_id AND p.ws <= c.ts AND c.ts < p.ws + 1800
+GROUP BY 1
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3054,6 +3093,7 @@ def build_oracles() -> dict[str, str]:
         "q91_bpe_pair_counts": O_Q91,
         "q92_cross_corpus_dedup": O_Q92,
         "q93_substring_dup": O_Q93,
+        "q94_interval_join": O_Q94,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

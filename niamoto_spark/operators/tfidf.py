@@ -1,0 +1,87 @@
+"""TF-IDF vectors + sparse cosine similarity over an inverted index.
+
+Complements the dense-embedding lane (operators/similarity.py): when no
+embedding model is in the loop, lexical TF-IDF cosine is the standard
+document-similarity baseline (and the ranking core of BM25,
+operators/retrieval.py, which shares the postings-join shape).
+
+Spark-first design
+------------------
+- Vectors are POSTINGS ROWS (doc_id, token, weight), not array columns:
+  the pairwise dot product is then an equi-join on token followed by a
+  groupBy(pair) sum — the classic inverted-index formulation.  The
+  shuffle carries only (token, doc, weight) triples.
+- Stop-token pruning is load-bearing at scale: a token present in f% of
+  N documents contributes (fN)² join rows.  ``max_df_frac`` drops those
+  tokens BEFORE the self-join (their idf weight is near zero anyway) —
+  same hot-bucket policy as minhash/substring dedup.
+- Weights are L2-normalized per document, so dot == cosine and the join
+  needs no per-pair norm lookup.
+
+Formulas (sklearn TfidfVectorizer defaults, smooth_idf):
+    tf(t, d)  = raw count of t in d
+    idf(t)    = ln((1 + N) / (1 + df(t))) + 1
+    w(t, d)   = tf * idf, then L2-normalized per document
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from niamoto_spark.functions import token_array
+from niamoto_spark.registry import PluginType, register
+
+
+@register("tfidf_postings", PluginType.TRANSFORMER)
+def tfidf_postings(df: DataFrame, id_col: str, text_col: str,
+                   min_df: int = 1,
+                   max_df_frac: float | None = None) -> DataFrame:
+    """L2-normalized TF-IDF postings: (doc_id, token, weight).
+
+    One explode + two hash aggregates + one broadcast join (per-token df
+    is |vocab|-sized — broadcastable at any corpus scale since vocab
+    grows sub-linearly)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(token_array(F.lower(F.col(text_col))))
+                      .alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count_distinct(id_col)).collect()[0][0]
+    docfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    if max_df_frac is not None:
+        docfreq = docfreq.where(F.col("df") <= int(max_df_frac * n_docs))
+    if min_df > 1:
+        docfreq = docfreq.where(F.col("df") >= min_df)
+    idf = docfreq.withColumn(
+        "idf", F.log((F.lit(1.0 + n_docs)) / (F.col("df") + 1)) + 1)
+    w = (tf.join(F.broadcast(idf.select("token", "idf")), "token")
+           .withColumn("w_raw", F.col("tf") * F.col("idf")))
+    norm = Window.partitionBy("doc_id")
+    return (w.withColumn("__l2", F.sqrt(F.sum(F.col("w_raw") ** 2)
+                                         .over(norm)))
+             .select("doc_id", "token",
+                     (F.col("w_raw") / F.col("__l2")).alias("weight")))
+
+
+@register("tfidf_cosine_pairs", PluginType.TRANSFORMER)
+def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
+                       threshold: float = 0.5,
+                       max_df_frac: float | None = 0.5,
+                       round_dp: int = 4) -> DataFrame:
+    """Document pairs with TF-IDF cosine >= threshold: postings self-join
+    on token -> groupBy(pair) dot product.  Output (id_a, id_b, cosine),
+    id_a < id_b."""
+    p = tfidf_postings(df, id_col, text_col, max_df_frac=max_df_frac)
+    left = p.select(F.col("doc_id").alias("id_a"), "token",
+                    F.col("weight").alias("w_a"))
+    right = p.select(F.col("doc_id").alias("id_b"), "token",
+                     F.col("weight").alias("w_b"))
+    dots = (left.join(right, "token")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("__dot")))
+    return (dots.select("id_a", "id_b",
+                        F.round("__dot", round_dp).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

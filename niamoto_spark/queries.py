@@ -1622,6 +1622,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_cross_corpus_dedup": q92_cross_corpus_dedup,
         "q93_substring_dup": q93_substring_dup,
         "q94_interval_join": q94_interval_join,
+        "q95_cube_revenue": q95_cube_revenue,
+        "q96_profile_table": q96_profile_table,
+        "q97_tfidf_cosine": q97_tfidf_cosine,
     }
 
 
@@ -3003,6 +3006,125 @@ GROUP BY 1
 """
 
 
+def q95_cube_revenue(spark, sf_dir):
+    """CUBE aggregation (SURVEY §2.4 relational surface — completes the
+    rollup/pivot family of q50/q55): revenue over every subset of
+    {returnflag, linestatus}, with the grouping bitmask distinguishing
+    subtotal levels."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(rev), 2).alias("revenue")))
+
+
+O_Q95 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q96_profile_table(spark, sf_dir):
+    """Single-job column profiling (operators/profiling.py): null counts,
+    exact distinct counts, numeric min/max/avg and string-length bounds
+    for every customer column, computed in ONE wide aggregate (the
+    reference's per-field statistical_summary queries collapsed into one
+    pass) and reshaped with stack."""
+    from niamoto_spark.operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "customer"))
+
+
+O_Q96 = """
+WITH base AS (SELECT count(*) AS n_rows FROM customer)
+SELECT 'c_custkey' AS col_name, 'bigint' AS dtype, n_rows,
+       (SELECT count(*) - count(c_custkey) FROM customer) AS n_nulls,
+       (SELECT count(DISTINCT c_custkey) FROM customer) AS n_distinct,
+       (SELECT round(CAST(min(c_custkey) AS DOUBLE), 4) FROM customer) AS num_min,
+       (SELECT round(CAST(max(c_custkey) AS DOUBLE), 4) FROM customer) AS num_max,
+       (SELECT round(avg(CAST(c_custkey AS DOUBLE)), 4) FROM customer) AS num_avg,
+       CAST(NULL AS INT) AS len_min, CAST(NULL AS INT) AS len_max
+FROM base
+UNION ALL
+SELECT 'c_name', 'string', n_rows,
+       (SELECT count(*) - count(c_name) FROM customer),
+       (SELECT count(DISTINCT c_name) FROM customer),
+       NULL, NULL, NULL,
+       (SELECT CAST(min(length(c_name)) AS INT) FROM customer),
+       (SELECT CAST(max(length(c_name)) AS INT) FROM customer)
+FROM base
+UNION ALL
+SELECT 'c_nationkey', 'int', n_rows,
+       (SELECT count(*) - count(c_nationkey) FROM customer),
+       (SELECT count(DISTINCT c_nationkey) FROM customer),
+       (SELECT round(CAST(min(c_nationkey) AS DOUBLE), 4) FROM customer),
+       (SELECT round(CAST(max(c_nationkey) AS DOUBLE), 4) FROM customer),
+       (SELECT round(avg(CAST(c_nationkey AS DOUBLE)), 4) FROM customer),
+       NULL, NULL
+FROM base
+UNION ALL
+SELECT 'c_acctbal', 'double', n_rows,
+       (SELECT count(*) - count(c_acctbal) FROM customer),
+       (SELECT count(DISTINCT c_acctbal) FROM customer),
+       (SELECT round(min(c_acctbal), 4) FROM customer),
+       (SELECT round(max(c_acctbal), 4) FROM customer),
+       (SELECT round(avg(c_acctbal), 4) FROM customer),
+       NULL, NULL
+FROM base
+UNION ALL
+SELECT 'c_mktsegment', 'string', n_rows,
+       (SELECT count(*) - count(c_mktsegment) FROM customer),
+       (SELECT count(DISTINCT c_mktsegment) FROM customer),
+       NULL, NULL, NULL,
+       (SELECT CAST(min(length(c_mktsegment)) AS INT) FROM customer),
+       (SELECT CAST(max(length(c_mktsegment)) AS INT) FROM customer)
+FROM base
+"""
+
+
+def q97_tfidf_cosine(spark, sf_dir):
+    """Sparse lexical similarity (operators/tfidf.py): TF-IDF postings
+    self-join on token -> per-pair dot product (inverted-index cosine).
+    The oracle refits the identical sklearn-default smooth-idf model in
+    DuckDB SQL end-to-end: tokenize, df, idf, L2 norm, join, threshold."""
+    from niamoto_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+            .select("doc_id", "text"))
+    return tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.3,
+                              max_df_frac=0.5)
+
+
+O_Q97 = r"""
+WITH d AS (SELECT doc_id, trim(lower(text)) AS t
+           FROM documents WHERE doc_id < 200),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS token
+        FROM d WHERE length(t) > 0),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+idf AS (SELECT token, ln((1.0 + n) / (dfc + 1)) + 1 AS idf
+        FROM dfq, nd WHERE dfc <= 0.5 * n),
+w AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS w_raw
+      FROM tf JOIN idf USING (token)),
+nw AS (SELECT doc_id, token,
+              w_raw / sqrt(sum(w_raw * w_raw)
+                           OVER (PARTITION BY doc_id)) AS weight
+       FROM w),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                sum(a.weight * b.weight) AS dot
+         FROM nw a JOIN nw b ON a.token = b.token AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot, 4) AS cosine
+FROM dots WHERE round(dot, 4) >= 0.3
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3094,6 +3216,9 @@ def build_oracles() -> dict[str, str]:
         "q92_cross_corpus_dedup": O_Q92,
         "q93_substring_dup": O_Q93,
         "q94_interval_join": O_Q94,
+        "q95_cube_revenue": O_Q95,
+        "q96_profile_table": O_Q96,
+        "q97_tfidf_cosine": O_Q97,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1,0 +1,87 @@
+"""profile_table (operators/profiling.py) + TF-IDF cosine
+(operators/tfidf.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from niamoto_spark.operators.profiling import profile_table
+from niamoto_spark.operators.tfidf import tfidf_cosine_pairs, tfidf_postings
+
+
+def test_profile_table_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, "bbbb", None), (3, None, 2.5), (3, "cc", 4.0)],
+        ["k", "s", "v"])
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    k = prof["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["num_min"], k["num_max"], k["num_avg"]) == (1.0, 3.0, 2.25)
+    assert k["len_min"] is None
+    s = prof["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 3)
+    assert (s["len_min"], s["len_max"]) == (2, 4)
+    assert s["num_min"] is None
+    v = prof["v"]
+    assert (v["n_nulls"], v["num_min"], v["num_max"]) == (1, 1.5, 4.0)
+
+
+def test_profile_table_approx_mode_close(spark):
+    df = spark.range(1000).withColumn("s", F.lit("x"))
+    exact = {r["col_name"]: r["n_distinct"]
+             for r in profile_table(df).collect()}
+    approx = {r["col_name"]: r["n_distinct"]
+              for r in profile_table(df, approx=True).collect()}
+    assert exact["id"] == 1000
+    assert abs(approx["id"] - 1000) / 1000 < 0.1
+    assert approx["s"] == 1
+
+
+def test_profile_is_single_job(spark):
+    """The whole profile must be one aggregate plan — no per-column
+    collects (the reference's per-field SQL round trips collapsed)."""
+    df = spark.createDataFrame([(1, "a", 2.0)], ["k", "s", "v"])
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate") <= 2  # partial+final, no unions
+
+
+def test_tfidf_identical_docs_cosine_one(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "alpha bravo charlie"),
+         (3, "delta echo foxtrot")],
+        ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in tfidf_cosine_pairs(df, "doc_id", "text",
+                                         threshold=0.0,
+                                         max_df_frac=None).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in pairs  # zero shared tokens -> no posting join row
+
+
+def test_tfidf_matches_sklearn_formula(spark):
+    """Hand-computed smooth-idf weights on a 3-doc corpus."""
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b c c")], ["doc_id", "text"])
+    post = {(r["doc_id"], r["token"]): r["weight"]
+            for r in tfidf_postings(df, "doc_id", "text").collect()}
+    n = 3
+    idf = {t: math.log((1 + n) / (1 + df_)) + 1
+           for t, df_ in {"a": 2, "b": 2, "c": 2}.items()}
+    raw1 = {"a": 2 * idf["a"], "b": 1 * idf["b"]}
+    l2 = math.sqrt(sum(v * v for v in raw1.values()))
+    assert post[(1, "a")] == pytest.approx(raw1["a"] / l2)
+    assert post[(1, "b")] == pytest.approx(raw1["b"] / l2)
+
+
+def test_tfidf_max_df_prunes_stop_tokens(spark):
+    rows = [(i, f"common unique{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = tfidf_postings(df, "doc_id", "text", max_df_frac=0.5)
+    toks = {r["token"] for r in kept.collect()}
+    assert "common" not in toks        # df=10 > 5
+    assert "unique3" in toks
+    # with the stop token gone no pair shares a token
+    assert tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.0,
+                              max_df_frac=0.5).count() == 0

@@ -1625,6 +1625,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_cube_revenue": q95_cube_revenue,
         "q96_profile_table": q96_profile_table,
         "q97_tfidf_cosine": q97_tfidf_cosine,
+        "q98_scd2_history": q98_scd2_history,
     }
 
 
@@ -3125,6 +3126,41 @@ FROM dots WHERE round(dot, 4) >= 0.3
 """
 
 
+def q98_scd2_history(spark, sf_dir):
+    """SCD type-2 history (operators/history.py): each user's event_type
+    state as validity intervals — consecutive re-statements collapse into
+    one episode, valid_to chains to the next episode's start, the last
+    episode per user is flagged current.  One window shuffle; the oracle
+    rebuilds the same episodes with lag/lead in DuckDB."""
+    from niamoto_spark.operators.history import scd2_history
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_sec",
+                                       "event_id")
+    return scd2_history(ev, ["user_id"], "ts_sec", ["event_type"],
+                        order_cols=["event_id"]) \
+        .select("user_id", "event_type", "valid_from", "valid_to",
+                "is_current")
+
+
+O_Q98 = """
+WITH e AS (SELECT user_id, event_type, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+m AS (SELECT *, lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+      FROM e),
+ep AS (SELECT user_id, event_type, sec, event_id FROM m
+       WHERE prev IS NULL OR event_type != prev),
+iv AS (SELECT user_id, event_type, sec AS valid_from,
+              lead(sec) OVER
+                  (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+       FROM ep)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM iv
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3219,6 +3255,7 @@ def build_oracles() -> dict[str, str]:
         "q95_cube_revenue": O_Q95,
         "q96_profile_table": O_Q96,
         "q97_tfidf_cosine": O_Q97,
+        "q98_scd2_history": O_Q98,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1626,6 +1626,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_profile_table": q96_profile_table,
         "q97_tfidf_cosine": q97_tfidf_cosine,
         "q98_scd2_history": q98_scd2_history,
+        "q99_stream_stream_join": q99_stream_stream_join,
+        "q100_kmeans": q100_kmeans,
     }
 
 
@@ -3161,6 +3163,110 @@ FROM iv
 """
 
 
+def q99_stream_stream_join(spark, sf_dir):
+    """Stream-stream event-time join (streaming/joins.py): the SAME
+    purchase->click attribution as batch q94, but as two live streams
+    joined in Structured Streaming state with watermarks.  availableNow
+    drains the static events dir in one pass; the raw joined pairs land
+    in a memory sink and a batch aggregate reduces them to q94's exact
+    output shape — so the DuckDB inequality-join oracle doubles as a
+    stream==batch parity check."""
+    import os
+    import tempfile
+
+    from niamoto_spark.streaming.joins import stream_interval_join
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_ssj_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+
+    def _stream():
+        return _ts_to_timestamp(
+            spark.readStream.schema(schema).parquet(stream_dir))
+
+    purchases = (_stream().where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"), "user_id",
+                         F.col("ts").alias("p_ts")))
+    clicks = (_stream().where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("value").alias("click_value")))
+    joined = stream_interval_join(
+        clicks.withColumnRenamed("c_user", "user_id"), purchases,
+        on="user_id", point_ts="c_ts", interval_ts="p_ts", span_s=1800)
+    qname = "q99_ssj_pairs"
+    q = (joined.select("purchase_id", "click_value")
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.round(F.sum("click_value"), 2).alias("click_value_sum")))
+
+
+def q100_kmeans(spark, sf_dir):
+    """Deterministic distributed k-means (operators/clustering.py):
+    min-id init, 2 Lloyd's iterations, final assignment — the oracle
+    REPLAYS the identical iterations unrolled in DuckDB SQL (init ->
+    assign -> update -> assign -> update -> assign), so the whole
+    iterative algorithm is pinned, not just row counts."""
+    from niamoto_spark.operators.clustering import kmeans_cluster_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+O_Q100 = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                CAST(unnest(range(len(embedding))) AS INT) AS dim
+         FROM e),
+init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS cid, vec_id
+         FROM e ORDER BY vec_id LIMIT 8),
+c0 AS (SELECT i.cid, d.dim, d.val FROM init i
+       JOIN dims d ON i.vec_id = d.vec_id),
+d1 AS (SELECT d.vec_id, c.cid,
+              sum((d.val - c.val) * (d.val - c.val)) AS d2
+       FROM dims d JOIN c0 c ON d.dim = c.dim GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rk
+           FROM d1) WHERE rk = 1),
+c1 AS (SELECT a.cid, d.dim, avg(d.val) AS val
+       FROM a1 a JOIN dims d ON a.vec_id = d.vec_id GROUP BY 1, 2),
+d2_ AS (SELECT d.vec_id, c.cid,
+               sum((d.val - c.val) * (d.val - c.val)) AS d2
+        FROM dims d JOIN c1 c ON d.dim = c.dim GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rk
+           FROM d2_) WHERE rk = 1),
+c2 AS (SELECT a.cid, d.dim, avg(d.val) AS val
+       FROM a2 a JOIN dims d ON a.vec_id = d.vec_id GROUP BY 1, 2),
+d3 AS (SELECT d.vec_id, c.cid,
+              sum((d.val - c.val) * (d.val - c.val)) AS d2
+       FROM dims d JOIN c2 c ON d.dim = c.dim GROUP BY 1, 2),
+a3 AS (SELECT vec_id, cid, d2 FROM (
+           SELECT vec_id, cid, d2,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rk
+           FROM d3) WHERE rk = 1)
+SELECT cid AS cluster_id, count(*) AS n_members,
+       round(avg(d2), 3) AS mean_d2
+FROM a3 GROUP BY 1
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3256,6 +3362,8 @@ def build_oracles() -> dict[str, str]:
         "q96_profile_table": O_Q96,
         "q97_tfidf_cosine": O_Q97,
         "q98_scd2_history": O_Q98,
+        "q99_stream_stream_join": O_Q94,  # identical semantics to q94, streaming execution
+        "q100_kmeans": O_Q100,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -58,3 +58,44 @@ def dedup_keep_components(df: DataFrame, pairs: DataFrame, id_col: str,
     drop = comps.where(F.col("node_id") != F.col("component_id")) \
                 .select(F.col("node_id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+def cluster_representatives(df: DataFrame, pairs: DataFrame, id_col: str,
+                            score_col: str, id_a: str = "id_a",
+                            id_b: str = "id_b",
+                            comps: DataFrame | None = None) -> DataFrame:
+    """Quality-aware cluster resolution: per duplicate cluster, elect the
+    member with the HIGHEST ``score_col`` (ties -> min id) instead of the
+    arbitrary min-id keeper — the curation-grade policy (drop the worse
+    copy, not the later-crawled one).
+
+    Output: (component_id, n_docs, kept_id).  One window over the
+    component partitioning after the label-propagation join — no extra
+    shuffle beyond the components themselves."""
+    from pyspark.sql import Window
+
+    if comps is None:
+        comps = connected_components(pairs, id_a, id_b)
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node_id"), score_col), "node_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col("node_id").asc())
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .groupBy("component_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max(F.when(F.col("__rk") == 1,
+                              F.col("node_id"))).alias("kept_id")))
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+                    score_col: str, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Corpus with each duplicate cluster reduced to its best-scoring
+    member (plus all never-duplicated rows)."""
+    comps = connected_components(pairs, id_a, id_b)
+    reps = cluster_representatives(df, pairs, id_col, score_col,
+                                   id_a, id_b, comps=comps)
+    losers = (comps.join(reps.select(F.col("kept_id").alias("node_id")),
+                         "node_id", "left_anti")
+              .select(F.col("node_id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

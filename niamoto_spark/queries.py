@@ -1628,6 +1628,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_scd2_history": q98_scd2_history,
         "q99_stream_stream_join": q99_stream_stream_join,
         "q100_kmeans": q100_kmeans,
+        "q101_quality_dedup_clusters": q101_quality_dedup_clusters,
     }
 
 
@@ -3267,6 +3268,55 @@ FROM a3 GROUP BY 1
 """
 
 
+def q101_quality_dedup_clusters(spark, sf_dir):
+    """Quality-aware duplicate-cluster resolution
+    (operators/components.py:cluster_representatives): unigram-Jaccard
+    pairs -> label-propagation connected components -> per cluster elect
+    the LONGEST member (n_chars, ties min id) as keeper.  The oracle
+    rebuilds the clusters with a WITH RECURSIVE transitive closure and
+    the same argmax — pinning the iterative component labels themselves."""
+    from niamoto_spark.operators.components import cluster_representatives
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6, block_col="source")
+    return cluster_representatives(d, pairs.select("id_a", "id_b"),
+                                   "doc_id", "n_chars")
+
+
+O_Q101 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+    WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+    SELECT * FROM r),
+comp AS (SELECT a AS node_id, least(a, min(b)) AS component_id
+         FROM reach GROUP BY a),
+scored AS (SELECT c.component_id, c.node_id, d.n_chars,
+                  row_number() OVER (PARTITION BY c.component_id
+                                     ORDER BY d.n_chars DESC,
+                                              c.node_id ASC) AS rk
+           FROM comp c JOIN documents d ON c.node_id = d.doc_id)
+SELECT component_id, count(*) AS n_docs,
+       max(CASE WHEN rk = 1 THEN node_id END) AS kept_id
+FROM scored GROUP BY component_id
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3364,6 +3414,7 @@ def build_oracles() -> dict[str, str]:
         "q98_scd2_history": O_Q98,
         "q99_stream_stream_join": O_Q94,  # identical semantics to q94, streaming execution
         "q100_kmeans": O_Q100,
+        "q101_quality_dedup_clusters": O_Q101,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

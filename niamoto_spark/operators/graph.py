@@ -1,0 +1,83 @@
+"""Graph ranking over candidate-pair edge lists (PageRank).
+
+Complements connected components (operators/components.py): components
+give cluster MEMBERSHIP; PageRank gives per-node CENTRALITY — e.g. which
+document inside a near-dup/similarity neighborhood is the canonical one,
+or which user in an interaction graph anchors a community.
+
+Deterministic by construction (fixed iteration count, no RNG, closed-form
+uniform init), so an external engine can replay it — the same
+oracle-ability policy as operators/clustering.py's k-means.
+
+Spark-first shape: ranks live in a DataFrame keyed by node; one iteration
+is  ranks ⋈ out-edges → groupBy(dst) sum → add teleport — two hash
+shuffles on node id, NOTHING collected to the driver (the loop carries
+only a DataFrame lineage, cut per round with localCheckpoint like the
+label-propagation loop).  Dangling nodes (no out-edges) redistribute
+their mass uniformly, the standard correction, computed as a scalar agg
+per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+
+@register("pagerank", PluginType.TRANSFORMER)
+def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+             directed: bool = False, damping: float = 0.85,
+             iters: int = 3, round_dp: int | None = 6) -> DataFrame:
+    """(node_id, rank) after ``iters`` power iterations.
+
+    Undirected mode (default — similarity pairs have no direction) walks
+    each edge both ways.  Ranks sum to 1 over the nodes appearing in the
+    edge list; init is uniform 1/N.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if not directed:
+        edges = edges.union(
+            pairs.select(F.col(id_b).alias("src"),
+                         F.col(id_a).alias("dst")))
+    edges = edges.distinct()
+
+    nodes = (edges.select(F.col("src").alias("node_id"))
+             .union(edges.select(F.col("dst").alias("node_id")))
+             .distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+
+    for _ in range(iters):
+        contrib = (edges
+                   .join(ranks, edges["src"] == ranks["node_id"])
+                   .join(outdeg, "src")
+                   .select("dst", (F.col("rank") / F.col("deg"))
+                           .alias("c")))
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        if directed:
+            # dangling mass: rank held by nodes with no out-edges
+            dangling = (ranks.join(outdeg,
+                                   ranks["node_id"] == outdeg["src"],
+                                   "left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .collect()[0][0])  # one scalar per iteration
+        else:
+            dangling = 0.0  # every undirected node has an out-edge
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (nodes.join(inflow, nodes["node_id"] == inflow["dst"],
+                            "left")
+                 .select("node_id",
+                         (F.lit(base) + F.lit(damping) *
+                          F.coalesce("inflow", F.lit(0.0))).alias("rank")))
+        ranks = ranks.localCheckpoint(eager=True)
+
+    if round_dp is not None:
+        ranks = ranks.select("node_id", F.round("rank", round_dp)
+                             .alias("rank"))
+    return ranks

@@ -427,6 +427,32 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.where(bucket < rate * F.lit(float(2 ** 32)))
 
 
+@register("weighted_sample", PluginType.TRANSFORMER)
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
+                    seed: str = "") -> DataFrame:
+    """Efraimidis–Spirakis (A-Res) weighted sampling without replacement,
+    deterministic: u = (md5-bucket + 0.5) / 2^32 (same engine-independent
+    uniform as stratified_sample), key = -ln(u) / w, keep the k SMALLEST
+    keys — each row's inclusion probability is proportional to its
+    weight, and the identical sample reproduces on any engine/partition
+    layout/run.
+
+    Distributed as a global top-k under a unique ordering key
+    (TakeOrderedAndProject: per-partition heap of k + driver merge of
+    p·k rows — never a full sort).  Weights must be > 0.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(seed))), 1, 8),
+        16, 10).cast("bigint")
+    u = (bucket + F.lit(0.5)) / F.lit(float(2 ** 32))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (df.withColumn("__wkey", key)
+              .orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
+              .limit(k)
+              .drop("__wkey"))
+
+
 @register("temperature_sample", PluginType.TRANSFORMER)
 def temperature_sample(df: DataFrame, id_col: str, strata_col: str,
                        alpha: float = 0.5) -> DataFrame:

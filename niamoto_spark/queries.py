@@ -1629,6 +1629,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_stream_stream_join": q99_stream_stream_join,
         "q100_kmeans": q100_kmeans,
         "q101_quality_dedup_clusters": q101_quality_dedup_clusters,
+        "q102_pagerank": q102_pagerank,
+        "q103_weighted_sample": q103_weighted_sample,
     }
 
 
@@ -3317,6 +3319,86 @@ FROM scored GROUP BY component_id
 """
 
 
+def q102_pagerank(spark, sf_dir):
+    """PageRank centrality (operators/graph.py) over the unigram-Jaccard
+    similarity graph: 3 deterministic power iterations, undirected
+    edges, uniform init — the oracle unrolls the identical iterations in
+    DuckDB SQL (r0 -> i1/r1 -> i2/r2 -> i3/r3), pinning the full
+    iterative computation like q100 does for k-means."""
+    from niamoto_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6, block_col="source")
+    return pagerank(pairs.select("id_a", "id_b"), iters=3)
+
+
+O_Q102 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node_id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+i1 AS (SELECT e.dst AS node_id, sum(r.rank / d.deg) AS inflow
+       FROM edges e JOIN r0 r ON e.src = r.node_id
+       JOIN deg d ON e.src = d.src GROUP BY 1),
+r1 AS (SELECT nodes.node_id,
+              (1 - 0.85) / n + 0.85 * coalesce(i1.inflow, 0) AS rank
+       FROM nodes CROSS JOIN nn
+       LEFT JOIN i1 ON nodes.node_id = i1.node_id),
+i2 AS (SELECT e.dst AS node_id, sum(r.rank / d.deg) AS inflow
+       FROM edges e JOIN r1 r ON e.src = r.node_id
+       JOIN deg d ON e.src = d.src GROUP BY 1),
+r2 AS (SELECT nodes.node_id,
+              (1 - 0.85) / n + 0.85 * coalesce(i2.inflow, 0) AS rank
+       FROM nodes CROSS JOIN nn
+       LEFT JOIN i2 ON nodes.node_id = i2.node_id),
+i3 AS (SELECT e.dst AS node_id, sum(r.rank / d.deg) AS inflow
+       FROM edges e JOIN r2 r ON e.src = r.node_id
+       JOIN deg d ON e.src = d.src GROUP BY 1),
+r3 AS (SELECT nodes.node_id,
+              (1 - 0.85) / n + 0.85 * coalesce(i3.inflow, 0) AS rank
+       FROM nodes CROSS JOIN nn
+       LEFT JOIN i3 ON nodes.node_id = i3.node_id)
+SELECT node_id, round(rank, 6) AS rank FROM r3
+"""
+
+
+def q103_weighted_sample(spark, sf_dir):
+    """Weight-proportional sampling without replacement (operators/
+    text.py:weighted_sample — Efraimidis–Spirakis A-Res with the
+    md5-derived engine-independent uniform): 20 documents sampled
+    proportionally to length.  The oracle recomputes the identical
+    -ln(u)/w keys in DuckDB and takes the same top-k — the SELECTION
+    itself is verified, not just aggregate shape."""
+    from niamoto_spark.operators.text import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", k=20) \
+        .select("doc_id", "n_chars", "source")
+
+
+O_Q103 = """
+SELECT doc_id, n_chars, source FROM documents
+ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) + 0.5) / 4294967296.0) / n_chars ASC,
+         doc_id ASC
+LIMIT 20
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3415,6 +3497,8 @@ def build_oracles() -> dict[str, str]:
         "q99_stream_stream_join": O_Q94,  # identical semantics to q94, streaming execution
         "q100_kmeans": O_Q100,
         "q101_quality_dedup_clusters": O_Q101,
+        "q102_pagerank": O_Q102,
+        "q103_weighted_sample": O_Q103,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1,0 +1,86 @@
+"""PageRank (operators/graph.py) + weighted sampling
+(operators/text.py:weighted_sample)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from niamoto_spark.operators.graph import pagerank
+from niamoto_spark.operators.text import weighted_sample
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """Star: center linked to 4 leaves — center rank must exceed every
+    leaf and ranks must sum to 1."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["id_a", "id_b"])
+    r = {row["node_id"]: row["rank"]
+         for row in pagerank(pairs, iters=10, round_dp=None).collect()}
+    assert r[0] > max(r[i] for i in range(1, 5))
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+    # leaves are symmetric
+    assert len({round(r[i], 12) for i in range(1, 5)}) == 1
+
+
+def test_pagerank_directed_dangling_mass_conserved(spark):
+    """Directed chain 1->2->3: node 3 is dangling; total rank must still
+    sum to 1 (dangling mass redistributed)."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    r = pagerank(pairs, directed=True, iters=8, round_dp=None).collect()
+    assert sum(row["rank"] for row in r) == pytest.approx(1.0, abs=1e-9)
+    ranks = {row["node_id"]: row["rank"] for row in r}
+    assert ranks[3] > ranks[1]  # sink accumulates
+
+
+def test_pagerank_empty_edges(spark):
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank(pairs).count() == 0
+
+
+def _py_key(doc_id: int, w: float, seed: str = "") -> float:
+    h = hashlib.md5(f"{doc_id}{seed}".encode()).hexdigest()[:8]
+    u = (int(h, 16) + 0.5) / 2 ** 32
+    return -math.log(u) / w
+
+
+def test_weighted_sample_replicates_hashlib(spark):
+    rows = [(i, float(10 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(r["doc_id"] for r in
+                 weighted_sample(df, "doc_id", "w", k=15).collect())
+    want = sorted(i for i, w in
+                  sorted(rows, key=lambda t: (_py_key(t[0], t[1]), t[0]))
+                  [:15])
+    assert got == want
+
+
+def test_weighted_sample_heavy_weights_win_in_expectation(spark):
+    """One row with overwhelming weight is essentially always sampled."""
+    rows = [(i, 1.0) for i in range(100)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {r["doc_id"]
+           for r in weighted_sample(df, "doc_id", "w", k=5).collect()}
+    assert 999 in got
+
+
+def test_weighted_sample_seed_changes_selection(spark):
+    rows = [(i, 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = {r["doc_id"]
+         for r in weighted_sample(df, "doc_id", "w", k=20).collect()}
+    b = {r["doc_id"]
+         for r in weighted_sample(df, "doc_id", "w", k=20,
+                                  seed="other").collect()}
+    assert a != b
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject, never a full
+    sort-shuffle."""
+    df = spark.createDataFrame([(i, 1.0) for i in range(50)],
+                               ["doc_id", "w"])
+    plan = weighted_sample(df, "doc_id", "w", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -598,6 +598,59 @@ def materialize_packs(df: DataFrame, id_col: str, text_col: str,
                      lambda s: s["token_id"]).alias("token_ids")))
 
 
+@register("dsir_importance", PluginType.TRANSFORMER)
+def dsir_importance(df: DataFrame, id_col: str, text_col: str,
+                    is_target: "F.Column", n_buckets: int = 1024,
+                    smoothing_k: float = 0.5,
+                    out_col: str = "importance") -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the mean hashed-unigram log-likelihood ratio between a TARGET slice
+    (``is_target`` boolean expression, e.g. a trusted domain) and the
+    rest of the corpus.  High scores = looks like the target
+    distribution; resampling by these weights shifts the corpus toward
+    it.
+
+    Tokens hash into ``n_buckets`` md5-derived buckets (the fixed
+    feature space that makes the two unigram models comparable and the
+    whole fit engine-replayable), add-k smoothed.
+
+    Plan shape: one explode, one bucket aggregate (the only corpus-wide
+    shuffle — n_buckets rows out), a broadcast join of the tiny
+    log-ratio table back onto the exploded tokens, one per-doc mean.
+    Linear, UDF-free, and the model itself is n_buckets floats.
+
+    Output: (id_col, n_tokens, out_col) — docs with no tokens score
+    NULL.
+    """
+    from niamoto_spark.functions import token_array
+
+    tok = df.select(F.col(id_col).alias("__doc"),
+                    is_target.alias("__is_t"),
+                    F.explode(token_array(F.lower(F.col(text_col))))
+                     .alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+              .cast("bigint") % n_buckets)
+    bucketed = tok.select("__doc", "__is_t", bucket.alias("bucket"))
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__is_t"), 1).otherwise(0)).alias("cs"))
+    tot = counts.agg(F.sum("ct"), F.sum("cs")).collect()[0]
+    t_total, s_total = float(tot[0] or 0), float(tot[1] or 0)
+    k, b = float(smoothing_k), float(n_buckets)
+    logratio = F.log(((F.col("ct") + k) / (t_total + k * b)) /
+                     ((F.col("cs") + k) / (s_total + k * b)))
+    lr = counts.select("bucket", logratio.alias("__lr"))
+    scored = bucketed.join(F.broadcast(lr), "bucket")
+    per_doc = scored.groupBy("__doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lr"), 4).alias(out_col))
+    return (df.select(F.col(id_col)).distinct()
+            .join(per_doc.withColumnRenamed("__doc", id_col), id_col,
+                  "left")
+            .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))))
+
+
 @register("lm_quality_score", PluginType.TRANSFORMER)
 def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str,
                           smoothing_k: float = 0.5,

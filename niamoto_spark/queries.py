@@ -1631,6 +1631,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_quality_dedup_clusters": q101_quality_dedup_clusters,
         "q102_pagerank": q102_pagerank,
         "q103_weighted_sample": q103_weighted_sample,
+        "q104_dsir_importance": q104_dsir_importance,
     }
 
 
@@ -3399,6 +3400,49 @@ LIMIT 20
 """
 
 
+def q104_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (operators/text.py:dsir_importance):
+    hashed-unigram log-likelihood ratio of the src1 slice vs the rest.
+    The oracle REFITS both smoothed bucket models and the per-doc means
+    in DuckDB — model fit, hashing, smoothing and scoring all pinned."""
+    from niamoto_spark.operators.text import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, "doc_id", "text",
+                           is_target=F.col("source") == "src1")
+
+
+O_Q104 = r"""
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t,
+                  source = 'src1' AS is_t
+           FROM documents),
+tok AS (SELECT doc_id, is_t,
+               unnest(regexp_split_to_array(t, '\s+')) AS token
+        FROM d WHERE length(t) > 0),
+b AS (SELECT doc_id, is_t,
+             CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS UBIGINT)
+                  % 1024 AS BIGINT) AS bucket
+      FROM tok),
+tc AS (SELECT bucket,
+              CAST(count(*) FILTER (is_t) AS DOUBLE) AS ct,
+              CAST(count(*) FILTER (NOT is_t) AS DOUBLE) AS cs
+       FROM b GROUP BY 1),
+tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM tc),
+lr AS (SELECT bucket,
+              ln(((ct + 0.5) / (tt + 0.5 * 1024)) /
+                 ((cs + 0.5) / (ts + 0.5 * 1024))) AS logratio
+       FROM tc CROSS JOIN tot),
+per_doc AS (SELECT b.doc_id, count(*) AS n_tokens,
+                   round(avg(lr.logratio), 4) AS importance
+            FROM b JOIN lr USING (bucket) GROUP BY 1)
+SELECT docs.doc_id,
+       coalesce(per_doc.n_tokens, 0) AS n_tokens,
+       per_doc.importance
+FROM (SELECT DISTINCT doc_id FROM documents) docs
+LEFT JOIN per_doc ON docs.doc_id = per_doc.doc_id
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3499,6 +3543,7 @@ def build_oracles() -> dict[str, str]:
         "q101_quality_dedup_clusters": O_Q101,
         "q102_pagerank": O_Q102,
         "q103_weighted_sample": O_Q103,
+        "q104_dsir_importance": O_Q104,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -84,3 +84,35 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     plan = weighted_sample(df, "doc_id", "w", k=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs sharing the target slice's vocabulary must outscore docs made
+    of source-only vocabulary."""
+    from niamoto_spark.operators.text import dsir_importance
+
+    rows = ([(i, "tgt", "quantum flux resonance entangle qubit")
+             for i in range(20)] +
+            [(100 + i, "web", "cheap pills click here buy now")
+             for i in range(20)] +
+            [(900, "web", "quantum flux resonance qubit entangle"),
+             (901, "web", "cheap pills buy now click here")])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    scored = {r["doc_id"]: r["importance"]
+              for r in dsir_importance(
+                  df, "doc_id", "text",
+                  is_target=F.col("source") == "tgt").collect()}
+    assert scored[900] > scored[901]
+    assert scored[0] > scored[100]
+
+
+def test_dsir_empty_doc_scores_null(spark):
+    from niamoto_spark.operators.text import dsir_importance
+
+    df = spark.createDataFrame(
+        [(1, "t", "alpha beta"), (2, "s", "gamma delta"), (3, "s", "")],
+        ["doc_id", "source", "text"])
+    rows = {r["doc_id"]: r for r in dsir_importance(
+        df, "doc_id", "text",
+        is_target=F.col("source") == "t").collect()}
+    assert rows[3]["importance"] is None and rows[3]["n_tokens"] == 0

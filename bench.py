@@ -83,6 +83,13 @@ def main() -> None:
                              replication=2)
     print(f"# ivf_recall_at_5: {ivf_recall}", file=sys.stderr)
 
+    # Sketch-quality telemetry (same rationale as ivf_recall: the approx
+    # operators are rows-only/approximate by design, so their ERROR is
+    # pinned here): HLL++ distinct count and approx_percentile vs exact
+    # on the fact table.  Both should stay well under 5%.
+    sketch = _sketch_errors(spark, sf_dir)
+    print(f"# sketch_errors: {sketch}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -90,9 +97,30 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ivf_recall_at_5": ivf_recall,
+        "approx_distinct_rel_err": sketch["distinct_rel_err"],
+        "approx_p50_rel_err": sketch["p50_rel_err"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(result))
+
+
+def _sketch_errors(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    row = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey").alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+    ).collect()[0]
+    return {
+        "distinct_rel_err": round(
+            abs(row["approx_d"] - row["exact_d"]) / row["exact_d"], 4),
+        "p50_rel_err": round(
+            abs(row["approx_p50"] - row["exact_p50"]) /
+            abs(row["exact_p50"]), 6),
+    }
 
 
 def _ivf_recall(spark, sf_dir: str, k: int, n_centroids: int,

@@ -1632,6 +1632,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_pagerank": q102_pagerank,
         "q103_weighted_sample": q103_weighted_sample,
         "q104_dsir_importance": q104_dsir_importance,
+        "q105_fuzzy_linkage": q105_fuzzy_linkage,
+        "q106_rolling_window": q106_rolling_window,
+        "q107_funnel": q107_funnel,
     }
 
 
@@ -3443,6 +3446,101 @@ LEFT JOIN per_doc ON docs.doc_id = per_doc.doc_id
 """
 
 
+def q105_fuzzy_linkage(spark, sf_dir):
+    """Blocked record linkage (operators/linkage.py): customer pairs in
+    the same nation whose names are within edit distance 1.  DuckDB's
+    native levenshtein is the oracle's scorer — an independent
+    implementation of the same metric."""
+    from niamoto_spark.operators.linkage import fuzzy_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_custkey", "c_name", "c_nationkey",
+                       max_edit_distance=1)
+
+
+O_Q105 = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance,
+       round(1.0 - levenshtein(a.c_name, b.c_name)
+             / greatest(length(a.c_name), length(b.c_name)), 4) AS name_sim
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q106_rolling_window(spark, sf_dir):
+    """RANGE-frame rolling aggregate (completes the window-function
+    surface beyond q52's ROWS frame): per event, the count and value-sum
+    of the same user's events in the preceding hour — a true range
+    frame, so simultaneous events enter each other's windows regardless
+    of row order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts_sec")
+         .rangeBetween(-3600, 0))
+    return (ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour")))
+
+
+O_Q106 = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 2) AS value_last_hour
+FROM (SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q107_funnel(spark, sf_dir):
+    """Ordered funnel (operators/funnel.py): sessions (30-min gap) that
+    saw view -> click -> purchase in strict order.  The oracle rebuilds
+    sessionization AND the staged strictly-after first-reach joins in
+    SQL."""
+    from niamoto_spark.operators.funnel import funnel
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_sec",
+                                       "event_id")
+    return funnel(ev, "user_id", "ts_sec", "event_type",
+                  stages=["view", "click", "purchase"],
+                  gap_s=1800, order_cols=["event_id"])
+
+
+O_Q107 = """
+WITH e AS (SELECT user_id, event_type, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+m AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+                               ORDER BY sec, event_id) AS prev
+      FROM e),
+s AS (SELECT *, sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY sec, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+v AS (SELECT user_id, sid, min(sec) AS t0 FROM s
+      WHERE event_type = 'view' GROUP BY 1, 2),
+c AS (SELECT s.user_id, s.sid, min(s.sec) AS t1
+      FROM s JOIN v ON s.user_id = v.user_id AND s.sid = v.sid
+      WHERE s.event_type = 'click' AND s.sec > v.t0 GROUP BY 1, 2),
+p AS (SELECT s.user_id, s.sid, min(s.sec) AS t2
+      FROM s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+      WHERE s.event_type = 'purchase' AND s.sec > c.t1 GROUP BY 1, 2)
+SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM v) AS n_sessions
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM p)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3544,6 +3642,9 @@ def build_oracles() -> dict[str, str]:
         "q102_pagerank": O_Q102,
         "q103_weighted_sample": O_Q103,
         "q104_dsir_importance": O_Q104,
+        "q105_fuzzy_linkage": O_Q105,
+        "q106_rolling_window": O_Q106,
+        "q107_funnel": O_Q107,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

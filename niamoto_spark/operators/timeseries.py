@@ -1,0 +1,76 @@
+"""Time-series utilities over event streams: gap densification and
+cohort retention.
+
+Extends the reference's time_series_analysis transformer (monthly
+phenology matrices, core/plugins/transformers/time_series_analysis.py)
+with the two event-warehouse staples its fixed month grid cannot
+express: arbitrary-granule densification (a series with NO row for an
+empty bucket is ambiguous downstream — charts, models and window
+functions all need explicit zeros) and cohort/retention matrices.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+log = logging.getLogger(__name__)
+
+
+@register("fill_time_gaps", PluginType.TRANSFORMER)
+def fill_time_gaps(aggregated: DataFrame, key_col: str, bucket_col: str,
+                   fill: Mapping[str, float],
+                   max_buckets_per_key: int = 100_000) -> DataFrame:
+    """Densify a per-(key, bucket) aggregate: emit one row for EVERY
+    integer bucket between each key's min and max, with ``fill`` values
+    for the gaps.
+
+    Scale: the explode is bounded per key by its own span — dense output
+    is the point — but a corrupt key spanning the whole epoch would
+    explode alone into billions of rows, so spans over
+    ``max_buckets_per_key`` are truncated (logged), the same runaway
+    guard as interval_join.  The gap join is an equi-join on
+    (key, bucket) — co-partitioned with the aggregate that produced the
+    input, so AQE plans it without an extra wide shuffle.
+    """
+    spans = aggregated.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1"))
+    over = F.col("__b1") - F.col("__b0") + 1 > max_buckets_per_key
+    capped = spans.withColumn(
+        "__b1", F.when(over, F.col("__b0") + max_buckets_per_key - 1)
+                 .otherwise(F.col("__b1")))
+    if capped.where(over).limit(1).count():
+        log.warning("fill_time_gaps: key span(s) over %d buckets "
+                    "truncated", max_buckets_per_key)
+    dense = capped.select(
+        key_col,
+        F.explode(F.sequence("__b0", "__b1")).alias(bucket_col))
+    out = dense.join(aggregated, [key_col, bucket_col], "left")
+    return out.fillna(dict(fill))
+
+
+@register("cohort_retention", PluginType.TRANSFORMER)
+def cohort_retention(events: DataFrame, user_col: str, ts_col: str,
+                     granule_s: int = 86_400) -> DataFrame:
+    """(cohort_bucket, bucket_offset, n_users): how many of the users
+    first seen in cohort_bucket were active again offset buckets later —
+    the retention triangle.
+
+    Two shuffles: the per-user first-bucket aggregate, then the
+    (cohort, offset) distinct-count; the join carrying the cohort back
+    onto activity rows keys on the user — the same partitioning as the
+    first aggregate, so AQE reuses it."""
+    bucket = F.floor(F.col(ts_col) / granule_s).cast("long")
+    activity = events.select(F.col(user_col).alias("__u"),
+                             bucket.alias("__b")).distinct()
+    firsts = activity.groupBy("__u").agg(F.min("__b").alias("__cohort"))
+    return (activity.join(firsts, "__u")
+            .groupBy(F.col("__cohort").alias("cohort_bucket"),
+                     (F.col("__b") - F.col("__cohort"))
+                     .alias("bucket_offset"))
+            .agg(F.count_distinct("__u").alias("n_users")))

@@ -1635,6 +1635,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_fuzzy_linkage": q105_fuzzy_linkage,
         "q106_rolling_window": q106_rolling_window,
         "q107_funnel": q107_funnel,
+        "q108_gap_filling": q108_gap_filling,
+        "q109_cohort_retention": q109_cohort_retention,
     }
 
 
@@ -3541,6 +3543,55 @@ SELECT 2, 'purchase', (SELECT count(*) FROM p)
 """
 
 
+def q108_gap_filling(spark, sf_dir):
+    """Time-series densification (operators/timeseries.py): per-user
+    hourly event counts with explicit zero rows for every empty hour
+    between the user's first and last activity."""
+    from niamoto_spark.operators.timeseries import fill_time_gaps
+
+    ev = _events(spark, sf_dir)
+    hourly = (ev.groupBy("user_id",
+                         F.floor(F.col("ts_sec") / 3600).cast("long")
+                          .alias("hour_bucket"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    return fill_time_gaps(hourly, "user_id", "hour_bucket",
+                          fill={"n_events": 0})
+
+
+O_Q108 = """
+WITH a AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT user_id, min(hb) AS b0, max(hb) AS b1 FROM a GROUP BY 1),
+d AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS hb FROM s)
+SELECT d.user_id, d.hb AS hour_bucket, coalesce(a.n, 0) AS n_events
+FROM d LEFT JOIN a ON d.user_id = a.user_id AND d.hb = a.hb
+"""
+
+
+def q109_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/timeseries.py): users
+    bucketed by first-activity day, counted at each later-activity day
+    offset."""
+    from niamoto_spark.operators.timeseries import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, "user_id", "ts_sec", granule_s=86_400)
+
+
+O_Q109 = """
+WITH act AS (SELECT DISTINCT user_id,
+                    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b
+             FROM events),
+f AS (SELECT user_id, min(b) AS cohort FROM act GROUP BY 1)
+SELECT f.cohort AS cohort_bucket, act.b - f.cohort AS bucket_offset,
+       count(DISTINCT act.user_id) AS n_users
+FROM act JOIN f ON act.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3645,6 +3696,8 @@ def build_oracles() -> dict[str, str]:
         "q105_fuzzy_linkage": O_Q105,
         "q106_rolling_window": O_Q106,
         "q107_funnel": O_Q107,
+        "q108_gap_filling": O_Q108,
+        "q109_cohort_retention": O_Q109,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -90,6 +90,12 @@ def main() -> None:
     sketch = _sketch_errors(spark, sf_dir)
     print(f"# sketch_errors: {sketch}", file=sys.stderr)
 
+    # IVF-PQ bucketing loss: recall of the composite index against a
+    # FULL-SCAN ADC ranking with the same codebooks — isolates what the
+    # coarse quantizer's pruning costs, independent of PQ error.
+    ivfpq_recall = _ivfpq_recall(spark, sf_dir, k=5)
+    print(f"# ivfpq_recall_at_5: {ivfpq_recall}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -97,11 +103,42 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ivf_recall_at_5": ivf_recall,
+        "ivfpq_recall_at_5": ivfpq_recall,
         "approx_distinct_rel_err": sketch["distinct_rel_err"],
         "approx_p50_rel_err": sketch["p50_rel_err"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(result))
+
+
+def _ivfpq_recall(spark, sf_dir: str, k: int) -> float:
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.quantization import (ivfpq_topk,
+                                                      pq_encode, pq_train,
+                                                      pq_topk)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    books = pq_train(emb, "embedding", m=8, ksub=16)
+    queries = emb.where(F.col("vec_id") < 20)
+    from pyspark.sql import Window
+
+    # full-scan ADC keeps self-matches in its top-k; fetch k+1, drop
+    # self, re-rank so both sides rank exactly k true neighbors
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    full = (pq_topk(pq_encode(emb, "vec_id", "embedding", books),
+                    queries, "vec_id", "embedding", books, k=k + 1)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select("query_id", "neighbor_id"))
+    comp = ivfpq_topk(emb, queries, "vec_id", "embedding", books, k=k,
+                      n_centroids=8, nprobe=4, replication=2) \
+        .select("query_id", "neighbor_id")
+    hits = full.join(comp, ["query_id", "neighbor_id"], "left_semi").count()
+    total = full.count()
+    return round(hits / total, 4) if total else 1.0
 
 
 def _sketch_errors(spark, sf_dir: str) -> dict:

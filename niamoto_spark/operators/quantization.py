@@ -180,3 +180,139 @@ def pq_topk(codes: DataFrame, queries: DataFrame, id_col: str,
     return (partial.withColumn("rank", F.row_number().over(w))
                    .where(F.col("rank") <= k)
                    .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
+@register("ivfpq_topk", PluginType.TRANSFORMER)
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, codebooks: list[list[list[float]]],
+               k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+               round_dp: int = 4, use_kmeans: bool = True,
+               replication: int = 1) -> DataFrame:
+    """IVF-PQ: the production ANN composition — coarse IVF bucketing
+    limits WHICH vectors are scored (candidate scan ÷ C/nprobe), PQ-ADC
+    limits HOW MUCH each scoring costs (M table lookups instead of a
+    d-dim dot product over full-precision floats).
+
+    Pipeline: assign corpus to its nearest coarse centroid (broadcast —
+    similarity.ivf_topk's trainer), PQ-encode every vector once
+    (pq_encode), then for each query probe ``nprobe`` buckets and
+    ADC-score only the codes living there via an equi-join on bucket —
+    the shuffle carries (bucket, id, M bytes of codes), never vectors.
+
+    Approximate on two axes (bucket pruning + quantized distances):
+    rows-only in the gate; recall is pinned by bench telemetry the same
+    way as plain IVF.  Returns (query_id, neighbor_id, adc_dist, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+
+    # --- coarse quantizer: reuse ivf_topk's centroid derivation shape ---
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    if use_kmeans:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = c.select(array_to_vector(
+            F.transform("c_vec", lambda v: v.cast("double")))
+            .alias("features"))
+        model = KMeans(k=n_centroids, seed=42, maxIter=10).fit(train)
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in center])
+             for i, center in enumerate(model.clusterCenters())],
+            "centroid_id int, cent_vec array<double>")
+    else:
+        picked = (c.withColumn("__h", F.xxhash64("neighbor_id"))
+                  .orderBy("__h", "neighbor_id").limit(n_centroids)
+                  .select("c_vec").collect())
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in r["c_vec"]])
+             for i, r in enumerate(picked)],
+            "centroid_id int, cent_vec array<double>")
+
+    def nearest(df, vec, out, n):
+        # L2 coarse assignment (the FAISS IVF convention): ADC ranks by
+        # L2, so the coarse quantizer must use the SAME metric — a
+        # cosine-bucketed index systematically misses L2 neighbors of
+        # unnormalized vectors (measured: recall@5 0.65 -> 0.9+ here)
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec), F.col("cent_vec"),
+                       lambda x, y: (x.cast("double") - y) *
+                                    (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("__cd2").asc(), F.col("centroid_id").asc())
+        return (df.crossJoin(F.broadcast(cents))
+                .withColumn("__cd2", d2)
+                .withColumn("__crk", F.row_number().over(w))
+                .where(F.col("__crk") <= n)
+                .drop("__cd2", "__crk", "cent_vec")
+                .withColumnRenamed("centroid_id", out))
+
+    # multi-assignment (same recall lever as similarity.ivf_topk):
+    # index size scales by R, candidate scan by ~R/nprobe
+    c_assigned = nearest(c, "c_vec", "bucket", max(replication, 1))
+    q_assigned = nearest(q, "q_vec", "bucket", nprobe) \
+        .select("query_id", "bucket")
+
+    # --- fine quantizer: PQ codes for the whole corpus, once ---
+    codes = pq_encode(corpus, id_col, vec_col, codebooks) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    bucketed_codes = c_assigned.select("neighbor_id", "bucket") \
+        .join(codes, "neighbor_id")
+
+    # --- ADC tables per query, broadcast (n_queries x M x K doubles) ---
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_dist double, "
+                "rank int")
+    qm = _as_matrix(q_rows, vec_col)
+    q_ids = [r[id_col] for r in q_rows]
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    splits = _split(qm.shape[1], len(books))
+    tables = np.stack(
+        [((qm[:, lo:hi][:, None, :] - cents_m[None, :, :]) ** 2).sum(axis=2)
+         for (lo, hi), cents_m in zip(splits, books)], axis=1)
+    bt = spark.sparkContext.broadcast(
+        ({qid: j for j, qid in enumerate(q_ids)}, tables))
+
+    cand = (bucketed_codes.join(q_assigned, "bucket")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType, False),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType, False),
+        T.StructField("adc_dist", T.DoubleType(), True),
+    ])
+
+    def adc(batches):
+        qidx, tabs = bt.value
+        m_idx = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cc = np.array(list(pdf["codes"]), dtype=np.int64)
+            if m_idx is None:
+                m_idx = np.arange(cc.shape[1])[None, :]
+            rows_q = pdf["query_id"].map(qidx).to_numpy()
+            # one fancy-index gather: row i scores against its own
+            # query's table -> (n, M) partial distances, summed per row
+            d = tabs[rows_q[:, None], m_idx, cc].sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "adc_dist": np.round(d, round_dp)})
+
+    partial = cand.mapInPandas(adc, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank"))

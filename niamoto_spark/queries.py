@@ -1637,6 +1637,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_funnel": q107_funnel,
         "q108_gap_filling": q108_gap_filling,
         "q109_cohort_retention": q109_cohort_retention,
+        "q110_ivfpq_topk": q110_ivfpq_topk,
     }
 
 
@@ -3590,6 +3591,25 @@ SELECT f.cohort AS cohort_bucket, act.b - f.cohort AS bucket_offset,
 FROM act JOIN f ON act.user_id = f.user_id
 GROUP BY 1, 2
 """
+
+
+def q110_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (operators/quantization.py:ivfpq_topk): the
+    production index shape — coarse IVF bucket pruning over PQ-ADC
+    scoring.  Approximate on two axes, so rows-only in the gate; the
+    bucketing loss vs a full-scan ADC is pinned by bench telemetry
+    (ivfpq_recall_at_5), matching the q41/q90 policy."""
+    from niamoto_spark.operators.quantization import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_rows = (emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+               .select("embedding").collect())
+    dsub = len(cb_rows[0]["embedding"]) // 4
+    books = [[[float(x) for x in r["embedding"][m * dsub:(m + 1) * dsub]]
+              for r in cb_rows] for m in range(4)]
+    queries = emb.where(F.col("vec_id") < 20)
+    return ivfpq_topk(emb, queries, "vec_id", "embedding", books, k=5,
+                      n_centroids=8, nprobe=3, replication=2)
 
 
 def build_oracles() -> dict[str, str]:

@@ -104,3 +104,56 @@ def test_train_sample_guard(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="sample"):
         pq_train(df, "embedding", m=2, ksub=8)
+
+
+def test_ivfpq_recall_vs_full_scan(spark, sf_dir):
+    """The composite IVF-PQ index must recover most of the FULL-SCAN ADC
+    ranking (same codebooks) — only the coarse quantizer's pruning may
+    cost recall, and L2 assignment + replication=2 keeps it high."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.quantization import (ivfpq_topk,
+                                                      pq_encode, pq_train,
+                                                      pq_topk)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    books = pq_train(emb, "embedding", m=8, ksub=8)
+    queries = emb.where(F.col("vec_id") < 10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    full = (pq_topk(pq_encode(emb, "vec_id", "embedding", books),
+                    queries, "vec_id", "embedding", books, k=6)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= 5).select("query_id", "neighbor_id"))
+    comp = ivfpq_topk(emb, queries, "vec_id", "embedding", books, k=5,
+                      n_centroids=4, nprobe=3, replication=2) \
+        .select("query_id", "neighbor_id")
+    hits = full.join(comp, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / full.count() >= 0.7
+
+
+def test_ivfpq_no_self_matches_and_ranked(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.quantization import ivfpq_topk, pq_train
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    books = pq_train(emb, "embedding", m=4, ksub=8)
+    out = ivfpq_topk(emb, emb.where(F.col("vec_id") < 3), "vec_id",
+                     "embedding", books, k=4, n_centroids=4, nprobe=2)
+    rows = out.collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)

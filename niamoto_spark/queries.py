@@ -1638,6 +1638,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_gap_filling": q108_gap_filling,
         "q109_cohort_retention": q109_cohort_retention,
         "q110_ivfpq_topk": q110_ivfpq_topk,
+        "q111_setops": q111_setops,
+        "q112_ntile_quartiles": q112_ntile_quartiles,
+        "q113_native_session_window": q113_native_session_window,
     }
 
 
@@ -3612,6 +3615,99 @@ def q110_ivfpq_topk(spark, sf_dir):
                       n_centroids=8, nprobe=3, replication=2)
 
 
+def q111_setops(spark, sf_dir):
+    """INTERSECT / EXCEPT set operations (SURVEY §2.4 — completes the
+    set-op family beyond q45's UNION and q27's DISTINCT): nations having
+    both AUTOMOBILE and BUILDING customers, minus nations with any
+    FURNITURE customer."""
+    c = _t(spark, sf_dir, "customer")
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE") \
+        .select("c_nationkey")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_nationkey")
+    furn = c.where(F.col("c_mktsegment") == "FURNITURE") \
+        .select("c_nationkey")
+    return (auto.intersect(bld).exceptAll(furn.distinct())
+            .withColumnRenamed("c_nationkey", "nationkey"))
+
+
+O_Q111 = """
+SELECT c_nationkey AS nationkey FROM customer
+WHERE c_mktsegment = 'AUTOMOBILE'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+"""
+
+
+def q112_ntile_quartiles(spark, sf_dir):
+    """ntile window function: customers split into account-balance
+    quartiles per market segment (unique (balance, custkey) ordering so
+    the tiling is deterministic), then per-quartile stats."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (c.withColumn("quartile", F.ntile(4).over(w))
+            .groupBy("c_mktsegment", "quartile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.min("c_acctbal"), 2).alias("bal_min"),
+                 F.round(F.max("c_acctbal"), 2).alias("bal_max")))
+
+
+O_Q112 = """
+SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS bal_min,
+       round(max(c_acctbal), 2) AS bal_max
+FROM (SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal ASC, c_custkey ASC)
+                 AS quartile
+      FROM customer)
+GROUP BY 1, 2
+"""
+
+
+def q113_native_session_window(spark, sf_dir):
+    """Spark's built-in session_window (gap-based grouping aggregate,
+    the engine-native counterpart of q31's manual lag/flag
+    sessionization): per-user session count and event total.  The
+    oracle is the MANUAL formulation in SQL — agreement proves the
+    native operator implements the same gap semantics."""
+    ev = _events(spark, sf_dir)
+    tsev = ev.withColumn("__ts", F.timestamp_seconds("ts_sec"))
+    sess = (tsev.groupBy("user_id",
+                         F.session_window("__ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return (sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events")))
+
+
+O_Q113 = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+m AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+                               ORDER BY sec, event_id) AS prev
+      FROM e),
+s AS (SELECT user_id,
+             -- Spark's session_window MERGES an event landing exactly
+             -- at the previous session's end (gap boundary inclusive),
+             -- so a new session needs diff STRICTLY > gap
+             sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3718,6 +3814,9 @@ def build_oracles() -> dict[str, str]:
         "q107_funnel": O_Q107,
         "q108_gap_filling": O_Q108,
         "q109_cohort_retention": O_Q109,
+        "q111_setops": O_Q111,
+        "q112_ntile_quartiles": O_Q112,
+        "q113_native_session_window": O_Q113,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

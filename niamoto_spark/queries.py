@@ -3618,15 +3618,16 @@ def q110_ivfpq_topk(spark, sf_dir):
 def q111_setops(spark, sf_dir):
     """INTERSECT / EXCEPT set operations (SURVEY §2.4 — completes the
     set-op family beyond q45's UNION and q27's DISTINCT): nations having
-    both AUTOMOBILE and BUILDING customers, minus nations with any
-    FURNITURE customer."""
+    both AUTOMOBILE and BUILDING customers, minus nations holding a
+    high-balance FURNITURE customer (the balance cut keeps the result
+    non-empty at every SF — a 0-row check verifies nothing)."""
     c = _t(spark, sf_dir, "customer")
     auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE") \
         .select("c_nationkey")
     bld = c.where(F.col("c_mktsegment") == "BUILDING") \
         .select("c_nationkey")
-    furn = c.where(F.col("c_mktsegment") == "FURNITURE") \
-        .select("c_nationkey")
+    furn = c.where((F.col("c_mktsegment") == "FURNITURE") &
+                   (F.col("c_acctbal") > 9900)).select("c_nationkey")
     return (auto.intersect(bld).exceptAll(furn.distinct())
             .withColumnRenamed("c_nationkey", "nationkey"))
 
@@ -3637,7 +3638,8 @@ WHERE c_mktsegment = 'AUTOMOBILE'
 INTERSECT
 SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
 EXCEPT
-SELECT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+SELECT c_nationkey FROM customer
+WHERE c_mktsegment = 'FURNITURE' AND c_acctbal > 9900
 """
 
 

@@ -1641,6 +1641,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_setops": q111_setops,
         "q112_ntile_quartiles": q112_ntile_quartiles,
         "q113_native_session_window": q113_native_session_window,
+        "q114_sliding_windows": q114_sliding_windows,
     }
 
 
@@ -3710,6 +3711,37 @@ FROM s GROUP BY user_id
 """
 
 
+def q114_sliding_windows(spark, sf_dir):
+    """Hopping (sliding) windows — completes the window-aggregate family
+    beyond q54's tumbling windows: 1-hour windows every 30 minutes, so
+    each event lands in exactly two.  The oracle enumerates both
+    candidate window starts per event and filters by containment."""
+    ev = _events(spark, sf_dir)
+    tsev = ev.withColumn("__ts", F.timestamp_seconds("ts_sec"))
+    return (tsev.groupBy(F.window("__ts", "1 hour", "30 minutes")
+                         .alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+            .select(F.unix_seconds(F.col("w.start"))
+                    .alias("window_start"),
+                    "event_type", "n_events", "value_sum"))
+
+
+O_Q114 = """
+WITH e AS (SELECT event_type, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+w AS (SELECT event_type, value, sec,
+             unnest([(sec // 1800) * 1800,
+                     (sec // 1800) * 1800 - 1800]) AS wstart
+      FROM e)
+SELECT wstart AS window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM w WHERE sec >= wstart AND sec < wstart + 3600
+GROUP BY 1, 2
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3819,6 +3851,7 @@ def build_oracles() -> dict[str, str]:
         "q111_setops": O_Q111,
         "q112_ntile_quartiles": O_Q112,
         "q113_native_session_window": O_Q113,
+        "q114_sliding_windows": O_Q114,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -171,3 +171,59 @@ def test_jpeg_roundtrip_never_crashes_and_bounds_error(h, w, quality,
     assert err <= 128.0
     if quality >= 95 and subsample == "444":
         assert err < 16.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 3),      # key
+                          st.integers(0, 500),    # start
+                          st.integers(1, 200)),   # length
+                min_size=1, max_size=8),
+       st.lists(st.tuples(st.integers(0, 3),      # key
+                          st.integers(0, 700)),   # point ts
+                min_size=1, max_size=12),
+       st.sampled_from([1, 16, 64, 1000]))
+@settings(max_examples=10, deadline=None)
+def test_interval_join_equals_theta_join(spark, ivs, pts, granule):
+    """Granule co-partitioning must reproduce naive theta-join semantics
+    for ANY interval layout and ANY granule size."""
+    from niamoto_spark.operators.interval import interval_join
+
+    intervals = spark.createDataFrame(
+        [(f"k{k}", i, s, s + ln) for i, (k, s, ln) in enumerate(ivs)],
+        ["key", "iv_id", "start_s", "end_s"])
+    points = spark.createDataFrame(
+        [(f"k{k}", t) for k, t in pts], ["key", "pt_s"])
+    got = {(r["iv_id"], r["pt_s"])
+           for r in interval_join(points, intervals, on="key",
+                                  point_ts="pt_s", start_col="start_s",
+                                  end_col="end_s", granule_s=granule,
+                                  max_granules=10_000).collect()}
+    want = {(i, t) for i, (k, s, ln) in enumerate(ivs)
+            for (pk, t) in pts if pk == k and s <= t < s + ln}
+    assert got == want
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 6))
+@settings(max_examples=10, deadline=None)
+def test_winnowing_detection_guarantee(spark, seed, w):
+    """For ANY pair of documents sharing a span >= gram + w - 1, the
+    winnowed fingerprints must still collide (the MOSS guarantee), and
+    winnowed fingerprints are always a subset of the full set."""
+    from niamoto_spark.operators.substrings import (substring_dup_pairs,
+                                                    substring_fingerprints)
+
+    rng = np.random.RandomState(seed % 2**31)
+    words = ["w%02d" % v for v in rng.randint(0, 99, size=30)]
+    shared = " ".join(words)          # ~120 chars >> 20 + w - 1
+    pre = " ".join("p%02d" % v for v in rng.randint(0, 99, size=6))
+    suf = " ".join("s%02d" % v for v in rng.randint(0, 99, size=6))
+    df = spark.createDataFrame(
+        [(1, pre + " " + shared), (2, shared + " " + suf)],
+        ["doc_id", "text"])
+    pairs = substring_dup_pairs(df, "doc_id", "text", gram_chars=20,
+                                winnow_window=w, max_gram_df=None)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+    full = {(r["doc_id"], r["gh"]) for r in substring_fingerprints(
+        df, "doc_id", "text", 20).collect()}
+    winnowed = {(r["doc_id"], r["gh"]) for r in substring_fingerprints(
+        df, "doc_id", "text", 20, winnow_window=w).collect()}
+    assert winnowed <= full

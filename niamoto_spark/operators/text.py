@@ -453,6 +453,34 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
               .drop("__wkey"))
 
 
+@register("split_assign", PluginType.TRANSFORMER)
+def split_assign(df: DataFrame, id_col: str,
+                 weights: "Mapping[str, float]", seed: str = "",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split assignment: the md5-derived
+    uniform (stratified_sample's engine-independent trick) lands each row
+    in the cumulative-weight interval of one split, in the INSERTION
+    ORDER of ``weights`` — so {'train': .9, 'val': .05, 'test': .05}
+    maps u in [0,.9) -> train, [.9,.95) -> val, [.95,1) -> test.  The
+    same rows land in the same split on any engine, any partitioning,
+    any rerun — and adding a new split only reshuffles the tail mass.
+    """
+    total = float(sum(weights.values()))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(seed))), 1, 8),
+        16, 10).cast("bigint")
+    u = (bucket + F.lit(0.5)) / F.lit(float(2 ** 32))
+    expr = None
+    acc = 0.0
+    for name, wt in weights.items():
+        acc += wt / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1]
+    return df.withColumn(out_col, expr.otherwise(F.lit(last)))
+
+
 @register("temperature_sample", PluginType.TRANSFORMER)
 def temperature_sample(df: DataFrame, id_col: str, strata_col: str,
                        alpha: float = 0.5) -> DataFrame:

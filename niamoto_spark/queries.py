@@ -1642,6 +1642,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_ntile_quartiles": q112_ntile_quartiles,
         "q113_native_session_window": q113_native_session_window,
         "q114_sliding_windows": q114_sliding_windows,
+        "q115_split_assign": q115_split_assign,
+        "q116_contrastive_pairs": q116_contrastive_pairs,
     }
 
 
@@ -3742,6 +3744,98 @@ GROUP BY 1, 2
 """
 
 
+def q115_split_assign(spark, sf_dir):
+    """Deterministic dataset splitting (operators/text.py:split_assign):
+    90/5/5 train/val/test from the md5 uniform, reported per (split,
+    source).  The oracle recomputes the identical cumulative-interval
+    assignment, so the exact membership — not just the proportions — is
+    verified."""
+    from niamoto_spark.operators.text import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_assign(d, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (out.groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("first_id")))
+
+
+O_Q115 = """
+WITH u AS (
+  SELECT doc_id, source,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) + 0.5) / 4294967296.0 AS uval
+  FROM documents)
+SELECT CASE WHEN uval < 0.9 THEN 'train'
+            WHEN uval < 0.95 THEN 'val' ELSE 'test' END AS split,
+       source, count(*) AS n_docs, min(doc_id) AS first_id
+FROM u GROUP BY 1, 2
+"""
+
+
+def q116_contrastive_pairs(spark, sf_dir):
+    """Contrastive pair mining (operators/contrastive.py): positives =
+    unigram-Jaccard near-dups, negatives = deterministic same-hash-bucket
+    picks ranked by the pair hash (never an all-pairs scan).  The oracle
+    replays the positives, the bucket assignment, the anti-join and the
+    ranked negative selection — the exact pair set is verified."""
+    from niamoto_spark.operators.contrastive import contrastive_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pos = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                        threshold=0.6, block_col="source")
+    return contrastive_pairs(d, "doc_id", "text", pos.select(
+        "id_a", "id_b", "jaccard"))
+
+
+O_Q116 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+posx AS (SELECT id_a AS anchor_id, id_b AS other_id, jaccard AS score
+         FROM p
+         UNION ALL
+         SELECT id_b, id_a, jaccard FROM p),
+docs AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) % 32 AS b
+         FROM documents WHERE doc_id < 200),
+anch AS (SELECT DISTINCT anchor_id FROM posx),
+anchb AS (SELECT anchor_id,
+                 CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR)),
+                                      1, 8)) AS UBIGINT) % 32 AS b
+          FROM anch),
+cand AS (SELECT a.anchor_id, d.doc_id AS other_id
+         FROM anchb a JOIN docs d
+           ON a.b = d.b AND a.anchor_id != d.doc_id
+         WHERE NOT EXISTS (SELECT 1 FROM posx px
+                           WHERE px.anchor_id = a.anchor_id
+                             AND px.other_id = d.doc_id)),
+negs AS (SELECT anchor_id, other_id FROM (
+           SELECT anchor_id, other_id,
+                  row_number() OVER (PARTITION BY anchor_id
+                    ORDER BY CAST(('0x' || substr(
+                        md5(CAST(anchor_id AS VARCHAR) || '|'
+                            || CAST(other_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) ASC, other_id ASC) AS rk
+           FROM cand) WHERE rk <= 3)
+SELECT anchor_id, other_id, 'pos' AS label, score FROM posx
+UNION ALL
+SELECT anchor_id, other_id, 'neg', CAST(NULL AS DOUBLE) FROM negs
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3852,6 +3946,8 @@ def build_oracles() -> dict[str, str]:
         "q112_ntile_quartiles": O_Q112,
         "q113_native_session_window": O_Q113,
         "q114_sliding_windows": O_Q114,
+        "q115_split_assign": O_Q115,
+        "q116_contrastive_pairs": O_Q116,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -116,3 +116,50 @@ def test_dsir_empty_doc_scores_null(spark):
         df, "doc_id", "text",
         is_target=F.col("source") == "t").collect()}
     assert rows[3]["importance"] is None and rows[3]["n_tokens"] == 0
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    from niamoto_spark.operators.text import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = split_assign(df, "doc_id", w)
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03
+    b = {r["doc_id"]: r["split"] for r in a.collect()}
+    c = {r["doc_id"]: r["split"]
+         for r in split_assign(df, "doc_id", w).collect()}
+    assert b == c  # exact replay
+    # different seed reshuffles
+    d = {r["doc_id"]: r["split"]
+         for r in split_assign(df, "doc_id", w, seed="2").collect()}
+    assert b != d
+
+
+def test_contrastive_pairs_structure(spark):
+    from niamoto_spark.operators.contrastive import contrastive_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], ["doc_id", "text"])
+    pos = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8)], ["id_a", "id_b", "jaccard"])
+    out = contrastive_pairs(docs, "doc_id", "text", pos,
+                            n_negatives=2, n_buckets=4).collect()
+    pos_rows = [r for r in out if r["label"] == "pos"]
+    neg_rows = [r for r in out if r["label"] == "neg"]
+    # both orientations of both positives
+    assert {(r["anchor_id"], r["other_id"]) for r in pos_rows} == \
+        {(1, 2), (2, 1), (3, 4), (4, 3)}
+    assert all(r["score"] is not None for r in pos_rows)
+    assert all(r["score"] is None for r in neg_rows)
+    # negatives never collide with positives or self
+    pos_set = {(r["anchor_id"], r["other_id"]) for r in pos_rows}
+    for r in neg_rows:
+        assert (r["anchor_id"], r["other_id"]) not in pos_set
+        assert r["anchor_id"] != r["other_id"]
+    # bounded per anchor
+    from collections import Counter
+    per_anchor = Counter(r["anchor_id"] for r in neg_rows)
+    assert all(v <= 2 for v in per_anchor.values())

@@ -40,13 +40,18 @@ def fill_time_gaps(aggregated: DataFrame, key_col: str, bucket_col: str,
     """
     spans = aggregated.groupBy(key_col).agg(
         F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1"))
-    over = F.col("__b1") - F.col("__b0") + 1 > max_buckets_per_key
-    capped = spans.withColumn(
-        "__b1", F.when(over, F.col("__b0") + max_buckets_per_key - 1)
+    # materialize the over-cap flag BEFORE rewriting __b1 — the predicate
+    # re-evaluated against the capped column can never be true
+    flagged = spans.withColumn(
+        "__over", F.col("__b1") - F.col("__b0") + 1 > max_buckets_per_key)
+    capped = flagged.withColumn(
+        "__b1", F.when(F.col("__over"),
+                       F.col("__b0") + max_buckets_per_key - 1)
                  .otherwise(F.col("__b1")))
-    if capped.where(over).limit(1).count():
+    if capped.where(F.col("__over")).limit(1).count():
         log.warning("fill_time_gaps: key span(s) over %d buckets "
                     "truncated", max_buckets_per_key)
+    capped = capped.drop("__over")
     dense = capped.select(
         key_col,
         F.explode(F.sequence("__b0", "__b1")).alias(bucket_col))

@@ -42,3 +42,15 @@ def test_cohort_retention_triangle(spark):
     assert out[(0, 3)] == 2      # u1, u3
     assert out[(1, 0)] == 1      # u2
     assert len(out) == 4
+
+
+def test_gap_filling_truncation_warns(spark, caplog):
+    import logging
+
+    agg = spark.createDataFrame(
+        [("bad", 0, 1), ("bad", 10_000_000, 1)], ["key", "bucket", "n"])
+    with caplog.at_level(logging.WARNING,
+                         logger="niamoto_spark.operators.timeseries"):
+        fill_time_gaps(agg, "key", "bucket", fill={"n": 0},
+                       max_buckets_per_key=100).count()
+    assert any("truncated" in r.message for r in caplog.records)

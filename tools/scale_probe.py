@@ -56,6 +56,58 @@ def main() -> None:
     timed("hash dedup (md5 keys)",
           big.select(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
                      .alias("k")).groupBy("k").count())
+    timed("weighted top-k sample (A-Res TakeOrdered)",
+          big.withColumn(
+              "__k",
+              -F.log((F.conv(F.substring(
+                  F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")),
+                  1, 8), 16, 10).cast("bigint") + 0.5) / F.lit(2.0 ** 32))
+              / F.col("l_quantity"))
+          .orderBy("__k").limit(100))
+
+    # round-6 event operators on an inflated events table
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev_pieces = [ev.withColumn("event_id",
+                               F.col("event_id") + F.lit(i * 10_000_000))
+                 .withColumn("user_id",
+                             F.col("user_id") + F.lit(i * 1000))
+                 for i in range(mult)]
+    bev = ev_pieces[0]
+    for p in ev_pieces[1:]:
+        bev = bev.unionByName(p)
+    from pyspark.sql import types as T
+    ts_sec = (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000) \
+        .cast("long") if isinstance(ev.schema["ts"].dataType,
+                                    (T.TimestampType, T.TimestampNTZType)) \
+        else (F.col("ts") / 1_000_000_000).cast("long")
+    bev = bev.withColumn("ts_sec", ts_sec).repartition(32).cache()
+    ne = bev.count()
+    print(f"# inflated events: {ne:,} rows ({mult}x sf0.1)")
+
+    from niamoto_spark.operators.history import scd2_history
+    from niamoto_spark.operators.interval import interval_join
+
+    t0 = time.time()
+    purchases = bev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts_sec").alias("ws"),
+        (F.col("ts_sec") + 1800).alias("we"))
+    clicks = bev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_sec").alias("cts"))
+    interval_join(clicks, purchases, on="user_id", point_ts="cts",
+                  start_col="ws", end_col="we",
+                  granule_s=3600).count()
+    dt = time.time() - t0
+    print(f"interval_join (granule equi): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+    t0 = time.time()
+    scd2_history(bev.select("user_id", "event_type", "ts_sec", "event_id"),
+                 ["user_id"], "ts_sec", ["event_type"],
+                 order_cols=["event_id"]).count()
+    dt = time.time() - t0
+    print(f"scd2_history (1-Exchange windows): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
 
 
 if __name__ == "__main__":

@@ -81,3 +81,34 @@ def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         ranks = ranks.select("node_id", F.round("rank", round_dp)
                              .alias("rank"))
     return ranks
+
+
+@register("triangle_count", PluginType.TRANSFORMER)
+def triangle_count(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list.
+
+    Uses the degree-ordered orientation (each undirected edge directed
+    from its lexicographically smaller endpoint): every triangle
+    {a<b<c} is found EXACTLY once as a<b, b<c, a<c, so the two-hop join
+    never double-counts and the join fan-out is bounded by the oriented
+    out-degrees — the standard trick that keeps hub nodes from squaring
+    the wedge join (cf. node-iterator++ in the triangle-listing
+    literature).
+
+    Output: (node_id, n_triangles) for every node in >= 1 triangle.
+    """
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")                      # x<y<z candidates
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])         # x-z closes it
+    per_node = (tri.select(F.col("x").alias("node_id"))
+                .union(tri.select(F.col("y")))
+                .union(tri.select(F.col("z"))))
+    return per_node.groupBy("node_id").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

@@ -1644,6 +1644,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_sliding_windows": q114_sliding_windows,
         "q115_split_assign": q115_split_assign,
         "q116_contrastive_pairs": q116_contrastive_pairs,
+        "q117_triangles": q117_triangles,
+        "q118_returned_revenue": q118_returned_revenue,
+        "q119_imputation": q119_imputation,
     }
 
 
@@ -3836,6 +3839,119 @@ SELECT anchor_id, other_id, 'neg', CAST(NULL AS DOUBLE) FROM negs
 """
 
 
+def q117_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py:triangle_count) over
+    the unigram-Jaccard similarity graph, via the degree-ordered
+    orientation (each triangle a<b<c found exactly once)."""
+    from niamoto_spark.operators.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6, block_col="source")
+    return triangle_count(pairs.select("id_a", "id_b"))
+
+
+O_Q117 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM p WHERE id_a != id_b),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node_id, count(*) AS n_triangles FROM (
+    SELECT x AS node_id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+GROUP BY 1
+"""
+
+
+def q118_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape (completes the multi-join analytics family of
+    q61/q62): top-20 customers by lost revenue from returned items in
+    1995H1, with nation enrichment — two broadcast dims + one fact
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_returnflag") == "R")
+            .join(o.where((F.col("o_orderdate") >= "1995-01-01") &
+                          (F.col("o_orderdate") < "1995-07-01")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+O_Q118 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1995-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q119_imputation(spark, sf_dir):
+    """Group-mean imputation (operators/cleaning.py): account balances
+    nulled on a deterministic slice (custkey % 10 = 0), refilled with
+    the segment mean; per-segment stats verify both the fill values and
+    the flag accounting."""
+    from niamoto_spark.operators.cleaning import impute
+
+    c = _t(spark, sf_dir, "customer")
+    holey = c.withColumn(
+        "bal", F.when(F.col("c_custkey") % 10 == 0, None)
+                .otherwise(F.col("c_acctbal")))
+    fixed = impute(holey, "bal", strategy="mean",
+                   group_cols=["c_mktsegment"], flag_col="was_null")
+    return (fixed.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("was_null"), 1).otherwise(0))
+                  .alias("n_imputed"),
+                 F.round(F.sum("bal"), 2).alias("bal_sum")))
+
+
+O_Q119 = """
+WITH h AS (SELECT c_mktsegment,
+                  CASE WHEN c_custkey % 10 = 0 THEN NULL
+                       ELSE c_acctbal END AS bal
+           FROM customer),
+m AS (SELECT c_mktsegment, avg(bal) AS seg_mean
+      FROM h GROUP BY 1)
+SELECT h.c_mktsegment, count(*) AS n_rows,
+       CAST(sum(CASE WHEN h.bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_imputed,
+       round(sum(coalesce(h.bal, m.seg_mean)), 2) AS bal_sum
+FROM h JOIN m ON h.c_mktsegment = m.c_mktsegment
+GROUP BY 1
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -3948,6 +4064,9 @@ def build_oracles() -> dict[str, str]:
         "q114_sliding_windows": O_Q114,
         "q115_split_assign": O_Q115,
         "q116_contrastive_pairs": O_Q116,
+        "q117_triangles": O_Q117,
+        "q118_returned_revenue": O_Q118,
+        "q119_imputation": O_Q119,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

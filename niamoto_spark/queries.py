@@ -1647,6 +1647,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_triangles": q117_triangles,
         "q118_returned_revenue": q118_returned_revenue,
         "q119_imputation": q119_imputation,
+        "q120_rolling_anomalies": q120_rolling_anomalies,
     }
 
 
@@ -3952,6 +3953,44 @@ GROUP BY 1
 """
 
 
+def q120_rolling_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection (builds on q106's RANGE frame):
+    events whose value deviates > 2 sample-stddevs from their user's
+    preceding-24-hour window (windows with < 5 events can't alarm —
+    too little evidence).  Pure window expressions; the oracle repeats
+    them with DuckDB's stddev_samp."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts_sec")
+         .rangeBetween(-86400, -1))  # strictly-before so v isn't in its
+    #                                  own baseline
+    mean, sd = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = (F.col("value") - mean) / sd
+    return (ev.select("event_id", "user_id", "value",
+                      n.alias("__n"), F.round(z, 4).alias("zscore"))
+            .where((F.col("__n") >= 5) & (F.abs("zscore") > 2))
+            .select("event_id", "user_id",
+                    F.round("value", 2).alias("value"), "zscore"))
+
+
+O_Q120 = """
+WITH e AS (SELECT event_id, user_id, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+z AS (SELECT event_id, user_id, value,
+             count(*) OVER w AS n,
+             round((value - avg(value) OVER w)
+                   / stddev_samp(value) OVER w, 4) AS zscore
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, round(value, 2) AS value, zscore
+FROM z WHERE n >= 5 AND abs(zscore) > 2
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4067,6 +4106,7 @@ def build_oracles() -> dict[str, str]:
         "q117_triangles": O_Q117,
         "q118_returned_revenue": O_Q118,
         "q119_imputation": O_Q119,
+        "q120_rolling_anomalies": O_Q120,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1648,6 +1648,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_returned_revenue": q118_returned_revenue,
         "q119_imputation": q119_imputation,
         "q120_rolling_anomalies": q120_rolling_anomalies,
+        "q121_proximity_join": q121_proximity_join,
     }
 
 
@@ -3991,6 +3992,42 @@ FROM z WHERE n >= 5 AND abs(zscore) > 2
 """
 
 
+def q121_proximity_join(spark, sf_dir):
+    """Grid-bucketed point-proximity join (operators/proximity.py):
+    customer points synthesized on a deterministic 1-degree box, all
+    pairs within 2 km.  The oracle brute-forces the same haversine over
+    every pair — agreement proves the 3x3 grid neighborhood loses no
+    boundary pair."""
+    from niamoto_spark.operators.proximity import proximity_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    lat = F.lit(-22.5) + (F.col("c_custkey") % 97) / F.lit(97.0)
+    lon = F.lit(165.0) + (F.col("c_custkey") % 89) / F.lit(89.0)
+    left = c.select(F.col("c_custkey").alias("id_a"),
+                    lat.alias("lat"), lon.alias("lon"))
+    right = c.select(F.col("c_custkey").alias("id_b"),
+                     lat.alias("lat_r"), lon.alias("lon_r"))
+    out = proximity_join(left, right, radius_m=2000.0)
+    return (out.where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "distance_m"))
+
+
+O_Q121 = """
+WITH pts AS (SELECT c_custkey AS id,
+                    -22.5 + (c_custkey % 97) / 97.0 AS lat,
+                    165.0 + (c_custkey % 89) / 89.0 AS lon
+             FROM customer),
+d AS (SELECT a.id AS id_a, b.id AS id_b,
+             round(2 * 6371000.0 * asin(sqrt(
+                 pow(sin(radians(b.lat - a.lat) / 2), 2)
+                 + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2))), 2)
+                 AS distance_m
+      FROM pts a JOIN pts b ON a.id < b.id)
+SELECT id_a, id_b, distance_m FROM d WHERE distance_m <= 2000
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4107,6 +4144,7 @@ def build_oracles() -> dict[str, str]:
         "q118_returned_revenue": O_Q118,
         "q119_imputation": O_Q119,
         "q120_rolling_anomalies": O_Q120,
+        "q121_proximity_join": O_Q121,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -35,6 +35,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST = "manifest-v{v}.json"
 
@@ -153,3 +154,113 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
             if v not in keep:
                 os.remove(os.path.join(meta, f))
     return deleted
+
+
+# --- zone maps: per-file min/max statistics -> manifest-level skipping ---
+
+def _collect_stats(spark: SparkSession, files: list[str],
+                   stats_cols: list[str]) -> dict[str, dict]:
+    """Per-file min/max from parquet FOOTERS (row-group statistics) — no
+    data scan: pyarrow reads only metadata pages."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for c in stats_cols:
+            if c not in names:
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(names[c]).statistics
+                if s is None or not s.has_min_max:
+                    mn = mx = None
+                    break
+                mn = s.min if mn is None else min(mn, s.min)
+                mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                stats[c] = [mn, mx]
+        out[fp] = stats
+    return out
+
+
+def append_with_stats(df: DataFrame, path: str,
+                      stats_cols: list[str]) -> int:
+    """Like ``append`` but records per-file min/max zone maps in the
+    manifest, enabling ``read_table_pruned`` to skip whole files without
+    opening them — manifest-level data skipping on top of parquet's own
+    row-group pruning."""
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    spark = df.sparkSession
+    stats = _collect_stats(spark, new_files, stats_cols)
+    parent = current_version(path)
+    prev_doc = _read_manifest(path, parent) if parent >= 0 else {}
+    prev_files = prev_doc.get("files", [])
+    prev_stats = prev_doc.get("stats", {})
+    _, meta = _table_dirs(path)
+    nonce = uuid.uuid4().hex
+    doc = {"version": parent + 1, "parent": parent,
+           "files": sorted(prev_files + new_files),
+           "stats": {**prev_stats, **stats}, "nonce": nonce}
+    staged = os.path.join(meta, f".manifest-{nonce}.tmp")
+    with open(staged, "w") as f:
+        json.dump(doc, f, default=str)
+    final = os.path.join(meta, _MANIFEST.format(v=parent + 1))
+    if os.path.exists(final):
+        os.remove(staged)
+        raise RuntimeError(
+            f"concurrent commit: version {parent + 1} already exists")
+    os.rename(staged, final)
+    if _read_manifest(path, parent + 1)["nonce"] != nonce:
+        raise RuntimeError(
+            f"concurrent commit: version {parent + 1} lost the race")
+    return parent + 1
+
+
+def read_table_pruned(spark: SparkSession, path: str, col: str,
+                      lo, hi, version: int | None = None
+                      ) -> tuple[DataFrame, int, int]:
+    """Snapshot read that SKIPS files whose [min, max] zone map cannot
+    intersect [lo, hi].  Returns (df, files_read, files_skipped); the
+    residual filter is still applied (zone maps are a superset test).
+    Files without stats for ``col`` are conservatively read."""
+    v = current_version(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    doc = _read_manifest(path, v)
+    keep, skipped = [], 0
+    for fp in doc["files"]:
+        s = doc.get("stats", {}).get(fp, {}).get(col)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            skipped += 1
+            continue
+        keep.append(fp)
+    if not keep:
+        empty = spark.createDataFrame([], "dummy string").limit(0)
+        return empty, 0, skipped
+    df = spark.read.parquet(*keep).where(
+        (F.col(col) >= lo) & (F.col(col) <= hi))
+    return df, len(keep), skipped
+
+
+def table_changes(spark: SparkSession, path: str, from_version: int,
+                  to_version: int | None = None) -> DataFrame:
+    """CDC-style incremental read: the rows ADDED between two snapshot
+    versions (files present in ``to`` but not in ``from``).  Overwritten
+    snapshots surface their full new files; deletions are not row-level
+    (append/overwrite format, not merge-on-read)."""
+    to_v = current_version(path) if to_version is None else to_version
+    new = set(_read_manifest(path, to_v)["files"])
+    old = set(_read_manifest(path, from_version)["files"]) \
+        if from_version >= 0 else set()
+    added = sorted(new - old)
+    if not added:
+        return spark.createDataFrame([], "dummy string").limit(0)
+    return spark.read.parquet(*added)

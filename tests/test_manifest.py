@@ -72,3 +72,50 @@ def test_version_collision_detected(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         M.read_table(spark, str(tmp_path / "never_written"))
+
+
+def test_zone_map_file_skipping(spark, tmp_path):
+    """Three appends with disjoint id ranges -> a range read must SKIP
+    the non-overlapping files entirely (counted), and still return
+    exactly the right rows."""
+    t = str(tmp_path / "tbl")
+    for lo in (0, 1000, 2000):
+        M.append_with_stats(
+            _df(spark, lo, lo + 100).repartition(1), t, stats_cols=["id"])
+    df, read, skipped = M.read_table_pruned(spark, t, "id", 1000, 1099)
+    assert read == 1 and skipped == 2
+    assert df.count() == 100
+    assert sorted(r["id"] for r in df.collect())[:2] == [1000, 1001]
+    # residual filter still applies inside a kept file
+    df2, read2, _ = M.read_table_pruned(spark, t, "id", 1010, 1019)
+    assert read2 == 1 and df2.count() == 10
+
+
+def test_zone_map_no_overlap_returns_empty(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append_with_stats(_df(spark, 0, 50).repartition(1), t,
+                        stats_cols=["id"])
+    df, read, skipped = M.read_table_pruned(spark, t, "id", 900, 999)
+    assert (read, skipped) == (0, 1)
+    assert df.count() == 0
+
+
+def test_files_without_stats_are_read_conservatively(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 50).repartition(1), t)             # no stats
+    M.append_with_stats(_df(spark, 100, 150).repartition(1), t,
+                        stats_cols=["id"])
+    df, read, skipped = M.read_table_pruned(spark, t, "id", 100, 120)
+    assert skipped == 0          # stat-less file cannot be skipped
+    assert df.count() == 21
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)        # v0
+    M.append(_df(spark, 10, 25), t)       # v1
+    M.append(_df(spark, 25, 30), t)       # v2
+    delta = M.table_changes(spark, t, from_version=0, to_version=2)
+    assert sorted(r["id"] for r in delta.collect()) == list(range(10, 30))
+    none = M.table_changes(spark, t, from_version=2, to_version=2)
+    assert none.count() == 0

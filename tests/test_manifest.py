@@ -119,3 +119,26 @@ def test_table_changes_between_versions(spark, tmp_path):
     assert sorted(r["id"] for r in delta.collect()) == list(range(10, 30))
     none = M.table_changes(spark, t, from_version=2, to_version=2)
     assert none.count() == 0
+
+
+def test_stream_to_table_commits_batches(spark, tmp_path):
+    """File-stream -> manifest sink: every micro-batch is an atomic
+    snapshot; rerunning the drained stream adds nothing (idempotent)."""
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    _df(spark, 0, 20).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = M.stream_to_table(stream, t, ck)
+        q.awaitTermination()
+
+    run()
+    assert M.read_table(spark, t).count() == 20
+    v_after = M.current_version(t)
+    run()  # nothing new to process -> no new versions
+    assert M.current_version(t) == v_after
+    assert M.read_table(spark, t).count() == 20

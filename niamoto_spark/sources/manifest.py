@@ -64,25 +64,29 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, version: int, files: list[str],
-            parent: int) -> None:
+def _commit_doc(path: str, version: int, extra: dict) -> None:
+    """Atomically commit a manifest document for ``version`` (the shared
+    rename-claim + nonce lost-update check)."""
     _, meta = _table_dirs(path)
     nonce = uuid.uuid4().hex
-    doc = {"version": version, "parent": parent, "files": sorted(files),
-           "nonce": nonce}
+    doc = {"version": version, "nonce": nonce, **extra}
     staged = os.path.join(meta, f".manifest-{nonce}.tmp")
     with open(staged, "w") as f:
-        json.dump(doc, f)
+        json.dump(doc, f, default=str)
     final = os.path.join(meta, _MANIFEST.format(v=version))
     if os.path.exists(final):
         os.remove(staged)
         raise RuntimeError(
             f"concurrent commit: version {version} already exists")
     os.rename(staged, final)  # atomic on POSIX
-    committed = _read_manifest(path, version)
-    if committed["nonce"] != nonce:
+    if _read_manifest(path, version)["nonce"] != nonce:
         raise RuntimeError(
             f"concurrent commit: version {version} lost the race")
+
+
+def _commit(path: str, version: int, files: list[str],
+            parent: int) -> None:
+    _commit_doc(path, version, {"parent": parent, "files": sorted(files)})
 
 
 def append(df: DataFrame, path: str) -> int:
@@ -204,23 +208,10 @@ def append_with_stats(df: DataFrame, path: str,
     prev_doc = _read_manifest(path, parent) if parent >= 0 else {}
     prev_files = prev_doc.get("files", [])
     prev_stats = prev_doc.get("stats", {})
-    _, meta = _table_dirs(path)
-    nonce = uuid.uuid4().hex
-    doc = {"version": parent + 1, "parent": parent,
-           "files": sorted(prev_files + new_files),
-           "stats": {**prev_stats, **stats}, "nonce": nonce}
-    staged = os.path.join(meta, f".manifest-{nonce}.tmp")
-    with open(staged, "w") as f:
-        json.dump(doc, f, default=str)
-    final = os.path.join(meta, _MANIFEST.format(v=parent + 1))
-    if os.path.exists(final):
-        os.remove(staged)
-        raise RuntimeError(
-            f"concurrent commit: version {parent + 1} already exists")
-    os.rename(staged, final)
-    if _read_manifest(path, parent + 1)["nonce"] != nonce:
-        raise RuntimeError(
-            f"concurrent commit: version {parent + 1} lost the race")
+    _commit_doc(path, parent + 1,
+                {"parent": parent,
+                 "files": sorted(prev_files + new_files),
+                 "stats": {**prev_stats, **stats}})
     return parent + 1
 
 
@@ -301,3 +292,40 @@ def stream_to_table(stream_df: DataFrame, path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 8,
+            sort_by: list[str] | None = None,
+            stats_cols: list[str] | None = None) -> int:
+    """OPTIMIZE: rewrite the current snapshot into ``target_files``
+    files, optionally range-clustered by ``sort_by`` (repartitionByRange
+    + within-partition sort), and commit atomically as a new version.
+
+    Small-file compaction is the standing maintenance job of any
+    streaming-ingested table (each micro-batch commits its own files);
+    sort clustering additionally TIGHTENS zone maps — after clustering
+    on a column, each file covers a narrow disjoint range, so
+    read_table_pruned skips nearly everything outside the query range.
+    History (pre-compaction versions) stays readable until vacuum.
+    """
+    df = read_table(spark, path)
+    if sort_by:
+        df = (df.repartitionByRange(target_files, *sort_by)
+              .sortWithinPartitions(*sort_by))
+    else:
+        df = df.coalesce(target_files)
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    parent = current_version(path)
+    if stats_cols or sort_by:
+        cols = stats_cols or sort_by
+        stats = _collect_stats(spark, new_files, cols)
+        _commit_doc(path, parent + 1,
+                    {"parent": parent, "files": sorted(new_files),
+                     "stats": stats})
+    else:
+        _commit(path, parent + 1, new_files, parent)
+    return parent + 1

@@ -142,3 +142,34 @@ def test_stream_to_table_commits_batches(spark, tmp_path):
     run()  # nothing new to process -> no new versions
     assert M.current_version(t) == v_after
     assert M.read_table(spark, t).count() == 20
+
+
+def test_compaction_shrinks_files_keeps_rows_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 100, 10):            # 10 tiny commits
+        M.append(_df(spark, lo, lo + 10).repartition(2), t)
+    files_before = len(M._read_manifest(t, M.current_version(t))["files"])
+    v = M.compact(spark, t, target_files=2)
+    doc = M._read_manifest(t, v)
+    assert len(doc["files"]) <= 2 < files_before
+    assert M.read_table(spark, t).count() == 100
+    assert M.read_table(spark, t, version=v - 1).count() == 100  # history
+
+
+def test_sort_clustered_compaction_tightens_zone_maps(spark, tmp_path):
+    """Interleaved appends give overlapping zone maps (no skipping);
+    after sort-clustered compaction a narrow range read skips most
+    files."""
+    t = str(tmp_path / "tbl")
+    # each commit spans the WHOLE id range -> every file overlaps
+    for off in range(4):
+        M.append_with_stats(
+            _df(spark, 0, 1000).withColumn(
+                "id", (F.col("id") * 4 + off).cast("long"))
+            .repartition(1), t, stats_cols=["id"])
+    _, read0, skip0 = M.read_table_pruned(spark, t, "id", 0, 99)
+    assert skip0 == 0                       # all overlap: nothing skipped
+    M.compact(spark, t, target_files=8, sort_by=["id"])
+    df, read1, skip1 = M.read_table_pruned(spark, t, "id", 0, 99)
+    assert skip1 >= 6                       # clustered: most files skipped
+    assert df.count() == 100

@@ -1649,6 +1649,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_imputation": q119_imputation,
         "q120_rolling_anomalies": q120_rolling_anomalies,
         "q121_proximity_join": q121_proximity_join,
+        "q122_manifest_roundtrip": q122_manifest_roundtrip,
     }
 
 
@@ -4028,6 +4029,40 @@ SELECT id_a, id_b, distance_m FROM d WHERE distance_m <= 2000
 """
 
 
+def q122_manifest_roundtrip(spark, sf_dir):
+    """Lakehouse-lite lane end-to-end (sources/manifest.py): documents
+    committed into a manifest table with doc_id zone maps, compacted
+    with sort clustering, then range-read through file skipping — the
+    result must equal a plain SQL range scan, proving commits, stats,
+    clustering and pruning lose nothing."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_manifest_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    M.append_with_stats(docs.repartition(4), path, stats_cols=["doc_id"])
+    M.compact(spark, path, target_files=4, sort_by=["doc_id"])
+    pruned, _, _ = M.read_table_pruned(spark, path, "doc_id", 100, 299)
+    return (pruned.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
+O_Q122 = """
+SELECT source, count(*) AS n_docs, min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents WHERE doc_id BETWEEN 100 AND 299
+GROUP BY source
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4145,6 +4180,7 @@ def build_oracles() -> dict[str, str]:
         "q119_imputation": O_Q119,
         "q120_rolling_anomalies": O_Q120,
         "q121_proximity_join": O_Q121,
+        "q122_manifest_roundtrip": O_Q122,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -329,3 +329,30 @@ def compact(spark: SparkSession, path: str, target_files: int = 8,
     else:
         _commit(path, parent + 1, new_files, parent)
     return parent + 1
+
+
+def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
+                 key_col: str) -> int:
+    """MERGE INTO semantics: rows in ``updates`` replace same-key rows in
+    the current snapshot, new keys append — committed atomically as ONE
+    new version (readers see pre-merge or post-merge, never a mix).
+    Completes the table format's CRUD alongside append/overwrite
+    (sources/sinks.py:upsert_table gives the same semantics for plain
+    directories; here history stays time-travelable).
+
+    Shape: union + per-key row_number favoring updates — one shuffle on
+    the key.  At real scale pair with ``compact(sort_by=[key_col])`` so
+    zone maps keep rewrites local.
+    """
+    from pyspark.sql import Window
+
+    try:
+        base = read_table(spark, path)
+    except FileNotFoundError:
+        return overwrite(updates, path)
+    tagged = (base.withColumn("__pri", F.lit(0))
+              .unionByName(updates.withColumn("__pri", F.lit(1))))
+    w = Window.partitionBy(key_col).orderBy(F.col("__pri").desc())
+    merged = (tagged.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__pri", "__rn"))
+    return overwrite(merged, path)

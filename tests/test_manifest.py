@@ -173,3 +173,25 @@ def test_sort_clustered_compaction_tightens_zone_maps(spark, tmp_path):
     df, read1, skip1 = M.read_table_pruned(spark, t, "id", 0, 99)
     assert skip1 >= 6                       # clustered: most files skipped
     assert df.count() == 100
+
+
+def test_merge_upsert_replaces_and_appends_atomically(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 5), t)                     # v=0..4 -> v*2
+    updates = spark.createDataFrame(
+        [(3, 999), (100, 1)], ["id", "v"])
+    v = M.merge_upsert(spark, updates, t, "id")
+    rows = {r["id"]: r["v"] for r in M.read_table(spark, t).collect()}
+    assert rows[3] == 999           # replaced
+    assert rows[100] == 1           # appended
+    assert rows[0] == 0 and len(rows) == 6
+    # pre-merge snapshot intact (time travel)
+    old = {r["id"]: r["v"]
+           for r in M.read_table(spark, t, version=v - 1).collect()}
+    assert old[3] == 6 and 100 not in old
+
+
+def test_merge_upsert_into_empty_table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.merge_upsert(spark, _df(spark, 0, 3), t, "id")
+    assert M.read_table(spark, t).count() == 3

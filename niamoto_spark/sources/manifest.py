@@ -118,16 +118,24 @@ def overwrite(df: DataFrame, path: str) -> int:
 
 
 def read_table(spark: SparkSession, path: str,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               merge_schema: bool = False) -> DataFrame:
     """The exact snapshot at ``version`` (default: latest).  Spark reads
-    the manifest's explicit file list — pruning and pushdown intact."""
+    the manifest's explicit file list — pruning and pushdown intact.
+    ``merge_schema=True`` unions the schemas of snapshots written before
+    and after an additive column change (older files null-fill) —
+    manifest commits make schema evolution safe because every file's
+    schema is frozen at its commit."""
     v = current_version(path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     files = _read_manifest(path, v)["files"]
     if not files:
         return spark.createDataFrame([], "dummy string").limit(0)
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def vacuum(path: str, keep_versions: int = 1) -> int:

@@ -195,3 +195,14 @@ def test_merge_upsert_into_empty_table(spark, tmp_path):
     t = str(tmp_path / "tbl")
     M.merge_upsert(spark, _df(spark, 0, 3), t, "id")
     assert M.read_table(spark, t).count() == 3
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 5), t)
+    M.append(_df(spark, 5, 8).withColumn("extra", F.lit("x")), t)
+    merged = M.read_table(spark, t, merge_schema=True)
+    assert "extra" in merged.columns
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[0] is None and rows[6] == "x"
+    assert merged.count() == 8

@@ -138,3 +138,33 @@ def test_q84_lm_score_is_aggregation_shaped(spark):
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
     assert "partial_count" in plan or "partial_avg" in plan
+
+
+@pytest.mark.parametrize("query", [
+    "q94_interval_join",      # granule equi-join, never a cross product
+    "q97_tfidf_cosine",       # postings equi-join on token
+    "q116_contrastive_pairs", # bucket equi-join for negatives
+    "q121_proximity_join",    # cell equi-join + haversine refine
+])
+def test_round6_pair_generators_never_cartesian(spark, query):
+    plan = _plan(spark, query)
+    assert "CartesianProduct" not in plan, \
+        f"{query} degenerated to an all-pairs product"
+
+
+def test_q103_weighted_sample_is_take_ordered(spark):
+    plan = _plan(spark, "q103_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort would mean the top-k shuffles the whole table
+    assert "Sort [" not in plan.split("== Physical Plan ==")[-1]
+
+
+def test_q98_scd2_single_exchange(spark):
+    plan = _plan(spark, "q98_scd2_history").split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange") == 1
+
+
+def test_q96_profile_single_wide_aggregate(spark):
+    plan = _plan(spark, "q96_profile_table")
+    # one scan of customer, not one per column
+    assert plan.count("customer.parquet") <= 2  # analyzed+physical mention

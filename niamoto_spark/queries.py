@@ -38,7 +38,15 @@ from niamoto_spark.operators.text import LANG_MARKERS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Type-normalization guard (the events.ts lesson: testdata
+    # regenerations have changed physical column types between rounds).
+    # Date-function consumers (month/year/date_format) need a real
+    # temporal type, so a string-shipped order date is coerced here once
+    # instead of defensively at 16 call sites.
+    if name == "orders" and dict(df.dtypes).get("o_orderdate") == "string":
+        df = df.withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -1658,6 +1658,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_rolling_anomalies": q120_rolling_anomalies,
         "q121_proximity_join": q121_proximity_join,
         "q122_manifest_roundtrip": q122_manifest_roundtrip,
+        "q123_exists_late_orders": q123_exists_late_orders,
+        "q124_antijoin_scalar_subquery": q124_antijoin_scalar_subquery,
     }
 
 
@@ -4071,6 +4073,67 @@ GROUP BY source
 """
 
 
+def q123_exists_late_orders(spark, sf_dir):
+    """Correlated EXISTS through the SQL surface (TPC-H Q4 shape —
+    exercises Spark's subquery decorrelation into a left-semi join):
+    orders in 1995H1 with at least one line shipped > 60 days after the
+    order date, counted per priority."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= '1995-01-01'
+          AND o.o_orderdate < '1995-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority""")
+
+
+O_Q123 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q124_antijoin_scalar_subquery(spark, sf_dir):
+    """Scalar subquery + NOT EXISTS (TPC-H Q22 shape): customers with an
+    above-average positive balance who never placed an URGENT order,
+    per segment — decorrelates into an anti join against an aggregated
+    scalar (the priority cut keeps the result non-empty at every SF)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_mktsegment AS segment, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS bal_total
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""")
+
+
+O_Q124 = """
+SELECT c_mktsegment AS segment, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS bal_total
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4189,6 +4252,8 @@ def build_oracles() -> dict[str, str]:
         "q120_rolling_anomalies": O_Q120,
         "q121_proximity_join": O_Q121,
         "q122_manifest_roundtrip": O_Q122,
+        "q123_exists_late_orders": O_Q123,
+        "q124_antijoin_scalar_subquery": O_Q124,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

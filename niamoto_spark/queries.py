@@ -4078,14 +4078,14 @@ def q123_exists_late_orders(spark, sf_dir):
     exercises Spark's subquery decorrelation into a left-semi join):
     orders in 1995H1 with at least one line shipped > 60 days after the
     order date, counted per priority."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v123_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v123_lineitem")
     return spark.sql("""
         SELECT o_orderpriority, count(*) AS order_count
-        FROM orders o
+        FROM v123_orders o
         WHERE o.o_orderdate >= '1995-01-01'
           AND o.o_orderdate < '1995-07-01'
-          AND EXISTS (SELECT 1 FROM lineitem l
+          AND EXISTS (SELECT 1 FROM v123_lineitem l
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         GROUP BY o_orderpriority""")
@@ -4107,15 +4107,15 @@ def q124_antijoin_scalar_subquery(spark, sf_dir):
     above-average positive balance who never placed an URGENT order,
     per segment — decorrelates into an anti join against an aggregated
     scalar (the priority cut keeps the result non-empty at every SF)."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v124_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v124_orders")
     return spark.sql("""
         SELECT c_mktsegment AS segment, count(*) AS n_cust,
                round(sum(c_acctbal), 2) AS bal_total
-        FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        FROM v124_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v124_customer
                            WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders o
+          AND NOT EXISTS (SELECT 1 FROM v124_orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment""")

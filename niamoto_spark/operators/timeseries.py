@@ -79,3 +79,31 @@ def cohort_retention(events: DataFrame, user_col: str, ts_col: str,
                      (F.col("__b") - F.col("__cohort"))
                      .alias("bucket_offset"))
             .agg(F.count_distinct("__u").alias("n_users")))
+
+
+@register("transition_matrix", PluginType.TRANSFORMER)
+def transition_matrix(events: DataFrame, key_col: str, ts_col: str,
+                      state_col: str,
+                      order_cols: "tuple[str, ...]" = (),
+                      round_dp: int = 4) -> DataFrame:
+    """First-order Markov transition estimates over per-key event
+    sequences: P(next state | current state) with raw bigram counts —
+    the sequential-pattern summary behind next-event prediction and
+    anomalous-flow detection.
+
+    One window shuffle (lag over the per-key order — the same
+    partitioning SCD2 uses) + one hash aggregate over (from, to); the
+    row-probability normalization is a window over the tiny aggregated
+    matrix, not the events."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(F.col(state_col)).over(w)
+    bigrams = (events.withColumn("__from", prev)
+               .where(F.col("__from").isNotNull())
+               .groupBy(F.col("__from").alias("from_state"),
+                        F.col(state_col).alias("to_state"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    total = Window.partitionBy("from_state")
+    return bigrams.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(total), round_dp))

@@ -1660,6 +1660,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_manifest_roundtrip": q122_manifest_roundtrip,
         "q123_exists_late_orders": q123_exists_late_orders,
         "q124_antijoin_scalar_subquery": q124_antijoin_scalar_subquery,
+        "q125_markov_transitions": q125_markov_transitions,
     }
 
 
@@ -4134,6 +4135,37 @@ GROUP BY c_mktsegment
 """
 
 
+def q125_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix
+    (operators/timeseries.py:transition_matrix): P(next event type |
+    current) per user sequence, tie-broken by event id — the
+    sequential-pattern surface.  Oracle repeats the lag bigrams and the
+    per-row normalization in SQL."""
+    from niamoto_spark.operators.timeseries import transition_matrix
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_sec",
+                                       "event_id")
+    return transition_matrix(ev, "user_id", "ts_sec", "event_type",
+                             order_cols=("event_id",))
+
+
+O_Q125 = """
+WITH e AS (SELECT user_id, event_type, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+b AS (SELECT lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY sec, event_id) AS from_state,
+             event_type AS to_state
+      FROM e),
+m AS (SELECT from_state, to_state, count(*) AS n FROM b
+      WHERE from_state IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE),
+             4) AS p
+FROM m
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4254,6 +4286,7 @@ def build_oracles() -> dict[str, str]:
         "q122_manifest_roundtrip": O_Q122,
         "q123_exists_late_orders": O_Q123,
         "q124_antijoin_scalar_subquery": O_Q124,
+        "q125_markov_transitions": O_Q125,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

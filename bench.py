@@ -96,19 +96,84 @@ def main() -> None:
     ivfpq_recall = _ivfpq_recall(spark, sf_dir, k=5)
     print(f"# ivfpq_recall_at_5: {ivfpq_recall}", file=sys.stderr)
 
+    # Misra-Gries sketch throughput (VERDICT r6 #1): one-pass heavy
+    # hitters over the documents token stream — the corpus-scale column
+    # the sketch exists for.  Arrow-batched mapInPandas substrate; the
+    # old .rdd row-at-a-time path measured ~5-10x slower here.
+    hh_sec = _heavy_hitters_bench(spark, sf_dir)
+    print(f"# heavy_hitters_sec: {hh_sec}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "deltas_vs_prev": _deltas_vs_prev(timings),
         "ivf_recall_at_5": ivf_recall,
         "ivfpq_recall_at_5": ivfpq_recall,
         "approx_distinct_rel_err": sketch["distinct_rel_err"],
         "approx_p50_rel_err": sketch["p50_rel_err"],
+        "heavy_hitters_sec": hh_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(result))
+
+
+def _deltas_vs_prev(timings: dict[str, float]) -> dict:
+    """Round-over-round regression guard (VERDICT r6 #2): diff this run
+    against the newest driver-recorded BENCH_r{N}.json so a creeping
+    query (q38 went +33% over three rounds unnoticed) is visible in the
+    bench output itself.  Positive delta = slower than last round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            parsed = json.load(f).get("parsed", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+    prev = parsed.get("queries", {})
+    sf_now = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_now = sf_now.rstrip("/").rsplit("sf", 1)[-1]
+    if str(parsed.get("sf")) != sf_now:
+        # Cross-SF deltas are meaningless; only diff same-scale runs.
+        return {"prev_round": n, "skipped": f"prev sf={parsed.get('sf')}"}
+    deltas = {"prev_round": n}
+    for name, t in timings.items():
+        if name in prev and prev[name] > 0:
+            pct = round(100.0 * (t - prev[name]) / prev[name], 1)
+            deltas[name] = pct
+            if pct > 25.0 and t - prev[name] > 0.15:
+                print(f"# REGRESSION {name}: {prev[name]}s -> {t}s "
+                      f"(+{pct}%) vs round {n}", file=sys.stderr)
+    return deltas
+
+
+def _heavy_hitters_bench(spark, sf_dir: str) -> float:
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        heavy_hitters(toks, "tok", k=32)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _ivfpq_recall(spark, sf_dir: str, k: int) -> float:

@@ -1661,6 +1661,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_exists_late_orders": q123_exists_late_orders,
         "q124_antijoin_scalar_subquery": q124_antijoin_scalar_subquery,
         "q125_markov_transitions": q125_markov_transitions,
+        "q126_heavy_hitters": q126_heavy_hitters,
     }
 
 
@@ -4166,6 +4167,34 @@ FROM m
 """
 
 
+def q126_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketches.py) over the
+    documents token stream, with k chosen >= the distinct-token count so
+    the sketch is provably exact (MG never decrements when counters
+    never overflow) — which makes the one-pass mapInArrow sketch
+    oracle-checkable against a plain GROUP BY.  Tokens are
+    whitespace-split lowercased words; ties broken by token asc."""
+    from niamoto_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+    n_distinct = toks.select("tok").distinct().count()
+    items = heavy_hitters(toks, "tok", k=max(64, n_distinct + 1))
+    top = [(str(item), int(freq)) for item, freq in items][:25]
+    return spark.createDataFrame(top, "item string, freq bigint")
+
+
+O_Q126 = """
+SELECT item, freq FROM (
+  SELECT tok AS item, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok
+) ORDER BY freq DESC, item ASC LIMIT 25
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4287,6 +4316,7 @@ def build_oracles() -> dict[str, str]:
         "q123_exists_late_orders": O_Q123,
         "q124_antijoin_scalar_subquery": O_Q124,
         "q125_markov_transitions": O_Q125,
+        "q126_heavy_hitters": O_Q126,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -50,3 +50,33 @@ def test_nulls_ignored(spark):
     df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], ["v"])
     got = dict(heavy_hitters(df, "v", k=4))
     assert got == {"a": 2}
+
+
+def test_exact_when_k_exceeds_distinct_count(spark):
+    """MG never decrements when counters never overflow, so k > distinct
+    makes the sketch exact — the q126 oracle contract."""
+    df = _skewed(spark)
+    got = dict(heavy_hitters(df, "v", k=64))
+    exact = {r["item"]: r["freq"]
+             for r in heavy_hitters_exact(df, "v", k=64).collect()}
+    assert got == exact
+
+
+def test_non_string_item_type(spark):
+    """mapInArrow output schema follows the input column type."""
+    rows = [(i % 3,) for i in range(90)] + [(7,)] * 10
+    df = spark.createDataFrame(rows, ["v"]).repartition(4)
+    got = dict(heavy_hitters(df, "v", k=8))
+    assert got == {0: 30, 1: 30, 2: 30, 7: 10}
+
+
+def test_plan_is_arrow_not_rdd(spark):
+    """The sketch substrate must be Arrow-batched mapInArrow, never a
+    row-at-a-time .rdd scan (VERDICT r6 #1)."""
+    import inspect
+
+    from niamoto_spark.operators import sketches
+
+    src = inspect.getsource(sketches)
+    assert ".rdd" not in src
+    assert "mapInArrow" in src

@@ -28,6 +28,11 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # INT96 (the legacy default) carries NO min/max footer statistics, so
+    # timestamp columns would be invisible to zone maps (manifest.py) and
+    # to parquet row-group pruning.  TIMESTAMP_MICROS is the modern
+    # annotated int64 every engine stats-prunes on.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }

@@ -16,10 +16,12 @@ exact files of each snapshot, committed with an atomic rename.
   A crash before the rename leaves unreferenced files that NO reader
   ever sees; ``vacuum`` reaps them later.
 - Commits are optimistic: the manifest version is claimed by an
-  ``os.rename`` of a staged manifest to its final name — on POSIX a
-  rename to an existing path silently replaces it, so claim collisions
-  are detected by re-reading the committed file's embedded nonce
-  (single-writer-per-version, lost-update detected).
+  ``os.link`` of the fully-written staged manifest to its final name.
+  ``link`` atomically FAILS with EEXIST if the version was already
+  claimed — unlike rename-over-existing, there is no
+  check-then-replace window, so two racing writers can never both
+  report success (single-writer-per-version, lost update impossible;
+  the loser raises and must re-read the new head and retry).
 
 Spark-side: ``read_table`` hands Spark the explicit file list, so
 partition pruning / pushdown work unchanged; ``append`` uses a normal
@@ -65,23 +67,30 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _commit_doc(path: str, version: int, extra: dict) -> None:
-    """Atomically commit a manifest document for ``version`` (the shared
-    rename-claim + nonce lost-update check)."""
+    """Atomically commit a manifest document for ``version``.
+
+    The version slot is claimed with ``os.link(staged, final)``: link
+    creation is atomic and fails with EEXIST if the target exists, so
+    there is no check-then-rename window — of two racing writers
+    exactly one succeeds and the other raises (it must re-read the new
+    head and retry on a fresh version).  Readers only ever see the
+    final name once the staged file is fully written."""
     _, meta = _table_dirs(path)
     nonce = uuid.uuid4().hex
     doc = {"version": version, "nonce": nonce, **extra}
     staged = os.path.join(meta, f".manifest-{nonce}.tmp")
     with open(staged, "w") as f:
         json.dump(doc, f, default=str)
+        f.flush()
+        os.fsync(f.fileno())
     final = os.path.join(meta, _MANIFEST.format(v=version))
-    if os.path.exists(final):
-        os.remove(staged)
+    try:
+        os.link(staged, final)  # atomic claim: EEXIST if already taken
+    except FileExistsError:
         raise RuntimeError(
             f"concurrent commit: version {version} already exists")
-    os.rename(staged, final)  # atomic on POSIX
-    if _read_manifest(path, version)["nonce"] != nonce:
-        raise RuntimeError(
-            f"concurrent commit: version {version} lost the race")
+    finally:
+        os.remove(staged)
 
 
 def _commit(path: str, version: int, files: list[str],
@@ -89,10 +98,14 @@ def _commit(path: str, version: int, files: list[str],
     _commit_doc(path, version, {"parent": parent, "files": sorted(files)})
 
 
-def append(df: DataFrame, path: str) -> int:
+def append(df: DataFrame, path: str,
+           extra_meta: dict | None = None) -> int:
     """Atomically append ``df``'s rows as a new snapshot; returns the new
     version.  Readers see either the previous snapshot or the full new
-    one — never a torn middle."""
+    one — never a torn middle.  ``extra_meta`` rides INSIDE the commit
+    document (e.g. a streaming batch id), so metadata and data commit in
+    the same atomic link — no second-step stamp that a crash could
+    separate from its snapshot."""
     data, _ = _table_dirs(path)
     staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
@@ -100,7 +113,9 @@ def append(df: DataFrame, path: str) -> int:
                  if f.endswith(".parquet")]
     parent = current_version(path)
     prev = _read_manifest(path, parent)["files"] if parent >= 0 else []
-    _commit(path, parent + 1, prev + new_files, parent)
+    _commit_doc(path, parent + 1,
+                {"parent": parent, "files": sorted(prev + new_files),
+                 **(extra_meta or {})})
     return parent + 1
 
 
@@ -138,26 +153,51 @@ def read_table(spark: SparkSession, path: str,
     return reader.parquet(*files)
 
 
-def vacuum(path: str, keep_versions: int = 1) -> int:
+def vacuum(path: str, keep_versions: int = 1,
+           retention_sec: float = 24 * 3600.0) -> int:
     """Delete data files unreferenced by the ``keep_versions`` newest
     manifests (and drop older manifests).  Returns files deleted.
-    Orphans from crashed writers (never committed) are reaped too."""
+
+    Files that were COMMITTED to a now-dropped version are reaped
+    immediately (their visibility ended with their manifest).  Files
+    never referenced by ANY manifest are indistinguishable between a
+    crashed writer's orphans and an IN-FLIGHT writer's staging — those
+    are only reaped when older than ``retention_sec`` (Delta-style
+    retention; default 24h), so a concurrent ``append`` cannot commit a
+    manifest pointing at files vacuum just deleted.  Pass
+    ``retention_sec=0`` only when no writer can be running."""
+    import time
+
     data, meta = _table_dirs(path)
     latest = current_version(path)
     if latest < 0:
         return 0
     keep = range(max(0, latest - keep_versions + 1), latest + 1)
     referenced: set[str] = set()
-    for v in keep:
-        referenced.update(_read_manifest(path, v)["files"])
+    ever_committed: set[str] = set()
+    for f in os.listdir(meta):
+        if f.startswith("manifest-v") and f.endswith(".json"):
+            v = int(f[len("manifest-v"):-len(".json")])
+            files = _read_manifest(path, v)["files"]
+            ever_committed.update(files)
+            if v in keep:
+                referenced.update(files)
+    now = time.time()
     deleted = 0
     for txn in os.listdir(data):
         tdir = os.path.join(data, txn)
         for f in os.listdir(tdir):
             fp = os.path.join(tdir, f)
-            if f.endswith(".parquet") and fp not in referenced:
-                os.remove(fp)
-                deleted += 1
+            if not f.endswith(".parquet") or fp in referenced:
+                continue
+            if fp not in ever_committed:  # maybe in-flight, not crashed
+                try:
+                    if now - os.path.getmtime(fp) < retention_sec:
+                        continue
+                except OSError:
+                    continue
+            os.remove(fp)
+            deleted += 1
         if not any(f.endswith(".parquet") for f in os.listdir(tdir)):
             shutil.rmtree(tdir)
     for f in os.listdir(meta):
@@ -170,10 +210,49 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
 
 # --- zone maps: per-file min/max statistics -> manifest-level skipping ---
 
+def _canon_stat(v, widen: int = 0):
+    """Canonical JSON-comparable encoding for a zone-map bound, applied
+    identically at stats-collection time and to the query's [lo, hi] at
+    prune time, so comparisons always happen in one domain (the raw
+    footer values would otherwise round-trip json.dump(default=str) as
+    strings and mis-compare against numeric predicates):
+
+    - int/float/str pass through (already JSON-native and ordered);
+    - date/datetime -> ISO-8601 string (lexicographic == chronologic);
+    - Decimal -> float, widened one ulp outward (``widen`` -1 for a
+      min, +1 for a max) so precision loss can never flip a bound
+      inward and wrongly skip a file;
+    - anything else (bytes, nested) -> None = "no stats", the file is
+      conservatively read.
+    """
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if widen < 0:
+            return math.nextafter(f, -math.inf)
+        if widen > 0:
+            return math.nextafter(f, math.inf)
+        return f
+    return None
+
+
 def _collect_stats(spark: SparkSession, files: list[str],
                    stats_cols: list[str]) -> dict[str, dict]:
     """Per-file min/max from parquet FOOTERS (row-group statistics) — no
-    data scan: pyarrow reads only metadata pages."""
+    data scan: pyarrow reads only metadata pages.  Bounds are stored in
+    the canonical encoding of ``_canon_stat`` so they survive the JSON
+    round trip comparably."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -194,13 +273,17 @@ def _collect_stats(spark: SparkSession, files: list[str],
                 mn = s.min if mn is None else min(mn, s.min)
                 mx = s.max if mx is None else max(mx, s.max)
             if mn is not None:
-                stats[c] = [mn, mx]
+                cmn = _canon_stat(mn, widen=-1)
+                cmx = _canon_stat(mx, widen=+1)
+                if cmn is not None and cmx is not None:
+                    stats[c] = [cmn, cmx]
         out[fp] = stats
     return out
 
 
 def append_with_stats(df: DataFrame, path: str,
-                      stats_cols: list[str]) -> int:
+                      stats_cols: list[str],
+                      extra_meta: dict | None = None) -> int:
     """Like ``append`` but records per-file min/max zone maps in the
     manifest, enabling ``read_table_pruned`` to skip whole files without
     opening them — manifest-level data skipping on top of parquet's own
@@ -219,7 +302,8 @@ def append_with_stats(df: DataFrame, path: str,
     _commit_doc(path, parent + 1,
                 {"parent": parent,
                  "files": sorted(prev_files + new_files),
-                 "stats": {**prev_stats, **stats}})
+                 "stats": {**prev_stats, **stats},
+                 **(extra_meta or {})})
     return parent + 1
 
 
@@ -234,10 +318,24 @@ def read_table_pruned(spark: SparkSession, path: str, col: str,
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
+    # Compare in the same canonical domain the stats were stored in
+    # (widen the query range outward — skipping must stay a superset
+    # test).  Un-canonicalizable bounds disable skipping entirely.
+    clo = _canon_stat(lo, widen=-1)
+    chi = _canon_stat(hi, widen=+1)
+
+    def _comparable(a, b) -> bool:
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return True
+        return isinstance(a, str) and isinstance(b, str)
+
+    can_skip = clo is not None and chi is not None
     keep, skipped = [], 0
     for fp in doc["files"]:
         s = doc.get("stats", {}).get(fp, {}).get(col)
-        if s is not None and (s[1] < lo or s[0] > hi):
+        if (can_skip and s is not None
+                and _comparable(s[0], clo) and _comparable(s[1], chi)
+                and (s[1] < clo or s[0] > chi)):
             skipped += 1
             continue
         keep.append(fp)
@@ -280,20 +378,15 @@ def stream_to_table(stream_df: DataFrame, path: str,
         v = current_version(path)
         if v >= 0 and _read_manifest(path, v).get("batch_id") == batch_id:
             return  # crash-replayed batch: already committed
+        # batch_id rides inside the commit document itself, so the data
+        # commit and the idempotence record are ONE atomic link — a
+        # crash can never leave a committed snapshot without its batch
+        # id (which would make checkpoint replay double-commit it).
+        meta = {"batch_id": batch_id}
         if stats_cols:
-            new_v = append_with_stats(batch_df, path, stats_cols)
+            append_with_stats(batch_df, path, stats_cols, extra_meta=meta)
         else:
-            new_v = append(batch_df, path)
-        # stamp the batch id for idempotence (re-write manifest in place
-        # is forbidden — record it by rewriting the just-committed doc
-        # atomically under the same version file)
-        doc = _read_manifest(path, new_v)
-        doc["batch_id"] = batch_id
-        meta = os.path.join(path, "_log")
-        staged = os.path.join(meta, f".manifest-{doc['nonce']}.stamp")
-        with open(staged, "w") as f:
-            json.dump(doc, f, default=str)
-        os.rename(staged, os.path.join(meta, _MANIFEST.format(v=new_v)))
+            append(batch_df, path, extra_meta=meta)
 
     writer = (stream_df.writeStream.foreachBatch(commit_batch)
               .option("checkpointLocation", checkpoint_dir))
@@ -348,19 +441,29 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     (sources/sinks.py:upsert_table gives the same semantics for plain
     directories; here history stays time-travelable).
 
-    Shape: union + per-key row_number favoring updates — one shuffle on
-    the key.  At real scale pair with ``compact(sort_by=[key_col])`` so
-    zone maps keep rewrites local.
-    """
-    from pyspark.sql import Window
+    Contract: ``updates`` must be unique on ``key_col`` — with
+    duplicate update keys "which row wins" is undefined, so this FAILS
+    FAST instead of resolving nondeterministically.  The base table may
+    legitimately hold many rows per key (it is a heap, not a PK table):
+    unmatched keys keep ALL their rows; matched keys are replaced by
+    exactly their update row.
 
+    Shape: anti join (matched base rows out) + union — one shuffle on
+    the key, broadcast when updates is small.  At real scale pair with
+    ``compact(sort_by=[key_col])`` so zone maps keep rewrites local.
+    """
+    dup = (updates.groupBy(key_col).count()
+           .where(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate {key_col!r} "
+            f"(e.g. {dup[0][key_col]!r}) — resolve duplicates first; "
+            "which-row-wins would be nondeterministic")
     try:
         base = read_table(spark, path)
     except FileNotFoundError:
         return overwrite(updates, path)
-    tagged = (base.withColumn("__pri", F.lit(0))
-              .unionByName(updates.withColumn("__pri", F.lit(1))))
-    w = Window.partitionBy(key_col).orderBy(F.col("__pri").desc())
-    merged = (tagged.withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") == 1).drop("__pri", "__rn"))
+    keys = updates.select(key_col).distinct()
+    merged = (base.join(keys, on=key_col, how="left_anti")
+              .unionByName(updates))
     return overwrite(merged, path)

@@ -41,8 +41,12 @@ def test_crashed_writer_files_invisible(spark, tmp_path):
     orphan_dir = os.path.join(t, "data", "txn-deadbeef")
     _df(spark, 500, 600).write.parquet(orphan_dir)
     assert M.read_table(spark, t).count() == 10
-    # vacuum reaps the orphans
-    deleted = M.vacuum(t, keep_versions=1)
+    # FRESH never-committed files could be an in-flight writer's staging:
+    # default retention must NOT reap them...
+    assert M.vacuum(t, keep_versions=1) == 0
+    assert os.path.exists(orphan_dir)
+    # ...but past the retention window they are crashed-writer orphans
+    deleted = M.vacuum(t, keep_versions=1, retention_sec=0.0)
     assert deleted > 0
     assert not os.path.exists(orphan_dir)
     assert M.read_table(spark, t).count() == 10
@@ -195,6 +199,116 @@ def test_merge_upsert_into_empty_table(spark, tmp_path):
     t = str(tmp_path / "tbl")
     M.merge_upsert(spark, _df(spark, 0, 3), t, "id")
     assert M.read_table(spark, t).count() == 3
+
+
+def test_two_concurrent_writers_exactly_one_wins(spark, tmp_path):
+    """Two writers race the same version slot: exactly ONE commit
+    succeeds, the loser raises cleanly (never both reporting success —
+    the os.link EEXIST claim closes the old rename TOCTOU window), and
+    a retry against the new head lands both datasets."""
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 5), t)  # head: v0
+
+    # Both writers stage data, both observe parent=0, both try v1.
+    # Simulate with direct _commit_doc calls at the same version.
+    M._commit_doc(t, 1, {"parent": 0, "files": [], "writer": "A"})
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        M._commit_doc(t, 1, {"parent": 0, "files": [], "writer": "B"})
+    # winner's doc intact — not silently replaced by the loser
+    assert M._read_manifest(t, 1)["writer"] == "A"
+    # loser retries against the refreshed head and succeeds
+    v = M.append(_df(spark, 5, 8), t)
+    assert v == 2 and M.current_version(t) == 2
+    # no stray staged .tmp manifests left behind
+    meta = os.path.join(t, "_log")
+    assert not [f for f in os.listdir(meta) if f.endswith(".tmp")]
+
+
+def test_vacuum_reaps_dropped_version_files_immediately(spark, tmp_path):
+    """Files committed to a now-dropped version are reaped regardless of
+    age (their visibility ended with their manifest); only NEVER
+    committed files get the in-flight retention grace."""
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)        # v0
+    M.overwrite(_df(spark, 50, 53), t)    # v1 (v0 files now historical)
+    deleted = M.vacuum(t, keep_versions=1)  # default retention
+    assert deleted > 0                      # v0's fresh files reaped
+    assert M.read_table(spark, t).count() == 3
+
+
+def test_zone_map_date_column_prunes(spark, tmp_path):
+    """Zone maps on a DATE column: min/max round-trip the JSON manifest
+    as ISO strings and must still prune (the default=str regression —
+    stats and query bounds now compare in one canonical domain)."""
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    for year in (2020, 2021, 2022):
+        df = (spark.range(0, 50)
+              .withColumn("d", F.to_date(F.lit(f"{year}-06-01"))
+                          + F.col("id").cast("int")))
+        M.append_with_stats(df.repartition(1), t, stats_cols=["d"])
+    df, read, skipped = M.read_table_pruned(
+        spark, t, "d",
+        datetime.date(2021, 6, 1), datetime.date(2021, 6, 30))
+    assert read == 1 and skipped == 2
+    assert df.count() == 30
+
+
+def test_zone_map_timestamp_column_prunes(spark, tmp_path):
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    for day in (1, 10, 20):
+        df = (spark.range(0, 24)
+              .withColumn("ts", F.to_timestamp(F.lit(f"2024-03-{day:02d}"))
+                          + F.make_interval(hours=F.col("id").cast("int"))))
+        M.append_with_stats(df.repartition(1), t, stats_cols=["ts"])
+    df, read, skipped = M.read_table_pruned(
+        spark, t, "ts",
+        datetime.datetime(2024, 3, 10), datetime.datetime(2024, 3, 11))
+    assert read == 1 and skipped == 2
+    assert df.count() == 24
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 5), t)
+    dup_updates = spark.createDataFrame(
+        [(3, 1), (3, 2)], ["id", "v"])
+    with pytest.raises(ValueError, match="duplicate"):
+        M.merge_upsert(spark, dup_updates, t, "id")
+
+
+def test_merge_upsert_keeps_all_base_rows_for_unmatched_keys(spark, tmp_path):
+    """The base table is a heap: a key with several legitimate rows that
+    the updates don't touch must keep ALL of them (the old window-dedup
+    shape silently collapsed multi-row keys)."""
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], ["id", "v"])
+    M.append(base, t)
+    updates = spark.createDataFrame([(2, 99)], ["id", "v"])
+    M.merge_upsert(spark, updates, t, "id")
+    rows = sorted((r["id"], r["v"])
+                  for r in M.read_table(spark, t).collect())
+    assert rows == [(1, 10), (1, 11), (2, 99)]
+
+
+def test_stream_batch_id_inside_commit_doc(spark, tmp_path):
+    """The streaming sink's batch id must live INSIDE the commit
+    document (atomic with the snapshot) — no separate stamp step a
+    crash could tear off."""
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    _df(spark, 0, 6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    M.stream_to_table(stream, t, ck).awaitTermination()
+    v = M.current_version(t)
+    assert "batch_id" in M._read_manifest(t, v)
 
 
 def test_schema_evolution_additive_column(spark, tmp_path):

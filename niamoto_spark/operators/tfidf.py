@@ -69,19 +69,49 @@ def tfidf_postings(df: DataFrame, id_col: str, text_col: str,
 def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
                        threshold: float = 0.5,
                        max_df_frac: float | None = 0.5,
-                       round_dp: int = 4) -> DataFrame:
-    """Document pairs with TF-IDF cosine >= threshold: postings self-join
-    on token -> groupBy(pair) dot product.  Output (id_a, id_b, cosine),
-    id_a < id_b."""
+                       round_dp: int = 4,
+                       prefilter: str = "none") -> DataFrame:
+    """Document pairs with TF-IDF cosine >= threshold.  Output
+    (id_a, id_b, cosine), id_a < id_b.
+
+    Two lanes (VERDICT r6 #3):
+
+    - ``prefilter='none'`` — the EXACT postings self-join on token ->
+      groupBy(pair) dot product.  This is the oracle mode (q97 refits
+      the whole model in SQL against it), but its join cardinality is
+      df-pruning-bounded only: one token in f% of N docs still emits
+      (fN)² rows, so it is a verification/small-corpus lane.
+    - ``prefilter='minhash'`` — the 100 TB lane: MinHash-LSH candidate
+      pairs first (banded equi-join, hot-bucket capped — the same
+      shape as dedup.ngram_jaccard_pairs), then the postings dot
+      product computed ONLY for candidate pairs.  The shuffle is
+      bounded by |candidates| x avg postings, not by token df.  Cosines
+      reported are exact; recall follows the LSH banding curve (high
+      near-duplicate pairs share shingles, hence buckets).
+    """
     p = tfidf_postings(df, id_col, text_col, max_df_frac=max_df_frac)
     left = p.select(F.col("doc_id").alias("id_a"), "token",
                     F.col("weight").alias("w_a"))
     right = p.select(F.col("doc_id").alias("id_b"), "token",
                      F.col("weight").alias("w_b"))
-    dots = (left.join(right, "token")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("__dot")))
+    if prefilter == "minhash":
+        from niamoto_spark.operators.dedup import minhash_lsh_candidates
+
+        cand = (minhash_lsh_candidates(df, id_col, text_col,
+                                       jaccard_threshold=0.0)
+                .select("id_a", "id_b"))
+        dots = (cand.join(left, "id_a")
+                .join(right, ["id_b", "token"])
+                .groupBy("id_a", "id_b")
+                .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("__dot")))
+    elif prefilter == "none":
+        dots = (left.join(right, "token")
+                .where(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("__dot")))
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r} "
+                         "(expected 'none' or 'minhash')")
     return (dots.select("id_a", "id_b",
                         F.round("__dot", round_dp).alias("cosine"))
             .where(F.col("cosine") >= threshold))

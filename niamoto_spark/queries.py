@@ -1662,6 +1662,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_antijoin_scalar_subquery": q124_antijoin_scalar_subquery,
         "q125_markov_transitions": q125_markov_transitions,
         "q126_heavy_hitters": q126_heavy_hitters,
+        "q127_tfidf_prefiltered": q127_tfidf_prefiltered,
     }
 
 
@@ -4193,6 +4194,25 @@ SELECT item, freq FROM (
   GROUP BY tok
 ) ORDER BY freq DESC, item ASC LIMIT 25
 """
+
+
+def q127_tfidf_prefiltered(spark, sf_dir):
+    """Rows-only (hash-seeded LSH).  The 100 TB lane of
+    tfidf_cosine_pairs (operators/tfidf.py, prefilter='minhash'):
+    MinHash-LSH candidates first, exact TF-IDF cosine computed only for
+    candidate pairs — join cardinality bounded by the banded LSH
+    equi-join instead of token document-frequency.  Same planted
+    duplicate slice as q38 so candidate pairs exist at every SF;
+    reported cosines are exact (tests pin prefiltered ⊆ exact and
+    recall on the planted pairs)."""
+    from niamoto_spark.operators.tfidf import tfidf_cosine_pairs
+
+    d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+         .select("doc_id", "text"))
+    planted = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    return tfidf_cosine_pairs(planted, "doc_id", "text", threshold=0.3,
+                              max_df_frac=0.5, prefilter="minhash")
 
 
 def build_oracles() -> dict[str, str]:

@@ -75,6 +75,61 @@ def test_tfidf_matches_sklearn_formula(spark):
     assert post[(1, "b")] == pytest.approx(raw1["b"] / l2)
 
 
+def _near_dup_corpus(spark):
+    """40 docs in 20 near-duplicate pairs (one of 20 words substituted —
+    shingle Jaccard ~0.71, well inside the 64-hash/16-band LSH curve)
+    plus 20 unrelated docs with disjoint vocabularies."""
+    rows = []
+    for i in range(20):
+        words = [f"w{i}x{j}" for j in range(20)]
+        base = " ".join(words)
+        words[10] = f"sub{i}"
+        rows.append((i, base))
+        rows.append((1000 + i, " ".join(words)))
+    for i in range(20):
+        rows.append((2000 + i, f"solo{i}a solo{i}b solo{i}c solo{i}d"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_minhash_prefilter_subset_and_recall(spark):
+    """The prefiltered lane reports a SUBSET of the exact lane's pairs
+    with identical cosines (candidates only restrict, never alter the
+    dot product), and catches the planted near-dup pairs."""
+    df = _near_dup_corpus(spark)
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in tfidf_cosine_pairs(
+                 df, "doc_id", "text", threshold=0.3,
+                 max_df_frac=None).collect()}
+    pre = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(
+               df, "doc_id", "text", threshold=0.3,
+               max_df_frac=None, prefilter="minhash").collect()}
+    assert set(pre) <= set(exact)
+    for pair, cos in pre.items():
+        assert cos == pytest.approx(exact[pair])
+    planted = {(i, 1000 + i) for i in range(20)}
+    got = planted & set(pre)
+    assert len(got) >= 18  # LSH banding recall on 5/7-shared-gram pairs
+
+
+def test_tfidf_prefilter_plan_bounded_no_cartesian(spark):
+    """The scale lane's plan must contain no cartesian/nested-loop join:
+    every join is an equi-join keyed by LSH band or pair ids."""
+    df = _near_dup_corpus(spark)
+    plan = tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.3,
+        prefilter="minhash")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_unknown_prefilter_raises(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="prefilter"):
+        tfidf_cosine_pairs(df, "doc_id", "text", prefilter="bogus")
+
+
 def test_tfidf_max_df_prunes_stop_tokens(spark):
     rows = [(i, f"common unique{i}") for i in range(10)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -109,6 +109,40 @@ def main() -> None:
     print(f"scd2_history (1-Exchange windows): {dt:.2f}s "
           f"({ne / dt / 1e6:.1f}M rows/s)")
 
+    # manifest zone-map pruning effectiveness at scale: sort-clustered
+    # compaction -> a 1%-selectivity range read should SKIP ~99% of files
+    # and run in a small fraction of the full-scan time.
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    tdir = tempfile.mkdtemp(prefix="probe_manifest_")
+    tbl = os.path.join(tdir, "tbl")
+    try:
+        M.append(big.select("l_orderkey", "l_partkey", "l_quantity",
+                            "l_extendedprice"), tbl)
+        M.compact(spark, tbl, target_files=64, sort_by=["l_orderkey"])
+        lo = 3_000_000
+        hi = lo + int(mult * 10_000_000 * 0.01)   # ~1% of the key space
+        t0 = time.time()
+        full = M.read_table(spark, tbl).where(
+            (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+        ).count()
+        dt_full = time.time() - t0
+        t0 = time.time()
+        df, read, skipped = M.read_table_pruned(
+            spark, tbl, "l_orderkey", lo, hi)
+        pruned = df.count()
+        dt_pruned = time.time() - t0
+        assert pruned == full, (pruned, full)
+        print(f"manifest zone-map prune: skipped {skipped}/{read + skipped} "
+              f"files ({100 * skipped / (read + skipped):.0f}%), "
+              f"{dt_full:.2f}s full -> {dt_pruned:.2f}s pruned "
+              f"({dt_full / max(dt_pruned, 1e-9):.1f}x)")
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

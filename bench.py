@@ -64,6 +64,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # Evict persisted frames leaked by PREVIOUS queries (operators
+        # persist intermediates; a bench loop would otherwise accumulate
+        # them and slow later queries round over round — the q38 creep).
+        spark.catalog.clearCache()
         best, n = None, 0
         for _ in range(2):  # best-of-2: steady-state, not scheduler noise
             t0 = time.time()

@@ -195,7 +195,11 @@ def export_html_site(results: DataFrame, id_col: str, out_dir: str,
 
         ids = []
         index_rows = []
-        for r in results.select(*idx_cols).orderBy(id_col).collect():
+        # streamed partition-at-a-time (not one big collect): only the
+        # narrow idx_cols projection ever reaches the driver, and never
+        # all partitions at once
+        for r in (results.select(*idx_cols).orderBy(id_col)
+                  .toLocalIterator()):
             d = r.asDict()
             ids.append(d[id_col])
             index_rows.append({c: d.get(c) for c in idx_cols})

@@ -239,7 +239,10 @@ def export_json_api(results: DataFrame, id_col: str, out_dir: str,
 
     idx_src = results.filter(index_filter) if index_filter else results
     items = []
-    for r in idx_src.orderBy(id_col).collect():
+    # toLocalIterator streams one partition at a time to the driver: the
+    # raw entity rows (wide: every widget JSON) never materialize all at
+    # once — only the narrow mapped index entries accumulate for paging.
+    for r in idx_src.orderBy(id_col).toLocalIterator():
         item = _parse_widget_strings(r.asDict(recursive=True))
         if filters and not _matches_filters(item, filters):
             continue

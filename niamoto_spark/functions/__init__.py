@@ -25,9 +25,54 @@ def fan_out(df, min_factor: int = 4):
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
+    if _est_partitions(df) * min_factor <= target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark byte-size strings: '134217728', '128m', '128MB', '1g'."""
+    s = s.strip().lower()
+    for suffix, mult in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30),
+                         ("k", 2**10), ("m", 2**20), ("g", 2**30),
+                         ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[:-len(suffix)]) * mult)
+    return int(s)
+
+
+def _est_partitions(df) -> int:
+    """Estimate the scan's partition count WITHOUT ``df.rdd`` (the
+    RDD conversion costs ~100ms of driver work per fresh plan — pure
+    overhead on the operator hot path).  File-based plans estimate from
+    the file listing and ``maxPartitionBytes`` (how Spark actually
+    splits scans); non-file plans (in-memory test frames, streams) fall
+    back to the RDD probe."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import os
+        from urllib.parse import urlparse
+
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        max_bytes = _parse_bytes(raw)
+        total = 0
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme not in ("file", ""):
+                # remote store: sizes unknown here; be conservative and
+                # probe the RDD rather than mis-classify a big scan as
+                # narrow (a wrong repartition at scale is a full shuffle)
+                return df.rdd.getNumPartitions()
+            try:
+                total += os.path.getsize(p.path)
+            except OSError:
+                return df.rdd.getNumPartitions()
+        return max(len(files), (total + max_bytes - 1) // max_bytes)
+    return df.rdd.getNumPartitions()
 
 
 def round2(col: Column | str) -> Column:

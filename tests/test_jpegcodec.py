@@ -88,13 +88,58 @@ def test_decode_image_dispatches_jpeg():
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
 
 
-def test_progressive_marker_rejected():
+def test_unsupported_process_markers_rejected():
+    """Arithmetic / lossless / hierarchical SOFs still raise; SOF2
+    (progressive) is now a supported process."""
     img = _gradient(8, 8)
     data = bytearray(jc.encode_jpeg(img))
     i = data.find(b"\xFF\xC0")
-    data[i + 1] = 0xC2                    # SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
-        jc.decode_jpeg(bytes(data))
+    for sof in (0xC3, 0xC9, 0xCB):
+        bad = bytearray(data)
+        bad[i + 1] = sof
+        with pytest.raises(ValueError, match="unsupported JPEG process"):
+            jc.decode_jpeg(bytes(bad))
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_progressive_decode_bitexact_with_sequential(subsample):
+    """The progressive byte stream carries the SAME quantized
+    coefficients as the sequential one (DC/AC split + successive
+    approximation reassembled across 8 scans), so decoding both must be
+    bit-identical — the strongest possible progressive round-trip pin."""
+    img = _gradient(37, 51) if subsample == "420" else _gradient(33, 41)
+    for q in (90, 60):
+        seq = jc.decode_jpeg(jc.encode_jpeg(img, quality=q,
+                                            subsample=subsample))
+        prog = jc.decode_jpeg(jc.encode_jpeg_progressive(
+            img, quality=q, subsample=subsample))
+        assert np.array_equal(seq, prog)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    data = jc.encode_jpeg_progressive(_gradient(16, 16))
+    assert b"\xFF\xC2" in data            # progressive SOF
+    assert b"\xFF\xC0" not in data
+    assert data.count(b"\xFF\xDA") == 8   # DC, 3xAC, 3xAC-refine, DC-refine
+
+
+def test_progressive_noise_roundtrip_dense_ac():
+    """Dense high-frequency content exercises ZRL-in-refinement and long
+    correction-bit runs (a gradient alone leaves most AC zero)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    seq = jc.decode_jpeg(jc.encode_jpeg(img, quality=95))
+    prog = jc.decode_jpeg(jc.encode_jpeg_progressive(img, quality=95))
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_solid_color_eob_runs():
+    """A solid image is ALL end-of-band runs across every AC scan —
+    pins the EOB-run length coding (r > 0 extension bits) both ways."""
+    img = np.full((32, 40, 3), 77, dtype=np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(out, jc.decode_jpeg(jc.encode_jpeg(img,
+                                                             quality=90)))
 
 
 def test_image_near_dup_over_mixed_png_jpeg(spark):

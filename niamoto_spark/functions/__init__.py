@@ -13,7 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def fan_out(df, min_factor: int = 4):
+def fan_out(df, min_factor: int = 4, min_bytes: int = 8 * 1024 * 1024):
     """Repartition a narrow input for CPU-heavy per-row expressions.
 
     Single-row-group parquet files scan as ONE task no matter how many cores
@@ -22,10 +22,19 @@ def fan_out(df, min_factor: int = 4):
     cluster's parallelism, spread it; otherwise leave the layout alone (at
     real scale the source is already well-partitioned and the extra shuffle
     would be pure waste — the check makes this a no-op there).
+
+    Inputs smaller than ``min_bytes`` are ALSO left alone: expression
+    work on a few MB finishes faster on one core than the repartition's
+    extra shuffle stage costs in scheduling latency (the shuffle is only
+    worth paying when there is real CPU work to spread).  Unknown sizes
+    (non-file sources) fan out — at worst a tiny extra stage.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if _est_partitions(df) * min_factor <= target:
+    parts, nbytes = _est_scan(df)
+    if nbytes is not None and nbytes < min_bytes:
+        return df
+    if parts * min_factor <= target:
         return df.repartition(target)
     return df
 
@@ -41,13 +50,13 @@ def _parse_bytes(s: str) -> int:
     return int(s)
 
 
-def _est_partitions(df) -> int:
-    """Estimate the scan's partition count WITHOUT ``df.rdd`` (the
-    RDD conversion costs ~100ms of driver work per fresh plan — pure
-    overhead on the operator hot path).  File-based plans estimate from
-    the file listing and ``maxPartitionBytes`` (how Spark actually
-    splits scans); non-file plans (in-memory test frames, streams) fall
-    back to the RDD probe."""
+def _est_scan(df) -> tuple[int, int | None]:
+    """(estimated partitions, total input bytes or None) WITHOUT
+    ``df.rdd`` (the RDD conversion costs ~100ms of driver work per fresh
+    plan — pure overhead on the operator hot path).  File-based plans
+    estimate from the file listing and ``maxPartitionBytes`` (how Spark
+    actually splits scans); non-file plans (in-memory test frames,
+    streams) fall back to the RDD probe with unknown bytes."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -66,13 +75,17 @@ def _est_partitions(df) -> int:
                 # remote store: sizes unknown here; be conservative and
                 # probe the RDD rather than mis-classify a big scan as
                 # narrow (a wrong repartition at scale is a full shuffle)
-                return df.rdd.getNumPartitions()
+                return df.rdd.getNumPartitions(), None
             try:
                 total += os.path.getsize(p.path)
             except OSError:
-                return df.rdd.getNumPartitions()
-        return max(len(files), (total + max_bytes - 1) // max_bytes)
-    return df.rdd.getNumPartitions()
+                return df.rdd.getNumPartitions(), None
+        return max(len(files), (total + max_bytes - 1) // max_bytes), total
+    return df.rdd.getNumPartitions(), None
+
+
+def _est_partitions(df) -> int:
+    return _est_scan(df)[0]
 
 
 def round2(col: Column | str) -> Column:

@@ -88,7 +88,6 @@ def _signature_from_hashed(hashed: Column, n_shingles: Column,
     )
 
 
-@register("minhash_lsh_candidates", PluginType.TRANSFORMER)
 def _log_dropped_async(obs, max_bucket_size: int) -> None:
     """Log the hot-bucket recall warning from ``Observation`` metrics
     without a dedicated count job: a daemon thread parks until the first
@@ -113,6 +112,7 @@ def _log_dropped_async(obs, max_bucket_size: int) -> None:
                      name="minhash-bucket-cap-log").start()
 
 
+@register("minhash_lsh_candidates", PluginType.TRANSFORMER)
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_k: int = 3,
@@ -132,14 +132,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     a dropped bucket still pairs through its other, smaller band buckets.
     ``max_bucket_size=None`` disables the cap.
 
-    The cap is a window count over (band, band_hash) INSIDE the one
-    plan — not a separate counts aggregate + semi-join + count() job
-    (that extra job was ~35% of the whole query's wall time, the q38
-    bench creep).  The window's shuffle doubles as the self-join's
-    partitioning, so the cap costs no additional Exchange.  Dropped
-    recall stays observable (ADVICE r2) via ``Observation`` metrics
-    collected DURING the main action: a daemon thread logs the warning
-    as soon as the first action on the result completes.
+    The cap is a broadcast ANTI join against the HOT buckets only: the
+    bucket-count aggregate runs on the two join-key columns alone (the
+    signatures never enter its shuffle), buckets over the cap are by
+    construction few (≤ n/max_bucket_size), so they broadcast, and the
+    anti join costs the big side NO exchange.  This beat both earlier
+    shapes measured on the q38 fixture: a dedicated counts + semi-join +
+    eager count() job (~35% of wall time) and a window count over
+    (band, band_hash) (the window's per-partition sort cost ~2x the
+    whole uncapped query).  Dropped recall stays observable (ADVICE r2)
+    via ``Observation`` metrics on the hot-bucket frame, collected
+    DURING the main action: a daemon thread logs the warning as soon as
+    the first action completes — no separate counting job.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -172,41 +176,85 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("band", "band_hash"),
     )
+    # Cap strategy is size-adaptive.  Big inputs: a keys-only count
+    # aggregate finds the (few, ≤ n/cap) viral buckets and a broadcast
+    # ANTI join drops them BEFORE the collect shuffle, so no viral
+    # bucket ever concentrates into one aggregation buffer — the
+    # scale-safe path.  Small inputs (scan bytes known and < 32 MB): the
+    # worst bucket is bounded by the input itself, so the cap is
+    # enforced INLINE on the collected bucket (same buckets dropped,
+    # identical semantics) and the pre-count's two extra AQE jobs —
+    # pure scheduling latency at that size — are skipped.
+    inline_cap = False
     if max_bucket_size is not None:
-        from pyspark.sql import Window
+        from niamoto_spark.functions import _est_scan
 
-        w = Window.partitionBy("band", "band_hash")
-        counted = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        _, nbytes = _est_scan(df)
+        inline_cap = nbytes is not None and nbytes < 32 * 1024 * 1024
+        if not inline_cap:
+            hot = (banded.select("band", "band_hash")
+                   .groupBy("band", "band_hash")
+                   .agg(F.count(F.lit(1)).alias("__bn"))
+                   .where(F.col("__bn") > max_bucket_size))
+            try:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                hot = hot.observe(
+                    obs, F.coalesce(F.sum("__bn"), F.lit(0))
+                    .alias("dropped_rows"))
+                _log_dropped_async(obs, max_bucket_size)
+            except ImportError:
+                pass
+            banded = banded.join(F.broadcast(hot.drop("__bn")),
+                                 ["band", "band_hash"], "left_anti")
+    # Candidate pairs by bucket GROUPING, not a self-join: collect each
+    # bucket's (id, sig) members (bounded by max_bucket_size after the
+    # cap) and enumerate the C(n,2) pairs with higher-order functions.
+    # vs the banded self-join this saves two Exchanges of the signature
+    # payload (left + right) plus the pair-dedup shuffle of sig columns
+    # — est_jaccard is computed IN the bucket stage, so only (id_a,
+    # id_b, est) rows that already cleared the threshold reach the final
+    # distinct.  It also ends the double consumption, so no persist.
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.collect_list(F.struct(F.col("doc_id"),
+                                            F.col("sig"))).alias("ms")))
+    if inline_cap:
         try:
             from pyspark.sql import Observation
 
             obs = Observation()
-            counted = counted.observe(
-                obs,
-                F.sum(F.when(F.col("__bn") > max_bucket_size, 1)
-                      .otherwise(0)).alias("dropped_rows"))
+            buckets = buckets.observe(
+                obs, F.coalesce(F.sum(F.when(
+                    F.size("ms") > max_bucket_size, F.size("ms"))),
+                    F.lit(0)).alias("dropped_rows"))
             _log_dropped_async(obs, max_bucket_size)
         except ImportError:
             pass
-        banded = counted.where(
-            F.col("__bn") <= max_bucket_size).drop("__bn")
-    banded = banded.persist()  # consumed twice by the self-join; without
-    #              this the whole signature pipeline (the expensive part)
-    #              runs twice
-    left = banded.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
-                         "band", "band_hash")
-    right = banded.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
-                          "band", "band_hash")
-    pairs = (left.join(right, ["band", "band_hash"])
-                 .where(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b", "sig_a", "sig_b")
-                 .dropDuplicates(["id_a", "id_b"]))
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                            lambda v: v))
-    est = agree.cast("double") / F.lit(num_hashes)
-    return (pairs.withColumn("est_jaccard", F.round(est, 4))
-                 .where(F.col("est_jaccard") >= jaccard_threshold)
-                 .select("id_a", "id_b", "est_jaccard"))
+        buckets = buckets.where(F.size("ms") <= max_bucket_size)
+    n = F.size("ms")
+    ms = F.col("ms")
+
+    def pair(i, j):
+        a, b = F.element_at(ms, i + 1), F.element_at(ms, j + 1)
+        agree = F.size(F.filter(
+            F.zip_with(a["sig"], b["sig"], lambda x, y: x == y),
+            lambda v: v))
+        return F.struct(
+            F.least(a["doc_id"], b["doc_id"]).alias("id_a"),
+            F.greatest(a["doc_id"], b["doc_id"]).alias("id_b"),
+            F.round(agree.cast("double") / F.lit(num_hashes), 4)
+            .alias("est_jaccard"))
+
+    # guard n>=2: sequence(0, -1) would DESCEND, not be empty
+    pairs_arr = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(F.sequence(i + 1, n - 1),
+                              lambda j: pair(i, j)))))
+    return (buckets.select(F.explode(pairs_arr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.est_jaccard")
+            .where(F.col("est_jaccard") >= jaccard_threshold)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def minhash_dedup_keep(df: DataFrame, id_col: str, text_col: str,

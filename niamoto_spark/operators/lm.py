@@ -1,0 +1,113 @@
+"""N-gram language-model perplexity scoring for corpus quality filtering.
+
+CCNet / Dolma-style pipelines rank web documents by the perplexity of a
+small n-gram LM and keep the low-perplexity (fluent) tail.  The usual
+recipe trains KenLM offline; on Spark the same statistic distributes
+directly — fit bigram/unigram counts with two aggregations, score every
+document with one join, never leaving the JVM:
+
+- fit: tokens -> (BOS-padded) bigrams -> ``groupBy(w1, w2).count`` and
+  ``groupBy(w1).count`` + vocabulary size V;
+- score: each doc's bigrams LEFT-join the count tables (unseen bigrams
+  hit add-k smoothing mass) and average
+  ``ln((c(w1,w2)+k) / (c(w1)+k·V))`` — the per-doc mean log-probability;
+  perplexity = exp(-mean).
+
+Both count tables are Zipf-small relative to the corpus (they grow with
+vocabulary, not tokens), so at 100 TB they broadcast — the scoring pass
+is two broadcast hash joins over the exploded bigram stream plus one
+re-aggregation keyed by doc id.  Everything is closed-form rational
+arithmetic, so the whole fit+score round-trips as a DuckDB SQL refit
+(q129's oracle replays fit AND score in SQL).
+
+The reference has no LM scoring (closest is its quality heuristics,
+src/niamoto/core/plugins — covered by operators/text.py); this is an
+extension-brief operator for the training-data lane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+BOS = "\x02"  # sentinel outside the \s+ token alphabet
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) bigram stream, BOS-padded, built with higher-order
+    array functions — no UDF, no per-row Python."""
+    toks = df.select(
+        F.col(id_col),
+        F.concat(F.array(F.lit(BOS)),
+                 F.split(F.lower(F.col(text_col)), r"\s+")).alias("toks"))
+    return (toks
+            .select(id_col, F.expr(
+                "explode(transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)))").alias("bg"))
+            .select(id_col, F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+
+
+def fit_bigram_lm(df: DataFrame, text_col: str,
+                  id_col: str) -> tuple[DataFrame, DataFrame, int]:
+    """(bigram_counts, unigram_counts, vocab_size).
+
+    Counts are plain hash aggregations over the bigram stream; V counts
+    distinct *successor* tokens (BOS excluded), matching the smoothing
+    denominator's event space."""
+    bg = _bigrams(df, id_col, text_col)
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    unigram_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bg.select("w2").distinct().count()
+    return bigram_counts, unigram_counts, vocab
+
+
+@register("lm_perplexity_score", PluginType.TRANSFORMER)
+def lm_perplexity_score(df: DataFrame, text_col: str, id_col: str,
+                        add_k: float = 0.5,
+                        bigram_counts: DataFrame | None = None,
+                        unigram_counts: DataFrame | None = None,
+                        vocab_size: int | None = None) -> DataFrame:
+    """Per-document mean log-probability under an add-k-smoothed bigram
+    LM (self-fit on ``df`` when no model is passed).
+
+    Returns (id_col, n_bigrams, avg_logprob, perplexity).  Lower
+    perplexity = more fluent under the corpus model; filter with e.g.
+    ``result.where('perplexity < t')`` or an approx-quantile cut.
+
+    Scale shape: the count tables broadcast (vocabulary-sized), the
+    bigram stream never shuffles except for the final per-doc
+    re-aggregation, which re-uses the natural doc-id key."""
+    if bigram_counts is None or unigram_counts is None or vocab_size is None:
+        bigram_counts, unigram_counts, vocab_size = fit_bigram_lm(
+            df, text_col, id_col)
+    bg = _bigrams(df, id_col, text_col)
+    scored = (bg
+              .join(F.broadcast(bigram_counts), ["w1", "w2"], "left")
+              .join(F.broadcast(unigram_counts), ["w1"], "left")
+              .select(
+                  id_col,
+                  F.log(
+                      (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k)) /
+                      (F.coalesce(F.col("c1"), F.lit(0)) +
+                       F.lit(add_k) * F.lit(float(vocab_size)))
+                  ).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.avg("lp").alias("avg_logprob"))
+            .withColumn("perplexity", F.exp(-F.col("avg_logprob"))))
+
+
+def lm_quality_filter(df: DataFrame, text_col: str, id_col: str,
+                      keep_frac: float = 0.5,
+                      add_k: float = 0.5) -> DataFrame:
+    """Keep the lowest-perplexity ``keep_frac`` of documents (CCNet's
+    head/middle split).  The cutoff comes from ``approx_percentile`` —
+    one extra aggregation, no sort of the corpus."""
+    scores = lm_perplexity_score(df, text_col, id_col, add_k=add_k)
+    cut = scores.agg(F.expr(
+        f"approx_percentile(perplexity, {float(keep_frac)})")).first()[0]
+    keep = scores.where(F.col("perplexity") <= F.lit(float(cut)))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")

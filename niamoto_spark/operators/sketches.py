@@ -19,7 +19,7 @@ mathematical guarantee in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -104,3 +104,80 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int = 16) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("freq"))
             .orderBy(F.col("freq").desc(), F.col("item").asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+# estimation in d·w counters.
+
+def _cms_bucket(col: Column | str, seed: int, width: int) -> Column:
+    """Deterministic bucket for one CMS row: the first 8 hex chars of
+    md5(seed || item) mod width.  md5-based on purpose — DuckDB computes
+    the identical value, so a CMS built here refits EXACTLY in SQL
+    (q131's oracle rebuilds the whole sketch, estimates included).
+    xxhash64 would be faster JVM-side but is not reproducible outside
+    Spark; sketch construction cost is one projection either way."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string"))), 1, 8),
+        16, 10).cast("bigint") % width
+
+
+def cms_bucket_sql(expr: str, seed: int, width: int) -> str:
+    """The DuckDB-SQL twin of ``_cms_bucket`` (used by oracle refits)."""
+    return (f"CAST(('0x' || substr(md5('{seed}|' || CAST({expr} AS "
+            f"VARCHAR)), 1, 8)) AS BIGINT) % {width}")
+
+
+@register("count_min_sketch", PluginType.TRANSFORMER)
+def count_min_sketch(df: DataFrame, col: str, width: int = 1024,
+                     depth: int = 4) -> list[list[int]]:
+    """Build a d×w count-min sketch of ``col`` as ONE aggregation whose
+    output is bounded by d·w rows regardless of corpus size: each item
+    emits d (row, bucket) pairs via posexplode, then
+    ``groupBy(row, bucket).count`` — partial aggregation combines
+    map-side, so the shuffle carries at most d·w rows per partition.
+
+    Guarantee: estimate(x) >= true(x) always, and
+    estimate(x) <= true(x) + 2n/w with probability 1 - (1/2)^d.
+    Sketches merge by cellwise addition (tested), so per-day /
+    per-partition sketches roll up without touching raw data."""
+    buckets = F.posexplode(F.array(*[
+        _cms_bucket(col, s, width) for s in range(depth)]))
+    rows = (df.select(buckets.alias("row", "bucket"))
+            .groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+            .collect())
+    sketch = [[0] * width for _ in range(depth)]
+    for r in rows:
+        sketch[int(r["row"])][int(r["bucket"])] = int(r["c"])
+    return sketch
+
+
+def cms_merge(a: list[list[int]], b: list[list[int]]) -> list[list[int]]:
+    if len(a) != len(b) or len(a[0]) != len(b[0]):
+        raise ValueError("count-min sketches must share (depth, width)")
+    return [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)]
+
+
+def cms_estimate(sketch: list[list[int]], item) -> int:
+    """Point estimate: min over rows of the item's bucket counter."""
+    import hashlib
+    width = len(sketch[0])
+    est = None
+    for seed, row in enumerate(sketch):
+        h = hashlib.md5(f"{seed}|{item}".encode()).hexdigest()[:8]
+        c = row[int(h, 16) % width]
+        est = c if est is None else min(est, c)
+    return int(est)
+
+
+def cms_estimate_df(df: DataFrame, col: str,
+                    sketch: list[list[int]]) -> DataFrame:
+    """Vectorized estimates for a DataFrame of items: the sketch rows
+    enter the plan as array literals (d·w longs — KBs), the bucket and
+    min-over-rows are pure codegen expressions.  Adds ``cms_est``."""
+    width = len(sketch[0])
+    ests = [F.element_at(F.lit(row),
+                         _cms_bucket(col, seed, width).cast("int") + 1)
+            for seed, row in enumerate(sketch)]
+    return df.withColumn("cms_est", F.least(*ests))

@@ -715,3 +715,65 @@ def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str,
     return (df.select(F.col(id_col)).distinct()
             .join(per_doc.withColumnRenamed("__doc", id_col), id_col, "left")
             .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))))
+
+
+@register("dedup_corpus_lines", PluginType.TRANSFORMER)
+def dedup_corpus_lines(df: DataFrame, id_col: str, text_col: str,
+                       sep: str = "\n",
+                       min_line_chars: int = 1) -> DataFrame:
+    """C4-style corpus-wide duplicate-LINE removal: every line keeps only
+    its FIRST occurrence across the whole corpus (ordered by
+    (id, line_no)); later copies — boilerplate headers, nav bars, cookie
+    banners, licence footers — are stripped from the rewritten text.
+    This is the span-level companion to document-level dedup: C4 removed
+    any three-sentence span occurring twice; Dolma/RefinedWeb do it at
+    line granularity, which is what this implements.
+
+    Semantics:
+    - lines shorter than ``min_line_chars`` (after trim) pass through
+      untouched (never treated as duplicates — "" or "-" lines are
+      structure, not content);
+    - a doc whose every content line is a later duplicate drops out
+      entirely (empty docs are noise downstream anyway);
+    - output text is the surviving lines re-joined with ``sep`` in
+      original order: (id, n_lines_kept, n_lines_dropped, text).
+
+    Scale shape: posexplode (narrow) -> one shuffle keyed by the line
+    hash to elect the global first occurrence (min over a monotone
+    (id, line_no) rank — an aggregation, not a window over the corpus)
+    -> join back on the hash -> per-doc re-assembly keyed by id.  Two
+    shuffles total, both on natural keys; state per distinct line is one
+    (hash, min_rank) pair, so the election side scales with DISTINCT
+    lines, not corpus size.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep))
+         .alias("__line_no", "__line"))
+    content = F.length(F.trim(F.col("__line"))) >= min_line_chars
+    lines = lines.withColumn("__content", content).withColumn(
+        "__h", F.when(content, F.xxhash64("__line")))
+    # Global first occurrence per distinct content line.  The rank packs
+    # (id, line_no) into one orderable long so "first" is a MIN aggregate
+    # (mergeable map-side) rather than a corpus-wide window sort.
+    rank = (F.col("__id").cast("bigint") * F.lit(1 << 20)
+            + F.col("__line_no"))
+    firsts = (lines.where("__content")
+              .groupBy("__h").agg(F.min(rank).alias("__first")))
+    kept = (lines.join(firsts, on="__h", how="left")
+            .where(~F.col("__content") | (rank == F.col("__first"))))
+    out = (kept.groupBy("__id")
+           .agg(F.sum(F.when(F.col("__content"), 1).otherwise(0))
+                .alias("n_lines_kept"),
+                F.concat_ws(sep, F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__line_no"), F.col("__line")))),
+                    lambda s: s["__line"])).alias(text_col)))
+    totals = (lines.groupBy("__id")
+              .agg(F.sum(F.when(F.col("__content"), 1).otherwise(0))
+                   .alias("__n_content")))
+    return (out.join(totals, "__id")
+            .where(F.col("n_lines_kept") > 0)
+            .select(F.col("__id").alias(id_col), "n_lines_kept",
+                    (F.col("__n_content") - F.col("n_lines_kept"))
+                    .alias("n_lines_dropped"), text_col))

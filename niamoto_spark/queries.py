@@ -4226,6 +4226,195 @@ def q127_tfidf_prefiltered(spark, sf_dir):
                               max_df_frac=0.5, prefilter="minhash")
 
 
+def q128_bloom_semi_join(spark, sf_dir):
+    """Bloom-filter join pruning (operators/bloomjoin.py): lineitems of
+    high-value orders via bloom_semi_join — the m-bit bitmap built from
+    the dim keys prunes the fact scan BEFORE the join's exchange; the
+    follow-up semi join removes false positives, so the result is
+    exactly the plain semi join (the oracle)."""
+    from niamoto_spark.operators.bloomjoin import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    big_orders = (_t(spark, sf_dir, "orders")
+                  .where(F.col("o_totalprice") > 450000)
+                  .select("o_orderkey"))
+    hits = bloom_semi_join(li, big_orders, "l_orderkey", "o_orderkey")
+    return (hits.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+O_Q128 = """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 450000)
+GROUP BY l_returnflag
+"""
+
+
+def q129_bigram_lm(spark, sf_dir):
+    """Add-k-smoothed bigram language-model scoring (operators/lm.py):
+    the model is FIT on the corpus (two count aggregations + vocab) and
+    every document scored by its mean bigram log-probability — the
+    CCNet perplexity-bucket signal.  The oracle refits the identical
+    model in SQL (counts, vocabulary, smoothing and all)."""
+    from niamoto_spark.operators.lm import lm_perplexity_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = lm_perplexity_score(d, "text", "doc_id", add_k=0.5)
+    return scores.select("doc_id", "n_bigrams",
+                         F.round("avg_logprob", 4).alias("avg_lp"))
+
+
+O_Q129 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend(chr(2), string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || chr(1) || t[i+1])) AS b
+  FROM toks),
+bgc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+ugc AS (SELECT split_part(b, chr(1), 1) AS w1, count(*) AS c1
+        FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT split_part(b, chr(1), 2)) AS vocab FROM bg)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((bgc.c12 + 0.5) /
+                    (ugc.c1 + 0.5 * v.vocab))), 4) AS avg_lp
+FROM bg
+JOIN bgc USING (b)
+JOIN ugc ON ugc.w1 = split_part(bg.b, chr(1), 1)
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+def q130_line_dedup(spark, sf_dir):
+    """Corpus-wide duplicate-line removal (text.dedup_corpus_lines, the
+    C4/RefinedWeb boilerplate-stripping recipe).  Fixture wraps each
+    document in a shared header line and a per-language footer line —
+    the dedup keeps each line's global first occurrence (by doc_id,
+    line_no) and strips the other ~400 copies, plus any cross-doc
+    duplicate body lines the synthetic corpus plants."""
+    d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+         .select("doc_id",
+                 F.concat(F.lit("shared header line\n"), F.col("text"),
+                          F.lit("\nshared footer "), F.col("lang"))
+                 .alias("text")))
+    out = text_ops.dedup_corpus_lines(d, "doc_id", "text")
+    return out.select("doc_id", "n_lines_kept", "n_lines_dropped",
+                      F.md5("text").alias("text_hash"))
+
+
+O_Q130 = """
+WITH d AS (
+  SELECT doc_id, 'shared header line' || chr(10) || text || chr(10)
+         || 'shared footer ' || lang AS text
+  FROM documents WHERE doc_id < 400),
+lines AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) - 1
+           AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d),
+marked AS (
+  SELECT *, len(trim(line)) >= 1 AS content,
+         doc_id * 1048576 + line_no AS rnk
+  FROM lines),
+firsts AS (
+  SELECT line, min(rnk) AS first_rnk FROM marked WHERE content
+  GROUP BY line),
+kept AS (
+  SELECT m.* FROM marked m LEFT JOIN firsts f USING (line)
+  WHERE NOT m.content OR m.rnk = f.first_rnk)
+SELECT doc_id,
+       sum(CASE WHEN content THEN 1 ELSE 0 END) AS n_lines_kept,
+       (SELECT sum(CASE WHEN content THEN 1 ELSE 0 END)
+        FROM marked t WHERE t.doc_id = kept.doc_id)
+         - sum(CASE WHEN content THEN 1 ELSE 0 END) AS n_lines_dropped,
+       md5(string_agg(line, chr(10) ORDER BY line_no)) AS text_hash
+FROM kept
+GROUP BY doc_id
+HAVING sum(CASE WHEN content THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q131_count_min(spark, sf_dir):
+    """Count-min sketch (operators/sketches.py): d=4 x w=512 sketch of
+    the documents token stream built as ONE bounded aggregation, then
+    the top-25 tokens by CMS estimate.  The bucket hash is md5-based so
+    the oracle refits the ENTIRE sketch in SQL — estimates match
+    exactly, demonstrating the sketch is deterministic, not just
+    approximately right."""
+    from niamoto_spark.operators.sketches import (cms_estimate_df,
+                                                  count_min_sketch)
+
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.lower(F.col("text")), r"\s+"))
+                    .alias("tok")))
+    sketch = count_min_sketch(toks, "tok", width=512, depth=4)
+    return (cms_estimate_df(toks.distinct(), "tok", sketch)
+            .orderBy(F.col("cms_est").desc(), F.col("tok").asc())
+            .limit(25)
+            .select("tok", F.col("cms_est").cast("long").alias("cms_est")))
+
+
+O_Q131 = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents),
+sk AS (
+  SELECT s.seed,
+         CAST(('0x' || substr(md5(s.seed || '|' || tok), 1, 8)) AS BIGINT)
+           % 512 AS b,
+         count(*) AS c
+  FROM tok, (VALUES (0), (1), (2), (3)) s(seed)
+  GROUP BY 1, 2)
+SELECT d.tok, min(sk.c) AS cms_est
+FROM (SELECT DISTINCT tok FROM tok) d
+JOIN sk ON sk.b = CAST(('0x' || substr(md5(sk.seed || '|' || d.tok), 1, 8))
+                       AS BIGINT) % 512
+GROUP BY d.tok
+ORDER BY cms_est DESC, tok ASC
+LIMIT 25
+"""
+
+
+def q132_salted_join(spark, sf_dir):
+    """Skew-mitigated join (operators/skew.py): lineitem joined to a
+    3-row dim on l_returnflag — the textbook hot-key shape (every row
+    carries one of 3 keys).  salted_join spreads each key across 8
+    salt buckets; the result is EXACTLY the plain join, which is what
+    the oracle computes."""
+    from niamoto_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (li.select("l_returnflag").distinct()
+           .withColumn("flag_label",
+                       F.concat(F.lit("flag_"), F.col("l_returnflag"))))
+    joined = salted_join(li.select("l_returnflag", "l_extendedprice",
+                                   "l_discount"),
+                         dim, on="l_returnflag", buckets=8)
+    return (joined.groupBy("flag_label")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+O_Q132 = """
+SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,

@@ -1663,6 +1663,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_markov_transitions": q125_markov_transitions,
         "q126_heavy_hitters": q126_heavy_hitters,
         "q127_tfidf_prefiltered": q127_tfidf_prefiltered,
+        "q128_bloom_semi_join": q128_bloom_semi_join,
+        "q129_bigram_lm": q129_bigram_lm,
+        "q130_line_dedup": q130_line_dedup,
+        "q131_count_min": q131_count_min,
+        "q132_salted_join": q132_salted_join,
     }
 
 
@@ -4537,6 +4542,11 @@ def build_oracles() -> dict[str, str]:
         "q124_antijoin_scalar_subquery": O_Q124,
         "q125_markov_transitions": O_Q125,
         "q126_heavy_hitters": O_Q126,
+        "q128_bloom_semi_join": O_Q128,
+        "q129_bigram_lm": O_Q129,
+        "q130_line_dedup": O_Q130,
+        "q131_count_min": O_Q131,
+        "q132_salted_join": O_Q132,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

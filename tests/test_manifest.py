@@ -320,3 +320,54 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows[0] is None and rows[6] == "x"
     assert merged.count() == 8
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering keeps zone maps tight on BOTH clustered
+    columns; single-column range clustering only helps its first
+    column.  Probe: range queries on each dimension must skip most
+    files under zorder; under x-only clustering the y-query reads
+    everything."""
+    t_z = str(tmp_path / "tz")
+    t_x = str(tmp_path / "tx")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+    M.append(df, t_z)
+    M.append(df, t_x)
+    M.compact(spark, t_z, target_files=16, sort_by=["x", "y"],
+              cluster="zorder")
+    M.compact(spark, t_x, target_files=16, sort_by=["x"])
+
+    def skip_ratio(t, col):
+        res, nread, nskip = M.read_table_pruned(spark, t, col, 0, 7)
+        assert res.where((F.col(col) < 0) | (F.col(col) > 7)).count() == 0
+        assert res.where((F.col(col) >= 0) & (F.col(col) <= 7)).count() \
+            == 512
+        return nskip / (nread + nskip)
+
+    # zorder: both dims prune well (each file covers ~a quadrant)
+    assert skip_ratio(t_z, "x") >= 0.5
+    assert skip_ratio(t_z, "y") >= 0.5
+    # x-clustered: x prunes nearly perfectly, y not at all
+    assert skip_ratio(t_x, "x") >= 0.75
+    assert skip_ratio(t_x, "y") == 0.0
+
+
+def test_zorder_requires_two_columns(spark, tmp_path):
+    t = str(tmp_path / "t1")
+    M.append(spark.range(10).select(F.col("id").alias("x")), t)
+    with pytest.raises(ValueError, match="zorder needs 2"):
+        M.compact(spark, t, sort_by=["x"], cluster="zorder")
+
+
+def test_zorder_preserves_rows(spark, tmp_path):
+    t = str(tmp_path / "t2")
+    df = spark.range(500).select(
+        (F.col("id") * 7 % 100).alias("x"),
+        (F.col("id") * 13 % 100).alias("y"),
+        F.col("id").alias("payload"))
+    M.append(df, t)
+    M.compact(spark, t, target_files=8, sort_by=["x", "y"],
+              cluster="zorder")
+    got = sorted(r["payload"] for r in M.read_table(spark, t).collect())
+    assert got == list(range(500))

@@ -140,6 +140,21 @@ def main() -> None:
               f"files ({100 * skipped / (read + skipped):.0f}%), "
               f"{dt_full:.2f}s full -> {dt_pruned:.2f}s pruned "
               f"({dt_full / max(dt_pruned, 1e-9):.1f}x)")
+
+        # z-order clustering: after Morton-clustering on (orderkey,
+        # partkey), range reads on EITHER column should skip most files
+        # (single-column clustering leaves the second column unprunable).
+        M.compact(spark, tbl, target_files=64,
+                  sort_by=["l_orderkey", "l_partkey"], cluster="zorder")
+        pk_max = M.read_table(spark, tbl).agg(
+            F.max("l_partkey")).first()[0]
+        for col, sel_hi in (("l_orderkey", hi),
+                            ("l_partkey", int(pk_max * 0.05))):
+            _, read, skipped = M.read_table_pruned(
+                spark, tbl, col, 0, sel_hi)
+            print(f"zorder prune on {col}: skipped {skipped}/"
+                  f"{read + skipped} files "
+                  f"({100 * skipped / (read + skipped):.0f}%)")
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 

@@ -181,3 +181,37 @@ def cms_estimate_df(df: DataFrame, col: str,
                          _cms_bucket(col, seed, width).cast("int") + 1)
             for seed, row in enumerate(sketch)]
     return df.withColumn("cms_est", F.least(*ests))
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch columns (Datasketches HLL via Spark 3.5+ built-ins) —
+# persistable, mergeable distinct-count state.
+
+def distinct_sketches(df: DataFrame, key_cols: list[str], item_col: str,
+                      lg_k: int = 12) -> DataFrame:
+    """Per-group HyperLogLog sketches as a BINARY column — the
+    aggregate-once / roll-up-anywhere pattern for distinct counts:
+    build per-(day, partition, tenant) sketches ONCE, then any coarser
+    grouping is a cheap ``rollup_sketches`` union of the small binaries
+    — the raw data is never rescanned.  Uses Spark's built-in Apache
+    DataSketches HLL (``hll_sketch_agg``), all JVM-side.
+
+    Output: key_cols + ``sketch`` (binary) + ``approx_distinct``."""
+    sk = (df.groupBy(*key_cols)
+          .agg(F.hll_sketch_agg(item_col, F.lit(lg_k)).alias("sketch")))
+    return sk.withColumn("approx_distinct",
+                         F.hll_sketch_estimate("sketch"))
+
+
+def rollup_sketches(sketches: DataFrame, key_cols: list[str],
+                    lg_k: int = 12) -> DataFrame:
+    """Union per-group sketches up to a coarser key (possibly [] for a
+    grand total).  Exactly the merge the sketch guarantees: the result
+    estimates the distinct count of the UNION of the underlying sets,
+    double-counting nothing."""
+    grouped = (sketches.groupBy(*key_cols) if key_cols
+               else sketches.groupBy())
+    out = grouped.agg(
+        F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
+    return out.withColumn("approx_distinct",
+                          F.hll_sketch_estimate("sketch"))

@@ -777,3 +777,35 @@ def dedup_corpus_lines(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("__id").alias(id_col), "n_lines_kept",
                     (F.col("__n_content") - F.col("n_lines_kept"))
                     .alias("n_lines_dropped"), text_col))
+
+
+@register("shard_corpus", PluginType.TRANSFORMER)
+def shard_corpus(df: DataFrame, id_col: str, n_shards: int,
+                 seed: int = 0) -> DataFrame:
+    """Deterministic shard assignment for training-data delivery: shard
+    = md5-bucket of (seed, id) mod n_shards.  Hash sharding gives the
+    three properties a data loader needs — (a) balanced shards in
+    expectation, (b) the SAME document lands in the same shard on any
+    engine / partitioning / rerun (md5 is engine-portable, so the
+    assignment refits exactly in SQL — q135's oracle), (c) changing the
+    seed re-deals the corpus for a new epoch layout without a global
+    sort.  Adds a ``shard`` column; ``materialize_shards`` writes one
+    directory per shard."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+    return df.withColumn("shard", (bucket % n_shards).cast("int"))
+
+
+def materialize_shards(df: DataFrame, id_col: str, path: str,
+                       n_shards: int, seed: int = 0) -> None:
+    """Write the sharded corpus as ``shard=N/`` partition directories.
+    ``repartition(n_shards, 'shard')`` co-locates each shard before the
+    write so every shard directory is one writer's output (no
+    small-file spray), and partition pruning serves per-shard reads."""
+    out = shard_corpus(df, id_col, n_shards, seed)
+    (out.repartition(n_shards, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(path))

@@ -1668,6 +1668,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_line_dedup": q130_line_dedup,
         "q131_count_min": q131_count_min,
         "q132_salted_join": q132_salted_join,
+        "q133_incremental_agg": q133_incremental_agg,
+        "q134_distinct_rollup": q134_distinct_rollup,
+        "q135_shard_corpus": q135_shard_corpus,
+        "q136_grouping_sets": q136_grouping_sets,
+        "q137_stream_static_join": q137_stream_static_join,
     }
 
 
@@ -4420,6 +4425,168 @@ GROUP BY l_returnflag
 """
 
 
+def q133_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance (operators/incremental.py): the
+    orders table lands in THREE manifest commits; after each commit the
+    aggregate state folds in only that commit's CDC delta
+    (manifest.table_changes).  The final state must equal the one-shot
+    batch aggregate over everything — the oracle — proving incremental
+    combine loses nothing."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.operators.incremental import (maintain_aggregate,
+                                                     read_aggregate)
+    from niamoto_spark.sources import manifest as M
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_incr_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    for i in range(3):
+        M.append(orders.where(F.col("o_orderkey") % 3 == i), src)
+        maintain_aggregate(spark, src, state, ["o_orderpriority"],
+                          [("sum", "o_totalprice"), ("count", "o_orderkey"),
+                           ("min", "o_orderkey"), ("max", "o_orderkey")])
+    st = read_aggregate(spark, state)
+    return st.select(
+        "o_orderpriority",
+        F.round("sum_o_totalprice", 2).alias("sum_total"),
+        F.col("count_o_orderkey").alias("n_orders"),
+        F.col("min_o_orderkey").alias("min_key"),
+        F.col("max_o_orderkey").alias("max_key"))
+
+
+O_Q133 = """
+SELECT o_orderpriority, round(sum(o_totalprice), 2) AS sum_total,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q134_distinct_rollup(spark, sf_dir):
+    """Rows-only (HLL estimates are approximate by design; tests pin
+    the error <= 5% and exact-rollup consistency).  Sketch-column
+    pattern (operators/sketches.py): per-(event_type, day) HLL user
+    sketches built ONCE, then the per-type distinct-user counts come
+    from UNIONING the small binary sketches — the raw events are never
+    rescanned for the coarser grouping, which is the point at 100 TB."""
+    from niamoto_spark.operators.sketches import (distinct_sketches,
+                                                  rollup_sketches)
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", (F.col("ts_sec") / 86400).cast("long"))
+    daily = distinct_sketches(ev, ["event_type", "day"], "user_id")
+    per_type = rollup_sketches(daily, ["event_type"])
+    return (per_type.select("event_type",
+                            F.col("approx_distinct").cast("long")
+                            .alias("approx_users"))
+            .orderBy("event_type"))
+
+
+def q135_shard_corpus(spark, sf_dir):
+    """Deterministic hash sharding for training-data delivery
+    (text.shard_corpus): every document's shard is a pure function of
+    (seed, doc_id), so the oracle refits the full assignment in SQL.
+    Returns per-shard count + id checksum (balance and membership are
+    both pinned)."""
+    d = _t(spark, sf_dir, "documents")
+    sharded = text_ops.shard_corpus(d, "doc_id", n_shards=16, seed=7)
+    return (sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+O_Q135 = """
+SELECT CAST(CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) % 16 AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1
+"""
+
+
+def q136_grouping_sets(spark, sf_dir):
+    """GROUPING SETS through the SQL surface (the explicit-lattice
+    companion to q50 ROLLUP / q95 CUBE): revenue at (region, nation),
+    (region), and grand-total granularities in one pass, with
+    grouping_id disambiguating NULL-as-total from NULL-as-value."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q136_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q136_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("q136_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("q136_region")
+    return spark.sql("""
+        SELECT r_name, n_name,
+               CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM q136_orders
+        JOIN q136_customer ON o_custkey = c_custkey
+        JOIN q136_nation ON c_nationkey = n_nationkey
+        JOIN q136_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """)
+
+
+O_Q136 = """
+SELECT r_name, n_name,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+def q137_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event STREAM joins the static
+    customer dimension (broadcast — no stream-side shuffle, the
+    canonical dimension-enrichment shape) and aggregates per market
+    segment.  availableNow + complete mode makes the streaming result
+    equal the batch join, which the oracle computes directly."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_stream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = _ts_to_timestamp(spark.readStream.schema(schema)
+                              .parquet(stream_dir))
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment"))
+    joined = stream.join(F.broadcast(dim),
+                         stream["user_id"] == dim["c_custkey"])
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("value_sum")))
+    qname = "q137_stream_static"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+O_Q137 = """
+SELECT c_mktsegment, count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4547,6 +4714,12 @@ def build_oracles() -> dict[str, str]:
         "q130_line_dedup": O_Q130,
         "q131_count_min": O_Q131,
         "q132_salted_join": O_Q132,
+        "q133_incremental_agg": O_Q133,
+        # q134 is rows-only: HLL sketch estimates are approximate by
+        # design (error pinned <= 5% in tests + bench telemetry).
+        "q135_shard_corpus": O_Q135,
+        "q136_grouping_sets": O_Q136,
+        "q137_stream_static_join": O_Q137,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

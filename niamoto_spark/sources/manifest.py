@@ -119,16 +119,22 @@ def append(df: DataFrame, path: str,
     return parent + 1
 
 
-def overwrite(df: DataFrame, path: str) -> int:
+def overwrite(df: DataFrame, path: str,
+              extra_meta: dict | None = None) -> int:
     """Atomically replace the table contents (new snapshot referencing
-    only the new files; history stays time-travelable until vacuum)."""
+    only the new files; history stays time-travelable until vacuum).
+    ``extra_meta`` rides inside the commit document (same contract as
+    ``append`` — e.g. a maintenance watermark commits atomically with
+    the state it describes)."""
     data, _ = _table_dirs(path)
     staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     new_files = [os.path.join(staging, f) for f in os.listdir(staging)
                  if f.endswith(".parquet")]
     parent = current_version(path)
-    _commit(path, parent + 1, new_files, parent)
+    _commit_doc(path, parent + 1,
+                {"parent": parent, "files": sorted(new_files),
+                 **(extra_meta or {})})
     return parent + 1
 
 

@@ -143,3 +143,19 @@ def to_geojson_feature_collection(points: DataFrame,
                         F.lit("FeatureCollection").alias("type"),
                         F.col("__features").alias("features")))
                      .alias("geojson")))
+
+
+@register("melt", PluginType.TRANSFORMER)
+def melt(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
+         var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """Wide -> long reshape (pandas.melt / SQL UNPIVOT): each of
+    ``value_cols`` becomes one output row per input row.  Thin wrapper
+    over Spark's native ``unpivot`` (NULL-dropping disabled so the
+    reshape is lossless), which plans as a single Expand node — one
+    narrow pass, no shuffle, n_cols x fan-out handled inside codegen.
+    The inverse of the widgets' pivot surface (reference transformer
+    outputs are wide; exports and stats often need long)."""
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("melt needs at least one value column")
+    return df.unpivot(list(id_cols), value_cols, var_name, value_name)

@@ -1673,6 +1673,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_shard_corpus": q135_shard_corpus,
         "q136_grouping_sets": q136_grouping_sets,
         "q137_stream_static_join": q137_stream_static_join,
+        "q138_bucketed_join": q138_bucketed_join,
+        "q139_melt_metrics": q139_melt_metrics,
     }
 
 
@@ -4587,6 +4589,77 @@ GROUP BY c_mktsegment
 """
 
 
+def q138_bucketed_join(spark, sf_dir):
+    """Bucketed-table join (sources/bucketed.py): orders and customer
+    written bucketBy(8, custkey) through the catalog, then joined with
+    broadcast disabled — compatible HashPartitioning on both sides, so
+    the join plans with NO Exchange (the write paid the shuffle once;
+    tests pin join_has_no_exchange).  Result must equal the plain
+    join — the oracle."""
+    from niamoto_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t_o, t_c = f"q138_orders_{tag}", f"q138_cust_{tag}"
+    write_bucketed(_t(spark, sf_dir, "orders")
+                   .select("o_custkey", "o_totalprice"),
+                   t_o, ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(_t(spark, sf_dir, "customer")
+                   .select(F.col("c_custkey").alias("o_custkey"),
+                           "c_mktsegment"),
+                   t_c, ["o_custkey"], 8, sort_cols=["o_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, t_o, t_c, "o_custkey")
+        return (j.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+O_Q138 = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q139_melt_metrics(spark, sf_dir):
+    """Wide -> long reshape (extraction.melt over Spark's native
+    unpivot/Expand): lineitem's four numeric measures unpivoted to
+    (metric, value) rows, then per-metric summary stats — the lossless
+    inverse of the pivot surface."""
+    from niamoto_spark.operators.extraction import melt
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+    long = melt(li, ["l_orderkey"],
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                var_name="metric", value_name="val")
+    return (long.groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("val"), 4).alias("avg_val"),
+                 F.round(F.max("val"), 2).alias("max_val")))
+
+
+O_Q139 = """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+SELECT metric, count(*) AS n, round(avg(val), 4) AS avg_val,
+       round(max(val), 2) AS max_val
+FROM long GROUP BY metric
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4720,6 +4793,8 @@ def build_oracles() -> dict[str, str]:
         "q135_shard_corpus": O_Q135,
         "q136_grouping_sets": O_Q136,
         "q137_stream_static_join": O_Q137,
+        "q138_bucketed_join": O_Q138,
+        "q139_melt_metrics": O_Q139,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -402,3 +402,64 @@ def image_near_dup(df: DataFrame, max_hamming: int = 5,
 
     hashes = image_dhash(df, use_fake_decoder=use_fake_decoder)
     return hamming_near_pairs(hashes, "media_id", "dhash", max_hamming)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG transform; same constants as
+    sources/jpegcodec.py's IDCT, transposed)."""
+    k = np.arange(n)
+    mat = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    mat *= np.sqrt(2.0 / n)
+    mat[0] *= np.sqrt(0.5)
+    return mat.astype(np.float64)
+
+
+_DCT32 = None
+
+
+def phash_from_pixels(px: np.ndarray) -> int:
+    """64-bit perceptual hash (pHash): grayscale -> 32x32 nearest
+    resample -> 2D DCT-II -> 8x8 low-frequency block (DC excluded) ->
+    median-threshold sign bits.  Versus dHash, thresholding the
+    low-frequency SPECTRUM survives blur, resize, and mild recompression
+    that flip dHash's pixel-gradient bits — the classic trade: pHash
+    for robustness, dHash for speed."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = (np.arange(32) * h // 32).clip(0, h - 1)
+    xi = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[np.ix_(yi, xi)]
+    spec = _DCT32 @ small @ _DCT32.T
+    block = spec[:8, :8].ravel()[1:]           # drop DC (overall brightness)
+    med = np.median(block)
+    bits = block > med
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    val <<= 1                                  # pad to 64 bits (63 + 1)
+    if val >= 2 ** 63:
+        val -= 2 ** 64
+    return val
+
+
+@register("image_phash", PluginType.TRANSFORMER)
+def image_phash(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
+    """64-bit DCT perceptual hash per image (see phash_from_pixels).
+    Output: (media_id, phash bigint); pairs via the same Hamming
+    banding as dHash/SimHash — fingerprints shuffle, pixels never do."""
+    decoder = _fake_decode if use_fake_decoder else decode_image
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = decoder(bytes(r["payload"]))
+                rows.append({"media_id": r["media_id"],
+                             "phash": phash_from_pixels(px)})
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        compute, schema="media_id long, phash long")

@@ -256,3 +256,57 @@ def test_bilinear_resize_properties():
     up = bilinear_resize(checker, 8, 8)
     mids = np.unique(up)
     assert len(mids) > 2 and 0 in mids and 255 in mids
+
+
+def _hamming64(a, b):
+    return bin((a ^ b) & (2 ** 64 - 1)).count("1")
+
+
+def test_image_phash_robust_to_resize_and_blur(spark):
+    """pHash's low-frequency spectrum survives transforms that flip
+    dHash's gradient bits: a 2x-downsampled and a box-blurred variant
+    stay within a few Hamming bits; unrelated noise does not."""
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import image_phash
+    from niamoto_spark.sources.imagecodec import encode_png
+
+    rng = np.random.default_rng(7)
+    base = np.clip(
+        np.add.outer(np.linspace(0, 220, 64), np.linspace(0, 40, 64))
+        + 40 * np.sin(np.linspace(0, 6, 64))[None, :], 0, 255)
+    img = np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
+    small = img[::2, ::2]                        # 2x downsample
+    k = np.ones((3, 3)) / 9.0
+    g = base.copy()
+    blurred = g.copy()
+    blurred[1:-1, 1:-1] = sum(
+        g[1 + dy:63 + dy, 1 + dx:63 + dx] * k[dy + 1, dx + 1]
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    blur_img = np.repeat(np.clip(blurred, 0, 255)[:, :, None], 3,
+                         axis=2).astype(np.uint8)
+    noise = rng.integers(0, 256, img.shape, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(img)), (2, encode_png(small)),
+         (3, encode_png(blur_img)), (4, encode_png(noise))],
+        "media_id long, payload binary")
+    h = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert _hamming64(h[1], h[2]) <= 6
+    assert _hamming64(h[1], h[3]) <= 6
+    assert _hamming64(h[1], h[4]) > 16
+
+
+def test_phash_deterministic_and_distinct(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import phash_from_pixels
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    assert phash_from_pixels(a) == phash_from_pixels(a.copy())
+    assert phash_from_pixels(a) != phash_from_pixels(b)
+    # brightness shift barely moves the hash (DC excluded, median-relative)
+    shifted = np.clip(a.astype(int) + 30, 0, 255).astype(np.uint8)
+    assert _hamming64(phash_from_pixels(a),
+                      phash_from_pixels(shifted)) <= 10

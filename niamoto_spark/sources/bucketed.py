@@ -25,6 +25,8 @@ Spark-specific notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from niamoto_spark.registry import PluginType, register
@@ -33,9 +35,26 @@ from niamoto_spark.registry import PluginType, register
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int, sort_cols: list[str] | None = None,
                    mode: str = "overwrite") -> None:
-    """Persist ``df`` as a catalog-managed bucketed parquet table."""
+    """Persist ``df`` as a catalog-managed bucketed parquet table.
+
+    ``mode='overwrite'`` also clears an ORPHANED location: a managed
+    table's directory can outlive its catalog entry (new session, old
+    warehouse), and saveAsTable refuses to adopt it
+    (LOCATION_ALREADY_EXISTS) — drop-and-delete first makes overwrite
+    mean overwrite."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    if mode == "overwrite":
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = urlparse(warehouse)
+        if loc.scheme in ("file", ""):
+            leftover = os.path.join(loc.path, table.split(".")[-1])
+            shutil.rmtree(leftover, ignore_errors=True)
     w = (df.write.mode(mode).format("parquet")
          .bucketBy(n_buckets, *bucket_cols))
     if sort_cols:

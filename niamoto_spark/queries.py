@@ -1675,6 +1675,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_stream_static_join": q137_stream_static_join,
         "q138_bucketed_join": q138_bucketed_join,
         "q139_melt_metrics": q139_melt_metrics,
+        "q140_table_dml": q140_table_dml,
     }
 
 
@@ -4660,6 +4661,45 @@ FROM long GROUP BY metric
 """
 
 
+def q140_table_dml(spark, sf_dir):
+    """Row-level DML on a manifest table (sources/manifest.py
+    delete_where / update_where, copy-on-write): orders committed,
+    low-value rows deleted, one priority rewritten, then aggregated.
+    The oracle applies the same DELETE + UPDATE as SQL predicates over
+    the source table — the rewritten table must agree exactly."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_dml_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    M.append_with_stats(_t(spark, sf_dir, "orders")
+                        .select("o_orderkey", "o_custkey", "o_totalprice",
+                                "o_orderpriority"),
+                        path, stats_cols=["o_orderkey"])
+    M.compact(spark, path, target_files=4, sort_by=["o_orderkey"])
+    M.delete_where(spark, path, "o_totalprice < 50000")
+    M.update_where(spark, path, "o_orderpriority = '1-URGENT'",
+                   {"o_orderpriority": F.lit("0-ESCALATED")})
+    return (M.read_table(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+O_Q140 = """
+SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN '0-ESCALATED'
+            ELSE o_orderpriority END AS o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders WHERE o_totalprice >= 50000
+GROUP BY 1
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4795,6 +4835,7 @@ def build_oracles() -> dict[str, str]:
         "q137_stream_static_join": O_Q137,
         "q138_bucketed_join": O_Q138,
         "q139_melt_metrics": O_Q139,
+        "q140_table_dml": O_Q140,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -513,3 +513,74 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     merged = (base.join(keys, on=key_col, how="left_anti")
               .unionByName(updates))
     return overwrite(merged, path)
+
+
+def _rewrite_cow(spark: SparkSession, path: str, transform,
+                 predicate) -> int:
+    """Copy-on-write kernel shared by delete_where / update_where:
+    find the files that actually CONTAIN matching rows (one predicate
+    scan — parquet pushdown + zone-map-tight files make this cheap on a
+    clustered table), rewrite ONLY those files through ``transform``,
+    and commit (untouched files carry over by reference, so the write
+    amplification is bounded by the files the predicate touches, not
+    the table).  History stays time-travelable."""
+    from urllib.parse import urlparse
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    v = current_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    doc = _read_manifest(path, v)
+    df = read_table(spark, path)
+    touched_uris = [r["__f"] for r in
+                    df.where(pred).select(F.input_file_name().alias("__f"))
+                    .distinct().collect()]
+    touched = {urlparse(u).path for u in touched_uris}
+    if not touched:
+        return v  # nothing matches: no empty commit
+    keep_files = [f for f in doc["files"] if f not in touched]
+    rewritten = transform(spark.read.parquet(*sorted(touched)))
+
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    rewritten.write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    stats_cols = sorted({c for s in doc.get("stats", {}).values()
+                         for c in s})
+    new_stats = (_collect_stats(spark, new_files, stats_cols)
+                 if stats_cols else {})
+    prev_stats = {f: s for f, s in doc.get("stats", {}).items()
+                  if f in set(keep_files)}
+    _commit_doc(path, v + 1,
+                {"parent": v, "files": sorted(keep_files + new_files),
+                 "stats": {**prev_stats, **new_stats}})
+    return v + 1
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> int:
+    """Row-level DELETE with copy-on-write: files containing matching
+    rows are rewritten without them; every other file is carried over
+    untouched (same path — the minimality test pins this).  Returns the
+    new version, or the current one when nothing matched."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return _rewrite_cow(spark, path, lambda d: d.where(~pred), pred)
+
+
+def update_where(spark: SparkSession, path: str, predicate,
+                 set_exprs: dict) -> int:
+    """Row-level UPDATE (copy-on-write): matching rows get each column
+    in ``set_exprs`` replaced (value may be a Column or SQL string);
+    non-matching rows in touched files are rewritten verbatim."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    def apply(d: DataFrame) -> DataFrame:
+        out = d
+        for col, val in set_exprs.items():
+            if col not in d.columns:
+                raise ValueError(f"update_where: unknown column {col!r}")
+            v = F.expr(val) if isinstance(val, str) else val
+            out = out.withColumn(col, F.when(pred, v).otherwise(F.col(col)))
+        return out
+
+    return _rewrite_cow(spark, path, apply, pred)

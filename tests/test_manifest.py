@@ -371,3 +371,69 @@ def test_zorder_preserves_rows(spark, tmp_path):
               cluster="zorder")
     got = sorted(r["payload"] for r in M.read_table(spark, t).collect())
     assert got == list(range(500))
+
+
+def test_delete_where_removes_only_matching_rows(spark, tmp_path):
+    t = str(tmp_path / "td")
+    M.append(spark.range(100).select(F.col("id"),
+                                     (F.col("id") % 2).alias("par")), t)
+    v = M.delete_where(spark, t, "id >= 90")
+    assert v == M.current_version(t)
+    ids = sorted(r["id"] for r in M.read_table(spark, t).collect())
+    assert ids == list(range(90))
+    # time travel still sees the pre-delete snapshot
+    old = M.read_table(spark, t, version=v - 1).count()
+    assert old == 100
+
+
+def test_delete_where_copy_on_write_minimal(spark, tmp_path):
+    """Files the predicate never touches carry over BY REFERENCE (same
+    path) — write amplification bounded by matching files."""
+    t = str(tmp_path / "tm")
+    df = spark.range(1000).select(F.col("id"))
+    M.append_with_stats(df, t, stats_cols=["id"])
+    M.compact(spark, t, target_files=10, sort_by=["id"])
+    before = set(M._read_manifest(t, M.current_version(t))["files"])
+    M.delete_where(spark, t, "id BETWEEN 0 AND 49")  # ~1 of 10 files
+    after = set(M._read_manifest(t, M.current_version(t))["files"])
+    carried = before & after
+    assert len(carried) >= 8  # at most ~2 files rewritten
+    assert M.read_table(spark, t).count() == 950
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    t = str(tmp_path / "tn")
+    M.append(spark.range(10), t)
+    v0 = M.current_version(t)
+    assert M.delete_where(spark, t, "id > 1000") == v0
+    assert M.current_version(t) == v0
+
+
+def test_update_where_rewrites_matching_rows(spark, tmp_path):
+    t = str(tmp_path / "tu")
+    M.append(spark.range(50).select(F.col("id"),
+                                    F.lit("ok").alias("status")), t)
+    M.update_where(spark, t, "id % 10 = 0", {"status": F.lit("flagged")})
+    rows = {r["id"]: r["status"] for r in M.read_table(spark, t).collect()}
+    for i in range(50):
+        assert rows[i] == ("flagged" if i % 10 == 0 else "ok")
+
+
+def test_update_where_unknown_column_raises(spark, tmp_path):
+    t = str(tmp_path / "tu2")
+    M.append(spark.range(5), t)
+    with pytest.raises(ValueError, match="unknown column"):
+        M.update_where(spark, t, "id = 1", {"nope": F.lit(0)})
+
+
+def test_delete_preserves_zone_map_stats(spark, tmp_path):
+    """Rewritten files get fresh stats; carried files keep theirs —
+    pruned reads stay correct after a delete."""
+    t = str(tmp_path / "ts")
+    M.append_with_stats(spark.range(1000).select(F.col("id")), t,
+                        stats_cols=["id"])
+    M.compact(spark, t, target_files=10, sort_by=["id"])
+    M.delete_where(spark, t, "id BETWEEN 100 AND 199")
+    df, read, skipped = M.read_table_pruned(spark, t, "id", 900, 999)
+    assert skipped > 0
+    assert df.where("id BETWEEN 900 AND 999").count() == 100

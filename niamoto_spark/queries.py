@@ -1676,6 +1676,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_bucketed_join": q138_bucketed_join,
         "q139_melt_metrics": q139_melt_metrics,
         "q140_table_dml": q140_table_dml,
+        "q141_bloom_point_lookup": q141_bloom_point_lookup,
     }
 
 
@@ -4700,6 +4701,48 @@ GROUP BY 1
 """
 
 
+def q141_bloom_point_lookup(spark, sf_dir):
+    """Manifest file-level Bloom index (sources/manifest.py
+    append_with_blooms / read_table_point): orders committed range-
+    clustered with a Bloom per (file, o_orderkey); point lookups then
+    skip files without opening them (zone maps answer ranges, Blooms
+    answer equality).  Result must equal the plain WHERE — the
+    oracle."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_bloomidx_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    M.append_with_blooms(orders.repartitionByRange(8, "o_orderkey"),
+                         path, bloom_cols=["o_orderkey"])
+    keys = [r["o_orderkey"] for r in
+            orders.orderBy("o_orderkey").limit(5).collect()]
+    parts = []
+    for k in keys:
+        hit, _, _ = M.read_table_point(spark, path, "o_orderkey", int(k))
+        parts.append(hit)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("o_orderkey", "o_custkey",
+                      F.round("o_totalprice", 2).alias("total"))
+
+
+O_Q141 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                     ORDER BY o_orderkey LIMIT 5)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4836,6 +4879,7 @@ def build_oracles() -> dict[str, str]:
         "q138_bucketed_join": O_Q138,
         "q139_melt_metrics": O_Q139,
         "q140_table_dml": O_Q140,
+        "q141_bloom_point_lookup": O_Q141,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -584,3 +584,129 @@ def update_where(spark: SparkSession, path: str, predicate,
         return out
 
     return _rewrite_cow(spark, path, apply, pred)
+
+
+# ---------------------------------------------------------------------------
+# File-level Bloom indexes: point-lookup file skipping.
+
+_BLOOM_M = 1 << 18   # bits per (file, column).  Stored SPARSE (only
+# non-zero 64-bit words), so the manifest cost is ~k words per distinct
+# value, independent of m; size m >= ~16x the expected distinct values
+# per file to keep fpp ~ (load)^k negligible.  At real scale the bloom
+# block belongs in a sidecar index file next to the manifest, not
+# inline JSON — same commit semantics, one more staged file.
+_BLOOM_K = 4
+
+
+def _bloom_positions_py(value, m_bits: int = _BLOOM_M,
+                        k: int = _BLOOM_K) -> list[int]:
+    """Driver-side twin of the JVM bucket expression below: positions
+    come from md5(seed|str(value)) so Python (hashlib) and Spark
+    (F.md5 + conv) agree bit-for-bit — same trick as the count-min
+    sketch's oracle-refittable buckets."""
+    import hashlib
+
+    return [int(hashlib.md5(f"{s}|{value}".encode()).hexdigest()[:8], 16)
+            % m_bits for s in range(k)]
+
+
+def _collect_blooms(spark: SparkSession, files: list[str],
+                    cols: list[str], m_bits: int = _BLOOM_M,
+                    k: int = _BLOOM_K) -> dict[str, dict]:
+    """Per-(file, column) Bloom bitmaps in ONE aggregation over the new
+    files: explode k md5 positions per value, ``groupBy(file, word)``
+    + bit_or — the collect is bounded by n_files x m/64 words, not by
+    rows.  Only string/integer columns are indexable (the value must
+    stringify identically on both sides)."""
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(*sorted(files))
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt not in ("string", "int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"bloom index on {c!r}: unsupported type {dt} (string "
+                "and integer columns stringify canonically; others do "
+                "not)")
+    out: dict[str, dict] = {}
+    base = df.select(F.input_file_name().alias("__f"), *cols)
+    for c in cols:
+        pos = F.array(*[
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{s}|"),
+                               F.col(c).cast("string"))), 1, 8),
+                16, 10).cast("bigint") % m_bits
+            for s in range(k)])
+        rows = (base.select("__f", F.explode(pos).alias("p"))
+                .where(F.col("p").isNotNull())
+                .select("__f", (F.col("p") / 64).cast("long").alias("w"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(p % 64 AS INT))").alias("b"))
+                .groupBy("__f", "w").agg(F.bit_or("b").alias("bits"))
+                .collect())
+        for r in rows:
+            fp = urlparse(r["__f"]).path
+            out.setdefault(fp, {}).setdefault(c, {
+                "m": m_bits, "k": k, "words": {}})
+            out[fp][c]["words"][str(int(r["w"]))] = int(r["bits"])
+    return out
+
+
+def append_with_blooms(df: DataFrame, path: str, bloom_cols: list[str],
+                       stats_cols: list[str] | None = None,
+                       extra_meta: dict | None = None) -> int:
+    """``append`` + per-file Bloom indexes (and optional zone maps) in
+    the manifest.  ``read_table_point`` then skips files whose bitmap
+    proves a point value absent — without opening the file or even its
+    footer.  Zone maps answer RANGE predicates; Blooms answer EQUALITY
+    on high-cardinality columns where min/max spans are useless."""
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    spark = df.sparkSession
+    blooms = _collect_blooms(spark, new_files, bloom_cols)
+    stats = (_collect_stats(spark, new_files, stats_cols)
+             if stats_cols else {})
+    parent = current_version(path)
+    prev_doc = _read_manifest(path, parent) if parent >= 0 else {}
+    _commit_doc(path, parent + 1,
+                {"parent": parent,
+                 "files": sorted(prev_doc.get("files", []) + new_files),
+                 "stats": {**prev_doc.get("stats", {}), **stats},
+                 "blooms": {**prev_doc.get("blooms", {}), **blooms},
+                 **(extra_meta or {})})
+    return parent + 1
+
+
+def read_table_point(spark: SparkSession, path: str, col: str, value,
+                     version: int | None = None
+                     ) -> tuple[DataFrame, int, int]:
+    """Point-lookup read: files whose Bloom bitmap proves ``col !=
+    value`` everywhere are skipped without being opened.  Returns
+    (df, files_read, files_skipped); the equality filter is still
+    applied (Bloom is a superset test — false positives only cost a
+    read).  Files without a bloom for ``col`` are conservatively
+    read."""
+    v = current_version(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    doc = _read_manifest(path, v)
+    keep, skipped = [], 0
+    for fp in doc["files"]:
+        bl = doc.get("blooms", {}).get(fp, {}).get(col)
+        if bl is not None:
+            words = bl["words"]
+            hit = all(
+                int(words.get(str(p // 64), 0)) & (1 << (p % 64))
+                for p in _bloom_positions_py(value, bl["m"], bl["k"]))
+            if not hit:
+                skipped += 1
+                continue
+        keep.append(fp)
+    if not keep:
+        base = read_table(spark, path, version=v).limit(0)
+        return base.where(F.col(col) == F.lit(value)), 0, skipped
+    df = spark.read.parquet(*keep).where(F.col(col) == F.lit(value))
+    return df, len(keep), skipped

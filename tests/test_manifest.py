@@ -437,3 +437,53 @@ def test_delete_preserves_zone_map_stats(spark, tmp_path):
     df, read, skipped = M.read_table_pruned(spark, t, "id", 900, 999)
     assert skipped > 0
     assert df.where("id BETWEEN 900 AND 999").count() == 100
+
+
+def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
+    t = str(tmp_path / "tb")
+    df = spark.range(10000).select(F.col("id"),
+                                   (F.col("id") % 97).alias("salt"))
+    # cluster so each file holds a disjoint id range, then bloom-index
+    t2 = str(tmp_path / "tb2")
+    M.append_with_blooms(df.repartitionByRange(10, "id"), t2,
+                         bloom_cols=["id"])
+    res, read, skipped = M.read_table_point(spark, t2, "id", 4242)
+    rows = res.collect()
+    assert [r["id"] for r in rows] == [4242]
+    assert read + skipped == 10
+    assert skipped >= 8  # value lives in 1 of 10 disjoint files
+
+
+def test_bloom_index_absent_value_skips_everything(spark, tmp_path):
+    t = str(tmp_path / "tb3")
+    M.append_with_blooms(spark.range(1000).select(F.col("id")), t,
+                         bloom_cols=["id"])
+    res, read, skipped = M.read_table_point(spark, t, "id", 999999)
+    assert res.count() == 0
+    assert read == 0 and skipped > 0
+
+
+def test_bloom_index_string_column(spark, tmp_path):
+    t = str(tmp_path / "tb4")
+    df = spark.createDataFrame(
+        [(i, f"user_{i}") for i in range(500)], "id long, name string")
+    M.append_with_blooms(df.repartition(5), t, bloom_cols=["name"])
+    res, read, skipped = M.read_table_point(spark, t, "name", "user_77")
+    assert [r["id"] for r in res.collect()] == [77]
+
+
+def test_bloom_index_rejects_double_column(spark, tmp_path):
+    t = str(tmp_path / "tb5")
+    df = spark.range(10).select((F.col("id") * 1.5).alias("x"))
+    with pytest.raises(ValueError, match="unsupported type"):
+        M.append_with_blooms(df, t, bloom_cols=["x"])
+
+
+def test_bloom_index_no_false_negatives(spark, tmp_path):
+    t = str(tmp_path / "tb6")
+    M.append_with_blooms(
+        spark.range(2000).select((F.col("id") * 3).alias("k")),
+        t, bloom_cols=["k"])
+    for probe in (0, 3, 2997, 5997):
+        res, _, _ = M.read_table_point(spark, t, "k", probe)
+        assert res.count() == 1, probe

@@ -1677,6 +1677,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_melt_metrics": q139_melt_metrics,
         "q140_table_dml": q140_table_dml,
         "q141_bloom_point_lookup": q141_bloom_point_lookup,
+        "q142_expectations": q142_expectations,
     }
 
 
@@ -4743,6 +4744,54 @@ WHERE o_orderkey IN (SELECT o_orderkey FROM orders
 """
 
 
+def q142_expectations(spark, sf_dir):
+    """Data-quality contract check (operators/quality.py): five rule
+    kinds over lineitem — row-local rules in ONE aggregate, uniqueness
+    via count-distinct, referential integrity via broadcast anti join.
+    The oracle recomputes every violation count in SQL (TPC-H data is
+    clean, so the interesting assertions are the exact zeros plus the
+    deliberately-tight range rule that DOES fire)."""
+    from niamoto_spark.operators.quality import expect
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return expect(li, [
+        {"rule": "not_null", "col": "l_orderkey"},
+        {"rule": "accepted_values", "col": "l_returnflag",
+         "values": ["A", "N", "R"]},
+        {"rule": "in_range", "col": "l_discount", "lo": 0.0, "hi": 0.05},
+        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"rule": "foreign_key", "col": "l_orderkey", "ref": orders,
+         "ref_col": "o_orderkey"},
+    ])
+
+
+O_Q142 = """
+SELECT 'not_null(l_orderkey)' AS rule,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM lineitem
+UNION ALL
+SELECT 'accepted_values(l_returnflag)',
+       CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('A','N','R')
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'in_range(l_discount)',
+       CAST(sum(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.05)
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+            AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'foreign_key(l_orderkey)',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4880,6 +4929,7 @@ def build_oracles() -> dict[str, str]:
         "q139_melt_metrics": O_Q139,
         "q140_table_dml": O_Q140,
         "q141_bloom_point_lookup": O_Q141,
+        "q142_expectations": O_Q142,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

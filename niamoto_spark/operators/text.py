@@ -809,3 +809,51 @@ def materialize_shards(df: DataFrame, id_col: str, path: str,
     out = shard_corpus(df, id_col, n_shards, seed)
     (out.repartition(n_shards, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+@register("epoch_order", PluginType.TRANSFORMER)
+def epoch_order(df: DataFrame, id_col: str, seed: int = 0,
+                num_partitions: int | None = None) -> DataFrame:
+    """Exact global training order for an epoch: every row gets its
+    position 0..n-1 under a deterministic shuffle (sort key =
+    md5(seed|id); new seed = new permutation).  This is the "global
+    shuffle" step of training-data delivery, done WITHOUT a
+    single-partition window: same two-phase distributed prefix sum as
+    pack_sequences — range-partition by the shuffle key, collect one
+    COUNT per partition, broadcast the prefix offsets, add a
+    partition-local row_number.  The md5 key makes the permutation
+    engine-portable (q143's oracle replays it with SQL row_number).
+
+    Output: original columns + ``pos`` (bigint).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)),
+                            F.col(id_col).cast("string")))
+    base = df.withColumn("__k", key)
+    n_parts = (num_partitions
+               or base.sparkSession.sparkContext.defaultParallelism)
+    parted = (base.repartitionByRange(n_parts, F.col("__k").asc(),
+                                      F.col(id_col).asc())
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    try:
+        subtotals = (parted.groupBy("__pid")
+                     .agg(F.count(F.lit(1)).alias("c")).collect())
+        run, offsets = 0, {}
+        for r in sorted(subtotals, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = run
+            run += r["c"]
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv])
+            part_start = off_map[F.col("__pid")]
+        else:
+            part_start = F.lit(0)
+        w = Window.partitionBy("__pid").orderBy(F.col("__k").asc(),
+                                                F.col(id_col).asc())
+        pos = (F.row_number().over(w) - 1 + part_start).cast("bigint")
+        return parted.withColumn("pos", pos).drop("__k", "__pid")
+    except Exception:
+        parted.unpersist()
+        raise

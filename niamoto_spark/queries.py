@@ -1678,6 +1678,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_table_dml": q140_table_dml,
         "q141_bloom_point_lookup": q141_bloom_point_lookup,
         "q142_expectations": q142_expectations,
+        "q143_epoch_order": q143_epoch_order,
     }
 
 
@@ -4792,6 +4793,25 @@ FROM lineitem WHERE l_orderkey IS NOT NULL
 """
 
 
+def q143_epoch_order(spark, sf_dir):
+    """Deterministic global epoch shuffle (text.epoch_order): every doc
+    gets its exact position under the md5(seed|id) permutation via the
+    two-phase distributed prefix sum (no single-partition window — the
+    plan-contract test pins that).  The oracle replays the permutation
+    with a SQL row_number over the same md5 key."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return text_ops.epoch_order(d, "doc_id", seed=5).select("doc_id", "pos")
+
+
+O_Q143 = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5('5|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+         AS BIGINT) AS pos
+FROM documents
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4930,6 +4950,7 @@ def build_oracles() -> dict[str, str]:
         "q140_table_dml": O_Q140,
         "q141_bloom_point_lookup": O_Q141,
         "q142_expectations": O_Q142,
+        "q143_epoch_order": O_Q143,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

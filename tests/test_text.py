@@ -314,3 +314,51 @@ def test_temperature_sample_rates_and_determinism(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="alpha"):
         temperature_sample(df, "doc_id", "dom", alpha=1.5)
+
+
+def test_epoch_order_is_complete_permutation(spark):
+    from niamoto_spark.operators.text import epoch_order
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = epoch_order(df, "doc_id", seed=3)
+    positions = sorted(r["pos"] for r in out.collect())
+    assert positions == list(range(1000))
+
+
+def test_epoch_order_partitioning_invariant(spark):
+    from niamoto_spark.operators.text import epoch_order
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["pos"]
+         for r in epoch_order(df.coalesce(1), "doc_id", seed=9,
+                              num_partitions=3).collect()}
+    b = {r["doc_id"]: r["pos"]
+         for r in epoch_order(df.repartition(11), "doc_id", seed=9,
+                              num_partitions=7).collect()}
+    assert a == b
+
+
+def test_epoch_order_seed_changes_permutation(spark):
+    from niamoto_spark.operators.text import epoch_order
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["pos"]
+         for r in epoch_order(df, "doc_id", seed=0).collect()}
+    b = {r["doc_id"]: r["pos"]
+         for r in epoch_order(df, "doc_id", seed=1).collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values())
+
+
+def test_epoch_order_no_global_window(spark):
+    """The plan must not contain a partition-less Window (the
+    single-reducer global sort trap)."""
+    from niamoto_spark.operators.text import epoch_order
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = epoch_order(df, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 300]
+        assert "__pid" in seg  # every window is partition-local

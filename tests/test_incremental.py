@@ -177,3 +177,59 @@ def test_materialize_shards_layout(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan.split(
         "PartitionFilters", 1)[1][:120]
+
+
+# ---------------------------------------------------------------------------
+# JSONL shard export
+
+
+def test_jsonl_shard_roundtrip(spark, tmp_path):
+    from niamoto_spark.exporters.jsonl import (export_jsonl_shards,
+                                               read_jsonl_shards)
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("grp"))
+    out = str(tmp_path / "jsonl")
+    n = export_jsonl_shards(df, "doc_id", out, n_shards=4)
+    assert n == 4
+    back = read_jsonl_shards(spark, out)
+    assert back.select("shard").distinct().count() == 4
+    got = sorted((r["doc_id"], r["text"], r["grp"])
+                 for r in back.collect())
+    want = sorted(map(tuple, df.collect()))
+    assert got == want
+
+
+def test_jsonl_shard_layout_one_file_per_shard(spark, tmp_path):
+    import glob
+
+    from niamoto_spark.exporters.jsonl import export_jsonl_shards
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "jsonl2")
+    export_jsonl_shards(df, "doc_id", out, n_shards=3)
+    for s in range(3):
+        files = [f for f in glob.glob(f"{out}/shard={s}/part-*")
+                 if not f.endswith(".crc")]
+        assert len(files) == 1, files
+
+
+def test_jsonl_lines_are_json(spark, tmp_path):
+    import glob
+    import json
+
+    from niamoto_spark.exporters.jsonl import export_jsonl_shards
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"),
+                                F.lit("x").alias("text"))
+    out = str(tmp_path / "jsonl3")
+    export_jsonl_shards(df, "doc_id", out, n_shards=1)
+    f = [p for p in glob.glob(f"{out}/shard=0/part-*")
+         if not p.endswith(".crc")][0]
+    lines = open(f).read().strip().splitlines()
+    assert len(lines) == 10
+    for ln in lines:
+        obj = json.loads(ln)
+        assert set(obj) == {"doc_id", "text"}

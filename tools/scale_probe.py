@@ -158,6 +158,30 @@ def main() -> None:
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
+    # Bloom join pruning at scale: dim = 1% of orderkeys; the literal-
+    # bitmap filter cuts the fact side BEFORE the join exchange.
+    from niamoto_spark.operators.bloomjoin import bloom_prune
+
+    dim = (big.select("l_orderkey").distinct()
+           .where(F.col("l_orderkey") % 100 == 0))
+    t0 = time.time()
+    kept = bloom_prune(big, dim, "l_orderkey", "l_orderkey").count()
+    dt = time.time() - t0
+    print(f"bloom_prune 1%-dim: {n:,} -> {kept:,} rows in {dt:.2f}s "
+          f"({n / dt / 1e6:.1f}M rows/s probe)")
+
+    # Global epoch shuffle: exact positions over the inflated corpus —
+    # the two-phase prefix sum must stay linear.
+    from niamoto_spark.operators.text import epoch_order
+
+    ids = big.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("doc_id"))
+    t0 = time.time()
+    epoch_order(ids, "doc_id", seed=1).count()
+    dt = time.time() - t0
+    print(f"epoch_order (exact global positions): {dt:.2f}s "
+          f"({n / dt / 1e6:.1f}M rows/s)")
+
 
 if __name__ == "__main__":
     main()

@@ -103,3 +103,42 @@ def test_lsh_near_dup_on_empty(spark):
     emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     assert similarity.embedding_near_dup(emb, "vec_id", "embedding",
                                          method="lsh").count() == 0
+
+
+def test_round7_operators_on_empty(spark, empty_docs):
+    from niamoto_spark.operators.bloomjoin import bloom_semi_join
+    from niamoto_spark.operators.extraction import melt
+    from niamoto_spark.operators.lm import lm_perplexity_score
+    from niamoto_spark.operators.skew import salted_count, salted_join
+    from niamoto_spark.operators.text import (dedup_corpus_lines,
+                                              epoch_order, shard_corpus)
+
+    assert dedup_corpus_lines(empty_docs, "doc_id", "text").count() == 0
+    assert epoch_order(empty_docs, "doc_id").count() == 0
+    assert shard_corpus(empty_docs, "doc_id", 4).count() == 0
+    assert lm_perplexity_score(empty_docs, "text", "doc_id").count() == 0
+
+    some = spark.range(5).select(F.col("id").alias("k"))
+    empty_k = spark.createDataFrame([], "k bigint")
+    # empty fact / empty dim both well-defined
+    assert salted_join(empty_k, some, "k").count() == 0
+    assert salted_join(some, empty_k, "k").count() == 0
+    assert salted_count(empty_k, "k").count() == 0
+    assert bloom_semi_join(some, empty_k, "k", "k").count() == 0
+    assert bloom_semi_join(empty_k, some, "k", "k").count() == 0
+
+    empty_wide = spark.createDataFrame([], "id bigint, a double, b double")
+    assert melt(empty_wide, ["id"], ["a", "b"]).count() == 0
+
+
+def test_round7_sketches_on_empty(spark, empty_docs):
+    from niamoto_spark.operators.sketches import (cms_estimate,
+                                                  count_min_sketch,
+                                                  distinct_sketches,
+                                                  heavy_hitters)
+
+    sk = count_min_sketch(empty_docs.select("text"), "text",
+                          width=64, depth=2)
+    assert cms_estimate(sk, "anything") == 0
+    assert heavy_hitters(empty_docs.select("text"), "text", k=4) == []
+    assert distinct_sketches(empty_docs, ["doc_id"], "text").count() == 0

@@ -64,3 +64,54 @@ def fuzzy_dedup_keep(df: DataFrame, id_col: str, name_col: str,
     pairs = fuzzy_pairs(df, id_col, name_col, block_col, **kwargs)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def char_trigrams(col) -> "F.Column":
+    """Distinct padded character 3-grams of a lowercased string, via
+    higher-order functions (no UDF): '##a', '#ab', 'abc', ..., 'z$'.
+    Padding weights the word boundaries — the pg_trgm treatment.
+    (PySpark's substring wrapper wants an int position; call_function
+    reaches the SQL builtin with a Column start.)"""
+    s = F.concat(F.lit("##"), F.lower(F.trim(col)), F.lit("$"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.call_function(
+            "substring", s, i.cast("int"), F.lit(3))))
+
+
+@register("trigram_pairs", PluginType.TRANSFORMER)
+def trigram_pairs(df: DataFrame, id_col: str, name_col: str,
+                  block_col: str, min_similarity: float = 0.4,
+                  max_block_size: int | None = 10_000) -> DataFrame:
+    """Blocked trigram-Jaccard fuzzy matching — the similarity pg_trgm
+    uses.  Versus levenshtein (fuzzy_pairs), trigram Jaccard is
+    length-normalized and survives token reordering ('acme corp' vs
+    'corp acme'), the usual trade for organization/name matching.
+
+    Same two-stage shape as fuzzy_pairs: equi-join on the block key
+    (each block contributes |block|² pairs locally, degenerate blocks
+    dropped), then the set overlap is computed JVM-side with
+    array_intersect/array_union on the distinct trigram arrays.
+
+    Output: (id_a, id_b, similarity) with id_a < id_b, similarity
+    rounded to 4dp and >= min_similarity."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(block_col).alias("blk"),
+                     char_trigrams(F.col(name_col)).alias("tg"))
+    if max_block_size is not None:
+        hot = (base.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+               .where(F.col("n") > max_block_size).drop("n"))
+        base = base.join(F.broadcast(hot), ["blk"], "left_anti")
+    left = base.select(F.col("id").alias("id_a"), "blk",
+                       F.col("tg").alias("tg_a"))
+    right = base.select(F.col("id").alias("id_b"), "blk",
+                        F.col("tg").alias("tg_b"))
+    inter = F.size(F.array_intersect("tg_a", "tg_b"))
+    union = F.size(F.array_union("tg_a", "tg_b"))
+    sim = F.round(inter.cast("double") /
+                  F.greatest(union, F.lit(1)).cast("double"), 4)
+    return (left.join(right, ["blk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("similarity", sim)
+            .where(F.col("similarity") >= min_similarity)
+            .select("id_a", "id_b", "similarity"))

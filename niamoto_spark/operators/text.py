@@ -857,3 +857,30 @@ def epoch_order(df: DataFrame, id_col: str, seed: int = 0,
     except Exception:
         parted.unpersist()
         raise
+
+
+@register("split_assign_grouped", PluginType.TRANSFORMER)
+def split_assign_grouped(df: DataFrame, group_col: str,
+                         weights: "Mapping[str, float]", seed: str = "",
+                         out_col: str = "split") -> DataFrame:
+    """Leakage-safe split assignment: the WHOLE group (same source
+    domain, same dedup cluster, same author) lands in one split — the
+    guard against train/test contamination that row-level splitting
+    cannot give (near-duplicate docs from one website must not straddle
+    the boundary).  Mechanics are split_assign's md5 interval trick
+    applied to the group key, so the assignment is engine-portable and
+    adding rows to a group never moves it."""
+    total = float(sum(weights.values()))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(group_col).cast("string"),
+                                   F.lit(seed))), 1, 8),
+        16, 10).cast("bigint")
+    u = (bucket + F.lit(0.5)) / F.lit(float(2 ** 32))
+    expr = None
+    acc = 0.0
+    for name, wt in weights.items():
+        acc += wt / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1]
+    return df.withColumn(out_col, expr.otherwise(F.lit(last)))

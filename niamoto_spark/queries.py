@@ -1679,6 +1679,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_bloom_point_lookup": q141_bloom_point_lookup,
         "q142_expectations": q142_expectations,
         "q143_epoch_order": q143_epoch_order,
+        "q144_grouped_split": q144_grouped_split,
+        "q145_trigram_match": q145_trigram_match,
     }
 
 
@@ -4812,6 +4814,67 @@ FROM documents
 """
 
 
+def q144_grouped_split(spark, sf_dir):
+    """Leakage-safe splits (text.split_assign_grouped): the split is a
+    function of the GROUP (source domain), so near-duplicates from one
+    website can never straddle train/test.  Returns per-(source, split)
+    counts; the leakage guarantee shows as exactly one split per
+    source, and the oracle replays the md5 interval assignment."""
+    d = _t(spark, sf_dir, "documents")
+    out = text_ops.split_assign_grouped(
+        d, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s7")
+    return (out.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+O_Q144 = """
+SELECT source,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM (SELECT source,
+             (CAST(('0x' || substr(md5(source || 's7'), 1, 8)) AS BIGINT)
+              + 0.5) / 4294967296.0 AS u
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def q145_trigram_match(spark, sf_dir):
+    """Blocked trigram-Jaccard entity matching (linkage.trigram_pairs,
+    the pg_trgm similarity): customer names matched within their nation
+    block; set overlap computed JVM-side on distinct padded 3-gram
+    arrays.  The oracle rebuilds the same trigram sets with DuckDB list
+    functions."""
+    from niamoto_spark.operators.linkage import trigram_pairs
+
+    c = (_t(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+         .select("c_custkey", "c_name", "c_nationkey"))
+    return trigram_pairs(c, "c_custkey", "c_name", "c_nationkey",
+                         min_similarity=0.8)
+
+
+O_Q145 = """
+WITH t AS (
+  SELECT c_custkey AS id, c_nationkey AS blk,
+         list_distinct(list_transform(
+             range(1, greatest(length(s) - 2, 1) + 1),
+             i -> s[i:i+2])) AS tg
+  FROM (SELECT c_custkey, c_nationkey,
+               '##' || lower(trim(c_name)) || '$' AS s
+        FROM customer WHERE c_custkey < 300))
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+             / greatest(len(a.tg) + len(b.tg)
+                        - len(list_intersect(a.tg, b.tg)), 1),
+             4) AS similarity
+FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+      / greatest(len(a.tg) + len(b.tg)
+                 - len(list_intersect(a.tg, b.tg)), 1) >= 0.8
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -4951,6 +5014,8 @@ def build_oracles() -> dict[str, str]:
         "q141_bloom_point_lookup": O_Q141,
         "q142_expectations": O_Q142,
         "q143_epoch_order": O_Q143,
+        "q144_grouped_split": O_Q144,
+        "q145_trigram_match": O_Q145,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -68,3 +68,44 @@ def test_funnel_same_second_not_converted(spark):
            for r in funnel(df, "user", "sec", "etype",
                            ["view", "click"], order_cols=["eid"]).collect()}
     assert out == {"view": 1, "click": 0}
+
+
+def test_trigram_pairs_reordering_robust(spark):
+    """Token reordering keeps trigram similarity high where levenshtein
+    collapses."""
+    from niamoto_spark.operators.linkage import trigram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "acme corporation", "b"), (2, "corporation acme", "b"),
+         (3, "zzz unrelated ltd", "b")],
+        "id long, name string, blk string")
+    pairs = {(r["id_a"], r["id_b"]): r["similarity"]
+             for r in trigram_pairs(df, "id", "name", "blk",
+                                    min_similarity=0.3).collect()}
+    # reordering keeps ~half the trigrams; levenshtein('acme
+    # corporation', 'corporation acme') = 10 edits on 16 chars
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_trigram_identical_names_similarity_one(spark):
+    from niamoto_spark.operators.linkage import trigram_pairs
+
+    df = spark.createDataFrame([(1, "Same Name", "b"), (2, "same  name", "b")],
+                               "id long, name string, blk string")
+    rows = trigram_pairs(df, "id", "name", "blk").collect()
+    # trim+lower normalize; internal double space differs -> still high
+    assert rows and rows[0]["similarity"] >= 0.7
+
+
+def test_grouped_split_no_leakage(spark):
+    from niamoto_spark.operators.text import split_assign_grouped
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 17}") for i in range(500)],
+        "doc_id long, source string")
+    out = split_assign_grouped(df, "source",
+                               {"train": 0.7, "val": 0.15, "test": 0.15})
+    per_group = (out.groupBy("source")
+                 .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_group)  # one split per group

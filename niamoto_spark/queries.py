@@ -1681,6 +1681,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_epoch_order": q143_epoch_order,
         "q144_grouped_split": q144_grouped_split,
         "q145_trigram_match": q145_trigram_match,
+        "q146_corr_matrix": q146_corr_matrix,
+        "q147_mode_per_group": q147_mode_per_group,
+        "q148_sorted_listagg": q148_sorted_listagg,
     }
 
 
@@ -4875,6 +4878,80 @@ WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
 """
 
 
+def q146_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations between lineitem measures per
+    return flag (Spark's corr aggregate — one pass, all pairs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                 .alias("corr_qty_price"),
+                 F.round(F.corr("l_quantity", "l_discount"), 4)
+                 .alias("corr_qty_disc"),
+                 F.round(F.corr("l_extendedprice", "l_tax"), 4)
+                 .alias("corr_price_tax")))
+
+
+O_Q146 = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+       round(corr(l_extendedprice, l_tax), 4) AS corr_price_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q147_mode_per_group(spark, sf_dir):
+    """Deterministic mode (most frequent value, ties -> smallest
+    value): built from count + rank rather than engines' mode()
+    aggregates, whose tie behavior is unspecified on BOTH sides —
+    determinism rules beat builtins here."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    counts = (orders.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc())
+    return (counts.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority"),
+                    F.col("n").alias("n_rows")))
+
+
+O_Q147 = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_rows
+FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC,
+                                         o_orderpriority ASC) AS r
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE r = 1
+"""
+
+
+def q148_sorted_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    per region, the comma-joined sorted nation list — Spark side is
+    array_sort(collect_list) + concat_ws, deterministic regardless of
+    partitioning."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+                 .alias("nations"),
+                 F.count(F.lit(1)).alias("n_nations")))
+
+
+O_Q148 = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -5016,6 +5093,9 @@ def build_oracles() -> dict[str, str]:
         "q143_epoch_order": O_Q143,
         "q144_grouped_split": O_Q144,
         "q145_trigram_match": O_Q145,
+        "q146_corr_matrix": O_Q146,
+        "q147_mode_per_group": O_Q147,
+        "q148_sorted_listagg": O_Q148,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

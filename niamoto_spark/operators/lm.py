@@ -109,5 +109,7 @@ def lm_quality_filter(df: DataFrame, text_col: str, id_col: str,
     scores = lm_perplexity_score(df, text_col, id_col, add_k=add_k)
     cut = scores.agg(F.expr(
         f"approx_percentile(perplexity, {float(keep_frac)})")).first()[0]
+    if cut is None:  # empty corpus: nothing to keep, nothing to crash on
+        return df.limit(0)
     keep = scores.where(F.col("perplexity") <= F.lit(float(cut)))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")

@@ -79,17 +79,19 @@ def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
     for r in rules:
         if r["rule"] == "unique":
             cols = list(r["cols"])
+            any_null = F.lit(False)
+            for c in cols:
+                any_null = any_null | F.col(c).isNull()
             counts = df.agg(
                 F.count(F.lit(1)).alias("__n"),
                 F.countDistinct(*[F.col(c) for c in cols]).alias("__d"),
-                *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                  .alias(f"__null_{c}") for c in cols]).first()
-            # countDistinct drops null-keyed rows; exclude them from the
-            # duplicate arithmetic (use not_null to forbid nulls).
-            n_null = 0
-            for c in cols:
-                n_null = max(n_null, int(counts[f"__null_{c}"] or 0))
-            dupes = int(counts["__n"]) - n_null - int(counts["__d"])
+                F.sum(F.when(any_null, 1).otherwise(0)).alias("__nn")
+            ).first()
+            # countDistinct drops rows where ANY key column is null;
+            # exclude exactly those rows from the duplicate arithmetic
+            # (use not_null to forbid nulls in the first place).
+            dupes = (int(counts["__n"]) - int(counts["__nn"] or 0)
+                     - int(counts["__d"]))
             results.append((_rule_name(r), max(0, dupes)))
         elif r["rule"] == "foreign_key":
             ref = r["ref"].select(

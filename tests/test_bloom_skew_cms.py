@@ -295,3 +295,10 @@ def test_registry_names_resolve():
         fn = get_plugin(name, PluginType.TRANSFORMER)
         assert callable(fn)
         assert fn.__name__ not in ("_log_dropped_async",)
+
+
+def test_lm_quality_filter_empty_corpus(spark):
+    from niamoto_spark.operators.lm import lm_quality_filter
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert lm_quality_filter(empty, "text", "doc_id").count() == 0

@@ -60,3 +60,13 @@ def test_unknown_rule_raises(spark):
 def test_empty_rules_raise(spark):
     with pytest.raises(ValueError, match="no rules"):
         expect(spark.range(1), [])
+
+
+def test_unique_rule_nulls_in_different_rows(spark):
+    """Rows with any-null keys are excluded from duplicate arithmetic
+    even when the nulls fall in DIFFERENT columns across rows."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, None), (1, "a")],
+        "x long, y string")
+    res = expect(df, [{"rule": "unique", "cols": ["x", "y"]}]).collect()
+    assert res[0]["n_violations"] == 1  # only the (1,'a') duplicate

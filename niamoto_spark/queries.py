@@ -1684,6 +1684,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_corr_matrix": q146_corr_matrix,
         "q147_mode_per_group": q147_mode_per_group,
         "q148_sorted_listagg": q148_sorted_listagg,
+        "q149_text_classifier": q149_text_classifier,
     }
 
 
@@ -4952,6 +4953,66 @@ GROUP BY r_name
 """
 
 
+def q149_text_classifier(spark, sf_dir):
+    """Distributed logistic-regression text classifier
+    (operators/classifier.py, the fastText-style quality/domain filter):
+    hashed bag-of-words, 2 full-batch GD iterations (label: lang=='en'),
+    then per-doc scores.  The oracle unrolls the ENTIRE training loop in
+    SQL — init, gradient, step, gradient, step, score — the same
+    replay-the-algorithm standard as the k-means/PageRank oracles."""
+    from niamoto_spark.operators.classifier import (score_text_classifier,
+                                                    train_text_classifier)
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "text",
+                 (F.col("lang") == "en").cast("int").alias("y")))
+    w, b = train_text_classifier(d, "doc_id", "text", "y",
+                                 n_buckets=1024, iters=2, lr=0.5)
+    scored = score_text_classifier(d, "doc_id", "text", w, b,
+                                   n_buckets=1024)
+    return scored.select("doc_id", F.round("p", 4).alias("p_en"))
+
+
+O_Q149 = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+tok AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tk
+        FROM docs),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 1024 AS bucket,
+         count(*) AS c
+  FROM tok GROUP BY 1, 2),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+r1 AS (SELECT doc_id, 0.5 - y AS r FROM docs),
+g1 AS (SELECT f.bucket, sum(r1.r * f.c) / (SELECT n FROM nn) AS g
+       FROM feats f JOIN r1 USING (doc_id) GROUP BY 1),
+gb1 AS (SELECT sum(r) / (SELECT n FROM nn) AS g FROM r1),
+w1 AS (SELECT bucket, -0.5 * g AS w FROM g1),
+z2 AS (SELECT f.doc_id,
+              -0.5 * (SELECT g FROM gb1)
+              + sum(f.c * COALESCE(w1.w, 0)) AS z
+       FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id),
+r2 AS (SELECT d.doc_id,
+              1.0 / (1.0 + exp(-COALESCE(z2.z, 0))) - d.y AS r
+       FROM docs d LEFT JOIN z2 USING (doc_id)),
+g2 AS (SELECT f.bucket, sum(r2.r * f.c) / (SELECT n FROM nn) AS g
+       FROM feats f JOIN r2 USING (doc_id) GROUP BY 1),
+gb2 AS (SELECT sum(r) / (SELECT n FROM nn) AS g FROM r2),
+w2 AS (SELECT w1.bucket, w1.w - 0.5 * g2.g AS w
+       FROM w1 JOIN g2 USING (bucket)),
+z3 AS (SELECT f.doc_id,
+              -0.5 * (SELECT g FROM gb1) - 0.5 * (SELECT g FROM gb2)
+              + sum(f.c * COALESCE(w2.w, 0)) AS z
+       FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-COALESCE(z3.z, 0))), 4) AS p_en
+FROM docs d LEFT JOIN z3 USING (doc_id)
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -5096,6 +5157,7 @@ def build_oracles() -> dict[str, str]:
         "q146_corr_matrix": O_Q146,
         "q147_mode_per_group": O_Q147,
         "q148_sorted_listagg": O_Q148,
+        "q149_text_classifier": O_Q149,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -1685,6 +1685,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_mode_per_group": q147_mode_per_group,
         "q148_sorted_listagg": q148_sorted_listagg,
         "q149_text_classifier": q149_text_classifier,
+        "q150_table_diff": q150_table_diff,
     }
 
 
@@ -5013,6 +5014,52 @@ FROM docs d LEFT JOIN z3 USING (doc_id)
 """
 
 
+def q150_table_diff(spark, sf_dir):
+    """Row-level semantic diff between snapshots (manifest.table_diff):
+    orders committed, DML applied (delete + update), then the diff of
+    v0 -> head classifies every key as removed / changed (COW rewrites
+    make file-level CDC insufficient — rewritten files are mostly
+    unchanged rows).  The oracle recomputes each class from the DML
+    predicates directly."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_diff_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderkey") % 2 == 0)
+              .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+    M.append(orders, path)
+    v0 = M.current_version(path)
+    M.delete_where(spark, path, "o_totalprice < 100000")
+    M.update_where(spark, path, "o_orderpriority = '1-URGENT'",
+                   {"o_orderpriority": F.lit("0-ESCALATED")})
+    diff = M.table_diff(spark, path, v0, key_cols=["o_orderkey"])
+    return (diff.groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("o_orderkey").alias("key_sum")))
+
+
+O_Q150 = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+cls AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice < 100000 THEN 'removed'
+              WHEN o_orderpriority = '1-URGENT' THEN 'changed'
+         END AS change
+  FROM base)
+SELECT change, count(*) AS n_keys,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM cls WHERE change IS NOT NULL
+GROUP BY change
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -5158,6 +5205,7 @@ def build_oracles() -> dict[str, str]:
         "q147_mode_per_group": O_Q147,
         "q148_sorted_listagg": O_Q148,
         "q149_text_classifier": O_Q149,
+        "q150_table_diff": O_Q150,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

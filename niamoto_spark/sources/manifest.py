@@ -710,3 +710,87 @@ def read_table_point(spark: SparkSession, path: str, col: str, value,
         return base.where(F.col(col) == F.lit(value)), 0, skipped
     df = spark.read.parquet(*keep).where(F.col(col) == F.lit(value))
     return df, len(keep), skipped
+
+
+def table_diff(spark: SparkSession, path: str, from_version: int,
+               to_version: int | None = None,
+               key_cols: list[str] | None = None) -> DataFrame:
+    """Semantic diff between two snapshots: (key..., change) with change
+    in {added, removed, changed}.  Unchanged rows are omitted.
+
+    Requires a unique key per row in BOTH snapshots (the merge_upsert
+    contract) — verified with one count aggregate per side, because a
+    diff on a non-unique key would silently pair arbitrary rows.  Row
+    equality is xxhash64 over the non-key columns (cheap, JVM-side;
+    collisions would mis-report 'changed' as unchanged at p≈2^-64).
+
+    Shape: two snapshot reads + one full outer join keyed by the key —
+    this is the file-level CDC (``table_changes``) upgraded to ROW
+    semantics, which COW DML (delete_where/update_where) makes
+    necessary: a rewritten file contains mostly-unchanged rows."""
+    if not key_cols:
+        raise ValueError("table_diff requires key_cols")
+    to_v = current_version(path) if to_version is None else to_version
+    a = read_table(spark, path, version=from_version)
+    b = read_table(spark, path, version=to_v)
+    val_cols = [c for c in a.columns if c not in key_cols]
+    if [c for c in b.columns if c not in key_cols] != val_cols:
+        raise ValueError("table_diff: snapshots have different schemas; "
+                         "diff keys first, then migrate")
+    for side, df in (("from", a), ("to", b)):
+        dup = (df.groupBy(*key_cols).count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"table_diff: {side} snapshot is not unique on "
+                f"{key_cols} (e.g. {tuple(dup[0][k] for k in key_cols)})")
+
+    def keyed(df, tag):
+        h = (F.xxhash64(*[F.col(c) for c in val_cols]) if val_cols
+             else F.lit(0))
+        return df.select(*key_cols, h.alias(f"__h_{tag}"))
+
+    joined = keyed(a, "a").join(keyed(b, "b"), key_cols, "full_outer")
+    change = (F.when(F.col("__h_a").isNull(), "added")
+              .when(F.col("__h_b").isNull(), "removed")
+              .when(F.col("__h_a") != F.col("__h_b"), "changed"))
+    return (joined.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(*key_cols, "change"))
+
+
+def restore_version(path: str, version: int) -> int:
+    """ROLLBACK: re-commit an old snapshot's file list as the new head
+    (Delta RESTORE).  Nothing is copied — the old files are re-
+    referenced, so the bad versions stay in history (auditable) but
+    readers see the restored state.  Vacuum keeps restored files alive
+    because the head references them."""
+    head = current_version(path)
+    if version < 0 or version > head:
+        raise ValueError(f"restore_version: no version {version} "
+                         f"(head is {head})")
+    doc = _read_manifest(path, version)
+    _commit_doc(path, head + 1,
+                {"parent": head, "files": doc["files"],
+                 "stats": doc.get("stats", {}),
+                 "blooms": doc.get("blooms", {}),
+                 "restored_from": version})
+    return head + 1
+
+
+def append_checked(df: DataFrame, path: str, rules: list[dict],
+                   stats_cols: list[str] | None = None) -> int:
+    """Constraint-enforced append: ``quality.expect`` rules run against
+    the INCOMING batch first; any violation aborts BEFORE anything is
+    staged, so a bad batch can never become a committed snapshot
+    (write-time contracts, Delta's CHECK-constraint shape)."""
+    from niamoto_spark.operators.quality import expect
+
+    bad = (expect(df, rules)
+           .where(F.col("n_violations") > 0).collect())
+    if bad:
+        detail = ", ".join(f"{r['rule']}={r['n_violations']}" for r in bad)
+        raise ValueError(f"append_checked: constraints violated: {detail}")
+    if stats_cols:
+        return append_with_stats(df, path, stats_cols)
+    return append(df, path)

@@ -487,3 +487,73 @@ def test_bloom_index_no_false_negatives(spark, tmp_path):
     for probe in (0, 3, 2997, 5997):
         res, _, _ = M.read_table_point(spark, t, "k", probe)
         assert res.count() == 1, probe
+
+
+def test_table_diff_classifies_changes(spark, tmp_path):
+    t = str(tmp_path / "tdiff")
+    M.append(spark.range(10).select(F.col("id"),
+                                    F.lit("v1").alias("s")), t)
+    v0 = M.current_version(t)
+    M.delete_where(spark, t, "id >= 8")                      # removed 8,9
+    M.update_where(spark, t, "id < 2", {"s": F.lit("v2")})   # changed 0,1
+    d = {r["id"]: r["change"]
+         for r in M.table_diff(spark, t, v0, key_cols=["id"]).collect()}
+    assert d == {0: "changed", 1: "changed", 8: "removed", 9: "removed"}
+
+
+def test_table_diff_detects_added(spark, tmp_path):
+    t = str(tmp_path / "tdiff2")
+    M.append(spark.range(5).select(F.col("id")), t)
+    v0 = M.current_version(t)
+    M.append(spark.range(5, 8).select(F.col("id")), t)
+    d = {r["id"]: r["change"]
+         for r in M.table_diff(spark, t, v0, key_cols=["id"]).collect()}
+    assert d == {5: "added", 6: "added", 7: "added"}
+
+
+def test_table_diff_rejects_duplicate_keys(spark, tmp_path):
+    t = str(tmp_path / "tdiff3")
+    M.append(spark.range(4).select((F.col("id") % 2).alias("id")), t)
+    with pytest.raises(ValueError, match="not unique"):
+        M.table_diff(spark, t, 0, key_cols=["id"])
+
+
+def test_restore_version_rolls_back(spark, tmp_path):
+    t = str(tmp_path / "trest")
+    M.append(spark.range(10).select(F.col("id")), t)
+    v0 = M.current_version(t)
+    M.delete_where(spark, t, "id >= 5")
+    assert M.read_table(spark, t).count() == 5
+    v_new = M.restore_version(t, v0)
+    assert v_new == M.current_version(t)
+    assert M.read_table(spark, t).count() == 10
+    # bad version still in history (auditable)
+    assert M.read_table(spark, t, version=v0 + 1).count() == 5
+    doc = M._read_manifest(t, v_new)
+    assert doc["restored_from"] == v0
+
+
+def test_restore_survives_vacuum(spark, tmp_path):
+    t = str(tmp_path / "trest2")
+    M.append(spark.range(6).select(F.col("id")), t)
+    v0 = M.current_version(t)
+    M.overwrite(spark.range(2).select(F.col("id")), t)
+    M.restore_version(t, v0)
+    M.vacuum(t, keep_versions=1, retention_sec=0)
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
+        == list(range(6))
+
+
+def test_append_checked_blocks_bad_batch(spark, tmp_path):
+    t = str(tmp_path / "tchk")
+    good = spark.range(10).select(F.col("id"), F.lit(5.0).alias("v"))
+    M.append_checked(good, t, [{"rule": "not_null", "col": "id"},
+                               {"rule": "in_range", "col": "v",
+                                "lo": 0, "hi": 10}])
+    assert M.read_table(spark, t).count() == 10
+    bad = spark.range(3).select(F.col("id"), F.lit(99.0).alias("v"))
+    with pytest.raises(ValueError, match="constraints violated"):
+        M.append_checked(bad, t, [{"rule": "in_range", "col": "v",
+                                   "lo": 0, "hi": 10}])
+    # nothing committed, nothing staged as the head
+    assert M.read_table(spark, t).count() == 10

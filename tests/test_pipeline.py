@@ -284,3 +284,27 @@ def test_boolean_and_scatter_adapters(project, spark):
           if k != "id_plot"}
     assert r1["flags"][0]["category"] == "in_um"
     assert len(r1["dbh_scatter"]) == 6      # six occurrences per plot
+
+
+def test_training_data_pipeline_example(spark, tmp_path, sf_dir):
+    """The examples/ curation pipeline runs end-to-end: all stages
+    compose, the manifest commit passes its contracts, JSONL shards
+    land per split."""
+    import glob
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "training_data_pipeline",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+            "examples", "training_data_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "out")
+    stats = mod.run(sf_dir, out, spark=spark)
+    assert stats["raw"] >= stats["after_exact_dedup"] > 0
+    assert set(stats["splits"]) <= {"train", "val", "test"}
+    assert stats["table_version"] == 0
+    for split in stats["splits"]:
+        assert glob.glob(f"{out}/jsonl/{split}/shard=*/part-*")

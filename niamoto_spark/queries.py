@@ -1686,6 +1686,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_sorted_listagg": q148_sorted_listagg,
         "q149_text_classifier": q149_text_classifier,
         "q150_table_diff": q150_table_diff,
+        "q151_stream_topk": q151_stream_topk,
     }
 
 
@@ -5060,6 +5061,61 @@ GROUP BY change
 """
 
 
+def q151_stream_topk(spark, sf_dir):
+    """Streaming top-k: hourly event-type counts computed INCREMENTALLY
+    (availableNow) and ranked per window in complete mode — the
+    leaderboard-per-window shape.  Must equal the batch ranking, which
+    the oracle computes; rank ties broken by event_type so the top-3
+    cut is deterministic."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_stream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = _ts_to_timestamp(spark.readStream.schema(schema)
+                              .parquet(stream_dir))
+    agg = (stream
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    qname = "q151_stream_topk"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    win = Window.partitionBy("w").orderBy(F.col("n_events").desc(),
+                                          F.col("event_type").asc())
+    return (spark.table(qname)
+            .withColumn("rnk", F.row_number().over(win))
+            .where(F.col("rnk") <= 3)
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00")
+                    .alias("hour"),
+                    "event_type", "n_events", "rnk"))
+
+
+O_Q151 = """
+WITH counts AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY hour
+                                    ORDER BY n_events DESC,
+                                             event_type ASC) AS INT)
+              AS rnk
+  FROM counts)
+SELECT hour, event_type, n_events, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -5206,6 +5262,7 @@ def build_oracles() -> dict[str, str]:
         "q148_sorted_listagg": O_Q148,
         "q149_text_classifier": O_Q149,
         "q150_table_diff": O_Q150,
+        "q151_stream_topk": O_Q151,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -794,3 +794,28 @@ def append_checked(df: DataFrame, path: str, rules: list[dict],
     if stats_cols:
         return append_with_stats(df, path, stats_cols)
     return append(df, path)
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — file count,
+    parent, and the operation markers commits carry (batch_id,
+    source_version watermark, restored_from).  Reads only the manifest
+    documents; no data files are touched."""
+    head = current_version(path)
+    if head < 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    rows = []
+    for v in range(head + 1):
+        try:
+            doc = _read_manifest(path, v)
+        except FileNotFoundError:
+            continue  # vacuumed away
+        rows.append((v, int(doc.get("parent", -1)),
+                     len(doc.get("files", [])),
+                     bool(doc.get("stats")), bool(doc.get("blooms")),
+                     doc.get("batch_id"), doc.get("source_version"),
+                     doc.get("restored_from")))
+    return spark.createDataFrame(
+        rows, "version int, parent int, n_files int, has_stats boolean, "
+              "has_blooms boolean, batch_id long, source_version long, "
+              "restored_from long")

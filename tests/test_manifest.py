@@ -557,3 +557,16 @@ def test_append_checked_blocks_bad_batch(spark, tmp_path):
                                    "lo": 0, "hi": 10}])
     # nothing committed, nothing staged as the head
     assert M.read_table(spark, t).count() == 10
+
+
+def test_table_history_describes_versions(spark, tmp_path):
+    t = str(tmp_path / "thist")
+    M.append(spark.range(5).select(F.col("id")), t)
+    M.append_with_stats(spark.range(5, 9).select(F.col("id")), t,
+                        stats_cols=["id"])
+    M.restore_version(t, 0)
+    h = {r["version"]: r for r in M.table_history(spark, t).collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[1]["has_stats"] and not h[0]["has_stats"]
+    assert h[2]["restored_from"] == 0
+    assert h[2]["n_files"] == h[0]["n_files"]

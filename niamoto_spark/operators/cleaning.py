@@ -57,3 +57,63 @@ def impute(df: DataFrame, value_col: str, strategy: str = "mean",
     return result.withColumn(out, F.coalesce(F.col(value_col)
                                              .cast("double"),
                                              stat.cast("double")))
+
+
+@register("winsorize", PluginType.TRANSFORMER)
+def winsorize(df: DataFrame, value_col: str,
+              group_cols: list[str] | None = None,
+              lower: float = 0.05, upper: float = 0.95,
+              out_col: str | None = None) -> DataFrame:
+    """Winsorization: clip ``value_col`` to its [lower, upper] EXACT
+    percentiles (linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree), per group or globally.  The standard
+    outlier treatment before mean-based statistics.
+
+    Plan: one percentile aggregate per group + a broadcast join of the
+    two cutoffs back (grouped), or a single-row aggregate crossJoin
+    (global) — the data never shuffles for the clip itself."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1: {lower}, {upper}")
+    out = out_col or f"{value_col}_wins"
+    lo = F.percentile(value_col, F.lit(lower)).alias("__lo")
+    hi = F.percentile(value_col, F.lit(upper)).alias("__hi")
+    if group_cols:
+        cuts = df.groupBy(*group_cols).agg(lo, hi)
+        joined = df.join(F.broadcast(cuts), list(group_cols))
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(lo, hi)))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")),
+                      F.col("__hi"))
+    return joined.withColumn(out, clipped).drop("__lo", "__hi")
+
+
+@register("robust_outliers", PluginType.TRANSFORMER)
+def robust_outliers(df: DataFrame, value_col: str,
+                    group_cols: list[str] | None = None,
+                    threshold: float = 3.5,
+                    out_col: str = "is_outlier") -> DataFrame:
+    """Robust (median/MAD) outlier flags: |x - median| / (1.4826 · MAD)
+    > threshold — the modified z-score (Iglewicz-Hoaglin), immune to
+    the outliers polluting the scale estimate the way mean/std z-scores
+    are.  MAD = median(|x - median|), both medians EXACT.
+
+    Two aggregation passes per group (median, then MAD needs the median
+    first); constant groups (MAD = 0) flag nothing rather than
+    everything."""
+    groups = list(group_cols or [])
+    med = (df.groupBy(*groups).agg(F.median(value_col).alias("__med"))
+           if groups else
+           df.agg(F.median(value_col).alias("__med")))
+    with_med = (df.join(F.broadcast(med), groups) if groups
+                else df.crossJoin(F.broadcast(med)))
+    dev = F.abs(F.col(value_col) - F.col("__med"))
+    mad = (with_med.groupBy(*groups).agg(F.median(dev).alias("__mad"))
+           if groups else
+           with_med.agg(F.median(dev).alias("__mad")))
+    full = (with_med.join(F.broadcast(mad), groups) if groups
+            else with_med.crossJoin(F.broadcast(mad)))
+    mz = dev / (F.lit(1.4826) * F.col("__mad"))
+    flag = F.when(F.col("__mad") == 0, F.lit(False)) \
+        .when(F.col(value_col).isNull(), F.lit(None)) \
+        .otherwise(mz > F.lit(float(threshold)))
+    return full.withColumn(out_col, flag).drop("__med", "__mad")

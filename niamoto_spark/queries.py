@@ -1687,6 +1687,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_text_classifier": q149_text_classifier,
         "q150_table_diff": q150_table_diff,
         "q151_stream_topk": q151_stream_topk,
+        "q152_winsorize": q152_winsorize,
+        "q153_robust_outliers": q153_robust_outliers,
     }
 
 
@@ -5116,6 +5118,71 @@ SELECT hour, event_type, n_events, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+def q152_winsorize(spark, sf_dir):
+    """Winsorization at exact [p05, p95] per return flag
+    (cleaning.winsorize): mean before vs after clipping shows the
+    outlier treatment working; percentile interpolation matches
+    DuckDB's quantile_cont."""
+    from niamoto_spark.operators.cleaning import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", ["l_returnflag"],
+                  lower=0.05, upper=0.95)
+    return (w.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
+                 F.round(F.avg("l_extendedprice_wins"), 2)
+                 .alias("mean_wins")))
+
+
+O_Q152 = """
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, count(*) AS n,
+       round(avg(l.l_extendedprice), 2) AS mean_raw,
+       round(avg(least(greatest(l.l_extendedprice, c.lo), c.hi)), 2)
+         AS mean_wins
+FROM lineitem l JOIN cuts c USING (l_returnflag)
+GROUP BY 1
+"""
+
+
+def q153_robust_outliers(spark, sf_dir):
+    """Median/MAD modified-z outlier flags (cleaning.robust_outliers,
+    Iglewicz-Hoaglin): per event type, how many event values sit beyond
+    3.5 robust z — both medians EXACT, so the oracle recomputes the
+    identical flags."""
+    from niamoto_spark.operators.cleaning import robust_outliers
+
+    ev = _events(spark, sf_dir)
+    flagged = robust_outliers(ev.select("event_type", "value"),
+                              "value", ["event_type"], threshold=3.5)
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+                 .alias("n_outliers")))
+
+
+O_Q153 = """
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - med.m)) AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY 1)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN mad.mad <> 0
+                      AND abs(e.value - med.m) / (1.4826 * mad.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -5263,6 +5330,8 @@ def build_oracles() -> dict[str, str]:
         "q149_text_classifier": O_Q149,
         "q150_table_diff": O_Q150,
         "q151_stream_topk": O_Q151,
+        "q152_winsorize": O_Q152,
+        "q153_robust_outliers": O_Q153,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -60,3 +60,47 @@ def test_triangle_count_undirected_input_and_dupes(spark):
 def test_triangle_count_no_triangles(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
     assert triangle_count(pairs).count() == 0
+
+
+def test_winsorize_clips_to_percentiles(spark):
+    from niamoto_spark.operators.cleaning import winsorize
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)],
+                               "x double")
+    out = winsorize(df, "x", lower=0.1, upper=0.9).collect()
+    vals = sorted(r["x_wins"] for r in out)
+    # p10 of 1..100 (linear interp) = 10.9, p90 = 90.1
+    assert abs(vals[0] - 10.9) < 1e-9
+    assert abs(vals[-1] - 90.1) < 1e-9
+    # interior values untouched
+    assert any(abs(v - 50.0) < 1e-9 for v in vals)
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    import pytest
+
+    from niamoto_spark.operators.cleaning import winsorize
+
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize(spark.range(3).select(F.col("id").cast("double")
+                                        .alias("x")), "x",
+                  lower=0.9, upper=0.1)
+
+
+def test_robust_outliers_flags_only_extremes(spark):
+    from niamoto_spark.operators.cleaning import robust_outliers
+
+    rows = [("g", float(v)) for v in range(100)] + [("g", 10000.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = {r["x"]: r["is_outlier"]
+           for r in robust_outliers(df, "x", ["k"]).collect()}
+    assert out[10000.0] is True
+    assert sum(1 for v, f in out.items() if f) == 1
+
+
+def test_robust_outliers_constant_group_flags_nothing(spark):
+    from niamoto_spark.operators.cleaning import robust_outliers
+
+    df = spark.createDataFrame([("a", 5.0)] * 10, "k string, x double")
+    out = robust_outliers(df, "x", ["k"]).collect()
+    assert all(r["is_outlier"] is False for r in out)

@@ -1689,6 +1689,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_stream_topk": q151_stream_topk,
         "q152_winsorize": q152_winsorize,
         "q153_robust_outliers": q153_robust_outliers,
+        "q154_regression_aggs": q154_regression_aggs,
     }
 
 
@@ -5183,6 +5184,33 @@ GROUP BY 1
 """
 
 
+def q154_regression_aggs(spark, sf_dir):
+    """Closed-form linear-regression aggregates per group (Spark's
+    regr_slope / regr_intercept / regr_r2 — one pass, no ML library):
+    extended price explained by quantity within each return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+                 .alias("slope"),
+                 F.round(F.regr_intercept("l_extendedprice",
+                                          "l_quantity"), 2)
+                 .alias("intercept"),
+                 F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4)
+                 .alias("r2"),
+                 F.regr_count("l_extendedprice", "l_quantity")
+                 .alias("n_pairs")))
+
+
+O_Q154 = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "q01_pricing_summary": O_Q01,
@@ -5332,6 +5360,7 @@ def build_oracles() -> dict[str, str]:
         "q151_stream_topk": O_Q151,
         "q152_winsorize": O_Q152,
         "q153_robust_outliers": O_Q153,
+        "q154_regression_aggs": O_Q154,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

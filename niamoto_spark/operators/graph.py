@@ -112,3 +112,56 @@ def triangle_count(pairs: DataFrame, id_a: str = "id_a",
                 .union(tri.select(F.col("z"))))
     return per_node.groupBy("node_id").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register("bfs_hops", PluginType.TRANSFORMER)
+def bfs_hops(pairs: DataFrame, sources: DataFrame,
+             id_a: str = "id_a", id_b: str = "id_b",
+             source_col: str = "node_id", max_hops: int = 6,
+             directed: bool = False) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY source node to
+    every reachable node within ``max_hops``.
+
+    The relational shortest-path primitive the similarity/lineage graphs
+    need ("how far is this doc from a known-contaminated seed?", "which
+    taxa are within 2 links of a type specimen?").  Complements
+    pagerank/triangle_count; the reference's closest surface is the
+    nested-set ancestor walk (core/components/taxonomy, which only walks
+    trees) — this walks arbitrary graphs.
+
+    Spark-first: classic frontier expansion.  Each round is
+    frontier ⋈ edges → dedup → anti-join against visited — two hash
+    shuffles on node id, nothing on the driver but a per-round emptiness
+    scalar.  Lineage is cut per round with localCheckpoint (same policy
+    as pagerank's rank loop); rounds are bounded by ``max_hops`` so the
+    plan cannot grow unboundedly.  At 100 TB scale the visited set stays
+    a DataFrame (shuffle-partitioned on node id), never a driver
+    structure.
+
+    Output: (node_id, hops) — sources themselves at hops=0.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if not directed:
+        edges = edges.union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # materialize the edge list ONCE — the frontier loop joins it every
+    # hop, and without cutting lineage here the whole upstream pipeline
+    # (e.g. a candidate-pair generator) would re-execute per hop
+    edges = (edges.where(F.col("src") != F.col("dst")).distinct()
+             .localCheckpoint(eager=True))
+
+    visited = (sources.select(F.col(source_col).alias("node_id"))
+               .distinct().withColumn("hops", F.lit(0)))
+    frontier = visited.select("node_id")
+    for hop in range(1, max_hops + 1):
+        nxt = (edges.join(frontier, edges["src"] == frontier["node_id"])
+               .select(F.col("dst").alias("node_id"))
+               .distinct()
+               .join(visited.select("node_id"), "node_id", "left_anti")
+               .withColumn("hops", F.lit(hop)))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node_id")
+    return visited

@@ -1,0 +1,127 @@
+"""Frequent-itemset / association-rule mining over basket-shaped data.
+
+A training-data and analytics staple with no counterpart in the
+reference (its aggregations are per-entity, never cross-item): which
+tags/domains/brands co-occur, with support / confidence / lift — the
+first Apriori pass (pairs), which in practice is what powers
+"co-occurring labels" and "related items" dashboards.
+
+Spark-first shape, 100 TB design:
+
+    baskets   = distinct (basket, item) — one hash shuffle
+    freq      = groupBy(item) count -> min-support filter; the Apriori
+                property means only frequent items can appear in a
+                frequent pair, so infrequent items are pruned BEFORE the
+                quadratic step (broadcast semi join — the frequent-item
+                list is small by construction)
+    pairs     = self-join on basket (co-partitioned: both sides are the
+                same shuffle output, AQE reuses the exchange) with
+                item_a < item_b, then groupBy(pair) count
+    rules     = pair counts ⋈ broadcast(item counts) twice — all
+                broadcast, no extra wide shuffle
+
+A single viral basket with B items contributes C(B,2) pairs; baskets
+larger than ``max_basket_size`` are dropped entirely (dropping, not
+truncating, keeps support counts exact over the retained population and
+is logged) — the same runaway guard policy as interval_join /
+fill_time_gaps.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+log = logging.getLogger(__name__)
+
+
+@register("association_rules", PluginType.TRANSFORMER)
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_support: float = 0.01,
+                      min_confidence: float = 0.0,
+                      max_basket_size: int = 10_000,
+                      round_dp: int = 4) -> DataFrame:
+    """Pairwise association rules (antecedent -> consequent) with
+    support / confidence / lift.
+
+    Support counts are over distinct baskets (an item twice in one
+    basket counts once — the standard market-basket convention).  Both
+    directions of each frequent pair are emitted; confidence differs per
+    direction, support and lift do not.
+
+    Output: (antecedent, consequent, pair_count, support, confidence,
+    lift), doubles rounded to ``round_dp``.
+    """
+    baskets = (df.select(F.col(basket_col).alias("__basket"),
+                         F.col(item_col).alias("__item"))
+               .where(F.col(item_col).isNotNull())
+               .distinct())
+
+    # one aggregation pass sizes every basket; one scalar job derives
+    # BOTH the kept-basket universe size and the dropped count (no
+    # second distinct-count over the corpus)
+    sizes = baskets.groupBy("__basket").agg(
+        F.count(F.lit(1)).alias("__sz")).localCheckpoint(eager=True)
+    tot = sizes.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum(F.when(F.col("__sz") <= max_basket_size, 1)
+               .otherwise(0)).alias("n_keep")).first()
+    n_baskets = int(tot.n_keep or 0)
+    n_dropped = int(tot.n_tot or 0) - n_baskets
+    if n_dropped:
+        log.warning("association_rules: dropped %d baskets larger than "
+                    "max_basket_size=%d", n_dropped, max_basket_size)
+        # the size filter joins on the SAME key the groupBy shuffled on,
+        # so AQE reuses the exchange — never a broadcast of the (corpus-
+        # sized) basket universe
+        keep = sizes.where(F.col("__sz") <= max_basket_size)
+        baskets = baskets.join(keep.select("__basket"), "__basket")
+
+    if n_baskets == 0:
+        return (baskets.select(
+            F.col("__item").alias("antecedent"),
+            F.col("__item").alias("consequent"),
+            F.lit(0).cast("long").alias("pair_count"),
+            F.lit(0.0).alias("support"),
+            F.lit(0.0).alias("confidence"),
+            F.lit(0.0).alias("lift")).limit(0))
+    min_count = max(1, int(min_support * n_baskets))
+
+    item_counts = baskets.groupBy("__item").agg(
+        F.count(F.lit(1)).alias("__n_item"))
+    frequent = item_counts.where(F.col("__n_item") >= min_count)
+
+    pruned = baskets.join(F.broadcast(frequent.select("__item")), "__item")
+    a = pruned.select("__basket", F.col("__item").alias("__a"))
+    b = pruned.select("__basket", F.col("__item").alias("__b"))
+    pair_counts = (a.join(b, "__basket")
+                   .where(F.col("__a") < F.col("__b"))
+                   .groupBy("__a", "__b")
+                   .agg(F.count(F.lit(1)).alias("pair_count"))
+                   .where(F.col("pair_count") >= min_count))
+
+    both = pair_counts.unionByName(
+        pair_counts.select(F.col("__b").alias("__a"),
+                           F.col("__a").alias("__b"), "pair_count"))
+    ante = frequent.select(F.col("__item").alias("__a"),
+                           F.col("__n_item").alias("__n_a"))
+    cons = frequent.select(F.col("__item").alias("__b"),
+                           F.col("__n_item").alias("__n_b"))
+    rules = (both.join(F.broadcast(ante), "__a")
+             .join(F.broadcast(cons), "__b")
+             .select(
+                 F.col("__a").alias("antecedent"),
+                 F.col("__b").alias("consequent"),
+                 "pair_count",
+                 F.round(F.col("pair_count") / F.lit(float(n_baskets)),
+                         round_dp).alias("support"),
+                 F.round(F.col("pair_count") / F.col("__n_a"),
+                         round_dp).alias("confidence"),
+                 F.round(F.col("pair_count") * F.lit(float(n_baskets))
+                         / (F.col("__n_a") * F.col("__n_b")),
+                         round_dp).alias("lift")))
+    return rules.where(F.col("confidence") >= min_confidence)

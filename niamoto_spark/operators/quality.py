@@ -111,3 +111,85 @@ def expect_pass(df: DataFrame, rules: list[dict]) -> bool:
     """True when every rule has zero violations."""
     res = expect(df, rules)
     return res.agg(F.max("n_violations")).first()[0] == 0
+
+
+@register("benford_audit", PluginType.TRANSFORMER)
+def benford_audit(df: DataFrame, value_col: str,
+                  round_dp: int = 4) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic synthetic-data / fabricated-numbers audit (naturally
+    occurring multi-magnitude quantities follow
+    P(d) = log10(1 + 1/d); generated or tampered columns usually don't).
+
+    One projection + one 9-group aggregate: digit is extracted in
+    closed form as floor(|x| / 10^floor(log10(|x|))) — no string
+    formatting, so float representation differences between engines
+    can't leak in.  Zeros and nulls are excluded (they have no leading
+    significant digit).
+
+    Output: (digit, n, observed, expected, deviation) for digits 1-9,
+    fractions rounded to ``round_dp``; deviation = observed - expected.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    x = F.abs(F.col(value_col))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    per = (df.where(F.col(value_col).isNotNull() & (x > 0))
+             .select(digit.cast("int").alias("digit"))
+             .groupBy("digit")
+             .agg(F.count(F.lit(1)).alias("n")))
+    total = Window.partitionBy()
+    exp_map = F.create_map(*[
+        e for d in range(1, 10)
+        for e in (F.lit(d), F.lit(math.log10(1 + 1 / d)))])
+    return (per.withColumn("observed",
+                           F.col("n") / F.sum("n").over(total))
+               .withColumn("expected", exp_map[F.col("digit")])
+               .select("digit", "n",
+                       F.round("observed", round_dp).alias("observed"),
+                       F.round("expected", round_dp).alias("expected"),
+                       F.round(F.col("observed") - F.col("expected"),
+                               round_dp).alias("deviation")))
+
+
+@register("table_fingerprint", PluginType.TRANSFORMER)
+def table_fingerprint(df: DataFrame, cols: list[str] | None = None,
+                      null_sentinel: str = "<NULL>",
+                      sep: str = "|") -> DataFrame:
+    """Order-independent content fingerprint of a table: one row of
+    (n_rows, xor_fp, sum_fp).
+
+    Per row: md5 over the sep-joined string casts of ``cols`` (nulls ->
+    ``null_sentinel``); the row hashes are then combined with TWO
+    commutative aggregates — bit_xor of the top 60 bits and a
+    DECIMAL(38,0) sum of the top 32 bits.  XOR alone is blind to rows
+    duplicated an even number of times; together with the sum, a
+    difference in either multiset is overwhelmingly likely to flip at
+    least one.  Both aggregates are associative-commutative, so the
+    fingerprint is independent of partitioning and row order —
+    comparable across engines, snapshots and cluster sizes — and
+    map-side partial aggregation reduces the whole table to one row per
+    partition before the single 1-row shuffle.  DECIMAL(38) holds 1e12
+    rows x 2^32 with ~29 digits of headroom.
+
+    Cross-engine caveat (documented contract): pass integer / string /
+    date columns, or pre-round doubles to DECIMAL yourself — raw float
+    -> string rendering is engine-specific.
+
+    Used by manifest table_diff-style audits: equal fingerprints =>
+    tables almost surely identical as multisets, without a full
+    sort-compare.
+    """
+    use = cols or df.columns
+    canon = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel))
+               for c in use])
+    h = F.md5(canon)
+    v60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    v32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return df.select(v60.alias("__v60"), v32.alias("__v32")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("__v60").alias("xor_fp"),
+        F.sum("__v32").cast("decimal(38,0)").alias("sum_fp"))

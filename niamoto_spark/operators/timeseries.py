@@ -107,3 +107,84 @@ def transition_matrix(events: DataFrame, key_col: str, ts_col: str,
     total = Window.partitionBy("from_state")
     return bigrams.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(total), round_dp))
+
+
+@register("ewma", PluginType.TRANSFORMER)
+def ewma(df: DataFrame, key_col: str, order_col: str, value_col: str,
+         alpha: float = 0.3, lookback: int = 40, round_dp: int = 4,
+         out_col: str = "ewma") -> DataFrame:
+    """Exponentially-weighted moving average per key — the pandas
+    ``ewm(adjust=True)`` weighting with an explicit finite ``lookback``:
+
+        s_i = sum_{d=0..L} (1-alpha)^d * x_{i-d}
+              / sum_{d=0..L} (1-alpha)^d          (missing lags skipped)
+
+    The naive recurrence s_i = a*x_i + (1-a)*s_{i-1} looks sequential;
+    the finite-memory form above is a plain weighted lag-sum, which is
+    ONE window sort per key with L+1 lag() expressions evaluated in the
+    same WindowExec pass — no UDF, no recursion, no driver loop, and an
+    external SQL engine replays it term-for-term (the oracle does).
+    With the default alpha=0.3, the truncated tail weight is
+    0.7^41 ~ 4e-7 of the total — below 4dp rounding.
+
+    Scale: cost is one shuffle on key_col + an O(L) projection per row;
+    L is a constant, so the plan is identical at 100 TB.  Contrast with
+    a driver-sequential recurrence, which cannot distribute at all.
+    """
+    from pyspark.sql import Window
+
+    r = 1.0 - alpha
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for d in range(lookback + 1):
+        x_d = F.lag(value_col, d).over(w) if d else F.col(value_col)
+        num = num + F.coalesce(x_d * F.lit(r ** d), F.lit(0.0))
+        den = den + F.when(x_d.isNotNull(), F.lit(r ** d)).otherwise(0.0)
+    return df.withColumn(out_col, F.round(num / den, round_dp))
+
+
+@register("cusum_changepoints", PluginType.TRANSFORMER)
+def cusum_changepoints(df: DataFrame, key_col: str, order_col: str,
+                       value_col: str, target: float, slack: float,
+                       threshold: float,
+                       round_dp: int = 4) -> DataFrame:
+    """Two-sided CUSUM drift detection per key (Page 1954).
+
+    The textbook form is a clamped recurrence,
+    S+_i = max(0, S+_{i-1} + (x_i - target - slack)), which looks
+    driver-sequential — but the clamp has a closed form:
+
+        S+_i = P_i - min(0, min_{j<=i} P_j),  P = prefix sum of
+        (x - target - slack)
+
+    (proof by induction: max(0, P_{i-1} - m + d_i) = P_i - min(m, P_i)),
+    and symmetrically S-_i from the prefix sum of (x - target + slack)
+    maxed instead of min'd.  So the whole detector is TWO running
+    aggregates over ONE window sort per key — fully distributed, and the
+    oracle replays the identical identity in SQL.
+
+    Output: input columns + cusum_pos, cusum_neg (rounded) + ``alarm``
+    (true when either side exceeds ``threshold``).
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # two selects because window functions can't nest; both use the same
+    # (partition, order), so the physical plan sorts ONCE and chains the
+    # two WindowExec operators without a second exchange
+    staged = df.withColumn(
+        "__p_pos", F.sum(F.col(value_col) - F.lit(target + slack)).over(w)
+    ).withColumn(
+        "__p_neg", F.sum(F.col(value_col) - F.lit(target - slack)).over(w))
+    s_pos = (F.col("__p_pos") -
+             F.least(F.lit(0.0), F.min("__p_pos").over(w)))
+    s_neg = (F.greatest(F.lit(0.0), F.max("__p_neg").over(w)) -
+             F.col("__p_neg"))
+    out = (staged.withColumn("cusum_pos", F.round(s_pos, round_dp))
+                 .withColumn("cusum_neg", F.round(s_neg, round_dp))
+                 .drop("__p_pos", "__p_neg"))
+    return out.withColumn(
+        "alarm", (F.col("cusum_pos") > threshold) |
+                 (F.col("cusum_neg") > threshold))

@@ -1690,6 +1690,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_winsorize": q152_winsorize,
         "q153_robust_outliers": q153_robust_outliers,
         "q154_regression_aggs": q154_regression_aggs,
+        "q155_association_rules": q155_association_rules,
+        "q156_cusum_drift": q156_cusum_drift,
+        "q157_ewma_smoothing": q157_ewma_smoothing,
+        "q158_bfs_hops": q158_bfs_hops,
+        "q159_pareto_frontier": q159_pareto_frontier,
+        "q160_benford_audit": q160_benford_audit,
+        "q161_table_fingerprint": q161_table_fingerprint,
     }
 
 
@@ -5361,7 +5368,281 @@ def build_oracles() -> dict[str, str]:
         "q152_winsorize": O_Q152,
         "q153_robust_outliers": O_Q153,
         "q154_regression_aggs": O_Q154,
+        "q155_association_rules": O_Q155,
+        "q156_cusum_drift": O_Q156,
+        "q157_ewma_smoothing": O_Q157,
+        "q158_bfs_hops": O_Q158,
+        "q159_pareto_frontier": O_Q159,
+        "q160_benford_audit": O_Q160,
+        "q161_table_fingerprint": O_Q161,
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.
     }
+
+
+# --------------------------------------------------------------------------
+# Round-7 continuation: q155+ (mining / drift / skyline / audit lanes)
+# --------------------------------------------------------------------------
+
+def q155_association_rules(spark, sf_dir):
+    """Market-basket association rules (operators/itemsets.py): brand
+    co-occurrence across orders with support/confidence/lift.  The
+    Apriori frequent-item prune runs BEFORE the quadratic pair join;
+    the oracle refits the whole mining pass in SQL."""
+    from niamoto_spark.operators.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (li.join(F.broadcast(p),
+                       F.col("l_partkey") == F.col("p_partkey"))
+               .select("l_orderkey", "p_brand"))
+    rules = association_rules(baskets, "l_orderkey", "p_brand",
+                              min_support=0.01)
+    return (rules.orderBy(F.col("lift").desc(), "antecedent", "consequent")
+            .limit(50))
+
+
+O_Q155 = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+mc AS (SELECT GREATEST(1, CAST(floor(0.01 * n_baskets) AS BIGINT)) AS c,
+              n_baskets FROM n),
+ic AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+freq AS (SELECT item, n_item FROM ic, mc WHERE n_item >= mc.c),
+pb AS (SELECT b.* FROM b JOIN freq ON b.item = freq.item),
+pc AS (SELECT a.item AS ia, bb.item AS ib, count(*) AS pair_count
+       FROM pb a JOIN pb bb ON a.basket = bb.basket AND a.item < bb.item
+       GROUP BY 1, 2),
+fp AS (SELECT * FROM pc, mc WHERE pair_count >= mc.c),
+both_dir AS (SELECT ia, ib, pair_count, n_baskets FROM fp
+             UNION ALL
+             SELECT ib, ia, pair_count, n_baskets FROM fp)
+SELECT d.ia AS antecedent, d.ib AS consequent,
+       CAST(d.pair_count AS BIGINT) AS pair_count,
+       round(d.pair_count / CAST(d.n_baskets AS DOUBLE), 4) AS support,
+       round(d.pair_count / CAST(fa.n_item AS DOUBLE), 4) AS confidence,
+       round(d.pair_count * CAST(d.n_baskets AS DOUBLE)
+             / (fa.n_item * fb.n_item), 4) AS lift
+FROM both_dir d
+JOIN freq fa ON d.ia = fa.item
+JOIN freq fb ON d.ib = fb.item
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 50
+"""
+
+
+def q156_cusum_drift(spark, sf_dir):
+    """CUSUM drift detection (operators/timeseries.py:cusum_changepoints)
+    on per-user event values — the clamped recurrence computed via the
+    prefix-sum minus running-min identity, i.e. two running aggregates
+    over one window sort, no sequential driver loop.  The oracle replays
+    the identical identity with DuckDB windows."""
+    from niamoto_spark.operators.timeseries import cusum_changepoints
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 200)
+    flagged = cusum_changepoints(ev, "user_id", "event_id", "value",
+                                 target=50.0, slack=5.0, threshold=200.0)
+    return (flagged.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("alarm"), 1).otherwise(0))
+                  .alias("n_alarms"),
+                 F.round(F.max("cusum_pos"), 2).alias("max_pos"),
+                 F.round(F.max("cusum_neg"), 2).alias("max_neg"))
+            .where(F.col("n_alarms") > 0))
+
+
+O_Q156 = """
+WITH e AS (SELECT user_id, event_id, value FROM events WHERE user_id < 200),
+p AS (SELECT user_id, event_id, value,
+             sum(value - 55.0) OVER w AS p_pos,
+             sum(value - 45.0) OVER w AS p_neg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (SELECT user_id,
+             round(p_pos - LEAST(0.0, min(p_pos) OVER w), 4) AS cusum_pos,
+             round(GREATEST(0.0, max(p_neg) OVER w) - p_neg, 4) AS cusum_neg
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN cusum_pos > 200.0 OR cusum_neg > 200.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       round(max(cusum_pos), 2) AS max_pos,
+       round(max(cusum_neg), 2) AS max_neg
+FROM s
+GROUP BY 1
+HAVING sum(CASE WHEN cusum_pos > 200.0 OR cusum_neg > 200.0
+               THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q157_ewma_smoothing(spark, sf_dir):
+    """EWMA smoothing (operators/timeseries.py:ewma): the pandas
+    adjust=True weighting as a finite lag-sum — one window sort per
+    user, 41 lag terms in one WindowExec pass, no recurrence.  Oracle
+    replays the identical term sum (generated below)."""
+    from niamoto_spark.operators.timeseries import ewma
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    sm = ewma(ev, "user_id", "event_id", "value",
+              alpha=0.3, lookback=40)
+    return sm.select("event_id", "user_id",
+                     F.round("value", 2).alias("value"), "ewma")
+
+
+def _ewma_oracle_sql(alpha: float = 0.3, lookback: int = 40) -> str:
+    r = 1.0 - alpha
+    num = " + ".join(
+        f"coalesce(lag(value, {d}) OVER w * {r ** d!r}, 0.0)"
+        if d else f"value * 1.0"
+        for d in range(lookback + 1))
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {d}) OVER w IS NOT NULL "
+        f"THEN {r ** d!r} ELSE 0.0 END)"
+        if d else "1.0"
+        for d in range(lookback + 1))
+    return f"""
+SELECT event_id, user_id, round(value, 2) AS value,
+       round(({num}) / ({den}), 4) AS ewma
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+O_Q157 = _ewma_oracle_sql()
+
+
+def q158_bfs_hops(spark, sf_dir):
+    """Multi-source BFS (operators/graph.py:bfs_hops) over the
+    unigram-Jaccard similarity graph: min hop distance from seed docs
+    (doc_id < 5) within 3 hops.  Frontier-expansion joins in Spark; the
+    oracle is a DuckDB recursive CTE over the same edge SQL as q117."""
+    from niamoto_spark.operators.graph import bfs_hops
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6, block_col="source")
+    seeds = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("node_id"))
+    return bfs_hops(pairs.select("id_a", "id_b"), seeds, max_hops=3)
+
+
+O_Q158 = r"""
+WITH RECURSIVE
+g AS (SELECT doc_id, source,
+             list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                 '\s+')) AS toks
+      FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+e AS (SELECT id_a AS a, id_b AS b FROM p WHERE id_a != id_b
+      UNION SELECT id_b, id_a FROM p WHERE id_a != id_b),
+walk(node_id, hops) AS (
+    SELECT doc_id, 0 FROM documents WHERE doc_id < 5
+    UNION
+    SELECT e.b, w.hops + 1 FROM walk w JOIN e ON e.a = w.node_id
+    WHERE w.hops < 3)
+SELECT node_id, CAST(min(hops) AS INTEGER) AS hops
+FROM walk GROUP BY 1
+"""
+
+
+def q159_pareto_frontier(spark, sf_dir):
+    """Skyline query (operators/pareto.py): parts on the
+    (min retailprice, max size) Pareto frontier.  Local Arrow-batch
+    skylines prune the scan with no shuffle; the exact dominance
+    anti-join runs only over the surviving candidates.  Oracle is the
+    textbook NOT EXISTS dominance test."""
+    from niamoto_spark.operators.pareto import pareto_frontier
+
+    p = (_t(spark, sf_dir, "part").where(F.col("p_partkey") <= 5000)
+         .select("p_partkey", "p_retailprice", "p_size"))
+    front = pareto_frontier(p, {"p_retailprice": "min", "p_size": "max"})
+    return front.select("p_partkey",
+                        F.round("p_retailprice", 2).alias("p_retailprice"),
+                        "p_size")
+
+
+O_Q159 = """
+WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part
+           WHERE p_partkey <= 5000)
+SELECT a.p_partkey, round(a.p_retailprice, 2) AS p_retailprice, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
+def q160_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (operators/quality.py:benford_audit)
+    over extended prices — digit extracted in closed numeric form (no
+    string formatting), one 9-group aggregate."""
+    from niamoto_spark.operators.quality import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
+O_Q160 = """
+WITH d AS (SELECT CAST(floor(abs(l_extendedprice)
+                  / pow(10, floor(log10(abs(l_extendedprice)))))
+                  AS INTEGER) AS digit
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0),
+per AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+SELECT digit, n,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS observed,
+       round(log10(1 + 1.0 / digit), 4) AS expected,
+       round(n / CAST(sum(n) OVER () AS DOUBLE)
+             - log10(1 + 1.0 / digit), 4) AS deviation
+FROM per
+"""
+
+
+def q161_table_fingerprint(spark, sf_dir):
+    """Order-independent table fingerprint
+    (operators/quality.py:table_fingerprint) of customer key columns:
+    commutative XOR + DECIMAL sum over md5-derived row hashes, so the
+    result is partitioning- and engine-independent.  The oracle rebuilds
+    the identical hashes digit-by-digit from DuckDB's md5."""
+    from niamoto_spark.operators.quality import table_fingerprint
+
+    c = _t(spark, sf_dir, "customer")
+    return table_fingerprint(
+        c, ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"])
+
+
+def _fingerprint_oracle_sql() -> str:
+    def hex_to_int(nchars: int) -> str:
+        terms = [
+            f"(strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1)"
+            f" * {16 ** (nchars - 1 - k)}"
+            for k in range(nchars)]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH r AS (SELECT md5(concat_ws('|',
+                CAST(c_custkey AS VARCHAR), c_name, c_mktsegment,
+                CAST(c_nationkey AS VARCHAR))) AS h
+           FROM customer),
+v AS (SELECT CAST({hex_to_int(15)} AS BIGINT) AS v60,
+             CAST({hex_to_int(8)} AS BIGINT) AS v32
+      FROM r)
+SELECT count(*) AS n_rows, bit_xor(v60) AS xor_fp,
+       CAST(sum(v32) AS DECIMAL(38,0)) AS sum_fp
+FROM v
+"""
+
+
+O_Q161 = _fingerprint_oracle_sql()

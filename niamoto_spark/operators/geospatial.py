@@ -404,3 +404,49 @@ def zonal_stats_from_arrays(zone_values: DataFrame, group_cols: list[str],
     mino = counts.withColumn("__r", F.row_number().over(w_min)).where(F.col("__r") == 1) \
                  .select(*group_cols, F.col(value_col).alias("minority"))
     return base.join(maj, list(group_cols), "left").join(mino, list(group_cols), "left")
+
+
+def _morton_interleave_sql(x_col: str, y_col: str, bits: int) -> str:
+    """SQL expression interleaving the low ``bits`` bits of two integer
+    columns into a Morton (Z-order) code — generated as a sum of
+    shift/mask terms so the IDENTICAL text runs in Spark SQL and any
+    ANSI engine (the oracle evaluates the same arithmetic with native
+    operators).  All terms are int64; bits <= 31 keeps 2*bits < 63."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"shiftleft(shiftright({x_col}, {k}) & 1, {2 * k})")
+        terms.append(f"shiftleft(shiftright({y_col}, {k}) & 1, {2 * k + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register("morton_grid", PluginType.TRANSFORMER)
+def morton_grid(df: DataFrame, lat_col: str, lon_col: str,
+                bits: int = 8, cell_col: str = "cell") -> DataFrame:
+    """Snap lat/lon points to a 2^bits x 2^bits global grid and add the
+    Morton (Z-order) cell id — the locality-preserving space-filling key
+    used for geo bucketing, neighborhood joins and range-prunable
+    clustering (the same curve sources/manifest.py's compact(cluster=
+    'zorder') uses for file layout; here it is a QUERY-surface column).
+
+    Z-ordered cell ids mean a bounding-box query touches O(few) id
+    RANGES, so a cell-keyed table pruned by min/max zone maps skips
+    almost everything — the point of the curve at 100 TB.  Pure codegen
+    arithmetic (floor/shift/mask), no UDF.
+
+    Out-of-range coordinates are clamped to the grid edge; null
+    coordinates yield a null cell.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    n = 1 << bits
+    gx = F.floor((F.col(lon_col) + 180.0) / 360.0 * n).cast("long")
+    gy = F.floor((F.col(lat_col) + 90.0) / 180.0 * n).cast("long")
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(n - 1))
+    out = (df.withColumn("__gx", clamp(gx))
+             .withColumn("__gy", clamp(gy)))
+    code = F.expr(_morton_interleave_sql("__gx", "__gy", bits))
+    return (out.withColumn(
+        cell_col,
+        F.when(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull(),
+               code))
+        .drop("__gx", "__gy"))

@@ -113,3 +113,46 @@ def lm_quality_filter(df: DataFrame, text_col: str, id_col: str,
         return df.limit(0)
     keep = scores.where(F.col("perplexity") <= F.lit(float(cut)))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+@register("kn_logprob_score", PluginType.TRANSFORMER)
+def kn_logprob_score(df: DataFrame, text_col: str, id_col: str,
+                     discount: float = 0.75) -> DataFrame:
+    """Per-document mean log-probability under an interpolated
+    Kneser-Ney bigram model (the KenLM/SRILM smoothing that add-k
+    approximates badly):
+
+        P(w2|w1) = max(c12 - D, 0)/c1
+                   + (D * N1+(w1,.)/c1) * (N1+(.,w2) / B)
+
+    where N1+(w1,.) is the number of distinct successors of w1,
+    N1+(.,w2) the number of distinct predecessors of w2 (the
+    "continuation" count — how many contexts w2 completes, the KN
+    insight), and B the number of distinct bigram types.
+
+    Everything is counting: the model is THREE aggregations over the
+    bigram-type table (which is itself one aggregation over the bigram
+    stream), all broadcast-sized; scoring re-streams the corpus once.
+    An external SQL engine refits the identical model (the oracle does).
+
+    Returns (id_col, n_bigrams, avg_logprob).
+    """
+    bg = _bigrams(df, id_col, text_col)
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bgc = bgc.localCheckpoint(eager=True)  # three consumers below
+    c1 = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count("*").alias("n1p_fw"))
+    cont = bgc.groupBy("w2").agg(F.count("*").alias("n1p_bw"))
+    n_types = bgc.count()
+
+    d = float(discount)
+    p = (F.greatest(F.col("c12") - F.lit(d), F.lit(0.0)) / F.col("c1") +
+         (F.lit(d) * F.col("n1p_fw") / F.col("c1")) *
+         (F.col("n1p_bw") / F.lit(float(n_types))))
+    scored = (bg.join(F.broadcast(bgc), ["w1", "w2"])
+                .join(F.broadcast(c1), "w1")
+                .join(F.broadcast(cont), "w2")
+                .select(id_col, F.log(p).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.avg("lp").alias("avg_logprob")))

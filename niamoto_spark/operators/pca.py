@@ -1,0 +1,145 @@
+"""Distributed PCA over an embedding column — whitening / compression /
+visualization for the vector lane (similarity.py, quantization.py).
+
+Spark-first shape: PCA on n x d data needs only the d-vector column sum
+and the d x d Gram matrix X'X, both of which are ASSOCIATIVE sums —
+perfect map-side partial aggregation:
+
+    partials = one numpy (batch'batch) Gram per Arrow batch
+               (mapInPandas — a d x d matrix per batch, never n x n)
+    totals   = posexplode -> groupBy(position) sum — a (d + d*d)-row
+               shuffle, CONSTANT in n
+    eigh     = driver numpy on the d x d covariance (d is small by
+               contract: embedding dims, not rows)
+
+So the corpus is read once, the shuffle is O(d^2) regardless of scale,
+and only the tiny spectral step is centralized — the standard
+tall-skinny PCA decomposition.  Projection is one Arrow-batched matmul
+per batch against the broadcast component matrix (the cosine_topk_blas
+pattern).
+
+Sign convention: each component is flipped so its largest-|coordinate|
+entry is positive — eigenvector sign is otherwise arbitrary and would
+break reproducibility across BLAS builds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from niamoto_spark.registry import PluginType, register
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Fit PCA; returns {mean, components (k x d, rows = components),
+    explained_variance, explained_variance_ratio, n}."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    d = len(first[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}]")
+
+    part_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("g", T.ArrayType(T.DoubleType())),
+    ])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            yield pd.DataFrame({
+                "n": [x.shape[0]],
+                "s": [x.sum(axis=0).tolist()],
+                "g": [(x.T @ x).ravel().tolist()],
+            })
+
+    p = df.select(vec_col).mapInPandas(partials, schema=part_schema)
+    # O(d^2)-row reduction: one row per (matrix position), summed JVM-side
+    totals = (p.select("n", F.posexplode(
+                  F.concat(F.col("s"), F.col("g"))).alias("pos", "v"))
+              .groupBy("pos")
+              .agg(F.sum("v").alias("v"), F.sum("n").alias("np")))
+    rows = totals.collect()
+    # every pos row sums over the same set of batches, so each carries
+    # the identical total row count
+    n = int(rows[0]["np"])
+    flat = np.zeros(d + d * d)
+    for r in rows:
+        flat[r["pos"]] = r["v"]
+    s, g = flat[:d], flat[d:].reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                # k x d
+    ev = evals[order]
+    # deterministic sign: largest-|entry| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.trace(cov))
+    return {"mean": mean.tolist(), "components": comps.tolist(),
+            "explained_variance": ev.tolist(),
+            "explained_variance_ratio": (ev / total_var).tolist(),
+            "n": n}
+
+
+@register("pca_project", PluginType.TRANSFORMER)
+def pca_project(df: DataFrame, vec_col: str, model: dict,
+                out_col: str = "pca",
+                round_dp: int | None = 6) -> DataFrame:
+    """Project vectors onto the fitted components: out = (x - mean) @ C'.
+    One broadcast of the k x d matrix, one Arrow-batched matmul per
+    batch; all other columns pass through."""
+    mean = np.asarray(model["mean"])
+    comps = np.asarray(model["components"])
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((mean, comps, round_dp))
+
+    out_fields = [f for f in df.schema.fields]
+    schema = T.StructType(out_fields + [
+        T.StructField(out_col, T.ArrayType(T.DoubleType()))])
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, c, dp = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            y = (x - m) @ c.T
+            if dp is not None:
+                y = np.round(y, dp)
+            pdf = pdf.copy()
+            pdf[out_col] = list(y)
+            yield pdf
+
+    return df.mapInPandas(project, schema=schema)
+
+
+def pca_variance_report(df: DataFrame, vec_col: str, k: int,
+                        round_dp: int = 4) -> DataFrame:
+    """(component, explained_variance, explained_variance_ratio,
+    cumulative_ratio) as a DataFrame — the scree summary."""
+    model = pca_fit(df, vec_col, k)
+    spark = df.sparkSession
+    rows, cum = [], 0.0
+    for i, (v, r) in enumerate(zip(model["explained_variance"],
+                                   model["explained_variance_ratio"])):
+        cum += r
+        rows.append((i, round(v, round_dp), round(r, round_dp),
+                     round(cum, round_dp)))
+    return spark.createDataFrame(
+        rows, "component int, explained_variance double, "
+              "explained_variance_ratio double, cumulative_ratio double")

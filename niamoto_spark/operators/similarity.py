@@ -122,6 +122,70 @@ def cosine_topk_blas(corpus: DataFrame, queries: DataFrame, id_col: str,
                    .select("query_id", "neighbor_id", "similarity", "rank"))
 
 
+def _pick_centroids(c: DataFrame, n_centroids: int,
+                    use_kmeans: bool) -> DataFrame:
+    """Centroid table (centroid_id, cent_vec) from a corpus frame with
+    (neighbor_id, c_vec) — deterministic hash sample or seeded KMeans.
+    Shared by ivf_topk and the persisted-index build (annindex.py)."""
+    spark = c.sparkSession
+    if use_kmeans:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = c.select(array_to_vector(
+            F.transform("c_vec", lambda v: v.cast("double"))).alias("features"))
+        model = KMeans(k=n_centroids, seed=42, maxIter=10).fit(train)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in center])
+             for i, center in enumerate(model.clusterCenters())],
+            "centroid_id int, cent_vec array<double>")
+    # Deterministic centroid pick without a global single-partition
+    # window: the n_centroids smallest xxhash64(id) rows — a distributed
+    # TakeOrderedAndProject (per-partition top-k + tiny driver merge),
+    # pseudo-random but reproducible.
+    picked = (c.withColumn("__h", F.xxhash64("neighbor_id"))
+              .orderBy("__h", "neighbor_id").limit(n_centroids)
+              .select("c_vec").collect())
+    return spark.createDataFrame(
+        [(i, [float(x) for x in r["c_vec"]])
+         for i, r in enumerate(picked)],
+        "centroid_id int, cent_vec array<double>")
+
+
+def _assign_nearest(df: DataFrame, cents: DataFrame, vec: str, out: str,
+                    n: int) -> DataFrame:
+    """Tag each row with its ``n`` nearest centroid ids (broadcast
+    argmin over the tiny centroid table)."""
+    sim = cosine_similarity(F.col(vec), F.col("cent_vec"))
+    w = Window.partitionBy(df.columns[0]).orderBy(F.col("__csim").desc(),
+                                                  F.col("centroid_id").asc())
+    return (df.crossJoin(F.broadcast(cents))
+              .withColumn("__csim", sim)
+              .withColumn("__crk", F.row_number().over(w))
+              .where(F.col("__crk") <= n)
+              .drop("__csim", "__crk", "cent_vec")
+              .withColumnRenamed("centroid_id", out))
+
+
+def _ivf_score(c_assigned: DataFrame, q_assigned: DataFrame, k: int,
+               round_dp: int | None) -> DataFrame:
+    """Bucket-join scoring shared by ivf_topk and the persisted index:
+    candidates = corpus rows sharing a probed bucket; exact cosine +
+    per-query top-k window over candidates only."""
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (c_assigned.join(F.broadcast(q_assigned), "bucket")
+                        .where(F.col("query_id") != F.col("neighbor_id"))
+                        .withColumn("similarity", sim)
+                        .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "similarity", "rank"))
+
+
 @register("ivf_topk", PluginType.TRANSFORMER)
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 10, n_centroids: int = 16,
@@ -143,59 +207,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                       F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-
-    if use_kmeans:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        train = c.select(array_to_vector(
-            F.transform("c_vec", lambda v: v.cast("double"))).alias("features"))
-        model = KMeans(k=n_centroids, seed=42, maxIter=10).fit(train)
-        spark = corpus.sparkSession
-        cents = spark.createDataFrame(
-            [(i, [float(x) for x in center])
-             for i, center in enumerate(model.clusterCenters())],
-            "centroid_id int, cent_vec array<double>")
-    else:
-        # Deterministic centroid pick without a global single-partition
-        # window: the n_centroids smallest xxhash64(id) rows — a distributed
-        # TakeOrderedAndProject (per-partition top-k + tiny driver merge),
-        # pseudo-random but reproducible.
-        spark = corpus.sparkSession
-        picked = (c.withColumn("__h", F.xxhash64("neighbor_id"))
-                  .orderBy("__h", "neighbor_id").limit(n_centroids)
-                  .select("c_vec").collect())
-        cents = spark.createDataFrame(
-            [(i, [float(x) for x in r["c_vec"]])
-             for i, r in enumerate(picked)],
-            "centroid_id int, cent_vec array<double>")
-
-    def nearest(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
-        sim = cosine_similarity(F.col(vec), F.col("cent_vec"))
-        w = Window.partitionBy(df.columns[0]).orderBy(F.col("__csim").desc(),
-                                                      F.col("centroid_id").asc())
-        return (df.crossJoin(F.broadcast(cents))
-                  .withColumn("__csim", sim)
-                  .withColumn("__crk", F.row_number().over(w))
-                  .where(F.col("__crk") <= n)
-                  .drop("__csim", "__crk", "cent_vec")
-                  .withColumnRenamed("centroid_id", out))
-
-    c_assigned = nearest(c, "c_vec", "bucket", max(replication, 1))
-    q_assigned = nearest(q, "q_vec", "bucket", nprobe)
-
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
-    if round_dp is not None:
-        sim = F.round(sim, round_dp)
-    scored = (c_assigned.join(F.broadcast(q_assigned), "bucket")
-                        .where(F.col("query_id") != F.col("neighbor_id"))
-                        .withColumn("similarity", sim)
-                        .dropDuplicates(["query_id", "neighbor_id"]))
-    w = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "similarity", "rank"))
+    cents = _pick_centroids(c, n_centroids, use_kmeans)
+    c_assigned = _assign_nearest(c, cents, "c_vec", "bucket",
+                                 max(replication, 1))
+    q_assigned = _assign_nearest(q, cents, "q_vec", "bucket", nprobe)
+    return _ivf_score(c_assigned, q_assigned, k, round_dp)
 
 
 def _auto_n_centroids(n: int) -> int:

@@ -188,3 +188,45 @@ def cusum_changepoints(df: DataFrame, key_col: str, order_col: str,
     return out.withColumn(
         "alarm", (F.col("cusum_pos") > threshold) |
                  (F.col("cusum_neg") > threshold))
+
+
+@register("touch_attribution", PluginType.TRANSFORMER)
+def touch_attribution(events: DataFrame, user_col: str, order_col: str,
+                      channel_col: str, is_conversion,
+                      none_label: str = "(direct)") -> DataFrame:
+    """First-touch and last-touch conversion attribution.
+
+    For every conversion event, find the FIRST and the LAST preceding
+    non-conversion touch of the same user (strictly earlier in
+    ``order_col``, which must be a total order — pass a unique event id
+    or a (ts, id) composite).  Conversions with no preceding touch are
+    attributed to ``none_label``.
+
+    Pure window expressions: first()/last() with ignorenulls over
+    [unbounded, -1] frames — ONE sort per user partition, no self-join,
+    no driver state; identical plan shape at any scale.  Returns one row
+    per channel: (channel, n_first_touch, n_last_touch).
+    """
+    from pyspark.sql import Window
+
+    touch_ch = F.when(~is_conversion, F.col(channel_col))
+    w = (Window.partitionBy(user_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tagged = (events
+              .withColumn("__first", F.first(touch_ch, ignorenulls=True)
+                          .over(w))
+              .withColumn("__last", F.last(touch_ch, ignorenulls=True)
+                          .over(w))
+              .where(is_conversion))
+    first_counts = (tagged.groupBy(
+        F.coalesce("__first", F.lit(none_label)).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_first_touch")))
+    last_counts = (tagged.groupBy(
+        F.coalesce("__last", F.lit(none_label)).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_last_touch")))
+    return (first_counts.join(last_counts, "channel", "full_outer")
+            .select("channel",
+                    F.coalesce("n_first_touch", F.lit(0))
+                     .alias("n_first_touch"),
+                    F.coalesce("n_last_touch", F.lit(0))
+                     .alias("n_last_touch")))

@@ -1697,6 +1697,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_pareto_frontier": q159_pareto_frontier,
         "q160_benford_audit": q160_benford_audit,
         "q161_table_fingerprint": q161_table_fingerprint,
+        "q162_kn_bigram_lm": q162_kn_bigram_lm,
+        "q163_attribution": q163_attribution,
+        "q164_morton_density": q164_morton_density,
+        "q165_pca_scree": q165_pca_scree,
+        "q166_ann_index_query": q166_ann_index_query,
     }
 
 
@@ -5375,6 +5380,13 @@ def build_oracles() -> dict[str, str]:
         "q159_pareto_frontier": O_Q159,
         "q160_benford_audit": O_Q160,
         "q161_table_fingerprint": O_Q161,
+        "q162_kn_bigram_lm": O_Q162,
+        "q163_attribution": O_Q163,
+        "q164_morton_density": O_Q164,
+        # q165 (PCA scree) and q166 (persisted ANN index) are
+        # rows-only: eigendecomposition / approximate ANN have no
+        # SQL equivalent; numpy parity and index==direct equality
+        # are pinned in tests.
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.
@@ -5646,3 +5658,169 @@ FROM v
 
 
 O_Q161 = _fingerprint_oracle_sql()
+
+
+def q162_kn_bigram_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py:
+    kn_logprob_score): discounted ML estimate backed off to the
+    continuation distribution.  The model is three aggregations over
+    the bigram-type table; the oracle refits ALL of it in SQL —
+    discounts, continuation counts, interpolation weights."""
+    from niamoto_spark.operators.lm import kn_logprob_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = kn_logprob_score(d, "text", "doc_id", discount=0.75)
+    return scores.select("doc_id", "n_bigrams",
+                         F.round("avg_logprob", 4).alias("avg_lp"))
+
+
+O_Q162 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend(chr(2), string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || chr(1) || t[i+1])) AS b
+  FROM toks),
+bgc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+c1t AS (SELECT split_part(b, chr(1), 1) AS w1,
+               sum(c12) AS c1, count(*) AS n1p_fw
+        FROM bgc GROUP BY 1),
+cont AS (SELECT split_part(b, chr(1), 2) AS w2, count(*) AS n1p_bw
+         FROM bgc GROUP BY 1),
+bt AS (SELECT count(*) AS nb FROM bgc)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(greatest(bgc.c12 - 0.75, 0.0) / c1t.c1
+                    + (0.75 * c1t.n1p_fw / c1t.c1)
+                      * (cont.n1p_bw / bt.nb))), 4) AS avg_lp
+FROM bg
+JOIN bgc USING (b)
+JOIN c1t ON c1t.w1 = split_part(bg.b, chr(1), 1)
+JOIN cont ON cont.w2 = split_part(bg.b, chr(1), 2)
+CROSS JOIN bt
+GROUP BY bg.doc_id
+"""
+
+
+def q163_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution (operators/timeseries.py:
+    touch_attribution): per channel, how many purchases it initiated
+    (first preceding touch) vs closed (last preceding touch) — pure
+    ignorenulls window expressions, one sort per user."""
+    from niamoto_spark.operators.timeseries import touch_attribution
+
+    ev = _events(spark, sf_dir)
+    return touch_attribution(ev, "user_id", "event_id", "event_type",
+                             F.col("event_type") == "purchase")
+
+
+O_Q163 = """
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         first_value(CASE WHEN event_type != 'purchase'
+                          THEN event_type END IGNORE NULLS) OVER w AS f,
+         last_value(CASE WHEN event_type != 'purchase'
+                         THEN event_type END IGNORE NULLS) OVER w AS l
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+conv AS (SELECT coalesce(f, '(direct)') AS fch,
+                coalesce(l, '(direct)') AS lch
+         FROM t WHERE event_type = 'purchase'),
+fc AS (SELECT fch AS channel, count(*) AS nf FROM conv GROUP BY 1),
+lc AS (SELECT lch AS channel, count(*) AS nl FROM conv GROUP BY 1)
+SELECT coalesce(fc.channel, lc.channel) AS channel,
+       coalesce(nf, 0) AS n_first_touch,
+       coalesce(nl, 0) AS n_last_touch
+FROM fc FULL OUTER JOIN lc ON fc.channel = lc.channel
+"""
+
+
+def q164_morton_density(spark, sf_dir):
+    """Z-order geo binning (operators/geospatial.py:morton_grid):
+    customer points on the q121 synthetic 1-degree box snapped to a
+    2^8 grid, density + mean balance per Morton cell.  The interleave
+    is pure shift/mask codegen; the oracle re-derives every bit."""
+    from niamoto_spark.operators.geospatial import morton_grid
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey", "c_acctbal",
+        (F.lit(-22.5) + (F.col("c_custkey") % 97) / F.lit(97.0))
+        .alias("lat"),
+        (F.lit(165.0) + (F.col("c_custkey") % 89) / F.lit(89.0))
+        .alias("lon"))
+    cells = morton_grid(pts, "lat", "lon", bits=8)
+    return (cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+            .orderBy(F.col("n").desc(), F.col("cell").asc())
+            .limit(40))
+
+
+def _morton_oracle_sql(bits: int = 8) -> str:
+    terms = []
+    for k in range(bits):
+        terms.append(f"(((gx >> {k}) & 1) << {2 * k})")
+        terms.append(f"(((gy >> {k}) & 1) << {2 * k + 1})")
+    interleave = " + ".join(terms)
+    n = 1 << bits
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         -22.5 + (c_custkey % 97) / 97.0 AS lat,
+         165.0 + (c_custkey % 89) / 89.0 AS lon
+  FROM customer),
+g AS (
+  SELECT c_acctbal,
+         LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n})
+                             AS BIGINT), 0), {n - 1}) AS gx,
+         LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n})
+                             AS BIGINT), 0), {n - 1}) AS gy
+  FROM pts)
+SELECT ({interleave}) AS cell, count(*) AS n,
+       round(avg(c_acctbal), 2) AS avg_bal
+FROM g
+GROUP BY 1
+ORDER BY n DESC, cell ASC
+LIMIT 40
+"""
+
+
+O_Q164 = _morton_oracle_sql()
+
+
+def q165_pca_scree(spark, sf_dir):
+    """Distributed PCA (operators/pca.py): d-dim Gram/mean partials per
+    Arrow batch, an O(d^2)-row shuffle, spectral step on the driver's
+    d x d covariance only.  Rows-only gate (eigen-decomposition has no
+    SQL equivalent); numpy parity + partition invariance are pinned in
+    tests/test_pca_annindex_kn.py."""
+    from niamoto_spark.operators.pca import pca_variance_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_variance_report(emb, "embedding", k=8)
+
+
+def q166_ann_index_query(spark, sf_dir):
+    """Persisted IVF index (operators/annindex.py): build once into
+    manifest tables (bucket-clustered assignments + zone maps), then
+    serve top-k with NO corpus pass.  Rows-only gate like q41
+    (approximate ANN); loaded-index == direct-ivf equality is pinned in
+    tests/test_pca_annindex_kn.py."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.operators.annindex import (query_ivf_index,
+                                                  save_ivf_index)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"niamoto_q166_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    save_ivf_index(emb, path, "vec_id", "embedding",
+                   n_centroids=16, replication=2)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return query_ivf_index(spark, path, queries, "vec_id", "embedding",
+                           k=5, nprobe=4)

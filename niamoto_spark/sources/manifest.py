@@ -313,6 +313,26 @@ def append_with_stats(df: DataFrame, path: str,
     return parent + 1
 
 
+def overwrite_with_stats(df: DataFrame, path: str,
+                         stats_cols: list[str],
+                         extra_meta: dict | None = None) -> int:
+    """``overwrite`` + per-file zone maps (the rebuild counterpart of
+    ``append_with_stats``): the new snapshot references only the new
+    files and only their stats, atomically."""
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    spark = df.sparkSession
+    stats = _collect_stats(spark, new_files, stats_cols)
+    parent = current_version(path)
+    _commit_doc(path, parent + 1,
+                {"parent": parent, "files": sorted(new_files),
+                 "stats": stats, **(extra_meta or {})})
+    return parent + 1
+
+
 def read_table_pruned(spark: SparkSession, path: str, col: str,
                       lo, hi, version: int | None = None
                       ) -> tuple[DataFrame, int, int]:

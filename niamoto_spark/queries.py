@@ -1702,6 +1702,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_morton_density": q164_morton_density,
         "q165_pca_scree": q165_pca_scree,
         "q166_ann_index_query": q166_ann_index_query,
+        "q167_multi_table_txn": q167_multi_table_txn,
     }
 
 
@@ -5383,6 +5384,7 @@ def build_oracles() -> dict[str, str]:
         "q162_kn_bigram_lm": O_Q162,
         "q163_attribution": O_Q163,
         "q164_morton_density": O_Q164,
+        "q167_multi_table_txn": O_Q167,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -5824,3 +5826,54 @@ def q166_ann_index_query(spark, sf_dir):
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return query_ivf_index(spark, path, queries, "vec_id", "embedding",
                            k=5, nprobe=4)
+
+
+def q167_multi_table_txn(spark, sf_dir):
+    """Atomic multi-table transaction (sources/transactions.py): two
+    derived manifest tables (customer dims + per-customer order counts)
+    committed in ONE transaction — a single marker file flips both
+    visible — then read back and joined.  The oracle recomputes the
+    same join from the source tables, so the whole
+    stage->commit->resolve->read path is value-checked."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+    from niamoto_spark.sources.transactions import MultiTableTransaction
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dims = c.select("c_custkey", "c_mktsegment")
+    counts = (o.groupBy("o_custkey")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   F.round(F.sum("o_totalprice"), 2).alias("spend")))
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"niamoto_q167_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    txn = MultiTableTransaction(os.path.join(root, "_txn"))
+    txn.stage(dims, os.path.join(root, "dims"))
+    txn.stage(counts, os.path.join(root, "counts"))
+    txn.commit()
+
+    dims_t = M.read_table(spark, os.path.join(root, "dims"))
+    counts_t = M.read_table(spark, os.path.join(root, "counts"))
+    return (dims_t.join(counts_t,
+                        dims_t["c_custkey"] == counts_t["o_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("n_orders").alias("n_orders"),
+                 F.round(F.sum("spend"), 2).alias("spend")))
+
+
+O_Q167 = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY 1)
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       round(sum(spend), 2) AS spend
+FROM customer JOIN counts ON c_custkey = o_custkey
+GROUP BY 1
+"""

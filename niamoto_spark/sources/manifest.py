@@ -98,6 +98,74 @@ def _commit(path: str, version: int, files: list[str],
     _commit_doc(path, version, {"parent": parent, "files": sorted(files)})
 
 
+class TransactionInProgress(RuntimeError):
+    """A multi-table transaction has claimed this table's head slot but
+    has not reached its atomic commit point yet."""
+
+
+def _txn_state(doc: dict) -> str:
+    """'committed' | 'pending' | 'aborted' for a manifest document.
+
+    Docs without transaction fields (every single-table commit) are
+    committed by definition.  Docs written by a multi-table transaction
+    (sources/transactions.py) carry (txn_id, txn_dir) and become visible
+    only once the transaction's single commit marker exists — the marker
+    file IS the atomic commit point for every table in the transaction."""
+    tid = doc.get("txn_id")
+    if not tid:
+        return "committed"
+    tdir = doc["txn_dir"]
+    # aborted is checked FIRST and therefore wins: if crash recovery
+    # aborts a stale transaction concurrently with the coordinator's
+    # late commit marker, the abort sticks — a commit marker landing
+    # after an abort marker must not resurrect versions that single-
+    # table writers may already have routed around
+    if os.path.exists(os.path.join(tdir, f"txn-{tid}.aborted")):
+        return "aborted"
+    if os.path.exists(os.path.join(tdir, f"txn-{tid}.committed")):
+        return "committed"
+    return "pending"
+
+
+def committed_version(path: str) -> int:
+    """Latest VISIBLE version: walks parent pointers from the raw head,
+    skipping snapshots whose transaction is pending or aborted.  Readers
+    use this, so an in-flight multi-table transaction is invisible until
+    its commit marker lands — snapshot isolation across tables."""
+    v = current_version(path)
+    while v >= 0:
+        doc = _read_manifest(path, v)
+        if _txn_state(doc) == "committed":
+            return v
+        v = doc.get("parent", v - 1)
+    return -1
+
+
+def _writer_head(path: str) -> tuple[int, dict]:
+    """(slot_parent, effective_doc) for a writer about to commit.
+
+    slot_parent is the RAW latest version — the new commit must claim
+    slot_parent+1 or collide.  effective_doc is the newest COMMITTED
+    document whose files the new snapshot builds on: an aborted-txn head
+    is skipped (its files never became visible), but a PENDING head
+    raises — building past it would lose the transaction's rows if it
+    later commits."""
+    slot = current_version(path)
+    v = slot
+    while v >= 0:
+        doc = _read_manifest(path, v)
+        state = _txn_state(doc)
+        if state == "committed":
+            return slot, doc
+        if state == "pending":
+            raise TransactionInProgress(
+                f"table {path}: version {v} belongs to in-flight "
+                f"transaction {doc['txn_id']}; commit or abort it first "
+                "(transactions.recover_stale abandons crashed ones)")
+        v = doc.get("parent", v - 1)
+    return slot, {}
+
+
 def append(df: DataFrame, path: str,
            extra_meta: dict | None = None) -> int:
     """Atomically append ``df``'s rows as a new snapshot; returns the new
@@ -111,8 +179,8 @@ def append(df: DataFrame, path: str,
     df.write.mode("overwrite").parquet(staging)
     new_files = [os.path.join(staging, f) for f in os.listdir(staging)
                  if f.endswith(".parquet")]
-    parent = current_version(path)
-    prev = _read_manifest(path, parent)["files"] if parent >= 0 else []
+    parent, head = _writer_head(path)
+    prev = head.get("files", [])
     _commit_doc(path, parent + 1,
                 {"parent": parent, "files": sorted(prev + new_files),
                  **(extra_meta or {})})
@@ -131,7 +199,7 @@ def overwrite(df: DataFrame, path: str,
     df.write.mode("overwrite").parquet(staging)
     new_files = [os.path.join(staging, f) for f in os.listdir(staging)
                  if f.endswith(".parquet")]
-    parent = current_version(path)
+    parent, _ = _writer_head(path)  # raises on in-flight transaction
     _commit_doc(path, parent + 1,
                 {"parent": parent, "files": sorted(new_files),
                  **(extra_meta or {})})
@@ -147,7 +215,7 @@ def read_table(spark: SparkSession, path: str,
     and after an additive column change (older files null-fill) —
     manifest commits make schema evolution safe because every file's
     schema is frozen at its commit."""
-    v = current_version(path) if version is None else version
+    v = committed_version(path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     files = _read_manifest(path, v)["files"]
@@ -301,8 +369,7 @@ def append_with_stats(df: DataFrame, path: str,
                  if f.endswith(".parquet")]
     spark = df.sparkSession
     stats = _collect_stats(spark, new_files, stats_cols)
-    parent = current_version(path)
-    prev_doc = _read_manifest(path, parent) if parent >= 0 else {}
+    parent, prev_doc = _writer_head(path)
     prev_files = prev_doc.get("files", [])
     prev_stats = prev_doc.get("stats", {})
     _commit_doc(path, parent + 1,
@@ -326,7 +393,7 @@ def overwrite_with_stats(df: DataFrame, path: str,
                  if f.endswith(".parquet")]
     spark = df.sparkSession
     stats = _collect_stats(spark, new_files, stats_cols)
-    parent = current_version(path)
+    parent, _ = _writer_head(path)  # raises on in-flight transaction
     _commit_doc(path, parent + 1,
                 {"parent": parent, "files": sorted(new_files),
                  "stats": stats, **(extra_meta or {})})
@@ -340,7 +407,7 @@ def read_table_pruned(spark: SparkSession, path: str, col: str,
     intersect [lo, hi].  Returns (df, files_read, files_skipped); the
     residual filter is still applied (zone maps are a superset test).
     Files without stats for ``col`` are conservatively read."""
-    v = current_version(path) if version is None else version
+    v = committed_version(path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
@@ -379,7 +446,7 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     versions (files present in ``to`` but not in ``from``).  Overwritten
     snapshots surface their full new files; deletions are not row-level
     (append/overwrite format, not merge-on-read)."""
-    to_v = current_version(path) if to_version is None else to_version
+    to_v = committed_version(path) if to_version is None else to_version
     new = set(_read_manifest(path, to_v)["files"])
     old = set(_read_manifest(path, from_version)["files"]) \
         if from_version >= 0 else set()
@@ -709,7 +776,7 @@ def read_table_point(spark: SparkSession, path: str, col: str, value,
     applied (Bloom is a superset test — false positives only cost a
     read).  Files without a bloom for ``col`` are conservatively
     read."""
-    v = current_version(path) if version is None else version
+    v = committed_version(path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
@@ -750,7 +817,7 @@ def table_diff(spark: SparkSession, path: str, from_version: int,
     necessary: a rewritten file contains mostly-unchanged rows."""
     if not key_cols:
         raise ValueError("table_diff requires key_cols")
-    to_v = current_version(path) if to_version is None else to_version
+    to_v = committed_version(path) if to_version is None else to_version
     a = read_table(spark, path, version=from_version)
     b = read_table(spark, path, version=to_v)
     val_cols = [c for c in a.columns if c not in key_cols]

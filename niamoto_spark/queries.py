@@ -1703,6 +1703,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_pca_scree": q165_pca_scree,
         "q166_ann_index_query": q166_ann_index_query,
         "q167_multi_table_txn": q167_multi_table_txn,
+        "q168_manifest_datasource": q168_manifest_datasource,
     }
 
 
@@ -5385,6 +5386,7 @@ def build_oracles() -> dict[str, str]:
         "q163_attribution": O_Q163,
         "q164_morton_density": O_Q164,
         "q167_multi_table_txn": O_Q167,
+        "q168_manifest_datasource": O_Q168,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -5876,4 +5878,42 @@ SELECT c_mktsegment, count(*) AS n_customers,
        round(sum(spend), 2) AS spend
 FROM customer JOIN counts ON c_custkey = o_custkey
 GROUP BY 1
+"""
+
+
+def q168_manifest_datasource(spark, sf_dir):
+    """Spark-4 Python Data Source for manifest tables
+    (sources/pyds.py): the table format plugged into the format()
+    surface — spark.read.format("manifest_table") — with one Arrow
+    partition per committed file.  A supplier slice is committed to a
+    manifest table, read back THROUGH the data source, and aggregated;
+    the oracle recomputes from the source table, value-checking the
+    whole register->commit->scan path."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+    from niamoto_spark.sources import pyds
+
+    pyds.register(spark)
+    s = _t(spark, sf_dir, "supplier")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"niamoto_q168_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    M.append(s.select("s_suppkey", "s_nationkey", "s_acctbal")
+              .repartition(4), path)
+
+    t = (spark.read.format("manifest_table").option("path", path).load())
+    return (t.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal_sum"))
+            .orderBy("s_nationkey"))
+
+
+O_Q168 = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS bal_sum
+FROM supplier
+GROUP BY 1
+ORDER BY 1
 """

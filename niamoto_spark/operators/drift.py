@@ -1,0 +1,124 @@
+"""Distribution-drift metrics between two data slices — the monitoring
+layer a 100 TB training-data pipeline runs between snapshots, sources,
+or time windows: PSI (population stability index), the two-sample
+Kolmogorov-Smirnov statistic, and the chi-square independence test.
+
+Complements the single-series detectors in operators/timeseries.py
+(CUSUM/EWMA watch ONE metric over time; these compare WHOLE
+distributions) and the per-column profiler (sources/profiler.py).
+
+All three are exact, closed-form, and engine-replayable (full DuckDB
+oracles): binning is deterministic arithmetic over reference min/max,
+never sampled quantiles; smoothing is add-half, never epsilon-tuned.
+
+Scale shapes:
+- PSI: two scans -> one k-bin aggregate each; everything after is
+  k-row arithmetic.
+- KS: per-value counts (one hash aggregate per side), then prefix sums
+  over the DISTINCT values — the only ordered pass is over the
+  aggregated value domain, not the rows.  For unbounded-cardinality
+  doubles, pre-bucket (e.g. F.round) to bound the domain.
+- chi-square: one (r x c) contingency aggregate + broadcast margins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+
+@register("population_stability", PluginType.TRANSFORMER)
+def population_stability(ref: DataFrame, cur: DataFrame, value_col: str,
+                         n_bins: int = 10,
+                         round_dp: int = 4) -> DataFrame:
+    """Per-bin PSI contributions between a reference and a current
+    slice.  Bins are ``n_bins`` equal-width intervals over the
+    REFERENCE min/max (current values clamp into the edge bins, the
+    standard monitoring convention so new out-of-range mass lands in
+    bins 0 / n-1 instead of vanishing); fractions are add-half smoothed
+    so empty bins stay finite.
+
+    Output: (bin, p_ref, p_cur, contrib) for every bin, plus the sum
+    over contribs IS the PSI (>0.25 = major shift in the usual rule of
+    thumb).
+    """
+    bounds = ref.agg(F.min(value_col).alias("mn"),
+                     F.max(value_col).alias("mx")).first()
+    mn, mx = float(bounds["mn"]), float(bounds["mx"])
+    span = mx - mn if mx > mn else 1.0
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = F.floor((F.col(value_col) - mn) / span * n_bins)
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        return (df.where(F.col(value_col).isNotNull())
+                .groupBy(b.cast("int").alias("bin"))
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    spark = ref.sparkSession
+    all_bins = spark.range(n_bins).select(F.col("id").cast("int")
+                                          .alias("bin"))
+    j = (all_bins.join(binned(ref, "n_ref"), "bin", "left")
+         .join(binned(cur, "n_cur"), "bin", "left")
+         .fillna(0, ["n_ref", "n_cur"]))
+    tot = Window.partitionBy()
+    p = ((F.col("n_ref") + 0.5) /
+         (F.sum("n_ref").over(tot) + 0.5 * n_bins))
+    q = ((F.col("n_cur") + 0.5) /
+         (F.sum("n_cur").over(tot) + 0.5 * n_bins))
+    return (j.withColumn("p_ref", F.round(p, round_dp))
+             .withColumn("p_cur", F.round(q, round_dp))
+             .withColumn("contrib", F.round((p - q) * F.log(p / q),
+                                            round_dp))
+             .select("bin", "n_ref", "n_cur", "p_ref", "p_cur",
+                     "contrib"))
+
+
+@register("ks_statistic", PluginType.TRANSFORMER)
+def ks_statistic(a: DataFrame, b: DataFrame, value_col: str,
+                 round_dp: int = 4) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic
+    D = sup_x |F_a(x) - F_b(x)|, computed exactly: per-value counts on
+    each side, a full-outer merge of the value domains, prefix sums for
+    both empirical CDFs, one max.  Returns a single row
+    (n_a, n_b, ks_stat)."""
+    ca = (a.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(value_col).alias("v"))
+          .agg(F.count(F.lit(1)).alias("ca")))
+    cb = (b.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(value_col).alias("v"))
+          .agg(F.count(F.lit(1)).alias("cb")))
+    m = ca.join(cb, "v", "full_outer").fillna(0, ["ca", "cb"])
+    w = (Window.partitionBy().orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy()
+    fa = F.sum("ca").over(w) / F.sum("ca").over(tot)
+    fb = F.sum("cb").over(w) / F.sum("cb").over(tot)
+    return (m.select(F.sum("ca").over(tot).alias("n_a"),
+                     F.sum("cb").over(tot).alias("n_b"),
+                     F.abs(fa - fb).alias("d"))
+            .groupBy("n_a", "n_b")
+            .agg(F.round(F.max("d"), round_dp).alias("ks_stat")))
+
+
+@register("chi_square_independence", PluginType.TRANSFORMER)
+def chi_square_independence(df: DataFrame, col_a: str, col_b: str,
+                            round_dp: int = 4) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: contingency counts, margin-product expectations, one
+    summed statistic.  Returns (chi2, dof, n) — the caller compares
+    chi2 against the chi-square quantile for dof."""
+    obs = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+           .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    rb = obs.groupBy("b").agg(F.sum("o").alias("rb"))
+    n = obs.agg(F.sum("o")).first()[0]
+    e = F.col("ra") * F.col("rb") / F.lit(float(n))
+    stat = (obs.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
+            .select(((F.col("o") - e) * (F.col("o") - e) / e).alias("t")))
+    dof = (ra.count() - 1) * (rb.count() - 1)
+    return (stat.agg(F.round(F.sum("t"), round_dp).alias("chi2"))
+            .withColumn("dof", F.lit(int(dof)))
+            .withColumn("n", F.lit(int(n))))

@@ -1704,6 +1704,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_ann_index_query": q166_ann_index_query,
         "q167_multi_table_txn": q167_multi_table_txn,
         "q168_manifest_datasource": q168_manifest_datasource,
+        "q169_psi_drift": q169_psi_drift,
+        "q170_ks_drift": q170_ks_drift,
+        "q171_chi_square": q171_chi_square,
     }
 
 
@@ -5387,6 +5390,9 @@ def build_oracles() -> dict[str, str]:
         "q164_morton_density": O_Q164,
         "q167_multi_table_txn": O_Q167,
         "q168_manifest_datasource": O_Q168,
+        "q169_psi_drift": O_Q169,
+        "q170_ks_drift": O_Q170,
+        "q171_chi_square": O_Q171,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -5916,4 +5922,117 @@ SELECT s_nationkey, count(*) AS n_suppliers,
 FROM supplier
 GROUP BY 1
 ORDER BY 1
+"""
+
+
+def q169_psi_drift(spark, sf_dir):
+    """Population stability index (operators/drift.py) between the
+    even- and odd-event_id halves of the events stream — equal-width
+    bins over the reference min/max, add-half smoothing, per-bin
+    contributions.  The oracle replays the identical binning and log
+    arithmetic."""
+    from niamoto_spark.operators.drift import population_stability
+
+    ev = _events(spark, sf_dir)
+    ref = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1)
+    return population_stability(ref, cur, "value", n_bins=10)
+
+
+O_Q169 = """
+WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0
+             AND value IS NOT NULL),
+cur AS (SELECT value FROM events WHERE event_id % 2 = 1
+        AND value IS NOT NULL),
+span AS (SELECT min(value) AS mn,
+                CASE WHEN max(value) > min(value)
+                     THEN max(value) - min(value) ELSE 1.0 END AS sp
+         FROM ref),
+hr AS (SELECT LEAST(GREATEST(CAST(floor((value - mn) / sp * 10)
+                    AS INTEGER), 0), 9) AS bin, count(*) AS n_ref
+       FROM ref, span GROUP BY 1),
+hc AS (SELECT LEAST(GREATEST(CAST(floor((value - mn) / sp * 10)
+                    AS INTEGER), 0), 9) AS bin, count(*) AS n_cur
+       FROM cur, span GROUP BY 1),
+bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+j AS (SELECT b.bin, coalesce(n_ref, 0) AS n_ref,
+             coalesce(n_cur, 0) AS n_cur
+      FROM bins b LEFT JOIN hr ON b.bin = hr.bin
+      LEFT JOIN hc ON b.bin = hc.bin)
+SELECT bin, n_ref, n_cur,
+       round((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0), 4) AS p_ref,
+       round((n_cur + 0.5) / (sum(n_cur) OVER () + 5.0), 4) AS p_cur,
+       round(((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0)
+              - (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0))
+             * ln(((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0))
+                  / ((n_cur + 0.5) / (sum(n_cur) OVER () + 5.0))), 4)
+           AS contrib
+FROM j
+"""
+
+
+def q170_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic (operators/drift.py)
+    between returned and delivered line items' quantities — exact
+    sup-norm over the merged empirical CDFs, computed on per-value
+    counts (the ordered pass touches the aggregated value domain, not
+    the rows)."""
+    from niamoto_spark.operators.drift import ks_statistic
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_quantity")
+    b = li.where(F.col("l_returnflag") == "N").select("l_quantity")
+    return ks_statistic(a, b, "l_quantity")
+
+
+O_Q170 = """
+WITH ca AS (SELECT l_quantity AS v, count(*) AS ca FROM lineitem
+            WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL
+            GROUP BY 1),
+cb AS (SELECT l_quantity AS v, count(*) AS cb FROM lineitem
+       WHERE l_returnflag = 'N' AND l_quantity IS NOT NULL GROUP BY 1),
+m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(ca, 0) AS ca,
+             coalesce(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+c AS (SELECT sum(ca) OVER (ORDER BY v) / CAST(sum(ca) OVER () AS DOUBLE)
+             AS fa,
+             sum(cb) OVER (ORDER BY v) / CAST(sum(cb) OVER () AS DOUBLE)
+             AS fb,
+             sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+      FROM m)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(max(abs(fa - fb)), 4) AS ks_stat
+FROM c GROUP BY 1, 2
+"""
+
+
+def q171_chi_square(spark, sf_dir):
+    """Chi-square independence test (operators/drift.py) between order
+    priority and order status — contingency aggregate + broadcast
+    margins, one summed statistic."""
+    from niamoto_spark.operators.drift import chi_square_independence
+
+    o = _t(spark, sf_dir, "orders")
+    return chi_square_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+O_Q171 = """
+WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                    count(*) AS o
+             FROM orders
+             WHERE o_orderpriority IS NOT NULL
+               AND o_orderstatus IS NOT NULL
+             GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+rb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY 1),
+nt AS (SELECT sum(o) AS n FROM obs),
+dof AS (SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS d
+        FROM obs)
+SELECT round(sum((obs.o - ra.ra * rb.rb / nt.n)
+                 * (obs.o - ra.ra * rb.rb / nt.n)
+                 / (ra.ra * rb.rb / nt.n)), 4) AS chi2,
+       CAST(dof.d AS INTEGER) AS dof, CAST(nt.n AS INTEGER) AS n
+FROM obs JOIN ra USING (a) JOIN rb USING (b)
+CROSS JOIN nt CROSS JOIN dof
+GROUP BY dof.d, nt.n
 """

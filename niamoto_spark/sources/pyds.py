@@ -63,6 +63,28 @@ def _read_file_batches(file_path: str, columns: list[str] | None
     yield from pf.iter_batches(columns=columns)
 
 
+def _file_survives(file_stats: dict, ranges: dict[str, list]) -> bool:
+    """Zone-map superset test against folded filter ranges — identical
+    comparison domain to manifest.read_table_pruned (widened canonical
+    encoding; incomparable or missing stats read conservatively)."""
+    def comparable(a, b):
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return True
+        return isinstance(a, str) and isinstance(b, str)
+
+    for col, (lo, hi) in ranges.items():
+        s = file_stats.get(col)
+        if s is None:
+            continue
+        clo = M._canon_stat(lo, widen=-1) if lo is not None else None
+        chi = M._canon_stat(hi, widen=+1) if hi is not None else None
+        if clo is not None and comparable(s[1], clo) and s[1] < clo:
+            return False
+        if chi is not None and comparable(s[0], chi) and s[0] > chi:
+            return False
+    return True
+
+
 class ManifestDataSource(DataSource):
     """USING manifest_table — see module docstring."""
 
@@ -92,12 +114,57 @@ class ManifestBatchReader(DataSourceReader):
         version = options.get("version")
         self.version = int(version) if version is not None else None
         self.columns = list(schema.fieldNames())
+        self._ranges: dict[str, list] = {}  # col -> [lo, hi] (None=open)
+
+    def pushFilters(self, filters):
+        """Fold pushed comparison filters into per-column ranges and use
+        the manifest's zone maps (append_with_stats) to SKIP whole files
+        at planning time.  Every filter is returned UNCONSUMED: zone-map
+        skipping is a superset test, Spark's re-evaluation keeps row-
+        level semantics exact (the same contract as
+        manifest.read_table_pruned)."""
+        from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                            GreaterThanOrEqual, In,
+                                            LessThan, LessThanOrEqual)
+
+        def narrow(col, lo=None, hi=None):
+            r = self._ranges.setdefault(col, [None, None])
+            if lo is not None and (r[0] is None or lo > r[0]):
+                r[0] = lo
+            if hi is not None and (r[1] is None or hi < r[1]):
+                r[1] = hi
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                narrow(col, f.value, f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                narrow(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                narrow(col, hi=f.value)
+            elif isinstance(f, In) and f.values:
+                try:
+                    narrow(col, min(f.values), max(f.values))
+                except TypeError:
+                    pass
+        return filters  # all residual: skipping is only ever a superset
 
     def partitions(self) -> Sequence[InputPartition]:
-        _, _, files = _arrow_schema(self.path, self.version)
-        return [_FilePartition(f) for f in files]
+        _, v, files = _arrow_schema(self.path, self.version)
+        doc = M._read_manifest(self.path, v)
+        stats = doc.get("stats", {})
+        keep = [f for f in files
+                if _file_survives(stats.get(f, {}), self._ranges)]
+        return [_FilePartition(f) for f in keep]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: "_FilePartition | None"):
+        # an empty partitions() result reaches read() as a single None
+        # partition (API fallback) — every file was zone-map-skipped
+        if partition is None:
+            return
         yield from _read_file_batches(partition.file_path, self.columns)
 
 
@@ -149,5 +216,8 @@ class ManifestStreamReader(DataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotently register the data source with a session."""
+    """Idempotently register the data source with a session (and enable
+    Python-DS filter pushdown, which guards the pushFilters path and is
+    off by default)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ManifestDataSource)

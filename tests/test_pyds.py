@@ -96,3 +96,39 @@ def test_stream_incremental_delivery_across_restarts(
     # exactly the 4 new rows delivered on restart — no replay of v0
     assert got2.count() == 10
     assert got2.select("id").distinct().count() == 10
+
+
+def test_pushdown_zone_map_skipping(registered, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from niamoto_spark.sources.pyds import ManifestBatchReader
+
+    spark = registered
+    path = str(tmp_path / "t")
+    # four disjoint id-range files with zone maps
+    for lo in (0, 100, 200, 300):
+        M.append_with_stats(
+            _df(spark, lo, lo + 100, "x").repartition(1), path,
+            stats_cols=["id"])
+
+    # end-to-end: values exact through the DS with a pushed filter
+    ds = (spark.read.format("manifest_table").option("path", path).load()
+          .where(F.col("id") >= 250))
+    assert sorted(r.id for r in ds.collect()) == list(range(250, 400))
+
+    # reader-level: the filter prunes file partitions before the scan
+    schema = M.read_table(spark, path).schema
+    r = ManifestBatchReader({"path": path}, schema)
+    r.pushFilters([GreaterThanOrEqual(("id",), 250)])
+    assert len(r.partitions()) == 2          # files [200,300) + [300,400)
+    r2 = ManifestBatchReader({"path": path}, schema)
+    r2.pushFilters([EqualTo(("id",), 7)])
+    assert len(r2.partitions()) == 1
+    r3 = ManifestBatchReader({"path": path}, schema)
+    r3.pushFilters([])
+    assert len(r3.partitions()) == 4
+
+    # impossible range: zero partitions, zero rows, no error
+    none = (spark.read.format("manifest_table").option("path", path)
+            .load().where(F.col("id") > 1000))
+    assert none.count() == 0

@@ -513,3 +513,70 @@ def cross_corpus_dedup(new_docs: DataFrame, existing: DataFrame,
         shingle_k=shingle_k, threshold=threshold)
     return new_docs.join(pairs.select(id_col).distinct(), id_col,
                          "left_anti")
+
+
+@register("jaccard_join_prefix", PluginType.TRANSFORMER)
+def jaccard_join_prefix(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 1, threshold: float = 0.6,
+                        round_dp: int = 4) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    AllPairs/PPJoin family) — complete recall WITHOUT blocking keys and
+    WITHOUT the LSH banding-curve recall loss of
+    ``prefilter='minhash'``.
+
+    The prefix-filter theorem: order every record's token set by one
+    GLOBAL total order; if jaccard(r, s) >= t, then r and s must share
+    at least one token among each one's first
+    ``|set| - ceil(t * |set|) + 1`` tokens under that order.  So
+    candidates = pairs sharing a PREFIX token, and everything else is
+    provably below threshold — exact, not probabilistic.
+
+    Scale shape: the global order is rarest-token-first (df ascending),
+    so prefixes are dominated by RARE tokens and candidate buckets stay
+    small — the frequent tokens that would explode a naive token join
+    are pushed out of the prefixes.  Plan: one token-df aggregate, one
+    doc-df join to rank tokens (shuffle on token), per-record JVM
+    array_sort, prefix explode, (token) equi-join, exact
+    array_intersect verification on the candidates only.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    recs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))
+         .alias("grams")).where(F.size("grams") > 0)
+
+    toks = recs.select("doc_id", F.explode("grams").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # global rarity order carried as a sortable struct; ties broken by
+    # the token itself so the order is total and deterministic
+    ranked = (toks.join(dfreq, "tok")
+              .groupBy("doc_id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct(F.col("df"), F.col("tok")))).alias("ordered")))
+    sz = F.size("ordered")
+    plen = sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + 1
+    prefixed = ranked.select(
+        "doc_id",
+        F.transform("ordered", lambda s: s["tok"]).alias("toks_sorted"),
+        F.slice("ordered", F.lit(1), plen).alias("prefix"))
+    cand = (prefixed.select(
+                "doc_id", F.explode("prefix").alias("p"))
+            .select("doc_id", F.col("p.tok").alias("tok")))
+    pairs = (cand.alias("x").join(cand.alias("y"), "tok")
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .select(F.col("x.doc_id").alias("id_a"),
+                     F.col("y.doc_id").alias("id_b"))
+             .distinct())
+    ga = prefixed.select(F.col("doc_id").alias("id_a"),
+                         F.col("toks_sorted").alias("g_a"))
+    gb = prefixed.select(F.col("doc_id").alias("id_b"),
+                         F.col("toks_sorted").alias("g_b"))
+    verified = pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union) \
+           .otherwise(F.lit(0.0))
+    return (verified.withColumn("jaccard", F.round(jac, round_dp))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1707,6 +1707,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_psi_drift": q169_psi_drift,
         "q170_ks_drift": q170_ks_drift,
         "q171_chi_square": q171_chi_square,
+        "q172_prefix_jaccard_join": q172_prefix_jaccard_join,
+        "q173_target_encoding": q173_target_encoding,
     }
 
 
@@ -5393,6 +5395,8 @@ def build_oracles() -> dict[str, str]:
         "q169_psi_drift": O_Q169,
         "q170_ks_drift": O_Q170,
         "q171_chi_square": O_Q171,
+        "q172_prefix_jaccard_join": O_Q172,
+        "q173_target_encoding": O_Q173,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6035,4 +6039,71 @@ SELECT round(sum((obs.o - ra.ra * rb.rb / nt.n)
 FROM obs JOIN ra USING (a) JOIN rb USING (b)
 CROSS JOIN nt CROSS JOIN dof
 GROUP BY dof.d, nt.n
+"""
+
+
+def q172_prefix_jaccard_join(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard join (operators/dedup.py:
+    jaccard_join_prefix, the AllPairs/PPJoin family): complete recall
+    with no blocking key and no LSH recall loss — candidates must share
+    a rare-token prefix, everything else is provably below threshold.
+    The oracle is the brute-force all-pairs join, so a hash match
+    proves BOTH complete recall and exact precision."""
+    from niamoto_spark.operators.dedup import jaccard_join_prefix
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return jaccard_join_prefix(d, "doc_id", "text", n=1, threshold=0.85)
+
+
+O_Q172 = r"""
+WITH g AS (SELECT doc_id,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 300)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) > 0
+  AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks))), 4) >= 0.85
+"""
+
+
+def q173_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding (operators/features.py): order
+    priority encoded against total price with additive smoothing —
+    per-segment means that exclude each row's own label (the leakage
+    guard).  Aggregated per (priority, status) for a bounded output;
+    the oracle refits the encoding row-by-row in SQL."""
+    from niamoto_spark.operators.features import target_encode_loo
+
+    o = _t(spark, sf_dir, "orders")
+    enc = target_encode_loo(o, "o_orderpriority", "o_totalprice",
+                            prior_weight=10.0)
+    return (enc.groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("te"), 4).alias("avg_te"),
+                 F.round(F.min("te"), 4).alias("min_te"),
+                 F.round(F.max("te"), 4).alias("max_te")))
+
+
+O_Q173 = """
+WITH prior AS (SELECT avg(o_totalprice) AS p FROM orders),
+per AS (SELECT o_orderpriority, sum(o_totalprice) AS s,
+               count(o_totalprice) AS n
+        FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+enc AS (SELECT o.o_orderpriority, o.o_orderstatus,
+               round((per.s - o.o_totalprice + 10.0 * prior.p)
+                     / (per.n - 1 + 10.0), 4) AS te
+        FROM orders o
+        JOIN per ON o.o_orderpriority = per.o_orderpriority
+        CROSS JOIN prior)
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(avg(te), 4) AS avg_te, round(min(te), 4) AS min_te,
+       round(max(te), 4) AS max_te
+FROM enc
+GROUP BY 1, 2
 """

@@ -182,6 +182,47 @@ def main() -> None:
     print(f"epoch_order (exact global positions): {dt:.2f}s "
           f"({n / dt / 1e6:.1f}M rows/s)")
 
+    # Round-7 continuation: window-sort detectors and the mining lane.
+    from niamoto_spark.operators.timeseries import (cusum_changepoints,
+                                                    ewma)
+
+    t0 = time.time()
+    ewma(bev, "user_id", "event_id", "value", alpha=0.3,
+         lookback=40).count()
+    dt = time.time() - t0
+    print(f"ewma (41-term lag-sum, 1 window sort): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+    t0 = time.time()
+    cusum_changepoints(bev, "user_id", "event_id", "value",
+                       target=50.0, slack=5.0, threshold=200.0).count()
+    dt = time.time() - t0
+    print(f"cusum (prefix-sum identity, 1 Exchange): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+    from niamoto_spark.operators.itemsets import association_rules
+
+    baskets = (big.join(F.broadcast(part),
+                        big.l_partkey == part.p_partkey)
+               .select("l_orderkey", "p_brand"))
+    t0 = time.time()
+    nr = association_rules(baskets, "l_orderkey", "p_brand",
+                           min_support=0.01).count()
+    dt = time.time() - t0
+    print(f"association_rules (Apriori-pruned pair join): {dt:.2f}s "
+          f"({n / dt / 1e6:.1f}M basket rows/s, {nr} rules)")
+
+    from niamoto_spark.operators.drift import ks_statistic
+
+    t0 = time.time()
+    ks_statistic(big.where(F.col("l_returnflag") == "R")
+                 .select("l_quantity"),
+                 big.where(F.col("l_returnflag") == "N")
+                 .select("l_quantity"), "l_quantity").count()
+    dt = time.time() - t0
+    print(f"ks_statistic (per-value counts + tiny ordered pass): "
+          f"{dt:.2f}s ({n / dt / 1e6:.1f}M rows/s)")
+
 
 if __name__ == "__main__":
     main()

@@ -121,3 +121,97 @@ def score_text_classifier(df: DataFrame, id_col: str, text_col: str,
                     (F.lit(1.0) / (F.lit(1.0) +
                                    F.exp(-F.coalesce("z", F.lit(float(bias))))))
                     .alias(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes — the cheap, embarrassingly-parallel text
+# classifier (domain/language tagging in curation pipelines before a
+# heavier model is warranted).  Unlike the GD loop above, the model IS a
+# pair of DataFrames — nothing trainable touches the driver, so the fit
+# is one shuffle no matter the corpus size, and the entire fit+score is
+# replayable in SQL (q174's oracle refits it end-to-end in DuckDB).
+# ---------------------------------------------------------------------------
+
+def _nb_tokens(df: DataFrame, id_col: str, text_col: str,
+               label_col: str | None) -> DataFrame:
+    cols = [F.col(id_col).alias("__doc")]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("__y"))
+    tok = df.select(*cols,
+                    F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                    .alias("t"))
+    return tok.where(F.col("t") != "")
+
+
+@register("naive_bayes_fit", PluginType.TRANSFORMER)
+def naive_bayes_fit(df: DataFrame, id_col: str, text_col: str,
+                    label_col: str, alpha: float = 1.0
+                    ) -> dict[str, object]:
+    """Fit multinomial NB.  Returns a model dict:
+
+    - ``priors``: (label, logprior, tot) — class log-prior and total
+      token count; |classes| rows, always broadcastable.
+    - ``token_lp``: (label, t, cnt) — per-(class, token) occurrence
+      counts; |classes|·|vocab| rows at most, the shuffled fit state.
+    - ``vocab_size``: |vocab| (one scalar collect, same contract as
+      tfidf.py's N).
+    - ``alpha``: the Laplace smoothing constant.
+
+    Distribution: the whole fit is two hash aggregations over the
+    exploded token stream (class counts, class-token counts) — no
+    iteration, no driver state beyond one scalar.
+    """
+    tok = _nb_tokens(df, id_col, text_col, label_col)
+    n_docs = df.count()
+    priors = (df.groupBy(F.col(label_col).alias("label"))
+              .agg(F.count(F.lit(1)).alias("nd")))
+    ct = (tok.groupBy(F.col("__y").alias("label"), "t")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = ct.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    vocab_size = tok.select("t").distinct().count()
+    priors = (priors.join(tot, "label")
+              .select("label",
+                      (F.log(F.col("nd")) - F.log(F.lit(float(n_docs))))
+                      .alias("logprior"),
+                      "tot"))
+    return {"priors": priors, "token_lp": ct,
+            "vocab_size": int(vocab_size), "alpha": float(alpha)}
+
+
+def naive_bayes_score(df: DataFrame, id_col: str, text_col: str,
+                      model: dict[str, object]) -> DataFrame:
+    """(id, label, score): per-document log-likelihood under EVERY
+    class.  The per-doc term-count frame cross-joins the (tiny,
+    broadcast) class list, left-joins the class-token counts, and one
+    aggregation sums count·logp + logprior.  Unseen (class, token)
+    pairs fall back to the smoothing floor ln(alpha / (tot + alpha·V))
+    — expressed with coalesce, not a second join.
+    """
+    alpha, v = model["alpha"], model["vocab_size"]
+    tc = (_nb_tokens(df, id_col, text_col, None)
+          .groupBy("__doc", "t").agg(F.count(F.lit(1)).alias("c")))
+    priors = model["priors"]
+    pairs = tc.crossJoin(F.broadcast(priors))
+    scored = pairs.join(model["token_lp"], ["label", "t"], "left")
+    logp = (F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+            - F.log(F.col("tot") + F.lit(alpha) * F.lit(float(v))))
+    return (scored.groupBy(F.col("__doc").alias(id_col), "label")
+            .agg((F.first("logprior")
+                  + F.sum(F.col("c") * logp)).alias("score")))
+
+
+def naive_bayes_predict(df: DataFrame, id_col: str, text_col: str,
+                        model: dict[str, object],
+                        round_dp: int = 4) -> DataFrame:
+    """(id, label): argmax class per document.  Scores are rounded to
+    ``round_dp`` BEFORE the argmax with the class name as tiebreaker,
+    so the prediction is stable across engines and float-sum orders
+    (the same determinism recipe as q149's 4dp score match)."""
+    from pyspark.sql import Window
+
+    scores = naive_bayes_score(df, id_col, text_col, model)
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.round("score", round_dp).desc(), F.col("label")))
+    return (scores.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select(id_col, "label"))

@@ -230,3 +230,44 @@ def touch_attribution(events: DataFrame, user_col: str, order_col: str,
                      .alias("n_first_touch"),
                     F.coalesce("n_last_touch", F.lit(0))
                      .alias("n_last_touch")))
+
+
+@register("kaplan_meier", PluginType.TRANSFORMER)
+def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
+                 group_col: str | None = None) -> DataFrame:
+    """Kaplan-Meier survival curve: for each observed event time t,
+    the product-limit estimate S(t) = Π_{t_i <= t} (1 - d_i / n_i)
+    with d_i events at t_i and n_i subjects still at risk
+    (duration >= t_i).  ``event_col`` is 1 for an observed event, 0
+    for right-censored.
+
+    Distribution: ONE aggregation to (group, t, d, total), then two
+    window passes over the per-group time axis — n_at_risk is the
+    reverse cumulative count (no self-join against the raw rows), and
+    the running product is exp(Σ ln(1 - d/n)) so it stays a plain
+    cumulative-sum window.  State per group = distinct durations, not
+    subjects, so a 100 TB cohort with day-granularity durations
+    windows over a few thousand rows per group.  A time where every
+    remaining subject dies makes the survival 0 from there on — handled
+    with an explicit zero flag, not ln(0).
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    grouped = (df.groupBy(*gcols, F.col(duration_col).alias("t"))
+               .agg(F.sum(F.col(event_col).cast("long")).alias("d"),
+                    F.count(F.lit(1)).alias("total")))
+    w_rev = (Window.partitionBy(*gcols).orderBy(F.col("t").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at_risk = grouped.withColumn("n_at_risk", F.sum("total").over(w_rev))
+    ev = at_risk.where(F.col("d") > 0)
+    w_fwd = (Window.partitionBy(*gcols).orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ln_term = F.when(F.col("d") < F.col("n_at_risk"),
+                     F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk")))
+    died_out = F.max((F.col("d") == F.col("n_at_risk")).cast("int")) \
+        .over(w_fwd)
+    survival = F.when(died_out == 1, F.lit(0.0)) \
+        .otherwise(F.exp(F.sum(ln_term).over(w_fwd)))
+    return ev.select(*gcols, "t", "n_at_risk", "d",
+                     survival.alias("survival"))

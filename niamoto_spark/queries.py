@@ -1709,6 +1709,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_chi_square": q171_chi_square,
         "q172_prefix_jaccard_join": q172_prefix_jaccard_join,
         "q173_target_encoding": q173_target_encoding,
+        "q174_naive_bayes": q174_naive_bayes,
+        "q175_kaplan_meier": q175_kaplan_meier,
     }
 
 
@@ -5397,6 +5399,8 @@ def build_oracles() -> dict[str, str]:
         "q171_chi_square": O_Q171,
         "q172_prefix_jaccard_join": O_Q172,
         "q173_target_encoding": O_Q173,
+        "q174_naive_bayes": O_Q174,
+        "q175_kaplan_meier": O_Q175,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6106,4 +6110,106 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS n,
        round(max(te), 4) AS max_te
 FROM enc
 GROUP BY 1, 2
+"""
+
+
+def q174_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language tagging (operators/
+    classifier.py: naive_bayes_fit/predict): fit on the documents
+    corpus, predict every doc, emit the confusion matrix.  The fit is
+    two hash aggregations (no iteration, no driver weight state) and
+    the oracle refits the ENTIRE model — priors, Laplace-smoothed
+    token likelihoods, vocabulary, argmax with the rounded-score tie
+    rule — in SQL."""
+    from niamoto_spark.operators.classifier import (naive_bayes_fit,
+                                                    naive_bayes_predict)
+
+    d = _t(spark, sf_dir, "documents")
+    model = naive_bayes_fit(d, "doc_id", "text", "lang", alpha=1.0)
+    pred = naive_bayes_predict(d, "doc_id", "text", model)
+    truth = d.select("doc_id", F.col("lang").alias("true_lang"))
+    return (pred.join(truth, "doc_id")
+            .groupBy("true_lang", F.col("label").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+O_Q174 = r"""
+WITH tok AS (
+  SELECT doc_id, lang, t FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+    FROM documents) WHERE t <> ''),
+nd AS (SELECT count(*) AS n FROM documents),
+cls AS (SELECT lang AS label, count(*) AS ndc FROM documents GROUP BY 1),
+ct AS (SELECT lang AS label, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM ct GROUP BY 1),
+voc AS (SELECT count(DISTINCT t) AS v FROM tok),
+pri AS (SELECT cls.label, ln(ndc) - ln(n) AS logprior, tot.tot
+        FROM cls JOIN tot USING (label) CROSS JOIN nd),
+tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+sc AS (SELECT tc.doc_id, pri.label,
+              any_value(pri.logprior)
+              + sum(tc.c * (ln(coalesce(ct.cnt, 0) + 1.0)
+                            - ln(pri.tot + 1.0 * voc.v))) AS score
+       FROM tc CROSS JOIN pri CROSS JOIN voc
+       LEFT JOIN ct ON ct.label = pri.label AND ct.t = tc.t
+       GROUP BY 1, 2),
+pred AS (SELECT doc_id, label,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY round(score, 4) DESC,
+                                            label) AS rk
+         FROM sc)
+SELECT d.lang AS true_lang, p.label AS pred_lang, count(*) AS n
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.rk = 1
+GROUP BY 1, 2
+"""
+
+
+def q175_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curves per order priority (operators/
+    timeseries.py: kaplan_meier): duration = months since 1992-01,
+    event = order reached final status, censored otherwise.  The
+    product-limit estimator runs as one aggregation + two windows per
+    group (reverse cumulative at-risk counts, exp-sum-ln running
+    product); the oracle replays the identical algebra in SQL."""
+    from niamoto_spark.operators.timeseries import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")
+         - F.lit(1992 * 12)).alias("dur"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ev"))
+    km = kaplan_meier(base, "dur", "ev", group_col="grp")
+    return km.select("grp", F.col("t").cast("long").alias("t"),
+                     "n_at_risk", "d",
+                     F.round("survival", 4).alias("survival"))
+
+
+O_Q175 = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         (year(o_orderdate) * 12 + month(o_orderdate)) - 1992 * 12 AS t,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
+  FROM orders),
+g AS (SELECT grp, t, CAST(sum(e) AS BIGINT) AS d, count(*) AS total
+      FROM base GROUP BY 1, 2),
+r AS (SELECT grp, t, d,
+             CAST(sum(total) OVER (PARTITION BY grp ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_at_risk
+      FROM g),
+ev AS (SELECT * FROM r WHERE d > 0),
+s AS (SELECT grp, t, n_at_risk, d,
+             max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER w AS died,
+             sum(CASE WHEN d < n_at_risk
+                      THEN ln(1 - CAST(d AS DOUBLE) / n_at_risk) END)
+               OVER w AS lns
+      FROM ev
+      WINDOW w AS (PARTITION BY grp ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT grp, t, n_at_risk, d,
+       round(CASE WHEN died = 1 THEN 0.0 ELSE exp(lns) END, 4) AS survival
+FROM s
 """

@@ -156,3 +156,54 @@ def kn_logprob_score(df: DataFrame, text_col: str, id_col: str,
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.avg("lp").alias("avg_logprob")))
+
+
+@register("pmi_collocations", PluginType.TRANSFORMER)
+def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
+                     min_count: int = 5) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (the classic
+    Church & Hanks bigram statistic): PMI(a,b) = ln( p(a,b) /
+    (p(a)·p(b)) ) with p(a,b) over the bigram stream and p(a) over the
+    unigram stream.  High-PMI pairs are multiword expressions
+    ("new york", "machine learning") — the units a tokenizer or phrase
+    vocabulary should not split.
+
+    Distribution: two hash aggregations (unigram counts, bigram
+    counts) + two broadcast-sized scalar totals folded in as literals
+    via cross-joined 1-row frames; the unigram table joins back twice
+    by key.  ``min_count`` prunes the long tail before the joins, so
+    the PMI join runs over the (tiny) frequent-bigram set.  No BOS
+    padding — PMI is only meaningful over real token pairs.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.split(F.lower(F.col(text_col)), r"\s+")
+                      .alias("toks"))
+            .select(F.col(id_col), F.expr(
+                "filter(toks, t -> t != '')").alias("toks")))
+    uni = (toks.select(F.explode("toks").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("cu")))
+    bi = (toks.select(F.expr(
+        "explode(transform(sequence(1, greatest(size(toks) - 1, 0)), "
+        "i -> struct(toks[i-1] AS a, toks[i] AS b)))").alias("bg"))
+        .select("bg.a", "bg.b")
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab")))
+    n_uni = uni.agg(F.sum("cu").alias("nu"))
+    n_bi = bi.agg(F.sum("cab").alias("nb"))
+    freq = bi.where(F.col("cab") >= min_count)
+    # The full unigram table is corpus-vocabulary sized — never
+    # broadcast it.  Any token in a frequent bigram has cu >= cab >=
+    # min_count, so pruning uni by the same threshold keeps every row
+    # the join needs while shrinking it to the frequent vocabulary.
+    uni_f = uni.where(F.col("cu") >= min_count)
+    pmi = (freq
+           .join(F.broadcast(uni_f.withColumnRenamed("t", "a")
+                             .withColumnRenamed("cu", "ca")), "a")
+           .join(F.broadcast(uni_f.withColumnRenamed("t", "b")
+                             .withColumnRenamed("cu", "cb")), "b")
+           .crossJoin(F.broadcast(n_uni))
+           .crossJoin(F.broadcast(n_bi))
+           .select("a", "b", "cab",
+                   (F.log(F.col("cab") / F.col("nb"))
+                    - F.log(F.col("ca") / F.col("nu"))
+                    - F.log(F.col("cb") / F.col("nu"))).alias("pmi")))
+    return pmi

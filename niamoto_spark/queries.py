@@ -1711,6 +1711,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_target_encoding": q173_target_encoding,
         "q174_naive_bayes": q174_naive_bayes,
         "q175_kaplan_meier": q175_kaplan_meier,
+        "q176_pmi_collocations": q176_pmi_collocations,
+        "q177_json_flatten": q177_json_flatten,
     }
 
 
@@ -5401,6 +5403,8 @@ def build_oracles() -> dict[str, str]:
         "q173_target_encoding": O_Q173,
         "q174_naive_bayes": O_Q174,
         "q175_kaplan_meier": O_Q175,
+        "q176_pmi_collocations": O_Q176,
+        "q177_json_flatten": O_Q177,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6212,4 +6216,76 @@ s AS (SELECT grp, t, n_at_risk, d,
 SELECT grp, t, n_at_risk, d,
        round(CASE WHEN died = 1 THEN 0.0 ELSE exp(lns) END, 4) AS survival
 FROM s
+"""
+
+
+def q176_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/lm.py: pmi_collocations):
+    top-20 highest-PMI frequent bigrams in the documents corpus.
+    The oracle recomputes unigram/bigram counts and the PMI algebra
+    from scratch in SQL; LIMIT rides a unique (pmi, a, b) order."""
+    from niamoto_spark.operators.lm import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    pmi = pmi_collocations(d, "doc_id", "text", min_count=5)
+    return (pmi.select("a", "b", "cab",
+                       F.round("pmi", 4).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "a", "b").limit(20))
+
+
+O_Q176 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+uni AS (
+  SELECT t, count(*) AS cu
+  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
+bi AS (
+  SELECT a, b, count(*) AS cab FROM (
+    SELECT toks[i] AS a, toks[i + 1] AS b
+    FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i))
+  GROUP BY 1, 2),
+nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
+nb AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM bi)
+SELECT a, b, cab,
+       round(ln(CAST(cab AS DOUBLE) / nb.nb)
+             - ln(CAST(ua.cu AS DOUBLE) / nu.nu)
+             - ln(CAST(ub.cu AS DOUBLE) / nu.nu), 4) AS pmi
+FROM bi
+JOIN uni ua ON ua.t = bi.a
+JOIN uni ub ON ub.t = bi.b
+CROSS JOIN nu CROSS JOIN nb
+WHERE cab >= 5
+ORDER BY pmi DESC, a, b
+LIMIT 20
+"""
+
+
+def q177_json_flatten(spark, sf_dir):
+    """Semi-structured lane (operators/semistructured.py): infer the
+    schema of the events.props JSON column from a bounded sample,
+    parse + flatten it to typed columns (JVM Jackson inside codegen —
+    no Python), and aggregate the extracted value per event type.
+    The oracle re-extracts with DuckDB's JSON functions."""
+    from niamoto_spark.operators.semistructured import flatten_json
+
+    e = _events(spark, sf_dir)
+    flat = flatten_json(e.select("event_type", "props"), "props")
+    return (flat.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.countDistinct((F.col("k") % 10)).alias("k_mod_buckets")))
+
+
+O_Q177 = """
+WITH x AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 4) AS avg_k,
+       count(DISTINCT k % 10) AS k_mod_buckets
+FROM x GROUP BY 1
 """

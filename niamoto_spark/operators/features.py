@@ -60,3 +60,84 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
            .otherwise(loo))
     return (joined.withColumn(out_col, F.round(te, round_dp))
             .drop("__sum", "__n"))
+
+
+@register("quantile_bucket", PluginType.TRANSFORMER)
+def quantile_bucket(df: DataFrame, value_col: str,
+                    n_buckets: int, tiebreak_cols: list[str],
+                    out_col: str = "bucket",
+                    num_partitions: int | None = None) -> DataFrame:
+    """Equal-frequency discretization with EXACT bucket boundaries:
+    every row gets bucket = floor(rank · n_buckets / N) where rank is
+    the row's exact global 0-based position under (value, tiebreaks)
+    order.  Unlike approxQuantile binning, the bucket populations are
+    balanced to within one row and the assignment is deterministic, so
+    the whole discretization replays in SQL (row_number + the same
+    floor algebra).
+
+    Distribution: NO single-partition window — the exact global rank
+    uses the two-phase distributed prefix sum (range-partition on the
+    sort key, one COUNT per partition to the driver, broadcast the
+    offsets, partition-local row_number), the same recipe as
+    text.epoch_order / pack_sequences.  Driver state = one long per
+    partition."""
+    order = [F.col(value_col).asc()] + [F.col(c).asc()
+                                        for c in tiebreak_cols]
+    n_parts = (num_partitions
+               or df.sparkSession.sparkContext.defaultParallelism)
+    parted = (df.repartitionByRange(n_parts, *order)
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    try:
+        subtotals = (parted.groupBy("__pid")
+                     .agg(F.count(F.lit(1)).alias("c")).collect())
+        run, offsets = 0, {}
+        for r in sorted(subtotals, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = run
+            run += r["c"]
+        total = run
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv])
+            part_start = off_map[F.col("__pid")]
+        else:
+            part_start = F.lit(0)
+        w = Window.partitionBy("__pid").orderBy(*order)
+        rank = (F.row_number().over(w) - 1 + part_start).cast("bigint")
+        bucket = F.floor(rank * n_buckets / F.lit(max(total, 1))) \
+            .cast("int") + 1
+        return parted.withColumn(out_col, bucket).drop("__pid")
+    except Exception:
+        parted.unpersist()
+        raise
+
+
+@register("mutual_information", PluginType.TRANSFORMER)
+def mutual_information(df: DataFrame, col_a: str, col_b: str
+                       ) -> DataFrame:
+    """Mutual information I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b)))
+    between two categorical columns — the model-free dependence score
+    used for feature selection and leakage audits (an input column
+    with high MI against the label is either a great feature or a
+    leak).
+
+    Distribution: one (a,b) hash aggregation; the marginals are window
+    sums over that (tiny, |A|·|B|-row) contingency table, never a
+    second pass over the data.  Returns ONE row: (mi_nats, n)."""
+    joint = (df.where(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wn = Window.partitionBy()
+    ca = F.sum("c").over(wa).cast("double")
+    cb = F.sum("c").over(wb).cast("double")
+    n = F.sum("c").over(wn).cast("double")
+    # log-domain algebra: c*n and ca*cb as long products would
+    # overflow past ~3e9 rows
+    term = (F.col("c") / n) * (F.log("c") + F.log(n)
+                               - F.log(ca) - F.log(cb))
+    return (joint.select(term.alias("t"), F.col("c"))
+            .agg(F.sum("t").alias("mi_nats"),
+                 F.sum("c").alias("n")))

@@ -884,3 +884,64 @@ def split_assign_grouped(df: DataFrame, group_col: str,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = list(weights)[-1]
     return df.withColumn(out_col, expr.otherwise(F.lit(last)))
+
+
+@register("nucleus_vocab", PluginType.TRANSFORMER)
+def nucleus_vocab(df: DataFrame, text_col: str, p: float = 0.9,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Top-p (nucleus) vocabulary selection: the smallest
+    frequency-ranked token set whose mass reaches coverage ``p`` — the
+    standard vocabulary-truncation rule before assigning <unk> (and
+    the same cumulative-share cutoff nucleus sampling applies to
+    logits).  A token is kept iff the cumulative share of all
+    STRICTLY higher-ranked tokens is < p, so the vocabulary is the
+    minimal prefix covering >= p.  Rank order is (count desc, token)
+    — fully deterministic and SQL-replayable.
+
+    Distribution: the cumulative sum over the frequency table avoids a
+    single-partition window — two-phase prefix sum over per-partition
+    MASS subtotals (range-partition the vocab by rank order, one SUM
+    per partition to the driver, broadcast offsets, partition-local
+    running sum), so a billion-token web vocabulary never funnels
+    through one task.
+
+    Output: (token, cnt, share, cum_before) for kept tokens."""
+    from pyspark.sql import Window
+
+    freq = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"\s+")).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t").agg(F.count(F.lit(1)).alias("cnt")))
+    order = [F.col("cnt").desc(), F.col("t").asc()]
+    n_parts = (num_partitions
+               or df.sparkSession.sparkContext.defaultParallelism)
+    parted = (freq.repartitionByRange(n_parts, *order)
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    try:
+        subtotals = (parted.groupBy("__pid")
+                     .agg(F.sum("cnt").alias("s")).collect())
+        run, offsets = 0, {}
+        for r in sorted(subtotals, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = run
+            run += r["s"]
+        total = float(run) if run else 1.0
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(int(v)) for kv in offsets.items() for v in kv])
+            part_start = off_map[F.col("__pid")]
+        else:
+            part_start = F.lit(0)
+        w = (Window.partitionBy("__pid").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum_incl = F.sum("cnt").over(w) + part_start
+        cum_before = (cum_incl - F.col("cnt")) / F.lit(total)
+        return (parted
+                .withColumn("cum_before", cum_before)
+                .where(F.col("cum_before") < F.lit(float(p)))
+                .select("t", "cnt",
+                        (F.col("cnt") / F.lit(total)).alias("share"),
+                        "cum_before"))
+    except Exception:
+        parted.unpersist()
+        raise

@@ -271,3 +271,30 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
         .otherwise(F.exp(F.sum(ln_term).over(w_fwd)))
     return ev.select(*gcols, "t", "n_at_risk", "d",
                      survival.alias("survival"))
+
+
+@register("locf_fill", PluginType.TRANSFORMER)
+def locf_fill(df: DataFrame, key_col: str, order_col: str,
+              value_cols: list[str], backward: bool = False
+              ) -> DataFrame:
+    """Last-observation-carried-forward gap filling per key: nulls in
+    ``value_cols`` take the most recent non-null value under
+    ``order_col`` order (optionally next-observation-carried-backward
+    for the leading-null head).  One per-key window sort serves every
+    column — the panel-data imputation step between sparse sensor /
+    price observations and models that need dense series.
+    """
+    from pyspark.sql import Window
+
+    w_f = (Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_b = (Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    out = df
+    for c in value_cols:
+        filled = F.last(c, ignorenulls=True).over(w_f)
+        if backward:
+            filled = F.coalesce(
+                filled, F.first(c, ignorenulls=True).over(w_b))
+        out = out.withColumn(c, filled)
+    return out

@@ -1713,6 +1713,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_kaplan_meier": q175_kaplan_meier,
         "q176_pmi_collocations": q176_pmi_collocations,
         "q177_json_flatten": q177_json_flatten,
+        "q178_quantile_buckets": q178_quantile_buckets,
+        "q179_nucleus_vocab": q179_nucleus_vocab,
+        "q180_locf_fill": q180_locf_fill,
+        "q181_mutual_information": q181_mutual_information,
     }
 
 
@@ -5405,6 +5409,10 @@ def build_oracles() -> dict[str, str]:
         "q175_kaplan_meier": O_Q175,
         "q176_pmi_collocations": O_Q176,
         "q177_json_flatten": O_Q177,
+        "q178_quantile_buckets": O_Q178,
+        "q179_nucleus_vocab": O_Q179,
+        "q180_locf_fill": O_Q180,
+        "q181_mutual_information": O_Q181,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6288,4 +6296,135 @@ SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
        round(avg(k), 4) AS avg_k,
        count(DISTINCT k % 10) AS k_mod_buckets
 FROM x GROUP BY 1
+"""
+
+
+def q178_quantile_buckets(spark, sf_dir):
+    """Equal-frequency discretization (operators/features.py:
+    quantile_bucket): lineitem prices into 10 exactly-balanced buckets
+    via the two-phase distributed prefix-sum rank (no single-partition
+    window).  The oracle replays rank -> floor bucket algebra with
+    row_number."""
+    from niamoto_spark.operators.features import quantile_bucket
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = quantile_bucket(li, "l_extendedprice", 10,
+                        ["l_orderkey", "l_linenumber"])
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("l_extendedprice"), 2).alias("lo"),
+                 F.round(F.max("l_extendedprice"), 2).alias("hi"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("avg_price")))
+
+
+O_Q178 = """
+WITH r AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem)
+SELECT CAST(floor((rn - 1) * 10 / n) AS INT) + 1 AS bucket,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi,
+       round(avg(l_extendedprice), 2) AS avg_price
+FROM r GROUP BY 1
+"""
+
+
+def q179_nucleus_vocab(spark, sf_dir):
+    """Top-p (nucleus) vocabulary selection (operators/text.py:
+    nucleus_vocab): the minimal frequency-ranked token set covering
+    50% of corpus mass, cumulative shares computed by the two-phase
+    prefix sum.  The oracle is a window cumsum over the same rank
+    order."""
+    from niamoto_spark.operators.text import nucleus_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    v = nucleus_vocab(d, "text", p=0.5)
+    return v.select("t", "cnt", F.round("share", 6).alias("share"),
+                    F.round("cum_before", 6).alias("cum_before"))
+
+
+O_Q179 = r"""
+WITH freq AS (
+  SELECT t, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+    FROM documents)
+  WHERE t <> '' GROUP BY 1),
+c AS (
+  SELECT t, cnt,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - cnt AS DOUBLE) AS before_mass,
+         CAST(sum(cnt) OVER () AS DOUBLE) AS total
+  FROM freq)
+SELECT t, cnt, round(cnt / total, 6) AS share,
+       round(before_mass / total, 6) AS cum_before
+FROM c
+WHERE before_mass / total < 0.5
+"""
+
+
+def q180_locf_fill(spark, sf_dir):
+    """LOCF gap filling (operators/timeseries.py: locf_fill): only
+    purchase events expose their value; every other event carries the
+    user's most recent purchase value forward.  Per-event-type sums of
+    the densified series; the oracle is DuckDB's IGNORE NULLS window."""
+    from niamoto_spark.operators.timeseries import locf_fill
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.when(F.col("event_type") == "purchase",
+               F.col("value")).alias("pv"))
+    filled = locf_fill(e, "user_id", "event_id", ["pv"])
+    return (filled.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("pv").alias("n_filled"),
+                 F.round(F.sum("pv"), 2).alias("sum_filled")))
+
+
+O_Q180 = """
+WITH t AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+  FROM events)
+SELECT event_type, count(*) AS n_events, count(pv) AS n_filled,
+       round(sum(pv), 2) AS sum_filled
+FROM t GROUP BY 1
+"""
+
+
+def q181_mutual_information(spark, sf_dir):
+    """Mutual information between order priority and status
+    (operators/features.py: mutual_information): one contingency
+    aggregation + window marginals.  The oracle recomputes the full
+    I(A;B) sum in SQL."""
+    from niamoto_spark.operators.features import mutual_information
+
+    o = _t(spark, sf_dir, "orders")
+    mi = mutual_information(o, "o_orderpriority", "o_orderstatus")
+    return mi.select(F.round("mi_nats", 6).alias("mi_nats"), "n")
+
+
+O_Q181 = """
+WITH j AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                  count(*) AS c
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL
+             AND o_orderstatus IS NOT NULL
+           GROUP BY 1, 2),
+m AS (SELECT a, b, c,
+             CAST(sum(c) OVER (PARTITION BY a) AS DOUBLE) AS ca,
+             CAST(sum(c) OVER (PARTITION BY b) AS DOUBLE) AS cb,
+             CAST(sum(c) OVER () AS DOUBLE) AS n
+      FROM j)
+SELECT round(sum((c / n) * (ln(c) + ln(n) - ln(ca) - ln(cb))), 6)
+         AS mi_nats,
+       CAST(sum(c) AS BIGINT) AS n
+FROM m
 """

@@ -89,3 +89,40 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str = "doc_id",
             .where(F.col("rank") <= k)
             .select(F.col("__q").alias(query_id),
                     F.col("__doc").alias(id_col), "score", "rank"))
+
+
+@register("rrf_fuse", PluginType.TRANSFORMER)
+def rrf_fuse(rankings: "list[DataFrame]", query_col: str = "query_id",
+             doc_col: str = "doc_id", rank_col: str = "rank",
+             k0: int = 60, topk: int = 10,
+             round_dp: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): hybrid-search's
+    standard way to merge heterogeneous rankings (BM25 + dense ANN +
+    recency...) without score calibration — each list contributes
+    1/(k0 + rank) per (query, doc); absent docs contribute nothing.
+
+    Distribution: a union of the (already top-k sized) ranking frames,
+    one groupBy(query, doc) sum, and a per-query top-k window over
+    candidates only — the corpus is never touched.  Ties after
+    ``round_dp`` rounding break by doc id, so the fused order is
+    engine-reproducible."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [r.select(F.col(query_col).alias("__q"),
+                      F.col(doc_col).alias("__d"),
+                      (F.lit(1.0) / (F.lit(float(k0))
+                                     + F.col(rank_col))).alias("__s"))
+             for r in rankings]
+    allr = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = (allr.groupBy("__q", "__d")
+             .agg(F.round(F.sum("__s"), round_dp).alias("rrf"),
+                  F.count(F.lit(1)).alias("n_lists")))
+    w = Window.partitionBy("__q").orderBy(F.col("rrf").desc(),
+                                          F.col("__d").asc())
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= topk)
+            .select(F.col("__q").alias(query_col),
+                    F.col("__d").alias(doc_col),
+                    "rrf", "n_lists", "fused_rank"))

@@ -215,3 +215,48 @@ def rollup_sketches(sketches: DataFrame, key_cols: list[str],
         F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
     return out.withColumn("approx_distinct",
                           F.hll_sketch_estimate("sketch"))
+
+
+@register("histogram_quantiles", PluginType.TRANSFORMER)
+def histogram_quantiles(df: DataFrame, value_col: str,
+                        n_bins: int = 128,
+                        qs: "list[float]" = (0.5, 0.9, 0.99)
+                        ) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch: one range
+    aggregate for [lo, hi], one bounded aggregation to <= n_bins bin
+    counts, then each requested quantile is the lower edge of the
+    first bin whose cumulative count reaches q·n.  Error is bounded by
+    the bin width (hi-lo)/n_bins; the bin-count vector is the sketch —
+    histograms from different shards ADD, so rollups need no re-scan.
+
+    Unlike approx_percentile (KLL, rank-error) this sketch is exactly
+    replayable in SQL — same bins, same cum rule, bit-identical
+    estimates (q182's oracle refits it end-to-end).  Driver state: the
+    two range scalars.  Nulls are excluded."""
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(value_col).cast("double").alias("v")) \
+        .where(F.col("v").isNotNull())
+    rng = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")) \
+        .first()
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    width = (hi - lo) or 1.0
+    bin_ = F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)
+                           * F.lit(n_bins)).cast("int"),
+                   F.lit(n_bins - 1))
+    counts = (vals.groupBy(bin_.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (counts.withColumn("cum", F.sum("c").over(w))
+           .crossJoin(counts.agg(F.sum("c").alias("n"))))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    est = F.lit(lo) + F.col("bin") * F.lit(width) / F.lit(n_bins)
+    picked = (cum.crossJoin(F.broadcast(qdf))
+              .where(F.col("cum") >= F.col("q") * F.col("n"))
+              .groupBy("q")
+              .agg(F.min("bin").alias("bin")))
+    return (picked.select("q", (F.lit(lo) + F.col("bin")
+                                * F.lit(width) / F.lit(n_bins))
+                          .alias("estimate"), "bin"))

@@ -1717,6 +1717,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_nucleus_vocab": q179_nucleus_vocab,
         "q180_locf_fill": q180_locf_fill,
         "q181_mutual_information": q181_mutual_information,
+        "q182_histogram_quantiles": q182_histogram_quantiles,
+        "q183_rrf_hybrid": q183_rrf_hybrid,
     }
 
 
@@ -5413,6 +5415,8 @@ def build_oracles() -> dict[str, str]:
         "q179_nucleus_vocab": O_Q179,
         "q180_locf_fill": O_Q180,
         "q181_mutual_information": O_Q181,
+        "q182_histogram_quantiles": O_Q182,
+        "q183_rrf_hybrid": O_Q183,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6427,4 +6431,156 @@ SELECT round(sum((c / n) * (ln(c) + ln(n) - ln(ca) - ln(cb))), 6)
          AS mi_nats,
        CAST(sum(c) AS BIGINT) AS n
 FROM m
+"""
+
+
+def q182_histogram_quantiles(spark, sf_dir):
+    """Mergeable equi-width histogram quantile sketch (operators/
+    sketches.py: histogram_quantiles) over lineitem prices: p50/p90/
+    p99 as first-bin-reaching-mass lower edges.  Bin counts ADD across
+    shards (rollup-able); the oracle refits the identical sketch in
+    SQL, so estimates match bit-for-bit, not approximately."""
+    from niamoto_spark.operators.sketches import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    hq = histogram_quantiles(li, "l_extendedprice", n_bins=128,
+                             qs=(0.5, 0.9, 0.99))
+    return hq.select("q", F.round("estimate", 4).alias("estimate"),
+                     "bin")
+
+
+O_Q182 = """
+WITH v AS (SELECT l_extendedprice AS val FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+rng AS (SELECT min(val) AS lo, max(val) AS hi FROM v),
+b AS (SELECT least(CAST(floor((val - rng.lo) / (rng.hi - rng.lo)
+                              * 128) AS INT), 127) AS bin,
+             count(*) AS c
+      FROM v CROSS JOIN rng GROUP BY 1),
+cum AS (SELECT bin, c,
+               CAST(sum(c) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM b),
+qs AS (SELECT CAST(x AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) t(x)),
+picked AS (SELECT q, min(bin) AS bin
+           FROM cum CROSS JOIN qs
+           WHERE cum >= q * n GROUP BY 1)
+SELECT q, round(rng.lo + bin * (rng.hi - rng.lo) / 128, 4) AS estimate,
+       bin
+FROM picked CROSS JOIN rng
+"""
+
+
+def q183_rrf_hybrid(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/retrieval.py: rrf_fuse):
+    BM25 keyword ranking fused with a document-length prior ranking —
+    the hybrid-search merge that needs no score calibration.  The
+    oracle refits BOTH rankings (the full BM25 model and the prior
+    window) and the 1/(60+rank) sum in SQL."""
+    from pyspark.sql import Window
+
+    from niamoto_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES,
+                                    ["query_id", "query_text"])
+    lex = bm25_topk(docs, queries, k=10, round_dp=4)
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    prior_docs = (docs.select("doc_id", "n_chars")
+                  .withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= 10))
+    prior = queries.select("query_id").crossJoin(
+        F.broadcast(prior_docs.select("doc_id", "rank")))
+    fused = rrf_fuse([lex, prior], topk=5)
+    return fused.select("query_id", "doc_id",
+                        F.round("rrf", 6).alias("rrf"),
+                        "n_lists", "fused_rank")
+
+
+O_Q183 = r"""
+WITH q(query_id, query_text) AS (
+    VALUES ('k1', 'spark window agg'),
+           ('k2', 'customer query table join'),
+           ('k3', 'vector stream batch merge')
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS tl
+    FROM documents
+),
+postings AS (
+    SELECT doc_id, dl, token, count(*) AS tf FROM (
+        SELECT doc_id, len(tl) AS dl, unnest(tl) AS token FROM toks
+    ) GROUP BY 1, 2, 3
+),
+corpus AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(CAST(len(tl) AS DOUBLE)) AS avgdl
+    FROM toks
+),
+qt AS (
+    SELECT DISTINCT query_id, token FROM (
+        SELECT query_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(query_text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+        FROM q
+    )
+),
+dfreq AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df
+    FROM postings
+    WHERE token IN (SELECT DISTINCT token FROM qt)
+    GROUP BY token
+),
+scored AS (
+    SELECT qt.query_id, p.doc_id,
+           round(sum(
+               ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / c.avgdl))
+           ), 4) AS score
+    FROM postings p
+    JOIN qt ON p.token = qt.token
+    JOIN dfreq d ON p.token = d.token
+    CROSS JOIN corpus c
+    GROUP BY 1, 2
+),
+lex AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+),
+prior_docs AS (
+    SELECT doc_id, row_number() OVER (
+        ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents
+    QUALIFY rank <= 10
+),
+prior AS (
+    SELECT q.query_id, p.doc_id, p.rank
+    FROM (SELECT DISTINCT query_id FROM q) q CROSS JOIN prior_docs p
+),
+unioned AS (
+    SELECT query_id, doc_id, 1.0 / (60 + rank) AS s FROM lex
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 / (60 + rank) AS s FROM prior
+),
+fused AS (
+    SELECT query_id, doc_id, round(sum(s), 6) AS rrf,
+           count(*) AS n_lists
+    FROM unioned GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(rrf, 6) AS rrf, n_lists,
+       CAST(fused_rank AS INT) AS fused_rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank
+    FROM fused
+) WHERE fused_rank <= 5
 """

@@ -1,0 +1,82 @@
+"""Experiment analysis (A/B testing) aggregates — the readout layer a
+data platform bolts onto its event warehouse.
+
+Closed-form frequentist statistics only (two-proportion pooled z,
+difference in means with Welch variance): every number is one
+aggregation pass in exact algebra, so the whole readout replays in SQL
+(q186's oracle).  P-values are deliberately NOT computed here — erf is
+not portable SQL; callers threshold |z| (1.96 ~ p<.05 two-sided).
+
+No reference counterpart (the reference has no experiment tooling);
+extension-brief operator for the events lane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+
+@register("ab_proportion_test", PluginType.TRANSFORMER)
+def ab_proportion_test(df: DataFrame, variant_col: str,
+                       success_col: str,
+                       control: str, treatment: str) -> DataFrame:
+    """Two-proportion pooled z-test between two variants.
+
+    z = (p_t - p_c) / sqrt(p_pool (1 - p_pool) (1/n_c + 1/n_t))
+
+    One aggregation to two rows, then scalar algebra — the million-user
+    experiment reduces to a 1-row readout with no second pass.  Output:
+    (n_c, n_t, rate_c, rate_t, lift, z)."""
+    agg = (df.where(F.col(variant_col).isin([control, treatment]))
+           .groupBy(variant_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(success_col).cast("long")).alias("s")))
+    c = F.when(F.col(variant_col) == control, 1).otherwise(0)
+    wide = (agg.agg(
+        F.sum(F.col("n") * c).alias("n_c"),
+        F.sum(F.col("s") * c).alias("s_c"),
+        F.sum(F.col("n") * (1 - c)).alias("n_t"),
+        F.sum(F.col("s") * (1 - c)).alias("s_t")))
+    rate_c = F.col("s_c") / F.col("n_c")
+    rate_t = F.col("s_t") / F.col("n_t")
+    pool = (F.col("s_c") + F.col("s_t")) / (F.col("n_c") + F.col("n_t"))
+    se = F.sqrt(pool * (1 - pool)
+                * (1 / F.col("n_c") + 1 / F.col("n_t")))
+    return wide.select(
+        "n_c", "n_t",
+        rate_c.alias("rate_c"), rate_t.alias("rate_t"),
+        (rate_t - rate_c).alias("lift"),
+        F.when(se > 0, (rate_t - rate_c) / se)
+         .otherwise(F.lit(0.0)).alias("z"))
+
+
+@register("ab_mean_test", PluginType.TRANSFORMER)
+def ab_mean_test(df: DataFrame, variant_col: str, value_col: str,
+                 control: str, treatment: str) -> DataFrame:
+    """Welch z for a continuous metric: (m_t - m_c) /
+    sqrt(v_c/n_c + v_t/n_t) with population variances.  Same one-pass
+    shape as ab_proportion_test."""
+    agg = (df.where(F.col(variant_col).isin([control, treatment]))
+           .groupBy(variant_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg(value_col).alias("m"),
+                F.var_pop(value_col).alias("v")))
+    c = F.when(F.col(variant_col) == control, 1).otherwise(0)
+    wide = (agg.agg(
+        F.sum(F.col("n") * c).alias("n_c"),
+        F.sum(F.col("m") * c).alias("m_c"),
+        F.sum(F.col("v") * c).alias("v_c"),
+        F.sum(F.col("n") * (1 - c)).alias("n_t"),
+        F.sum(F.col("m") * (1 - c)).alias("m_t"),
+        F.sum(F.col("v") * (1 - c)).alias("v_t")))
+    se = F.sqrt(F.col("v_c") / F.col("n_c")
+                + F.col("v_t") / F.col("n_t"))
+    return wide.select(
+        "n_c", "n_t", F.col("m_c").alias("mean_c"),
+        F.col("m_t").alias("mean_t"),
+        (F.col("m_t") - F.col("m_c")).alias("diff"),
+        F.when(se > 0, (F.col("m_t") - F.col("m_c")) / se)
+         .otherwise(F.lit(0.0)).alias("z"))

@@ -945,3 +945,27 @@ def nucleus_vocab(df: DataFrame, text_col: str, p: float = 0.9,
     except Exception:
         parted.unpersist()
         raise
+
+
+@register("cap_per_group", PluginType.TRANSFORMER)
+def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+                  cap: int, seed: str = "") -> DataFrame:
+    """Deterministic per-group quota cap — the domain-balancing rule of
+    web-corpus curation (no single site may contribute more than N
+    documents).  Election order inside a group is md5(seed|id), so the
+    kept set is a uniform, engine-portable sample that never changes
+    when unrelated rows arrive, and a new seed re-deals it.
+
+    One window per group key — the shuffle is on ``group_col``, the
+    same partitioning the downstream per-domain stats already need.
+    Skew note: a viral domain sorts only ITS rows; with per-key
+    cardinalities in the millions use the two-phase rank instead."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("|", F.lit(seed),
+                            F.col(id_col).cast("string")))
+    w = (Window.partitionBy(group_col)
+         .orderBy(key.asc(), F.col(id_col).asc()))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= cap)
+            .drop("__rk"))

@@ -298,3 +298,33 @@ def locf_fill(df: DataFrame, key_col: str, order_col: str,
                 filled, F.first(c, ignorenulls=True).over(w_b))
         out = out.withColumn(c, filled)
     return out
+
+
+@register("seasonal_residuals", PluginType.TRANSFORMER)
+def seasonal_residuals(df: DataFrame, season_col: str, value_col: str,
+                       z_threshold: float = 3.0) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each observation is scored
+    against the mean/stddev of ITS season bucket (hour-of-day,
+    day-of-week...) — the cheap STL stand-in that catches "this Monday
+    3am is wild for a Monday 3am" where a global z-score sees nothing.
+
+    Two passes expressed as one aggregation + one broadcast join: the
+    per-season profile is |seasons| rows (24, 7, 168...), always
+    broadcastable; residuals and flags are then a pure projection over
+    the original rows.  Population stddev (stddev_pop) so the oracle
+    algebra is exact."""
+    prof = (df.groupBy(F.col(season_col).alias("__s"))
+            .agg(F.avg(value_col).alias("__mu"),
+                 F.stddev_pop(value_col).alias("__sigma")))
+    joined = df.join(F.broadcast(prof),
+                     df[season_col] == F.col("__s"), "left")
+    z = F.when(F.col("__sigma") > 0,
+               (F.col(value_col) - F.col("__mu")) / F.col("__sigma")) \
+        .otherwise(F.lit(0.0))
+    return (joined.drop("__s")
+            .withColumn("seasonal_z", z)
+            .withColumn("is_anomaly",
+                        F.abs(F.col("seasonal_z"))
+                        > F.lit(float(z_threshold)))
+            .withColumnRenamed("__mu", "season_mean")
+            .withColumnRenamed("__sigma", "season_std"))

@@ -1719,6 +1719,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_mutual_information": q181_mutual_information,
         "q182_histogram_quantiles": q182_histogram_quantiles,
         "q183_rrf_hybrid": q183_rrf_hybrid,
+        "q184_cap_per_group": q184_cap_per_group,
+        "q185_seasonal_anomalies": q185_seasonal_anomalies,
+        "q186_ab_test": q186_ab_test,
     }
 
 
@@ -5417,6 +5420,9 @@ def build_oracles() -> dict[str, str]:
         "q181_mutual_information": O_Q181,
         "q182_histogram_quantiles": O_Q182,
         "q183_rrf_hybrid": O_Q183,
+        "q184_cap_per_group": O_Q184,
+        "q185_seasonal_anomalies": O_Q185,
+        "q186_ab_test": O_Q186,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6583,4 +6589,134 @@ SELECT query_id, doc_id, round(rrf, 6) AS rrf, n_lists,
         PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank
     FROM fused
 ) WHERE fused_rank <= 5
+"""
+
+
+def q184_cap_per_group(spark, sf_dir):
+    """Per-domain quota cap (operators/text.py: cap_per_group): at
+    most 15 documents per source, elected in md5 order so the kept set
+    is a stable uniform sample.  The oracle replays the md5 election
+    with row_number; id-sum makes membership exact."""
+    from niamoto_spark.operators.text import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    kept = cap_per_group(d, "source", "doc_id", cap=15, seed="r7")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.min("doc_id").alias("min_id")))
+
+
+O_Q184 = """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('r7' || '|' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rk
+  FROM documents)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       min(doc_id) AS min_id
+FROM r WHERE rk <= 15 GROUP BY 1
+"""
+
+
+def q185_seasonal_anomalies(spark, sf_dir):
+    """Hour-of-day seasonal anomaly detection (operators/
+    timeseries.py: seasonal_residuals): each event scored against its
+    own hour's mean/stddev profile; per-hour anomaly counts.  The
+    oracle refits the profile and the z algebra in SQL."""
+    from niamoto_spark.operators.timeseries import seasonal_residuals
+
+    e = _events(spark, sf_dir).withColumn(
+        "hod", (F.floor(F.col("ts_sec") / 3600) % 24).cast("int"))
+    r = seasonal_residuals(e, "hod", "value", z_threshold=2.5)
+    return (r.groupBy("hod")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.first("season_mean"), 4).alias("season_mean"),
+                 F.round(F.first("season_std"), 4).alias("season_std"),
+                 F.sum(F.col("is_anomaly").cast("long"))
+                 .alias("n_anomalies")))
+
+
+O_Q185 = """
+WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) % 24 AS INT) AS hod,
+                  value
+           FROM events),
+prof AS (SELECT hod, avg(value) AS mu, stddev_pop(value) AS sigma
+         FROM e GROUP BY 1)
+SELECT e.hod, count(*) AS n,
+       round(any_value(prof.mu), 4) AS season_mean,
+       round(any_value(prof.sigma), 4) AS season_std,
+       CAST(sum(CASE WHEN prof.sigma > 0
+                      AND abs((e.value - prof.mu) / prof.sigma) > 2.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM e JOIN prof USING (hod)
+GROUP BY 1
+"""
+
+
+def q186_ab_test(spark, sf_dir):
+    """A/B experiment readout (operators/experiments.py): users split
+    by parity of user_id, success = purchase event; pooled
+    two-proportion z plus Welch z on the value metric — every number
+    closed-form, the whole readout refit in SQL."""
+    from niamoto_spark.operators.experiments import (ab_mean_test,
+                                                     ab_proportion_test)
+
+    e = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+         .otherwise("treatment").alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        "value")
+    prop = ab_proportion_test(e, "variant", "conv",
+                              "control", "treatment")
+    mean = ab_mean_test(e, "variant", "value", "control", "treatment")
+    return (prop.select(F.lit("conversion").alias("metric"),
+                        "n_c", "n_t",
+                        F.round("rate_c", 6).alias("stat_c"),
+                        F.round("rate_t", 6).alias("stat_t"),
+                        F.round("z", 4).alias("z"))
+            .unionByName(
+                mean.select(F.lit("value_mean").alias("metric"),
+                            "n_c", "n_t",
+                            F.round("mean_c", 6).alias("stat_c"),
+                            F.round("mean_t", 6).alias("stat_t"),
+                            F.round("z", 4).alias("z"))))
+
+
+O_Q186 = """
+WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                       ELSE 'treatment' END AS variant,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END AS conv,
+                  value
+           FROM events),
+agg AS (SELECT variant, count(*) AS n,
+               CAST(sum(conv) AS BIGINT) AS s,
+               avg(value) AS m, var_pop(value) AS v
+        FROM e GROUP BY 1),
+wide AS (SELECT
+  CAST(sum(CASE WHEN variant = 'control' THEN n END) AS BIGINT) AS n_c,
+  CAST(sum(CASE WHEN variant = 'control' THEN s END) AS BIGINT) AS s_c,
+  sum(CASE WHEN variant = 'control' THEN m END) AS m_c,
+  sum(CASE WHEN variant = 'control' THEN v END) AS v_c,
+  CAST(sum(CASE WHEN variant = 'treatment' THEN n END) AS BIGINT) AS n_t,
+  CAST(sum(CASE WHEN variant = 'treatment' THEN s END) AS BIGINT) AS s_t,
+  sum(CASE WHEN variant = 'treatment' THEN m END) AS m_t,
+  sum(CASE WHEN variant = 'treatment' THEN v END) AS v_t
+  FROM agg)
+SELECT 'conversion' AS metric, n_c, n_t,
+       round(CAST(s_c AS DOUBLE) / n_c, 6) AS stat_c,
+       round(CAST(s_t AS DOUBLE) / n_t, 6) AS stat_t,
+       round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+             / sqrt((CAST(s_c + s_t AS DOUBLE) / (n_c + n_t))
+                    * (1 - CAST(s_c + s_t AS DOUBLE) / (n_c + n_t))
+                    * (1.0 / n_c + 1.0 / n_t)), 4) AS z
+FROM wide
+UNION ALL
+SELECT 'value_mean', n_c, n_t, round(m_c, 6), round(m_t, 6),
+       round((m_t - m_c) / sqrt(v_c / n_c + v_t / n_t), 4)
+FROM wide
 """

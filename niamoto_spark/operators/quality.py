@@ -193,3 +193,26 @@ def table_fingerprint(df: DataFrame, cols: list[str] | None = None,
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor("__v60").alias("xor_fp"),
         F.sum("__v32").cast("decimal(38,0)").alias("sum_fp"))
+
+
+@register("k_anonymity", PluginType.TRANSFORMER)
+def k_anonymity(df: DataFrame, quasi_cols: "list[str]",
+                k: int = 5) -> DataFrame:
+    """K-anonymity audit over a quasi-identifier combination: a row is
+    at risk when its quasi-identifier group has fewer than ``k``
+    members (re-identifiable by linkage).  The governance gate a
+    training-data release runs before shipping user-derived tables.
+
+    One hash aggregation on the quasi-identifier key; output is a
+    1-row report: group counts, at-risk rows, the minimum group size,
+    and the k that WOULD hold (min group size) — all exact."""
+    groups = (df.groupBy(*quasi_cols)
+              .agg(F.count(F.lit(1)).alias("__n")))
+    risky = F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0))
+    return (groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("__n") < k).cast("long")).alias("n_risky_groups"),
+        F.sum(risky).alias("n_rows_at_risk"),
+        F.min("__n").alias("min_group_size"))
+        .withColumn("satisfies_k", F.col("n_risky_groups") == 0)
+        .withColumn("k_required", F.lit(int(k))))

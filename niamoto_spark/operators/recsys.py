@@ -1,0 +1,85 @@
+"""Item-item collaborative filtering over co-occurrence — the
+"customers who bought X also bought Y" recommender, as pure set-join
+algebra (no ALS, no ML runtime): cosine over binary basket-incidence
+vectors, cos(a,b) = c_ab / sqrt(c_a · c_b).
+
+Scale shape (the operative concern — baskets are the skewed entity):
+
+    incidence  = distinct (basket, item) — one dedup shuffle
+    pairs      = per-basket item ARRAY -> in-basket C(n,2) expansion
+                 with higher-order functions (the same bucket-grouped
+                 pair trick as dedup.py's LSH buckets) — a basket with
+                 b items emits b(b-1)/2 rows, so ``max_basket_items``
+                 caps pathological baskets (a crawler hitting every
+                 item) instead of letting one basket emit 10^10 pairs
+    c_ab       = one hash aggregation over the pair stream
+    cosine     = pair counts joined to per-item counts (item counts
+                 pruned to items that survived into pairs)
+
+No counterpart in the reference (SURVEY §2); extension-brief operator
+next to contrastive.py / tfidf.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+
+@register("item_similarity", PluginType.TRANSFORMER)
+def item_similarity(df: DataFrame, basket_col: str, item_col: str,
+                    min_cooccur: int = 2,
+                    max_basket_items: int = 1000,
+                    round_dp: int = 6) -> DataFrame:
+    """(item_a, item_b, n_ab, cosine) for unordered item pairs with
+    co-occurrence >= ``min_cooccur``; item_a < item_b.  Baskets larger
+    than ``max_basket_items`` are truncated to their first items in
+    sort order (deterministic, logged in the row count)."""
+    inc = (df.select(F.col(basket_col).alias("b"),
+                     F.col(item_col).cast("string").alias("it"))
+           .where(F.col("it").isNotNull())
+           .distinct())
+    per_basket = (inc.groupBy("b")
+                  .agg(F.slice(F.array_sort(F.collect_set("it")), 1,
+                               max_basket_items).alias("items")))
+    pairs = (per_basket
+             .select(F.explode(F.expr(
+                 "flatten(transform(items, (x, i) -> "
+                 "transform(slice(items, i + 2, size(items)), "
+                 "y -> struct(x AS a, y AS b))))")).alias("p"))
+             .select("p.a", "p.b")
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_cooccur))
+    item_counts = (inc.groupBy("it")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    cos = (pairs
+           .join(item_counts.select(F.col("it").alias("a"),
+                                    F.col("c").alias("ca")), "a")
+           .join(item_counts.select(F.col("it").alias("b"),
+                                    F.col("c").alias("cb")), "b")
+           .select(F.col("a").alias("item_a"),
+                   F.col("b").alias("item_b"), "n_ab",
+                   F.round(F.col("n_ab")
+                           / F.sqrt(F.col("ca").cast("double")
+                                    * F.col("cb")),
+                           round_dp).alias("cosine")))
+    return cos
+
+
+@register("recommend_topn", PluginType.TRANSFORMER)
+def recommend_topn(similarity: DataFrame, n: int = 5) -> DataFrame:
+    """Symmetrize the pair table and keep each item's top-n neighbors
+    by (cosine desc, neighbor asc) — the serving-side artifact."""
+    sym = (similarity
+           .select(F.col("item_a").alias("item"),
+                   F.col("item_b").alias("neighbor"),
+                   "n_ab", "cosine")
+           .unionByName(similarity.select(
+               F.col("item_b").alias("item"),
+               F.col("item_a").alias("neighbor"), "n_ab", "cosine")))
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor").asc())
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n))

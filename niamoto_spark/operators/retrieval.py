@@ -126,3 +126,111 @@ def rrf_fuse(rankings: "list[DataFrame]", query_col: str = "query_id",
             .select(F.col("__q").alias(query_col),
                     F.col("__d").alias(doc_col),
                     "rrf", "n_lists", "fused_rank"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted full-text index — the lakehouse-native search index: the
+# postings list materialized ONCE as a token-clustered manifest table
+# (operators/annindex.py is the same pattern for vectors), so query
+# time never re-scans the corpus.  Zone maps on the token column let a
+# keyword lookup open only the files whose token range can contain it.
+# ---------------------------------------------------------------------------
+
+def _index_postings(docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    toks = (docs.select(F.col(id_col).alias("doc"),
+                        _tokens(F.col(text_col)).alias("tl"))
+            .withColumn("dl", F.size("tl")))
+    return (toks.select("doc", "dl", F.explode("tl").alias("token"))
+            .groupBy("doc", "dl", "token")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def save_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    index_files: int = 8) -> dict:
+    """Build and persist the inverted index under ``path`` as three
+    manifest tables: token-clustered postings (+ token zone maps),
+    per-token document frequencies, and the 1-row corpus stats.  One
+    corpus shuffle total — identical cost to a single transient BM25
+    run, amortized over every future query batch."""
+    from niamoto_spark.sources import manifest
+
+    toks = (docs.select(F.col(id_col).alias("doc"),
+                        _tokens(F.col(text_col)).alias("tl"))
+            .withColumn("dl", F.size("tl")))
+    postings = _index_postings(docs, id_col, text_col)
+    clustered = (postings.repartition(index_files, "token")
+                 .sortWithinPartitions("token", "doc"))
+    manifest.overwrite_with_stats(clustered, f"{path}/postings",
+                                  stats_cols=["token"])
+    token_df = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    manifest.overwrite_with_stats(
+        token_df.repartition(index_files, "token")
+        .sortWithinPartitions("token"),
+        f"{path}/token_df", stats_cols=["token"])
+    stats = toks.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    manifest.overwrite(stats, f"{path}/stats")
+    n_post = postings.count()
+    return {"path": path, "n_postings": n_post,
+            "index_files": index_files}
+
+
+def query_text_index(spark, path: str, queries: DataFrame,
+                     query_id: str = "query_id",
+                     query_text: str = "query_text", k: int = 10,
+                     k1: float = 1.2, b: float = 0.75,
+                     round_dp: int = 6,
+                     id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k against the STORED index — no corpus pass.  The
+    query batch's distinct terms (driver-bounded: a query batch is
+    human-sized) drive per-term zone-map-pruned reads of the postings
+    table, so a lookup opens only files whose token range can contain
+    a query term.  Scoring algebra is identical to bm25_topk — the
+    equality is pinned in tests and q187's oracle refits it in SQL."""
+    from functools import reduce
+
+    from niamoto_spark.sources import manifest
+
+    qterms = (queries
+              .select(F.col(query_id).alias("__q"),
+                      F.explode(_tokens(F.col(query_text)))
+                      .alias("token"))
+              .distinct())
+    terms = sorted({r["token"] for r in
+                    qterms.select("token").distinct().collect()})
+    if not terms:
+        return spark.createDataFrame(
+            [], f"{query_id} string, {id_col} long, score double, "
+                "rank int")
+    reads = [manifest.read_table_pruned(spark, f"{path}/postings",
+                                        "token", t, t)[0]
+             for t in terms]
+    reads = [r for r in reads if "token" in r.columns]
+    if reads:
+        cand = reduce(lambda a, b: a.unionByName(b), reads)
+    else:
+        cand = spark.createDataFrame(
+            [], "doc long, dl int, token string, tf long")
+    dfreq = manifest.read_table(spark, f"{path}/token_df") \
+        .where(F.col("token").isin(terms))
+    stats = manifest.read_table(spark, f"{path}/stats")
+    scored = (cand.join(F.broadcast(qterms), "token")
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                      / F.col("avgdl"))))
+    per_doc = (scored.groupBy("__q", "doc")
+               .agg(F.round(F.sum(idf * tf_part), round_dp)
+                    .alias("score")))
+    w = Window.partitionBy("__q").orderBy(F.desc("score"),
+                                          F.asc("doc"))
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("__q").alias(query_id),
+                    F.col("doc").alias(id_col), "score", "rank"))

@@ -1722,6 +1722,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_cap_per_group": q184_cap_per_group,
         "q185_seasonal_anomalies": q185_seasonal_anomalies,
         "q186_ab_test": q186_ab_test,
+        "q187_text_index": q187_text_index,
+        "q188_k_anonymity": q188_k_anonymity,
+        "q189_item_similarity": q189_item_similarity,
     }
 
 
@@ -5423,6 +5426,9 @@ def build_oracles() -> dict[str, str]:
         "q184_cap_per_group": O_Q184,
         "q185_seasonal_anomalies": O_Q185,
         "q186_ab_test": O_Q186,
+        "q187_text_index": O_Q87,
+        "q188_k_anonymity": O_Q188,
+        "q189_item_similarity": O_Q189,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6719,4 +6725,94 @@ UNION ALL
 SELECT 'value_mean', n_c, n_t, round(m_c, 6), round(m_t, 6),
        round((m_t - m_c) / sqrt(v_c / n_c + v_t / n_t), 4)
 FROM wide
+"""
+
+
+def q187_text_index(spark, sf_dir):
+    """Persisted full-text index (operators/retrieval.py:
+    save_text_index/query_text_index): postings materialized ONCE as a
+    token-clustered manifest table with token zone maps, then BM25
+    top-k served with per-term file-pruned reads and NO corpus pass.
+    Same output contract as q87, so the oracle refits the whole BM25
+    model in SQL — the stored index must reproduce it exactly."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.operators.retrieval import (query_text_index,
+                                                   save_text_index)
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"niamoto_q187_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    save_text_index(docs, path)
+    queries = spark.createDataFrame(_BM25_QUERIES,
+                                    ["query_id", "query_text"])
+    return query_text_index(spark, path, queries, k=10, round_dp=4)
+
+
+def q188_k_anonymity(spark, sf_dir):
+    """K-anonymity audit (operators/quality.py: k_anonymity) over the
+    customer quasi-identifier (nation, segment, balance-bin): exact
+    risky-group and at-risk-row counts, refit 1:1 in SQL."""
+    from niamoto_spark.operators.quality import k_anonymity
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bin", F.floor(F.col("c_acctbal") / 1000).cast("long"))
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_bin"],
+                       k=5)
+
+
+O_Q188 = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT count(*) AS n_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_groups,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       min(n) AS min_group_size,
+       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS satisfies_k,
+       5 AS k_required
+FROM g
+"""
+
+
+def q189_item_similarity(spark, sf_dir):
+    """Item-item collaborative filtering (operators/recsys.py):
+    cosine over order-basket incidence of part brands — in-basket
+    C(n,2) pair expansion with higher-order functions (never a raw
+    self-join on the basket key).  The oracle recomputes incidence,
+    pair counts and the cosine algebra with a SQL self-join."""
+    from niamoto_spark.operators.recsys import item_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (li.join(F.broadcast(p),
+                       li.l_partkey == p.p_partkey)
+               .select("l_orderkey", "p_brand"))
+    return item_similarity(baskets, "l_orderkey", "p_brand",
+                           min_cooccur=2)
+
+
+O_Q189 = """
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS b, p.p_brand AS it
+  FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+  WHERE p.p_brand IS NOT NULL),
+pairs AS (
+  SELECT x.it AS a, y.it AS b, count(*) AS n_ab
+  FROM inc x JOIN inc y ON x.b = y.b AND x.it < y.it
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+ic AS (SELECT it, count(*) AS c FROM inc GROUP BY 1)
+SELECT pairs.a AS item_a, pairs.b AS item_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab / sqrt(CAST(ca.c AS DOUBLE) * cb.c), 6) AS cosine
+FROM pairs
+JOIN ic ca ON ca.it = pairs.a
+JOIN ic cb ON cb.it = pairs.b
 """

@@ -165,3 +165,35 @@ def bfs_hops(pairs: DataFrame, sources: DataFrame,
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node_id")
     return visited
+
+
+@register("clustering_coefficient", PluginType.TRANSFORMER)
+def clustering_coefficient(pairs: DataFrame, id_a: str = "id_a",
+                           id_b: str = "id_b",
+                           round_dp: int = 6) -> DataFrame:
+    """Local clustering coefficient per node: lcc(v) =
+    2·T(v) / (deg(v)·(deg(v)-1)) — how close each node's neighborhood
+    is to a clique (community tightness; near-duplicate clusters show
+    lcc ~ 1, hub-and-spoke crawl graphs ~ 0).
+
+    Reuses triangle_count's degree-ordered orientation for T(v) (one
+    wedge join, fan-out bounded by oriented out-degree) plus one
+    degree aggregation; nodes with deg < 2 are reported with lcc 0.
+    Output: (node_id, degree, n_triangles, lcc)."""
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node_id"))
+           .union(e.select(F.col("b")))
+           .groupBy("node_id").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(e, "a", "b")
+    joined = deg.join(tri, "node_id", "left").na.fill(
+        {"n_triangles": 0})
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1.0)),
+                round_dp)).otherwise(F.lit(0.0))
+    return joined.select("node_id", "degree", "n_triangles",
+                         lcc.alias("lcc"))

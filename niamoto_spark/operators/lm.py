@@ -207,3 +207,78 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
                     - F.log(F.col("ca") / F.col("nu"))
                     - F.log(F.col("cb") / F.col("nu"))).alias("pmi")))
     return pmi
+
+
+@register("ppmi_vectors", PluginType.TRANSFORMER)
+def ppmi_vectors(df: DataFrame, id_col: str, text_col: str,
+                 window: int = 2, min_count: int = 5) -> DataFrame:
+    """Sparse PPMI word vectors from skip-gram co-occurrence — the
+    count-based distributional embedding (Levy & Goldberg showed
+    word2vec SGNS factorizes exactly this matrix).  For every token
+    position, contexts are the tokens within ±``window`` (self
+    excluded); ppmi(w,c) = max(0, ln( #(w,c)·S / (#(w)·#(c)) )) over
+    the pair stream, kept only for pairs with count >= ``min_count``.
+
+    The ±window expansion is pure higher-order array functions — one
+    explode of in-document index pairs, no position self-join — and
+    the marginals are window-free aggregations.  Output: (w, c, n_wc,
+    ppmi) — the nonzero entries of the PPMI matrix, ready for a
+    sparse-join cosine."""
+    toks = (df.select(F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+        .alias("toks")))
+    pair_expr = (
+        "flatten(transform(sequence(1, size(toks)), i -> "
+        f"transform(filter(sequence(greatest(i - {window}, 1), "
+        f"least(i + {window}, size(toks))), j -> j != i), "
+        "j -> struct(toks[i-1] AS w, toks[j-1] AS c))))")
+    pairs = (toks.where(F.size("toks") > 0)
+             .select(F.explode(F.expr(pair_expr)).alias("p"))
+             .select("p.w", "p.c")
+             .groupBy("w", "c").agg(F.count(F.lit(1)).alias("n_wc")))
+    w_marg = pairs.groupBy("w").agg(F.sum("n_wc").alias("n_w"))
+    c_marg = pairs.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
+    total = pairs.agg(F.sum("n_wc").alias("s"))
+    freq = pairs.where(F.col("n_wc") >= min_count)
+    # marginals pruned before broadcast, same guard as pmi_collocations
+    w_f = w_marg.where(F.col("n_w") >= min_count)
+    c_f = c_marg.where(F.col("n_c") >= min_count)
+    ppmi = (F.log(F.col("n_wc").cast("double")) + F.log(F.col("s"))
+            - F.log(F.col("n_w")) - F.log(F.col("n_c")))
+    return (freq.join(F.broadcast(w_f), "w")
+            .join(F.broadcast(c_f), "c")
+            .crossJoin(F.broadcast(total))
+            .select("w", "c", "n_wc",
+                    F.greatest(ppmi, F.lit(0.0)).alias("ppmi"))
+            .where(F.col("ppmi") > 0))
+
+
+def ppmi_token_similarity(vectors: DataFrame, topk: int = 15,
+                          round_dp: int = 4) -> DataFrame:
+    """Cosine similarity between every token pair that shares at least
+    one context, over the sparse PPMI vectors: a postings-style join
+    on the context column (the tfidf.py inverted-index shape), norms
+    from one aggregation.  Output: top-``topk`` (w_a, w_b, cosine)
+    with w_a < w_b, tie-broken lexically."""
+    norms = (vectors.groupBy("w")
+             .agg(F.sqrt(F.sum(F.col("ppmi") * F.col("ppmi")))
+                  .alias("norm")))
+    a = vectors.select(F.col("w").alias("w_a"), "c",
+                       F.col("ppmi").alias("pa"))
+    b = vectors.select(F.col("w").alias("w_b"), "c",
+                       F.col("ppmi").alias("pb"))
+    dots = (a.join(b, "c")
+            .where(F.col("w_a") < F.col("w_b"))
+            .groupBy("w_a", "w_b")
+            .agg(F.sum(F.col("pa") * F.col("pb")).alias("dot")))
+    sim = (dots
+           .join(norms.select(F.col("w").alias("w_a"),
+                              F.col("norm").alias("na")), "w_a")
+           .join(norms.select(F.col("w").alias("w_b"),
+                              F.col("norm").alias("nb")), "w_b")
+           .select("w_a", "w_b",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")),
+                           round_dp).alias("cosine")))
+    # TakeOrderedAndProject, not a global window: the pair table never
+    # funnels through one task
+    return sim.orderBy(F.col("cosine").desc(), "w_a", "w_b").limit(topk)

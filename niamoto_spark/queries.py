@@ -1725,6 +1725,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_text_index": q187_text_index,
         "q188_k_anonymity": q188_k_anonymity,
         "q189_item_similarity": q189_item_similarity,
+        "q190_ppmi_similarity": q190_ppmi_similarity,
+        "q191_dp_counts": q191_dp_counts,
+        "q192_clustering_coefficient": q192_clustering_coefficient,
     }
 
 
@@ -5429,6 +5432,9 @@ def build_oracles() -> dict[str, str]:
         "q187_text_index": O_Q87,
         "q188_k_anonymity": O_Q188,
         "q189_item_similarity": O_Q189,
+        "q190_ppmi_similarity": O_Q190,
+        "q191_dp_counts": O_Q191,
+        "q192_clustering_coefficient": O_Q192,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6815,4 +6821,140 @@ SELECT pairs.a AS item_a, pairs.b AS item_b,
 FROM pairs
 JOIN ic ca ON ca.it = pairs.a
 JOIN ic cb ON cb.it = pairs.b
+"""
+
+
+def q190_ppmi_similarity(spark, sf_dir):
+    """Distributional word similarity from sparse PPMI skip-gram
+    vectors (operators/lm.py: ppmi_vectors + ppmi_token_similarity):
+    ±2-window co-occurrence, PPMI weighting, inverted-index cosine —
+    count-based embeddings with no ML runtime.  The oracle refits the
+    whole pipeline (pair stream, marginals, PPMI, norms, top-15) in
+    SQL."""
+    from niamoto_spark.operators.lm import (ppmi_token_similarity,
+                                            ppmi_vectors)
+
+    d = _t(spark, sf_dir, "documents")
+    vec = ppmi_vectors(d, "doc_id", "text", window=2, min_count=10)
+    return ppmi_token_similarity(vec, topk=15)
+
+
+O_Q190 = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS tl
+  FROM documents),
+pos AS (SELECT tl, unnest(range(1, len(tl) + 1)) AS i
+        FROM toks WHERE len(tl) > 0),
+prs AS (
+  SELECT tl[i] AS w, tl[j] AS c
+  FROM pos, LATERAL (
+    SELECT unnest(range(greatest(i - 2, 1),
+                        least(i + 2, len(tl)) + 1)) AS j)
+  WHERE j <> i),
+pc AS (SELECT w, c, count(*) AS n_wc FROM prs GROUP BY 1, 2),
+wm AS (SELECT w, CAST(sum(n_wc) AS BIGINT) AS n_w FROM pc GROUP BY 1),
+cm AS (SELECT c, CAST(sum(n_wc) AS BIGINT) AS n_c FROM pc GROUP BY 1),
+tot AS (SELECT CAST(sum(n_wc) AS BIGINT) AS s FROM pc),
+vec AS (
+  SELECT pc.w, pc.c,
+         greatest(ln(CAST(pc.n_wc AS DOUBLE)) + ln(tot.s)
+                  - ln(wm.n_w) - ln(cm.n_c), 0.0) AS ppmi
+  FROM pc JOIN wm USING (w) JOIN cm USING (c) CROSS JOIN tot
+  WHERE pc.n_wc >= 10),
+nz AS (SELECT * FROM vec WHERE ppmi > 0),
+norms AS (SELECT w, sqrt(sum(ppmi * ppmi)) AS norm
+          FROM nz GROUP BY 1),
+dots AS (
+  SELECT a.w AS w_a, b.w AS w_b, sum(a.ppmi * b.ppmi) AS dot
+  FROM nz a JOIN nz b ON a.c = b.c AND a.w < b.w
+  GROUP BY 1, 2),
+sim AS (
+  SELECT w_a, w_b, round(dot / (na.norm * nb.norm), 4) AS cosine
+  FROM dots
+  JOIN norms na ON na.w = dots.w_a
+  JOIN norms nb ON nb.w = dots.w_b)
+SELECT w_a, w_b, cosine FROM sim
+ORDER BY cosine DESC, w_a, w_b
+LIMIT 15
+"""
+
+
+def q191_dp_counts(spark, sf_dir):
+    """Differentially-private release counts (operators/privacy.py:
+    dp_counts): per-priority order counts with seeded Laplace(1/eps)
+    noise derived from md5(seed|group) — deterministic, so the oracle
+    replays the ENTIRE mechanism (uniform draw, inverse-CDF Laplace)
+    in SQL and the released table matches exactly."""
+    from niamoto_spark.operators.privacy import dp_counts
+
+    o = _t(spark, sf_dir, "orders")
+    return dp_counts(o, ["o_orderpriority"], epsilon=0.5, seed="rel7")
+
+
+O_Q191 = """
+WITH g AS (SELECT o_orderpriority, count(*) AS n
+           FROM orders GROUP BY 1),
+u AS (SELECT o_orderpriority, n,
+             (CAST(('0x' || substr(md5('rel7' || '|' ||
+                                       o_orderpriority), 1, 13))
+                   AS UBIGINT) + 0.5) / power(16, 13) AS uni
+      FROM g)
+SELECT o_orderpriority,
+       round(n + (-2.0) * sign(uni - 0.5)
+                 * ln(1 - 2 * abs(uni - 0.5)), 4) AS noisy_count
+FROM u
+"""
+
+
+def q192_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficients (operators/graph.py:
+    clustering_coefficient) over the brand co-purchase graph (edges =
+    brand pairs co-occurring in >= 2 orders): triangle counts via the
+    degree-ordered orientation + one degree aggregation.  The oracle
+    rebuilds edges, triangles and the 2T/d(d-1) algebra in SQL."""
+    from niamoto_spark.operators.graph import clustering_coefficient
+    from niamoto_spark.operators.recsys import item_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (li.join(F.broadcast(p),
+                       li.l_partkey == p.p_partkey)
+               .select("l_orderkey", "p_brand"))
+    edges = (item_similarity(baskets, "l_orderkey", "p_brand",
+                             min_cooccur=2)
+             .select(F.col("item_a").alias("id_a"),
+                     F.col("item_b").alias("id_b")))
+    return clustering_coefficient(edges)
+
+
+O_Q192 = """
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS bk, p.p_brand AS it
+  FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+  WHERE p.p_brand IS NOT NULL),
+e AS (
+  SELECT x.it AS a, y.it AS b
+  FROM inc x JOIN inc y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+deg AS (SELECT node_id, count(*) AS degree FROM (
+          SELECT a AS node_id FROM e
+          UNION ALL SELECT b FROM e) GROUP BY 1),
+tri AS (
+  SELECT w.x, w.y, w.z FROM (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+  JOIN e e3 ON e3.a = w.x AND e3.b = w.z),
+pert AS (SELECT node_id, count(*) AS n_triangles FROM (
+           SELECT x AS node_id FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri) GROUP BY 1)
+SELECT deg.node_id, deg.degree,
+       CAST(coalesce(pert.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round(2.0 * coalesce(pert.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1.0)), 6)
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN pert USING (node_id)
 """

@@ -1,0 +1,119 @@
+"""Model-evaluation metrics as exact set algebra — the offline eval
+suite (AUC, calibration, ranking quality) a training pipeline runs on
+held-out scores.  No sklearn, no sampling: every metric is closed-form
+over aggregations, so results are exact and replay in SQL (q193-q195).
+
+- binary_auc: Mann-Whitney rank-sum AUC with the midrank tie
+  correction — the EXACT area, not a trapezoid approximation.  One
+  aggregation per distinct score + one window over the (much smaller)
+  score-value table.
+- calibration_bins / brier: reliability diagram + Brier score in one
+  aggregation pass.
+- rank_metrics: NDCG@k / MRR / precision@k per query over an already
+  top-k ranking frame joined to binary relevance labels.
+
+No counterpart in the reference (its ml/ subsystem is out of engine
+scope); extension-brief operators for the training-data lane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+
+@register("binary_auc", PluginType.TRANSFORMER)
+def binary_auc(df: DataFrame, score_col: str, label_col: str
+               ) -> DataFrame:
+    """Exact ROC-AUC via the rank-sum identity with midranks:
+
+        AUC = (R+ - n+(n+ + 1)/2) / (n+ · n-)
+
+    where R+ sums the (tie-averaged) ranks of positives.  The corpus
+    aggregates to one row per DISTINCT score first, so the window
+    ordering runs over score values, not rows — at 100 TB that table
+    is as small as the score's resolution.  Output: (auc, n_pos,
+    n_neg)."""
+    per_score = (df.select(F.col(score_col).cast("double").alias("s"),
+                           F.col(label_col).cast("long").alias("y"))
+                 .where(F.col("s").isNotNull())
+                 .groupBy("s")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("y").alias("np")))
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = per_score.withColumn(
+        "cum_before", F.sum("n").over(w) - F.col("n"))
+    # midrank of a tied block starting after cum_before with n members
+    avg_rank = F.col("cum_before") + (F.col("n") + 1) / 2.0
+    agg = ranked.agg(
+        F.sum(F.col("np") * avg_rank).alias("r_pos"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).alias("n_neg"))
+    auc = ((F.col("r_pos")
+            - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+           / (F.col("n_pos") * F.col("n_neg")))
+    return agg.select(
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc)
+         .alias("auc"),
+        "n_pos", "n_neg")
+
+
+@register("calibration_bins", PluginType.TRANSFORMER)
+def calibration_bins(df: DataFrame, prob_col: str, label_col: str,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins: predicted probability vs observed
+    positive rate per equal-width bin, plus per-bin Brier contribution
+    — ONE aggregation.  Output: (bin, n, avg_prob, frac_pos,
+    brier_sum)."""
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    bin_ = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    return (df.where(p.isNotNull())
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(p).alias("avg_prob"),
+                 F.avg(y).alias("frac_pos"),
+                 F.sum((p - y) * (p - y)).alias("brier_sum")))
+
+
+@register("rank_metrics", PluginType.TRANSFORMER)
+def rank_metrics(ranking: DataFrame, relevance: DataFrame,
+                 query_col: str = "query_id", doc_col: str = "doc_id",
+                 rank_col: str = "rank", rel_col: str = "rel",
+                 k: int = 10) -> DataFrame:
+    """NDCG@k, MRR and precision@k per query from a top-k ranking
+    frame and binary relevance labels.  IDCG uses the total relevant
+    count per query (ideal = all relevant first), so NDCG is the true
+    normalized value even when relevant docs fall outside the top-k.
+    All log2 algebra is closed-form; one join + two aggregations."""
+    r = (ranking.where(F.col(rank_col) <= k)
+         .join(relevance.select(F.col(query_col),
+                                F.col(doc_col),
+                                F.col(rel_col).cast("double")
+                                .alias("__rel")),
+               [query_col, doc_col], "left")
+         .na.fill({"__rel": 0.0}))
+    dcg_term = F.col("__rel") / F.log2(F.col(rank_col) + 1.0)
+    rr_term = F.when(F.col("__rel") > 0,
+                     1.0 / F.col(rank_col)).otherwise(F.lit(0.0))
+    per_q = (r.groupBy(query_col)
+             .agg(F.sum(dcg_term).alias("dcg"),
+                  F.max(rr_term).alias("mrr"),
+                  (F.sum("__rel") / F.lit(float(k))).alias("p_at_k")))
+    # ideal DCG from the query's TOTAL relevant count, capped at k
+    totals = (relevance.where(F.col(rel_col) > 0)
+              .groupBy(query_col)
+              .agg(F.least(F.count(F.lit(1)), F.lit(k)).alias("n_rel")))
+    # sum_{i=1..n} 1/log2(i+1) via an inline sequence — n <= k, tiny
+    idcg = F.expr(
+        "aggregate(sequence(1, n_rel), cast(0.0 as double), "
+        "(acc, i) -> acc + 1.0 / log2(i + 1.0))")
+    return (per_q.join(totals, query_col, "left")
+            .select(query_col,
+                    F.when(F.col("n_rel") > 0,
+                           F.col("dcg") / idcg)
+                    .otherwise(F.lit(0.0)).alias("ndcg"),
+                    "mrr", "p_at_k"))

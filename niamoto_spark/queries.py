@@ -1728,6 +1728,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_ppmi_similarity": q190_ppmi_similarity,
         "q191_dp_counts": q191_dp_counts,
         "q192_clustering_coefficient": q192_clustering_coefficient,
+        "q193_binary_auc": q193_binary_auc,
+        "q194_calibration": q194_calibration,
+        "q195_rank_metrics": q195_rank_metrics,
     }
 
 
@@ -5435,6 +5438,9 @@ def build_oracles() -> dict[str, str]:
         "q190_ppmi_similarity": O_Q190,
         "q191_dp_counts": O_Q191,
         "q192_clustering_coefficient": O_Q192,
+        "q193_binary_auc": O_Q193,
+        "q194_calibration": O_Q194,
+        "q195_rank_metrics": O_Q195,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6958,3 +6964,142 @@ SELECT deg.node_id, deg.degree,
             ELSE 0.0 END AS lcc
 FROM deg LEFT JOIN pert USING (node_id)
 """
+
+
+def q193_binary_auc(spark, sf_dir):
+    """Exact ROC-AUC (operators/mleval.py: binary_auc): the
+    Mann-Whitney rank-sum identity with midrank tie handling over a
+    synthetic scoring (first embedding component) of the binary label
+    parity.  The oracle replays per-score aggregation, midranks and
+    the rank-sum algebra in SQL."""
+    from niamoto_spark.operators.mleval import binary_auc
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.round(F.element_at("embedding", 1).cast("double"), 3)
+        .alias("score"),
+        (F.col("label") % 2).alias("y"))
+    r = binary_auc(e, "score", "y")
+    return r.select(F.round("auc", 6).alias("auc"), "n_pos", "n_neg")
+
+
+O_Q193 = """
+WITH s AS (SELECT round(CAST(embedding[1] AS DOUBLE), 3) AS sc,
+                  CAST(label % 2 AS BIGINT) AS y
+           FROM embeddings),
+per AS (SELECT sc, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+        FROM s GROUP BY 1),
+rk AS (SELECT sc, n, np,
+              CAST(sum(n) OVER (ORDER BY sc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - n AS cum_before
+       FROM per),
+agg AS (SELECT sum(np * (cum_before + (n + 1) / 2.0)) AS r_pos,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(n - np) AS BIGINT) AS n_neg
+        FROM rk)
+SELECT round((r_pos - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc,
+       n_pos, n_neg
+FROM agg
+"""
+
+
+def q194_calibration(spark, sf_dir):
+    """Calibration / reliability bins + Brier contributions
+    (operators/mleval.py: calibration_bins) for a sigmoid-squashed
+    embedding score against label parity — one aggregation pass,
+    fully refit in SQL."""
+    from niamoto_spark.operators.mleval import calibration_bins
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -F.element_at("embedding", 1).cast("double") * 3)))
+        .alias("p"),
+        (F.col("label") % 2).alias("y"))
+    cb = calibration_bins(e, "p", "y", n_bins=10)
+    return cb.select("bin", "n",
+                     F.round("avg_prob", 6).alias("avg_prob"),
+                     F.round("frac_pos", 6).alias("frac_pos"),
+                     F.round("brier_sum", 6).alias("brier_sum"))
+
+
+O_Q194 = """
+WITH s AS (SELECT 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 3))
+             AS p,
+           CAST(label % 2 AS DOUBLE) AS y
+           FROM embeddings)
+SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+       count(*) AS n,
+       round(avg(p), 6) AS avg_prob,
+       round(avg(y), 6) AS frac_pos,
+       round(sum((p - y) * (p - y)), 6) AS brier_sum
+FROM s GROUP BY 1
+"""
+
+
+def q195_rank_metrics(spark, sf_dir):
+    """Retrieval quality metrics (operators/mleval.py: rank_metrics):
+    NDCG@10 / MRR / P@10 for the q87 BM25 rankings against a
+    deterministic relevance rule (document contains the query's first
+    keyword).  The oracle refits BM25, the relevance labels, and the
+    log2 ranking algebra end-to-end."""
+    from niamoto_spark.operators.mleval import rank_metrics
+    from niamoto_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES,
+                                    ["query_id", "query_text"])
+    ranking = bm25_topk(docs, queries, k=10, round_dp=4)
+    first_tok = queries.select(
+        "query_id", F.split("query_text", " ")[0].alias("tok"))
+    relevance = (docs.crossJoin(F.broadcast(first_tok))
+                 .select("query_id", "doc_id",
+                         F.array_contains(
+                             F.split(F.lower("text"), r"\s+"),
+                             F.col("tok")).cast("int").alias("rel"))
+                 .where(F.col("rel") > 0))
+    m = rank_metrics(ranking, relevance, k=10)
+    return m.select("query_id", F.round("ndcg", 6).alias("ndcg"),
+                    F.round("mrr", 6).alias("mrr"),
+                    F.round("p_at_k", 6).alias("p_at_k"))
+
+
+O_Q195 = O_Q87.replace(
+    "SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (",
+    """, ranked AS (
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (""") \
+    .replace(") WHERE rank <= 10", """) WHERE rank <= 10),
+first_tok AS (
+  SELECT query_id,
+         regexp_split_to_array(query_text, ' ')[1] AS tok FROM q),
+rel AS (
+  SELECT ft.query_id, d.doc_id
+  FROM documents d CROSS JOIN first_tok ft
+  WHERE list_contains(list_filter(
+          regexp_split_to_array(lower(d.text), '\\s+'), t -> t <> ''),
+        ft.tok)),
+joined AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS rl
+  FROM ranked r LEFT JOIN rel
+    ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id),
+perq AS (
+  SELECT query_id,
+         sum(rl / log2(rank + 1.0)) AS dcg,
+         max(CASE WHEN rl > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+         sum(rl) / 10.0 AS p_at_k
+  FROM joined GROUP BY 1),
+tot AS (
+  SELECT query_id, least(count(*), 10) AS n_rel
+  FROM rel GROUP BY 1),
+idcg AS (
+  SELECT query_id,
+         sum(1.0 / log2(i + 1.0)) AS v
+  FROM (SELECT query_id, unnest(range(1, n_rel + 1)) AS i FROM tot)
+  GROUP BY 1)
+SELECT p.query_id,
+       round(CASE WHEN idcg.v > 0 THEN p.dcg / idcg.v ELSE 0.0 END, 6)
+         AS ndcg,
+       round(p.mrr, 6) AS mrr,
+       round(p.p_at_k, 6) AS p_at_k
+FROM perq p LEFT JOIN idcg USING (query_id)""")

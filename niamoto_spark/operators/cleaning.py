@@ -117,3 +117,32 @@ def robust_outliers(df: DataFrame, value_col: str,
         .when(F.col(value_col).isNull(), F.lit(None)) \
         .otherwise(mz > F.lit(float(threshold)))
     return full.withColumn(out_col, flag).drop("__med", "__mad")
+
+
+@register("weighted_median", PluginType.TRANSFORMER)
+def weighted_median(df: DataFrame, value_col: str, weight_col: str,
+                    group_col: str) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group total (lower weighted
+    median — deterministic, no interpolation, so the result is always
+    an observed value and the whole computation replays in SQL).
+
+    One aggregation to (group, value, weight-sum) — ties collapse
+    before the window — then a per-group cumulative-weight window over
+    DISTINCT values, not rows.  Output: (group, weighted_median,
+    total_weight)."""
+    from pyspark.sql import Window
+
+    per_val = (df.groupBy(group_col, F.col(value_col).alias("__v"))
+               .agg(F.sum(F.col(weight_col).cast("double"))
+                    .alias("__w")))
+    w_cum = (Window.partitionBy(group_col).orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(group_col)
+    cum = (per_val
+           .withColumn("__cw", F.sum("__w").over(w_cum))
+           .withColumn("__tw", F.sum("__w").over(w_tot)))
+    return (cum.where(F.col("__cw") >= F.col("__tw") / 2)
+            .groupBy(group_col)
+            .agg(F.min("__v").alias("weighted_median"),
+                 F.first("__tw").alias("total_weight")))

@@ -328,3 +328,46 @@ def seasonal_residuals(df: DataFrame, season_col: str, value_col: str,
                         > F.lit(float(z_threshold)))
             .withColumnRenamed("__mu", "season_mean")
             .withColumnRenamed("__sigma", "season_std"))
+
+
+@register("position_attribution", PluginType.TRANSFORMER)
+def position_attribution(events: DataFrame, user_col: str,
+                         order_col: str, channel_col: str,
+                         conversion_expr, round_dp: int = 6
+                         ) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution: for each
+    converting user, the first touch gets 0.4 credit, the last touch
+    0.4, and the middle touches split 0.2 evenly (n=1 -> 1.0,
+    n=2 -> 0.5/0.5) — the marketing-standard compromise between
+    first-touch and last-touch (both of which touch_attribution
+    already reports).
+
+    Touches are the non-conversion events strictly before the user's
+    FIRST conversion.  Two window passes per user (conversion cutoff,
+    touch ranks) + one credit aggregation per channel — no self-join.
+    Output: (channel, n_touches, credit)."""
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(user_col)
+    first_conv = F.min(F.when(conversion_expr, F.col(order_col))) \
+        .over(w_all)
+    touches = (events
+               .withColumn("__fc", first_conv)
+               .where(F.col("__fc").isNotNull()
+                      & (F.col(order_col) < F.col("__fc"))
+                      & ~conversion_expr))
+    w_u = Window.partitionBy(user_col).orderBy(order_col)
+    w_n = Window.partitionBy(user_col)
+    ranked = (touches
+              .withColumn("__rk", F.row_number().over(w_u))
+              .withColumn("__n", F.count(F.lit(1)).over(w_n)))
+    n = F.col("__n")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when((n == 2), F.lit(0.5))
+        .when(F.col("__rk") == 1, F.lit(0.4))
+        .when(F.col("__rk") == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2)))
+    return (ranked.groupBy(F.col(channel_col).alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.round(F.sum(credit), round_dp).alias("credit")))

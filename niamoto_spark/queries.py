@@ -1731,6 +1731,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_binary_auc": q193_binary_auc,
         "q194_calibration": q194_calibration,
         "q195_rank_metrics": q195_rank_metrics,
+        "q196_ols_normal_equations": q196_ols_normal_equations,
+        "q197_weighted_median": q197_weighted_median,
+        "q198_position_attribution": q198_position_attribution,
     }
 
 
@@ -5441,6 +5444,9 @@ def build_oracles() -> dict[str, str]:
         "q193_binary_auc": O_Q193,
         "q194_calibration": O_Q194,
         "q195_rank_metrics": O_Q195,
+        "q196_ols_normal_equations": O_Q196,
+        "q197_weighted_median": O_Q197,
+        "q198_position_attribution": O_Q198,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7103,3 +7109,118 @@ SELECT p.query_id,
        round(p.mrr, 6) AS mrr,
        round(p.p_at_k, 6) AS p_at_k
 FROM perq p LEFT JOIN idcg USING (query_id)""")
+
+
+def q196_ols_normal_equations(spark, sf_dir):
+    """Two-feature OLS per group (operators/regression.py: ols_fit2):
+    price ~ quantity + discount per return flag, solved by the
+    CENTERED normal equations (numerically safe, one sufficient-
+    statistics aggregation).  The oracle replays means, centered
+    cross-products and the 2x2 Cramer solve in SQL."""
+    from niamoto_spark.operators.regression import ols_fit2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_fit2(li, "l_extendedprice", "l_quantity", "l_discount",
+                    "l_returnflag", round_dp=4)
+
+
+O_Q196 = """
+WITH m AS (
+  SELECT l_returnflag, avg(l_extendedprice) AS my,
+         avg(l_quantity) AS m1, avg(l_discount) AS m2
+  FROM lineitem GROUP BY 1),
+s AS (
+  SELECT li.l_returnflag, count(*) AS n,
+         any_value(m.my) AS my, any_value(m.m1) AS m1,
+         any_value(m.m2) AS m2,
+         sum((l_quantity - m.m1) * (l_quantity - m.m1)) AS s11,
+         sum((l_quantity - m.m1) * (l_discount - m.m2)) AS s12,
+         sum((l_discount - m.m2) * (l_discount - m.m2)) AS s22,
+         sum((l_quantity - m.m1) * (l_extendedprice - m.my)) AS s1y,
+         sum((l_discount - m.m2) * (l_extendedprice - m.my)) AS s2y,
+         sum((l_extendedprice - m.my) * (l_extendedprice - m.my)) AS syy
+  FROM lineitem li JOIN m ON li.l_returnflag = m.l_returnflag
+  GROUP BY 1),
+b AS (
+  SELECT l_returnflag, n, my, m1, m2, s1y, s2y, syy,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+  FROM s)
+SELECT l_returnflag, round(my - b1 * m1 - b2 * m2, 4) AS b0,
+       round(b1, 4) AS b1, round(b2, 4) AS b2,
+       round(CASE WHEN syy > 0
+                  THEN (b1 * s1y + b2 * s2y) / syy END, 4) AS r2,
+       n
+FROM b
+"""
+
+
+def q197_weighted_median(spark, sf_dir):
+    """Exact weighted median (operators/cleaning.py: weighted_median):
+    quantity-weighted median price per return flag — cumulative weight
+    over distinct values, lower-median rule, refit 1:1 in SQL."""
+    from niamoto_spark.operators.cleaning import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    wm = weighted_median(li, "l_extendedprice", "l_quantity",
+                         "l_returnflag")
+    return wm.select("l_returnflag",
+                     F.round("weighted_median", 2).alias("wmedian"),
+                     F.round("total_weight", 2).alias("total_weight"))
+
+
+O_Q197 = """
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(CAST(l_quantity AS DOUBLE)) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pv)
+SELECT l_returnflag, round(min(v), 2) AS wmedian,
+       round(any_value(tw), 2) AS total_weight
+FROM c WHERE cw >= tw / 2
+GROUP BY 1
+"""
+
+
+def q198_position_attribution(spark, sf_dir):
+    """U-shaped (position-based) attribution (operators/
+    timeseries.py: position_attribution): 40/20/40 credit over each
+    converting user's pre-purchase touches.  The oracle replays the
+    conversion cutoff, touch ranking and the piecewise credit rule in
+    SQL windows."""
+    from niamoto_spark.operators.timeseries import position_attribution
+
+    e = _events(spark, sf_dir)
+    conv = F.col("event_type") == "purchase"
+    return position_attribution(e, "user_id", "event_id",
+                                "event_type", conv)
+
+
+O_Q198 = """
+WITH fc AS (
+  SELECT user_id, event_id, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN event_id END)
+           OVER (PARTITION BY user_id) AS first_conv
+  FROM events),
+touches AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM fc
+  WHERE first_conv IS NOT NULL AND event_id < first_conv
+    AND event_type <> 'purchase')
+SELECT event_type AS channel, count(*) AS n_touches,
+       round(sum(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN rk = 1 THEN 0.4
+                      WHEN rk = n THEN 0.4
+                      ELSE 0.2 / (n - 2) END), 6) AS credit
+FROM touches
+GROUP BY 1
+"""

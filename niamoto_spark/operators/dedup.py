@@ -580,3 +580,25 @@ def jaccard_join_prefix(df: DataFrame, id_col: str, text_col: str,
     return (verified.withColumn("jaccard", F.round(jac, round_dp))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+@register("duplicate_weights", PluginType.TRANSFORMER)
+def duplicate_weights(df: DataFrame, id_col: str, text_col: str,
+                      normalize: bool = True) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicate documents,
+    weight each by 1/cluster_size (exact md5 clusters over normalized
+    text) — the downweighting recipe (cf. the "soft dedup" option in
+    large-corpus training recipes) that preserves corpus coverage
+    while equalizing the mass every distinct text contributes.
+
+    One md5 projection + one count aggregation + one equi-join back on
+    the fingerprint — same shuffle shape as exact dedup, no windows.
+    Output: original rows + (dup_count, weight)."""
+    key_expr = F.md5(F.lower(F.trim(F.col(text_col))) if normalize
+                     else F.col(text_col))
+    keyed = df.withColumn("__fp", key_expr)
+    counts = (keyed.groupBy("__fp")
+              .agg(F.count(F.lit(1)).alias("dup_count")))
+    return (keyed.join(counts, "__fp")
+            .withColumn("weight", F.lit(1.0) / F.col("dup_count"))
+            .drop("__fp"))

@@ -282,3 +282,34 @@ def ppmi_token_similarity(vectors: DataFrame, topk: int = 15,
     # TakeOrderedAndProject, not a global window: the pair table never
     # funnels through one task
     return sim.orderBy(F.col("cosine").desc(), "w_a", "w_b").limit(topk)
+
+
+@register("good_turing_counts", PluginType.TRANSFORMER)
+def good_turing_counts(df: DataFrame, id_col: str, text_col: str,
+                       max_r: int = 10) -> DataFrame:
+    """Good-Turing adjusted token counts: r* = (r+1)·S(r+1)/S(r) where
+    S(r) is the frequency-of-frequencies (how many token types occur
+    exactly r times) — the classic smoothing that reallocates mass
+    toward unseen events, and the diagnostic table (singleton fraction
+    = unseen-mass estimate) every corpus report should carry.
+
+    Two aggregations: token counts, then counts-of-counts; the S table
+    is at most max-frequency rows and the adjustment is scalar algebra
+    over it.  Rows with r > ``max_r`` keep their raw count (the
+    standard cutoff — S(r) is too sparse up there to divide by).
+    Output: (r, s_r, r_star) for r <= max_r, plus the raw tail rows
+    aggregated as r_star = r."""
+    freq = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"\s+")).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t").agg(F.count(F.lit(1)).alias("r")))
+    s = freq.groupBy("r").agg(F.count(F.lit(1)).alias("s_r"))
+    nxt = s.select((F.col("r") - 1).alias("r"),
+                   F.col("s_r").alias("s_r1"))
+    joined = s.join(nxt, "r", "left")
+    r_star = F.when(
+        (F.col("r") <= max_r) & F.col("s_r1").isNotNull(),
+        (F.col("r") + 1) * F.col("s_r1")
+        / F.col("s_r").cast("double")) \
+        .otherwise(F.col("r").cast("double"))
+    return joined.select("r", "s_r", r_star.alias("r_star"))

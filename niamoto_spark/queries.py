@@ -1734,6 +1734,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_ols_normal_equations": q196_ols_normal_equations,
         "q197_weighted_median": q197_weighted_median,
         "q198_position_attribution": q198_position_attribution,
+        "q199_good_turing": q199_good_turing,
+        "q200_duplicate_weights": q200_duplicate_weights,
     }
 
 
@@ -5447,6 +5449,8 @@ def build_oracles() -> dict[str, str]:
         "q196_ols_normal_equations": O_Q196,
         "q197_weighted_median": O_Q197,
         "q198_position_attribution": O_Q198,
+        "q199_good_turing": O_Q199,
+        "q200_duplicate_weights": O_Q200,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7222,5 +7226,63 @@ SELECT event_type AS channel, count(*) AS n_touches,
                       WHEN rk = n THEN 0.4
                       ELSE 0.2 / (n - 2) END), 6) AS credit
 FROM touches
+GROUP BY 1
+"""
+
+
+def q199_good_turing(spark, sf_dir):
+    """Good-Turing frequency smoothing (operators/lm.py:
+    good_turing_counts): the counts-of-counts table with r* adjusted
+    counts for r <= 10 over the documents vocabulary.  Pure counting +
+    scalar algebra, refit 1:1 in SQL."""
+    from niamoto_spark.operators.lm import good_turing_counts
+
+    d = _t(spark, sf_dir, "documents")
+    gt = good_turing_counts(d, "doc_id", "text", max_r=10)
+    return gt.select("r", "s_r", F.round("r_star", 6).alias("r_star"))
+
+
+O_Q199 = r"""
+WITH freq AS (
+  SELECT t, count(*) AS r FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+    FROM documents)
+  WHERE t <> '' GROUP BY 1),
+s AS (SELECT r, count(*) AS s_r FROM freq GROUP BY 1),
+j AS (SELECT s.r, s.s_r, n.s_r AS s_r1
+      FROM s LEFT JOIN s n ON n.r = s.r + 1)
+SELECT r, s_r,
+       round(CASE WHEN r <= 10 AND s_r1 IS NOT NULL
+                  THEN (r + 1) * s_r1 / CAST(s_r AS DOUBLE)
+                  ELSE CAST(r AS DOUBLE) END, 6) AS r_star
+FROM j
+"""
+
+
+def q200_duplicate_weights(spark, sf_dir):
+    """Soft dedup weighting (operators/dedup.py: duplicate_weights):
+    every document weighted 1/cluster_size over exact normalized-text
+    clusters — coverage preserved, duplicate mass equalized.  The
+    oracle rebuilds clusters with a SQL group count."""
+    from niamoto_spark.operators.dedup import duplicate_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = duplicate_weights(d, "doc_id", "text")
+    return (w.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("weight"), 6).alias("effective_docs"),
+                 F.sum((F.col("dup_count") > 1).cast("long"))
+                 .alias("n_in_dup_clusters")))
+
+
+O_Q200 = """
+WITH k AS (SELECT source, md5(lower(trim(text))) AS fp
+           FROM documents),
+c AS (SELECT fp, count(*) AS dc FROM k GROUP BY 1)
+SELECT k.source, count(*) AS n_docs,
+       round(sum(1.0 / c.dc), 6) AS effective_docs,
+       CAST(sum(CASE WHEN c.dc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_clusters
+FROM k JOIN c USING (fp)
 GROUP BY 1
 """

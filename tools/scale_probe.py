@@ -224,5 +224,44 @@ def main() -> None:
           f"{dt:.2f}s ({n / dt / 1e6:.1f}M rows/s)")
 
 
+    # Round-7 tail: the eval/fit/quota lane at 16x.
+    from niamoto_spark.operators.mleval import binary_auc
+
+    t0 = time.time()
+    binary_auc(big.select(
+        F.round("l_extendedprice", 0).alias("s"),
+        (F.col("l_orderkey") % 2).alias("y")), "s", "y").collect()
+    dt = time.time() - t0
+    print(f"binary_auc (per-score agg + value-table window): {dt:.2f}s "
+          f"({n / dt / 1e6:.1f}M rows/s)")
+
+    from niamoto_spark.operators.regression import ols_fit2
+
+    t0 = time.time()
+    ols_fit2(big, "l_extendedprice", "l_quantity", "l_discount",
+             "l_returnflag").collect()
+    dt = time.time() - t0
+    print(f"ols_fit2 (two-pass centered normal equations): {dt:.2f}s "
+          f"({n / dt / 1e6:.1f}M rows/s)")
+
+    from niamoto_spark.operators.features import quantile_bucket
+
+    t0 = time.time()
+    quantile_bucket(big, "l_extendedprice", 10,
+                    ["l_orderkey", "l_linenumber"]).count()
+    dt = time.time() - t0
+    print(f"quantile_bucket (two-phase exact rank, 10 buckets): "
+          f"{dt:.2f}s ({n / dt / 1e6:.1f}M rows/s)")
+
+    from niamoto_spark.operators.timeseries import position_attribution
+
+    t0 = time.time()
+    position_attribution(bev, "user_id", "event_id", "event_type",
+                         F.col("event_type") == "purchase").collect()
+    dt = time.time() - t0
+    print(f"position_attribution (2 per-user windows): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+
 if __name__ == "__main__":
     main()

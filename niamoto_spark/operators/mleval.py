@@ -25,8 +25,8 @@ from niamoto_spark.registry import PluginType, register
 
 
 @register("binary_auc", PluginType.TRANSFORMER)
-def binary_auc(df: DataFrame, score_col: str, label_col: str
-               ) -> DataFrame:
+def binary_auc(df: DataFrame, score_col: str, label_col: str,
+               group_col: str | None = None) -> DataFrame:
     """Exact ROC-AUC via the rank-sum identity with midranks:
 
         AUC = (R+ - n+(n+ + 1)/2) / (n+ · n-)
@@ -34,21 +34,24 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str
     where R+ sums the (tie-averaged) ranks of positives.  The corpus
     aggregates to one row per DISTINCT score first, so the window
     ordering runs over score values, not rows — at 100 TB that table
-    is as small as the score's resolution.  Output: (auc, n_pos,
-    n_neg)."""
-    per_score = (df.select(F.col(score_col).cast("double").alias("s"),
+    is as small as the score's resolution.  With ``group_col`` the
+    whole computation slices per group (fairness / subgroup eval) at
+    no extra shuffle.  Output: [group,] (auc, n_pos, n_neg)."""
+    gcols = [group_col] if group_col else []
+    per_score = (df.select(*gcols,
+                           F.col(score_col).cast("double").alias("s"),
                            F.col(label_col).cast("long").alias("y"))
                  .where(F.col("s").isNotNull())
-                 .groupBy("s")
+                 .groupBy(*gcols, "s")
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.sum("y").alias("np")))
-    w = (Window.orderBy("s")
+    w = (Window.partitionBy(*gcols).orderBy("s")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ranked = per_score.withColumn(
         "cum_before", F.sum("n").over(w) - F.col("n"))
     # midrank of a tied block starting after cum_before with n members
     avg_rank = F.col("cum_before") + (F.col("n") + 1) / 2.0
-    agg = ranked.agg(
+    agg = ranked.groupBy(*gcols).agg(
         F.sum(F.col("np") * avg_rank).alias("r_pos"),
         F.sum("np").alias("n_pos"),
         F.sum(F.col("n") - F.col("np")).alias("n_neg"))
@@ -56,6 +59,7 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str
             - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
            / (F.col("n_pos") * F.col("n_neg")))
     return agg.select(
+        *gcols,
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc)
          .alias("auc"),
         "n_pos", "n_neg")
@@ -117,3 +121,41 @@ def rank_metrics(ranking: DataFrame, relevance: DataFrame,
                            F.col("dcg") / idcg)
                     .otherwise(F.lit(0.0)).alias("ndcg"),
                     "mrr", "p_at_k"))
+
+
+@register("gains_table", PluginType.TRANSFORMER)
+def gains_table(df: DataFrame, score_col: str, label_col: str,
+                n_bins: int = 10) -> DataFrame:
+    """Decile gains / lift table: rows bucketed by equal-width score
+    bins (highest scores first), reporting per-bin positive capture
+    and the CUMULATIVE capture rate and lift the campaign-targeting
+    readout needs ("top 2 deciles capture 60% of positives, lift 3x").
+    One aggregation + one window over the (n_bins-row) bin table.
+    Output: (bin, n, n_pos, capture_rate, cum_capture, cum_lift) with
+    bin 1 = highest scores."""
+    p = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    bin_ = (F.lit(n_bins)
+            - F.least(F.floor(p * n_bins).cast("int"),
+                      F.lit(n_bins - 1)))
+    per_bin = (df.where(p.isNotNull())
+               .groupBy(bin_.alias("bin"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(y).alias("n_pos")))
+    w_cum = (Window.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    tot_pos = F.sum("n_pos").over(w_all)
+    tot_n = F.sum("n").over(w_all)
+    cum_pos = F.sum("n_pos").over(w_cum)
+    cum_n = F.sum("n").over(w_cum)
+    return (per_bin
+            .select("bin", "n",
+                    F.col("n_pos").cast("long").alias("n_pos"),
+                    F.when(tot_pos > 0, F.col("n_pos") / tot_pos)
+                    .otherwise(F.lit(0.0)).alias("capture_rate"),
+                    F.when(tot_pos > 0, cum_pos / tot_pos)
+                    .otherwise(F.lit(0.0)).alias("cum_capture"),
+                    F.when((tot_pos > 0) & (cum_n > 0),
+                           (cum_pos / cum_n) / (tot_pos / tot_n))
+                    .alias("cum_lift")))

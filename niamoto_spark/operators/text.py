@@ -969,3 +969,25 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= cap)
             .drop("__rk"))
+
+
+@register("lexical_stats", PluginType.TRANSFORMER)
+def lexical_stats(df: DataFrame, text_col: str, group_col: str
+                  ) -> DataFrame:
+    """Per-group corpus lexical profile: token count, type count
+    (distinct tokens), type-token ratio, and hapax fraction (share of
+    types occurring once — the Zipf-tail / OCR-noise diagnostic).
+    Two hash aggregations (group-token counts, then group rollup) —
+    no windows, no distinct over raw rows."""
+    tok = (df.select(F.col(group_col).alias("__g"),
+                     F.explode(F.split(F.lower(F.col(text_col)),
+                                       r"\s+")).alias("t"))
+           .where(F.col("t") != ""))
+    per_type = (tok.groupBy("__g", "t")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_type.groupBy(F.col("__g").alias(group_col))
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 (F.count(F.lit(1)) / F.sum("c")).alias("ttr"),
+                 (F.sum((F.col("c") == 1).cast("long"))
+                  / F.count(F.lit(1))).alias("hapax_frac")))

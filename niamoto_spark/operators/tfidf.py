@@ -115,3 +115,34 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
     return (dots.select("id_a", "id_b",
                         F.round("__dot", round_dp).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+@register("keywords_per_doc", PluginType.TRANSFORMER)
+def keywords_per_doc(df: DataFrame, id_col: str, text_col: str,
+                     top_k: int = 3, round_dp: int = 6) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-k terms by
+    tf·idf with smooth idf ln(N/df) (exact, deterministic: ties break
+    lexically).  The df table is the one corpus aggregation; the
+    per-doc ranking window partitions by doc id — each document sorts
+    only its own terms.  Output: (id, keyword, tf, df, score, rank)."""
+    from pyspark.sql import Window
+
+    tok = (df.select(F.col(id_col).alias("__doc"),
+                     F.explode(F.split(F.lower(F.col(text_col)),
+                                       r"\s+")).alias("t"))
+           .where(F.col("t") != ""))
+    tf = tok.groupBy("__doc", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = (tf.join(dfreq, "t")
+              .withColumn("score",
+                          F.round(F.col("tf")
+                                  * F.log(F.lit(float(n_docs))
+                                          / F.col("df")), round_dp)))
+    w = (Window.partitionBy("__doc")
+         .orderBy(F.col("score").desc(), F.col("t").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select(F.col("__doc").alias(id_col),
+                    F.col("t").alias("keyword"), "tf", "df",
+                    "score", "rank"))

@@ -1736,6 +1736,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_position_attribution": q198_position_attribution,
         "q199_good_turing": q199_good_turing,
         "q200_duplicate_weights": q200_duplicate_weights,
+        "q201_lexical_stats": q201_lexical_stats,
+        "q202_keywords": q202_keywords,
+        "q203_gains_table": q203_gains_table,
+        "q204_sliced_auc": q204_sliced_auc,
     }
 
 
@@ -5451,6 +5455,10 @@ def build_oracles() -> dict[str, str]:
         "q198_position_attribution": O_Q198,
         "q199_good_turing": O_Q199,
         "q200_duplicate_weights": O_Q200,
+        "q201_lexical_stats": O_Q201,
+        "q202_keywords": O_Q202,
+        "q203_gains_table": O_Q203,
+        "q204_sliced_auc": O_Q204,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7285,4 +7293,155 @@ SELECT k.source, count(*) AS n_docs,
          AS n_in_dup_clusters
 FROM k JOIN c USING (fp)
 GROUP BY 1
+"""
+
+
+def q201_lexical_stats(spark, sf_dir):
+    """Per-source lexical profile (operators/text.py: lexical_stats):
+    tokens, types, type-token ratio, hapax fraction — two hash
+    aggregations, refit 1:1 in SQL."""
+    from niamoto_spark.operators.text import lexical_stats
+
+    d = _t(spark, sf_dir, "documents")
+    ls = lexical_stats(d, "text", "source")
+    return ls.select("source", "n_tokens", "n_types",
+                     F.round("ttr", 6).alias("ttr"),
+                     F.round("hapax_frac", 6).alias("hapax_frac"))
+
+
+O_Q201 = r"""
+WITH tok AS (
+  SELECT source, t FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+    FROM documents) WHERE t <> ''),
+pt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+FROM pt GROUP BY 1
+"""
+
+
+def q202_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (operators/tfidf.py:
+    keywords_per_doc): top-3 terms per document for a doc_id slice;
+    the oracle refits tf, df, ln(N/df) and the per-doc ranking."""
+    from niamoto_spark.operators.tfidf import keywords_per_doc
+
+    d = _t(spark, sf_dir, "documents")
+    kw = keywords_per_doc(d.where(F.col("doc_id") < 100),
+                          "doc_id", "text", top_k=3)
+    return kw
+
+
+O_Q202 = r"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+    FROM base) WHERE t <> ''),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM base),
+sc AS (SELECT tf.doc_id, tf.t, tf.tf, dfq.df,
+              round(tf.tf * ln(nd.n / dfq.df), 6) AS score
+       FROM tf JOIN dfq USING (t) CROSS JOIN nd)
+SELECT doc_id, t AS keyword, tf, df, score,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, t) AS rank
+  FROM sc) WHERE rank <= 3
+"""
+
+
+def q203_gains_table(spark, sf_dir):
+    """Decile gains/lift table (operators/mleval.py: gains_table) for
+    the sigmoid embedding score vs label parity; cumulative capture
+    and lift per score decile, all closed-form, refit in SQL."""
+    from niamoto_spark.operators.mleval import gains_table
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -F.element_at("embedding", 1).cast("double") * 3)))
+        .alias("p"),
+        (F.col("label") % 2).alias("y"))
+    g = gains_table(e, "p", "y", n_bins=10)
+    return g.select("bin", "n", "n_pos",
+                    F.round("capture_rate", 6).alias("capture_rate"),
+                    F.round("cum_capture", 6).alias("cum_capture"),
+                    F.round("cum_lift", 6).alias("cum_lift"))
+
+
+O_Q203 = """
+WITH s AS (SELECT 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 3))
+             AS p,
+           CAST(label % 2 AS DOUBLE) AS y
+           FROM embeddings),
+pb AS (SELECT 10 - least(CAST(floor(p * 10) AS INT), 9) AS bin,
+              count(*) AS n, sum(y) AS n_pos
+       FROM s GROUP BY 1),
+c AS (SELECT bin, n, n_pos,
+             sum(n_pos) OVER () AS tot_pos,
+             sum(n) OVER () AS tot_n,
+             sum(n_pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos,
+             sum(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n
+      FROM pb)
+SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(CASE WHEN tot_pos > 0 THEN n_pos / tot_pos
+                  ELSE 0.0 END, 6) AS capture_rate,
+       round(CASE WHEN tot_pos > 0 THEN cum_pos / tot_pos
+                  ELSE 0.0 END, 6) AS cum_capture,
+       round(CASE WHEN tot_pos > 0 AND cum_n > 0
+                  THEN (cum_pos / cum_n) / (tot_pos / tot_n)
+             END, 6) AS cum_lift
+FROM c
+"""
+
+
+def q204_sliced_auc(spark, sf_dir):
+    """Subgroup (sliced) AUC (operators/mleval.py: binary_auc with
+    group_col): the fairness-eval readout — exact midrank AUC per
+    label slice, one extra column in the same shuffle.  Oracle refits
+    the per-group rank-sum."""
+    from niamoto_spark.operators.mleval import binary_auc
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 3).alias("slice"),
+        F.round(F.element_at("embedding", 1).cast("double"), 3)
+        .alias("score"),
+        (F.col("label") % 2).alias("y"))
+    r = binary_auc(e, "score", "y", group_col="slice")
+    return r.select("slice", F.round("auc", 6).alias("auc"),
+                    "n_pos", "n_neg")
+
+
+O_Q204 = """
+WITH s AS (SELECT vec_id % 3 AS slc,
+                  round(CAST(embedding[1] AS DOUBLE), 3) AS sc,
+                  CAST(label % 2 AS BIGINT) AS y
+           FROM embeddings),
+per AS (SELECT slc, sc, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+        FROM s GROUP BY 1, 2),
+rk AS (SELECT slc, sc, n, np,
+              CAST(sum(n) OVER (PARTITION BY slc ORDER BY sc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - n AS cum_before
+       FROM per),
+agg AS (SELECT slc, sum(np * (cum_before + (n + 1) / 2.0)) AS r_pos,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(n - np) AS BIGINT) AS n_neg
+        FROM rk GROUP BY 1)
+SELECT slc AS slice,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc,
+       n_pos, n_neg
+FROM agg
 """

@@ -991,3 +991,89 @@ def lexical_stats(df: DataFrame, text_col: str, group_col: str
                  (F.count(F.lit(1)) / F.sum("c")).alias("ttr"),
                  (F.sum((F.col("c") == 1).cast("long"))
                   / F.count(F.lit(1))).alias("hapax_frac")))
+
+
+@register("zipf_fit", PluginType.TRANSFORMER)
+def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: OLS of
+    ln(freq) on ln(rank) — natural-language corpora sit near slope -1;
+    big deviations flag synthetic, boilerplate-heavy, or truncated
+    corpora.  Returns ONE row (zipf_slope, zipf_intercept, r2,
+    n_types) via Spark's regr_* aggregates.
+
+    The regression runs over the VOCABULARY table (types, not tokens).
+    Rank is a window over that table ordered by (count desc, token) —
+    at web scale swap in the two-phase prefix-sum rank
+    (features.quantile_bucket's recipe); the regression itself is one
+    aggregation either way."""
+    from pyspark.sql import Window
+
+    freq = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"\s+")).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.expr("regr_slope(ln(cast(c as double)), "
+               "ln(cast(r as double)))").alias("zipf_slope"),
+        F.expr("regr_intercept(ln(cast(c as double)), "
+               "ln(cast(r as double)))").alias("zipf_intercept"),
+        F.expr("regr_r2(ln(cast(c as double)), "
+               "ln(cast(r as double)))").alias("r2"),
+        F.count(F.lit(1)).alias("n_types"))
+
+
+@register("burstiness", PluginType.TRANSFORMER)
+def burstiness(events: DataFrame, key_col: str, bucket_col: str
+               ) -> DataFrame:
+    """Fano factor (index of dispersion) per key: variance/mean of
+    per-bucket event counts — Poisson traffic sits at 1; organic human
+    activity is bursty (>1), constant-rate bots sit near 0.  Two hash
+    aggregations, no windows.  Output: (key, n_buckets, mean_rate,
+    fano)."""
+    per_bucket = (events.groupBy(key_col, bucket_col)
+                  .agg(F.count(F.lit(1)).alias("__n")))
+    return (per_bucket.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.avg("__n").alias("mean_rate"),
+                 F.when(F.avg("__n") > 0,
+                        F.var_pop("__n") / F.avg("__n"))
+                 .alias("fano")))
+
+
+@register("vocabulary_overlap", PluginType.TRANSFORMER)
+def vocabulary_overlap(df: DataFrame, text_col: str, group_col: str,
+                       round_dp: int = 6) -> DataFrame:
+    """Pairwise vocabulary (type-set) Jaccard between groups — the
+    corpus-similarity matrix that catches a source's near-clone (same
+    site under two domains) before near-dup ever runs on documents.
+
+    Inverted-index shape: one (group, type) dedup aggregation, then a
+    postings self-join ON TYPE counts shared types per group pair —
+    never a cross join of vocabularies; per-group type counts fold in
+    by broadcast.  Output: (group_a, group_b, n_shared, jaccard) with
+    group_a < group_b."""
+    types = (df.select(F.col(group_col).alias("g"),
+                       F.explode(F.split(F.lower(F.col(text_col)),
+                                         r"\s+")).alias("t"))
+             .where(F.col("t") != "")
+             .distinct())
+    sizes = types.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = types.select(F.col("g").alias("ga"), "t")
+    b = types.select(F.col("g").alias("gb"), "t")
+    shared = (a.join(b, "t")
+              .where(F.col("ga") < F.col("gb"))
+              .groupBy("ga", "gb")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared
+            .join(F.broadcast(sizes.withColumnRenamed("g", "ga")
+                              .withColumnRenamed("n", "na")), "ga")
+            .join(F.broadcast(sizes.withColumnRenamed("g", "gb")
+                              .withColumnRenamed("n", "nb")), "gb")
+            .select(F.col("ga").alias("group_a"),
+                    F.col("gb").alias("group_b"), "n_shared",
+                    F.round(F.col("n_shared")
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_shared")),
+                            round_dp).alias("jaccard")))

@@ -1740,6 +1740,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_keywords": q202_keywords,
         "q203_gains_table": q203_gains_table,
         "q204_sliced_auc": q204_sliced_auc,
+        "q205_zipf_fit": q205_zipf_fit,
+        "q206_burstiness": q206_burstiness,
+        "q207_vocab_overlap": q207_vocab_overlap,
     }
 
 
@@ -5459,6 +5462,9 @@ def build_oracles() -> dict[str, str]:
         "q202_keywords": O_Q202,
         "q203_gains_table": O_Q203,
         "q204_sliced_auc": O_Q204,
+        "q205_zipf_fit": O_Q205,
+        "q206_burstiness": O_Q206,
+        "q207_vocab_overlap": O_Q207,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7444,4 +7450,107 @@ SELECT slc AS slice,
              / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc,
        n_pos, n_neg
 FROM agg
+"""
+
+
+def q205_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit (operators/text.py: zipf_fit): log-log OLS of
+    the corpus frequency spectrum via regr_* aggregates; the oracle
+    refits rank, logs and the regression in SQL."""
+    from niamoto_spark.operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    z = zipf_fit(d, "text")
+    return z.select(F.round("zipf_slope", 6).alias("zipf_slope"),
+                    F.round("zipf_intercept", 6).alias("zipf_intercept"),
+                    F.round("r2", 6).alias("r2"), "n_types")
+
+
+O_Q205 = r"""
+WITH freq AS (
+  SELECT t, count(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+    FROM documents)
+  WHERE t <> '' GROUP BY 1),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+       FROM freq)
+SELECT round(regr_slope(ln(CAST(c AS DOUBLE)),
+                        ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+       round(regr_intercept(ln(CAST(c AS DOUBLE)),
+                            ln(CAST(r AS DOUBLE))), 6) AS zipf_intercept,
+       round(regr_r2(ln(CAST(c AS DOUBLE)),
+                     ln(CAST(r AS DOUBLE))), 6) AS r2,
+       count(*) AS n_types
+FROM rk
+"""
+
+
+def q206_burstiness(spark, sf_dir):
+    """Traffic burstiness (operators/text.py: burstiness): Fano
+    factor of per-hour event counts per user, summarized per event
+    volume band.  The oracle refits both aggregation levels."""
+    from niamoto_spark.operators.text import burstiness
+
+    e = _events(spark, sf_dir).withColumn(
+        "hour_bucket", F.floor(F.col("ts_sec") / 3600))
+    b = burstiness(e, "user_id", "hour_bucket")
+    band = F.when(F.col("n_buckets") >= 20, "high") \
+        .when(F.col("n_buckets") >= 10, "mid").otherwise("low")
+    return (b.groupBy(band.alias("volume_band"))
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.avg("fano"), 6).alias("avg_fano"),
+                 F.round(F.avg("mean_rate"), 6).alias("avg_rate")))
+
+
+O_Q206 = """
+WITH pb AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+per_user AS (
+  SELECT user_id, count(*) AS n_buckets, avg(n) AS mean_rate,
+         CASE WHEN avg(n) > 0 THEN var_pop(n) / avg(n) END AS fano
+  FROM pb GROUP BY 1)
+SELECT CASE WHEN n_buckets >= 20 THEN 'high'
+            WHEN n_buckets >= 10 THEN 'mid' ELSE 'low' END
+         AS volume_band,
+       count(*) AS n_users,
+       round(avg(fano), 6) AS avg_fano,
+       round(avg(mean_rate), 6) AS avg_rate
+FROM per_user GROUP BY 1
+"""
+
+
+def q207_vocab_overlap(spark, sf_dir):
+    """Cross-source vocabulary Jaccard (operators/text.py:
+    vocabulary_overlap): the 20x20 source-similarity matrix via a
+    type-postings self-join (never a vocab cross join).  Top-25 pairs;
+    the oracle refits type sets and the Jaccard algebra."""
+    from niamoto_spark.operators.text import vocabulary_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    ov = vocabulary_overlap(d, "text", "source")
+    return (ov.orderBy(F.col("jaccard").desc(), "group_a", "group_b")
+            .limit(25))
+
+
+O_Q207 = r"""
+WITH types AS (
+  SELECT DISTINCT source AS g, t FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+    FROM documents) WHERE t <> ''),
+sizes AS (SELECT g, count(*) AS n FROM types GROUP BY 1),
+shared AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS n_shared
+  FROM types a JOIN types b ON a.t = b.t AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT ga AS group_a, gb AS group_b, n_shared,
+       round(n_shared / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM shared
+JOIN sizes sa ON sa.g = ga
+JOIN sizes sb ON sb.g = gb
+ORDER BY jaccard DESC, group_a, group_b
+LIMIT 25
 """

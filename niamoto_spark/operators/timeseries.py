@@ -371,3 +371,37 @@ def position_attribution(events: DataFrame, user_col: str,
     return (ranked.groupBy(F.col(channel_col).alias("channel"))
             .agg(F.count(F.lit(1)).alias("n_touches"),
                  F.round(F.sum(credit), round_dp).alias("credit")))
+
+
+@register("next_event_baseline", PluginType.TRANSFORMER)
+def next_event_baseline(events: DataFrame, key_col: str,
+                        order_col: str, state_col: str,
+                        round_dp: int = 6) -> DataFrame:
+    """Majority-successor baseline from the empirical transition
+    counts: for each current state, the most frequent next state, its
+    conditional probability, and the accuracy this baseline achieves
+    on the data itself — the sanity floor every sequence model must
+    beat.
+
+    One per-key lead() window + one (state, next) aggregation + an
+    argmax over the (|states|²-row) transition table.  Output:
+    (state, predicted_next, p_next, n_transitions)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    trans = (events
+             .withColumn("__next", F.lead(state_col).over(w))
+             .where(F.col("__next").isNotNull())
+             .groupBy(F.col(state_col).alias("state"), "__next")
+             .agg(F.count(F.lit(1)).alias("c")))
+    w_tot = Window.partitionBy("state")
+    w_rank = Window.partitionBy("state").orderBy(
+        F.col("c").desc(), F.col("__next").asc())
+    return (trans
+            .withColumn("__tot", F.sum("c").over(w_tot))
+            .withColumn("__rk", F.row_number().over(w_rank))
+            .where(F.col("__rk") == 1)
+            .select("state", F.col("__next").alias("predicted_next"),
+                    F.round(F.col("c") / F.col("__tot"), round_dp)
+                    .alias("p_next"),
+                    F.col("__tot").alias("n_transitions")))

@@ -1743,6 +1743,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_zipf_fit": q205_zipf_fit,
         "q206_burstiness": q206_burstiness,
         "q207_vocab_overlap": q207_vocab_overlap,
+        "q208_compact_where": q208_compact_where,
+        "q209_next_event_baseline": q209_next_event_baseline,
+        "q210_time_to_convert": q210_time_to_convert,
     }
 
 
@@ -5465,6 +5468,9 @@ def build_oracles() -> dict[str, str]:
         "q205_zipf_fit": O_Q205,
         "q206_burstiness": O_Q206,
         "q207_vocab_overlap": O_Q207,
+        "q208_compact_where": O_Q208,
+        "q209_next_event_baseline": O_Q209,
+        "q210_time_to_convert": O_Q210,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7553,4 +7559,134 @@ JOIN sizes sa ON sa.g = ga
 JOIN sizes sb ON sb.g = gb
 ORDER BY jaccard DESC, group_a, group_b
 LIMIT 25
+"""
+
+
+def q208_compact_where(spark, sf_dir):
+    """Partial compaction (sources/manifest.py: compact_where —
+    OPTIMIZE WHERE): append orders in unsorted chunks, range-cluster
+    ONLY the files intersecting a hot key range (others carry by
+    reference), then read the hot range through zone-map pruning.
+    The oracle is the plain SQL range scan — identity across the
+    partial rewrite is the correctness claim."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest
+
+    o = _t(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"niamoto_q208_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    # 4 appends of interleaved key ranges -> wide, overlapping zone maps
+    for i in range(4):
+        manifest.append_with_stats(
+            o.where(F.col("o_orderkey") % 4 == i).repartition(2),
+            path, stats_cols=["o_orderkey"])
+    hi = 2000
+    manifest.compact_where(spark, path, "o_orderkey", 0, hi,
+                           target_files=4)
+    pruned, _read, _skipped = manifest.read_table_pruned(
+        spark, path, "o_orderkey", 0, hi)
+    return (pruned.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+O_Q208 = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderkey BETWEEN 0 AND 2000
+GROUP BY 1
+"""
+
+
+def q209_next_event_baseline(spark, sf_dir):
+    """Majority-successor baseline (operators/timeseries.py:
+    next_event_baseline): per event type, the most likely next event
+    and its conditional probability from per-user transitions.  The
+    oracle replays lead(), the transition counts and the argmax."""
+    from niamoto_spark.operators.timeseries import next_event_baseline
+
+    e = _events(spark, sf_dir)
+    return next_event_baseline(e, "user_id", "event_id", "event_type")
+
+
+O_Q209 = """
+WITH t AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS nxt
+  FROM events),
+c AS (SELECT state, nxt, count(*) AS c FROM t
+      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT state, nxt, c,
+             CAST(sum(c) OVER (PARTITION BY state) AS BIGINT) AS tot,
+             row_number() OVER (PARTITION BY state
+                                ORDER BY c DESC, nxt) AS rk
+      FROM c)
+SELECT state, nxt AS predicted_next,
+       round(c / CAST(tot AS DOUBLE), 6) AS p_next,
+       tot AS n_transitions
+FROM r WHERE rk = 1
+"""
+
+
+def q210_time_to_convert(spark, sf_dir):
+    """Time-to-convert medians (operators/cleaning.py:
+    weighted_median with unit weights): per user-cohort lower median
+    of the first-view -> first-purchase delay.  The oracle replays the
+    firsts, the deltas and the cumulative-weight median rule."""
+    from niamoto_spark.operators.cleaning import weighted_median
+
+    e = _events(spark, sf_dir)
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "view",
+                                F.col("ts_sec"))).alias("first_view"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.col("ts_sec"))).alias("first_buy")))
+    deltas = (firsts
+              .where(F.col("first_view").isNotNull()
+                     & F.col("first_buy").isNotNull()
+                     & (F.col("first_buy") >= F.col("first_view")))
+              .select((F.col("user_id") % 4).alias("cohort"),
+                      (F.col("first_buy") - F.col("first_view"))
+                      .alias("delay_s"),
+                      F.lit(1.0).alias("w")))
+    wm = weighted_median(deltas, "delay_s", "w", "cohort")
+    return wm.select("cohort",
+                     F.col("weighted_median").alias("median_delay_s"),
+                     F.col("total_weight").cast("long")
+                     .alias("n_users"))
+
+
+O_Q210 = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+           AS first_view,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+           AS first_buy
+  FROM events GROUP BY 1),
+d AS (SELECT user_id % 4 AS cohort,
+             first_buy - first_view AS delay_s
+      FROM f
+      WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_view),
+pv AS (SELECT cohort, delay_s, CAST(count(*) AS DOUBLE) AS w
+       FROM d GROUP BY 1, 2),
+c AS (SELECT cohort, delay_s,
+             sum(w) OVER (PARTITION BY cohort ORDER BY delay_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY cohort) AS tw
+      FROM pv)
+SELECT cohort, min(delay_s) AS median_delay_s,
+       CAST(any_value(tw) AS BIGINT) AS n_users
+FROM c WHERE cw >= tw / 2
+GROUP BY 1
 """

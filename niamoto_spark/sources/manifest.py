@@ -906,3 +906,54 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
         rows, "version int, parent int, n_files int, has_stats boolean, "
               "has_blooms boolean, batch_id long, source_version long, "
               "restored_from long")
+
+
+def compact_where(spark: SparkSession, path: str, col: str, lo, hi,
+                  target_files: int = 4,
+                  stats_cols: list[str] | None = None
+                  ) -> tuple[int, int, int]:
+    """Partial OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``): rewrite and
+    range-cluster ONLY the files whose [min, max] zone map can
+    intersect [lo, hi]; every other file carries into the new version
+    BY REFERENCE with its stats preserved — write amplification is
+    bounded by the touched range, not the table size, which is what
+    makes continuous clustering affordable on a petabyte table whose
+    hot partition is a day wide.
+
+    The touch test is the same conservative superset rule as
+    read_table_pruned (files without stats for ``col`` are rewritten).
+    Returns (new_version, n_rewritten, n_carried)."""
+    v = committed_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    doc = _read_manifest(path, v)
+    clo = _canon_stat(lo, widen=-1)
+    chi = _canon_stat(hi, widen=+1)
+    touched, carried = [], []
+    for fp in doc["files"]:
+        s = doc.get("stats", {}).get(fp, {}).get(col)
+        outside = (clo is not None and chi is not None
+                   and s is not None
+                   and type(s[0]) is type(clo)
+                   and (s[1] < clo or s[0] > chi))
+        (carried if outside else touched).append(fp)
+    if not touched:
+        return v, 0, len(carried)
+    df = (spark.read.parquet(*touched)
+          .repartitionByRange(target_files, F.col(col).asc())
+          .sortWithinPartitions(col))
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    cols = stats_cols or [col]
+    new_stats = _collect_stats(spark, new_files, cols)
+    stats = {fp: doc.get("stats", {}).get(fp, {})
+             for fp in carried}
+    stats.update(new_stats)
+    stats = {k: v2 for k, v2 in stats.items() if v2}
+    _commit_doc(path, v + 1,
+                {"parent": v, "files": sorted(carried + new_files),
+                 "stats": stats})
+    return v + 1, len(new_files), len(carried)

@@ -93,3 +93,28 @@ def _nested(col, dotted: str):
     for part in dotted.split("."):
         out = out.getField(part)
     return out
+
+
+@register("to_variant", PluginType.TRANSFORMER)
+def to_variant(df: DataFrame, json_col: str,
+               out_col: str | None = None) -> DataFrame:
+    """Parse a JSON string column to Spark 4's VARIANT type — the
+    schema-on-read column for payloads whose shape drifts faster than
+    a struct schema can evolve (open telemetry attributes, vendor
+    API blobs).  Unlike from_json, no schema is fixed at parse time;
+    paths are bound at ACCESS time with variant_extract, and the
+    binary variant encoding stays columnar."""
+    out = out_col or f"{json_col}_variant"
+    return df.withColumn(out, F.parse_json(F.col(json_col)))
+
+
+def variant_extract(df: DataFrame, variant_col: str,
+                    paths: "dict[str, tuple[str, str]]") -> DataFrame:
+    """Project typed fields out of a VARIANT column: ``paths`` maps
+    output name -> (variant path like '$.k' or '$.tags[0]', Spark
+    type).  try_variant_get semantics: type mismatch or missing path
+    is null, never an error."""
+    cols = [F.try_variant_get(F.col(variant_col), p, t).alias(name)
+            for name, (p, t) in paths.items()]
+    others = [c for c in df.columns if c != variant_col]
+    return df.select(*others, *cols)

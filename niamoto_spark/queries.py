@@ -1746,6 +1746,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_compact_where": q208_compact_where,
         "q209_next_event_baseline": q209_next_event_baseline,
         "q210_time_to_convert": q210_time_to_convert,
+        "q211_variant_extract": q211_variant_extract,
     }
 
 
@@ -5471,6 +5472,7 @@ def build_oracles() -> dict[str, str]:
         "q208_compact_where": O_Q208,
         "q209_next_event_baseline": O_Q209,
         "q210_time_to_convert": O_Q210,
+        "q211_variant_extract": O_Q211,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7689,4 +7691,36 @@ SELECT cohort, min(delay_s) AS median_delay_s,
        CAST(any_value(tw) AS BIGINT) AS n_users
 FROM c WHERE cw >= tw / 2
 GROUP BY 1
+"""
+
+
+def q211_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT lane (operators/semistructured.py:
+    to_variant/variant_extract): events.props parsed to the VARIANT
+    type (no fixed schema) with typed path extraction at access time;
+    per-type stats over the extracted field.  The oracle uses DuckDB's
+    JSON path functions on the raw strings."""
+    from niamoto_spark.operators.semistructured import (to_variant,
+                                                        variant_extract)
+
+    e = _events(spark, sf_dir).select("event_type", "props")
+    v = to_variant(e, "props", out_col="pv")
+    x = variant_extract(v, "pv", {"k": ("$.k", "bigint"),
+                                  "missing": ("$.nope", "bigint")})
+    return (x.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"),
+                 F.count("missing").alias("n_missing_path")))
+
+
+O_Q211 = """
+WITH x AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    AS k
+           FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+       0 AS n_missing_path
+FROM x GROUP BY 1
 """

@@ -117,3 +117,47 @@ class TestSemiStructured:
         plan = flatten_json(df, "js")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestVariant:
+    def test_typed_extraction(self, spark):
+        from niamoto_spark.operators.semistructured import (
+            to_variant, variant_extract)
+
+        df = spark.createDataFrame(
+            [(1, '{"k": 5, "tags": [7, 8], "s": "x"}')],
+            "id long, js string")
+        v = to_variant(df, "js", out_col="pv")
+        x = variant_extract(v, "pv", {
+            "k": ("$.k", "bigint"),
+            "t0": ("$.tags[0]", "bigint"),
+            "s": ("$.s", "string")}).first()
+        assert (x["k"], x["t0"], x["s"]) == (5, 7, "x")
+
+    def test_missing_path_and_type_mismatch_null(self, spark):
+        from niamoto_spark.operators.semistructured import (
+            to_variant, variant_extract)
+
+        df = spark.createDataFrame([(1, '{"k": "not a number"}')],
+                                   "id long, js string")
+        v = to_variant(df, "js", out_col="pv")
+        x = variant_extract(v, "pv", {
+            "k": ("$.k", "bigint"),
+            "nope": ("$.absent", "bigint")}).first()
+        assert x["k"] is None and x["nope"] is None
+
+    def test_heterogeneous_shapes_one_column(self, spark):
+        """The VARIANT point: rows with different shapes coexist
+        without a unioned struct schema."""
+        from niamoto_spark.operators.semistructured import (
+            to_variant, variant_extract)
+
+        df = spark.createDataFrame(
+            [(1, '{"a": 1}'), (2, '{"b": {"c": 2}}')],
+            "id long, js string")
+        v = to_variant(df, "js", out_col="pv")
+        x = {r["id"]: r for r in variant_extract(v, "pv", {
+            "a": ("$.a", "bigint"),
+            "c": ("$.b.c", "bigint")}).collect()}
+        assert x[1]["a"] == 1 and x[1]["c"] is None
+        assert x[2]["c"] == 2 and x[2]["a"] is None

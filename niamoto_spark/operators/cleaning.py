@@ -146,3 +146,38 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str,
             .groupBy(group_col)
             .agg(F.min("__v").alias("weighted_median"),
                  F.first("__tw").alias("total_weight")))
+
+
+@register("quantile_normalize", PluginType.TRANSFORMER)
+def quantile_normalize(df: DataFrame, value_col: str,
+                       ref: DataFrame, ref_col: str,
+                       out_col: str = "qnorm") -> DataFrame:
+    """Quantile normalization: map each value onto the REFERENCE
+    distribution by rank — row at quantile q of ``df`` takes the value
+    at quantile q of ``ref`` (the batch-effect / domain-shift
+    correction from genomics, equally useful for aligning scores from
+    two models or two time periods).
+
+    Deterministic recipe: pct = (rank - 0.5)/n over (value, stable
+    order) in the source; target index = ceil(pct · n_ref) into the
+    reference order statistics.  BOTH ranks come from the shared
+    two-phase distributed prefix sum (operators/ranks.py) — no
+    single-partition window on either side; the mapping is then one
+    equi-join on the computed index.  No interpolation, engine-exact.
+    Output: original columns + ``out_col``."""
+    from niamoto_spark.operators.ranks import global_rank
+
+    n_ref = ref.where(F.col(ref_col).isNotNull()).count()
+    n_src = df.where(F.col(value_col).isNotNull()).count()
+    ranked = global_rank(df, [value_col], out_col="__rk")
+    idx = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__rk") - 0.5) / F.lit(float(max(n_src, 1)))
+               * F.lit(n_ref)).cast("long"))
+    ref_ranked = global_rank(
+        ref.select(F.col(ref_col).alias("__refv")),
+        ["__refv"], out_col="__ri")
+    return (ranked.withColumn("__ti", idx)
+            .join(ref_ranked, F.col("__ti") == F.col("__ri"), "left")
+            .withColumnRenamed("__refv", out_col)
+            .drop("__rk", "__ti", "__ri"))

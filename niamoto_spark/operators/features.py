@@ -141,3 +141,44 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str
     return (joint.select(term.alias("t"), F.col("c"))
             .agg(F.sum("t").alias("mi_nats"),
                  F.sum("c").alias("n")))
+
+
+@register("rfm_segment", PluginType.TRANSFORMER)
+def rfm_segment(orders: DataFrame, customer_col: str, date_col,
+                amount_col: str, n_tiles: int = 5) -> DataFrame:
+    """RFM segmentation: per customer, Recency (latest order date),
+    Frequency (order count), Monetary (total spend), each discretized
+    into ``n_tiles`` equal-frequency tiles by the deterministic
+    floor-rank rule (quantile_bucket's algebra, customer id as
+    tiebreak), plus the combined RFM code.
+
+    One aggregation to the per-customer table, then three rank
+    windows over THAT table (customer-count sized, not order-count);
+    at catalog scale swap in operators/ranks.global_rank — the algebra
+    is identical.  Higher tile = better (more recent / frequent /
+    valuable).  Output: (customer, recency, frequency, monetary,
+    r_tile, f_tile, m_tile, rfm_code)."""
+    from pyspark.sql import Window
+
+    per = (orders.groupBy(F.col(customer_col).alias("cust"))
+           .agg(F.max(date_col).alias("recency"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(amount_col).alias("monetary")))
+    n = per.count()
+
+    def tile(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        rank = F.row_number().over(w) - 1
+        return (F.floor(rank * n_tiles / F.lit(max(n, 1)))
+                .cast("int") + 1).alias(name)
+
+    tiled = per.select(
+        "cust", "recency", "frequency", "monetary",
+        tile([F.col("recency").asc(), F.col("cust").asc()], "r_tile"),
+        tile([F.col("frequency").asc(), F.col("cust").asc()], "f_tile"),
+        tile([F.col("monetary").asc(), F.col("cust").asc()], "m_tile"))
+    return tiled.withColumn(
+        "rfm_code",
+        F.concat(F.col("r_tile").cast("string"),
+                 F.col("f_tile").cast("string"),
+                 F.col("m_tile").cast("string")))

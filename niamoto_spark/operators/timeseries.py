@@ -405,3 +405,38 @@ def next_event_baseline(events: DataFrame, key_col: str,
                     F.round(F.col("c") / F.col("__tot"), round_dp)
                     .alias("p_next"),
                     F.col("__tot").alias("n_transitions")))
+
+
+@register("cohort_ltv", PluginType.TRANSFORMER)
+def cohort_ltv(orders: DataFrame, customer_col: str, month_expr,
+               amount_col: str, max_age: int = 24) -> DataFrame:
+    """Cohort lifetime-value accumulation: customers grouped by first-
+    purchase month, revenue accumulated by cohort age — the LTV curve
+    ("by month 6 the 2024-01 cohort has spent $X per customer").
+
+    One min-aggregation for cohort assignment, one (cohort, age)
+    aggregation, one cumulative window over the (months²-row) cohort
+    table.  Output: (cohort_month, age_months, cohort_size, revenue,
+    cum_revenue_per_customer)."""
+    from pyspark.sql import Window
+
+    base = orders.select(F.col(customer_col).alias("cust"),
+                         month_expr.alias("__m"),
+                         F.col(amount_col).alias("__amt"))
+    firsts = base.groupBy("cust").agg(F.min("__m").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.countDistinct("cust").alias("cohort_size"))
+    j = base.join(F.broadcast(firsts), "cust")
+    per_age = (j.withColumn("age", (F.col("__m") - F.col("cohort"))
+                            .cast("int"))
+               .where(F.col("age") <= max_age)
+               .groupBy("cohort", "age")
+               .agg(F.sum("__amt").alias("revenue")))
+    w = (Window.partitionBy("cohort").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_age.join(F.broadcast(sizes), "cohort")
+            .select(F.col("cohort").alias("cohort_month"),
+                    F.col("age").alias("age_months"),
+                    "cohort_size", "revenue",
+                    (F.sum("revenue").over(w) / F.col("cohort_size"))
+                    .alias("cum_revenue_per_customer")))

@@ -1747,6 +1747,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_next_event_baseline": q209_next_event_baseline,
         "q210_time_to_convert": q210_time_to_convert,
         "q211_variant_extract": q211_variant_extract,
+        "q212_quantile_normalize": q212_quantile_normalize,
+        "q213_rfm_segments": q213_rfm_segments,
+        "q214_cohort_ltv": q214_cohort_ltv,
     }
 
 
@@ -5473,6 +5476,9 @@ def build_oracles() -> dict[str, str]:
         "q209_next_event_baseline": O_Q209,
         "q210_time_to_convert": O_Q210,
         "q211_variant_extract": O_Q211,
+        "q212_quantile_normalize": O_Q212,
+        "q213_rfm_segments": O_Q213,
+        "q214_cohort_ltv": O_Q214,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7723,4 +7729,143 @@ SELECT event_type, count(*) AS n,
        CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
        0 AS n_missing_path
 FROM x GROUP BY 1
+"""
+
+
+def q212_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (operators/cleaning.py:
+    quantile_normalize): map the R-flag price distribution onto the
+    N-flag reference by rank — both ranks via the shared two-phase
+    prefix sum (operators/ranks.py).  The oracle replays both rank
+    ladders and the ceil-index mapping in SQL."""
+    from niamoto_spark.operators.cleaning import quantile_normalize
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.where(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    ref = li.where(F.col("l_returnflag") == "N") \
+        .select(F.col("l_extendedprice").alias("ref_price"))
+    qn = quantile_normalize(src, "l_extendedprice", ref, "ref_price")
+    return (qn.agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("qnorm"), 2).alias("sum_mapped"),
+                   F.round(F.min("qnorm"), 2).alias("min_mapped"),
+                   F.round(F.max("qnorm"), 2).alias("max_mapped"),
+                   F.round(F.corr("l_extendedprice", "qnorm"), 6)
+                   .alias("rank_corr")))
+
+
+O_Q212 = """
+WITH src AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rk,
+         count(*) OVER () AS n
+  FROM lineitem WHERE l_returnflag = 'R'),
+ref AS (
+  SELECT l_extendedprice AS refv,
+         row_number() OVER (ORDER BY l_extendedprice) AS ri,
+         count(*) OVER () AS nr
+  FROM lineitem WHERE l_returnflag = 'N'),
+mapped AS (
+  SELECT src.v,
+         ref.refv AS qnorm
+  FROM src JOIN ref
+    ON ref.ri = greatest(1, CAST(ceil((src.rk - 0.5)
+                                      / src.n * ref.nr) AS BIGINT)))
+SELECT count(*) AS n, round(sum(qnorm), 2) AS sum_mapped,
+       round(min(qnorm), 2) AS min_mapped,
+       round(max(qnorm), 2) AS max_mapped,
+       round(corr(v, qnorm), 6) AS rank_corr
+FROM mapped
+"""
+
+
+def q213_rfm_segments(spark, sf_dir):
+    """RFM segmentation (operators/features.py: rfm_segment):
+    recency/frequency/monetary quintiles per customer with the
+    deterministic floor-rank rule; segment-level rollup.  The oracle
+    replays all three rank ladders and the tiling algebra."""
+    from niamoto_spark.operators.features import rfm_segment
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = rfm_segment(o, "o_custkey",
+                      F.unix_date(F.col("o_orderdate").cast("date")),
+                      "o_totalprice", n_tiles=5)
+    return (rfm.groupBy("rfm_code")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("monetary").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("sum_monetary"),
+                 F.round(F.avg("frequency"), 4).alias("avg_frequency")))
+
+
+O_Q213 = """
+WITH per AS (
+  SELECT o_custkey AS cust,
+         max(CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT))
+           AS recency,
+         count(*) AS frequency, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1),
+n AS (SELECT count(*) AS n FROM per),
+t AS (
+  SELECT cust, recency, frequency, monetary,
+         CAST(floor((row_number() OVER (ORDER BY recency, cust) - 1)
+                    * 5 / n.n) AS INT) + 1 AS r_tile,
+         CAST(floor((row_number() OVER (ORDER BY frequency, cust) - 1)
+                    * 5 / n.n) AS INT) + 1 AS f_tile,
+         CAST(floor((row_number() OVER (ORDER BY monetary, cust) - 1)
+                    * 5 / n.n) AS INT) + 1 AS m_tile
+  FROM per CROSS JOIN n)
+SELECT CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+         || CAST(m_tile AS VARCHAR) AS rfm_code,
+       count(*) AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS sum_monetary,
+       round(avg(frequency), 4) AS avg_frequency
+FROM t GROUP BY 1
+"""
+
+
+def q214_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves (operators/timeseries.py: cohort_ltv):
+    first-order-month cohorts, cumulative revenue per customer by
+    cohort age.  The oracle replays cohort election, age bucketing
+    and the cumulative window."""
+    from niamoto_spark.operators.timeseries import cohort_ltv
+
+    o = _t(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 12
+             + F.month("o_orderdate")).cast("long")
+    ltv = cohort_ltv(o, "o_custkey", month, "o_totalprice",
+                     max_age=12)
+    return (ltv.where(F.col("age_months") <= 6)
+            .select("cohort_month", "age_months", "cohort_size",
+                    F.round("revenue", 2).alias("revenue"),
+                    F.round("cum_revenue_per_customer", 2)
+                    .alias("cum_rpc")))
+
+
+O_Q214 = """
+WITH base AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS m,
+         o_totalprice AS amt
+  FROM orders),
+firsts AS (SELECT cust, min(m) AS cohort FROM base GROUP BY 1),
+sizes AS (SELECT cohort, count(DISTINCT cust) AS cohort_size
+          FROM firsts GROUP BY 1),
+pa AS (
+  SELECT f.cohort, CAST(b.m - f.cohort AS INT) AS age,
+         sum(b.amt) AS revenue
+  FROM base b JOIN firsts f USING (cust)
+  WHERE b.m - f.cohort <= 12
+  GROUP BY 1, 2)
+SELECT pa.cohort AS cohort_month, pa.age AS age_months,
+       s.cohort_size, round(pa.revenue, 2) AS revenue,
+       round(sum(pa.revenue) OVER (PARTITION BY pa.cohort
+               ORDER BY pa.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / s.cohort_size, 2) AS cum_rpc
+FROM pa JOIN sizes s ON s.cohort = pa.cohort
+QUALIFY pa.age <= 6
 """

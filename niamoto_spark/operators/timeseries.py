@@ -431,12 +431,16 @@ def cohort_ltv(orders: DataFrame, customer_col: str, month_expr,
                             .cast("int"))
                .where(F.col("age") <= max_age)
                .groupBy("cohort", "age")
-               .agg(F.sum("__amt").alias("revenue")))
+               # decimal(18,2) sums: revenue is exact, so the curve is
+               # bit-identical across engines and summation orders
+               .agg(F.sum(F.col("__amt").cast("decimal(18,2)"))
+                    .cast("decimal(38,2)").alias("revenue")))
     w = (Window.partitionBy("cohort").orderBy("age")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (per_age.join(F.broadcast(sizes), "cohort")
             .select(F.col("cohort").alias("cohort_month"),
                     F.col("age").alias("age_months"),
                     "cohort_size", "revenue",
-                    (F.sum("revenue").over(w) / F.col("cohort_size"))
+                    (F.sum("revenue").over(w).cast("double")
+                     / F.col("cohort_size"))
                     .alias("cum_revenue_per_customer")))

@@ -7839,7 +7839,8 @@ def q214_cohort_ltv(spark, sf_dir):
                      max_age=12)
     return (ltv.where(F.col("age_months") <= 6)
             .select("cohort_month", "age_months", "cohort_size",
-                    F.round("revenue", 2).alias("revenue"),
+                    F.col("revenue").cast("decimal(38,2)")
+                    .alias("revenue"),
                     F.round("cum_revenue_per_customer", 2)
                     .alias("cum_rpc")))
 
@@ -7856,16 +7857,17 @@ sizes AS (SELECT cohort, count(DISTINCT cust) AS cohort_size
           FROM firsts GROUP BY 1),
 pa AS (
   SELECT f.cohort, CAST(b.m - f.cohort AS INT) AS age,
-         sum(b.amt) AS revenue
+         CAST(sum(CAST(b.amt AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS revenue
   FROM base b JOIN firsts f USING (cust)
   WHERE b.m - f.cohort <= 12
   GROUP BY 1, 2)
 SELECT pa.cohort AS cohort_month, pa.age AS age_months,
-       s.cohort_size, round(pa.revenue, 2) AS revenue,
-       round(sum(pa.revenue) OVER (PARTITION BY pa.cohort
+       s.cohort_size, pa.revenue,
+       round(CAST(sum(pa.revenue) OVER (PARTITION BY pa.cohort
                ORDER BY pa.age
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / s.cohort_size, 2) AS cum_rpc
+             AS DOUBLE) / s.cohort_size, 2) AS cum_rpc
 FROM pa JOIN sizes s ON s.cohort = pa.cohort
 QUALIFY pa.age <= 6
 """

@@ -182,3 +182,47 @@ def rfm_segment(orders: DataFrame, customer_col: str, date_col,
         F.concat(F.col("r_tile").cast("string"),
                  F.col("f_tile").cast("string"),
                  F.col("m_tile").cast("string")))
+
+
+@register("woe_iv", PluginType.TRANSFORMER)
+def woe_iv(df: DataFrame, bin_col: str, target_col: str,
+           smoothing: float = 0.5, round_dp: int = 6) -> DataFrame:
+    """Weight-of-Evidence / Information-Value table for a binned (or
+    categorical) feature against a binary target — the credit-scoring
+    screen for feature predictiveness (IV < 0.02 useless, > 0.5
+    suspicious/leaky).  Parity target: the reference exposes no
+    scorecard tooling; this extends the training-data lane
+    (SURVEY.md §2 extension brief, feature screening before model fit).
+
+        woe_b = ln( (events_b + s) / (E + 2s)
+                  / ((n_b - events_b + s) / (NE + 2s)) )
+        iv    = Σ_b (pct_event_b − pct_nonevent_b) · woe_b
+
+    with ``s`` Laplace smoothing so empty cells never divide by zero;
+    pct's use the same smoothed masses, so iv is exactly the sum of the
+    per-bin contributions it reports.
+
+    Distribution: ONE hash aggregation on the bin key (integer event
+    counts — exact, engine-independent), then window sums over the
+    |bins|-row table.  Returns one row per bin:
+    (bin, n, events, woe, iv_contrib) plus the feature-level ``iv``
+    repeated on every row (window total, no second pass)."""
+    y = F.col(target_col).cast("double")
+    per = (df.groupBy(F.col(bin_col).alias("bin"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(y != 0, 1).otherwise(0)).alias("events")))
+    w = Window.partitionBy()
+    s = float(smoothing)
+    ev_tot = F.sum("events").over(w).cast("double")
+    n_tot = F.sum("n").over(w).cast("double")
+    ne_tot = n_tot - ev_tot
+    pe = (F.col("events") + s) / (ev_tot + 2 * s)
+    pne = (F.col("n") - F.col("events") + s) / (ne_tot + 2 * s)
+    woe = F.log(pe / pne)
+    contrib = (pe - pne) * woe
+    stats = per.select(
+        "bin", "n", "events",
+        F.round(woe, round_dp).alias("woe"),
+        F.round(contrib, round_dp).alias("iv_contrib"),
+        F.round(F.sum(contrib).over(w), round_dp).alias("iv"))
+    return stats

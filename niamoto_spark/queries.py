@@ -1750,6 +1750,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_quantile_normalize": q212_quantile_normalize,
         "q213_rfm_segments": q213_rfm_segments,
         "q214_cohort_ltv": q214_cohort_ltv,
+        "q215_woe_iv": q215_woe_iv,
+        "q216_stump_split": q216_stump_split,
     }
 
 
@@ -5479,6 +5481,8 @@ def build_oracles() -> dict[str, str]:
         "q212_quantile_normalize": O_Q212,
         "q213_rfm_segments": O_Q213,
         "q214_cohort_ltv": O_Q214,
+        "q215_woe_iv": O_Q215,
+        "q216_stump_split": O_Q216,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -7870,4 +7874,138 @@ SELECT pa.cohort AS cohort_month, pa.age AS age_months,
              AS DOUBLE) / s.cohort_size, 2) AS cum_rpc
 FROM pa JOIN sizes s ON s.cohort = pa.cohort
 QUALIFY pa.age <= 6
+"""
+
+
+def q215_woe_iv(spark, sf_dir):
+    """WOE / Information Value scorecard screen (operators/features.py:
+    woe_iv): discount-percent bins vs the returned-flag target.  Exact
+    integer event counts per bin; the oracle replays the smoothed
+    WOE/IV algebra end-to-end."""
+    from niamoto_spark.operators.features import woe_iv
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("is_return",
+                      (F.col("l_returnflag") == "R").cast("int"))
+          .withColumn("disc_pct",
+                      F.round(F.col("l_discount") * 100)
+                      .cast("int")))
+    return (woe_iv(li, "disc_pct", "is_return")
+            .withColumnRenamed("bin", "disc_pct"))
+
+
+O_Q215 = """
+WITH per AS (
+  SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+         count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS events
+  FROM lineitem GROUP BY 1),
+t AS (
+  SELECT *, sum(events) OVER () AS et, sum(n) OVER () AS nt FROM per),
+c AS (
+  SELECT disc_pct, n, events,
+         (events + 0.5) / (CAST(et AS DOUBLE) + 1.0) AS pe,
+         (n - events + 0.5) / (CAST(nt - et AS DOUBLE) + 1.0) AS pne
+  FROM t)
+SELECT disc_pct, n, events,
+       round(ln(pe / pne), 6) AS woe,
+       round((pe - pne) * ln(pe / pne), 6) AS iv_contrib,
+       round(sum((pe - pne) * ln(pe / pne)) OVER (), 6) AS iv
+FROM c
+"""
+
+
+def q216_stump_split(spark, sf_dir):
+    """Histogram decision-stump split finding (operators/trees.py:
+    stump_split): 16-bin Gini-gain scan over four lineitem features
+    against the returned-flag target — the distributed GBDT split
+    kernel.  The oracle rebuilds every histogram and every candidate
+    gain from the same frozen (min, max) bin algebra."""
+    from niamoto_spark.operators.trees import stump_split
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("int"))
+    return stump_split(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "is_return", n_bins=16)
+
+
+O_Q216 = """
+WITH mm AS (
+  SELECT min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+         min(l_extendedprice) AS mn_p, max(l_extendedprice) AS mx_p,
+         min(l_discount) AS mn_d, max(l_discount) AS mx_d,
+         min(l_tax) AS mn_t, max(l_tax) AS mx_t
+  FROM lineitem),
+triples AS (
+  SELECT 'l_quantity' AS feature,
+         CAST(least(floor((l_quantity - mn_q) * 16 / (mx_q - mn_q)),
+                    15) AS INT) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         mn_q AS mn, mx_q AS mx
+  FROM lineitem CROSS JOIN mm
+  UNION ALL
+  SELECT 'l_extendedprice',
+         CAST(least(floor((l_extendedprice - mn_p) * 16
+                          / (mx_p - mn_p)), 15) AS INT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END,
+         mn_p, mx_p
+  FROM lineitem CROSS JOIN mm
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(least(floor((l_discount - mn_d) * 16 / (mx_d - mn_d)),
+                    15) AS INT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END,
+         mn_d, mx_d
+  FROM lineitem CROSS JOIN mm
+  UNION ALL
+  SELECT 'l_tax',
+         CAST(least(floor((l_tax - mn_t) * 16 / (mx_t - mn_t)),
+                    15) AS INT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END,
+         mn_t, mx_t
+  FROM lineitem CROSS JOIN mm),
+hist AS (
+  SELECT feature, bin, any_value(mn) AS mn, any_value(mx) AS mx,
+         count(*) AS n, sum(y) AS e
+  FROM triples GROUP BY 1, 2),
+cum AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY feature ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(e) OVER (PARTITION BY feature ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS el,
+         sum(n) OVER (PARTITION BY feature) AS nt,
+         sum(e) OVER (PARTITION BY feature) AS et,
+         max(bin) OVER (PARTITION BY feature) AS maxb
+  FROM hist),
+cand AS (
+  SELECT feature, bin, nl, el, nt, et, mn, mx,
+         round((1.0 - (CAST(et AS DOUBLE) / nt)
+                      * (CAST(et AS DOUBLE) / nt)
+                    - (CAST(nt - et AS DOUBLE) / nt)
+                      * (CAST(nt - et AS DOUBLE) / nt))
+               - (CAST(nl AS DOUBLE) / nt
+                  * (CASE WHEN nl > 0 THEN
+                       1.0 - (CAST(el AS DOUBLE) / nl)
+                             * (CAST(el AS DOUBLE) / nl)
+                           - (CAST(nl - el AS DOUBLE) / nl)
+                             * (CAST(nl - el AS DOUBLE) / nl)
+                     ELSE 0.0 END)
+                  + CAST(nt - nl AS DOUBLE) / nt
+                    * (CASE WHEN nt - nl > 0 THEN
+                         1.0 - (CAST(et - el AS DOUBLE) / (nt - nl))
+                               * (CAST(et - el AS DOUBLE) / (nt - nl))
+                             - (CAST((nt - nl) - (et - el) AS DOUBLE)
+                                / (nt - nl))
+                               * (CAST((nt - nl) - (et - el) AS DOUBLE)
+                                  / (nt - nl))
+                       ELSE 0.0 END)), 8) AS gain
+  FROM cum WHERE bin < maxb)
+SELECT feature, bin AS split_bin,
+       round(mn + (bin + 1) * ((mx - mn) / 16), 6) AS threshold,
+       gain, nl AS n_left, nt - nl AS n_right
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY feature
+                           ORDER BY gain DESC, bin ASC) = 1
 """

@@ -1752,6 +1752,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_cohort_ltv": q214_cohort_ltv,
         "q215_woe_iv": q215_woe_iv,
         "q216_stump_split": q216_stump_split,
+        "q217_shallow_clone": q217_shallow_clone,
+        "q218_wap_publish": q218_wap_publish,
     }
 
 
@@ -5483,6 +5485,8 @@ def build_oracles() -> dict[str, str]:
         "q214_cohort_ltv": O_Q214,
         "q215_woe_iv": O_Q215,
         "q216_stump_split": O_Q216,
+        "q217_shallow_clone": O_Q217,
+        "q218_wap_publish": O_Q218,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8008,4 +8012,110 @@ SELECT feature, bin AS split_bin,
 FROM cand
 QUALIFY row_number() OVER (PARTITION BY feature
                            ORDER BY gain DESC, bin ASC) = 1
+"""
+
+
+def q217_shallow_clone(spark, sf_dir):
+    """Zero-copy shallow clone (sources/manifest.py: shallow_clone):
+    orders committed, cloned by reference (no bytes move), then the
+    CLONE alone takes an append of the high-value slice.  The result
+    unions source and clone aggregates to pin both that the clone saw
+    the append and that the source did not.  Oracle: orders vs
+    orders + its high-value slice."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_clone_" + sf_dir.strip("/").replace("/", "_"))
+    src, dst = base + "_src", base + "_dst"
+    for p in (src, dst):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    M.append(o, src)
+    M.shallow_clone(src, dst)
+    M.append(M.read_table(spark, dst)
+             .where(F.col("o_totalprice") > 400000), dst)
+
+    def agg(df, tag):
+        return (df.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+                .withColumn("tbl", F.lit(tag)))
+
+    return agg(M.read_table(spark, src), "source").unionByName(
+        agg(M.read_table(spark, dst), "clone"))
+
+
+O_Q217 = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue, 'source' AS tbl
+FROM orders GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue, 'clone' AS tbl
+FROM (SELECT * FROM orders
+      UNION ALL
+      SELECT * FROM orders WHERE o_totalprice > 400000)
+GROUP BY 1
+"""
+
+
+def q218_wap_publish(spark, sf_dir):
+    """Write-Audit-Publish (sources/manifest.py: wap_stage /
+    read_branch / wap_publish / wap_abandon): a poisoned batch
+    (negated totals) is staged on a branch, fails its range audit
+    against the REAL staged files, and is abandoned without ever
+    touching the table; the clean batch is staged, audited, and
+    atomically published.  Oracle: base + clean batch only — the
+    poisoned rows must be invisible."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.operators.quality import expect
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_wap_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    M.append(o, path)
+
+    rules = [{"rule": "in_range", "col": "o_totalprice",
+              "lo": 0.0, "hi": 1e9}]
+    bad = (o.where(F.col("o_orderkey") % 97 == 0)
+           .withColumn("o_totalprice", -F.col("o_totalprice")))
+    M.wap_stage(bad, path, "audit")
+    n_bad = (expect(M.read_branch(spark, path, "audit"), rules)
+             .agg(F.sum("n_violations")).first()[0])
+    assert n_bad and n_bad > 0, "audit should have caught the poison"
+    M.wap_abandon(path, "audit")
+
+    clean = o.where(F.col("o_orderkey") % 101 == 0)
+    M.wap_stage(clean, path, "audit")
+    n_bad = (expect(M.read_branch(spark, path, "audit"), rules)
+             .agg(F.sum("n_violations")).first()[0])
+    assert not n_bad, "clean batch must audit green"
+    M.wap_publish(path, "audit")
+
+    return (M.read_table(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+O_Q218 = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM (SELECT * FROM orders
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 101 = 0)
+GROUP BY 1
 """

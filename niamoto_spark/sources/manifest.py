@@ -957,3 +957,124 @@ def compact_where(spark: SparkSession, path: str, col: str, lo, hi,
                 {"parent": v, "files": sorted(carried + new_files),
                  "stats": stats})
     return v + 1, len(new_files), len(carried)
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone + write-audit-publish branches
+# ---------------------------------------------------------------------------
+
+def shallow_clone(src_path: str, dst_path: str) -> int:
+    """Zero-copy clone (Delta SHALLOW CLONE shape): the new table's v0
+    manifest references the source's current committed data files BY
+    PATH — no bytes move, clone cost is one metadata write regardless
+    of table size.  After the clone the two tables evolve
+    independently: writes to either stage files under their own data
+    dir and never touch the other's manifest.
+
+    Caveat (same as Delta's): the clone borrows the source's files, so
+    ``vacuum`` on the SOURCE can delete files the clone still
+    references.  The commit doc records ``cloned_from`` lineage so
+    operators can detect the dependency.
+    """
+    v = committed_version(src_path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {src_path}")
+    files = _read_manifest(src_path, v)["files"]
+    if committed_version(dst_path) >= 0 or current_version(dst_path) >= 0:
+        raise FileExistsError(f"clone target {dst_path} already exists")
+    _table_dirs(dst_path)
+    _commit_doc(dst_path, 0,
+                {"parent": -1, "files": sorted(files),
+                 "cloned_from": {"path": os.path.abspath(src_path),
+                                 "version": v}})
+    return 0
+
+
+def wap_stage(df: DataFrame, path: str, branch: str,
+              mode: str = "append") -> dict:
+    """Write-Audit-Publish, step W: stage ``df`` as an UNPUBLISHED
+    branch snapshot (Iceberg's WAP pattern).  Data files land under the
+    table's own data dir, but the branch document lives beside the log
+    (``_log/branch-{name}.json``) where ``read_table`` never looks — a
+    crashed or failed audit leaves the main table untouched.
+
+    ``mode='append'`` stages base-files + new-files; ``'overwrite'``
+    stages only the new files.  Returns the branch doc (base version,
+    files) — feed ``read_branch`` to audit, then ``wap_publish`` or
+    ``wap_abandon``.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"wap_stage: unknown mode {mode!r}")
+    data, meta = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    base, head = _writer_head(path)
+    prev = head.get("files", []) if mode == "append" else []
+    doc = {"branch": branch, "base_version": base,
+           "files": sorted(prev + new_files),
+           "new_files": sorted(new_files)}
+    tmp = os.path.join(meta, f".branch-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(meta, f"branch-{branch}.json"))
+    return doc
+
+
+def read_branch(spark: SparkSession, path: str, branch: str) -> DataFrame:
+    """The staged branch snapshot — what the table WILL contain if the
+    branch is published.  This is the audit surface: run quality checks
+    here, against real committed-format files, before anything becomes
+    visible to readers."""
+    bdoc = os.path.join(path, "_log", f"branch-{branch}.json")
+    with open(bdoc) as f:
+        doc = json.load(f)
+    if not doc["files"]:
+        return spark.createDataFrame([], "dummy string").limit(0)
+    return spark.read.parquet(*doc["files"])
+
+
+def wap_publish(path: str, branch: str) -> int:
+    """Write-Audit-Publish, step P: atomically promote the audited
+    branch to the table head (one manifest link — all-or-nothing).
+
+    Conflict rule: publishing requires the head to still be the
+    branch's ``base_version``.  If another writer committed since the
+    stage, the branch's file list was computed against a stale base and
+    silently publishing it would DROP the interleaved commit's rows —
+    so this raises and the caller re-stages against the new head
+    (same optimistic-concurrency shape as ``_commit_doc`` itself).
+    """
+    _, meta = _table_dirs(path)
+    bpath = os.path.join(meta, f"branch-{branch}.json")
+    with open(bpath) as f:
+        doc = json.load(f)
+    head, _ = _writer_head(path)
+    if head != doc["base_version"]:
+        raise RuntimeError(
+            f"wap_publish: head moved {doc['base_version']} -> {head} "
+            f"since branch {branch!r} was staged; re-stage and re-audit")
+    v = doc["base_version"] + 1
+    _commit_doc(path, v, {"parent": doc["base_version"],
+                          "files": doc["files"],
+                          "published_branch": branch})
+    os.remove(bpath)
+    return v
+
+
+def wap_abandon(path: str, branch: str) -> None:
+    """Drop a staged branch that failed its audit: remove the branch
+    doc and the branch's OWN staged files (never base files it shares
+    with the committed table)."""
+    import shutil as _sh
+
+    _, meta = _table_dirs(path)
+    bpath = os.path.join(meta, f"branch-{branch}.json")
+    with open(bpath) as f:
+        doc = json.load(f)
+    os.remove(bpath)
+    for d in {os.path.dirname(f) for f in doc.get("new_files", [])}:
+        _sh.rmtree(d, ignore_errors=True)

@@ -570,3 +570,77 @@ def test_table_history_describes_versions(spark, tmp_path):
     assert h[1]["has_stats"] and not h[0]["has_stats"]
     assert h[2]["restored_from"] == 0
     assert h[2]["n_files"] == h[0]["n_files"]
+
+
+# --- shallow clone + write-audit-publish -----------------------------------
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    M.append(_df(spark, 0, 10), src)
+    M.shallow_clone(src, dst)
+    # zero-copy: the clone's manifest references the SOURCE's files
+    doc = M._read_manifest(dst, 0)
+    assert doc["files"] == M._read_manifest(src, 0)["files"]
+    assert doc["cloned_from"]["version"] == 0
+    assert M.read_table(spark, dst).count() == 10
+    # independent evolution: writes to the clone never touch the source
+    M.append(_df(spark, 100, 105), dst)
+    assert M.read_table(spark, dst).count() == 15
+    assert M.read_table(spark, src).count() == 10
+    M.append(_df(spark, 200, 202), src)
+    assert M.read_table(spark, dst).count() == 15
+
+
+def test_shallow_clone_refuses_existing_target(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    M.append(_df(spark, 0, 5), src)
+    M.append(_df(spark, 0, 3), dst)
+    with pytest.raises(FileExistsError):
+        M.shallow_clone(src, dst)
+
+
+def test_wap_stage_invisible_until_publish(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)
+    M.wap_stage(_df(spark, 10, 20), t, "b1")
+    assert M.read_table(spark, t).count() == 10       # unpublished
+    assert M.read_branch(spark, t, "b1").count() == 20  # audit surface
+    v = M.wap_publish(t, "b1")
+    assert v == 1
+    assert M.read_table(spark, t).count() == 20
+    # branch doc consumed
+    assert not os.path.exists(
+        os.path.join(t, "_log", "branch-b1.json"))
+
+
+def test_wap_abandon_leaves_no_trace(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)
+    doc = M.wap_stage(_df(spark, 10, 20), t, "bad")
+    M.wap_abandon(t, "bad")
+    assert M.read_table(spark, t).count() == 10
+    for f in doc["new_files"]:
+        assert not os.path.exists(f)
+    # base files untouched by the abandon
+    assert M.read_table(spark, t).count() == 10
+
+
+def test_wap_publish_conflict_on_moved_head(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)
+    M.wap_stage(_df(spark, 10, 20), t, "b1")
+    M.append(_df(spark, 50, 55), t)  # interleaved writer moves head
+    with pytest.raises(RuntimeError, match="head moved"):
+        M.wap_publish(t, "b1")
+    # stale-base publish blocked: the interleaved rows survive
+    assert M.read_table(spark, t).count() == 15
+
+
+def test_wap_overwrite_mode(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)
+    M.wap_stage(_df(spark, 100, 103), t, "b1", mode="overwrite")
+    M.wap_publish(t, "b1")
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
+        == [100, 101, 102]
+    assert M.read_table(spark, t, version=0).count() == 10

@@ -197,3 +197,47 @@ def clustering_coefficient(pairs: DataFrame, id_a: str = "id_a",
                 round_dp)).otherwise(F.lit(0.0))
     return joined.select("node_id", "degree", "n_triangles",
                          lcc.alias("lcc"))
+
+
+@register("label_propagation", PluginType.TRANSFORMER)
+def label_propagation(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b", iters: int = 2) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA):
+    every node starts labeled with its own id; each round it adopts the
+    most frequent label among its neighbors, ties broken toward the
+    SMALLEST label.  Fixed iteration count + deterministic tie rule
+    make the whole run replayable in SQL (same oracle-ability policy as
+    ``pagerank`` / clustering.py's k-means) — no RNG, no async sweep
+    order.
+
+    Communities are finer than connected components
+    (operators/components.py): a long chain is ONE component but LPA
+    splits it at sparse cuts, which is the right granularity for
+    "which near-dup neighborhood does this doc anchor to".
+
+    Distribution: one round = edges ⋈ labels (shuffle on node id) →
+    count per (node, neighbor-label) → window argmax per node — two
+    hash shuffles per round, nothing on the driver; lineage cut per
+    round with localCheckpoint.  Returns (node_id, community).
+    """
+    from pyspark.sql import Window
+
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node_id")).distinct()
+              .withColumn("lbl", F.col("node_id")))
+    pick = Window.partitionBy("node_id").orderBy(
+        F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(iters):
+        counted = (edges.join(labels.withColumnRenamed("node_id", "src"),
+                              "src")
+                   .groupBy(F.col("dst").alias("node_id"), "lbl")
+                   .agg(F.count(F.lit(1)).alias("c")))
+        labels = (counted.withColumn("__rk", F.row_number().over(pick))
+                  .where(F.col("__rk") == 1)
+                  .select("node_id", "lbl")
+                  .localCheckpoint(eager=False))
+    return labels.select("node_id", F.col("lbl").alias("community"))

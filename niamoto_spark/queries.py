@@ -16,6 +16,7 @@ stable):
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1754,6 +1755,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_stump_split": q216_stump_split,
         "q217_shallow_clone": q217_shallow_clone,
         "q218_wap_publish": q218_wap_publish,
+        "q219_label_propagation": q219_label_propagation,
+        "q220_stream_outer_join": q220_stream_outer_join,
     }
 
 
@@ -5487,6 +5490,8 @@ def build_oracles() -> dict[str, str]:
         "q216_stump_split": O_Q216,
         "q217_shallow_clone": O_Q217,
         "q218_wap_publish": O_Q218,
+        "q219_label_propagation": O_Q219,
+        "q220_stream_outer_join": O_Q220,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8117,5 +8122,148 @@ SELECT o_orderpriority, count(*) AS n_orders,
 FROM (SELECT * FROM orders
       UNION ALL
       SELECT * FROM orders WHERE o_orderkey % 101 = 0)
+GROUP BY 1
+"""
+
+
+def q219_label_propagation(spark, sf_dir):
+    """LPA community detection (operators/graph.py: label_propagation)
+    over the unigram-Jaccard similarity graph, 2 synchronous rounds,
+    min-label tie rule.  The oracle unrolls both rounds in SQL —
+    the full iterative computation is pinned, like q100/q102."""
+    from niamoto_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6,
+                                          block_col="source")
+    lp = label_propagation(pairs.select("id_a", "id_b"), iters=2)
+    return (lp.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("node_id").alias("min_node"),
+                 F.max("node_id").alias("max_node")))
+
+
+O_Q219 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM edges),
+c1 AS (SELECT e.dst AS node_id, l.lbl, count(*) AS c
+       FROM edges e JOIN l0 l ON e.src = l.node_id GROUP BY 1, 2),
+l1 AS (SELECT node_id, lbl FROM c1
+       QUALIFY row_number() OVER (PARTITION BY node_id
+                                  ORDER BY c DESC, lbl ASC) = 1),
+c2 AS (SELECT e.dst AS node_id, l.lbl, count(*) AS c
+       FROM edges e JOIN l1 l ON e.src = l.node_id GROUP BY 1, 2),
+l2 AS (SELECT node_id, lbl FROM c2
+       QUALIFY row_number() OVER (PARTITION BY node_id
+                                  ORDER BY c DESC, lbl ASC) = 1)
+SELECT lbl AS community, count(*) AS n_members,
+       min(node_id) AS min_node, max(node_id) AS max_node
+FROM l2 GROUP BY 1
+"""
+
+
+def q220_stream_outer_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join (streaming/joins.py:
+    stream_left_outer_join): every purchase joined to its same-user
+    clicks within 30 minutes; purchases with NO such click are emitted
+    exactly once with nulls when the watermark closes their window.
+    A far-future flush row appended to both streams (end-of-stream
+    marker) guarantees every real purchase resolves, so the DuckDB
+    LEFT JOIN oracle doubles as a stream==batch parity gate —
+    including the never-matched rows an inner join would drop."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.streaming.joins import stream_left_outer_join
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_soj_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(stream_dir):
+        shutil.rmtree(stream_dir)
+    os.makedirs(stream_dir)
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    # End-of-stream flush, TWO staged batches: availableNow never runs
+    # a trailing no-data batch, and watermark advances take effect one
+    # batch late — so flush #1 moves the watermark past all real data
+    # and flush #2's batch performs the final eviction that emits the
+    # last unmatched purchases.  mtimes are bumped so the file source
+    # schedules them after the data and in order.
+    flush_us = 1_767_225_600_000_000  # 2026-01-01 UTC, microseconds
+    for i in (1, 2):
+        tmp = os.path.join(stream_dir, f".mk_flush{i}")
+        ts = flush_us + i * 86_400_000_000
+        (spark.createDataFrame(
+            [(-1, ts, -1, "purchase", 0.0, "{}"),
+             (-2, ts, -1, "click", 0.0, "{}")],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+         .withColumn("ts", F.timestamp_micros("ts"))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        # FileStreamSource lists plain files, not writer directories:
+        # promote the part file to a sibling of events.parquet
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(stream_dir, f"zz_flush{i}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        import shutil as _sh
+        _sh.rmtree(tmp)
+        future = time.time() + i * 86400
+        os.utime(dest, (future, future))
+
+    schema = spark.read.parquet(src).schema
+
+    def _stream():
+        return _ts_to_timestamp(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+
+    purchases = (_stream().where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", F.col("ts").alias("p_ts")))
+    clicks = (_stream().where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("user_id"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("value").alias("click_value")))
+    joined = stream_left_outer_join(
+        purchases, clicks, on="user_id",
+        left_ts="p_ts", right_ts="c_ts", span_s=1800)
+    qname = "q220_soj_pairs"
+    for (q_,) in [(q_,) for q_ in spark.streams.active
+                  if q_.name == qname]:
+        q_.stop()
+    q = (joined.select("purchase_id", "c_ts", "click_value")
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .where(F.col("purchase_id") >= 0)   # drop the flush marker
+            .groupBy("purchase_id")
+            .agg(F.count("c_ts").alias("n_clicks"),
+                 F.round(F.sum("click_value"), 2)
+                 .alias("click_value_sum")))
+
+
+O_Q220 = """
+SELECT p.event_id AS purchase_id, count(c.ts) AS n_clicks,
+       round(sum(c.value), 2) AS click_value_sum
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click' AND c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1800 SECONDS
+WHERE p.event_type = 'purchase'
 GROUP BY 1
 """

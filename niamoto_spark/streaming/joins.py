@@ -39,3 +39,32 @@ def stream_interval_join(points: DataFrame, intervals: DataFrame,
         (p[point_ts] < i[interval_ts] + F.expr(f"INTERVAL {span_s} SECONDS"))
     )
     return i.join(p, cond, "inner").drop(p[on])
+
+
+def stream_left_outer_join(left: DataFrame, right: DataFrame,
+                           on: str, left_ts: str, right_ts: str,
+                           span_s: int,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every left row joins
+    right rows of the same key with right_ts in [left_ts, left_ts +
+    span_s); a left row that never matches is emitted ONCE with nulls
+    on the right side — but only after BOTH watermarks pass its window
+    bound, because until then a matching right row could still arrive.
+
+    That late-null semantics is the operational catch: unmatched rows
+    near the stream head stay buffered until later data advances the
+    watermark.  Batch drains (availableNow) that need ALL rows resolved
+    should append a far-future flush row to both streams (see q220) —
+    the streaming equivalent of an end-of-stream marker.
+
+    State size is bounded exactly as in the inner join: each side
+    buffers (rate × (span + watermark delay)) rows per key partition.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on]) &
+        (r[right_ts] >= l[left_ts]) &
+        (r[right_ts] < l[left_ts] + F.expr(f"INTERVAL {span_s} SECONDS"))
+    )
+    return l.join(r, cond, "leftOuter").drop(r[on])

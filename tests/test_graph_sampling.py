@@ -163,3 +163,30 @@ def test_contrastive_pairs_structure(spark):
     from collections import Counter
     per_anchor = Counter(r["anchor_id"] for r in neg_rows)
     assert all(v <= 2 for v in per_anchor.values())
+
+
+# --- label propagation (operators/graph.py) --------------------------------
+
+def test_lpa_two_cliques_converge(spark):
+    from niamoto_spark.operators.graph import label_propagation
+    # two triangles bridged by nothing: each collapses to its min id
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node_id"]: r["community"]
+           for r in label_propagation(df, iters=3).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_lpa_deterministic_tie_break(spark):
+    from niamoto_spark.operators.graph import label_propagation
+    # star: center 5 with leaves 1..4.  Round 1: center adopts min
+    # leaf label (all tie at count 1) = 1; leaves adopt 5.  Fixed
+    # iteration count => exactly reproducible.
+    edges = [(5, 1), (5, 2), (5, 3), (5, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node_id"]: r["community"]
+           for r in label_propagation(df, iters=1).collect()}
+    assert out[5] == 1
+    assert out[1] == out[2] == out[3] == out[4] == 5

@@ -105,3 +105,63 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     rows = {r["window_start"].hour: r["n_events"]
             for r in spark.read.parquet(out).collect()}
     assert rows.get(10) == 2           # late 10:50 row NOT counted
+
+
+# --- stream-stream LEFT OUTER join (streaming/joins.py) --------------------
+
+def test_stream_left_outer_emits_unmatched(spark, tmp_path):
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.streaming.joins import stream_left_outer_join
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+
+    def write_file(rows, schema, d, name, ts_col, bump=0):
+        tmp = os.path.join(d, ".mk")
+        (spark.createDataFrame(rows, schema)
+         .withColumn(ts_col, F.col("ts").cast("timestamp")).drop("ts")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(d, name)
+        os.replace(os.path.join(tmp, part), dest)
+        if bump:
+            os.utime(dest, (_time.time() + bump, _time.time() + bump))
+
+    # left: users 1,2,3; right matches only user 1 inside the window
+    write_file([(1, 100), (2, 200), (3, 300)],
+               "user_id int, ts int", ldir, "a.parquet", "p_ts")
+    write_file([(1, 110), (3, 99999)],
+               "user_id int, ts int", rdir, "a.parquet", "c_ts")
+    # two flush batches: watermark advance, then eviction
+    for i in (1, 2):
+        t = 500_000 + i
+        write_file([(99, t)], "user_id int, ts int", ldir,
+                   f"zz{i}.parquet", "p_ts", bump=i * 10)
+        write_file([(98, t)], "user_id int, ts int", rdir,
+                   f"zz{i}.parquet", "c_ts", bump=i * 10)
+
+    l = (spark.readStream.schema("user_id int, p_ts timestamp")
+         .option("maxFilesPerTrigger", 1).parquet(ldir))
+    r = (spark.readStream.schema("user_id int, c_ts timestamp")
+         .option("maxFilesPerTrigger", 1).parquet(rdir)
+         .withColumnRenamed("user_id", "r_user")
+         .withColumnRenamed("c_ts", "c_ts"))
+    j = stream_left_outer_join(
+        l, r.withColumnRenamed("r_user", "user_id"),
+        on="user_id", left_ts="p_ts", right_ts="c_ts", span_s=60,
+        watermark="10 seconds")
+    q = (j.writeStream.format("memory").queryName("soj_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = (spark.table("soj_test")
+            .where(F.col("user_id") < 90).collect())
+    by_user = {r["user_id"]: r for r in rows}
+    assert len(rows) == 3
+    assert by_user[1]["c_ts"] is not None      # matched inside window
+    assert by_user[2]["c_ts"] is None          # no click at all
+    assert by_user[3]["c_ts"] is None          # click outside window

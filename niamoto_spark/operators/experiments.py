@@ -80,3 +80,61 @@ def ab_mean_test(df: DataFrame, variant_col: str, value_col: str,
         (F.col("m_t") - F.col("m_c")).alias("diff"),
         F.when(se > 0, (F.col("m_t") - F.col("m_c")) / se)
          .otherwise(F.lit(0.0)).alias("z"))
+
+
+@register("permutation_test", PluginType.TRANSFORMER)
+def permutation_test(df: DataFrame, variant_col: str, value_col: str,
+                     id_col: str, treatment: str, n_perms: int = 99,
+                     seed: str = "perm", round_dp: int = 6) -> DataFrame:
+    """Randomization (permutation) test for a difference in means:
+    the observed statistic is mean(treatment) − mean(control); the null
+    distribution reassigns every row to a pseudo-arm by a DETERMINISTIC
+    md5 coin per (permutation, id) — no RNG state, so any engine
+    replays the exact same ``n_perms`` pseudo-experiments and the
+    p-value is reproducible bit-for-bit.
+
+        p = (1 + #{ |stat_p| ≥ |stat_obs| }) / (n_perms + 1)
+
+    (the +1 add-one counts the observed labeling itself, the standard
+    finite-sample correction that keeps p > 0).
+
+    Distribution: ONE projection explodes each row into ``n_perms``
+    (perm, arm, value) triples and partial aggregation collapses them
+    map-side to ``n_perms`` groups — the shuffle carries n_perms rows,
+    not n_rows × n_perms.  At corpus scale choose n_perms to size the
+    expanded scan (P × one column), or pre-sample rows; the test's
+    power saturates long before P = 99 on big-N data.
+    Returns ONE row: (n_perms, obs_diff, n_ge, p_value).
+    Statistics are rounded to ``round_dp`` BEFORE the ≥ comparison so
+    the tail count never hinges on a final-ulp difference.
+    """
+    two = (df.where(F.col(value_col).isNotNull())
+           .select(F.col(variant_col).alias("arm"),
+                   F.col(value_col).cast("double").alias("v"),
+                   F.col(id_col).cast("string").alias("id")))
+    obs_row = (two.groupBy()
+               .agg(F.avg(F.when(F.col("arm") == treatment, F.col("v")))
+                    .alias("mt"),
+                    F.avg(F.when(F.col("arm") != treatment, F.col("v")))
+                    .alias("mc"))).first()
+    obs = round(float(obs_row["mt"]) - float(obs_row["mc"]), round_dp)
+
+    p = F.explode(F.sequence(F.lit(1), F.lit(n_perms))).alias("p")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("p").cast("string"),
+                          F.col("id"))), 1, 13), 16, 10).cast("double")
+    uni = (h + 0.5) / F.lit(float(16 ** 13))
+    expanded = (two.select("id", "v", p)
+                .withColumn("g", (uni < 0.5).cast("int")))
+    stats = (expanded.groupBy("p")
+             .agg((F.avg(F.when(F.col("g") == 1, F.col("v")))
+                   - F.avg(F.when(F.col("g") == 0, F.col("v"))))
+                  .alias("diff")))
+    return (stats
+            .agg(F.lit(n_perms).alias("n_perms"),
+                 F.lit(obs).alias("obs_diff"),
+                 F.sum((F.abs(F.round(F.col("diff"), round_dp))
+                        >= F.lit(abs(obs))).cast("int")).alias("n_ge"))
+            .withColumn("p_value",
+                        F.round((F.col("n_ge") + 1)
+                                / F.lit(float(n_perms + 1)), 6)))

@@ -125,3 +125,53 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                          / (F.col("__n_a") * F.col("__n_b")),
                          round_dp).alias("lift")))
     return rules.where(F.col("confidence") >= min_confidence)
+
+
+@register("sequence_pairs", PluginType.TRANSFORMER)
+def sequence_pairs(events: DataFrame, user_col: str, ts_col: str,
+                   type_col: str, window_s: int,
+                   min_users: int = 2,
+                   max_user_events: int = 10_000) -> DataFrame:
+    """Ordered sequential patterns of length 2 with a gap constraint
+    (the first PrefixSpan pass): "A then B within ``window_s``
+    seconds", counted ONCE per user — cross-user support, the metric
+    behind "users who viewed X go on to buy Y" mining.  Unlike
+    next-event transition counts (timeseries.py), the pair need NOT be
+    adjacent: any later same-user event inside the window matches.
+
+    Distribution: the self-join is on the user key, so both sides hash
+    to the same partitions (one shuffle, AQE reuses the exchange); the
+    time bound caps the per-user pair fan-out.  Users with more than
+    ``max_user_events`` events are dropped whole (exact support over
+    the retained population — the association_rules viral-basket
+    policy).  Support denominators use the retained-user count.
+
+    Returns (type_a, type_b, n_users, support) for pairs reaching
+    ``min_users`` distinct users.
+    """
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).cast("long").alias("t"),
+                       F.col(type_col).alias("ty"))
+    sized = ev.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
+    big = sized.where(F.col("__n") > max_user_events)
+    n_big = big.count()
+    if n_big:
+        log.warning("sequence_pairs: dropping %d users over "
+                    "max_user_events=%d", n_big, max_user_events)
+        ev = ev.join(F.broadcast(big.select("u")), "u", "left_anti")
+    n_users_total = ev.select("u").distinct().count()
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (a.join(b, (F.col("a.u") == F.col("b.u"))
+                    & (F.col("a.t") < F.col("b.t"))
+                    & (F.col("b.t") <= F.col("a.t") + window_s))
+             .select(F.col("a.u").alias("u"),
+                     F.col("a.ty").alias("type_a"),
+                     F.col("b.ty").alias("type_b"))
+             .distinct())
+    return (pairs.groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .where(F.col("n_users") >= min_users)
+            .withColumn("support",
+                        F.round(F.col("n_users")
+                                / F.lit(float(max(n_users_total, 1))),
+                                6)))

@@ -216,3 +216,26 @@ def k_anonymity(df: DataFrame, quasi_cols: "list[str]",
         F.min("__n").alias("min_group_size"))
         .withColumn("satisfies_k", F.col("n_risky_groups") == 0)
         .withColumn("k_required", F.lit(int(k))))
+
+
+@register("l_diversity", PluginType.TRANSFORMER)
+def l_diversity(df: DataFrame, quasi_cols: "list[str]",
+                sensitive_col: str) -> DataFrame:
+    """L-diversity audit — k-anonymity's sharper sibling: a
+    quasi-identifier group is unsafe even when large if every member
+    shares the SAME sensitive value (homogeneity attack: group size 50,
+    all with diagnosis X, still leaks X).  l = distinct sensitive
+    values inside the group; the release satisfies l-diversity at the
+    MINIMUM group l.
+
+    One aggregation on the quasi key (count + count distinct), then a
+    histogram over the (small) group table.  Returns one row per
+    observed l: (l, n_groups, n_rows, min_group_size) — the profile a
+    reviewer reads top-down."""
+    groups = (df.groupBy(*quasi_cols)
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.count_distinct(F.col(sensitive_col)).alias("l")))
+    return (groups.groupBy("l")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("__n").alias("n_rows"),
+                 F.min("__n").alias("min_group_size")))

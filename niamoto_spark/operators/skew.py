@@ -78,3 +78,42 @@ def salted_count(df: DataFrame, key_cols: list[str] | str,
                .groupBy(*keys, _SALT).agg(F.count(F.lit(1)).alias("__c")))
     return (partial.groupBy(*keys)
             .agg(F.sum("__c").alias("count")))
+
+
+@register("skew_report", PluginType.TRANSFORMER)
+def skew_report(df: DataFrame, key_cols: "list[str] | str",
+                top_k: int = 5, round_dp: int = 6) -> DataFrame:
+    """Hot-key diagnosis for a prospective join/aggregation key: the
+    numbers that decide between a plain shuffle, a broadcast, and
+    ``salted_join``.  Reports the ``top_k`` heaviest keys with their
+    row share, plus (repeated on every row, window totals over the
+    aggregated key table — no second scan) the global skew ratio
+    max_key_rows / avg_key_rows: the straggler multiplier a plain
+    shuffle on this key would suffer.
+
+    One hash aggregation on the key; everything downstream operates on
+    the |keys|-row table.  Top-k election is deterministic (count desc,
+    then key asc)."""
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per = (df.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy()
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    ranked = (per.select(
+        key_str.alias("key"), "n",
+        F.sum("n").over(w).alias("__total"),
+        F.count(F.lit(1)).over(w).alias("__nkeys"),
+        F.max("n").over(w).alias("__max"))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("key").asc()))))
+    return (ranked.where(F.col("rank") <= top_k)
+            .select("rank", "key", "n",
+                    F.round(F.col("n") / F.col("__total"), round_dp)
+                    .alias("share"),
+                    F.round(F.col("__max")
+                            / (F.col("__total")
+                               / F.col("__nkeys").cast("double")),
+                            round_dp).alias("skew_ratio"),
+                    F.col("__nkeys").alias("n_keys")))

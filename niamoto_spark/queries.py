@@ -1757,6 +1757,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_wap_publish": q218_wap_publish,
         "q219_label_propagation": q219_label_propagation,
         "q220_stream_outer_join": q220_stream_outer_join,
+        "q221_permutation_test": q221_permutation_test,
+        "q222_sequence_pairs": q222_sequence_pairs,
+        "q223_l_diversity": q223_l_diversity,
+        "q224_skew_report": q224_skew_report,
     }
 
 
@@ -5492,6 +5496,10 @@ def build_oracles() -> dict[str, str]:
         "q218_wap_publish": O_Q218,
         "q219_label_propagation": O_Q219,
         "q220_stream_outer_join": O_Q220,
+        "q221_permutation_test": O_Q221,
+        "q222_sequence_pairs": O_Q222,
+        "q223_l_diversity": O_Q223,
+        "q224_skew_report": O_Q224,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8266,4 +8274,135 @@ LEFT JOIN events c
  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1800 SECONDS
 WHERE p.event_type = 'purchase'
 GROUP BY 1
+"""
+
+
+def q221_permutation_test(spark, sf_dir):
+    """Deterministic randomization test (operators/experiments.py:
+    permutation_test): urgent-vs-high order totals, 49 md5-seeded
+    pseudo-experiments.  The oracle replays every permutation's coin
+    flips and the add-one p-value in SQL — the full null distribution
+    is pinned, not just the verdict."""
+    from niamoto_spark.operators.experiments import permutation_test
+
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")))
+    return permutation_test(o, "o_orderpriority", "o_totalprice",
+                            "o_orderkey", treatment="1-URGENT",
+                            n_perms=49)
+
+
+O_Q221 = """
+WITH two AS (
+  SELECT o_orderpriority AS arm, CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(o_orderkey AS VARCHAR) AS id
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+obs AS (
+  SELECT round(avg(CASE WHEN arm = '1-URGENT' THEN v END)
+               - avg(CASE WHEN arm <> '1-URGENT' THEN v END), 6)
+           AS obs_diff
+  FROM two),
+ex AS (
+  SELECT p.p, t.v,
+         CASE WHEN (CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR)
+                                             || '|' || t.id), 1, 13))
+                         AS UBIGINT) + 0.5) / power(16, 13) < 0.5
+              THEN 1 ELSE 0 END AS g
+  FROM two t CROSS JOIN (SELECT unnest(range(1, 50)) AS p) p),
+stats AS (
+  SELECT p, avg(CASE WHEN g = 1 THEN v END)
+            - avg(CASE WHEN g = 0 THEN v END) AS diff
+  FROM ex GROUP BY 1)
+SELECT 49 AS n_perms, obs.obs_diff,
+       CAST(sum(CASE WHEN abs(round(stats.diff, 6)) >= abs(obs.obs_diff)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       round((sum(CASE WHEN abs(round(stats.diff, 6))
+                            >= abs(obs.obs_diff)
+                       THEN 1 ELSE 0 END) + 1) / 50.0, 6) AS p_value
+FROM stats CROSS JOIN obs
+GROUP BY obs.obs_diff
+"""
+
+
+def q222_sequence_pairs(spark, sf_dir):
+    """Gap-constrained sequential patterns (operators/itemsets.py:
+    sequence_pairs): "A then B within an hour" per user over the
+    events stream, cross-user support.  The oracle replays the
+    windowed self-join and once-per-user distinct in SQL."""
+    from niamoto_spark.operators.itemsets import sequence_pairs
+
+    ev = _events(spark, sf_dir)
+    return sequence_pairs(ev, "user_id", "ts_sec", "event_type",
+                          window_s=3600, min_users=2)
+
+
+O_Q222 = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_type AS ty
+  FROM events),
+tot AS (SELECT count(DISTINCT u) AS nu FROM ev),
+pairs AS (
+  SELECT DISTINCT a.u, a.ty AS type_a, b.ty AS type_b
+  FROM ev a JOIN ev b
+    ON a.u = b.u AND a.t < b.t AND b.t <= a.t + 3600)
+SELECT type_a, type_b, count(*) AS n_users,
+       round(count(*) / CAST(tot.nu AS DOUBLE), 6) AS support
+FROM pairs CROSS JOIN tot
+GROUP BY type_a, type_b, tot.nu
+HAVING count(*) >= 2
+"""
+
+
+def q223_l_diversity(spark, sf_dir):
+    """L-diversity audit (operators/quality.py: l_diversity):
+    nation × market-segment quasi-groups against the account-balance
+    sign as the sensitive attribute — the homogeneity-attack profile
+    k-anonymity misses.  Oracle: the same two-level aggregation."""
+    from niamoto_spark.operators.quality import l_diversity
+
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("bal_sign",
+                     F.when(F.col("c_acctbal") < 0, "neg")
+                     .otherwise("nonneg")))
+    return l_diversity(c, ["c_nationkey", "c_mktsegment"], "bal_sign")
+
+
+O_Q223 = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+         count(DISTINCT CASE WHEN c_acctbal < 0
+                             THEN 'neg' ELSE 'nonneg' END) AS l
+  FROM customer GROUP BY 1, 2)
+SELECT l, count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows,
+       min(n) AS min_group_size
+FROM g GROUP BY 1
+"""
+
+
+def q224_skew_report(spark, sf_dir):
+    """Hot-key diagnosis (operators/skew.py: skew_report): the
+    lineitem→part join key profiled before choosing a join strategy —
+    top-5 heaviest keys, their shares, and the straggler multiplier a
+    plain shuffle would suffer.  Oracle: the same key aggregation and
+    deterministic top-k election."""
+    from niamoto_spark.operators.skew import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_partkey", top_k=5)
+
+
+O_Q224 = """
+WITH per AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS n
+  FROM lineitem GROUP BY 1),
+t AS (
+  SELECT key, n, sum(n) OVER () AS total,
+         count(*) OVER () AS nkeys, max(n) OVER () AS mx,
+         row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM per)
+SELECT rank, key, n, round(n / CAST(total AS DOUBLE), 6) AS share,
+       round(mx / (total / CAST(nkeys AS DOUBLE)), 6) AS skew_ratio,
+       nkeys AS n_keys
+FROM t WHERE rank <= 5
 """

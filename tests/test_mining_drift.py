@@ -273,3 +273,57 @@ def test_fingerprint_duplicate_row_pair_detected(spark):
     assert fa.xor_fp == fb.xor_fp          # XOR blind spot, by design
     assert fa.sum_fp != fb.sum_fp          # sum catches it
     assert fa.n_rows != fb.n_rows
+
+
+# --- sequence_pairs / l_diversity / skew_report ----------------------------
+
+def test_sequence_pairs_window_and_once_per_user(spark):
+    from niamoto_spark.operators.itemsets import sequence_pairs
+    rows = [
+        (1, 0, "view"), (1, 10, "cart"), (1, 20, "cart"),   # view->cart once
+        (2, 0, "view"), (2, 500, "cart"),                   # outside window
+        (3, 0, "view"), (3, 30, "cart"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, ty string")
+    out = {(r["type_a"], r["type_b"]): r for r in
+           sequence_pairs(df, "u", "t", "ty", window_s=60,
+                          min_users=1).collect()}
+    # user 1 counted once despite two qualifying cart events
+    assert out[("view", "cart")]["n_users"] == 2
+    assert out[("view", "cart")]["support"] == pytest.approx(2 / 3)
+    # order matters: cart->view never happened
+    assert ("cart", "view") not in out
+
+
+def test_sequence_pairs_drops_viral_users(spark):
+    from niamoto_spark.operators.itemsets import sequence_pairs
+    rows = ([(1, t, "a") for t in range(20)]
+            + [(2, 0, "a"), (2, 1, "b")])
+    df = spark.createDataFrame(rows, "u long, t long, ty string")
+    out = sequence_pairs(df, "u", "t", "ty", window_s=60,
+                         min_users=1, max_user_events=10).collect()
+    # user 1 dropped whole; denominator is retained users (1)
+    assert {(r["type_a"], r["type_b"], r["n_users"], r["support"])
+            for r in out} == {("a", "b", 1, 1.0)}
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    from niamoto_spark.operators.quality import l_diversity
+    rows = [("g1", "x"), ("g1", "x"), ("g1", "x"),   # big but l=1
+            ("g2", "x"), ("g2", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["l"]: r for r in l_diversity(df, ["q"], "s").collect()}
+    assert out[1]["n_groups"] == 1 and out[1]["n_rows"] == 3
+    assert out[2]["n_groups"] == 1 and out[2]["min_group_size"] == 2
+
+
+def test_skew_report_ratio_and_order(spark):
+    from niamoto_spark.operators.skew import skew_report
+    rows = [("hot",)] * 8 + [("a",)] * 1 + [("b",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top_k=2).collect()
+    assert [r["key"] for r in out] == ["hot", "a"]  # count desc, key asc
+    assert out[0]["share"] == pytest.approx(0.8)
+    # max=8, avg=10/3 -> ratio 2.4
+    assert out[0]["skew_ratio"] == pytest.approx(2.4)
+    assert out[0]["n_keys"] == 3

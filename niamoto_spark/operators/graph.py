@@ -241,3 +241,40 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
                   .select("node_id", "lbl")
                   .localCheckpoint(eager=False))
     return labels.select("node_id", F.col("lbl").alias("community"))
+
+
+@register("kcore_peel", PluginType.TRANSFORMER)
+def kcore_peel(pairs: DataFrame, k: int, id_a: str = "id_a",
+               id_b: str = "id_b", rounds: int = 3) -> DataFrame:
+    """Iterative k-core peeling: repeatedly delete nodes whose degree
+    in the SURVIVING subgraph is below ``k``.  After enough rounds the
+    survivors are exactly the k-core — the standard "dense kernel"
+    extraction that strips hanger-on nodes from a similarity graph
+    before community/centrality analysis.
+
+    A fixed ``rounds`` count keeps the operator deterministic and
+    SQL-replayable (the oracle unrolls each peel).  Peeling is
+    monotone, so extra rounds past convergence are no-ops; callers
+    needing the exact fixpoint raise ``rounds`` (diameter-bounded).
+
+    Distribution: one round = degree aggregation on node id + a
+    broadcast-able semi join of edges against surviving nodes — two
+    shuffles a round on the shrinking edge set, lineage cut per round.
+    Returns surviving (node_id, degree) — degree within the core.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct())
+    for _ in range(rounds):
+        deg = (edges.groupBy("src")
+               .agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        edges = (edges.join(keep, "src", "left_semi")
+                 .join(keep.withColumnRenamed("src", "dst"),
+                       "dst", "left_semi")
+                 .localCheckpoint(eager=False))
+    return (edges.groupBy(F.col("src").alias("node_id"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .where(F.col("degree") >= k))

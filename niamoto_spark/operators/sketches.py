@@ -260,3 +260,36 @@ def histogram_quantiles(df: DataFrame, value_col: str,
     return (picked.select("q", (F.lit(lo) + F.col("bin")
                                 * F.lit(width) / F.lit(n_bins))
                           .alias("estimate"), "bin"))
+
+
+@register("sampled_group_count", PluginType.TRANSFORMER)
+def sampled_group_count(df: DataFrame, group_cols: "list[str]",
+                        key_col: str, frac: float,
+                        seed: str = "aqp",
+                        round_dp: int = 2) -> DataFrame:
+    """Approximate GROUP BY COUNT from a deterministic md5 Bernoulli
+    sample with Horvitz-Thompson inverse-probability scaling — the
+    approximate-query-processing shape for "roughly how many per
+    group" over data too big to scan interactively (scan the sample
+    partition/table instead of the corpus).
+
+    The sample membership is md5(seed|key) < frac — a pure expression,
+    so the sample is REPRODUCIBLE (same rows every run, any engine),
+    stratification-free, and pushes down to the scan as a filter.
+    est_count = n_sampled / frac is unbiased; rel. error per group is
+    ~ 1/sqrt(frac · true_count).
+
+    Returns (group_cols…, n_sampled, est_count).  Groups with no
+    sampled row are absent — the caller sees them as "≲ 1/frac".
+    """
+    key = F.col(key_col).cast("string")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), key)), 1, 13),
+        16, 10).cast("double")
+    uni = (h + 0.5) / F.lit(float(16 ** 13))
+    return (df.where(uni < frac)
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+            .withColumn("est_count",
+                        F.round(F.col("n_sampled") / F.lit(float(frac)),
+                                round_dp)))

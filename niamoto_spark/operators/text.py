@@ -1077,3 +1077,61 @@ def vocabulary_overlap(df: DataFrame, text_col: str, group_col: str,
                             / (F.col("na") + F.col("nb")
                                - F.col("n_shared")),
                             round_dp).alias("jaccard")))
+
+
+@register("readability", PluginType.TRANSFORMER)
+def readability(df: DataFrame, text_col: str,
+                round_dp: int = 4) -> DataFrame:
+    """Flesch reading-ease per document from three regexp counts —
+    words (non-space runs), sentences (.!? runs, floor 1), and the
+    vowel-group syllable heuristic ([aeiouy]+ runs):
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    The corpus-QA readability screen (too-low scores flag legalese /
+    OCR shred; absurdly high ones flag word salad).  Pure codegen —
+    three regexp_count expressions in one projection, no UDF, no
+    shuffle — and exactly replayable in SQL with the same patterns.
+    Adds (n_words, n_sentences, n_syllables, flesch); empty/whitespace
+    docs get flesch NULL.
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"\S+"))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    sylls = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    flesch = (F.lit(206.835)
+              - 1.015 * (words.cast("double") / sents)
+              - 84.6 * (sylls.cast("double") / words))
+    return (df.withColumn("n_words", words)
+            .withColumn("n_sentences", sents)
+            .withColumn("n_syllables", sylls)
+            .withColumn("flesch",
+                        F.when(words > 0, F.round(flesch, round_dp))))
+
+
+@register("gazetteer_tag", PluginType.TRANSFORMER)
+def gazetteer_tag(docs: DataFrame, id_col: str, text_col: str,
+                  terms: DataFrame, term_col: str = "term",
+                  tag_col: str = "tag") -> DataFrame:
+    """Dictionary-based entity tagging: tokenize each document and hit
+    a gazetteer (term → tag) — the broadcast-join NER-lite every
+    corpus pipeline runs for domain/brand/species tagging before
+    anything model-based.
+
+    Single-word terms, case-insensitive.  The data-sized work is one
+    tokenize + explode; the gazetteer joins as a BROADCAST hash join
+    (dictionaries are small by definition), so no shuffle touches the
+    corpus.  Returns (id, tag, n_hits, n_terms) — hits per tag with
+    the distinct matched-term count.
+    """
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(
+                            F.split(F.lower(F.col(text_col)),
+                                    r"[^a-z0-9]+")).alias("tok"))
+            .where(F.col("tok") != ""))
+    gaz = terms.select(F.lower(F.col(term_col)).alias("tok"),
+                       F.col(tag_col).alias("tag"))
+    return (toks.join(F.broadcast(gaz), "tok")
+            .groupBy("id", "tag")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.count_distinct("tok").alias("n_terms")))

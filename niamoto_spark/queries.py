@@ -1761,6 +1761,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_sequence_pairs": q222_sequence_pairs,
         "q223_l_diversity": q223_l_diversity,
         "q224_skew_report": q224_skew_report,
+        "q225_kcore": q225_kcore,
+        "q226_readability": q226_readability,
+        "q227_sampled_counts": q227_sampled_counts,
+        "q228_gazetteer": q228_gazetteer,
     }
 
 
@@ -5500,6 +5504,10 @@ def build_oracles() -> dict[str, str]:
         "q222_sequence_pairs": O_Q222,
         "q223_l_diversity": O_Q223,
         "q224_skew_report": O_Q224,
+        "q225_kcore": O_Q225,
+        "q226_readability": O_Q226,
+        "q227_sampled_counts": O_Q227,
+        "q228_gazetteer": O_Q228,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8405,4 +8413,161 @@ SELECT rank, key, n, round(n / CAST(total AS DOUBLE), 6) AS share,
        round(mx / (total / CAST(nkeys AS DOUBLE)), 6) AS skew_ratio,
        nkeys AS n_keys
 FROM t WHERE rank <= 5
+"""
+
+
+def q225_kcore(spark, sf_dir):
+    """K-core extraction (operators/graph.py: kcore_peel) on the
+    unigram-Jaccard similarity graph: 2 deterministic peel rounds at
+    k=2 strip the hanger-on nodes; the oracle unrolls both rounds
+    (degree -> keep -> edge restriction, twice) plus the final core
+    filter in SQL."""
+    from niamoto_spark.operators.graph import kcore_peel
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6,
+                                          block_col="source")
+    return kcore_peel(pairs.select("id_a", "id_b"), k=2, rounds=2)
+
+
+O_Q225 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+e0 AS (SELECT id_a AS src, id_b AS dst FROM p
+       UNION SELECT id_b, id_a FROM p),
+d1 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+k1 AS (SELECT src FROM d1 WHERE deg >= 2),
+e1 AS (SELECT e.src, e.dst FROM e0 e
+       JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+d2 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY 1),
+k2 AS (SELECT src FROM d2 WHERE deg >= 2),
+e2 AS (SELECT e.src, e.dst FROM e1 e
+       JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src)
+SELECT src AS node_id, count(*) AS degree
+FROM e2 GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q226_readability(spark, sf_dir):
+    """Flesch readability screen (operators/text.py: readability):
+    three regexp counts per document, zero UDFs; per-language
+    aggregate.  The oracle reruns the identical patterns and algebra
+    in SQL."""
+    from niamoto_spark.operators.text import readability
+
+    d = _t(spark, sf_dir, "documents")
+    r = readability(d, "text")
+    return (r.where(F.col("flesch").isNotNull())
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("flesch"), 4).alias("avg_flesch"),
+                 F.min("n_syllables").alias("min_syll"),
+                 F.max("n_words").alias("max_words")))
+
+
+O_Q226 = r"""
+WITH r AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           AS n_syllables
+  FROM documents),
+f AS (
+  SELECT lang, n_words, n_syllables,
+         round(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           AS flesch
+  FROM r WHERE n_words > 0)
+SELECT lang, count(*) AS n_docs, round(avg(flesch), 4) AS avg_flesch,
+       min(n_syllables) AS min_syll, max(n_words) AS max_words
+FROM f GROUP BY 1
+"""
+
+
+def q227_sampled_counts(spark, sf_dir):
+    """Approximate-query-processing GROUP BY (operators/sketches.py:
+    sampled_group_count): md5-deterministic 10% Bernoulli sample with
+    Horvitz-Thompson scaling.  The sample is an expression, so the
+    oracle reproduces the EXACT member set and estimates — and the
+    query also reports each group's true count to pin the estimator's
+    error on real data."""
+    from niamoto_spark.operators.sketches import sampled_group_count
+
+    o = _t(spark, sf_dir, "orders")
+    est = sampled_group_count(o, ["o_orderpriority"], "o_orderkey",
+                              frac=0.1, seed="aqp7")
+    true = (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("true_count")))
+    return est.join(true, "o_orderpriority")
+
+
+O_Q227 = """
+WITH s AS (
+  SELECT o_orderpriority
+  FROM orders
+  WHERE (CAST(('0x' || substr(md5('aqp7' || '|'
+                              || CAST(o_orderkey AS VARCHAR)), 1, 13))
+              AS UBIGINT) + 0.5) / power(16, 13) < 0.1),
+est AS (
+  SELECT o_orderpriority, count(*) AS n_sampled,
+         round(count(*) / 0.1, 2) AS est_count
+  FROM s GROUP BY 1),
+t AS (SELECT o_orderpriority, count(*) AS true_count
+      FROM orders GROUP BY 1)
+SELECT est.o_orderpriority, est.n_sampled, est.est_count, t.true_count
+FROM est JOIN t USING (o_orderpriority)
+"""
+
+
+def q228_gazetteer(spark, sf_dir):
+    """Gazetteer entity tagging (operators/text.py: gazetteer_tag):
+    a small term->tag dictionary broadcast against the tokenized
+    corpus; per-tag document hit profile.  The oracle replays the
+    tokenization and dictionary join with unnest."""
+    from niamoto_spark.operators.text import gazetteer_tag
+
+    d = _t(spark, sf_dir, "documents")
+    gaz = spark.createDataFrame(
+        [("data", "TECH"), ("model", "TECH"), ("system", "TECH"),
+         ("market", "BIZ"), ("price", "BIZ"), ("report", "BIZ")],
+        "term string, tag string")
+    tags = gazetteer_tag(d, "doc_id", "text", gaz)
+    return (tags.groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_hits").alias("total_hits"),
+                 F.max("n_terms").alias("max_terms_in_doc")))
+
+
+O_Q228 = """
+WITH gaz(term, tag) AS (
+  VALUES ('data', 'TECH'), ('model', 'TECH'), ('system', 'TECH'),
+         ('market', 'BIZ'), ('price', 'BIZ'), ('report', 'BIZ')),
+toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+')) AS tok
+  FROM documents),
+hits AS (
+  SELECT t.id, g.tag, t.tok
+  FROM toks t JOIN gaz g ON t.tok = g.term
+  WHERE t.tok <> ''),
+per AS (
+  SELECT id, tag, count(*) AS n_hits,
+         count(DISTINCT tok) AS n_terms
+  FROM hits GROUP BY 1, 2)
+SELECT tag, count(*) AS n_docs, CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       max(n_terms) AS max_terms_in_doc
+FROM per GROUP BY 1
 """

@@ -190,3 +190,24 @@ def test_lpa_deterministic_tie_break(spark):
            for r in label_propagation(df, iters=1).collect()}
     assert out[5] == 1
     assert out[1] == out[2] == out[3] == out[4] == 5
+
+
+# --- k-core peeling --------------------------------------------------------
+
+def test_kcore_strips_pendant_chain(spark):
+    from niamoto_spark.operators.graph import kcore_peel
+    # triangle 1-2-3 (the 2-core) with pendant chain 3-4-5
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node_id"]: r["degree"]
+           for r in kcore_peel(df, k=2, rounds=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(d == 2 for d in out.values())
+
+
+def test_kcore_empty_when_no_core(spark):
+    from niamoto_spark.operators.graph import kcore_peel
+    # a path has no 2-core
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    assert kcore_peel(df, k=2, rounds=3).count() == 0

@@ -327,3 +327,45 @@ def test_skew_report_ratio_and_order(spark):
     # max=8, avg=10/3 -> ratio 2.4
     assert out[0]["skew_ratio"] == pytest.approx(2.4)
     assert out[0]["n_keys"] == 3
+
+
+def test_readability_hand_computed(spark):
+    from niamoto_spark.operators.text import readability
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "   ")],
+        "id long, text string")
+    out = {r["id"]: r for r in readability(df, "text").collect()}
+    r = out[1]
+    # words=6, sentences=2, syllable groups: e,a,a,e,o,a -> 6
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert r["flesch"] == pytest.approx(round(expect, 4))
+    assert out[2]["flesch"] is None
+
+
+def test_sampled_group_count_deterministic_and_scaled(spark):
+    from niamoto_spark.operators.sketches import sampled_group_count
+    df = spark.range(0, 2000).withColumn(
+        "g", (F.col("id") % 2 == 0).cast("string"))
+    a = sampled_group_count(df, ["g"], "id", frac=0.2).collect()
+    b = sampled_group_count(df, ["g"], "id", frac=0.2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    for r in a:
+        assert r["est_count"] == pytest.approx(r["n_sampled"] / 0.2)
+        # HT estimate lands near the true 1000 per group
+        assert 600 < r["est_count"] < 1400
+
+
+def test_gazetteer_tag_counts(spark):
+    from niamoto_spark.operators.text import gazetteer_tag
+    docs = spark.createDataFrame(
+        [(1, "Data, data everywhere - the MODEL works"),
+         (2, "no relevant words here")],
+        "doc_id long, text string")
+    gaz = spark.createDataFrame(
+        [("data", "TECH"), ("model", "TECH")], "term string, tag string")
+    out = {(r["id"], r["tag"]): r
+           for r in gazetteer_tag(docs, "doc_id", "text", gaz).collect()}
+    assert out[(1, "TECH")]["n_hits"] == 3     # data x2 + model
+    assert out[(1, "TECH")]["n_terms"] == 2
+    assert (2, "TECH") not in out

@@ -138,3 +138,32 @@ def permutation_test(df: DataFrame, variant_col: str, value_col: str,
             .withColumn("p_value",
                         F.round((F.col("n_ge") + 1)
                                 / F.lit(float(n_perms + 1)), 6)))
+
+
+@register("uplift_by_segment", PluginType.TRANSFORMER)
+def uplift_by_segment(df: DataFrame, variant_col: str, treatment: str,
+                      outcome_col: str, segment_col: str,
+                      round_dp: int = 6) -> DataFrame:
+    """Heterogeneous treatment effect by segment (two-model/T-learner
+    difference of observed rates): per segment, the treated and
+    control outcome rates and their difference — where an experiment's
+    average effect hides opposite-signed subgroups.
+
+    One aggregation on (segment, arm) then a per-segment pivot of the
+    two arms — exact integer counts, no model fit, fully
+    SQL-replayable.  Returns (segment, n_treat, n_ctrl, rate_treat,
+    rate_ctrl, uplift)."""
+    y = F.col(outcome_col).cast("double")
+    is_t = F.col(variant_col) == treatment
+    per = (df.groupBy(F.col(segment_col).alias("segment"))
+           .agg(F.sum(is_t.cast("long")).alias("n_treat"),
+                F.sum((~is_t).cast("long")).alias("n_ctrl"),
+                F.sum(F.when(is_t, y).otherwise(0)).alias("__st"),
+                F.sum(F.when(~is_t, y).otherwise(0)).alias("__sc")))
+    rt = F.col("__st") / F.col("n_treat")
+    rc = F.col("__sc") / F.col("n_ctrl")
+    return (per.where((F.col("n_treat") > 0) & (F.col("n_ctrl") > 0))
+            .select("segment", "n_treat", "n_ctrl",
+                    F.round(rt, round_dp).alias("rate_treat"),
+                    F.round(rc, round_dp).alias("rate_ctrl"),
+                    F.round(rt - rc, round_dp).alias("uplift")))

@@ -159,3 +159,51 @@ def gains_table(df: DataFrame, score_col: str, label_col: str,
                     F.when((tot_pos > 0) & (cum_n > 0),
                            (cum_pos / cum_n) / (tot_pos / tot_n))
                     .alias("cum_lift")))
+
+
+@register("conformal_interval", PluginType.TRANSFORMER)
+def conformal_interval(df: DataFrame, pred_col: str, actual_col: str,
+                       id_col: str, alpha: float = 0.1,
+                       cal_frac: float = 0.5, seed: str = "conf",
+                       round_dp: int = 4) -> DataFrame:
+    """Split-conformal prediction interval with finite-sample
+    guarantee: an md5-deterministic calibration split supplies the
+    |actual − pred| residuals, q̂ is the ⌈(n+1)(1−α)⌉-th SMALLEST
+    residual (exact order statistic, tie-broken by id), and the test
+    split reports empirical coverage of pred ± q̂ — which the
+    conformal theorem lower-bounds by 1−α regardless of the model.
+
+    Distribution: the split is a pure md5 expression (reproducible,
+    pushes to the scan); the order statistic is ONE window rank over
+    the calibration rows' residual column; coverage is one aggregate.
+    Returns ONE row: (n_cal, n_test, qhat, coverage, alpha).
+    """
+    from pyspark.sql import Window
+
+    key = F.col(id_col).cast("string")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), key)), 1, 13),
+        16, 10).cast("double")
+    uni = (h + 0.5) / F.lit(float(16 ** 13))
+    base = (df.withColumn("__cal", uni < cal_frac)
+            .withColumn("__r", F.abs(F.col(actual_col)
+                                     - F.col(pred_col))))
+    cal = base.where(F.col("__cal"))
+    n_cal = cal.count()
+    if n_cal == 0:
+        raise ValueError("conformal_interval: empty calibration split")
+    import math as _m
+
+    k = min(int(_m.ceil((n_cal + 1) * (1.0 - alpha))), n_cal)
+    wr = Window.orderBy(F.col("__r").asc(), F.col(id_col).asc())
+    qhat = (cal.select("__r", id_col)
+            .withColumn("__rn", F.row_number().over(wr))
+            .where(F.col("__rn") == k).select("__r").first()[0])
+    test = base.where(~F.col("__cal"))
+    return (test.agg(
+        F.lit(n_cal).alias("n_cal"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.lit(float(qhat)), round_dp).alias("qhat"),
+        F.round(F.avg((F.col("__r") <= F.lit(float(qhat)))
+                      .cast("double")), round_dp).alias("coverage"),
+        F.lit(float(alpha)).alias("alpha")))

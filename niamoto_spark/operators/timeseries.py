@@ -444,3 +444,47 @@ def cohort_ltv(orders: DataFrame, customer_col: str, month_expr,
                     (F.sum("revenue").over(w).cast("double")
                      / F.col("cohort_size"))
                     .alias("cum_revenue_per_customer")))
+
+
+@register("stl_decompose", PluginType.TRANSFORMER)
+def stl_decompose(df: DataFrame, key_col: str, order_col: str,
+                  value_col: str, period: int,
+                  trend_window: int = 3,
+                  round_dp: int = 4) -> DataFrame:
+    """Additive seasonal-trend decomposition (the moving-average
+    classical decomposition — STL's shape without loess):
+
+        trend_i    = centered moving average (±trend_window rows)
+        seasonal_p = mean(value − trend) per season phase (i mod
+                     period), centered to sum ≈ 0 per key
+        residual_i = value − trend − seasonal
+
+    the anomaly-detection prep step: a spike is judged against
+    trend+seasonal, not the raw series.  Deterministic (window
+    averages, no fitting loop) and exactly SQL-replayable.
+
+    Distribution: every window/aggregate is partitioned by the series
+    key — thousands of series decompose in parallel with one shuffle
+    on the key; no global window, no driver state.  Edge rows use the
+    partial window (standard MA convention).
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(-trend_window, trend_window))
+    trend = F.avg(F.col(value_col)).over(w)
+    phase = F.pmod(F.col(order_col), F.lit(period))
+    base = (df.withColumn("__trend", trend)
+            .withColumn("__phase", phase)
+            .withColumn("__det", F.col(value_col) - F.col("__trend")))
+    ws = Window.partitionBy(key_col, "__phase")
+    wk = Window.partitionBy(key_col)
+    seas_raw = F.avg("__det").over(ws)
+    base = base.withColumn("__sraw", seas_raw)
+    seas = F.col("__sraw") - F.avg("__sraw").over(wk)
+    return (base.withColumn("seasonal", F.round(seas, round_dp))
+            .withColumn("trend", F.round(F.col("__trend"), round_dp))
+            .withColumn("residual",
+                        F.round(F.col(value_col) - F.col("__trend")
+                                - seas, round_dp))
+            .drop("__trend", "__det", "__phase", "__sraw"))

@@ -1765,6 +1765,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_readability": q226_readability,
         "q227_sampled_counts": q227_sampled_counts,
         "q228_gazetteer": q228_gazetteer,
+        "q229_hidden_partitioning": q229_hidden_partitioning,
+        "q230_stl_decompose": q230_stl_decompose,
+        "q231_conformal": q231_conformal,
+        "q232_uplift": q232_uplift,
     }
 
 
@@ -5508,6 +5512,10 @@ def build_oracles() -> dict[str, str]:
         "q226_readability": O_Q226,
         "q227_sampled_counts": O_Q227,
         "q228_gazetteer": O_Q228,
+        "q229_hidden_partitioning": O_Q229,
+        "q230_stl_decompose": O_Q230,
+        "q231_conformal": O_Q231,
+        "q232_uplift": O_Q232,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8570,4 +8578,178 @@ per AS (
 SELECT tag, count(*) AS n_docs, CAST(sum(n_hits) AS BIGINT) AS total_hits,
        max(n_terms) AS max_terms_in_doc
 FROM per GROUP BY 1
+"""
+
+
+def q229_hidden_partitioning(spark, sf_dir):
+    """Iceberg-style hidden partitioning (sources/manifest.py:
+    append_hidden_partitioned / read_hidden_range): events laid out by
+    day(ts) with per-file partition values in the commit doc; a raw
+    timestamp range query prunes to the covered days' files without
+    opening the rest, then applies the exact residual filter.  The
+    query asserts real pruning happened; the oracle is the plain
+    range filter."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_hidp_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ev = (_events(spark, sf_dir)
+          .select("event_id", "user_id", "event_type", "value",
+                  F.timestamp_micros(F.col("ts_us")).alias("ts")))
+    M.append_hidden_partitioned(ev, path, ("day", "ts"))
+    df, kept, total = M.read_hidden_range(
+        spark, path, "2024-01-10", "2024-01-14 23:59:59.999999")
+    assert kept < total, "day pruning must skip files"
+    return (df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum")))
+
+
+O_Q229 = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'
+GROUP BY 1
+"""
+
+
+def q230_stl_decompose(spark, sf_dir):
+    """Classical seasonal-trend decomposition (operators/timeseries.py:
+    stl_decompose): per-event-type daily value series split into
+    trend (±3-day centered MA), weekly seasonal, residual — every
+    window partitioned by series key.  The oracle replays the MA,
+    phase means and centering exactly."""
+    from niamoto_spark.operators.timeseries import stl_decompose
+
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.floor(F.col("ts_sec") / 86400)
+                        .cast("long").alias("day"))
+             .agg(F.round(F.sum("value"), 4).alias("v")))
+    out = stl_decompose(daily, "event_type", "day", "v",
+                        period=7, trend_window=3)
+    return out.select("event_type", "day", "v", "trend",
+                      "seasonal", "residual")
+
+
+O_Q230 = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+           AS day,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, day, v,
+         avg(v) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend,
+         day % 7 AS phase
+  FROM daily),
+s AS (
+  SELECT *, avg(v - trend) OVER (PARTITION BY event_type, phase)
+              AS sraw
+  FROM t),
+c AS (
+  SELECT *, sraw - avg(sraw) OVER (PARTITION BY event_type) AS seas
+  FROM s)
+SELECT event_type, day, v, round(trend, 4) AS trend,
+       round(seas, 4) AS seasonal,
+       round(v - trend - seas, 4) AS residual
+FROM c
+"""
+
+
+def q231_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals (operators/mleval.py:
+    conformal_interval): a per-priority mean model, md5 calibration
+    split, exact order-statistic q̂, and test-split coverage ≥ 1−α by
+    the conformal guarantee.  The oracle replays the split, the rank
+    selection and the coverage aggregate."""
+    from niamoto_spark.operators.mleval import conformal_interval
+
+    o = _t(spark, sf_dir, "orders")
+    model = (o.groupBy("o_orderpriority")
+             .agg(F.round(F.avg("o_totalprice"), 4).alias("pred")))
+    scored = o.join(model, "o_orderpriority")
+    return conformal_interval(scored, "pred", "o_totalprice",
+                              "o_orderkey", alpha=0.1)
+
+
+O_Q231 = """
+WITH model AS (
+  SELECT o_orderpriority, round(avg(o_totalprice), 4) AS pred
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT o.o_orderkey AS id, m.pred, o.o_totalprice AS actual,
+         (CAST(('0x' || substr(md5('conf' || '|'
+                               || CAST(o.o_orderkey AS VARCHAR)), 1, 13))
+               AS UBIGINT) + 0.5) / power(16, 13) < 0.5 AS is_cal,
+         abs(o.o_totalprice - m.pred) AS r
+  FROM orders o JOIN model m USING (o_orderpriority)),
+cal AS (SELECT * FROM scored WHERE is_cal),
+nc AS (SELECT count(*) AS n_cal FROM cal),
+q AS (
+  SELECT r AS qhat FROM (
+    SELECT r, row_number() OVER (ORDER BY r ASC, id ASC) AS rn
+    FROM cal) x CROSS JOIN nc
+  WHERE rn = least(CAST(ceil((nc.n_cal + 1) * 0.9) AS BIGINT),
+                   nc.n_cal))
+SELECT nc.n_cal, count(*) AS n_test, round(q.qhat, 4) AS qhat,
+       round(avg(CASE WHEN t.r <= q.qhat THEN 1.0 ELSE 0.0 END), 4)
+         AS coverage,
+       CAST(0.1 AS DOUBLE) AS alpha
+FROM scored t CROSS JOIN q CROSS JOIN nc
+WHERE NOT t.is_cal
+GROUP BY nc.n_cal, q.qhat
+"""
+
+
+def q232_uplift(spark, sf_dir):
+    """Segment-level uplift (operators/experiments.py:
+    uplift_by_segment): urgent-priority orders as the pseudo-treatment
+    arm, high-value outcome, customer market segment as the subgroup
+    axis — the heterogeneous-effect readout behind every targeting
+    decision.  The oracle replays the (segment, arm) aggregation and
+    rate algebra."""
+    from niamoto_spark.operators.experiments import uplift_by_segment
+
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")))
+    c = _t(spark, sf_dir, "customer")
+    df = (o.join(c, o.o_custkey == c.c_custkey)
+          .withColumn("converted",
+                      (F.col("o_totalprice") > 200000).cast("int")))
+    return uplift_by_segment(df, "o_orderpriority", "1-URGENT",
+                             "converted", "c_mktsegment")
+
+
+O_Q232 = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         o.o_orderpriority = '1-URGENT' AS is_t,
+         CASE WHEN o.o_totalprice > 200000 THEN 1.0 ELSE 0.0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')),
+per AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_ctrl,
+         sum(CASE WHEN is_t THEN y ELSE 0 END) AS st,
+         sum(CASE WHEN is_t THEN 0 ELSE y END) AS sc
+  FROM base GROUP BY 1)
+SELECT segment, n_treat, n_ctrl,
+       round(st / n_treat, 6) AS rate_treat,
+       round(sc / n_ctrl, 6) AS rate_ctrl,
+       round(st / n_treat - sc / n_ctrl, 6) AS uplift
+FROM per WHERE n_treat > 0 AND n_ctrl > 0
 """

@@ -1078,3 +1078,158 @@ def wap_abandon(path: str, branch: str) -> None:
     os.remove(bpath)
     for d in {os.path.dirname(f) for f in doc.get("new_files", [])}:
         _sh.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg-style partition transforms)
+# ---------------------------------------------------------------------------
+
+def _ptransform_expr(transform: tuple):
+    """Partition-value expression for a transform spec:
+    ('day', col)           -> days since epoch (int) of a date/timestamp
+    ('bucket', n, col)     -> md5-derived bucket in [0, n)
+    ('trunc', w, col)      -> floor(col / w) * w for numerics
+    md5 (not xxhash64) for bucket so a DRIVER can compute the probe
+    value with hashlib and prune without starting a job."""
+    kind = transform[0]
+    if kind == "day":
+        return F.datediff(F.col(transform[1]).cast("date"),
+                          F.lit("1970-01-01").cast("date"))
+    if kind == "bucket":
+        n, col = transform[1], transform[2]
+        h = F.conv(F.substring(
+            F.md5(F.col(col).cast("string")), 1, 13), 16, 10)
+        return F.pmod(h.cast("long"), F.lit(int(n))).cast("int")
+    if kind == "trunc":
+        w, col = transform[1], transform[2]
+        return (F.floor(F.col(col) / F.lit(w)) * F.lit(w)).cast("long")
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def bucket_of(value, n: int) -> int:
+    """Driver-side replica of the 'bucket' transform (md5 of the
+    string form, first 13 hex digits, mod n) — used to prune point
+    lookups without a Spark job."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()[:13]
+    return int(h, 16) % int(n)
+
+
+def append_hidden_partitioned(df: DataFrame, path: str,
+                              transform: tuple) -> int:
+    """Append with HIDDEN partitioning: rows are laid out by a
+    TRANSFORM of a source column (day(ts), bucket(n, key), trunc(w,
+    col)) and the per-file partition value is recorded in the commit
+    document — Iceberg's core idea.  Readers keep querying the RAW
+    column; ``read_hidden_range`` / ``read_hidden_point`` translate
+    the predicate into the transform domain and skip whole files, so
+    nobody ever writes ``WHERE dt = '2024-01-03'`` boilerplate or
+    forgets the partition column.
+
+    The write shuffles on the partition value (one Exchange) so each
+    partition value lands in few files; at 100 TB this is the layout
+    that turns a time-range or key-point query from a full scan into
+    a per-partition read.
+    """
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    (df.withColumn("__p", _ptransform_expr(transform))
+     .repartition("__p")
+     .write.partitionBy("__p").mode("overwrite").parquet(staging))
+    files, pvals = [], {}
+    for d in os.listdir(staging):
+        if not d.startswith("__p="):
+            continue
+        v = d.split("=", 1)[1]
+        pv = None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
+        for f in os.listdir(os.path.join(staging, d)):
+            if f.endswith(".parquet"):
+                fp = os.path.join(staging, d, f)
+                files.append(fp)
+                pvals[fp] = pv
+    parent, head = _writer_head(path)
+    prev_files = head.get("files", [])
+    prev_pvals = head.get("pvals", {})
+    prev_tf = head.get("ptransform")
+    tf_doc = list(transform)
+    if prev_tf is not None and prev_tf != tf_doc:
+        raise ValueError(
+            f"partition transform changed {prev_tf} -> {tf_doc}; "
+            "write a new table (or compact) to change layout")
+    _commit_doc(path, parent + 1,
+                {"parent": parent, "files": sorted(prev_files + files),
+                 "pvals": {**prev_pvals, **pvals},
+                 "ptransform": tf_doc})
+    return parent + 1
+
+
+def _hidden_doc(path: str):
+    v = committed_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    doc = _read_manifest(path, v)
+    if "ptransform" not in doc:
+        raise ValueError(f"{path} is not hidden-partitioned")
+    return doc
+
+
+def read_hidden_range(spark: SparkSession, path: str,
+                      lo, hi) -> tuple:
+    """(DataFrame, files_kept, files_total) for raw-column predicate
+    ``lo <= col <= hi`` against a day/trunc-partitioned table: the
+    bound is mapped into the transform domain, files outside are
+    skipped WITHOUT opening them, and the exact residual filter is
+    applied to survivors (the transform is coarser than the
+    predicate).  Files with unknown partition value are always kept
+    (correctness over pruning)."""
+    import datetime as _dt
+
+    doc = _hidden_doc(path)
+    tf = doc["ptransform"]
+    if tf[0] == "day":
+        def to_p(x):
+            if isinstance(x, str):
+                x = _dt.date.fromisoformat(x[:10])
+            if isinstance(x, _dt.datetime):
+                x = x.date()
+            return (x - _dt.date(1970, 1, 1)).days
+        col = tf[1]
+    elif tf[0] == "trunc":
+        w = tf[1]
+
+        def to_p(x):
+            return (int(x) // w) * w
+        col = tf[2]
+    else:
+        raise ValueError("read_hidden_range: use read_hidden_point "
+                         "for bucket-partitioned tables")
+    plo, phi = to_p(lo), to_p(hi)
+    pvals = doc.get("pvals", {})
+    kept = [f for f in doc["files"]
+            if pvals.get(f) is None or plo <= pvals[f] <= phi]
+    df = (spark.read.parquet(*kept)
+          .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+          if kept else
+          spark.createDataFrame([], "dummy string").limit(0))
+    return df, len(kept), len(doc["files"])
+
+
+def read_hidden_point(spark: SparkSession, path: str, value) -> tuple:
+    """(DataFrame, files_kept, files_total) for ``col = value`` on a
+    bucket-partitioned table: the probe value's bucket is computed
+    driver-side (``bucket_of``) and only that bucket's files are
+    read; the exact equality filter removes in-bucket collisions."""
+    doc = _hidden_doc(path)
+    tf = doc["ptransform"]
+    if tf[0] != "bucket":
+        raise ValueError("read_hidden_point needs a bucket transform")
+    n, col = tf[1], tf[2]
+    b = bucket_of(value, n)
+    pvals = doc.get("pvals", {})
+    kept = [f for f in doc["files"]
+            if pvals.get(f) is None or pvals[f] == b]
+    df = (spark.read.parquet(*kept).where(F.col(col) == F.lit(value))
+          if kept else
+          spark.createDataFrame([], "dummy string").limit(0))
+    return df, len(kept), len(doc["files"])

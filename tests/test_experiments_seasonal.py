@@ -122,3 +122,51 @@ class TestAbTests:
         assert ab_proportion_test(
             df, "variant", "conv", "control", "treatment"
         ).first()["z"] == 0.0
+
+
+# --- stl_decompose / conformal_interval / uplift_by_segment ----------------
+
+def test_stl_recovers_planted_seasonality(spark):
+    from niamoto_spark.operators.timeseries import stl_decompose
+    # flat trend 100 + weekly bump of +7 on phase 0, 28 days
+    rows = [("s", d, 100.0 + (7.0 if d % 7 == 0 else 0.0))
+            for d in range(28)]
+    df = spark.createDataFrame(rows, "k string, day long, v double")
+    out = {r["day"]: r for r in
+           stl_decompose(df, "k", "day", "v", period=7,
+                         trend_window=3).collect()}
+    # interior phase-0 day: seasonal component captures most of the
+    # bump, residual is small
+    assert out[14]["seasonal"] > 4.0
+    assert abs(out[14]["residual"]) < 2.0
+    # seasonal sums to ~0 across one period of interior days
+    s = sum(out[d]["seasonal"] for d in range(7, 14))
+    assert abs(s) < 1.0
+
+
+def test_conformal_coverage_guarantee(spark):
+    import pyspark.sql.functions as F
+    from niamoto_spark.operators.mleval import conformal_interval
+    # pred = 0, actual = id % 100: residuals uniform on 0..99
+    df = (spark.range(0, 2000)
+          .withColumn("pred", F.lit(0.0))
+          .withColumn("actual", (F.col("id") % 100).cast("double")))
+    r = conformal_interval(df, "pred", "actual", "id",
+                           alpha=0.2).collect()[0]
+    assert r["n_cal"] + r["n_test"] == 2000
+    # the 80th-percentile-ish residual and coverage >= 1 - alpha - noise
+    assert 70 <= r["qhat"] <= 90
+    assert r["coverage"] >= 0.75
+
+
+def test_uplift_by_segment_hand_counts(spark):
+    from niamoto_spark.operators.experiments import uplift_by_segment
+    rows = [("T", "a", 1), ("T", "a", 1), ("C", "a", 0), ("C", "a", 1),
+            ("T", "b", 0), ("C", "b", 1)]
+    df = spark.createDataFrame(rows, "arm string, seg string, y int")
+    out = {r["segment"]: r for r in
+           uplift_by_segment(df, "arm", "T", "y", "seg").collect()}
+    assert out["a"]["rate_treat"] == 1.0
+    assert out["a"]["rate_ctrl"] == 0.5
+    assert out["a"]["uplift"] == 0.5
+    assert out["b"]["uplift"] == -1.0

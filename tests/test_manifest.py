@@ -644,3 +644,50 @@ def test_wap_overwrite_mode(spark, tmp_path):
     assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
         == [100, 101, 102]
     assert M.read_table(spark, t, version=0).count() == 10
+
+
+# --- hidden partitioning ---------------------------------------------------
+
+def test_hidden_day_partition_prunes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = (spark.range(0, 20)
+          .withColumn("ts", F.expr(
+              "timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0)")))
+    M.append_hidden_partitioned(df, t, ("day", "ts"))
+    out, kept, total = M.read_hidden_range(
+        spark, t, "2024-01-05", "2024-01-07 23:59:59")
+    assert total == 20 and kept == 3
+    assert sorted(r["id"] for r in out.collect()) == [4, 5, 6]
+
+
+def test_hidden_bucket_point_lookup(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).withColumn("k", F.col("id"))
+    M.append_hidden_partitioned(df, t, ("bucket", 8, "k"))
+    out, kept, total = M.read_hidden_point(spark, t, 42)
+    assert kept < total            # only the probe's bucket read
+    assert [r["k"] for r in out.collect()] == [42]
+    # driver-side bucket agrees with the JVM layout
+    assert M.bucket_of(42, 8) < 8
+
+
+def test_hidden_trunc_partition(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).withColumn("v", F.col("id"))
+    M.append_hidden_partitioned(df, t, ("trunc", 25, "v"))
+    out, kept, total = M.read_hidden_range(spark, t, 30, 60)
+    assert total == 4 and kept == 2
+    assert out.count() == 31
+
+
+def test_hidden_transform_change_rejected(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 10).withColumn("v", F.col("id"))
+    M.append_hidden_partitioned(df, t, ("trunc", 5, "v"))
+    with pytest.raises(ValueError, match="transform changed"):
+        M.append_hidden_partitioned(df, t, ("trunc", 2, "v"))
+    # same transform appends fine and accumulates pruning metadata
+    M.append_hidden_partitioned(df, t, ("trunc", 5, "v"))
+    out, kept, total = M.read_hidden_range(spark, t, 0, 4)
+    assert total == 4 and kept == 2
+    assert out.count() == 10

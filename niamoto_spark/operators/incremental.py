@@ -123,3 +123,69 @@ def maintain_aggregate(spark: SparkSession, source_path: str,
 def read_aggregate(spark: SparkSession, state_path: str) -> DataFrame:
     """The maintained aggregate (current snapshot of the state table)."""
     return M.read_table(spark, state_path)
+
+
+@register("maintain_join", PluginType.TRANSFORMER)
+def maintain_join(spark: SparkSession, left_path: str, right_path: str,
+                  state_path: str, on: "list[str] | str") -> int:
+    """Incremental INNER-join view maintenance over two append-only
+    manifest tables — the delta algebra
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    (the ΔA ⋈ ΔB cross term is inside the first factor because B_new
+    already contains ΔB).  Only delta-sized joins run; the accumulated
+    join result is APPENDED to, never recomputed — at 100 TB the fact
+    history is touched zero times per maintenance run.
+
+    Both source watermarks ride in the state commit document, so a
+    crash between runs re-reads the same deltas into the same result
+    (idempotent, same contract as ``maintain_aggregate``).  Sources
+    that dropped files since the watermark (overwrite / compaction /
+    DML) raise — append-only is what makes the algebra exact.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lv = M.committed_version(left_path)
+    rv = M.committed_version(right_path)
+    if lv < 0 or rv < 0:
+        raise FileNotFoundError("maintain_join: both sources must have "
+                                "a committed snapshot")
+    state_v = M.current_version(state_path)
+    if state_v >= 0:
+        doc = M._read_manifest(state_path, state_v)
+        last_lv = int(doc.get("left_version", -1))
+        last_rv = int(doc.get("right_version", -1))
+    else:
+        last_lv = last_rv = -1
+    if lv <= last_lv and rv <= last_rv:
+        return state_v
+    for path, last in ((left_path, last_lv), (right_path, last_rv)):
+        if last >= 0:
+            old = set(M._read_manifest(path, last)["files"])
+            new = set(M._read_manifest(
+                path, M.committed_version(path))["files"])
+            if old - new:
+                raise ValueError(
+                    f"maintain_join: {path} dropped files since "
+                    f"version {last}; append-only sources required — "
+                    "rebuild the state from scratch")
+
+    b_new = M.read_table(spark, right_path)
+    parts = []
+    if lv > last_lv:
+        parts.append(M.table_changes(spark, left_path, last_lv, lv)
+                     .join(b_new, keys))
+    if rv > last_rv:
+        a_old = (M.read_table(spark, left_path, version=last_lv)
+                 if last_lv >= 0 else None)
+        db = M.table_changes(spark, right_path, last_rv, rv)
+        if a_old is not None:
+            parts.append(a_old.join(db, keys))
+    if not parts:
+        return state_v
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    return M.append(delta, state_path,
+                    extra_meta={"left_version": lv,
+                                "right_version": rv})

@@ -83,3 +83,38 @@ def recommend_topn(similarity: DataFrame, n: int = 5) -> DataFrame:
                                            F.col("neighbor").asc())
     return (sym.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= n))
+
+
+@register("audience_overlap", PluginType.TRANSFORMER)
+def audience_overlap(df: DataFrame, user_col: str, segment_col: str,
+                     round_dp: int = 6) -> DataFrame:
+    """Audience overlap matrix: for every segment pair, how many users
+    belong to BOTH and the Jaccard overlap — the bitmap-intersection
+    query behind audience planning and segment dedup, expressed as a
+    per-user self-join (no bitmaps needed: distinct member rows ARE
+    the bitmap, and Spark's hash join intersects them).
+
+    Cost: the self-join is keyed on the USER (co-partitioned, one
+    shuffle); a user in s segments contributes C(s,2)+s pairs, so the
+    fan-out is bounded by segments-per-user (small), never by segment
+    size.  Segment sizes broadcast back onto the (tiny) pair table.
+    Returns (seg_a, seg_b, n_both, n_a, n_b, jaccard) with
+    seg_a <= seg_b (the diagonal rows carry the segment sizes)."""
+    m = (df.select(F.col(user_col).alias("u"),
+                   F.col(segment_col).alias("s")).distinct())
+    sizes = m.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (a.join(b, (F.col("a.u") == F.col("b.u"))
+                    & (F.col("a.s") <= F.col("b.s")))
+             .groupBy(F.col("a.s").alias("seg_a"),
+                      F.col("b.s").alias("seg_b"))
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    out = (pairs
+           .join(F.broadcast(sizes.withColumnRenamed("s", "seg_a")
+                             .withColumnRenamed("n", "n_a")), "seg_a")
+           .join(F.broadcast(sizes.withColumnRenamed("s", "seg_b")
+                             .withColumnRenamed("n", "n_b")), "seg_b"))
+    jac = (F.col("n_both")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
+    return out.select("seg_a", "seg_b", "n_both", "n_a", "n_b",
+                      F.round(jac, round_dp).alias("jaccard"))

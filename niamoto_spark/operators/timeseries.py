@@ -488,3 +488,33 @@ def stl_decompose(df: DataFrame, key_col: str, order_col: str,
                         F.round(F.col(value_col) - F.col("__trend")
                                 - seas, round_dp))
             .drop("__trend", "__det", "__phase", "__sraw"))
+
+
+@register("decayed_trending", PluginType.TRANSFORMER)
+def decayed_trending(df: DataFrame, key_col: str, ts_col: str,
+                     half_life_s: float, ref_ts: float,
+                     top_k: int = 10, weight_col: str | None = None,
+                     round_dp: int = 6) -> DataFrame:
+    """Exponentially time-decayed popularity ("trending now"): each
+    event contributes ``w · 2^(−age/half_life)`` to its key's score,
+    so yesterday's viral item decays under today's steady riser — the
+    recency-weighted leaderboard behind trending feeds, as one
+    aggregation (the decay is a row-local expression; no window, no
+    state).  ``ref_ts`` is pinned by the caller, not now(), so the
+    score is reproducible.
+
+    Deterministic top-k (score desc, key asc) via
+    TakeOrderedAndProject.  Returns (rank, key, n_events, score)."""
+    from pyspark.sql import Window
+
+    age = F.lit(float(ref_ts)) - F.col(ts_col).cast("double")
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    decay = w * F.pow(F.lit(2.0), -age / F.lit(float(half_life_s)))
+    scored = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum(decay), round_dp).alias("score")))
+    rk = Window.orderBy(F.col("score").desc(), F.col("key").asc())
+    return (scored.withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= top_k)
+            .select("rank", "key", "n_events", "score"))

@@ -1769,6 +1769,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_stl_decompose": q230_stl_decompose,
         "q231_conformal": q231_conformal,
         "q232_uplift": q232_uplift,
+        "q233_maintain_join": q233_maintain_join,
+        "q234_audience_overlap": q234_audience_overlap,
+        "q235_trending": q235_trending,
     }
 
 
@@ -5516,6 +5519,9 @@ def build_oracles() -> dict[str, str]:
         "q230_stl_decompose": O_Q230,
         "q231_conformal": O_Q231,
         "q232_uplift": O_Q232,
+        "q233_maintain_join": O_Q233,
+        "q234_audience_overlap": O_Q234,
+        "q235_trending": O_Q235,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8752,4 +8758,107 @@ SELECT segment, n_treat, n_ctrl,
        round(sc / n_ctrl, 6) AS rate_ctrl,
        round(st / n_treat - sc / n_ctrl, 6) AS uplift
 FROM per WHERE n_treat > 0 AND n_ctrl > 0
+"""
+
+
+def q233_maintain_join(spark, sf_dir):
+    """Incremental JOIN-view maintenance (operators/incremental.py:
+    maintain_join): orders⋈customer kept up to date across two append
+    rounds on BOTH sides via the delta algebra ΔA⋈B_new ∪ A_old⋈ΔB —
+    the fact history is never rejoined.  The oracle is the one-shot
+    full join: the maintained state must agree exactly."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.operators.incremental import maintain_join
+    from niamoto_spark.sources import manifest as M
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_mj_" + sf_dir.strip("/").replace("/", "_"))
+    lp, rp, sp = base + "_l", base + "_r", base + "_s"
+    for p in (lp, rp, sp):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment")
+
+    M.append(o.where(F.col("o_orderkey") % 3 != 0), lp)
+    M.append(c.where(F.col("custkey") % 2 == 0), rp)
+    maintain_join(spark, lp, rp, sp, on="custkey")
+    M.append(o.where(F.col("o_orderkey") % 3 == 0), lp)
+    M.append(c.where(F.col("custkey") % 2 == 1), rp)
+    maintain_join(spark, lp, rp, sp, on="custkey")
+
+    return (M.read_table(spark, sp)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+O_Q233 = """
+SELECT c.c_mktsegment, count(*) AS n_rows,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q234_audience_overlap(spark, sf_dir):
+    """Segment overlap matrix (operators/recsys.py: audience_overlap):
+    customers grouped into priority-based audiences; pairwise
+    intersection sizes and Jaccard via the user-keyed self-join (the
+    set-intersection query bitmap indexes exist for).  Oracle: the
+    same distinct-membership self-join in SQL."""
+    from niamoto_spark.operators.recsys import audience_overlap
+
+    o = _t(spark, sf_dir, "orders")
+    return audience_overlap(o, "o_custkey", "o_orderpriority")
+
+
+O_Q234 = """
+WITH m AS (SELECT DISTINCT o_custkey AS u, o_orderpriority AS s
+           FROM orders),
+sizes AS (SELECT s, count(*) AS n FROM m GROUP BY 1),
+pairs AS (
+  SELECT a.s AS seg_a, b.s AS seg_b, count(*) AS n_both
+  FROM m a JOIN m b ON a.u = b.u AND a.s <= b.s
+  GROUP BY 1, 2)
+SELECT p.seg_a, p.seg_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+       round(p.n_both / CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p JOIN sizes sa ON p.seg_a = sa.s
+             JOIN sizes sb ON p.seg_b = sb.s
+"""
+
+
+def q235_trending(spark, sf_dir):
+    """Exponentially decayed trending leaderboard
+    (operators/timeseries.py: decayed_trending): value-weighted event
+    scores with a 3-day half-life against a pinned reference instant;
+    deterministic top-10 users.  Oracle: the same decay expression
+    and ranked selection."""
+    from niamoto_spark.operators.timeseries import decayed_trending
+
+    ev = _events(spark, sf_dir)
+    ref = 1706745600.0  # 2024-02-01 00:00 UTC, seconds
+    return decayed_trending(ev, "user_id", "ts_sec",
+                            half_life_s=259200.0, ref_ts=ref,
+                            top_k=10, weight_col="value")
+
+
+O_Q235 = """
+WITH scored AS (
+  SELECT user_id AS key, count(*) AS n_events,
+         round(sum(value * power(2.0,
+               -(1706745600.0 - floor(epoch(ts))) / 259200.0)), 6)
+           AS score
+  FROM events GROUP BY 1)
+SELECT rank, key, n_events, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, key ASC) AS rank
+  FROM scored) x
+WHERE rank <= 10
 """

@@ -233,3 +233,54 @@ def test_jsonl_lines_are_json(spark, tmp_path):
     for ln in lines:
         obj = json.loads(ln)
         assert set(obj) == {"doc_id", "text"}
+
+
+# --- maintain_join ---------------------------------------------------------
+
+def _mj_fixture(spark, tmp_path):
+    import os
+    lp = str(tmp_path / "left")
+    rp = str(tmp_path / "right")
+    sp = str(tmp_path / "state")
+    return lp, rp, sp
+
+
+def test_maintain_join_matches_full_join(spark, tmp_path):
+    from niamoto_spark.operators.incremental import maintain_join
+    from niamoto_spark.sources import manifest as M
+    lp, rp, sp = _mj_fixture(spark, tmp_path)
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, lv string")
+    right = spark.createDataFrame(
+        [(1, "X"), (3, "Y")], "k long, rv string")
+    M.append(left.where("k <= 2"), lp)
+    M.append(right.where("k = 1"), rp)
+    maintain_join(spark, lp, rp, sp, on="k")
+    assert sorted(map(tuple, M.read_table(spark, sp)
+                      .select("k", "lv", "rv").collect())) \
+        == [(1, "a", "X")]
+    # append to BOTH sides; delta algebra must find every new pair
+    M.append(left.where("k = 3"), lp)
+    M.append(right.where("k = 3"), rp)
+    maintain_join(spark, lp, rp, sp, on="k")
+    assert sorted(map(tuple, M.read_table(spark, sp)
+                      .select("k", "lv", "rv").collect())) \
+        == [(1, "a", "X"), (3, "c", "Y")]
+
+
+def test_maintain_join_idempotent_and_rejects_rewrite(spark, tmp_path):
+    import pytest as _pt
+
+    from niamoto_spark.operators.incremental import maintain_join
+    from niamoto_spark.sources import manifest as M
+    lp, rp, sp = _mj_fixture(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    M.append(df, lp)
+    M.append(spark.createDataFrame([(1, "R")], "k long, r string"), rp)
+    v1 = maintain_join(spark, lp, rp, sp, on="k")
+    # no new source commits -> no-op, same version
+    assert maintain_join(spark, lp, rp, sp, on="k") == v1
+    # a compaction/overwrite on a source breaks append-only: refuse
+    M.overwrite(df, lp)
+    with _pt.raises(ValueError, match="dropped files"):
+        maintain_join(spark, lp, rp, sp, on="k")

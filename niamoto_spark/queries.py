@@ -1772,6 +1772,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_maintain_join": q233_maintain_join,
         "q234_audience_overlap": q234_audience_overlap,
         "q235_trending": q235_trending,
+        "q236_deletion_vectors": q236_deletion_vectors,
     }
 
 
@@ -5522,6 +5523,7 @@ def build_oracles() -> dict[str, str]:
         "q233_maintain_join": O_Q233,
         "q234_audience_overlap": O_Q234,
         "q235_trending": O_Q235,
+        "q236_deletion_vectors": O_Q236,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8861,4 +8863,44 @@ SELECT rank, key, n_events, score FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, key ASC) AS rank
   FROM scored) x
 WHERE rank <= 10
+"""
+
+
+def q236_deletion_vectors(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors (sources/manifest.py:
+    delete_where_mor): two stacked deletes recorded as (file,
+    row_index) vectors — the query asserts ZERO data files were
+    rewritten — applied at read as a broadcast anti join.  Oracle:
+    the equivalent SQL DELETEs as predicates."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_dv_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    M.append(o.repartition(8), path)
+    files_v0 = sorted(M._read_manifest(path, 0)["files"])
+    M.delete_where_mor(spark, path, "o_totalprice < 50000")
+    v, _ = M.delete_where_mor(spark, path,
+                              "o_orderpriority = '5-LOW'")
+    assert sorted(M._read_manifest(path, v)["files"]) == files_v0, \
+        "MOR delete must not rewrite data files"
+    return (M.read_table(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+O_Q236 = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_totalprice >= 50000 AND o_orderpriority <> '5-LOW'
+GROUP BY 1
 """

@@ -218,13 +218,18 @@ def read_table(spark: SparkSession, path: str,
     v = committed_version(path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
-    files = _read_manifest(path, v)["files"]
+    doc = _read_manifest(path, v)
+    files = doc["files"]
     if not files:
         return spark.createDataFrame([], "dummy string").limit(0)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    dv = doc.get("dv")
+    if dv:
+        df = _apply_dv(df, dv)
+    return df
 
 
 def vacuum(path: str, keep_versions: int = 1,
@@ -411,6 +416,7 @@ def read_table_pruned(spark: SparkSession, path: str, col: str,
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
+    _dv_guard(doc, "read_table_pruned")
     # Compare in the same canonical domain the stats were stored in
     # (widen the query range outward — skipping must stay a superset
     # test).  Un-canonicalizable bounds disable skipping entirely.
@@ -447,6 +453,7 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     snapshots surface their full new files; deletions are not row-level
     (append/overwrite format, not merge-on-read)."""
     to_v = committed_version(path) if to_version is None else to_version
+    _dv_guard(_read_manifest(path, to_v), "table_changes")
     new = set(_read_manifest(path, to_v)["files"])
     old = set(_read_manifest(path, from_version)["files"]) \
         if from_version >= 0 else set()
@@ -618,6 +625,7 @@ def _rewrite_cow(spark: SparkSession, path: str, transform,
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
+    _dv_guard(doc, "copy-on-write DML")
     df = read_table(spark, path)
     touched_uris = [r["__f"] for r in
                     df.where(pred).select(F.input_file_name().alias("__f"))
@@ -780,6 +788,7 @@ def read_table_point(spark: SparkSession, path: str, col: str, value,
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
+    _dv_guard(doc, "read_table_point")
     keep, skipped = [], 0
     for fp in doc["files"]:
         bl = doc.get("blooms", {}).get(fp, {}).get(col)
@@ -1233,3 +1242,79 @@ def read_hidden_point(spark: SparkSession, path: str, value) -> tuple:
           if kept else
           spark.createDataFrame([], "dummy string").limit(0))
     return df, len(kept), len(doc["files"])
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE)
+# ---------------------------------------------------------------------------
+
+def _apply_dv(df: DataFrame, dv: dict) -> DataFrame:
+    """Filter out the (file, row_index) pairs recorded in a deletion
+    vector: a BROADCAST anti join against the (small, deleted-rows-
+    sized) DV table keyed on the parquet metadata columns — no data
+    file is touched, no row id column is required in the schema."""
+    spark = df.sparkSession
+    pairs = [(f, int(i)) for f, idxs in dv.items() for i in idxs]
+    dv_df = spark.createDataFrame(pairs, "__dvf string, __dvi long")
+    meta = (df.withColumn(
+        "__fp", F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:", ""))
+        .withColumn("__ri", F.col("_metadata.row_index")))
+    return (meta.join(F.broadcast(dv_df),
+                      (F.col("__fp") == F.col("__dvf"))
+                      & (F.col("__ri") == F.col("__dvi")),
+                      "left_anti")
+            .drop("__fp", "__ri"))
+
+
+def _dv_guard(doc: dict, op: str) -> None:
+    if doc.get("dv"):
+        raise ValueError(
+            f"{op}: table carries deletion vectors; run compact() to "
+            "materialize them first (this reader scans files directly "
+            "and would resurrect deleted rows)")
+
+
+def delete_where_mor(spark: SparkSession, path: str,
+                     predicate) -> tuple:
+    """Merge-on-read DELETE (Delta deletion-vector shape): matching
+    rows are recorded as (file, row_index) deletion vectors in the
+    commit document — ZERO data files rewritten, so a delete touching
+    one row in every file costs one metadata commit instead of a full
+    table rewrite (the case that makes copy-on-write ``delete_where``
+    pathological).  Readers apply the DV as a broadcast anti join;
+    ``compact()`` materializes it away (its commit carries no dv).
+
+    DVs stack: deleting on a table that already carries vectors merges
+    the row sets.  The DV lives in the JSON commit doc, so this lane
+    is for selective deletes (bounded row count), not truncations —
+    use ``delete_where`` (COW) for bulk removal.
+
+    Returns (new_version, n_deleted) — or (current, 0) when nothing
+    matched (no empty commit)."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    v = committed_version(path)
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    doc = _read_manifest(path, v)
+    df = spark.read.parquet(*doc["files"])
+    old_dv = doc.get("dv", {})
+    if old_dv:
+        df = _apply_dv(df, old_dv)
+    hits = (df.where(pred)
+            .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:", "").alias("f"),
+                    F.col("_metadata.row_index").alias("i"))
+            .collect())
+    if not hits:
+        return v, 0
+    merged: dict = {f: set(idxs) for f, idxs in old_dv.items()}
+    for r in hits:
+        merged.setdefault(r["f"], set()).add(int(r["i"]))
+    dv_doc = {f: sorted(s) for f, s in sorted(merged.items())}
+    extra = {"parent": v, "files": doc["files"], "dv": dv_doc}
+    for carry in ("stats", "pvals", "ptransform"):
+        if carry in doc:
+            extra[carry] = doc[carry]
+    _commit_doc(path, v + 1, extra)
+    return v + 1, len(hits)

@@ -691,3 +691,54 @@ def test_hidden_transform_change_rejected(spark, tmp_path):
     out, kept, total = M.read_hidden_range(spark, t, 0, 4)
     assert total == 4 and kept == 2
     assert out.count() == 10
+
+
+# --- deletion vectors (merge-on-read DELETE) -------------------------------
+
+def test_dv_delete_rewrites_nothing(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 20), t)
+    files_before = sorted(M._read_manifest(t, 0)["files"])
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+    v, n = M.delete_where_mor(spark, t, "id % 5 = 0")
+    assert (v, n) == (1, 4)
+    doc = M._read_manifest(t, 1)
+    assert sorted(doc["files"]) == files_before       # zero rewrite
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files_before)
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
+        == [i for i in range(20) if i % 5 != 0]
+    # time travel still sees the pre-delete snapshot
+    assert M.read_table(spark, t, version=0).count() == 20
+
+
+def test_dv_stacks_and_compact_materializes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)
+    M.delete_where_mor(spark, t, "id = 3")
+    v, n = M.delete_where_mor(spark, t, "id IN (3, 7)")
+    assert n == 1                                     # 3 already gone
+    assert M.read_table(spark, t).count() == 8
+    cv = M.compact(spark, t, target_files=1)
+    doc = M._read_manifest(t, cv)
+    assert "dv" not in doc                            # materialized
+    assert M.read_table(spark, t).count() == 8
+
+
+def test_dv_guards_direct_readers(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append_with_stats(_df(spark, 0, 10), t, stats_cols=["id"])
+    M.delete_where_mor(spark, t, "id = 1")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        M.read_table_pruned(spark, t, "id", 0, 5)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        M.delete_where(spark, t, "id = 2")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        M.table_changes(spark, t, 0)
+
+
+def test_dv_nothing_matched_no_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 5), t)
+    v, n = M.delete_where_mor(spark, t, "id > 100")
+    assert (v, n) == (0, 0)
+    assert M.current_version(t) == 0

@@ -181,3 +181,36 @@ def quantile_normalize(df: DataFrame, value_col: str,
             .join(ref_ranked, F.col("__ti") == F.col("__ri"), "left")
             .withColumnRenamed("__refv", out_col)
             .drop("__rk", "__ti", "__ri"))
+
+
+@register("golden_record", PluginType.TRANSFORMER)
+def golden_record(df: DataFrame, key_col: str, order_col: str,
+                  tiebreak_col: str,
+                  value_cols: "list[str]") -> DataFrame:
+    """Survivorship merge (MDM "golden record"): one row per entity
+    where each attribute carries its LATEST NON-NULL value across the
+    entity's records — later records override earlier ones
+    attribute-by-attribute, but a null never erases a known value
+    (the most-recent-wins rule every customer-profile consolidation
+    uses).
+
+    One window sort per entity ((order, tiebreak) — deterministic
+    under order ties); every attribute resolves in the same WindowExec
+    pass via last(ignorenulls) over the full partition frame, then one
+    row per key survives.  No self-joins, no per-attribute passes.
+    Returns (key, n_records, *value_cols)."""
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(order_col).asc(), F.col(tiebreak_col).asc())
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    picked = df.select(
+        F.col(key_col),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(key_col)).alias("n_records"),
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+          for c in value_cols],
+        F.row_number().over(
+            Window.partitionBy(key_col)
+            .orderBy(F.col(order_col).asc(),
+                     F.col(tiebreak_col).asc())).alias("__rn"))
+    return picked.where(F.col("__rn") == 1).drop("__rn")

@@ -518,3 +518,42 @@ def decayed_trending(df: DataFrame, key_col: str, ts_col: str,
     return (scored.withColumn("rank", F.row_number().over(rk))
             .where(F.col("rank") <= top_k)
             .select("rank", "key", "n_events", "score"))
+
+
+@register("interval_allocate", PluginType.TRANSFORMER)
+def interval_allocate(df: DataFrame, start_col: str, end_col: str,
+                      value_col: str, granule_s: int,
+                      max_buckets_per_row: int = 100_000,
+                      round_dp: int = 6) -> DataFrame:
+    """Proportional allocation of an interval-scoped quantity onto a
+    time grid: a value attached to [start, end) is split across the
+    granule buckets it overlaps, weighted by overlap seconds — the
+    billing/occupancy primitive ("spread this subscription's revenue
+    over the days it covers").  Bucket overlaps are exact integer
+    arithmetic; Σ allocated == value by construction.
+
+    One projection + one bounded explode per row (bucket span); rows
+    spanning more than ``max_buckets_per_row`` buckets are truncated
+    with a warning (the fill_time_gaps runaway guard).  No shuffle at
+    all until the caller aggregates the allocated rows.
+    Emits (input columns…, bucket, overlap_s, allocated)."""
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    g = int(granule_s)
+    b0 = F.floor(s / g).cast("long")
+    b1 = F.floor((e - 1) / g).cast("long")
+    over = b1 - b0 + 1 > max_buckets_per_row
+    n_over = df.where(over).limit(1).count()
+    if n_over:
+        log.warning("interval_allocate: row span(s) over %d buckets "
+                    "truncated", max_buckets_per_row)
+    b1c = F.when(over, b0 + max_buckets_per_row - 1).otherwise(b1)
+    base = (df.where(e > s)
+            .withColumn("bucket",
+                        F.explode(F.sequence(b0, b1c))))
+    ov = (F.least(e, (F.col("bucket") + 1) * g)
+          - F.greatest(s, F.col("bucket") * g))
+    return (base.withColumn("overlap_s", ov)
+            .withColumn("allocated",
+                        F.round(F.col(value_col) * ov.cast("double")
+                                / (e - s).cast("double"), round_dp)))

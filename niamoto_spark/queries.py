@@ -1773,6 +1773,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_audience_overlap": q234_audience_overlap,
         "q235_trending": q235_trending,
         "q236_deletion_vectors": q236_deletion_vectors,
+        "q237_interval_allocate": q237_interval_allocate,
+        "q238_golden_record": q238_golden_record,
     }
 
 
@@ -5524,6 +5526,8 @@ def build_oracles() -> dict[str, str]:
         "q234_audience_overlap": O_Q234,
         "q235_trending": O_Q235,
         "q236_deletion_vectors": O_Q236,
+        "q237_interval_allocate": O_Q237,
+        "q238_golden_record": O_Q238,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -8902,5 +8906,100 @@ SELECT o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS revenue
 FROM orders
 WHERE o_totalprice >= 50000 AND o_orderpriority <> '5-LOW'
+GROUP BY 1
+"""
+
+
+def q237_interval_allocate(spark, sf_dir):
+    """Interval-to-grid proportional allocation
+    (operators/timeseries.py: interval_allocate): per-user activity
+    spans (first..last event, value-summed) spread across the days
+    they cover by exact overlap seconds; daily totals.  The oracle
+    replays the bucket explosion and overlap algebra with unnest."""
+    from niamoto_spark.operators.timeseries import interval_allocate
+
+    ev = _events(spark, sf_dir)
+    spans = (ev.groupBy("user_id")
+             .agg(F.min("ts_sec").alias("t0"),
+                  (F.max("ts_sec") + 1).alias("t1"),
+                  F.round(F.sum("value"), 4).alias("v")))
+    alloc = interval_allocate(spans, "t0", "t1", "v", granule_s=86400)
+    return (alloc.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.sum("allocated"), 2).alias("allocated")))
+
+
+O_Q237 = """
+WITH spans AS (
+  SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS t0,
+         CAST(max(floor(epoch(ts))) AS BIGINT) + 1 AS t1,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1),
+alloc AS (
+  SELECT s.user_id, b.bucket,
+         least(s.t1, (b.bucket + 1) * 86400)
+           - greatest(s.t0, b.bucket * 86400) AS overlap_s,
+         s.v, s.t1 - s.t0 AS dur
+  FROM spans s,
+       LATERAL (SELECT unnest(range(CAST(floor(s.t0 / 86400) AS BIGINT),
+                                    CAST(floor((s.t1 - 1) / 86400)
+                                         AS BIGINT) + 1)) AS bucket) b
+  WHERE s.t1 > s.t0)
+SELECT bucket, count(*) AS n_users,
+       round(sum(round(v * overlap_s / CAST(dur AS DOUBLE), 6)), 2)
+         AS allocated
+FROM alloc GROUP BY 1
+"""
+
+
+def q238_golden_record(spark, sf_dir):
+    """Survivorship merge (operators/cleaning.py: golden_record):
+    per-customer order history consolidated most-recent-wins per
+    attribute, where low totals are nulled to exercise the
+    null-never-erases rule.  The oracle replays last_value IGNORE
+    NULLS over the identical deterministic order."""
+    from niamoto_spark.operators.cleaning import golden_record
+
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("day", F.unix_date(F.col("o_orderdate")
+                                        .cast("date")))
+         .withColumn("big_total",
+                     F.when(F.col("o_totalprice") >= 100000,
+                            F.round("o_totalprice", 2))))
+    g = golden_record(o, "o_custkey", "day", "o_orderkey",
+                      ["o_orderpriority", "big_total"])
+    return (g.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("big_total"), 2).alias("sum_latest_big"),
+                 F.sum("n_records").alias("records_covered")))
+
+
+O_Q238 = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         o_orderkey, o_orderpriority,
+         CASE WHEN o_totalprice >= 100000
+              THEN round(o_totalprice, 2) END AS big_total
+  FROM orders),
+g AS (
+  SELECT o_custkey,
+         count(*) OVER (PARTITION BY o_custkey) AS n_records,
+         last_value(o_orderpriority IGNORE NULLS)
+           OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS o_orderpriority,
+         last_value(big_total IGNORE NULLS)
+           OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS big_total,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY day, o_orderkey) AS rn
+  FROM o)
+SELECT o_orderpriority, count(*) AS n_customers,
+       round(sum(big_total), 2) AS sum_latest_big,
+       CAST(sum(n_records) AS BIGINT) AS records_covered
+FROM g WHERE rn = 1
 GROUP BY 1
 """

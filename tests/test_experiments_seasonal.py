@@ -170,3 +170,37 @@ def test_uplift_by_segment_hand_counts(spark):
     assert out["a"]["rate_ctrl"] == 0.5
     assert out["a"]["uplift"] == 0.5
     assert out["b"]["uplift"] == -1.0
+
+
+def test_interval_allocate_conserves_mass(spark):
+    import pyspark.sql.functions as F
+    from niamoto_spark.operators.timeseries import interval_allocate
+    # [0, 150) value 300 over granule 100: bucket 0 gets 200, bucket 1 gets 100
+    df = spark.createDataFrame([(0, 150, 300.0), (250, 260, 50.0)],
+                               "s long, e long, v double")
+    out = interval_allocate(df, "s", "e", "v", granule_s=100).collect()
+    by = {(r["s"], r["bucket"]): r for r in out}
+    assert by[(0, 0)]["allocated"] == 200.0
+    assert by[(0, 1)]["allocated"] == 100.0
+    assert by[(250, 2)]["allocated"] == 50.0          # fully inside
+    total = sum(r["allocated"] for r in out)
+    assert total == 350.0                              # mass conserved
+
+
+def test_golden_record_null_never_erases(spark):
+    from niamoto_spark.operators.cleaning import golden_record
+    rows = [
+        (1, 1, 10, "a@x", "NY"),
+        (1, 2, 11, None, "SF"),     # later null email keeps a@x
+        (1, 3, 12, "b@x", None),    # later null city keeps SF
+        (2, 1, 20, None, None),     # all-null attrs stay null
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ord long, tb long, email string, city string")
+    out = {r["k"]: r for r in
+           golden_record(df, "k", "ord", "tb",
+                         ["email", "city"]).collect()}
+    assert out[1]["email"] == "b@x"
+    assert out[1]["city"] == "SF"
+    assert out[1]["n_records"] == 3
+    assert out[2]["email"] is None

@@ -167,3 +167,56 @@ def uplift_by_segment(df: DataFrame, variant_col: str, treatment: str,
                     F.round(rt, round_dp).alias("rate_treat"),
                     F.round(rc, round_dp).alias("rate_ctrl"),
                     F.round(rt - rc, round_dp).alias("uplift")))
+
+
+@register("poisson_bootstrap", PluginType.TRANSFORMER)
+def poisson_bootstrap(df: DataFrame, value_col: str, id_col: str,
+                      n_boot: int = 50, seed: str = "boot",
+                      lo_q: float = 0.025, hi_q: float = 0.975,
+                      round_dp: int = 4) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean — the
+    resampling scheme that actually distributes: instead of drawing n
+    rows with replacement (which needs global coordination), each row
+    enters replicate b with weight w ~ Poisson(1), independent across
+    rows and replicates (Chamandy et al.'s "Estimating Uncertainty
+    for Massive Data Streams", the standard at-scale bootstrap).
+
+    Weights come from a DETERMINISTIC md5 uniform inverted through the
+    Poisson(1) CDF (truncated at 4: P(W>4) = 0.37%, folded into the
+    top cell) — so every replicate is reproducible and an external
+    engine replays the whole bootstrap.  One explode×n_boot projection
+    collapses map-side to n_boot replicate means; the CI is the exact
+    order statistic over those (tiny) means.  Returns ONE row:
+    (n_rows, n_boot, mean, ci_lo, ci_hi)."""
+    from pyspark.sql import Window
+
+    # Poisson(1) CDF: 0.3679, 0.7358, 0.9197, 0.9810, then 1.0
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(value_col).cast("double").alias("v"),
+                    F.col(id_col).cast("string").alias("id")))
+    n_rows = base.count()
+    mean = round(float(base.agg(F.avg("v")).first()[0]), round_dp)
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("b")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col("b").cast("string"),
+                          F.col("id"))), 1, 13), 16, 10).cast("double")
+    uni = (h + 0.5) / F.lit(float(16 ** 13))
+    w = (F.when(uni < 0.3679, 0).when(uni < 0.7358, 1)
+         .when(uni < 0.9197, 2).when(uni < 0.9810, 3).otherwise(4))
+    reps = (base.select("v", "id", b)
+            .withColumn("w", w)
+            .groupBy("b")
+            .agg((F.sum(F.col("w") * F.col("v"))
+                  / F.sum("w")).alias("m")))
+    k_lo = max(int(lo_q * n_boot), 1)
+    k_hi = min(int(hi_q * n_boot) + 1, n_boot)
+    wr = Window.orderBy(F.col("m").asc(), F.col("b").asc())
+    ranked = reps.withColumn("__r", F.row_number().over(wr))
+    return (ranked.agg(
+        F.lit(n_rows).alias("n_rows"),
+        F.lit(n_boot).alias("n_boot"),
+        F.lit(mean).alias("mean"),
+        F.round(F.min(F.when(F.col("__r") == k_lo, F.col("m"))),
+                round_dp).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("__r") == k_hi, F.col("m"))),
+                round_dp).alias("ci_hi")))

@@ -115,3 +115,30 @@ def trigram_pairs(df: DataFrame, id_col: str, name_col: str,
             .withColumn("similarity", sim)
             .where(F.col("similarity") >= min_similarity)
             .select("id_a", "id_b", "similarity"))
+
+
+@register("mutual_best_match", PluginType.TRANSFORMER)
+def mutual_best_match(pairs: DataFrame, left_col: str = "id_a",
+                      right_col: str = "id_b",
+                      score_col: str = "score") -> DataFrame:
+    """1:1 entity matching from a scored candidate-pair table: keep a
+    pair only when each side is the other's BEST candidate (mutual
+    argmax) — the greedy-stable rule record linkage uses to turn a
+    many-to-many similarity table into an alignment without a global
+    assignment solve.  Ties break deterministically toward the
+    smaller partner id, so the result is replayable.
+
+    Two window argmaxes over the candidate table (one per side, keyed
+    on that side's id) and one self-agreement filter — cost scales
+    with CANDIDATES (already blocked/pruned upstream), never entities².
+    Returns the surviving (left, right, score) rows."""
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy(left_col).orderBy(
+        F.col(score_col).desc(), F.col(right_col).asc())
+    wr = Window.partitionBy(right_col).orderBy(
+        F.col(score_col).desc(), F.col(left_col).asc())
+    ranked = (pairs.withColumn("__rl", F.row_number().over(wl))
+              .withColumn("__rr", F.row_number().over(wr)))
+    return (ranked.where((F.col("__rl") == 1) & (F.col("__rr") == 1))
+            .drop("__rl", "__rr"))

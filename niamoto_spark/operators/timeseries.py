@@ -557,3 +557,40 @@ def interval_allocate(df: DataFrame, start_col: str, end_col: str,
             .withColumn("allocated",
                         F.round(F.col(value_col) * ov.cast("double")
                                 / (e - s).cast("double"), round_dp)))
+
+
+@register("cumulative_unique", PluginType.TRANSFORMER)
+def cumulative_unique(df: DataFrame, entity_col: str, ts_col: str,
+                      granule_s: int = 86_400) -> DataFrame:
+    """Cumulative distinct entities over time ("total users ever seen
+    by day") — the growth curve.  COUNT(DISTINCT) OVER a cumulative
+    frame is quadratic and unsupported; the exact identity is:
+    an entity contributes to the cumulative count from its FIRST
+    bucket onward, so
+
+        new_b  = #{entities whose min(bucket) = b}
+        cum_b  = Σ_{b' ≤ b} new_b'
+
+    One per-entity min aggregation (entity-keyed shuffle) + one
+    cumulative window over the tiny bucket table.  Buckets with no
+    new entities still appear (densified via sequence) so the curve
+    is plottable as-is.  Returns (bucket, new_entities,
+    cum_entities)."""
+    from pyspark.sql import Window
+
+    bucket = F.floor(F.col(ts_col) / granule_s).cast("long")
+    firsts = (df.select(F.col(entity_col).alias("__e"),
+                        bucket.alias("__b"))
+              .groupBy("__e").agg(F.min("__b").alias("__fb")))
+    news = (firsts.groupBy(F.col("__fb").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("new_entities")))
+    span = news.agg(F.min("bucket").alias("b0"),
+                    F.max("bucket").alias("b1"))
+    dense = span.select(F.explode(F.sequence("b0", "b1"))
+                        .alias("bucket"))
+    filled = (dense.join(news, "bucket", "left")
+              .fillna({"new_entities": 0}))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return filled.withColumn("cum_entities",
+                             F.sum("new_entities").over(w))

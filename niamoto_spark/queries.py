@@ -1775,6 +1775,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_deletion_vectors": q236_deletion_vectors,
         "q237_interval_allocate": q237_interval_allocate,
         "q238_golden_record": q238_golden_record,
+        "q239_mutual_best_match": q239_mutual_best_match,
+        "q240_cumulative_unique": q240_cumulative_unique,
+        "q241_poisson_bootstrap": q241_poisson_bootstrap,
     }
 
 
@@ -5528,6 +5531,9 @@ def build_oracles() -> dict[str, str]:
         "q236_deletion_vectors": O_Q236,
         "q237_interval_allocate": O_Q237,
         "q238_golden_record": O_Q238,
+        "q239_mutual_best_match": O_Q239,
+        "q240_cumulative_unique": O_Q240,
+        "q241_poisson_bootstrap": O_Q241,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9002,4 +9008,131 @@ SELECT o_orderpriority, count(*) AS n_customers,
        CAST(sum(n_records) AS BIGINT) AS records_covered
 FROM g WHERE rn = 1
 GROUP BY 1
+"""
+
+
+def q239_mutual_best_match(spark, sf_dir):
+    """1:1 record linkage by mutual argmax (operators/linkage.py:
+    mutual_best_match) over the trigram-similarity candidate pairs of
+    customer names against themselves across nations (blocked), ties
+    to the smaller id.  The oracle replays both window argmaxes and
+    the agreement filter."""
+    from niamoto_spark.operators.linkage import mutual_best_match
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    a = c.select(F.col("c_custkey").alias("id_a"),
+                 F.col("c_name").alias("name_a"),
+                 F.col("c_nationkey").alias("nk"))
+    b = c.select(F.col("c_custkey").alias("id_b"),
+                 F.col("c_name").alias("name_b"),
+                 F.col("c_nationkey").alias("nk"))
+    pairs = (a.join(b, "nk")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("score",
+                         -F.levenshtein("name_a", "name_b"))
+             .where(F.col("score") >= -8)
+             .select("id_a", "id_b", "score"))
+    m = mutual_best_match(pairs)
+    return (m.groupBy("score")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("id_a").alias("min_a"),
+                 F.max("id_b").alias("max_b")))
+
+
+O_Q239 = """
+WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer
+           WHERE c_custkey < 500),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         -levenshtein(a.c_name, b.c_name) AS score
+  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+                    AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 8),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY score DESC, id_b ASC) AS rl,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY score DESC, id_a ASC) AS rr
+  FROM pairs)
+SELECT score, count(*) AS n_matches, min(id_a) AS min_a,
+       max(id_b) AS max_b
+FROM ranked WHERE rl = 1 AND rr = 1
+GROUP BY 1
+"""
+
+
+def q240_cumulative_unique(spark, sf_dir):
+    """Entity growth curve (operators/timeseries.py:
+    cumulative_unique): exact cumulative distinct users by day via
+    the first-seen identity (no quadratic DISTINCT-over-frame), with
+    gap days densified.  The oracle replays first-seen election,
+    densification and the running sum."""
+    from niamoto_spark.operators.timeseries import cumulative_unique
+
+    ev = _events(spark, sf_dir)
+    return cumulative_unique(ev, "user_id", "ts_sec",
+                             granule_s=86400)
+
+
+O_Q240 = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(min(floor(floor(epoch(ts)) / 86400)) AS BIGINT) AS fb
+  FROM events GROUP BY 1),
+news AS (SELECT fb AS bucket, count(*) AS new_entities
+         FROM firsts GROUP BY 1),
+span AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM news),
+dense AS (SELECT unnest(range(b0, b1 + 1)) AS bucket FROM span),
+filled AS (
+  SELECT d.bucket, coalesce(n.new_entities, 0) AS new_entities
+  FROM dense d LEFT JOIN news n USING (bucket))
+SELECT bucket, new_entities,
+       CAST(sum(new_entities) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_entities
+FROM filled
+"""
+
+
+def q241_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap CI for the mean (operators/experiments.py:
+    poisson_bootstrap): 50 md5-deterministic Poisson(1)-weighted
+    replicates of mean(o_totalprice), CI as exact order statistics of
+    the replicate means.  The oracle replays every replicate weight
+    and both rank selections."""
+    from niamoto_spark.operators.experiments import poisson_bootstrap
+
+    o = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap(o, "o_totalprice", "o_orderkey",
+                             n_boot=50)
+
+
+O_Q241 = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(o_orderkey AS VARCHAR) AS id
+  FROM orders WHERE o_totalprice IS NOT NULL),
+n AS (SELECT count(*) AS n_rows, round(avg(v), 4) AS mean FROM base),
+ex AS (
+  SELECT b.b, t.v,
+         (CAST(('0x' || substr(md5('boot' || '|'
+                || CAST(b.b AS VARCHAR) || '|' || t.id), 1, 13))
+               AS UBIGINT) + 0.5) / power(16, 13) AS u
+  FROM base t CROSS JOIN (SELECT unnest(range(1, 51)) AS b) b),
+reps AS (
+  SELECT b,
+         sum((CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
+                   WHEN u < 0.9197 THEN 2 WHEN u < 0.9810 THEN 3
+                   ELSE 4 END) * v)
+         / sum(CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
+                    WHEN u < 0.9197 THEN 2 WHEN u < 0.9810 THEN 3
+                    ELSE 4 END) AS m
+  FROM ex GROUP BY 1),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS r FROM reps)
+SELECT n.n_rows, 50 AS n_boot, n.mean,
+       round(min(CASE WHEN r = 1 THEN m END), 4) AS ci_lo,
+       round(min(CASE WHEN r = 49 THEN m END), 4) AS ci_hi
+FROM ranked CROSS JOIN n
+GROUP BY n.n_rows, n.mean
 """

@@ -204,3 +204,26 @@ def test_golden_record_null_never_erases(spark):
     assert out[1]["city"] == "SF"
     assert out[1]["n_records"] == 3
     assert out[2]["email"] is None
+
+
+def test_cumulative_unique_densifies_and_counts_once(spark):
+    from niamoto_spark.operators.timeseries import cumulative_unique
+    rows = [(1, 0), (1, 250), (2, 30), (3, 250)]  # granule 100
+    df = spark.createDataFrame(rows, "u long, t long")
+    out = {r["bucket"]: r for r in
+           cumulative_unique(df, "u", "t", granule_s=100).collect()}
+    assert out[0]["new_entities"] == 2     # users 1, 2
+    assert out[1]["new_entities"] == 0     # densified gap
+    assert out[2]["new_entities"] == 1     # user 3 (1 is a repeat)
+    assert out[2]["cum_entities"] == 3
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    from niamoto_spark.operators.experiments import poisson_bootstrap
+    df = (spark.range(0, 3000)
+          .withColumn("v", (F.col("id") % 100).cast("double")))
+    r = poisson_bootstrap(df, "v", "id", n_boot=40).collect()[0]
+    assert r["n_rows"] == 3000 and r["n_boot"] == 40
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    # CI width for mean of uniform(0..99) at n=3000 ~ ±1; sanity bound
+    assert r["ci_hi"] - r["ci_lo"] < 5.0

@@ -109,3 +109,28 @@ def test_grouped_split_no_leakage(spark):
     per_group = (out.groupBy("source")
                  .agg(F.countDistinct("split").alias("k")).collect())
     assert all(r["k"] == 1 for r in per_group)  # one split per group
+
+
+# --- mutual_best_match -----------------------------------------------------
+
+def test_mutual_best_match_keeps_only_mutual_argmax(spark):
+    from niamoto_spark.operators.linkage import mutual_best_match
+    # 1 prefers 10 (0.9); 10 prefers 1 (0.9)  -> mutual
+    # 2 prefers 10 (0.8) but 10 prefers 1     -> dropped
+    # 2's next, 11 (0.7): 11 prefers 2        -> mutual
+    pairs = [(1, 10, 0.9), (2, 10, 0.8), (2, 11, 0.7), (1, 11, 0.3)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, score double")
+    out = sorted((r["id_a"], r["id_b"]) for r in
+                 mutual_best_match(df).collect())
+    assert out == [(1, 10), (2, 11)]
+
+
+def test_mutual_best_match_tie_breaks_to_smaller_id(spark):
+    from niamoto_spark.operators.linkage import mutual_best_match
+    pairs = [(1, 10, 0.5), (1, 11, 0.5), (2, 11, 0.5)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, score double")
+    out = sorted((r["id_a"], r["id_b"]) for r in
+                 mutual_best_match(df).collect())
+    # 1 ties 10/11 -> picks 10; 11's best is 1 (tie with 2 -> 1),
+    # but 1 chose 10, so (1,11) fails mutuality; (2,11): 11 prefers 1
+    assert out == [(1, 10)]

@@ -115,14 +115,22 @@ def test_grouped_split_no_leakage(spark):
 
 def test_mutual_best_match_keeps_only_mutual_argmax(spark):
     from niamoto_spark.operators.linkage import mutual_best_match
-    # 1 prefers 10 (0.9); 10 prefers 1 (0.9)  -> mutual
-    # 2 prefers 10 (0.8) but 10 prefers 1     -> dropped
-    # 2's next, 11 (0.7): 11 prefers 2        -> mutual
+    # 1 prefers 10 (0.9); 10 prefers 1 (0.9)       -> mutual
+    # 2 prefers 10 (0.8) but 10 prefers 1          -> dropped
+    # (2,11): 11 prefers 2, but 2 prefers 10       -> dropped
+    # (single-pass mutual argmax, NOT iterative stable matching:
+    #  2 does not "fall back" to 11 after losing 10)
     pairs = [(1, 10, 0.9), (2, 10, 0.8), (2, 11, 0.7), (1, 11, 0.3)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long, score double")
     out = sorted((r["id_a"], r["id_b"]) for r in
                  mutual_best_match(df).collect())
-    assert out == [(1, 10), (2, 11)]
+    assert out == [(1, 10)]
+    # re-running on the residual (unmatched) pairs recovers (2, 11) —
+    # the documented recipe for an iterative alignment
+    residual = df.where("id_a not in (1) and id_b not in (10)")
+    out2 = [(r["id_a"], r["id_b"]) for r in
+            mutual_best_match(residual).collect()]
+    assert out2 == [(2, 11)]
 
 
 def test_mutual_best_match_tie_breaks_to_smaller_id(spark):

@@ -262,6 +262,77 @@ def main() -> None:
     print(f"position_attribution (2 per-user windows): {dt:.2f}s "
           f"({ne / dt / 1e6:.1f}M rows/s)")
 
+    # Session-2 additions: hidden partitioning, deletion vectors,
+    # incremental join maintenance, stump splits at 16x.
+    tdir2 = tempfile.mkdtemp(prefix="probe_hidp_")
+    try:
+        tbl2 = os.path.join(tdir2, "hid")
+        t0 = time.time()
+        M.append_hidden_partitioned(
+            big.select("l_orderkey", "l_quantity",
+                       (F.col("l_orderkey") % 97).alias("kmod")),
+            tbl2, ("trunc", 10_000_000, "l_orderkey"))
+        dt_w = time.time() - t0
+        lo2 = 20_000_000
+        hi2 = lo2 + 9_999_999
+        t0 = time.time()
+        dfh, kept, total = M.read_hidden_range(spark, tbl2, lo2, hi2)
+        nh = dfh.count()
+        dt_r = time.time() - t0
+        print(f"hidden partitioning (trunc 10M): write {dt_w:.2f}s; "
+              f"range read kept {kept}/{total} files, {nh:,} rows "
+              f"in {dt_r:.2f}s")
+
+        tbl3 = os.path.join(tdir2, "dv")
+        M.append(big.select("l_orderkey", "l_quantity").repartition(32),
+                 tbl3)
+        t0 = time.time()
+        _, ndel = M.delete_where_mor(
+            spark, tbl3, "l_orderkey % 10000 = 0")
+        dt_d = time.time() - t0
+        t0 = time.time()
+        nred = M.read_table(spark, tbl3).count()
+        dt_rd = time.time() - t0
+        print(f"deletion vectors: {ndel:,} rows deleted with ZERO "
+              f"rewrites in {dt_d:.2f}s; DV-filtered full read "
+              f"{nred:,} rows in {dt_rd:.2f}s")
+
+        # incremental join maintenance: delta run must cost ~delta,
+        # not ~history
+        from niamoto_spark.operators.incremental import maintain_join
+
+        lp = os.path.join(tdir2, "mj_l")
+        rp = os.path.join(tdir2, "mj_r")
+        sp = os.path.join(tdir2, "mj_s")
+        M.append(big.select("l_orderkey", "l_quantity")
+                 .where("l_orderkey % 16 != 0"), lp)
+        M.append(big.select(F.col("l_orderkey").alias("l_orderkey"),
+                            "l_partkey").distinct(), rp)
+        t0 = time.time()
+        maintain_join(spark, lp, rp, sp, on="l_orderkey")
+        dt_full = time.time() - t0
+        M.append(big.select("l_orderkey", "l_quantity")
+                 .where("l_orderkey % 16 = 0"), lp)
+        t0 = time.time()
+        maintain_join(spark, lp, rp, sp, on="l_orderkey")
+        dt_delta = time.time() - t0
+        print(f"maintain_join: initial {dt_full:.2f}s, 1/16-delta "
+              f"run {dt_delta:.2f}s ({dt_full / max(dt_delta, 1e-9):.1f}x "
+              f"cheaper than refit)")
+    finally:
+        shutil.rmtree(tdir2, ignore_errors=True)
+
+    from niamoto_spark.operators.trees import stump_split
+
+    t0 = time.time()
+    stump_split(big.withColumn("y", (F.col("l_orderkey") % 2)
+                               .cast("int")),
+                ["l_quantity", "l_extendedprice", "l_discount"],
+                "y", n_bins=32).collect()
+    dt = time.time() - t0
+    print(f"stump_split (1 Expand + (feature,bin) agg): {dt:.2f}s "
+          f"({n / dt / 1e6:.1f}M rows/s)")
+
 
 if __name__ == "__main__":
     main()

@@ -1778,6 +1778,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_mutual_best_match": q239_mutual_best_match,
         "q240_cumulative_unique": q240_cumulative_unique,
         "q241_poisson_bootstrap": q241_poisson_bootstrap,
+        "q242_sole_blame_suppliers": q242_sole_blame_suppliers,
+        "q243_top_paths": q243_top_paths,
     }
 
 
@@ -5534,6 +5536,8 @@ def build_oracles() -> dict[str, str]:
         "q239_mutual_best_match": O_Q239,
         "q240_cumulative_unique": O_Q240,
         "q241_poisson_bootstrap": O_Q241,
+        "q242_sole_blame_suppliers": O_Q242,
+        "q243_top_paths": O_Q243,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9135,4 +9139,111 @@ SELECT n.n_rows, 50 AS n_boot, n.mean,
        round(min(CASE WHEN r = 49 THEN m END), 4) AS ci_hi
 FROM ranked CROSS JOIN n
 GROUP BY n.n_rows, n.mean
+"""
+
+
+def q242_sole_blame_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped correlated multi-semi-join: in multi-supplier
+    orders, suppliers with a returned line where NO other supplier in
+    the same order had a returned line (the "solely to blame" shape:
+    EXISTS another-supplier line AND NOT EXISTS another-supplier
+    returned line).  Exercises chained semi + anti joins on a
+    composite correlation key — the classic plan the reference's
+    per-entity loops cannot express.  Top 10 by count."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+    ret = l1.where(F.col("l_returnflag") == "R")
+    other = (l1.select(F.col("l_orderkey").alias("o2"),
+                       F.col("l_suppkey").alias("s2")).distinct())
+    other_ret = (ret.select(F.col("l_orderkey").alias("o3"),
+                            F.col("l_suppkey").alias("s3")).distinct())
+    blamed = (ret.select("l_orderkey", "l_suppkey").distinct()
+              .join(other, (F.col("l_orderkey") == F.col("o2"))
+                    & (F.col("l_suppkey") != F.col("s2")),
+                    "left_semi")
+              .join(other_ret,
+                    (F.col("l_orderkey") == F.col("o3"))
+                    & (F.col("l_suppkey") != F.col("s3")),
+                    "left_anti"))
+    return (blamed.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.col("n_orders").desc(),
+                     F.col("l_suppkey").asc())
+            .limit(10))
+
+
+O_Q242 = """
+WITH ret AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R')
+SELECT r.l_suppkey, count(*) AS n_orders
+FROM ret r
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = r.l_orderkey
+                AND l2.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = r.l_orderkey
+                    AND l3.l_suppkey <> r.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY n_orders DESC, l_suppkey ASC
+LIMIT 10
+"""
+
+
+def q243_top_paths(spark, sf_dir):
+    """Session path analysis (Sankey source): sessionize by 30-min
+    inactivity (the q31 rule), take each session's first 4 event
+    types in (ts, event_id) order, count path signatures.  One
+    session window + one ordered aggregation; the oracle replays
+    sessionization and the ordered string_agg.  Top 15 paths."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    new_s = F.when(prev.isNull()
+                   | ((F.col("ts_sec") - prev) > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "__sid", F.sum(new_s).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    ws = W.partitionBy("user_id", "__sid").orderBy("ts_sec", "event_id")
+    ranked = (sess.withColumn("__rn", F.row_number().over(ws))
+              .where(F.col("__rn") <= 4))
+    paths = (ranked.groupBy("user_id", "__sid")
+             .agg(F.concat_ws(
+                 ">", F.array_sort(
+                     F.collect_list(F.struct("__rn", "event_type")))
+                 .getField("event_type")).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+            .limit(15))
+
+
+O_Q243 = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+sid AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY t, event_id) AS rn
+  FROM sid),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 4 GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 15
 """

@@ -1780,6 +1780,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_poisson_bootstrap": q241_poisson_bootstrap,
         "q242_sole_blame_suppliers": q242_sole_blame_suppliers,
         "q243_top_paths": q243_top_paths,
+        "q244_orc_roundtrip": q244_orc_roundtrip,
     }
 
 
@@ -5538,6 +5539,7 @@ def build_oracles() -> dict[str, str]:
         "q241_poisson_bootstrap": O_Q241,
         "q242_sole_blame_suppliers": O_Q242,
         "q243_top_paths": O_Q243,
+        "q244_orc_roundtrip": O_Q244,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9246,4 +9248,40 @@ SELECT path, count(*) AS n_sessions
 FROM paths GROUP BY 1
 ORDER BY n_sessions DESC, path ASC
 LIMIT 15
+"""
+
+
+def q244_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink (sources/files.py: write_orc / read_any):
+    lineitem written to ORC (Spark-native vectorized writer), read
+    back through the extension-dispatched scanner, aggregated.  The
+    oracle reads the original parquet — the interchange must be
+    lossless."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources.files import read_any, write_orc
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_orc_" + sf_dir.strip("/").replace("/", "_"),
+        "lineitem.orc")
+    if os.path.exists(os.path.dirname(path)):
+        shutil.rmtree(os.path.dirname(path))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    write_orc(li, path)
+    back = read_any(spark, path)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_quantity").cast("double").alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                 .alias("sum_price")))
+
+
+O_Q244 = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY 1
 """

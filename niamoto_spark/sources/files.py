@@ -117,3 +117,38 @@ def read_vector(spark: SparkSession, path: str,
     raise NotImplementedError(
         f"unsupported vector format for {path!r}; expected "
         ".geojson/.json/.shp/.gpkg (or convert to parquet+WKT upstream)")
+
+
+def read_any(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Format-dispatched scan by extension: parquet / orc / csv-tsv
+    (delimiter-sniffed) / json-jsonl / xlsx / vector formats — the
+    single entry point a pipeline config names a file through (the
+    reference dispatches on extension in its importer service;
+    core/services/importer.py).  ORC and JSON ride Spark's native
+    vectorized readers, so predicate pushdown and column pruning work
+    exactly as for parquet."""
+    low = path.lower()
+    if low.endswith((".parquet", ".pq")):
+        return spark.read.options(**options).parquet(path)
+    if low.endswith(".orc"):
+        return spark.read.options(**options).orc(path)
+    if low.endswith((".json", ".jsonl", ".ndjson")):
+        return spark.read.options(**options).json(path)
+    if low.endswith((".csv", ".tsv", ".txt")):
+        return read_csv_auto(spark, path, **options)
+    if low.endswith((".xlsx",)):
+        return read_xlsx(spark, path)
+    if low.endswith((".geojson", ".shp", ".gpkg", ".wkb")):
+        return read_vector(spark, path)
+    raise ValueError(f"read_any: unrecognized extension on {path!r}")
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: "list[str] | None" = None) -> None:
+    """ORC sink (Spark-native writer: dictionary + RLE encodings,
+    built-in column statistics — the other columnar interchange format
+    warehouses expect besides parquet)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

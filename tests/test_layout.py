@@ -77,3 +77,26 @@ def test_network_deployers_stubbed():
     for name in ("github", "netlify", "ssh"):
         with _pytest.raises(NotImplementedError):
             get_plugin(name, PluginType.DEPLOYER)()
+
+
+# --- read_any format dispatch ----------------------------------------------
+
+def test_read_any_dispatches_by_extension(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from niamoto_spark.sources.files import read_any, write_orc
+
+    df = spark.range(0, 10).withColumn("v", F.col("id") * 2)
+    orc = str(tmp_path / "t.orc")
+    pq = str(tmp_path / "t.parquet")
+    js = str(tmp_path / "t.jsonl")
+    write_orc(df, orc)
+    df.write.parquet(pq)
+    df.write.json(js)
+    for p in (orc, pq, js):
+        back = read_any(spark, p)
+        assert back.count() == 10
+        assert sorted(r["v"] for r in back.collect())[:3] == [0, 2, 4]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unrecognized extension"):
+        read_any(spark, "/tmp/whatever.foo")

@@ -302,3 +302,60 @@ def test_lm_quality_filter_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert lm_quality_filter(empty, "text", "doc_id").count() == 0
+
+
+# --- smart_join strategy picking -------------------------------------------
+
+def test_smart_join_broadcasts_small_side(spark):
+    from niamoto_spark.operators.skew import smart_join
+    big = spark.range(0, 10_000).withColumn("k", F.col("id") % 100)
+    dim = spark.range(0, 100).withColumnRenamed("id", "k")
+    out = smart_join(big, dim, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 10_000
+
+
+def test_smart_join_shuffles_when_over_threshold(spark):
+    from niamoto_spark.operators.skew import smart_join
+    big = spark.range(0, 10_000).withColumn("k", F.col("id") % 100)
+    dim = spark.range(0, 100).withColumnRenamed("id", "k")
+    # smart_join must NOT force a broadcast; with the session's own
+    # auto-broadcast off, the plan falls through to a shuffle join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = smart_join(big, dim, "k", broadcast_threshold=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert out.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_smart_join_salts_hot_key(spark):
+    from niamoto_spark.operators.skew import smart_join
+    # one key carries 90% of rows
+    big = spark.range(0, 10_000).withColumn(
+        "k", F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100))
+    dim = spark.range(0, 100).withColumnRenamed("id", "k")
+    out = smart_join(big, dim, "k", broadcast_threshold=0,
+                     skew_check=True, skew_ratio_threshold=5.0)
+    # the salt column appears in the (pre-projection) plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+    # and the result is identical to the plain join
+    assert out.count() == big.join(dim, "k").count()
+
+
+def test_smart_join_strategy_result_parity(spark):
+    from niamoto_spark.operators.skew import smart_join
+    big = spark.range(0, 5_000).withColumn("k", F.col("id") % 37)
+    dim = (spark.range(0, 37).withColumnRenamed("id", "k")
+           .withColumn("tag", F.col("k") * 10))
+    expected = sorted(map(tuple, big.join(dim, "k").collect()))
+    for kw in (dict(), dict(broadcast_threshold=0),
+               dict(broadcast_threshold=0, skew_check=True,
+                    skew_ratio_threshold=0.5)):
+        got = sorted(map(tuple, smart_join(big, dim, "k", **kw).collect()))
+        assert got == expected

@@ -1781,6 +1781,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_sole_blame_suppliers": q242_sole_blame_suppliers,
         "q243_top_paths": q243_top_paths,
         "q244_orc_roundtrip": q244_orc_roundtrip,
+        "q245_result_cache": q245_result_cache,
     }
 
 
@@ -5540,6 +5541,7 @@ def build_oracles() -> dict[str, str]:
         "q242_sole_blame_suppliers": O_Q242,
         "q243_top_paths": O_Q243,
         "q244_orc_roundtrip": O_Q244,
+        "q245_result_cache": O_Q245,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9284,4 +9286,54 @@ SELECT l_returnflag, count(*) AS n_rows,
        CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem GROUP BY 1
+"""
+
+
+def q245_result_cache(spark, sf_dir):
+    """Version-keyed result caching (resultcache.py: cached_query):
+    the same aggregate requested three times over a manifest orders
+    table — miss, hit (asserted), then an append FORCES a miss because
+    the cache key embeds the dependency's committed version.  The
+    final read reflects the appended rows; oracle = orders plus its
+    urgent slice."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.resultcache import cached_query
+    from niamoto_spark.sources import manifest as M
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_rc_" + sf_dir.strip("/").replace("/", "_"))
+    tbl, cache = base + "_tbl", base + "_cache"
+    for p in (tbl, cache):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    M.append(o, tbl)
+
+    def build():
+        return (M.read_table(spark, tbl)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2)
+                     .alias("revenue")))
+
+    _, hit0 = cached_query(spark, cache, "rev_by_prio", [tbl], build)
+    _, hit1 = cached_query(spark, cache, "rev_by_prio", [tbl], build)
+    assert (hit0, hit1) == (False, True), "second call must hit"
+    M.append(o.where(F.col("o_orderpriority") == "1-URGENT"), tbl)
+    df, hit2 = cached_query(spark, cache, "rev_by_prio", [tbl], build)
+    assert not hit2, "append must invalidate via the version key"
+    return df
+
+
+O_Q245 = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM (SELECT * FROM orders
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1
 """

@@ -742,3 +742,32 @@ def test_dv_nothing_matched_no_commit(spark, tmp_path):
     v, n = M.delete_where_mor(spark, t, "id > 100")
     assert (v, n) == (0, 0)
     assert M.current_version(t) == 0
+
+
+# --- result cache ----------------------------------------------------------
+
+def test_result_cache_hit_miss_invalidate(spark, tmp_path):
+    from niamoto_spark.resultcache import cached_query, vacuum_cache
+    tbl = str(tmp_path / "tbl")
+    cache = str(tmp_path / "cache")
+    M.append(_df(spark, 0, 10), tbl)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return M.read_table(spark, tbl).groupBy().sum("v")
+
+    r1, h1 = cached_query(spark, cache, "q", [tbl], build)
+    r2, h2 = cached_query(spark, cache, "q", [tbl], build)
+    assert (h1, h2) == (False, True)
+    assert len(calls) == 1                       # build ran once
+    assert r1.first()[0] == r2.first()[0] == 90
+    # different query key -> its own entry
+    _, h3 = cached_query(spark, cache, "q2", [tbl], build)
+    assert not h3
+    # append invalidates
+    M.append(_df(spark, 10, 12), tbl)
+    r4, h4 = cached_query(spark, cache, "q", [tbl], build)
+    assert not h4 and r4.first()[0] == 90 + 20 + 22
+    # age-based vacuum reaps everything with max_age 0
+    assert vacuum_cache(cache, max_age_s=0) >= 3

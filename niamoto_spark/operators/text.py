@@ -1135,3 +1135,81 @@ def gazetteer_tag(docs: DataFrame, id_col: str, text_col: str,
             .groupBy("id", "tag")
             .agg(F.count(F.lit(1)).alias("n_hits"),
                  F.count_distinct("tok").alias("n_terms")))
+
+
+@register("augment_text", PluginType.TRANSFORMER)
+def augment_text(df: DataFrame, id_col: str, text_col: str,
+                 op: str = "char_delete", seed: str = "aug",
+                 out_col: str = "augmented") -> DataFrame:
+    """Deterministic text augmentation for robustness training sets:
+    a reproducible perturbation per document, with the edit position
+    drawn from md5(seed|id) — no RNG state, so the augmented corpus
+    is identical on every run and any engine can replay it (the
+    oracle does, edit-for-edit).
+
+    Ops: ``char_delete`` (drop one interior character),
+    ``char_double`` (stutter one character), ``token_drop`` (remove
+    one whitespace token), ``case_flip`` (upper/lower the whole doc by
+    coin).  All are single-projection column expressions — no UDF; at
+    corpus scale augmentation is bottlenecked by I/O, exactly as it
+    should be.  Docs too short to perturb pass through unchanged.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed),
+                          F.col(id_col).cast("string"))), 1, 13),
+        16, 10).cast("double")
+    uni = (h + 0.5) / F.lit(float(16 ** 13))
+    if op == "char_delete":
+        # interior position in [2, n-1]
+        p = (F.floor(uni * (n - 2)) + 2).cast("int")
+        out = F.when(n >= 3,
+                     F.concat(F.substring(t, 1, p - 1),
+                              t.substr(p + 1, n))).otherwise(t)
+    elif op == "char_double":
+        p = (F.floor(uni * (n - 2)) + 2).cast("int")
+        out = F.when(n >= 3,
+                     F.concat(F.substring(t, 1, p),
+                              t.substr(p, n))).otherwise(t)
+    elif op == "token_drop":
+        toks = F.split(t, " ")
+        k = F.size(toks)
+        p = F.floor(uni * k).cast("int")  # 0-based token index
+        kept = F.filter(toks, lambda x, i: i != p)
+        out = F.when(k >= 2, F.array_join(kept, " ")).otherwise(t)
+    elif op == "case_flip":
+        out = F.when(uni < 0.5, F.upper(t)).otherwise(F.lower(t))
+    else:
+        raise ValueError(f"augment_text: unknown op {op!r}")
+    return df.withColumn(out_col, out)
+
+
+@register("leakage_audit", PluginType.TRANSFORMER)
+def leakage_audit(assignments: DataFrame, pairs: DataFrame,
+                  id_col: str, split_col: str,
+                  id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Cross-split contamination report: given per-document split
+    assignments and a near-duplicate pair table, count the pairs that
+    STRADDLE two splits — each one is a leak (the eval half of a
+    near-dup trains the model on its own test data).  The audit every
+    train/val/test release should publish next to its split counts.
+
+    Two broadcast-sized joins of the pair table against the
+    (id → split) map; output is one row per (split_a, split_b) with
+    split_a <= split_b — the diagonal is safe mass, off-diagonal rows
+    should be ZERO after split_assign_grouped-style grouping.
+    """
+    m = assignments.select(F.col(id_col).alias("__id"),
+                           F.col(split_col).alias("__s"))
+    joined = (pairs
+              .join(m.withColumnRenamed("__id", id_a)
+                    .withColumnRenamed("__s", "__sa"), id_a)
+              .join(m.withColumnRenamed("__id", id_b)
+                    .withColumnRenamed("__s", "__sb"), id_b))
+    lo = F.least("__sa", "__sb")
+    hi = F.greatest("__sa", "__sb")
+    return (joined.groupBy(lo.alias("split_a"), hi.alias("split_b"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .withColumn("is_leak",
+                        F.col("split_a") != F.col("split_b")))

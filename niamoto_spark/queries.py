@@ -1782,6 +1782,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_top_paths": q243_top_paths,
         "q244_orc_roundtrip": q244_orc_roundtrip,
         "q245_result_cache": q245_result_cache,
+        "q246_augment_text": q246_augment_text,
+        "q247_leakage_audit": q247_leakage_audit,
     }
 
 
@@ -5542,6 +5544,8 @@ def build_oracles() -> dict[str, str]:
         "q243_top_paths": O_Q243,
         "q244_orc_roundtrip": O_Q244,
         "q245_result_cache": O_Q245,
+        "q246_augment_text": O_Q246,
+        "q247_leakage_audit": O_Q247,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9336,4 +9340,102 @@ FROM (SELECT * FROM orders
       UNION ALL
       SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY 1
+"""
+
+
+def q246_augment_text(spark, sf_dir):
+    """Deterministic text augmentation (operators/text.py:
+    augment_text): one md5-positioned interior character deleted per
+    document; per-language change profile.  The oracle replays every
+    edit position and the substring surgery."""
+    from niamoto_spark.operators.text import augment_text
+
+    d = _t(spark, sf_dir, "documents")
+    a = augment_text(d, "doc_id", "text", op="char_delete",
+                     seed="aug7")
+    return (a.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("augmented") != F.col("text"))
+                       .cast("long")).alias("n_changed"),
+                 F.sum(F.length("text")).alias("len_orig"),
+                 F.sum(F.length("augmented")).alias("len_aug")))
+
+
+O_Q246 = """
+WITH a AS (
+  SELECT lang, text,
+         CASE WHEN length(text) >= 3 THEN
+           substr(text, 1,
+                  CAST(floor(((CAST(('0x' || substr(md5('aug7' || '|'
+                        || CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+                        + 0.5) / power(16, 13))
+                       * (length(text) - 2)) + 2 AS INT) - 1)
+           || substr(text,
+                  CAST(floor(((CAST(('0x' || substr(md5('aug7' || '|'
+                        || CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+                        + 0.5) / power(16, 13))
+                       * (length(text) - 2)) + 2 AS INT) + 1,
+                  length(text))
+         ELSE text END AS augmented
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN augmented <> text THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(length(text)) AS BIGINT) AS len_orig,
+       CAST(sum(length(augmented)) AS BIGINT) AS len_aug
+FROM a GROUP BY 1
+"""
+
+
+def q247_leakage_audit(spark, sf_dir):
+    """Cross-split contamination audit (operators/text.py:
+    leakage_audit): an 80/20 md5 split of the q219 near-dup fixture
+    scored for pairs straddling train/val — the report a release
+    publishes to prove (or here, expose) split leakage.  The oracle
+    replays the split coin and both membership joins."""
+    from niamoto_spark.operators.text import leakage_audit
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6,
+                                          block_col="source")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit("split7"),
+                          F.col("doc_id").cast("string"))), 1, 13),
+        16, 10).cast("double")
+    uni = (h + 0.5) / F.lit(float(16 ** 13))
+    assign = d.select("doc_id",
+                      F.when(uni < 0.8, "train").otherwise("val")
+                      .alias("split"))
+    return leakage_audit(assign, pairs.select("id_a", "id_b"),
+                         "doc_id", "split")
+
+
+O_Q247 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN (CAST(('0x' || substr(md5('split7' || '|'
+                    || CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+                    + 0.5) / power(16, 13) < 0.8
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents WHERE doc_id < 200)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*) AS n_pairs,
+       least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+         AS is_leak
+FROM p JOIN assign sa ON p.id_a = sa.doc_id
+       JOIN assign sb ON p.id_b = sb.doc_id
+GROUP BY 1, 2
 """

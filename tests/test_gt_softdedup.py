@@ -74,3 +74,46 @@ class TestDuplicateWeights:
         total = duplicate_weights(df, "doc_id", "text") \
             .agg(F.sum("weight")).first()[0]
         assert total == pytest.approx(4.0)
+
+
+# --- augment_text / leakage_audit ------------------------------------------
+
+def test_augment_char_delete_deterministic_and_short_passthrough(spark):
+    from niamoto_spark.operators.text import augment_text
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "ab")], "doc_id long, text string")
+    a = {r["doc_id"]: r["augmented"]
+         for r in augment_text(df, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["augmented"]
+         for r in augment_text(df, "doc_id", "text").collect()}
+    assert a == b                              # reproducible
+    assert len(a[1]) == 10 and a[1] != "hello world"
+    assert a[1][0] == "h"                      # interior edit only
+    assert a[2] == "ab"                        # too short: unchanged
+
+
+def test_augment_token_drop_and_case_flip(spark):
+    from niamoto_spark.operators.text import augment_text
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    td = augment_text(df, "doc_id", "text", op="token_drop") \
+        .first()["augmented"]
+    assert td.split(" ") != ["a", "b", "c", "d"]
+    assert len(td.split(" ")) == 3
+    cf = augment_text(df, "doc_id", "text", op="case_flip") \
+        .first()["augmented"]
+    assert cf in ("A B C D", "a b c d")
+
+
+def test_leakage_audit_counts_straddling_pairs(spark):
+    from niamoto_spark.operators.text import leakage_audit
+    assign = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "val"), (4, "val")],
+        "doc_id long, split string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 3)], "id_a long, id_b long")
+    out = {(r["split_a"], r["split_b"]): r for r in
+           leakage_audit(assign, pairs, "doc_id", "split").collect()}
+    assert out[("train", "train")]["n_pairs"] == 1
+    assert out[("val", "val")]["n_pairs"] == 1
+    leak = out[("train", "val")]
+    assert leak["n_pairs"] == 1 and leak["is_leak"]

@@ -463,3 +463,96 @@ def image_phash(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         compute, schema="media_id long, phash long")
+
+
+SHOT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("diff", T.DoubleType()),
+    T.StructField("is_boundary", T.BooleanType()),
+])
+
+
+@register("shot_boundaries", PluginType.TRANSFORMER)
+def shot_boundaries(df: DataFrame, diff_threshold: float = 30.0,
+                    every_n: int = 1) -> DataFrame:
+    """Shot/scene-cut detection over MJPEG-AVI payloads: decode frames
+    (sources/avicodec.py + the pure JPEG codec), compare consecutive
+    frames' mean absolute luminance difference, and flag boundaries
+    where the jump exceeds ``diff_threshold`` — the frame-sampling
+    prep every video-training pipeline runs so clips are cut at scene
+    edges, not mid-motion.
+
+    Frames never leave their Arrow batch; only (media_id, frame_idx,
+    diff, is_boundary) rows shuffle.  The first frame of each video is
+    a boundary by definition (diff = +inf recorded as the threshold).
+    """
+    from niamoto_spark.sources.avicodec import decode_avi_mjpeg
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                prev = None
+                for idx, px in decode_avi_mjpeg(bytes(r["payload"]),
+                                                every_n=every_n):
+                    gray = px.astype(np.float32).mean(axis=2)
+                    if prev is None:
+                        d = float(diff_threshold)
+                    else:
+                        d = float(np.abs(gray - prev).mean())
+                    rows.append({"media_id": r["media_id"],
+                                 "frame_idx": idx,
+                                 "diff": round(d, 4),
+                                 "is_boundary": d >= diff_threshold})
+                    prev = gray
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        detect, schema=SHOT_SCHEMA)
+
+
+@register("augment_image", PluginType.TRANSFORMER)
+def augment_image(df: DataFrame, op: str = "hflip",
+                  crop_frac: float = 0.8,
+                  use_fake_decoder: bool = False) -> DataFrame:
+    """Deterministic image augmentation plumbing: decode -> transform
+    -> re-emit raw RGB payload (same contract as ``media_resize``).
+    Ops: ``hflip`` / ``vflip`` (index reversal — exactly invertible,
+    the augmentation-correctness test applies it twice) and
+    ``center_crop`` (keep the central ``crop_frac`` in each axis).
+    All numpy slicing inside the Arrow batch — no per-pixel Python.
+    """
+    if op not in ("hflip", "vflip", "center_crop"):
+        raise ValueError(f"augment_image: unknown op {op!r}")
+    decoder = _fake_decode if use_fake_decoder else decode_image
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for p in pdf["payload"]:
+                px = decoder(bytes(p or b""))
+                if op == "hflip":
+                    out = px[:, ::-1]
+                elif op == "vflip":
+                    out = px[::-1]
+                else:
+                    h, w = px.shape[:2]
+                    ch = max(int(h * crop_frac), 1)
+                    cw = max(int(w * crop_frac), 1)
+                    y0 = (h - ch) // 2
+                    x0 = (w - cw) // 2
+                    out = px[y0:y0 + ch, x0:x0 + cw]
+                payloads.append(np.ascontiguousarray(out).tobytes())
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            if "width" in pdf.columns:
+                pdf["width"] = ws
+            if "height" in pdf.columns:
+                pdf["height"] = hs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -310,3 +310,61 @@ def test_phash_deterministic_and_distinct(spark):
     shifted = np.clip(a.astype(int) + 30, 0, 255).astype(np.uint8)
     assert _hamming64(phash_from_pixels(a),
                       phash_from_pixels(shifted)) <= 10
+
+
+# --- shot_boundaries / augment_image ---------------------------------------
+
+def test_shot_boundaries_detects_scene_cut(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import shot_boundaries
+    from niamoto_spark.sources.avicodec import encode_avi_mjpeg
+
+    # scene A: 3 near-identical dark frames; scene B: 3 bright frames
+    dark = np.full((24, 32, 3), 30, dtype=np.uint8)
+    bright = np.full((24, 32, 3), 200, dtype=np.uint8)
+    frames = [dark, dark, dark, bright, bright, bright]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi_mjpeg(frames)))],
+        "media_id long, payload binary")
+    out = sorted(shot_boundaries(df, diff_threshold=30.0).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert len(out) == 6
+    assert out[0]["is_boundary"]                     # first frame
+    assert out[3]["is_boundary"]                     # the cut
+    assert not any(r["is_boundary"] for r in (out[1], out[2],
+                                              out[4], out[5]))
+    assert out[3]["diff"] > 100                      # big luma jump
+
+
+def test_augment_image_hflip_invertible(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import augment_image
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"seed-1"), 8, 8)],
+        "media_id long, payload binary, width int, height int")
+    once = augment_image(df, op="hflip", use_fake_decoder=True)
+    # applying hflip twice must reproduce the original decoded pixels
+    from niamoto_spark.operators.multimodal import _fake_decode
+    orig = _fake_decode(b"seed-1")
+    r1 = once.first()
+    px1 = np.frombuffer(bytes(r1["payload"]), dtype=np.uint8) \
+        .reshape(8, 8, 3)
+    np.testing.assert_array_equal(px1, orig[:, ::-1])
+
+
+def test_augment_image_center_crop_dims(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import augment_image
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"seed-2"), 8, 8)],
+        "media_id long, payload binary, width int, height int")
+    out = augment_image(df, op="center_crop", crop_frac=0.5,
+                        use_fake_decoder=True).first()
+    assert (out["width"], out["height"]) == (4, 4)
+    px = np.frombuffer(bytes(out["payload"]), dtype=np.uint8)
+    assert px.size == 4 * 4 * 3

@@ -556,3 +556,65 @@ def augment_image(df: DataFrame, op: str = "hflip",
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+SILENCE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("segment_idx", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("start_s", T.DoubleType()),
+    T.StructField("end_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+@register("audio_segments", PluginType.TRANSFORMER)
+def audio_segments(df: DataFrame, frame_ms: int = 50,
+                   rms_threshold: float = 0.02) -> DataFrame:
+    """Voiced/silent segmentation of PCM WAV payloads: frame the
+    signal (``frame_ms`` windows), classify each frame by RMS against
+    ``rms_threshold`` (normalized full-scale), and merge consecutive
+    same-kind frames into segments — the trim/split step an audio
+    training pipeline runs before feature extraction (drop silence,
+    cut clips at pauses).
+
+    Vectorized numpy per Arrow batch (reshape + per-frame RMS in one
+    op, run-length merge over the tiny frame-class array); only
+    segment rows leave the worker."""
+    from niamoto_spark.operators.multimodal import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, rate = decode_wav(bytes(r["payload"]))
+                # decode_wav already normalizes to [-1, 1]; fold
+                # channels to mono for the energy measure
+                x = samples.astype(np.float64).mean(axis=1) \
+                    if samples.ndim == 2 else samples.astype(np.float64)
+                flen = max(int(rate * frame_ms / 1000), 1)
+                n_frames = len(x) // flen
+                if n_frames == 0:
+                    continue
+                frames = x[:n_frames * flen].reshape(n_frames, flen)
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                voiced = rms >= rms_threshold
+                seg = 0
+                start = 0
+                for i in range(1, n_frames + 1):
+                    if i == n_frames or voiced[i] != voiced[start]:
+                        rows.append({
+                            "media_id": r["media_id"],
+                            "segment_idx": seg,
+                            "kind": "voiced" if voiced[start]
+                                    else "silence",
+                            "start_s": round(start * flen / rate, 4),
+                            "end_s": round(i * flen / rate, 4),
+                            "rms": round(float(rms[start:i].mean()), 6),
+                        })
+                        seg += 1
+                        start = i
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=SILENCE_SCHEMA)

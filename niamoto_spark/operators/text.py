@@ -1213,3 +1213,38 @@ def leakage_audit(assignments: DataFrame, pairs: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .withColumn("is_leak",
                         F.col("split_a") != F.col("split_b")))
+
+
+@register("compression_ratio", PluginType.TRANSFORMER)
+def compression_ratio(df: DataFrame, text_col: str,
+                      out_col: str = "zlib_ratio",
+                      round_dp: int = 4) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/original bytes)
+    — the Gopher-style redundancy signal: boilerplate and template
+    farms compress far below prose (< 0.3), while high-entropy noise
+    won't compress at all (≈ 1.0).  Complements repetition_stats
+    (n-gram level) with a whole-document redundancy measure.
+
+    zlib isn't expressible as SQL, so this is an Arrow-batched Pandas
+    UDF (deterministic: fixed zlib level 6) — the honest slow lane,
+    vectorized per batch, one projection, no shuffle.  Empty/null docs
+    get NULL."""
+    import zlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def ratio(s):
+        out = []
+        for t in s:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8", errors="replace")
+            out.append(round(len(zlib.compress(raw, 6)) / len(raw),
+                             round_dp))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, ratio(F.col(text_col)))

@@ -368,3 +368,27 @@ def test_augment_image_center_crop_dims(spark):
     assert (out["width"], out["height"]) == (4, 4)
     px = np.frombuffer(bytes(out["payload"]), dtype=np.uint8)
     assert px.size == 4 * 4 * 3
+
+
+def test_audio_segments_finds_silence_gap(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import (audio_segments,
+                                                    encode_wav)
+
+    rate = 8000
+    t = np.arange(rate) / rate                      # 1s tone
+    tone = np.sin(2 * np.pi * 440 * t) * 0.4
+    silence = np.zeros(rate // 2)                   # 0.5s silence
+    signal = np.concatenate([tone, silence, tone])
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(signal, rate)))],
+        "media_id long, payload binary")
+    segs = sorted(audio_segments(df).collect(),
+                  key=lambda r: r["segment_idx"])
+    kinds = [s["kind"] for s in segs]
+    assert kinds == ["voiced", "silence", "voiced"]
+    mid = segs[1]
+    assert abs(mid["start_s"] - 1.0) < 0.06
+    assert abs(mid["end_s"] - 1.5) < 0.06
+    assert mid["rms"] < 0.01 < segs[0]["rms"]

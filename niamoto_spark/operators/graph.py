@@ -278,3 +278,56 @@ def kcore_peel(pairs: DataFrame, k: int, id_a: str = "id_a",
     return (edges.groupBy(F.col("src").alias("node_id"))
             .agg(F.count(F.lit(1)).alias("degree"))
             .where(F.col("degree") >= k))
+
+
+@register("personalized_pagerank", PluginType.TRANSFORMER)
+def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
+                          id_a: str = "id_a", id_b: str = "id_b",
+                          seed_col: str = "node_id",
+                          damping: float = 0.85, iters: int = 2,
+                          round_dp: int = 6) -> DataFrame:
+    """Personalized PageRank: random walks that TELEPORT back to the
+    seed set instead of everywhere — rank becomes "relevance to these
+    seeds", the similarity-expansion primitive behind related-items
+    and seed-based corpus growing (find documents like this labeled
+    handful).
+
+    Undirected edges, uniform seed teleport, fixed iterations — same
+    oracle-ability policy as ``pagerank`` (the oracle unrolls every
+    round).  Per round: one edge⋈rank shuffle + one inflow aggregate;
+    nothing driver-side but the seed count."""
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct())
+    nodes = edges.select(F.col("src").alias("node_id")).distinct()
+    s = seeds.select(F.col(seed_col).alias("node_id")).distinct() \
+        .join(nodes, "node_id", "left_semi")
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is in the graph")
+    teleport = 1.0 / n_seeds
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    is_seed = s.withColumn("__t", F.lit(teleport))
+    ranks = (nodes.join(is_seed, "node_id", "left")
+             .select("node_id",
+                     F.coalesce("__t", F.lit(0.0)).alias("rank")))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(ranks, edges["src"] == ranks["node_id"])
+                   .join(outdeg, "src")
+                   .select("dst", (F.col("rank") / F.col("deg"))
+                           .alias("c")))
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (nodes
+                 .join(inflow, nodes["node_id"] == inflow["dst"], "left")
+                 .join(is_seed, "node_id", "left")
+                 .select("node_id",
+                         ((1.0 - damping)
+                          * F.coalesce("__t", F.lit(0.0))
+                          + damping * F.coalesce("inflow", F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node_id",
+                        F.round("rank", round_dp).alias("rank"))

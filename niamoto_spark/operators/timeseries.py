@@ -594,3 +594,83 @@ def cumulative_unique(df: DataFrame, entity_col: str, ts_col: str,
          .rowsBetween(Window.unboundedPreceding, 0))
     return filled.withColumn("cum_entities",
                              F.sum("new_entities").over(w))
+
+
+@register("autocorrelation", PluginType.TRANSFORMER)
+def autocorrelation(df: DataFrame, key_col: str, order_col: str,
+                    value_col: str, max_lag: int = 3,
+                    round_dp: int = 4) -> DataFrame:
+    """Per-series autocorrelation function (ACF): Pearson correlation
+    between the series and its lag-ℓ shift for ℓ = 1..max_lag — the
+    periodicity detector (a weekly cycle shows as a spike at lag 7 on
+    daily buckets).  Computed as ``corr`` over the aligned (x_t,
+    x_{t−ℓ}) pairs, the sample-ACF convention that SQL replays
+    verbatim.
+
+    One window sort per key materializes ALL lag columns in the same
+    WindowExec pass; one aggregation per key yields every lag's
+    correlation.  Returns (key, lag, acf, n_pairs)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    lagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+        *[F.lag(F.col(value_col).cast("double"), k).over(w)
+          .alias(f"__l{k}") for k in range(1, max_lag + 1)])
+    aggs = []
+    for k in range(1, max_lag + 1):
+        aggs.append(F.round(F.corr("v", f"__l{k}"), round_dp)
+                    .alias(f"__a{k}"))
+        aggs.append(F.count(f"__l{k}").alias(f"__n{k}"))
+    per = lagged.groupBy("key").agg(*aggs)
+    out = None
+    for k in range(1, max_lag + 1):
+        piece = per.select("key", F.lit(k).alias("lag"),
+                           F.col(f"__a{k}").alias("acf"),
+                           F.col(f"__n{k}").alias("n_pairs"))
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+@register("growth_accounting", PluginType.TRANSFORMER)
+def growth_accounting(df: DataFrame, entity_col: str, ts_col: str,
+                      granule_s: int = 86_400) -> DataFrame:
+    """Growth accounting: per period, active users decomposed into
+    NEW (first period ever), RETAINED (also active previous period),
+    and RESURRECTED (seen before, but not last period), plus CHURNED
+    (active previous period, gone now) — the four numbers every
+    growth review reads, with active = new + retained + resurrected
+    holding exactly.
+
+    One distinct-activity aggregate (entity-keyed), the first-seen
+    min, a self-join on (entity, period−1) — co-partitioned with the
+    activity aggregate — and one period rollup."""
+    bucket = F.floor(F.col(ts_col) / granule_s).cast("long")
+    act = (df.select(F.col(entity_col).alias("u"),
+                     bucket.alias("b")).distinct())
+    firsts = act.groupBy("u").agg(F.min("b").alias("fb"))
+    prev = act.select("u", (F.col("b") + 1).alias("b"),
+                      F.lit(1).alias("__prev"))
+    cur = (act.join(firsts, "u")
+           .join(prev, ["u", "b"], "left"))
+    per = (cur.groupBy("b")
+           .agg(F.count(F.lit(1)).alias("active"),
+                F.sum((F.col("fb") == F.col("b")).cast("long"))
+                .alias("new_users"),
+                F.sum(((F.col("fb") < F.col("b"))
+                       & F.col("__prev").isNotNull()).cast("long"))
+                .alias("retained"),
+                F.sum(((F.col("fb") < F.col("b"))
+                       & F.col("__prev").isNull()).cast("long"))
+                .alias("resurrected")))
+    churn_src = (act.select("u", (F.col("b") + 1).alias("b"))
+                 .join(act.withColumn("__here", F.lit(1)),
+                       ["u", "b"], "left")
+                 .groupBy("b")
+                 .agg(F.sum(F.col("__here").isNull().cast("long"))
+                      .alias("churned")))
+    return (per.join(churn_src, "b", "left")
+            .select(F.col("b").alias("period"), "active", "new_users",
+                    "retained", "resurrected",
+                    F.coalesce("churned", F.lit(0)).alias("churned")))

@@ -1784,6 +1784,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_result_cache": q245_result_cache,
         "q246_augment_text": q246_augment_text,
         "q247_leakage_audit": q247_leakage_audit,
+        "q248_personalized_pagerank": q248_personalized_pagerank,
+        "q249_autocorrelation": q249_autocorrelation,
+        "q250_growth_accounting": q250_growth_accounting,
     }
 
 
@@ -5546,6 +5549,9 @@ def build_oracles() -> dict[str, str]:
         "q245_result_cache": O_Q245,
         "q246_augment_text": O_Q246,
         "q247_leakage_audit": O_Q247,
+        "q248_personalized_pagerank": O_Q248,
+        "q249_autocorrelation": O_Q249,
+        "q250_growth_accounting": O_Q250,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9438,4 +9444,149 @@ SELECT least(sa.split, sb.split) AS split_a,
 FROM p JOIN assign sa ON p.id_a = sa.doc_id
        JOIN assign sb ON p.id_b = sb.doc_id
 GROUP BY 1, 2
+"""
+
+
+def q248_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py:
+    personalized_pagerank): seed-teleport walks over the
+    unigram-Jaccard graph, seeds = doc_id < 20 that appear in the
+    graph; 2 rounds fully unrolled in the oracle."""
+    from niamoto_spark.operators.graph import personalized_pagerank
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                          threshold=0.6,
+                                          block_col="source")
+    seeds = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("node_id"))
+    ppr = personalized_pagerank(pairs.select("id_a", "id_b"), seeds,
+                                iters=2)
+    return ppr.where(F.col("rank") > 0)
+
+
+O_Q248 = r"""
+WITH g AS (SELECT doc_id, source,
+                  list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) AS toks
+           FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+              > 0
+        AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))), 4) >= 0.6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+s AS (SELECT node_id FROM nodes WHERE node_id < 20),
+ns AS (SELECT count(*) AS n FROM s),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT n.node_id,
+              CASE WHEN s.node_id IS NOT NULL
+                   THEN 1.0 / ns.n ELSE 0.0 END AS rank
+       FROM nodes n LEFT JOIN s ON n.node_id = s.node_id
+       CROSS JOIN ns),
+i1 AS (SELECT e.dst, sum(r.rank / d.deg) AS inflow
+       FROM edges e JOIN r0 r ON e.src = r.node_id
+                    JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r1 AS (SELECT n.node_id,
+              0.15 * (CASE WHEN s.node_id IS NOT NULL
+                           THEN 1.0 / ns.n ELSE 0.0 END)
+              + 0.85 * coalesce(i1.inflow, 0.0) AS rank
+       FROM nodes n LEFT JOIN s ON n.node_id = s.node_id
+       LEFT JOIN i1 ON n.node_id = i1.dst CROSS JOIN ns),
+i2 AS (SELECT e.dst, sum(r.rank / d.deg) AS inflow
+       FROM edges e JOIN r1 r ON e.src = r.node_id
+                    JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r2 AS (SELECT n.node_id,
+              0.15 * (CASE WHEN s.node_id IS NOT NULL
+                           THEN 1.0 / ns.n ELSE 0.0 END)
+              + 0.85 * coalesce(i2.inflow, 0.0) AS rank
+       FROM nodes n LEFT JOIN s ON n.node_id = s.node_id
+       LEFT JOIN i2 ON n.node_id = i2.dst CROSS JOIN ns)
+SELECT node_id, round(rank, 6) AS rank FROM r2
+WHERE round(rank, 6) > 0
+"""
+
+
+def q249_autocorrelation(spark, sf_dir):
+    """Per-series ACF (operators/timeseries.py: autocorrelation):
+    daily value sums per event type, lags 1-3 — the periodicity
+    detector.  Oracle: corr() over the identical lag alignment."""
+    from niamoto_spark.operators.timeseries import autocorrelation
+
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.floor(F.col("ts_sec") / 86400)
+                        .cast("long").alias("day"))
+             .agg(F.round(F.sum("value"), 4).alias("v")))
+    return autocorrelation(daily, "event_type", "day", "v", max_lag=3)
+
+
+O_Q249 = """
+WITH daily AS (
+  SELECT event_type AS key,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT key, v,
+         lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+         lag(v, 3) OVER w AS l3
+  FROM daily WINDOW w AS (PARTITION BY key ORDER BY day))
+SELECT key, 1 AS lag, round(corr(v, l1), 4) AS acf,
+       count(l1) AS n_pairs FROM lagged GROUP BY key
+UNION ALL
+SELECT key, 2, round(corr(v, l2), 4), count(l2) FROM lagged GROUP BY key
+UNION ALL
+SELECT key, 3, round(corr(v, l3), 4), count(l3) FROM lagged GROUP BY key
+"""
+
+
+def q250_growth_accounting(spark, sf_dir):
+    """Growth accounting (operators/timeseries.py:
+    growth_accounting): daily active users decomposed into new /
+    retained / resurrected with churn — active ≡ new + retained +
+    resurrected by construction.  Oracle: the same first-seen +
+    previous-period joins."""
+    from niamoto_spark.operators.timeseries import growth_accounting
+
+    ev = _events(spark, sf_dir)
+    return growth_accounting(ev, "user_id", "ts_sec",
+                             granule_s=86400)
+
+
+O_Q250 = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS b
+  FROM events),
+firsts AS (SELECT u, min(b) AS fb FROM act GROUP BY 1),
+cur AS (
+  SELECT a.b, a.u, f.fb,
+         p.u IS NOT NULL AS was_prev
+  FROM act a JOIN firsts f USING (u)
+  LEFT JOIN act p ON p.u = a.u AND p.b = a.b - 1),
+per AS (
+  SELECT b, count(*) AS active,
+         CAST(sum(CASE WHEN fb = b THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(sum(CASE WHEN fb < b AND was_prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS retained,
+         CAST(sum(CASE WHEN fb < b AND NOT was_prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS resurrected
+  FROM cur GROUP BY 1),
+churn AS (
+  SELECT a.b + 1 AS b,
+         CAST(sum(CASE WHEN n.u IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS churned
+  FROM act a LEFT JOIN act n ON n.u = a.u AND n.b = a.b + 1
+  GROUP BY 1)
+SELECT per.b AS period, per.active, per.new_users, per.retained,
+       per.resurrected, coalesce(churn.churned, 0) AS churned
+FROM per LEFT JOIN churn ON per.b = churn.b
 """

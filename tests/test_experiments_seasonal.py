@@ -227,3 +227,33 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     assert r["ci_lo"] < r["mean"] < r["ci_hi"]
     # CI width for mean of uniform(0..99) at n=3000 ~ ±1; sanity bound
     assert r["ci_hi"] - r["ci_lo"] < 5.0
+
+
+def test_autocorrelation_perfect_period2(spark):
+    from niamoto_spark.operators.timeseries import autocorrelation
+    # alternating series: ACF(1) = -1, ACF(2) = +1
+    rows = [("s", i, float(10 if i % 2 == 0 else 0)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "k", "t", "v", max_lag=2).collect()}
+    assert out[1]["acf"] == pytest.approx(-1.0, abs=1e-6)
+    assert out[2]["acf"] == pytest.approx(1.0, abs=1e-6)
+    assert out[1]["n_pairs"] == 19
+
+
+def test_growth_accounting_identity(spark):
+    from niamoto_spark.operators.timeseries import growth_accounting
+    # u1 active day0,1,3 (retained d1, resurrected d3)
+    # u2 active day0 only (churned at d1); u3 first seen day1
+    rows = [(1, 0), (1, 100), (1, 300), (2, 0), (3, 100)]
+    df = spark.createDataFrame(rows, "u long, t long")
+    out = {r["period"]: r for r in
+           growth_accounting(df, "u", "t", granule_s=100).collect()}
+    d0, d1, d3 = out[0], out[1], out[3]
+    assert (d0["active"], d0["new_users"]) == (2, 2)
+    assert (d1["active"], d1["new_users"], d1["retained"],
+            d1["resurrected"], d1["churned"]) == (2, 1, 1, 0, 1)
+    assert (d3["resurrected"], d3["retained"]) == (1, 0)
+    for r in out.values():
+        assert r["active"] == r["new_users"] + r["retained"] \
+            + r["resurrected"]

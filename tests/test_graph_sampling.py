@@ -211,3 +211,25 @@ def test_kcore_empty_when_no_core(spark):
     edges = [(1, 2), (2, 3), (3, 4)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     assert kcore_peel(df, k=2, rounds=3).count() == 0
+
+
+def test_personalized_pagerank_concentrates_on_seed_cluster(spark):
+    from niamoto_spark.operators.graph import personalized_pagerank
+    # two cliques; seed in the first
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    out = {r["node_id"]: r["rank"]
+           for r in personalized_pagerank(df, seeds, iters=3).collect()}
+    # all mass stays in the seed's component
+    assert out[10] == out[11] == out[12] == 0.0
+    assert out[1] > out[2] > 0
+
+
+def test_personalized_pagerank_rejects_offgraph_seeds(spark):
+    import pytest as _pt
+    from niamoto_spark.operators.graph import personalized_pagerank
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    seeds = spark.createDataFrame([(99,)], "node_id long")
+    with _pt.raises(ValueError, match="no seed"):
+        personalized_pagerank(df, seeds)

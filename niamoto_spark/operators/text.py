@@ -1248,3 +1248,41 @@ def compression_ratio(df: DataFrame, text_col: str,
         return pd.Series(out, dtype="float64")
 
     return df.withColumn(out_col, ratio(F.col(text_col)))
+
+
+@register("contamination_score", PluginType.TRANSFORMER)
+def contamination_score(docs: DataFrame, id_col: str, text_col: str,
+                        benchmark: DataFrame, bench_text_col: str,
+                        ngram: int = 5,
+                        round_dp: int = 6) -> DataFrame:
+    """Graded contamination: the FRACTION of a document's distinct
+    word n-grams that appear in the benchmark set — where
+    ``decontaminate`` gives a hit count for flagging, this gives the
+    [0,1] severity used for tiered policies (drop > 0.2, downweight
+    > 0.05, keep the long tail).
+
+    Same scale shape as decontaminate: both sides explode to distinct
+    shingles, the benchmark side broadcasts, per-doc totals and hits
+    are two aggregates on the doc key (AQE reuses the exchange).
+    Returns (id, n_grams, n_hits, score) for every doc with ≥ 1
+    gram; zero-hit docs score 0.0."""
+    d = fan_out(docs)
+    doc_grams = (d.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(
+            word_shingles(F.lower(F.col(text_col)), ngram)))
+        .alias("gram")))
+    totals = (doc_grams.groupBy("__id")
+              .agg(F.count(F.lit(1)).alias("n_grams")))
+    bench = (benchmark.select(
+        F.explode(F.array_distinct(
+            word_shingles(F.lower(F.col(bench_text_col)), ngram)))
+        .alias("gram")).distinct())
+    hits = (doc_grams.join(F.broadcast(bench), "gram")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (totals.join(hits, "__id", "left")
+            .select(F.col("__id").alias(id_col), "n_grams",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            / F.col("n_grams").cast("double"),
+                            round_dp).alias("score")))

@@ -1787,6 +1787,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_personalized_pagerank": q248_personalized_pagerank,
         "q249_autocorrelation": q249_autocorrelation,
         "q250_growth_accounting": q250_growth_accounting,
+        "q251_stream_upsert": q251_stream_upsert,
+        "q252_contamination_score": q252_contamination_score,
     }
 
 
@@ -5552,6 +5554,8 @@ def build_oracles() -> dict[str, str]:
         "q248_personalized_pagerank": O_Q248,
         "q249_autocorrelation": O_Q249,
         "q250_growth_accounting": O_Q250,
+        "q251_stream_upsert": O_Q251,
+        "q252_contamination_score": O_Q252,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9589,4 +9593,110 @@ churn AS (
 SELECT per.b AS period, per.active, per.new_users, per.retained,
        per.resurrected, coalesce(churn.churned, 0) AS churned
 FROM per LEFT JOIN churn ON per.b = churn.b
+"""
+
+
+def q251_stream_upsert(spark, sf_dir):
+    """Streaming CDC-apply (sources/manifest.py:
+    stream_upsert_to_table): a base snapshot batch then an updates
+    batch MERGE into a keyed manifest table through foreachBatch with
+    batch-id idempotence; within-batch duplicates resolve last-wins.
+    Oracle: orders with the update slice's doubled totals applied."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from niamoto_spark.sources import manifest as M
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_su_" + sf_dir.strip("/").replace("/", "_"))
+    src_dir, ckpt, tbl = (base + "_src", base + "_ckpt", base + "_tbl")
+    for p in (src_dir, ckpt, tbl):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    os.makedirs(src_dir)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+
+    def write_batch(df, name, bump):
+        tmp = os.path.join(src_dir, ".mk")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet"))
+        dest = os.path.join(src_dir, name)
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (_time.time() + bump, _time.time() + bump))
+
+    write_batch(o, "b1.parquet", 0)
+    write_batch(o.where(F.col("o_orderkey") % 7 == 0)
+                .withColumn("o_totalprice",
+                            F.round(F.col("o_totalprice") * 2, 2)),
+                "b2.parquet", 60)
+    stream = (spark.readStream.schema(o.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = M.stream_upsert_to_table(stream, tbl, ckpt, "o_orderkey")
+    q.awaitTermination()
+    return (M.read_table(spark, tbl)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+O_Q251 = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(CASE WHEN o_orderkey % 7 = 0
+                      THEN round(o_totalprice * 2, 2)
+                      ELSE o_totalprice END), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q252_contamination_score(spark, sf_dir):
+    """Graded benchmark contamination (operators/text.py:
+    contamination_score): every 17th document stands in as the
+    benchmark; per-source mean severity over 5-gram overlap.  The
+    oracle replays shingling, the broadcast hit join, and the
+    fraction."""
+    from niamoto_spark.operators.text import contamination_score
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    scores = contamination_score(d, "doc_id", "text", bench, "text",
+                                 ngram=5)
+    with_src = scores.join(d.select("doc_id", "source"), "doc_id")
+    return (with_src.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("score") >= 0.5).cast("long"))
+                 .alias("n_contaminated"),
+                 F.round(F.avg("score"), 6).alias("avg_score")))
+
+
+O_Q252 = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+  FROM tok WHERE len(t) >= 5),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM idx),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+hits AS (SELECT g.doc_id, count(*) AS n_hits
+         FROM grams g JOIN bench USING (gram) GROUP BY 1),
+scores AS (
+  SELECT t.doc_id, t.n_grams, coalesce(h.n_hits, 0) AS n_hits,
+         round(coalesce(h.n_hits, 0) / CAST(t.n_grams AS DOUBLE), 6)
+           AS score
+  FROM totals t LEFT JOIN hits h USING (doc_id))
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(avg(s.score), 6) AS avg_score
+FROM scores s JOIN documents d USING (doc_id)
+GROUP BY 1
 """

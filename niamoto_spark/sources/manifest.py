@@ -573,7 +573,7 @@ def compact(spark: SparkSession, path: str, target_files: int = 8,
 
 
 def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
-                 key_col: str) -> int:
+                 key_col: str, extra_meta: dict | None = None) -> int:
     """MERGE INTO semantics: rows in ``updates`` replace same-key rows in
     the current snapshot, new keys append — committed atomically as ONE
     new version (readers see pre-merge or post-merge, never a mix).
@@ -602,11 +602,11 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     try:
         base = read_table(spark, path)
     except FileNotFoundError:
-        return overwrite(updates, path)
+        return overwrite(updates, path, extra_meta=extra_meta)
     keys = updates.select(key_col).distinct()
     merged = (base.join(keys, on=key_col, how="left_anti")
               .unionByName(updates))
-    return overwrite(merged, path)
+    return overwrite(merged, path, extra_meta=extra_meta)
 
 
 def _rewrite_cow(spark: SparkSession, path: str, transform,
@@ -1318,3 +1318,40 @@ def delete_where_mor(spark: SparkSession, path: str,
             extra[carry] = doc[carry]
     _commit_doc(path, v + 1, extra)
     return v + 1, len(hits)
+
+
+def stream_upsert_to_table(stream_df: DataFrame, path: str,
+                           checkpoint_dir: str, key_col: str,
+                           trigger_available_now: bool = True):
+    """Streaming MERGE: each micro-batch UPSERTS into the manifest
+    table by key (CDC-apply — the change stream keeps a keyed table
+    current, not an append log).  Batch-id idempotence rides in the
+    commit doc like ``stream_to_table``; replaying a crashed batch
+    re-merges the same rows into the same final state, so the sink is
+    exactly-once BY VALUE even though the merge rewrites rows.
+
+    Within-batch duplicate keys are resolved to the LAST row per key
+    under the stream's implicit order first (micro-batches may carry
+    several updates for one key; merge_upsert itself fails fast on
+    duplicates by contract)."""
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        v = current_version(path)
+        if v >= 0 and _read_manifest(path, v).get("batch_id") == batch_id:
+            return
+        w = Window.partitionBy(key_col).orderBy(
+            F.monotonically_increasing_id().desc())
+        latest = (batch_df.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))
+        if current_version(path) < 0:
+            append(latest, path, extra_meta={"batch_id": batch_id})
+        else:
+            merge_upsert(batch_df.sparkSession, latest, path, key_col,
+                         extra_meta={"batch_id": batch_id})
+
+    writer = (stream_df.writeStream.foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -771,3 +771,45 @@ def test_result_cache_hit_miss_invalidate(spark, tmp_path):
     assert not h4 and r4.first()[0] == 90 + 20 + 22
     # age-based vacuum reaps everything with max_age 0
     assert vacuum_cache(cache, max_age_s=0) >= 3
+
+
+# --- streaming upsert (CDC-apply) ------------------------------------------
+
+def test_stream_upsert_applies_cdc_and_restarts_idempotently(
+        spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(src_dir)
+    # batch files: k=1 appears twice across files with newer value
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "f1"))
+    stream = (spark.readStream
+              .schema("k long, v string")
+              .parquet(os.path.join(src_dir, "*")))
+    q = M.stream_upsert_to_table(stream, tbl, ckpt, "k")
+    q.awaitTermination()
+    assert sorted(map(tuple, M.read_table(spark, tbl)
+                      .select("k", "v").collect())) \
+        == [(1, "a"), (2, "b")]
+    # second micro-run: update k=1, insert k=3
+    spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "f2"))
+    q = M.stream_upsert_to_table(
+        (spark.readStream.schema("k long, v string")
+         .parquet(os.path.join(src_dir, "*"))), tbl, ckpt, "k")
+    q.awaitTermination()
+    rows = sorted(map(tuple, M.read_table(spark, tbl)
+                      .select("k", "v").collect()))
+    assert rows == [(1, "a2"), (2, "b"), (3, "c")]
+    # replaying from the same checkpoint with no new data: no-op
+    v_before = M.current_version(tbl)
+    q = M.stream_upsert_to_table(
+        (spark.readStream.schema("k long, v string")
+         .parquet(os.path.join(src_dir, "*"))), tbl, ckpt, "k")
+    q.awaitTermination()
+    assert M.current_version(tbl) == v_before

@@ -118,3 +118,87 @@ def audience_overlap(df: DataFrame, user_col: str, segment_col: str,
            / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
     return out.select("seg_a", "seg_b", "n_both", "n_a", "n_b",
                       F.round(jac, round_dp).alias("jaccard"))
+
+
+@register("als_factorize", PluginType.TRANSFORMER)
+def als_factorize(ratings: DataFrame, user_col: str, item_col: str,
+                  rating_col: str, rank: int = 1, iters: int = 2,
+                  reg: float = 0.1,
+                  round_dp: int = 6) -> "tuple[DataFrame, DataFrame]":
+    """Alternating least squares matrix factorization — the canonical
+    distributed recommender fit.  Returns (user_factors,
+    item_factors) as DataFrames of (id, factors array<double>).
+
+    Determinism contract: item factors initialize to the item's mean
+    rating in component 0 and (id-hash-free) constant 0.1 elsewhere,
+    and each half-step solves EXACT normal equations per entity — no
+    RNG anywhere, so a run is reproducible and, for ``rank=1``, the
+    entire fit unrolls in SQL:
+
+        u_i = Σ_j r_ij·v_j / (Σ_j v_j² + λ)     (one aggregation)
+        v_j = Σ_i r_ij·u_i / (Σ_i u_i² + λ)     (one aggregation)
+
+    For ``rank>1`` each entity's k×k system solves inside an
+    ``applyInPandas`` group (numpy, k tiny) — ratings shuffle once per
+    half-step on the entity key, factors join back broadcast-sized.
+    Rank-1 correctness is oracle-pinned (q253); rank-k is pinned by a
+    numpy reference-implementation parity test."""
+    import numpy as np
+    import pandas as pd
+
+    r = (ratings.select(F.col(user_col).alias("u"),
+                        F.col(item_col).alias("i"),
+                        F.col(rating_col).cast("double").alias("r")))
+    init0 = (r.groupBy("i").agg(F.avg("r").alias("m")))
+    if rank == 1:
+        vf = init0.select("i", F.col("m").alias("v"))
+        for _ in range(iters):
+            uf = (r.join(vf, "i")
+                  .groupBy("u")
+                  .agg((F.sum(F.col("r") * F.col("v"))
+                        / (F.sum(F.col("v") * F.col("v")) + reg))
+                       .alias("uvec")))
+            vf = (r.join(uf, "u")
+                  .groupBy("i")
+                  .agg((F.sum(F.col("r") * F.col("uvec"))
+                        / (F.sum(F.col("uvec") * F.col("uvec")) + reg))
+                       .alias("v")))
+            vf = vf.localCheckpoint(eager=False)
+        users = uf.select(F.col("u").alias("id"),
+                          F.array(F.round("uvec", round_dp))
+                          .alias("factors"))
+        items = vf.select(F.col("i").alias("id"),
+                          F.array(F.round("v", round_dp))
+                          .alias("factors"))
+        return users, items
+
+    k = int(rank)
+    vf = init0.select(
+        "i", F.array(F.col("m"),
+                     *[F.lit(0.1)] * (k - 1)).alias("vec"))
+
+    def solve(side_key: str, other_key: str, joined: DataFrame
+              ) -> DataFrame:
+        schema = f"{side_key} long, vec array<double>"
+
+        def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            A = np.zeros((k, k))
+            b = np.zeros(k)
+            for _, row in pdf.iterrows():
+                v = np.asarray(row["vec"], dtype=float)
+                A += np.outer(v, v)
+                b += row["r"] * v
+            A += reg * np.eye(k)
+            x = np.linalg.solve(A, b)
+            return pd.DataFrame(
+                {side_key: [pdf[side_key].iloc[0]], "vec": [list(x)]})
+
+        return joined.groupBy(side_key).applyInPandas(fit, schema)
+
+    for _ in range(iters):
+        uf = solve("u", "i", r.join(vf, "i").select("u", "r", "vec"))
+        vf = solve("i", "u", r.join(uf, "u").select("i", "r", "vec"))
+        vf = vf.localCheckpoint(eager=False)
+    rnd = F.transform("vec", lambda x: F.round(x, round_dp))
+    return (uf.select(F.col("u").alias("id"), rnd.alias("factors")),
+            vf.select(F.col("i").alias("id"), rnd.alias("factors")))

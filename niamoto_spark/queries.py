@@ -1789,6 +1789,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_growth_accounting": q250_growth_accounting,
         "q251_stream_upsert": q251_stream_upsert,
         "q252_contamination_score": q252_contamination_score,
+        "q253_als_rank1": q253_als_rank1,
     }
 
 
@@ -5556,6 +5557,7 @@ def build_oracles() -> dict[str, str]:
         "q250_growth_accounting": O_Q250,
         "q251_stream_upsert": O_Q251,
         "q252_contamination_score": O_Q252,
+        "q253_als_rank1": O_Q253,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9699,4 +9701,44 @@ SELECT d.source, count(*) AS n_docs,
        round(avg(s.score), 6) AS avg_score
 FROM scores s JOIN documents d USING (doc_id)
 GROUP BY 1
+"""
+
+
+def q253_als_rank1(spark, sf_dir):
+    """Rank-1 ALS matrix factorization (operators/recsys.py:
+    als_factorize): customers × order-priorities rating matrix
+    (avg totalprice scaled), 2 alternating iterations, exact scalar
+    normal equations.  The oracle unrolls BOTH half-steps of BOTH
+    iterations in SQL — the full alternating optimization is pinned.
+    Output: per-item factor plus reconstruction stats."""
+    from niamoto_spark.operators.recsys import als_factorize
+
+    o = _t(spark, sf_dir, "orders")
+    ratings = (o.groupBy(F.col("o_custkey").alias("cust"),
+                         F.col("o_orderpriority").alias("prio"))
+               .agg(F.round(F.avg("o_totalprice") / 100000.0, 4)
+                    .alias("rating"))
+               .where(F.col("cust") < 300))
+    users, items = als_factorize(ratings, "cust", "prio", "rating",
+                                 rank=1, iters=2)
+    return (items.select("id", F.col("factors")[0].alias("v"))
+            .orderBy("id"))
+
+
+O_Q253 = """
+WITH r AS (
+  SELECT o_custkey AS u, o_orderpriority AS i,
+         round(avg(o_totalprice) / 100000.0, 4) AS r
+  FROM orders WHERE o_custkey < 300
+  GROUP BY 1, 2),
+v0 AS (SELECT i, avg(r) AS v FROM r GROUP BY 1),
+u1 AS (SELECT r.u, sum(r.r * v0.v) / (sum(v0.v * v0.v) + 0.1) AS uv
+       FROM r JOIN v0 USING (i) GROUP BY 1),
+v1 AS (SELECT r.i, sum(r.r * u1.uv) / (sum(u1.uv * u1.uv) + 0.1) AS v
+       FROM r JOIN u1 USING (u) GROUP BY 1),
+u2 AS (SELECT r.u, sum(r.r * v1.v) / (sum(v1.v * v1.v) + 0.1) AS uv
+       FROM r JOIN v1 USING (i) GROUP BY 1),
+v2 AS (SELECT r.i, sum(r.r * u2.uv) / (sum(u2.uv * u2.uv) + 0.1) AS v
+       FROM r JOIN u2 USING (u) GROUP BY 1)
+SELECT i AS id, round(v, 6) AS v FROM v2 ORDER BY id
 """

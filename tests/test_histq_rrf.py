@@ -105,3 +105,73 @@ class TestRrfFuse:
         # identical scores -> tiebreak by doc id ascending
         assert [r["doc_id"] for r in
                 sorted(rows, key=lambda r: r["fused_rank"])] == [3, 5]
+
+
+# --- ALS factorization -----------------------------------------------------
+
+def _als_reference(ratings, k, iters, reg):
+    """Driver-side numpy replica of als_factorize's exact update rule."""
+    import numpy as np
+    users = sorted({u for u, _, _ in ratings})
+    items = sorted({i for _, i, _ in ratings})
+    by_item = {i: [(u, r) for u, i2, r in ratings if i2 == i]
+               for i in items}
+    by_user = {u: [(i, r) for u2, i, r in ratings if u2 == u]
+               for u in users}
+    V = {}
+    for i in items:
+        rs = [r for _, r in by_item[i]]
+        V[i] = np.array([np.mean(rs)] + [0.1] * (k - 1))
+    U = {}
+    for _ in range(iters):
+        for u in users:
+            A = reg * np.eye(k)
+            b = np.zeros(k)
+            for i, r in by_user[u]:
+                A += np.outer(V[i], V[i])
+                b += r * V[i]
+            U[u] = np.linalg.solve(A, b)
+        for i in items:
+            A = reg * np.eye(k)
+            b = np.zeros(k)
+            for u, r in by_item[i]:
+                A += np.outer(U[u], U[u])
+                b += r * U[u]
+            V[i] = np.linalg.solve(A, b)
+    return U, V
+
+
+def test_als_rank2_matches_numpy_reference(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.recsys import als_factorize
+
+    ratings = [(1, 10, 5.0), (1, 11, 1.0), (2, 10, 4.0),
+               (2, 12, 2.0), (3, 11, 5.0), (3, 12, 3.0)]
+    df = spark.createDataFrame(ratings, "u long, i long, r double")
+    users, items = als_factorize(df, "u", "i", "r", rank=2, iters=2)
+    U, V = _als_reference(ratings, k=2, iters=2, reg=0.1)
+    got_u = {r["id"]: r["factors"] for r in users.collect()}
+    got_v = {r["id"]: r["factors"] for r in items.collect()}
+    for u in U:
+        np.testing.assert_allclose(got_u[u], U[u], atol=1e-5)
+    for i in V:
+        np.testing.assert_allclose(got_v[i], V[i], atol=1e-5)
+
+
+def test_als_rank1_reduces_reconstruction_error(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.recsys import als_factorize
+
+    # rank-1 structure: r = a_u * b_i exactly
+    a = {1: 1.0, 2: 2.0, 3: 3.0}
+    b = {10: 2.0, 11: 1.0, 12: 0.5}
+    ratings = [(u, i, a[u] * b[i]) for u in a for i in b]
+    df = spark.createDataFrame(ratings, "u long, i long, r double")
+    users, items = als_factorize(df, "u", "i", "r", rank=1, iters=3,
+                                 reg=0.01)
+    gu = {r["id"]: r["factors"][0] for r in users.collect()}
+    gv = {r["id"]: r["factors"][0] for r in items.collect()}
+    errs = [abs(gu[u] * gv[i] - a[u] * b[i]) for u in a for i in b]
+    assert np.mean(errs) < 0.05

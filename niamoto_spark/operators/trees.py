@@ -123,3 +123,110 @@ def stump_split(df: DataFrame, feature_cols: "list[str]",
             "gain double, n_left bigint, n_right bigint")
         out = out.unionByName(sent)
     return out
+
+
+@register("boosted_stumps", PluginType.TRANSFORMER)
+def boosted_stumps(df: DataFrame, feature_cols: "list[str]",
+                   target_col: str, rounds: int = 2,
+                   learning_rate: float = 0.5, n_bins: int = 8,
+                   round_dp: int = 8) -> DataFrame:
+    """Gradient boosting with depth-1 trees (squared loss): start from
+    the global mean, then each round fits the variance-reduction-
+    optimal stump to the CURRENT residuals and steps by
+    ``learning_rate`` — LightGBM's "hist" recipe at its smallest, and
+    the sequential half of the story whose per-round kernel is
+    ``stump_split``.
+
+    Reproducibility is engineered, not hoped for: the base score and
+    every leaf step are quantized to integer MICRO-UNITS (1e-6), so
+    residuals are exact integers, per-bin residual sums are exact
+    (no float summation order anywhere), and gains/argmaxes are
+    bit-identical across engines — the oracle unrolls the full
+    boosting loop including the round-2 histogram over round-1's
+    data-chosen split.  A 1e-6 step quantum is far below any
+    learning-rate-scale signal.
+
+    Per round: ONE Expand + (feature, bin) integer aggregation over
+    the corpus; the boundary scan runs driver-side over the ≤
+    |features|·n_bins histogram cells.  Training data never
+    shuffles; only histograms move.  Returns the model table:
+    (round, feature, split_bin, threshold, left_step, right_step,
+    base_score)."""
+    q = 1_000_000  # micro-units
+    mm = df.agg(*[F.min(c).cast("double").alias(f"mn_{c}")
+                  for c in feature_cols],
+                *[F.max(c).cast("double").alias(f"mx_{c}")
+                  for c in feature_cols]).first()
+    bins = {}
+    thr = {}
+    for c in feature_cols:
+        mn, mx = float(mm[f"mn_{c}"]), float(mm[f"mx_{c}"])
+        if mx > mn:
+            bins[c] = F.least(
+                F.floor((F.col(c).cast("double") - F.lit(mn))
+                        * n_bins / F.lit(mx - mn)),
+                F.lit(n_bins - 1)).cast("int")
+        else:
+            bins[c] = F.lit(0)
+        thr[c] = (mn, (mx - mn) / n_bins if mx > mn else 0.0)
+    y = F.when(F.col(target_col).cast("double") != 0, 1) \
+        .otherwise(0).cast("long")
+    tot = df.agg(F.sum(y).alias("e"),
+                 F.count(F.lit(1)).alias("n")).first()
+    base_q = round(q * tot["e"] / tot["n"])  # micro-units, exact ints
+    pred_q = F.lit(int(base_q)).cast("long")
+    model_rows = []
+    for rnd in range(rounds):
+        resid_q = (y * q - pred_q).alias("__r")  # exact integer
+        pairs = [F.struct(F.lit(c).alias("feature"),
+                          bins[c].alias("bin")) for c in feature_cols]
+        hist = (df.select(F.explode(F.array(*pairs)).alias("fb"),
+                          resid_q)
+                .groupBy(F.col("fb.feature").alias("feature"),
+                         F.col("fb.bin").alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("__r").alias("s"))
+                .collect())
+        by_f: dict = {}
+        for row in hist:
+            by_f.setdefault(row["feature"], []).append(row)
+        best = None
+        for c in sorted(by_f):
+            cells = sorted(by_f[c], key=lambda r: r["bin"])
+            nt = sum(r["n"] for r in cells)
+            st = sum(r["s"] for r in cells)     # exact int
+            nl = 0
+            sl = 0
+            for cell in cells[:-1]:
+                nl += cell["n"]
+                sl += cell["s"]
+                nr, sr = nt - nl, st - sl
+                if nl == 0 or nr == 0:
+                    continue
+                # mirror SQL double arithmetic exactly: convert the
+                # exact ints to doubles BEFORE multiplying (Python's
+                # big-int product would round differently)
+                gain = round(float(sl) * float(sl) / nl
+                             + float(sr) * float(sr) / nr
+                             - float(st) * float(st) / nt, 4)
+                key = (-gain, c, cell["bin"])
+                if best is None or key < best[0]:
+                    best = (key, c, cell["bin"], nl, sl, nt - nl,
+                            st - sl)
+        if best is None:
+            break
+        _, c, b, nl, sl, nr, sr = best
+        lstep_q = round(learning_rate * float(sl) / nl)  # micro-units
+        rstep_q = round(learning_rate * float(sr) / nr)
+        model_rows.append(
+            (rnd, c, int(b),
+             round(thr[c][0] + (b + 1) * thr[c][1], 6),
+             lstep_q / q, rstep_q / q, base_q / q))
+        step_q = F.when(bins[c] <= b, F.lit(int(lstep_q))) \
+            .otherwise(F.lit(int(rstep_q))).cast("long")
+        pred_q = pred_q + step_q
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        model_rows,
+        "round int, feature string, split_bin int, threshold double, "
+        "left_step double, right_step double, base_score double")

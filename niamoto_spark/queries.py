@@ -1790,6 +1790,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_stream_upsert": q251_stream_upsert,
         "q252_contamination_score": q252_contamination_score,
         "q253_als_rank1": q253_als_rank1,
+        "q254_boosted_stumps": q254_boosted_stumps,
     }
 
 
@@ -5558,6 +5559,7 @@ def build_oracles() -> dict[str, str]:
         "q251_stream_upsert": O_Q251,
         "q252_contamination_score": O_Q252,
         "q253_als_rank1": O_Q253,
+        "q254_boosted_stumps": O_Q254,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9741,4 +9743,129 @@ u2 AS (SELECT r.u, sum(r.r * v1.v) / (sum(v1.v * v1.v) + 0.1) AS uv
 v2 AS (SELECT r.i, sum(r.r * u2.uv) / (sum(u2.uv * u2.uv) + 0.1) AS v
        FROM r JOIN u2 USING (u) GROUP BY 1)
 SELECT i AS id, round(v, 6) AS v FROM v2 ORDER BY id
+"""
+
+
+def q254_boosted_stumps(spark, sf_dir):
+    """Gradient-boosted stumps (operators/trees.py: boosted_stumps):
+    2 squared-loss boosting rounds over (l_quantity, l_discount)
+    against the returned-flag target — the oracle unrolls the FULL
+    boosting loop: both rounds' residual histograms, gain argmaxes
+    (rounded before selection), leaf steps and the round-2 residual
+    update that depends on round 1's data-chosen split."""
+    from niamoto_spark.operators.trees import boosted_stumps
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("int"))
+    return boosted_stumps(li, ["l_discount", "l_quantity"],
+                          "is_return", rounds=2, learning_rate=0.5,
+                          n_bins=8)
+
+
+O_Q254 = """
+WITH mm AS (
+  SELECT min(l_discount) AS mn_d, max(l_discount) AS mx_d,
+         min(l_quantity) AS mn_q, max(l_quantity) AS mx_q
+  FROM lineitem),
+b0 AS (
+  SELECT CAST(round(1000000.0 * sum(CASE WHEN l_returnflag = 'R'
+                                         THEN 1 ELSE 0 END)
+                    / count(*)) AS BIGINT) AS baseq
+  FROM lineitem),
+rows0 AS (
+  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+              AS BIGINT) * 1000000 - b0.baseq AS rq,
+         CAST(least(floor((l_discount - mn_d) * 8 / (mx_d - mn_d)), 7)
+              AS INT) AS bd,
+         CAST(least(floor((l_quantity - mn_q) * 8 / (mx_q - mn_q)), 7)
+              AS INT) AS bq
+  FROM lineitem CROSS JOIN mm CROSS JOIN b0),
+h1 AS (
+  SELECT 'l_discount' AS f, bd AS bin, count(*) AS n,
+         CAST(sum(rq) AS BIGINT) AS s
+  FROM rows0 GROUP BY 1, 2
+  UNION ALL
+  SELECT 'l_quantity', bq, count(*), CAST(sum(rq) AS BIGINT)
+  FROM rows0 GROUP BY 1, 2),
+c1 AS (
+  SELECT f, bin,
+         CAST(sum(n) OVER (PARTITION BY f ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(sum(s) OVER (PARTITION BY f ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+         CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+         CAST(sum(s) OVER (PARTITION BY f) AS BIGINT) AS st,
+         max(bin) OVER (PARTITION BY f) AS maxb
+  FROM h1),
+g1 AS (
+  SELECT f, bin, nl, sl, nt, st,
+         round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+               + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                 / (nt - nl)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt, 4)
+           AS gain
+  FROM c1 WHERE bin < maxb AND nl > 0 AND nt - nl > 0),
+best1 AS (
+  SELECT f, bin,
+         CAST(round(0.5 * CAST(sl AS DOUBLE) / nl) AS BIGINT)
+           AS lstepq,
+         CAST(round(0.5 * CAST(st - sl AS DOUBLE) / (nt - nl))
+              AS BIGINT) AS rstepq
+  FROM g1 ORDER BY gain DESC, f ASC, bin ASC LIMIT 1),
+rows1 AS (
+  SELECT r.bd, r.bq,
+         r.rq - (CASE WHEN (CASE WHEN best1.f = 'l_discount'
+                                 THEN r.bd ELSE r.bq END) <= best1.bin
+                      THEN best1.lstepq ELSE best1.rstepq END) AS rq
+  FROM rows0 r CROSS JOIN best1),
+h2 AS (
+  SELECT 'l_discount' AS f, bd AS bin, count(*) AS n,
+         CAST(sum(rq) AS BIGINT) AS s
+  FROM rows1 GROUP BY 1, 2
+  UNION ALL
+  SELECT 'l_quantity', bq, count(*), CAST(sum(rq) AS BIGINT)
+  FROM rows1 GROUP BY 1, 2),
+c2 AS (
+  SELECT f, bin,
+         CAST(sum(n) OVER (PARTITION BY f ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(sum(s) OVER (PARTITION BY f ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+         CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+         CAST(sum(s) OVER (PARTITION BY f) AS BIGINT) AS st,
+         max(bin) OVER (PARTITION BY f) AS maxb
+  FROM h2),
+g2 AS (
+  SELECT f, bin, nl, sl, nt, st,
+         round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+               + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                 / (nt - nl)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt, 4)
+           AS gain
+  FROM c2 WHERE bin < maxb AND nl > 0 AND nt - nl > 0),
+best2 AS (
+  SELECT f, bin,
+         CAST(round(0.5 * CAST(sl AS DOUBLE) / nl) AS BIGINT)
+           AS lstepq,
+         CAST(round(0.5 * CAST(st - sl AS DOUBLE) / (nt - nl))
+              AS BIGINT) AS rstepq
+  FROM g2 ORDER BY gain DESC, f ASC, bin ASC LIMIT 1)
+SELECT 0 AS round, best1.f AS feature, best1.bin AS split_bin,
+       round(CASE WHEN best1.f = 'l_discount'
+                  THEN mm.mn_d + (best1.bin + 1) * ((mm.mx_d - mm.mn_d) / 8)
+                  ELSE mm.mn_q + (best1.bin + 1) * ((mm.mx_q - mm.mn_q) / 8)
+             END, 6) AS threshold,
+       best1.lstepq / 1000000.0 AS left_step,
+       best1.rstepq / 1000000.0 AS right_step,
+       b0.baseq / 1000000.0 AS base_score
+FROM best1 CROSS JOIN mm CROSS JOIN b0
+UNION ALL
+SELECT 1, best2.f, best2.bin,
+       round(CASE WHEN best2.f = 'l_discount'
+                  THEN mm.mn_d + (best2.bin + 1) * ((mm.mx_d - mm.mn_d) / 8)
+                  ELSE mm.mn_q + (best2.bin + 1) * ((mm.mx_q - mm.mn_q) / 8)
+             END, 6),
+       best2.lstepq / 1000000.0, best2.rstepq / 1000000.0,
+       b0.baseq / 1000000.0
+FROM best2 CROSS JOIN mm CROSS JOIN b0
 """

@@ -82,3 +82,42 @@ def test_woe_iv_empty_bin_never_div0(spark):
     out = {r["bin"]: r for r in woe_iv(df, "bin", "y").collect()}
     assert all(math.isfinite(r["woe"]) for r in out.values())
     assert out["B"]["events"] == 0
+
+
+def test_boosted_stumps_reduce_mse_monotonically(spark):
+    from niamoto_spark.operators.trees import boosted_stumps
+    # y = 1 when x >= 50: one stump nearly solves it, boosting refines
+    rows = [(float(x), float(x % 7) / 7.0, 1 if x >= 50 else 0)
+            for x in range(100)]
+    df = spark.createDataFrame(rows, "x double, z double, y int")
+    model = boosted_stumps(df, ["x", "z"], "y", rounds=3,
+                           learning_rate=0.8, n_bins=10).collect()
+    assert len(model) == 3
+    assert model[0]["feature"] == "x"          # the signal feature
+    assert model[0]["split_bin"] == 4          # boundary before x=50
+
+    def predict(x, z):
+        p = model[0]["base_score"]
+        for m in model:
+            v = x if m["feature"] == "x" else z
+            # reconstruct bin from threshold algebra (10 equal bins)
+            edge = m["threshold"]
+            p += m["left_step"] if v <= edge + 1e-9 else m["right_step"]
+        return p
+
+    mse = sum((predict(x, (x % 7) / 7.0) - (1 if x >= 50 else 0)) ** 2
+              for x in range(100)) / 100
+    base_mse = 0.5 * 0.5  # predicting the mean
+    assert mse < base_mse / 3
+
+
+def test_boosted_stumps_deterministic(spark):
+    from niamoto_spark.operators.trees import boosted_stumps
+    rows = [(float(x % 13), float(x % 5), x % 3 == 0)
+            for x in range(200)]
+    df = spark.createDataFrame(rows, "a double, b double, y boolean")
+    m1 = [tuple(r) for r in boosted_stumps(
+        df, ["a", "b"], "y", rounds=2).collect()]
+    m2 = [tuple(r) for r in boosted_stumps(
+        df.repartition(7), ["a", "b"], "y", rounds=2).collect()]
+    assert m1 == m2                            # partition-invariant

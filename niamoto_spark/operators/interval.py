@@ -98,3 +98,30 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
                 c, F.lit(None).cast(point_types[c]))
         return matches.unionByName(unmatched)
     raise ValueError(f"unsupported how={how!r}")
+
+
+@register("interval_overlap_join", PluginType.TRANSFORMER)
+def interval_overlap_join(left: DataFrame, right: DataFrame, on: str,
+                          left_start: str = "l_start",
+                          left_end: str = "l_end",
+                          right_start: str = "r_start",
+                          right_end: str = "r_end") -> DataFrame:
+    """Interval × interval overlap join per key: pairs where
+    [ls, le) ∩ [rs, re) ≠ ∅ (``ls < re AND rs < le``), with the exact
+    overlap length — temporal-table intersection (shift×incident,
+    subscription×outage, session×campaign).
+
+    Plan shape: an EQUI join on the key with the two range predicates
+    as residual filters — both sides hash-partition on the key, no
+    theta-join cross product.  The fan-out bound is intervals-per-key
+    on each side (temporal tables are key-sparse by nature; for
+    key-free or hot-key workloads, granule-bucket first like
+    ``interval_join``).  Emits left columns + right columns +
+    ``overlap`` (same unit as the bounds)."""
+    cond = ((left[on] == right[on])
+            & (left[left_start] < right[right_end])
+            & (right[right_start] < left[left_end]))
+    joined = left.join(right, cond).drop(right[on])
+    ov = (F.least(F.col(left_end), F.col(right_end))
+          - F.greatest(F.col(left_start), F.col(right_start)))
+    return joined.withColumn("overlap", ov)

@@ -1791,6 +1791,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_contamination_score": q252_contamination_score,
         "q253_als_rank1": q253_als_rank1,
         "q254_boosted_stumps": q254_boosted_stumps,
+        "q255_interval_overlap": q255_interval_overlap,
     }
 
 
@@ -5560,6 +5561,7 @@ def build_oracles() -> dict[str, str]:
         "q252_contamination_score": O_Q252,
         "q253_als_rank1": O_Q253,
         "q254_boosted_stumps": O_Q254,
+        "q255_interval_overlap": O_Q255,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9868,4 +9870,51 @@ SELECT 1, best2.f, best2.bin,
        best2.lstepq / 1000000.0, best2.rstepq / 1000000.0,
        b0.baseq / 1000000.0
 FROM best2 CROSS JOIN mm CROSS JOIN b0
+"""
+
+
+def q255_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (operators/interval.py:
+    interval_overlap_join): per-user click-activity spans against
+    purchase-activity spans (daily chunks), exact overlap seconds —
+    the temporal-intersection query.  Equi join on the user with
+    range residuals; oracle replays it verbatim."""
+    from niamoto_spark.operators.interval import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+
+    def spans(etype, s, e):
+        day = F.floor(F.col("ts_sec") / 86400)
+        return (ev.where(F.col("event_type") == etype)
+                .groupBy("user_id", day.alias("day"))
+                .agg(F.min("ts_sec").alias(s),
+                     (F.max("ts_sec") + 1).alias(e))
+                .drop("day"))
+
+    clicks = spans("click", "l_start", "l_end")
+    buys = spans("purchase", "r_start", "r_end")
+    j = interval_overlap_join(clicks, buys, "user_id")
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_overlaps"),
+                 F.sum("overlap").alias("overlap_s")))
+
+
+O_Q255 = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events),
+c AS (SELECT user_id, min(t) AS ls, max(t) + 1 AS le
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, day),
+p AS (SELECT user_id, min(t) AS rs, max(t) + 1 AS re
+      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, day),
+j AS (
+  SELECT c.user_id,
+         least(c.le, p.re) - greatest(c.ls, p.rs) AS overlap
+  FROM c JOIN p ON c.user_id = p.user_id
+               AND c.ls < p.re AND p.rs < c.le)
+SELECT user_id, count(*) AS n_overlaps,
+       CAST(sum(overlap) AS BIGINT) AS overlap_s
+FROM j GROUP BY 1
 """

@@ -66,3 +66,51 @@ def ols_fit2(df: DataFrame, y_col: str, x1_col: str, x2_col: str,
                     F.round(b2, round_dp).alias("b2"),
                     F.round(r2, round_dp).alias("r2"),
                     "n")
+
+
+@register("robust_slope", PluginType.TRANSFORMER)
+def robust_slope(df: DataFrame, x_col: str, y_col: str,
+                 tiebreak_cols: "list[str]",
+                 round_dp: int = 6) -> DataFrame:
+    """Robust line fit in the Theil-Sen family: pair the x-sorted
+    points (rank k with rank k + n/2), take the MEDIAN of the n/2
+    pairwise slopes, then intercept = median(y − slope·x).  The
+    half-offset pairing is the O(n) "split-sample" variant — one
+    slope per point pair, wide x-separation (stable denominators),
+    ~29% breakdown against outliers where OLS has 0%.
+
+    Distribution: one exact global rank (window over the x-sort —
+    swap in the two-phase prefix sum at corpus scale), one self-join
+    on rank+offset (equi), two exact medians.  No driver state.
+    Deterministic under ties via ``tiebreak_cols``; replays exactly
+    in SQL.  Returns ONE row (n, n_pairs, slope, intercept)."""
+    from pyspark.sql import Window
+
+    pts = (df.select(F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"),
+                     *[F.col(c) for c in tiebreak_cols])
+           .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    order = [F.col("x").asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.orderBy(*order)
+    ranked = pts.withColumn("__r", F.row_number().over(w)) \
+        .select("x", "y", "__r")
+    n = ranked.count()
+    half = n // 2
+    if half == 0:
+        raise ValueError("robust_slope: need at least 2 points")
+    a = ranked.alias("a")
+    b = (ranked.withColumnRenamed("x", "x2")
+         .withColumnRenamed("y", "y2")
+         .withColumn("__r", F.col("__r") - half).alias("b"))
+    slopes = (a.join(b, "__r")
+              .where(F.col("x2") != F.col("x"))
+              .select(((F.col("y2") - F.col("y"))
+                       / (F.col("x2") - F.col("x"))).alias("s")))
+    slope = float(slopes.agg(F.median("s")).first()[0])
+    inter = float(pts.agg(
+        F.median(F.col("y") - F.lit(slope) * F.col("x"))).first()[0])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, slopes.count(), round(slope, round_dp),
+          round(inter, round_dp))],
+        "n bigint, n_pairs bigint, slope double, intercept double")

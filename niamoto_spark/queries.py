@@ -1792,6 +1792,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_als_rank1": q253_als_rank1,
         "q254_boosted_stumps": q254_boosted_stumps,
         "q255_interval_overlap": q255_interval_overlap,
+        "q256_robust_slope": q256_robust_slope,
     }
 
 
@@ -5562,6 +5563,7 @@ def build_oracles() -> dict[str, str]:
         "q253_als_rank1": O_Q253,
         "q254_boosted_stumps": O_Q254,
         "q255_interval_overlap": O_Q255,
+        "q256_robust_slope": O_Q256,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9917,4 +9919,45 @@ j AS (
 SELECT user_id, count(*) AS n_overlaps,
        CAST(sum(overlap) AS BIGINT) AS overlap_s
 FROM j GROUP BY 1
+"""
+
+
+def q256_robust_slope(spark, sf_dir):
+    """Robust Theil-Sen-family line fit (operators/regression.py:
+    robust_slope): extended price vs quantity on a slice of lineitem
+    — median of half-offset pairwise slopes, median intercept.  The
+    oracle replays rank pairing and both medians exactly."""
+    from niamoto_spark.operators.regression import robust_slope
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") < 5000))
+    return robust_slope(li, "l_quantity", "l_extendedprice",
+                        ["l_orderkey", "l_linenumber"])
+
+
+O_Q256 = """
+WITH pts AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE l_orderkey < 5000 AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL),
+ranked AS (
+  SELECT x, y, row_number() OVER (ORDER BY x, l_orderkey,
+                                  l_linenumber) AS r
+  FROM pts),
+n AS (SELECT count(*) AS n, count(*) // 2 AS half FROM ranked),
+pairs AS (
+  SELECT a.x, a.y, b.x AS x2, b.y AS y2
+  FROM ranked a JOIN n ON true
+  JOIN ranked b ON b.r = a.r + n.half
+  WHERE b.x <> a.x),
+sl AS (SELECT median((y2 - y) / (x2 - x)) AS slope,
+              count(*) AS n_pairs
+       FROM pairs)
+SELECT n.n, sl.n_pairs, round(sl.slope, 6) AS slope,
+       round((SELECT median(y - sl.slope * x) FROM pts), 6)
+         AS intercept
+FROM n CROSS JOIN sl
 """

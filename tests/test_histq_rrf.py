@@ -175,3 +175,15 @@ def test_als_rank1_reduces_reconstruction_error(spark):
     gv = {r["id"]: r["factors"][0] for r in items.collect()}
     errs = [abs(gu[u] * gv[i] - a[u] * b[i]) for u in a for i in b]
     assert np.mean(errs) < 0.05
+
+
+def test_robust_slope_ignores_outliers(spark):
+    from niamoto_spark.operators.regression import robust_slope
+    # y = 3x + 2 with two wild outliers OLS would chase
+    rows = [(float(x), 3.0 * x + 2.0, x) for x in range(50)]
+    rows += [(25.5, 10000.0, 990), (26.5, -8000.0, 991)]
+    df = spark.createDataFrame(rows, "x double, y double, id long")
+    r = robust_slope(df, "x", "y", ["id"]).collect()[0]
+    assert r["slope"] == pytest.approx(3.0, abs=0.1)
+    assert r["intercept"] == pytest.approx(2.0, abs=3.0)
+    assert r["n"] == 52

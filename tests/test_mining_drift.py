@@ -369,3 +369,35 @@ def test_gazetteer_tag_counts(spark):
     assert out[(1, "TECH")]["n_hits"] == 3     # data x2 + model
     assert out[(1, "TECH")]["n_terms"] == 2
     assert (2, "TECH") not in out
+
+
+def test_sequence_pairs_and_overlap_plans_no_cartesian(spark):
+    from niamoto_spark.operators.interval import interval_overlap_join
+    from niamoto_spark.operators.itemsets import sequence_pairs
+    from niamoto_spark.operators.recsys import audience_overlap
+
+    ev = spark.createDataFrame(
+        [(i % 50, i, "t%d" % (i % 3)) for i in range(500)],
+        "u long, t long, ty string")
+    sp = sequence_pairs(ev, "u", "t", "ty", window_s=10, min_users=1)
+    plan = sp._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    m = spark.createDataFrame(
+        [(i % 40, "s%d" % (i % 4)) for i in range(400)],
+        "u long, s string")
+    ao = audience_overlap(m, "u", "s")
+    plan = ao._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    l = spark.createDataFrame([(1, 0, 10), (2, 5, 9)],
+                              "k long, l_start long, l_end long")
+    r = spark.createDataFrame([(1, 5, 15), (2, 20, 30)],
+                              "k long, r_start long, r_end long")
+    j = interval_overlap_join(l, r, "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert j.count() == 1  # only key 1 overlaps

@@ -121,3 +121,20 @@ def test_boosted_stumps_deterministic(spark):
     m2 = [tuple(r) for r in boosted_stumps(
         df.repartition(7), ["a", "b"], "y", rounds=2).collect()]
     assert m1 == m2                            # partition-invariant
+
+
+def test_stump_split_plan_has_no_join(spark):
+    """The histogram pass must be a single Expand + aggregation —
+    never a join or second scan per feature."""
+    from niamoto_spark.operators.trees import stump_split
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 97 AS DOUBLE) AS a", "CAST(id % 31 AS DOUBLE) AS b",
+        "CAST(id % 2 AS INT) AS y")
+    out = stump_split(df, ["a", "b"], "y", n_bins=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the per-feature fan-out is one Generate (explode) — not a join,
+    # not one scan per feature
+    assert "Generate explode" in plan or "Expand" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan

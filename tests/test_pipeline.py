@@ -308,3 +308,29 @@ def test_training_data_pipeline_example(spark, tmp_path, sf_dir):
     assert stats["table_version"] == 0
     for split in stats["splits"]:
         assert glob.glob(f"{out}/jsonl/{split}/shard=*/part-*")
+
+
+def test_lakehouse_demo_example(spark, tmp_path, sf_dir):
+    """The examples/ lakehouse walkthrough runs end-to-end: hidden
+    partition pruning, DV deletes without rewrites, WAP audit flow,
+    zero-copy clone divergence, incremental MV, cache hits, and full
+    time-travel history."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "lakehouse_demo",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+            "examples", "lakehouse_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.run(sf_dir, str(tmp_path / "lh"), spark=spark)
+    kept, total = report["point_read_files"]
+    assert kept < total                      # bucket pruning worked
+    assert report["dv_zero_rewrite"] and report["dv_deleted"] > 0
+    assert report["rows_after_wap"] == report["rows_after_delete"] + 50
+    assert report["clone_independent"]
+    assert report["agg_groups"] >= 1
+    assert report["cache_hits"] == (False, True)
+    assert report["history_readable"] and report["n_versions"] >= 5

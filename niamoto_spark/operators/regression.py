@@ -79,20 +79,20 @@ def robust_slope(df: DataFrame, x_col: str, y_col: str,
     slope per point pair, wide x-separation (stable denominators),
     ~29% breakdown against outliers where OLS has 0%.
 
-    Distribution: one exact global rank (window over the x-sort —
-    swap in the two-phase prefix sum at corpus scale), one self-join
-    on rank+offset (equi), two exact medians.  No driver state.
-    Deterministic under ties via ``tiebreak_cols``; replays exactly
-    in SQL.  Returns ONE row (n, n_pairs, slope, intercept)."""
-    from pyspark.sql import Window
+    Distribution: one exact global rank via the shared two-phase
+    prefix sum (operators/ranks.py — NO single-partition window), one
+    equi self-join on rank+offset, two exact medians.  Driver state =
+    one long per partition.  Deterministic under ties via
+    ``tiebreak_cols``; replays exactly in SQL.  Returns ONE row
+    (n, n_pairs, slope, intercept)."""
+    from niamoto_spark.operators.ranks import global_rank
 
     pts = (df.select(F.col(x_col).cast("double").alias("x"),
                      F.col(y_col).cast("double").alias("y"),
                      *[F.col(c) for c in tiebreak_cols])
            .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
     order = [F.col("x").asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    w = Window.orderBy(*order)
-    ranked = pts.withColumn("__r", F.row_number().over(w)) \
+    ranked = global_rank(pts, order, out_col="__r") \
         .select("x", "y", "__r")
     n = ranked.count()
     half = n // 2

@@ -174,11 +174,13 @@ def conformal_interval(df: DataFrame, pred_col: str, actual_col: str,
     conformal theorem lower-bounds by 1−α regardless of the model.
 
     Distribution: the split is a pure md5 expression (reproducible,
-    pushes to the scan); the order statistic is ONE window rank over
-    the calibration rows' residual column; coverage is one aggregate.
+    pushes to the scan); the order statistic uses the shared
+    TWO-PHASE distributed rank (operators/ranks.py — the calibration
+    half is corpus-sized, so no single-partition window ever sees
+    it); coverage is one aggregate.
     Returns ONE row: (n_cal, n_test, qhat, coverage, alpha).
     """
-    from pyspark.sql import Window
+    from niamoto_spark.operators.ranks import global_rank
 
     key = F.col(id_col).cast("string")
     h = F.conv(F.substring(
@@ -195,9 +197,9 @@ def conformal_interval(df: DataFrame, pred_col: str, actual_col: str,
     import math as _m
 
     k = min(int(_m.ceil((n_cal + 1) * (1.0 - alpha))), n_cal)
-    wr = Window.orderBy(F.col("__r").asc(), F.col(id_col).asc())
-    qhat = (cal.select("__r", id_col)
-            .withColumn("__rn", F.row_number().over(wr))
+    qhat = (global_rank(cal.select("__r", id_col),
+                        [F.col("__r").asc(), F.col(id_col).asc()],
+                        out_col="__rn")
             .where(F.col("__rn") == k).select("__r").first()[0])
     test = base.where(~F.col("__cal"))
     return (test.agg(

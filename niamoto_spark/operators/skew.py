@@ -91,24 +91,26 @@ def skew_report(df: DataFrame, key_cols: "list[str] | str",
     max_key_rows / avg_key_rows: the straggler multiplier a plain
     shuffle on this key would suffer.
 
-    One hash aggregation on the key; everything downstream operates on
-    the |keys|-row table.  Top-k election is deterministic (count desc,
-    then key asc)."""
+    One hash aggregation on the key; the global totals are a 1-ROW
+    aggregate of the key table (never a whole-table window — at 100 TB
+    the key table itself can be billions of rows), and the top-k
+    election is a TakeOrdered sort-limit with the rank assigned over
+    the k survivors only.  Deterministic (count desc, then key asc)."""
     from pyspark.sql import Window
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    per = (df.groupBy(*keys)
-           .agg(F.count(F.lit(1)).alias("n")))
-    w = Window.partitionBy()
     key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
-    ranked = (per.select(
-        key_str.alias("key"), "n",
-        F.sum("n").over(w).alias("__total"),
-        F.count(F.lit(1)).over(w).alias("__nkeys"),
-        F.max("n").over(w).alias("__max"))
-        .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.col("n").desc(), F.col("key").asc()))))
-    return (ranked.where(F.col("rank") <= top_k)
+    per = (df.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(key_str.alias("key"), "n"))
+    totals = per.agg(F.sum("n").alias("__total"),
+                     F.count(F.lit(1)).alias("__nkeys"),
+                     F.max("n").alias("__max"))
+    top = (per.orderBy(F.col("n").desc(), F.col("key").asc())
+           .limit(top_k)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("n").desc(), F.col("key").asc()))))
+    return (top.crossJoin(F.broadcast(totals))
             .select("rank", "key", "n",
                     F.round(F.col("n") / F.col("__total"), round_dp)
                     .alias("share"),

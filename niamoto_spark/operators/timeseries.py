@@ -503,8 +503,10 @@ def decayed_trending(df: DataFrame, key_col: str, ts_col: str,
     state).  ``ref_ts`` is pinned by the caller, not now(), so the
     score is reproducible.
 
-    Deterministic top-k (score desc, key asc) via
-    TakeOrderedAndProject.  Returns (rank, key, n_events, score)."""
+    Deterministic top-k (score desc, key asc): sort-limit
+    (TakeOrderedAndProject — no whole-key-table window) with the rank
+    assigned over the k survivors.  Returns (rank, key, n_events,
+    score)."""
     from pyspark.sql import Window
 
     age = F.lit(float(ref_ts)) - F.col(ts_col).cast("double")
@@ -515,8 +517,9 @@ def decayed_trending(df: DataFrame, key_col: str, ts_col: str,
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.round(F.sum(decay), round_dp).alias("score")))
     rk = Window.orderBy(F.col("score").desc(), F.col("key").asc())
-    return (scored.withColumn("rank", F.row_number().over(rk))
-            .where(F.col("rank") <= top_k)
+    return (scored.orderBy(F.col("score").desc(), F.col("key").asc())
+            .limit(top_k)
+            .withColumn("rank", F.row_number().over(rk))
             .select("rank", "key", "n_events", "score"))
 
 

@@ -1793,6 +1793,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_boosted_stumps": q254_boosted_stumps,
         "q255_interval_overlap": q255_interval_overlap,
         "q256_robust_slope": q256_robust_slope,
+        "q257_window_surface": q257_window_surface,
     }
 
 
@@ -5564,6 +5565,7 @@ def build_oracles() -> dict[str, str]:
         "q254_boosted_stumps": O_Q254,
         "q255_interval_overlap": O_Q255,
         "q256_robust_slope": O_Q256,
+        "q257_window_surface": O_Q257,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -9960,4 +9962,64 @@ SELECT n.n, sl.n_pairs, round(sl.slope, 6) AS slope,
        round((SELECT median(y - sl.slope * x) FROM pts), 6)
          AS intercept
 FROM n CROSS JOIN sl
+"""
+
+
+def q257_window_surface(spark, sf_dir):
+    """Window-function surface showcase: row_number / rank /
+    dense_rank / percent_rank / cume_dist / lag / lead / ntile over
+    per-customer order sequences (date ties exercised by rank vs
+    dense_rank), folded to a per-priority checksum.  One WindowExec
+    pass per customer partition; the oracle replays every function."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey")
+    wd = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"))
+    e = (o.withColumn("rn", F.row_number().over(w))
+         .withColumn("rk", F.rank().over(wd))
+         .withColumn("drk", F.dense_rank().over(wd))
+         .withColumn("pr", F.round(F.percent_rank().over(w), 6))
+         .withColumn("cd", F.round(F.cume_dist().over(w), 6))
+         .withColumn("lg", F.lag("o_totalprice", 1, 0.0).over(w))
+         .withColumn("ld", F.lead("o_totalprice", 1, 0.0).over(w))
+         .withColumn("nt", F.ntile(4).over(w)))
+    return (e.groupBy("o_orderpriority")
+            .agg(F.sum("rn").alias("sum_rn"),
+                 F.sum("rk").alias("sum_rk"),
+                 F.sum("drk").alias("sum_drk"),
+                 F.round(F.sum("pr"), 4).alias("sum_pr"),
+                 F.round(F.sum("cd"), 4).alias("sum_cd"),
+                 F.round(F.sum(F.col("lg") + F.col("ld")), 2)
+                 .alias("sum_neighbors"),
+                 F.sum("nt").alias("sum_ntile")))
+
+
+O_Q257 = """
+WITH e AS (
+  SELECT o_orderpriority,
+         row_number() OVER w AS rn,
+         rank() OVER wd AS rk,
+         dense_rank() OVER wd AS drk,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd,
+         coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS lg,
+         coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS ld,
+         ntile(4) OVER w AS nt
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+         wd AS (PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE)))
+SELECT o_orderpriority,
+       CAST(sum(rn) AS BIGINT) AS sum_rn,
+       CAST(sum(rk) AS BIGINT) AS sum_rk,
+       CAST(sum(drk) AS BIGINT) AS sum_drk,
+       round(sum(pr), 4) AS sum_pr,
+       round(sum(cd), 4) AS sum_cd,
+       round(sum(lg + ld), 2) AS sum_neighbors,
+       CAST(sum(nt) AS BIGINT) AS sum_ntile
+FROM e GROUP BY 1
 """

@@ -1794,6 +1794,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_interval_overlap": q255_interval_overlap,
         "q256_robust_slope": q256_robust_slope,
         "q257_window_surface": q257_window_surface,
+        "q258_datetime_surface": q258_datetime_surface,
     }
 
 
@@ -5566,6 +5567,7 @@ def build_oracles() -> dict[str, str]:
         "q255_interval_overlap": O_Q255,
         "q256_robust_slope": O_Q256,
         "q257_window_surface": O_Q257,
+        "q258_datetime_surface": O_Q258,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10021,5 +10023,49 @@ SELECT o_orderpriority,
        round(sum(cd), 4) AS sum_cd,
        round(sum(lg + ld), 2) AS sum_neighbors,
        CAST(sum(nt) AS BIGINT) AS sum_ntile
+FROM e GROUP BY 1
+"""
+
+
+def q258_datetime_surface(spark, sf_dir):
+    """Date/time scalar-function surface: trunc-to-month, last_day,
+    add_months, quarter, ISO week, day arithmetic over order dates,
+    folded to per-month checksums.  Pure projection (codegen); the
+    oracle replays each function with DuckDB's equivalents."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    e = (o.select(
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_q"),
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        F.datediff(F.last_day(d), d).alias("days_to_eom")))
+    return (e.groupBy("month_start")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("month_end").alias("eom"),
+                 F.min("plus_q").alias("min_plus_q"),
+                 F.sum("q").alias("sum_quarter"),
+                 F.sum("iso_week").alias("sum_week"),
+                 F.sum("days_to_eom").alias("sum_eom_days")))
+
+
+O_Q258 = """
+WITH e AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS month_start,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end,
+         CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_q,
+         quarter(CAST(o_orderdate AS DATE)) AS q,
+         weekofyear(CAST(o_orderdate AS DATE)) AS iso_week,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   last_day(CAST(o_orderdate AS DATE)))
+           AS days_to_eom
+  FROM orders)
+SELECT month_start, count(*) AS n, max(month_end) AS eom,
+       CAST(min(plus_q) AS DATE) AS min_plus_q,
+       CAST(sum(q) AS BIGINT) AS sum_quarter,
+       CAST(sum(iso_week) AS BIGINT) AS sum_week,
+       CAST(sum(days_to_eom) AS BIGINT) AS sum_eom_days
 FROM e GROUP BY 1
 """

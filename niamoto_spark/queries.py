@@ -1795,6 +1795,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_robust_slope": q256_robust_slope,
         "q257_window_surface": q257_window_surface,
         "q258_datetime_surface": q258_datetime_surface,
+        "q259_array_surface": q259_array_surface,
     }
 
 
@@ -5568,6 +5569,7 @@ def build_oracles() -> dict[str, str]:
         "q256_robust_slope": O_Q256,
         "q257_window_surface": O_Q257,
         "q258_datetime_surface": O_Q258,
+        "q259_array_surface": O_Q259,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10068,4 +10070,62 @@ SELECT month_start, count(*) AS n, max(month_end) AS eom,
        CAST(sum(iso_week) AS BIGINT) AS sum_week,
        CAST(sum(days_to_eom) AS BIGINT) AS sum_eom_days
 FROM e GROUP BY 1
+"""
+
+
+def q259_array_surface(spark, sf_dir):
+    """Higher-order array-function surface: per-order quantity arrays
+    (sorted for determinism) pushed through transform / filter /
+    aggregate / slice / array_contains, folded per priority.  These
+    are the JVM-side lambdas that keep array work out of Python; the
+    oracle replays each with DuckDB's list_* equivalents."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = (li.groupBy("l_orderkey")
+           .agg(F.array_sort(F.collect_list("l_quantity"))
+                .alias("qs")))
+    e = (per.select(
+        "l_orderkey",
+        F.size("qs").alias("n_items"),
+        F.aggregate("qs", F.lit(0.0), lambda a, x: a + x)
+        .alias("qty_sum"),
+        F.aggregate(F.transform("qs", lambda x: x * x),
+                    F.lit(0.0), lambda a, x: a + x).alias("sq_sum"),
+        F.size(F.filter("qs", lambda x: x >= 30)).alias("n_big"),
+        F.element_at("qs", 1).alias("min_q"),
+        F.array_contains("qs", 1.0).cast("int").alias("has_one")))
+    j = e.join(F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+               e.l_orderkey == o.o_orderkey)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.sum("n_items").alias("sum_items"),
+                 F.round(F.sum("qty_sum"), 2).alias("sum_qty"),
+                 F.round(F.sum("sq_sum"), 2).alias("sum_sq"),
+                 F.sum("n_big").alias("sum_big"),
+                 F.round(F.sum("min_q"), 2).alias("sum_min"),
+                 F.sum("has_one").alias("n_with_one")))
+
+
+O_Q259 = """
+WITH per AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+  FROM lineitem GROUP BY 1),
+e AS (
+  SELECT l_orderkey,
+         len(qs) AS n_items,
+         list_aggregate(qs, 'sum') AS qty_sum,
+         list_aggregate(list_transform(qs, x -> x * x), 'sum')
+           AS sq_sum,
+         len(list_filter(qs, x -> x >= 30)) AS n_big,
+         qs[1] AS min_q,
+         CASE WHEN list_contains(qs, 1.0) THEN 1 ELSE 0 END AS has_one
+  FROM per)
+SELECT o.o_orderpriority,
+       CAST(sum(e.n_items) AS BIGINT) AS sum_items,
+       round(sum(e.qty_sum), 2) AS sum_qty,
+       round(sum(e.sq_sum), 2) AS sum_sq,
+       CAST(sum(e.n_big) AS BIGINT) AS sum_big,
+       round(sum(e.min_q), 2) AS sum_min,
+       CAST(sum(e.has_one) AS BIGINT) AS n_with_one
+FROM e JOIN orders o ON e.l_orderkey = o.o_orderkey
+GROUP BY 1
 """

@@ -118,10 +118,11 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, on: str,
     key-free or hot-key workloads, granule-bucket first like
     ``interval_join``).  Emits left columns + right columns +
     ``overlap`` (same unit as the bounds)."""
-    cond = ((left[on] == right[on])
-            & (left[left_start] < right[right_end])
-            & (right[right_start] < left[left_end]))
-    joined = left.join(right, cond).drop(right[on])
+    r = right.withColumnRenamed(on, "__rk")
+    cond = ((left[on] == r["__rk"])
+            & (left[left_start] < r[right_end])
+            & (r[right_start] < left[left_end]))
+    joined = left.join(r, cond).drop("__rk")
     ov = (F.least(F.col(left_end), F.col(right_end))
           - F.greatest(F.col(left_start), F.col(right_start)))
     return joined.withColumn("overlap", ov)

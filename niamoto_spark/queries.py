@@ -1796,6 +1796,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_window_surface": q257_window_surface,
         "q258_datetime_surface": q258_datetime_surface,
         "q259_array_surface": q259_array_surface,
+        "q260_multiset_ops": q260_multiset_ops,
+        "q261_regex_surface": q261_regex_surface,
     }
 
 
@@ -5570,6 +5572,8 @@ def build_oracles() -> dict[str, str]:
         "q257_window_surface": O_Q257,
         "q258_datetime_surface": O_Q258,
         "q259_array_surface": O_Q259,
+        "q260_multiset_ops": O_Q260,
+        "q261_regex_surface": O_Q261,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10128,4 +10132,90 @@ SELECT o.o_orderpriority,
        CAST(sum(e.has_one) AS BIGINT) AS n_with_one
 FROM e JOIN orders o ON e.l_orderkey = o.o_orderkey
 GROUP BY 1
+"""
+
+
+def q260_multiset_ops(spark, sf_dir):
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL —
+    duplicate-preserving, the bag semantics DISTINCT variants lose):
+    customer keys of urgent orders vs high-priority orders, duplicates
+    = one per order.  intersectAll keeps min(multiplicity), exceptAll
+    subtracts multiplicities; the checksum aggregates both results."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = (o.where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    high = (o.where(F.col("o_orderpriority") == "2-HIGH")
+            .select("o_custkey"))
+    inter = urgent.intersectAll(high).groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("key_sum")).withColumn(
+        "op", F.lit("intersect_all"))
+    exc = urgent.exceptAll(high).groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("key_sum")).withColumn(
+        "op", F.lit("except_all"))
+    return inter.unionByName(exc)
+
+
+O_Q260 = """
+WITH u AS (SELECT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+h AS (SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '2-HIGH'),
+ia AS (SELECT * FROM u INTERSECT ALL SELECT * FROM h),
+ea AS (SELECT * FROM u EXCEPT ALL SELECT * FROM h)
+SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS key_sum,
+       'intersect_all' AS op FROM ia
+UNION ALL
+SELECT count(*), CAST(sum(o_custkey) AS BIGINT), 'except_all' FROM ea
+"""
+
+
+def q261_regex_surface(spark, sf_dir):
+    """Regex scalar surface: extraction groups, replacement with
+    backreferences (Spark $1 vs DuckDB \\1 — different spellings, same
+    semantics), rlike filters, regexp_count, bounded split — over the
+    documents table, folded per language."""
+    d = _t(spark, sf_dir, "documents")
+    first_word = F.regexp_extract("text", r"^\s*(\w+)", 1)
+    dup_vowel = F.regexp_count("text", F.lit("[aeiou]{2}"))
+    swapped = F.regexp_replace(
+        "text", r"^(\w+)(\s+)(\w+)", r"$3$2$1")
+    has_num = F.col("text").rlike(r"\d")
+    n_parts = F.size(F.split("text", r"\s+", 4))
+    e = d.select(
+        "lang",
+        F.length(first_word).alias("fw_len"),
+        dup_vowel.alias("dv"),
+        (F.length("text") - F.length(swapped)).alias("len_delta"),
+        has_num.cast("int").alias("hasnum"),
+        n_parts.alias("np"))
+    return (e.groupBy("lang")
+            .agg(F.sum("fw_len").alias("sum_fw_len"),
+                 F.sum("dv").alias("sum_double_vowels"),
+                 F.sum("len_delta").alias("sum_len_delta"),
+                 F.sum("hasnum").alias("n_with_digits"),
+                 F.sum("np").alias("sum_split_parts")))
+
+
+O_Q261 = r"""
+WITH e AS (
+  SELECT lang,
+         length(regexp_extract(text, '^\s*(\w+)', 1)) AS fw_len,
+         len(regexp_extract_all(text, '[aeiou]{2}')) AS dv,
+         length(text) - length(regexp_replace(text,
+             '^(\w+)(\s+)(\w+)', '\3\2\1')) AS len_delta,
+         CASE WHEN regexp_matches(text, '\d') THEN 1 ELSE 0 END
+           AS hasnum,
+         CASE WHEN len(regexp_split_to_array(text, '\s+')) < 4
+              THEN len(regexp_split_to_array(text, '\s+'))
+              ELSE 4 END AS np
+  FROM documents)
+SELECT lang,
+       CAST(sum(fw_len) AS BIGINT) AS sum_fw_len,
+       CAST(sum(dv) AS BIGINT) AS sum_double_vowels,
+       CAST(sum(len_delta) AS BIGINT) AS sum_len_delta,
+       CAST(sum(hasnum) AS BIGINT) AS n_with_digits,
+       CAST(sum(np) AS BIGINT) AS sum_split_parts
+FROM e GROUP BY 1
 """

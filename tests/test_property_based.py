@@ -227,3 +227,61 @@ def test_winnowing_detection_guarantee(spark, seed, w):
     winnowed = {(r["doc_id"], r["gh"]) for r in substring_fingerprints(
         df, "doc_id", "text", 20, winnow_window=w).collect()}
     assert winnowed <= full
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(1, 300),
+                          st.floats(1.0, 100.0, allow_nan=False,
+                                    width=32)),
+                min_size=1, max_size=15))
+def test_interval_allocate_conserves_mass_property(spark, rows):
+    """Σ allocated == value for every interval, any granule alignment."""
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.timeseries import interval_allocate
+
+    data = [(i, s, s + d, float(v)) for i, (s, d, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, s long, e long, v double")
+    out = (interval_allocate(df, "s", "e", "v", granule_s=100,
+                             round_dp=9)
+           .groupBy("id").agg(F.sum("allocated").alias("tot"),
+                              F.sum("overlap_s").alias("ov")))
+    got = {r["id"]: r for r in out.collect()}
+    for i, (s, d, v) in enumerate(rows):
+        assert got[i]["ov"] == d                       # exact seconds
+        assert got[i]["tot"] == pytest.approx(v, rel=1e-6)
+
+
+@given(st.lists(st.tuples(st.integers(1, 5), st.integers(0, 50),
+                          st.one_of(st.none(),
+                                    st.integers(0, 9))),
+                min_size=1, max_size=30))
+def test_golden_record_matches_python_reference(spark, rows):
+    """golden_record == last-non-null-by-order per key, vs a driver
+    reference implementation."""
+    from niamoto_spark.operators.cleaning import golden_record
+
+    data = [(k, o, i, None if v is None else str(v))
+            for i, (k, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, o long, tb long, v string")
+    got = {r["k"]: r["v"] for r in
+           golden_record(df, "k", "o", "tb", ["v"]).collect()}
+    ref = {}
+    for k, o, tb, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        if v is not None:
+            ref[k] = v
+        ref.setdefault(k, None)
+    assert got == ref
+
+
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(0, 1000)),
+                min_size=1, max_size=40))
+def test_cumulative_unique_final_equals_distinct(spark, rows):
+    from niamoto_spark.operators.timeseries import cumulative_unique
+
+    df = spark.createDataFrame(rows, "u long, t long")
+    out = sorted(cumulative_unique(df, "u", "t", granule_s=100)
+                 .collect(), key=lambda r: r["bucket"])
+    assert out[-1]["cum_entities"] == len({u for u, _ in rows})
+    # monotone, and increments equal the new_entities column
+    for a, b in zip(out, out[1:]):
+        assert b["cum_entities"] - a["cum_entities"] == b["new_entities"]

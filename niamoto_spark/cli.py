@@ -90,6 +90,40 @@ def cmd_explore(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Lakehouse maintenance surface over manifest tables: DESCRIBE
+    HISTORY / time-travel restore / compaction / vacuum / shallow
+    clone — the table-operations CLI a warehouse operator expects."""
+    from niamoto_spark.session import get_spark
+    from niamoto_spark.sources import manifest as M
+
+    op = args.op
+    if op == "history":
+        spark = get_spark("niamoto_spark_table")
+        for row in M.table_history(spark, args.path).collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif op == "restore":
+        v = M.restore_version(args.path, args.version)
+        print(json.dumps({"restored_to": args.version,
+                          "new_version": v}))
+    elif op == "compact":
+        spark = get_spark("niamoto_spark_table")
+        sort_by = args.sort_by.split(",") if args.sort_by else None
+        v = M.compact(spark, args.path, target_files=args.target_files,
+                      sort_by=sort_by,
+                      cluster=args.cluster)
+        print(json.dumps({"compacted_version": v}))
+    elif op == "vacuum":
+        removed = M.vacuum(args.path, keep_versions=args.keep_versions)
+        print(json.dumps({"files_removed": removed}))
+    elif op == "clone":
+        M.shallow_clone(args.path, args.dest)
+        print(json.dumps({"cloned_to": args.dest}))
+    else:
+        raise SystemExit(f"unknown table op {op!r}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="niamoto_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -109,6 +143,19 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--desc", action="store_true")
     se.add_argument("--limit", type=int, default=100)
     se.set_defaults(fn=cmd_explore)
+    st_ = sub.add_parser("table")
+    st_.add_argument("op", choices=["history", "restore", "compact",
+                                    "vacuum", "clone"])
+    st_.add_argument("--path", required=True)
+    st_.add_argument("--version", type=int, default=None)
+    st_.add_argument("--dest", default=None)
+    st_.add_argument("--target-files", dest="target_files", type=int,
+                     default=8)
+    st_.add_argument("--sort-by", dest="sort_by", default=None)
+    st_.add_argument("--cluster", default="range")
+    st_.add_argument("--keep-versions", dest="keep_versions", type=int,
+                     default=1)
+    st_.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     return args.fn(args)

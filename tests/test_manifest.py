@@ -813,3 +813,36 @@ def test_stream_upsert_applies_cdc_and_restarts_idempotently(
          .parquet(os.path.join(src_dir, "*"))), tbl, ckpt, "k")
     q.awaitTermination()
     assert M.current_version(tbl) == v_before
+
+
+# --- table maintenance CLI -------------------------------------------------
+
+def test_cli_table_ops(spark, tmp_path, capsys):
+    import json as _json
+
+    from niamoto_spark import cli
+
+    t = str(tmp_path / "tbl")
+    dest = str(tmp_path / "clone")
+    M.append(_df(spark, 0, 10), t)
+    M.append(_df(spark, 10, 15), t)
+
+    assert cli.main(["table", "history", "--path", t]) == 0
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+
+    assert cli.main(["table", "clone", "--path", t,
+                     "--dest", dest]) == 0
+    capsys.readouterr()
+    assert M.read_table(spark, dest).count() == 15
+
+    assert cli.main(["table", "compact", "--path", t,
+                     "--target-files", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["compacted_version"] == 2
+
+    assert cli.main(["table", "restore", "--path", t,
+                     "--version", "0"]) == 0
+    capsys.readouterr()
+    assert M.read_table(spark, t).count() == 10

@@ -103,3 +103,85 @@ def kmeans_cluster_profile(df: DataFrame, id_col: str, vec_col: str,
     return (a.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.round(F.avg("d2"), round_dp).alias("mean_d2")))
+
+
+@register("dbscan", PluginType.TRANSFORMER)
+def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
+           eps: float, min_pts: int) -> DataFrame:
+    """Density-based clustering (DBSCAN) on planar coordinates:
+    core points have ≥ ``min_pts`` neighbors within ``eps``
+    (themselves included, the standard convention); clusters are the
+    connected components of the core-core ≤ eps graph; border points
+    attach to their MINIMUM core neighbor's cluster (the
+    deterministic tie rule — textbook DBSCAN leaves border
+    assignment order-dependent); everything else is noise (-1).
+
+    Distribution: neighbor candidates come from an eps-grid bucket
+    join (each point probes its 9 cells — the proximity_join recipe,
+    Euclidean), so pair generation is equi-join shaped and never
+    all-pairs; the component step reuses connected_components
+    (min-label propagation to fixpoint).  Deterministic end-to-end —
+    the oracle replays the neighbor counts, the core graph (via
+    WITH RECURSIVE) and the border rule.
+
+    Returns (id, is_core, cluster) — cluster = min core-point id of
+    the component, or -1 for noise.
+    """
+    from niamoto_spark.operators.components import connected_components
+
+    pts = df.select(F.col(id_col).alias("id"),
+                    F.col(x_col).cast("double").alias("x"),
+                    F.col(y_col).cast("double").alias("y"))
+    cx = F.floor(F.col("x") / eps).cast("long")
+    cy = F.floor(F.col("y") / eps).cast("long")
+    a = pts.withColumn("__cx", cx).withColumn("__cy", cy)
+    neigh = F.expr("explode(flatten(transform(sequence(-1, 1), dx -> "
+                   "transform(sequence(-1, 1), dy -> "
+                   "struct(dx AS dx, dy AS dy)))))")
+    b = (pts.select(F.col("id").alias("id_b"),
+                    F.col("x").alias("xb"), F.col("y").alias("yb"))
+         .withColumn("__bx", F.floor(F.col("xb") / eps).cast("long"))
+         .withColumn("__by", F.floor(F.col("yb") / eps).cast("long"))
+         .select("*", neigh.alias("__n"))
+         .withColumn("__cx", F.col("__bx") + F.col("__n.dx"))
+         .withColumn("__cy", F.col("__by") + F.col("__n.dy"))
+         .drop("__n", "__bx", "__by"))
+    d2 = ((F.col("x") - F.col("xb")) ** 2
+          + (F.col("y") - F.col("yb")) ** 2)
+    pairs = (a.join(b, ["__cx", "__cy"])
+             .where((d2 <= F.lit(float(eps) ** 2))
+                    & (F.col("id") != F.col("id_b")))
+             .select("id", "id_b").distinct())
+    counts = pairs.groupBy("id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_nbrs"))   # +1: self
+    core = (pts.join(counts, "id", "left")
+            .withColumn("is_core",
+                        F.coalesce("n_nbrs", F.lit(1))
+                        >= F.lit(int(min_pts)))
+            .select("id", "is_core"))
+    core_ids = core.where("is_core").select("id")
+    core_edges = (pairs
+                  .join(core_ids, "id", "left_semi")
+                  .join(core_ids.withColumnRenamed("id", "id_b"),
+                        "id_b", "left_semi")
+                  .where(F.col("id") < F.col("id_b"))
+                  .select(F.col("id").alias("id_a"), "id_b"))
+    # min-label propagation advances one hop per round: the cap must
+    # cover the core graph's DIAMETER (dense eps-blobs can chain far),
+    # and the loop early-breaks at the fixpoint
+    comp = connected_components(core_edges, max_iterations=64)
+    # singleton cores (no core neighbor) form their own cluster
+    core_cluster = (core_ids
+                    .join(comp, core_ids["id"] == comp["node_id"],
+                          "left")
+                    .select("id", F.coalesce("component_id", "id")
+                            .alias("cluster")))
+    border = (pairs
+              .join(core.where(~F.col("is_core")), "id", "left_semi")
+              .join(core_cluster.withColumnRenamed("id", "id_b")
+                    .withColumnRenamed("cluster", "__bc"), "id_b")
+              .groupBy("id").agg(F.min("__bc").alias("cluster")))
+    assigned = core_cluster.unionByName(border)
+    return (core.join(assigned, "id", "left")
+            .select("id", "is_core",
+                    F.coalesce("cluster", F.lit(-1)).alias("cluster")))

@@ -1798,6 +1798,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_array_surface": q259_array_surface,
         "q260_multiset_ops": q260_multiset_ops,
         "q261_regex_surface": q261_regex_surface,
+        "q262_dbscan": q262_dbscan,
     }
 
 
@@ -5574,6 +5575,7 @@ def build_oracles() -> dict[str, str]:
         "q259_array_surface": O_Q259,
         "q260_multiset_ops": O_Q260,
         "q261_regex_surface": O_Q261,
+        "q262_dbscan": O_Q262,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10218,4 +10220,79 @@ SELECT lang,
        CAST(sum(hasnum) AS BIGINT) AS n_with_digits,
        CAST(sum(np) AS BIGINT) AS sum_split_parts
 FROM e GROUP BY 1
+"""
+
+
+def q262_dbscan(spark, sf_dir):
+    """Distributed DBSCAN (operators/clustering.py: dbscan): grid-
+    bucketed eps-neighbor join (never all-pairs), core election,
+    components over the core graph, deterministic min-core border
+    rule.  Points = first two embedding dims.  The oracle replays
+    neighbor counts, the core-core reachability (WITH RECURSIVE) and
+    the border/noise assignment; output is the per-cluster profile."""
+    from niamoto_spark.operators.clustering import dbscan
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id",
+                     F.element_at("embedding", 1).cast("double")
+                     .alias("x"),
+                     F.element_at("embedding", 2).cast("double")
+                     .alias("y"))
+    out = dbscan(pts, "vec_id", "x", "y", eps=0.04, min_pts=5)
+    return (out.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(F.col("is_core").cast("long")).alias("n_core"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id")))
+
+
+O_Q262 = """
+WITH pts AS (
+  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings),
+pairs AS (
+  SELECT a.id, b.id AS id_b
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= 0.04 * 0.04),
+counts AS (SELECT id, count(*) + 1 AS n_nbrs FROM pairs GROUP BY 1),
+core AS (
+  SELECT p.id, coalesce(c.n_nbrs, 1) >= 5 AS is_core
+  FROM pts p LEFT JOIN counts c USING (id)),
+ce AS (
+  SELECT pr.id AS a, pr.id_b AS b
+  FROM pairs pr
+  JOIN core ca ON pr.id = ca.id AND ca.is_core
+  JOIN core cb ON pr.id_b = cb.id AND cb.is_core),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+      SELECT a, b FROM ce
+      UNION
+      SELECT r.a, e.b FROM r JOIN ce e ON r.b = e.a)
+  SELECT * FROM r),
+comp AS (SELECT a AS id, least(a, min(b)) AS component_id
+         FROM reach GROUP BY a),
+core_cluster AS (
+  SELECT c.id, coalesce(k.component_id, c.id) AS cluster
+  FROM core c LEFT JOIN comp k USING (id)
+  WHERE c.is_core),
+border AS (
+  SELECT pr.id, min(cc.cluster) AS cluster
+  FROM pairs pr
+  JOIN core nc ON pr.id = nc.id AND NOT nc.is_core
+  JOIN core_cluster cc ON pr.id_b = cc.id
+  GROUP BY 1),
+assigned AS (
+  SELECT id, cluster FROM core_cluster
+  UNION ALL SELECT id, cluster FROM border),
+final AS (
+  SELECT c.id, c.is_core, coalesce(a.cluster, -1) AS cluster
+  FROM core c LEFT JOIN assigned a USING (id))
+SELECT cluster, count(*) AS n_points,
+       CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_core,
+       min(id) AS min_id, max(id) AS max_id
+FROM final GROUP BY 1
 """

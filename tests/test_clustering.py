@@ -61,3 +61,38 @@ def test_assignment_is_broadcast_no_shuffle_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- DBSCAN ----------------------------------------------------------------
+
+def test_dbscan_two_blobs_and_noise(spark):
+    from niamoto_spark.operators.clustering import dbscan
+    pts = []
+    # blob A around (0,0), blob B around (10,10), 2 isolated noise
+    for i in range(8):
+        pts.append((i, 0.0 + i * 0.01, 0.0))
+    for i in range(8):
+        pts.append((100 + i, 10.0 + i * 0.01, 10.0))
+    pts += [(900, 5.0, 5.0), (901, -5.0, 7.0)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = {r["id"]: r for r in
+           dbscan(df, "id", "x", "y", eps=0.05, min_pts=4).collect()}
+    a = {out[i]["cluster"] for i in range(8)}
+    b = {out[100 + i]["cluster"] for i in range(8)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert a == {0} and b == {100}           # min-id cluster labels
+    assert out[900]["cluster"] == -1 and out[901]["cluster"] == -1
+    assert not out[900]["is_core"]
+
+
+def test_dbscan_border_attaches_to_min_core(spark):
+    from niamoto_spark.operators.clustering import dbscan
+    # 5 tight core points + 1 border point within eps of one core
+    pts = [(i, float(i) * 0.01, 0.0) for i in range(5)]
+    pts.append((50, 0.08, 0.0))   # within eps of points 3,4 only
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = {r["id"]: r for r in
+           dbscan(df, "id", "x", "y", eps=0.05, min_pts=4).collect()}
+    assert out[50]["cluster"] == 0          # attached, not noise
+    assert not out[50]["is_core"]
+    assert all(out[i]["is_core"] for i in range(5))

@@ -1799,6 +1799,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_multiset_ops": q260_multiset_ops,
         "q261_regex_surface": q261_regex_surface,
         "q262_dbscan": q262_dbscan,
+        "q263_stream_distinct_users": q263_stream_distinct_users,
+        "q264_partition_overwrite": q264_partition_overwrite,
     }
 
 
@@ -5576,6 +5578,8 @@ def build_oracles() -> dict[str, str]:
         "q260_multiset_ops": O_Q260,
         "q261_regex_surface": O_Q261,
         "q262_dbscan": O_Q262,
+        "q263_stream_distinct_users": O_Q263,
+        "q264_partition_overwrite": O_Q264,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10295,4 +10299,99 @@ SELECT cluster, count(*) AS n_points,
          AS n_core,
        min(id) AS min_id, max(id) AS max_id
 FROM final GROUP BY 1
+"""
+
+
+def q263_stream_distinct_users(spark, sf_dir):
+    """Streaming windowed DISTINCT aggregation: exact distinct users
+    per 6-hour event-time window with a watermark, drained
+    availableNow — the stateful dedup-inside-window aggregate that
+    complements the windowed counts (q54).  Oracle: the same windowed
+    COUNT(DISTINCT) in batch SQL — a stream==batch gate."""
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_sdu_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(stream_dir):
+        shutil.rmtree(stream_dir)
+    os.makedirs(stream_dir)
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = _ts_to_timestamp(
+        spark.readStream.schema(schema).parquet(stream_dir))
+    # distinct aggs are unsupported in streaming: dedup the
+    # (window, type, user) triples in watermarked state, emit the
+    # distinct rows, and count them in batch (the q99 drain pattern)
+    win = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 21600) * 21600)
+    triples = (stream.withColumn("win_start", win)
+               .withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(
+                   ["win_start", "event_type", "user_id"])
+               .select("win_start", "event_type", "user_id"))
+    qname = "q263_sdu"
+    for q_ in [q_ for q_ in spark.streams.active if q_.name == qname]:
+        q_.stop()
+    q = (triples.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .groupBy(F.date_format("win_start", "yyyy-MM-dd HH:mm")
+                     .alias("win_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+O_Q263 = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+                '%Y-%m-%d %H:%M') AS win_start,
+       event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q264_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (sources/manifest.py:
+    overwrite_hidden_partition): a day-partitioned events table gets
+    ONE day recomputed (values doubled) — the backfill primitive;
+    every other partition's files carry by reference and pruning
+    metadata stays intact.  Oracle: events with that day's values
+    doubled."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_dpo_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ev = (_events(spark, sf_dir)
+          .select("event_id", "user_id", "event_type", "value",
+                  F.timestamp_micros(F.col("ts_us")).alias("ts")))
+    M.append_hidden_partitioned(ev, path, ("day", "ts"))
+    # recompute day 2024-01-10 (pval = days since epoch)
+    import datetime as _dt
+
+    pval = (_dt.date(2024, 1, 10) - _dt.date(1970, 1, 1)).days
+    day10 = (ev.where(F.to_date("ts") == F.lit("2024-01-10"))
+             .withColumn("value", F.round(F.col("value") * 2, 4)))
+    M.overwrite_hidden_partition(day10, path, pval)
+    df, kept, total = M.read_hidden_range(
+        spark, path, "2024-01-01", "2024-12-31 23:59:59.999999")
+    return (df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum")))
+
+
+O_Q264 = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
+                      THEN round(value * 2, 4) ELSE value END), 2)
+         AS value_sum
+FROM events GROUP BY 1
 """

@@ -1355,3 +1355,38 @@ def stream_upsert_to_table(stream_df: DataFrame, path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def overwrite_hidden_partition(df: DataFrame, path: str,
+                               pval: int) -> int:
+    """Dynamic partition overwrite for hidden-partitioned tables:
+    atomically replace ONE partition's files with ``df``'s rows (the
+    backfill/repair primitive — recompute yesterday without touching
+    the rest of the table).  ``df`` rows must belong to partition
+    ``pval`` under the table's transform; rows that don't raise
+    (silent misplacement would corrupt pruning).
+
+    Cost: rewrite of one partition + one metadata commit; every other
+    file carries over by reference."""
+    doc = _hidden_doc(path)
+    tf = tuple(doc["ptransform"])
+    chk = df.withColumn("__p", _ptransform_expr(tf))
+    bad = chk.where(F.col("__p") != int(pval)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"overwrite_hidden_partition: rows outside partition "
+            f"{pval} under transform {tf}")
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    chk.drop("__p").write.mode("overwrite").parquet(staging)
+    new_files = [os.path.join(staging, f) for f in os.listdir(staging)
+                 if f.endswith(".parquet")]
+    pvals = doc.get("pvals", {})
+    keep = [f for f in doc["files"] if pvals.get(f) != int(pval)]
+    parent, _ = _writer_head(path)
+    new_pvals = {**{f: pvals[f] for f in keep if f in pvals},
+                 **{f: int(pval) for f in new_files}}
+    _commit_doc(path, parent + 1,
+                {"parent": parent, "files": sorted(keep + new_files),
+                 "pvals": new_pvals, "ptransform": list(tf)})
+    return parent + 1

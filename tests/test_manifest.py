@@ -846,3 +846,44 @@ def test_cli_table_ops(spark, tmp_path, capsys):
                      "--version", "0"]) == 0
     capsys.readouterr()
     assert M.read_table(spark, t).count() == 10
+
+
+def test_partition_overwrite_replaces_one_day(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = (spark.range(0, 20)
+          .withColumn("ts", F.expr(
+              "timestamp '2024-01-01 12:00:00' "
+              "+ make_interval(0,0,0,CAST(id % 4 AS INT),0,0,0)"))
+          .withColumn("v", F.lit(1)))
+    M.append_hidden_partitioned(df, t, ("day", "ts"))
+    files0 = set(M._read_manifest(t, 0)["files"])
+    day1 = (df.where(F.to_date("ts") == "2024-01-02")
+            .withColumn("v", F.lit(99)))
+    pval = M.read_hidden_range(spark, t, "2024-01-02",
+                               "2024-01-02 23:59:59")[0]
+    import datetime as dt
+    p = (dt.date(2024, 1, 2) - dt.date(1970, 1, 1)).days
+    M.overwrite_hidden_partition(day1, t, p)
+    out = M.read_table(spark, t)
+    assert out.where("v = 99").count() == 5
+    assert out.where("v = 1").count() == 15
+    # untouched partitions carried by reference
+    files1 = set(M._read_manifest(t, 1)["files"])
+    assert len(files0 & files1) == 3
+    # pruning metadata intact after the overwrite
+    _, kept, total = M.read_hidden_range(spark, t, "2024-01-02",
+                                         "2024-01-02 23:59:59")
+    assert (kept, total) == (1, 4)
+
+
+def test_partition_overwrite_rejects_misplaced_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = (spark.range(0, 8)
+          .withColumn("ts", F.expr(
+              "timestamp '2024-01-01 12:00:00' "
+              "+ make_interval(0,0,0,CAST(id % 2 AS INT),0,0,0)")))
+    M.append_hidden_partitioned(df, t, ("day", "ts"))
+    import datetime as dt
+    p = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    with pytest.raises(ValueError, match="outside partition"):
+        M.overwrite_hidden_partition(df, t, p)  # contains day 2 rows

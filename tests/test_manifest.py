@@ -870,10 +870,12 @@ def test_partition_overwrite_replaces_one_day(spark, tmp_path):
     # untouched partitions carried by reference
     files1 = set(M._read_manifest(t, 1)["files"])
     assert len(files0 & files1) == 3
-    # pruning metadata intact after the overwrite
-    _, kept, total = M.read_hidden_range(spark, t, "2024-01-02",
-                                         "2024-01-02 23:59:59")
-    assert (kept, total) == (1, 4)
+    # pruning metadata intact: the 3 carried files are skipped, only
+    # the rewritten partition's files are read
+    read_df, kept, total = M.read_hidden_range(
+        spark, t, "2024-01-02", "2024-01-02 23:59:59")
+    assert kept == total - 3
+    assert read_df.count() == 5
 
 
 def test_partition_overwrite_rejects_misplaced_rows(spark, tmp_path):

@@ -90,6 +90,20 @@ def cmd_explore(args) -> int:
     return 0
 
 
+def cmd_plugins(args) -> int:
+    """Plugin discovery (reference `niamoto plugins`): every
+    registered plugin name by type, so configs can be authored against
+    the actual registry."""
+    from niamoto_spark import registry as _r
+
+    _r.load_all()
+    listing = _r.list_plugins()
+    for ptype in sorted(listing):
+        for name in sorted(listing[ptype]):
+            print(json.dumps({"type": ptype, "name": name}))
+    return 0
+
+
 def cmd_table(args) -> int:
     """Lakehouse maintenance surface over manifest tables: DESCRIBE
     HISTORY / time-travel restore / compaction / vacuum / shallow
@@ -156,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
     st_.add_argument("--keep-versions", dest="keep_versions", type=int,
                      default=1)
     st_.set_defaults(fn=cmd_table)
+    spl = sub.add_parser("plugins")
+    spl.set_defaults(fn=cmd_plugins)
 
     args = p.parse_args(argv)
     return args.fn(args)

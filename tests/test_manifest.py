@@ -889,3 +889,17 @@ def test_partition_overwrite_rejects_misplaced_rows(spark, tmp_path):
     p = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
     with pytest.raises(ValueError, match="outside partition"):
         M.overwrite_hidden_partition(df, t, p)  # contains day 2 rows
+
+
+def test_cli_plugins_lists_registry(capsys):
+    import json as _json
+
+    from niamoto_spark import cli
+
+    assert cli.main(["plugins"]) == 0
+    rows = [_json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    names = {(r["type"], r["name"]) for r in rows}
+    assert ("transformer", "statistical_summary") in names
+    assert ("transformer", "dbscan") in names
+    assert len(names) > 100

@@ -67,36 +67,24 @@ def list_plugins(plugin_type: PluginType | None = None) -> dict[str, list[str]]:
 
 
 def load_all() -> None:
-    """Import every operator module so its @register decorators run.
-
-    The reference cascade-loads plugin dirs (plugin_loader.py); here the
-    module list is static.
-    """
+    """Import every operator/exporter module so its @register
+    decorators run.  The reference cascade-loads plugin dirs
+    (plugin_loader.py); here discovery walks the operators package so
+    new modules register without editing a list."""
     import importlib
+    import pkgutil
 
+    import niamoto_spark.operators as _ops
+
+    for info in pkgutil.iter_modules(_ops.__path__):
+        importlib.import_module(f"niamoto_spark.operators.{info.name}")
     for mod in (
-        "niamoto_spark.operators.loaders",
-        "niamoto_spark.operators.aggregation",
-        "niamoto_spark.operators.class_objects",
-        "niamoto_spark.operators.extraction",
-        "niamoto_spark.operators.ecological",
-        "niamoto_spark.operators.geospatial",
-        "niamoto_spark.operators.dedup",
-        "niamoto_spark.operators.similarity",
-        "niamoto_spark.operators.text",
-        "niamoto_spark.operators.multimodal",
-        "niamoto_spark.operators.chains",
-        "niamoto_spark.operators.sql_aggregator",
-        "niamoto_spark.operators.enrichment",
-        "niamoto_spark.operators.overlay",
-        "niamoto_spark.operators.eco_zonal",
-        "niamoto_spark.operators.components",
-        "niamoto_spark.operators.curation",
         "niamoto_spark.exporters.json_api",
         "niamoto_spark.exporters.dwc",
         "niamoto_spark.exporters.dwc_archive",
         "niamoto_spark.exporters.html_site",
         "niamoto_spark.exporters.humboldt",
+        "niamoto_spark.exporters.jsonl",
         "niamoto_spark.widgets",
         "niamoto_spark.deployers",
     ):

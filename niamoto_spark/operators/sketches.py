@@ -293,3 +293,36 @@ def sampled_group_count(df: DataFrame, group_cols: "list[str]",
             .withColumn("est_count",
                         F.round(F.col("n_sampled") / F.lit(float(frac)),
                                 round_dp)))
+
+
+@register("estimate_join_rows", PluginType.TRANSFORMER)
+def estimate_join_rows(left: DataFrame, right: DataFrame,
+                       left_key: str, right_key: str,
+                       frac: float = 0.1, seed: str = "jce",
+                       round_dp: int = 2) -> DataFrame:
+    """Equi-join output-cardinality estimate WITHOUT running the join:
+    |A ⋈ B| = Σ_k n_A(k)·n_B(k), estimated over an md5-deterministic
+    key sample (the SAME keys sample on both sides — correlated
+    sampling is what makes the product observable) with
+    Horvitz-Thompson 1/frac scaling.  The number a planner wants
+    before committing to a shuffle strategy, at the cost of two
+    keys-only aggregations over ~frac of the key space.
+
+    Deterministic and exactly SQL-replayable.  Returns ONE row:
+    (n_sampled_keys, est_rows)."""
+    def keyed(df, key):
+        k = F.col(key).cast("string")
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), k)), 1, 13),
+            16, 10).cast("double")
+        uni = (h + 0.5) / F.lit(float(16 ** 13))
+        return (df.where(uni < frac)
+                .groupBy(F.col(key).alias("__k"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    a = keyed(left, left_key)
+    b = keyed(right, right_key).withColumnRenamed("n", "nb")
+    return (a.join(b, "__k")
+            .agg(F.count(F.lit(1)).alias("n_sampled_keys"),
+                 F.round(F.sum(F.col("n") * F.col("nb"))
+                         / F.lit(float(frac)), round_dp)
+                 .alias("est_rows")))

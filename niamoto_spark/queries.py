@@ -1801,6 +1801,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_dbscan": q262_dbscan,
         "q263_stream_distinct_users": q263_stream_distinct_users,
         "q264_partition_overwrite": q264_partition_overwrite,
+        "q265_join_cardinality": q265_join_cardinality,
     }
 
 
@@ -5580,6 +5581,7 @@ def build_oracles() -> dict[str, str]:
         "q262_dbscan": O_Q262,
         "q263_stream_distinct_users": O_Q263,
         "q264_partition_overwrite": O_Q264,
+        "q265_join_cardinality": O_Q265,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10394,4 +10396,47 @@ SELECT event_type, count(*) AS n_events,
                       THEN round(value * 2, 4) ELSE value END), 2)
          AS value_sum
 FROM events GROUP BY 1
+"""
+
+
+def q265_join_cardinality(spark, sf_dir):
+    """Join-cardinality estimation (operators/sketches.py:
+    estimate_join_rows): |lineitem ⋈ orders| on the order key
+    predicted from a 10% correlated key sample with HT scaling,
+    alongside the true size to pin the estimator's error.  The oracle
+    replays the sample and both aggregations."""
+    from niamoto_spark.operators.sketches import estimate_join_rows
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    est = estimate_join_rows(li, o, "l_orderkey", "o_orderkey",
+                             frac=0.1, seed="jce7")
+    true = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .agg(F.count(F.lit(1)).alias("true_rows")))
+    return est.crossJoin(true)
+
+
+O_Q265 = """
+WITH sa AS (
+  SELECT l_orderkey AS k, count(*) AS n
+  FROM lineitem
+  WHERE (CAST(('0x' || substr(md5('jce7' || '|'
+              || CAST(l_orderkey AS VARCHAR)), 1, 13)) AS UBIGINT)
+         + 0.5) / power(16, 13) < 0.1
+  GROUP BY 1),
+sb AS (
+  SELECT o_orderkey AS k, count(*) AS nb
+  FROM orders
+  WHERE (CAST(('0x' || substr(md5('jce7' || '|'
+              || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS UBIGINT)
+         + 0.5) / power(16, 13) < 0.1
+  GROUP BY 1),
+est AS (
+  SELECT count(*) AS n_sampled_keys,
+         round(sum(sa.n * sb.nb) / 0.1, 2) AS est_rows
+  FROM sa JOIN sb USING (k)),
+t AS (SELECT count(*) AS true_rows
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT est.n_sampled_keys, est.est_rows, t.true_rows
+FROM est CROSS JOIN t
 """

@@ -1802,6 +1802,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q263_stream_distinct_users": q263_stream_distinct_users,
         "q264_partition_overwrite": q264_partition_overwrite,
         "q265_join_cardinality": q265_join_cardinality,
+        "q266_map_surface": q266_map_surface,
     }
 
 
@@ -5582,6 +5583,7 @@ def build_oracles() -> dict[str, str]:
         "q263_stream_distinct_users": O_Q263,
         "q264_partition_overwrite": O_Q264,
         "q265_join_cardinality": O_Q265,
+        "q266_map_surface": O_Q266,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10439,4 +10441,62 @@ t AS (SELECT count(*) AS true_rows
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
 SELECT est.n_sampled_keys, est.est_rows, t.true_rows
 FROM est CROSS JOIN t
+"""
+
+
+def q266_map_surface(spark, sf_dir):
+    """Map-type surface: map_from_entries built per order (priority →
+    revenue per priority would be degenerate; here linenumber →
+    quantity), element_at probes, map_keys cardinality,
+    transform_values — the key-value column type a semi-structured
+    pipeline leans on.  Folded to per-priority checksums; the oracle
+    replays with DuckDB MAP functions."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # the synthetic data repeats line numbers within an order: dedupe
+    # to (order, line) -> max(quantity) so the map keys are unique
+    lines = (li.groupBy("l_orderkey", "l_linenumber")
+             .agg(F.max("l_quantity").alias("q")))
+    per = (lines.groupBy("l_orderkey")
+           .agg(F.map_from_entries(
+               F.array_sort(F.collect_list(
+                   F.struct("l_linenumber", "q"))))
+               .alias("m")))
+    e = per.select(
+        "l_orderkey",
+        F.size("m").alias("n_lines"),
+        F.coalesce(F.element_at("m", F.lit(1)), F.lit(0.0))
+        .alias("q1"),
+        F.aggregate(F.map_values(
+            F.transform_values("m", lambda k, v: v * 2.0)),
+            F.lit(0.0), lambda a, x: a + x).alias("dbl_sum"))
+    j = e.join(F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+               e.l_orderkey == o.o_orderkey)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.sum("n_lines").alias("sum_lines"),
+                 F.round(F.sum("q1"), 2).alias("sum_q1"),
+                 F.round(F.sum("dbl_sum"), 2).alias("sum_doubled")))
+
+
+O_Q266 = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber, max(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2),
+per AS (
+  SELECT l_orderkey,
+         map_from_entries(list_sort(list(
+             {'k': l_linenumber, 'v': q}))) AS m
+  FROM lines GROUP BY 1),
+e AS (
+  SELECT l_orderkey, cardinality(m) AS n_lines,
+         coalesce(m[1][1], 0.0) AS q1,
+         list_aggregate(list_transform(map_values(m), v -> v * 2.0),
+                        'sum') AS dbl_sum
+  FROM per)
+SELECT o.o_orderpriority,
+       CAST(sum(e.n_lines) AS BIGINT) AS sum_lines,
+       round(sum(e.q1), 2) AS sum_q1,
+       round(sum(e.dbl_sum), 2) AS sum_doubled
+FROM e JOIN orders o ON e.l_orderkey = o.o_orderkey
+GROUP BY 1
 """

@@ -152,6 +152,13 @@ def boosted_stumps(df: DataFrame, feature_cols: "list[str]",
     shuffles; only histograms move.  Returns the model table:
     (round, feature, split_bin, threshold, left_step, right_step,
     base_score)."""
+    import math as _m
+
+    def _half_away(x: float) -> int:
+        """round-half-away-from-zero — SQL ROUND semantics (Python's
+        round() is banker's, which flips exact .5 boundaries)."""
+        return int(_m.floor(x + 0.5)) if x >= 0 else int(_m.ceil(x - 0.5))
+
     q = 1_000_000  # micro-units
     mm = df.agg(*[F.min(c).cast("double").alias(f"mn_{c}")
                   for c in feature_cols],
@@ -173,7 +180,7 @@ def boosted_stumps(df: DataFrame, feature_cols: "list[str]",
         .otherwise(0).cast("long")
     tot = df.agg(F.sum(y).alias("e"),
                  F.count(F.lit(1)).alias("n")).first()
-    base_q = round(q * tot["e"] / tot["n"])  # micro-units, exact ints
+    base_q = _half_away(q * tot["e"] / tot["n"])  # micro-units
     pred_q = F.lit(int(base_q)).cast("long")
     model_rows = []
     for rnd in range(rounds):
@@ -206,9 +213,10 @@ def boosted_stumps(df: DataFrame, feature_cols: "list[str]",
                 # mirror SQL double arithmetic exactly: convert the
                 # exact ints to doubles BEFORE multiplying (Python's
                 # big-int product would round differently)
-                gain = round(float(sl) * float(sl) / nl
-                             + float(sr) * float(sr) / nr
-                             - float(st) * float(st) / nt, 4)
+                gain = _half_away((float(sl) * float(sl) / nl
+                                   + float(sr) * float(sr) / nr
+                                   - float(st) * float(st) / nt)
+                                  * 1e4) / 1e4
                 key = (-gain, c, cell["bin"])
                 if best is None or key < best[0]:
                     best = (key, c, cell["bin"], nl, sl, nt - nl,
@@ -216,8 +224,8 @@ def boosted_stumps(df: DataFrame, feature_cols: "list[str]",
         if best is None:
             break
         _, c, b, nl, sl, nr, sr = best
-        lstep_q = round(learning_rate * float(sl) / nl)  # micro-units
-        rstep_q = round(learning_rate * float(sr) / nr)
+        lstep_q = _half_away(learning_rate * float(sl) / nl)
+        rstep_q = _half_away(learning_rate * float(sr) / nr)
         model_rows.append(
             (rnd, c, int(b),
              round(thr[c][0] + (b + 1) * thr[c][1], 6),

@@ -50,3 +50,30 @@ def dp_counts(df: DataFrame, group_cols: "list[str]",
     return counts.select(
         *group_cols,
         F.round(F.col("__n") + noise, round_dp).alias("noisy_count"))
+
+
+@register("erase_entity", PluginType.TRANSFORMER)
+def erase_entity(spark, table_paths: "list[str]", key_col: str,
+                 key_value, vacuum_now: bool = False) -> dict:
+    """Right-to-erasure sweep: delete every row carrying
+    ``key_col = key_value`` across a set of manifest tables
+    (copy-on-write — only files containing the entity are rewritten),
+    and optionally ``vacuum`` so the bytes are PHYSICALLY gone, not
+    just unreferenced (time-travel history necessarily goes with
+    them; that is the point of erasure).
+
+    Returns {table_path: rows_deleted}.  Tables where the entity does
+    not appear commit nothing."""
+    from niamoto_spark.sources import manifest as M
+
+    deleted: dict = {}
+    lit = repr(key_value) if isinstance(key_value, str) else key_value
+    for path in table_paths:
+        before = M.read_table(spark, path).where(
+            F.col(key_col) == key_value).count()
+        if before:
+            M.delete_where(spark, path, f"{key_col} = {lit}")
+        deleted[path] = before
+        if vacuum_now:
+            M.vacuum(path, keep_versions=1)
+    return deleted

@@ -903,3 +903,27 @@ def test_cli_plugins_lists_registry(capsys):
     assert ("transformer", "statistical_summary") in names
     assert ("transformer", "dbscan") in names
     assert len(names) > 100
+
+
+def test_erase_entity_sweeps_tables_and_vacuums(spark, tmp_path):
+    from niamoto_spark.operators.privacy import erase_entity
+    t1, t2 = str(tmp_path / "a"), str(tmp_path / "b")
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "erase-me"), (2, "erase-me-too"), (3, "keep")],
+        "user_id long, payload string")
+    M.append(df, t1)
+    M.append(df.where("user_id != 2"), t2)   # entity absent here
+    out = erase_entity(spark, [t1, t2], "user_id", 2)
+    assert out == {t1: 2, t2: 0}
+    assert M.read_table(spark, t1).where("user_id = 2").count() == 0
+    assert M.read_table(spark, t2).count() == 2
+    # absent entity -> no empty commit on t2
+    assert M.current_version(t2) == 0
+    # vacuum pass physically drops the pre-erasure files
+    import glob
+    erase_entity(spark, [t1], "user_id", -999, vacuum_now=True)
+    remaining = glob.glob(f"{t1}/data/**/*.parquet", recursive=True)
+    live = set(M._read_manifest(t1, M.committed_version(t1))["files"])
+    # retention policy keeps young uncommitted txn dirs, but every
+    # SUPERSEDED committed file from before the erase is gone
+    assert all(f in live or "txn-" in f for f in remaining)

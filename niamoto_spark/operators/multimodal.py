@@ -618,3 +618,86 @@ def audio_segments(df: DataFrame, frame_ms: int = 50,
 
     return df.select("media_id", "payload").mapInPandas(
         run, schema=SILENCE_SCHEMA)
+
+
+MEL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("mel_mean", T.ArrayType(T.DoubleType())),
+    T.StructField("mel_std", T.ArrayType(T.DoubleType())),
+])
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int) -> "np.ndarray":
+    """Triangular mel filterbank (HTK mel = 2595·log10(1 + f/700)),
+    shape (n_mels, n_fft//2 + 1) — the standard front end under
+    MFCC/log-mel features, built from scratch (no librosa)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(rate / 2.0),
+                       n_mels + 2)
+    hz = mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * hz / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, c):
+            if c > lo:
+                fb[m - 1, k] = (k - lo) / (c - lo)
+        for k in range(c, hi):
+            if hi > c:
+                fb[m - 1, k] = (hi - k) / (hi - c)
+    return fb
+
+
+@register("audio_logmel", PluginType.TRANSFORMER)
+def audio_logmel(df: DataFrame, n_mels: int = 16, n_fft: int = 512,
+                 hop: int = 256) -> DataFrame:
+    """Log-mel spectrogram profile per clip — THE audio-model input
+    feature (what a training pipeline materializes before the model
+    sees audio): framed Hann STFT → triangular mel filterbank → log
+    energies, pooled to per-clip mean/std vectors so the output stays
+    fixed-width (the full frame matrix would be the training tensor;
+    the pooled profile is the curation/dedup signal).
+
+    All numpy inside the Arrow batch (rFFT over a strided frame
+    matrix — one vectorized call per clip, no Python per-frame loop);
+    only n_mels-wide rows shuffle.  Deterministic: fixed window, no
+    dithering."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, rate = decode_wav(bytes(r["payload"]))
+                mono = samples.mean(axis=1) if samples.ndim == 2 \
+                    else samples
+                if len(mono) < n_fft:
+                    rows.append({"media_id": r["media_id"],
+                                 "n_frames": 0, "mel_mean": None,
+                                 "mel_std": None})
+                    continue
+                n_frames = 1 + (len(mono) - n_fft) // hop
+                idx = (np.arange(n_fft)[None, :]
+                       + hop * np.arange(n_frames)[:, None])
+                frames = mono[idx] * win[None, :]
+                mag2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                fb = _mel_filterbank(n_mels, n_fft, rate)
+                mel = np.log10(mag2 @ fb.T + 1e-10)
+                rows.append({
+                    "media_id": r["media_id"],
+                    "n_frames": int(n_frames),
+                    "mel_mean": [round(float(x), 4)
+                                 for x in mel.mean(axis=0)],
+                    "mel_std": [round(float(x), 4)
+                                for x in mel.std(axis=0)],
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=MEL_SCHEMA)

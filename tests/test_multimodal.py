@@ -392,3 +392,43 @@ def test_audio_segments_finds_silence_gap(spark):
     assert abs(mid["start_s"] - 1.0) < 0.06
     assert abs(mid["end_s"] - 1.5) < 0.06
     assert mid["rms"] < 0.01 < segs[0]["rms"]
+
+
+def test_audio_logmel_tone_peaks_in_right_band(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import (_mel_filterbank,
+                                                    audio_logmel,
+                                                    encode_wav)
+
+    rate = 8000
+    t = np.arange(2 * rate) / rate
+    tone = np.sin(2 * np.pi * 440 * t) * 0.5
+    noise_free = encode_wav(tone, rate)
+    df = spark.createDataFrame([(1, bytearray(noise_free))],
+                               "media_id long, payload binary")
+    r = audio_logmel(df, n_mels=16, n_fft=512, hop=256).first()
+    assert r["n_frames"] == 1 + (2 * rate - 512) // 256
+    mel = np.array(r["mel_mean"])
+    # which mel band holds 440 Hz?
+    fb = _mel_filterbank(16, 512, rate)
+    freqs = np.fft.rfftfreq(512, d=1.0 / rate)
+    k440 = int(np.argmin(np.abs(freqs - 440)))
+    expected_band = int(np.argmax(fb[:, k440]))
+    assert int(np.argmax(mel)) == expected_band
+    # deterministic across runs
+    r2 = audio_logmel(df, n_mels=16, n_fft=512, hop=256).first()
+    assert r["mel_mean"] == r2["mel_mean"]
+
+
+def test_audio_logmel_short_clip_nulls(spark):
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import (audio_logmel,
+                                                    encode_wav)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.zeros(100), 8000)))],
+        "media_id long, payload binary")
+    r = audio_logmel(df, n_fft=512).first()
+    assert r["n_frames"] == 0 and r["mel_mean"] is None

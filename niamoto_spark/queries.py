@@ -1803,6 +1803,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_partition_overwrite": q264_partition_overwrite,
         "q265_join_cardinality": q265_join_cardinality,
         "q266_map_surface": q266_map_surface,
+        "q267_media_pipeline": q267_media_pipeline,
     }
 
 
@@ -5584,6 +5585,7 @@ def build_oracles() -> dict[str, str]:
         "q264_partition_overwrite": O_Q264,
         "q265_join_cardinality": O_Q265,
         "q266_map_surface": O_Q266,
+        "q267_media_pipeline": O_Q267,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10499,4 +10501,94 @@ SELECT o.o_orderpriority,
        round(sum(e.dbl_sum), 2) AS sum_doubled
 FROM e JOIN orders o ON e.l_orderkey = o.o_orderkey
 GROUP BY 1
+"""
+
+
+def q267_media_pipeline(spark, sf_dir):
+    """Multimodal pipeline profile over deterministic in-line fixtures
+    (the q78 frozen-VALUES approach): MJPEG-AVI shot detection, WAV
+    voiced/silence segmentation, log-mel band energy, and perceptual-
+    hash sensitivity to a horizontal flip.  Every metric flows through
+    the REAL codecs and operators; the oracle freezes the results."""
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import (audio_logmel,
+                                                    audio_segments,
+                                                    augment_image,
+                                                    encode_wav,
+                                                    image_phash,
+                                                    shot_boundaries)
+    from niamoto_spark.sources.avicodec import encode_avi_mjpeg
+    from niamoto_spark.sources.imagecodec import encode_png
+
+    rows = []
+    # video: two 3-frame scenes, hard cut in the middle
+    dark = np.full((24, 32, 3), 30, dtype=np.uint8)
+    bright = np.full((24, 32, 3), 200, dtype=np.uint8)
+    avi = encode_avi_mjpeg([dark, dark, dark, bright, bright, bright])
+    vdf = spark.createDataFrame([(1, bytearray(avi))],
+                                "media_id long, payload binary")
+    shots = shot_boundaries(vdf, diff_threshold=30.0)
+    agg = shots.agg(F.count(F.lit(1)).alias("nf"),
+                    F.sum(F.col("is_boundary").cast("long"))
+                    .alias("nb"),
+                    F.max(F.when(F.col("is_boundary")
+                                 & (F.col("frame_idx") > 0),
+                                 F.col("frame_idx"))).alias("cut")
+                    ).first()
+    rows += [("video", "n_frames", float(agg["nf"])),
+             ("video", "n_boundaries", float(agg["nb"])),
+             ("video", "cut_frame", float(agg["cut"]))]
+
+    # audio: 1s tone, 0.5s silence, 1s tone at 8 kHz
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = np.sin(2 * np.pi * 440 * t) * 0.4
+    sig = np.concatenate([tone, np.zeros(rate // 2), tone])
+    adf = spark.createDataFrame(
+        [(2, bytearray(encode_wav(sig, rate)))],
+        "media_id long, payload binary")
+    segs = audio_segments(adf).collect()
+    voiced = sum(s["end_s"] - s["start_s"] for s in segs
+                 if s["kind"] == "voiced")
+    mel = audio_logmel(adf, n_mels=16, n_fft=512, hop=256).first()
+    rows += [("audio", "n_segments", float(len(segs))),
+             ("audio", "voiced_s", round(float(voiced), 2)),
+             ("audio", "mel_argmax",
+              float(int(np.argmax(mel["mel_mean"]))))]
+
+    # image: deterministic gradient; pHash must move under hflip
+    grad = (np.arange(32 * 32 * 3, dtype=np.uint64) * 7 % 256) \
+        .astype(np.uint8).reshape(32, 32, 3)
+    idf = spark.createDataFrame(
+        [(3, bytearray(encode_png(grad)), 32, 32)],
+        "media_id long, payload binary, width int, height int")
+    h0 = image_phash(idf).first()["phash"]
+    flipped = augment_image(idf, op="hflip")
+    # flipped payload is raw RGB: hash via the fake-decoder path is
+    # wrong; re-encode to PNG to stay on the real decode path
+    import pandas as pd  # noqa: F401
+    raw = flipped.first()
+    px = np.frombuffer(bytes(raw["payload"]),
+                       dtype=np.uint8).reshape(32, 32, 3)
+    idf2 = spark.createDataFrame(
+        [(4, bytearray(encode_png(px)))],
+        "media_id long, payload binary")
+    h1 = image_phash(idf2).first()["phash"]
+    diff_bits = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+    rows.append(("image", "phash_flip_bits", float(diff_bits)))
+    return spark.createDataFrame(
+        rows, "kind string, metric string, value double")
+
+
+O_Q267 = """
+SELECT * FROM (VALUES
+  ('video', 'n_frames', CAST(6.0 AS DOUBLE)),
+  ('video', 'n_boundaries', 2.0),
+  ('video', 'cut_frame', 3.0),
+  ('audio', 'n_segments', 3.0),
+  ('audio', 'voiced_s', 2.0),
+  ('audio', 'mel_argmax', 3.0),
+  ('image', 'phash_flip_bits', 28.0)
+) AS t(kind, metric, value)
 """

@@ -214,3 +214,33 @@ def golden_record(df: DataFrame, key_col: str, order_col: str,
             .orderBy(F.col(order_col).asc(),
                      F.col(tiebreak_col).asc())).alias("__rn"))
     return picked.where(F.col("__rn") == 1).drop("__rn")
+
+
+@register("trimmed_mean", PluginType.TRANSFORMER)
+def trimmed_mean(df: DataFrame, group_cols: "list[str]",
+                 value_col: str, trim_frac: float = 0.1,
+                 round_dp: int = 4) -> DataFrame:
+    """Per-group trimmed mean: average of the values inside the
+    [trim, 1−trim] exact-percentile band — the robust center that
+    ignores each group's own tails (winsorize clips globally; this
+    trims per group).  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so
+    the bounds replay exactly.
+
+    Two aggregations on the group key (bounds, then the filtered
+    mean), joined back broadcast-sized.  Returns (group…, n_total,
+    n_kept, trimmed_mean)."""
+    v = F.col(value_col).cast("double")
+    bounds = (df.groupBy(*group_cols)
+              .agg(F.percentile(v, F.lit(float(trim_frac)))
+                   .alias("__lo"),
+                   F.percentile(v, F.lit(1.0 - float(trim_frac)))
+                   .alias("__hi"),
+                   F.count(v).alias("n_total")))
+    joined = df.join(F.broadcast(bounds), group_cols)
+    kept = (v >= F.col("__lo")) & (v <= F.col("__hi"))
+    return (joined.groupBy(*group_cols)
+            .agg(F.max("n_total").alias("n_total"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 F.round(F.avg(F.when(kept, v)), round_dp)
+                 .alias("trimmed_mean")))

@@ -1804,6 +1804,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_join_cardinality": q265_join_cardinality,
         "q266_map_surface": q266_map_surface,
         "q267_media_pipeline": q267_media_pipeline,
+        "q268_trimmed_mean": q268_trimmed_mean,
+        "q269_nullsafe_join": q269_nullsafe_join,
     }
 
 
@@ -5586,6 +5588,8 @@ def build_oracles() -> dict[str, str]:
         "q265_join_cardinality": O_Q265,
         "q266_map_surface": O_Q266,
         "q267_media_pipeline": O_Q267,
+        "q268_trimmed_mean": O_Q268,
+        "q269_nullsafe_join": O_Q269,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10591,4 +10595,69 @@ SELECT * FROM (VALUES
   ('audio', 'mel_argmax', 3.0),
   ('image', 'phash_flip_bits', 28.0)
 ) AS t(kind, metric, value)
+"""
+
+
+def q268_trimmed_mean(spark, sf_dir):
+    """Per-group trimmed mean (operators/cleaning.py: trimmed_mean):
+    order totals per priority with each group's own 10% tails
+    excluded by exact interpolated percentiles.  Oracle: quantile_cont
+    bounds + the filtered mean."""
+    from niamoto_spark.operators.cleaning import trimmed_mean
+
+    o = _t(spark, sf_dir, "orders")
+    return trimmed_mean(o, ["o_orderpriority"], "o_totalprice",
+                        trim_frac=0.1)
+
+
+O_Q268 = """
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.1) AS lo,
+         quantile_cont(o_totalprice, 0.9) AS hi,
+         count(o_totalprice) AS n_total
+  FROM orders GROUP BY 1)
+SELECT o.o_orderpriority, max(b.n_total) AS n_total,
+       CAST(sum(CASE WHEN o.o_totalprice BETWEEN b.lo AND b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN o.o_totalprice BETWEEN b.lo AND b.hi
+                      THEN o.o_totalprice END), 4) AS trimmed_mean
+FROM orders o JOIN b USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
+def q269_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): nullable
+    derived keys (clerk bucket nulled for low totals) joined null-TO-
+    null — the relational corner plain '=' silently drops.  Checksum
+    per match class."""
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.withColumn(
+        "kb", F.when(F.col("o_totalprice") >= 100000,
+                     F.col("o_custkey") % 10))
+    dim = spark.createDataFrame(
+        [(None, "missing"), (0, "z"), (1, "a"), (2, "b"), (3, "c"),
+         (4, "d"), (5, "e"), (6, "f"), (7, "g"), (8, "h"), (9, "i")],
+        "kb long, label string")
+    j = keyed.join(dim, keyed["kb"].eqNullSafe(dim["kb"]), "inner") \
+        .drop(dim["kb"])
+    return (j.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+O_Q269 = """
+WITH keyed AS (
+  SELECT o_totalprice,
+         CASE WHEN o_totalprice >= 100000
+              THEN o_custkey % 10 END AS kb
+  FROM orders),
+dim(kb, label) AS (VALUES
+  (NULL, 'missing'), (0, 'z'), (1, 'a'), (2, 'b'), (3, 'c'),
+  (4, 'd'), (5, 'e'), (6, 'f'), (7, 'g'), (8, 'h'), (9, 'i'))
+SELECT d.label, count(*) AS n_orders,
+       round(sum(k.o_totalprice), 2) AS revenue
+FROM keyed k JOIN dim d ON k.kb IS NOT DISTINCT FROM d.kb
+GROUP BY 1
 """

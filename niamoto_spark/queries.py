@@ -1806,6 +1806,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_media_pipeline": q267_media_pipeline,
         "q268_trimmed_mean": q268_trimmed_mean,
         "q269_nullsafe_join": q269_nullsafe_join,
+        "q270_posexplode": q270_posexplode,
     }
 
 
@@ -5590,6 +5591,7 @@ def build_oracles() -> dict[str, str]:
         "q267_media_pipeline": O_Q267,
         "q268_trimmed_mean": O_Q268,
         "q269_nullsafe_join": O_Q269,
+        "q270_posexplode": O_Q270,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10660,4 +10662,38 @@ SELECT d.label, count(*) AS n_orders,
        round(sum(k.o_totalprice), 2) AS revenue
 FROM keyed k JOIN dim d ON k.kb IS NOT DISTINCT FROM d.kb
 GROUP BY 1
+"""
+
+
+def q270_posexplode(spark, sf_dir):
+    """Positional explode (LATERAL VIEW posexplode): per-order sorted
+    quantity arrays unnested WITH their ordinal — position-aware
+    flattening (token positions, rank-in-basket features).  The
+    position-weighted checksum pins ordinal correctness; DuckDB
+    replays via generate_subscripts."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = (li.groupBy("l_orderkey")
+           .agg(F.array_sort(F.collect_list("l_quantity"))
+                .alias("qs")))
+    ex = per.select("l_orderkey",
+                    F.posexplode("qs").alias("pos", "q"))
+    return (ex.groupBy((F.col("pos") + 1).alias("position"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("q"), 2).alias("qty_sum"),
+                 F.round(F.sum(F.col("q") * (F.col("pos") + 1)), 2)
+                 .alias("weighted")))
+
+
+O_Q270 = """
+WITH per AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+  FROM lineitem GROUP BY 1),
+ex AS (
+  SELECT l_orderkey,
+         generate_subscripts(qs, 1) AS position,
+         unnest(qs) AS q
+  FROM per)
+SELECT position, count(*) AS n, round(sum(q), 2) AS qty_sum,
+       round(sum(q * position), 2) AS weighted
+FROM ex GROUP BY 1
 """

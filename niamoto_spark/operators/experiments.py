@@ -89,7 +89,7 @@ def permutation_test(df: DataFrame, variant_col: str, value_col: str,
     """Randomization (permutation) test for a difference in means:
     the observed statistic is mean(treatment) − mean(control); the null
     distribution reassigns every row to a pseudo-arm by a DETERMINISTIC
-    md5 coin per (permutation, id) — no RNG state, so any engine
+    md5 coin per (seed, permutation, id) — no RNG state, so any engine
     replays the exact same ``n_perms`` pseudo-experiments and the
     p-value is reproducible bit-for-bit.
 
@@ -121,7 +121,7 @@ def permutation_test(df: DataFrame, variant_col: str, value_col: str,
 
     p = F.explode(F.sequence(F.lit(1), F.lit(n_perms))).alias("p")
     h = F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.col("p").cast("string"),
+        F.md5(F.concat_ws("|", F.lit(seed), F.col("p").cast("string"),
                           F.col("id"))), 1, 13), 16, 10).cast("double")
     uni = (h + 0.5) / F.lit(float(16 ** 13))
     expanded = (two.select("id", "v", p)

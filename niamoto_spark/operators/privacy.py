@@ -67,12 +67,13 @@ def erase_entity(spark, table_paths: "list[str]", key_col: str,
     from niamoto_spark.sources import manifest as M
 
     deleted: dict = {}
-    lit = repr(key_value) if isinstance(key_value, str) else key_value
     for path in table_paths:
         before = M.read_table(spark, path).where(
-            F.col(key_col) == key_value).count()
+            F.col(key_col) == F.lit(key_value)).count()
         if before:
-            M.delete_where(spark, path, f"{key_col} = {lit}")
+            # Column predicate, never string interpolation: a key value
+            # containing a quote/backslash must not alter the predicate.
+            M.delete_where(spark, path, F.col(key_col) == F.lit(key_value))
         deleted[path] = before
         if vacuum_now:
             M.vacuum(path, keep_versions=1)

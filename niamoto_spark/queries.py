@@ -8396,7 +8396,8 @@ obs AS (
   FROM two),
 ex AS (
   SELECT p.p, t.v,
-         CASE WHEN (CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR)
+         CASE WHEN (CAST(('0x' || substr(md5('perm|'
+                                             || CAST(p.p AS VARCHAR)
                                              || '|' || t.id), 1, 13))
                          AS UBIGINT) + 0.5) / power(16, 13) < 0.5
               THEN 1 ELSE 0 END AS g

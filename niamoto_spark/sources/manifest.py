@@ -166,6 +166,22 @@ def _writer_head(path: str) -> tuple[int, dict]:
     return slot, {}
 
 
+def _carry_dv(prev_doc: dict, carried_files: list | None = None) -> dict:
+    """Deletion-vector entries a new commit must CARRY when it
+    re-references ``prev_doc``'s data files.  Dropping the 'dv' key
+    while keeping the files would silently resurrect every
+    MOR-deleted row — so every writer that forwards head files spreads
+    ``**_carry_dv(head)`` into its commit document.  When only a
+    subset of files is carried (partition overwrite, partial compact),
+    pass ``carried_files`` so entries for replaced files are dropped
+    with their files."""
+    dv = prev_doc.get("dv") or {}
+    if carried_files is not None:
+        keep = set(carried_files)
+        dv = {f: v for f, v in dv.items() if f in keep}
+    return {"dv": dv} if dv else {}
+
+
 def append(df: DataFrame, path: str,
            extra_meta: dict | None = None) -> int:
     """Atomically append ``df``'s rows as a new snapshot; returns the new
@@ -183,7 +199,7 @@ def append(df: DataFrame, path: str,
     prev = head.get("files", [])
     _commit_doc(path, parent + 1,
                 {"parent": parent, "files": sorted(prev + new_files),
-                 **(extra_meta or {})})
+                 **_carry_dv(head), **(extra_meta or {})})
     return parent + 1
 
 
@@ -381,7 +397,7 @@ def append_with_stats(df: DataFrame, path: str,
                 {"parent": parent,
                  "files": sorted(prev_files + new_files),
                  "stats": {**prev_stats, **stats},
-                 **(extra_meta or {})})
+                 **_carry_dv(prev_doc), **(extra_meta or {})})
     return parent + 1
 
 
@@ -416,7 +432,6 @@ def read_table_pruned(spark: SparkSession, path: str, col: str,
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
-    _dv_guard(doc, "read_table_pruned")
     # Compare in the same canonical domain the stats were stored in
     # (widen the query range outward — skipping must stay a superset
     # test).  Un-canonicalizable bounds disable skipping entirely.
@@ -441,8 +456,10 @@ def read_table_pruned(spark: SparkSession, path: str, col: str,
     if not keep:
         empty = spark.createDataFrame([], "dummy string").limit(0)
         return empty, 0, skipped
-    df = spark.read.parquet(*keep).where(
-        (F.col(col) >= lo) & (F.col(col) <= hi))
+    df = spark.read.parquet(*keep)
+    if doc.get("dv"):
+        df = _apply_dv(df, doc["dv"])
+    df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
     return df, len(keep), skipped
 
 
@@ -453,14 +470,20 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     snapshots surface their full new files; deletions are not row-level
     (append/overwrite format, not merge-on-read)."""
     to_v = committed_version(path) if to_version is None else to_version
-    _dv_guard(_read_manifest(path, to_v), "table_changes")
-    new = set(_read_manifest(path, to_v)["files"])
+    to_doc = _read_manifest(path, to_v)
+    new = set(to_doc["files"])
     old = set(_read_manifest(path, from_version)["files"]) \
         if from_version >= 0 else set()
     added = sorted(new - old)
     if not added:
         return spark.createDataFrame([], "dummy string").limit(0)
-    return spark.read.parquet(*added)
+    df = spark.read.parquet(*added)
+    dv = {f: ix for f, ix in (to_doc.get("dv") or {}).items()
+          if f in set(added)}
+    if dv:
+        # rows MOR-deleted by to_version must not surface as "added"
+        df = _apply_dv(df, dv)
+    return df
 
 
 def stream_to_table(stream_df: DataFrame, path: str,
@@ -625,8 +648,7 @@ def _rewrite_cow(spark: SparkSession, path: str, transform,
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
-    _dv_guard(doc, "copy-on-write DML")
-    df = read_table(spark, path)
+    df = read_table(spark, path)  # applies any deletion vectors
     touched_uris = [r["__f"] for r in
                     df.where(pred).select(F.input_file_name().alias("__f"))
                     .distinct().collect()]
@@ -634,7 +656,13 @@ def _rewrite_cow(spark: SparkSession, path: str, transform,
     if not touched:
         return v  # nothing matches: no empty commit
     keep_files = [f for f in doc["files"] if f not in touched]
-    rewritten = transform(spark.read.parquet(*sorted(touched)))
+    touched_df = spark.read.parquet(*sorted(touched))
+    if doc.get("dv"):
+        # The rewrite materializes the touched files' deletion vectors
+        # (re-scanning them raw would resurrect MOR-deleted rows);
+        # untouched files keep their entries via _carry_dv below.
+        touched_df = _apply_dv(touched_df, doc["dv"])
+    rewritten = transform(touched_df)
 
     data, _ = _table_dirs(path)
     staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
@@ -649,7 +677,8 @@ def _rewrite_cow(spark: SparkSession, path: str, transform,
                   if f in set(keep_files)}
     _commit_doc(path, v + 1,
                 {"parent": v, "files": sorted(keep_files + new_files),
-                 "stats": {**prev_stats, **new_stats}})
+                 "stats": {**prev_stats, **new_stats},
+                 **_carry_dv(doc, keep_files)})
     return v + 1
 
 
@@ -771,7 +800,7 @@ def append_with_blooms(df: DataFrame, path: str, bloom_cols: list[str],
                  "files": sorted(prev_doc.get("files", []) + new_files),
                  "stats": {**prev_doc.get("stats", {}), **stats},
                  "blooms": {**prev_doc.get("blooms", {}), **blooms},
-                 **(extra_meta or {})})
+                 **_carry_dv(prev_doc), **(extra_meta or {})})
     return parent + 1
 
 
@@ -788,7 +817,6 @@ def read_table_point(spark: SparkSession, path: str, col: str, value,
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     doc = _read_manifest(path, v)
-    _dv_guard(doc, "read_table_point")
     keep, skipped = [], 0
     for fp in doc["files"]:
         bl = doc.get("blooms", {}).get(fp, {}).get(col)
@@ -804,7 +832,10 @@ def read_table_point(spark: SparkSession, path: str, col: str, value,
     if not keep:
         base = read_table(spark, path, version=v).limit(0)
         return base.where(F.col(col) == F.lit(value)), 0, skipped
-    df = spark.read.parquet(*keep).where(F.col(col) == F.lit(value))
+    df = spark.read.parquet(*keep)
+    if doc.get("dv"):
+        df = _apply_dv(df, doc["dv"])
+    df = df.where(F.col(col) == F.lit(value))
     return df, len(keep), skipped
 
 
@@ -870,6 +901,7 @@ def restore_version(path: str, version: int) -> int:
                 {"parent": head, "files": doc["files"],
                  "stats": doc.get("stats", {}),
                  "blooms": doc.get("blooms", {}),
+                 **_carry_dv(doc),
                  "restored_from": version})
     return head + 1
 
@@ -948,8 +980,13 @@ def compact_where(spark: SparkSession, path: str, col: str, lo, hi,
         (carried if outside else touched).append(fp)
     if not touched:
         return v, 0, len(carried)
-    df = (spark.read.parquet(*touched)
-          .repartitionByRange(target_files, F.col(col).asc())
+    df = spark.read.parquet(*touched)
+    if doc.get("dv"):
+        # Materialize the touched files' deletion vectors in the
+        # rewrite (a raw re-scan would resurrect their deleted rows);
+        # carried files keep their entries via _carry_dv below.
+        df = _apply_dv(df, doc["dv"])
+    df = (df.repartitionByRange(target_files, F.col(col).asc())
           .sortWithinPartitions(col))
     data, _ = _table_dirs(path)
     staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
@@ -964,7 +1001,7 @@ def compact_where(spark: SparkSession, path: str, col: str, lo, hi,
     stats = {k: v2 for k, v2 in stats.items() if v2}
     _commit_doc(path, v + 1,
                 {"parent": v, "files": sorted(carried + new_files),
-                 "stats": stats})
+                 "stats": stats, **_carry_dv(doc, carried)})
     return v + 1, len(new_files), len(carried)
 
 
@@ -988,12 +1025,14 @@ def shallow_clone(src_path: str, dst_path: str) -> int:
     v = committed_version(src_path)
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {src_path}")
-    files = _read_manifest(src_path, v)["files"]
+    src_doc = _read_manifest(src_path, v)
+    files = src_doc["files"]
     if committed_version(dst_path) >= 0 or current_version(dst_path) >= 0:
         raise FileExistsError(f"clone target {dst_path} already exists")
     _table_dirs(dst_path)
     _commit_doc(dst_path, 0,
                 {"parent": -1, "files": sorted(files),
+                 **_carry_dv(src_doc),
                  "cloned_from": {"path": os.path.abspath(src_path),
                                  "version": v}})
     return 0
@@ -1023,7 +1062,8 @@ def wap_stage(df: DataFrame, path: str, branch: str,
     prev = head.get("files", []) if mode == "append" else []
     doc = {"branch": branch, "base_version": base,
            "files": sorted(prev + new_files),
-           "new_files": sorted(new_files)}
+           "new_files": sorted(new_files),
+           **(_carry_dv(head) if mode == "append" else {})}
     tmp = os.path.join(meta, f".branch-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(doc, f)
@@ -1043,7 +1083,10 @@ def read_branch(spark: SparkSession, path: str, branch: str) -> DataFrame:
         doc = json.load(f)
     if not doc["files"]:
         return spark.createDataFrame([], "dummy string").limit(0)
-    return spark.read.parquet(*doc["files"])
+    df = spark.read.parquet(*doc["files"])
+    if doc.get("dv"):
+        df = _apply_dv(df, doc["dv"])
+    return df
 
 
 def wap_publish(path: str, branch: str) -> int:
@@ -1069,6 +1112,7 @@ def wap_publish(path: str, branch: str) -> int:
     v = doc["base_version"] + 1
     _commit_doc(path, v, {"parent": doc["base_version"],
                           "files": doc["files"],
+                          **_carry_dv(doc),
                           "published_branch": branch})
     os.remove(bpath)
     return v
@@ -1169,7 +1213,7 @@ def append_hidden_partitioned(df: DataFrame, path: str,
     _commit_doc(path, parent + 1,
                 {"parent": parent, "files": sorted(prev_files + files),
                  "pvals": {**prev_pvals, **pvals},
-                 "ptransform": tf_doc})
+                 "ptransform": tf_doc, **_carry_dv(head)})
     return parent + 1
 
 
@@ -1217,10 +1261,13 @@ def read_hidden_range(spark: SparkSession, path: str,
     pvals = doc.get("pvals", {})
     kept = [f for f in doc["files"]
             if pvals.get(f) is None or plo <= pvals[f] <= phi]
-    df = (spark.read.parquet(*kept)
-          .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
-          if kept else
-          spark.createDataFrame([], "dummy string").limit(0))
+    if not kept:
+        return (spark.createDataFrame([], "dummy string").limit(0),
+                0, len(doc["files"]))
+    df = spark.read.parquet(*kept)
+    if doc.get("dv"):
+        df = _apply_dv(df, doc["dv"])
+    df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     return df, len(kept), len(doc["files"])
 
 
@@ -1238,9 +1285,13 @@ def read_hidden_point(spark: SparkSession, path: str, value) -> tuple:
     pvals = doc.get("pvals", {})
     kept = [f for f in doc["files"]
             if pvals.get(f) is None or pvals[f] == b]
-    df = (spark.read.parquet(*kept).where(F.col(col) == F.lit(value))
-          if kept else
-          spark.createDataFrame([], "dummy string").limit(0))
+    if not kept:
+        return (spark.createDataFrame([], "dummy string").limit(0),
+                0, len(doc["files"]))
+    df = spark.read.parquet(*kept)
+    if doc.get("dv"):
+        df = _apply_dv(df, doc["dv"])
+    df = df.where(F.col(col) == F.lit(value))
     return df, len(kept), len(doc["files"])
 
 
@@ -1268,6 +1319,11 @@ def _apply_dv(df: DataFrame, dv: dict) -> DataFrame:
 
 
 def _dv_guard(doc: dict, op: str) -> None:
+    """Fail-fast for any future code path that scans manifest files
+    RAW: a DV-carrying table must never be read without ``_apply_dv``
+    (it would resurrect deleted rows).  Every in-tree reader and
+    writer now applies/carries DVs itself, so this is a safety net
+    for extensions, not a gate on the built-in surface."""
     if doc.get("dv"):
         raise ValueError(
             f"{op}: table carries deletion vectors; run compact() to "
@@ -1388,5 +1444,6 @@ def overwrite_hidden_partition(df: DataFrame, path: str,
                  **{f: int(pval) for f in new_files}}
     _commit_doc(path, parent + 1,
                 {"parent": parent, "files": sorted(keep + new_files),
-                 "pvals": new_pvals, "ptransform": list(tf)})
+                 "pvals": new_pvals, "ptransform": list(tf),
+                 **_carry_dv(doc, keep)})
     return parent + 1

@@ -101,6 +101,25 @@ class TestAbTests:
         assert r["z"] == pytest.approx(3.0 / math.sqrt(2 * v / 3),
                                        abs=1e-12)
 
+    def test_permutation_seed_changes_null_draws(self, spark):
+        """ADVICE r7: the seed parameter was accepted but never folded
+        into the md5 coin, so every seed replayed the same
+        permutations (and correlated with other md5(id)-keyed
+        operators).  Pinned: deterministic per seed, different across
+        seeds (values verified on this fixed fixture)."""
+        from niamoto_spark.operators.experiments import permutation_test
+
+        rows = [(i, "T" if i % 2 == 0 else "C", float(v))
+                for i, v in enumerate([1, 2, 3, 4, 100, 6, 7, 8, 9, 10])]
+        df = spark.createDataFrame(rows, "id long, arm string, v double")
+
+        def n_ge(seed):
+            return permutation_test(df, "arm", "v", "id", treatment="T",
+                                    n_perms=19, seed=seed).first()["n_ge"]
+
+        assert n_ge("perm") == n_ge("perm") == 6   # deterministic
+        assert n_ge("a") == 9 and n_ge("b") == 7   # seed matters
+
     def test_other_variants_ignored(self, spark):
         from niamoto_spark.operators.experiments import (
             ab_proportion_test)

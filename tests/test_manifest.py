@@ -724,16 +724,137 @@ def test_dv_stacks_and_compact_materializes(spark, tmp_path):
     assert M.read_table(spark, t).count() == 8
 
 
-def test_dv_guards_direct_readers(spark, tmp_path):
+def test_dv_applied_by_pruned_and_point_readers(spark, tmp_path):
+    """Zone-map and bloom readers must apply deletion vectors, not
+    resurrect MOR-deleted rows (they used to guard-raise; now they
+    filter like read_table does)."""
     t = str(tmp_path / "tbl")
     M.append_with_stats(_df(spark, 0, 10), t, stats_cols=["id"])
     M.delete_where_mor(spark, t, "id = 1")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        M.read_table_pruned(spark, t, "id", 0, 5)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        M.delete_where(spark, t, "id = 2")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        M.table_changes(spark, t, 0)
+    df, _, _ = M.read_table_pruned(spark, t, "id", 0, 5)
+    assert sorted(r["id"] for r in df.collect()) == [0, 2, 3, 4, 5]
+    t2 = str(tmp_path / "tbl2")
+    M.append_with_blooms(_df(spark, 0, 10), t2, bloom_cols=["id"])
+    M.delete_where_mor(spark, t2, "id = 3")
+    df2, kept, _ = M.read_table_point(spark, t2, "id", 3)
+    assert df2.count() == 0 and kept >= 1   # bloom says maybe, DV says no
+
+
+def test_dv_cow_dml_on_dv_table(spark, tmp_path):
+    """delete_where / update_where on a DV-carrying table: the rewrite
+    materializes the touched files' vectors instead of resurrecting."""
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10).coalesce(1), t)
+    M.delete_where_mor(spark, t, "id = 1")
+    M.delete_where(spark, t, "id = 2")          # COW on the same file
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
+        == [0, 3, 4, 5, 6, 7, 8, 9]
+    doc = M._read_manifest(t, M.committed_version(t))
+    assert not doc.get("dv")                    # fully materialized
+    M.delete_where_mor(spark, t, "id = 4")
+    M.update_where(spark, t, "id = 5", {"v": F.lit(-1).cast("long")})
+    rows = {r["id"]: r["v"] for r in M.read_table(spark, t).collect()}
+    assert 4 not in rows and rows[5] == -1
+
+
+def test_dv_table_changes_excludes_deleted(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 5), t)               # v0
+    M.append(_df(spark, 5, 10), t)              # v1: adds 5..9
+    M.delete_where_mor(spark, t, "id = 7")      # v2
+    added = M.table_changes(spark, t, 0)
+    assert sorted(r["id"] for r in added.collect()) == [5, 6, 8, 9]
+
+
+def test_dv_survives_append_family(spark, tmp_path):
+    """ADVICE r7: append (and stats/blooms/checked variants) used to
+    carry head files but DROP the dv key — one append after a MOR
+    delete silently resurrected every deleted row."""
+    for name, appender in [
+        ("plain", lambda d, t: M.append(d, t)),
+        ("stats", lambda d, t: M.append_with_stats(d, t, ["id"])),
+        ("blooms", lambda d, t: M.append_with_blooms(d, t, ["id"])),
+        ("checked", lambda d, t: M.append_checked(
+            d, t, [{"rule": "not_null", "col": "id"}])),
+    ]:
+        t = str(tmp_path / f"tbl_{name}")
+        appender(_df(spark, 0, 10), t)
+        M.delete_where_mor(spark, t, "id = 3")
+        appender(_df(spark, 10, 12), t)
+        got = sorted(r["id"] for r in M.read_table(spark, t).collect())
+        assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11], name
+
+
+def test_dv_survives_restore_and_clone(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 6), t)               # v0
+    M.delete_where_mor(spark, t, "id = 2")      # v1
+    M.append(_df(spark, 6, 8), t)               # v2
+    M.restore_version(t, 1)                     # v3 = v1's state
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
+        == [0, 1, 3, 4, 5]
+    c = str(tmp_path / "clone")
+    M.shallow_clone(t, c)
+    assert sorted(r["id"] for r in M.read_table(spark, c).collect()) \
+        == [0, 1, 3, 4, 5]
+
+
+def test_dv_survives_wap_branch(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 6), t)
+    M.delete_where_mor(spark, t, "id = 1")
+    M.wap_stage(_df(spark, 6, 8), t, "b1", mode="append")
+    staged = sorted(r["id"] for r in M.read_branch(spark, t, "b1")
+                    .collect())
+    assert staged == [0, 2, 3, 4, 5, 6, 7]      # audit surface honest
+    M.wap_publish(t, "b1")
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
+        == [0, 2, 3, 4, 5, 6, 7]
+
+
+def test_dv_hidden_partitioned_roundtrip(spark, tmp_path):
+    """Hidden-partition readers apply DVs; appends and partition
+    overwrite carry them (restricted to surviving files)."""
+    t = str(tmp_path / "tbl")
+    M.append_hidden_partitioned(_df(spark, 0, 20), t, ("trunc", 5, "id"))
+    M.delete_where_mor(spark, t, "id IN (2, 12)")
+    df, _, _ = M.read_hidden_range(spark, t, 0, 9)
+    assert sorted(r["id"] for r in df.collect()) \
+        == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+    # append another batch: both old DV entries must survive
+    M.append_hidden_partitioned(_df(spark, 20, 22), t, ("trunc", 5, "id"))
+    df2, _, _ = M.read_hidden_range(spark, t, 10, 21)
+    assert sorted(r["id"] for r in df2.collect()) \
+        == [10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21]
+    # overwrite partition [10,15): its DV entry (id=12) dies with the
+    # files; the other partition's entry (id=2) must survive
+    repl = spark.range(10, 15).withColumn("v", F.col("id") * 100)
+    M.overwrite_hidden_partition(repl, t, 10)
+    df3, _, _ = M.read_hidden_range(spark, t, 0, 21)
+    assert sorted(r["id"] for r in df3.collect()) \
+        == [0, 1] + list(range(3, 22))
+    # bucket table point read applies DV too
+    tb = str(tmp_path / "tblb")
+    M.append_hidden_partitioned(_df(spark, 0, 10), tb, ("bucket", 4, "id"))
+    M.delete_where_mor(spark, tb, "id = 6")
+    got, _, _ = M.read_hidden_point(spark, tb, 6)
+    assert got.count() == 0
+
+
+def test_dv_compact_where_materializes_touched_carries_rest(
+        spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20, 30):
+        M.append_with_stats(_df(spark, lo, lo + 10), t, ["id"])
+    M.delete_where_mor(spark, t, "id IN (5, 25)")
+    v, rew, car = M.compact_where(spark, t, "id", 0, 9, target_files=1)
+    assert rew >= 1 and car >= 1
+    doc = M._read_manifest(t, v)
+    # touched range's DV entry materialized away; untouched carried
+    dv_rows = sorted(i for ix in doc.get("dv", {}).values() for i in ix)
+    assert len(dv_rows) == 1                    # only id=25's entry left
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) \
+        == [i for i in range(40) if i not in (5, 25)]
 
 
 def test_dv_nothing_matched_no_commit(spark, tmp_path):
@@ -927,3 +1048,19 @@ def test_erase_entity_sweeps_tables_and_vacuums(spark, tmp_path):
     # retention policy keeps young uncommitted txn dirs, but every
     # SUPERSEDED committed file from before the erase is gone
     assert all(f in live or "txn-" in f for f in remaining)
+
+
+def test_erase_entity_quote_safe_key(spark, tmp_path):
+    """ADVICE r7: repr()-interpolated string keys broke (or altered)
+    the delete predicate on quotes/backslashes; the predicate is now a
+    Column, so hostile key values are just values."""
+    from niamoto_spark.operators.privacy import erase_entity
+    t = str(tmp_path / "a")
+    evil = "O'Brien\\x OR '1'='1"
+    df = spark.createDataFrame(
+        [(evil, "erase"), ("safe", "keep")], "name string, p string")
+    M.append(df, t)
+    out = erase_entity(spark, [t], "name", evil)
+    assert out == {t: 1}
+    rows = M.read_table(spark, t).collect()
+    assert [r["name"] for r in rows] == ["safe"]

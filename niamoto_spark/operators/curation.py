@@ -144,3 +144,63 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
     stats_df = spark.createDataFrame(
         stats or [("noop", 0, 0)], "stage string, docs_in long, docs_out long")
     return cur, stats_df
+
+
+@register("mixture_rebalance", PluginType.TRANSFORMER)
+def mixture_rebalance(df: DataFrame, id_col: str, group_col: str,
+                      targets: "Mapping[str, float]", budget_rows: int,
+                      seed: str = "mix",
+                      round_dp: int = 6) -> tuple:
+    """Rebalance a corpus to a TARGET mixture (30% web, 20% code, ...)
+    under a row budget — the step between "measured the mix"
+    (web.domain_mix / profiling) and "trained on it".
+
+    Per group g: quota_g = floor(budget · p_g), rate_g = min(1,
+    quota_g / n_g), and the rows kept are the deterministic md5(seed |
+    id) uniform under rate_g — the stratified_sample coin, so the SAME
+    rows are chosen on any engine/partitioning/rerun and a DuckDB
+    oracle replays the exact selection.  Groups not named in
+    ``targets`` are dropped (their target share is 0).  Undersupplied
+    groups (n_g < quota_g) keep everything — the summary's
+    ``shortfall`` column is the signal to go source more of that
+    group, which no silent oversampling should paper over.
+
+    Returns (selected_df, summary_df); summary is one row per target
+    group: (group, n_avail, quota, rate, n_selected, shortfall)."""
+    counts = {r["g"]: r["n"] for r in
+              df.groupBy(F.col(group_col).alias("g"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    plan = []
+    for g, share in targets.items():
+        n_g = int(counts.get(g, 0))
+        quota = int(budget_rows * float(share))
+        rate = 1.0 if n_g <= quota else quota / n_g
+        plan.append((g, n_g, quota, rate, max(0, quota - n_g)))
+    rate_col = F.lit(None).cast("double")
+    for g, _, _, rate, _ in plan:
+        rate_col = F.when(F.col(group_col) == g,
+                          F.lit(rate)).otherwise(rate_col)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed),
+                                      F.col(id_col).cast("string"))),
+                    1, 8), 16, 10).cast("bigint")
+    selected = (df.withColumn("__rate", rate_col)
+                .where(F.col("__rate").isNotNull()
+                       & (bucket < F.col("__rate")
+                          * F.lit(float(2 ** 32))))
+                .drop("__rate"))
+    spark = df.sparkSession
+    summary = spark.createDataFrame(
+        [(g, n, q, r, s) for g, n, q, r, s in plan],
+        f"{group_col} string, n_avail long, quota long, rate double, "
+        "shortfall long")
+    nsel = (selected.groupBy(F.col(group_col))
+            .agg(F.count(F.lit(1)).alias("n_selected")))
+    summary = (summary.join(nsel, group_col, "left")
+               .fillna({"n_selected": 0})
+               .select(group_col, "n_avail", "quota",
+                       # SQL-side rounding (half-away) so an oracle's
+                       # ROUND(quota/n) matches bit-for-bit
+                       F.round("rate", round_dp).alias("rate"),
+                       "n_selected", "shortfall"))
+    return selected, summary

@@ -331,3 +331,45 @@ def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
                  .localCheckpoint(eager=True))
     return ranks.select("node_id",
                         F.round("rank", round_dp).alias("rank"))
+
+
+@register("adamic_adar", PluginType.TRANSFORMER)
+def adamic_adar(membership: DataFrame, item_col: str, group_col: str,
+                max_group_size: int = 1000,
+                round_dp: int = 4) -> DataFrame:
+    """Adamic–Adar link prediction over a bipartite membership table
+    (item, group): two items sharing groups get score
+    Σ_{g shared} 1 / ln(|g|) — shared SMALL groups are strong evidence
+    of a link, shared huge groups near-none (the weighting that makes
+    AA beat raw common-neighbor counts).
+
+    Shape: one group-size aggregate, one within-group self-join
+    (item_a < item_b) carrying the 1/ln(size) weight, one pair
+    aggregate — all equi-joins on the group key, co-partitioned.
+    Viral groups are the quadratic hazard (C(n,2) pairs): groups over
+    ``max_group_size`` are EXCLUDED before the self-join (logged),
+    the same bounded-hot-key guard as ngram_jaccard_pairs; their AA
+    contribution is ≤ 1/ln(cap) per pair, the part AA already calls
+    noise.  Returns (item_a, item_b, common_groups, aa_score)."""
+    import logging
+    log = logging.getLogger(__name__)
+
+    m = (membership.select(F.col(item_col).alias("item"),
+                           F.col(group_col).alias("grp")).distinct())
+    sizes = m.groupBy("grp").agg(F.count(F.lit(1)).alias("gsz"))
+    over = sizes.where(F.col("gsz") > max_group_size)
+    if over.limit(1).count():
+        log.warning("adamic_adar: group(s) over %d members excluded "
+                    "from pair generation", max_group_size)
+    ok = sizes.where((F.col("gsz") >= 2)
+                     & (F.col("gsz") <= max_group_size))
+    # no broadcast hint: group count scales with the data (AQE
+    # broadcasts when the size table is actually small)
+    wm = m.join(ok, "grp")
+    a = wm.select("grp", F.col("item").alias("item_a"), "gsz")
+    b = wm.select("grp", F.col("item").alias("item_b"))
+    pairs = a.join(b, "grp").where(F.col("item_a") < F.col("item_b"))
+    return (pairs.groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("common_groups"),
+                 F.round(F.sum(F.lit(1.0) / F.log(F.col("gsz"))),
+                         round_dp).alias("aa_score")))

@@ -209,3 +209,42 @@ def conformal_interval(df: DataFrame, pred_col: str, actual_col: str,
         F.round(F.avg((F.col("__r") <= F.lit(float(qhat)))
                       .cast("double")), round_dp).alias("coverage"),
         F.lit(float(alpha)).alias("alpha")))
+
+
+@register("confusion_stats", PluginType.TRANSFORMER)
+def confusion_stats(df: DataFrame, actual_col: str, pred_col: str,
+                    round_dp: int = 4) -> DataFrame:
+    """Multi-class confusion summary: per class, support (actual n),
+    predicted n, true positives, precision, recall, F1 — the
+    first table read after any classifier run (binary_auc covers
+    threshold-free binary ranking; this is the thresholded
+    multi-class complement).
+
+    One (actual, pred) aggregate, then two marginal rollups joined
+    back on the class — three narrow aggregations over the confusion
+    matrix, never the raw rows twice.  Classes seen only in
+    predictions appear with support 0.  Division by zero yields 0.0
+    (the sklearn zero_division=0 convention)."""
+    cm = (df.groupBy(F.col(actual_col).alias("actual"),
+                     F.col(pred_col).alias("pred"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    support = (cm.groupBy(F.col("actual").alias("cls"))
+               .agg(F.sum("n").alias("support")))
+    predn = (cm.groupBy(F.col("pred").alias("cls"))
+             .agg(F.sum("n").alias("pred_n")))
+    tp = (cm.where(F.col("actual") == F.col("pred"))
+          .select(F.col("actual").alias("cls"), F.col("n").alias("tp")))
+    base = (support.join(predn, "cls", "full_outer")
+            .join(tp, "cls", "left")
+            .fillna({"support": 0, "pred_n": 0, "tp": 0}))
+    prec = F.when(F.col("pred_n") > 0,
+                  F.col("tp") / F.col("pred_n")).otherwise(0.0)
+    rec = F.when(F.col("support") > 0,
+                 F.col("tp") / F.col("support")).otherwise(0.0)
+    f1 = F.when(prec + rec > 0,
+                2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return base.select(
+        F.col("cls").alias("class"), "support", "pred_n", "tp",
+        F.round(prec, round_dp).alias("precision"),
+        F.round(rec, round_dp).alias("recall"),
+        F.round(f1, round_dp).alias("f1"))

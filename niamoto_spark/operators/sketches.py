@@ -326,3 +326,37 @@ def estimate_join_rows(left: DataFrame, right: DataFrame,
                  F.round(F.sum(F.col("n") * F.col("nb"))
                          / F.lit(float(frac)), round_dp)
                  .alias("est_rows")))
+
+
+@register("bitmap_distinct", PluginType.TRANSFORMER)
+def bitmap_distinct_rollup(df: DataFrame, group_col: str, id_col: str,
+                           rollup_to_total: bool = True) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's bitmap aggregates
+    (the RoaringBitmap idea, built in since 3.5): each (group, bucket)
+    gets a fixed 4KB bitmap of id bit-positions
+    (bitmap_construct_agg), counts come from bitmap_count, and —
+    unlike count(DISTINCT) — partial results MERGE with bitmap_or_agg,
+    so one pre-aggregated bitmap table answers per-group AND total
+    distinct without rescanning rows (distinct_sketches gives the
+    same rollup approximately via HLL; this is its exact counterpart
+    for integer keys).
+
+    Shape: one (group, bucket) aggregate (map-side combinable — the
+    bitmap is the combiner), then a bucket-collapse per group; the
+    total rolls up from the SAME bitmaps.  Returns (group,
+    n_distinct) plus a NULL-group total row when requested."""
+    b = (df.select(F.col(group_col).alias("grp"),
+                   F.col(id_col).cast("long").alias("id"))
+         .groupBy("grp", F.bitmap_bucket_number("id").alias("bkt"))
+         .agg(F.bitmap_construct_agg(F.bitmap_bit_position("id"))
+              .alias("bm")))
+    per = (b.groupBy("grp")
+           .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct")))
+    if not rollup_to_total:
+        return per.withColumnRenamed("grp", group_col)
+    total = (b.groupBy("bkt")
+             .agg(F.bitmap_or_agg("bm").alias("bm"))
+             .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"))
+             .select(F.lit(None).cast(dict(b.dtypes)["grp"])
+                     .alias("grp"), "n_distinct"))
+    return per.unionByName(total).withColumnRenamed("grp", group_col)

@@ -677,3 +677,181 @@ def growth_accounting(df: DataFrame, entity_col: str, ts_col: str,
             .select(F.col("b").alias("period"), "active", "new_users",
                     "retained", "resurrected",
                     F.coalesce("churned", F.lit(0)).alias("churned")))
+
+
+@register("time_weighted_avg", PluginType.TRANSFORMER)
+def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
+                      value_col: str, tiebreak_col: str,
+                      round_dp: int = 4) -> DataFrame:
+    """Time-weighted average over irregular samples (the TimescaleDB
+    ``time_weight('Linear')`` shape): per key, the trapezoid integral
+    of the value curve divided by the observed span —
+
+        twa = Σ (v_i + v_{i+1})/2 · (t_{i+1} − t_i)  /  (t_n − t_0)
+
+    A plain avg() over-weights bursts of samples; TWA is the honest
+    mean of a sensor/price/queue-depth series sampled on change.
+
+    One window pass (lag over (ts, tiebreak) — the tiebreak makes the
+    order total so results are partition-invariant), one aggregate.
+    Keys with a single sample or zero span fall back to the plain
+    average.  Returns (key, n_samples, twa)."""
+    from pyspark.sql import Window
+
+    t = F.col(ts_col).cast("double")
+    seg = (df.select(F.col(key_col).alias("key"), t.alias("t"),
+                     F.col(value_col).cast("double").alias("v"),
+                     F.col(tiebreak_col).alias("tb"))
+           .withColumn("t_prev", F.lag("t").over(
+               Window.partitionBy("key").orderBy("t", "tb")))
+           .withColumn("v_prev", F.lag("v").over(
+               Window.partitionBy("key").orderBy("t", "tb"))))
+    agg = (seg.groupBy("key")
+           .agg(F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.when(F.col("t_prev").isNotNull(),
+                             (F.col("v") + F.col("v_prev")) / 2
+                             * (F.col("t") - F.col("t_prev"))))
+                .alias("area"),
+                (F.max("t") - F.min("t")).alias("span"),
+                F.avg("v").alias("plain_avg")))
+    return agg.select(
+        F.col("key").alias(key_col), "n_samples",
+        F.round(F.when(F.col("span") > 0, F.col("area") / F.col("span"))
+                 .otherwise(F.col("plain_avg")), round_dp).alias("twa"))
+
+
+@register("ohlc_bars", PluginType.TRANSFORMER)
+def ohlc_bars(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+              tiebreak_col: str, granule_s: int = 3600,
+              round_dp: int = 4) -> DataFrame:
+    """OHLC candlestick bars: per (key, time bucket) the Open (first
+    value), High, Low, Close (last value) and count — the downsampling
+    every monitoring/market dashboard runs.
+
+    First/last are ``min_by``/``max_by`` on a composite (epoch-seconds,
+    tiebreak) BIGINT order key, so the bar is ONE map-side-combinable
+    aggregation — no window sort, no shuffle beyond the groupBy, and
+    ties are deterministic.  Returns (key, bucket, open, high, low,
+    close, n)."""
+    tsec = F.col(ts_col).cast("double")
+    ord_key = (tsec * 1_000_000
+               + F.col(tiebreak_col).cast("double") % 1_000_000)
+    v = F.col(value_col).cast("double")
+    return (df.select(F.col(key_col).alias("key"),
+                      F.floor(tsec / granule_s).cast("long")
+                      .alias("bucket"),
+                      v.alias("v"), ord_key.alias("ok"))
+            .groupBy("key", "bucket")
+            .agg(F.round(F.min_by("v", "ok"), round_dp).alias("open"),
+                 F.round(F.max("v"), round_dp).alias("high"),
+                 F.round(F.min("v"), round_dp).alias("low"),
+                 F.round(F.max_by("v", "ok"), round_dp).alias("close"),
+                 F.count(F.lit(1)).alias("n"))
+            .withColumnRenamed("key", key_col))
+
+
+@register("rolling_median", PluginType.TRANSFORMER)
+def rolling_median(df: DataFrame, key_col: str, order_col: str,
+                   value_col: str, tiebreak_col: str,
+                   window: int = 5) -> DataFrame:
+    """Exact sliding-window median (ROWS BETWEEN window−1 PRECEDING AND
+    CURRENT ROW): the robust smoother a spiky series needs where a
+    rolling mean chases outliers.
+
+    Spark has no median window function; the frame here is a small
+    CONSTANT k, so collect_list over the row frame + sort_array +
+    middle element is exact with a bounded k-element payload per row —
+    this stays cheap at any table size because the cost is O(k log k)
+    per row, never O(rows) per key.  Ramp-up rows use their shorter
+    prefix frame (DuckDB window-aggregate semantics).  Even-length
+    frames average the two middle values (median = interpolated
+    quantile 0.5).  Appends ``roll_median``."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
+         .rowsBetween(-(window - 1), 0))
+    arr = F.sort_array(F.collect_list(F.col(value_col).cast("double"))
+                       .over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return df.withColumn("roll_median", (lo + hi) / 2)
+
+
+@register("state_periods", PluginType.TRANSFORMER)
+def state_periods(df: DataFrame, key_col: str, order_col: str,
+                  state_col: str, tiebreak_col: str) -> DataFrame:
+    """Gaps-and-islands: collapse consecutive same-state rows (per key,
+    under a total order) into periods — the classic compression of an
+    event stream into an SCD-style state timeline (sensor states,
+    user status, machine phases).
+
+    The textbook two-window identity: a lag() change flag, then a
+    running sum of flags numbers the islands — both windows share ONE
+    partitioning/order, so Spark plans a single sort, no extra
+    shuffle.  Returns one row per period: (key, state, period_no,
+    start, end, run_length)."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
+    flagged = df.withColumn(
+        "__chg",
+        F.when(F.lag(state_col).over(wo).eqNullSafe(F.col(state_col)),
+               0).otherwise(1))
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy(key_col, state_col,
+                            F.col("__island").alias("period_no"))
+            .agg(F.min(order_col).alias("start"),
+                 F.max(order_col).alias("end"),
+                 F.count(F.lit(1)).alias("run_length")))
+
+
+@register("holt_linear", PluginType.TRANSFORMER)
+def holt_linear(df: DataFrame, key_col: str, order_col: str,
+                value_col: str, alpha: float = 0.5, beta: float = 0.3,
+                horizon: int = 3) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series, plus an
+    h-step-ahead forecast — trend-aware baseline forecasting, one
+    recurrence the closed-form prefix-sum tricks (ewma, cusum) cannot
+    express because level and trend update JOINTLY:
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},   l_0=y_0, b_0=y_1−y_0
+
+    Distribution: applyInPandas per key — each series' recurrence runs
+    sequentially IN one task (it must), but thousands of series run in
+    parallel across executors; the shuffle is one hash exchange on the
+    key.  Series need ≥ 2 points (others are dropped).  Returns
+    (key, n, level, trend, forecast) with forecast = level +
+    horizon·trend.  Values are raw float64 — callers round SQL-side
+    (F.round) so cross-engine comparisons never hit Python's
+    banker's-rounding on a .5 boundary (the boosted_stumps lesson)."""
+    import pandas as pd
+
+    a, b_, h = float(alpha), float(beta), int(horizon)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord", kind="mergesort")
+        y = pdf["__val"].astype("float64").to_numpy()
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["__key", "n", "level", "trend", "forecast"])
+        lvl, trd = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            prev = lvl
+            lvl = a * y[t] + (1 - a) * (lvl + trd)
+            trd = b_ * (lvl - prev) + (1 - b_) * trd
+        return pd.DataFrame({
+            "__key": [pdf["__key"].iloc[0]], "n": [len(y)],
+            "level": [float(lvl)], "trend": [float(trd)],
+            "forecast": [float(lvl + h * trd)]})
+
+    slim = df.select(F.col(key_col).alias("__key"),
+                     F.col(order_col).alias("__ord"),
+                     F.col(value_col).cast("double").alias("__val"))
+    out = slim.groupBy("__key").applyInPandas(
+        fit, schema=f"__key {dict(slim.dtypes)['__key']}, n long, "
+                    "level double, trend double, forecast double")
+    return out.withColumnRenamed("__key", key_col)

@@ -1,0 +1,91 @@
+"""Web-corpus URL handling: canonicalization and domain extraction.
+
+Training-data pipelines over web crawls (C4, RefinedWeb, CCNet shapes)
+dedup and mix BY URL: the same page is fetched under dozens of
+spellings (tracking params, fragments, default ports, www aliases),
+and corpus-mix decisions are made per registrable domain.  The
+reference engine has no web lane; this extends the engine's
+training-data surface (SURVEY §6) alongside text.py / curation.py.
+
+Everything here is pure Catalyst codegen (regexp + higher-order array
+functions) — no UDFs, so the normalization runs JVM-side at full scan
+speed and a DuckDB oracle can replay it expression-for-expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from niamoto_spark.registry import PluginType, register
+
+# Query parameters that identify a CLICK, not a page: stripping them is
+# what collapses campaign-tagged duplicates of the same document.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)="
+
+
+@register("url_normalize", PluginType.TRANSFORMER)
+def url_normalize(df: DataFrame, url_col: str,
+                  strip_www: bool = True) -> DataFrame:
+    """Canonicalize a URL column for dedup/mixing:
+
+    - scheme and host lowercased; default ports (:80, :443) dropped
+    - fragment dropped ('#...' never reaches the server)
+    - tracking query params removed (utm_*, gclid, fbclid, ...)
+    - surviving query params SORTED (param order is transport noise)
+    - trailing slash on a bare path dropped; 'www.' prefix optionally
+    - ``domain``: naive registrable domain = last two host labels
+      (a public-suffix list upgrade slots in here; two-label is the
+      standard first approximation and exact for .com/.org/.net)
+
+    Appends ``url_norm``, ``host``, ``domain``.  One projection, zero
+    shuffles — this is scan-speed work that belongs fused into the
+    ingest pass, not a separate job."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    hp_path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(rest.contains("?"),
+                   F.regexp_replace(rest, r"^[^?]*\?", "")).otherwise("")
+    host = F.lower(F.regexp_extract(hp_path, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(hp_path, r"^[^/]*", "")
+    path = F.regexp_replace(path, r"/$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qnorm = F.array_join(F.array_sort(params), "&")
+    url_norm = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(""))
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return (df.withColumn("url_norm", url_norm)
+            .withColumn("host", host)
+            .withColumn("domain", domain))
+
+
+@register("domain_mix", PluginType.TRANSFORMER)
+def domain_mix(df: DataFrame, url_col: str, weight_col: str | None = None,
+               round_dp: int = 4) -> DataFrame:
+    """Corpus composition by registrable domain: doc count, distinct
+    canonical URLs (exact URL-level dedup signal: docs − distinct =
+    campaign-duplicate mass), and share of corpus — the table a data
+    curator reads before setting per-domain sampling rates.
+
+    One normalize projection + one aggregate; ``weight_col`` (e.g.
+    token counts) switches shares from doc-mass to token-mass."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    normed = url_normalize(df, url_col).withColumn("__w", w)
+    per = (normed.groupBy("domain")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("url_norm").alias("n_urls"),
+                F.sum("__w").alias("__mass")))
+    total = per.agg(F.sum("__mass").alias("__tot"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("domain", "n_docs", "n_urls",
+                    F.round(F.col("__mass") / F.col("__tot"), round_dp)
+                    .alias("share")))

@@ -1807,6 +1807,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_trimmed_mean": q268_trimmed_mean,
         "q269_nullsafe_join": q269_nullsafe_join,
         "q270_posexplode": q270_posexplode,
+        "q271_time_weighted_avg": q271_time_weighted_avg,
+        "q272_ohlc_bars": q272_ohlc_bars,
+        "q273_rolling_median": q273_rolling_median,
+        "q274_adamic_adar": q274_adamic_adar,
+        "q275_state_periods": q275_state_periods,
+        "q276_url_normalize": q276_url_normalize,
+        "q277_mixture_rebalance": q277_mixture_rebalance,
+        "q278_holt_linear": q278_holt_linear,
+        "q279_confusion_stats": q279_confusion_stats,
+        "q280_bitmap_distinct": q280_bitmap_distinct,
     }
 
 
@@ -5592,6 +5602,16 @@ def build_oracles() -> dict[str, str]:
         "q268_trimmed_mean": O_Q268,
         "q269_nullsafe_join": O_Q269,
         "q270_posexplode": O_Q270,
+        "q271_time_weighted_avg": O_Q271,
+        "q272_ohlc_bars": O_Q272,
+        "q273_rolling_median": O_Q273,
+        "q274_adamic_adar": O_Q274,
+        "q275_state_periods": O_Q275,
+        "q276_url_normalize": O_Q276,
+        "q277_mixture_rebalance": O_Q277,
+        "q278_holt_linear": O_Q278,
+        "q279_confusion_stats": O_Q279,
+        "q280_bitmap_distinct": O_Q280,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -10697,4 +10717,431 @@ ex AS (
 SELECT position, count(*) AS n, round(sum(q), 2) AS qty_sum,
        round(sum(q * position), 2) AS weighted
 FROM ex GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-8 continuation: q271+ (time-series, graph, web-corpus lanes)
+# --------------------------------------------------------------------------
+
+def q271_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (operators/timeseries.py:time_weighted_avg,
+    the TimescaleDB time_weight('Linear') shape): per-user TWA of the
+    event value over irregular sample times — trapezoid integral over
+    the observed span, plain-average fallback for single samples.  The
+    oracle replays the lag-window trapezoid in SQL."""
+    from niamoto_spark.operators.timeseries import time_weighted_avg
+
+    ev = _events(spark, sf_dir)
+    return time_weighted_avg(ev, "user_id", "ts_sec", "value",
+                             "event_id")
+
+
+O_Q271 = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         value AS v, event_id
+  FROM events),
+s AS (
+  SELECT user_id, t, v,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS tp,
+         lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS vp
+  FROM e)
+SELECT user_id, count(*) AS n_samples,
+       round(CASE WHEN max(t) > min(t)
+                  THEN sum(CASE WHEN tp IS NOT NULL
+                                THEN (v + vp) / 2 * (t - tp) END)
+                       / (max(t) - min(t))
+                  ELSE avg(v) END, 4) AS twa
+FROM s GROUP BY 1
+"""
+
+
+def q272_ohlc_bars(spark, sf_dir):
+    """Daily OHLC candlesticks per event type (operators/timeseries.py:
+    ohlc_bars): open/close via min_by/max_by on a composite
+    (epoch, event_id) order key — ONE map-side-combinable aggregation,
+    no window sort.  The oracle replays with arg_min/arg_max on the
+    identical composite key."""
+    from niamoto_spark.operators.timeseries import ohlc_bars
+
+    ev = _events(spark, sf_dir)
+    return ohlc_bars(ev, "event_type", "ts_sec", "value", "event_id",
+                     granule_s=86_400)
+
+
+O_Q272 = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         value AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) * 1000000
+           + event_id % 1000000 AS ok
+  FROM events)
+SELECT event_type, CAST(floor(t / 86400.0) AS BIGINT) AS bucket,
+       round(arg_min(v, ok), 4) AS open,
+       round(max(v), 4) AS high, round(min(v), 4) AS low,
+       round(arg_max(v, ok), 4) AS close, count(*) AS n
+FROM e GROUP BY 1, 2
+"""
+
+
+def q273_rolling_median(spark, sf_dir):
+    """Exact 5-row sliding median per user (operators/timeseries.py:
+    rolling_median): constant-k collect_list frame + sort_array —
+    O(k log k) per row, bounded payload, the robust smoother Spark
+    lacks as a builtin.  Per-user mean of the rolling medians pins
+    every window's value; DuckDB replays with median() as a window
+    aggregate (interpolated on even frames, same as the op)."""
+    from niamoto_spark.operators.timeseries import rolling_median
+
+    ev = _events(spark, sf_dir)
+    rm = rolling_median(ev, "user_id", "ts_sec", "value", "event_id",
+                        window=5)
+    return (rm.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("roll_median"), 4)
+                 .alias("avg_roll_median")))
+
+
+O_Q273 = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         value AS v, event_id
+  FROM events),
+m AS (
+  SELECT user_id,
+         median(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS rmed
+  FROM e)
+SELECT user_id, count(*) AS n,
+       round(avg(rmed), 4) AS avg_roll_median
+FROM m GROUP BY 1
+"""
+
+
+def q274_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction (operators/graph.py:adamic_adar)
+    over the supplier co-occurrence graph: suppliers sharing orders,
+    scored Σ 1/ln(order size) — shared small orders are strong
+    evidence.  Top 50 by score; the oracle refits the whole
+    group-size/self-join/aggregate chain in SQL."""
+    from niamoto_spark.operators.graph import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.select(F.col("l_suppkey").alias("item"),
+                  F.col("l_orderkey").alias("grp"))
+    aa = adamic_adar(m, "item", "grp")
+    return (aa.orderBy(F.col("aa_score").desc(), "item_a", "item_b")
+            .limit(50))
+
+
+O_Q274 = """
+WITH m AS (SELECT DISTINCT l_suppkey AS item, l_orderkey AS grp
+           FROM lineitem),
+sz AS (SELECT grp, count(*) AS gsz FROM m GROUP BY 1),
+ok AS (SELECT grp, gsz FROM sz WHERE gsz BETWEEN 2 AND 1000),
+wm AS (SELECT m.grp, m.item, ok.gsz FROM m JOIN ok ON m.grp = ok.grp)
+SELECT a.item AS item_a, b.item AS item_b,
+       count(*) AS common_groups,
+       round(sum(1.0 / ln(a.gsz)), 4) AS aa_score
+FROM wm a JOIN wm b ON a.grp = b.grp AND a.item < b.item
+GROUP BY 1, 2
+ORDER BY aa_score DESC, item_a, item_b
+LIMIT 50
+"""
+
+
+def q275_state_periods(spark, sf_dir):
+    """Gaps-and-islands (operators/timeseries.py:state_periods): each
+    user's event stream collapsed into consecutive same-type runs —
+    the lag-flag + running-sum island id, one sort.  Per-type period
+    counts and run-length stats pin every island boundary; the oracle
+    replays the textbook two-window SQL."""
+    from niamoto_spark.operators.timeseries import state_periods
+
+    ev = _events(spark, sf_dir)
+    per = state_periods(ev, "user_id", "ts_sec", "event_type",
+                        "event_id")
+    return (per.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_periods"),
+                 F.sum("run_length").alias("n_rows"),
+                 F.max("run_length").alias("longest_run")))
+
+
+O_Q275 = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_type, event_id
+  FROM events),
+f AS (
+  SELECT user_id, t, event_type,
+         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+i AS (
+  SELECT user_id, t, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM f),
+p AS (
+  SELECT user_id, event_type, island, count(*) AS run_length
+  FROM i GROUP BY 1, 2, 3)
+SELECT event_type, count(*) AS n_periods,
+       CAST(sum(run_length) AS BIGINT) AS n_rows,
+       max(run_length) AS longest_run
+FROM p GROUP BY 1
+"""
+
+
+def _docs_with_urls(spark, sf_dir):
+    """documents + a deterministic messy URL per doc (mixed case, www,
+    default port, tracking params, unsorted params, fragment) — the
+    planted-fixture pattern q60_scrub uses, so the normalization chain
+    has real work to do on every row."""
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn(
+        "url",
+        F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                 F.lit("-Mirror.NET:443/"), F.col("lang"),
+                 F.lit("/doc/"), F.col("doc_id"), F.lit("/?utm_campaign=c"),
+                 F.col("doc_id") % 3, F.lit("&ref=tw&b="),
+                 F.col("doc_id") % 5, F.lit("&a=1#sec")))
+
+
+def q276_url_normalize(spark, sf_dir):
+    """URL canonicalization + domain mix (operators/web.py): lowercase
+    scheme/host, drop default port / fragment / tracking params
+    (utm_*, ref, ...), sort surviving params, trailing-slash and www
+    stripping, registrable-domain extraction — pure Catalyst codegen,
+    replayed expression-for-expression by the DuckDB oracle (regexp +
+    list_filter/list_sort).  Per-domain doc and distinct-URL counts
+    plus the lexicographically first canonical URL pin the whole
+    string chain."""
+    from niamoto_spark.operators.web import url_normalize
+
+    d = _docs_with_urls(spark, sf_dir)
+    n = url_normalize(d, "url")
+    return (n.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("url_norm").alias("n_urls"),
+                 F.min("url_norm").alias("first_url")))
+
+
+O_Q276 = """
+WITH d AS (
+  SELECT *, 'HTTPS://WWW.' || source || '-Mirror.NET:443/' || lang
+            || '/doc/' || doc_id || '/?utm_campaign=c' || (doc_id % 3)
+            || '&ref=tw&b=' || (doc_id % 5) || '&a=1#sec' AS url
+  FROM documents),
+s1 AS (
+  SELECT *, regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#.*$', '') AS rest,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+           AS scheme
+  FROM d),
+s2 AS (
+  SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS hp_path,
+         CASE WHEN contains(rest, '?')
+              THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END
+           AS query
+  FROM s1),
+s3 AS (
+  SELECT *, regexp_replace(regexp_replace(lower(
+              regexp_extract(hp_path, '^([^/]*)', 1)),
+              ':(80|443)$', ''), '^www\\.', '') AS host,
+         regexp_replace(regexp_replace(hp_path, '^[^/]*', ''),
+                        '/$', '') AS path
+  FROM s2),
+s4 AS (
+  SELECT *, array_to_string(list_sort(list_filter(
+              string_split(query, '&'),
+              x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)='))),
+              '&') AS qnorm
+  FROM s3),
+n AS (
+  SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+         scheme || '://' || host || path
+           || CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END
+           AS url_norm
+  FROM s4)
+SELECT domain, count(*) AS n_docs,
+       count(DISTINCT url_norm) AS n_urls,
+       min(url_norm) AS first_url
+FROM n GROUP BY 1
+"""
+
+
+def q277_mixture_rebalance(spark, sf_dir):
+    """Corpus mixture rebalancing (operators/curation.py:
+    mixture_rebalance): per-language quotas under a 400-row budget,
+    deterministic md5 selection — rates < 1 for over-supplied
+    languages, shortfall surfaced for under-supplied ones.  The
+    oracle replays the quota arithmetic AND the exact md5 coin, so
+    n_selected matches row-for-row."""
+    from niamoto_spark.operators.curation import mixture_rebalance
+
+    d = _t(spark, sf_dir, "documents")
+    targets = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15,
+               "fr": 0.1}
+    _sel, summary = mixture_rebalance(d, "doc_id", "lang", targets,
+                                      budget_rows=400)
+    return summary
+
+
+O_Q277 = """
+WITH t(lang, share) AS (VALUES
+  ('en', 0.4), ('zh', 0.2), ('es', 0.15), ('de', 0.15), ('fr', 0.1)),
+c AS (SELECT lang, count(*) AS n_avail FROM documents GROUP BY 1),
+plan AS (
+  SELECT t.lang, coalesce(c.n_avail, 0) AS n_avail,
+         CAST(floor(400 * t.share) AS BIGINT) AS quota
+  FROM t LEFT JOIN c ON t.lang = c.lang),
+rated AS (
+  SELECT lang, n_avail, quota,
+         CASE WHEN n_avail <= quota THEN 1.0
+              ELSE quota / CAST(n_avail AS DOUBLE) END AS rate,
+         GREATEST(0, quota - n_avail) AS shortfall
+  FROM plan),
+sel AS (
+  SELECT d.lang, count(*) AS n_selected
+  FROM documents d JOIN rated r ON d.lang = r.lang
+  WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                             1, 8)) AS UBIGINT)
+        < r.rate * 4294967296.0
+  GROUP BY 1)
+SELECT r.lang, r.n_avail, r.quota, round(r.rate, 6) AS rate,
+       coalesce(s.n_selected, 0) AS n_selected, r.shortfall
+FROM rated r LEFT JOIN sel s ON r.lang = s.lang
+"""
+
+
+def q278_holt_linear(spark, sf_dir):
+    """Holt's linear smoothing (operators/timeseries.py:holt_linear):
+    per-event-type daily mean series fitted with the joint
+    level/trend recurrence in applyInPandas (one task per series,
+    series parallel across executors), 3-step forecast.  The oracle
+    replays the ENTIRE recurrence with a recursive CTE — the same
+    α=0.5/β=0.3 arithmetic, step by step."""
+    from niamoto_spark.operators.timeseries import holt_linear
+
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.floor(F.col("ts_sec") / 86_400)
+                        .cast("long").alias("day"))
+             .agg(F.avg("value").alias("y")))
+    fit = holt_linear(daily, "event_type", "day", "y",
+                      alpha=0.5, beta=0.3, horizon=3)
+    return fit.select("event_type", "n",
+                      F.round("level", 4).alias("level"),
+                      F.round("trend", 4).alias("trend"),
+                      F.round("forecast", 4).alias("forecast"))
+
+
+O_Q278 = """
+WITH RECURSIVE d AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2),
+o AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d),
+nn AS (SELECT event_type, max(rn) AS n FROM o GROUP BY 1),
+h AS (
+  SELECT o1.event_type, 1 AS rn, o1.y AS lvl, o2.y - o1.y AS trd,
+         o1.y AS prev_lvl
+  FROM o o1 JOIN o o2 ON o1.event_type = o2.event_type
+   AND o1.rn = 1 AND o2.rn = 2
+  UNION ALL
+  SELECT h.event_type, h.rn + 1,
+         0.5 * o.y + 0.5 * (h.lvl + h.trd),
+         0.3 * ((0.5 * o.y + 0.5 * (h.lvl + h.trd)) - h.lvl)
+           + 0.7 * h.trd,
+         h.lvl
+  FROM h JOIN o ON o.event_type = h.event_type AND o.rn = h.rn + 1)
+SELECT h.event_type, nn.n, round(h.lvl, 4) AS level,
+       round(h.trd, 4) AS trend,
+       round(h.lvl + 3 * h.trd, 4) AS forecast
+FROM h JOIN nn ON h.event_type = nn.event_type AND h.rn = nn.n
+"""
+
+
+def q279_confusion_stats(spark, sf_dir):
+    """Multi-class confusion summary (operators/mleval.py:
+    confusion_stats): a deterministic totalprice-bucket rule
+    "predicts" order priority; per-class support / precision /
+    recall / F1 from three narrow aggregates over the confusion
+    matrix.  The oracle refits the matrix and the zero-division
+    conventions in SQL."""
+    from niamoto_spark.operators.mleval import confusion_stats
+
+    o = _t(spark, sf_dir, "orders")
+    pred = (F.when(F.col("o_totalprice") > 250_000, "1-URGENT")
+            .when(F.col("o_totalprice") > 180_000, "2-HIGH")
+            .when(F.col("o_totalprice") > 120_000, "3-MEDIUM")
+            .when(F.col("o_totalprice") > 60_000,
+                  "4-NOT SPECIFIED")
+            .otherwise("5-LOW"))
+    df = o.withColumn("pred", pred)
+    return confusion_stats(df, "o_orderpriority", "pred")
+
+
+O_Q279 = """
+WITH p AS (
+  SELECT o_orderpriority AS actual,
+         CASE WHEN o_totalprice > 250000 THEN '1-URGENT'
+              WHEN o_totalprice > 180000 THEN '2-HIGH'
+              WHEN o_totalprice > 120000 THEN '3-MEDIUM'
+              WHEN o_totalprice > 60000 THEN '4-NOT SPECIFIED'
+              ELSE '5-LOW' END AS pred
+  FROM orders),
+cm AS (SELECT actual, pred, count(*) AS n FROM p GROUP BY 1, 2),
+sup AS (SELECT actual AS cls, sum(n) AS support FROM cm GROUP BY 1),
+pn AS (SELECT pred AS cls, sum(n) AS pred_n FROM cm GROUP BY 1),
+tp AS (SELECT actual AS cls, n AS tp FROM cm WHERE actual = pred),
+base AS (
+  SELECT coalesce(sup.cls, pn.cls) AS cls,
+         coalesce(support, 0) AS support,
+         coalesce(pred_n, 0) AS pred_n, coalesce(tp.tp, 0) AS tp
+  FROM sup FULL OUTER JOIN pn ON sup.cls = pn.cls
+  LEFT JOIN tp ON coalesce(sup.cls, pn.cls) = tp.cls),
+m AS (
+  SELECT cls, support, pred_n, tp,
+         CASE WHEN pred_n > 0
+              THEN tp / CAST(pred_n AS DOUBLE) ELSE 0.0 END AS prec,
+         CASE WHEN support > 0
+              THEN tp / CAST(support AS DOUBLE) ELSE 0.0 END AS rec
+  FROM base)
+SELECT cls AS "class", CAST(support AS BIGINT) AS support,
+       CAST(pred_n AS BIGINT) AS pred_n, CAST(tp AS BIGINT) AS tp,
+       round(prec, 4) AS precision, round(rec, 4) AS recall,
+       round(CASE WHEN prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec)
+                  ELSE 0.0 END, 4) AS f1
+FROM m
+"""
+
+
+def q280_bitmap_distinct(spark, sf_dir):
+    """Exact mergeable distinct counts via bitmap aggregates
+    (operators/sketches.py:bitmap_distinct_rollup, the RoaringBitmap
+    idea): per-event-type distinct users AND the total, both answered
+    from the SAME per-(group, bucket) bitmaps — bitmap_or_agg merges
+    partials the way count(DISTINCT) never can.  Oracle:
+    count(DISTINCT) per group plus a NULL-group total row."""
+    from niamoto_spark.operators.sketches import bitmap_distinct_rollup
+
+    ev = _events(spark, sf_dir)
+    return bitmap_distinct_rollup(ev, "event_type", "user_id")
+
+
+O_Q280 = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+UNION ALL
+SELECT NULL AS event_type, count(DISTINCT user_id) AS n_distinct
+FROM events
 """

@@ -1,0 +1,254 @@
+"""Round-8 operators: time-series (TWA / OHLC / rolling median /
+islands / Holt), Adamic–Adar, URL canonicalization, mixture
+rebalancing, confusion stats, bitmap distinct."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- time_weighted_avg -----------------------------------------------------
+
+def test_twa_hand_computed_trapezoid(spark):
+    from niamoto_spark.operators.timeseries import time_weighted_avg
+
+    # k=a: samples (t, v) = (0,0), (10,10), (20,0)
+    # trapezoids: (0+10)/2*10 + (10+0)/2*10 = 100; span 20 -> twa 5.0
+    rows = [("a", 0, 0.0, 1), ("a", 10, 10.0, 2), ("a", 20, 0.0, 3),
+            ("b", 5, 7.0, 4)]                      # single sample
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    out = {r["k"]: r for r in
+           time_weighted_avg(df, "k", "t", "v", "i").collect()}
+    assert out["a"]["twa"] == pytest.approx(5.0)
+    assert out["a"]["n_samples"] == 3
+    assert out["b"]["twa"] == pytest.approx(7.0)   # plain-avg fallback
+
+
+def test_twa_burst_insensitive(spark):
+    """A burst of identical samples must not drag TWA (the failure mode
+    of a plain mean)."""
+    from niamoto_spark.operators.timeseries import time_weighted_avg
+
+    # v=100 for [0,10], then v=0 for (10,110]: TWA ~ 100*10/110
+    rows = ([("a", t, 100.0, t) for t in (0, 2, 4, 6, 8, 10)]
+            + [("a", 110, 0.0, 999)])
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    twa = time_weighted_avg(df, "k", "t", "v", "i").first()["twa"]
+    # trapezoid: 100*10 + (100+0)/2*100 = 6000; span 110
+    assert twa == pytest.approx(6000 / 110, abs=1e-3)
+    # plain mean would be 600/7 ~ 85.7 — wildly different
+    assert abs(twa - 600 / 7) > 30
+
+
+# --- ohlc_bars -------------------------------------------------------------
+
+def test_ohlc_open_close_by_composite_key(spark):
+    from niamoto_spark.operators.timeseries import ohlc_bars
+
+    rows = [("x", 3600, 5.0, 1), ("x", 3700, 9.0, 2),
+            ("x", 3650, 1.0, 3),                    # low, mid-bar
+            ("x", 7300, 4.0, 4)]                    # next bar
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    out = {r["bucket"]: r for r in
+           ohlc_bars(df, "k", "t", "v", "i", granule_s=3600).collect()}
+    b1 = out[1]
+    assert (b1["open"], b1["close"]) == (5.0, 9.0)  # by time, not value
+    assert (b1["high"], b1["low"], b1["n"]) == (9.0, 1.0, 3)
+    assert out[2]["open"] == out[2]["close"] == 4.0
+
+
+def test_ohlc_tie_on_ts_broken_by_tiebreak(spark):
+    from niamoto_spark.operators.timeseries import ohlc_bars
+
+    rows = [("x", 100, 8.0, 2), ("x", 100, 3.0, 1)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    r = ohlc_bars(df, "k", "t", "v", "i", granule_s=60).first()
+    assert (r["open"], r["close"]) == (3.0, 8.0)    # event_id order
+
+
+# --- rolling_median --------------------------------------------------------
+
+def test_rolling_median_ramp_and_even_frames(spark):
+    from niamoto_spark.operators.timeseries import rolling_median
+
+    vals = [5.0, 1.0, 4.0, 2.0, 3.0]
+    rows = [("a", i, v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    out = [r["roll_median"] for r in
+           rolling_median(df, "k", "t", "v", "i", window=3)
+           .orderBy("t").collect()]
+    # frames: [5], [5,1], [5,1,4], [1,4,2], [4,2,3]
+    assert out == [5.0, 3.0, 4.0, 2.0, 3.0]
+
+
+# --- state_periods ---------------------------------------------------------
+
+def test_state_periods_islands(spark):
+    from niamoto_spark.operators.timeseries import state_periods
+
+    rows = [("u", 1, "A", 1), ("u", 2, "A", 2), ("u", 3, "B", 3),
+            ("u", 4, "A", 4), ("v", 1, "A", 5)]
+    df = spark.createDataFrame(rows, "k string, t long, s string, i long")
+    out = sorted((r["k"], r["period_no"], r["s"], r["start"], r["end"],
+                  r["run_length"])
+                 for r in state_periods(df, "k", "t", "s", "i").collect())
+    assert out == [("u", 1, "A", 1, 2, 2), ("u", 2, "B", 3, 3, 1),
+                   ("u", 3, "A", 4, 4, 1), ("v", 1, "A", 1, 1, 1)]
+
+
+# --- holt_linear -----------------------------------------------------------
+
+def test_holt_linear_matches_reference_loop(spark):
+    from niamoto_spark.operators.timeseries import holt_linear
+
+    y = [10.0, 12.0, 13.0, 16.0, 19.0, 18.0]
+    a, b = 0.5, 0.3
+    lvl, trd = y[0], y[1] - y[0]
+    for t in range(1, len(y)):
+        prev = lvl
+        lvl = a * y[t] + (1 - a) * (lvl + trd)
+        trd = b * (lvl - prev) + (1 - b) * trd
+    rows = [("s", i, v) for i, v in enumerate(y)] + [("tiny", 0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["k"]: r for r in holt_linear(df, "k", "t", "v",
+                                          alpha=a, beta=b,
+                                          horizon=2).collect()}
+    assert out["s"]["level"] == pytest.approx(lvl, abs=1e-12)
+    assert out["s"]["trend"] == pytest.approx(trd, abs=1e-12)
+    assert out["s"]["forecast"] == pytest.approx(lvl + 2 * trd, abs=1e-12)
+    assert "tiny" not in out                        # < 2 points dropped
+
+
+# --- adamic_adar -----------------------------------------------------------
+
+def test_adamic_adar_hand_computed(spark):
+    from niamoto_spark.operators.graph import adamic_adar
+
+    # groups: g1={1,2,3}, g2={1,2}, g3={2,3,4}, singleton={9}
+    rows = [(1, "g1"), (2, "g1"), (3, "g1"), (1, "g2"), (2, "g2"),
+            (2, "g3"), (3, "g3"), (4, "g3"), (9, "solo")]
+    df = spark.createDataFrame(rows, "item long, grp string")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in adamic_adar(df, "item", "grp").collect()}
+    w3, w2 = 1 / math.log(3), 1 / math.log(2)
+    assert out[(1, 2)]["common_groups"] == 2
+    assert out[(1, 2)]["aa_score"] == pytest.approx(w3 + w2, abs=1e-4)
+    assert out[(2, 3)]["aa_score"] == pytest.approx(2 * w3, abs=1e-4)
+    assert (9, 9) not in out and not any(9 in k for k in out)
+
+
+def test_adamic_adar_viral_group_excluded(spark):
+    from niamoto_spark.operators.graph import adamic_adar
+
+    rows = ([(i, "huge") for i in range(10)]
+            + [(0, "small"), (1, "small")])
+    df = spark.createDataFrame(rows, "item long, grp string")
+    out = adamic_adar(df, "item", "grp", max_group_size=5).collect()
+    # only the small group survives: exactly the (0, 1) pair
+    assert [(r["item_a"], r["item_b"], r["common_groups"])
+            for r in out] == [(0, 1, 1)]
+
+
+# --- url_normalize ---------------------------------------------------------
+
+def test_url_normalize_cases(spark):
+    from niamoto_spark.operators.web import url_normalize
+
+    urls = [
+        ("HTTP://WWW.Example.COM:80/A/b/?utm_source=x&z=1&a=2#frag",
+         "http://example.com/A/b?a=2&z=1", "example.com"),
+        ("https://sub.Site.org/path", "https://sub.site.org/path",
+         "site.org"),
+        ("https://site.org/?utm_campaign=c&gclid=g",
+         "https://site.org", "site.org"),          # all params stripped
+        ("https://site.org", "https://site.org", "site.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in urls], "url string")
+    out = url_normalize(df, "url").select("url", "url_norm",
+                                          "domain").collect()
+    got = {r["url"]: (r["url_norm"], r["domain"]) for r in out}
+    for u, want_norm, want_dom in urls:
+        assert got[u] == (want_norm, want_dom), u
+
+
+def test_url_normalize_keeps_www_when_asked(spark):
+    from niamoto_spark.operators.web import url_normalize
+
+    df = spark.createDataFrame([("https://www.a.com/x",)], "url string")
+    r = url_normalize(df, "url", strip_www=False).first()
+    assert r["url_norm"] == "https://www.a.com/x"
+    assert r["host"] == "www.a.com"
+
+
+# --- mixture_rebalance -----------------------------------------------------
+
+def test_mixture_rebalance_quota_math_and_determinism(spark):
+    from niamoto_spark.operators.curation import mixture_rebalance
+
+    rows = ([(i, "big") for i in range(100)]
+            + [(1000 + i, "rare") for i in range(5)]
+            + [(2000 + i, "drop") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    sel, summ = mixture_rebalance(df, "doc_id", "g",
+                                  {"big": 0.5, "rare": 0.5}, 40)
+    s = {r["g"]: r for r in summ.collect()}
+    assert (s["big"]["quota"], s["rare"]["quota"]) == (20, 20)
+    assert s["big"]["rate"] == pytest.approx(0.2)
+    assert s["rare"]["rate"] == 1.0
+    assert s["rare"]["n_selected"] == 5             # keeps all it has
+    assert s["rare"]["shortfall"] == 15
+    assert "drop" not in s                           # untargeted gone
+    ids1 = sorted(r["doc_id"] for r in sel.collect())
+    sel2, _ = mixture_rebalance(df, "doc_id", "g",
+                                {"big": 0.5, "rare": 0.5}, 40)
+    assert ids1 == sorted(r["doc_id"] for r in sel2.collect())
+    assert all(i < 2000 for i in ids1)
+    # selection is consistent with the summary's own counts
+    assert len([i for i in ids1 if i < 1000]) == s["big"]["n_selected"]
+
+
+# --- confusion_stats -------------------------------------------------------
+
+def test_confusion_stats_hand_computed(spark):
+    from niamoto_spark.operators.mleval import confusion_stats
+
+    #            actual pred
+    rows = [("a", "a"), ("a", "a"), ("a", "b"),
+            ("b", "b"), ("b", "a"),
+            ("c", "d")]                  # d never actual: support 0
+    df = spark.createDataFrame(rows, "y string, p string")
+    out = {r["class"]: r for r in confusion_stats(df, "y", "p").collect()}
+    assert (out["a"]["support"], out["a"]["pred_n"], out["a"]["tp"]) \
+        == (3, 3, 2)
+    assert out["a"]["precision"] == pytest.approx(2 / 3, abs=1e-4)
+    assert out["a"]["recall"] == pytest.approx(2 / 3, abs=1e-4)
+    assert out["a"]["f1"] == pytest.approx(2 / 3, abs=1e-4)
+    assert (out["d"]["support"], out["d"]["pred_n"]) == (0, 1)
+    assert out["d"]["recall"] == 0.0                 # zero_division=0
+    assert (out["c"]["precision"], out["c"]["f1"]) == (0.0, 0.0)
+
+
+# --- bitmap_distinct -------------------------------------------------------
+
+def test_bitmap_distinct_exact_and_rollup(spark):
+    from niamoto_spark.operators.sketches import bitmap_distinct_rollup
+
+    rows = [("a", i % 7) for i in range(50)] + [("b", i) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = {r["g"]: r["n_distinct"] for r in
+           bitmap_distinct_rollup(df, "g", "id").collect()}
+    assert out["a"] == 7 and out["b"] == 9
+    assert out[None] == 9                            # ids overlap: 0..8
+
+
+def test_bitmap_distinct_crosses_bucket_boundary(spark):
+    """Spark bitmaps hold 32768 bits per bucket: ids spanning buckets
+    must still count exactly (the per-bucket construct + sum)."""
+    from niamoto_spark.operators.sketches import bitmap_distinct_rollup
+
+    ids = [1, 2, 40_000, 70_000, 1_000_000]
+    df = spark.createDataFrame([("g", i) for i in ids], "g string, id long")
+    out = bitmap_distinct_rollup(df, "g", "id",
+                                 rollup_to_total=False).collect()
+    assert out[0]["n_distinct"] == 5

@@ -168,3 +168,53 @@ def test_q96_profile_single_wide_aggregate(spark):
     plan = _plan(spark, "q96_profile_table")
     # one scan of customer, not one per column
     assert plan.count("customer.parquet") <= 2  # analyzed+physical mention
+
+
+def test_q272_ohlc_is_one_partial_aggregation(spark):
+    """OHLC must stay a map-side-combinable aggregate (min_by/max_by
+    partials), never a window sort over the events."""
+    plan = _plan(spark, "q272_ohlc_bars")
+    assert "windowspecdefinition" not in plan
+    assert "partial_min" in plan or "partial_minby" in plan.lower() \
+        or "partial" in plan  # partial agg before the exchange
+    assert plan.count("Exchange") <= 2  # groupBy shuffle (+AQE read)
+
+
+def test_q274_adamic_adar_no_cartesian(spark):
+    plan = _plan(spark, "q274_adamic_adar")
+    assert "CartesianProduct" not in plan
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in phys, \
+        "adamic_adar pair join must stay an equi-join on the group key"
+
+
+def test_q275_islands_single_sort_for_both_windows(spark):
+    """state_periods' lag + running-sum share one (key, order) spec —
+    the plan must contain exactly one Sort for the window stack."""
+    plan = _plan(spark, "q275_state_periods")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("Window") <= 2          # the two logical windows...
+    assert phys.count("Sort") <= 1, \
+        "island windows regressed to separate sorts"
+
+
+def test_q276_url_normalize_no_shuffle_before_aggregate(spark):
+    """URL canonicalization is scan-fused codegen: project + one
+    aggregate exchange, no Python UDFs anywhere."""
+    plan = _plan(spark, "q276_url_normalize")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    phys = plan.split("== Physical Plan ==")[-1]
+    # the whole normalization chain folds into the scan-side projection:
+    # the only exchange is the domain aggregate's
+    assert phys.count("Exchange") <= 1
+
+
+def test_q280_bitmap_rollup_reuses_bitmaps_not_rows(spark):
+    """The total row must roll up from the per-group bitmaps (bitmap_or),
+    not re-scan the events."""
+    plan = _plan(spark, "q280_bitmap_distinct")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "bitmap_or_agg" in phys or "bitmap_or" in phys
+    # one base scan feeding both branches would show as a reused exchange
+    # or a single FileScan of events per branch; never count(distinct)
+    assert "distinct" not in phys.lower() or "bitmap" in phys.lower()

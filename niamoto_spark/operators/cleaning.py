@@ -244,3 +244,38 @@ def trimmed_mean(df: DataFrame, group_cols: "list[str]",
                  F.sum(kept.cast("long")).alias("n_kept"),
                  F.round(F.avg(F.when(kept, v)), round_dp)
                  .alias("trimmed_mean")))
+
+
+@register("debounce_events", PluginType.TRANSFORMER)
+def debounce_events(df: DataFrame, key_cols: "list[str]", ts_col: str,
+                    tiebreak_col: str, gap_s: int) -> DataFrame:
+    """Debounce: collapse bursts of repeated events (same key tuple,
+    inter-arrival gap <= ``gap_s``) to their FIRST row, annotated with
+    the burst size — double-click suppression, retry-storm collapse,
+    sensor chatter removal.  A burst BREAKS when a gap exceeds
+    ``gap_s`` (sessionize-per-key semantics: the boundary test is
+    against the previous EVENT, so a long slow drizzle stays one
+    burst — the debounce contract, distinct from dedup windows keyed
+    on absolute time buckets).
+
+    Same single-sort two-window shape as state_periods: lag gap flag +
+    running burst id, then one aggregate keeping min-by-order rows.
+    Returns the kept rows with ``burst_n`` appended."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    t = F.col(ts_col).cast("double")
+    flagged = df.withColumn(
+        "__new",
+        F.when(t - F.lag(t).over(wo) <= float(gap_s), 0).otherwise(1))
+    bursts = flagged.withColumn(
+        "__burst",
+        F.sum("__new").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    wb = Window.partitionBy(*key_cols, "__burst")
+    ranked = (bursts
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy(*key_cols, "__burst")
+                  .orderBy(ts_col, tiebreak_col)))
+              .withColumn("burst_n", F.count(F.lit(1)).over(wb)))
+    return (ranked.where(F.col("__rn") == 1)
+            .drop("__new", "__burst", "__rn"))

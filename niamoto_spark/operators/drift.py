@@ -108,17 +108,62 @@ def chi_square_independence(df: DataFrame, col_a: str, col_b: str,
     """Pearson chi-square test of independence between two categorical
     columns: contingency counts, margin-product expectations, one
     summed statistic.  Returns (chi2, dof, n) — the caller compares
-    chi2 against the chi-square quantile for dof."""
+    chi2 against the chi-square quantile for dof.
+
+    Computed via the identity chi2 = n · (Σ_cells o²/(ra·rb) − 1),
+    which needs only the OBSERVED cells: an unobserved (a, b) cell
+    still contributes (0 − E)²/E to the textbook sum, but contributes
+    exactly 0 to Σ o²/(ra·rb) — the identity absorbs the zero cells a
+    naive observed-cell loop silently drops (that omission
+    under-reports chi2 on sparse tables, e.g. halving it on a
+    perfectly-associated 2×2)."""
     obs = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
            .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
            .agg(F.count(F.lit(1)).alias("o")))
     ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     rb = obs.groupBy("b").agg(F.sum("o").alias("rb"))
     n = obs.agg(F.sum("o")).first()[0]
-    e = F.col("ra") * F.col("rb") / F.lit(float(n))
     stat = (obs.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
-            .select(((F.col("o") - e) * (F.col("o") - e) / e).alias("t")))
+            .select((F.col("o") * F.col("o")
+                     / (F.col("ra") * F.col("rb"))).alias("t")))
     dof = (ra.count() - 1) * (rb.count() - 1)
-    return (stat.agg(F.round(F.sum("t"), round_dp).alias("chi2"))
+    return (stat.agg(F.round(F.lit(float(n)) * (F.sum("t") - 1),
+                             round_dp).alias("chi2"))
             .withColumn("dof", F.lit(int(dof)))
             .withColumn("n", F.lit(int(n))))
+
+
+@register("cramers_v", PluginType.TRANSFORMER)
+def cramers_v(df: DataFrame, col_a: str, col_b: str,
+              round_dp: int = 4) -> DataFrame:
+    """Cramér's V association strength between two categoricals:
+    sqrt(chi2 / (n · (min(r, c) − 1))) in [0, 1] — the effect size
+    chi_square_independence's raw statistic can't give you (chi2 grows
+    with n; V does not), the number a feature-redundancy screen
+    actually thresholds.
+
+    Same single contingency aggregate as the chi-square test, same
+    zero-cell-exact identity chi2 = n · (Σ o²/(ra·rb) − 1); the
+    normalization is arithmetic on the already-tiny margins.  Returns
+    (chi2, dof, n, r, c, v)."""
+    obs = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+           .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    rb = obs.groupBy("b").agg(F.sum("o").alias("rb"))
+    n = obs.agg(F.sum("o")).first()[0]
+    r, c = ra.count(), rb.count()
+    stat = (obs.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
+            .select((F.col("o") * F.col("o")
+                     / (F.col("ra") * F.col("rb"))).alias("t")))
+    k = min(r, c) - 1
+    return (stat.agg((F.lit(float(n)) * (F.sum("t") - 1))
+                     .alias("__chi2"))
+            .select(F.round("__chi2", round_dp).alias("chi2"),
+                    F.lit(int((r - 1) * (c - 1))).alias("dof"),
+                    F.lit(int(n)).alias("n"),
+                    F.lit(int(r)).alias("r"), F.lit(int(c)).alias("c"),
+                    F.round(F.when(F.lit(k) > 0,
+                                   F.sqrt(F.col("__chi2")
+                                          / F.lit(float(n * k))))
+                            .otherwise(0.0), round_dp).alias("v")))

@@ -175,3 +175,63 @@ def sequence_pairs(events: DataFrame, user_col: str, ts_col: str,
                         F.round(F.col("n_users")
                                 / F.lit(float(max(n_users_total, 1))),
                                 6)))
+
+
+@register("frequent_triples", PluginType.TRANSFORMER)
+def frequent_triples(df: DataFrame, basket_col: str, item_col: str,
+                     min_support: float = 0.01,
+                     round_dp: int = 4) -> DataFrame:
+    """Frequent 3-itemsets, Apriori-pruned (the level-3 extension of
+    association_rules' pairs): a triple can only be frequent if ALL
+    THREE of its pairs are, so candidate generation joins the
+    frequent-PAIR table against a third basket item and semi-joins the
+    two new pairs against the frequent-pair set BEFORE counting —
+    the pruning that keeps level-3 from going cubic on dense baskets.
+
+    Shape: item prune → pair count (a<b self-join on the basket) →
+    triple extension (equi-join on basket, c>b) → two broadcast semi
+    joins on the (small) frequent-pair set → final count.  Support is
+    distinct-basket count, consistent with association_rules.
+    Returns (item_a, item_b, item_c, triple_count, support)."""
+    baskets = (df.select(F.col(basket_col).alias("bk"),
+                         F.col(item_col).alias("it"))
+               .where(F.col(item_col).isNotNull()).distinct())
+    n_baskets = baskets.select("bk").distinct().count()
+    if n_baskets == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "item_a string, item_b string, item_c string, "
+                "triple_count long, support double")
+    minc = max(1, int(min_support * n_baskets))
+    freq_items = (baskets.groupBy("it")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .where(F.col("n") >= minc).select("it"))
+    pruned = baskets.join(F.broadcast(freq_items), "it").select("bk", "it")
+    a = pruned.select("bk", F.col("it").alias("ia"))
+    b = pruned.select("bk", F.col("it").alias("ib"))
+    pair_ev = a.join(b, "bk").where(F.col("ia") < F.col("ib"))
+    fpairs = (pair_ev.groupBy("ia", "ib")
+              .agg(F.count(F.lit(1)).alias("pn"))
+              .where(F.col("pn") >= minc)
+              .select("ia", "ib").localCheckpoint(eager=True))
+    c = pruned.select("bk", F.col("it").alias("ic"))
+    cand = (pair_ev.join(F.broadcast(fpairs), ["ia", "ib"])
+            .join(c, "bk").where(F.col("ic") > F.col("ib")))
+    cand = cand.join(
+        F.broadcast(fpairs.select(F.col("ia").alias("ia2"),
+                                  F.col("ib").alias("ic2"))),
+        (F.col("ia") == F.col("ia2")) & (F.col("ic") == F.col("ic2")),
+        "left_semi")
+    cand = cand.join(
+        F.broadcast(fpairs.select(F.col("ia").alias("ib3"),
+                                  F.col("ib").alias("ic3"))),
+        (F.col("ib") == F.col("ib3")) & (F.col("ic") == F.col("ic3")),
+        "left_semi")
+    return (cand.groupBy(F.col("ia").alias("item_a"),
+                         F.col("ib").alias("item_b"),
+                         F.col("ic").alias("item_c"))
+            .agg(F.count(F.lit(1)).alias("triple_count"))
+            .where(F.col("triple_count") >= minc)
+            .withColumn("support",
+                        F.round(F.col("triple_count")
+                                / F.lit(float(n_baskets)), round_dp)))

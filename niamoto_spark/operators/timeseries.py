@@ -855,3 +855,43 @@ def holt_linear(df: DataFrame, key_col: str, order_col: str,
         fit, schema=f"__key {dict(slim.dtypes)['__key']}, n long, "
                     "level double, trend double, forecast double")
     return out.withColumnRenamed("__key", key_col)
+
+
+@register("counter_rate", PluginType.TRANSFORMER)
+def counter_rate(df: DataFrame, key_col: str, ts_col: str,
+                 value_col: str, tiebreak_col: str,
+                 round_dp: int = 4) -> DataFrame:
+    """Monotonic-counter increase with reset handling (the
+    Prometheus/TimescaleDB ``counter_agg``/``increase()`` semantics):
+    per key, total increase = Σ max(delta, 0) over consecutive
+    samples, where a NEGATIVE delta means the counter reset and the
+    new sample counts in full — bytes-sent, request-count, any
+    restart-prone cumulative gauge.
+
+    One lag window (total order via the tiebreak) + one aggregate.
+    Returns (key, n_samples, n_resets, increase, rate_per_s) with
+    rate over the observed span (0 span -> rate 0)."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("key").orderBy("t", "tb")
+    t = F.col(ts_col).cast("double")
+    s = (df.select(F.col(key_col).alias("key"), t.alias("t"),
+                   F.col(value_col).cast("double").alias("v"),
+                   F.col(tiebreak_col).alias("tb"))
+         .withColumn("v_prev", F.lag("v").over(wo)))
+    delta = F.col("v") - F.col("v_prev")
+    inc = (F.when(F.col("v_prev").isNull(), 0.0)
+           .when(delta >= 0, delta)
+           .otherwise(F.col("v")))       # reset: new epoch counts whole
+    agg = (s.groupBy("key")
+           .agg(F.count(F.lit(1)).alias("n_samples"),
+                F.sum((delta < 0).cast("long")).alias("n_resets"),
+                F.sum(inc).alias("increase"),
+                (F.max("t") - F.min("t")).alias("span")))
+    return agg.select(
+        F.col("key").alias(key_col), "n_samples",
+        F.coalesce("n_resets", F.lit(0)).alias("n_resets"),
+        F.round("increase", round_dp).alias("increase"),
+        F.round(F.when(F.col("span") > 0,
+                       F.col("increase") / F.col("span"))
+                 .otherwise(0.0), round_dp + 2).alias("rate_per_s"))

@@ -89,3 +89,42 @@ def domain_mix(df: DataFrame, url_col: str, weight_col: str | None = None,
             .select("domain", "n_docs", "n_urls",
                     F.round(F.col("__mass") / F.col("__tot"), round_dp)
                     .alias("share")))
+
+
+def ipv4_to_long(col) -> "F.Column":
+    """Dotted-quad IPv4 -> uint32-as-long, pure codegen (split +
+    shifts); malformed addresses (wrong shape or octet > 255) yield
+    NULL, never a runtime cast error on a dirty log line."""
+    valid = col.rlike(
+        r"^(25[0-5]|2[0-4]\d|1?\d?\d)(\.(25[0-5]|2[0-4]\d|1?\d?\d)){3}$")
+    p = F.split(col, r"\.")
+    num = (F.element_at(p, 1).cast("long") * 16_777_216
+           + F.element_at(p, 2).cast("long") * 65_536
+           + F.element_at(p, 3).cast("long") * 256
+           + F.element_at(p, 4).cast("long"))
+    return F.when(valid, num)
+
+
+@register("ip_range_join", PluginType.TRANSFORMER)
+def ip_range_join(df: DataFrame, ip_col: str, ranges: DataFrame,
+                  start_col: str = "ip_start", end_col: str = "ip_end",
+                  how: str = "left") -> DataFrame:
+    """Geo-IP-style enrichment: map each row's IPv4 address into a
+    [start, end] range table (country/ASN/datacenter blocks) — the
+    classic range-join that a naive theta-join turns into
+    rows × ranges.
+
+    Here the ranges table is the SMALL side by construction (even a
+    full GeoIP DB is ~3M rows), so the plan is a broadcast
+    nested-loop on (ip >= start AND ip <= end) — each executor scans
+    its fact partition once against the in-memory range list; no
+    shuffle of the fact table at all.  At larger range tables the
+    interval_join bucketing lane applies; this operator is the
+    broadcast fast path.  Appends ``ip_num`` and the range table's
+    label columns."""
+    ipn = ipv4_to_long(F.col(ip_col))
+    fact = df.withColumn("ip_num", ipn)
+    cond = ((F.col("ip_num") >= F.col(start_col))
+            & (F.col("ip_num") <= F.col(end_col)))
+    return (fact.join(F.broadcast(ranges), cond, how)
+            .drop(start_col, end_col))

@@ -1817,6 +1817,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_holt_linear": q278_holt_linear,
         "q279_confusion_stats": q279_confusion_stats,
         "q280_bitmap_distinct": q280_bitmap_distinct,
+        "q281_debounce": q281_debounce,
+        "q282_sliding_windows": q282_sliding_windows,
+        "q283_cube": q283_cube,
+        "q284_cramers_v": q284_cramers_v,
+        "q285_counter_rate": q285_counter_rate,
+        "q286_ip_enrich": q286_ip_enrich,
+        "q287_frequent_triples": q287_frequent_triples,
+        "q288_string_surface": q288_string_surface,
     }
 
 
@@ -5612,6 +5620,14 @@ def build_oracles() -> dict[str, str]:
         "q278_holt_linear": O_Q278,
         "q279_confusion_stats": O_Q279,
         "q280_bitmap_distinct": O_Q280,
+        "q281_debounce": O_Q281,
+        "q282_sliding_windows": O_Q282,
+        "q283_cube": O_Q283,
+        "q284_cramers_v": O_Q284,
+        "q285_counter_rate": O_Q285,
+        "q286_ip_enrich": O_Q286,
+        "q287_frequent_triples": O_Q287,
+        "q288_string_surface": O_Q288,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -6247,9 +6263,8 @@ rb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY 1),
 nt AS (SELECT sum(o) AS n FROM obs),
 dof AS (SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS d
         FROM obs)
-SELECT round(sum((obs.o - ra.ra * rb.rb / nt.n)
-                 * (obs.o - ra.ra * rb.rb / nt.n)
-                 / (ra.ra * rb.rb / nt.n)), 4) AS chi2,
+SELECT round(nt.n * (sum(obs.o * obs.o / (ra.ra * rb.rb)) - 1), 4)
+         AS chi2,
        CAST(dof.d AS INTEGER) AS dof, CAST(nt.n AS INTEGER) AS n
 FROM obs JOIN ra USING (a) JOIN rb USING (b)
 CROSS JOIN nt CROSS JOIN dof
@@ -11144,4 +11159,302 @@ FROM events GROUP BY 1
 UNION ALL
 SELECT NULL AS event_type, count(DISTINCT user_id) AS n_distinct
 FROM events
+"""
+
+
+def q281_debounce(spark, sf_dir):
+    """Debounce (operators/cleaning.py:debounce_events): bursts of
+    same-(user, type) events within 2 days collapse to their first
+    row with the burst size — retry-storm/chatter suppression.  The
+    per-type burst census pins every boundary; the oracle replays the
+    lag-gap island SQL."""
+    from niamoto_spark.operators.cleaning import debounce_events
+
+    ev = _events(spark, sf_dir)
+    kept = debounce_events(ev, ["user_id", "event_type"], "ts_sec",
+                           "event_id", gap_s=172_800)
+    return (kept.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("burst_n").alias("n_raw"),
+                 F.max("burst_n").alias("max_burst")))
+
+
+O_Q281 = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w <= 172800 THEN 0 ELSE 1 END
+              AS new_burst
+  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                      ORDER BY t, event_id)),
+i AS (
+  SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS burst
+  FROM f),
+b AS (
+  SELECT user_id, event_type, burst, count(*) AS burst_n
+  FROM i GROUP BY 1, 2, 3)
+SELECT event_type, count(*) AS n_kept,
+       CAST(sum(burst_n) AS BIGINT) AS n_raw, max(burst_n) AS max_burst
+FROM b GROUP BY 1
+"""
+
+
+def q282_sliding_windows(spark, sf_dir):
+    """Overlapping (sliding) window aggregation — Spark's native
+    F.window(width=4h, slide=2h), the hop the tumbling q30 can't
+    express: each event lands in exactly TWO windows.  The oracle
+    replays via the union of the two slide-aligned bucketings."""
+    ev = _events(spark, sf_dir)
+    ts = F.timestamp_seconds(F.col("ts_sec"))
+    return (ev.groupBy(F.window(ts, "4 hours", "2 hours").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("w_start"),
+                    "event_type", "n", "value_sum"))
+
+
+O_Q282 = """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+hits AS (
+  SELECT (t // 7200) * 7200 AS w_start, event_type, value FROM e
+  UNION ALL
+  SELECT (t // 7200) * 7200 - 7200 AS w_start, event_type, value FROM e)
+SELECT w_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS value_sum
+FROM hits GROUP BY 1, 2
+"""
+
+
+def q283_cube(spark, sf_dir):
+    """CUBE grouping sets with grouping_id (the full-margin complement
+    of q50's ROLLUP): revenue over (priority, order year) with all
+    four margin combinations, the grouping bit-vector disambiguating
+    real NULLs from subtotal rows.  DuckDB replays with GROUP BY CUBE
+    + GROUPING()."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.withColumn("yr", F.year("o_orderdate"))
+            .cube("o_orderpriority", "yr")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.grouping_id().alias("gid")))
+
+
+O_Q283 = """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+       CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT)
+         AS gid
+FROM orders
+GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+"""
+
+
+def q284_cramers_v(spark, sf_dir):
+    """Cramér's V association strength (operators/drift.py:cramers_v):
+    order priority vs a deterministic customer bucket — chi2
+    normalized into the [0,1] effect size a redundancy screen
+    thresholds.  One contingency aggregate; the oracle refits chi2
+    and the normalization."""
+    from niamoto_spark.operators.drift import cramers_v
+
+    o = _t(spark, sf_dir, "orders")
+    return cramers_v(o.withColumn("bkt", F.col("o_custkey") % 3),
+                     "o_orderpriority", "bkt")
+
+
+O_Q284 = """
+WITH p AS (
+  SELECT o_orderpriority AS a, o_custkey % 3 AS b FROM orders),
+obs AS (SELECT a, b, count(*) AS o FROM p GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+rb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY 1),
+nn AS (SELECT sum(o) AS n FROM obs),
+dims AS (SELECT (SELECT count(*) FROM ra) AS r,
+                (SELECT count(*) FROM rb) AS c),
+chi AS (
+  SELECT nn.n * (sum(obs.o * obs.o / (ra.ra * rb.rb)) - 1) AS chi2
+  FROM obs JOIN ra ON obs.a = ra.a JOIN rb ON obs.b = rb.b
+  CROSS JOIN nn GROUP BY nn.n)
+SELECT round(chi.chi2, 4) AS chi2,
+       CAST((dims.r - 1) * (dims.c - 1) AS INT) AS dof,
+       CAST(nn.n AS INT) AS n, CAST(dims.r AS INT) AS r,
+       CAST(dims.c AS INT) AS c,
+       round(CASE WHEN LEAST(dims.r, dims.c) > 1
+                  THEN sqrt(chi.chi2
+                            / (nn.n * (LEAST(dims.r, dims.c) - 1)))
+                  ELSE 0.0 END, 4) AS v
+FROM chi CROSS JOIN nn CROSS JOIN dims
+"""
+
+
+def q285_counter_rate(spark, sf_dir):
+    """Monotonic-counter increase with reset handling
+    (operators/timeseries.py:counter_rate, the Prometheus increase()
+    semantics): per-user positive-delta sum where a negative delta
+    marks a reset and the new sample counts whole.  The oracle
+    replays the lag-delta arithmetic."""
+    from niamoto_spark.operators.timeseries import counter_rate
+
+    ev = _events(spark, sf_dir)
+    return counter_rate(ev, "user_id", "ts_sec", "value", "event_id")
+
+
+O_Q285 = """
+WITH e AS (
+  SELECT user_id, value AS v, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+s AS (
+  SELECT user_id, t, v,
+         lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS vp
+  FROM e)
+SELECT user_id, count(*) AS n_samples,
+       coalesce(sum(CASE WHEN v - vp < 0 THEN 1 END), 0) AS n_resets,
+       round(sum(CASE WHEN vp IS NULL THEN 0.0
+                      WHEN v - vp >= 0 THEN v - vp
+                      ELSE v END), 4) AS increase,
+       round(CASE WHEN max(t) > min(t)
+                  THEN sum(CASE WHEN vp IS NULL THEN 0.0
+                                WHEN v - vp >= 0 THEN v - vp
+                                ELSE v END) / (max(t) - min(t))
+                  ELSE 0.0 END, 6) AS rate_per_s
+FROM s GROUP BY 1
+"""
+
+
+def q286_ip_enrich(spark, sf_dir):
+    """Geo-IP-style range enrichment (operators/web.py:ip_range_join):
+    deterministic per-event IPv4 addresses mapped into broadcast
+    [start, end] blocks — the fact table never shuffles.  Per-zone
+    event and distinct-user counts; the oracle replays the
+    dotted-quad arithmetic and the range join."""
+    from niamoto_spark.operators.web import ip_range_join
+
+    ev = _events(spark, sf_dir)
+    f = ev.withColumn(
+        "ip", F.concat(F.lit("10."),
+                       (F.col("user_id") % 200).cast("string"),
+                       F.lit("."),
+                       (F.col("event_id") % 250).cast("string"),
+                       F.lit(".7")))
+    base = 10 * 16_777_216
+    ranges = spark.createDataFrame(
+        [(base, base + 50 * 65_536 - 1, "dc-a"),
+         (base + 50 * 65_536, base + 120 * 65_536 - 1, "dc-b"),
+         (base + 120 * 65_536, base + 200 * 65_536 - 1, "dc-c")],
+        "ip_start long, ip_end long, zone string")
+    j = ip_range_join(f, "ip", ranges)
+    return (j.groupBy("zone")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+O_Q286 = """
+WITH f AS (
+  SELECT user_id,
+         10 * 16777216 + (user_id % 200) * 65536
+           + (event_id % 250) * 256 + 7 AS ip_num
+  FROM events),
+r(ip_start, ip_end, zone) AS (VALUES
+  (10 * 16777216, 10 * 16777216 + 50 * 65536 - 1, 'dc-a'),
+  (10 * 16777216 + 50 * 65536, 10 * 16777216 + 120 * 65536 - 1, 'dc-b'),
+  (10 * 16777216 + 120 * 65536, 10 * 16777216 + 200 * 65536 - 1, 'dc-c'))
+SELECT r.zone, count(*) AS n_events,
+       count(DISTINCT f.user_id) AS n_users
+FROM f LEFT JOIN r ON f.ip_num BETWEEN r.ip_start AND r.ip_end
+WHERE r.zone IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q287_frequent_triples(spark, sf_dir):
+    """Apriori level-3 (operators/itemsets.py:frequent_triples): brand
+    triples co-bought across orders, candidate-pruned through the
+    frequent-pair lattice before counting.  The oracle refits the
+    whole prune/extend/verify chain in SQL."""
+    from niamoto_spark.operators.itemsets import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (li.join(F.broadcast(p),
+                       F.col("l_partkey") == F.col("p_partkey"))
+               .select("l_orderkey", "p_brand"))
+    tri = frequent_triples(baskets, "l_orderkey", "p_brand",
+                           min_support=0.005)
+    return (tri.orderBy(F.col("triple_count").desc(), "item_a",
+                        "item_b", "item_c").limit(50))
+
+
+O_Q287 = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+mc AS (SELECT GREATEST(1, CAST(floor(0.005 * n_baskets) AS BIGINT)) AS c,
+              n_baskets FROM n),
+fi AS (SELECT it FROM b, mc GROUP BY it, mc.c HAVING count(*) >= mc.c),
+pb AS (SELECT b.bk, b.it FROM b JOIN fi ON b.it = fi.it),
+pe AS (SELECT a.bk, a.it AS ia, b2.it AS ib
+       FROM pb a JOIN pb b2 ON a.bk = b2.bk AND a.it < b2.it),
+fp AS (SELECT ia, ib FROM pe, mc GROUP BY ia, ib, mc.c
+       HAVING count(*) >= mc.c),
+cand AS (
+  SELECT pe.bk, pe.ia, pe.ib, c3.it AS ic
+  FROM pe JOIN fp ON pe.ia = fp.ia AND pe.ib = fp.ib
+  JOIN pb c3 ON c3.bk = pe.bk AND c3.it > pe.ib
+  WHERE EXISTS (SELECT 1 FROM fp f2
+                WHERE f2.ia = pe.ia AND f2.ib = c3.it)
+    AND EXISTS (SELECT 1 FROM fp f3
+                WHERE f3.ia = pe.ib AND f3.ib = c3.it))
+SELECT ia AS item_a, ib AS item_b, ic AS item_c,
+       count(*) AS triple_count,
+       round(count(*) / CAST(mc.n_baskets AS DOUBLE), 4) AS support
+FROM cand, mc
+GROUP BY 1, 2, 3, mc.c, mc.n_baskets
+HAVING count(*) >= mc.c
+ORDER BY triple_count DESC, item_a, item_b, item_c
+LIMIT 50
+"""
+
+
+def q288_string_surface(spark, sf_dir):
+    """String-function surface parity: lpad/rpad, translate, repeat,
+    reverse, substring, instr, concat_ws, upper/lower — the scalar
+    toolkit fused into one deterministic fingerprint per nation, so
+    one hash match pins every function's cross-engine semantics
+    (complement of q57 numeric and q261 regex surfaces)."""
+    n = _t(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return (n.select(
+        "n_nationkey",
+        F.lpad(name, 20, ".").alias("padded"),
+        F.translate(name, "AEIOU", "aeiou").alias("xlated"),
+        F.reverse(F.lower(name)).alias("rev"),
+        F.repeat(F.substring(name, 1, 2), 3).alias("rep"),
+        F.instr(name, "A").alias("first_a"),
+        F.concat_ws("-", F.upper(F.substring(name, 1, 3)),
+                    F.col("n_nationkey").cast("string")).alias("code"),
+        F.length(F.trim(name)).alias("len"))
+        .orderBy("n_nationkey"))
+
+
+O_Q288 = """
+SELECT n_nationkey,
+       lpad(n_name, 20, '.') AS padded,
+       translate(n_name, 'AEIOU', 'aeiou') AS xlated,
+       reverse(lower(n_name)) AS rev,
+       repeat(substr(n_name, 1, 2), 3) AS rep,
+       CAST(instr(n_name, 'A') AS INT) AS first_a,
+       concat_ws('-', upper(substr(n_name, 1, 3)),
+                 CAST(n_nationkey AS VARCHAR)) AS code,
+       CAST(length(trim(n_name)) AS INT) AS len
+FROM nation ORDER BY n_nationkey
 """

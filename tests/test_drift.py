@@ -91,9 +91,13 @@ def _chi2_naive(pairs):
     rb = Counter(b for _, b in pairs)
     n = len(pairs)
     stat = 0.0
-    for (a, b), o in obs.items():
-        e = ra[a] * rb[b] / n
-        stat += (o - e) ** 2 / e
+    # iterate the FULL cross product: unobserved cells contribute
+    # (0 - E)^2 / E, which an observed-cells-only loop drops
+    for a in ra:
+        for b in rb:
+            o = obs.get((a, b), 0)
+            e = ra[a] * rb[b] / n
+            stat += (o - e) ** 2 / e
     return stat, (len(ra) - 1) * (len(rb) - 1)
 
 
@@ -119,3 +123,18 @@ def test_chi2_perfect_independence_zero(spark):
     pairs = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
     df = spark.createDataFrame(pairs, "a string, b string")
     assert chi_square_independence(df, "a", "b").first().chi2 == 0.0
+
+
+def test_chi2_sparse_table_counts_zero_cells(spark):
+    """Perfectly-associated 2x2 with two unobserved cells: chi2 = n,
+    not n/2 — the zero cells contribute (0-E)^2/E and the identity
+    chi2 = n(sum o^2/(ra rb) - 1) accounts for them exactly."""
+    from niamoto_spark.operators.drift import chi_square_independence
+
+    df = spark.createDataFrame([("a", "x")] * 8 + [("b", "y")] * 8,
+                               "a string, b string")
+    row = chi_square_independence(df, "a", "b").first()
+    assert row.chi2 == pytest.approx(16.0)
+    ref_stat, ref_dof = _chi2_naive([("a", "x")] * 8 + [("b", "y")] * 8)
+    assert row.chi2 == pytest.approx(round(ref_stat, 4))
+    assert row.dof == ref_dof == 1

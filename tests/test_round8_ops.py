@@ -252,3 +252,118 @@ def test_bitmap_distinct_crosses_bucket_boundary(spark):
     out = bitmap_distinct_rollup(df, "g", "id",
                                  rollup_to_total=False).collect()
     assert out[0]["n_distinct"] == 5
+
+
+# --- debounce_events -------------------------------------------------------
+
+def test_debounce_keeps_first_of_burst(spark):
+    from niamoto_spark.operators.cleaning import debounce_events
+
+    rows = [("u", "c", 0, 1), ("u", "c", 5, 2), ("u", "c", 8, 3),
+            ("u", "c", 100, 4),              # new burst (gap > 10)
+            ("u", "d", 1, 5),                # different key tuple
+            ("v", "c", 2, 6)]
+    df = spark.createDataFrame(rows, "u string, e string, t long, i long")
+    out = sorted((r["u"], r["e"], r["t"], r["burst_n"]) for r in
+                 debounce_events(df, ["u", "e"], "t", "i", 10).collect())
+    assert out == [("u", "c", 0, 3), ("u", "c", 100, 1),
+                   ("u", "d", 1, 1), ("v", "c", 2, 1)]
+
+
+def test_debounce_slow_drizzle_is_one_burst(spark):
+    """Chained gaps each <= tol must stay ONE burst even when the total
+    span exceeds tol (the debounce-vs-time-bucket distinction)."""
+    from niamoto_spark.operators.cleaning import debounce_events
+
+    rows = [("u", "c", t, t) for t in (0, 9, 18, 27, 36)]
+    df = spark.createDataFrame(rows, "u string, e string, t long, i long")
+    out = debounce_events(df, ["u", "e"], "t", "i", 10).collect()
+    assert len(out) == 1 and out[0]["burst_n"] == 5
+
+
+# --- counter_rate ----------------------------------------------------------
+
+def test_counter_rate_reset_semantics(spark):
+    from niamoto_spark.operators.timeseries import counter_rate
+
+    # 10 -> 25 (+15) -> 5 (reset: +5) -> 30 (+25); span 30s
+    rows = [("k", 0, 10.0, 1), ("k", 10, 25.0, 2), ("k", 20, 5.0, 3),
+            ("k", 30, 30.0, 4)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    r = counter_rate(df, "k", "t", "v", "i").first()
+    assert (r["n_samples"], r["n_resets"]) == (4, 1)
+    assert r["increase"] == pytest.approx(45.0)
+    assert r["rate_per_s"] == pytest.approx(1.5)
+
+
+# --- cramers_v -------------------------------------------------------------
+
+def test_cramers_v_perfect_association_is_one(spark):
+    from niamoto_spark.operators.drift import cramers_v
+
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "p string, q string")
+    r = cramers_v(df, "p", "q").first()
+    # chi2 must include the two UNOBSERVED cells ((a,y), (b,x)): each
+    # contributes (0-5)^2/5 = 5, so 20 total — not the 10 an
+    # observed-cells-only sum reports
+    assert r["v"] == pytest.approx(1.0)
+    assert r["chi2"] == pytest.approx(20.0)
+
+
+def test_cramers_v_independent_is_zero(spark):
+    from niamoto_spark.operators.drift import cramers_v
+
+    rows = [(a, b) for a in "ab" for b in "xy" for _ in range(5)]
+    df = spark.createDataFrame(rows, "p string, q string")
+    assert cramers_v(df, "p", "q").first()["v"] == pytest.approx(0.0)
+
+
+# --- ip_range_join ---------------------------------------------------------
+
+def test_ipv4_to_long_and_range_join(spark):
+    from niamoto_spark.operators.web import ip_range_join, ipv4_to_long
+
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.255.255",), ("10.1.0.0",),
+         ("not-an-ip",)], "ip string")
+    ranges = spark.createDataFrame(
+        [(10 * 16_777_216, 10 * 16_777_216 + 65_535, "low")],
+        "ip_start long, ip_end long, zone string")
+    out = {r["ip"]: r["zone"] for r in
+           ip_range_join(df, "ip", ranges).collect()}
+    assert out["10.0.0.1"] == "low"
+    assert out["10.0.255.255"] == "low"
+    assert out["10.1.0.0"] is None              # outside the block
+    assert out["not-an-ip"] is None             # NULL ip_num, no match
+    v = spark.range(1).select(
+        ipv4_to_long(F.lit("1.2.3.4")).alias("n")).first()["n"]
+    assert v == 16_777_216 + 2 * 65_536 + 3 * 256 + 4
+
+
+# --- frequent_triples ------------------------------------------------------
+
+def test_frequent_triples_hand_computed(spark):
+    from niamoto_spark.operators.itemsets import frequent_triples
+
+    # baskets: {a,b,c} x3, {a,b} x1, {a,d} x1 -> only (a,b,c) triple
+    rows = ([(i, x) for i in range(3) for x in "abc"]
+            + [(3, "a"), (3, "b"), (4, "a"), (4, "d")])
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = frequent_triples(df, "bk", "it", min_support=0.5).collect()
+    assert [(r["item_a"], r["item_b"], r["item_c"], r["triple_count"])
+            for r in out] == [("a", "b", "c", 3)]
+    assert out[0]["support"] == pytest.approx(0.6)
+
+
+def test_frequent_triples_prunes_via_pairs(spark):
+    """A triple whose pairs are frequent but whose own count is below
+    threshold must not survive; items below support never pair."""
+    from niamoto_spark.operators.itemsets import frequent_triples
+
+    rows = [(0, "a"), (0, "b"), (0, "c"),
+            (1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "a"), (3, "c"),
+            (4, "z")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = frequent_triples(df, "bk", "it", min_support=0.4).collect()
+    assert out == []                             # abc appears once < 2

@@ -316,3 +316,78 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
+def sq_train(corpus: DataFrame, vec_col: str) -> tuple:
+    """Int8 scalar-quantization parameters: per-dimension [min, max]
+    over the corpus (the faiss ScalarQuantizer QT_8bit recipe — PQ's
+    cheap sibling: 4x smaller than float32 with near-exact recall on
+    normalized embeddings, no codebook training loop).
+
+    One posexplode + (dim) aggregate — fully distributed; the result
+    is 2·dim floats, broadcast as literals into encode/score
+    projections."""
+    ex = corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    rows = (ex.groupBy("dim")
+            .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                 F.max(F.col("x").cast("double")).alias("mx"))
+            .orderBy("dim").collect())
+    mins = [float(r["mn"]) for r in rows]
+    spans = [float(r["mx"] - r["mn"]) for r in rows]
+    return mins, spans
+
+
+@register("sq_encode", PluginType.TRANSFORMER)
+def sq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              mins: list, spans: list) -> DataFrame:
+    """Quantize each vector to per-dim uint8 codes:
+    code_i = floor((x_i − min_i) · 255 / span_i + 0.5) — explicit
+    half-up floor, NOT round(), so any SQL engine replays the codes
+    bit-for-bit (zero-span dims code to 0).  Pure higher-order-array
+    codegen; no UDF, no shuffle."""
+    mins_l = F.array(*[F.lit(m) for m in mins])
+    spans_l = F.array(*[F.lit(s) for s in spans])
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(spans_l, i + 1) > 0,
+            F.floor((x.cast("double") - F.element_at(mins_l, i + 1))
+                    * 255.0 / F.element_at(spans_l, i + 1) + 0.5))
+        .otherwise(0.0).cast("int"))
+    return corpus.select(F.col(id_col), code.alias("codes"))
+
+
+@register("sq_topk", PluginType.TRANSFORMER)
+def sq_topk(codes: DataFrame, queries: DataFrame, id_col: str,
+            qid_col: str, qvec_col: str, mins: list, spans: list,
+            k: int = 10, round_dp: int = 4) -> DataFrame:
+    """Asymmetric SQ search: the float query against DEQUANTIZED
+    corpus codes (dq_i = min_i + c_i · span_i / 255), dot-product
+    scored — the query side loses no precision, the corpus reads 4x
+    less.  The fold over dims is F.aggregate (sequential, in-array
+    order), so the float64 sum is bit-reproducible across engines.
+
+    Queries broadcast (there are few); per-query top-k via a window
+    over the bounded qid partitions.  Returns (qid, id, score)."""
+    from pyspark.sql import Window
+
+    mins_l = F.array(*[F.lit(m) for m in mins])
+    spans_l = F.array(*[F.lit(s) for s in spans])
+    dq = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(mins_l, i + 1)
+        + c.cast("double") * F.element_at(spans_l, i + 1) / 255.0)
+    qv = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    paired = (codes.withColumn("__dq", dq)
+              .crossJoin(F.broadcast(
+                  queries.select(F.col(qid_col).alias("qid"),
+                                 qv.alias("__qv")))))
+    score = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__dq"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (paired.select("qid", F.col(id_col),
+                          F.round(score, round_dp).alias("score"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))

@@ -1825,6 +1825,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q286_ip_enrich": q286_ip_enrich,
         "q287_frequent_triples": q287_frequent_triples,
         "q288_string_surface": q288_string_surface,
+        "q289_tpch_q7": q289_tpch_q7,
+        "q290_tpch_q8": q290_tpch_q8,
+        "q291_table_cdf": q291_table_cdf,
+        "q292_percent_of_parent": q292_percent_of_parent,
+        "q293_sq_int8": q293_sq_int8,
     }
 
 
@@ -5628,6 +5633,11 @@ def build_oracles() -> dict[str, str]:
         "q286_ip_enrich": O_Q286,
         "q287_frequent_triples": O_Q287,
         "q288_string_surface": O_Q288,
+        "q289_tpch_q7": O_Q289,
+        "q290_tpch_q8": O_Q290,
+        "q291_table_cdf": O_Q291,
+        "q292_percent_of_parent": O_Q292,
+        "q293_sq_int8": O_Q293,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -11457,4 +11467,255 @@ SELECT n_nationkey,
                  CAST(n_nationkey AS VARCHAR)) AS code,
        CAST(length(trim(n_name)) AS INT) AS len
 FROM nation ORDER BY n_nationkey
+"""
+
+
+def q289_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year — the classic 6-table star join with the
+    either-direction nation pair predicate.  All dimension joins
+    broadcast; the only wide shuffle is the final 3-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+         .where(((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+O_Q289 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q290_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_3's share of MEDIUM-
+    part revenue sold into EUROPE-region customers, by order year —
+    the conditional-sum-over-sum aggregation atop a 7-table join.
+    The share division happens on the per-year aggregate, never the
+    fact rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (li.join(F.broadcast(p.where(F.col("p_type") == "MEDIUM")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+           .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+                 F.col("c_rk") == F.col("r_regionkey"))
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+           .select(F.year("o_orderdate").alias("o_year"),
+                   (F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))).alias("volume"),
+                   F.col("supp_nation")))
+    return (vol.groupBy("o_year")
+            .agg(F.round(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                      F.col("volume")).otherwise(0.0))
+                         / F.sum("volume"), 4).alias("mkt_share"),
+                 F.round(F.sum("volume"), 2).alias("total_volume")))
+
+
+O_Q290 = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)
+         AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+
+def q291_table_cdf(spark, sf_dir):
+    """Row-level change data feed with pre/post images
+    (sources/manifest.py:table_cdf, Delta CDF's row shape): a keyed
+    table suffers an UPDATE, a DELETE and an APPEND; the feed delivers
+    each changed key once with change type and both images.  The
+    oracle recomputes the expected feed from the base table and the
+    same deterministic mutations."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_cdf_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.where(F.col("o_orderkey") % 4 == 0)
+    M.append(base.repartition(4), path)
+    M.update_where(spark, path, "o_orderkey % 7 = 0",
+                   {"o_totalprice": F.col("o_totalprice") * 2})
+    M.delete_where(spark, path, "o_orderkey % 11 = 0")
+    M.append(o.where(F.col("o_orderkey") % 4 == 1)
+             .limit(0), path)  # no-op commit: CDF must ignore it
+    extra = o.where((F.col("o_orderkey") % 4 == 2)
+                    & (F.col("o_orderkey") < 400))
+    M.append(extra, path)
+    feed = M.table_cdf(spark, path, 0, key_cols=["o_orderkey"])
+    return (feed.groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice_old"), 2).alias("sum_old"),
+                 F.round(F.sum("o_totalprice_new"), 2).alias("sum_new")))
+
+
+O_Q291 = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
+feed AS (
+  SELECT o_orderkey, 'updated' AS change,
+         o_totalprice AS sum_old, o_totalprice * 2 AS sum_new
+  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+  UNION ALL
+  -- the old image is the FROM-version (v0) value: a row updated and
+  -- later deleted still diffs v0 -> head as one 'removed' at v0's price
+  SELECT o_orderkey, 'removed', o_totalprice, NULL
+  FROM base WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey, 'added', NULL, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey < 400)
+SELECT change, count(*) AS n, round(sum(sum_old), 2) AS sum_old,
+       round(sum(sum_new), 2) AS sum_new
+FROM feed GROUP BY 1
+"""
+
+
+def q292_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchical shares: each customer nation's
+    revenue as a share of its region (window over the tiny nation
+    aggregate — the fact table shuffles once, the share math touches
+    25 rows).  Completes the grouping-sets lane (q50 ROLLUP, q283
+    CUBE) with the ratio report they feed."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_nation = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+                  .join(F.broadcast(n),
+                        F.col("c_nationkey") == F.col("n_nationkey"))
+                  .join(F.broadcast(r),
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+                  .groupBy("r_name", "n_name")
+                  .agg(F.sum("o_totalprice").alias("rev")))
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name", "n_name", F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 4).alias("share"))
+
+
+O_Q292 = """
+WITH per AS (
+  SELECT r_name, n_name, sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 4) AS share
+FROM per
+"""
+
+
+def q293_sq_int8(spark, sf_dir):
+    """Int8 scalar-quantized ANN (operators/quantization.py:
+    sq_train/sq_encode/sq_topk, the faiss QT_8bit recipe): per-dim
+    min/max fit, half-up uint8 codes, asymmetric dequantized
+    dot-product top-10 for three queries.  Every step is explicit
+    floor/fold arithmetic, so the oracle refits the ENTIRE quantizer
+    and search in SQL — a full-value match, unlike the rows-only
+    IVF/PQ lanes (q41/q110)."""
+    from niamoto_spark.operators.quantization import (sq_encode,
+                                                      sq_topk, sq_train)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, spans = sq_train(emb, "embedding")
+    codes = sq_encode(emb, "vec_id", "embedding", mins, spans)
+    qs = (emb.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("qid"), "embedding"))
+    return sq_topk(codes, qs, "vec_id", "qid", "embedding",
+                   mins, spans, k=10)
+
+
+O_Q293 = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dims AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM flat GROUP BY 1),
+params AS (SELECT dim, mn, mx - mn AS span FROM dims),
+codes AS (
+  SELECT f.vec_id, f.dim,
+         CASE WHEN p.span > 0
+              THEN floor((f.x - p.mn) * 255.0 / p.span + 0.5)
+              ELSE 0.0 END AS code
+  FROM flat f JOIN params p ON f.dim = p.dim),
+dq AS (
+  SELECT c.vec_id, c.dim,
+         p.mn + c.code * p.span / 255.0 AS d
+  FROM codes c JOIN params p ON c.dim = p.dim),
+scores AS (
+  SELECT q.vec_id AS qid, d.vec_id,
+         round(sum(q.x * d.d ORDER BY q.dim), 4) AS score
+  FROM flat q JOIN dq d ON q.dim = d.dim
+  WHERE q.vec_id < 3
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scores)
+SELECT qid, vec_id, score FROM ranked WHERE rn <= 10
 """

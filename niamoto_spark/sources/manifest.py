@@ -75,9 +75,12 @@ def _commit_doc(path: str, version: int, extra: dict) -> None:
     exactly one succeeds and the other raises (it must re-read the new
     head and retry on a fresh version).  Readers only ever see the
     final name once the staged file is fully written."""
+    import time as _time
+
     _, meta = _table_dirs(path)
     nonce = uuid.uuid4().hex
-    doc = {"version": version, "nonce": nonce, **extra}
+    doc = {"version": version, "nonce": nonce,
+           "committed_at": _time.time(), **extra}
     staged = os.path.join(meta, f".manifest-{nonce}.tmp")
     with open(staged, "w") as f:
         json.dump(doc, f, default=str)
@@ -1447,3 +1450,78 @@ def overwrite_hidden_partition(df: DataFrame, path: str,
                  "pvals": new_pvals, "ptransform": list(tf),
                  **_carry_dv(doc, keep)})
     return parent + 1
+
+
+def read_table_asof(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Time travel by WALL CLOCK (Delta's ``TIMESTAMP AS OF``): the
+    newest committed snapshot whose commit time is <= ``ts``.  Every
+    commit document stamps ``committed_at`` at link time, so the
+    lookup walks the committed chain backward — one metadata read per
+    version, no data touched until the snapshot is chosen.
+
+    Raises if ``ts`` precedes the first commit (there was no table
+    then — the Delta convention, not an empty result)."""
+    v = committed_version(path)
+    chosen = None
+    while v >= 0:
+        doc = _read_manifest(path, v)
+        if _txn_state(doc) == "committed":
+            at = doc.get("committed_at")
+            if at is not None and float(at) <= ts:
+                chosen = v
+                break
+        v = doc.get("parent", v - 1)
+    if chosen is None:
+        raise ValueError(
+            f"read_table_asof: no snapshot at or before ts={ts} "
+            f"(table {path} did not exist yet)")
+    return read_table(spark, path, version=chosen)
+
+
+def table_cdf(spark: SparkSession, path: str, from_version: int,
+              to_version: int | None = None,
+              key_cols: list[str] | None = None) -> DataFrame:
+    """Change data feed with PRE/POST IMAGES (Delta CDF's row shape,
+    upgrading table_diff's change-type-only output): one row per
+    changed key with ``change`` in {added, removed, updated} and every
+    non-key column delivered twice — ``<col>_old`` (NULL for added)
+    and ``<col>_new`` (NULL for removed).  This is what a downstream
+    incremental consumer actually needs: the delta to apply, not just
+    which keys moved.
+
+    Same full-outer keyed join as table_diff (unique key enforced on
+    both snapshots); unchanged rows are dropped via one xxhash64
+    comparison, so the output is |changes|-sized regardless of table
+    size."""
+    if not key_cols:
+        raise ValueError("table_cdf requires key_cols")
+    to_v = committed_version(path) if to_version is None else to_version
+    a = read_table(spark, path, version=from_version)
+    b = read_table(spark, path, version=to_v)
+    val_cols = [c for c in a.columns if c not in key_cols]
+    if [c for c in b.columns if c not in key_cols] != val_cols:
+        raise ValueError("table_cdf: snapshots have different schemas")
+    for side, df in (("from", a), ("to", b)):
+        dup = (df.groupBy(*key_cols).count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"table_cdf: {side} snapshot is not unique on {key_cols}")
+
+    def tagged(df, tag):
+        h = (F.xxhash64(*[F.col(c) for c in val_cols]) if val_cols
+             else F.lit(0))
+        cols = ([F.col(k) for k in key_cols]
+                + [F.col(c).alias(f"{c}_{tag}") for c in val_cols]
+                + [h.alias(f"__h_{tag}"), F.lit(1).alias(f"__p_{tag}")])
+        return df.select(*cols)
+
+    j = tagged(a, "old").join(tagged(b, "new"), key_cols, "full_outer")
+    change = (F.when(F.col("__p_old").isNull(), "added")
+              .when(F.col("__p_new").isNull(), "removed")
+              .when(F.col("__h_old") != F.col("__h_new"), "updated"))
+    out_cols = ([F.col(k) for k in key_cols] + [change.alias("change")]
+                + [F.col(f"{c}_old") for c in val_cols]
+                + [F.col(f"{c}_new") for c in val_cols])
+    return (j.select(*out_cols)
+            .where(F.col("change").isNotNull()))

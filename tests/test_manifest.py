@@ -1064,3 +1064,48 @@ def test_erase_entity_quote_safe_key(spark, tmp_path):
     assert out == {t: 1}
     rows = M.read_table(spark, t).collect()
     assert [r["name"] for r in rows] == ["safe"]
+
+
+def test_table_cdf_pre_post_images(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    M.append(df, t)                                       # v0
+    M.update_where(spark, t, "k = 2", {"v": F.lit(25.0)})
+    M.delete_where(spark, t, "k = 3")
+    M.append(spark.createDataFrame([(4, 40.0)], "k long, v double"), t)
+    feed = {r["k"]: r for r in
+            M.table_cdf(spark, t, 0, key_cols=["k"]).collect()}
+    assert 1 not in feed                                  # unchanged
+    assert (feed[2]["change"], feed[2]["v_old"], feed[2]["v_new"]) \
+        == ("updated", 20.0, 25.0)
+    assert (feed[3]["change"], feed[3]["v_old"], feed[3]["v_new"]) \
+        == ("removed", 30.0, None)
+    assert (feed[4]["change"], feed[4]["v_old"], feed[4]["v_new"]) \
+        == ("added", None, 40.0)
+
+
+def test_table_cdf_rejects_duplicate_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark.createDataFrame([(1, 1.0), (1, 2.0)],
+                                   "k long, v double"), t)
+    with pytest.raises(ValueError, match="not unique"):
+        M.table_cdf(spark, t, 0, key_cols=["k"])
+
+
+def test_read_table_asof_walks_commit_times(spark, tmp_path):
+    import json as _json
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 5), t)                         # v0
+    M.append(_df(spark, 5, 8), t)                         # v1
+    # pin commit times deterministically (the stamp is wall clock)
+    for v, at in ((0, 1000.0), (1, 2000.0)):
+        mp = str(tmp_path / "tbl/_log" / f"manifest-v{v}.json")
+        doc = _json.load(open(mp))
+        doc["committed_at"] = at
+        _json.dump(doc, open(mp, "w"))
+    assert M.read_table_asof(spark, t, 1500.0).count() == 5
+    assert M.read_table_asof(spark, t, 2500.0).count() == 8
+    assert M.read_table_asof(spark, t, 1000.0).count() == 5  # inclusive
+    with pytest.raises(ValueError, match="did not exist"):
+        M.read_table_asof(spark, t, 999.0)

@@ -367,3 +367,48 @@ def test_frequent_triples_prunes_via_pairs(spark):
     df = spark.createDataFrame(rows, "bk long, it string")
     out = frequent_triples(df, "bk", "it", min_support=0.4).collect()
     assert out == []                             # abc appears once < 2
+
+
+# --- int8 scalar quantization ----------------------------------------------
+
+def test_sq_roundtrip_error_bounded_and_self_match(spark):
+    import random
+
+    from niamoto_spark.operators.quantization import (sq_encode,
+                                                      sq_topk, sq_train)
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    mins, spans = sq_train(df, "embedding")
+    codes = sq_encode(df, "vec_id", "embedding", mins, spans)
+    rows = codes.collect()
+    assert all(0 <= c <= 255 for r in rows for c in r["codes"])
+    # dequantization error per dim <= span/510 (half a code step)
+    by_id = {i: v for i, v in vecs}
+    for r in rows:
+        for d, c in enumerate(r["codes"]):
+            dq = mins[d] + c * spans[d] / 255.0
+            assert abs(dq - by_id[r["vec_id"]][d]) \
+                <= spans[d] / 510 + 1e-12
+    qs = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    top = sq_topk(codes, qs, "vec_id", "qid", "embedding",
+                  mins, spans, k=1)
+    # with 8-bit precision each query's own vector wins its top-1
+    assert {(r["qid"], r["vec_id"]) for r in top.collect()} \
+        == {(0, 0), (1, 1)}
+
+
+def test_sq_constant_dim_codes_zero(spark):
+    from niamoto_spark.operators.quantization import sq_encode, sq_train
+
+    df = spark.createDataFrame([(0, [5.0, 1.0]), (1, [5.0, 3.0])],
+                               "vec_id long, embedding array<double>")
+    mins, spans = sq_train(df, "embedding")
+    assert spans[0] == 0.0
+    rows = {r["vec_id"]: r["codes"] for r in
+            sq_encode(df, "vec_id", "embedding", mins, spans).collect()}
+    assert rows[0][0] == 0 and rows[1][0] == 0    # zero-span dim
+    assert rows[0][1] == 0 and rows[1][1] == 255  # full-range dim

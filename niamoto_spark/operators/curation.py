@@ -204,3 +204,27 @@ def mixture_rebalance(df: DataFrame, id_col: str, group_col: str,
                        F.round("rate", round_dp).alias("rate"),
                        "n_selected", "shortfall"))
     return selected, summary
+
+
+@register("temporal_split", PluginType.TRANSFORMER)
+def temporal_split(df: DataFrame, ts_col: str, test_frac: float = 0.2,
+                   embargo_s: float = 0.0) -> DataFrame:
+    """Time-ordered train/test split with an EMBARGO gap (the
+    financial-ML leakage guard, López de Prado's purging shape): the
+    newest ``test_frac`` of rows by time become test, rows within
+    ``embargo_s`` BEFORE the cutoff are dropped from train — features
+    computed over trailing windows near the boundary would otherwise
+    leak test-period information into training.
+
+    The cutoff is the exact interpolated quantile of the timestamp
+    (one percentile aggregate, no sort of the table); the split
+    itself is a scan-side projection.  Appends ``split`` in
+    {'train', 'embargo', 'test'} — random splits (split_assign) are
+    WRONG for time series; this is the one to reach for."""
+    t = F.col(ts_col).cast("double")
+    cutoff = float(df.agg(
+        F.percentile(t, F.lit(1.0 - float(test_frac)))).first()[0])
+    split = (F.when(t > cutoff, "test")
+             .when(t > cutoff - float(embargo_s), "embargo")
+             .otherwise("train"))
+    return df.withColumn("split", split)

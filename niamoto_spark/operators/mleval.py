@@ -248,3 +248,42 @@ def confusion_stats(df: DataFrame, actual_col: str, pred_col: str,
         F.round(prec, round_dp).alias("precision"),
         F.round(rec, round_dp).alias("recall"),
         F.round(f1, round_dp).alias("f1"))
+
+
+@register("multilabel_metrics", PluginType.TRANSFORMER)
+def multilabel_metrics(df: DataFrame, actual_col: str, pred_col: str,
+                       round_dp: int = 4) -> DataFrame:
+    """Multi-label classification metrics over array columns: micro
+    precision/recall/F1 (TP/FP/FN summed over all (row, label) pairs)
+    and mean per-row Jaccard (the 'subset accuracy' relaxation) — the
+    numbers a tagger/moderation model is actually graded on, where
+    confusion_stats' single-label frame cannot apply.
+
+    Row-local set algebra (array_distinct + array_intersect) in one
+    projection, one global aggregate — no explode, no shuffle beyond
+    the final single-row reduce.  NULL arrays count as empty."""
+    a = F.array_distinct(F.coalesce(F.col(actual_col), F.array()))
+    p = F.array_distinct(F.coalesce(F.col(pred_col), F.array()))
+    tp = F.size(F.array_intersect(a, p)).cast("double")
+    na, np_ = F.size(a).cast("double"), F.size(p).cast("double")
+    uni = na + np_ - tp
+    jac = F.when(uni > 0, tp / uni).otherwise(1.0)   # both empty: perfect
+    agg = (df.select(tp.alias("tp"), na.alias("na"), np_.alias("np"),
+                     jac.alias("jac"))
+           .agg(F.sum("tp").alias("TP"), F.sum("na").alias("NA_"),
+                F.sum("np").alias("NP_"), F.avg("jac").alias("mj"),
+                F.count(F.lit(1)).alias("n_rows")))
+    prec = F.when(F.col("NP_") > 0, F.col("TP") / F.col("NP_")) \
+        .otherwise(0.0)
+    rec = F.when(F.col("NA_") > 0, F.col("TP") / F.col("NA_")) \
+        .otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)) \
+        .otherwise(0.0)
+    return agg.select(
+        "n_rows", F.col("TP").cast("long").alias("tp"),
+        (F.col("NP_") - F.col("TP")).cast("long").alias("fp"),
+        (F.col("NA_") - F.col("TP")).cast("long").alias("fn"),
+        F.round(prec, round_dp).alias("micro_precision"),
+        F.round(rec, round_dp).alias("micro_recall"),
+        F.round(f1, round_dp).alias("micro_f1"),
+        F.round(F.col("mj"), round_dp).alias("mean_jaccard"))

@@ -1286,3 +1286,80 @@ def contamination_score(docs: DataFrame, id_col: str, text_col: str,
                     F.round(F.coalesce("n_hits", F.lit(0))
                             / F.col("n_grams").cast("double"),
                             round_dp).alias("score")))
+
+
+@register("negative_samples", PluginType.TRANSFORMER)
+def negative_samples(docs: DataFrame, id_col: str, text_col: str,
+                     k: int = 5, power: float = 0.75,
+                     vocab_limit: int = 1000,
+                     seed: str = "neg") -> DataFrame:
+    """Word2vec-style negative sampling: for each doc, ``k`` tokens
+    drawn from the unigram^power distribution (Mikolov's 0.75 — rare
+    words up-weighted, stopwords damped) via the engine-independent
+    md5 uniform, so the SAME negatives reproduce anywhere and an SQL
+    oracle replays the draw exactly.
+
+    The inverse-CDF lookup is a range join of u·W against the vocab's
+    cumulative-weight intervals: the vocab is capped to the
+    ``vocab_limit`` most frequent tokens (the word2vec convention)
+    and BROADCAST, so each doc row scans a small in-memory table — at
+    larger vocabs the bucketed interval_join lane applies.  Interval
+    bounds come from a cumulative window over (count desc, token) —
+    a total order, so bounds are engine-stable.  Returns
+    (doc id, draw 1..k, token)."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.lower(F.col(text_col)),
+                                          r"\s+")).alias("tok"))
+            .where(F.col("tok") != ""))
+    counts = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("n").desc(), "tok").limit(vocab_limit))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    vocab = (counts
+             .withColumn("__w", F.pow(F.col("n").cast("double"),
+                                      F.lit(float(power))))
+             .withColumn("__hi", F.sum("__w").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .withColumn("__lo", F.col("__hi") - F.col("__w")))
+    total = vocab.agg(F.max("__hi")).first()[0]
+    draws = (docs.select(F.col(id_col).alias("id"))
+             .select("id", F.explode(F.sequence(F.lit(1), F.lit(k)))
+                     .alias("draw")))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed),
+                                      F.col("id").cast("string"),
+                                      F.col("draw").cast("string"))),
+                    1, 8), 16, 10).cast("bigint")
+    target = (bucket + F.lit(0.5)) / F.lit(float(2 ** 32)) \
+        * F.lit(float(total))
+    sampled = (draws.withColumn("__t", target)
+               .join(F.broadcast(vocab.select("tok", "__lo", "__hi")),
+                     (F.col("__t") >= F.col("__lo"))
+                     & (F.col("__t") < F.col("__hi"))))
+    return sampled.select(F.col("id").alias(id_col), "draw",
+                          F.col("tok").alias("token"))
+
+
+@register("hashed_features", PluginType.TRANSFORMER)
+def hashed_features(docs: DataFrame, id_col: str, text_col: str,
+                    dim: int = 256) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens land in a
+    fixed ``dim``-bucket feature space via md5 (engine-independent, so
+    train- and serve-side featurization agree byte-for-byte — the
+    whole point of feature hashing).  No vocabulary state, no OOV
+    problem, memory O(dim) per doc.
+
+    Returns one row per (doc, bucket) with the token count — the
+    sparse representation; pivot or collect per doc downstream.
+    Pure codegen: explode + md5 + one aggregate."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.lower(F.col(text_col)),
+                                          r"\s+")).alias("tok"))
+            .where(F.col("tok") != ""))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 13), 16, 10)
+        .cast("bigint"), F.lit(int(dim)))
+    return (toks.groupBy(F.col("id").alias(id_col),
+                         bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))

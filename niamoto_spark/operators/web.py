@@ -128,3 +128,37 @@ def ip_range_join(df: DataFrame, ip_col: str, ranges: DataFrame,
             & (F.col("ip_num") <= F.col(end_col)))
     return (fact.join(F.broadcast(ranges), cond, how)
             .drop(start_col, end_col))
+
+
+ACCESS_LOG_RE = (r'^(\S+) (\S+) (\S+) \[([^\]]+)\] '
+                 r'"(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-)')
+
+
+@register("parse_access_log", PluginType.TRANSFORMER)
+def parse_access_log(df: DataFrame, line_col: str) -> DataFrame:
+    """Parse Common/Combined-Log-Format lines (the web-server ingest
+    everyone writes first): ip, identd, user, timestamp text, method,
+    path, protocol, status, bytes — one regexp projection, pure
+    codegen, NULL-safe on garbage lines (unmatched groups come back
+    empty -> nulled).
+
+    Bytes '-' (no body) maps to 0, the standard convention.  Appends
+    typed columns; combine with ipv4_to_long / ip_range_join for the
+    full access-log enrichment lane."""
+    line = F.col(line_col)
+
+    def g(i):
+        return F.regexp_extract(line, ACCESS_LOG_RE, i)
+
+    matched = line.rlike(ACCESS_LOG_RE)
+    return (df.withColumn("ip", F.when(matched, g(1)))
+            .withColumn("http_user", F.when(matched & (g(3) != "-"),
+                                            g(3)))
+            .withColumn("ts_text", F.when(matched, g(4)))
+            .withColumn("method", F.when(matched, g(5)))
+            .withColumn("path", F.when(matched, g(6)))
+            .withColumn("status", F.when(matched, g(8).cast("int")))
+            .withColumn("bytes_sent",
+                        F.when(matched,
+                               F.when(g(9) == "-", F.lit(0))
+                               .otherwise(g(9).cast("long")))))

@@ -1830,6 +1830,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q291_table_cdf": q291_table_cdf,
         "q292_percent_of_parent": q292_percent_of_parent,
         "q293_sq_int8": q293_sq_int8,
+        "q294_access_log": q294_access_log,
+        "q295_negative_samples": q295_negative_samples,
+        "q296_multilabel": q296_multilabel,
+        "q297_hashed_features": q297_hashed_features,
+        "q298_temporal_split": q298_temporal_split,
     }
 
 
@@ -5638,6 +5643,11 @@ def build_oracles() -> dict[str, str]:
         "q291_table_cdf": O_Q291,
         "q292_percent_of_parent": O_Q292,
         "q293_sq_int8": O_Q293,
+        "q294_access_log": O_Q294,
+        "q295_negative_samples": O_Q295,
+        "q296_multilabel": O_Q296,
+        "q297_hashed_features": O_Q297,
+        "q298_temporal_split": O_Q298,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -11718,4 +11728,207 @@ ranked AS (
                             ORDER BY score DESC, vec_id) AS rn
   FROM scores)
 SELECT qid, vec_id, score FROM ranked WHERE rn <= 10
+"""
+
+
+def q294_access_log(spark, sf_dir):
+    """Access-log ingest (operators/web.py:parse_access_log): events
+    rendered as Common-Log-Format lines, parsed back by the regex
+    projection, aggregated per (method, status).  The oracle computes
+    the same aggregate DIRECTLY from events — a match proves the
+    parser exactly inverts the render, end to end."""
+    from niamoto_spark.operators.web import parse_access_log
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(F.concat(
+        F.lit("10."), (F.col("user_id") % 200).cast("string"),
+        F.lit(".0.1 - "),
+        F.when(F.col("user_id") % 3 == 0, F.lit("-"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id"))),
+        F.lit(' [01/Jan/2024:00:00:00 +0000] "'),
+        F.when(F.col("event_type") == "purchase", "POST")
+        .otherwise("GET"),
+        F.lit(" /"), F.col("event_type"), F.lit("/"),
+        F.col("event_id"), F.lit(' HTTP/1.1" '),
+        F.when(F.col("value") > 90, 500).otherwise(200).cast("string"),
+        F.lit(" "),
+        F.when(F.col("value") < 5, F.lit("-"))
+        .otherwise(F.floor(F.col("value") * 100).cast("string")))
+        .alias("line"))
+    p = parse_access_log(lines, "line")
+    return (p.groupBy("method", "status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("bytes_sent").alias("bytes_total"),
+                 F.countDistinct("http_user").alias("n_users")))
+
+
+O_Q294 = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END
+         AS method,
+       CASE WHEN value > 90 THEN 500 ELSE 200 END AS status,
+       count(*) AS n,
+       CAST(sum(CASE WHEN value < 5 THEN 0
+                     ELSE floor(value * 100) END) AS BIGINT)
+         AS bytes_total,
+       count(DISTINCT CASE WHEN user_id % 3 <> 0
+                           THEN 'u' || user_id END) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q295_negative_samples(spark, sf_dir):
+    """Word2vec negative sampling (operators/text.py:
+    negative_samples): 3 draws per doc from the unigram^0.75
+    distribution via md5 inverse-CDF over broadcast cumulative-weight
+    intervals.  The oracle replays vocabulary, cumulative bounds AND
+    every draw — the full sampler refit in SQL."""
+    from niamoto_spark.operators.text import negative_samples
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    ns = negative_samples(d, "doc_id", "text", k=3, vocab_limit=200)
+    return (ns.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+            .orderBy(F.col("n_sampled").desc(), "token").limit(40))
+
+
+O_Q295 = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM d),
+counts AS (
+  SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+  GROUP BY 1 ORDER BY n DESC, tok LIMIT 200),
+vocab AS (
+  SELECT tok, n, pow(CAST(n AS DOUBLE), 0.75) AS w,
+         sum(pow(CAST(n AS DOUBLE), 0.75))
+           OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS hi
+  FROM counts),
+v2 AS (SELECT tok, hi - w AS lo, hi FROM vocab),
+tot AS (SELECT max(hi) AS total FROM vocab),
+draws AS (
+  SELECT doc_id, unnest(range(1, 4)) AS draw FROM d),
+targets AS (
+  SELECT doc_id, draw,
+         (CAST(('0x' || substr(md5('neg|' || CAST(doc_id AS VARCHAR)
+                                   || '|' || CAST(draw AS VARCHAR)),
+                               1, 8)) AS UBIGINT) + 0.5)
+           / 4294967296.0 * tot.total AS t
+  FROM draws CROSS JOIN tot),
+sampled AS (
+  SELECT v2.tok FROM targets JOIN v2
+    ON targets.t >= v2.lo AND targets.t < v2.hi)
+SELECT tok AS token, count(*) AS n_sampled
+FROM sampled GROUP BY 1
+ORDER BY n_sampled DESC, token LIMIT 40
+"""
+
+
+def q296_multilabel(spark, sf_dir):
+    """Multi-label metrics (operators/mleval.py:multilabel_metrics):
+    order tag sets (priority + status) vs a deterministic predictor —
+    micro P/R/F1 and mean row Jaccard from row-local set algebra, no
+    explode.  The oracle replays with list_distinct/list_intersect."""
+    from niamoto_spark.operators.mleval import multilabel_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    pred_pri = (F.when(F.col("o_totalprice") > 180_000, "1-URGENT")
+                .when(F.col("o_totalprice") > 60_000, "3-MEDIUM")
+                .otherwise("5-LOW"))
+    df = o.select(
+        F.array("o_orderpriority", "o_orderstatus").alias("actual"),
+        F.array(pred_pri, F.lit("O")).alias("pred"))
+    return multilabel_metrics(df, "actual", "pred")
+
+
+O_Q296 = """
+WITH rows_ AS (
+  SELECT list_distinct([o_orderpriority, o_orderstatus]) AS a,
+         list_distinct([CASE WHEN o_totalprice > 180000 THEN '1-URGENT'
+                             WHEN o_totalprice > 60000 THEN '3-MEDIUM'
+                             ELSE '5-LOW' END, 'O']) AS p
+  FROM orders),
+m AS (
+  SELECT len(list_intersect(a, p)) AS tp, len(a) AS na, len(p) AS np
+  FROM rows_),
+agg AS (
+  SELECT count(*) AS n_rows, sum(tp) AS TP, sum(na) AS NA_,
+         sum(np) AS NP_,
+         avg(CASE WHEN na + np - tp > 0
+                  THEN tp / CAST(na + np - tp AS DOUBLE)
+                  ELSE 1.0 END) AS mj
+  FROM m)
+SELECT n_rows, CAST(TP AS BIGINT) AS tp,
+       CAST(NP_ - TP AS BIGINT) AS fp, CAST(NA_ - TP AS BIGINT) AS fn,
+       round(TP / CAST(NP_ AS DOUBLE), 4) AS micro_precision,
+       round(TP / CAST(NA_ AS DOUBLE), 4) AS micro_recall,
+       round(2.0 * (TP / CAST(NP_ AS DOUBLE))
+             * (TP / CAST(NA_ AS DOUBLE))
+             / ((TP / CAST(NP_ AS DOUBLE))
+                + (TP / CAST(NA_ AS DOUBLE))), 4) AS micro_f1,
+       round(mj, 4) AS mean_jaccard
+FROM agg
+"""
+
+
+def q297_hashed_features(spark, sf_dir):
+    """The hashing trick (operators/text.py:hashed_features): tokens
+    into 128 md5 buckets, stateless and engine-independent — the
+    train/serve featurization contract.  Corpus-level bucket mass,
+    top 30; the oracle replays the md5 bucketing."""
+    from niamoto_spark.operators.text import hashed_features
+
+    d = _t(spark, sf_dir, "documents")
+    hf = hashed_features(d, "doc_id", "text", dim=128)
+    return (hf.groupBy("bucket")
+            .agg(F.sum("n").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.col("n_tokens").desc(), "bucket").limit(30))
+
+
+O_Q297 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 13)) AS UBIGINT) % 128
+           AS bucket,
+         count(*) AS n
+  FROM toks WHERE tok <> ''
+  GROUP BY 1, 2)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_docs
+FROM b GROUP BY 1
+ORDER BY n_tokens DESC, bucket LIMIT 30
+"""
+
+
+def q298_temporal_split(spark, sf_dir):
+    """Temporal train/test split with embargo (operators/curation.py:
+    temporal_split, the financial-ML purging guard): newest 20% by
+    time is test, a 1-day embargo before the cutoff leaves training —
+    per-split counts and time bounds.  The oracle replays the
+    interpolated-quantile cutoff."""
+    from niamoto_spark.operators.curation import temporal_split
+
+    ev = _events(spark, sf_dir)
+    s = temporal_split(ev, "ts_sec", test_frac=0.2, embargo_s=86_400.0)
+    return (s.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("ts_sec").alias("t_min"),
+                 F.max("ts_sec").alias("t_max")))
+
+
+O_Q298 = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+c AS (SELECT quantile_cont(CAST(t AS DOUBLE), 0.8) AS cutoff FROM e)
+SELECT CASE WHEN t > c.cutoff THEN 'test'
+            WHEN t > c.cutoff - 86400.0 THEN 'embargo'
+            ELSE 'train' END AS split,
+       count(*) AS n, min(t) AS t_min, max(t) AS t_max
+FROM e CROSS JOIN c
+GROUP BY 1
 """

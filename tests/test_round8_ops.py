@@ -412,3 +412,114 @@ def test_sq_constant_dim_codes_zero(spark):
             sq_encode(df, "vec_id", "embedding", mins, spans).collect()}
     assert rows[0][0] == 0 and rows[1][0] == 0    # zero-span dim
     assert rows[0][1] == 0 and rows[1][1] == 255  # full-range dim
+
+
+# --- parse_access_log ------------------------------------------------------
+
+def test_parse_access_log_fields_and_garbage(spark):
+    from niamoto_spark.operators.web import parse_access_log
+
+    good = ('192.168.0.7 - alice [10/Oct/2023:13:55:36 +0000] '
+            '"GET /a/b?x=1 HTTP/1.1" 200 2326')
+    nobody = ('10.0.0.1 - - [10/Oct/2023:13:55:37 +0000] '
+              '"POST /login HTTP/1.0" 302 -')
+    df = spark.createDataFrame(
+        [(good,), (nobody,), ("not a log line",)], "line string")
+    out = {r["line"][:11]: r for r in
+           parse_access_log(df, "line").collect()}
+    g = out[good[:11]]
+    assert (g["ip"], g["http_user"], g["method"], g["path"],
+            g["status"], g["bytes_sent"]) \
+        == ("192.168.0.7", "alice", "GET", "/a/b?x=1", 200, 2326)
+    n = out[nobody[:11]]
+    assert n["http_user"] is None and n["bytes_sent"] == 0
+    bad = out["not a log l"]
+    assert bad["ip"] is None and bad["status"] is None
+
+
+# --- negative_samples ------------------------------------------------------
+
+def test_negative_samples_distribution_and_determinism(spark):
+    from niamoto_spark.operators.text import negative_samples
+
+    # one dominant token, several rare: the 0.75 power flattens but the
+    # dominant token must still be drawn most
+    docs = [(i, "the " * 50 + "rare%d tail" % (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ns = negative_samples(df, "doc_id", "text", k=4, vocab_limit=50)
+    assert ns.count() == 160                     # every draw lands
+    top = (ns.groupBy("token").count()
+           .orderBy(F.desc("count")).first())
+    assert top["token"] == "the"
+    ns2 = negative_samples(df, "doc_id", "text", k=4, vocab_limit=50)
+    assert sorted(map(tuple, ns.collect())) \
+        == sorted(map(tuple, ns2.collect()))     # deterministic
+    ns3 = negative_samples(df, "doc_id", "text", k=4, vocab_limit=50,
+                           seed="other")
+    assert sorted(map(tuple, ns.collect())) \
+        != sorted(map(tuple, ns3.collect()))     # seed matters
+
+
+# --- hashed_features -------------------------------------------------------
+
+def test_hashed_features_stable_and_bounded(spark):
+    from niamoto_spark.operators.text import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        "doc_id long, text string")
+    out = hashed_features(df, "doc_id", "text", dim=16).collect()
+    assert all(0 <= r["bucket"] < 16 for r in out)
+    per_doc1 = {r["bucket"]: r["n"] for r in out if r["doc_id"] == 1}
+    assert sum(per_doc1.values()) == 3           # token mass preserved
+    # same token -> same bucket across docs (the serve-side contract)
+    out2 = hashed_features(df, "doc_id", "text", dim=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# --- multilabel_metrics ----------------------------------------------------
+
+def test_multilabel_hand_computed(spark):
+    from niamoto_spark.operators.mleval import multilabel_metrics
+
+    rows = [(["a", "b"], ["a"]),        # tp1 fp0 fn1, jac 1/2
+            (["c"], ["c", "d"]),        # tp1 fp1 fn0, jac 1/2
+            ([], [])]                   # both empty: jaccard 1
+    df = spark.createDataFrame(
+        rows, "actual array<string>, pred array<string>")
+    r = multilabel_metrics(df, "actual", "pred").first()
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["micro_precision"] == pytest.approx(2 / 3, abs=1e-4)
+    assert r["micro_recall"] == pytest.approx(2 / 3, abs=1e-4)
+    assert r["mean_jaccard"] == pytest.approx((0.5 + 0.5 + 1) / 3,
+                                              abs=1e-4)
+
+
+def test_multilabel_null_arrays_are_empty(spark):
+    from niamoto_spark.operators.mleval import multilabel_metrics
+
+    df = spark.createDataFrame(
+        [(None, ["a"])], "actual array<string>, pred array<string>")
+    r = multilabel_metrics(df, "actual", "pred").first()
+    assert (r["tp"], r["fp"], r["fn"]) == (0, 1, 0)
+    assert r["micro_recall"] == 0.0
+
+
+# --- temporal_split --------------------------------------------------------
+
+def test_temporal_split_order_and_embargo(spark):
+    from niamoto_spark.operators.curation import temporal_split
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, t double")
+    out = {r["id"]: r["split"] for r in
+           temporal_split(df, "t", test_frac=0.2,
+                          embargo_s=5.0).collect()}
+    # cutoff = interpolated q0.8 over 0..99 = 79.2
+    assert out[99] == "test" and out[80] == "test"
+    assert out[79] == "embargo" and out[75] == "embargo"
+    assert out[74] == "train" and out[0] == "train"
+    # every test row is strictly after every train row
+    tmax_train = max(i for i, s in out.items() if s == "train")
+    tmin_test = min(i for i, s in out.items() if s == "test")
+    assert tmax_train < tmin_test

@@ -1835,6 +1835,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q296_multilabel": q296_multilabel,
         "q297_hashed_features": q297_hashed_features,
         "q298_temporal_split": q298_temporal_split,
+        "q299_tpch_q10": q299_tpch_q10,
+        "q300_tpch_q13": q300_tpch_q13,
+        "q301_tpch_q15": q301_tpch_q15,
+        "q302_tpch_q18": q302_tpch_q18,
+        "q303_tpch_q22": q303_tpch_q22,
     }
 
 
@@ -5648,6 +5653,11 @@ def build_oracles() -> dict[str, str]:
         "q296_multilabel": O_Q296,
         "q297_hashed_features": O_Q297,
         "q298_temporal_split": O_Q298,
+        "q299_tpch_q10": O_Q299,
+        "q300_tpch_q13": O_Q300,
+        "q301_tpch_q15": O_Q301,
+        "q302_tpch_q18": O_Q302,
+        "q303_tpch_q22": O_Q303,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -11931,4 +11941,186 @@ SELECT CASE WHEN t > c.cutoff THEN 'test'
        count(*) AS n, min(t) AS t_min, max(t) AS t_max
 FROM e CROSS JOIN c
 GROUP BY 1
+"""
+
+
+def q299_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): revenue lost to customers
+    who returned goods in a quarter, top 20 by revenue — fact filter
+    pushed to the lineitem scan (l_returnflag = 'R'), dimensions
+    broadcast, global top-k as TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (li.where(F.col("l_returnflag") == "R")
+         .join(o.where((F.col("o_orderdate") >= "1996-01-01")
+                       & (F.col("o_orderdate") < "1996-07-01")),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.round(F.max("c_acctbal"), 2).alias("c_acctbal"))
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+O_Q299 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(max(c_acctbal), 2) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q300_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers appear in the 0 bucket — the
+    aggregate-of-an-aggregate (count per customer, then customers per
+    count) whose outer join no inner-join rewrite can express."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = (c.join(o.where(F.col("o_orderpriority") != "1-URGENT"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+O_Q300 = """
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist
+FROM per GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q301_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the supplier(s) achieving the MAXIMUM
+    quarterly revenue — an aggregate joined against its own max, the
+    classic view-self-reference; ties all surface (no arbitrary
+    top-1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(s),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+O_Q301 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q302_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold — the HAVING-driven semi join where the
+    qualifying-keys aggregate (tiny) broadcasts back onto the facts,
+    never the reverse."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 250))
+    return (o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("date").cast("string")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("sum_qty", 2).alias("sum_qty"))
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100))
+
+
+O_Q302 = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q303_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity, adapted to this schema's
+    columns): per nation group, customers with above-average positive
+    balance and NO urgent orders — correlated-average filter + anti
+    join, the dormant-rich-customer report (this generator gives every
+    customer at least one order, so "no orders at all" is vacuous; the
+    urgent-order variant keeps Q22's shape with a non-empty answer)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("ab")))
+    dormant = rich.join(
+        o.where(F.col("o_orderpriority") == "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (dormant.groupBy((F.col("c_nationkey") % 5)
+                            .alias("cntry_group"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+O_Q303 = """
+WITH ab AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+dormant AS (
+  SELECT c_nationkey, c_acctbal
+  FROM customer CROSS JOIN ab
+  WHERE c_acctbal > ab.ab
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT'))
+SELECT c_nationkey % 5 AS cntry_group, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM dormant GROUP BY 1
 """

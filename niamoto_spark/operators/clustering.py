@@ -185,3 +185,91 @@ def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
     return (core.join(assigned, "id", "left")
             .select("id", "is_core",
                     F.coalesce("cluster", F.lit(-1)).alias("cluster")))
+
+
+@register("silhouette_simplified", PluginType.TRANSFORMER)
+def silhouette_simplified(df: DataFrame, id_col: str, vec_col: str,
+                          cents: DataFrame,
+                          round_dp: int = 4) -> DataFrame:
+    """Simplified silhouette (Hruschka et al.): per point,
+    a = distance to OWN centroid, b = distance to the nearest OTHER
+    centroid, s = (b − a) / max(a, b); per-cluster mean s plus size.
+    The exact silhouette's O(n²) pairwise distances make it
+    uncomputable at corpus scale; the centroid form is the standard
+    surrogate and needs only a broadcast of k centroids — one scan,
+    one aggregate, same cost as kmeans_assign.
+
+    s near 1: tight, well-separated cluster; near 0: boundary; < 0:
+    points closer to another centroid than their own (mis-clustered).
+    Returns (cluster_id, n, mean_silhouette)."""
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.transform(F.col(vec_col),
+                                 lambda v: v.cast("double")).alias("__v"))
+    pairs = base.crossJoin(
+        F.broadcast(cents.select(F.col("cluster_id").alias("cid"),
+                                 "cent_vec")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("cent_vec"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    from pyspark.sql import Window
+
+    scored = pairs.select("__id", "cid", F.sqrt(d2).alias("d"))
+    own = scored.withColumn(
+        "__rn", F.row_number().over(
+            Window.partitionBy("__id").orderBy("d", "cid")))
+    # nearest centroid = own cluster (the kmeans_assign invariant);
+    # second nearest = b
+    a = own.where(F.col("__rn") == 1).select(
+        "__id", F.col("cid").alias("cluster_id"), F.col("d").alias("a"))
+    b = own.where(F.col("__rn") == 2).select(
+        "__id", F.col("d").alias("b"))
+    s = (a.join(b, "__id")
+         .withColumn("s", F.when(F.greatest("a", "b") > 0,
+                                 (F.col("b") - F.col("a"))
+                                 / F.greatest("a", "b"))
+                     .otherwise(0.0)))
+    return (s.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("s"), round_dp).alias("mean_silhouette")))
+
+
+@register("knn_classify", PluginType.TRANSFORMER)
+def knn_classify(train: DataFrame, test: DataFrame, id_col: str,
+                 vec_col: str, label_col: str, k: int = 5) -> DataFrame:
+    """k-nearest-neighbor classification by cosine similarity (dot
+    product on normalized embeddings): each test vector takes the
+    majority label of its k nearest TRAIN vectors — the zero-training
+    baseline every embedding space is judged by.
+
+    Brute-force scoring (test × train dot products) with the train
+    side streamed and the test side broadcast — right when test is
+    the small side (eval sets are); at larger test sets the IVF/SQ
+    lanes bound the candidate set first.  Majority ties break to the
+    SMALLER label (deterministic).  Returns (test id, pred_label,
+    votes)."""
+    from pyspark.sql import Window
+
+    t = test.select(F.col(id_col).alias("qid"),
+                    F.transform(F.col(vec_col),
+                                lambda v: v.cast("double")).alias("qv"))
+    tr = train.select(F.col(id_col).alias("tid"),
+                      F.transform(F.col(vec_col),
+                                  lambda v: v.cast("double")).alias("tv"),
+                      F.col(label_col).alias("lbl"))
+    pairs = tr.crossJoin(F.broadcast(t))
+    score = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("tv"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wk = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                           F.col("tid"))
+    nn = (pairs.select("qid", "tid", "lbl", score.alias("score"))
+          .withColumn("__rn", F.row_number().over(wk))
+          .where(F.col("__rn") <= k))
+    votes = nn.groupBy("qid", "lbl").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("qid").orderBy(F.col("votes").desc(),
+                                           F.col("lbl"))
+    return (votes.withColumn("__rn", F.row_number().over(wv))
+            .where(F.col("__rn") == 1)
+            .select(F.col("qid").alias(id_col),
+                    F.col("lbl").alias("pred_label"), "votes"))

@@ -1840,6 +1840,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q301_tpch_q15": q301_tpch_q15,
         "q302_tpch_q18": q302_tpch_q18,
         "q303_tpch_q22": q303_tpch_q22,
+        "q304_session_window": q304_session_window,
+        "q305_knn_classify": q305_knn_classify,
+        "q306_silhouette": q306_silhouette,
+        "q307_agg_surface": q307_agg_surface,
     }
 
 
@@ -5658,6 +5662,10 @@ def build_oracles() -> dict[str, str]:
         "q301_tpch_q15": O_Q301,
         "q302_tpch_q18": O_Q302,
         "q303_tpch_q22": O_Q303,
+        "q304_session_window": O_Q304,
+        "q305_knn_classify": O_Q305,
+        "q306_silhouette": O_Q306,
+        "q307_agg_surface": O_Q307,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -12123,4 +12131,206 @@ dormant AS (
 SELECT c_nationkey % 5 AS cntry_group, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM dormant GROUP BY 1
+"""
+
+
+def q304_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, batch mode): per-user
+    sessions with a 2-hour inactivity gap computed by Spark's builtin
+    session-window aggregation — the declarative counterpart of q31's
+    lag/flag/sum sessionization (same semantics, zero hand-rolled
+    windows).  Per-user session census; the oracle replays the island
+    construction in SQL."""
+    ev = _events(spark, sf_dir)
+    ts = F.timestamp_seconds(F.col("ts_sec"))
+    sess = (ev.groupBy("user_id",
+                       F.session_window(ts, "2 hours").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return (sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max("n_events").alias("max_session_events")))
+
+
+O_Q304 = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+  FROM events),
+f AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER w <= 7200 THEN 0 ELSE 1 END
+           AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+i AS (
+  SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+s AS (
+  SELECT user_id, sid, count(*) AS n_events FROM i GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(n_events) AS max_session_events
+FROM s GROUP BY 1
+"""
+
+
+def q305_knn_classify(spark, sf_dir):
+    """kNN classification over the embedding space
+    (operators/clustering.py:knn_classify): vec_id < 30 held out,
+    5-NN majority label from the rest, per-class accuracy — the
+    zero-training embedding-quality baseline.  The oracle refits the
+    entire dot-product ranking and majority vote in SQL."""
+    from niamoto_spark.operators.clustering import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    test = emb.where(F.col("vec_id") < 30)
+    train = emb.where(F.col("vec_id") >= 30)
+    pred = knn_classify(train, test, "vec_id", "embedding", "label",
+                        k=5)
+    truth = test.select("vec_id", F.col("label").alias("true_label"))
+    j = pred.join(truth, "vec_id")
+    return (j.groupBy("true_label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("pred_label") == F.col("true_label"))
+                       .cast("long")).alias("n_correct")))
+
+
+O_Q305 = """
+WITH flat AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+scores AS (
+  SELECT q.vec_id AS qid, t.vec_id AS tid,
+         max(t.label) AS lbl,
+         sum(q.x * t.x ORDER BY q.dim) AS score
+  FROM flat q JOIN flat t ON q.dim = t.dim
+  WHERE q.vec_id < 30 AND t.vec_id >= 30
+  GROUP BY 1, 2),
+nn AS (
+  SELECT qid, lbl,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, tid) AS rn
+  FROM scores),
+votes AS (
+  SELECT qid, lbl, count(*) AS votes FROM nn WHERE rn <= 5
+  GROUP BY 1, 2),
+pred AS (
+  SELECT qid, lbl AS pred_label,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, lbl) AS rn
+  FROM votes)
+SELECT e.label AS true_label, count(*) AS n,
+       CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred p JOIN embeddings e ON p.qid = e.vec_id
+WHERE p.rn = 1
+GROUP BY 1
+"""
+
+
+def q306_silhouette(spark, sf_dir):
+    """Clustering quality via simplified silhouette
+    (operators/clustering.py:silhouette_simplified): k-means
+    centroids (deterministic init, 2 Lloyd rounds), then per-cluster
+    mean (b − a)/max(a, b) against own vs nearest-other centroid —
+    the O(n·k) surrogate for the O(n²) exact silhouette.  The oracle
+    refits the SAME k-means (both Lloyd rounds) and the silhouette
+    algebra in SQL."""
+    from niamoto_spark.operators.clustering import (kmeans_fit,
+                                                    silhouette_simplified)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1)
+    return (silhouette_simplified(emb, "vec_id", "embedding", cents)
+            .orderBy("cluster_id"))
+
+
+O_Q306 = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+init AS (
+  SELECT vec_id AS cluster_id, dim, x AS c
+  FROM flat WHERE vec_id < 4),
+a0 AS (
+  SELECT f.vec_id, i.cluster_id,
+         sum((f.x - i.c) * (f.x - i.c)) AS d2
+  FROM flat f JOIN init i ON f.dim = i.dim
+  GROUP BY 1, 2),
+asg0 AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster_id) AS rn
+  FROM a0),
+cents AS (
+  SELECT a.cluster_id, f.dim, avg(f.x) AS c
+  FROM asg0 a JOIN flat f ON a.vec_id = f.vec_id
+  WHERE a.rn = 1
+  GROUP BY 1, 2),
+d AS (
+  SELECT f.vec_id, c.cluster_id AS cid,
+         sqrt(sum((f.x - c.c) * (f.x - c.c))) AS dist
+  FROM flat f JOIN cents c ON f.dim = c.dim
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rn
+  FROM d),
+ab AS (
+  SELECT r1.vec_id, r1.cid AS cluster_id, r1.dist AS a, r2.dist AS b
+  FROM ranked r1 JOIN ranked r2
+    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2)
+SELECT cluster_id, count(*) AS n,
+       round(avg(CASE WHEN GREATEST(a, b) > 0
+                      THEN (b - a) / GREATEST(a, b)
+                      ELSE 0.0 END), 4) AS mean_silhouette
+FROM ab GROUP BY 1 ORDER BY 1
+"""
+
+
+def q307_agg_surface(spark, sf_dir):
+    """Ordered-aggregate surface: listagg (sorted string_agg), exact
+    median, and conditional mass per nation over customer balances —
+    cross-engine parity for the aggregate toolkit beyond sum/avg
+    (complement of q57/q288 scalar surfaces).  The median is the
+    SUM of the two middle order statistics (2·median), NOT the
+    builtin: interpolated midpoints of 2-decimal money land exactly
+    on .005 boundaries where Spark rounds the shortest-decimal repr
+    half-up while DuckDB rounds the binary value down (the 4651.275
+    lesson); the mid-sum stays on the 2-decimal grid and never
+    touches a boundary."""
+    c = _t(spark, sf_dir, "customer")
+    arr = F.sort_array(F.collect_list(F.col("c_acctbal")
+                                      .cast("double")))
+    n_ = F.size(arr)
+    med2 = (F.element_at(arr, ((n_ + 1) / 2).cast("int"))
+            + F.element_at(arr, (n_ / 2 + 1).cast("int")))
+    seg = (c.groupBy(F.col("c_nationkey").alias("nk"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(med2, 2).alias("med_bal_x2"),
+                F.array_join(F.array_sort(F.collect_set("c_mktsegment")),
+                             ",").alias("segments"),
+                F.round(F.sum(F.when(F.col("c_acctbal") < 0,
+                                     F.col("c_acctbal"))), 2)
+                .alias("neg_mass")))
+    return seg.orderBy("nk")
+
+
+O_Q307 = """
+WITH g AS (
+  SELECT c_nationkey AS nk,
+         list_sort(list(CAST(c_acctbal AS DOUBLE))) AS arr,
+         count(*) AS n,
+         list_sort(list(DISTINCT c_mktsegment)) AS segs,
+         sum(CASE WHEN c_acctbal < 0 THEN c_acctbal END) AS neg
+  FROM customer GROUP BY 1)
+SELECT nk, n,
+       round(arr[CAST((n + 1) // 2 AS INT)]
+             + arr[CAST(n // 2 + 1 AS INT)], 2) AS med_bal_x2,
+       array_to_string(segs, ',') AS segments,
+       round(neg, 2) AS neg_mass
+FROM g ORDER BY 1
 """

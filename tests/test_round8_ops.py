@@ -523,3 +523,45 @@ def test_temporal_split_order_and_embargo(spark):
     tmax_train = max(i for i, s in out.items() if s == "train")
     tmin_test = min(i for i, s in out.items() if s == "test")
     assert tmax_train < tmin_test
+
+
+# --- knn_classify ----------------------------------------------------------
+
+def test_knn_majority_and_tiebreak(spark):
+    from niamoto_spark.operators.clustering import knn_classify
+
+    # train: 3 class-0 vectors near (1,0), 2 class-1 near (0,1)
+    train = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (12, [0.95, 0.05], 0),
+         (13, [0.0, 1.0], 1), (14, [0.1, 0.9], 1)],
+        "vec_id long, embedding array<double>, label int")
+    test = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [0.05, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           knn_classify(train, test, "vec_id", "embedding", "label",
+                        k=3).collect()}
+    assert out[0]["pred_label"] == 0 and out[0]["votes"] == 3
+    # point near class 1: 3-NN = two 1s + one 0 -> majority 1
+    assert out[1]["pred_label"] == 1 and out[1]["votes"] == 2
+
+
+# --- silhouette_simplified -------------------------------------------------
+
+def test_silhouette_tight_vs_boundary(spark):
+    from niamoto_spark.operators.clustering import silhouette_simplified
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])],
+        "cluster_id long, cent_vec array<double>")
+    pts = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [0.2, 0.0]),     # tight around c0
+         (3, [5.2, 0.0])],                     # near the boundary
+        "vec_id long, embedding array<double>")
+    out = {r["cluster_id"]: r for r in
+           silhouette_simplified(pts, "vec_id", "embedding",
+                                 cents).collect()}
+    assert out[0]["n"] == 2
+    assert out[0]["mean_silhouette"] > 0.9     # tight cluster
+    assert out[1]["n"] == 1
+    assert 0 <= out[1]["mean_silhouette"] < 0.1  # boundary point

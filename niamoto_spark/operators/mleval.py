@@ -287,3 +287,36 @@ def multilabel_metrics(df: DataFrame, actual_col: str, pred_col: str,
         F.round(rec, round_dp).alias("micro_recall"),
         F.round(f1, round_dp).alias("micro_f1"),
         F.round(F.col("mj"), round_dp).alias("mean_jaccard"))
+
+
+@register("forecast_accuracy", PluginType.TRANSFORMER)
+def forecast_accuracy(df: DataFrame, key_col: str, actual_col: str,
+                      pred_col: str, naive_err_col: str,
+                      round_dp: int = 4) -> DataFrame:
+    """Forecast accuracy per series: sMAPE (bounded percentage error)
+    and MASE (error scaled by a naive baseline's in-sample MAE — the
+    Hyndman-Koehler recommendation: MASE < 1 means the model beats
+    the naive forecaster, comparable ACROSS series of any scale,
+    which raw MAPE is not).
+
+    ``naive_err_col`` carries each row's |naive error| (e.g.
+    |y_t − y_{t−1}| from a lag window upstream) so the operator stays
+    one aggregate.  Returns (key, n, mae, smape, mase)."""
+    a = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    ae = F.abs(a - p)
+    sm = F.when(F.abs(a) + F.abs(p) > 0,
+                2 * ae / (F.abs(a) + F.abs(p))).otherwise(0.0)
+    agg = (df.groupBy(F.col(key_col).alias("key"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg(ae).alias("mae"),
+                F.avg(sm).alias("smape"),
+                F.avg(F.col(naive_err_col).cast("double"))
+                .alias("naive_mae")))
+    return agg.select(
+        F.col("key").alias(key_col), "n",
+        F.round("mae", round_dp).alias("mae"),
+        F.round("smape", round_dp).alias("smape"),
+        F.round(F.when(F.col("naive_mae") > 0,
+                       F.col("mae") / F.col("naive_mae"))
+                .otherwise(0.0), round_dp).alias("mase"))

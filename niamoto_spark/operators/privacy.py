@@ -78,3 +78,41 @@ def erase_entity(spark, table_paths: "list[str]", key_col: str,
         if vacuum_now:
             M.vacuum(path, keep_versions=1)
     return deleted
+
+
+@register("apply_masking", PluginType.TRANSFORMER)
+def apply_masking(df: DataFrame, policy: "dict[str, str]",
+                  salt: str = "") -> DataFrame:
+    """Column-level masking by policy — the data-sharing view builder
+    (complements k_anonymity/dp_counts aggregate guards with
+    ROW-preserving protection):
+
+    - 'pseudonym': md5(salt | value) first 12 hex — stable join key,
+      irreversible without the salt (same value -> same token, so
+      referential integrity across masked tables survives)
+    - 'last4': keep the last 4 characters, 'x' out the rest
+      (account/phone display convention)
+    - 'null': column becomes NULL (full suppression, keeps schema)
+    - 'bucket10': numerics floored to the nearest 10 (coarsening)
+
+    Pure projections; unlisted columns pass through untouched."""
+    out = df
+    for col, kind in policy.items():
+        c = F.col(col)
+        if kind == "pseudonym":
+            m = F.substring(F.md5(F.concat(F.lit(salt),
+                                           c.cast("string"))), 1, 12)
+        elif kind == "last4":
+            n = F.length(c.cast("string"))
+            m = F.when(n > 4, F.concat(
+                F.repeat(F.lit("x"), (n - 4).cast("int")),
+                F.substring(c.cast("string"), -4, 4))) \
+                .otherwise(c.cast("string"))
+        elif kind == "null":
+            m = F.lit(None).cast(dict(df.dtypes)[col])
+        elif kind == "bucket10":
+            m = (F.floor(c / 10) * 10).cast(dict(df.dtypes)[col])
+        else:
+            raise ValueError(f"apply_masking: unknown policy {kind!r}")
+        out = out.withColumn(col, m)
+    return out

@@ -1844,6 +1844,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q305_knn_classify": q305_knn_classify,
         "q306_silhouette": q306_silhouette,
         "q307_agg_surface": q307_agg_surface,
+        "q308_lateral_topn": q308_lateral_topn,
+        "q309_recursive_cte": q309_recursive_cte,
+        "q310_xml_ingest": q310_xml_ingest,
+        "q311_masking": q311_masking,
+        "q312_forecast_eval": q312_forecast_eval,
     }
 
 
@@ -5666,6 +5671,11 @@ def build_oracles() -> dict[str, str]:
         "q305_knn_classify": O_Q305,
         "q306_silhouette": O_Q306,
         "q307_agg_surface": O_Q307,
+        "q308_lateral_topn": O_Q308,
+        "q309_recursive_cte": O_Q309,
+        "q310_xml_ingest": O_Q310,
+        "q311_masking": O_Q311,
+        "q312_forecast_eval": O_Q312,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -12333,4 +12343,175 @@ SELECT nk, n,
        array_to_string(segs, ',') AS segments,
        round(neg, 2) AS neg_mass
 FROM g ORDER BY 1
+"""
+
+
+def q308_lateral_topn(spark, sf_dir):
+    """SQL LATERAL correlated subquery: each nation's top-2 customers
+    by balance via a per-row dependent subquery — the surface Spark
+    4 and DuckDB both execute natively (the optimizer decorrelates it
+    into the window plan q07-style code writes by hand)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql("""
+        SELECT n.n_name, t.c_name,
+               round(t.c_acctbal, 2) AS c_acctbal
+        FROM nation_v n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """)
+
+
+O_Q308 = """
+SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+def q309_recursive_cte(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x): suppliers arranged
+    in an implicit binary tree (parent = key / 2); the recursion
+    computes every node's depth and the per-depth census + key
+    checksum — transitive closure without the hand-rolled bfs_hops
+    loop (q-lane 149), in the SAME SQL both engines run."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql("""
+        WITH RECURSIVE tree (k, depth) AS (
+            SELECT s_suppkey, 0 FROM supplier_v WHERE s_suppkey = 1
+            UNION ALL
+            SELECT s.s_suppkey, t.depth + 1
+            FROM supplier_v s JOIN tree t
+              ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = t.k
+             AND s.s_suppkey > 1
+        )
+        SELECT depth, count(*) AS n, sum(k) AS key_sum
+        FROM tree GROUP BY depth
+    """)
+
+
+O_Q309 = """
+WITH RECURSIVE tree (k, depth) AS (
+    SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 1
+    UNION ALL
+    SELECT s.s_suppkey, t.depth + 1
+    FROM supplier s JOIN tree t
+      ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = t.k
+     AND s.s_suppkey > 1
+)
+SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+FROM tree GROUP BY depth
+"""
+
+
+def q310_xml_ingest(spark, sf_dir):
+    """XML ingestion (F.from_xml, built into Spark 4): orders rendered
+    as XML order documents, parsed back through a typed schema,
+    aggregated per status.  DuckDB has no XML parser, so the oracle
+    computes the aggregate DIRECTLY from orders — the match proves
+    from_xml exactly inverts the render (the q294 access-log
+    pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    xml = o.select(F.concat(
+        F.lit("<order><id>"), F.col("o_orderkey"),
+        F.lit("</id><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        F.format_number(F.col("o_totalprice"), 2),
+        F.lit("</total></order>")).alias("doc"))
+    parsed = xml.select(
+        F.from_xml("doc", "id BIGINT, status STRING, total STRING")
+        .alias("p")).select("p.*")
+    amount = F.regexp_replace("total", ",", "").cast("double")
+    return (parsed.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("id").alias("max_id"),
+                 F.round(F.sum(amount), 2).alias("total_amount")))
+
+
+O_Q310 = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       max(o_orderkey) AS max_id,
+       round(sum(round(o_totalprice, 2)), 2) AS total_amount
+FROM orders GROUP BY 1
+"""
+
+
+def q311_masking(spark, sf_dir):
+    """Column masking policies (operators/privacy.py:apply_masking):
+    customers shared with names pseudonymized (salted md5 token),
+    balances coarsened to 10s, segment suppressed — row-preserving
+    governance beside the aggregate guards (q223/q167).  The oracle
+    replays every mask, and the pseudonym JOIN-stability is pinned by
+    counting distinct tokens == distinct names."""
+    from niamoto_spark.operators.privacy import apply_masking
+
+    c = _t(spark, sf_dir, "customer")
+    m = apply_masking(c, {"c_name": "pseudonym",
+                          "c_acctbal": "bucket10",
+                          "c_mktsegment": "null"}, salt="s1")
+    return (m.groupBy(F.col("c_acctbal").alias("bal_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("c_name").alias("n_tokens"),
+                 F.min("c_name").alias("first_token"),
+                 F.max("c_mktsegment").alias("seg_leak")))
+
+
+O_Q311 = """
+WITH m AS (
+  SELECT substr(md5('s1' || c_name), 1, 12) AS tok,
+         CAST(floor(c_acctbal / 10) * 10 AS DOUBLE) AS bal
+  FROM customer)
+SELECT bal AS bal_bucket, count(*) AS n,
+       count(DISTINCT tok) AS n_tokens, min(tok) AS first_token,
+       CAST(NULL AS VARCHAR) AS seg_leak
+FROM m GROUP BY 1
+"""
+
+
+def q312_forecast_eval(spark, sf_dir):
+    """Forecast accuracy (operators/mleval.py:forecast_accuracy):
+    Holt-free baseline shootout on per-type daily means — predict
+    each day with the PREVIOUS day (naive-1) and score sMAPE/MASE
+    against the naive baseline itself (MASE == 1 by construction for
+    the naive model: the self-test that pins the metric's scaling).
+    The oracle replays the lag features and both metrics."""
+    from niamoto_spark.operators.mleval import forecast_accuracy
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.floor(F.col("ts_sec") / 86_400)
+                        .cast("long").alias("day"))
+             .agg(F.avg("value").alias("y")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    feats = (daily.withColumn("pred", F.lag("y").over(w))
+             .withColumn("naive_err",
+                         F.abs(F.col("y") - F.lag("y").over(w)))
+             .where(F.col("pred").isNotNull()))
+    return forecast_accuracy(feats, "event_type", "y", "pred",
+                             "naive_err")
+
+
+O_Q312 = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2),
+f AS (
+  SELECT event_type, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY day) AS pred
+  FROM daily)
+SELECT event_type, count(*) AS n,
+       round(avg(abs(y - pred)), 4) AS mae,
+       round(avg(CASE WHEN abs(y) + abs(pred) > 0
+                      THEN 2 * abs(y - pred) / (abs(y) + abs(pred))
+                      ELSE 0.0 END), 4) AS smape,
+       round(CAST(CASE WHEN avg(abs(y - pred)) > 0
+                       THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS mase
+FROM f WHERE pred IS NOT NULL
+GROUP BY 1
 """

@@ -565,3 +565,53 @@ def test_silhouette_tight_vs_boundary(spark):
     assert out[0]["mean_silhouette"] > 0.9     # tight cluster
     assert out[1]["n"] == 1
     assert 0 <= out[1]["mean_silhouette"] < 0.1  # boundary point
+
+
+# --- apply_masking ---------------------------------------------------------
+
+def test_masking_policies(spark):
+    from niamoto_spark.operators.privacy import apply_masking
+
+    df = spark.createDataFrame(
+        [("Alice Smith", "4111222233334444", 87.0, "GOLD"),
+         ("Bob", "123", 12.0, "SILVER")],
+        "name string, card string, bal double, tier string")
+    m = {r["card"] is not None and len(r["card"]) or 0: r for r in []}
+    out = {r["bal"]: r for r in apply_masking(
+        df, {"name": "pseudonym", "card": "last4",
+             "tier": "null", "bal": "bucket10"}, salt="z").collect()}
+    a = out[80.0]
+    assert len(a["name"]) == 12 and a["name"] != "Alice Smith"
+    assert a["card"] == "x" * 12 + "4444"
+    assert a["tier"] is None
+    b = out[10.0]
+    assert b["card"] == "123"                  # short strings unmasked tail
+    # pseudonym is deterministic under the same salt, differs across salts
+    again = apply_masking(df, {"name": "pseudonym"}, salt="z").collect()
+    other = apply_masking(df, {"name": "pseudonym"}, salt="w").collect()
+    assert {r["name"] for r in again} \
+        == {out[80.0]["name"], out[10.0]["name"]}
+    assert {r["name"] for r in other} != {r["name"] for r in again}
+
+
+def test_masking_unknown_policy_raises(spark):
+    from niamoto_spark.operators.privacy import apply_masking
+
+    df = spark.createDataFrame([("x",)], "a string")
+    with pytest.raises(ValueError, match="unknown policy"):
+        apply_masking(df, {"a": "rot13"})
+
+
+# --- forecast_accuracy -----------------------------------------------------
+
+def test_forecast_accuracy_hand_computed(spark):
+    from niamoto_spark.operators.mleval import forecast_accuracy
+
+    # actual 10, pred 8 -> ae 2, smape 2*2/18; naive_err 4
+    rows = [("s", 10.0, 8.0, 4.0), ("s", 20.0, 20.0, 2.0)]
+    df = spark.createDataFrame(
+        rows, "k string, y double, p double, ne double")
+    r = forecast_accuracy(df, "k", "y", "p", "ne").first()
+    assert r["mae"] == pytest.approx(1.0)
+    assert r["smape"] == pytest.approx((2 * 2 / 18 + 0) / 2, abs=1e-4)
+    assert r["mase"] == pytest.approx(1.0 / 3.0, abs=1e-4)

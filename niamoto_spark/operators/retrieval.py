@@ -234,3 +234,43 @@ def query_text_index(spark, path: str, queries: DataFrame,
             .where(F.col("rank") <= k)
             .select(F.col("__q").alias(query_id),
                     F.col("doc").alias(id_col), "score", "rank"))
+
+
+@register("rbo_similarity", PluginType.TRANSFORMER)
+def rbo_similarity(a: DataFrame, b: DataFrame, key_col: str,
+                   item_col: str, rank_col: str, depth: int = 10,
+                   p: float = 0.9, round_dp: int = 4) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010) between two rankings
+    per key, truncated at ``depth``:
+
+        RBO = (1 − p) · Σ_{d=1..D} p^(d−1) · |A_d ∩ B_d| / d
+
+    — the top-weighted ranking-similarity measure (Kendall tau treats
+    rank 1 and rank 100 swaps alike; search/reco comparisons must
+    not).  Items appearing in only one ranking contribute nothing,
+    handling the non-conjoint case.
+
+    Shape: both sides filtered to rank <= D (tiny), inner-joined on
+    (key, item), then each matched item contributes
+    Σ_{d >= max(ra, rb)} p^(d−1)/d — expanded over the CONSTANT depth
+    range with one explode, one aggregate.  Returns (key, n_matched,
+    rbo)."""
+    ra = a.select(F.col(key_col).alias("key"),
+                  F.col(item_col).alias("item"),
+                  F.col(rank_col).alias("ra")).where(F.col("ra") <= depth)
+    rb = b.select(F.col(key_col).alias("key"),
+                  F.col(item_col).alias("item"),
+                  F.col(rank_col).alias("rb")).where(F.col("rb") <= depth)
+    m = ra.join(rb, ["key", "item"])
+    start = F.greatest("ra", "rb")
+    d = F.explode(F.sequence(start, F.lit(int(depth)))).alias("d")
+    contrib = m.select("key", d).select(
+        "key", (F.pow(F.lit(float(p)), F.col("d") - 1)
+                / F.col("d")).alias("c"))
+    per = (contrib.groupBy("key")
+           .agg(F.round(F.sum("c") * (1 - float(p)), round_dp)
+                .alias("rbo")))
+    nm = m.groupBy("key").agg(F.count(F.lit(1)).alias("n_matched"))
+    return (nm.join(per, "key", "left")
+            .select(F.col("key").alias(key_col), "n_matched",
+                    F.coalesce("rbo", F.lit(0.0)).alias("rbo")))

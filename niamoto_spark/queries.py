@@ -1849,6 +1849,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q310_xml_ingest": q310_xml_ingest,
         "q311_masking": q311_masking,
         "q312_forecast_eval": q312_forecast_eval,
+        "q313_rbo": q313_rbo,
+        "q314_calendar_spine": q314_calendar_spine,
     }
 
 
@@ -5676,6 +5678,8 @@ def build_oracles() -> dict[str, str]:
         "q310_xml_ingest": O_Q310,
         "q311_masking": O_Q311,
         "q312_forecast_eval": O_Q312,
+        "q313_rbo": O_Q313,
+        "q314_calendar_spine": O_Q314,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -12513,5 +12517,143 @@ SELECT event_type, count(*) AS n,
        round(CAST(CASE WHEN avg(abs(y - pred)) > 0
                        THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS mase
 FROM f WHERE pred IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q313_rbo(spark, sf_dir):
+    """Rank-Biased Overlap (operators/retrieval.py:rbo_similarity):
+    per-nation brand-revenue rankings from two half-years compared
+    with the top-weighted RBO measure — how stable is each market's
+    brand order?  The oracle replays ranking construction, the
+    matched-pair join and the p^(d-1)/d expansion."""
+    from pyspark.sql import Window
+
+    from niamoto_spark.operators.retrieval import rbo_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    base = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(p),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select(F.col("c_nationkey").alias("nk"), "p_brand",
+                    F.year("o_orderdate").alias("yr"),
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("rev")))
+
+    def ranking(pred):
+        w = Window.partitionBy("nk").orderBy(
+            F.col("rev").desc(), "p_brand")
+        return (base.where(pred).groupBy("nk", "p_brand")
+                .agg(F.sum("rev").alias("rev"))
+                .withColumn("rnk", F.row_number().over(w)))
+
+    ra = ranking(F.col("yr") <= 1997)
+    rb = ranking(F.col("yr") >= 1998)
+    return (rbo_similarity(ra, rb, "nk", "p_brand", "rnk",
+                           depth=10, p=0.9)
+            .orderBy("nk"))
+
+
+O_Q313 = """
+WITH base AS (
+  SELECT c_nationkey AS nk, p_brand,
+         year(o_orderdate) AS yr,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey),
+ra AS (
+  SELECT nk, p_brand,
+         row_number() OVER (PARTITION BY nk
+                            ORDER BY sum(rev) DESC, p_brand) AS ra
+  FROM base WHERE yr <= 1997 GROUP BY nk, p_brand),
+rb AS (
+  SELECT nk, p_brand,
+         row_number() OVER (PARTITION BY nk
+                            ORDER BY sum(rev) DESC, p_brand) AS rb
+  FROM base WHERE yr >= 1998 GROUP BY nk, p_brand),
+m AS (
+  SELECT ra.nk, GREATEST(ra.ra, rb.rb) AS s
+  FROM ra JOIN rb ON ra.nk = rb.nk AND ra.p_brand = rb.p_brand
+  WHERE ra.ra <= 10 AND rb.rb <= 10),
+expanded AS (
+  SELECT nk, unnest(range(s, 11)) AS d FROM m),
+per AS (
+  SELECT nk, round(sum(pow(0.9, d - 1) / d) * 0.1, 4) AS rbo
+  FROM expanded GROUP BY 1),
+nm AS (SELECT nk, count(*) AS n_matched FROM m GROUP BY 1)
+SELECT nm.nk, nm.n_matched, coalesce(per.rbo, 0.0) AS rbo
+FROM nm LEFT JOIN per ON nm.nk = per.nk
+"""
+
+
+def q314_calendar_spine(spark, sf_dir):
+    """Date-spine calendar join (the dbt date-dimension staple): a
+    dense day sequence over the order date range, engine-neutral
+    weekday arithmetic (days-since-Monday-epoch mod 7 — Spark and
+    DuckDB disagree on dayofweek numbering), month-end flags, LEFT
+    join to daily revenue so no-order days surface as zeros.  Monthly
+    rollup counts them."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+                   F.max(F.col("o_orderdate").cast("date")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    dow = F.pmod(F.datediff(F.col("day"),
+                            F.lit("1970-01-05").cast("date")), 7)
+    cal = (spine.withColumn("dow", dow)
+           .withColumn("is_month_end",
+                       (F.col("day") == F.last_day("day")).cast("int")))
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum("o_totalprice").alias("rev")))
+    j = cal.join(daily, "day", "left")
+    return (j.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum((F.col("n_orders").isNull()).cast("long"))
+                 .alias("dead_days"),
+                 F.sum(F.when(F.col("dow") >= 5,
+                              F.coalesce("rev", F.lit(0.0)))
+                       .otherwise(0.0)).cast("double").alias("__we"),
+                 F.round(F.sum(F.coalesce("rev", F.lit(0.0))), 2)
+                 .alias("revenue"))
+            .select("month", "n_days", "dead_days",
+                    F.round(F.col("__we"), 2).alias("weekend_revenue"),
+                    "revenue"))
+
+
+O_Q314 = """
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM bounds),
+cal AS (
+  SELECT day,
+         CAST(date_diff('day', DATE '1970-01-05', day) % 7 + 7 AS INT)
+           % 7 AS dow,
+         CASE WHEN day = last_day(day) THEN 1 ELSE 0 END
+           AS is_month_end
+  FROM spine),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1)
+SELECT strftime(cal.day, '%Y-%m') AS month, count(*) AS n_days,
+       CAST(sum(CASE WHEN daily.n_orders IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS dead_days,
+       round(sum(CASE WHEN cal.dow >= 5
+                      THEN coalesce(daily.rev, 0.0) ELSE 0.0 END), 2)
+         AS weekend_revenue,
+       round(sum(coalesce(daily.rev, 0.0)), 2) AS revenue
+FROM cal LEFT JOIN daily ON cal.day = daily.day
 GROUP BY 1
 """

@@ -615,3 +615,46 @@ def test_forecast_accuracy_hand_computed(spark):
     assert r["mae"] == pytest.approx(1.0)
     assert r["smape"] == pytest.approx((2 * 2 / 18 + 0) / 2, abs=1e-4)
     assert r["mase"] == pytest.approx(1.0 / 3.0, abs=1e-4)
+
+
+# --- rbo_similarity --------------------------------------------------------
+
+def test_rbo_identical_and_disjoint(spark):
+    from niamoto_spark.operators.retrieval import rbo_similarity
+
+    items = [("q", f"i{r}", r) for r in range(1, 11)]
+    a = spark.createDataFrame(items, "k string, item string, r int")
+    # identical rankings -> RBO = (1-p) sum p^(d-1) * d/d = 1 - p^D
+    r = rbo_similarity(a, a, "k", "item", "r", depth=10, p=0.9).first()
+    assert r["n_matched"] == 10
+    assert r["rbo"] == pytest.approx(1 - 0.9 ** 10, abs=1e-3)
+    b = spark.createDataFrame([("q", f"z{r}", r) for r in range(1, 11)],
+                              "k string, item string, r int")
+    # disjoint rankings -> no matched rows at all
+    assert rbo_similarity(a, b, "k", "item", "r").count() == 0
+
+
+def test_rbo_top_weighted(spark):
+    """Agreement at rank 1 must outweigh agreement at rank 10."""
+    from niamoto_spark.operators.retrieval import rbo_similarity
+
+    base = [("q", f"i{r}", r) for r in range(1, 11)]
+    a = spark.createDataFrame(base, "k string, item string, r int")
+
+    def swap(i, j):
+        rows = []
+        for k, it, r in base:
+            r2 = j if r == i else i if r == j else r
+            rows.append((k, f"x{r}" if r2 != r and False else it, r2))
+        return spark.createDataFrame(
+            [(k, it, r2) for (k, it, _), (_, _, r2)
+             in zip(base, rows)], "k string, item string, r int")
+
+    # replace top item vs replace bottom item
+    top_off = spark.createDataFrame(
+        [("q", "other", 1)] + base[1:], "k string, item string, r int")
+    bot_off = spark.createDataFrame(
+        base[:9] + [("q", "other", 10)], "k string, item string, r int")
+    rbo_top = rbo_similarity(a, top_off, "k", "item", "r").first()["rbo"]
+    rbo_bot = rbo_similarity(a, bot_off, "k", "item", "r").first()["rbo"]
+    assert rbo_top < rbo_bot                   # losing rank 1 hurts more

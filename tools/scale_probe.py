@@ -333,6 +333,92 @@ def main() -> None:
     print(f"stump_split (1 Expand + (feature,bin) agg): {dt:.2f}s "
           f"({n / dt / 1e6:.1f}M rows/s)")
 
+    # ---- round-8 operators ------------------------------------------------
+    from niamoto_spark.operators.sketches import bitmap_distinct_rollup
+    from niamoto_spark.operators.timeseries import (counter_rate,
+                                                    ohlc_bars,
+                                                    state_periods,
+                                                    time_weighted_avg)
+
+    t0 = time.time()
+    time_weighted_avg(bev, "user_id", "ts_sec", "value",
+                      "event_id").count()
+    dt = time.time() - t0
+    print(f"time_weighted_avg (1 window + 1 agg): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+    t0 = time.time()
+    ohlc_bars(bev, "event_type", "ts_sec", "value", "event_id",
+              granule_s=3600).count()
+    dt = time.time() - t0
+    print(f"ohlc_bars (map-side min_by/max_by, no window): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+    t0 = time.time()
+    state_periods(bev, "user_id", "ts_sec", "event_type",
+                  "event_id").count()
+    dt = time.time() - t0
+    print(f"state_periods (islands, 1 sort): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+    t0 = time.time()
+    counter_rate(bev, "user_id", "ts_sec", "value", "event_id").count()
+    dt = time.time() - t0
+    print(f"counter_rate (lag + agg): {dt:.2f}s "
+          f"({ne / dt / 1e6:.1f}M rows/s)")
+
+    t0 = time.time()
+    bitmap_distinct_rollup(bev, "event_type", "user_id").count()
+    dt_bm = time.time() - t0
+    t0 = time.time()
+    bev.groupBy("event_type").agg(
+        F.count_distinct("user_id")).count()
+    bev.agg(F.count_distinct("user_id")).count()
+    dt_cd = time.time() - t0
+    print(f"bitmap_distinct per-group+total: {dt_bm:.2f}s vs "
+          f"count_distinct twice: {dt_cd:.2f}s "
+          f"({dt_cd / max(dt_bm, 1e-9):.1f}x from bitmap reuse)")
+
+    # Adamic-Adar stays bounded: supplier co-order graph at 16x facts
+    from niamoto_spark.operators.graph import adamic_adar
+
+    t0 = time.time()
+    npairs = adamic_adar(
+        big.select(F.col("l_suppkey").alias("item"),
+                   F.col("l_orderkey").alias("grp")),
+        "item", "grp").count()
+    dt = time.time() - t0
+    print(f"adamic_adar ({npairs:,} pairs from {n:,} memberships): "
+          f"{dt:.2f}s ({n / dt / 1e6:.1f}M rows/s)")
+
+    # DV-carry read tax: after the round-8 fix an append on a
+    # DV-carrying table keeps the vectors; the read must still be
+    # ~full-scan speed (broadcast anti join on the tiny DV set).
+    import shutil as _sh
+    import tempfile as _tf
+
+    tdir3 = _tf.mkdtemp(prefix="probe_dvcarry_")
+    try:
+        tbl4 = os.path.join(tdir3, "t")
+        M.append(big.select("l_orderkey", "l_quantity")
+                 .repartition(32), tbl4)
+        M.delete_where_mor(spark, tbl4, "l_orderkey % 50000 = 0")
+        M.append(big.select("l_orderkey", "l_quantity").limit(1000),
+                 tbl4)                       # carries the DV forward
+        t0 = time.time()
+        n_clean = M.read_table(spark, tbl4).count()
+        dt_dv = time.time() - t0
+        t0 = time.time()
+        spark.read.parquet(
+            *M._read_manifest(tbl4, M.committed_version(tbl4))["files"]
+        ).count()
+        dt_raw = time.time() - t0
+        print(f"DV carried across append: read {n_clean:,} rows in "
+              f"{dt_dv:.2f}s vs raw scan {dt_raw:.2f}s "
+              f"({dt_dv / max(dt_raw, 1e-9):.2f}x tax)")
+    finally:
+        _sh.rmtree(tdir3, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

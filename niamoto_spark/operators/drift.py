@@ -167,3 +167,45 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str,
                                    F.sqrt(F.col("__chi2")
                                           / F.lit(float(n * k))))
                             .otherwise(0.0), round_dp).alias("v")))
+
+
+@register("embedding_drift", PluginType.TRANSFORMER)
+def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str,
+                    group_col: str | None = None,
+                    round_dp: int = 4) -> DataFrame:
+    """Embedding-space drift between two corpus slices: per group (or
+    overall), the Euclidean distance between slice CENTROIDS and the
+    ratio of mean within-slice norms — the cheap first-alarm for "the
+    embedding distribution moved" (retrain triggers, upstream encoder
+    swaps), where PSI/KS on raw floats per-dim drown in noise.
+
+    Two aggregates (one per slice: per-dim mean via array fold into a
+    posexplode-free element-wise avg) + a tiny join — no pairwise
+    distances, fully linear.  Returns (group, n_ref, n_cur,
+    centroid_dist, norm_ratio)."""
+    def side(df, tag):
+        g = (F.col(group_col) if group_col else F.lit("all")) \
+            .alias("grp")
+        ex = df.select(g, F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double")))
+            .alias("dim", "x"))
+        per_dim = (ex.groupBy("grp", "dim")
+                   .agg(F.avg("x").alias(f"m_{tag}"),
+                        F.count(F.lit(1)).alias(f"n_{tag}")))
+        return per_dim
+
+    r = side(ref, "ref")
+    c = side(cur, "cur")
+    j = r.join(c, ["grp", "dim"])
+    return (j.groupBy("grp")
+            .agg(F.max("n_ref").alias("n_ref"),
+                 F.max("n_cur").alias("n_cur"),
+                 F.round(F.sqrt(F.sum(
+                     (F.col("m_ref") - F.col("m_cur"))
+                     * (F.col("m_ref") - F.col("m_cur")))), round_dp)
+                 .alias("centroid_dist"),
+                 F.round(F.sqrt(F.sum(F.col("m_cur") * F.col("m_cur")))
+                         / F.sqrt(F.sum(F.col("m_ref")
+                                        * F.col("m_ref"))), round_dp)
+                 .alias("centroid_norm_ratio"))
+            .withColumnRenamed("grp", group_col or "group"))

@@ -895,3 +895,41 @@ def counter_rate(df: DataFrame, key_col: str, ts_col: str,
         F.round(F.when(F.col("span") > 0,
                        F.col("increase") / F.col("span"))
                  .otherwise(0.0), round_dp + 2).alias("rate_per_s"))
+
+
+@register("rolling_active_users", PluginType.TRANSFORMER)
+def rolling_active_users(df: DataFrame, entity_col: str, ts_col: str,
+                         window_days: int = 7,
+                         granule_s: int = 86_400,
+                         round_dp: int = 4) -> DataFrame:
+    """Rolling N-day active entities per day (the WAU/MAU curve) plus
+    the DAU/WAU stickiness ratio — the growth dashboard's headline
+    line, which cumulative_unique (all-time) and growth_accounting
+    (single-period) cannot give.
+
+    A distinct (entity, day) table joined to a CONSTANT-width day
+    range (each activity row lands in ``window_days`` buckets — an
+    explode bounded by the window, not the data), then one distinct
+    count per day.  Days with zero activity in range don't appear
+    (join densification lives in fill_time_gaps).  Returns
+    (day, dau, rolling_active, stickiness)."""
+    day = F.floor(F.col(ts_col) / granule_s).cast("long")
+    act = (df.select(F.col(entity_col).alias("u"), day.alias("d"))
+           .distinct())
+    spread = act.select(
+        "u", F.explode(F.sequence(F.col("d"),
+                                  F.col("d") + window_days - 1))
+        .alias("day"))
+    rolling = (spread.groupBy("day")
+               .agg(F.count_distinct("u").alias("rolling_active")))
+    dau = act.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("u").alias("dau"))
+    lo_hi = act.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).first()
+    return (rolling.join(dau, "day", "left")
+            .where((F.col("day") >= lo_hi["lo"] + window_days - 1)
+                   & (F.col("day") <= lo_hi["hi"]))
+            .select("day", F.coalesce("dau", F.lit(0)).alias("dau"),
+                    "rolling_active",
+                    F.round(F.coalesce("dau", F.lit(0))
+                            / F.col("rolling_active"), round_dp)
+                    .alias("stickiness")))

@@ -1851,6 +1851,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q312_forecast_eval": q312_forecast_eval,
         "q313_rbo": q313_rbo,
         "q314_calendar_spine": q314_calendar_spine,
+        "q315_rolling_active": q315_rolling_active,
+        "q316_embedding_drift": q316_embedding_drift,
+        "q317_stream_ohlc": q317_stream_ohlc,
     }
 
 
@@ -5680,6 +5683,9 @@ def build_oracles() -> dict[str, str]:
         "q312_forecast_eval": O_Q312,
         "q313_rbo": O_Q313,
         "q314_calendar_spine": O_Q314,
+        "q315_rolling_active": O_Q315,
+        "q316_embedding_drift": O_Q316,
+        "q317_stream_ohlc": O_Q317,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -12656,4 +12662,142 @@ SELECT strftime(cal.day, '%Y-%m') AS month, count(*) AS n_days,
        round(sum(coalesce(daily.rev, 0.0)), 2) AS revenue
 FROM cal LEFT JOIN daily ON cal.day = daily.day
 GROUP BY 1
+"""
+
+
+def q315_rolling_active(spark, sf_dir):
+    """Rolling 7-day active users + DAU/WAU stickiness
+    (operators/timeseries.py:rolling_active_users): each (user, day)
+    activity row spreads into a CONSTANT 7 window buckets (explode
+    bounded by the window, never the data), one distinct count per
+    day.  The oracle replays the spread and both counts."""
+    from niamoto_spark.operators.timeseries import rolling_active_users
+
+    ev = _events(spark, sf_dir)
+    return rolling_active_users(ev, "user_id", "ts_sec",
+                                window_days=7)
+
+
+O_Q315 = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+  FROM events),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM act),
+spread AS (
+  SELECT user_id, unnest(range(d, d + 7)) AS day FROM act),
+rolling AS (
+  SELECT day, count(DISTINCT user_id) AS rolling_active
+  FROM spread GROUP BY 1),
+dau AS (
+  SELECT d AS day, count(DISTINCT user_id) AS dau FROM act GROUP BY 1)
+SELECT r.day, coalesce(dau.dau, 0) AS dau, r.rolling_active,
+       round(coalesce(dau.dau, 0)
+             / CAST(r.rolling_active AS DOUBLE), 4) AS stickiness
+FROM rolling r LEFT JOIN dau ON r.day = dau.day
+CROSS JOIN bounds
+WHERE r.day >= bounds.lo + 6 AND r.day <= bounds.hi
+"""
+
+
+def q316_embedding_drift(spark, sf_dir):
+    """Embedding drift (operators/drift.py:embedding_drift): centroid
+    distance and norm ratio between the first and second half of the
+    embedding corpus, per label — the linear-cost embedding-space
+    monitor.  The oracle refits both per-dim centroids and the
+    distance algebra."""
+    from niamoto_spark.operators.drift import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    ref = emb.where(F.col("vec_id") <= mid)
+    cur = emb.where(F.col("vec_id") > mid)
+    return (embedding_drift(ref, cur, "embedding", group_col="label")
+            .orderBy("label"))
+
+
+O_Q316 = """
+WITH mid AS (
+  SELECT quantile_cont(CAST(vec_id AS DOUBLE), 0.5) AS m
+  FROM embeddings),
+flat AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+r AS (
+  SELECT label AS grp, dim, avg(x) AS m_ref,
+         count(*) AS n_ref
+  FROM flat CROSS JOIN mid WHERE vec_id <= mid.m GROUP BY 1, 2),
+c AS (
+  SELECT label AS grp, dim, avg(x) AS m_cur,
+         count(*) AS n_cur
+  FROM flat CROSS JOIN mid WHERE vec_id > mid.m GROUP BY 1, 2)
+SELECT r.grp AS label, max(r.n_ref) AS n_ref, max(c.n_cur) AS n_cur,
+       round(sqrt(sum((r.m_ref - c.m_cur) * (r.m_ref - c.m_cur))), 4)
+         AS centroid_dist,
+       round(sqrt(sum(c.m_cur * c.m_cur))
+             / sqrt(sum(r.m_ref * r.m_ref)), 4)
+         AS centroid_norm_ratio
+FROM r JOIN c ON r.grp = c.grp AND r.dim = c.dim
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q317_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC bars: the round-8 min_by/max_by candlestick
+    aggregation running as a WATERMARKED streaming query (availableNow
+    drain) — stream==batch parity for ordered aggregates, extending
+    the streaming lane beyond counts/distinct (q54/q263).  Oracle:
+    the batch OHLC SQL."""
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_sohlc_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(stream_dir):
+        shutil.rmtree(stream_dir)
+    os.makedirs(stream_dir)
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = _ts_to_timestamp(
+        spark.readStream.schema(schema).parquet(stream_dir))
+    tsec = F.unix_timestamp("ts").cast("double")
+    ok = (tsec * 1_000_000
+          + F.col("event_id").cast("double") % 1_000_000)
+    day = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 86_400) * 86_400)
+    bars = (stream.withColumn("__day", day).withColumn("__ok", ok)
+            .withWatermark("__day", "1 hour")
+            .groupBy("__day", "event_type")
+            .agg(F.round(F.min_by("value", "__ok"), 4).alias("open"),
+                 F.round(F.max("value"), 4).alias("high"),
+                 F.round(F.min("value"), 4).alias("low"),
+                 F.round(F.max_by("value", "__ok"), 4).alias("close"),
+                 F.count(F.lit(1)).alias("n")))
+    qname = "q317_sohlc"
+    for q_ in [q_ for q_ in spark.streams.active if q_.name == qname]:
+        q_.stop()
+    q = (bars.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .select((F.unix_timestamp("__day") / 86_400)
+                    .cast("long").alias("bucket"),
+                    "event_type", "open", "high", "low", "close", "n"))
+
+
+O_Q317 = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         value AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) * 1000000
+           + event_id % 1000000 AS ok
+  FROM events)
+SELECT CAST(floor(t / 86400.0) AS BIGINT) AS bucket, event_type,
+       round(arg_min(v, ok), 4) AS open, round(max(v), 4) AS high,
+       round(min(v), 4) AS low, round(arg_max(v, ok), 4) AS close,
+       count(*) AS n
+FROM e GROUP BY 1, 2
 """

@@ -10101,19 +10101,26 @@ def q257_window_surface(spark, sf_dir):
     e = (o.withColumn("rn", F.row_number().over(w))
          .withColumn("rk", F.rank().over(wd))
          .withColumn("drk", F.dense_rank().over(wd))
-         .withColumn("pr", F.round(F.percent_rank().over(w), 6))
-         .withColumn("cd", F.round(F.cume_dist().over(w), 6))
+         .withColumn("pr", F.floor(F.percent_rank().over(w)
+                                   * 1_000_000 + 0.5).cast("long"))
+         .withColumn("cd", F.floor(F.cume_dist().over(w)
+                                   * 1_000_000 + 0.5).cast("long"))
          .withColumn("lg", F.lag("o_totalprice", 1, 0.0).over(w))
          .withColumn("ld", F.lead("o_totalprice", 1, 0.0).over(w))
          .withColumn("nt", F.ntile(4).over(w)))
+    # checksums are EXACT integers (micro-units via floor(x*1e6+0.5),
+    # neighbor money in cents): a float sum over 18k rounded doubles
+    # flips its 4dp rounding with summation order under load (the
+    # r8 full-gate flake), integers never do
+    cents = (F.floor(F.col("lg") * 100 + 0.5)
+             + F.floor(F.col("ld") * 100 + 0.5)).cast("long")
     return (e.groupBy("o_orderpriority")
             .agg(F.sum("rn").alias("sum_rn"),
                  F.sum("rk").alias("sum_rk"),
                  F.sum("drk").alias("sum_drk"),
-                 F.round(F.sum("pr"), 4).alias("sum_pr"),
-                 F.round(F.sum("cd"), 4).alias("sum_cd"),
-                 F.round(F.sum(F.col("lg") + F.col("ld")), 2)
-                 .alias("sum_neighbors"),
+                 F.sum("pr").alias("sum_pr"),
+                 F.sum("cd").alias("sum_cd"),
+                 F.sum(cents).alias("sum_neighbor_cents"),
                  F.sum("nt").alias("sum_ntile")))
 
 
@@ -10123,8 +10130,10 @@ WITH e AS (
          row_number() OVER w AS rn,
          rank() OVER wd AS rk,
          dense_rank() OVER wd AS drk,
-         round(percent_rank() OVER w, 6) AS pr,
-         round(cume_dist() OVER w, 6) AS cd,
+         CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+           AS pr,
+         CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+           AS cd,
          coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS lg,
          coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS ld,
          ntile(4) OVER w AS nt
@@ -10137,9 +10146,11 @@ SELECT o_orderpriority,
        CAST(sum(rn) AS BIGINT) AS sum_rn,
        CAST(sum(rk) AS BIGINT) AS sum_rk,
        CAST(sum(drk) AS BIGINT) AS sum_drk,
-       round(sum(pr), 4) AS sum_pr,
-       round(sum(cd), 4) AS sum_cd,
-       round(sum(lg + ld), 2) AS sum_neighbors,
+       CAST(sum(pr) AS BIGINT) AS sum_pr,
+       CAST(sum(cd) AS BIGINT) AS sum_cd,
+       CAST(sum(CAST(floor(lg * 100 + 0.5) AS BIGINT)
+                + CAST(floor(ld * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_neighbor_cents,
        CAST(sum(nt) AS BIGINT) AS sum_ntile
 FROM e GROUP BY 1
 """

@@ -334,3 +334,29 @@ def test_lakehouse_demo_example(spark, tmp_path, sf_dir):
     assert report["agg_groups"] >= 1
     assert report["cache_hits"] == (False, True)
     assert report["history_readable"] and report["n_versions"] >= 5
+
+
+def test_web_corpus_demo_example(spark, tmp_path, sf_dir):
+    """The examples/ web-corpus walkthrough runs end-to-end: campaign
+    URL variants collapse under canonicalization, the mixture
+    rebalance respects quotas, the temporal split never leaks
+    train-future into test, and the shards land on disk."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "web_corpus_demo",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+            "examples", "web_corpus_demo.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.run(sf_dir, str(tmp_path / "web"), spark=spark)
+    assert report["crawl_rows"] == 2 * report["after_url_dedup"]
+    assert report["n_domains"] >= 2
+    assert report["selected"] <= report["after_url_dedup"]
+    assert all(sel <= avail for avail, sel
+               in report["rebalance_summary"].values())
+    assert report["no_time_leak"]
+    assert report["train_shards"] >= 2
+    assert report["written"] == report["split_counts"].get("train", 0)

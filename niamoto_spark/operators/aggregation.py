@@ -365,3 +365,63 @@ def time_series_analysis(df: DataFrame, group_cols: Sequence[str],
             out = out.withColumn(f"{label}_pct",
                                  F.coalesce(F.col(f"{label}_pct"), F.lit(0.0)))
     return out.select(*group_cols, "month", *[f"{label}_pct" for label in exprs])
+
+
+@register("gini_coefficient", PluginType.TRANSFORMER)
+def gini_coefficient(df: DataFrame, group_col: str, value_col: str,
+                     round_dp: int = 4) -> DataFrame:
+    """Gini concentration coefficient per group over non-negative
+    values (revenue inequality across customers, token mass across
+    domains):
+
+        G = 2·Σ_i i·x_(i) / (n·Σ x) − (n + 1)/n
+
+    with x ascending and ties broken deterministically.  The rank is
+    ONE per-group window (the same shuffle the aggregate needs);
+    everything after is per-group arithmetic.  Returns
+    (group, n, total, gini)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("x", "__rid")
+    base = (df.select(F.col(group_col).alias("g"),
+                      F.col(value_col).cast("double").alias("x"))
+            .where(F.col("x").isNotNull() & (F.col("x") >= 0))
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .withColumn("i", F.row_number().over(w)))
+    agg = (base.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("tot"),
+                F.sum(F.col("i") * F.col("x")).alias("iwx")))
+    g = (2 * F.col("iwx") / (F.col("n") * F.col("tot"))
+         - (F.col("n") + 1) / F.col("n"))
+    return agg.select(
+        F.col("g").alias(group_col), "n",
+        F.round("tot", 2).alias("total"),
+        F.round(F.when(F.col("tot") > 0, g).otherwise(0.0),
+                round_dp).alias("gini"))
+
+
+@register("hhi_concentration", PluginType.TRANSFORMER)
+def hhi_concentration(df: DataFrame, market_col: str, firm_col: str,
+                      value_col: str, round_dp: int = 4) -> DataFrame:
+    """Herfindahl–Hirschman concentration per market: Σ share_i² over
+    firms (shares in [0,1]; >0.25 = the antitrust "highly
+    concentrated" line) plus the effective number of firms 1/HHI —
+    the market-structure read on any (market, seller, revenue) table.
+
+    Two stacked aggregates on the same key prefix — the firm rollup's
+    partitioning is reused by the market rollup."""
+    per_firm = (df.groupBy(F.col(market_col).alias("mkt"),
+                           F.col(firm_col).alias("firm"))
+                .agg(F.sum(F.col(value_col).cast("double"))
+                     .alias("v")))
+    per_mkt = (per_firm.groupBy("mkt")
+               .agg(F.count(F.lit(1)).alias("n_firms"),
+                    F.sum("v").alias("tot"),
+                    F.sum(F.col("v") * F.col("v")).alias("sq")))
+    hhi = F.col("sq") / (F.col("tot") * F.col("tot"))
+    return per_mkt.select(
+        F.col("mkt").alias(market_col), "n_firms",
+        F.round(hhi, round_dp).alias("hhi"),
+        F.round(F.when(hhi > 0, 1.0 / hhi).otherwise(0.0),
+                round_dp).alias("effective_firms"))

@@ -209,3 +209,39 @@ def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str,
                                         * F.col("m_ref"))), round_dp)
                  .alias("centroid_norm_ratio"))
             .withColumnRenamed("grp", group_col or "group"))
+
+
+@register("emd_1d", PluginType.TRANSFORMER)
+def emd_1d(a: DataFrame, b: DataFrame, value_col: str,
+           round_dp: int = 4) -> DataFrame:
+    """1-D Earth Mover's Distance (Wasserstein-1) between two
+    numeric slices: EMD = ∫ |F_a(x) − F_b(x)| dx, computed exactly on
+    the merged value domain — the INTEGRAL drift measure that
+    complements ks_statistic's supremum (KS sees the worst point; EMD
+    sees total displaced mass, so a wide small shift and a narrow big
+    shift separate).
+
+    Same shape as KS: per-value counts, full-outer domain merge,
+    prefix-sum CDFs, then Σ |ΔF| · gap over consecutive values.
+    Ordered pass is over the aggregated domain only; pre-bucket
+    unbounded doubles upstream.  Returns (n_a, n_b, emd)."""
+    ca = (a.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(value_col).cast("double").alias("v"))
+          .agg(F.count(F.lit(1)).alias("ca")))
+    cb = (b.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(value_col).cast("double").alias("v"))
+          .agg(F.count(F.lit(1)).alias("cb")))
+    m = ca.join(cb, "v", "full_outer").fillna(0, ["ca", "cb"])
+    w = (Window.partitionBy().orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy()
+    fa = F.sum("ca").over(w) / F.sum("ca").over(tot)
+    fb = F.sum("cb").over(w) / F.sum("cb").over(tot)
+    nxt = F.lead("v").over(Window.partitionBy().orderBy("v"))
+    seg = (m.select(F.sum("ca").over(tot).alias("n_a"),
+                    F.sum("cb").over(tot).alias("n_b"),
+                    (F.abs(fa - fb)
+                     * (F.coalesce(nxt, F.col("v")) - F.col("v")))
+                    .alias("seg")))
+    return (seg.groupBy("n_a", "n_b")
+            .agg(F.round(F.sum("seg"), round_dp).alias("emd")))

@@ -933,3 +933,35 @@ def rolling_active_users(df: DataFrame, entity_col: str, ts_col: str,
                     F.round(F.coalesce("dau", F.lit(0))
                             / F.col("rolling_active"), round_dp)
                     .alias("stickiness")))
+
+
+@register("nelson_aalen", PluginType.TRANSFORMER)
+def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
+                 group_col: str | None = None,
+                 round_dp: int = 4) -> DataFrame:
+    """Nelson–Aalen cumulative hazard H(t) = Σ_{t_i <= t} d_i / n_i —
+    Kaplan–Meier's additive sibling: where S(t) answers "what fraction
+    survives", H(t) answers "how much hazard has accumulated" and its
+    slope reads as the instantaneous event rate (flat = stable,
+    steepening = wear-out).  exp(−H) is the Fleming–Harrington
+    survival estimate, included for the KM cross-check.
+
+    Identical distribution shape to kaplan_meier: one (group, t)
+    aggregate, reverse-cumulative at-risk window, forward cumulative
+    sum — per-group state is distinct durations only."""
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    grouped = (df.groupBy(*gcols, F.col(duration_col).alias("t"))
+               .agg(F.sum(F.col(event_col).cast("long")).alias("d"),
+                    F.count(F.lit(1)).alias("total")))
+    w_rev = (Window.partitionBy(*gcols).orderBy(F.col("t").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at_risk = grouped.withColumn("n_at_risk", F.sum("total").over(w_rev))
+    ev = at_risk.where(F.col("d") > 0)
+    w_fwd = (Window.partitionBy(*gcols).orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h = F.sum(F.col("d") / F.col("n_at_risk")).over(w_fwd)
+    return ev.select(*gcols, "t", "n_at_risk", "d",
+                     F.round(h, round_dp).alias("cum_hazard"),
+                     F.round(F.exp(-h), round_dp).alias("fh_survival"))

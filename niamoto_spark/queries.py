@@ -1854,6 +1854,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q315_rolling_active": q315_rolling_active,
         "q316_embedding_drift": q316_embedding_drift,
         "q317_stream_ohlc": q317_stream_ohlc,
+        "q318_emd_drift": q318_emd_drift,
+        "q319_gini": q319_gini,
+        "q320_hhi": q320_hhi,
+        "q321_nelson_aalen": q321_nelson_aalen,
     }
 
 
@@ -5686,6 +5690,10 @@ def build_oracles() -> dict[str, str]:
         "q315_rolling_active": O_Q315,
         "q316_embedding_drift": O_Q316,
         "q317_stream_ohlc": O_Q317,
+        "q318_emd_drift": O_Q318,
+        "q319_gini": O_Q319,
+        "q320_hhi": O_Q320,
+        "q321_nelson_aalen": O_Q321,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -12811,4 +12819,172 @@ SELECT CAST(floor(t / 86400.0) AS BIGINT) AS bucket, event_type,
        round(min(v), 4) AS low, round(arg_max(v, ok), 4) AS close,
        count(*) AS n
 FROM e GROUP BY 1, 2
+"""
+
+
+def q318_emd_drift(spark, sf_dir):
+    """1-D Earth Mover's Distance (operators/drift.py:emd_1d) between
+    urgent and low-priority order totals, pre-bucketed to thousands to
+    bound the value domain — the integral drift measure beside KS's
+    supremum (q170 lane).  The oracle replays the CDF merge and the
+    |ΔF|·gap integral."""
+    from niamoto_spark.operators.drift import emd_1d
+
+    o = _t(spark, sf_dir, "orders")
+    k = (F.floor(F.col("o_totalprice") / 1000) * 1000).cast("double")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT") \
+        .select(k.alias("v"))
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(k.alias("v"))
+    return emd_1d(a, b, "v")
+
+
+O_Q318 = """
+WITH a AS (
+  SELECT CAST(floor(o_totalprice / 1000) * 1000 AS DOUBLE) AS v
+  FROM orders WHERE o_orderpriority = '1-URGENT'),
+b AS (
+  SELECT CAST(floor(o_totalprice / 1000) * 1000 AS DOUBLE) AS v
+  FROM orders WHERE o_orderpriority = '5-LOW'),
+ca AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
+cb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
+m AS (
+  SELECT coalesce(ca.v, cb.v) AS v, coalesce(ca.ca, 0) AS ca,
+         coalesce(cb.cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+c AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           / CAST(sum(ca) OVER () AS DOUBLE) AS fa,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           / CAST(sum(cb) OVER () AS DOUBLE) AS fb,
+         lead(v) OVER (ORDER BY v) AS nxt,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM m)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(sum(abs(fa - fb) * (coalesce(nxt, v) - v)), 4) AS emd
+FROM c GROUP BY 1, 2
+"""
+
+
+def q319_gini(spark, sf_dir):
+    """Revenue inequality per nation (operators/aggregation.py:
+    gini_coefficient): the Lorenz-rank identity
+    G = 2Σi·x/(nΣx) − (n+1)/n over customer revenues — one ranked
+    window per group.  Tie order cannot change the statistic (equal x
+    swap ranks freely), so the oracle's arbitrary tie-break matches."""
+    from niamoto_spark.operators.aggregation import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_nationkey", "c_custkey")
+           .agg(F.sum("o_totalprice").alias("rev")))
+    return (gini_coefficient(rev, "c_nationkey", "rev")
+            .orderBy("c_nationkey"))
+
+
+O_Q319 = """
+WITH rev AS (
+  SELECT c_nationkey, c_custkey, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT c_nationkey AS g, rev AS x,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev, c_custkey) AS i
+  FROM rev),
+agg AS (
+  SELECT g, count(*) AS n, sum(x) AS tot, sum(i * x) AS iwx
+  FROM ranked GROUP BY 1)
+SELECT g AS c_nationkey, n, round(tot, 2) AS total,
+       round(CASE WHEN tot > 0
+                  THEN 2 * iwx / (n * tot)
+                       - (n + 1) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END, 4) AS gini
+FROM agg ORDER BY 1
+"""
+
+
+def q320_hhi(spark, sf_dir):
+    """Market concentration (operators/aggregation.py:
+    hhi_concentration): per-region supplier revenue HHI (Σ share²)
+    and effective-competitor count 1/HHI — two stacked aggregates on
+    a shared key prefix.  The oracle replays the share algebra."""
+    from niamoto_spark.operators.aggregation import hhi_concentration
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    base = (li.join(F.broadcast(s),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select(F.col("n_regionkey").alias("region"),
+                    "l_suppkey",
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("rev")))
+    return (hhi_concentration(base, "region", "l_suppkey", "rev")
+            .orderBy("region"))
+
+
+O_Q320 = """
+WITH per_firm AS (
+  SELECT n_regionkey AS region, l_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2),
+per_mkt AS (
+  SELECT region, count(*) AS n_firms, sum(v) AS tot,
+         sum(v * v) AS sq
+  FROM per_firm GROUP BY 1)
+SELECT region, n_firms, round(sq / (tot * tot), 4) AS hhi,
+       round(CASE WHEN sq > 0 THEN tot * tot / sq ELSE 0.0 END, 4)
+         AS effective_firms
+FROM per_mkt ORDER BY 1
+"""
+
+
+def q321_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard per priority (operators/
+    timeseries.py:nelson_aalen): the additive sibling of q175's
+    Kaplan-Meier on the same duration/censoring frame, plus the
+    Fleming-Harrington exp(−H) survival.  The oracle replays the
+    at-risk window and hazard cumulative sum."""
+    from niamoto_spark.operators.timeseries import nelson_aalen
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")
+         - F.lit(1992 * 12)).alias("dur"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ev"))
+    na = nelson_aalen(base, "dur", "ev", group_col="grp")
+    return na.select("grp", F.col("t").cast("long").alias("t"),
+                     "n_at_risk", "d", "cum_hazard", "fh_survival")
+
+
+O_Q321 = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         (year(o_orderdate) * 12 + month(o_orderdate)) - 1992 * 12 AS t,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
+  FROM orders),
+g AS (SELECT grp, t, CAST(sum(e) AS BIGINT) AS d, count(*) AS total
+      FROM base GROUP BY 1, 2),
+r AS (SELECT grp, t, d,
+             CAST(sum(total) OVER (PARTITION BY grp ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_at_risk
+      FROM g),
+ev AS (SELECT * FROM r WHERE d > 0)
+SELECT grp, CAST(t AS BIGINT) AS t, n_at_risk, d,
+       round(sum(d / CAST(n_at_risk AS DOUBLE))
+               OVER (PARTITION BY grp ORDER BY t
+                     ROWS UNBOUNDED PRECEDING), 4) AS cum_hazard,
+       round(exp(-sum(d / CAST(n_at_risk AS DOUBLE))
+               OVER (PARTITION BY grp ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)), 4) AS fh_survival
+FROM ev
 """

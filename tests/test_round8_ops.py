@@ -658,3 +658,64 @@ def test_rbo_top_weighted(spark):
     rbo_top = rbo_similarity(a, top_off, "k", "item", "r").first()["rbo"]
     rbo_bot = rbo_similarity(a, bot_off, "k", "item", "r").first()["rbo"]
     assert rbo_top < rbo_bot                   # losing rank 1 hurts more
+
+
+# --- emd_1d ----------------------------------------------------------------
+
+def test_emd_identical_zero_and_shift(spark):
+    from niamoto_spark.operators.drift import emd_1d
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)],
+                              "v double")
+    assert emd_1d(a, a, "v").first()["emd"] == 0.0
+    # shifting every value by +3 moves EMD to exactly 3
+    b = spark.createDataFrame([(float(i % 10 + 3),) for i in range(100)],
+                              "v double")
+    assert emd_1d(a, b, "v").first()["emd"] == pytest.approx(3.0)
+
+
+# --- gini_coefficient ------------------------------------------------------
+
+def test_gini_equal_and_concentrated(spark):
+    from niamoto_spark.operators.aggregation import gini_coefficient
+
+    eq = spark.createDataFrame([("g", 10.0)] * 8, "g string, x double")
+    assert gini_coefficient(eq, "g", "x").first()["gini"] \
+        == pytest.approx(0.0, abs=1e-9)
+    conc = spark.createDataFrame(
+        [("g", 0.0)] * 9 + [("g", 100.0)], "g string, x double")
+    # one holder of everything among 10 -> G = (n-1)/n = 0.9
+    assert gini_coefficient(conc, "g", "x").first()["gini"] \
+        == pytest.approx(0.9, abs=1e-9)
+
+
+# --- hhi_concentration -----------------------------------------------------
+
+def test_hhi_monopoly_and_uniform(spark):
+    from niamoto_spark.operators.aggregation import hhi_concentration
+
+    rows = ([("m1", "only", 50.0)]
+            + [("m2", f"f{i}", 10.0) for i in range(4)])
+    df = spark.createDataFrame(rows, "mkt string, firm string, v double")
+    out = {r["mkt"]: r for r in
+           hhi_concentration(df, "mkt", "firm", "v").collect()}
+    assert out["m1"]["hhi"] == 1.0
+    assert out["m1"]["effective_firms"] == 1.0
+    assert out["m2"]["hhi"] == pytest.approx(0.25)
+    assert out["m2"]["effective_firms"] == pytest.approx(4.0)
+
+
+# --- nelson_aalen ----------------------------------------------------------
+
+def test_nelson_aalen_hand_computed(spark):
+    from niamoto_spark.operators.timeseries import nelson_aalen
+
+    # durations: events at t=1 (1 of 4 at risk), t=3 (1 of 2);
+    # censored at t=2 and t=5
+    rows = [(1, 1), (2, 0), (3, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert out[1]["cum_hazard"] == pytest.approx(0.25)
+    assert out[3]["cum_hazard"] == pytest.approx(0.25 + 0.5)
+    assert out[3]["fh_survival"] == pytest.approx(
+        round(__import__("math").exp(-0.75), 4))

@@ -228,3 +228,66 @@ def temporal_split(df: DataFrame, ts_col: str, test_frac: float = 0.2,
              .when(t > cutoff - float(embargo_s), "embargo")
              .otherwise("train"))
     return df.withColumn("split", split)
+
+
+@register("neyman_allocation", PluginType.TRANSFORMER)
+def neyman_allocation(df: DataFrame, id_col: str, strata_col: str,
+                      value_col: str, budget_rows: int,
+                      seed: str = "ney",
+                      round_dp: int = 6) -> tuple:
+    """Variance-optimal stratified sampling (Neyman allocation):
+    stratum h gets n_h = budget · N_h·S_h / Σ N_k·S_k of the sample —
+    big AND noisy strata get more rows, so the stratified mean's
+    variance is minimized for the budget (mixture_rebalance hits
+    TARGET shares; this hits minimum-variance shares, the survey-
+    statistics classic).
+
+    One per-stratum (count, stddev_pop) aggregate sizes the plan; the
+    draw is the deterministic md5(seed|id) coin under each stratum's
+    rate, engine-replayable.  Degenerate strata (S_h = 0 or a single
+    row) get rate 0 unless everything is degenerate.  Returns
+    (selected_df, summary_df) with summary rows
+    (stratum, n_avail, stddev, quota, rate, n_selected)."""
+    # stddev is rounded SQL-side to 6dp BEFORE the quota arithmetic:
+    # the raw float differs in last ulps across engines (summation
+    # order), and int() truncation would amplify an ulp into an
+    # off-by-one quota; on the 6dp grid both engines agree
+    stats = {r["g"]: (int(r["n"]), float(r["s"] or 0.0)) for r in
+             df.groupBy(F.col(strata_col).alias("g"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.stddev_pop(F.col(value_col)
+                                       .cast("double")), 6)
+                  .alias("s")).collect()}
+    weight = {g: n * s for g, (n, s) in stats.items()}
+    tot_w = sum(weight.values())
+    plan = []
+    for g, (n, s) in sorted(stats.items()):
+        quota = int(budget_rows * weight[g] / tot_w) if tot_w > 0 else 0
+        rate = 0.0 if n == 0 else min(1.0, quota / n)
+        plan.append((g, n, s, quota, rate))
+    rate_col = F.lit(None).cast("double")
+    for g, _, _, _, rate in plan:
+        rate_col = F.when(F.col(strata_col) == g,
+                          F.lit(rate)).otherwise(rate_col)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed),
+                                      F.col(id_col).cast("string"))),
+                    1, 8), 16, 10).cast("bigint")
+    selected = (df.withColumn("__rate", rate_col)
+                .where(F.col("__rate").isNotNull()
+                       & (bucket < F.col("__rate")
+                          * F.lit(float(2 ** 32))))
+                .drop("__rate"))
+    spark = df.sparkSession
+    summary = spark.createDataFrame(
+        [(g, n, s, q, r) for g, n, s, q, r in plan],
+        f"{strata_col} string, n_avail long, stddev double, "
+        "quota long, rate double")
+    nsel = (selected.groupBy(F.col(strata_col))
+            .agg(F.count(F.lit(1)).alias("n_selected")))
+    summary = (summary.join(nsel, strata_col, "left")
+               .fillna({"n_selected": 0})
+               .select(strata_col, "n_avail", "stddev", "quota",
+                       F.round("rate", round_dp).alias("rate"),
+                       "n_selected"))
+    return selected, summary

@@ -1858,6 +1858,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q319_gini": q319_gini,
         "q320_hhi": q320_hhi,
         "q321_nelson_aalen": q321_nelson_aalen,
+        "q322_synthetic_source": q322_synthetic_source,
+        "q323_neyman": q323_neyman,
     }
 
 
@@ -5694,6 +5696,8 @@ def build_oracles() -> dict[str, str]:
         "q319_gini": O_Q319,
         "q320_hhi": O_Q320,
         "q321_nelson_aalen": O_Q321,
+        "q322_synthetic_source": O_Q322,
+        "q323_neyman": O_Q323,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -12987,4 +12991,95 @@ SELECT grp, CAST(t AS BIGINT) AS t, n_at_risk, d,
                OVER (PARTITION BY grp ORDER BY t
                      ROWS UNBOUNDED PRECEDING)), 4) AS fh_survival
 FROM ev
+"""
+
+
+def q322_synthetic_source(spark, sf_dir):
+    """Deterministic synthetic source (operators/synthetic.py:
+    generate_rows, the dbgen shape): 20k rows of weighted categorical
+    + Box-Muller normal + exponential, every value a pure function of
+    md5(seed|id) — identical under any parallelism.  Per-category
+    moments; the oracle REGENERATES the whole table from range() and
+    the same md5 arithmetic."""
+    from niamoto_spark.operators.synthetic import generate_rows
+
+    syn = generate_rows(spark, 20_000,
+                        {"web": 0.5, "code": 0.3, "books": 0.2},
+                        exp_lambda=2.0)
+    return (syn.groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("gauss"), 3).alias("gauss_mean"),
+                 F.round(F.stddev_pop("gauss"), 3).alias("gauss_sd"),
+                 F.round(F.avg("expo"), 3).alias("expo_mean")))
+
+
+O_Q322 = """
+WITH ids AS (SELECT unnest(range(0, 20000)) AS id),
+u AS (
+  SELECT id,
+         (CAST(('0x' || substr(md5('syn|u1|' || id), 1, 8))
+               AS UBIGINT) + 0.5) / 4294967296.0 AS u1,
+         (CAST(('0x' || substr(md5('syn|u2|' || id), 1, 8))
+               AS UBIGINT) + 0.5) / 4294967296.0 AS u2,
+         (CAST(('0x' || substr(md5('syn|cat|' || id), 1, 8))
+               AS UBIGINT) + 0.5) / 4294967296.0 AS uc
+  FROM ids),
+syn AS (
+  SELECT id,
+         CASE WHEN uc < 0.5 THEN 'web'
+              WHEN uc < 0.8 THEN 'code'
+              ELSE 'books' END AS category,
+         sqrt(-2.0 * ln(u1)) * cos(6.283185307179586 * u2) AS gauss,
+         -ln(u1) / 2.0 AS expo
+  FROM u)
+SELECT category, count(*) AS n,
+       round(avg(gauss), 3) AS gauss_mean,
+       round(stddev_pop(gauss), 3) AS gauss_sd,
+       round(avg(expo), 3) AS expo_mean
+FROM syn GROUP BY 1
+"""
+
+
+def q323_neyman(spark, sf_dir):
+    """Neyman-optimal stratified sampling (operators/curation.py:
+    neyman_allocation): per-priority order sample sized by N_h·S_h —
+    noisy strata get more budget, the survey-sampling optimum
+    (contrast q277's target-share rebalance).  The oracle replays the
+    6dp-stddev quota arithmetic AND the md5 draw."""
+    from niamoto_spark.operators.curation import neyman_allocation
+
+    o = _t(spark, sf_dir, "orders")
+    _sel, summary = neyman_allocation(
+        o, "o_orderkey", "o_orderpriority", "o_totalprice",
+        budget_rows=1000)
+    return summary
+
+
+O_Q323 = """
+WITH st AS (
+  SELECT o_orderpriority AS g, count(*) AS n,
+         round(stddev_pop(CAST(o_totalprice AS DOUBLE)), 6) AS s
+  FROM orders GROUP BY 1),
+tw AS (SELECT sum(n * s) AS tot_w FROM st),
+plan AS (
+  SELECT g, n, s,
+         CAST(CASE WHEN tw.tot_w > 0
+                   THEN floor(1000 * n * s / tw.tot_w)
+                   ELSE 0 END AS BIGINT) AS quota
+  FROM st CROSS JOIN tw),
+rated AS (
+  SELECT g, n, s, quota,
+         CASE WHEN n = 0 THEN 0.0
+              ELSE LEAST(1.0, quota / CAST(n AS DOUBLE)) END AS rate
+  FROM plan),
+sel AS (
+  SELECT o.o_orderpriority AS g, count(*) AS n_selected
+  FROM orders o JOIN rated r ON o.o_orderpriority = r.g
+  WHERE CAST(('0x' || substr(md5('ney|' || o.o_orderkey), 1, 8))
+             AS UBIGINT) < r.rate * 4294967296.0
+  GROUP BY 1)
+SELECT r.g AS o_orderpriority, r.n AS n_avail, r.s AS stddev,
+       r.quota, round(r.rate, 6) AS rate,
+       coalesce(sel.n_selected, 0) AS n_selected
+FROM rated r LEFT JOIN sel ON r.g = sel.g
 """

@@ -719,3 +719,52 @@ def test_nelson_aalen_hand_computed(spark):
     assert out[3]["cum_hazard"] == pytest.approx(0.25 + 0.5)
     assert out[3]["fh_survival"] == pytest.approx(
         round(__import__("math").exp(-0.75), 4))
+
+
+# --- generate_rows ---------------------------------------------------------
+
+def test_synthetic_rows_shape_and_determinism(spark):
+    from niamoto_spark.operators.synthetic import generate_rows
+
+    a = generate_rows(spark, 3000, {"x": 0.7, "y": 0.3}).collect()
+    b = generate_rows(spark, 3000, {"x": 0.7, "y": 0.3}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    import statistics
+    g = [r["gauss"] for r in a]
+    assert abs(statistics.fmean(g)) < 0.1
+    assert 0.9 < statistics.pstdev(g) < 1.1          # ~N(0,1)
+    frac_x = sum(1 for r in a if r["category"] == "x") / len(a)
+    assert 0.65 < frac_x < 0.75                      # ~0.7 share
+    e = [r["expo"] for r in a]
+    assert 0.9 < statistics.fmean(e) < 1.1           # exp(1) mean 1
+
+
+def test_synthetic_seed_changes_values(spark):
+    from niamoto_spark.operators.synthetic import generate_rows
+
+    a = generate_rows(spark, 100, {"x": 1.0}, seed="a").collect()
+    b = generate_rows(spark, 100, {"x": 1.0}, seed="b").collect()
+    assert [r["gauss"] for r in a] != [r["gauss"] for r in b]
+
+
+# --- neyman_allocation -----------------------------------------------------
+
+def test_neyman_noisy_stratum_gets_more(spark):
+    import random
+
+    from niamoto_spark.operators.curation import neyman_allocation
+
+    rng = random.Random(7)
+    rows = ([(i, "calm", 100 + rng.uniform(-1, 1)) for i in range(500)]
+            + [(1000 + i, "wild", 100 + rng.uniform(-80, 80))
+               for i in range(500)])
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    sel, summ = neyman_allocation(df, "id", "g", "v", budget_rows=200)
+    s = {r["g"]: r for r in summ.collect()}
+    # equal sizes, wildly different stddev: quotas follow N*S
+    assert s["wild"]["quota"] > 5 * s["calm"]["quota"]
+    assert s["wild"]["n_selected"] > s["calm"]["n_selected"]
+    # deterministic rerun
+    sel2, _ = neyman_allocation(df, "id", "g", "v", budget_rows=200)
+    assert sorted(r["id"] for r in sel.collect()) \
+        == sorted(r["id"] for r in sel2.collect())

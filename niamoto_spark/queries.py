@@ -1860,6 +1860,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q321_nelson_aalen": q321_nelson_aalen,
         "q322_synthetic_source": q322_synthetic_source,
         "q323_neyman": q323_neyman,
+        "q324_udtf_sentences": q324_udtf_sentences,
     }
 
 
@@ -5698,6 +5699,7 @@ def build_oracles() -> dict[str, str]:
         "q321_nelson_aalen": O_Q321,
         "q322_synthetic_source": O_Q322,
         "q323_neyman": O_Q323,
+        "q324_udtf_sentences": O_Q324,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13082,4 +13084,62 @@ SELECT r.g AS o_orderpriority, r.n AS n_avail, r.s AS stddev,
        r.quota, round(r.rate, 6) AS rate,
        coalesce(sel.n_selected, 0) AS n_selected
 FROM rated r LEFT JOIN sel ON r.g = sel.g
+"""
+
+
+def q324_udtf_sentences(spark, sf_dir):
+    """Python UDTF surface (Spark 4 @udtf): a table function splits
+    each document into sentence rows with ordinals — the
+    one-row-to-many shape (parse trees, token streams) that scalar
+    UDFs can't express and posexplode can when the split is
+    expressible, which is exactly what the oracle exploits: DuckDB
+    replays the same sentence split declaratively, so the UDTF's
+    row-expansion contract is value-checked end to end."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: bigint, sent_no: int, n_chars: int")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            import re
+            parts = [p for p in re.split(r"\.\s+", text) if p != ""]
+            for i, p in enumerate(parts):
+                yield doc_id, i + 1, len(p)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    # the fixture text is period-free: plant a sentence boundary every
+    # five words (same regex in the oracle) so ordinals do real work
+    d = d.withColumn("text", F.regexp_replace(
+        "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1. "))
+    d.createOrReplaceTempView("docs_udtf_v")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    rows = spark.sql("""
+        SELECT s.doc_id, s.sent_no, s.n_chars
+        FROM docs_udtf_v d,
+        LATERAL sentence_split(d.doc_id, d.text) s
+    """)
+    return (rows.groupBy("sent_no")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_total"),
+                 F.max("n_chars").alias("longest")))
+
+
+O_Q324 = r"""
+WITH sent AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ', '\1. ', 'g')
+           AS text
+  FROM documents WHERE doc_id < 200),
+parts AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS p,
+         generate_subscripts(string_split_regex(text, '\.\s+'), 1)
+           AS sent_no
+  FROM sent),
+s AS (
+  SELECT doc_id, sent_no, len(p) AS n_chars FROM parts WHERE p <> '')
+SELECT sent_no, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       max(n_chars) AS longest
+FROM s GROUP BY 1
 """

@@ -1861,6 +1861,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q322_synthetic_source": q322_synthetic_source,
         "q323_neyman": q323_neyman,
         "q324_udtf_sentences": q324_udtf_sentences,
+        "q325_decimal_exact": q325_decimal_exact,
+        "q326_edit_distance": q326_edit_distance,
+        "q327_ignore_nulls": q327_ignore_nulls,
     }
 
 
@@ -5700,6 +5703,9 @@ def build_oracles() -> dict[str, str]:
         "q322_synthetic_source": O_Q322,
         "q323_neyman": O_Q323,
         "q324_udtf_sentences": O_Q324,
+        "q325_decimal_exact": O_Q325,
+        "q326_edit_distance": O_Q326,
+        "q327_ignore_nulls": O_Q327,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13142,4 +13148,106 @@ SELECT sent_no, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS chars_total,
        max(n_chars) AS longest
 FROM s GROUP BY 1
+"""
+
+
+def q325_decimal_exact(spark, sf_dir):
+    """Exact DECIMAL(38,2) aggregation — TPC-H Q1 reshaped with every
+    money sum carried in decimal, no float rounding anywhere: the
+    cross-engine result must match to the last cent BY TYPE, the
+    guarantee financial rollups need and double sums only approximate
+    (q214's cohort-LTV lesson generalized to the headline query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # inputs at DECIMAL(18,2): the (18,2)x(18,2) product is an EXACT
+    # (37,4) — at (38,2) inputs the multiply overflows 38 digits and
+    # Spark rounds the intermediate (allowPrecisionLoss), which is
+    # where the one-cent cross-engine drift came from
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(price).cast("decimal(38,2)").alias("sum_price"),
+                 F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+                 .cast("decimal(38,2)").alias("sum_disc_price")))
+
+
+O_Q325 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS sum_price,
+       -- DuckDB's decimal CAST truncates on scale reduction; round()
+       -- rounds half-up like Spark's decimal cast, so round first
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DECIMAL(38,2)) AS sum_disc_price
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q326_edit_distance(spark, sf_dir):
+    """Edit-distance surface: levenshtein over all nation-name pairs
+    (bounded 25x25) with the normalized similarity — the string-
+    matching scalar both engines implement natively (the UDF-free
+    core of linkage.fuzzy_pairs, pinned for parity)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("na"))
+    b = n.select(F.col("n_name").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("na") < F.col("nb"))
+    lev = F.levenshtein("na", "nb")
+    sim = 1 - lev / F.greatest(F.length("na"), F.length("nb"))
+    return (pairs.select("na", "nb", lev.alias("lev"),
+                         F.round(sim, 4).alias("sim"))
+            .orderBy("lev", "na", "nb").limit(40))
+
+
+O_Q326 = """
+SELECT a.n_name AS na, b.n_name AS nb,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS lev,
+       round(1 - levenshtein(a.n_name, b.n_name)
+             / CAST(GREATEST(length(a.n_name), length(b.n_name))
+                    AS DOUBLE), 4) AS sim
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+ORDER BY lev, na, nb LIMIT 40
+"""
+
+
+def q327_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window surface: per customer, carry the last
+    known non-null high-value order date forward (last_value IGNORE
+    NULLS) and fetch the first one backward — the gap-bridging window
+    semantics LOCF builds on (q188), pinned as a first-class
+    surface."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    big_day = F.when(F.col("o_totalprice") > 200_000,
+                     F.col("o_orderdate").cast("date"))
+    e = o.withColumn(
+        "last_big", F.last(big_day, ignorenulls=True).over(w))
+    return (e.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("last_big").isNotNull().cast("long"))
+                 .alias("n_carried"),
+                 F.max("last_big").cast("string").alias("max_day")))
+
+
+O_Q327 = """
+WITH e AS (
+  SELECT o_orderpriority,
+         last_value(CASE WHEN o_totalprice > 200000
+                         THEN CAST(o_orderdate AS DATE) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS last_big
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CASE WHEN last_big IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_carried,
+       CAST(max(last_big) AS VARCHAR) AS max_day
+FROM e GROUP BY 1
 """

@@ -1864,6 +1864,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q325_decimal_exact": q325_decimal_exact,
         "q326_edit_distance": q326_edit_distance,
         "q327_ignore_nulls": q327_ignore_nulls,
+        "q328_stream_quarantine": q328_stream_quarantine,
     }
 
 
@@ -5706,6 +5707,7 @@ def build_oracles() -> dict[str, str]:
         "q325_decimal_exact": O_Q325,
         "q326_edit_distance": O_Q326,
         "q327_ignore_nulls": O_Q327,
+        "q328_stream_quarantine": O_Q328,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13250,4 +13252,86 @@ SELECT o_orderpriority, count(*) AS n,
             AS BIGINT) AS n_carried,
        CAST(max(last_big) AS VARCHAR) AS max_day
 FROM e GROUP BY 1
+"""
+
+
+def q328_stream_quarantine(spark, sf_dir):
+    """Streaming dead-letter quarantine: each micro-batch splits on a
+    quality rule — clean rows commit to the main manifest table, the
+    rest to a quarantine table WITH a reason column, both inside ONE
+    foreachBatch so a crash can't admit a batch half-screened (the
+    operational pattern between append_checked's all-or-nothing and
+    silently dropping).  Oracle: the same predicate split in batch
+    SQL over both destinations unioned."""
+    import shutil
+    import tempfile
+
+    from niamoto_spark.sources import manifest as M
+
+    src = os.path.join(sf_dir, "events.parquet")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "niamoto_quar_" + sf_dir.strip("/").replace("/", "_"))
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    stream_dir = os.path.join(base, "in")
+    os.makedirs(stream_dir)
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    good_t = os.path.join(base, "good")
+    quar_t = os.path.join(base, "quarantine")
+    ck = os.path.join(base, "ck")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+
+    bad_pred = (F.col("value").isNull() | (F.col("value") < 0)
+                | (F.col("value") > 95))
+
+    def route(batch_df, batch_id):
+        v = M.current_version(good_t)
+        if v >= 0 and M._read_manifest(
+                good_t, v).get("batch_id") == batch_id:
+            return
+        slim = batch_df.select("event_id", "user_id", "event_type",
+                               "value")
+        bad = (slim.where(bad_pred)
+               .withColumn("reason",
+                           F.when(F.col("value").isNull(), "null")
+                           .when(F.col("value") < 0, "negative")
+                           .otherwise("outlier")))
+        good = slim.where(~bad_pred)
+        M.append(bad, quar_t, extra_meta={"batch_id": batch_id})
+        M.append(good, good_t, extra_meta={"batch_id": batch_id})
+
+    q = (stream.writeStream.foreachBatch(route)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    g = (M.read_table(spark, good_t).groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("value"), 2).alias("value_sum"))
+         .withColumn("dest", F.lit("good"))
+         .withColumn("reason", F.lit(None).cast("string")))
+    b = (M.read_table(spark, quar_t).groupBy("event_type", "reason")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("value"), 2).alias("value_sum"))
+         .withColumn("dest", F.lit("quarantine")))
+    return g.unionByName(b, allowMissingColumns=True) \
+        .select("dest", "event_type", "reason", "n", "value_sum")
+
+
+O_Q328 = """
+SELECT 'good' AS dest, event_type, CAST(NULL AS VARCHAR) AS reason,
+       count(*) AS n, round(sum(value), 2) AS value_sum
+FROM events
+WHERE value IS NOT NULL AND value >= 0 AND value <= 95
+GROUP BY 2
+UNION ALL
+SELECT 'quarantine', event_type,
+       CASE WHEN value IS NULL THEN 'null'
+            WHEN value < 0 THEN 'negative' ELSE 'outlier' END,
+       count(*), round(sum(value), 2)
+FROM events
+WHERE value IS NULL OR value < 0 OR value > 95
+GROUP BY 2, 3
 """

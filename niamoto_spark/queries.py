@@ -1865,6 +1865,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q326_edit_distance": q326_edit_distance,
         "q327_ignore_nulls": q327_ignore_nulls,
         "q328_stream_quarantine": q328_stream_quarantine,
+        "q329_nested_struct": q329_nested_struct,
+        "q330_tags_normalize": q330_tags_normalize,
     }
 
 
@@ -5708,6 +5710,8 @@ def build_oracles() -> dict[str, str]:
         "q326_edit_distance": O_Q326,
         "q327_ignore_nulls": O_Q327,
         "q328_stream_quarantine": O_Q328,
+        "q329_nested_struct": O_Q329,
+        "q330_tags_normalize": O_Q330,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13334,4 +13338,86 @@ SELECT 'quarantine', event_type,
 FROM events
 WHERE value IS NULL OR value < 0 OR value > 95
 GROUP BY 2, 3
+"""
+
+
+def q329_nested_struct(spark, sf_dir):
+    """Nested document modeling: orders DENORMALIZED into an
+    array<struct> of their lineitems (the document-store shape), then
+    queried IN PLACE with higher-order functions — filter the nested
+    array, fold a conditional sum, never re-explode.  The oracle
+    replays with DuckDB list-of-struct lambdas — cross-engine parity
+    for nested-data surgery."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    nested = (li.groupBy("l_orderkey")
+              .agg(F.array_sort(F.collect_list(F.struct(
+                  F.col("l_linenumber").alias("ln"),
+                  F.col("l_quantity").alias("qty"),
+                  F.col("l_extendedprice").alias("price"))))
+                  .alias("items")))
+    doc = o.join(nested, F.col("o_orderkey") == F.col("l_orderkey"))
+    big = F.filter(F.col("items"), lambda x: x["qty"] >= 30)
+    big_val = F.aggregate(big, F.lit(0.0),
+                          lambda acc, x: acc + x["price"])
+    return (doc.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.size("items")).alias("n_items"),
+                 F.sum(F.size(big)).alias("n_big_items"),
+                 F.round(F.sum(big_val), 2).alias("big_value")))
+
+
+O_Q329 = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list_sort(list(struct_pack(ln := l_linenumber,
+                                    qty := l_quantity,
+                                    price := l_extendedprice)))
+           AS items
+  FROM lineitem GROUP BY 1),
+doc AS (
+  SELECT o.o_orderpriority, n.items,
+         list_filter(n.items, x -> x.qty >= 30) AS big
+  FROM orders o JOIN nested n ON o.o_orderkey = n.l_orderkey)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(len(items)) AS BIGINT) AS n_items,
+       CAST(sum(len(big)) AS BIGINT) AS n_big_items,
+       round(sum(list_sum(list_transform(big, x -> x.price))
+                 ), 2) AS big_value
+FROM doc GROUP BY 1
+"""
+
+
+def q330_tags_normalize(spark, sf_dir):
+    """Embedded-list normalization: a comma-packed tags column (the
+    anti-pattern every warehouse inherits) split to rows, trimmed,
+    emptied-filtered, frequency-counted with per-tag doc reach — the
+    split-to-table surface.  Tags are planted deterministically from
+    doc attributes so both engines build identical lists."""
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.withColumn(
+        "tags", F.concat(F.col("lang"), F.lit(", "), F.col("source"),
+                         F.lit(",  len"), (F.col("n_chars") % 3),
+                         F.lit(", ")))
+    ex = (tagged.select("doc_id",
+                        F.explode(F.split("tags", ",")).alias("raw"))
+          .select("doc_id", F.trim(F.col("raw")).alias("tag"))
+          .where(F.col("tag") != ""))
+    return (ex.groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.col("n").desc(), "tag").limit(30))
+
+
+O_Q330 = """
+WITH tagged AS (
+  SELECT doc_id, lang || ', ' || source || ',  len'
+           || (n_chars % 3) || ', ' AS tags
+  FROM documents),
+ex AS (
+  SELECT doc_id, trim(unnest(string_split(tags, ','))) AS tag
+  FROM tagged)
+SELECT tag, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM ex WHERE tag <> ''
+GROUP BY 1 ORDER BY n DESC, tag LIMIT 30
 """

@@ -965,3 +965,44 @@ def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
     return ev.select(*gcols, "t", "n_at_risk", "d",
                      F.round(h, round_dp).alias("cum_hazard"),
                      F.round(F.exp(-h), round_dp).alias("fh_survival"))
+
+
+@register("rolling_slope", PluginType.TRANSFORMER)
+def rolling_slope(df: DataFrame, key_col: str, ts_col: str,
+                  value_col: str, tiebreak_col: str,
+                  window: int = 7, round_dp: int = 4) -> DataFrame:
+    """Rolling OLS trend slope over the last ``window`` samples (per
+    key, against the actual timestamps — irregular sampling handled):
+
+        b = (k·Σty − Σt·Σy) / (k·Σt² − (Σt)²)
+
+    — the live trend detector (is this metric rising NOW?) that EWMA
+    levels and global fits (robust_slope) don't give.  All four
+    running sums share ONE constant-k window frame, so the plan is a
+    single sort + one WindowExec; t is re-centered on the frame's
+    first sample before squaring so Σt² stays well-conditioned at
+    epoch magnitudes.  Frames shorter than 2 points yield NULL.
+    Appends ``slope`` (value units per second)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+         .rowsBetween(-(window - 1), 0))
+    # the re-centering origin depends on the FRAME (its first sample),
+    # so the sums fold over the collected frame array — sequential
+    # in-order float64, identical on any engine
+    arr = F.collect_list(F.struct(
+        F.col(ts_col).cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("y"))).over(w)
+    k = F.size(arr)
+    tmin = F.element_at(arr, 1)["t"]
+    zero = F.lit(0.0)
+    st = F.aggregate(arr, zero, lambda a, x: a + (x["t"] - tmin))
+    sy = F.aggregate(arr, zero, lambda a, x: a + x["y"])
+    sty = F.aggregate(arr, zero,
+                      lambda a, x: a + (x["t"] - tmin) * x["y"])
+    stt = F.aggregate(arr, zero,
+                      lambda a, x: a + (x["t"] - tmin) * (x["t"] - tmin))
+    denom = k * stt - st * st
+    slope = F.when((k >= 2) & (denom != 0),
+                   (k * sty - st * sy) / denom)
+    return df.withColumn("slope", F.round(slope, round_dp))

@@ -1867,6 +1867,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q328_stream_quarantine": q328_stream_quarantine,
         "q329_nested_struct": q329_nested_struct,
         "q330_tags_normalize": q330_tags_normalize,
+        "q331_rolling_slope": q331_rolling_slope,
+        "q332_percentile_bands": q332_percentile_bands,
     }
 
 
@@ -5712,6 +5714,8 @@ def build_oracles() -> dict[str, str]:
         "q328_stream_quarantine": O_Q328,
         "q329_nested_struct": O_Q329,
         "q330_tags_normalize": O_Q330,
+        "q331_rolling_slope": O_Q331,
+        "q332_percentile_bands": O_Q332,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13420,4 +13424,87 @@ ex AS (
 SELECT tag, count(*) AS n, count(DISTINCT doc_id) AS n_docs
 FROM ex WHERE tag <> ''
 GROUP BY 1 ORDER BY n DESC, tag LIMIT 30
+"""
+
+
+def q331_rolling_slope(spark, sf_dir):
+    """Rolling trend slope (operators/timeseries.py:rolling_slope):
+    per-user 7-sample OLS slope against real timestamps, folded over
+    the frame array so the float arithmetic is array-ordered and
+    engine-identical.  Per-user share of rising windows; the oracle
+    replays the frame collection and the normal-equation fold."""
+    from niamoto_spark.operators.timeseries import rolling_slope
+
+    ev = _events(spark, sf_dir)
+    rs = rolling_slope(ev, "user_id", "ts_sec", "value", "event_id",
+                       window=7)
+    return (rs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("slope") > 0).cast("long"))
+                 .alias("n_rising"),
+                 F.sum(F.col("slope").isNull().cast("long"))
+                 .alias("n_short")))
+
+
+O_Q331 = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         value AS v, event_id
+  FROM events),
+fr AS (
+  SELECT user_id,
+         list(struct_pack(t := CAST(t AS DOUBLE), y := v))
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+  FROM e),
+m AS (
+  SELECT user_id, len(arr) AS k, arr[1].t AS tmin,
+         list_sum(list_transform(arr, x -> x.t - arr[1].t)) AS st,
+         list_sum(list_transform(arr, x -> x.y)) AS sy,
+         list_sum(list_transform(arr, x -> (x.t - arr[1].t) * x.y))
+           AS sty,
+         list_sum(list_transform(arr,
+             x -> (x.t - arr[1].t) * (x.t - arr[1].t))) AS stt
+  FROM fr),
+s AS (
+  SELECT user_id,
+         CASE WHEN k >= 2 AND k * stt - st * st <> 0
+              THEN round((k * sty - st * sy) / (k * stt - st * st), 4)
+              END AS slope
+  FROM m)
+SELECT user_id, count(*) AS n,
+       coalesce(sum(CASE WHEN slope > 0 THEN 1 END), 0) AS n_rising,
+       coalesce(sum(CASE WHEN slope IS NULL THEN 1 END), 0) AS n_short
+FROM s GROUP BY 1
+"""
+
+
+def q332_percentile_bands(spark, sf_dir):
+    """Daily p10/p50/p90 value bands per event type — the interpolated
+    multi-quantile aggregate (Spark percentile == DuckDB
+    quantile_cont: both sort-exact, so the bands value-match without
+    any sum-order hazard).  The chart behind every latency/score
+    dashboard."""
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.col("ts_sec") / 86_400).cast("long")
+    bands = (ev.groupBy("event_type", day.alias("day"))
+             .agg(F.percentile(F.col("value"),
+                               F.array(F.lit(0.1), F.lit(0.5),
+                                       F.lit(0.9))).alias("p"),
+                  F.count(F.lit(1)).alias("n")))
+    return bands.select(
+        "event_type", "day", "n",
+        F.round(F.element_at("p", 1), 4).alias("p10"),
+        F.round(F.element_at("p", 2), 4).alias("p50"),
+        F.round(F.element_at("p", 3), 4).alias("p90"))
+
+
+O_Q332 = """
+SELECT event_type,
+       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+       count(*) AS n,
+       round(quantile_cont(value, 0.1), 4) AS p10,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY 1, 2
 """

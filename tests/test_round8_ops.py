@@ -768,3 +768,67 @@ def test_neyman_noisy_stratum_gets_more(spark):
     sel2, _ = neyman_allocation(df, "id", "g", "v", budget_rows=200)
     assert sorted(r["id"] for r in sel.collect()) \
         == sorted(r["id"] for r in sel2.collect())
+
+
+# --- rolling_active_users --------------------------------------------------
+
+def test_rolling_active_users_window_math(spark):
+    from niamoto_spark.operators.timeseries import rolling_active_users
+
+    # users active: u1 on days 0,1; u2 on day 2 (granule 1s for ease)
+    rows = [(1, 0), (1, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "u long, t long")
+    out = {r["day"]: r for r in
+           rolling_active_users(df, "u", "t", window_days=3,
+                                granule_s=1).collect()}
+    # day 2: window {0,1,2} -> both users; dau = 1 (u2)
+    assert out[2]["rolling_active"] == 2
+    assert out[2]["dau"] == 1
+    assert out[2]["stickiness"] == pytest.approx(0.5)
+    # days before lo+window-1 are trimmed (incomplete windows)
+    assert 0 not in out and 1 not in out
+
+
+# --- embedding_drift -------------------------------------------------------
+
+def test_embedding_drift_detects_shift(spark):
+    from niamoto_spark.operators.drift import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)],
+        "id long, v array<double>")
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)],
+        "id long, v array<double>")
+    moved = spark.createDataFrame(
+        [(i, [0.0, 2.0]) for i in range(10)],
+        "id long, v array<double>")
+    r_same = embedding_drift(ref, same, "v").first()
+    assert r_same["centroid_dist"] == pytest.approx(0.0)
+    assert r_same["centroid_norm_ratio"] == pytest.approx(1.0)
+    r_mv = embedding_drift(ref, moved, "v").first()
+    # centroids (1,0) vs (0,2): distance sqrt(5), norm ratio 2
+    assert r_mv["centroid_dist"] == pytest.approx(5 ** 0.5, abs=1e-4)
+    assert r_mv["centroid_norm_ratio"] == pytest.approx(2.0, abs=1e-4)
+
+
+# --- rolling_slope ---------------------------------------------------------
+
+def test_rolling_slope_linear_series_and_short_frames(spark):
+    from niamoto_spark.operators.timeseries import rolling_slope
+
+    # y = 3t + 5 exactly: every full frame's slope is 3
+    rows = [("k", t, 3.0 * t + 5.0, t) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    out = [r["slope"] for r in
+           rolling_slope(df, "k", "t", "v", "i", window=4)
+           .orderBy("t").collect()]
+    assert out[0] is None                      # 1-point frame
+    assert all(s == pytest.approx(3.0) for s in out[1:])
+    # alternating series has ~0 slope on symmetric frames
+    rows2 = [("k", t, float(t % 2), t) for t in range(8)]
+    df2 = spark.createDataFrame(rows2, "k string, t long, v double, i long")
+    s4 = [r["slope"] for r in
+          rolling_slope(df2, "k", "t", "v", "i", window=4)
+          .orderBy("t").collect()][3:]
+    assert all(abs(s) < 0.21 for s in s4)

@@ -219,3 +219,45 @@ def test_q280_bitmap_rollup_reuses_bitmaps_not_rows(spark):
     # one base scan feeding both branches would show as a reused exchange
     # or a single FileScan of events per branch; never count(distinct)
     assert "distinct" not in phys.lower() or "bitmap" in phys.lower()
+
+
+def test_q289_q290_tpch_dims_broadcast(spark):
+    """TPC-H Q7/Q8: every dimension join must broadcast — a
+    SortMergeJoin against nation/region/supplier/part would shuffle
+    the fact table once per dimension."""
+    for q in ("q289_tpch_q7", "q290_tpch_q8"):
+        plan = _plan(spark, q)
+        phys = plan.split("== Physical Plan ==")[-1]
+        assert "BroadcastHashJoin" in phys, q
+        # orders/customer join may legitimately shuffle; nation/region/
+        # part/supplier must not appear on a sort-merge side
+        for dim in ("nation", "region", "part.parquet", "supplier"):
+            for line in phys.splitlines():
+                if "SortMergeJoin" in line:
+                    assert dim not in line, f"{q}: {dim} in SMJ"
+
+
+def test_q293_sq_lane_is_pure_codegen(spark):
+    """Int8 SQ encode/score must stay JVM-side: no Python eval nodes
+    anywhere in the plan (the fit collects 2*dim floats, that's the
+    only driver touch)."""
+    plan = _plan(spark, "q293_sq_int8")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q315_rolling_active_explode_is_window_bounded(spark):
+    """The WAU spread explodes each activity row into exactly
+    window_days buckets: one Generate over the distinct activity
+    table, never a range join or cartesian."""
+    plan = _plan(spark, "q315_rolling_active")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert phys.count("Generate") <= 1      # the single explode
+
+
+def test_q331_rolling_slope_single_window_stack(spark):
+    plan = _plan(spark, "q331_rolling_slope")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BatchEvalPython" not in plan
+    assert phys.count("Sort") <= 2          # window sort (+agg sort)

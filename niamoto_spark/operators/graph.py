@@ -373,3 +373,35 @@ def adamic_adar(membership: DataFrame, item_col: str, group_col: str,
             .agg(F.count(F.lit(1)).alias("common_groups"),
                  F.round(F.sum(F.lit(1.0) / F.log(F.col("gsz"))),
                          round_dp).alias("aa_score")))
+
+
+@register("sssp_rounds", PluginType.TRANSFORMER)
+def sssp_rounds(edges: DataFrame, sources: DataFrame,
+                src_col: str = "src", dst_col: str = "dst",
+                weight_col: str = "w", rounds: int = 4,
+                round_dp: int = 4) -> DataFrame:
+    """Weighted single-source shortest paths, Bellman-Ford with a
+    FIXED round budget: after k rounds every shortest path of <= k
+    edges is exact — the bounded-hop distance bfs_hops (unweighted)
+    can't give.  Fixing the rounds makes the operator deterministic,
+    cost-bounded (k scans of the edge list) and SQL-replayable by
+    unrolling the same k relaxations.
+
+    Per round: dist ⋈ edges on the source endpoint (the one equi-join
+    shuffle), per-node min, union with the previous frontier, min
+    again; localCheckpoint truncates the growing lineage like
+    pagerank does.  Returns (node, dist) for reached nodes."""
+    e = edges.select(F.col(src_col).alias("s"),
+                     F.col(dst_col).alias("d"),
+                     F.col(weight_col).cast("double").alias("w"))
+    dist = sources.select(F.col(sources.columns[0]).alias("n"),
+                          F.lit(0.0).alias("dist")).distinct()
+    for _ in range(int(rounds)):
+        relaxed = (dist.join(e, dist["n"] == e["s"])
+                   .select(F.col("d").alias("n"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("n").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist.select(F.col("n").alias("node"),
+                       F.round("dist", round_dp).alias("dist"))

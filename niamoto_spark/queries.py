@@ -1869,6 +1869,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q330_tags_normalize": q330_tags_normalize,
         "q331_rolling_slope": q331_rolling_slope,
         "q332_percentile_bands": q332_percentile_bands,
+        "q333_sssp": q333_sssp,
     }
 
 
@@ -5716,6 +5717,7 @@ def build_oracles() -> dict[str, str]:
         "q330_tags_normalize": O_Q330,
         "q331_rolling_slope": O_Q331,
         "q332_percentile_bands": O_Q332,
+        "q333_sssp": O_Q333,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13507,4 +13509,63 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 4) AS p50,
        round(quantile_cont(value, 0.9), 4) AS p90
 FROM events GROUP BY 1, 2
+"""
+
+
+def q333_sssp(spark, sf_dir):
+    """Bounded-round weighted shortest paths (operators/graph.py:
+    sssp_rounds, Bellman-Ford with k=3): supplier graph weighted by
+    1/co-order-count (frequent partners are 'close'), distances from
+    supplier 1 — each round is one equi-join shuffle + per-node min.
+    The oracle unrolls the SAME three relaxations as chained CTEs."""
+    from niamoto_spark.operators.graph import sssp_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = (li.select(F.col("l_orderkey").alias("grp"),
+                   F.col("l_suppkey").alias("item")).distinct())
+    a = m.select("grp", F.col("item").alias("sa"))
+    b = m.select("grp", F.col("item").alias("sb"))
+    pairs = (a.join(b, "grp").where(F.col("sa") < F.col("sb"))
+             .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("cnt")))
+    edges = (pairs.select(F.col("sa").alias("src"),
+                          F.col("sb").alias("dst"),
+                          (1.0 / F.col("cnt")).alias("w"))
+             .unionByName(pairs.select(
+                 F.col("sb").alias("src"), F.col("sa").alias("dst"),
+                 (1.0 / F.col("cnt")).alias("w"))))
+    src = spark.createDataFrame([(1,)], "node long")
+    return sssp_rounds(edges, src, rounds=3).orderBy("node")
+
+
+O_Q333 = """
+WITH m AS (SELECT DISTINCT l_orderkey AS grp, l_suppkey AS item
+           FROM lineitem),
+p AS (
+  SELECT a.item AS sa, b.item AS sb, count(*) AS cnt
+  FROM m a JOIN m b ON a.grp = b.grp AND a.item < b.item
+  GROUP BY 1, 2),
+e AS (
+  SELECT sa AS s, sb AS d, 1.0 / cnt AS w FROM p
+  UNION ALL
+  SELECT sb, sa, 1.0 / cnt FROM p),
+d0(n, dist) AS (VALUES (CAST(1 AS BIGINT), 0.0)),
+d1 AS (
+  SELECT n, min(dist) AS dist FROM (
+    SELECT n, dist FROM d0
+    UNION ALL
+    SELECT e.d, d0.dist + e.w FROM d0 JOIN e ON d0.n = e.s)
+  GROUP BY 1),
+d2 AS (
+  SELECT n, min(dist) AS dist FROM (
+    SELECT n, dist FROM d1
+    UNION ALL
+    SELECT e.d, d1.dist + e.w FROM d1 JOIN e ON d1.n = e.s)
+  GROUP BY 1),
+d3 AS (
+  SELECT n, min(dist) AS dist FROM (
+    SELECT n, dist FROM d2
+    UNION ALL
+    SELECT e.d, d2.dist + e.w FROM d2 JOIN e ON d2.n = e.s)
+  GROUP BY 1)
+SELECT n AS node, round(dist, 4) AS dist FROM d3 ORDER BY node
 """

@@ -832,3 +832,35 @@ def test_rolling_slope_linear_series_and_short_frames(spark):
           rolling_slope(df2, "k", "t", "v", "i", window=4)
           .orderBy("t").collect()][3:]
     assert all(abs(s) < 0.21 for s in s4)
+
+
+# --- sssp_rounds -----------------------------------------------------------
+
+def test_sssp_takes_cheaper_two_hop_path(spark):
+    from niamoto_spark.operators.graph import sssp_rounds
+
+    # a-b direct cost 10; a-c-b costs 2+3=5; d unreachable in 2 rounds
+    edges = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 2.0), ("c", "b", 3.0),
+         ("x", "d", 1.0)],
+        "src string, dst string, w double")
+    src = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"] for r in
+           sssp_rounds(edges, src, rounds=2).collect()}
+    assert out["a"] == 0.0
+    assert out["b"] == 5.0                    # two-hop beats direct
+    assert out["c"] == 2.0
+    assert "d" not in out                     # disconnected
+
+
+def test_sssp_round_budget_limits_depth(spark):
+    from niamoto_spark.operators.graph import sssp_rounds
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(5)], "src long, dst long, w double")
+    src = spark.createDataFrame([(0,)], "node long")
+    out2 = {r["node"] for r in sssp_rounds(chain, src, rounds=2).collect()}
+    assert out2 == {0, 1, 2}                  # only <=2-edge paths
+    out5 = {r["node"]: r["dist"] for r in
+            sssp_rounds(chain, src, rounds=5).collect()}
+    assert out5[5] == 5.0

@@ -1870,6 +1870,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q331_rolling_slope": q331_rolling_slope,
         "q332_percentile_bands": q332_percentile_bands,
         "q333_sssp": q333_sssp,
+        "q334_range_frames": q334_range_frames,
+        "q335_business_days": q335_business_days,
     }
 
 
@@ -5718,6 +5720,8 @@ def build_oracles() -> dict[str, str]:
         "q331_rolling_slope": O_Q331,
         "q332_percentile_bands": O_Q332,
         "q333_sssp": O_Q333,
+        "q334_range_frames": O_Q334,
+        "q335_business_days": O_Q335,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13568,4 +13572,93 @@ d3 AS (
     SELECT e.d, d2.dist + e.w FROM d2 JOIN e ON d2.n = e.s)
   GROUP BY 1)
 SELECT n AS node, round(dist, 4) AS dist FROM d3 ORDER BY node
+"""
+
+
+def q334_range_frames(spark, sf_dir):
+    """RANGE window frames: per user, the count and value-sum of
+    events in the TRAILING HOUR of event time (RANGE BETWEEN 3600
+    PRECEDING) — value-based frames where the q257 ROWS lane counts
+    rows; ties in ts all join the same frame, which is the semantic
+    difference this query pins.  Checksummed per user in exact
+    cents."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts_sec")
+         .rangeBetween(-3600, 0))
+    e = (ev.withColumn("n_1h", F.count(F.lit(1)).over(w))
+         .withColumn("v_1h", F.sum("value").over(w)))
+    cents = F.floor(F.col("v_1h") * 100 + 0.5).cast("long")
+    return (e.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_1h").alias("sum_counts"),
+                 F.sum(cents).alias("sum_cents")))
+
+
+O_Q334 = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events),
+f AS (
+  SELECT user_id,
+         count(*) OVER w AS n_1h,
+         sum(value) OVER w AS v_1h
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+SELECT user_id, count(*) AS n,
+       CAST(sum(n_1h) AS BIGINT) AS sum_counts,
+       CAST(sum(CAST(floor(v_1h * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM f GROUP BY 1
+"""
+
+
+def q335_business_days(spark, sf_dir):
+    """Business-day arithmetic: weekdays between order and ship dates,
+    closed-form (full weeks x 5 + a mod-7 partial-week correction
+    from the engine-neutral Monday-epoch weekday) — no calendar
+    explode, no UDF, identical integer arithmetic on both engines.
+    SLA distribution per priority."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .select("o_orderpriority",
+                 F.datediff(F.col("l_shipdate").cast("date"),
+                            F.lit("1970-01-05").cast("date"))
+                 .alias("ds"),
+                 F.datediff(F.col("o_orderdate").cast("date"),
+                            F.lit("1970-01-05").cast("date"))
+                 .alias("do_")))
+    # weekdays in [a, b): count n in [a,b) with n%7 < 5
+    def wd(upto):
+        full = (upto / 7).cast("long") * 5
+        rem = upto % 7
+        return full + F.least(rem, F.lit(5))
+
+    bdays = wd(F.col("ds")) - wd(F.col("do_"))
+    return (j.where(F.col("ds") >= F.col("do_"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(bdays), 4).alias("avg_bdays"),
+                 F.max(bdays).alias("max_bdays")))
+
+
+O_Q335 = """
+WITH j AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-05',
+                   CAST(l_shipdate AS DATE)) AS ds,
+         date_diff('day', DATE '1970-01-05',
+                   CAST(o_orderdate AS DATE)) AS do_
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+b AS (
+  SELECT o_orderpriority,
+         ((ds // 7) * 5 + LEAST(ds % 7, 5))
+           - ((do_ // 7) * 5 + LEAST(do_ % 7, 5)) AS bdays
+  FROM j WHERE ds >= do_)
+SELECT o_orderpriority, count(*) AS n,
+       round(avg(bdays), 4) AS avg_bdays,
+       CAST(max(bdays) AS BIGINT) AS max_bdays
+FROM b GROUP BY 1
 """

@@ -285,3 +285,111 @@ def test_cumulative_unique_final_equals_distinct(spark, rows):
     # monotone, and increments equal the new_entities column
     for a, b in zip(out, out[1:]):
         assert b["cum_entities"] - a["cum_entities"] == b["new_entities"]
+
+
+# --- round-8 invariants ----------------------------------------------------
+
+_urlchars = st.text(
+    alphabet=st.sampled_from("abcXYZ09-._~"), min_size=1, max_size=12)
+
+
+@given(host=_urlchars, path=_urlchars, q1=_urlchars, q2=_urlchars)
+def test_url_normalize_idempotent_and_tracking_free(spark, host, path,
+                                                    q1, q2):
+    """normalize(normalize(u)) == normalize(u), and no tracking param
+    survives — for any synthesized URL shape."""
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.web import url_normalize
+
+    url = (f"HTTPS://WWW.{host}.COM:443/{path}/"
+           f"?utm_source={q1}&b={q2}&gclid=x#frag")
+    df = spark.createDataFrame(pd.DataFrame({"url": [url]}))
+    once = url_normalize(df, "url").select(
+        F.col("url_norm").alias("url")).collect()[0]["url"]
+    twice = url_normalize(
+        spark.createDataFrame(pd.DataFrame({"url": [once]})),
+        "url").collect()[0]["url_norm"]
+    assert twice == once
+    assert "utm_" not in once and "gclid" not in once
+    assert "#" not in once and ":443" not in once
+
+
+@given(st.lists(st.tuples(st.integers(0, 1000),
+                          st.floats(0, 100, allow_nan=False, width=32)),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+def test_twa_bounded_by_min_max(spark, samples):
+    from niamoto_spark.operators.timeseries import time_weighted_avg
+
+    rows = [("k", t, float(v), t) for t, v in samples]
+    df = spark.createDataFrame(
+        rows, "k string, t long, v double, i long")
+    twa = time_weighted_avg(df, "k", "t", "v", "i").collect()[0]["twa"]
+    vs = [v for _, v in samples]
+    assert min(vs) - 1e-4 <= twa <= max(vs) + 1e-4
+
+
+@given(st.lists(st.tuples(st.integers(0, 500),
+                          st.floats(0, 50, allow_nan=False, width=32)),
+                min_size=1, max_size=30, unique_by=lambda t: t[0]))
+def test_ohlc_low_le_open_close_le_high(spark, samples):
+    from niamoto_spark.operators.timeseries import ohlc_bars
+
+    rows = [("k", t, float(v), t) for t, v in samples]
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    for r in ohlc_bars(df, "k", "t", "v", "i", granule_s=100).collect():
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+
+
+@given(st.lists(st.tuples(st.integers(0, 300),
+                          st.sampled_from("AB")),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+def test_state_periods_partition_rows_exactly(spark, evs):
+    """Islands partition the input: run lengths sum to the row count
+    and no period crosses a state change."""
+    from niamoto_spark.operators.timeseries import state_periods
+
+    rows = [("u", t, s, t) for t, s in evs]
+    df = spark.createDataFrame(rows, "k string, t long, s string, i long")
+    out = state_periods(df, "k", "t", "s", "i").collect()
+    assert sum(r["run_length"] for r in out) == len(evs)
+    spans = sorted((r["start"], r["end"], r["s"]) for r in out)
+    by_t = dict((t, s) for t, s in evs)
+    for lo, hi, state in spans:
+        for t in [t for t, _ in evs if lo <= t <= hi]:
+            assert by_t[t] == state
+
+
+@given(st.lists(st.floats(0, 1000, allow_nan=False, width=32),
+                min_size=1, max_size=40))
+def test_gini_in_unit_interval(spark, xs):
+    from niamoto_spark.operators.aggregation import gini_coefficient
+
+    df = spark.createDataFrame([("g", float(x)) for x in xs],
+                               "g string, x double")
+    g = gini_coefficient(df, "g", "x").collect()[0]["gini"]
+    assert -1e-9 <= g < 1.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 400),
+                          st.floats(0, 100, allow_nan=False, width=32)),
+                min_size=2, max_size=40, unique_by=lambda t: t[0]))
+def test_counter_rate_increase_nonnegative(spark, samples):
+    from niamoto_spark.operators.timeseries import counter_rate
+
+    rows = [("k", t, float(v), t) for t, v in samples]
+    df = spark.createDataFrame(rows, "k string, t long, v double, i long")
+    r = counter_rate(df, "k", "t", "v", "i").collect()[0]
+    assert r["increase"] >= 0
+    assert r["rate_per_s"] >= 0
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60))
+def test_bitmap_distinct_matches_set(spark, ids):
+    from niamoto_spark.operators.sketches import bitmap_distinct_rollup
+
+    df = spark.createDataFrame([("g", i) for i in ids], "g string, id long")
+    out = bitmap_distinct_rollup(df, "g", "id",
+                                 rollup_to_total=False).collect()
+    assert out[0]["n_distinct"] == len(set(ids))

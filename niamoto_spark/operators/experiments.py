@@ -220,3 +220,85 @@ def poisson_bootstrap(df: DataFrame, value_col: str, id_col: str,
                 round_dp).alias("ci_lo"),
         F.round(F.min(F.when(F.col("__r") == k_hi, F.col("m"))),
                 round_dp).alias("ci_hi")))
+
+
+@register("cuped_adjust", PluginType.TRANSFORMER)
+def cuped_adjust(df: DataFrame, variant_col: str, value_col: str,
+                 covariate_col: str, treatment: str,
+                 round_dp: int = 6) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust the
+    experiment metric with a pre-period covariate,
+    y' = y − θ(x − mean(x)), θ = cov(x, y)/var(x) — the industry-
+    standard way to shrink A/B confidence intervals ~(1 − ρ²)× for
+    free.  Reports both the RAW and ADJUSTED arm difference plus the
+    variance-reduction ratio, so the win is visible in the output.
+
+    θ and all moments come from ONE aggregate (sum/sum-of-products —
+    closed form, no fit loop); the adjustment is a projection.
+    Returns a single row: (n_t, n_c, theta, diff_raw, diff_adj,
+    var_ratio)."""
+    y = F.col(value_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    is_t = (F.col(variant_col) == treatment).cast("int")
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(is_t).alias("nt"), F.sum(is_t * y).alias("syt"),
+        F.sum(is_t * x).alias("sxt"),
+        F.sum(y * y).alias("syy")).first()
+    n = float(m["n"])
+    mx, my = m["sx"] / n, m["sy"] / n
+    var_x = m["sxx"] / n - mx * mx
+    cov = m["sxy"] / n - mx * my
+    theta = cov / var_x if var_x > 0 else 0.0
+    nt, nc = float(m["nt"]), n - float(m["nt"])
+    my_t = m["syt"] / nt
+    my_c = (m["sy"] - m["syt"]) / nc
+    mx_t = m["sxt"] / nt
+    mx_c = (m["sx"] - m["sxt"]) / nc
+    diff_raw = my_t - my_c
+    diff_adj = (my_t - theta * (mx_t - mx)) - (my_c - theta * (mx_c - mx))
+    var_y = m["syy"] / n - my * my
+    rho2 = (cov * cov) / (var_x * var_y) \
+        if var_x > 0 and var_y > 0 else 0.0
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(int(nt), int(nc), theta, diff_raw, diff_adj, 1.0 - rho2)],
+        "n_t long, n_c long, theta double, diff_raw double, "
+        "diff_adj double, var_ratio double")
+    return out.select(
+        "n_t", "n_c", F.round("theta", round_dp).alias("theta"),
+        F.round("diff_raw", round_dp).alias("diff_raw"),
+        F.round("diff_adj", round_dp).alias("diff_adj"),
+        F.round("var_ratio", round_dp).alias("var_ratio"))
+
+
+@register("bh_fdr", PluginType.TRANSFORMER)
+def bh_fdr(df: DataFrame, test_col: str, p_col: str,
+           alpha: float = 0.05, round_dp: int = 6) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a battery of hypothesis
+    tests: rank p ascending, find the largest k with
+    p_(k) <= (k/m)·α, reject tests 1..k — what a segment-sliced
+    experiment MUST do before celebrating its smallest p-value
+    (at m=20 segments, one p < 0.05 is expected under the null).
+
+    Two windows over the m-row test table (rank, then the suffix-max
+    of the pass flags — a test is rejected if ANY later rank passes).
+    Returns (test, p_value, rank, threshold, rejected)."""
+    from pyspark.sql import Window
+
+    m = df.count()
+    w = Window.orderBy(F.col("p_value").asc(), F.col("test"))
+    ranked = (df.select(F.col(test_col).alias("test"),
+                        F.col(p_col).cast("double").alias("p_value"))
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("threshold",
+                          F.round(F.col("rank") / m * alpha, round_dp)))
+    passes = (F.col("p_value") <= F.col("rank") / m * alpha).cast("int")
+    wmax = (Window.orderBy(F.col("rank").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (ranked.withColumn("rejected",
+                              (F.max(passes).over(wmax) == 1))
+            .select("test", F.round("p_value", round_dp).alias("p_value"),
+                    "rank", "threshold", "rejected"))

@@ -239,3 +239,55 @@ def l_diversity(df: DataFrame, quasi_cols: "list[str]",
             .agg(F.count(F.lit(1)).alias("n_groups"),
                  F.sum("__n").alias("n_rows"),
                  F.min("__n").alias("min_group_size")))
+
+
+@register("reconcile_columns", PluginType.TRANSFORMER)
+def reconcile_columns(a: DataFrame, b: DataFrame,
+                      key_cols: "list[str]",
+                      round_dp: int = 4) -> DataFrame:
+    """Column-level reconciliation between two keyed tables (source vs
+    replica, yesterday vs today): per VALUE column, how many matched
+    keys disagree, and the per-side null counts — the drill-down
+    table_diff's row-level verdict can't give ("rows changed" ->
+    "WHICH columns drift").
+
+    One keyed full-outer join, then one Expand-shaped aggregate over
+    (column, flags) — never a scan per column.  Keys present on only
+    one side are reported in the special '__presence__' row."""
+    val_cols = [c for c in a.columns if c not in key_cols]
+    if [c for c in b.columns if c not in key_cols] != val_cols:
+        raise ValueError("reconcile_columns: schemas differ")
+    ta = a.select(*key_cols,
+                  *[F.col(c).alias(f"{c}__a") for c in val_cols],
+                  F.lit(1).alias("__pa"))
+    tb = b.select(*key_cols,
+                  *[F.col(c).alias(f"{c}__b") for c in val_cols],
+                  F.lit(1).alias("__pb"))
+    j = ta.join(tb, key_cols, "full_outer")
+    both = F.col("__pa").isNotNull() & F.col("__pb").isNotNull()
+    pieces = []
+    for c in val_cols:
+        ca, cb = F.col(f"{c}__a"), F.col(f"{c}__b")
+        pieces.append(j.select(
+            F.lit(c).alias("column"),
+            (both & ~ca.eqNullSafe(cb)).cast("long").alias("mism"),
+            (both & ca.isNull() & cb.isNotNull()).cast("long")
+            .alias("null_a"),
+            (both & cb.isNull() & ca.isNotNull()).cast("long")
+            .alias("null_b"),
+            both.cast("long").alias("matched")))
+    presence = j.select(
+        F.lit("__presence__").alias("column"),
+        F.col("__pb").isNull().cast("long").alias("mism"),   # a-only
+        F.col("__pa").isNull().cast("long").alias("null_a"),  # b-only
+        F.lit(0).cast("long").alias("null_b"),
+        both.cast("long").alias("matched"))
+    un = pieces[0]
+    for p in pieces[1:]:
+        un = un.unionByName(p)
+    un = un.unionByName(presence)
+    return (un.groupBy("column")
+            .agg(F.sum("matched").alias("n_matched"),
+                 F.sum("mism").alias("n_mismatch"),
+                 F.sum("null_a").alias("n_null_a_only"),
+                 F.sum("null_b").alias("n_null_b_only")))

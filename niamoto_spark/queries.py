@@ -1872,6 +1872,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q333_sssp": q333_sssp,
         "q334_range_frames": q334_range_frames,
         "q335_business_days": q335_business_days,
+        "q336_reconcile": q336_reconcile,
+        "q337_cuped": q337_cuped,
+        "q338_bh_fdr": q338_bh_fdr,
     }
 
 
@@ -5722,6 +5725,9 @@ def build_oracles() -> dict[str, str]:
         "q333_sssp": O_Q333,
         "q334_range_frames": O_Q334,
         "q335_business_days": O_Q335,
+        "q336_reconcile": O_Q336,
+        "q337_cuped": O_Q337,
+        "q338_bh_fdr": O_Q338,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13661,4 +13667,192 @@ SELECT o_orderpriority, count(*) AS n,
        round(avg(bdays), 4) AS avg_bdays,
        CAST(max(bdays) AS BIGINT) AS max_bdays
 FROM b GROUP BY 1
+"""
+
+
+def q336_reconcile(spark, sf_dir):
+    """Column-level reconciliation (operators/quality.py:
+    reconcile_columns): a replica of orders with planted drift (price
+    doubled on %13 keys, priority nulled on %17, %19 keys missing,
+    extra keys present) reconciled against the source — per-column
+    mismatch and null-skew counts plus the presence row.  The oracle
+    recomputes every planted discrepancy from the base table."""
+    from niamoto_spark.operators.quality import reconcile_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    a = o.where(F.col("o_orderkey") % 19 != 1)
+    b = (o.where(F.col("o_orderkey") % 19 != 0)
+         .withColumn("o_totalprice",
+                     F.when(F.col("o_orderkey") % 13 == 0,
+                            F.col("o_totalprice") * 2)
+                     .otherwise(F.col("o_totalprice")))
+         .withColumn("o_orderpriority",
+                     F.when(F.col("o_orderkey") % 17 == 0, None)
+                     .otherwise(F.col("o_orderpriority"))))
+    return reconcile_columns(a, b, ["o_orderkey"]).orderBy("column")
+
+
+O_Q336 = """
+WITH a AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderkey % 19 <> 1),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 17 = 0 THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 19 <> 0),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+           AS in_both,
+         a.o_orderkey IS NOT NULL AS pa, b.o_orderkey IS NOT NULL
+           AS pb,
+         a.o_totalprice AS pa_price, b.o_totalprice AS pb_price,
+         a.o_orderpriority AS pa_pri, b.o_orderpriority AS pb_pri
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT * FROM (
+  SELECT 'o_totalprice' AS "column",
+         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         CAST(sum(CASE WHEN in_both
+                        AND pa_price IS DISTINCT FROM pb_price
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         CAST(sum(CASE WHEN in_both AND pa_price IS NULL
+                        AND pb_price IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_a_only,
+         CAST(sum(CASE WHEN in_both AND pb_price IS NULL
+                        AND pa_price IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_b_only
+  FROM j
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN in_both AND pa_pri IS DISTINCT FROM pb_pri
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN in_both AND pa_pri IS NULL
+                        AND pb_pri IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN in_both AND pb_pri IS NULL
+                        AND pa_pri IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM j
+  UNION ALL
+  SELECT '__presence__',
+         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN NOT pb THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN NOT pa THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM j)
+ORDER BY "column"
+"""
+
+
+def q337_cuped(spark, sf_dir):
+    """CUPED variance reduction (operators/experiments.py:
+    cuped_adjust): per-user post-period metric adjusted by the
+    pre-period covariate, θ from one closed-form moment aggregate —
+    raw vs adjusted arm difference and the (1 − ρ²) variance ratio.
+    The oracle replays the moment algebra end to end."""
+    from niamoto_spark.operators.experiments import cuped_adjust
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(ts_sec, 0.5)")).first()[0]
+    per_user = (ev.groupBy("user_id")
+                .agg(F.avg(F.when(F.col("ts_sec") <= mid,
+                                  F.col("value"))).alias("x"),
+                     F.avg(F.when(F.col("ts_sec") > mid,
+                                  F.col("value"))).alias("y"))
+                .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+                .withColumn("arm",
+                            F.when(F.col("user_id") % 2 == 0, "T")
+                            .otherwise("C")))
+    return cuped_adjust(per_user, "arm", "y", "x", treatment="T")
+
+
+O_Q337 = """
+WITH mid AS (
+  SELECT quantile_cont(CAST(floor(epoch(ts)) AS BIGINT), 0.5) AS m
+  FROM events),
+pu AS (
+  SELECT user_id,
+         avg(CASE WHEN floor(epoch(ts)) <= mid.m THEN value END) AS x,
+         avg(CASE WHEN floor(epoch(ts)) > mid.m THEN value END) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS arm
+  FROM events CROSS JOIN mid GROUP BY user_id, mid.m),
+f AS (SELECT * FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx,
+         sum(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS nt,
+         sum(CASE WHEN arm = 'T' THEN y ELSE 0 END) AS syt,
+         sum(CASE WHEN arm = 'T' THEN x ELSE 0 END) AS sxt,
+         sum(y * y) AS syy
+  FROM f),
+c AS (
+  SELECT n, nt, n - nt AS nc, sx / n AS mx, sy / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS var_x,
+         sxy / n - (sx / n) * (sy / n) AS cov,
+         syy / n - (sy / n) * (sy / n) AS var_y,
+         syt, sxt, sy, sx
+  FROM m),
+t AS (
+  SELECT *, CASE WHEN var_x > 0 THEN cov / var_x ELSE 0.0 END AS th
+  FROM c)
+SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+       round(th, 6) AS theta,
+       round(syt / nt - (sy - syt) / nc, 6) AS diff_raw,
+       round((syt / nt - th * (sxt / nt - mx))
+             - ((sy - syt) / nc - th * ((sx - sxt) / nc - mx)), 6)
+         AS diff_adj,
+       round(CASE WHEN var_x > 0 AND var_y > 0
+                  THEN 1.0 - (cov * cov) / (var_x * var_y)
+                  ELSE 1.0 END, 6) AS var_ratio
+FROM t
+"""
+
+
+def q338_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (operators/experiments.py:
+    bh_fdr): a 25-test battery (deterministic md5 pseudo p-values per
+    nation — the PROCEDURE is what's pinned), ranked thresholds
+    k/m·α, suffix-max rejection rule.  The oracle replays ranking,
+    thresholds and the any-later-rank-passes rule."""
+    from niamoto_spark.operators.experiments import bh_fdr
+
+    n = _t(spark, sf_dir, "nation")
+    tests = n.select(
+        F.col("n_name").alias("test"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("bh|"),
+                                           F.col("n_name"))), 1, 8),
+                16, 10).cast("double") / F.lit(float(2 ** 32)))
+        .alias("p"))
+    tests = tests.withColumn(
+        "p", F.round(F.pow(F.col("p"), 2.0), 6))   # skew small p's in
+    return bh_fdr(tests, "test", "p", alpha=0.2).orderBy("rank")
+
+
+O_Q338 = """
+WITH tests AS (
+  SELECT n_name AS test,
+         round(pow(CAST(('0x' || substr(md5('bh|' || n_name), 1, 8))
+                        AS UBIGINT) / 4294967296.0, 2.0), 6) AS p
+  FROM nation),
+m AS (SELECT count(*) AS m FROM tests),
+ranked AS (
+  SELECT test, p AS p_value,
+         row_number() OVER (ORDER BY p, test) AS rank
+  FROM tests),
+flagged AS (
+  SELECT r.test, r.p_value, r.rank,
+         round(r.rank / CAST(m.m AS DOUBLE) * 0.2, 6) AS threshold,
+         CASE WHEN r.p_value <= r.rank / CAST(m.m AS DOUBLE) * 0.2
+              THEN 1 ELSE 0 END AS pass
+  FROM ranked r CROSS JOIN m)
+SELECT test, round(p_value, 6) AS p_value, rank, threshold,
+       max(pass) OVER (ORDER BY rank DESC
+                       ROWS UNBOUNDED PRECEDING) = 1 AS rejected
+FROM flagged ORDER BY rank
 """

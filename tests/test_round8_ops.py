@@ -864,3 +864,68 @@ def test_sssp_round_budget_limits_depth(spark):
     out5 = {r["node"]: r["dist"] for r in
             sssp_rounds(chain, src, rounds=5).collect()}
     assert out5[5] == 5.0
+
+
+# --- reconcile_columns -----------------------------------------------------
+
+def test_reconcile_columns_hand_planted(spark):
+    from niamoto_spark.operators.quality import reconcile_columns
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, None), (4, 40.0, "z")],
+        "k long, v double, s string")
+    b = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 99.0, "y"), (3, 30.0, "w"), (5, 50.0, "q")],
+        "k long, v double, s string")
+    out = {r["column"]: r for r in
+           reconcile_columns(a, b, ["k"]).collect()}
+    assert out["v"]["n_mismatch"] == 1          # key 2
+    assert out["s"]["n_mismatch"] == 1          # key 3 null->w counts
+    assert out["s"]["n_null_a_only"] == 1       # key 3
+    p = out["__presence__"]
+    assert (p["n_matched"], p["n_mismatch"], p["n_null_a_only"]) \
+        == (3, 1, 1)                            # 4 a-only, 5 b-only
+
+
+# --- cuped_adjust ----------------------------------------------------------
+
+def test_cuped_removes_covariate_confound(spark):
+    import random
+
+    from niamoto_spark.operators.experiments import cuped_adjust
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        x = rng.gauss(50, 10)
+        arm = "T" if i % 2 == 0 else "C"
+        # y driven almost entirely by x, zero true treatment effect
+        y = 2 * x + rng.gauss(0, 0.5)
+        rows.append((arm, y, x))
+    df = spark.createDataFrame(rows, "arm string, y double, x double")
+    r = cuped_adjust(df, "arm", "y", "x", "T").first()
+    assert r["theta"] == pytest.approx(2.0, abs=0.05)
+    assert r["var_ratio"] < 0.01                # ~all variance explained
+    assert abs(r["diff_adj"]) < abs(r["diff_raw"]) + 1e-9
+    assert abs(r["diff_adj"]) < 0.2             # near the true 0 effect
+
+
+# --- bh_fdr ----------------------------------------------------------------
+
+def test_bh_fdr_textbook_example(spark):
+    from niamoto_spark.operators.experiments import bh_fdr
+
+    # classic: m=5, alpha=0.25 -> thresholds .05 .10 .15 .20 .25
+    rows = [("t1", 0.01), ("t2", 0.04), ("t3", 0.14), ("t4", 0.50),
+            ("t5", 0.90)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    out = {r["test"]: r for r in
+           bh_fdr(df, "test", "p", alpha=0.25).collect()}
+    # largest passing rank: t3 (0.14 <= 0.15) -> t1..t3 rejected
+    assert out["t1"]["rejected"] and out["t2"]["rejected"] \
+        and out["t3"]["rejected"]
+    assert not out["t4"]["rejected"] and not out["t5"]["rejected"]
+    # t2 alone fails its own threshold (0.04 <= 0.10 passes actually);
+    # the suffix rule is what rescues any earlier rank below a later
+    # passing one — pinned by t3 rescuing nothing above it here
+    assert out["t3"]["rank"] == 3

@@ -302,3 +302,118 @@ def bh_fdr(df: DataFrame, test_col: str, p_col: str,
                               (F.max(passes).over(wmax) == 1))
             .select("test", F.round("p_value", round_dp).alias("p_value"),
                     "rank", "threshold", "rejected"))
+
+
+@register("diff_in_diff", PluginType.TRANSFORMER)
+def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
+                 value_col: str, treated: str, post: str,
+                 round_dp: int = 6) -> DataFrame:
+    """Difference-in-differences: the 2x2 interaction estimate
+    (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the workhorse
+    quasi-experimental estimator when randomization wasn't available
+    and parallel trends is the assumption you're willing to sign.
+
+    One (group, period) aggregate -> four cell means -> scalar
+    algebra.  Returns the four means, both single differences and the
+    DiD estimate."""
+    y = F.col(value_col).cast("double")
+    g = (F.col(group_col) == treated)
+    p = (F.col(period_col) == post)
+    cells = df.agg(
+        F.avg(F.when(g & p, y)).alias("t_post"),
+        F.avg(F.when(g & ~p, y)).alias("t_pre"),
+        F.avg(F.when(~g & p, y)).alias("c_post"),
+        F.avg(F.when(~g & ~p, y)).alias("c_pre"))
+    d_t = F.col("t_post") - F.col("t_pre")
+    d_c = F.col("c_post") - F.col("c_pre")
+    return cells.select(
+        F.round("t_pre", round_dp).alias("t_pre"),
+        F.round("t_post", round_dp).alias("t_post"),
+        F.round("c_pre", round_dp).alias("c_pre"),
+        F.round("c_post", round_dp).alias("c_post"),
+        F.round(d_t, round_dp).alias("diff_treated"),
+        F.round(d_c, round_dp).alias("diff_control"),
+        F.round(d_t - d_c, round_dp).alias("did"))
+
+
+@register("rdd_estimate", PluginType.TRANSFORMER)
+def rdd_estimate(df: DataFrame, running_col: str, value_col: str,
+                 cutoff: float, bandwidth: float,
+                 round_dp: int = 6) -> DataFrame:
+    """Sharp regression discontinuity: local LINEAR fits on each side
+    of the cutoff within ``bandwidth``, jump = intercept(right at c)
+    − intercept(left at c) — the design that identifies a causal
+    effect from a threshold rule (score cutoffs, eligibility lines).
+
+    Each side's slope/intercept comes from the closed-form normal
+    equations over centered x = running − cutoff (ONE aggregate per
+    side, no fit loop).  Returns per-side n/slope/value-at-cutoff and
+    the jump."""
+    x = F.col(running_col).cast("double") - float(cutoff)
+    y = F.col(value_col).cast("double")
+    inb = (F.abs(x) <= float(bandwidth))
+
+    def side(pred, tag):
+        return df.where(inb & pred).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.avg(x).alias(f"mx_{tag}"), F.avg(y).alias(f"my_{tag}"),
+            F.avg(x * y).alias(f"mxy_{tag}"),
+            F.avg(x * x).alias(f"mxx_{tag}"))
+
+    l = side(x < 0, "l").first()
+    r = side(x >= 0, "r").first()
+
+    def fit(m, tag):
+        vx = m[f"mxx_{tag}"] - m[f"mx_{tag}"] ** 2
+        slope = ((m[f"mxy_{tag}"] - m[f"mx_{tag}"] * m[f"my_{tag}"])
+                 / vx) if vx and vx > 0 else 0.0
+        at_c = m[f"my_{tag}"] - slope * m[f"mx_{tag}"]  # x=0 intercept
+        return int(m[f"n_{tag}"]), float(slope), float(at_c)
+
+    nl, sl, yl = fit(l, "l")
+    nr, sr, yr = fit(r, "r")
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(nl, nr, sl, sr, yl, yr, yr - yl)],
+        "n_left long, n_right long, slope_left double, "
+        "slope_right double, y_left double, y_right double, "
+        "jump double")
+    return out.select(
+        "n_left", "n_right",
+        F.round("slope_left", round_dp).alias("slope_left"),
+        F.round("slope_right", round_dp).alias("slope_right"),
+        F.round("y_left", round_dp).alias("y_left"),
+        F.round("y_right", round_dp).alias("y_right"),
+        F.round("jump", round_dp).alias("jump"))
+
+
+@register("wald_iv", PluginType.TRANSFORMER)
+def wald_iv(df: DataFrame, instrument_col: str, treatment_col: str,
+            value_col: str, round_dp: int = 6) -> DataFrame:
+    """Wald instrumental-variable estimator with a binary instrument:
+    LATE = (ȳ_{z=1} − ȳ_{z=0}) / (d̄_{z=1} − d̄_{z=0}) — intention-
+    to-treat effect scaled by the first-stage compliance difference,
+    the one-line answer to non-compliance in encouragement designs.
+
+    One aggregate, scalar algebra.  Returns ITT, first stage and the
+    LATE (NULL when the first stage is 0 — a weak-instrument
+    situation the caller must see, not a division blow-up)."""
+    z = F.col(instrument_col).cast("int")
+    d = F.col(treatment_col).cast("double")
+    y = F.col(value_col).cast("double")
+    m = df.agg(
+        F.avg(F.when(z == 1, y)).alias("y1"),
+        F.avg(F.when(z == 0, y)).alias("y0"),
+        F.avg(F.when(z == 1, d)).alias("d1"),
+        F.avg(F.when(z == 0, d)).alias("d0"),
+        F.sum(z).alias("n1"),
+        F.sum(1 - z).alias("n0"))
+    itt = F.col("y1") - F.col("y0")
+    fs = F.col("d1") - F.col("d0")
+    return m.select(
+        F.col("n1").cast("long").alias("n_encouraged"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.round(itt, round_dp).alias("itt"),
+        F.round(fs, round_dp).alias("first_stage"),
+        F.round(F.when(F.abs(fs) > 0, itt / fs), round_dp)
+        .alias("late"))

@@ -1875,6 +1875,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q336_reconcile": q336_reconcile,
         "q337_cuped": q337_cuped,
         "q338_bh_fdr": q338_bh_fdr,
+        "q339_diff_in_diff": q339_diff_in_diff,
+        "q340_rdd": q340_rdd,
+        "q341_wald_iv": q341_wald_iv,
     }
 
 
@@ -5728,6 +5731,9 @@ def build_oracles() -> dict[str, str]:
         "q336_reconcile": O_Q336,
         "q337_cuped": O_Q337,
         "q338_bh_fdr": O_Q338,
+        "q339_diff_in_diff": O_Q339,
+        "q340_rdd": O_Q340,
+        "q341_wald_iv": O_Q341,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13855,4 +13861,141 @@ SELECT test, round(p_value, 6) AS p_value, rank, threshold,
        max(pass) OVER (ORDER BY rank DESC
                        ROWS UNBOUNDED PRECEDING) = 1 AS rejected
 FROM flagged ORDER BY rank
+"""
+
+
+def q339_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences (operators/experiments.py:
+    diff_in_diff): urgent vs low-priority orders, pre/post 1998 — the
+    2x2 interaction from one cell aggregate.  The oracle replays the
+    four means and the double difference."""
+    from niamoto_spark.operators.experiments import diff_in_diff
+
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("grp", F.when(
+             F.col("o_orderpriority") == "1-URGENT", "T").otherwise("C"))
+         .withColumn("period", F.when(
+             F.year("o_orderdate") >= 1998, "post").otherwise("pre")))
+    return diff_in_diff(o, "grp", "period", "o_totalprice",
+                        treated="T", post="post")
+
+
+O_Q339 = """
+WITH c AS (
+  SELECT
+    avg(CASE WHEN o_orderpriority = '1-URGENT'
+              AND year(o_orderdate) >= 1998 THEN o_totalprice END)
+      AS t_post,
+    avg(CASE WHEN o_orderpriority = '1-URGENT'
+              AND year(o_orderdate) < 1998 THEN o_totalprice END)
+      AS t_pre,
+    avg(CASE WHEN o_orderpriority <> '1-URGENT'
+              AND year(o_orderdate) >= 1998 THEN o_totalprice END)
+      AS c_post,
+    avg(CASE WHEN o_orderpriority <> '1-URGENT'
+              AND year(o_orderdate) < 1998 THEN o_totalprice END)
+      AS c_pre
+  FROM orders)
+SELECT round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+       round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+       round(t_post - t_pre, 6) AS diff_treated,
+       round(c_post - c_pre, 6) AS diff_control,
+       round((t_post - t_pre) - (c_post - c_pre), 6) AS did
+FROM c
+"""
+
+
+def q340_rdd(spark, sf_dir):
+    """Sharp regression discontinuity (operators/experiments.py:
+    rdd_estimate): a planted jump — value + 8 when totalprice crosses
+    150k — recovered by local linear fits on each side of the cutoff
+    (closed-form normal equations, one aggregate per side).  The
+    oracle refits both sides and the jump."""
+    from niamoto_spark.operators.experiments import rdd_estimate
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "metric",
+        F.col("o_totalprice") / 10_000
+        + F.when(F.col("o_totalprice") >= 150_000, 8.0).otherwise(0.0))
+    return rdd_estimate(o, "o_totalprice", "metric",
+                        cutoff=150_000.0, bandwidth=60_000.0)
+
+
+O_Q340 = """
+WITH b AS (
+  SELECT o_totalprice - 150000.0 AS x,
+         o_totalprice / 10000
+           + CASE WHEN o_totalprice >= 150000 THEN 8.0 ELSE 0.0 END
+           AS y
+  FROM orders
+  WHERE abs(o_totalprice - 150000.0) <= 60000.0),
+l AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         avg(x * y) AS mxy, avg(x * x) AS mxx
+  FROM b WHERE x < 0),
+r AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         avg(x * y) AS mxy, avg(x * x) AS mxx
+  FROM b WHERE x >= 0),
+f AS (
+  SELECT l.n AS n_left, r.n AS n_right,
+         (l.mxy - l.mx * l.my) / (l.mxx - l.mx * l.mx) AS sl,
+         (r.mxy - r.mx * r.my) / (r.mxx - r.mx * r.mx) AS sr,
+         l.my, l.mx AS lmx, r.my AS rmy, r.mx AS rmx
+  FROM l CROSS JOIN r)
+SELECT n_left, n_right,
+       round(sl, 6) AS slope_left, round(sr, 6) AS slope_right,
+       round(my - sl * lmx, 6) AS y_left,
+       round(rmy - sr * rmx, 6) AS y_right,
+       round((rmy - sr * rmx) - (my - sl * lmx), 6) AS jump
+FROM f
+"""
+
+
+def q341_wald_iv(spark, sf_dir):
+    """Wald IV / LATE (operators/experiments.py:wald_iv): a
+    deterministic md5 'encouragement' instrument nudges treatment
+    take-up (urgent-priority acts as treatment), outcome =
+    totalprice — ITT over first stage from one aggregate.  The
+    oracle replays instrument assignment and the ratio."""
+    from niamoto_spark.operators.experiments import wald_iv
+
+    o = _t(spark, sf_dir, "orders")
+    z = (F.conv(F.substring(F.md5(F.concat(F.lit("iv|"),
+                                           F.col("o_orderkey"))),
+                            1, 8), 16, 10).cast("bigint")
+         < F.lit(int(0.5 * 2 ** 32))).cast("int")
+    d = ((F.col("o_orderpriority") == "1-URGENT")
+         | ((z == 1) & (F.col("o_orderkey") % 3 == 0))).cast("int")
+    df = o.select(z.alias("z"), d.alias("d"),
+                  F.col("o_totalprice").alias("y"))
+    return wald_iv(df, "z", "d", "y")
+
+
+O_Q341 = """
+WITH base AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('iv|' || o_orderkey),
+                                        1, 8)) AS UBIGINT)
+              < 2147483648 THEN 1 ELSE 0 END AS z,
+         o_orderpriority, o_orderkey, o_totalprice AS y
+  FROM orders),
+t AS (
+  SELECT z,
+         CASE WHEN o_orderpriority = '1-URGENT'
+               OR (z = 1 AND o_orderkey % 3 = 0)
+              THEN 1.0 ELSE 0.0 END AS d, y
+  FROM base),
+m AS (
+  SELECT avg(CASE WHEN z = 1 THEN y END) AS y1,
+         avg(CASE WHEN z = 0 THEN y END) AS y0,
+         avg(CASE WHEN z = 1 THEN d END) AS d1,
+         avg(CASE WHEN z = 0 THEN d END) AS d0,
+         sum(z) AS n1, sum(1 - z) AS n0
+  FROM t)
+SELECT CAST(n1 AS BIGINT) AS n_encouraged,
+       CAST(n0 AS BIGINT) AS n_control,
+       round(y1 - y0, 6) AS itt, round(d1 - d0, 6) AS first_stage,
+       round(CASE WHEN abs(d1 - d0) > 0
+                  THEN (y1 - y0) / (d1 - d0) END, 6) AS late
+FROM m
 """

@@ -929,3 +929,49 @@ def test_bh_fdr_textbook_example(spark):
     # the suffix rule is what rescues any earlier rank below a later
     # passing one — pinned by t3 rescuing nothing above it here
     assert out["t3"]["rank"] == 3
+
+
+# --- causal lane -----------------------------------------------------------
+
+def test_did_recovers_planted_effect(spark):
+    from niamoto_spark.operators.experiments import diff_in_diff
+
+    rows = []
+    for i in range(200):
+        g = "T" if i % 2 == 0 else "C"
+        for p, base in (("pre", 10.0), ("post", 14.0)):  # +4 trend
+            y = base + (3.0 if (g, p) == ("T", "post") else 0.0)
+            rows.append((g, p, y))
+    df = spark.createDataFrame(rows, "g string, p string, y double")
+    r = diff_in_diff(df, "g", "p", "y", "T", "post").first()
+    assert r["diff_control"] == pytest.approx(4.0)   # shared trend
+    assert r["did"] == pytest.approx(3.0)            # planted effect
+
+
+def test_rdd_recovers_jump_not_slope(spark):
+    from niamoto_spark.operators.experiments import rdd_estimate
+
+    rows = [(float(x), 0.5 * x + (7.0 if x >= 100 else 0.0))
+            for x in range(40, 161)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = rdd_estimate(df, "x", "y", cutoff=100.0, bandwidth=50.0).first()
+    assert r["jump"] == pytest.approx(7.0, abs=1e-6)
+    assert r["slope_left"] == pytest.approx(0.5, abs=1e-6)
+    assert r["slope_right"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_wald_iv_late_scales_itt(spark):
+    from niamoto_spark.operators.experiments import wald_iv
+
+    # z encourages: compliers (half) take d=1 under z=1; y = 10*d
+    rows = []
+    for i in range(400):
+        z = i % 2
+        complier = (i // 2) % 2 == 0
+        d = 1 if (z == 1 and complier) else 0
+        rows.append((z, d, 10.0 * d))
+    df = spark.createDataFrame(rows, "z int, d int, y double")
+    r = wald_iv(df, "z", "d", "y").first()
+    assert r["first_stage"] == pytest.approx(0.5)
+    assert r["itt"] == pytest.approx(5.0)
+    assert r["late"] == pytest.approx(10.0)          # per-complier effect

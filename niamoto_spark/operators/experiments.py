@@ -417,3 +417,47 @@ def wald_iv(df: DataFrame, instrument_col: str, treatment_col: str,
         F.round(fs, round_dp).alias("first_stage"),
         F.round(F.when(F.abs(fs) > 0, itt / fs), round_dp)
         .alias("late"))
+
+
+@register("ipf_raking", PluginType.TRANSFORMER)
+def ipf_raking(df: DataFrame, row_col: str, col_col: str,
+               row_targets: "dict", col_targets: "dict",
+               iters: int = 3, round_dp: int = 6) -> DataFrame:
+    """Survey raking / iterative proportional fitting: reweight a
+    sample's (row, col) cells so the weighted marginals match known
+    population targets — the post-stratification standard when the
+    sample's demographic mix doesn't match the population's.
+
+    ``iters`` alternating scalings (rows to row targets, then columns
+    to column targets), each one a tiny join-scale on the CELL table
+    (cells, not rows — the aggregate happens once up front), fully
+    deterministic, so an oracle replays the identical unrolled
+    sequence.  Returns (row, col, n, weight) with weight = the
+    raked cell mass per original row."""
+    cells = (df.groupBy(F.col(row_col).alias("r"),
+                        F.col(col_col).alias("c"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("w", F.col("n").cast("double")))
+    spark = df.sparkSession
+    rt = spark.createDataFrame(
+        [(k, float(v)) for k, v in row_targets.items()],
+        "r string, rt double")
+    ct = spark.createDataFrame(
+        [(k, float(v)) for k, v in col_targets.items()],
+        "c string, ct double")
+    for _ in range(int(iters)):
+        rsum = cells.groupBy("r").agg(F.sum("w").alias("rs"))
+        cells = (cells.join(rsum, "r").join(F.broadcast(rt), "r")
+                 .withColumn("w", F.col("w") * F.col("rt")
+                             / F.col("rs"))
+                 .drop("rs", "rt"))
+        csum = cells.groupBy("c").agg(F.sum("w").alias("cs"))
+        cells = (cells.join(csum, "c").join(F.broadcast(ct), "c")
+                 .withColumn("w", F.col("w") * F.col("ct")
+                             / F.col("cs"))
+                 .drop("cs", "ct"))
+        cells = cells.localCheckpoint(eager=True)
+    return cells.select(F.col("r").alias(row_col),
+                        F.col("c").alias(col_col), "n",
+                        F.round(F.col("w") / F.col("n"), round_dp)
+                        .alias("weight"))

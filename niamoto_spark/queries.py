@@ -1878,6 +1878,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q339_diff_in_diff": q339_diff_in_diff,
         "q340_rdd": q340_rdd,
         "q341_wald_iv": q341_wald_iv,
+        "q342_ipf_raking": q342_ipf_raking,
     }
 
 
@@ -5734,6 +5735,7 @@ def build_oracles() -> dict[str, str]:
         "q339_diff_in_diff": O_Q339,
         "q340_rdd": O_Q340,
         "q341_wald_iv": O_Q341,
+        "q342_ipf_raking": O_Q342,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -13998,4 +14000,61 @@ SELECT CAST(n1 AS BIGINT) AS n_encouraged,
        round(CASE WHEN abs(d1 - d0) > 0
                   THEN (y1 - y0) / (d1 - d0) END, 6) AS late
 FROM m
+"""
+
+
+def q342_ipf_raking(spark, sf_dir):
+    """Survey raking (operators/experiments.py:ipf_raking): reweight
+    the (priority, status) order mix to uniform priority and fixed
+    status targets with 3 IPF rounds — each round two cell-table
+    scalings.  The oracle unrolls the identical six scalings in
+    chained CTEs."""
+    from niamoto_spark.operators.experiments import ipf_raking
+
+    o = _t(spark, sf_dir, "orders")
+    pris = [r["o_orderpriority"] for r in
+            o.select("o_orderpriority").distinct().collect()]
+    row_t = {p: 1000.0 / len(pris) for p in sorted(pris)}
+    col_t = {"O": 500.0, "F": 300.0, "P": 200.0}
+    out = ipf_raking(o, "o_orderpriority", "o_orderstatus",
+                     row_t, col_t, iters=3)
+    return out.orderBy("o_orderpriority", "o_orderstatus")
+
+
+O_Q342 = """
+WITH cells AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         count(*) AS n, CAST(count(*) AS DOUBLE) AS w
+  FROM orders GROUP BY 1, 2),
+np AS (SELECT count(DISTINCT r) AS k FROM cells),
+rt AS (SELECT r, 1000.0 / np.k AS rt FROM (SELECT DISTINCT r
+       FROM cells) CROSS JOIN np),
+ct(c, ct) AS (VALUES ('O', 500.0), ('F', 300.0), ('P', 200.0)),
+i1r AS (
+  SELECT cells.r, cells.c, n,
+         w * rt.rt / sum(w) OVER (PARTITION BY cells.r) AS w
+  FROM cells JOIN rt ON cells.r = rt.r),
+i1c AS (
+  SELECT i1r.r, i1r.c, n,
+         w * ct.ct / sum(w) OVER (PARTITION BY i1r.c) AS w
+  FROM i1r JOIN ct ON i1r.c = ct.c),
+i2r AS (
+  SELECT i1c.r, i1c.c, n,
+         w * rt.rt / sum(w) OVER (PARTITION BY i1c.r) AS w
+  FROM i1c JOIN rt ON i1c.r = rt.r),
+i2c AS (
+  SELECT i2r.r, i2r.c, n,
+         w * ct.ct / sum(w) OVER (PARTITION BY i2r.c) AS w
+  FROM i2r JOIN ct ON i2r.c = ct.c),
+i3r AS (
+  SELECT i2c.r, i2c.c, n,
+         w * rt.rt / sum(w) OVER (PARTITION BY i2c.r) AS w
+  FROM i2c JOIN rt ON i2c.r = rt.r),
+i3c AS (
+  SELECT i3r.r, i3r.c, n,
+         w * ct.ct / sum(w) OVER (PARTITION BY i3r.c) AS w
+  FROM i3r JOIN ct ON i3r.c = ct.c)
+SELECT r AS o_orderpriority, c AS o_orderstatus, n,
+       round(w / n, 6) AS weight
+FROM i3c ORDER BY 1, 2
 """

@@ -975,3 +975,20 @@ def test_wald_iv_late_scales_itt(spark):
     assert r["first_stage"] == pytest.approx(0.5)
     assert r["itt"] == pytest.approx(5.0)
     assert r["late"] == pytest.approx(10.0)          # per-complier effect
+
+
+# --- ipf_raking ------------------------------------------------------------
+
+def test_ipf_converges_to_target_marginals(spark):
+    from niamoto_spark.operators.experiments import ipf_raking
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 50)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = ipf_raking(df, "r", "c", {"a": 50.0, "b": 50.0},
+                     {"x": 60.0, "y": 40.0}, iters=8).collect()
+    mass = {(r["r"], r["c"]): r["weight"] * r["n"] for r in out}
+    col_x = mass[("a", "x")] + mass[("b", "x")]
+    row_a = mass[("a", "x")] + mass[("a", "y")]
+    assert col_x == pytest.approx(60.0, abs=0.1)   # column target hit
+    assert row_a == pytest.approx(50.0, abs=0.5)   # row target near

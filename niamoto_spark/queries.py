@@ -1881,6 +1881,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q342_ipf_raking": q342_ipf_raking,
         "q343_chao1": q343_chao1,
         "q344_bray_curtis": q344_bray_curtis,
+        "q345_rarefaction": q345_rarefaction,
+        "q346_weighted_endemism": q346_weighted_endemism,
     }
 
 
@@ -5740,6 +5742,8 @@ def build_oracles() -> dict[str, str]:
         "q342_ipf_raking": O_Q342,
         "q343_chao1": O_Q343,
         "q344_bray_curtis": O_Q344,
+        "q345_rarefaction": O_Q345,
+        "q346_weighted_endemism": O_Q346,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14161,4 +14165,95 @@ SELECT g.sa AS site_a, g.sb AS site_b,
              / (g.tot_a + g.tot_b), 4) AS bray_curtis
 FROM grid g LEFT JOIN shared s ON g.sa = s.sa AND g.sb = s.sb
 ORDER BY site_a, site_b
+"""
+
+
+def q345_rarefaction(spark, sf_dir):
+    """Hurlbert rarefaction (operators/ecological.py:
+    rarefaction_expected): expected brand richness per nation in a
+    fair 200-individual subsample — log-space binomial ratios via an
+    in-order fold (no lgamma anywhere), so the oracle replays the
+    identical arithmetic with list_transform."""
+    from niamoto_spark.operators.ecological import rarefaction_expected
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    counts = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(p),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy(F.col("c_nationkey").alias("nk"), "p_brand")
+              .agg(F.count(F.lit(1)).alias("count")))
+    return rarefaction_expected(counts, ["nk"], subsample=200) \
+        .orderBy("nk")
+
+
+O_Q345 = """
+WITH counts AS (
+  SELECT c_nationkey AS nk, p_brand, count(*) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+tot AS (SELECT nk, sum(cnt) AS N FROM counts GROUP BY 1),
+t AS (
+  SELECT c.nk, c.cnt, tot.N,
+         CASE WHEN tot.N - c.cnt < 200 THEN 1.0
+              ELSE 1.0 - exp(
+                list_sum(list_transform(range(1, 201),
+                  i -> ln((CAST(tot.N - c.cnt AS DOUBLE) - 200 + i)
+                          / CAST(i AS DOUBLE))))
+                - list_sum(list_transform(range(1, 201),
+                  i -> ln((CAST(tot.N AS DOUBLE) - 200 + i)
+                          / CAST(i AS DOUBLE)))))
+              END AS term
+  FROM counts c JOIN tot ON c.nk = tot.nk WHERE c.cnt > 0)
+SELECT nk, count(*) AS s_obs, CAST(max(N) AS BIGINT) AS n_ind,
+       200 AS subsample, round(sum(term), 4) AS expected_s
+FROM t GROUP BY 1 ORDER BY nk
+"""
+
+
+def q346_weighted_endemism(spark, sf_dir):
+    """Weighted endemism (operators/ecological.py:weighted_endemism):
+    per region, Σ 1/range over the brands present — narrow-range
+    brands dominate the score; corrected WE (mean inverse range)
+    beside it.  The oracle replays the range aggregate and the
+    inverse-weighted sums."""
+    from niamoto_spark.operators.ecological import weighted_endemism
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    counts = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(p.where(F.col("p_size") >= 46)),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy(F.col("n_regionkey").alias("region"), "p_brand")
+              .agg(F.count(F.lit(1)).alias("count")))
+    return weighted_endemism(counts, "region", "p_brand") \
+        .orderBy("region")
+
+
+O_Q346 = """
+WITH pres AS (
+  SELECT DISTINCT n_regionkey AS site, p_brand AS sp
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey AND p_size >= 46),
+ranges AS (SELECT sp, count(*) AS rng FROM pres GROUP BY 1)
+SELECT pres.site AS region, count(*) AS richness,
+       round(sum(1.0 / rng), 4) AS we,
+       round(avg(1.0 / rng), 4) AS cwe
+FROM pres JOIN ranges ON pres.sp = ranges.sp
+GROUP BY 1 ORDER BY 1
 """

@@ -1035,3 +1035,35 @@ def test_bray_curtis_identical_zero_disjoint_one(spark):
     out2 = {(r["site_a"], r["site_b"]): r["bray_curtis"]
             for r in bray_curtis(df2, "site", "sp").collect()}
     assert out2[("A", "D")] == pytest.approx(1 - 10 / 15, abs=1e-4)
+
+
+def test_rarefaction_limits(spark):
+    """n = N gives E[S] = S_obs exactly; tiny n gives E[S] ~ 1 when
+    one species dominates."""
+    from niamoto_spark.operators.ecological import rarefaction_expected
+
+    rows = [("p", "a", 50), ("p", "b", 30), ("p", "c", 20)]
+    df = spark.createDataFrame(rows, "g string, sp string, count long")
+    full = rarefaction_expected(df, ["g"], subsample=100).first()
+    assert full["expected_s"] == pytest.approx(3.0)
+    one = rarefaction_expected(df, ["g"], subsample=1).first()
+    # E[S_1] = sum p_i-ish: 1 draw sees exactly one species
+    assert one["expected_s"] == pytest.approx(1.0, abs=1e-6)
+    # monotone in n
+    mid = rarefaction_expected(df, ["g"], subsample=10).first()
+    assert 1.0 < mid["expected_s"] < 3.0
+
+
+def test_weighted_endemism_narrow_range_dominates(spark):
+    from niamoto_spark.operators.ecological import weighted_endemism
+
+    rows = [("A", "everywhere", 1), ("B", "everywhere", 1),
+            ("C", "everywhere", 1),
+            ("A", "endemicA", 9)]
+    df = spark.createDataFrame(rows, "site string, sp string, count long")
+    out = {r["site"]: r for r in
+           weighted_endemism(df, "site", "sp").collect()}
+    # A: 1/3 (cosmopolitan) + 1/1 (endemic) = 1.3333
+    assert out["A"]["we"] == pytest.approx(4 / 3, abs=1e-4)
+    assert out["B"]["we"] == pytest.approx(1 / 3, abs=1e-4)
+    assert out["A"]["richness"] == 2

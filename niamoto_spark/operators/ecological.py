@@ -471,3 +471,52 @@ def weighted_endemism(counts: DataFrame, site_col: str,
                  F.round(F.avg(1.0 / F.col("rng")), round_dp)
                  .alias("cwe"))
             .withColumnRenamed("site", site_col))
+
+
+@register("faith_pd", PluginType.TRANSFORMER)
+def faith_pd(occurrences: DataFrame, site_col: str, leaf_col: str,
+             nodes: DataFrame, id_col: str = "id",
+             parent_col: str = "parent_id",
+             length_col: "str | None" = None,
+             round_dp: int = 4) -> DataFrame:
+    """Faith's phylogenetic diversity per site: the total branch
+    length of the minimal taxonomy subtree spanning the site's
+    present leaves — two plots with 10 species each score very
+    differently if one's species are congeners and the other's span
+    families.  Unit branch lengths by default (PD = count of distinct
+    edges on root paths); pass ``length_col`` on ``nodes`` for real
+    lengths.
+
+    Built ON the hierarchy machinery (hierarchy.ancestor_closure —
+    the same iterative closure the adjacency_list loader uses): the
+    distinct (site, ancestor) pairs ARE the subtree edges, so PD is
+    one distinct aggregate over the closure join.  Returns
+    (site, n_leaves, pd)."""
+    from niamoto_spark.hierarchy import ancestor_closure
+
+    closure = ancestor_closure(nodes, id_col=id_col,
+                               parent_col=parent_col)
+    pres = (occurrences.select(F.col(site_col).alias("site"),
+                               F.col(leaf_col).alias("leaf"))
+            .distinct())
+    # every (node, ancestor) pair incl. self => each node on the root
+    # path contributes its ONE upward edge; the root's "edge" counts
+    # once too (constant offset, consistent across sites)
+    edges = (pres.join(closure,
+                       pres["leaf"] == closure["node_id"])
+             .select("site", F.col("ancestor_id").alias("node"))
+             .distinct())
+    if length_col:
+        lens = nodes.select(F.col(id_col).alias("node"),
+                            F.col(length_col).cast("double")
+                            .alias("len"))
+        pd = (edges.join(lens, "node")
+              .groupBy("site").agg(F.round(F.sum("len"), round_dp)
+                                   .alias("pd")))
+    else:
+        pd = edges.groupBy("site").agg(
+            F.count(F.lit(1)).cast("double").alias("pd"))
+    leaves = pres.groupBy("site").agg(F.count(F.lit(1))
+                                      .alias("n_leaves"))
+    return (leaves.join(pd, "site")
+            .select(F.col("site").alias(site_col), "n_leaves", "pd"))

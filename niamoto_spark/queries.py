@@ -1883,6 +1883,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q344_bray_curtis": q344_bray_curtis,
         "q345_rarefaction": q345_rarefaction,
         "q346_weighted_endemism": q346_weighted_endemism,
+        "q347_faith_pd": q347_faith_pd,
     }
 
 
@@ -5744,6 +5745,7 @@ def build_oracles() -> dict[str, str]:
         "q344_bray_curtis": O_Q344,
         "q345_rarefaction": O_Q345,
         "q346_weighted_endemism": O_Q346,
+        "q347_faith_pd": O_Q347,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14256,4 +14258,46 @@ SELECT pres.site AS region, count(*) AS richness,
        round(avg(1.0 / rng), 4) AS cwe
 FROM pres JOIN ranges ON pres.sp = ranges.sp
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q347_faith_pd(spark, sf_dir):
+    """Faith's phylogenetic diversity (operators/ecological.py:
+    faith_pd) over the region->nation taxonomy via the SAME iterative
+    ancestor closure the adjacency_list loader uses: per market
+    segment, the minimal-subtree size spanning its customers'
+    nations.  The oracle replays the two-level closure and the
+    distinct-edge count."""
+    from niamoto_spark.operators.ecological import faith_pd
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    nodes = (n.select((F.col("n_nationkey") + 100).alias("id"),
+                      F.col("n_regionkey").alias("parent_id"))
+             .unionByName(
+                 n.select(F.col("n_regionkey").alias("id"))
+                 .distinct()
+                 .withColumn("parent_id", F.lit(None).cast("long"))))
+    occ = c.select(F.col("c_mktsegment").alias("seg"),
+                   (F.col("c_nationkey") + 100).alias("leaf"))
+    return (faith_pd(occ, "seg", "leaf", nodes)
+            .orderBy("seg"))
+
+
+O_Q347 = """
+WITH pres AS (
+  SELECT DISTINCT c_mktsegment AS seg, c_nationkey + 100 AS leaf
+  FROM customer),
+nmap AS (SELECT n_nationkey + 100 AS id, n_regionkey AS parent
+         FROM nation),
+edges AS (
+  SELECT seg, leaf AS node FROM pres
+  UNION
+  SELECT pres.seg, nmap.parent FROM pres
+  JOIN nmap ON pres.leaf = nmap.id)
+SELECT e.seg AS seg, l.n_leaves, CAST(e.pd AS DOUBLE) AS pd
+FROM (SELECT seg, count(*) AS pd FROM edges GROUP BY 1) e
+JOIN (SELECT seg, count(*) AS n_leaves FROM pres GROUP BY 1) l
+  ON e.seg = l.seg
+ORDER BY e.seg
 """

@@ -1067,3 +1067,25 @@ def test_weighted_endemism_narrow_range_dominates(spark):
     assert out["A"]["we"] == pytest.approx(4 / 3, abs=1e-4)
     assert out["B"]["we"] == pytest.approx(1 / 3, abs=1e-4)
     assert out["A"]["richness"] == 2
+
+
+def test_faith_pd_subtree_sizes(spark):
+    """Two leaves under ONE genus share its edge (PD 3+root); two
+    leaves in different genera don't (PD 4+root) — the congeners-vs-
+    families distinction PD exists for."""
+    from niamoto_spark.operators.ecological import faith_pd
+
+    # tree: root(0) -> g1(1), g2(2); leaves: a(11)->g1 b(12)->g1 c(13)->g2
+    nodes = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 0), (11, 1), (12, 1), (13, 2)],
+        "id long, parent_id long")
+    occ = spark.createDataFrame(
+        [("near", 11), ("near", 12),        # congeners
+         ("far", 11), ("far", 13)],          # span both genera
+        "site string, leaf long")
+    out = {r["site"]: r for r in
+           faith_pd(occ, "site", "leaf", nodes).collect()}
+    # near: nodes {11,12,g1,root} = 4; far: {11,13,g1,g2,root} = 5
+    assert out["near"]["pd"] == 4.0
+    assert out["far"]["pd"] == 5.0
+    assert out["near"]["n_leaves"] == out["far"]["n_leaves"] == 2

@@ -520,3 +520,47 @@ def faith_pd(occurrences: DataFrame, site_col: str, leaf_col: str,
                                       .alias("n_leaves"))
     return (leaves.join(pd, "site")
             .select(F.col("site").alias(site_col), "n_leaves", "pd"))
+
+
+@register("beta_partition", PluginType.TRANSFORMER)
+def beta_partition(counts: DataFrame, site_col: str, species_col: str,
+                   round_dp: int = 4) -> DataFrame:
+    """Baselga's pairwise beta-diversity partition: total Sørensen
+    dissimilarity split into TURNOVER (species replacement, βsim) and
+    NESTEDNESS (richness difference, βsne):
+
+        a = |shared|, b/c = uniques;  βsor = (b+c)/(2a+b+c)
+        βsim = min(b,c)/(a+min(b,c));  βsne = βsor − βsim
+
+    — whether two plots differ because species REPLACE each other or
+    because one is a subset of the other, the question βsor alone
+    conflates.  Same species-keyed equi-join + richness grid shape as
+    bray_curtis (presence-based here)."""
+    pres = (counts.where(F.col("count").isNotNull()
+                         if "count" not in counts.columns else
+                         F.lit(True))
+            .select(F.col(site_col).alias("site"),
+                    F.col(species_col).alias("sp")).distinct())
+    rich = pres.groupBy("site").agg(F.count(F.lit(1)).alias("n"))
+    l = pres.select(F.col("site").alias("sa"), "sp")
+    r = pres.select(F.col("site").alias("sb"), "sp")
+    shared = (l.join(r, "sp").where(F.col("sa") < F.col("sb"))
+              .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("a")))
+    ga = rich.select(F.col("site").alias("sa"), F.col("n").alias("na"))
+    gb = rich.select(F.col("site").alias("sb"), F.col("n").alias("nb"))
+    grid = ga.crossJoin(gb).where(F.col("sa") < F.col("sb"))
+    j = (grid.join(shared, ["sa", "sb"], "left")
+         .withColumn("a", F.coalesce("a", F.lit(0)))
+         .withColumn("b", F.col("na") - F.col("a"))
+         .withColumn("c", F.col("nb") - F.col("a")))
+    mn = F.least("b", "c")
+    bsor = (F.col("b") + F.col("c")) / (2 * F.col("a")
+                                        + F.col("b") + F.col("c"))
+    bsim = F.when(F.col("a") + mn > 0, mn / (F.col("a") + mn)) \
+        .otherwise(0.0)
+    return j.select(F.col("sa").alias("site_a"),
+                    F.col("sb").alias("site_b"),
+                    "a", "b", "c",
+                    F.round(bsor, round_dp).alias("beta_sor"),
+                    F.round(bsim, round_dp).alias("beta_sim"),
+                    F.round(bsor - bsim, round_dp).alias("beta_sne"))

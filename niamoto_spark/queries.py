@@ -1884,6 +1884,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q345_rarefaction": q345_rarefaction,
         "q346_weighted_endemism": q346_weighted_endemism,
         "q347_faith_pd": q347_faith_pd,
+        "q348_beta_partition": q348_beta_partition,
     }
 
 
@@ -5746,6 +5747,7 @@ def build_oracles() -> dict[str, str]:
         "q345_rarefaction": O_Q345,
         "q346_weighted_endemism": O_Q346,
         "q347_faith_pd": O_Q347,
+        "q348_beta_partition": O_Q348,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14300,4 +14302,62 @@ FROM (SELECT seg, count(*) AS pd FROM edges GROUP BY 1) e
 JOIN (SELECT seg, count(*) AS n_leaves FROM pres GROUP BY 1) l
   ON e.seg = l.seg
 ORDER BY e.seg
+"""
+
+
+def q348_beta_partition(spark, sf_dir):
+    """Baselga beta-diversity partition (operators/ecological.py:
+    beta_partition): every region pair's Sørensen dissimilarity over
+    large-part brands split into turnover vs nestedness.  The oracle
+    replays the a/b/c presence components and both indices."""
+    from niamoto_spark.operators.ecological import beta_partition
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    counts = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(p.where(F.col("p_size") >= 48)),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy(F.col("n_regionkey").alias("region"), "p_brand")
+              .agg(F.count(F.lit(1)).alias("count")))
+    return (beta_partition(counts, "region", "p_brand")
+            .orderBy("site_a", "site_b"))
+
+
+O_Q348 = """
+WITH pres AS (
+  SELECT DISTINCT n_regionkey AS site, p_brand AS sp
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey AND p_size >= 48),
+rich AS (SELECT site, count(*) AS n FROM pres GROUP BY 1),
+shared AS (
+  SELECT l.site AS sa, r.site AS sb, count(*) AS a
+  FROM pres l JOIN pres r ON l.sp = r.sp AND l.site < r.site
+  GROUP BY 1, 2),
+grid AS (
+  SELECT ga.site AS sa, gb.site AS sb, ga.n AS na, gb.n AS nb
+  FROM rich ga CROSS JOIN rich gb WHERE ga.site < gb.site),
+j AS (
+  SELECT g.sa, g.sb, coalesce(s.a, 0) AS a,
+         g.na - coalesce(s.a, 0) AS b, g.nb - coalesce(s.a, 0) AS c
+  FROM grid g LEFT JOIN shared s ON g.sa = s.sa AND g.sb = s.sb)
+SELECT sa AS site_a, sb AS site_b, CAST(a AS BIGINT) AS a,
+       CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+       round((b + c) / CAST(2 * a + b + c AS DOUBLE), 4) AS beta_sor,
+       round(CASE WHEN a + LEAST(b, c) > 0
+                  THEN LEAST(b, c) / CAST(a + LEAST(b, c) AS DOUBLE)
+                  ELSE 0.0 END, 4) AS beta_sim,
+       round((b + c) / CAST(2 * a + b + c AS DOUBLE)
+             - CASE WHEN a + LEAST(b, c) > 0
+                    THEN LEAST(b, c) / CAST(a + LEAST(b, c) AS DOUBLE)
+                    ELSE 0.0 END, 4) AS beta_sne
+FROM j ORDER BY site_a, site_b
 """

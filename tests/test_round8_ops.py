@@ -1089,3 +1089,21 @@ def test_faith_pd_subtree_sizes(spark):
     assert out["near"]["pd"] == 4.0
     assert out["far"]["pd"] == 5.0
     assert out["near"]["n_leaves"] == out["far"]["n_leaves"] == 2
+
+
+def test_beta_partition_turnover_vs_nestedness(spark):
+    from niamoto_spark.operators.ecological import beta_partition
+
+    rows = [("A", s, 1) for s in "abcd"] \
+        + [("B", s, 1) for s in "ab"] \
+        + [("C", s, 1) for s in "cdef"]
+    df = spark.createDataFrame(rows, "site string, sp string, count long")
+    out = {(r["site_a"], r["site_b"]): r
+           for r in beta_partition(df, "site", "sp").collect()}
+    ab = out[("A", "B")]        # B nested in A: pure nestedness
+    assert ab["beta_sim"] == 0.0
+    assert ab["beta_sne"] == ab["beta_sor"] > 0
+    ac = out[("A", "C")]        # a=2 b=2 c=2: balanced turnover
+    assert ac["beta_sim"] == pytest.approx(0.5)
+    assert ac["beta_sne"] == pytest.approx(ac["beta_sor"] - 0.5,
+                                           abs=1e-6)

@@ -5,7 +5,9 @@ closest surface is the BPE-ish token ESTIMATE in operators/text.py).
 The scale insight (same as every production BPE trainer): the corpus is
 never iterated during training — only the WORD-COUNT table is, and the
 distinct-word vocabulary of even a 100 TB corpus is ~10^7 rows (Heaps'
-law), which fits on the driver.  So:
+law), which fits on the driver — and because Heaps' law fails on
+adversarial corpora (hash/UUID/base64 spam), the collect is bounded by
+a coded ``max_vocab`` top-k guard, not the assumption.  So:
 
 - ``bpe_word_counts``  — ONE distributed pass: tokenize, groupBy(word).
   This is the only corpus-scale job in training.
@@ -42,10 +44,34 @@ def _words(text_col) -> "F.Column":
                     lambda t: t != "")
 
 
-def bpe_word_counts(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, n) — the one corpus-scale aggregation of BPE training."""
-    return (df.select(F.explode(_words(F.col(text_col))).alias("word"))
-            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+def bpe_word_counts(df: DataFrame, text_col: str,
+                    min_word_count: int = 1,
+                    max_vocab: int | None = None) -> DataFrame:
+    """(word, n) — the one corpus-scale aggregation of BPE training.
+
+    The two guards bound the frame BEFORE any driver collect:
+
+    - ``min_word_count`` prunes words rarer than the threshold inside
+      the aggregation job (a filter on the combined counts, executor
+      side).  NOTE this is a word-level prune, not the merge-loop's
+      pair-level ``min_count`` stop: pair counts aggregate across
+      words, so dropping n=1 words can change pair totals — it is the
+      standard trainer approximation (SentencePiece/HF min_frequency),
+      exact only when rare words are noise.
+    - ``max_vocab`` keeps the top-k words by (n desc, word asc) — a
+      deterministic TakeOrderedAndProject, no global sort.  This is
+      the unconditional driver-memory bound: Heaps' law says natural
+      text tops out ~10^7 distinct words, but adversarial web corpora
+      full of hashes/UUIDs/base64 grow distinct "words" with corpus
+      size, and the cap holds regardless.
+    """
+    wc = (df.select(F.explode(_words(F.col(text_col))).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    if min_word_count > 1:
+        wc = wc.where(F.col("n") >= min_word_count)
+    if max_vocab is not None:
+        wc = wc.orderBy(F.desc("n"), "word").limit(max_vocab)
+    return wc
 
 
 def initial_segmentation(word_counts: DataFrame) -> DataFrame:
@@ -68,11 +94,22 @@ def bpe_pair_counts(segmented: DataFrame) -> DataFrame:
 
 
 def bpe_train(df: DataFrame, text_col: str, num_merges: int = 1000,
-              min_count: int = 2) -> list[tuple[str, str]]:
+              min_count: int = 2, min_word_count: int = 1,
+              max_vocab: int = 10_000_000) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merges from the corpus.  Returns the ordered
     merge list [(sym_a, sym_b), ...].  Driver cost is O(vocab) per merge
-    touched-word set, never O(corpus)."""
-    rows = bpe_word_counts(df, text_col).collect()
+    touched-word set, never O(corpus).
+
+    Driver memory is bounded by construction: the collect below pulls
+    at most ``max_vocab`` rows (top words by count, deterministic
+    tie-break) — the Heaps'-law assumption is a default, not a load-
+    bearing invariant, so a hash-spam corpus with corpus-proportional
+    distinct "words" cannot OOM the driver.  ``min_word_count`` (off by
+    default) additionally prunes rare words executor-side; see
+    ``bpe_word_counts`` for why that is an approximation knob distinct
+    from the pair-level ``min_count`` merge stop."""
+    rows = bpe_word_counts(df, text_col, min_word_count=min_word_count,
+                           max_vocab=max_vocab).collect()
     segs: dict[str, list[str]] = {}
     counts: dict[str, int] = {}
     for r in rows:

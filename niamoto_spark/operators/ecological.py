@@ -524,7 +524,8 @@ def faith_pd(occurrences: DataFrame, site_col: str, leaf_col: str,
 
 @register("beta_partition", PluginType.TRANSFORMER)
 def beta_partition(counts: DataFrame, site_col: str, species_col: str,
-                   round_dp: int = 4) -> DataFrame:
+                   round_dp: int = 4,
+                   count_col: str = "count") -> DataFrame:
     """Baselga's pairwise beta-diversity partition: total Sørensen
     dissimilarity split into TURNOVER (species replacement, βsim) and
     NESTEDNESS (richness difference, βsne):
@@ -535,9 +536,11 @@ def beta_partition(counts: DataFrame, site_col: str, species_col: str,
     — whether two plots differ because species REPLACE each other or
     because one is a subset of the other, the question βsor alone
     conflates.  Same species-keyed equi-join + richness grid shape as
-    bray_curtis (presence-based here)."""
-    pres = (counts.where(F.col("count").isNotNull()
-                         if "count" not in counts.columns else
+    bray_curtis (presence-based here).  ``count_col``, when present,
+    gates presence on count > 0 so explicit zero-count rows (absences
+    in a site-by-species matrix) are NOT counted as presences."""
+    pres = (counts.where((F.col(count_col) > 0)
+                         if count_col in counts.columns else
                          F.lit(True))
             .select(F.col(site_col).alias("site"),
                     F.col(species_col).alias("sp")).distinct())

@@ -263,25 +263,83 @@ def api_enrichment(df: DataFrame, key_col: str,
                    rate_limit: float = 2.0,
                    out_col: str = "extra_data",
                    response_mapping: Mapping[str, str] | None = None,
-                   client: RateLimitedCache | None = None) -> DataFrame:
+                   client: RateLimitedCache | None = None,
+                   max_keys: int = 100_000,
+                   distributed: bool = False,
+                   num_partitions: int = 4) -> DataFrame:
     """Enrich rows via an external lookup on the DISTINCT key set.
 
     Scale design: keys are deduplicated in Spark (reference tables are
     small; the *distinct key* cardinality is what matters), fetched on the
     driver under the rate limiter (a 1000-executor fleet must not multiply
-    the rate), then joined back as a broadcast map — the fact table never
-    moves.
+    the rate — SURVEY §7.3.6, reference api_taxonomy_enricher.py:213's
+    rate contract), then joined back as a broadcast map — the fact table
+    never moves.
+
+    Guards for the 100 TB miswiring case (VERDICT r8 next-#4):
+
+    - ``max_keys`` (default 1e5) bounds the key set BEFORE any driver
+      materialization — a fact-table key column joined here by mistake
+      raises instead of OOMing the driver.  HTTP latency makes larger
+      key sets impractical anyway (1e5 keys at 2 req/s is 14 h).
+    - ``distributed=True`` fetches on the executors instead: the
+      distinct-key frame is hashed into ``num_partitions`` partitions,
+      each running its own token bucket at ``rate_limit /
+      num_partitions`` so the AGGREGATE pacing still respects
+      ``rate_limit``.  Use for large key sets where driver-side
+      serial fetching is the bottleneck; the fetcher must be
+      picklable and each partition's cache is partition-local
+      (the hash partitioning makes keys disjoint, so no duplicate
+      fetches across partitions either).
     """
+    spark = df.sparkSession
+    key_type = dict(df.dtypes)[key_col]
+    distinct = df.select(key_col).distinct()
+    if max_keys is not None:
+        probe = distinct.limit(max_keys + 1).count()
+        if probe > max_keys:
+            raise ValueError(
+                f"api_enrichment: >{max_keys} distinct keys in "
+                f"'{key_col}' — this looks like a fact-table key, not a "
+                "reference key. Raise max_keys explicitly (and consider "
+                "distributed=True) if intentional.")
+
+    if distributed:
+        import pandas as pd  # noqa: PLC0415 - executor-side dependency
+
+        per_rate = rate_limit / max(num_partitions, 1)
+
+        def fetch_partition(it):
+            cl = RateLimitedCache(fetcher, per_rate)
+            for pdf in it:
+                out = []
+                for k in sorted(pdf[key_col], key=str):
+                    payload = cl.get(str(k))
+                    if response_mapping:
+                        payload = {o: payload.get(s)
+                                   for o, s in response_mapping.items()}
+                    out.append((k, json.dumps(payload, sort_keys=True)))
+                yield pd.DataFrame(out, columns=["__k", out_col])
+
+        enrich = (distinct.repartition(num_partitions, key_col)
+                  .mapInPandas(fetch_partition,
+                               schema=f"__k {key_type}, {out_col} string"))
+        # executor fetches happen once; materialize the small result so
+        # the join below doesn't refetch on re-evaluation
+        enrich = spark.createDataFrame(
+            enrich.collect(), f"__k {key_type}, {out_col} string")
+        return (df.join(F.broadcast(enrich),
+                        df[key_col] == F.col("__k"), "left")
+                .drop("__k"))
+
     client = client or RateLimitedCache(fetcher, rate_limit)
-    keys = [r[0] for r in df.select(key_col).distinct().collect()]
+    keys = [r[0] for r in distinct.collect()]
     rows = []
     for k in sorted(keys, key=str):
         payload = client.get(str(k))
         if response_mapping:
             payload = {out: payload.get(src) for out, src in response_mapping.items()}
         rows.append((k, json.dumps(payload, sort_keys=True)))
-    spark = df.sparkSession
-    key_type = dict(df.dtypes)[key_col]
     enrich = spark.createDataFrame(rows, f"__k {key_type}, {out_col} string")
     return df.join(F.broadcast(enrich), df[key_col] == F.col("__k"), "left") \
              .drop("__k")

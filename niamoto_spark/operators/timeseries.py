@@ -728,14 +728,16 @@ def ohlc_bars(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     value), High, Low, Close (last value) and count — the downsampling
     every monitoring/market dashboard runs.
 
-    First/last are ``min_by``/``max_by`` on a composite (epoch-seconds,
-    tiebreak) BIGINT order key, so the bar is ONE map-side-combinable
-    aggregation — no window sort, no shuffle beyond the groupBy, and
-    ties are deterministic.  Returns (key, bucket, open, high, low,
-    close, n)."""
+    First/last are ``min_by``/``max_by`` on a composite STRUCT
+    (epoch-seconds, tiebreak) order key — Spark orders structs
+    lexicographically, so same-timestamp rows break ties on the full
+    tiebreak value (no modulo collisions, negative ids fine) — and the
+    bar is ONE map-side-combinable aggregation: no window sort, no
+    shuffle beyond the groupBy, and ties are deterministic.  Returns
+    (key, bucket, open, high, low, close, n)."""
     tsec = F.col(ts_col).cast("double")
-    ord_key = (tsec * 1_000_000
-               + F.col(tiebreak_col).cast("double") % 1_000_000)
+    ord_key = F.struct(tsec.alias("t"),
+                       F.col(tiebreak_col).cast("double").alias("tb"))
     v = F.col(value_col).cast("double")
     return (df.select(F.col(key_col).alias("key"),
                       F.floor(tsec / granule_s).cast("long")

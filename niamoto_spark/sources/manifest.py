@@ -187,7 +187,11 @@ def _scan_with_dv(reader, files: list, dv: dict | None):
                       {f: dv[f] for f in dv_files})
     if not clean:
         return dirty
-    return reader.parquet(*clean).unionByName(dirty)
+    # allowMissingColumns: under read_table(merge_schema=True) the
+    # clean-file and DV-file subsets may each merge a different column
+    # set; nulls for the absent columns match mergeSchema semantics.
+    return reader.parquet(*clean).unionByName(
+        dirty, allowMissingColumns=True)
 
 
 def _carry_dv(prev_doc: dict, carried_files: list | None = None) -> dict:
@@ -1471,6 +1475,16 @@ def read_table_asof(spark: SparkSession, path: str, ts: float) -> DataFrame:
         doc = _read_manifest(path, v)
         if _txn_state(doc) == "committed":
             at = doc.get("committed_at")
+            if at is None:
+                # Pre-upgrade commit (written before committed_at was
+                # stamped): fall back to the manifest file's mtime so
+                # time travel still resolves on old history instead of
+                # walking past every early snapshot.
+                mf = os.path.join(path, "_log", _MANIFEST.format(v=v))
+                try:
+                    at = os.path.getmtime(mf)
+                except OSError:
+                    at = None
             if at is not None and float(at) <= ts:
                 chosen = v
                 break
@@ -1513,8 +1527,15 @@ def table_cdf(spark: SparkSession, path: str, from_version: int,
                 f"table_cdf: {side} snapshot is not unique on {key_cols}")
 
     def tagged(df, tag):
-        h = (F.xxhash64(*[F.col(c) for c in val_cols]) if val_cols
-             else F.lit(0))
+        # Null-discriminated hash: Spark's hash functions skip NULL
+        # args (a no-op on the fold state), so hashing the bare value
+        # columns makes (x, NULL) and (NULL, x) collide and drops the
+        # update from the feed.  Interleaving each column's isNull flag
+        # keeps the fold order distinct for any null-position shift
+        # while equal rows still hash equal.
+        h = (F.xxhash64(*[e for c in val_cols
+                          for e in (F.col(c).isNull(), F.col(c))])
+             if val_cols else F.lit(0))
         cols = ([F.col(k) for k in key_cols]
                 + [F.col(c).alias(f"{c}_{tag}") for c in val_cols]
                 + [h.alias(f"__h_{tag}"), F.lit(1).alias(f"__p_{tag}")])

@@ -81,3 +81,41 @@ def test_encode_deterministic_across_partitioning(spark, docs):
     b = {r["doc_id"]: r["tokens"] for r in
          bpe_encode(many.repartition(7), "doc_id", "text", merges).collect()}
     assert a == b
+
+
+def test_hash_spam_vocab_is_capped(spark):
+    """Adversarial corpus where distinct "words" scale with corpus size
+    (hashes/UUIDs/base64): max_vocab bounds the driver collect to the
+    top-k words regardless, and the real high-frequency words survive
+    the (n desc, word asc) cap so merges are still learned."""
+    spam = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("low lower newest junk"),
+                 F.md5(F.col("id").cast("string"))).alias("text"))
+    # the capped word-count frame is what bpe_train collects
+    capped = bpe_word_counts(spam, "text", max_vocab=100)
+    assert capped.count() == 100
+    top = capped.orderBy(F.desc("n"), "word").limit(3).collect()
+    assert {r["word"] for r in top} == {"low", "lower", "newest"}
+    merges = bpe_train(spam, "text", num_merges=4, min_count=2,
+                       max_vocab=100)
+    assert ("l", "o") in merges          # low/lower still dominate
+
+
+def test_min_word_count_prunes_executor_side(spark):
+    """min_word_count drops rare words inside the aggregation job —
+    singleton junk never reaches the driver."""
+    df = spark.createDataFrame(
+        [(0, "low low low uniquejunktoken")], "doc_id bigint, text string")
+    wc = {r["word"]: r["n"]
+          for r in bpe_word_counts(df, "text", min_word_count=2).collect()}
+    assert wc == {"low": 3}
+
+
+def test_default_train_unchanged_by_guards(spark, docs):
+    """The 10M default cap is far above any test corpus: the Sennrich
+    merges are byte-identical with and without explicit guards."""
+    a = bpe_train(docs, "text", num_merges=5, min_count=1)
+    b = bpe_train(docs, "text", num_merges=5, min_count=1,
+                  max_vocab=1000)
+    assert a == b

@@ -350,3 +350,54 @@ def test_chained_endpoints_config_validation():
     with pytest.raises(ValueError, match="mapping"):
         http_fetcher("https://a/{key}", lambda *a, **k: {},
                      chained=[{"url_template": "https://b"}])
+
+
+def test_api_enrichment_max_keys_guard(spark):
+    """A fact-table-sized key column must raise, not OOM the driver
+    (VERDICT r8 next-#4)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(F.col("id").alias("tid"))
+    with pytest.raises(ValueError, match="distinct keys"):
+        api_enrichment(df, "tid", lambda k: {"v": k},
+                       rate_limit=0, max_keys=10)
+    # raising the cap explicitly proceeds
+    out = api_enrichment(df, "tid", lambda k: {"v": k},
+                         rate_limit=0, max_keys=100)
+    assert out.count() == 50
+
+
+def test_api_enrichment_distributed_pacing(spark):
+    """distributed=True fetches on executors under per-partition token
+    buckets at rate_limit/num_partitions: aggregate pacing stays under
+    rate_limit (each partition may burst its first request, so minimum
+    wall span is (n_keys - num_partitions) / rate_limit)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(9).select(F.col("id").alias("tid"))
+
+    def fetch(k):
+        return {"k": k, "t": _time.time()}
+
+    out = api_enrichment(df, "tid", fetch, rate_limit=30.0,
+                         distributed=True, num_partitions=3)
+    rows = {r["tid"]: json.loads(r["extra_data"]) for r in out.collect()}
+    assert set(rows) == set(range(9))
+    assert all(rows[i]["k"] == str(i) for i in range(9))
+    ts = sorted(v["t"] for v in rows.values())
+    span = ts[-1] - ts[0]
+    assert span >= (9 - 3) / 30.0 * 0.95   # paced, not a burst
+
+
+def test_api_enrichment_distributed_matches_driver_path(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"tid": [1, 2, 1], "x": ["a", "b", "c"]}))
+    a = api_enrichment(df, "tid", lambda k: {"rank": f"g_{k}"},
+                       rate_limit=0)
+    b = api_enrichment(df, "tid", lambda k: {"rank": f"g_{k}"},
+                       rate_limit=0, distributed=True, num_partitions=2)
+    key = lambda r: (r["tid"], r["x"])  # noqa: E731
+    assert sorted(map(lambda r: (key(r), r["extra_data"]), a.collect())) \
+        == sorted(map(lambda r: (key(r), r["extra_data"]), b.collect()))

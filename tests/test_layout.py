@@ -69,14 +69,20 @@ def test_local_deployer(tmp_path):
 
 
 def test_network_deployers_stubbed():
+    """github/ssh are implemented (round 9) — only the vendor-REST-API
+    deployers remain validation-only stubs."""
     import pytest as _pytest
 
     from niamoto_spark.registry import PluginType, get_plugin, load_all
 
     load_all()
-    for name in ("github", "netlify", "ssh"):
+    for name in ("cloudflare", "netlify", "vercel", "render"):
         with _pytest.raises(NotImplementedError):
             get_plugin(name, PluginType.DEPLOYER)()
+    # and the implemented ones resolve to real callables
+    assert get_plugin("github", PluginType.DEPLOYER).__name__ \
+        == "deploy_github"
+    assert get_plugin("ssh", PluginType.DEPLOYER).__name__ == "deploy_ssh"
 
 
 # --- read_any format dispatch ----------------------------------------------

@@ -1,0 +1,134 @@
+"""Regression tests for the round-8 advisor findings (ADVICE.md r9).
+
+Five defects: beta_partition's inverted presence ternary, ohlc_bars'
+modulo-colliding tie-break key, table_cdf's null-position hash
+collision, _scan_with_dv's strict unionByName under merge_schema, and
+read_table_asof skipping pre-``committed_at`` commits.
+"""
+
+import json
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from niamoto_spark.operators.ecological import beta_partition
+from niamoto_spark.operators.timeseries import ohlc_bars
+from niamoto_spark.sources import manifest as mf
+
+
+# --- beta_partition presence filter ---------------------------------------
+
+def test_beta_partition_zero_count_is_absence(spark):
+    """Explicit zero-count rows (site-by-species matrix absences) must
+    NOT count as presences; previously the ternary was inverted and a
+    'count' column meant lit(True) (zeros inflated shared/richness)."""
+    df = spark.createDataFrame(
+        [("A", "s1", 3), ("A", "s2", 1), ("A", "s3", 0),
+         ("B", "s1", 2), ("B", "s2", 5), ("B", "s3", 4)],
+        "site string, sp string, count int")
+    r = beta_partition(df, "site", "sp").collect()[0]
+    # A = {s1, s2}, B = {s1, s2, s3}: a=2, b=0, c=1 (pure nestedness)
+    assert (r["a"], r["b"], r["c"]) == (2, 0, 1)
+    assert r["beta_sim"] == 0.0
+    assert r["beta_sor"] == r["beta_sne"] == 0.2
+
+
+def test_beta_partition_no_count_column(spark):
+    """Without a count column every (site, sp) row is a presence —
+    previously this branch referenced the missing 'count' column."""
+    df = spark.createDataFrame(
+        [("A", "s1"), ("A", "s2"), ("B", "s2"), ("B", "s3")],
+        "site string, sp string")
+    r = beta_partition(df, "site", "sp").collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (1, 1, 1)
+
+
+def test_beta_partition_custom_count_col(spark):
+    df = spark.createDataFrame(
+        [("A", "s1", 1), ("A", "s2", 0), ("B", "s1", 1)],
+        "site string, sp string, n int")
+    r = beta_partition(df, "site", "sp", count_col="n").collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (1, 0, 0)
+
+
+# --- ohlc_bars composite order key ----------------------------------------
+
+def test_ohlc_tiebreaks_congruent_mod_1e6(spark):
+    """Tiebreak ids congruent mod 1e6 collided on the old BIGINT
+    composite key; the struct key orders on the full value."""
+    df = spark.createDataFrame(
+        [("k", 100.0, 10.0, 1_000_001), ("k", 100.0, 20.0, 1)],
+        "k string, t double, v double, i long")
+    r = ohlc_bars(df, "k", "t", "v", "i", granule_s=3600).collect()[0]
+    assert r["open"] == 20.0      # tiebreak 1 first
+    assert r["close"] == 10.0     # tiebreak 1_000_001 last
+
+
+def test_ohlc_negative_tiebreak(spark):
+    """Negative tiebreaks gave a negative modulo under the old key."""
+    df = spark.createDataFrame(
+        [("k", 50.0, 1.0, -5), ("k", 50.0, 2.0, 3), ("k", 60.0, 9.0, 0)],
+        "k string, t double, v double, i long")
+    r = ohlc_bars(df, "k", "t", "v", "i", granule_s=3600).collect()[0]
+    assert r["open"] == 1.0       # -5 orders before 3
+    assert r["close"] == 9.0      # later timestamp wins regardless
+    assert r["n"] == 3
+
+
+# --- table_cdf null-position hash -----------------------------------------
+
+def test_table_cdf_detects_null_position_shift(spark, tmp_path):
+    """(x, NULL) -> (NULL, x) hashed identically under bare xxhash64
+    (NULL args are a no-op), silently dropping the update."""
+    p = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "p", None), (2, "q", "r")],
+                              "k int, x string, y string")
+    b = spark.createDataFrame([(1, None, "p"), (2, "q", "r")],
+                              "k int, x string, y string")
+    mf.append(a, p)
+    mf.overwrite(b, p)
+    rows = {r["k"]: r for r in
+            mf.table_cdf(spark, p, 0, 1, key_cols=["k"]).collect()}
+    assert set(rows) == {1}                   # k=2 unchanged, k=1 updated
+    assert rows[1]["change"] == "updated"
+    assert rows[1]["x_old"] == "p" and rows[1]["x_new"] is None
+    assert rows[1]["y_old"] is None and rows[1]["y_new"] == "p"
+
+
+# --- _scan_with_dv + merge_schema -----------------------------------------
+
+def test_dv_scan_merge_schema_union(spark, tmp_path):
+    """DV-touched files and clean files with different column sets must
+    union with null-widening (allowMissingColumns), matching mergeSchema
+    semantics, instead of raising."""
+    p = str(tmp_path / "t")
+    mf.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                    "id int, s string"), p)
+    mf.append(spark.createDataFrame([(3, "c", 7.0)],
+                                    "id int, s string, extra double"), p)
+    v, n = mf.delete_where_mor(spark, p, "id = 1")
+    assert n == 1
+    out = mf.read_table(spark, p, merge_schema=True)
+    assert "extra" in out.columns
+    got = {(r["id"], r["extra"]) for r in out.collect()}
+    assert got == {(2, None), (3, 7.0)}
+
+
+# --- read_table_asof on pre-upgrade commits -------------------------------
+
+def test_asof_resolves_commit_without_committed_at(spark, tmp_path):
+    """Commits written before committed_at existed must still resolve
+    via the manifest file's mtime, not raise 'did not exist yet'."""
+    p = str(tmp_path / "t")
+    mf.append(spark.createDataFrame([(1,)], "id int"), p)
+    # simulate a pre-upgrade manifest: strip committed_at from v0
+    mpath = os.path.join(p, "_log", "manifest-v0.json")
+    with open(mpath) as f:
+        doc = json.load(f)
+    doc.pop("committed_at", None)
+    with open(mpath, "w") as f:
+        json.dump(doc, f)
+    out = mf.read_table_asof(spark, p, time.time() + 60)
+    assert out.count() == 1

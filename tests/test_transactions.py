@@ -153,3 +153,48 @@ def test_transaction_object_single_use(spark, tmp_path):
     txn2.stage(_df(spark, 1, "x"), str(tmp_path / "b"))
     with pytest.raises(ValueError):
         txn2.stage(_df(spark, 1, "y"), str(tmp_path / "b"))
+
+
+def test_two_writer_append_race_real_threads(spark, tmp_path):
+    """Two REAL concurrent writers appending to one table (VERDICT r8
+    next-#7): the os.link version claim means exactly one wins each
+    version slot; the loser sees RuntimeError and retries cleanly on a
+    fresh head; the final table contains both batches exactly once."""
+    import threading
+
+    from niamoto_spark.sources import manifest as mf
+
+    p = str(tmp_path / "t")
+    mf.append(spark.createDataFrame([(0, "seed")], "id int, who string"), p)
+
+    barrier = threading.Barrier(2)
+    errors, retries = [], {"a": 0, "b": 0}
+
+    def writer(tag, lo, hi):
+        df = spark.createDataFrame(
+            [(i, tag) for i in range(lo, hi)], "id int, who string")
+        barrier.wait()
+        for _ in range(10):
+            try:
+                mf.append(df, p)
+                return
+            except RuntimeError:
+                retries[tag] += 1
+        errors.append(f"{tag} never committed")
+
+    ts = [threading.Thread(target=writer, args=("a", 10, 15)),
+          threading.Thread(target=writer, args=("b", 20, 25))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    assert mf.committed_version(p) == 2        # seed + two appends
+    rows = sorted((r["id"], r["who"]) for r in
+                  mf.read_table(spark, p).collect())
+    assert rows == sorted([(0, "seed")]
+                          + [(i, "a") for i in range(10, 15)]
+                          + [(i, "b") for i in range(20, 25)])
+    # version chain is linear: v1's parent is v0, v2's parent is v1
+    assert mf._read_manifest(p, 1)["parent"] == 0
+    assert mf._read_manifest(p, 2)["parent"] == 1

@@ -891,8 +891,14 @@ def q63_curation_pipeline(spark, sf_dir):
 
 
 def q64_stream_sessions(spark, sf_dir):
-    """Stateful-streaming sessionization over the events table (rows-only:
-    availableNow closes all but each user's final open session)."""
+    """Stateful-streaming sessionization over the events table.
+
+    FULL value oracle (upgraded from rows-only, VERDICT r8 next-#6):
+    a single-file availableNow drain is one batch, so the emitted set
+    is exactly the batch gaps-and-islands sessions MINUS each user's
+    final (still-open) session — SQL-expressible, and deterministic
+    because in-batch closes depend only on sorted event seconds
+    (streaming/sessions.py _close_sessions), not on watermark timing."""
     import tempfile
 
     from niamoto_spark.streaming.sessions import sessionize_stream
@@ -915,6 +921,36 @@ def q64_stream_sessions(spark, sf_dir):
     return (spark.table(qname)
             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_closed_sessions"),
                                     F.sum("n_events").alias("events_in_closed")))
+
+
+O_Q64 = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), o AS (
+  SELECT user_id, sec,
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                                        ORDER BY sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY sec, brk DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM o
+), agg AS (
+  SELECT user_id, sess, count(*) AS n_events
+  FROM s GROUP BY user_id, sess
+), mx AS (
+  SELECT user_id, max(sess) AS last_sess FROM agg GROUP BY user_id
+)
+SELECT agg.user_id,
+       CAST(count(*) AS BIGINT) AS n_closed_sessions,
+       CAST(sum(agg.n_events) AS BIGINT) AS events_in_closed
+FROM agg JOIN mx ON agg.user_id = mx.user_id AND agg.sess < mx.last_sess
+GROUP BY agg.user_id
+"""
 
 
 # --- rows-only checks (non-SQL-expressible: hash-function dependent) --------
@@ -4682,23 +4718,39 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q134_distinct_rollup(spark, sf_dir):
-    """Rows-only (HLL estimates are approximate by design; tests pin
-    the error <= 5% and exact-rollup consistency).  Sketch-column
-    pattern (operators/sketches.py): per-(event_type, day) HLL user
-    sketches built ONCE, then the per-type distinct-user counts come
-    from UNIONING the small binary sketches — the raw events are never
-    rescanned for the coarser grouping, which is the point at 100 TB."""
+    """Sketch-column pattern (operators/sketches.py): per-(event_type,
+    day) HLL user sketches built ONCE, then the per-type distinct-user
+    counts come from UNIONING the small binary sketches — the raw
+    events are never rescanned for the coarser grouping, which is the
+    point at 100 TB.
+
+    FULL value oracle via the exact-regime design (the q126
+    Misra-Gries k>distinct analog, VERDICT r8 next-#6): DataSketches
+    HLL stays in its sparse coupon mode — where the estimate is the
+    exact distinct count — until promotion at ~3/4*2^lg_k; lg_k=14
+    keeps every gate SF (<=1500 distinct users at sf0.1, verified
+    exact at all three) far inside it, so the oracle is DuckDB's exact
+    count(DISTINCT).  The estimating-regime error band stays pinned in
+    tests + bench telemetry (lg_k=12 at sf0.1 measures 1488 vs 1500)."""
     from niamoto_spark.operators.sketches import (distinct_sketches,
                                                   rollup_sketches)
 
     ev = _events(spark, sf_dir).withColumn(
         "day", (F.col("ts_sec") / 86400).cast("long"))
-    daily = distinct_sketches(ev, ["event_type", "day"], "user_id")
-    per_type = rollup_sketches(daily, ["event_type"])
+    daily = distinct_sketches(ev, ["event_type", "day"], "user_id",
+                              lg_k=14)
+    per_type = rollup_sketches(daily, ["event_type"], lg_k=14)
     return (per_type.select("event_type",
                             F.col("approx_distinct").cast("long")
                             .alias("approx_users"))
             .orderBy("event_type"))
+
+
+O_Q134 = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q135_shard_corpus(spark, sf_dir):
@@ -5467,6 +5519,7 @@ def build_oracles() -> dict[str, str]:
         "q60_scrub": O_Q60,
         "q61_shipping_priority": O_Q61,
         "q62_regional_revenue": O_Q62,
+        "q64_stream_sessions": O_Q64,
         "q65_vector_import": O_Q65,
         "q66_raster_zonal": O_Q66,
         "q67_dwc_mapping": O_Q67,
@@ -5534,8 +5587,7 @@ def build_oracles() -> dict[str, str]:
         "q131_count_min": O_Q131,
         "q132_salted_join": O_Q132,
         "q133_incremental_agg": O_Q133,
-        # q134 is rows-only: HLL sketch estimates are approximate by
-        # design (error pinned <= 5% in tests + bench telemetry).
+        "q134_distinct_rollup": O_Q134,
         "q135_shard_corpus": O_Q135,
         "q136_grouping_sets": O_Q136,
         "q137_stream_static_join": O_Q137,
@@ -5751,7 +5803,12 @@ def build_oracles() -> dict[str, str]:
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
-        # are pinned in tests.
+        # are pinned in tests.  A recursive-CTE power-iteration oracle
+        # for q165 was evaluated and rejected: the embeddings
+        # covariance spectrum is near-isotropic (measured eigengap
+        # ratios 0.93-0.995 at both gate SFs), so power iteration
+        # cannot converge to the 4dp the hash compare needs; numpy
+        # parity (LAPACK, exact) is the stronger check anyway.
         # q38/q39 (xxhash64-seeded minhash/simhash) and q41 (approximate IVF)
         # are rows-only checks: their values depend on Spark's hash functions
         # which have no DuckDB equivalent.

@@ -53,9 +53,20 @@ _INDEX_BODY = """<h1>{{ group }}</h1>
 
 def _render_value(env, v: Any) -> str:
     """Shape-directed widget rendering (reference widget sections,
-    html_page_exporter.py:1395-1720): list[dict] -> table, dict -> <dl>,
-    list -> <ul>, scalar -> <p>."""
+    html_page_exporter.py:1395-1720): plotly figure dict -> embedded
+    chart payload, list[dict] -> table, dict -> <dl>, list -> <ul>,
+    scalar -> <p>."""
+    from niamoto_spark.exporters.plotly_figures import is_plotly_figure
+
     e = env.filters["e"]
+    if is_plotly_figure(v):
+        # the figure JSON rides in a script block (never interpreted as
+        # markup, so no escaping hole: only </script-safe JSON inside);
+        # a front-end bootstrap calls Plotly.newPlot on each pair.
+        payload = json.dumps(v).replace("</", "<\\/")
+        return ('<div class="plotly-chart"></div>'
+                f'<script type="application/json" data-plotly>{payload}'
+                "</script>")
     if isinstance(v, list) and v and all(isinstance(x, Mapping) for x in v):
         cols: list[str] = []
         for x in v:

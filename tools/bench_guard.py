@@ -64,6 +64,12 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--threshold", type=float, default=0.10,
                     help="relative best-of-N regression that fails")
+    ap.add_argument("--min-abs", type=float, default=0.15,
+                    help="absolute seconds a query must worsen before the "
+                         "relative threshold applies — sub-second queries "
+                         "jitter 30-50ms on this microVM even best-of-3, "
+                         "which is noise, not regression; the q38-class "
+                         "creep this guard exists for (+0.23s) clears it")
     ap.add_argument("--changed", default="",
                     help="comma-separated query names exempt this round")
     args = ap.parse_args()
@@ -103,7 +109,8 @@ def main() -> int:
             continue
         rel = (sec - ref) / ref
         flag = ("CHANGED-EXEMPT" if q in changed else
-                "REGRESSED" if rel > args.threshold else "ok")
+                "REGRESSED" if (rel > args.threshold
+                                and sec - ref > args.min_abs) else "ok")
         print(f"# {q}: {ref}s -> {sec}s ({rel:+.1%}) {flag}",
               file=sys.stderr)
         if flag == "REGRESSED":

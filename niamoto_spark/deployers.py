@@ -185,6 +185,44 @@ def deploy_ssh(site_dir: str, host: str, path: str, port: int = 22,
             "lines": len(out.splitlines())}
 
 
+def run_deploy(site_dir: str, spec: dict, project_name: str) -> dict:
+    """Dispatch an ``export.yml`` target's ``deploy:`` block (reference
+    DeployConfig shape, deployers/models.py:9-17: ``platform``,
+    optional ``branch``, platform-specific ``extra``).
+
+    Mapping per platform:
+    - ``github``: ``extra.repo`` is either the reference's
+      ``owner/repo`` slug (expanded to the https remote like
+      github.py:570 _get_git_remote_url) or a full remote URL —
+      ``file://`` bare repos run the identical flow offline.
+    - ``ssh``: ``extra.{host,path,port,key_path}`` (ssh.py:25-28).
+    - ``local_copy``: ``extra.target_dir``.
+    - cloudflare/netlify/vercel/render: raise NotImplementedError
+      (vendor REST APIs, validation-only stubs).
+    """
+    platform = spec.get("platform")
+    extra = spec.get("extra", {}) or {}
+    if platform == "github":
+        repo = extra.get("repo", "")
+        remote = repo if "://" in repo or repo.startswith("git@") \
+            else f"https://github.com/{repo}.git"
+        return deploy_github(
+            site_dir, remote,
+            branch=spec.get("branch") or extra.get("branch") or "gh-pages",
+            project_name=project_name,
+            allow_protected=bool(extra.get("allow_protected", False)))
+    if platform == "ssh":
+        return deploy_ssh(site_dir, extra.get("host", ""),
+                          extra.get("path", ""),
+                          port=int(extra.get("port", 22)),
+                          key_path=extra.get("key_path"))
+    if platform == "local_copy":
+        return deploy_local_copy(site_dir, extra["target_dir"])
+    from niamoto_spark.registry import get_plugin
+
+    return get_plugin(platform, PluginType.DEPLOYER)(site_dir, **extra)
+
+
 def _network_stub(name: str):
     @register(name, PluginType.DEPLOYER)
     def deploy(*args, **kwargs):

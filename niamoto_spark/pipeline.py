@@ -396,8 +396,12 @@ class Pipeline:
     # ------------------------------------------------------------------
 
     def run_export(self, cfg: dict, out_dir: str) -> dict[str, dict]:
-        """export.yml dialect: {targets: [{name, exporter, group, params}]}.
-        Exporters: json_api (default), html, dwc_archive."""
+        """export.yml dialect: {targets: [{name, exporter, group, params,
+        deploy}]}.  Exporters: json_api (default), html, dwc_archive.
+        A target's ``deploy:`` block (reference DeployConfig dialect:
+        platform/branch/extra) publishes that target's output tree after
+        export; the deploy record rides in the manifest under
+        ``deployed``."""
         from niamoto_spark.exporters.dwc import to_dwc_occurrence
         from niamoto_spark.exporters.dwc_archive import export_dwc_archive
         from niamoto_spark.exporters.html_site import export_html_site
@@ -414,19 +418,30 @@ class Pipeline:
             if kind == "json_api":
                 results = self.spark.read.parquet(
                     os.path.join(self.warehouse, f"{group}_results.parquet"))
+                out_path = os.path.join(out_dir, group)
                 manifests[name] = export_json_api(
-                    results, gid, os.path.join(out_dir, group), **params)
+                    results, gid, out_path, **params)
             elif kind == "html":
                 results = self.spark.read.parquet(
                     os.path.join(self.warehouse, f"{group}_results.parquet"))
+                out_path = os.path.join(out_dir, f"{group}_html")
                 manifests[name] = export_html_site(
-                    results, gid, os.path.join(out_dir, f"{group}_html"),
-                    group_name=group, **params)
+                    results, gid, out_path, group_name=group, **params)
             elif kind == "dwc_archive":
                 src = self.registry.load(self.spark, target["source"])
                 projected = to_dwc_occurrence(src, params["mapping"])
-                manifests[name] = export_dwc_archive(
-                    projected, os.path.join(out_dir, f"{name}.zip"))
+                out_path = os.path.join(out_dir, f"{name}.zip")
+                manifests[name] = export_dwc_archive(projected, out_path)
             else:
                 raise ValueError(f"unknown exporter {kind!r}")
+            if target.get("deploy"):
+                from niamoto_spark.deployers import run_deploy
+
+                if not os.path.isdir(out_path):
+                    raise ValueError(
+                        f"deploy target {name!r}: deployers publish a "
+                        f"directory tree, got file {out_path!r}")
+                manifests[name] = dict(manifests[name] or {})
+                manifests[name]["deployed"] = run_deploy(
+                    out_path, target["deploy"], project_name=name)
         return manifests

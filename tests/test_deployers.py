@@ -92,3 +92,28 @@ def test_ssh_argv_contract_and_errors(tmp_path):
                    runner=lambda a: (23, "", "rsync: link_stat failed"))
     with pytest.raises(ValueError):
         deploy_ssh(site, "", "/p", runner=runner)
+
+
+def test_run_deploy_dispatch(tmp_path):
+    """Config-block dispatch: owner/repo slug expands to the https
+    remote; vendor platforms still raise (validation stubs)."""
+    from niamoto_spark.deployers import run_deploy
+    from niamoto_spark.registry import load_all
+
+    load_all()
+    site = _site(tmp_path)
+    remote = _bare_repo(tmp_path)
+    r = run_deploy(site, {"platform": "github",
+                          "extra": {"repo": remote}}, "proj")
+    assert r["pushed"] is True
+    r2 = run_deploy(site, {"platform": "local_copy",
+                           "extra": {"target_dir": str(tmp_path / "t")}},
+                    "proj")
+    assert r2["files"] == 2
+    with pytest.raises(NotImplementedError):
+        run_deploy(site, {"platform": "netlify", "extra": {}}, "proj")
+    # slug expansion (no network hit: ls-remote fails fast on a
+    # nonexistent https remote, surfacing as the git RuntimeError)
+    with pytest.raises(RuntimeError, match="git"):
+        run_deploy(site, {"platform": "github",
+                          "extra": {"repo": "owner/repo"}}, "proj")

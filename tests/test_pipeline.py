@@ -360,3 +360,32 @@ def test_web_corpus_demo_example(spark, tmp_path, sf_dir):
     assert report["no_time_leak"]
     assert report["train_shards"] >= 2
     assert report["written"] == report["split_counts"].get("train", 0)
+
+
+def test_export_with_deploy_block(project, spark, tmp_path):
+    """export.yml deploy: block (reference DeployConfig dialect) publishes
+    the exported tree — github flow proven against a file:// bare remote,
+    local_copy against a directory."""
+    import subprocess
+
+    pipe, _ = project
+    bare = tmp_path / "pages.git"
+    subprocess.run(["git", "init", "-q", "--bare", str(bare)], check=True)
+    manifests = pipe.run_export(
+        {"targets": [
+            {"name": "site", "group": "plots",
+             "deploy": {"platform": "github", "branch": "gh-pages",
+                        "extra": {"repo": f"file://{bare}"}}},
+            {"name": "site_html", "exporter": "html", "group": "plots",
+             "deploy": {"platform": "local_copy",
+                        "extra": {"target_dir": str(tmp_path / "www")}}},
+        ]},
+        out_dir=str(tmp_path / "out"))
+    assert manifests["site"]["deployed"]["pushed"] is True
+    assert manifests["site"]["deployed"]["branch"] == "gh-pages"
+    tree = subprocess.run(
+        ["git", "ls-tree", "-r", "--name-only", "gh-pages"],
+        cwd=str(bare), capture_output=True, text=True).stdout.split()
+    assert "detail/1.json" in tree and ".nojekyll" in tree
+    assert (tmp_path / "www" / "index.html").exists()
+    assert manifests["site_html"]["deployed"]["files"] >= 3

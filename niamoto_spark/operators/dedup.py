@@ -602,3 +602,161 @@ def duplicate_weights(df: DataFrame, id_col: str, text_col: str,
     return (keyed.join(counts, "__fp")
             .withColumn("weight", F.lit(1.0) / F.col("dup_count"))
             .drop("__fp"))
+
+
+# ---------------------------------------------------------------------------
+# md5-seeded variants: the cross-engine-verifiable hash family
+# ---------------------------------------------------------------------------
+
+def _md5_hash60(col: Column, seed: Column) -> Column:
+    """Seeded 60-bit positive hash both engines compute identically:
+    first 15 hex chars of md5(seed || '|' || value) as a BIGINT.  md5 is
+    the one hash family Spark and DuckDB share byte-for-byte, and 60
+    bits keeps the value positive in both signed-64 engines (the
+    O_Q135 sharding oracle uses the same trick at 32 bits)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(seed.cast("string"), F.lit("|"), col)),
+        1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
+                               num_hashes: int = 16, bands: int = 4,
+                               shingle_k: int = 3,
+                               jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH with a DuckDB-replicable hash family.
+
+    Same math as ``minhash_lsh_candidates`` (the xxhash64 production
+    lane, which stays the bench path — xxhash64 is ~10x cheaper than
+    md5): k-word shingles, per-seed min-hash folds, banded buckets,
+    in-bucket pair enumeration, signature-agreement Jaccard estimate.
+    The difference is ``_md5_hash60`` seeding, so an external engine
+    can recompute the ENTIRE pipeline — signatures, buckets, candidate
+    set, and estimates — value-for-value.  This turns the minhash
+    lane's verification from rows-only into a full value oracle
+    (q349); recall/precision behavior is hash-family-independent, so
+    the oracle also certifies the production lane's math.
+
+    Band key is the raw signature slice (no engine-specific re-hash).
+    Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    rpb = num_hashes // bands
+    # min_bytes=0: unlike the xxhash64 lane, the interpreted-HOF
+    # arithmetic here costs ~10-30us per (seed, shingle) element, so
+    # even a 100 KB input is CPU-bound and worth spreading (measured
+    # 15.4s -> 6.5s on the q349 fixture at 2 -> 32 tasks).
+    df = fan_out(df, min_bytes=0)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.lower(F.col(text_col)),
+                                       shingle_k)).alias("__sh"))
+    # ONE md5 per shingle (a 32-bit base from the first 8 hex chars),
+    # then the classic universal-hash family h_i = (a_i*h + b_i) mod
+    # (2^31 - 1) derives the per-seed hashes with cheap long arithmetic
+    # — md5+conv measured ~10us/call on this JVM, so the naive
+    # per-(seed, shingle) md5 was 16x that cost and dominated the
+    # query.  All intermediates stay < 2^63 (a_i < 2^31, base < 2^32),
+    # so ANSI mode is happy and DuckDB's BIGINT math agrees exactly.
+    hashed = (sh.where(F.size("__sh") > 0)
+              .select("doc_id", F.transform(
+                  F.col("__sh"),
+                  lambda s: F.conv(F.substring(F.md5(s), 1, 8),
+                                   16, 10).cast("long")).alias("__hb")))
+    p = 2147483647
+    sig = hashed.select("doc_id", F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            F.col("__hb"),
+            lambda h: (((i + 1) * F.lit(2654435761) % p) * h
+                       + (i * 40503 + 7)) % p))
+    ).alias("sig"))
+    # Shuffle barrier: CollapseProject would inline the signature
+    # expression into every reference the banding projection makes (4
+    # band slices + the carried sig column = 5x recompute).  The
+    # exchange materializes sig ONCE map-side; its payload is
+    # (doc_id, num_hashes longs) — tiny.
+    sig = sig.repartition(F.col("doc_id"))
+    banded = sig.select(
+        "doc_id", "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.slice(F.col("sig"), (b * rpb + 1).cast("int"), rpb)
+        )).alias("band", "band_key"))
+    buckets = (banded.groupBy("band", "band_key")
+               .agg(F.collect_list(F.struct(F.col("doc_id"),
+                                            F.col("sig"))).alias("ms")))
+    n, ms = F.size("ms"), F.col("ms")
+
+    def pair(i, j):
+        a, b = F.element_at(ms, i + 1), F.element_at(ms, j + 1)
+        agree = F.size(F.filter(
+            F.zip_with(a["sig"], b["sig"], lambda x, y: x == y),
+            lambda v: v))
+        return F.struct(
+            F.least(a["doc_id"], b["doc_id"]).alias("id_a"),
+            F.greatest(a["doc_id"], b["doc_id"]).alias("id_b"),
+            F.round(agree.cast("double") / F.lit(num_hashes), 4)
+            .alias("est_jaccard"))
+
+    pairs_arr = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(F.sequence(i + 1, n - 1),
+                              lambda j: pair(i, j)))))
+    return (buckets.select(F.explode(pairs_arr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.est_jaccard")
+            .where(F.col("est_jaccard") >= jaccard_threshold)
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str,
+                out_col: str = "simhash", n_bits: int = 60) -> DataFrame:
+    """SimHash over ``_md5_hash60`` token hashes — the oracle-checkable
+    sibling of ``simhash`` (xxhash64, the production lane).  60 bits
+    (not 64) keeps every value positive so plain ``>>``/``&``/``xor``
+    agree across engines without unsigned-shift gymnastics."""
+    from niamoto_spark.functions import token_array
+
+    df = fan_out(df, min_bytes=0)   # interpreted-HOF cost, see md5 lane
+    toks = token_array(F.lower(F.col(text_col)))
+    hashes = F.transform(F.array_distinct(toks),
+                         lambda t: _md5_hash60(t, F.lit(0)))
+    fingerprint = F.expr(
+        f"aggregate("
+        f"  transform(sequence(0, {n_bits - 1}), i -> CASE WHEN"
+        f"    aggregate(__hashes, 0, (acc, h) ->"
+        f"      acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f"    THEN shiftleft(1L, i) ELSE 0L END),"
+        f"  0L, (acc, b) -> acc | b)")
+    return (df.select(F.col(id_col), F.col(text_col))
+              .withColumn("__hashes", hashes)
+              .withColumn(out_col, fingerprint)
+              .drop("__hashes"))
+
+
+def simhash_near_pairs_md5(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """Hamming near-pairs over the md5 SimHash: pigeonhole banding on
+    four 15-bit chunks of the 60-bit fingerprint (any pair within
+    distance 3 agrees exactly on >=1 chunk).  Output: (id_a, id_b,
+    hamming)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 60 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = simhash_md5(df, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"), F.col("simhash").alias("__h"))
+    chunks = sh.select(
+        "doc_id", "__h",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {n_chunks - 1}), "
+            f"i -> (__h >> (i * {chunk_bits})) & {mask}L)"
+        )).alias("chunk_idx", "chunk_val"))
+    a = chunks.select(F.col("doc_id").alias("id_a"),
+                      F.col("__h").alias("h_a"), "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("doc_id").alias("id_b"),
+                      F.col("__h").alias("h_b"), "chunk_idx", "chunk_val")
+    cand = (a.join(b, ["chunk_idx", "chunk_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

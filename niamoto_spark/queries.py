@@ -1921,6 +1921,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q346_weighted_endemism": q346_weighted_endemism,
         "q347_faith_pd": q347_faith_pd,
         "q348_beta_partition": q348_beta_partition,
+        "q349_minhash_oracle_lane": q349_minhash_oracle_lane,
+        "q350_simhash_oracle_lane": q350_simhash_oracle_lane,
     }
 
 
@@ -5800,6 +5802,8 @@ def build_oracles() -> dict[str, str]:
         "q346_weighted_endemism": O_Q346,
         "q347_faith_pd": O_Q347,
         "q348_beta_partition": O_Q348,
+        "q349_minhash_oracle_lane": O_Q349,
+        "q350_simhash_oracle_lane": O_Q350,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14417,4 +14421,136 @@ SELECT sa AS site_a, sb AS site_b, CAST(a AS BIGINT) AS a,
                     THEN LEAST(b, c) / CAST(a + LEAST(b, c) AS DOUBLE)
                     ELSE 0.0 END, 4) AS beta_sne
 FROM j ORDER BY site_a, site_b
+"""
+
+
+def q349_minhash_oracle_lane(spark, sf_dir):
+    """MinHash+LSH with the md5 hash family BOTH engines share
+    (operators/dedup.py: minhash_lsh_candidates_md5): k-word shingles,
+    16 per-seed min-hash folds, 4-band buckets, in-bucket pair
+    enumeration, signature-agreement Jaccard estimate — and the oracle
+    recomputes every one of those steps value-for-value in DuckDB.
+    This certifies the minhash MATH end-to-end; the xxhash64 twin
+    (q38, the bench path) shares everything but the hash family.
+    Near-dup pairs are guaranteed by unioning each doc with a
+    tail-appended copy."""
+    from niamoto_spark.operators.dedup import minhash_lsh_candidates_md5
+
+    base = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300).select("doc_id", "text"))
+    dup = base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat(F.col("text"),
+                               F.lit(" extra appended tail")).alias("text"))
+    return minhash_lsh_candidates_md5(base.unionByName(dup),
+                                      "doc_id", "text",
+                                      num_hashes=16, bands=4,
+                                      shingle_k=3, jaccard_threshold=0.5)
+
+
+O_Q349 = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+), d AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra appended tail' FROM base
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS w
+  FROM d
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(len(w) - 2),
+                               j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])
+           ELSE [] END) AS shingles
+  FROM toks
+), hb AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hbase
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(16), i ->
+           list_min(list_transform(hbase, h ->
+             (((i + 1) * 2654435761 % 2147483647) * h
+              + (i * 40503 + 7)) % 2147483647))) AS sig
+  FROM hb
+), banded AS (
+  SELECT doc_id, sig, b, list_slice(sig, b*4 + 1, b*4 + 4) AS bk
+  FROM sig, range(4) t(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         round(CAST(len(list_filter(range(16),
+                                    i -> x.sig[i+1] = y.sig[i+1]))
+                    AS DOUBLE) / 16, 4) AS est_jaccard
+  FROM banded x JOIN banded y
+    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5
+"""
+
+
+def q350_simhash_oracle_lane(spark, sf_dir):
+    """SimHash near-dup with the shared md5 hash family
+    (operators/dedup.py: simhash_near_pairs_md5): 60-bit bit-vote
+    fingerprints over distinct-token hashes, pigeonhole banding on
+    four 15-bit chunks, Hamming <= 3 — the oracle replays
+    fingerprinting, banding, and the distance filter in DuckDB.
+    Certifies the simhash MATH for the xxhash64 twin (q39).  Pairs
+    guaranteed by unioning tail-perturbed copies (one appended token
+    flips only the bits that token's votes swing)."""
+    from niamoto_spark.operators.dedup import simhash_near_pairs_md5
+
+    base = (_t(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 300)
+                   & (F.length(F.trim(F.col("text"))) > 0))
+            .select("doc_id", "text"))
+    dup = base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zq")).alias("text"))
+    return simhash_near_pairs_md5(base.unionByName(dup),
+                                  "doc_id", "text", max_hamming=3)
+
+
+O_Q350 = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 300 AND length(trim(text)) > 0
+), d AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zq' FROM base
+), toks AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END) AS w
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(w, t ->
+           CAST(('0x' || substr(md5('0|' || t), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+), fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(60), i ->
+           CASE WHEN list_sum(list_transform(h, x ->
+                  CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+         AS BIGINT) AS fp
+  FROM hs
+), chunks AS (
+  SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS cv
+  FROM fp, range(4) t(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         bit_count(xor(x.fp, y.fp)) AS hamming
+  FROM chunks x JOIN chunks y
+    ON x.b = y.b AND x.cv = y.cv AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 3
 """

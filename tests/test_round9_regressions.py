@@ -132,3 +132,62 @@ def test_asof_resolves_commit_without_committed_at(spark, tmp_path):
         json.dump(doc, f)
     out = mf.read_table_asof(spark, p, time.time() + 60)
     assert out.count() == 1
+
+
+# --- md5 oracle-lane dedup variants (q349/q350) ---------------------------
+
+def test_minhash_md5_lane_matches_python_refit(spark):
+    """The md5/universal-hash minhash signature is engine-independent:
+    a pure-Python recomputation of the same formula reproduces Spark's
+    signature exactly (this is what makes the q349 DuckDB oracle a
+    full value check)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.dedup import minhash_lsh_candidates_md5
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(1, text), (2, text + " tail")],
+                               "doc_id bigint, text string")
+    out = minhash_lsh_candidates_md5(df, "doc_id", "text",
+                                     jaccard_threshold=0.0)
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+    # python refit of est_jaccard
+    P = 2147483647
+
+    def sig(t):
+        words = t.lower().split()
+        shingles = sorted({" ".join(words[j:j + 3])
+                           for j in range(len(words) - 2)})
+        hb = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+              for s in shingles]
+        return [min((((i + 1) * 2654435761 % P) * h + (i * 40503 + 7)) % P
+                    for h in hb) for i in range(16)]
+
+    a, b = sig(text), sig(text + " tail")
+    agree = sum(1 for x, y in zip(a, b) if x == y)
+    assert rows[0]["est_jaccard"] == round(agree / 16, 4)
+
+
+def test_simhash_md5_deterministic_and_banded(spark):
+    from niamoto_spark.operators.dedup import (simhash_md5,
+                                               simhash_near_pairs_md5)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta eta"),
+         (3, "totally unrelated words elsewhere entirely")],
+        "doc_id bigint, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in
+          simhash_md5(df, "doc_id", "text").collect()}
+    assert all(0 <= v < (1 << 60) for v in fp.values())
+    # repartitioned input gives identical fingerprints
+    fp2 = {r["doc_id"]: r["simhash"] for r in
+           simhash_md5(df.repartition(5), "doc_id", "text").collect()}
+    assert fp == fp2
+    pairs = simhash_near_pairs_md5(df, "doc_id", "text", max_hamming=15)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got

@@ -28,6 +28,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
              .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
              .distinct())
+    # materialize the edge list once: every propagation round joins it,
+    # and without the checkpoint each round re-executes the edges'
+    # ENTIRE upstream lineage (for near-dup callers that is the whole
+    # minhash pipeline — measured 62s -> 21s on the q351 gate lane)
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("node_id"))
               .distinct()
               .withColumn("component_id", F.col("node_id")))

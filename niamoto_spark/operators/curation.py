@@ -34,6 +34,10 @@ class CurationConfig:
     minhash_num_hashes: int = 64
     minhash_bands: int = 16
     shingle_k: int = 3
+    # "xxhash64" (production, cheapest) or "md5" (the cross-engine
+    # universal-hash family — lets an external engine recompute the
+    # near-dup stage value-for-value; see dedup.minhash_lsh_candidates_md5)
+    near_dup_hash: str = "xxhash64"
     scrub: bool = True
     seq_len: int = 2048
     # Gopher repetition thresholds (Rae et al. 2021 table A1 defaults)
@@ -92,10 +96,19 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
         return account("exact_dedup", d, dedup_exact_keep(d, id_col, text_col))
 
     def run_near(d: DataFrame) -> DataFrame:
-        pairs = minhash_lsh_candidates(
-            d, id_col, text_col, num_hashes=cfg.minhash_num_hashes,
-            bands=cfg.minhash_bands, shingle_k=cfg.shingle_k,
-            jaccard_threshold=cfg.near_dup_threshold)
+        if cfg.near_dup_hash == "md5":
+            from niamoto_spark.operators.dedup import \
+                minhash_lsh_candidates_md5
+
+            pairs = minhash_lsh_candidates_md5(
+                d, id_col, text_col, num_hashes=cfg.minhash_num_hashes,
+                bands=cfg.minhash_bands, shingle_k=cfg.shingle_k,
+                jaccard_threshold=cfg.near_dup_threshold)
+        else:
+            pairs = minhash_lsh_candidates(
+                d, id_col, text_col, num_hashes=cfg.minhash_num_hashes,
+                bands=cfg.minhash_bands, shingle_k=cfg.shingle_k,
+                jaccard_threshold=cfg.near_dup_threshold)
         return account("near_dedup", d, dedup_keep_components(d, pairs, id_col))
 
     def run_language(d: DataFrame) -> DataFrame:

@@ -1923,6 +1923,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q348_beta_partition": q348_beta_partition,
         "q349_minhash_oracle_lane": q349_minhash_oracle_lane,
         "q350_simhash_oracle_lane": q350_simhash_oracle_lane,
+        "q351_curation_oracle_lane": q351_curation_oracle_lane,
     }
 
 
@@ -5804,6 +5805,7 @@ def build_oracles() -> dict[str, str]:
         "q348_beta_partition": O_Q348,
         "q349_minhash_oracle_lane": O_Q349,
         "q350_simhash_oracle_lane": O_Q350,
+        "q351_curation_oracle_lane": O_Q351,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14553,4 +14555,135 @@ WITH base AS (
 )
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
 FROM cand WHERE hamming <= 3
+"""
+
+
+def q351_curation_oracle_lane(spark, sf_dir):
+    """The curation COMPOSITION value-oracled end-to-end (q63's
+    rows-only gap closed where it matters): quality filter -> exact
+    dedup -> md5-family near-dup components, with the per-stage
+    retention record as the result.  The oracle replays all three
+    stages in DuckDB — the quality-score formula (regexp-replace
+    ratio screens, operators/text.py:86-122), normalized-md5 exact
+    dedup, the full md5 minhash pipeline (q349's SQL), and the
+    duplicate-cluster CLOSURE as a recursive CTE electing each
+    component's min id, matching operators/components.py's
+    label-propagation fixpoint."""
+    from niamoto_spark.operators.curation import (CurationConfig,
+                                                  curate_corpus)
+
+    base = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 150).select("doc_id", "text"))
+    dup = base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat(F.col("text"),
+                               F.lit(" extra appended tail")).alias("text"))
+    _, stats = curate_corpus(
+        base.unionByName(dup), "doc_id", "text",
+        CurationConfig(min_quality=0.5, min_tokens=5,
+                       near_dup_threshold=0.5, minhash_num_hashes=16,
+                       minhash_bands=4, shingle_k=3,
+                       near_dup_hash="md5",
+                       stages=["quality", "exact_dedup", "near_dedup"]))
+    return stats
+
+
+O_Q351 = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+), d AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra appended tail' FROM base
+), m AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS n_alpha,
+         length(text) - length(regexp_replace(text,
+           '[\.,;:!\?''"()\[\]-]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '\s', '', 'g'))
+           AS n_space
+  FROM d
+), scored AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+           (CASE WHEN toks BETWEEN 5 AND 100000
+                 THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
+            + CASE WHEN n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE)
+                        >= 0.6 THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END
+            + CASE WHEN n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)
+                        <= 0.1 THEN CAST(0.15 AS DOUBLE) ELSE 0.0 END
+            + CASE WHEN toks > 0
+                        AND (n_chars - n_space) / CAST(toks AS DOUBLE)
+                            BETWEEN 2.0 AND 12.0
+                   THEN CAST(0.15 AS DOUBLE) ELSE 0.0 END)
+         END AS score
+  FROM m
+), q AS (
+  SELECT doc_id, text FROM scored WHERE score >= 0.5 AND toks >= 5
+), e AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+    FROM q) WHERE doc_id = keep
+), toks2 AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS w
+  FROM e
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(len(w) - 2),
+                               j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])
+           ELSE [] END) AS shingles
+  FROM toks2
+), hb AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hbase
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(16), i ->
+           list_min(list_transform(hbase, h ->
+             (((i + 1) * 2654435761 % 2147483647) * h
+              + (i * 40503 + 7)) % 2147483647))) AS sig
+  FROM hb
+), banded AS (
+  SELECT doc_id, sig, b, list_slice(sig, b*4 + 1, b*4 + 4) AS bk
+  FROM sig, range(4) t(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+  WHERE CAST(len(list_filter(range(16), i -> x.sig[i+1] = y.sig[i+1]))
+             AS DOUBLE) / 16 >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+), r AS (
+  SELECT a AS node, a AS root FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e2.b, r.root FROM r JOIN edges e2 ON e2.a = r.node
+), comp AS (
+  SELECT node, min(root) AS comp FROM r GROUP BY node
+), dropn AS (
+  SELECT node FROM comp WHERE node <> comp
+), k AS (
+  SELECT doc_id FROM e
+  WHERE doc_id NOT IN (SELECT node FROM dropn)
+)
+SELECT 'quality' AS stage,
+       (SELECT count(*) FROM d) AS docs_in,
+       (SELECT count(*) FROM q) AS docs_out
+UNION ALL
+SELECT 'exact_dedup',
+       (SELECT count(*) FROM q), (SELECT count(*) FROM e)
+UNION ALL
+SELECT 'near_dedup',
+       (SELECT count(*) FROM e), (SELECT count(*) FROM k)
 """

@@ -261,3 +261,14 @@ def test_q331_rolling_slope_single_window_stack(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "BatchEvalPython" not in plan
     assert phys.count("Sort") <= 2          # window sort (+agg sort)
+
+
+def test_md5_oracle_lanes_no_cartesian(spark):
+    """q349/q350 (md5 dedup oracle lanes) must keep the banded-bucket
+    shape: candidate pairs come from equi-join/grouping on band keys,
+    never a cartesian product, and the minhash lane's signature is
+    materialized behind an exchange (not recomputed per band slice)."""
+    for q in ("q349_minhash_oracle_lane", "q350_simhash_oracle_lane"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, f"{q} went cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q} nested-loop"

@@ -191,3 +191,28 @@ def test_simhash_md5_deterministic_and_banded(spark):
     pairs = simhash_near_pairs_md5(df, "doc_id", "text", max_hamming=15)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_curation_md5_near_dup_family(spark):
+    """CurationConfig(near_dup_hash='md5') routes the near-dup stage
+    through the cross-engine hash family (the q351 oracle lane) and
+    still drops duplicate clusters."""
+    from niamoto_spark.operators.curation import (CurationConfig,
+                                                  curate_corpus)
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text + " tail"), (3, "something else entirely "
+                                             "with many distinct words here")],
+        "doc_id bigint, text string")
+    kept, stats = curate_corpus(
+        docs, "doc_id", "text",
+        CurationConfig(min_quality=0.0, min_tokens=1,
+                       near_dup_threshold=0.3, minhash_num_hashes=16,
+                       minhash_bands=4, near_dup_hash="md5",
+                       stages=["near_dedup"]))
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3}                       # 2 is 1's near-dup
+    row = stats.collect()[0]
+    assert (row["stage"], row["docs_in"], row["docs_out"]) \
+        == ("near_dedup", 3, 2)

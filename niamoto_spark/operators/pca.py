@@ -37,16 +37,11 @@ from pyspark.sql import types as T
 from niamoto_spark.registry import PluginType, register
 
 
-def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
-    """Fit PCA; returns {mean, components (k x d, rows = components),
-    explained_variance, explained_variance_ratio, n}."""
-    first = df.select(vec_col).first()
-    if first is None:
-        raise ValueError("pca_fit: empty input")
-    d = len(first[0])
-    if not 1 <= k <= d:
-        raise ValueError(f"k must be in [1, {d}]")
-
+def _moment_totals(df: DataFrame, vec_col: str,
+                   d: int) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """(n, column-sum vector, Gram matrix X'X) via the map-side partial
+    aggregation described in the module docstring — the one distributed
+    computation PCA needs."""
     part_schema = T.StructType([
         T.StructField("n", T.LongType()),
         T.StructField("s", T.ArrayType(T.DoubleType())),
@@ -77,7 +72,20 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
     flat = np.zeros(d + d * d)
     for r in rows:
         flat[r["pos"]] = r["v"]
-    s, g = flat[:d], flat[d:].reshape(d, d)
+    return n, flat[:d], flat[d:].reshape(d, d)
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Fit PCA; returns {mean, components (k x d, rows = components),
+    explained_variance, explained_variance_ratio, n}."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    d = len(first[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}]")
+
+    n, s, g = _moment_totals(df, vec_col, d)
     mean = s / n
     cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
     evals, evecs = np.linalg.eigh(cov)       # ascending
@@ -143,3 +151,37 @@ def pca_variance_report(df: DataFrame, vec_col: str, k: int,
     return spark.createDataFrame(
         rows, "component int, explained_variance double, "
               "explained_variance_ratio double, cumulative_ratio double")
+
+
+@register("covariance_profile", PluginType.TRANSFORMER)
+def covariance_profile(df: DataFrame, vec_col: str,
+                       round_dp: int = 6) -> DataFrame:
+    """Per-dimension (dim, mean, variance) from the SAME distributed
+    Gram/mean partial path ``pca_fit`` uses — the value-oracle surface
+    for PCA's distributed piece (q352).  The eigendecomposition is
+    driver-side LAPACK (numpy-parity-tested; no SQL equivalent), but
+    the covariance ASSEMBLY is what actually runs on the cluster at
+    100 TB, and its diagonal is exactly ``var_samp`` per dimension —
+    SQL-checkable.  Variance uses the same (G − n·μμ')/(n−1) algebra
+    as the fit, so a pass here certifies the fit's input matrix."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("covariance_profile: empty input")
+    d = len(first[0])
+    n, s, g = _moment_totals(df, vec_col, d)
+    mean = s / n
+    var = (np.diag(g) - n * mean * mean) / max(n - 1, 1)
+    spark = df.sparkSession
+
+    def rnd(x: float) -> float:
+        # half-away-from-zero (SQL ROUND); Python round() is banker's
+        # and flips exact .5 boundaries against the DuckDB oracle
+        q = 10 ** round_dp
+        import math as _m
+        return (_m.floor(x * q + 0.5) if x >= 0
+                else _m.ceil(x * q - 0.5)) / q
+
+    rows = [(i, rnd(float(mean[i])), rnd(float(var[i])))
+            for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim int, mean double, variance double")

@@ -1924,6 +1924,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q349_minhash_oracle_lane": q349_minhash_oracle_lane,
         "q350_simhash_oracle_lane": q350_simhash_oracle_lane,
         "q351_curation_oracle_lane": q351_curation_oracle_lane,
+        "q352_covariance_profile": q352_covariance_profile,
     }
 
 
@@ -5806,6 +5807,7 @@ def build_oracles() -> dict[str, str]:
         "q349_minhash_oracle_lane": O_Q349,
         "q350_simhash_oracle_lane": O_Q350,
         "q351_curation_oracle_lane": O_Q351,
+        "q352_covariance_profile": O_Q352,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14686,4 +14688,28 @@ SELECT 'exact_dedup',
 UNION ALL
 SELECT 'near_dedup',
        (SELECT count(*) FROM e), (SELECT count(*) FROM k)
+"""
+
+
+def q352_covariance_profile(spark, sf_dir):
+    """PCA's DISTRIBUTED piece value-oracled (the complement of
+    q165's rows-only scree): per-dimension mean + sample variance from
+    the Arrow-batched Gram/mean partial aggregation
+    (operators/pca.py:_moment_totals — the exact totals pca_fit
+    eigendecomposes).  The oracle is per-dimension avg/var_samp over
+    the unnested embedding column, so the covariance assembly that
+    actually runs on the cluster at scale is checked value-for-value;
+    only the driver-side d x d LAPACK step stays numpy-parity-tested."""
+    from niamoto_spark.operators.pca import covariance_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_profile(emb, "embedding", round_dp=6)
+
+
+O_Q352 = """
+SELECT CAST(i AS INT) AS dim,
+       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean,
+       round(var_samp(CAST(embedding[i + 1] AS DOUBLE)), 6) AS variance
+FROM embeddings, range(64) t(i)
+GROUP BY i ORDER BY i
 """

@@ -68,21 +68,17 @@ def test_local_deployer(tmp_path):
     assert (tmp_path / "public" / "index.html").exists()
 
 
-def test_network_deployers_stubbed():
-    """github/ssh are implemented (round 9) — only the vendor-REST-API
-    deployers remain validation-only stubs."""
-    import pytest as _pytest
-
+def test_all_deployers_resolve_to_implementations():
+    """All six reference deployer names resolve to real implementations
+    (round 9): git/rsync flows for github/ssh, vendor REST flows behind
+    the injectable transport for the other four."""
     from niamoto_spark.registry import PluginType, get_plugin, load_all
 
     load_all()
-    for name in ("cloudflare", "netlify", "vercel", "render"):
-        with _pytest.raises(NotImplementedError):
-            get_plugin(name, PluginType.DEPLOYER)()
-    # and the implemented ones resolve to real callables
-    assert get_plugin("github", PluginType.DEPLOYER).__name__ \
-        == "deploy_github"
-    assert get_plugin("ssh", PluginType.DEPLOYER).__name__ == "deploy_ssh"
+    for name in ("github", "ssh", "netlify", "cloudflare", "vercel",
+                 "render", "local_copy"):
+        fn = get_plugin(name, PluginType.DEPLOYER)
+        assert fn.__name__ == f"deploy_{name}", name
 
 
 # --- read_any format dispatch ----------------------------------------------

@@ -148,7 +148,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    df = fan_out(df)
+    # min_bytes=0: the signature fold runs as interpreted higher-order
+    # lambdas (~1-2us per (seed, shingle) element — HOFs never enter
+    # whole-stage codegen), so even sub-MB inputs are CPU-bound and
+    # worth spreading; the byte floor misjudges this operator (measured
+    # 2.6s -> 0.5s on the q38 bench fixture at 2 -> 32 tasks).
+    df = fan_out(df, min_bytes=0)
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.lower(F.col(text_col)), shingle_k))
@@ -291,7 +296,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """
     from niamoto_spark.functions import token_array
 
-    df = fan_out(df)
+    df = fan_out(df, min_bytes=0)   # interpreted-HOF bit votes, see above
     toks = token_array(F.lower(F.col(text_col)))
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
     # Bit-shift by a *column* index needs the SQL surface (the Python

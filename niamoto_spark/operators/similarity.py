@@ -37,8 +37,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
+    # min_bytes=0: the HOF cosine runs as interpreted lambdas (never
+    # whole-stage codegen), so this lane is CPU-bound even on sub-MB
+    # corpora — paired A/B at sf0.1: best 0.97s -> 0.61s at 1 -> 32
+    # tasks.  The BLAS/mapInPandas variants below keep the default byte
+    # floor: numpy batches are efficient single-partition and spreading
+    # them measured SLOWER (0.51s -> 0.82s, per-task Arrow overhead).
     c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("c_vec")))
+                              F.col(vec_col).alias("c_vec")),
+                min_bytes=0)
     sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)

@@ -94,12 +94,26 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.col("weight").alias("w_a"))
     right = p.select(F.col("doc_id").alias("id_b"), "token",
                      F.col("weight").alias("w_b"))
-    if prefilter == "minhash":
-        from niamoto_spark.operators.dedup import minhash_lsh_candidates
+    if prefilter in ("minhash", "minhash_md5"):
+        if prefilter == "minhash_md5":
+            # cross-engine candidate generation (dedup.py md5 family):
+            # an external engine can recompute the candidate set AND
+            # the cosines, so this lane is value-oracled (q353); same
+            # banded shape and recall behavior as the xxhash64 lane.
+            from niamoto_spark.operators.dedup import \
+                minhash_lsh_candidates_md5
 
-        cand = (minhash_lsh_candidates(df, id_col, text_col,
-                                       jaccard_threshold=0.0)
-                .select("id_a", "id_b"))
+            cand = (minhash_lsh_candidates_md5(df, id_col, text_col,
+                                               num_hashes=16, bands=4,
+                                               jaccard_threshold=0.0)
+                    .select("id_a", "id_b"))
+        else:
+            from niamoto_spark.operators.dedup import \
+                minhash_lsh_candidates
+
+            cand = (minhash_lsh_candidates(df, id_col, text_col,
+                                           jaccard_threshold=0.0)
+                    .select("id_a", "id_b"))
         dots = (cand.join(left, "id_a")
                 .join(right, ["id_b", "token"])
                 .groupBy("id_a", "id_b")

@@ -1925,6 +1925,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q350_simhash_oracle_lane": q350_simhash_oracle_lane,
         "q351_curation_oracle_lane": q351_curation_oracle_lane,
         "q352_covariance_profile": q352_covariance_profile,
+        "q353_tfidf_prefiltered_oracle": q353_tfidf_prefiltered_oracle,
     }
 
 
@@ -5808,6 +5809,7 @@ def build_oracles() -> dict[str, str]:
         "q350_simhash_oracle_lane": O_Q350,
         "q351_curation_oracle_lane": O_Q351,
         "q352_covariance_profile": O_Q352,
+        "q353_tfidf_prefiltered_oracle": O_Q353,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14712,4 +14714,93 @@ SELECT CAST(i AS INT) AS dim,
        round(var_samp(CAST(embedding[i + 1] AS DOUBLE)), 6) AS variance
 FROM embeddings, range(64) t(i)
 GROUP BY i ORDER BY i
+"""
+
+
+def q353_tfidf_prefiltered_oracle(spark, sf_dir):
+    """q127's 100 TB lane with the md5 candidate family — FULLY
+    value-oracled: MinHash-LSH candidates (cross-engine md5/universal
+    hashes, any shared band bucket qualifies) gate the exact TF-IDF
+    cosine, and the oracle recomputes BOTH the candidate set and the
+    cosines in DuckDB.  Same planted duplicate slice as q127, so the
+    result contains the planted perfect-cosine pairs at every SF."""
+    from niamoto_spark.operators.tfidf import tfidf_cosine_pairs
+
+    d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+         .select("doc_id", "text"))
+    planted = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    return tfidf_cosine_pairs(planted, "doc_id", "text", threshold=0.3,
+                              max_df_frac=0.5, prefilter="minhash_md5")
+
+
+O_Q353 = r"""
+WITH d0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+), corp AS (
+  SELECT doc_id, text FROM d0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM d0
+), lt AS (
+  SELECT doc_id, trim(lower(text)) AS t FROM corp
+), wrd AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN []
+              ELSE regexp_split_to_array(t, '\s+') END AS w
+  FROM lt
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(len(w) - 2),
+                               j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])
+           ELSE [] END) AS shingles
+  FROM wrd
+), hb AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hbase
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(16), i ->
+           list_min(list_transform(hbase, h ->
+             (((i + 1) * 2654435761 % 2147483647) * h
+              + (i * 40503 + 7)) % 2147483647))) AS sig
+  FROM hb
+), banded AS (
+  SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS bk
+  FROM sig, range(4) t(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+), tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS token
+  FROM lt WHERE length(t) > 0
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM corp
+), dfq AS (
+  SELECT token, count(*) AS dfc FROM tf GROUP BY 1
+), idf AS (
+  SELECT token, ln((1.0 + n) / (dfc + 1)) + 1 AS idf
+  FROM dfq, nd WHERE dfc <= 0.5 * n
+), w AS (
+  SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS w_raw
+  FROM tf JOIN idf USING (token)
+), nw AS (
+  SELECT doc_id, token,
+         w_raw / sqrt(sum(w_raw * w_raw)
+                      OVER (PARTITION BY doc_id)) AS weight
+  FROM w
+), dots AS (
+  SELECT c.id_a, c.id_b, sum(a.weight * b.weight) AS dot
+  FROM cand c
+  JOIN nw a ON a.doc_id = c.id_a
+  JOIN nw b ON b.doc_id = c.id_b AND b.token = a.token
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot, 4) AS cosine
+FROM dots WHERE round(dot, 4) >= 0.3
 """

@@ -419,6 +419,31 @@ def main() -> None:
     finally:
         _sh.rmtree(tdir3, ignore_errors=True)
 
+    # Round 9: minhash at an inflated corpus.  The fan_out byte-floor
+    # change (min_bytes=0 for interpreted-HOF lanes) must be a NO-OP
+    # once the source already has partitions >= parallelism/4 — verify
+    # the partition count is untouched, then time the full candidate
+    # pipeline to put a docs/sec number behind the spread lane.
+    from niamoto_spark.functions import fan_out
+    from niamoto_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    dpieces = [docs.withColumn("doc_id",
+                               F.col("doc_id") + F.lit(i * 1_000_000))
+               for i in range(mult)]
+    bigd = dpieces[0]
+    for piece in dpieces[1:]:
+        bigd = bigd.unionByName(piece)
+    bigd = bigd.repartition(32).cache()
+    ndocs = bigd.count()
+    assert fan_out(bigd, min_bytes=0).rdd.getNumPartitions() == 32, \
+        "fan_out must leave a well-partitioned input alone"
+    t0 = time.time()
+    npairs2 = minhash_lsh_candidates(bigd, "doc_id", "text").count()
+    dt = time.time() - t0
+    print(f"minhash_lsh_candidates ({ndocs:,} docs -> {npairs2:,} "
+          f"pairs): {dt:.2f}s ({ndocs / dt / 1e3:.1f}K docs/s)")
+
 
 if __name__ == "__main__":
     main()

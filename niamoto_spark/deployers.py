@@ -16,9 +16,10 @@ isolated behind one injectable seam:
 - ``deploy_ssh`` builds the reference's exact rsync argv and hands it
   to an injectable ``runner`` (default: subprocess). Tests inject a
   recording runner; production uses the default against a real host.
-
-The remaining four HTTP-API deployers stay validation-only stubs (their
-transport is a vendor REST API, not reproducible offline).
+- the four vendor-REST deployers (netlify/cloudflare/vercel/render)
+  follow the reference request sequences with all HTTP behind one
+  injectable ``transport`` (default: stdlib urllib — REAL network);
+  recording-fake tests pin the contracts offline.
 """
 
 from __future__ import annotations
@@ -172,6 +173,12 @@ def deploy_ssh(site_dir: str, host: str, path: str, port: int = 22,
         raise ValueError("deploy_ssh: remote path is required")
     if not os.path.isdir(site_dir):
         raise FileNotFoundError(f"export directory not found: {site_dir}")
+    if key_path and any(c.isspace() for c in key_path):
+        # rsync tokenizes the -e value on whitespace, so a key path
+        # with spaces silently becomes two broken ssh arguments
+        raise ValueError(
+            f"deploy_ssh: key_path must not contain whitespace "
+            f"({key_path!r})")
     ssh_cmd = f"ssh -p {port}"
     if key_path:
         ssh_cmd += f" -i {key_path}"
@@ -179,8 +186,9 @@ def deploy_ssh(site_dir: str, host: str, path: str, port: int = 22,
             site_dir.rstrip("/") + "/", f"{host}:{path.rstrip('/')}/"]
     rc, out, err = runner(argv)
     if rc != 0:
-        raise RuntimeError(
-            f"rsync exited {rc}: {err.strip().splitlines()[-1:] or out}")
+        tail = (err.strip().splitlines() or out.strip().splitlines()
+                or [""])[-1]
+        raise RuntimeError(f"rsync exited {rc}: {tail}")
     return {"host": host, "path": path, "argv": argv,
             "lines": len(out.splitlines())}
 
@@ -197,14 +205,18 @@ def run_deploy(site_dir: str, spec: dict, project_name: str) -> dict:
       ``file://`` bare repos run the identical flow offline.
     - ``ssh``: ``extra.{host,path,port,key_path}`` (ssh.py:25-28).
     - ``local_copy``: ``extra.target_dir``.
-    - cloudflare/netlify/vercel/render: raise NotImplementedError
-      (vendor REST APIs, validation-only stubs).
+    - netlify/cloudflare/vercel/render: dispatched with ``extra`` as
+      keyword config (site_id/token etc.); these hit the REAL vendor
+      APIs via the default urllib transport.
     """
     platform = spec.get("platform")
     extra = spec.get("extra", {}) or {}
     if platform == "github":
         repo = extra.get("repo", "")
-        remote = repo if "://" in repo or repo.startswith("git@") \
+        is_url_or_path = ("://" in repo or repo.startswith("git@")
+                          or repo.startswith(("/", "./", "../"))
+                          or os.path.isdir(repo))
+        remote = repo if is_url_or_path \
             else f"https://github.com/{repo}.git"
         return deploy_github(
             site_dir, remote,
@@ -242,16 +254,25 @@ def run_deploy(site_dir: str, spec: dict, project_name: str) -> dict:
 def _urllib_transport(method: str, url: str, headers: dict,
                       body: bytes | None) -> tuple[int, dict]:
     import json as _json
+    import urllib.error
     import urllib.request
+
+    def parse(status, raw):
+        try:
+            return status, _json.loads(raw or b"{}")
+        except ValueError:
+            return status, {"raw": raw.decode("utf8", "replace")}
 
     req = urllib.request.Request(url, data=body, headers=headers,
                                  method=method)
-    with urllib.request.urlopen(req, timeout=120) as resp:
-        raw = resp.read()
-        try:
-            return resp.status, _json.loads(raw or b"{}")
-        except ValueError:
-            return resp.status, {"raw": raw.decode("utf8", "replace")}
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return parse(resp.status, resp.read())
+    except urllib.error.HTTPError as e:
+        # 4xx/5xx must flow back as (status, body) — the deployers'
+        # error lanes own the message (r9 self-review: urlopen raises
+        # here, which would bypass every status check)
+        return parse(e.code, e.read())
 
 
 def _zip_site(site_dir: str) -> bytes:
@@ -358,8 +379,10 @@ def deploy_cloudflare(site_dir: str, account_id: str, script_name: str,
             {"Authorization": f"Bearer {jwt}",
              "Content-Type": "application/json"},
             _json.dumps({"files": files}).encode())
-        if status >= 400:
-            raise RuntimeError(f"cloudflare upload failed: HTTP {status}")
+        if status >= 400 or not d.get("success", True):
+            raise RuntimeError(
+                f"cloudflare upload failed: HTTP {status} "
+                f"{d.get('errors', '')}")
         completion = d.get("result", {}).get("jwt", completion)
         uploaded += len(files)
     return {"files": len(manifest), "uploaded": uploaded,

@@ -295,14 +295,17 @@ def api_enrichment(df: DataFrame, key_col: str,
     spark = df.sparkSession
     key_type = dict(df.dtypes)[key_col]
     distinct = df.select(key_col).distinct()
-    if max_keys is not None:
-        probe = distinct.limit(max_keys + 1).count()
-        if probe > max_keys:
-            raise ValueError(
-                f"api_enrichment: >{max_keys} distinct keys in "
-                f"'{key_col}' — this looks like a fact-table key, not a "
-                "reference key. Raise max_keys explicitly (and consider "
-                "distributed=True) if intentional.")
+    # ONE distinct aggregation serves both the guard and the key
+    # collection (r9 self-review: a separate count probe re-ran the
+    # full aggregation the guard exists to bound)
+    key_rows = distinct.limit((max_keys + 1) if max_keys is not None
+                              else ((1 << 31) - 1)).collect()
+    if max_keys is not None and len(key_rows) > max_keys:
+        raise ValueError(
+            f"api_enrichment: >{max_keys} distinct keys in "
+            f"'{key_col}' — this looks like a fact-table key, not a "
+            "reference key. Raise max_keys explicitly (and consider "
+            "distributed=True) if intentional.")
 
     if distributed:
         import pandas as pd  # noqa: PLC0415 - executor-side dependency
@@ -321,7 +324,8 @@ def api_enrichment(df: DataFrame, key_col: str,
                     out.append((k, json.dumps(payload, sort_keys=True)))
                 yield pd.DataFrame(out, columns=["__k", out_col])
 
-        enrich = (distinct.repartition(num_partitions, key_col)
+        keys_df = spark.createDataFrame(key_rows, distinct.schema)
+        enrich = (keys_df.repartition(num_partitions, key_col)
                   .mapInPandas(fetch_partition,
                                schema=f"__k {key_type}, {out_col} string"))
         # executor fetches happen once; materialize the small result so
@@ -333,7 +337,7 @@ def api_enrichment(df: DataFrame, key_col: str,
                 .drop("__k"))
 
     client = client or RateLimitedCache(fetcher, rate_limit)
-    keys = [r[0] for r in distinct.collect()]
+    keys = [r[0] for r in key_rows]
     rows = []
     for k in sorted(keys, key=str):
         payload = client.get(str(k))

@@ -163,7 +163,14 @@ def covariance_profile(df: DataFrame, vec_col: str,
     the covariance ASSEMBLY is what actually runs on the cluster at
     100 TB, and its diagonal is exactly ``var_samp`` per dimension —
     SQL-checkable.  Variance uses the same (G − n·μμ')/(n−1) algebra
-    as the fit, so a pass here certifies the fit's input matrix."""
+    as the fit, so a pass here certifies the fit's input matrix.
+
+    Numerical caveat: (G − n·μμ')/(n−1) is the one-pass moment formula
+    and cancels catastrophically when |μ| >> σ (float32 inputs with
+    means ~1e2 and σ ~1e-3 lose most significant digits).  That regime
+    is wrong for embedding columns (which are ~zero-centered by
+    construction) — for such data use a two-pass (center, then Gram)
+    variant; the shifted-mean parity test pins the error behavior."""
     first = df.select(vec_col).first()
     if first is None:
         raise ValueError("covariance_profile: empty input")

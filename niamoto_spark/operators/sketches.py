@@ -203,12 +203,14 @@ def distinct_sketches(df: DataFrame, key_cols: list[str], item_col: str,
                          F.hll_sketch_estimate("sketch"))
 
 
-def rollup_sketches(sketches: DataFrame, key_cols: list[str],
-                    lg_k: int = 12) -> DataFrame:
+def rollup_sketches(sketches: DataFrame, key_cols: list[str]) -> DataFrame:
     """Union per-group sketches up to a coarser key (possibly [] for a
     grand total).  Exactly the merge the sketch guarantees: the result
     estimates the distinct count of the UNION of the underlying sets,
-    double-counting nothing."""
+    double-counting nothing.  No lg_k parameter: the union keeps the
+    input sketches' configuration (hll_union_agg takes none), so the
+    precision — and the sparse-exact regime q134 relies on — is fixed
+    where the sketches are BUILT (distinct_sketches)."""
     grouped = (sketches.groupBy(*key_cols) if key_cols
                else sketches.groupBy())
     out = grouped.agg(

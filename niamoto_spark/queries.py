@@ -4744,7 +4744,7 @@ def q134_distinct_rollup(spark, sf_dir):
         "day", (F.col("ts_sec") / 86400).cast("long"))
     daily = distinct_sketches(ev, ["event_type", "day"], "user_id",
                               lg_k=14)
-    per_type = rollup_sketches(daily, ["event_type"], lg_k=14)
+    per_type = rollup_sketches(daily, ["event_type"])
     return (per_type.select("event_type",
                             F.col("approx_distinct").cast("long")
                             .alias("approx_users"))
@@ -10987,8 +10987,8 @@ O_Q272 = """
 WITH e AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
          value AS v,
-         CAST(floor(epoch(ts)) AS BIGINT) * 1000000
-           + event_id % 1000000 AS ok
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS HUGEINT)
+           * 1099511627776 + event_id AS ok
   FROM events)
 SELECT event_type, CAST(floor(t / 86400.0) AS BIGINT) AS bucket,
        round(arg_min(v, ok), 4) AS open,
@@ -12904,8 +12904,10 @@ def q317_stream_ohlc(spark, sf_dir):
     stream = _ts_to_timestamp(
         spark.readStream.schema(schema).parquet(stream_dir))
     tsec = F.unix_timestamp("ts").cast("double")
-    ok = (tsec * 1_000_000
-          + F.col("event_id").cast("double") % 1_000_000)
+    # struct order key: same ADVICE-r8 fix as ohlc_bars — the old
+    # BIGINT composite collided for event ids congruent mod 1e6
+    ok = F.struct(tsec.alias("t"),
+                  F.col("event_id").cast("double").alias("tb"))
     day = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / 86_400) * 86_400)
     bars = (stream.withColumn("__day", day).withColumn("__ok", ok)
@@ -12932,8 +12934,8 @@ O_Q317 = """
 WITH e AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
          value AS v,
-         CAST(floor(epoch(ts)) AS BIGINT) * 1000000
-           + event_id % 1000000 AS ok
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS HUGEINT)
+           * 1099511627776 + event_id AS ok
   FROM events)
 SELECT CAST(floor(t / 86400.0) AS BIGINT) AS bucket, event_type,
        round(arg_min(v, ok), 4) AS open, round(max(v), 4) AS high,

@@ -96,7 +96,7 @@ def test_ssh_argv_contract_and_errors(tmp_path):
 
 def test_run_deploy_dispatch(tmp_path):
     """Config-block dispatch: owner/repo slug expands to the https
-    remote; vendor platforms still raise (validation stubs)."""
+    remote; local paths and URLs pass through untouched."""
     from niamoto_spark.deployers import run_deploy
     from niamoto_spark.registry import load_all
 
@@ -110,6 +110,8 @@ def test_run_deploy_dispatch(tmp_path):
                            "extra": {"target_dir": str(tmp_path / "t")}},
                     "proj")
     assert r2["files"] == 2
+    # vendor platforms are REAL implementations now; incomplete config
+    # surfaces as a clear error instead of a network attempt
     with pytest.raises(ValueError, match="incomplete extra config"):
         run_deploy(site, {"platform": "netlify", "extra": {}}, "proj")
     # slug expansion (no network hit: ls-remote fails fast on a

@@ -216,3 +216,77 @@ def test_curation_md5_near_dup_family(spark):
     row = stats.collect()[0]
     assert (row["stage"], row["docs_in"], row["docs_out"]) \
         == ("near_dedup", 3, 2)
+
+
+def test_ohlc_oracle_key_matches_operator_beyond_1e6(spark):
+    """The DuckDB oracle key must agree with ohlc_bars' struct ordering
+    for event ids beyond 1e6 (the old mod-1e6 oracle collided there —
+    found in the r9 self-review; gate fixtures never exceed 1e5 ids)."""
+    import duckdb
+
+    rows = [("a", 100, 10.0, 1_000_001), ("a", 100, 20.0, 5),
+            ("a", 100, 30.0, 2_000_003), ("a", 200, 7.0, 1)]
+    df = spark.createDataFrame(
+        rows, "k string, t long, v double, i long")
+    got = ohlc_bars(df, "k", "t", "v", "i", granule_s=86400).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(k VARCHAR, t BIGINT, v DOUBLE, i BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", rows)
+    o = con.execute("""
+        SELECT arg_min(v, CAST(t AS HUGEINT) * 1099511627776 + i) AS o,
+               arg_max(v, CAST(t AS HUGEINT) * 1099511627776 + i) AS c
+        FROM e""").fetchone()
+    assert (got["open"], got["close"]) == o[:1] + o[1:]
+    assert got["open"] == 20.0 and got["close"] == 7.0
+
+
+def test_urllib_transport_returns_status_on_http_error():
+    """4xx/5xx must come back as (status, parsed body) so the vendor
+    deployers' error lanes own the message — urlopen raises HTTPError,
+    which previously escaped the transport (r9 self-review)."""
+    import http.server
+    import threading
+
+    from niamoto_spark.deployers import _urllib_transport
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = b'{"error": "bad token"}'
+            self.send_response(401)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, payload = _urllib_transport(
+            "POST", f"http://127.0.0.1:{srv.server_port}/x", {}, b"{}")
+        assert status == 401
+        assert payload == {"error": "bad token"}
+    finally:
+        srv.shutdown()
+
+
+def test_covariance_profile_shifted_mean_parity(spark):
+    """One-pass moment formula vs numpy on shifted-mean data: fine at
+    double precision for moderate shifts; the docstring documents the
+    |mean| >> sigma catastrophic-cancellation regime."""
+    import numpy as np
+
+    from niamoto_spark.operators.pca import covariance_profile
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(loc=100.0, scale=0.5, size=(400, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    got = {r["dim"]: (r["mean"], r["variance"])
+           for r in covariance_profile(df, "embedding").collect()}
+    for d in range(4):
+        assert abs(got[d][0] - x[:, d].mean()) < 1e-6
+        assert abs(got[d][1] - x[:, d].var(ddof=1)) < 1e-6

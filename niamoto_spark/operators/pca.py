@@ -155,7 +155,8 @@ def pca_variance_report(df: DataFrame, vec_col: str, k: int,
 
 @register("covariance_profile", PluginType.TRANSFORMER)
 def covariance_profile(df: DataFrame, vec_col: str,
-                       round_dp: int = 6) -> DataFrame:
+                       round_dp: int = 6,
+                       two_pass: bool = False) -> DataFrame:
     """Per-dimension (dim, mean, variance) from the SAME distributed
     Gram/mean partial path ``pca_fit`` uses — the value-oracle surface
     for PCA's distributed piece (q352).  The eigendecomposition is
@@ -169,15 +170,41 @@ def covariance_profile(df: DataFrame, vec_col: str,
     and cancels catastrophically when |μ| >> σ (float32 inputs with
     means ~1e2 and σ ~1e-3 lose most significant digits).  That regime
     is wrong for embedding columns (which are ~zero-centered by
-    construction) — for such data use a two-pass (center, then Gram)
-    variant; the shifted-mean parity test pins the error behavior."""
+    construction) — for such data pass ``two_pass=True``: a first
+    d-row pass computes the mean, the Gram pass then runs over
+    CENTERED batches (mean broadcast to executors), trading one extra
+    corpus read for full stability.  The shifted-mean parity tests pin
+    both variants."""
     first = df.select(vec_col).first()
     if first is None:
         raise ValueError("covariance_profile: empty input")
     d = len(first[0])
-    n, s, g = _moment_totals(df, vec_col, d)
-    mean = s / n
-    var = (np.diag(g) - n * mean * mean) / max(n - 1, 1)
+    if two_pass:
+        n0, s0, _ = _moment_totals(df, vec_col, d)
+        mu = s0 / n0
+        bmu = df.sparkSession.sparkContext.broadcast(mu)
+        centered_schema = T.StructType(
+            [T.StructField("vec_id", T.LongType()),
+             T.StructField(vec_col, T.ArrayType(T.DoubleType()))])
+
+        def center(batches):
+            m = bmu.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.array(list(pdf[vec_col]), dtype=np.float64) - m
+                yield pd.DataFrame({"vec_id": range(len(x)),
+                                    vec_col: list(x)})
+
+        centered = df.select(vec_col).mapInPandas(
+            center, schema=centered_schema)
+        n, s, g = _moment_totals(centered, vec_col, d)
+        mean = mu + s / n            # s/n is the residual (~0)
+        var = (np.diag(g) - n * (s / n) ** 2) / max(n - 1, 1)
+    else:
+        n, s, g = _moment_totals(df, vec_col, d)
+        mean = s / n
+        var = (np.diag(g) - n * mean * mean) / max(n - 1, 1)
     spark = df.sparkSession
 
     def rnd(x: float) -> float:

@@ -290,3 +290,34 @@ def test_covariance_profile_shifted_mean_parity(spark):
     for d in range(4):
         assert abs(got[d][0] - x[:, d].mean()) < 1e-6
         assert abs(got[d][1] - x[:, d].var(ddof=1)) < 1e-6
+
+
+def test_covariance_profile_two_pass_survives_cancellation(spark):
+    """|mean| >> sigma: the one-pass formula loses precision; the
+    two-pass (center, then Gram) variant stays exact to numpy."""
+    import numpy as np
+
+    from niamoto_spark.operators.pca import covariance_profile
+
+    rng = np.random.default_rng(11)
+    # float32-quantized inputs with mean 1e4 and sigma 1e-2: the
+    # cancellation regime the docstring warns about
+    x = (10_000.0 + rng.normal(scale=0.01, size=(300, 3))).astype(
+        np.float32).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    got = {r["dim"]: r["variance"] for r in
+           covariance_profile(df, "embedding", round_dp=10,
+                              two_pass=True).collect()}
+    for d in range(3):
+        truth = x[:, d].var(ddof=1)
+        assert abs(got[d] - truth) / truth < 1e-6
+    # and both variants agree on well-behaved (zero-centered) data
+    y = rng.normal(size=(200, 3))
+    dfy = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(y)],
+        "vec_id long, embedding array<double>")
+    one = covariance_profile(dfy, "embedding").collect()
+    two = covariance_profile(dfy, "embedding", two_pass=True).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in two]

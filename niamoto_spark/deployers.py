@@ -213,9 +213,12 @@ def run_deploy(site_dir: str, spec: dict, project_name: str) -> dict:
     extra = spec.get("extra", {}) or {}
     if platform == "github":
         repo = extra.get("repo", "")
+        # URLs and EXPLICIT paths pass through; anything else is an
+        # owner/repo slug.  No os.path.isdir sniffing: that would make
+        # "docs/site" deploy to a local directory or to GitHub
+        # depending on the working directory.
         is_url_or_path = ("://" in repo or repo.startswith("git@")
-                          or repo.startswith(("/", "./", "../"))
-                          or os.path.isdir(repo))
+                          or repo.startswith(("/", "./", "../")))
         remote = repo if is_url_or_path \
             else f"https://github.com/{repo}.git"
         return deploy_github(
@@ -320,6 +323,9 @@ def deploy_netlify(site_dir: str, site_id: str, token: str,
         status, d = transport(
             "GET", f"https://api.netlify.com/api/v1/deploys/{deploy_id}",
             {"Authorization": f"Bearer {token}"}, None)
+        if status >= 400:
+            raise RuntimeError(
+                f"netlify status poll failed: HTTP {status} {d}")
         state = d.get("state", "")
         if state == "ready":
             return {"deploy_id": deploy_id,

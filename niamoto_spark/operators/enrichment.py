@@ -295,13 +295,13 @@ def api_enrichment(df: DataFrame, key_col: str,
     spark = df.sparkSession
     key_type = dict(df.dtypes)[key_col]
     distinct = df.select(key_col).distinct()
-    # ONE distinct aggregation serves both the guard and the key
-    # collection (r9 self-review: a separate count probe re-ran the
-    # full aggregation the guard exists to bound)
-    key_rows = distinct.limit((max_keys + 1) if max_keys is not None
-                              else ((1 << 31) - 1)).collect()
-    if max_keys is not None and len(key_rows) > max_keys:
-        raise ValueError(
+
+    def guard_exceeded() -> bool:
+        return (max_keys is not None
+                and distinct.limit(max_keys + 1).count() > max_keys)
+
+    def guard_error():
+        return ValueError(
             f"api_enrichment: >{max_keys} distinct keys in "
             f"'{key_col}' — this looks like a fact-table key, not a "
             "reference key. Raise max_keys explicitly (and consider "
@@ -309,6 +309,19 @@ def api_enrichment(df: DataFrame, key_col: str,
 
     if distributed:
         import pandas as pd  # noqa: PLC0415 - executor-side dependency
+
+        # keys stay DISTRIBUTED end to end: the guard probes the
+        # cached distinct frame, the fetch repartitions it — nothing
+        # key-shaped ever lands on the driver (the r9 review caught a
+        # regression that collected keys here, defeating the mode's
+        # purpose at exactly the large-key-set scale it exists for)
+        distinct = distinct.persist()
+        try:
+            if guard_exceeded():
+                raise guard_error()
+        except Exception:
+            distinct.unpersist()
+            raise
 
         per_rate = rate_limit / max(num_partitions, 1)
 
@@ -324,18 +337,23 @@ def api_enrichment(df: DataFrame, key_col: str,
                     out.append((k, json.dumps(payload, sort_keys=True)))
                 yield pd.DataFrame(out, columns=["__k", out_col])
 
-        keys_df = spark.createDataFrame(key_rows, distinct.schema)
-        enrich = (keys_df.repartition(num_partitions, key_col)
+        enrich = (distinct.repartition(num_partitions, key_col)
                   .mapInPandas(fetch_partition,
                                schema=f"__k {key_type}, {out_col} string"))
         # executor fetches happen once; materialize the small result so
         # the join below doesn't refetch on re-evaluation
         enrich = spark.createDataFrame(
             enrich.collect(), f"__k {key_type}, {out_col} string")
+        distinct.unpersist()
         return (df.join(F.broadcast(enrich),
                         df[key_col] == F.col("__k"), "left")
                 .drop("__k"))
 
+    # driver path: ONE collect serves both the guard and the keys
+    key_rows = (distinct.limit(max_keys + 1).collect()
+                if max_keys is not None else distinct.collect())
+    if max_keys is not None and len(key_rows) > max_keys:
+        raise guard_error()
     client = client or RateLimitedCache(fetcher, rate_limit)
     keys = [r[0] for r in key_rows]
     rows = []

@@ -434,15 +434,34 @@ def main() -> None:
     bigd = dpieces[0]
     for piece in dpieces[1:]:
         bigd = bigd.unionByName(piece)
-    bigd = bigd.repartition(32).cache()
-    ndocs = bigd.count()
-    assert fan_out(bigd, min_bytes=0).rdd.getNumPartitions() == 32, \
-        "fan_out must leave a well-partitioned input alone"
-    t0 = time.time()
-    npairs2 = minhash_lsh_candidates(bigd, "doc_id", "text").count()
-    dt = time.time() - t0
-    print(f"minhash_lsh_candidates ({ndocs:,} docs -> {npairs2:,} "
-          f"pairs): {dt:.2f}s ({ndocs / dt / 1e3:.1f}K docs/s)")
+    # Write the inflated corpus as a MULTI-FILE parquet source so the
+    # no-op property is tested on what fan_out actually inspects (its
+    # partition estimate comes from the source FILES, not the runtime
+    # partitioning): with >= parallelism/4 files, fan_out must return
+    # the input unchanged.  The previous assert compared against a
+    # hardcoded 32 and passed only where defaultParallelism == 32.
+    import shutil as _sh2
+    import tempfile as _tf2
+
+    ddir = _tf2.mkdtemp(prefix="probe_docs_")
+    try:
+        bigd.repartition(64).write.mode("overwrite").parquet(ddir)
+        wide = spark.read.parquet(ddir)
+        ndocs = wide.count()
+        target = spark.sparkContext.defaultParallelism
+        if 64 * 4 > target:                  # fan_out's no-op condition
+            before = wide.rdd.getNumPartitions()
+            after = fan_out(wide, min_bytes=0).rdd.getNumPartitions()
+            assert after == before, \
+                f"fan_out must leave a wide source alone ({before}->{after})"
+            print(f"# fan_out no-op on {before}-partition source: OK")
+        t0 = time.time()
+        npairs2 = minhash_lsh_candidates(wide, "doc_id", "text").count()
+        dt = time.time() - t0
+        print(f"minhash_lsh_candidates ({ndocs:,} docs -> {npairs2:,} "
+              f"pairs): {dt:.2f}s ({ndocs / dt / 1e3:.1f}K docs/s)")
+    finally:
+        _sh2.rmtree(ddir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -284,27 +284,50 @@ def vacuum(path: str, keep_versions: int = 1,
     are only reaped when older than ``retention_sec`` (Delta-style
     retention; default 24h), so a concurrent ``append`` cannot commit a
     manifest pointing at files vacuum just deleted.  Pass
-    ``retention_sec=0`` only when no writer can be running."""
+    ``retention_sec=0`` only when no writer can be running.
+
+    The keep window counts COMMITTED snapshots, not raw version
+    numbers: pending claims and aborted husks from multi-table
+    transactions (sources/transactions.py) sit on top of the committed
+    chain, and a raw-number window would let an aborted head evict the
+    only live snapshot — vacuuming away the table's data.  Husk
+    manifests above the cut are retained (parent walks route through
+    them) but their never-visible files are reaped; a PENDING head's
+    files are preserved (it may still commit)."""
     import time
 
     data, meta = _table_dirs(path)
     latest = current_version(path)
     if latest < 0:
         return 0
-    keep = range(max(0, latest - keep_versions + 1), latest + 1)
+    versions = sorted(
+        (int(f[len("manifest-v"):-len(".json")])
+         for f in os.listdir(meta)
+         if f.startswith("manifest-v") and f.endswith(".json")),
+        reverse=True)
+    keep: set[int] = set()
+    committed_kept = 0
+    docs: dict[int, dict] = {}
+    for v in versions:
+        if committed_kept >= keep_versions:
+            break
+        docs[v] = _read_manifest(path, v)
+        keep.add(v)
+        if _txn_state(docs[v]) == "committed":
+            committed_kept += 1
     referenced: set[str] = set()
     ever_committed: set[str] = set()
-    for f in os.listdir(meta):
-        if f.startswith("manifest-v") and f.endswith(".json"):
-            v = int(f[len("manifest-v"):-len(".json")])
-            files = _read_manifest(path, v)["files"]
-            ever_committed.update(files)
-            if v in keep:
-                referenced.update(files)
+    for v in versions:
+        doc = docs.get(v) or _read_manifest(path, v)
+        ever_committed.update(doc["files"])
+        if v in keep and _txn_state(doc) != "aborted":
+            referenced.update(doc["files"])
     now = time.time()
     deleted = 0
     for txn in os.listdir(data):
         tdir = os.path.join(data, txn)
+        if not os.path.isdir(tdir):
+            continue
         for f in os.listdir(tdir):
             fp = os.path.join(tdir, f)
             if not f.endswith(".parquet") or fp in referenced:
@@ -603,7 +626,11 @@ def compact(spark: SparkSession, path: str, target_files: int = 8,
     df.write.mode("overwrite").parquet(staging)
     new_files = [os.path.join(staging, f) for f in os.listdir(staging)
                  if f.endswith(".parquet")]
-    parent = current_version(path)
+    # _writer_head, not current_version: a pending multi-table claim at
+    # the head must raise — claiming its successor slot with only the
+    # committed content would drop the transaction's rows when its
+    # marker lands (aborted husks are skipped as usual).
+    parent, _ = _writer_head(path)
     if stats_cols or sort_by:
         cols = stats_cols or sort_by
         stats = _collect_stats(spark, new_files, cols)
@@ -664,17 +691,20 @@ def _rewrite_cow(spark: SparkSession, path: str, transform,
     from urllib.parse import urlparse
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    v = current_version(path)
-    if v < 0:
+    # _writer_head: the file list must come from the effective COMMITTED
+    # document (building from a raw pending/aborted head would carry a
+    # transaction's never-visible staged files into the new snapshot),
+    # and a pending claim raises instead of being silently overtaken.
+    slot, doc = _writer_head(path)
+    if not doc:
         raise FileNotFoundError(f"no committed snapshot at {path}")
-    doc = _read_manifest(path, v)
     df = read_table(spark, path)  # applies any deletion vectors
     touched_uris = [r["__f"] for r in
                     df.where(pred).select(F.input_file_name().alias("__f"))
                     .distinct().collect()]
     touched = {urlparse(u).path for u in touched_uris}
     if not touched:
-        return v  # nothing matches: no empty commit
+        return doc["version"]  # nothing matches: no empty commit
     keep_files = [f for f in doc["files"] if f not in touched]
     touched_df = spark.read.parquet(*sorted(touched))
     if doc.get("dv"):
@@ -695,11 +725,11 @@ def _rewrite_cow(spark: SparkSession, path: str, transform,
                  if stats_cols else {})
     prev_stats = {f: s for f, s in doc.get("stats", {}).items()
                   if f in set(keep_files)}
-    _commit_doc(path, v + 1,
-                {"parent": v, "files": sorted(keep_files + new_files),
+    _commit_doc(path, slot + 1,
+                {"parent": slot, "files": sorted(keep_files + new_files),
                  "stats": {**prev_stats, **new_stats},
                  **_carry_dv(doc, keep_files)})
-    return v + 1
+    return slot + 1
 
 
 def delete_where(spark: SparkSession, path: str, predicate) -> int:
@@ -813,8 +843,10 @@ def append_with_blooms(df: DataFrame, path: str, bloom_cols: list[str],
     blooms = _collect_blooms(spark, new_files, bloom_cols)
     stats = (_collect_stats(spark, new_files, stats_cols)
              if stats_cols else {})
-    parent = current_version(path)
-    prev_doc = _read_manifest(path, parent) if parent >= 0 else {}
+    # _writer_head, not a raw head read: the base must be the effective
+    # COMMITTED document (a pending claim raises; an aborted husk's
+    # never-visible files must not be carried forward).
+    parent, prev_doc = _writer_head(path)
     _commit_doc(path, parent + 1,
                 {"parent": parent,
                  "files": sorted(prev_doc.get("files", []) + new_files),
@@ -910,11 +942,16 @@ def restore_version(path: str, version: int) -> int:
     referenced, so the bad versions stay in history (auditable) but
     readers see the restored state.  Vacuum keeps restored files alive
     because the head references them."""
-    head = current_version(path)
+    head, _ = _writer_head(path)  # raises on in-flight transaction
     if version < 0 or version > head:
         raise ValueError(f"restore_version: no version {version} "
                          f"(head is {head})")
     doc = _read_manifest(path, version)
+    if _txn_state(doc) != "committed":
+        raise ValueError(
+            f"restore_version: version {version} belongs to an "
+            "uncommitted or aborted transaction — its files were never "
+            "visible and must not be resurrected")
     _commit_doc(path, head + 1,
                 {"parent": head, "files": doc["files"],
                  "stats": doc.get("stats", {}),
@@ -982,10 +1019,12 @@ def compact_where(spark: SparkSession, path: str, col: str, lo, hi,
     The touch test is the same conservative superset rule as
     read_table_pruned (files without stats for ``col`` are rewritten).
     Returns (new_version, n_rewritten, n_carried)."""
-    v = committed_version(path)
-    if v < 0:
+    # _writer_head: commit into the slot after the RAW head (an aborted
+    # husk occupying committed+1 would otherwise collide forever) from
+    # the effective committed document; pending claims raise.
+    slot, doc = _writer_head(path)
+    if not doc:
         raise FileNotFoundError(f"no committed snapshot at {path}")
-    doc = _read_manifest(path, v)
     clo = _canon_stat(lo, widen=-1)
     chi = _canon_stat(hi, widen=+1)
     touched, carried = [], []
@@ -997,7 +1036,7 @@ def compact_where(spark: SparkSession, path: str, col: str, lo, hi,
                    and (s[1] < clo or s[0] > chi))
         (carried if outside else touched).append(fp)
     if not touched:
-        return v, 0, len(carried)
+        return doc["version"], 0, len(carried)
     df = spark.read.parquet(*touched)
     if doc.get("dv"):
         # Materialize the touched files' deletion vectors in the
@@ -1017,10 +1056,10 @@ def compact_where(spark: SparkSession, path: str, col: str, lo, hi,
              for fp in carried}
     stats.update(new_stats)
     stats = {k: v2 for k, v2 in stats.items() if v2}
-    _commit_doc(path, v + 1,
-                {"parent": v, "files": sorted(carried + new_files),
+    _commit_doc(path, slot + 1,
+                {"parent": slot, "files": sorted(carried + new_files),
                  "stats": stats, **_carry_dv(doc, carried)})
-    return v + 1, len(new_files), len(carried)
+    return slot + 1, len(new_files), len(carried)
 
 
 # ---------------------------------------------------------------------------
@@ -1048,9 +1087,15 @@ def shallow_clone(src_path: str, dst_path: str) -> int:
     if committed_version(dst_path) >= 0 or current_version(dst_path) >= 0:
         raise FileExistsError(f"clone target {dst_path} already exists")
     _table_dirs(dst_path)
+    # Index metadata travels with the files it describes: a clone that
+    # dropped stats/blooms/pvals would silently lose pruning until the
+    # next stats-collecting write.
+    carried = {k: src_doc[k]
+               for k in ("stats", "blooms", "pvals", "ptransform")
+               if k in src_doc}
     _commit_doc(dst_path, 0,
                 {"parent": -1, "files": sorted(files),
-                 **_carry_dv(src_doc),
+                 **_carry_dv(src_doc), **carried,
                  "cloned_from": {"path": os.path.abspath(src_path),
                                  "version": v}})
     return 0
@@ -1078,9 +1123,16 @@ def wap_stage(df: DataFrame, path: str, branch: str,
                  if f.endswith(".parquet")]
     base, head = _writer_head(path)
     prev = head.get("files", []) if mode == "append" else []
+    # Per-file index metadata rides with the carried base files (the
+    # staged new files simply have no entries — conservatively read);
+    # dropping it here would publish a snapshot without its zone maps.
+    carried = ({k: head[k] for k in ("stats", "blooms", "pvals",
+                                     "ptransform") if k in head}
+               if mode == "append" else {})
     doc = {"branch": branch, "base_version": base,
            "files": sorted(prev + new_files),
            "new_files": sorted(new_files),
+           **carried,
            **(_carry_dv(head) if mode == "append" else {})}
     tmp = os.path.join(meta, f".branch-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
@@ -1127,6 +1179,9 @@ def wap_publish(path: str, branch: str) -> int:
     v = doc["base_version"] + 1
     _commit_doc(path, v, {"parent": doc["base_version"],
                           "files": doc["files"],
+                          **{k: doc[k] for k in ("stats", "blooms",
+                                                 "pvals", "ptransform")
+                             if k in doc},
                           **_carry_dv(doc),
                           "published_branch": branch})
     os.remove(bpath)
@@ -1360,10 +1415,12 @@ def delete_where_mor(spark: SparkSession, path: str,
     Returns (new_version, n_deleted) — or (current, 0) when nothing
     matched (no empty commit)."""
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    v = committed_version(path)
-    if v < 0:
+    # _writer_head: claim the slot after the RAW head (an aborted husk
+    # at committed+1 would otherwise collide forever); the file list is
+    # the effective committed document's; pending claims raise.
+    slot, doc = _writer_head(path)
+    if not doc:
         raise FileNotFoundError(f"no committed snapshot at {path}")
-    doc = _read_manifest(path, v)
     df = spark.read.parquet(*doc["files"])
     old_dv = doc.get("dv", {})
     if old_dv:
@@ -1374,17 +1431,17 @@ def delete_where_mor(spark: SparkSession, path: str,
                     F.col("_metadata.row_index").alias("i"))
             .collect())
     if not hits:
-        return v, 0
+        return doc["version"], 0
     merged: dict = {f: set(idxs) for f, idxs in old_dv.items()}
     for r in hits:
         merged.setdefault(r["f"], set()).add(int(r["i"]))
     dv_doc = {f: sorted(s) for f, s in sorted(merged.items())}
-    extra = {"parent": v, "files": doc["files"], "dv": dv_doc}
+    extra = {"parent": slot, "files": doc["files"], "dv": dv_doc}
     for carry in ("stats", "pvals", "ptransform"):
         if carry in doc:
             extra[carry] = doc[carry]
-    _commit_doc(path, v + 1, extra)
-    return v + 1, len(hits)
+    _commit_doc(path, slot + 1, extra)
+    return slot + 1, len(hits)
 
 
 def stream_upsert_to_table(stream_df: DataFrame, path: str,

@@ -86,11 +86,14 @@ def maintain_aggregate(spark: SparkSession, source_path: str,
         if fn not in _FIRST:
             raise ValueError(f"unsupported aggregate {fn!r}; "
                              f"algebraic only: {sorted(_FIRST)}")
-    src_v = M.current_version(source_path)
+    # committed_version, not current_version: a pending/aborted
+    # multi-table claim at the source head is not visible data — folding
+    # its files into the state would corrupt the aggregate.
+    src_v = M.committed_version(source_path)
     if src_v < 0:
         raise FileNotFoundError(f"no committed snapshot at {source_path}")
 
-    state_v = M.current_version(state_path)
+    state_v = M.committed_version(state_path)
     if state_v >= 0:
         doc = M._read_manifest(state_path, state_v)
         last_v = int(doc.get("source_version", -1))
@@ -150,7 +153,7 @@ def maintain_join(spark: SparkSession, left_path: str, right_path: str,
     if lv < 0 or rv < 0:
         raise FileNotFoundError("maintain_join: both sources must have "
                                 "a committed snapshot")
-    state_v = M.current_version(state_path)
+    state_v = M.committed_version(state_path)
     if state_v >= 0:
         doc = M._read_manifest(state_path, state_v)
         last_lv = int(doc.get("left_version", -1))

@@ -49,7 +49,11 @@ def _arrow_schema(path: str, version: int | None):
     v = M.committed_version(path) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot at {path}")
-    files = M._read_manifest(path, v)["files"]
+    doc = M._read_manifest(path, v)
+    # This source hands Spark the raw parquet files; a deletion-vector
+    # snapshot read that way would resurrect MOR-deleted rows.
+    M._dv_guard(doc, "manifest_table datasource")
+    files = doc["files"]
     if not files:
         raise ValueError(f"empty snapshot v{v} at {path}")
     return pq.read_schema(files[0]), v, files
@@ -195,7 +199,11 @@ class ManifestStreamReader(DataSourceStreamReader):
     def _files_between(self, start_v: int, end_v: int) -> list[str]:
         if end_v < 0 or end_v <= start_v:
             return []
-        new = set(M._read_manifest(self.path, end_v)["files"])
+        end_doc = M._read_manifest(self.path, end_v)
+        # added-files batches scan raw parquet; a DV landing in the
+        # range would silently resurrect its deleted rows downstream
+        M._dv_guard(end_doc, "manifest_table stream")
+        new = set(end_doc["files"])
         old = (set(M._read_manifest(self.path, start_v)["files"])
                if start_v >= 0 else set())
         return sorted(new - old)

@@ -132,3 +132,20 @@ def test_pushdown_zone_map_skipping(registered, tmp_path):
     none = (spark.read.format("manifest_table").option("path", path)
             .load().where(F.col("id") > 1000))
     assert none.count() == 0
+
+
+def test_dv_table_refuses_raw_datasource_read(registered, tmp_path):
+    # the datasource hands Spark raw parquet files; a deletion-vector
+    # snapshot must fail fast instead of resurrecting deleted rows
+    spark = registered
+    path = str(tmp_path / "t")
+    M.append(_df(spark, 0, 5, "a"), path)
+    M.delete_where_mor(spark, path, "id = 2")
+    with pytest.raises(Exception, match="deletion vectors"):
+        (spark.read.format("manifest_table")
+         .option("path", path).load().collect())
+    # compact materializes the DV away; the datasource works again
+    M.compact(spark, path, target_files=1)
+    out = (spark.read.format("manifest_table")
+           .option("path", path).load())
+    assert sorted(r.id for r in out.collect()) == [0, 1, 3, 4]

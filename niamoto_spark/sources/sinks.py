@@ -20,9 +20,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _side(path: str, suffix: str) -> str:
+    """Sibling working dir for the staging swap, DOT-prefixed so Spark's
+    file listing never scans it: Spark hides '_'-prefixed names only
+    when they contain no '=', so a per-bucket side dir like
+    ``_bucket=3.__backup__`` would be read as LIVE partition data by any
+    concurrent or post-crash reader of the parent table — doubling that
+    bucket's rows.  A leading dot is hidden unconditionally."""
+    p = path.rstrip("/")
+    d, b = os.path.split(p)
+    return os.path.join(d, f".{b}{suffix}")
+
+
 def overwrite_table(df: DataFrame, path: str) -> None:
-    staging = path.rstrip("/") + ".__staging__"
-    backup = path.rstrip("/") + ".__backup__"
+    staging = _side(path, ".__staging__")
+    backup = _side(path, ".__backup__")
     # crash recovery BEFORE touching anything:
     # - path missing + backup present = we died mid-swap and backup holds
     #   the only committed copy -> restore it (never delete it)
@@ -57,7 +69,7 @@ def write_partitioned_table(df: DataFrame, path: str, key: str,
     upserts rewrite only touched partitions (reference transformer.py
     flushes row-level ON CONFLICT; the Spark-at-scale equivalent is
     partition-scoped rewrite, or Delta MERGE when available)."""
-    staging = path.rstrip("/") + ".__staging__"
+    staging = _side(path, ".__staging__")
     if os.path.exists(staging):
         shutil.rmtree(staging)
     df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(key).cast("string")),

@@ -107,8 +107,33 @@ def test_overwrite_table_atomic(tmp_path, spark):
     assert spark.read.parquet(p).count() == 5
     overwrite_table(spark.range(3), p)
     assert spark.read.parquet(p).count() == 3
-    assert not os.path.exists(p + ".__staging__")
-    assert not os.path.exists(p + ".__backup__")
+    from niamoto_spark.sources.sinks import _side
+    assert not os.path.exists(_side(p, ".__staging__"))
+    assert not os.path.exists(_side(p, ".__backup__"))
+
+
+def test_partitioned_upsert_side_dirs_invisible(tmp_path, spark):
+    """A crashed bucket swap's leftover side dir must be HIDDEN from
+    readers: Spark waives the '_'-prefix hidden rule for names with '='
+    (partition dirs), so the old `_bucket=N.__backup__` naming was
+    scanned as live partition data, doubling the bucket's rows."""
+    import shutil
+
+    from niamoto_spark.sources.sinks import (_side,
+                                             read_partitioned_table,
+                                             write_partitioned_table)
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                               "id int, v string")
+    write_partitioned_table(df, p, "id", num_buckets=4)
+    assert read_partitioned_table(spark, p).count() == 20
+    # simulate a crash that left a backup copy of one bucket behind
+    buckets = [d for d in os.listdir(p) if d.startswith("_bucket=")]
+    sub = os.path.join(p, buckets[0])
+    shutil.copytree(sub, _side(sub, ".__backup__"))
+    shutil.copytree(sub, _side(sub, ".__staging__"))
+    assert read_partitioned_table(spark, p).count() == 20
 
 
 def test_upsert_table_key_semantics(tmp_path, spark):

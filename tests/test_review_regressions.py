@@ -105,16 +105,16 @@ def test_overwrite_restores_backup_when_path_missing(tmp_path, spark):
     import os
     import shutil
 
-    from niamoto_spark.sources.sinks import overwrite_table
+    from niamoto_spark.sources.sinks import _side, overwrite_table
 
     p = str(tmp_path / "tbl")
     overwrite_table(spark.range(3), p)
     # simulate death between rename(path, backup) and rename(staging, path)
-    os.rename(p, p + ".__backup__")
+    os.rename(p, _side(p, ".__backup__"))
     assert not os.path.exists(p)
     overwrite_table(spark.range(7), p)       # recovery + fresh write
     assert spark.read.parquet(p).count() == 7
-    assert not os.path.exists(p + ".__backup__")
+    assert not os.path.exists(_side(p, ".__backup__"))
 
 
 def test_stats_loader_gid_named_match_field(spark):

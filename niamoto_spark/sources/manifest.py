@@ -529,6 +529,24 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     return _scan_with_dv(spark.read, added, dv)
 
 
+def _last_batch_id(path: str):
+    """The most recent streaming batch id recorded in the COMMITTED
+    chain (None if no stream batch ever committed).  Checking only the
+    raw head is not enough: a foreign writer (maintenance compact, a
+    manual append) landing between a batch's commit and the stream
+    checkpoint write pushes the batch's record off the head, and a
+    crash-replay of that batch would then double-append it.  The walk
+    stops at the first batch_id-carrying committed doc, so its cost is
+    bounded by the interleaved foreign commits (usually zero)."""
+    v = committed_version(path)
+    while v >= 0:
+        doc = _read_manifest(path, v)
+        if _txn_state(doc) == "committed" and "batch_id" in doc:
+            return doc["batch_id"]
+        v = doc.get("parent", v - 1)
+    return None
+
+
 def stream_to_table(stream_df: DataFrame, path: str,
                     checkpoint_dir: str, stats_cols: list[str] | None = None,
                     trigger_available_now: bool = True):
@@ -541,8 +559,7 @@ def stream_to_table(stream_df: DataFrame, path: str,
     standard exactly-once recipe).
     """
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        v = current_version(path)
-        if v >= 0 and _read_manifest(path, v).get("batch_id") == batch_id:
+        if _last_batch_id(path) == batch_id:
             return  # crash-replayed batch: already committed
         # batch_id rides inside the commit document itself, so the data
         # commit and the idempotence record are ONE atomic link — a
@@ -1461,14 +1478,13 @@ def stream_upsert_to_table(stream_df: DataFrame, path: str,
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        v = current_version(path)
-        if v >= 0 and _read_manifest(path, v).get("batch_id") == batch_id:
+        if _last_batch_id(path) == batch_id:
             return
         w = Window.partitionBy(key_col).orderBy(
             F.monotonically_increasing_id().desc())
         latest = (batch_df.withColumn("__rn", F.row_number().over(w))
                   .where(F.col("__rn") == 1).drop("__rn"))
-        if current_version(path) < 0:
+        if committed_version(path) < 0:
             append(latest, path, extra_meta={"batch_id": batch_id})
         else:
             merge_upsert(batch_df.sparkSession, latest, path, key_col,

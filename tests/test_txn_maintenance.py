@@ -175,3 +175,17 @@ def test_wap_publish_preserves_zone_maps(spark, tmp_path):
     assert df.count() == 5
     _, kept2, skipped2 = M.read_table_pruned(spark, path, "id", 100, 110)
     assert skipped2 == 1  # base file skipped via its carried zone map
+
+
+def test_stream_batch_idempotence_survives_foreign_commits(spark, tmp_path):
+    """A foreign writer landing after a stream batch's commit pushes the
+    batch_id record off the head; a crash-replay of that batch must
+    still be recognized as committed (head-only checking double-appended
+    it)."""
+    path = str(tmp_path / "t")
+    M.append(_df(spark, 0, 3, "b7"), path, extra_meta={"batch_id": 7})
+    M.append(_df(spark, 10, 2, "foreign"), path)       # no batch_id
+    M.compact(spark, path, target_files=1)              # also no batch_id
+    assert M._last_batch_id(path) == 7
+    # an older/newer batch id is NOT the last one -> would commit
+    assert M._last_batch_id(path) != 8

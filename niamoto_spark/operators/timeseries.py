@@ -426,7 +426,13 @@ def cohort_ltv(orders: DataFrame, customer_col: str, month_expr,
     firsts = base.groupBy("cust").agg(F.min("__m").alias("cohort"))
     sizes = firsts.groupBy("cohort").agg(
         F.countDistinct("cust").alias("cohort_size"))
-    j = base.join(F.broadcast(firsts), "cust")
+    # no broadcast hint on firsts: it is CUSTOMER-cardinality (scales
+    # with the data, OOMs a 100 TB broadcast); the join keys on cust —
+    # the same partitioning the groupBy produced — so AQE plans it
+    # without an extra wide shuffle and still broadcasts when the
+    # cohort table is actually small.  sizes (cohort-month cardinality)
+    # stays an explicit broadcast below.
+    j = base.join(firsts, "cust")
     per_age = (j.withColumn("age", (F.col("__m") - F.col("cohort"))
                             .cast("int"))
                .where(F.col("age") <= max_age)

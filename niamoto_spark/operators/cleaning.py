@@ -151,36 +151,47 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str,
 @register("quantile_normalize", PluginType.TRANSFORMER)
 def quantile_normalize(df: DataFrame, value_col: str,
                        ref: DataFrame, ref_col: str,
-                       out_col: str = "qnorm") -> DataFrame:
+                       out_col: str = "qnorm",
+                       id_cols: "list[str] | None" = None) -> DataFrame:
     """Quantile normalization: map each value onto the REFERENCE
     distribution by rank — row at quantile q of ``df`` takes the value
     at quantile q of ``ref`` (the batch-effect / domain-shift
     correction from genomics, equally useful for aligning scores from
     two models or two time periods).
 
-    Deterministic recipe: pct = (rank - 0.5)/n over (value, stable
-    order) in the source; target index = ceil(pct · n_ref) into the
-    reference order statistics.  BOTH ranks come from the shared
-    two-phase distributed prefix sum (operators/ranks.py) — no
-    single-partition window on either side; the mapping is then one
-    equi-join on the computed index.  No interpolation, engine-exact.
+    Deterministic recipe: pct = (rank - 0.5)/n over (value, then
+    ``id_cols`` — pass a unique key so TIED values map reproducibly;
+    without it, tied rows exchange their assigned reference values
+    run-to-run, though the assigned multiset is fixed) in the source;
+    target index = ceil(pct · n_ref) into the reference order
+    statistics.  BOTH ranks come from the shared two-phase distributed
+    prefix sum (operators/ranks.py) — no single-partition window on
+    either side; the mapping is then one equi-join on the computed
+    index.  No interpolation, engine-exact.  NULL source values stay
+    NULL (ranking them would map every null onto the reference
+    minimum); NULL reference values are ignored.
     Output: original columns + ``out_col``."""
     from niamoto_spark.operators.ranks import global_rank
 
-    n_ref = ref.where(F.col(ref_col).isNotNull()).count()
-    n_src = df.where(F.col(value_col).isNotNull()).count()
-    ranked = global_rank(df, [value_col], out_col="__rk")
+    ref_nn = (ref.select(F.col(ref_col).alias("__refv"))
+              .where(F.col("__refv").isNotNull()))
+    n_ref = ref_nn.count()
+    src_nn = df.where(F.col(value_col).isNotNull())
+    n_src = src_nn.count()
+    order = [value_col, *(id_cols or [])]
+    ranked = global_rank(src_nn, order, out_col="__rk")
     idx = F.greatest(
         F.lit(1),
         F.ceil((F.col("__rk") - 0.5) / F.lit(float(max(n_src, 1)))
                * F.lit(n_ref)).cast("long"))
-    ref_ranked = global_rank(
-        ref.select(F.col(ref_col).alias("__refv")),
-        ["__refv"], out_col="__ri")
-    return (ranked.withColumn("__ti", idx)
-            .join(ref_ranked, F.col("__ti") == F.col("__ri"), "left")
-            .withColumnRenamed("__refv", out_col)
-            .drop("__rk", "__ti", "__ri"))
+    ref_ranked = global_rank(ref_nn, ["__refv"], out_col="__ri")
+    mapped = (ranked.withColumn("__ti", idx)
+              .join(ref_ranked, F.col("__ti") == F.col("__ri"), "left")
+              .withColumnRenamed("__refv", out_col)
+              .drop("__rk", "__ti", "__ri"))
+    nulls = df.where(F.col(value_col).isNull()).withColumn(
+        out_col, F.lit(None).cast(ref.schema[ref_col].dataType))
+    return mapped.unionByName(nulls)
 
 
 @register("golden_record", PluginType.TRANSFORMER)

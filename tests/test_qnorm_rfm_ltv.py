@@ -122,3 +122,19 @@ class TestCohortLtv:
                 cohort_ltv(df, "cust", F.col("m"), "amt",
                            max_age=12).collect()}
         assert ages == {0}
+
+
+def test_qnorm_null_sources_stay_null(spark):
+    """NULL source values must not be ranked (they would all map onto
+    the reference minimum); NULL reference values are ignored."""
+    from niamoto_spark.operators.cleaning import quantile_normalize
+
+    src = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None)], "id int, v double")
+    ref = spark.createDataFrame(
+        [(100.0,), (None,), (300.0,)], "r double")
+    out = {r["id"]: r["qnorm"]
+           for r in quantile_normalize(src, "v", ref, "r",
+                                       id_cols=["id"]).collect()}
+    assert out[2] is None and out[4] is None
+    assert out[1] == 100.0 and out[3] == 300.0

@@ -13,12 +13,13 @@ document with one join, never leaving the JVM:
   ``ln((c(w1,w2)+k) / (c(w1)+k·V))`` — the per-doc mean log-probability;
   perplexity = exp(-mean).
 
-Both count tables are Zipf-small relative to the corpus (they grow with
-vocabulary, not tokens), so at 100 TB they broadcast — the scoring pass
-is two broadcast hash joins over the exploded bigram stream plus one
-re-aggregation keyed by doc id.  Everything is closed-form rational
-arithmetic, so the whole fit+score round-trips as a DuckDB SQL refit
-(q129's oracle replays fit AND score in SQL).
+Both count tables grow with vocabulary, not tokens — but on web corpora
+the bigram TYPE table is itself huge (KenLM models run to tens of GB),
+so the scoring joins carry NO broadcast hint: they key on (w1, w2) /
+(w1), the same partitioning the count aggregations produced, and AQE
+still broadcasts when a table is genuinely small.  Everything is
+closed-form rational arithmetic, so the whole fit+score round-trips as
+a DuckDB SQL refit (q129's oracle replays fit AND score in SQL).
 
 The reference has no LM scoring (closest is its quality heuristics,
 src/niamoto/core/plugins — covered by operators/text.py); this is an
@@ -77,16 +78,19 @@ def lm_perplexity_score(df: DataFrame, text_col: str, id_col: str,
     perplexity = more fluent under the corpus model; filter with e.g.
     ``result.where('perplexity < t')`` or an approx-quantile cut.
 
-    Scale shape: the count tables broadcast (vocabulary-sized), the
-    bigram stream never shuffles except for the final per-doc
-    re-aggregation, which re-uses the natural doc-id key."""
+    Scale shape: the count-table joins carry no broadcast hint — on a
+    web corpus the bigram-type table is NOT broadcastable (it grows
+    with vocabulary², KenLM-model sized); the joins key on the same
+    columns the count aggregations shuffled on, and AQE broadcasts
+    when a table is actually small.  The final per-doc re-aggregation
+    re-uses the natural doc-id key."""
     if bigram_counts is None or unigram_counts is None or vocab_size is None:
         bigram_counts, unigram_counts, vocab_size = fit_bigram_lm(
             df, text_col, id_col)
     bg = _bigrams(df, id_col, text_col)
     scored = (bg
-              .join(F.broadcast(bigram_counts), ["w1", "w2"], "left")
-              .join(F.broadcast(unigram_counts), ["w1"], "left")
+              .join(bigram_counts, ["w1", "w2"], "left")
+              .join(unigram_counts, ["w1"], "left")
               .select(
                   id_col,
                   F.log(
@@ -132,8 +136,11 @@ def kn_logprob_score(df: DataFrame, text_col: str, id_col: str,
 
     Everything is counting: the model is THREE aggregations over the
     bigram-type table (which is itself one aggregation over the bigram
-    stream), all broadcast-sized; scoring re-streams the corpus once.
-    An external SQL engine refits the identical model (the oracle does).
+    stream); scoring re-streams the corpus once.  No broadcast hints —
+    the bigram-type table grows with vocabulary² (not broadcastable on
+    a web corpus); the joins are key-aligned with the aggregations and
+    AQE broadcasts the genuinely small ones.  An external SQL engine
+    refits the identical model (the oracle does).
 
     Returns (id_col, n_bigrams, avg_logprob).
     """
@@ -149,9 +156,9 @@ def kn_logprob_score(df: DataFrame, text_col: str, id_col: str,
     p = (F.greatest(F.col("c12") - F.lit(d), F.lit(0.0)) / F.col("c1") +
          (F.lit(d) * F.col("n1p_fw") / F.col("c1")) *
          (F.col("n1p_bw") / F.lit(float(n_types))))
-    scored = (bg.join(F.broadcast(bgc), ["w1", "w2"])
-                .join(F.broadcast(c1), "w1")
-                .join(F.broadcast(cont), "w2")
+    scored = (bg.join(bgc, ["w1", "w2"])
+                .join(c1, "w1")
+                .join(cont, "w2")
                 .select(id_col, F.log(p).alias("lp")))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),

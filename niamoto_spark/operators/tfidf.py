@@ -39,9 +39,12 @@ def tfidf_postings(df: DataFrame, id_col: str, text_col: str,
                    max_df_frac: float | None = None) -> DataFrame:
     """L2-normalized TF-IDF postings: (doc_id, token, weight).
 
-    One explode + two hash aggregates + one broadcast join (per-token df
-    is |vocab|-sized — broadcastable at any corpus scale since vocab
-    grows sub-linearly)."""
+    One explode + two hash aggregates + one token-keyed join.  The IDF
+    table is |vocab|-sized, and on adversarial web corpora (hashes,
+    UUIDs, base64) vocabulary grows with the corpus, not Heaps-law —
+    the same reason bpe_train caps its collect — so the join carries NO
+    broadcast hint; AQE broadcasts it when the vocabulary is genuinely
+    small."""
     toks = df.select(F.col(id_col).alias("doc_id"),
                      F.explode(token_array(F.lower(F.col(text_col))))
                       .alias("token"))
@@ -56,7 +59,7 @@ def tfidf_postings(df: DataFrame, id_col: str, text_col: str,
         docfreq = docfreq.where(F.col("df") >= min_df)
     idf = docfreq.withColumn(
         "idf", F.log((F.lit(1.0 + n_docs)) / (F.col("df") + 1)) + 1)
-    w = (tf.join(F.broadcast(idf.select("token", "idf")), "token")
+    w = (tf.join(idf.select("token", "idf"), "token")
            .withColumn("w_raw", F.col("tf") * F.col("idf")))
     norm = Window.partitionBy("doc_id")
     return (w.withColumn("__l2", F.sqrt(F.sum(F.col("w_raw") ** 2)

@@ -272,3 +272,26 @@ def test_md5_oracle_lanes_no_cartesian(spark):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, f"{q} went cartesian"
         assert "BroadcastNestedLoopJoin" not in plan, f"{q} nested-loop"
+
+
+def test_dehinted_vocab_joins_still_broadcast_via_aqe(spark):
+    """lm/tfidf count-table joins carry no broadcast hint (the tables
+    are vocabulary-scale on web corpora), but at small scale AQE must
+    still pick a broadcast join at RUNTIME — the hint removal is a
+    scale-safety fix, not a deoptimization.  Static plans show
+    SortMergeJoin pre-execution; the ADAPTIVE final plan is what
+    counts, so execute then inspect."""
+    import contextlib
+    import io
+
+    from niamoto_spark.queries import build_queries
+
+    for name in ("q129_bigram_lm", "q162_kn_bigram_lm"):
+        df = build_queries()[name](spark, SF)
+        df.collect()  # AQE finalizes join strategies during execution
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan, \
+            f"{name}: AQE did not broadcast the small count tables"

@@ -10,13 +10,19 @@ processes real corpora contain:
 - progressive (SOF2, VERDICT r6 #6): spectral selection AND successive
   approximation — DC first/refine, AC first with EOB-run coding, AC
   refinement with correction bits, non-interleaved single-component
-  scans, per-scan restart intervals.
+  scans, per-scan restart intervals;
+- lossless (SOF3, T.81 Annex H): Huffman-coded predictive coding,
+  predictors 1-7, 2-16-bit precision, point transform, restart
+  intervals — decode(encode(x)) is bit-exact (no color transform, no
+  quantization), the property the round-trip tests pin.
 
-Both decode through one path: every scan accumulates quantized
-coefficients into per-component arrays; dequantization and the IDCT run
-ONCE at the end as a single batched numpy tensor product over all
-blocks (baseline is simply the one-scan case with Ss=0..63, Ah=Al=0).
-Arithmetic-coded and hierarchical processes still raise ValueError.
+The DCT processes decode through one path: every scan accumulates
+quantized coefficients into per-component arrays; dequantization and
+the IDCT run ONCE at the end as a single batched numpy tensor product
+over all blocks (baseline is simply the one-scan case with Ss=0..63,
+Ah=Al=0).  Lossless scans reconstruct samples directly (mod-65536
+difference coding).  Arithmetic-coded and hierarchical processes still
+raise ValueError.
 
 Like the PNG codec this runs inside mapInPandas batches: one worker
 decodes a whole Arrow batch of payloads; pixels never leave the batch.
@@ -162,14 +168,28 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline or progressive JPEG -> HxWx3 uint8 RGB.  Raises
-    ValueError for unsupported processes (arithmetic, lossless,
+    """Baseline, progressive, or lossless (SOF3) JPEG -> HxWx3 uint8
+    RGB (lossless samples above 8-bit precision are right-shifted into
+    the 8-bit contract; use ``decode_jpeg_lossless`` for exact
+    samples).  Raises ValueError for unsupported processes (arithmetic,
     hierarchical), truncated streams, and corrupt entropy data — the
     documented contract for malformed input."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as e:
         # out-of-range reads = stream ended mid-marker / mid-segment
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def decode_jpeg_lossless(data: bytes) -> np.ndarray:
+    """Lossless (SOF3) JPEG -> EXACT sample array: (H, W) for one
+    component, (H, W, C) otherwise; dtype uint8 for precision <= 8,
+    uint16 above.  Point-transformed streams return the reconstructed
+    ``sample << Pt`` values per T.81 H.1/H.2 (the encoder's
+    ``arr >> Pt << Pt``)."""
+    try:
+        return _decode_jpeg(data, raw_lossless=True)
+    except (IndexError, struct.error) as e:
         raise ValueError(f"truncated or corrupt JPEG: {e}") from e
 
 
@@ -198,7 +218,7 @@ def _collect_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, pos
 
 
-def _decode_jpeg(data: bytes) -> np.ndarray:
+def _decode_jpeg(data: bytes, raw_lossless: bool = False) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -206,7 +226,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff = {}                            # (class, id) -> decode table
     comps = None                         # [(cid, h, v, tq)]
     width = height = None
+    precision = 8
     progressive = False
+    lossless = False
     dri = 0
     scans = []   # (scan_comps, Ss, Se, Ah, Al, huff snapshot, dri, segments)
     while pos < len(data):
@@ -247,18 +269,21 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + n])
                 huff[(tc, th)] = _build_codes(bits, values)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2, SOF3
             progressive = marker == 0xC2
-            _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            lossless = marker == 0xC3
+            precision, height, width, nc = \
+                struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0x{marker:02X}); "
-                "baseline sequential and progressive DCT are implemented")
+                "baseline sequential, progressive DCT, and lossless "
+                "(SOF3) are implemented")
         elif marker == 0xDD:             # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:             # SOS
@@ -274,6 +299,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                           dict(huff), dri, segments))
     if comps is None or not scans:
         raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    if lossless:
+        planes, pt = _decode_lossless_scans(comps, width, height,
+                                            precision, scans)
+        return _assemble_lossless(planes, precision, pt, raw_lossless)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -443,6 +473,203 @@ def _decode_scan(reader, scan_comps, ss, se, ah, al, huff, dri, comps,
                     eob_state[0] = 0
                 unit += 1
                 do_block(coefs[ci][by, bx], tdc, tac, ci)
+
+
+# --- lossless process (SOF3, T.81 Annex H) --------------------------------
+
+#: Predictor formulas, T.81 table H.1 (a = left, b = above, c = above-left).
+#: Shifts are arithmetic (Python's >> on ints floors), matching the C
+#: implementations; encoder and decoder share these lambdas so the
+#: round-trip is exact by construction.
+_LL_PREDICT = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+#: Fixed DC-style Huffman table covering difference categories 0..16
+#: (Annex K's DC tables stop at 11, too small for 16-bit samples).
+#: Canonical codes; the last 16-bit code is 0xBFFF, not all-ones.
+_LL_HUFF = ([0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2],
+            list(range(17)))
+
+
+def _decode_lossless_scans(comps, width, height, precision, scans):
+    """Entropy-decode every lossless scan into per-component sample
+    planes (mod-65536 arithmetic per H.1.2.2).  Only 1x1 sampling is
+    supported — the layout every single-frame lossless JPEG in the
+    wild uses; subsampled lossless raises."""
+    if any(h != 1 or v != 1 for _, h, v, _ in comps):
+        raise ValueError(
+            "lossless JPEG: only 1x1 component sampling is supported")
+    planes = [np.zeros((height, width), dtype=np.int64) for _ in comps]
+    pt_out = 0
+    for scan_comps, predictor, _se, _ah, pt, sc_huff, sc_dri, segs in scans:
+        if predictor not in _LL_PREDICT:
+            raise ValueError(
+                f"lossless JPEG: invalid predictor {predictor}")
+        pt_out = pt
+        predict = _LL_PREDICT[predictor]
+        reader = _BitReader(segs)
+        p0 = 1 << (precision - pt - 1)
+        tables = [sc_huff[(0, tdc)] for _, tdc, _ in scan_comps]
+        idxs = [ci for ci, _, _ in scan_comps]
+        mcus = 0
+        default_next = True     # scan start / after RST: predict 2^(P-Pt-1)
+        for yy in range(height):
+            for xx in range(width):
+                if sc_dri and mcus == sc_dri:
+                    reader.next_segment()
+                    default_next = True
+                    mcus = 0
+                for k, ci in enumerate(idxs):
+                    s = reader.symbol(tables[k])
+                    if s == 16:          # H.1.2.2: SSSS 16, no extra bits
+                        diff = 32768
+                    elif s:
+                        diff = _extend(reader.bits(s), s)
+                    else:
+                        diff = 0
+                    pl = planes[ci]
+                    if default_next:
+                        px = p0
+                    elif yy == 0:
+                        px = int(pl[0, xx - 1])
+                    elif xx == 0:
+                        px = int(pl[yy - 1, 0])
+                    else:
+                        px = predict(int(pl[yy, xx - 1]),
+                                     int(pl[yy - 1, xx]),
+                                     int(pl[yy - 1, xx - 1]))
+                    pl[yy, xx] = (px + diff) & 0xFFFF
+                default_next = False
+                mcus += 1
+    return planes, pt_out
+
+
+def _assemble_lossless(planes, precision, pt, raw: bool):
+    samples = np.stack(planes, axis=2) << pt
+    if raw:
+        dtype = np.uint8 if precision <= 8 else np.uint16
+        out = samples.astype(dtype)
+        return out[:, :, 0] if out.shape[2] == 1 else out
+    if precision > 8:                     # fold into the 8-bit contract
+        samples = samples >> (precision - 8)
+    arr = np.clip(samples, 0, 255).astype(np.uint8)
+    if arr.shape[2] == 1:
+        return np.repeat(arr, 3, axis=2)
+    if arr.shape[2] == 3:                 # components ARE RGB (no YCbCr
+        return arr                        # transform in lossless JPEG)
+    raise ValueError(
+        f"lossless JPEG with {arr.shape[2]} components has no RGB "
+        "mapping; use decode_jpeg_lossless for the raw samples")
+
+
+def encode_jpeg_lossless(arr: np.ndarray, predictor: int = 1,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """(H, W) or (H, W, C<=4) uint8/uint16 samples -> lossless JPEG
+    (SOF3) bytes.  decode_jpeg_lossless(encode_jpeg_lossless(x)) == x
+    BIT-FOR-BIT when ``point_transform`` is 0 (otherwise it equals
+    ``x >> Pt << Pt``) — lossless JPEG stores components directly, no
+    color transform, no quantization.
+
+    Predictions vectorize (the encoder predicts from the ORIGINAL
+    samples — reconstruction equals input by definition); only the
+    Huffman bit-writing walks samples in the decoder's interleaved
+    order."""
+    if predictor not in _LL_PREDICT:
+        raise ValueError(f"invalid predictor {predictor} (1-7)")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc > 4:
+        raise ValueError("lossless JPEG supports at most 4 components")
+    if arr.dtype == np.uint8:
+        precision = 8
+    elif arr.dtype == np.uint16:
+        precision = 16
+    else:
+        raise ValueError(f"samples must be uint8/uint16, got {arr.dtype}")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError(f"point_transform must be in [0, {precision})")
+    x = (arr.astype(np.int64) >> pt)
+    p0 = 1 << (precision - pt - 1)
+    predict = _LL_PREDICT[predictor]
+
+    diffs = np.empty_like(x)
+    for ci in range(nc):
+        pl = x[:, :, ci]
+        px = np.empty_like(pl)
+        px[0, 0] = p0
+        px[0, 1:] = pl[0, :-1]            # first line: predictor 'a'
+        if h > 1:
+            px[1:, 0] = pl[:-1, 0]        # first column: predictor 'b'
+            px[1:, 1:] = predict(pl[1:, :-1], pl[:-1, 1:], pl[:-1, :-1])
+        if restart_interval:
+            # the first MCU of each restart interval predicts the
+            # default, mirroring the decoder's post-RST reset (H.1.1)
+            flat = np.arange(h * w).reshape(h, w)
+            px[flat % restart_interval == 0] = p0
+        # mod-65536 difference as a signed 16-bit value; -32768 encodes
+        # as category 16 with no additional bits (H.1.2.2)
+        diffs[:, :, ci] = ((pl - px + 32768) & 0xFFFF) - 32768
+
+    out = bytearray(b"\xFF\xD8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    bits, values = _LL_HUFF
+    seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(values))
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    seg(0xC3, sof)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])      # Ss=predictor, Se=0, Ah<<4|Al
+    seg(0xDA, sos)
+
+    table = _encode_codes(*_LL_HUFF)
+    writer = _BitWriter()
+    rst = 0
+    mcu = 0
+    for yy in range(h):
+        for xx in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                out.extend(writer.out)
+                out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                writer = _BitWriter()
+            mcu += 1
+            for ci in range(nc):
+                d = int(diffs[yy, xx, ci])
+                if d == -32768:
+                    code, ln = table[16]
+                    writer.write(code, ln)
+                    continue
+                s = abs(d).bit_length()
+                code, ln = table[s]
+                writer.write(code, ln)
+                if s:
+                    extra = d if d >= 0 else d + (1 << s) - 1
+                    writer.write(extra, s)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xFF\xD9")
+    return bytes(out)
 
 
 class _BitWriter:

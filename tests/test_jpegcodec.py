@@ -89,16 +89,21 @@ def test_decode_image_dispatches_jpeg():
 
 
 def test_unsupported_process_markers_rejected():
-    """Arithmetic / lossless / hierarchical SOFs still raise; SOF2
-    (progressive) is now a supported process."""
+    """Arithmetic / hierarchical SOFs still raise; SOF2 (progressive)
+    and SOF3 (lossless) are now supported processes."""
     img = _gradient(8, 8)
     data = bytearray(jc.encode_jpeg(img))
     i = data.find(b"\xFF\xC0")
-    for sof in (0xC3, 0xC9, 0xCB):
+    for sof in (0xC9, 0xCB):
         bad = bytearray(data)
         bad[i + 1] = sof
         with pytest.raises(ValueError, match="unsupported JPEG process"):
             jc.decode_jpeg(bytes(bad))
+    # a DCT stream mislabeled SOF3 is invalid-lossless, not mis-decoded
+    bad = bytearray(data)
+    bad[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
+        jc.decode_jpeg(bytes(bad))
 
 
 @pytest.mark.parametrize("subsample", ["444", "420"])
@@ -175,3 +180,73 @@ def test_quality_out_of_range_rejected():
     for q in (0, -1, 101):
         with pytest.raises(ValueError, match="quality"):
             jc.encode_jpeg(img, quality=q)
+
+
+# --- lossless process (SOF3, T.81 Annex H) ---------------------------------
+
+def test_lossless_roundtrip_exact_all_predictors():
+    """decode(encode(x)) == x BIT-FOR-BIT for every predictor — the
+    defining property of the lossless process (no color transform, no
+    quantization)."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for pred in range(1, 8):
+        data = jc.encode_jpeg_lossless(x, predictor=pred)
+        assert np.array_equal(jc.decode_jpeg_lossless(data), x)
+        # components are stored directly, so the RGB contract is exact
+        assert np.array_equal(jc.decode_jpeg(data), x)
+
+
+def test_lossless_grayscale_and_stream_shape():
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, size=(9, 5), dtype=np.uint8)
+    data = jc.encode_jpeg_lossless(g, predictor=4)
+    assert b"\xFF\xC3" in data and b"\xFF\xC0" not in data   # SOF3 only
+    assert b"\xFF\xDB" not in data                           # no DQT
+    assert np.array_equal(jc.decode_jpeg_lossless(data), g)
+    out = jc.decode_jpeg(data)
+    assert out.shape == (9, 5, 3)
+    assert np.array_equal(out[:, :, 0], g)
+
+
+def test_lossless_16bit_and_category16():
+    """16-bit samples exercise difference category 16 (diff = 32768,
+    no additional bits): an all-zero plane's first sample against the
+    default prediction 2^15 produces exactly that diff."""
+    rng = np.random.default_rng(9)
+    u = rng.integers(0, 65536, size=(7, 11), dtype=np.uint16)
+    data = jc.encode_jpeg_lossless(u, predictor=7)
+    got = jc.decode_jpeg_lossless(data)
+    assert got.dtype == np.uint16 and np.array_equal(got, u)
+    # 8-bit contract folds precision down
+    assert np.array_equal(jc.decode_jpeg(data)[:, :, 0],
+                          (u >> 8).astype(np.uint8))
+    z = np.zeros((3, 3), dtype=np.uint16)
+    assert np.array_equal(
+        jc.decode_jpeg_lossless(jc.encode_jpeg_lossless(z)), z)
+
+
+def test_lossless_point_transform():
+    rng = np.random.default_rng(10)
+    g = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    data = jc.encode_jpeg_lossless(g, predictor=1, point_transform=2)
+    assert np.array_equal(jc.decode_jpeg_lossless(data), (g >> 2) << 2)
+
+
+def test_lossless_restart_intervals():
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for dri in (1, 5, 7, 64):
+        data = jc.encode_jpeg_lossless(x, predictor=4,
+                                       restart_interval=dri)
+        assert np.array_equal(jc.decode_jpeg_lossless(data), x), dri
+    assert b"\xFF\xDD" in data
+
+
+def test_lossless_dispatches_through_image_lane():
+    from niamoto_spark.sources.imagecodec import decode_image
+
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    data = jc.encode_jpeg_lossless(x, predictor=4)
+    assert np.array_equal(decode_image(data), x)

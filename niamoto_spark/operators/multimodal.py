@@ -368,6 +368,42 @@ def video_frame_features(df: DataFrame, every_n: int = 1,
         extract, schema=VIDEO_FRAME_SCHEMA)
 
 
+@register("image_channel_stats", PluginType.TRANSFORMER)
+def image_channel_stats(df: DataFrame,
+                        use_fake_decoder: bool = False) -> DataFrame:
+    """Per-channel EXACT pixel statistics (count, integer sum, min,
+    max) from the decoded image — the brightness/exposure signal a
+    curation pipeline thresholds (all-black thumbnails, blown-out
+    scans), and, because the sums are exact integers, the statistic
+    that verifies a LOSSLESS decode path analytically (q354: formula
+    pixels -> SOF3 encode -> this decode -> sums an external engine
+    recomputes from the same formulas).
+
+    Same Arrow-batch shape as media_features: decode happens inside
+    mapInPandas, the binary never leaves the executor, output is
+    4 tiny longs per (image, channel)."""
+    decoder = _fake_decode if use_fake_decoder else decode_image
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = decoder(bytes(r["payload"]))
+                for ch in range(px.shape[2]):
+                    plane = px[:, :, ch].astype(np.int64)
+                    rows.append({"media_id": r["media_id"],
+                                 "channel": ch,
+                                 "n_px": int(plane.size),
+                                 "px_sum": int(plane.sum()),
+                                 "px_min": int(plane.min()),
+                                 "px_max": int(plane.max())})
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        stats, schema="media_id long, channel int, n_px long, "
+                      "px_sum long, px_min long, px_max long")
+
+
 @register("image_dhash", PluginType.TRANSFORMER)
 def image_dhash(df: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
     """64-bit perceptual difference hash (dHash) per image: decode ->

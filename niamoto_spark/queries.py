@@ -1926,6 +1926,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q351_curation_oracle_lane": q351_curation_oracle_lane,
         "q352_covariance_profile": q352_covariance_profile,
         "q353_tfidf_prefiltered_oracle": q353_tfidf_prefiltered_oracle,
+        "q354_media_lossless_jpeg": q354_media_lossless_jpeg,
     }
 
 
@@ -5810,6 +5811,7 @@ def build_oracles() -> dict[str, str]:
         "q351_curation_oracle_lane": O_Q351,
         "q352_covariance_profile": O_Q352,
         "q353_tfidf_prefiltered_oracle": O_Q353,
+        "q354_media_lossless_jpeg": O_Q354,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14805,4 +14807,63 @@ WITH d0 AS (
 )
 SELECT id_a, id_b, round(dot, 4) AS cosine
 FROM dots WHERE round(dot, 4) >= 0.3
+"""
+
+
+def _lossless_media_rows():
+    """Six SOF3 lossless JPEGs whose pixels come from integer formulas,
+    covering predictors 2-7 and restart intervals — decode is bit-exact,
+    so an external engine can recompute every pixel statistic from the
+    same formulas (no frozen constants, unlike q78's lossy dHashes)."""
+    import numpy as np
+
+    from niamoto_spark.sources.jpegcodec import encode_jpeg_lossless
+
+    rows = []
+    for i in range(1, 7):
+        y, x = np.mgrid[0:24, 0:32]
+        img = np.stack([(x * (23 + 11 * i)) % 256,
+                        (y * (31 + 7 * i) + x * 5 * i) % 256,
+                        ((x * x + y * (17 + i)) * 3) % 256],
+                       axis=2).astype(np.uint8)
+        rows.append((i, bytearray(encode_jpeg_lossless(
+            img, predictor=1 + (i % 7),
+            restart_interval=3 if i % 2 == 0 else 0))))
+    return rows
+
+
+def q354_media_lossless_jpeg(spark, sf_dir):
+    """Lossless-JPEG (SOF3) decode verified ANALYTICALLY end to end:
+    formula pixels -> pure-python SOF3 encode (predictors 2-7, restart
+    intervals) -> mapInPandas decode -> exact per-channel integer
+    sums/min/max, which the oracle recomputes from the SAME formulas in
+    SQL.  Any single bit error anywhere in the codec or the Arrow
+    plumbing breaks an exact integer sum."""
+    from niamoto_spark.operators.multimodal import image_channel_stats
+
+    df = spark.createDataFrame(_lossless_media_rows(),
+                               "media_id long, payload binary")
+    return image_channel_stats(df)
+
+
+O_Q354 = """
+WITH g AS (
+  SELECT i, x, y
+  FROM generate_series(1, 6) AS s(i),
+       generate_series(0, 31) AS xs(x),
+       generate_series(0, 23) AS ys(y)
+), px AS (
+  SELECT i AS media_id, 0 AS channel, (x * (23 + 11 * i)) % 256 AS v FROM g
+  UNION ALL
+  SELECT i, 1, (y * (31 + 7 * i) + x * 5 * i) % 256 FROM g
+  UNION ALL
+  SELECT i, 2, ((x * x + y * (17 + i)) * 3) % 256 FROM g
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(channel AS INTEGER) AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS BIGINT) AS px_min,
+       CAST(MAX(v) AS BIGINT) AS px_max
+FROM px GROUP BY media_id, channel
 """

@@ -20,6 +20,7 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
 
+from niamoto_spark.exporters.json_api import safe_filename
 from niamoto_spark.registry import PluginType, register
 
 _CSS = """body{font-family:system-ui,sans-serif;margin:0;color:#222}
@@ -46,7 +47,7 @@ _INDEX_BODY = """<h1>{{ group }}</h1>
 <table><thead><tr>{% for c in columns %}<th>{{ c }}</th>{% endfor %}</tr>
 </thead><tbody>
 {% for row in rows %}<tr>{% for c in columns %}<td>
-{%- if loop.first %}<a href="detail/{{ row[c] }}.html">{{ row[c] }}</a>
+{%- if loop.first %}<a href="detail/{{ row.__slug }}.html">{{ row[c] }}</a>
 {%- else %}{{ row[c] }}{% endif %}</td>{% endfor %}</tr>
 {% endfor %}</tbody></table>"""
 
@@ -191,7 +192,9 @@ def export_html_site(results: DataFrame, id_col: str, out_dir: str,
                                  body=body, lang=lang,
                                  site_name=esc_l(site_name),
                                  nav=nav_plain, root="../")
-            with open(os.path.join(detail_dir, f"{eid}.html"), "w") as f:
+            with open(os.path.join(
+                    detail_dir,
+                    f"{safe_filename(str(eid))}.html"), "w") as f:
                 f.write(html)
 
     # persist across the TWO actions (detail render + index collect) so
@@ -217,8 +220,12 @@ def export_html_site(results: DataFrame, id_col: str, out_dir: str,
     finally:
         results.unpersist()
 
-    esc_rows = [{c: esc(str(v)) if v is not None else ""
-                 for c, v in row.items()} for row in index_rows]
+    # __slug rides beside the escaped cells so the detail link
+    # targets the sanitized FILE name while displaying the raw id
+    esc_rows = [dict({c: esc(str(v)) if v is not None else ""
+                      for c, v in row.items()},
+                     __slug=safe_filename(str(row[idx_cols[0]])))
+                for row in index_rows]
     if index_template:
         body = env.from_string(index_template).render(
             group=group_name, ids=ids, rows=index_rows, columns=idx_cols)

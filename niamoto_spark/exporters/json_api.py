@@ -84,6 +84,24 @@ def _dump(path: str, data: Any, opts: JsonOptions) -> None:
             f.write(text)
 
 
+def safe_filename(value: Any) -> str:
+    """Filesystem-safe slug for a DATA-DERIVED id used as a file name:
+    path separators and shell-hostile characters become '_', and any
+    altered (or pure-dots) name gets a deterministic md5 suffix so
+    distinct ids can never collide after sanitization.  Data must not
+    choose where the exporter writes — an entity id of '../x' would
+    otherwise escape the export tree.  Clean ids (alnum . _ -) pass
+    through unchanged, so numeric-id trees keep their layout."""
+    import hashlib
+    import re
+
+    s = str(value)
+    slug = re.sub(r"[^A-Za-z0-9._-]", "_", s)
+    if slug != s or not slug.strip("._-"):
+        slug = f"{slug}_{hashlib.md5(s.encode()).hexdigest()[:8]}"
+    return slug
+
+
 def _nested_get(data: Mapping[str, Any], path: str) -> Any:
     cur: Any = data
     for seg in path.split("."):
@@ -99,7 +117,7 @@ def _field_generator(name: str, item: Mapping[str, Any],
     """Exporter field generators (reference DataMapper :999-1008)."""
     if name == "endpoint_url":
         base = params.get("base_url", f"./{ctx['detail_subdir']}")
-        return f"{base}/{item.get(ctx['id_col'])}.json"
+        return f"{base}/{safe_filename(item.get(ctx['id_col']))}.json"
     if name in ("unique_occurrence_id", "unique_event_id",
                 "unique_identification_id"):
         prefix = params.get("prefix", name.split("_")[1][:3] + "_")
@@ -230,7 +248,9 @@ def export_json_api(results: DataFrame, id_col: str, out_dir: str,
             doc = _parse_widget_strings(json.loads(r["__doc"]))
             if detail_fields:
                 doc = _map_fields(doc, detail_fields, ctx)
-            _dump(os.path.join(detail_dir, f"{r['__id']}.json"), doc, opts)
+            _dump(os.path.join(detail_dir,
+                               f"{safe_filename(r['__id'])}.json"),
+                  doc, opts)
 
     if distributed_fs_ok:
         payload.foreachPartition(write_partition)
@@ -250,8 +270,9 @@ def export_json_api(results: DataFrame, id_col: str, out_dir: str,
             mapped = _map_fields(item, index_fields, ctx)
         else:
             mapped = {id_col: item.get(id_col)}
-        mapped.setdefault("detail_url",
-                          f"./{detail_subdir}/{item.get(id_col)}.json")
+        mapped.setdefault(
+            "detail_url",
+            f"./{detail_subdir}/{safe_filename(item.get(id_col))}.json")
         items.append(mapped)
 
     struct = dict(index_structure or {})

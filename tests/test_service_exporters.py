@@ -298,3 +298,44 @@ def test_html_export_scales_without_driver_materialization(tmp_path, spark):
     assert "<dt>double_id</dt><dd>2468</dd>" in page
     idx = (tmp_path / "index.html").read_text()
     assert 'detail/3000.html' in idx
+
+
+def test_exporters_sanitize_data_derived_filenames(tmp_path, spark):
+    """An entity id containing path separators must not choose where
+    the exporter writes ('../x' would escape the export tree); clean
+    ids keep their exact layout, sanitized ids stay unique and the
+    index links target the sanitized file."""
+    from niamoto_spark.exporters.json_api import safe_filename
+
+    assert safe_filename(42) == "42"
+    assert safe_filename("Taxon_x.1-a") == "Taxon_x.1-a"
+    evil = safe_filename("../../etc/passwd")
+    assert "/" not in evil and evil not in (".", "..")
+    assert safe_filename("a/b") != safe_filename("a_b")  # no collision
+    assert "/" not in safe_filename("..") and safe_filename("..") != ".."
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": ["../escape", "ok-1"], "name": ["x", "y"]}))
+    out = str(tmp_path / "api")
+    export_json_api(df, "id", out, page_size=10)
+    detail = os.listdir(os.path.join(out, "detail"))
+    assert len(detail) == 2 and all("/" not in d for d in detail)
+    assert not os.path.exists(str(tmp_path / "escape.json"))
+    with open(os.path.join(out, "index_p1.json")) as f:
+        items = json.load(f)["items"]
+    urls = {i["detail_url"] for i in items}
+    assert all(u.startswith("./detail/") and ".." not in u.split("/")
+               for u in urls)   # no traversal SEGMENT in any URL
+
+    from niamoto_spark.exporters.html_site import export_html_site
+
+    site = str(tmp_path / "site")
+    export_html_site(df.withColumn("w", F.lit("1")), "id", site,
+                     group_name="g")
+    files = os.listdir(os.path.join(site, "detail"))
+    assert len(files) == 2 and all("/" not in d for d in files)
+    with open(os.path.join(site, "index.html")) as f:
+        html = f.read()
+    slug = safe_filename("../escape")
+    assert f'href="detail/{slug}.html"' in html
+    assert 'href="detail/../escape.html"' not in html

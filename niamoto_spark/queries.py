@@ -1927,6 +1927,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q352_covariance_profile": q352_covariance_profile,
         "q353_tfidf_prefiltered_oracle": q353_tfidf_prefiltered_oracle,
         "q354_media_lossless_jpeg": q354_media_lossless_jpeg,
+        "q355_media_gif": q355_media_gif,
     }
 
 
@@ -5812,6 +5813,7 @@ def build_oracles() -> dict[str, str]:
         "q352_covariance_profile": O_Q352,
         "q353_tfidf_prefiltered_oracle": O_Q353,
         "q354_media_lossless_jpeg": O_Q354,
+        "q355_media_gif": O_Q355,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14858,6 +14860,65 @@ WITH g AS (
   SELECT i, 1, (y * (31 + 7 * i) + x * 5 * i) % 256 FROM g
   UNION ALL
   SELECT i, 2, ((x * x + y * (17 + i)) * 3) % 256 FROM g
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(channel AS INTEGER) AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS BIGINT) AS px_min,
+       CAST(MAX(v) AS BIGINT) AS px_max
+FROM px GROUP BY media_id, channel
+"""
+
+
+def _gif_media_rows():
+    """Six GIFs whose palette AND palette indices come from integer
+    formulas: idx(x, y) = (x*a_i + y*b_i + i) % 16 over a 24x32 grid,
+    palette[j] = ((j*37+11) % 256, (j*59+3) % 256, (j*83+7) % 256).
+    GIF is palette-indexed, so decode is exact and an external engine
+    recomputes every pixel from the formulas.  Even ids interlace."""
+    import numpy as np
+
+    from niamoto_spark.sources.gifcodec import encode_gif
+
+    pal = np.stack([(np.arange(16) * 37 + 11) % 256,
+                    (np.arange(16) * 59 + 3) % 256,
+                    (np.arange(16) * 83 + 7) % 256],
+                   axis=1).astype(np.uint8)
+    rows = []
+    for i in range(1, 7):
+        y, x = np.mgrid[0:24, 0:32]
+        idx = (x * (3 + 2 * i) + y * (5 + i) + i) % 16
+        rows.append((i, bytearray(encode_gif(pal[idx],
+                                             interlace=i % 2 == 0))))
+    return rows
+
+
+def q355_media_gif(spark, sf_dir):
+    """GIF decode verified ANALYTICALLY end to end (the q354 pattern for
+    the palette-indexed format): formula palette indices -> pure-python
+    GIF89a encode (real LZW, interlacing on even ids) -> mapInPandas
+    decode -> exact per-channel integer sums, recomputed by the oracle
+    from the same formulas.  Exercises LZW width growth, the KwKwK
+    case, interlace reordering and palette lookup — any bit error
+    breaks an exact integer sum."""
+    from niamoto_spark.operators.multimodal import image_channel_stats
+
+    df = spark.createDataFrame(_gif_media_rows(),
+                               "media_id long, payload binary")
+    return image_channel_stats(df)
+
+
+O_Q355 = """
+WITH g AS (
+  SELECT i, (x * (3 + 2 * i) + y * (5 + i) + i) % 16 AS j
+  FROM generate_series(1, 6) AS s(i),
+       generate_series(0, 31) AS xs(x),
+       generate_series(0, 23) AS ys(y)
+), px AS (
+  SELECT i AS media_id, 0 AS channel, (j * 37 + 11) % 256 AS v FROM g
+  UNION ALL SELECT i, 1, (j * 59 + 3) % 256 FROM g
+  UNION ALL SELECT i, 2, (j * 83 + 7) % 256 FROM g
 )
 SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(channel AS INTEGER) AS channel,

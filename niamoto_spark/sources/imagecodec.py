@@ -3,10 +3,10 @@ stdlib ``zlib``/``struct`` + numpy.
 
 The multimodal operators (operators/multimodal.py) were decode-stubbed in
 round 1 because PIL is absent.  PNG (deflate + per-scanline filters) and
-uncompressed BMP decode exactly here; baseline JPEG decodes via the
-sibling ``jpegcodec`` module (round-3 gap closure — web corpora are
-overwhelmingly JPEG); video frames stay behind the optional-PIL/ffmpeg
-gate.
+uncompressed BMP decode exactly here; JPEG decodes via the sibling
+``jpegcodec`` module (round-3 gap closure — web corpora are
+overwhelmingly JPEG) and GIF via ``gifcodec``; video frames stay
+behind the optional-PIL/ffmpeg gate.
 
 Used inside mapInPandas batches — one worker decodes a whole Arrow batch
 of payloads, the decoded pixels never leave the batch.
@@ -141,7 +141,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Best-effort image decode: PIL when importable (all formats), else
-    the pure decoders for PNG/BMP; other formats raise."""
+    the pure decoders for PNG/BMP/JPEG/GIF; other formats raise."""
     try:
         import io
 
@@ -158,6 +158,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from niamoto_spark.sources.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from niamoto_spark.sources.gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only PNG/BMP/baseline-JPEG decode without PIL; "
+        "only PNG/BMP/JPEG/GIF decode without PIL; "
         "install pillow for other formats")

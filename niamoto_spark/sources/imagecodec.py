@@ -22,44 +22,19 @@ import numpy as np
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG -> HxWx3 uint8 RGB.  Supports bit depth 8, color types 0
-    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace.
-    Alpha is dropped (composited on black is a policy choice; training
-    features want raw channels)."""
-    if data[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG")
-    pos = 8
-    width = height = None
-    color_type = bit_depth = None
-    palette = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,), ctype = struct.unpack_from(">I", data, pos), \
-            data[pos + 4:pos + 8]
-        chunk = data[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = \
-                struct.unpack(">IIBBBBB", chunk)
-            if bit_depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-            if interlace:
-                raise ValueError("interlaced PNG not supported")
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.extend(chunk)
-        elif ctype == b"IEND":
-            break
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+#: Adam7 interlace passes: (x0, y0, dx, dy) per T. PNG 1.2 §8.2.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter(raw: bytes, pos: int, height: int, stride: int,
+              channels: int) -> tuple["np.ndarray", int]:
+    """Reverse per-scanline filtering for ``height`` rows of ``stride``
+    bytes starting at ``pos``; returns (rows array, next position).
+    Each interlace pass filters independently (prev row = previous row
+    OF THE PASS), so Adam7 calls this once per pass."""
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(height):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8,
@@ -87,7 +62,58 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = line
         prev = out[y]
-    px = out.reshape(height, width, channels)
+    return out, pos
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8 RGB.  Supports bit depth 8, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), and BOTH
+    interlace methods (none / Adam7 — web PNGs ship either).  Alpha is
+    dropped (composited on black is a policy choice; training features
+    want raw channels)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    interlace = 0
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), \
+            data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace {interlace}")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue                    # empty pass: NO scanlines
+            rows, rpos = _unfilter(raw, rpos, ph, pw * channels, channels)
+            px[y0::dy, x0::dx] = rows.reshape(ph, pw, channels)
+    else:
+        out, _ = _unfilter(raw, 0, height, width * channels, channels)
+        px = out.reshape(height, width, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
@@ -99,18 +125,31 @@ def decode_png(data: bytes) -> np.ndarray:
     return px[:, :, :3]                     # RGB / RGBA -> RGB
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """HxWx3 uint8 -> PNG bytes (filter 0, one IDAT) — fixture writer."""
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 -> PNG bytes (filter 0, one IDAT) — fixture writer.
+    ``interlace=True`` writes Adam7 pass order (each pass's scanlines
+    filtered independently), exercising the decoder's interlaced
+    path."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
         return struct.pack(">I", len(payload)) + ctype + payload \
             + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 

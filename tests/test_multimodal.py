@@ -432,3 +432,22 @@ def test_audio_logmel_short_clip_nulls(spark):
         "media_id long, payload binary")
     r = audio_logmel(df, n_fft=512).first()
     assert r["n_frames"] == 0 and r["mel_mean"] is None
+
+
+def test_png_adam7_interlace_roundtrip_exact():
+    """Interlaced (Adam7) PNGs occur in real web corpora; each pass
+    filters its scanlines independently, empty passes contribute no
+    scanlines — pinned bit-exact across shapes that empty out most
+    passes (1x1, single row/column)."""
+    import numpy as np
+
+    from niamoto_spark.sources.imagecodec import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for h, w in ((24, 32), (7, 7), (1, 1), (2, 3), (9, 1), (1, 9)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_png(img, interlace=True)
+        assert data[28] == 1                      # IHDR interlace flag
+        assert np.array_equal(decode_png(data), img), (h, w)
+        plain = encode_png(img)
+        assert np.array_equal(decode_png(plain), img), (h, w)

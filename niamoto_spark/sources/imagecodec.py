@@ -28,7 +28,7 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _unfilter(raw: bytes, pos: int, height: int, stride: int,
-              channels: int) -> tuple["np.ndarray", int]:
+              bpp: int) -> tuple["np.ndarray", int]:
     """Reverse per-scanline filtering for ``height`` rows of ``stride``
     bytes starting at ``pos``; returns (rows array, next position).
     Each interlace pass filters independently (prev row = previous row
@@ -41,19 +41,19 @@ def _unfilter(raw: bytes, pos: int, height: int, stride: int,
                              count=stride, offset=pos + 1).copy()
         pos += 1 + stride
         if ftype == 1:                      # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:                    # Up
             line = (line.astype(np.int16) + prev) .astype(np.uint8)
         elif ftype == 3:                    # Average
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:                    # Paeth
             for i in range(stride):
-                a = int(line[i - channels]) if i >= channels else 0
+                a = int(line[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -65,12 +65,32 @@ def _unfilter(raw: bytes, pos: int, height: int, stride: int,
     return out, pos
 
 
+def _rows_to_pixels(rows: "np.ndarray", width: int, channels: int,
+                    bit_depth: int) -> "np.ndarray":
+    """Unfiltered scanline BYTES -> (n, width, channels) uint8 samples.
+    Sub-byte depths (1/2/4: gray or palette indices) unpack MSB-first
+    and drop the row's padding bits; 16-bit takes the high byte (the
+    standard 8-bit downconversion)."""
+    n = rows.shape[0]
+    if bit_depth == 8:
+        return rows.reshape(n, width, channels)
+    if bit_depth == 16:
+        u16 = rows.reshape(n, -1).view(">u2")
+        return (u16 >> 8).astype(np.uint8).reshape(n, width, channels)
+    bits = np.unpackbits(rows, axis=1)            # MSB-first per byte
+    per = bits.reshape(n, -1, bit_depth)
+    weights = 1 << np.arange(bit_depth - 1, -1, -1)
+    vals = (per * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :width].reshape(n, width, 1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG -> HxWx3 uint8 RGB.  Supports bit depth 8, color types 0
-    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), and BOTH
-    interlace methods (none / Adam7 — web PNGs ship either).  Alpha is
-    dropped (composited on black is a policy choice; training features
-    want raw channels)."""
+    """PNG -> HxWx3 uint8 RGB.  Supports color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA) at the spec's legal bit
+    depths (1/2/4 for gray+palette, 8/16 elsewhere; 16-bit samples take
+    their high byte) and BOTH interlace methods (none / Adam7) — the
+    shapes real web PNGs ship.  Alpha is dropped (composited on black
+    is a policy choice; training features want raw channels)."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
     pos = 8
@@ -87,8 +107,11 @@ def decode_png(data: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _, _, interlace = \
                 struct.unpack(">IIBBBBB", chunk)
-            if bit_depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8),
+                     2: (8, 16), 4: (8, 16), 6: (8, 16)}
+            if bit_depth not in legal.get(color_type, ()):
+                raise ValueError(
+                    f"illegal PNG depth/type ({bit_depth}/{color_type})")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace {interlace}")
         elif ctype == b"PLTE":
@@ -101,6 +124,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(bytes(idat))
+    # filters operate on BYTES at a left-distance of bpp bytes (>= 1)
+    bpp = max(1, channels * bit_depth // 8)
+
+    def stride_of(w: int) -> int:
+        return (w * channels * bit_depth + 7) // 8
+
     if interlace:
         px = np.zeros((height, width, channels), dtype=np.uint8)
         rpos = 0
@@ -109,15 +138,19 @@ def decode_png(data: bytes) -> np.ndarray:
             ph = -(-(height - y0) // dy) if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue                    # empty pass: NO scanlines
-            rows, rpos = _unfilter(raw, rpos, ph, pw * channels, channels)
-            px[y0::dy, x0::dx] = rows.reshape(ph, pw, channels)
+            rows, rpos = _unfilter(raw, rpos, ph, stride_of(pw), bpp)
+            px[y0::dy, x0::dx] = _rows_to_pixels(rows, pw, channels,
+                                                 bit_depth)
     else:
-        out, _ = _unfilter(raw, 0, height, width * channels, channels)
-        px = out.reshape(height, width, channels)
+        rows, _ = _unfilter(raw, 0, height, stride_of(width), bpp)
+        px = _rows_to_pixels(rows, width, channels, bit_depth)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
         return palette[px[:, :, 0]]
+    if bit_depth in (1, 2, 4):               # gray: scale to full range
+        px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)) \
+            .astype(np.uint8)
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     if channels == 2:                       # gray + alpha

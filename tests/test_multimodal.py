@@ -451,3 +451,57 @@ def test_png_adam7_interlace_roundtrip_exact():
         assert np.array_equal(decode_png(data), img), (h, w)
         plain = encode_png(img)
         assert np.array_equal(decode_png(plain), img), (h, w)
+
+
+def test_png_bit_depths_beyond_8():
+    """1/2/4-bit palette + gray and 16-bit samples — the spec's other
+    legal depths real web PNGs use (tiny palette icons, 16-bit scans).
+    Fixtures are hand-built streams (the encoder writes 8-bit only)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from niamoto_spark.sources.imagecodec import _PNG_MAGIC, decode_png
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", crc))
+
+    def build(w, h, depth, ct, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+        out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(4)
+    # 4-bit palette, odd width (padding bits in play)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (3, 5))
+    raw = b""
+    for r in idx:
+        packed = bytearray()
+        for i in range(0, 5, 2):
+            packed.append((r[i] << 4) | (r[i + 1] if i + 1 < 5 else 0))
+        raw += b"\x00" + bytes(packed)
+    assert np.array_equal(decode_png(build(5, 3, 4, 3, raw, pal)), pal[idx])
+
+    # 1-bit gray scales to 0/255
+    bits = rng.integers(0, 2, (2, 9))
+    raw = b"".join(b"\x00" + np.packbits(r.astype(np.uint8)).tobytes()
+                   for r in bits)
+    expect = np.repeat((bits * 255).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(build(9, 2, 1, 0, raw)), expect)
+
+    # 16-bit RGB takes the high byte
+    u16 = rng.integers(0, 65536, (3, 4, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + u16[y].astype(">u2").tobytes()
+                   for y in range(3))
+    assert np.array_equal(decode_png(build(4, 3, 16, 2, raw)),
+                          (u16 >> 8).astype(np.uint8))
+
+    # illegal depth/type combination rejected
+    with pytest.raises(ValueError, match="illegal"):
+        decode_png(build(4, 3, 4, 2, b"\x00" * 10))

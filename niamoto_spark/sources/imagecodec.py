@@ -188,25 +188,35 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BMP -> HxWx3 uint8 RGB (bottom-up or
-    top-down)."""
+    """Uncompressed 8-bit-palette / 24 / 32-bit BMP -> HxWx3 uint8 RGB
+    (bottom-up or top-down; 8-bit rows index the BGRA color table)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (pixel_off,) = struct.unpack_from("<I", data, 10)
     (hdr_size, width, height) = struct.unpack_from("<Iii", data, 14)
     (planes, bpp) = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
     flip = height > 0
     height = abs(height)
-    bypp = bpp // 8
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        table = np.frombuffer(data, np.uint8, 4 * n_colors,
+                              14 + hdr_size).reshape(n_colors, 4)
+        palette = table[:, :3][:, ::-1]      # BGRA -> RGB
+    bypp = max(1, bpp // 8)
     row_size = (width * bypp + 3) & ~3
     out = np.empty((height, width, 3), dtype=np.uint8)
     for y in range(height):
         row = np.frombuffer(data, dtype=np.uint8, count=width * bypp,
                             offset=pixel_off + y * row_size)
-        px = row.reshape(width, bypp)[:, :3][:, ::-1]   # BGR -> RGB
+        if palette is not None:
+            px = palette[row]
+        else:
+            px = row.reshape(width, bypp)[:, :3][:, ::-1]   # BGR -> RGB
         out[height - 1 - y if flip else y] = px
     return out
 

@@ -505,3 +505,29 @@ def test_png_bit_depths_beyond_8():
     # illegal depth/type combination rejected
     with pytest.raises(ValueError, match="illegal"):
         decode_png(build(4, 3, 4, 2, b"\x00" * 10))
+
+
+def test_bmp_8bit_palette():
+    """8-bit palette BMP (the icon/screenshot legacy format): rows are
+    color-table indices padded to 4 bytes, table entries are BGRA."""
+    import struct
+
+    import numpy as np
+
+    from niamoto_spark.sources.imagecodec import decode_bmp
+
+    rng = np.random.default_rng(2)
+    pal_rgb = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    table = b"".join(bytes([b, g, r, 0]) for r, g, b in pal_rgb)
+    row_size = (5 + 3) & ~3
+    pixel_off = 14 + 40 + len(table)
+    rows = b""
+    for y in range(2, -1, -1):               # bottom-up storage
+        rows += idx[y].tobytes() + b"\x00" * (row_size - 5)
+    hdr = (b"BM" + struct.pack("<IHHI", pixel_off + len(rows), 0, 0,
+                               pixel_off)
+           + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 8, 0, len(rows),
+                         0, 0, 256, 0))
+    out = decode_bmp(hdr + table + rows)
+    assert np.array_equal(out, pal_rgb[idx])

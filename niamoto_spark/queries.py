@@ -1928,6 +1928,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q353_tfidf_prefiltered_oracle": q353_tfidf_prefiltered_oracle,
         "q354_media_lossless_jpeg": q354_media_lossless_jpeg,
         "q355_media_gif": q355_media_gif,
+        "q356_media_png_interlaced": q356_media_png_interlaced,
     }
 
 
@@ -5814,6 +5815,7 @@ def build_oracles() -> dict[str, str]:
         "q353_tfidf_prefiltered_oracle": O_Q353,
         "q354_media_lossless_jpeg": O_Q354,
         "q355_media_gif": O_Q355,
+        "q356_media_png_interlaced": O_Q354,
         # q165 (PCA scree) and q166 (persisted ANN index) are
         # rows-only: eigendecomposition / approximate ANN have no
         # SQL equivalent; numpy parity and index==direct equality
@@ -14928,3 +14930,27 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(MAX(v) AS BIGINT) AS px_max
 FROM px GROUP BY media_id, channel
 """
+
+
+def q356_media_png_interlaced(spark, sf_dir):
+    """PNG decode (both interlace methods) verified ANALYTICALLY — the
+    q354 pattern: the same formula pixels, losslessly PNG-encoded (even
+    ids Adam7-interlaced), decoded through image_channel_stats; the
+    oracle recomputes every exact channel statistic from the formulas.
+    Shares O_Q354 verbatim — three codecs (SOF3 JPEG, GIF, PNG) now
+    prove bit-exact decode against the same analytic truth."""
+    import numpy as np
+
+    from niamoto_spark.operators.multimodal import image_channel_stats
+    from niamoto_spark.sources.imagecodec import encode_png
+
+    rows = []
+    for i in range(1, 7):
+        y, x = np.mgrid[0:24, 0:32]
+        img = np.stack([(x * (23 + 11 * i)) % 256,
+                        (y * (31 + 7 * i) + x * 5 * i) % 256,
+                        ((x * x + y * (17 + i)) * 3) % 256],
+                       axis=2).astype(np.uint8)
+        rows.append((i, bytearray(encode_png(img, interlace=i % 2 == 0))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return image_channel_stats(df)

@@ -43,13 +43,10 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Skew-buster equi-join: salt the big side, replicate the small side.
 
-    Correct for any 1:N join where ``small`` has unique keys (replication
-    would duplicate matches otherwise).  Output columns = big ++ small
-    (minus the duplicate key).
-    """
-    salted_big = big.withColumn("__salt",
-                                (F.rand(seed=7) * n_salts).cast("int"))
-    exploded_small = small.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-    out = salted_big.join(exploded_small, [key, "__salt"], how)
-    return out.drop("__salt")
+    Delegates to operators/skew.py's deterministic implementation — a
+    rand()-derived salt changes on task RETRY (a re-executed partition
+    draws different salts than the shuffle files other stages already
+    consumed), which the xxhash64-of-row salt cannot."""
+    from niamoto_spark.operators.skew import salted_join as _sj
+
+    return _sj(big, small, key, buckets=n_salts, how=how)

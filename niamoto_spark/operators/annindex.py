@@ -75,11 +75,28 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
                     round_dp: int | None = 6) -> DataFrame:
     """Top-k against the stored index: NO corpus pass — centroids load
     broadcast-sized, query rows are assigned to their nprobe buckets,
-    and the bucket equi-join reads only matching assignment rows (file
-    pruning via the bucket zone maps where the probe set is small)."""
+    and the assignments read is ZONE-MAP PRUNED to the probed bucket
+    RANGE before the bucket equi-join (one pruned read, not one per
+    bucket — per-bucket reads would scan a file covering several probed
+    buckets once per bucket and duplicate its rows into the scoring
+    join).  The probed bucket set is query-batch-sized, so collecting
+    it costs one tiny job over the queries only."""
     cents = manifest.read_table(spark, f"{path}/centroids")
-    assigned = manifest.read_table(spark, f"{path}/assignments")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    q_assigned = _assign_nearest(q, cents, "q_vec", "bucket", nprobe)
+    q_assigned = _assign_nearest(q, cents, "q_vec", "bucket", nprobe) \
+        .localCheckpoint(eager=True)   # consumed by the probe set + join
+    probed = [r["bucket"] for r in
+              q_assigned.select("bucket").distinct().collect()]
+    if not probed:
+        assigned = manifest.read_table(
+            spark, f"{path}/assignments").limit(0)
+    else:
+        assigned, _, _ = manifest.read_table_pruned(
+            spark, f"{path}/assignments", "bucket",
+            min(probed), max(probed))
+        if "bucket" not in assigned.columns:
+            # every file pruned (placeholder frame): empty typed read
+            assigned = manifest.read_table(
+                spark, f"{path}/assignments").limit(0)
     return _ivf_score(assigned, q_assigned, k, round_dp)

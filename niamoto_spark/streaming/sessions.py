@@ -57,7 +57,10 @@ def _close_sessions(key: Tuple, pdfs: Iterable[pd.DataFrame],
                 closed.append((user_id, start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # A late event (within watermark) can arrive with t < last
+                # once batches interleave; fold it monotonically so the
+                # open session's bounds never regress.
+                start, last, n = min(start, t), max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
             if use_timeout:

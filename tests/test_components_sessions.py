@@ -64,6 +64,47 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
     assert closed == expect
 
 
+def test_session_state_fold_late_event_does_not_regress_bounds():
+    """A late event (t < state.last, still within watermark) folds into the
+    open session without shrinking session_end or growing a false gap."""
+    from niamoto_spark.streaming.sessions import _close_sessions
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    # open session [1000, 2000] with 3 events; batch delivers a late event
+    # at 1500 then an on-time one at 2100 (gap 1800 keeps all in-session)
+    st = FakeState((1000, 2000, 3))
+    pdf = pd.DataFrame({"ts_sec": [2100, 1500]})
+    out = list(_close_sessions((7,), [pdf], st, gap_s=1800))
+    assert len(out) == 1 and out[0].empty  # nothing closed
+    assert st.get == (1000, 2100, 5)  # last advanced to 2100, never 1500
+
+    # and a late event must not fabricate a session split: state last=2000,
+    # late t=100 (t - last = -1900 < -gap) still belongs to the open session
+    st2 = FakeState((1000, 2000, 3))
+    out2 = list(_close_sessions((7,), [pd.DataFrame({"ts_sec": [100]})],
+                                st2, gap_s=1800))
+    assert out2[0].empty
+    assert st2.get == (100, 2000, 4)  # start extends back, end unchanged
+
+
 def test_dirty_csv_delimiter_sniffing(spark, tmp_path):
     """FIXTURES.md F7: semicolon-delimited variant, padded values."""
     from niamoto_spark.sources.files import read_csv_auto, sniff_delimiter

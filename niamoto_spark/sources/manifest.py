@@ -940,8 +940,12 @@ def table_diff(spark: SparkSession, path: str, from_version: int,
                 f"{key_cols} (e.g. {tuple(dup[0][k] for k in key_cols)})")
 
     def keyed(df, tag):
-        h = (F.xxhash64(*[F.col(c) for c in val_cols]) if val_cols
-             else F.lit(0))
+        # Null-discriminated hash (same reasoning as table_cdf below):
+        # xxhash64 skips NULL args, so hashing bare values makes
+        # (x, NULL) and (NULL, x) collide and the change is omitted.
+        h = (F.xxhash64(*[e for c in val_cols
+                          for e in (F.col(c).isNull(), F.col(c))])
+             if val_cols else F.lit(0))
         return df.select(*key_cols, h.alias(f"__h_{tag}"))
 
     joined = keyed(a, "a").join(keyed(b, "b"), key_cols, "full_outer")

@@ -142,25 +142,46 @@ def add_nested_sets(nodes: DataFrame, id_col: str = "id",
     """
     order_col = order_col or id_col
     collected = nodes.select(id_col, parent_col, order_col).collect()
+    ids = {r[id_col] for r in collected}
     children: dict = {}
     order_key = {}
     for r in collected:
-        children.setdefault(r[parent_col], []).append(r[id_col])
+        # A parent id that is NULL, self-referencing (a common root
+        # encoding), or absent from the table (subsetted data) makes the
+        # node a root — otherwise such subtrees would silently get NULL
+        # bounds from the left join below.
+        parent = r[parent_col]
+        if parent == r[id_col] or parent not in ids:
+            parent = None
+        children.setdefault(parent, []).append(r[id_col])
         order_key[r[id_col]] = r[order_col]
     for sibs in children.values():
         sibs.sort(key=lambda i: (order_key[i], i))
 
+    # Iterative DFS: recursion would hit Python's stack limit on
+    # path-shaped trees (~1000 deep).
     bounds: dict = {}
-    counter = {"v": 1}
-
-    def dfs(node_id) -> None:
-        lft = counter["v"]; counter["v"] += 1
-        for ch in children.get(node_id, ()):
-            dfs(ch)
-        bounds[node_id] = (lft, counter["v"]); counter["v"] += 1
-
+    counter = 1
     for root in children.get(None, ()):
-        dfs(root)
+        stack = [(root, iter(children.get(root, ())))]
+        lfts = {root: counter}
+        counter += 1
+        while stack:
+            node_id, it = stack[-1]
+            ch = next(it, None)
+            if ch is None:
+                stack.pop()
+                bounds[node_id] = (lfts[node_id], counter)
+                counter += 1
+            else:
+                lfts[ch] = counter
+                counter += 1
+                stack.append((ch, iter(children.get(ch, ()))))
+    if len(bounds) != len(ids):
+        missing = sorted(ids - bounds.keys())[:5]
+        raise ValueError(
+            f"add_nested_sets: {len(ids) - len(bounds)} nodes are "
+            f"unreachable from any root (parent cycle), e.g. {missing}")
 
     spark = nodes.sparkSession
     bounds_df = spark.createDataFrame(

@@ -20,3 +20,48 @@ def test_table_diff_detects_null_position_shift(spark, tmp_path):
     rows = {r["k"]: r["change"] for r in
             mf.table_diff(spark, p, 0, 1, key_cols=["k"]).collect()}
     assert rows == {1: "changed"}
+
+
+# --- add_nested_sets hardening ---------------------------------------------
+
+def _mk_nodes(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "parent_id"]).astype(
+            {"id": "int64"}))
+
+
+def test_nested_sets_deep_path_tree(spark):
+    """A 5000-deep path tree must number without hitting Python's
+    recursion limit (the DFS is iterative now)."""
+    from niamoto_spark.hierarchy import add_nested_sets
+
+    rows = [(i, None if i == 0 else i - 1) for i in range(5000)]
+    out = add_nested_sets(_mk_nodes(spark, rows))
+    got = {r["id"]: (r["lft"], r["rght"]) for r in out.collect()}
+    assert got[0] == (1, 10000)          # root wraps everything
+    assert got[4999] == (5000, 5001)     # deepest leaf
+    assert all(v[0] is not None for v in got.values())
+
+
+def test_nested_sets_dangling_and_self_parent_are_roots(spark):
+    """A self-referencing parent (root encoding) and a parent id absent
+    from the table must both be treated as roots, not silently left with
+    NULL bounds."""
+    from niamoto_spark.hierarchy import add_nested_sets
+
+    rows = [(1, 1),      # self-loop root
+            (2, 1),      # its child
+            (10, 99)]    # dangling parent -> root
+    got = {r["id"]: (r["lft"], r["rght"])
+           for r in add_nested_sets(_mk_nodes(spark, rows)).collect()}
+    assert got[1] == (1, 4) and got[2] == (2, 3)
+    assert got[10] == (5, 6)
+
+
+def test_nested_sets_cycle_raises(spark):
+    from niamoto_spark.hierarchy import add_nested_sets
+
+    import pytest
+    rows = [(1, None), (2, 3), (3, 2)]
+    with pytest.raises(ValueError, match="cycle"):
+        add_nested_sets(_mk_nodes(spark, rows))

@@ -74,9 +74,12 @@ def erase_entity(spark, table_paths: "list[str]", key_col: str,
             # Column predicate, never string interpolation: a key value
             # containing a quote/backslash must not alter the predicate.
             M.delete_where(spark, path, F.col(key_col) == F.lit(key_value))
+            if vacuum_now:
+                # Only where a delete committed: vacuuming untouched
+                # tables would destroy their time-travel history for no
+                # erasure gain.
+                M.vacuum(path, keep_versions=1)
         deleted[path] = before
-        if vacuum_now:
-            M.vacuum(path, keep_versions=1)
     return deleted
 
 

@@ -69,17 +69,21 @@ def winsorize(df: DataFrame, value_col: str,
     ``quantile_cont`` agree), per group or globally.  The standard
     outlier treatment before mean-based statistics.
 
-    Plan: one percentile aggregate per group + a broadcast join of the
-    two cutoffs back (grouped), or a single-row aggregate crossJoin
-    (global) — the data never shuffles for the clip itself."""
+    Plan: one percentile aggregate per group + a same-key join of the
+    two cutoffs back (grouped — AQE broadcasts when the group table is
+    small), or a single-row aggregate crossJoin (global) — the data
+    never shuffles for the clip itself."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1: {lower}, {upper}")
     out = out_col or f"{value_col}_wins"
     lo = F.percentile(value_col, F.lit(lower)).alias("__lo")
     hi = F.percentile(value_col, F.lit(upper)).alias("__hi")
     if group_cols:
+        # no broadcast hint: one row per GROUP scales with the data
+        # (think group=user_id), and the join is on the same key the
+        # aggregation shuffled on — AQE broadcasts when actually small
         cuts = df.groupBy(*group_cols).agg(lo, hi)
-        joined = df.join(F.broadcast(cuts), list(group_cols))
+        joined = df.join(cuts, list(group_cols))
     else:
         joined = df.crossJoin(F.broadcast(df.agg(lo, hi)))
     clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")),
@@ -104,13 +108,17 @@ def robust_outliers(df: DataFrame, value_col: str,
     med = (df.groupBy(*groups).agg(F.median(value_col).alias("__med"))
            if groups else
            df.agg(F.median(value_col).alias("__med")))
-    with_med = (df.join(F.broadcast(med), groups) if groups
+    # grouped stat frames carry one row per GROUP (data-scaled): no
+    # broadcast hint — same-key joins reuse the aggregation exchange
+    # and AQE broadcasts when actually small.  The global single-row
+    # aggregates keep the hint.
+    with_med = (df.join(med, groups) if groups
                 else df.crossJoin(F.broadcast(med)))
     dev = F.abs(F.col(value_col) - F.col("__med"))
     mad = (with_med.groupBy(*groups).agg(F.median(dev).alias("__mad"))
            if groups else
            with_med.agg(F.median(dev).alias("__mad")))
-    full = (with_med.join(F.broadcast(mad), groups) if groups
+    full = (with_med.join(mad, groups) if groups
             else with_med.crossJoin(F.broadcast(mad)))
     mz = dev / (F.lit(1.4826) * F.col("__mad"))
     flag = F.when(F.col("__mad") == 0, F.lit(False)) \
@@ -239,7 +247,7 @@ def trimmed_mean(df: DataFrame, group_cols: "list[str]",
     the bounds replay exactly.
 
     Two aggregations on the group key (bounds, then the filtered
-    mean), joined back broadcast-sized.  Returns (group…, n_total,
+    mean), joined back on the same key.  Returns (group…, n_total,
     n_kept, trimmed_mean)."""
     v = F.col(value_col).cast("double")
     bounds = (df.groupBy(*group_cols)
@@ -248,7 +256,8 @@ def trimmed_mean(df: DataFrame, group_cols: "list[str]",
                    F.percentile(v, F.lit(1.0 - float(trim_frac)))
                    .alias("__hi"),
                    F.count(v).alias("n_total")))
-    joined = df.join(F.broadcast(bounds), group_cols)
+    # no broadcast hint: bounds has one row per group (data-scaled)
+    joined = df.join(bounds, group_cols)
     kept = (v >= F.col("__lo")) & (v <= F.col("__hi"))
     return (joined.groupBy(*group_cols)
             .agg(F.max("n_total").alias("n_total"),

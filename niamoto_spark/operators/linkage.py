@@ -38,9 +38,12 @@ def fuzzy_pairs(df: DataFrame, id_col: str, name_col: str, block_col: str,
                      F.col(name_col).alias("name"),
                      F.col(block_col).alias("block"))
     if max_block_size is not None:
+        # no broadcast hint: the block universe scales with the data;
+        # the semi join keys on the same column the pair join shuffles
+        # on next, so the exchange is reused (AQE broadcasts if small)
         sizes = base.groupBy("block").agg(F.count(F.lit(1)).alias("__n"))
         ok = sizes.where(F.col("__n") <= max_block_size).select("block")
-        base = base.join(F.broadcast(ok), "block", "left_semi")
+        base = base.join(ok, "block", "left_semi")
     left = base.select(F.col("rid").alias("id_a"),
                        F.col("name").alias("name_a"), "block")
     right = base.select(F.col("rid").alias("id_b"),
@@ -101,7 +104,9 @@ def trigram_pairs(df: DataFrame, id_col: str, name_col: str,
     if max_block_size is not None:
         hot = (base.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
                .where(F.col("n") > max_block_size).drop("n"))
-        base = base.join(F.broadcast(hot), ["blk"], "left_anti")
+        # hot-block count is data-scaled (corpus / max_block_size):
+        # same-key anti join, AQE decides the strategy
+        base = base.join(hot, ["blk"], "left_anti")
     left = base.select(F.col("id").alias("id_a"), "blk",
                        F.col("tg").alias("tg_a"))
     right = base.select(F.col("id").alias("id_b"), "blk",

@@ -295,3 +295,37 @@ def test_dehinted_vocab_joins_still_broadcast_via_aqe(spark):
         plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan, \
             f"{name}: AQE did not broadcast the small count tables"
+
+
+def test_dehinted_group_stat_joins_still_broadcast_via_aqe(spark):
+    """winsorize/robust_outliers/trimmed_mean/fuzzy_pairs group-stat
+    and block-size frames carry no broadcast hint (one row per group /
+    block scales with the data), but at small scale the ADAPTIVE final
+    plan must still broadcast them — the de-hint is scale-safety, not
+    a deoptimization."""
+    import contextlib
+    import io
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.cleaning import winsorize
+    from niamoto_spark.operators.linkage import fuzzy_pairs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": [i % 3 for i in range(300)],
+        "v": [float(i) for i in range(300)],
+        "name": [f"name{i % 7}" for i in range(300)],
+        "rid": list(range(300))}))
+
+    for label, out in (
+            ("winsorize", winsorize(df, "v", group_cols=["g"])),
+            ("fuzzy_pairs", fuzzy_pairs(df, "rid", "name", "g",
+                                        max_edit_distance=3))):
+        out.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan, \
+            f"{label}: AQE did not broadcast the small group table"

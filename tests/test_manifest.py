@@ -1113,9 +1113,11 @@ def test_read_table_asof_walks_commit_times(spark, tmp_path):
 
 def test_dv_split_scan_plan_and_correctness(spark, tmp_path):
     """The DV read must route ONLY DV-touched files through the
-    _metadata anti join: the plan shows two parquet scans (clean +
-    dirty) and exactly one LeftAnti, and results match the logical
-    delete."""
+    _metadata join: the plan shows two parquet scans (clean + dirty)
+    and exactly one DV join — a LeftOuter broadcast on the single
+    xxhash64 long key (LongHashedRelation probes; see _apply_dv) with
+    the exact recheck folded into the filter — and results match the
+    logical delete."""
     import contextlib
     import io
 
@@ -1132,5 +1134,7 @@ def test_dv_split_scan_plan_and_correctness(spark, tmp_path):
     phys = buf.getvalue().split("== Physical Plan ==")[-1]
     # AQE prints Final + Initial plan sections; inspect the final only
     final = phys.split("== Initial Plan ==")[0]
-    assert final.count("LeftAnti") == 1
+    assert final.count("BroadcastHashJoin") == 1
+    assert final.count("LeftOuter") == 1
+    assert final.count("xxhash64") >= 1      # the single long probe key
     assert final.lower().count("scan parquet") == 2  # clean + dirty

@@ -179,3 +179,37 @@ def word_shingles(text: Column, k: int) -> Column:
     )
     return F.when(F.size(toks) >= k, shingles) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def hashed_dim_join(fact, dim, fact_key: str, dim_cols,
+                    dim_key: str | None = None):
+    """Broadcast inner join of a big fact frame against a small dim,
+    probe-optimized for STRING keys.
+
+    Spark's broadcast hash joins use the specialized LongHashedRelation
+    only when the join key is a single integral column; a string key
+    probes a generic UnsafeRow map — measured ~1.5-2.5x slower per fact
+    row at 38M rows (and ~7x on long strings, see manifest._apply_dv).
+    For string keys this joins on ``xxhash64(key)`` (one long, the fast
+    relation) and rechecks real key equality on the (dim-sized) matched
+    set, so a 64-bit collision costs a comparison, never a wrong row.
+    Integral keys pass through to a plain broadcast join untouched.
+
+    ``dim_cols`` are the dim columns to carry into the output (the dim
+    key itself is dropped unless listed).  NULL fact keys never match,
+    exactly as in a plain inner equi-join.
+    """
+    dim_key = dim_key or fact_key
+    dtype = dict(fact.dtypes).get(fact_key)
+    carried = list(dim_cols)
+    if dtype in ("tinyint", "smallint", "int", "bigint", "date"):
+        ref = dim.select(F.col(dim_key).alias("__dk"), *carried)
+        return (fact.join(F.broadcast(ref),
+                          fact[fact_key] == F.col("__dk"), "inner")
+                .drop("__dk"))
+    ref = dim.select(F.xxhash64(F.col(dim_key)).alias("__kh"),
+                     F.col(dim_key).alias("__dk"), *carried)
+    return (fact.withColumn("__kh", F.xxhash64(F.col(fact_key)))
+            .join(F.broadcast(ref), "__kh", "inner")
+            .where(F.col(fact_key) == F.col("__dk"))
+            .drop("__kh", "__dk"))

@@ -218,6 +218,8 @@ def subtree_join(facts: DataFrame, fact_key: str,
     reference's ``ref_key`` external id, loaders/nested_set.py:147-185)
     while ancestors are still identified by ``node_key``.
     """
+    from niamoto_spark.functions import hashed_dim_join
+
     leaf = nodes_with_sets.select(
         F.col(leaf_key or node_key).alias("_leaf_id"),
         F.col(lft_col).alias("_leaf_lft"),
@@ -227,12 +229,16 @@ def subtree_join(facts: DataFrame, fact_key: str,
         F.col(lft_col).alias("_anc_lft"),
         F.col(rght_col).alias("_anc_rght"),
     )
+    # the leaf equi-join probes once per FACT row — hashed_dim_join
+    # keeps string ref keys on the fast single-long probe path
+    tagged = hashed_dim_join(facts, leaf, fact_key, ["_leaf_lft"],
+                             dim_key="_leaf_id")
     return (
-        facts.join(F.broadcast(leaf), facts[fact_key] == leaf["_leaf_id"], "inner")
+        tagged
         .join(F.broadcast(anc),
               (F.col("_leaf_lft") >= F.col("_anc_lft"))
               & (F.col("_leaf_lft") <= F.col("_anc_rght")), "inner")
-        .drop("_leaf_id", "_leaf_lft", "_anc_lft", "_anc_rght")
+        .drop("_leaf_lft", "_anc_lft", "_anc_rght")
     )
 
 

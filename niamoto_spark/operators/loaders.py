@@ -45,15 +45,15 @@ def direct_reference(data: DataFrame, key: str, groups: DataFrame,
 
     Returns the fact rows tagged with the group id column.
     """
+    from niamoto_spark.functions import hashed_dim_join
+
     data, key = _clear_gid_collision(data, key, group_id)
     join_key = ref_key or group_id
-    if join_key == group_id:
-        ref = groups.select(F.col(group_id))
-        return data.join(F.broadcast(ref), data[key] == ref[group_id], "inner")
-    ref = groups.select(F.col(join_key).alias("__ref_key"),
-                        F.col(group_id).alias(group_id))
-    return (data.join(F.broadcast(ref), data[key] == F.col("__ref_key"), "inner")
-                .drop("__ref_key"))
+    # hashed_dim_join: string fact keys probe on one xxhash64 long
+    # (LongHashedRelation) with an exact recheck; integral keys take
+    # the plain broadcast join — the probe side is the 100 TB one.
+    return hashed_dim_join(data, groups, key, [group_id],
+                           dim_key=join_key)
 
 
 @register("join_table", PluginType.LOADER)
@@ -64,15 +64,15 @@ def join_table(data: DataFrame, data_key: str,
     grouped by bridge.reference (reference: loaders/join_table.py:124-178).
     Two chained joins; the bridge and group tables broadcast.
     """
+    from niamoto_spark.functions import hashed_dim_join
+
     data, data_key = _clear_gid_collision(data, data_key, group_id)
     b = bridge.select(F.col(bridge_source).alias("__b_src"),
                       F.col(bridge_ref).alias("__b_ref"))
-    g = groups.select(F.col(group_id))
-    return (
-        data.join(F.broadcast(b), data[data_key] == F.col("__b_src"), "inner")
-            .join(F.broadcast(g), F.col("__b_ref") == g[group_id], "inner")
-            .drop("__b_src", "__b_ref")
-    )
+    tagged = hashed_dim_join(data, b, data_key, ["__b_ref"],
+                             dim_key="__b_src")
+    return hashed_dim_join(tagged, groups, "__b_ref", [group_id],
+                           dim_key=group_id).drop("__b_ref")
 
 
 @register("nested_set", PluginType.LOADER)
@@ -102,11 +102,13 @@ def adjacency_list_loader(data: DataFrame, key: str,
     fact table equi-joins the closure — one distributed join, no recursion
     in the hot path.
     """
+    from niamoto_spark.functions import hashed_dim_join
+
     closure = ancestor_closure(nodes, node_key, parent_col, max_depth)
     cl = closure.select(F.col("node_id").alias("__node"),
                         F.col("ancestor_id").alias(ancestor_alias))
-    return data.join(F.broadcast(cl), data[key] == F.col("__node"), "inner") \
-               .drop("__node")
+    return hashed_dim_join(data, cl, key, [ancestor_alias],
+                           dim_key="__node")
 
 
 @register("stats_loader", PluginType.LOADER)
@@ -118,14 +120,16 @@ def stats_loader(stats: DataFrame, match_field: str,
     loaders/stats_loader.py:113-318; CSV filter :196-211).  Set-oriented:
     one equi-join on the (string-normalized) match key.
     """
+    from niamoto_spark.functions import hashed_dim_join
+
     ref_field = ref_field or group_id
     stats, match_field = _clear_gid_collision(stats, match_field, group_id)
     norm = lambda c: F.trim(F.col(c).cast("string"))  # noqa: E731
     g = groups.select(F.col(group_id),
                       norm(ref_field).alias("__match"))
-    return (stats.withColumn("__mkey", norm(match_field))
-                 .join(F.broadcast(g), F.col("__mkey") == F.col("__match"), "inner")
-                 .drop("__mkey", "__match"))
+    return hashed_dim_join(stats.withColumn("__mkey", norm(match_field)),
+                           g, "__mkey", [group_id],
+                           dim_key="__match").drop("__mkey")
 
 
 @register("spatial_containment", PluginType.LOADER)

@@ -90,3 +90,68 @@ def test_erase_entity_vacuum_spares_untouched_tables(spark, tmp_path):
     assert mf.read_table(spark, miss, version=0).count() == 1
     # the erased table no longer contains the entity
     assert mf.read_table(spark, hit).where("k = 1").count() == 0
+
+
+# --- hashed_dim_join --------------------------------------------------------
+
+def test_hashed_dim_join_string_key_exact(spark):
+    """String keys route through the single-long hashed probe with an
+    exact recheck: NULL fact keys never match, duplicate dim keys fan
+    out, and results equal the plain equi-join."""
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.functions import hashed_dim_join
+
+    fact = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3), ("zz", 4), ("a", 5)],
+        "k string, v int")
+    dim = spark.createDataFrame(
+        [("a", "A1"), ("a", "A2"), ("b", "B")], "k string, tag string")
+    got = sorted((r["v"], r["tag"]) for r in
+                 hashed_dim_join(fact, dim, "k", ["tag"]).collect())
+    exp = sorted((r["v"], r["tag"]) for r in
+                 fact.join(dim.withColumnRenamed("k", "dk"),
+                           F.col("k") == F.col("dk")).collect())
+    assert got == exp == [(1, "A1"), (1, "A2"), (2, "B"),
+                          (5, "A1"), (5, "A2")]
+
+
+def test_hashed_dim_join_integral_key_plain(spark):
+    """Integral keys stay on the plain broadcast join (already the
+    LongHashedRelation path) — no hashing round-trip."""
+    import contextlib
+    import io
+
+    from niamoto_spark.functions import hashed_dim_join
+
+    fact = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, v string")
+    dim = spark.createDataFrame([(1, "T")], "k bigint, tag string")
+    out = hashed_dim_join(fact, dim, "k", ["tag"])
+    assert [(r["v"], r["tag"]) for r in out.collect()] == [("x", "T")]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    assert "xxhash64" not in buf.getvalue()
+
+
+def test_loader_string_key_joins_on_single_long_hash(spark):
+    """direct_reference with a string ref key plans the probe as one
+    xxhash64 long key (LongHashedRelation), not a string-keyed join."""
+    import contextlib
+    import io
+
+    from niamoto_spark.operators.loaders import direct_reference
+
+    facts = spark.createDataFrame(
+        [(f"sp_{i % 5}", i) for i in range(50)], "taxon string, v int")
+    groups = spark.createDataFrame(
+        [(f"sp_{i}", i) for i in range(5)], "taxon_ref string, gid int")
+    out = direct_reference(facts, "taxon", groups, "gid",
+                           ref_key="taxon_ref")
+    assert out.count() == 50
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan

@@ -54,20 +54,32 @@ def stump_split(df: DataFrame, feature_cols: "list[str]",
     y = F.when(F.col(target_col).cast("double") != 0, 1).otherwise(0)
     pairs = []
     for c in feature_cols:
+        # an all-NULL feature has no min/max: fall through to the
+        # constant-feature sentinel instead of crashing on float(None)
+        if mm[f"mn_{c}"] is None:
+            continue
         mn, mx = float(mm[f"mn_{c}"]), float(mm[f"mx_{c}"])
         if mx > mn:
-            b = F.least(
+            # the isNotNull guard matters: F.least SKIPS null args, so
+            # a bare least(floor(NULL...), n_bins-1) would silently put
+            # NULL values in the TOP bin instead of a NULL bin
+            b = F.when(F.col(c).isNotNull(), F.least(
                 F.floor((F.col(c).cast("double") - F.lit(mn))
                         * n_bins / F.lit(mx - mn)),
-                F.lit(n_bins - 1)).cast("int")
+                F.lit(n_bins - 1))).cast("int")
         else:
-            b = F.lit(0)
+            b = F.when(F.col(c).isNotNull(), F.lit(0)).cast("int")
         pairs.append(F.struct(F.lit(c).alias("feature"),
                               b.alias("bin")))
     # one Expand: each row contributes one (feature, bin, y) triple
-    # per feature — no join, no second scan
+    # per feature — no join, no second scan.  NULL feature values get
+    # a NULL bin and are dropped here: without the filter they'd sort
+    # FIRST in the cumulative window and silently join every split's
+    # left side; the split statistics are over the non-null population
+    # (the histogram-GBDT convention).
     hist = (df.select(F.explode(F.array(*pairs)).alias("fb"),
                       y.alias("y"))
+            .where(F.col("fb.bin").isNotNull())
             .groupBy(F.col("fb.feature").alias("feature"),
                      F.col("fb.bin").alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"),
@@ -102,6 +114,8 @@ def stump_split(df: DataFrame, feature_cols: "list[str]",
     # threshold from the frozen (mn, mx): right edge of the split bin
     thr = F.lit(None).cast("double")
     for c in feature_cols:
+        if mm[f"mn_{c}"] is None:
+            continue
         mn, mx = float(mm[f"mn_{c}"]), float(mm[f"mx_{c}"])
         t = (F.lit(mn) + (F.col("bin") + 1)
              * F.lit((mx - mn) / n_bins if mx > mn else 0.0))
@@ -114,7 +128,8 @@ def stump_split(df: DataFrame, feature_cols: "list[str]",
     # constant features never produce a candidate row: re-add with a
     # no-split sentinel so the output always has |feature_cols| rows
     consts = [c for c in feature_cols
-              if not (float(mm[f"mx_{c}"]) > float(mm[f"mn_{c}"]))]
+              if mm[f"mn_{c}"] is None
+              or not (float(mm[f"mx_{c}"]) > float(mm[f"mn_{c}"]))]
     if consts:
         spark = df.sparkSession
         sent = spark.createDataFrame(
@@ -167,14 +182,19 @@ def boosted_stumps(df: DataFrame, feature_cols: "list[str]",
     bins = {}
     thr = {}
     for c in feature_cols:
+        if mm[f"mn_{c}"] is None:       # all-NULL feature: constant
+            bins[c] = F.lit(0)
+            thr[c] = (0.0, 0.0)
+            continue
         mn, mx = float(mm[f"mn_{c}"]), float(mm[f"mx_{c}"])
         if mx > mn:
-            bins[c] = F.least(
+            # when() guard: F.least skips NULL args (see stump_split)
+            bins[c] = F.when(F.col(c).isNotNull(), F.least(
                 F.floor((F.col(c).cast("double") - F.lit(mn))
                         * n_bins / F.lit(mx - mn)),
-                F.lit(n_bins - 1)).cast("int")
+                F.lit(n_bins - 1))).cast("int")
         else:
-            bins[c] = F.lit(0)
+            bins[c] = F.when(F.col(c).isNotNull(), F.lit(0)).cast("int")
         thr[c] = (mn, (mx - mn) / n_bins if mx > mn else 0.0)
     y = F.when(F.col(target_col).cast("double") != 0, 1) \
         .otherwise(0).cast("long")
@@ -189,6 +209,10 @@ def boosted_stumps(df: DataFrame, feature_cols: "list[str]",
                           bins[c].alias("bin")) for c in feature_cols]
         hist = (df.select(F.explode(F.array(*pairs)).alias("fb"),
                           resid_q)
+                # NULL feature values (NULL bin) are excluded from the
+                # histogram; prediction sends them right (the when()
+                # below falls through to the right step)
+                .where(F.col("fb.bin").isNotNull())
                 .groupBy(F.col("fb.feature").alias("feature"),
                          F.col("fb.bin").alias("bin"))
                 .agg(F.count(F.lit(1)).alias("n"),

@@ -155,3 +155,35 @@ def test_loader_string_key_joins_on_single_long_hash(spark):
     plan = buf.getvalue()
     assert "xxhash64" in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- stump_split / boosted_stumps NULL handling -----------------------------
+
+def test_stump_split_nulls_excluded_and_all_null_feature(spark):
+    """NULL feature values must not join the left side of every split
+    (they previously landed in a NULL bin that sorted first in the
+    cumulative window), and an all-NULL feature takes the no-split
+    sentinel instead of crashing on float(None)."""
+    from niamoto_spark.operators.trees import stump_split
+
+    rows = [(float(i), None if i % 2 else float(i), None, i % 2)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "f1 double, f2 double, f3 double, y int")
+    out = {r["feature"]: r for r in
+           stump_split(df, ["f1", "f2", "f3"], "y").collect()}
+    assert out["f3"]["split_bin"] == -1 and out["f3"]["gain"] == 0.0
+    # f2 is non-null only on even i (y=0 exactly): its split stats must
+    # cover exactly the 50 non-null rows
+    assert out["f2"]["n_left"] + out["f2"]["n_right"] == 50
+    assert out["f1"]["n_left"] + out["f1"]["n_right"] == 100
+
+
+def test_boosted_stumps_tolerates_nulls(spark):
+    from niamoto_spark.operators.trees import boosted_stumps
+
+    rows = [(float(i), None if i % 3 == 0 else float(i % 7), i % 2)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y int")
+    model = boosted_stumps(df, ["f1", "f2"], "y", rounds=2).collect()
+    assert len(model) == 2          # fits without TypeError on NULL bins

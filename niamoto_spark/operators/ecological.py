@@ -169,27 +169,42 @@ def csr_strategy(df: DataFrame, wood_density_col: str, leaf_thickness_col: str,
     scaled to sum 1, dominant/secondary strategy + 'CSR' class when no
     component reaches 0.45.  Pure column arithmetic — fully distributed.
     """
-    nwd = F.least(F.lit(1.0), F.col(wood_density_col) / 1.0)
-    nlt = F.least(F.lit(1.0), F.col(leaf_thickness_col) / 500.0)
-    nsla = F.least(F.lit(1.0), F.col(leaf_sla_col) / 40.0)
+    # NULL-guarded: F.least SKIPS null args, so a missing trait would
+    # silently normalize to the CAP (1.0).  The reference treats a
+    # missing trait as an error (float(None) raises,
+    # custom_calculator.py:951-953); row-wise we propagate NULL.
+    def _norm(col, cap):
+        return F.when(F.col(col).isNotNull(),
+                      F.least(F.lit(1.0), F.col(col) / cap))
+
+    nwd = _norm(wood_density_col, 1.0)
+    nlt = _norm(leaf_thickness_col, 500.0)
+    nsla = _norm(leaf_sla_col, 40.0)
     sub = (F.when(F.col(substrate_col) == "UM", 1.2).otherwise(1.0)
            if substrate_col else F.lit(1.0))
     c = (0.7 * nwd + 0.4 * nlt - 0.3 * nsla) / 0.8
     s = (0.5 * nwd + 0.8 * nlt - 0.7 * nsla) * sub / 1.2
     r = (0.3 - 0.7 * nwd - 0.8 * nlt + 0.9 * nsla) / 1.0
     total = c + s + r
-    c1 = F.when(total > 0, c / total).otherwise(F.lit(1.0 / 3))
-    s1 = F.when(total > 0, s / total).otherwise(F.lit(1.0 / 3))
-    r1 = F.when(total > 0, r / total).otherwise(F.lit(1.0 / 3))
+    # NULL total (any trait missing) stays NULL, never the uniform 1/3
+    c1 = F.when(total > 0, c / total) \
+        .when(total.isNotNull(), F.lit(1.0 / 3))
+    s1 = F.when(total > 0, s / total) \
+        .when(total.isNotNull(), F.lit(1.0 / 3))
+    r1 = F.when(total > 0, r / total) \
+        .when(total.isNotNull(), F.lit(1.0 / 3))
     out = (df.withColumn("competitive", F.round(c1, 4))
              .withColumn("stress_tolerant", F.round(s1, 4))
              .withColumn("ruderal", F.round(r1, 4)))
     mx = F.greatest("competitive", "stress_tolerant", "ruderal")
-    dominant = (F.when(F.col("competitive") == mx, "C")
+    dominant = (F.when(mx.isNull(), F.lit(None).cast("string"))
+                 .when(F.col("competitive") == mx, "C")
                  .when(F.col("stress_tolerant") == mx, "S").otherwise("R"))
     out = out.withColumn("dominant_strategy", dominant)
     mid = F.expr("array_sort(array(competitive, stress_tolerant, ruderal))")[1]
-    secondary = (F.when((F.col("competitive") == mid)
+    secondary = (F.when(F.col("dominant_strategy").isNull(),
+                        F.lit(None).cast("string"))
+                  .when((F.col("competitive") == mid)
                         & (F.col("dominant_strategy") != "C"), "C")
                   .when((F.col("stress_tolerant") == mid)
                         & (F.col("dominant_strategy") != "S"), "S").otherwise("R"))
@@ -207,12 +222,16 @@ def resilience_score(df: DataFrame, c_col: str = "competitive",
     """Resilience score 0-100 from CSR + functional diversity (reference
     custom_calculator.py:1026-1105): 20C + 10S + 40R + 30*min(H/5, 1),
     UM substrate factor 0.8, five-class label ladder."""
-    nd = F.least(F.lit(1.0), F.col(diversity_col) / 5.0)
+    # NULL-guarded like csr_strategy: least() would turn a missing
+    # diversity into the cap (1.0) and +30 points
+    nd = F.when(F.col(diversity_col).isNotNull(),
+                F.least(F.lit(1.0), F.col(diversity_col) / 5.0))
     sub = (F.when(F.col(substrate_col) == "UM", 0.8).otherwise(1.0)
            if substrate_col else F.lit(1.0))
     score = (20 * F.col(c_col) + 10 * F.col(s_col) + 40 * F.col(r_col)
              + 30 * nd) * sub
-    label = (F.when(score >= 80, "Very high").when(score >= 60, "High")
+    label = (F.when(score.isNull(), F.lit(None).cast("string"))
+              .when(score >= 80, "Very high").when(score >= 60, "High")
               .when(score >= 40, "Medium").when(score >= 20, "Low")
               .otherwise("Very low"))
     return df.withColumn("resilience_score", F.round(score, 2)) \

@@ -187,3 +187,32 @@ def test_boosted_stumps_tolerates_nulls(spark):
     df = spark.createDataFrame(rows, "f1 double, f2 double, y int")
     model = boosted_stumps(df, ["f1", "f2"], "y", rounds=2).collect()
     assert len(model) == 2          # fits without TypeError on NULL bins
+
+
+# --- CSR / resilience NULL traits -------------------------------------------
+
+def test_csr_and_resilience_null_traits_propagate(spark):
+    """A missing trait must yield NULL indices/labels — F.least skips
+    NULL args, so it previously normalized missing traits to the CAP
+    (wood density 1.0 = max score)."""
+    from niamoto_spark.operators.ecological import (csr_strategy,
+                                                    resilience_score)
+
+    df = spark.createDataFrame(
+        [(0.6, 300.0, 20.0), (None, 300.0, 20.0)],
+        "wd double, lt double, sla double")
+    out = csr_strategy(df, "wd", "lt", "sla").collect()
+    ok, bad = (out[0], out[1]) if out[0]["wd"] is not None \
+        else (out[1], out[0])
+    assert ok["dominant_strategy"] in ("C", "S", "R")
+    assert bad["competitive"] is None
+    assert bad["dominant_strategy"] is None
+    assert bad["csr_class"] is None
+
+    r = spark.createDataFrame(
+        [(0.3, 0.3, 0.4, None)],
+        "competitive double, stress_tolerant double, ruderal double, "
+        "shannon double")
+    row = resilience_score(r).collect()[0]
+    assert row["resilience_score"] is None
+    assert row["resilience_class"] is None

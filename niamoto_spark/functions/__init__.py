@@ -198,11 +198,20 @@ def hashed_dim_join(fact, dim, fact_key: str, dim_cols,
     ``dim_cols`` are the dim columns to carry into the output (the dim
     key itself is dropped unless listed).  NULL fact keys never match,
     exactly as in a plain inner equi-join.
+
+    The hashed path requires the two key dtypes to MATCH: a plain
+    equi-join implicitly casts mixed types (string '5' matches bigint
+    5) but xxhash64 is type-sensitive, so hashing mismatched sides
+    would silently drop every such row.  On any dtype mismatch this
+    falls back to the plain broadcast equi-join, preserving implicit-
+    cast semantics exactly.
     """
     dim_key = dim_key or fact_key
     dtype = dict(fact.dtypes).get(fact_key)
+    dim_dtype = dict(dim.dtypes).get(dim_key)
     carried = list(dim_cols)
-    if dtype in ("tinyint", "smallint", "int", "bigint", "date"):
+    if dtype != dim_dtype or dtype in ("tinyint", "smallint", "int",
+                                       "bigint", "date"):
         ref = dim.select(F.col(dim_key).alias("__dk"), *carried)
         return (fact.join(F.broadcast(ref),
                           fact[fact_key] == F.col("__dk"), "inner")

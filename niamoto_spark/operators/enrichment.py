@@ -310,11 +310,13 @@ def api_enrichment(df: DataFrame, key_col: str,
     if distributed:
         import pandas as pd  # noqa: PLC0415 - executor-side dependency
 
-        # keys stay DISTRIBUTED end to end: the guard probes the
-        # cached distinct frame, the fetch repartitions it — nothing
-        # key-shaped ever lands on the driver (the r9 review caught a
-        # regression that collected keys here, defeating the mode's
-        # purpose at exactly the large-key-set scale it exists for)
+        # key FETCHES stay distributed: the guard probes the cached
+        # distinct frame and the HTTP calls run on executors via
+        # mapInPandas.  The fetched RESULTS (≤ max_keys small rows)
+        # are then collected once below for a stable broadcast — the
+        # same bytes a broadcast would pull to the driver anyway; what
+        # the mode avoids is funneling the API calls themselves
+        # through a single driver-side loop
         distinct = distinct.persist()
         try:
             if guard_exceeded():

@@ -71,6 +71,14 @@ def stump_split(df: DataFrame, feature_cols: "list[str]",
             b = F.when(F.col(c).isNotNull(), F.lit(0)).cast("int")
         pairs.append(F.struct(F.lit(c).alias("feature"),
                               b.alias("bin")))
+    if not pairs:
+        # every feature is all-NULL: F.explode(F.array()) would fail at
+        # analysis time (field extraction from an empty untyped array) —
+        # short-circuit straight to the no-split sentinel rows
+        return df.sparkSession.createDataFrame(
+            [(c, -1, None, 0.0, None, None) for c in feature_cols],
+            "feature string, split_bin int, threshold double, "
+            "gain double, n_left bigint, n_right bigint")
     # one Expand: each row contributes one (feature, bin, y) triple
     # per feature — no join, no second scan.  NULL feature values get
     # a NULL bin and are dropped here: without the filter they'd sort

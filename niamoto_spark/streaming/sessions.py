@@ -49,20 +49,41 @@ def _close_sessions(key: Tuple, pdfs: Iterable[pd.DataFrame],
         for pdf in pdfs:
             times.extend(int(t) for t in pdf["ts_sec"])
         times.sort()
-        start, last, n = state.get if state.exists else (None, None, 0)
+        # Disjoint session intervals [start, last, n], sorted, pairwise
+        # separated by > gap_s.  The open session from state is one such
+        # interval; late-but-within-watermark events can land BEFORE it
+        # (t < start - gap_s), and batch semantics make those their own
+        # session rather than stretching the open one — so events merge
+        # into whichever interval they fall within gap_s of, and intervals
+        # that a new event bridges are coalesced.  This matches
+        # sessionize_batch exactly because every interval is a valid gap
+        # chain (no internal gap can exceed gap_s by construction).
+        sessions: list = []
+        if state.exists:
+            sessions.append(list(state.get))
         for t in times:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_s:
-                closed.append((user_id, start, last, n))
-                start, last, n = t, t, 1
+            for iv in sessions:
+                if iv[0] - gap_s <= t <= iv[1] + gap_s:
+                    iv[0] = min(iv[0], t)
+                    iv[1] = max(iv[1], t)
+                    iv[2] += 1
+                    break
             else:
-                # A late event (within watermark) can arrive with t < last
-                # once batches interleave; fold it monotonically so the
-                # open session's bounds never regress.
-                start, last, n = min(start, t), max(last, t), n + 1
-        if start is not None:
-            state.update((start, last, n))
+                sessions.append([t, t, 1])
+            sessions.sort(key=lambda iv: iv[0])
+            merged = [sessions[0]]
+            for iv in sessions[1:]:
+                if iv[0] - merged[-1][1] <= gap_s:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                    merged[-1][2] += iv[2]
+                else:
+                    merged.append(iv)
+            sessions = merged
+        if sessions:
+            # All but the latest interval are proven closed (a later chain
+            # sits > gap_s after them); the latest stays open in state.
+            closed.extend((user_id, s, l, n) for s, l, n in sessions[:-1])
+            state.update(tuple(sessions[-1]))
             if use_timeout:
                 state.setTimeoutDuration(gap_s * 1000)
     yield pd.DataFrame(closed, columns=["user_id", "session_start",

@@ -142,6 +142,10 @@ def add_nested_sets(nodes: DataFrame, id_col: str = "id",
     """
     order_col = order_col or id_col
     collected = nodes.select(id_col, parent_col, order_col).collect()
+    # A NULL id can never be referenced as a parent nor joined back to
+    # its bounds row (NULL never equi-joins), so such rows stay out of
+    # the tree and pass through the left join below with NULL lft/rght.
+    collected = [r for r in collected if r[id_col] is not None]
     ids = {r[id_col] for r in collected}
     children: dict = {}
     order_key = {}
@@ -156,7 +160,12 @@ def add_nested_sets(nodes: DataFrame, id_col: str = "id",
         children.setdefault(parent, []).append(r[id_col])
         order_key[r[id_col]] = r[order_col]
     for sibs in children.values():
-        sibs.sort(key=lambda i: (order_key[i], i))
+        # NULL order keys sort LAST (ties broken by id) — a pinned
+        # convention, and one Python's bare tuple compare can't express
+        # (None < int raises)
+        sibs.sort(key=lambda i: (order_key[i] is None,
+                                 0 if order_key[i] is None else order_key[i],
+                                 i))
 
     # Iterative DFS: recursion would hit Python's stack limit on
     # path-shaped trees (~1000 deep).

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from niamoto_spark.operators.similarity import (_assign_nearest,
                                                 _ivf_score,
+                                                _non_null_vectors,
                                                 _pick_centroids)
 from niamoto_spark.registry import PluginType, register
 from niamoto_spark.sources import manifest
@@ -38,8 +39,9 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str,
                     n_centroids: int = 16, replication: int = 1,
                     use_kmeans: bool = False) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) frames for the IVF index."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+    c = _non_null_vectors(corpus, id_col, vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"))
     cents = _pick_centroids(c, n_centroids, use_kmeans)
     assigned = _assign_nearest(c, cents, "c_vec", "bucket",
                                max(replication, 1))
@@ -82,8 +84,9 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     join).  The probed bucket set is query-batch-sized, so collecting
     it costs one tiny job over the queries only."""
     cents = manifest.read_table(spark, f"{path}/centroids")
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+    q = _non_null_vectors(queries, id_col, vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"))
     q_assigned = _assign_nearest(q, cents, "q_vec", "bucket", nprobe) \
         .localCheckpoint(eager=True)   # consumed by the probe set + join
     probed = [r["bucket"] for r in

@@ -54,9 +54,11 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
     """Fit and return the centroid table (cluster_id, cent_vec) after
     ``iters`` Lloyd's iterations from the deterministic min-id init."""
     spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("__id"),
-                     F.transform(F.col(vec_col),
-                                 lambda v: v.cast("double")).alias("__v"))
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.transform(F.col(vec_col),
+                                lambda v: v.cast("double")).alias("__v")))
 
     init = (base.orderBy("__id").limit(k)
             .select("__id", "__v").collect())  # k rows only
@@ -85,9 +87,11 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
 def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
                   cents: DataFrame) -> DataFrame:
     """(id, cluster_id, d2): final nearest-centroid assignment."""
-    base = df.select(F.col(id_col).alias("__id"),
-                     F.transform(F.col(vec_col),
-                                 lambda v: v.cast("double")).alias("__v"))
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.transform(F.col(vec_col),
+                                lambda v: v.cast("double")).alias("__v")))
     out = _assign(base, "__id", "__v", cents)
     return out.select(F.col("__id").alias(id_col), "cluster_id",
                       F.col("__d2").alias("d2"))
@@ -98,6 +102,8 @@ def kmeans_cluster_profile(df: DataFrame, id_col: str, vec_col: str,
                            round_dp: int = 3) -> DataFrame:
     """(cluster_id, n_members, mean_d2) after a full deterministic fit —
     the oracle-checked surface (integer counts + one rounded float)."""
+    # NULL ids/vectors are excluded inside kmeans_fit/assign (pinned
+    # semantic: they can neither seed, train, nor be assigned)
     cents = kmeans_fit(df, id_col, vec_col, k, iters)
     a = kmeans_assign(df, id_col, vec_col, cents)
     return (a.groupBy("cluster_id")
@@ -202,9 +208,11 @@ def silhouette_simplified(df: DataFrame, id_col: str, vec_col: str,
     s near 1: tight, well-separated cluster; near 0: boundary; < 0:
     points closer to another centroid than their own (mis-clustered).
     Returns (cluster_id, n, mean_silhouette)."""
-    base = df.select(F.col(id_col).alias("__id"),
-                     F.transform(F.col(vec_col),
-                                 lambda v: v.cast("double")).alias("__v"))
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.transform(F.col(vec_col),
+                                lambda v: v.cast("double")).alias("__v")))
     pairs = base.crossJoin(
         F.broadcast(cents.select(F.col("cluster_id").alias("cid"),
                                  "cent_vec")))
@@ -250,13 +258,21 @@ def knn_classify(train: DataFrame, test: DataFrame, id_col: str,
     votes)."""
     from pyspark.sql import Window
 
-    t = test.select(F.col(id_col).alias("qid"),
-                    F.transform(F.col(vec_col),
-                                lambda v: v.cast("double")).alias("qv"))
-    tr = train.select(F.col(id_col).alias("tid"),
-                      F.transform(F.col(vec_col),
-                                  lambda v: v.cast("double")).alias("tv"),
-                      F.col(label_col).alias("lbl"))
+    # pinned NULL semantic: a test row with a NULL id/vector can't be
+    # classified; a train row with a NULL vector can't be ranked and one
+    # with a NULL label can't vote — all excluded (oracles pin the same)
+    t = (test.where(F.col(id_col).isNotNull()
+                    & F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("qid"),
+                 F.transform(F.col(vec_col),
+                             lambda v: v.cast("double")).alias("qv")))
+    tr = (train.where(F.col(id_col).isNotNull()
+                      & F.col(vec_col).isNotNull()
+                      & F.col(label_col).isNotNull())
+          .select(F.col(id_col).alias("tid"),
+                  F.transform(F.col(vec_col),
+                              lambda v: v.cast("double")).alias("tv"),
+                  F.col(label_col).alias("lbl")))
     pairs = tr.crossJoin(F.broadcast(t))
     score = F.aggregate(
         F.zip_with(F.col("qv"), F.col("tv"), lambda a, b: a * b),

@@ -197,8 +197,12 @@ def mixture_rebalance(df: DataFrame, id_col: str, group_col: str,
         F.substring(F.md5(F.concat_ws("|", F.lit(seed),
                                       F.col(id_col).cast("string"))),
                     1, 8), 16, 10).cast("bigint")
+    # NULL ids are never selected: concat_ws SKIPS a NULL id (every
+    # such row would share the md5(seed) coin) while SQL's || yields
+    # NULL and fails the comparison — pin the SQL behavior explicitly
     selected = (df.withColumn("__rate", rate_col)
-                .where(F.col("__rate").isNotNull()
+                .where(F.col(id_col).isNotNull()
+                       & F.col("__rate").isNotNull()
                        & (bucket < F.col("__rate")
                           * F.lit(float(2 ** 32))))
                 .drop("__rate"))
@@ -274,20 +278,29 @@ def neyman_allocation(df: DataFrame, id_col: str, strata_col: str,
     weight = {g: n * s for g, (n, s) in stats.items()}
     tot_w = sum(weight.values())
     plan = []
-    for g, (n, s) in sorted(stats.items()):
+    # NULL is a legal stratum (SQL GROUP BY forms a NULL group); it
+    # sorts FIRST in the plan, and its rate predicate must use isNull
+    # (an equality test never matches NULL)
+    for g, (n, s) in sorted(stats.items(),
+                            key=lambda kv: (kv[0] is not None, kv[0])):
         quota = int(budget_rows * weight[g] / tot_w) if tot_w > 0 else 0
         rate = 0.0 if n == 0 else min(1.0, quota / n)
         plan.append((g, n, s, quota, rate))
     rate_col = F.lit(None).cast("double")
     for g, _, _, _, rate in plan:
-        rate_col = F.when(F.col(strata_col) == g,
-                          F.lit(rate)).otherwise(rate_col)
+        match = (F.col(strata_col).isNull() if g is None
+                 else F.col(strata_col) == g)
+        rate_col = F.when(match, F.lit(rate)).otherwise(rate_col)
     bucket = F.conv(
         F.substring(F.md5(F.concat_ws("|", F.lit(seed),
                                       F.col(id_col).cast("string"))),
                     1, 8), 16, 10).cast("bigint")
+    # NULL ids are never selected: concat_ws SKIPS a NULL id (every
+    # such row would share the md5(seed) coin) while SQL's || yields
+    # NULL and fails the comparison — pin the SQL behavior explicitly
     selected = (df.withColumn("__rate", rate_col)
-                .where(F.col("__rate").isNotNull()
+                .where(F.col(id_col).isNotNull()
+                       & F.col("__rate").isNotNull()
                        & (bucket < F.col("__rate")
                           * F.lit(float(2 ** 32))))
                 .drop("__rate"))

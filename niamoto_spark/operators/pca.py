@@ -59,7 +59,11 @@ def _moment_totals(df: DataFrame, vec_col: str,
                 "g": [(x.T @ x).ravel().tolist()],
             })
 
-    p = df.select(vec_col).mapInPandas(partials, schema=part_schema)
+    # pinned NULL semantic: moments are over the non-null-vector
+    # population (a NULL embedding contributes to no sum; oracles carry
+    # the same WHERE ... IS NOT NULL)
+    p = (df.select(vec_col).where(F.col(vec_col).isNotNull())
+         .mapInPandas(partials, schema=part_schema))
     # O(d^2)-row reduction: one row per (matrix position), summed JVM-side
     totals = (p.select("n", F.posexplode(
                   F.concat(F.col("s"), F.col("g"))).alias("pos", "v"))

@@ -51,6 +51,7 @@ def pq_train(corpus: DataFrame, vec_col: str, m: int = 4, ksub: int = 16,
     import numpy as np
 
     rows = (corpus.select(F.col(vec_col))
+            .where(F.col(vec_col).isNotNull())
             .withColumn("__h", F.xxhash64(vec_col))
             .orderBy("__h").limit(sample_size)
             .select(vec_col).collect())
@@ -113,7 +114,9 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame({"__pq_id": pdf[id_col],
                                 "codes": list(codes.tolist())})
 
-    out = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+    out = fan_out(corpus.select(id_col, vec_col)
+                  .where(F.col(id_col).isNotNull()
+                         & F.col(vec_col).isNotNull())).mapInPandas(
         encode, schema=out_schema)
     return out.withColumnRenamed("__pq_id", id_col)
 
@@ -132,7 +135,9 @@ def pq_topk(codes: DataFrame, queries: DataFrame, id_col: str,
     from pyspark.sql import types as T
 
     spark = codes.sparkSession
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = (queries.select(id_col, vec_col)
+              .where(F.col(id_col).isNotNull()
+                     & F.col(vec_col).isNotNull()).collect())
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, adc_dist double, rank int")
@@ -210,10 +215,14 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     spark = corpus.sparkSession
 
     # --- coarse quantizer: reuse ivf_topk's centroid derivation shape ---
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+    from niamoto_spark.operators.similarity import _non_null_vectors
+
+    c = _non_null_vectors(corpus, id_col, vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"))
+    q = _non_null_vectors(queries, id_col, vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"))
     if use_kmeans:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -267,7 +276,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .join(codes, "neighbor_id")
 
     # --- ADC tables per query, broadcast (n_queries x M x K doubles) ---
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = (queries.select(id_col, vec_col)
+              .where(F.col(id_col).isNotNull()
+                     & F.col(vec_col).isNotNull()).collect())
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, adc_dist double, "
@@ -327,7 +338,8 @@ def sq_train(corpus: DataFrame, vec_col: str) -> tuple:
     One posexplode + (dim) aggregate — fully distributed; the result
     is 2·dim floats, broadcast as literals into encode/score
     projections."""
-    ex = corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    ex = (corpus.where(F.col(vec_col).isNotNull())
+          .select(F.posexplode(F.col(vec_col)).alias("dim", "x")))
     rows = (ex.groupBy("dim")
             .agg(F.min(F.col("x").cast("double")).alias("mn"),
                  F.max(F.col("x").cast("double")).alias("mx"))
@@ -354,7 +366,9 @@ def sq_encode(corpus: DataFrame, id_col: str, vec_col: str,
             F.floor((x.cast("double") - F.element_at(mins_l, i + 1))
                     * 255.0 / F.element_at(spans_l, i + 1) + 0.5))
         .otherwise(0.0).cast("int"))
-    return corpus.select(F.col(id_col), code.alias("codes"))
+    return (corpus.where(F.col(id_col).isNotNull()
+                          & F.col(vec_col).isNotNull())
+            .select(F.col(id_col), code.alias("codes")))
 
 
 @register("sq_topk", PluginType.TRANSFORMER)
@@ -380,8 +394,10 @@ def sq_topk(codes: DataFrame, queries: DataFrame, id_col: str,
     qv = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
     paired = (codes.withColumn("__dq", dq)
               .crossJoin(F.broadcast(
-                  queries.select(F.col(qid_col).alias("qid"),
-                                 qv.alias("__qv")))))
+                  queries.where(F.col(qid_col).isNotNull()
+                                & F.col(qvec_col).isNotNull())
+                  .select(F.col(qid_col).alias("qid"),
+                          qv.alias("__qv")))))
     score = F.aggregate(
         F.zip_with(F.col("__qv"), F.col("__dq"), lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x)

@@ -37,9 +37,13 @@ def item_similarity(df: DataFrame, basket_col: str, item_col: str,
     co-occurrence >= ``min_cooccur``; item_a < item_b.  Baskets larger
     than ``max_basket_items`` are truncated to their first items in
     sort order (deterministic, logged in the row count)."""
+    # a NULL basket id is not a co-occurrence context (SQL's NULL-group
+    # semantics would otherwise pool every orphan row into ONE basket —
+    # while the oracle's self-join on basket drops them); NULL items
+    # can't pair
     inc = (df.select(F.col(basket_col).alias("b"),
                      F.col(item_col).cast("string").alias("it"))
-           .where(F.col("it").isNotNull())
+           .where(F.col("it").isNotNull() & F.col("b").isNotNull())
            .distinct())
     per_basket = (inc.groupBy("b")
                   .agg(F.slice(F.array_sort(F.collect_set("it")), 1,

@@ -24,6 +24,14 @@ from niamoto_spark.functions import cosine_similarity, fan_out
 from niamoto_spark.registry import PluginType, register
 
 
+def _non_null_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Pinned NULL semantic for every vector lane: a row with a NULL id or
+    a NULL vector cannot participate in similarity (cosine is undefined and
+    a NULL id can never be reported), so it is excluded from corpus AND
+    queries up front.  Oracles pin the same WHERE clause."""
+    return df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+
+
 @register("cosine_topk", PluginType.TRANSFORMER)
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, k: int = 10,
@@ -35,8 +43,10 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     quantized to ``round_dp`` first so rankings are reproducible across
     engines and partitionings).
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+    q = _non_null_vectors(queries, id_col, vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"))
+    corpus = _non_null_vectors(corpus, id_col, vec_col)
     # min_bytes=0: the HOF cosine runs as interpreted lambdas (never
     # whole-stage codegen), so this lane is CPU-bound even on sub-MB
     # corpora — paired A/B at sf0.1: best 0.97s -> 0.61s at 1 -> 32
@@ -79,7 +89,9 @@ def cosine_topk_blas(corpus: DataFrame, queries: DataFrame, id_col: str,
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    corpus = _non_null_vectors(corpus, id_col, vec_col)
+    q_rows = _non_null_vectors(queries, id_col, vec_col) \
+        .select(id_col, vec_col).collect()
     spark = corpus.sparkSession
     if not q_rows:
         return spark.createDataFrame(
@@ -210,10 +222,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     exact-partition index); each query probes its ``nprobe`` closest
     centroid buckets.  Same output schema as cosine_topk.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+    c = _non_null_vectors(corpus, id_col, vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"))
+    q = _non_null_vectors(queries, id_col, vec_col) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"))
     cents = _pick_centroids(c, n_centroids, use_kmeans)
     c_assigned = _assign_nearest(c, cents, "c_vec", "bucket",
                                  max(replication, 1))

@@ -141,7 +141,10 @@ def ewma(df: DataFrame, key_col: str, order_col: str, value_col: str,
         x_d = F.lag(value_col, d).over(w) if d else F.col(value_col)
         num = num + F.coalesce(x_d * F.lit(r ** d), F.lit(0.0))
         den = den + F.when(x_d.isNotNull(), F.lit(r ** d)).otherwise(0.0)
-    return df.withColumn(out_col, F.round(num / den, round_dp))
+    # every value in the lookback window NULL -> den 0 -> the smoothed
+    # value is undefined (NULL), not an ANSI divide-by-zero crash
+    return df.withColumn(
+        out_col, F.when(den > 0, F.round(num / den, round_dp)))
 
 
 @register("cusum_changepoints", PluginType.TRANSFORMER)
@@ -781,9 +784,12 @@ def rolling_median(df: DataFrame, key_col: str, order_col: str,
     arr = F.sort_array(F.collect_list(F.col(value_col).cast("double"))
                        .over(w))
     n = F.size(arr)
-    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    return df.withColumn("roll_median", (lo + hi) / 2)
+    # collect_list drops NULLs: an all-NULL frame is EMPTY (n = 0) and
+    # its median is NULL, not an index-0 ANSI crash
+    lo = F.try_element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.try_element_at(arr, (n / 2 + 1).cast("int"))
+    return df.withColumn("roll_median",
+                         F.when(n > 0, (lo + hi) / 2))
 
 
 @register("state_periods", PluginType.TRANSFORMER)

@@ -16,6 +16,7 @@ stable):
 from __future__ import annotations
 
 import os
+import re
 import time
 from collections.abc import Callable
 
@@ -3536,7 +3537,8 @@ def q100_kmeans(spark, sf_dir):
 
 
 O_Q100 = """
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH e AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
 dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
                 CAST(unnest(range(len(embedding))) AS INT) AS dim
          FROM e),
@@ -4868,7 +4870,7 @@ def q138_bucketed_join(spark, sf_dir):
     join — the oracle."""
     from niamoto_spark.sources.bucketed import bucketed_join, write_bucketed
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
     t_o, t_c = f"q138_orders_{tag}", f"q138_cust_{tag}"
     write_bucketed(_t(spark, sf_dir, "orders")
                    .select("o_custkey", "o_totalprice"),
@@ -4990,8 +4992,11 @@ def q141_bloom_point_lookup(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice")
     M.append_with_blooms(orders.repartitionByRange(8, "o_orderkey"),
                          path, bloom_cols=["o_orderkey"])
+    # a NULL key is not point-look-up-able (and Spark's asc NULLS FIRST
+    # would hand us None before any real key)
     keys = [r["o_orderkey"] for r in
-            orders.orderBy("o_orderkey").limit(5).collect()]
+            orders.where(F.col("o_orderkey").isNotNull())
+            .orderBy("o_orderkey").limit(5).collect()]
     parts = []
     for k in keys:
         hit, _, _ = M.read_table_point(spark, path, "o_orderkey", int(k))
@@ -5944,22 +5949,26 @@ def q157_ewma_smoothing(spark, sf_dir):
 
 
 def _ewma_oracle_sql(alpha: float = 0.3, lookback: int = 40) -> str:
+    # the d = 0 term must be NULL-guarded exactly like the lags: a NULL
+    # current value contributes nothing to num and 0 weight to den (and
+    # an all-NULL window -> den 0 -> ewma NULL, never a division)
     r = 1.0 - alpha
     num = " + ".join(
         f"coalesce(lag(value, {d}) OVER w * {r ** d!r}, 0.0)"
-        if d else f"value * 1.0"
+        if d else "coalesce(value * 1.0, 0.0)"
         for d in range(lookback + 1))
     den = " + ".join(
         f"(CASE WHEN lag(value, {d}) OVER w IS NOT NULL "
         f"THEN {r ** d!r} ELSE 0.0 END)"
-        if d else "1.0"
+        if d else "(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)"
         for d in range(lookback + 1))
     return f"""
 SELECT event_id, user_id, round(value, 2) AS value,
-       round(({num}) / ({den}), 4) AS ewma
+       CASE WHEN ({den}) > 0
+            THEN round(({num}) / ({den}), 4) END AS ewma
 FROM events
 WHERE user_id < 50
-WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id NULLS FIRST)
 """
 
 
@@ -7193,7 +7202,7 @@ O_Q189 = """
 WITH inc AS (
   SELECT DISTINCT l_orderkey AS b, p.p_brand AS it
   FROM lineitem JOIN part p ON l_partkey = p.p_partkey
-  WHERE p.p_brand IS NOT NULL),
+  WHERE p.p_brand IS NOT NULL AND l_orderkey IS NOT NULL),
 pairs AS (
   SELECT x.it AS a, y.it AS b, count(*) AS n_ab
   FROM inc x JOIN inc y ON x.b = y.b AND x.it < y.it
@@ -7317,7 +7326,7 @@ O_Q192 = """
 WITH inc AS (
   SELECT DISTINCT l_orderkey AS bk, p.p_brand AS it
   FROM lineitem JOIN part p ON l_partkey = p.p_partkey
-  WHERE p.p_brand IS NOT NULL),
+  WHERE p.p_brand IS NOT NULL AND l_orderkey IS NOT NULL),
 e AS (
   SELECT x.it AS a, y.it AS b
   FROM inc x JOIN inc y ON x.bk = y.bk AND x.it < y.it
@@ -10354,7 +10363,9 @@ def q259_array_surface(spark, sf_dir):
         F.aggregate(F.transform("qs", lambda x: x * x),
                     F.lit(0.0), lambda a, x: a + x).alias("sq_sum"),
         F.size(F.filter("qs", lambda x: x >= 30)).alias("n_big"),
-        F.element_at("qs", 1).alias("min_q"),
+        # try_: an all-NULL-quantity order collapses to an EMPTY array
+        # (collect_list drops NULLs) and ANSI element_at would throw
+        F.try_element_at("qs", F.lit(1)).alias("min_q"),
         F.array_contains("qs", 1.0).cast("int").alias("has_one")))
     j = e.join(F.broadcast(o.select("o_orderkey", "o_orderpriority")),
                e.l_orderkey == o.o_orderkey)
@@ -10370,7 +10381,7 @@ def q259_array_surface(spark, sf_dir):
 O_Q259 = """
 WITH per AS (
   SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
-  FROM lineitem GROUP BY 1),
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
 e AS (
   SELECT l_orderkey,
          len(qs) AS n_items,
@@ -10703,8 +10714,15 @@ def q266_map_surface(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     # the synthetic data repeats line numbers within an order: dedupe
     # to (order, line) -> max(quantity) so the map keys are unique
-    lines = (li.groupBy("l_orderkey", "l_linenumber")
-             .agg(F.max("l_quantity").alias("q")))
+    # NULL can't be a map key (Spark throws NULL_MAP_KEY) — a line
+    # with no line number has no slot in the map, both engines
+    lines = (li.where(F.col("l_linenumber").isNotNull())
+             .groupBy("l_orderkey", "l_linenumber")
+             .agg(F.max("l_quantity").alias("q"))
+             # a NULL value poisons the whole F.aggregate fold (a +
+             # NULL = NULL) where DuckDB's list_aggregate skips it:
+             # pin "no quantity -> no map entry" on both engines
+             .where(F.col("q").isNotNull()))
     per = (lines.groupBy("l_orderkey")
            .agg(F.map_from_entries(
                F.array_sort(F.collect_list(
@@ -10729,7 +10747,8 @@ def q266_map_surface(spark, sf_dir):
 O_Q266 = """
 WITH lines AS (
   SELECT l_orderkey, l_linenumber, max(l_quantity) AS q
-  FROM lineitem GROUP BY 1, 2),
+  FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2
+  HAVING max(l_quantity) IS NOT NULL),
 per AS (
   SELECT l_orderkey,
          map_from_entries(list_sort(list(
@@ -11029,7 +11048,8 @@ WITH e AS (
   FROM events),
 m AS (
   SELECT user_id,
-         median(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+         median(v) OVER (PARTITION BY user_id
+                         ORDER BY t NULLS FIRST, event_id NULLS FIRST
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
            AS rmed
   FROM e)
@@ -11886,7 +11906,8 @@ O_Q293 = """
 WITH flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings),
+  FROM embeddings
+  WHERE embedding IS NOT NULL),
 dims AS (
   SELECT dim, min(x) AS mn, max(x) AS mx FROM flat GROUP BY 1),
 params AS (SELECT dim, mn, mx - mn AS span FROM dims),
@@ -11895,7 +11916,8 @@ codes AS (
          CASE WHEN p.span > 0
               THEN floor((f.x - p.mn) * 255.0 / p.span + 0.5)
               ELSE 0.0 END AS code
-  FROM flat f JOIN params p ON f.dim = p.dim),
+  FROM flat f JOIN params p ON f.dim = p.dim
+  WHERE f.vec_id IS NOT NULL),
 dq AS (
   SELECT c.vec_id, c.dim,
          p.mn + c.code * p.span / 255.0 AS d
@@ -12355,23 +12377,26 @@ def q305_knn_classify(spark, sf_dir):
                         k=5)
     truth = test.select("vec_id", F.col("label").alias("true_label"))
     j = pred.join(truth, "vec_id")
+    # NULL-safe correctness: a NULL true label never counts as correct
+    # (0, not NULL) — mirrors the oracle's CASE WHEN ... ELSE 0
     return (j.groupBy("true_label")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum((F.col("pred_label") == F.col("true_label"))
-                       .cast("long")).alias("n_correct")))
+                 F.sum(F.when(F.col("pred_label")
+                              == F.col("true_label"), 1)
+                       .otherwise(0).cast("long")).alias("n_correct")))
 
 
 O_Q305 = """
 WITH flat AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings),
+  FROM embeddings WHERE embedding IS NOT NULL),
 scores AS (
   SELECT q.vec_id AS qid, t.vec_id AS tid,
          max(t.label) AS lbl,
          sum(q.x * t.x ORDER BY q.dim) AS score
   FROM flat q JOIN flat t ON q.dim = t.dim
-  WHERE q.vec_id < 30 AND t.vec_id >= 30
+  WHERE q.vec_id < 30 AND t.vec_id >= 30 AND t.label IS NOT NULL
   GROUP BY 1, 2),
 nn AS (
   SELECT qid, lbl,
@@ -12416,10 +12441,15 @@ O_Q306 = """
 WITH flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings),
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+init_ids AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+             AS cluster_id, vec_id
+  FROM (SELECT DISTINCT vec_id FROM flat) ORDER BY vec_id LIMIT 4),
 init AS (
-  SELECT vec_id AS cluster_id, dim, x AS c
-  FROM flat WHERE vec_id < 4),
+  SELECT i.cluster_id, f.dim, f.x AS c
+  FROM init_ids i JOIN flat f ON i.vec_id = f.vec_id),
 a0 AS (
   SELECT f.vec_id, i.cluster_id,
          sum((f.x - i.c) * (f.x - i.c)) AS d2
@@ -14099,8 +14129,12 @@ def q342_ipf_raking(spark, sf_dir):
     from niamoto_spark.operators.experiments import ipf_raking
 
     o = _t(spark, sf_dir, "orders")
+    # non-null categories only: SQL count(DISTINCT r) excludes NULL,
+    # and a NULL category has no join-able target anyway
     pris = [r["o_orderpriority"] for r in
-            o.select("o_orderpriority").distinct().collect()]
+            o.select("o_orderpriority").where(
+                F.col("o_orderpriority").isNotNull())
+            .distinct().collect()]
     row_t = {p: 1000.0 / len(pris) for p in sorted(pris)}
     col_t = {"O": 500.0, "F": 300.0, "P": 200.0}
     out = ipf_raking(o, "o_orderpriority", "o_orderstatus",

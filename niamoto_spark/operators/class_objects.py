@@ -174,8 +174,20 @@ def series_ratio_aggregator(df: DataFrame, group_cols: Sequence[str],
         .withColumnRenamed(CV, "__sub").drop(CO)
     tot = _dedup_sum(df.where(F.col(CO) == total_class), group_cols) \
         .withColumnRenamed(CV, "__tot").drop(CO)
-    joined = tot.join(sub, list(group_cols) + [CN], "left") \
-                .withColumn("__sub", F.coalesce(F.col("__sub"), F.lit(0.0)))
+    # NULL-SAFE join keys: a NULL class_name is a legal class (SQL's
+    # GROUP BY forms the NULL group and both sides carry it); a plain
+    # equi-join would orphan the subset row and report ratio 0
+    keys = list(group_cols) + [CN]
+    sub_r = sub
+    for c in keys:
+        sub_r = sub_r.withColumnRenamed(c, f"__r_{c}")
+    cond = None
+    for c in keys:
+        e = tot[c].eqNullSafe(sub_r[f"__r_{c}"])
+        cond = e if cond is None else (cond & e)
+    joined = (tot.join(sub_r, cond, "left")
+              .drop(*[f"__r_{c}" for c in keys])
+              .withColumn("__sub", F.coalesce(F.col("__sub"), F.lit(0.0))))
     ratio = F.when(F.col("__tot") != 0, F.col("__sub") / F.col("__tot"))
     if complement_mode == "difference":
         ratio = F.lit(1.0) - ratio

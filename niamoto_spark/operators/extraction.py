@@ -63,7 +63,10 @@ def direct_attribute(df: DataFrame, group_cols: Sequence[str], field: str,
     (reference: transformers/extraction/direct_attribute.py:20-78).
     Output: group_cols + (value).
     """
-    c = F.first(F.col(field), ignorenulls=True)
+    # min(), not first(ignorenulls): first() is partition-order-
+    # dependent the moment a group has >1 row (e.g. a NULL group key
+    # pooling several entities); min is the deterministic pick
+    c = F.min(F.col(field))
     out = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(c.alias("value"))
     if max_value is not None:
         v = F.col("value").cast("double")
@@ -94,7 +97,10 @@ def scatter_analysis(df: DataFrame, x_field: str, y_field: str,
              .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
     if max_points is not None:
         if order_col:
-            out = out.orderBy("_ord").limit(max_points).drop("_ord")
+            # NULLS LAST: a NULL order key must not hijack the head of
+            # the deterministic cap (and SQL ORDER BY defaults match)
+            out = (out.orderBy(F.col("_ord").asc_nulls_last())
+                   .limit(max_points).drop("_ord"))
         else:
             frac_df = out.limit(max_points)
             out = frac_df

@@ -797,7 +797,12 @@ def shard_corpus(df: DataFrame, id_col: str, n_shards: int,
         F.md5(F.concat_ws("|", F.lit(str(seed)),
                           F.col(id_col).cast("string"))), 1, 8),
         16, 10).cast("bigint")
-    return df.withColumn("shard", (bucket % n_shards).cast("int"))
+    # a NULL id has no addressable shard (NULL, matching SQL's
+    # md5('s|' || NULL) -> NULL) — concat_ws would otherwise silently
+    # give every orphan row md5(seed)'s shard
+    return df.withColumn(
+        "shard", F.when(F.col(id_col).isNotNull(),
+                        (bucket % n_shards).cast("int")))
 
 
 def materialize_shards(df: DataFrame, id_col: str, path: str,
@@ -828,9 +833,11 @@ def epoch_order(df: DataFrame, id_col: str, seed: int = 0,
     """
     from pyspark.sql import Window
 
+    # NULL ids are excluded: they have no engine-portable shuffle key
+    # (SQL md5 of a NULL concat is NULL) and no deterministic tiebreak
     key = F.md5(F.concat_ws("|", F.lit(str(seed)),
                             F.col(id_col).cast("string")))
-    base = df.withColumn("__k", key)
+    base = df.where(F.col(id_col).isNotNull()).withColumn("__k", key)
     n_parts = (num_partitions
                or base.sparkSession.sparkContext.defaultParallelism)
     parted = (base.repartitionByRange(n_parts, F.col("__k").asc(),

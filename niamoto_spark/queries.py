@@ -174,8 +174,10 @@ def q05_binary_discount(spark, sf_dir):
 
 
 O_Q05 = """
+-- NULL flags belong to NEITHER count (the reference binary_counter
+-- dropna()s before counting, binary_counter.py:157)
 SELECT CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
-       CAST(sum(CASE WHEN l_discount > 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS false_count,
+       CAST(sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS false_count,
        'high' AS true_label, 'low' AS false_label
 FROM lineitem
 """
@@ -190,14 +192,15 @@ def q06_boolean_flags(spark, sf_dir):
 
 
 O_Q06 = """
+-- NULL flags belong to NEITHER count (dropna semantics, as q05)
 SELECT 'high_value' AS category,
        CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
-       CAST(sum(CASE WHEN o_totalprice > 150000 THEN 0 ELSE 1 END) AS BIGINT) AS false_count
+       CAST(sum(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS false_count
 FROM orders
 UNION ALL
 SELECT 'urgent',
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT)
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
 FROM orders
 """
 
@@ -211,8 +214,11 @@ def q07_top_brands(spark, sf_dir):
 
 O_Q07 = """
 WITH counts AS (
+  -- NULL items are dropped before ranking (reference top_ranking
+  -- value_counts() semantics; Spark top_ranking pins the same)
   SELECT p_brand AS item, count(*) AS value
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1),
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p_brand IS NOT NULL GROUP BY 1),
 ranked AS (
   SELECT item, value,
          CAST(row_number() OVER (ORDER BY value DESC, item ASC) AS INT) AS rank
@@ -724,7 +730,7 @@ FROM events GROUP BY 1, 2
 def q31_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts_sec").over(w)
     new_session = F.when(prev.isNull() | ((F.col("ts_sec") - prev) > 1800), 1).otherwise(0)
@@ -738,7 +744,7 @@ WITH s AS (
          CAST(floor(epoch(ts)) AS BIGINT) AS sec,
          lag(CAST(floor(epoch(ts)) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT user_id,
        CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_sessions
@@ -869,8 +875,9 @@ def q37_class_binary(spark, sf_dir):
 O_Q37 = """
 WITH v AS (SELECT l_returnflag AS cn, sum(l_quantity) AS cv FROM lineitem GROUP BY 1),
 t AS (SELECT sum(cv) AS tot FROM v)
-SELECT CASE cn WHEN 'R' THEN 'returned' WHEN 'N' THEN 'not_returned'
-               ELSE 'accepted' END AS label,
+SELECT coalesce(CASE cn WHEN 'R' THEN 'returned'
+                        WHEN 'N' THEN 'not_returned'
+                        WHEN 'A' THEN 'accepted' END, cn) AS label,
        round(cv * 100.0 / tot, 2) AS share
 FROM v CROSS JOIN t
 """
@@ -1038,9 +1045,14 @@ def q43_top_ranking_join(spark, sf_dir):
 
 O_Q43 = """
 WITH counts AS (
-  SELECT n_name AS item, sum(l_extendedprice * (1 - l_discount)) AS v
+  -- item is the raw nationkey when the dim has no (non-NULL) name —
+  -- Spark's name_join is a LEFT join with coalesce(name, key); NULL
+  -- keys are dropped before ranking (top_ranking semantics)
+  SELECT coalesce(n_name, CAST(s.s_nationkey AS VARCHAR)) AS item,
+         sum(l_extendedprice * (1 - l_discount)) AS v
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE s.s_nationkey IS NOT NULL
   GROUP BY 1),
 ranked AS (
   SELECT item, v,
@@ -1068,9 +1080,11 @@ def q44_hierarchical_top(spark, sf_dir):
 
 O_Q44 = """
 WITH counts AS (
+  -- NULL region names drop before ranking (top_ranking semantics)
   SELECT r_name AS item, count(*) AS value
   FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r_name IS NOT NULL
   GROUP BY 1),
 ranked AS (
   SELECT item, value,
@@ -1267,7 +1281,8 @@ WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym,
                   round(sum(o_totalprice), 2) AS rev
            FROM orders GROUP BY 1, 2)
 SELECT o_orderpriority, ym, rev,
-       round(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY ym
+       round(sum(rev) OVER (PARTITION BY o_orderpriority
+                            ORDER BY ym NULLS FIRST
                             ROWS UNBOUNDED PRECEDING), 2) AS cum_rev
 FROM m
 """
@@ -1288,7 +1303,10 @@ O_Q53 = r"""
 WITH d2 AS (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 1000000, text FROM documents),
 keep AS (SELECT min(doc_id) AS doc_id
-         FROM d2 GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+         FROM d2 GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+         -- a keeper must be addressable: a group whose every id is NULL
+         -- keeps nothing (Spark's left_semi on id can never match NULL)
+         HAVING min(doc_id) IS NOT NULL)
 SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id FROM keep
 """
 
@@ -3966,7 +3984,8 @@ SELECT c_mktsegment, quartile, count(*) AS n_customers,
        round(max(c_acctbal), 2) AS bal_max
 FROM (SELECT c_mktsegment, c_acctbal,
              ntile(4) OVER (PARTITION BY c_mktsegment
-                            ORDER BY c_acctbal ASC, c_custkey ASC)
+                            ORDER BY c_acctbal ASC NULLS FIRST,
+                                     c_custkey ASC NULLS FIRST)
                  AS quartile
       FROM customer)
 GROUP BY 1, 2
@@ -3979,7 +3998,7 @@ def q113_native_session_window(spark, sf_dir):
     sessionization): per-user session count and event total.  The
     oracle is the MANUAL formulation in SQL — agreement proves the
     native operator implements the same gap semantics."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     tsev = ev.withColumn("__ts", F.timestamp_seconds("ts_sec"))
     sess = (tsev.groupBy("user_id",
                          F.session_window("__ts", "30 minutes"))
@@ -3992,7 +4011,7 @@ def q113_native_session_window(spark, sf_dir):
 O_Q113 = """
 WITH e AS (SELECT user_id, event_id,
                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
 m AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
                                ORDER BY sec, event_id) AS prev
       FROM e),
@@ -4016,7 +4035,7 @@ def q114_sliding_windows(spark, sf_dir):
     beyond q54's tumbling windows: 1-hour windows every 30 minutes, so
     each event lands in exactly two.  The oracle enumerates both
     candidate window starts per event and filters by containment."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     tsev = ev.withColumn("__ts", F.timestamp_seconds("ts_sec"))
     return (tsev.groupBy(F.window("__ts", "1 hour", "30 minutes")
                          .alias("w"), "event_type")
@@ -5080,6 +5099,7 @@ SELECT doc_id,
            ORDER BY md5('5|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
          AS BIGINT) AS pos
 FROM documents
+WHERE doc_id IS NOT NULL
 """
 
 
@@ -12329,7 +12349,7 @@ def q304_session_window(spark, sf_dir):
     lag/flag/sum sessionization (same semantics, zero hand-rolled
     windows).  Per-user session census; the oracle replays the island
     construction in SQL."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     ts = F.timestamp_seconds(F.col("ts_sec"))
     sess = (ev.groupBy("user_id",
                        F.session_window(ts, "2 hours").alias("w"))
@@ -12343,7 +12363,7 @@ def q304_session_window(spark, sf_dir):
 O_Q304 = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 f AS (
   SELECT user_id, t,
          CASE WHEN t - lag(t) OVER w <= 7200 THEN 0 ELSE 1 END

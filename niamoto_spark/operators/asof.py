@@ -87,20 +87,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     w = (Window.partitionBy(*keys).orderBy(ts_order, side_order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    carried = both
-    for c in value_cols:
-        carried = carried.withColumn(
-            c, F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True)
-               .over(w))
-    carried = carried.withColumn(
-        _MATCH_TS,
-        F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True)
+    # ONE struct payload, not per-column last(ignorenulls): a NULL value
+    # field must ride with ITS OWN row's timestamp — per-column carries
+    # would skip the NULL and stitch an older row's value onto the
+    # matched ts (found by the NULL-injection probe).  The struct is
+    # non-null whenever a right row exists, so ignorenulls only skips
+    # left rows.
+    payload = F.struct(F.col(_TS).alias("__mts"),
+                       *[F.col(c) for c in value_cols])
+    carried = both.withColumn(
+        "__match",
+        F.last(F.when(F.col(_SIDE) == 0, payload), ignorenulls=True)
         .over(w))
+    for c in value_cols:
+        carried = carried.withColumn(c, F.col("__match")[c])
+    carried = (carried.withColumn(_MATCH_TS, F.col("__match")["__mts"])
+               .drop("__match"))
 
     out = carried.where(F.col(_SIDE) == 1)
     # NULL left ts: window puts nulls first (or last desc) — the carried
-    # value there is meaningless; null the match out explicitly.
+    # value there is meaningless; null the match out explicitly.  A NULL
+    # join KEY also never matches (SQL equi-join semantics — the window
+    # partition would otherwise pool all NULL keys into one group).
     no_match = F.col(left_ts).isNull() | F.col(_MATCH_TS).isNull()
+    for k in keys:
+        no_match = no_match | F.col(k).isNull()
     if tolerance is not None:
         gap = F.abs(F.col(left_ts).cast("double")
                     - F.col(_MATCH_TS).cast("double"))

@@ -249,9 +249,13 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
     from pyspark.sql import Window
 
     order = order_col or id_col
-    toks = token_count(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("n_tokens"),
-                     F.col(order).alias("__ord"))
+    # NULL ids/order keys have no place in a deterministic layout
+    # (excluded, like epoch_order); NULL text packs as 0 tokens
+    toks = F.coalesce(token_count(F.col(text_col)), F.lit(0))
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(order).isNotNull())
+            .select(F.col(id_col), toks.alias("n_tokens"),
+                    F.col(order).alias("__ord")))
     n_parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
     parted = (base.repartitionByRange(n_parts, F.col("__ord").asc(),
                                       F.col(id_col).asc())
@@ -447,7 +451,12 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
         16, 10).cast("bigint")
     u = (bucket + F.lit(0.5)) / F.lit(float(2 ** 32))
     key = -F.log(u) / F.col(weight_col).cast("double")
-    return (df.withColumn("__wkey", key)
+    # NULL id -> NULL md5 -> NULL key, which Spark's asc would sort
+    # FIRST (hijacking the sample) while SQL sorts it last; NULL/<=0
+    # weights have no defined inclusion probability.  Exclude both.
+    return (df.where(F.col(id_col).isNotNull()
+                     & (F.col(weight_col).cast("double") > 0))
+              .withColumn("__wkey", key)
               .orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
               .limit(k)
               .drop("__wkey"))
@@ -535,7 +544,10 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
     toks = token_array(F.col(text_col))
-    n = F.size(toks)
+    # NULL text == empty doc (0 chunks).  Without the coalesce, size()
+    # returns NULL and greatest() SKIPS it (the F.greatest-absorbs-NULL
+    # defect class): n_chunks became 1 and a phantom empty chunk leaked
+    n = F.coalesce(F.size(toks), F.lit(0))
     # chunk count: 1 + ceil(max(n - chunk, 0) / step), 0 for empty docs
     n_chunks = F.when(n == 0, F.lit(0)).otherwise(
         F.lit(1) + F.ceil(F.greatest(n - chunk_tokens, F.lit(0))

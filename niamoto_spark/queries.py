@@ -1417,9 +1417,9 @@ def q58_sequence_packing(spark, sf_dir):
 O_Q58 = r"""
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-  FROM documents),
+  FROM documents WHERE doc_id IS NOT NULL),
 c AS (
   SELECT doc_id, n_tokens,
          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1445,9 +1445,12 @@ WITH tok AS (
   FROM documents WHERE length(trim(text)) > 0),
 tot AS (SELECT token, count(*) AS total_count FROM tok GROUP BY 1),
 docf AS (SELECT token, count(*) AS doc_freq
-         FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1)
-SELECT token, doc_freq, total_count
-FROM tot JOIN docf USING (token)
+         FROM (SELECT DISTINCT doc_id, token FROM tok
+               WHERE doc_id IS NOT NULL) GROUP BY 1)
+-- doc_freq counts distinct ADDRESSABLE docs (count_distinct can't see
+-- NULL ids); a token living only in NULL-id docs keeps doc_freq 0
+SELECT token, coalesce(doc_freq, 0) AS doc_freq, total_count
+FROM tot LEFT JOIN docf USING (token)
 ORDER BY total_count DESC, token ASC LIMIT 25
 """
 
@@ -2264,7 +2267,7 @@ def q71_chunk_documents(spark, sf_dir):
 O_Q71 = r"""
 WITH tok AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN []
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
               ELSE regexp_split_to_array(trim(text), '\s+') END AS t
   FROM documents),
 nc AS (
@@ -2914,8 +2917,9 @@ def q86_asof_join(spark, sf_dir):
     from niamoto_spark.operators.asof import asof_join
 
     ev = _events(spark, sf_dir)  # ts normalized to epoch-micros long
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.col("ts_us").alias("ts"))
+    clicks = (ev.where((F.col("event_type") == "click")
+                       & F.col("ts_us").isNotNull())
+              .select("event_id", "user_id", F.col("ts_us").alias("ts")))
     # dedupe right side on (user, ts) so the match is deterministic
     purchases = (ev.where(F.col("event_type") == "purchase")
                  .groupBy("user_id", F.col("ts_us").alias("ts"))
@@ -2930,11 +2934,16 @@ def q86_asof_join(spark, sf_dir):
 
 
 O_Q86 = """
+-- non-NULL timestamps only: DuckDB's ASOF range search treats a NULL
+-- right ts as matchable (value carried with NULL epoch) — pin the
+-- event-time semantic (as q31/q113) on both sides instead
 WITH clicks AS (
-    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'click' AND ts IS NOT NULL
 ), purchases AS (
     SELECT user_id, ts, max(value) AS purchase_value
-    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id,
        CAST(epoch_us(p.ts) AS BIGINT) AS purchase_epoch_us,
@@ -3479,14 +3488,24 @@ O_Q98 = """
 WITH e AS (SELECT user_id, event_type, event_id,
                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
            FROM events),
-m AS (SELECT *, lag(event_type) OVER
-          (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+m AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY sec NULLS FIRST,
+                                      event_id NULLS FIRST) AS rn,
+          lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY sec NULLS FIRST,
+                                         event_id NULLS FIRST) AS prev
       FROM e),
+-- rn=1 (not "prev IS NULL") detects the first row: lag() also returns
+-- NULL when the PREVIOUS STATE ITSELF is NULL, and a NULL state is a
+-- legal episode value (IS DISTINCT FROM compares it null-safely)
 ep AS (SELECT user_id, event_type, sec, event_id FROM m
-       WHERE prev IS NULL OR event_type != prev),
+       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
 iv AS (SELECT user_id, event_type, sec AS valid_from,
               lead(sec) OVER
-                  (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+                  (PARTITION BY user_id ORDER BY sec NULLS FIRST,
+                                                 event_id NULLS FIRST)
+                  AS valid_to
        FROM ep)
 SELECT user_id, event_type, valid_from, valid_to,
        valid_to IS NULL AS is_current
@@ -3721,6 +3740,7 @@ def q103_weighted_sample(spark, sf_dir):
 
 O_Q103 = """
 SELECT doc_id, n_chars, source FROM documents
+WHERE doc_id IS NOT NULL AND n_chars > 0
 ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    AS UBIGINT) + 0.5) / 4294967296.0) / n_chars ASC,
          doc_id ASC
@@ -4261,7 +4281,7 @@ SELECT h.c_mktsegment, count(*) AS n_rows,
        CAST(sum(CASE WHEN h.bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_imputed,
        round(sum(coalesce(h.bal, m.seg_mean)), 2) AS bal_sum
-FROM h JOIN m ON h.c_mktsegment = m.c_mktsegment
+FROM h JOIN m ON h.c_mktsegment IS NOT DISTINCT FROM m.c_mktsegment
 GROUP BY 1
 """
 
@@ -4443,8 +4463,9 @@ def q125_markov_transitions(spark, sf_dir):
     per-row normalization in SQL."""
     from niamoto_spark.operators.timeseries import transition_matrix
 
-    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_sec",
-                                       "event_id")
+    ev = (_events(spark, sf_dir)
+          .where(F.col("ts_sec").isNotNull())
+          .select("user_id", "event_type", "ts_sec", "event_id"))
     return transition_matrix(ev, "user_id", "ts_sec", "event_type",
                              order_cols=("event_id",))
 
@@ -4452,7 +4473,7 @@ def q125_markov_transitions(spark, sf_dir):
 O_Q125 = """
 WITH e AS (SELECT user_id, event_type, event_id,
                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
 b AS (SELECT lag(event_type) OVER
           (PARTITION BY user_id ORDER BY sec, event_id) AS from_state,
              event_type AS to_state
@@ -4695,9 +4716,12 @@ def q132_salted_join(spark, sf_dir):
 
 
 O_Q132 = """
+-- the Spark side is an INNER equi-join against the distinct-flag dim:
+-- NULL flags never match (SQL join semantics), so no NULL group here
 SELECT 'flag_' || l_returnflag AS flag_label, count(*) AS n_items,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
+WHERE l_returnflag IS NOT NULL
 GROUP BY l_returnflag
 """
 
@@ -4725,7 +4749,10 @@ def q133_incremental_agg(spark, sf_dir):
     src = os.path.join(base, "src")
     state = os.path.join(base, "state")
     for i in range(3):
-        M.append(orders.where(F.col("o_orderkey") % 3 == i), src)
+        # coalesce: the split must be EXHAUSTIVE — NULL % 3 is NULL and
+        # a bare == would silently drop NULL-key orders from every commit
+        M.append(orders.where(
+            F.coalesce(F.col("o_orderkey") % 3, F.lit(0)) == i), src)
         maintain_aggregate(spark, src, state, ["o_orderpriority"],
                           [("sum", "o_totalprice"), ("count", "o_orderkey"),
                            ("min", "o_orderkey"), ("max", "o_orderkey")])
@@ -5073,13 +5100,25 @@ SELECT 'in_range(l_discount)',
                      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
 UNION ALL
 SELECT 'unique(l_orderkey,l_linenumber)',
-       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+       -- rows with ANY NULL key column sit outside the duplicate
+       -- arithmetic (Spark's countDistinct drops them; the CASE->NULL
+       -- makes count(DISTINCT ...) do the same here)
+       CAST(count(*)
+            - sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                       THEN 1 ELSE 0 END)
+            - count(DISTINCT CASE WHEN l_orderkey IS NULL
+                                    OR l_linenumber IS NULL THEN NULL
+                                  ELSE (l_orderkey, l_linenumber) END)
             AS BIGINT) FROM lineitem
 UNION ALL
 SELECT 'foreign_key(l_orderkey)',
+       -- the ref-key set is the NON-NULL referenced keys (a NULL ref
+       -- row references nothing; plain NOT IN would collapse to 0 the
+       -- moment the subquery contains one NULL)
        CAST(count(*) AS BIGINT)
 FROM lineitem WHERE l_orderkey IS NOT NULL
-  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderkey IS NOT NULL)
 """
 
 

@@ -647,7 +647,8 @@ def q28_ann_topk(spark, sf_dir):
 
 O_Q28 = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
+           FROM embeddings
+           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
 p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round(list_dot_product(q.v, c.v)
                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
@@ -668,7 +669,8 @@ def q29_embedding_near_dup(spark, sf_dir):
 
 O_Q29 = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
+           FROM embeddings
+           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
@@ -8164,23 +8166,32 @@ def q212_quantile_normalize(spark, sf_dir):
 
 
 O_Q212 = """
+-- NULL source values stay NULL (never ranked — they'd map onto the
+-- reference minimum); NULL reference values are ignored.  They still
+-- count as ROWS of the output (Spark keeps them with NULL qnorm).
 WITH src AS (
   SELECT l_extendedprice AS v,
          row_number() OVER (ORDER BY l_extendedprice) AS rk,
          count(*) OVER () AS n
-  FROM lineitem WHERE l_returnflag = 'R'),
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL),
 ref AS (
   SELECT l_extendedprice AS refv,
          row_number() OVER (ORDER BY l_extendedprice) AS ri,
          count(*) OVER () AS nr
-  FROM lineitem WHERE l_returnflag = 'N'),
+  FROM lineitem
+  WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL),
+nulls AS (
+  SELECT count(*) AS c FROM lineitem
+  WHERE l_returnflag = 'R' AND l_extendedprice IS NULL),
 mapped AS (
   SELECT src.v,
          ref.refv AS qnorm
   FROM src JOIN ref
     ON ref.ri = greatest(1, CAST(ceil((src.rk - 0.5)
                                       / src.n * ref.nr) AS BIGINT)))
-SELECT count(*) AS n, round(sum(qnorm), 2) AS sum_mapped,
+SELECT count(*) + (SELECT c FROM nulls) AS n,
+       round(sum(qnorm), 2) AS sum_mapped,
        round(min(qnorm), 2) AS min_mapped,
        round(max(qnorm), 2) AS max_mapped,
        round(corr(v, qnorm), 6) AS rank_corr
@@ -8344,36 +8355,34 @@ WITH mm AS (
   FROM lineitem),
 triples AS (
   SELECT 'l_quantity' AS feature,
-         CAST(least(floor((l_quantity - mn_q) * 16 / (mx_q - mn_q)),
-                    15) AS INT) AS bin,
+         CASE WHEN l_quantity IS NOT NULL THEN CAST(least(floor((l_quantity - mn_q) * 16 / (mx_q - mn_q)), 15) AS INT) END AS bin,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
          mn_q AS mn, mx_q AS mx
   FROM lineitem CROSS JOIN mm
   UNION ALL
   SELECT 'l_extendedprice',
-         CAST(least(floor((l_extendedprice - mn_p) * 16
-                          / (mx_p - mn_p)), 15) AS INT),
+         CASE WHEN l_extendedprice IS NOT NULL THEN CAST(least(floor((l_extendedprice - mn_p) * 16 / (mx_p - mn_p)), 15) AS INT) END,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END,
          mn_p, mx_p
   FROM lineitem CROSS JOIN mm
   UNION ALL
   SELECT 'l_discount',
-         CAST(least(floor((l_discount - mn_d) * 16 / (mx_d - mn_d)),
-                    15) AS INT),
+         CASE WHEN l_discount IS NOT NULL THEN CAST(least(floor((l_discount - mn_d) * 16 / (mx_d - mn_d)), 15) AS INT) END,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END,
          mn_d, mx_d
   FROM lineitem CROSS JOIN mm
   UNION ALL
   SELECT 'l_tax',
-         CAST(least(floor((l_tax - mn_t) * 16 / (mx_t - mn_t)),
-                    15) AS INT),
+         CASE WHEN l_tax IS NOT NULL THEN CAST(least(floor((l_tax - mn_t) * 16 / (mx_t - mn_t)), 15) AS INT) END,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END,
          mn_t, mx_t
   FROM lineitem CROSS JOIN mm),
 hist AS (
+  -- NULL feature values get NO bin (Spark drops them; DuckDB's least()
+  -- also skips NULLs, which would silently file them in the top bin)
   SELECT feature, bin, any_value(mn) AS mn, any_value(mx) AS mx,
          count(*) AS n, sum(y) AS e
-  FROM triples GROUP BY 1, 2),
+  FROM triples WHERE bin IS NOT NULL GROUP BY 1, 2),
 cum AS (
   SELECT *,
          sum(n) OVER (PARTITION BY feature ORDER BY bin
@@ -10104,18 +10113,21 @@ b0 AS (
 rows0 AS (
   SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
               AS BIGINT) * 1000000 - b0.baseq AS rq,
-         CAST(least(floor((l_discount - mn_d) * 8 / (mx_d - mn_d)), 7)
-              AS INT) AS bd,
-         CAST(least(floor((l_quantity - mn_q) * 8 / (mx_q - mn_q)), 7)
-              AS INT) AS bq
+         CASE WHEN l_discount IS NOT NULL THEN
+           CAST(least(floor((l_discount - mn_d) * 8 / (mx_d - mn_d)), 7)
+                AS INT) END AS bd,
+         CASE WHEN l_quantity IS NOT NULL THEN
+           CAST(least(floor((l_quantity - mn_q) * 8 / (mx_q - mn_q)), 7)
+                AS INT) END AS bq
   FROM lineitem CROSS JOIN mm CROSS JOIN b0),
 h1 AS (
+  -- NULL feature values get no bin (Spark parity, q216)
   SELECT 'l_discount' AS f, bd AS bin, count(*) AS n,
          CAST(sum(rq) AS BIGINT) AS s
-  FROM rows0 GROUP BY 1, 2
+  FROM rows0 WHERE bd IS NOT NULL GROUP BY 1, 2
   UNION ALL
   SELECT 'l_quantity', bq, count(*), CAST(sum(rq) AS BIGINT)
-  FROM rows0 GROUP BY 1, 2),
+  FROM rows0 WHERE bq IS NOT NULL GROUP BY 1, 2),
 c1 AS (
   SELECT f, bin,
          CAST(sum(n) OVER (PARTITION BY f ORDER BY bin
@@ -10148,12 +10160,13 @@ rows1 AS (
                       THEN best1.lstepq ELSE best1.rstepq END) AS rq
   FROM rows0 r CROSS JOIN best1),
 h2 AS (
+  -- NULL feature values get no bin here either (Spark parity)
   SELECT 'l_discount' AS f, bd AS bin, count(*) AS n,
          CAST(sum(rq) AS BIGINT) AS s
-  FROM rows1 GROUP BY 1, 2
+  FROM rows1 WHERE bd IS NOT NULL GROUP BY 1, 2
   UNION ALL
   SELECT 'l_quantity', bq, count(*), CAST(sum(rq) AS BIGINT)
-  FROM rows1 GROUP BY 1, 2),
+  FROM rows1 WHERE bq IS NOT NULL GROUP BY 1, 2),
 c2 AS (
   SELECT f, bin,
          CAST(sum(n) OVER (PARTITION BY f ORDER BY bin
@@ -13448,7 +13461,7 @@ WITH e AS (
                          THEN CAST(o_orderdate AS DATE) END
                     IGNORE NULLS)
            OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                  ROWS UNBOUNDED PRECEDING) AS last_big
   FROM orders)
 SELECT o_orderpriority, count(*) AS n,

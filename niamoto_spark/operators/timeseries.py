@@ -748,6 +748,13 @@ def ohlc_bars(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     ord_key = F.struct(tsec.alias("t"),
                        F.col(tiebreak_col).cast("double").alias("tb"))
     v = F.col(value_col).cast("double")
+    # pinned: bars cover rows with a timestamp, a price, and a usable
+    # tiebreak — NULL in any of the three breaks either the bucket,
+    # the OHLC values (min_by returns NULL prices), or the
+    # deterministic open/close pick (SQL arg_min skips NULL keys)
+    df = df.where(F.col(ts_col).isNotNull()
+                  & F.col(value_col).isNotNull()
+                  & F.col(tiebreak_col).isNotNull())
     return (df.select(F.col(key_col).alias("key"),
                       F.floor(tsec / granule_s).cast("long")
                       .alias("bucket"),

@@ -706,12 +706,20 @@ def _events(spark, sf_dir):
 def _ts_to_timestamp(df):
     """Streaming counterpart of _events' normalization: coerce the events
     ts column to a true TIMESTAMP whether the parquet shipped nanos longs
-    or timestamp[us] (read as TIMESTAMP_NTZ)."""
+    or timestamp[us] (read as TIMESTAMP_NTZ).
+
+    Rows without a timestamp are DROPPED: every consumer is an
+    event-time operator (watermarked windows, stream joins,
+    sessionization), and Spark would otherwise pass them through in a
+    NULL window that no oracle can mirror — the pinned semantic is
+    'event-time operators are defined over timestamped events' (q31)."""
     ts_type = dict(df.dtypes)["ts"]
     if ts_type.startswith("timestamp"):
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df.withColumn("ts", F.timestamp_micros(
-        (F.col("ts") / 1000).cast("long")))
+        out = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        out = df.withColumn("ts", F.timestamp_micros(
+            (F.col("ts") / 1000).cast("long")))
+    return out.where(F.col("ts").isNotNull())
 
 
 def q30_events_hourly(spark, sf_dir):
@@ -936,7 +944,7 @@ def q64_stream_sessions(spark, sf_dir):
 O_Q64 = """
 WITH e AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), o AS (
   SELECT user_id, sec,
          CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
@@ -1344,9 +1352,10 @@ def q54_stream_events(spark, sf_dir):
 
 
 O_Q54 = """
+-- watermarked event-time windows drop rows without a timestamp
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
        count(*) AS n_events, round(sum(value), 2) AS value_sum
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -2905,7 +2914,10 @@ def q85_stream_dedup(spark, sf_dir):
 
 
 O_Q85 = r"""
+-- the NULL-text group survives as ONE doc (stream dedup keeps a single
+-- row for it; count(DISTINCT) alone would skip the NULL key)
 SELECT CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+            + max(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_docs_surviving
 FROM documents
 """
@@ -5429,11 +5441,12 @@ O_Q151 = """
 WITH counts AS (
   SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          event_type, count(*) AS n_events
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY hour
                                     ORDER BY n_events DESC,
-                                             event_type ASC) AS INT)
+                                             event_type ASC NULLS FIRST)
+                   AS INT)
               AS rnk
   FROM counts)
 SELECT hour, event_type, n_events, rnk FROM ranked WHERE rnk <= 3
@@ -8669,7 +8682,7 @@ FROM events p
 LEFT JOIN events c
   ON c.event_type = 'click' AND c.user_id = p.user_id
  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1800 SECONDS
-WHERE p.event_type = 'purchase'
+WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
 GROUP BY 1
 """
 
@@ -9987,11 +10000,12 @@ def q251_stream_upsert(spark, sf_dir):
 
 
 O_Q251 = """
+-- a keyed MERGE drops NULL-key rows (stream_upsert_to_table guard)
 SELECT o_orderpriority, count(*) AS n_orders,
        round(sum(CASE WHEN o_orderkey % 7 = 0
                       THEN round(o_totalprice * 2, 2)
                       ELSE o_totalprice END), 2) AS revenue
-FROM orders GROUP BY 1
+FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
 """
 
 
@@ -10662,7 +10676,11 @@ def q263_stream_distinct_users(spark, sf_dir):
     # distinct rows, and count them in batch (the q99 drain pattern)
     win = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / 21600) * 21600)
-    triples = (stream.withColumn("win_start", win)
+    # a NULL user is not a user: excluded before dedup (the count-*
+    # over distinct triples would otherwise tally the NULL bucket as
+    # one "user" while SQL's count(DISTINCT) never does)
+    triples = (stream.where(F.col("user_id").isNotNull())
+               .withColumn("win_start", win)
                .withWatermark("ts", "1 hour")
                .dropDuplicatesWithinWatermark(
                    ["win_start", "event_type", "user_id"])
@@ -10683,7 +10701,7 @@ O_Q263 = """
 SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
                 '%Y-%m-%d %H:%M') AS win_start,
        event_type, count(DISTINCT user_id) AS n_users
-FROM events
+FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -11086,7 +11104,8 @@ WITH e AS (
          value AS v,
          CAST(CAST(floor(epoch(ts)) AS BIGINT) AS HUGEINT)
            * 1099511627776 + event_id AS ok
-  FROM events)
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL)
 SELECT event_type, CAST(floor(t / 86400.0) AS BIGINT) AS bucket,
        round(arg_min(v, ok), 4) AS open,
        round(max(v), 4) AS high, round(min(v), 4) AS low,
@@ -13018,7 +13037,14 @@ def q317_stream_ohlc(spark, sf_dir):
                   F.col("event_id").cast("double").alias("tb"))
     day = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / 86_400) * 86_400)
-    bars = (stream.withColumn("__day", day).withColumn("__ok", ok)
+    # bars are over PRICED events with a usable ordering key: a NULL
+    # value has no place in open/high/low/close (min_by would return
+    # it), and a NULL event_id breaks the deterministic open/close
+    # tiebreak (DuckDB's arg_min skips NULL keys; Spark's struct
+    # ordering doesn't) — both are excluded, both engines
+    bars = (stream.where(F.col("value").isNotNull()
+                         & F.col("event_id").isNotNull())
+            .withColumn("__day", day).withColumn("__ok", ok)
             .withWatermark("__day", "1 hour")
             .groupBy("__day", "event_type")
             .agg(F.round(F.min_by("value", "__ok"), 4).alias("open"),
@@ -13044,7 +13070,8 @@ WITH e AS (
          value AS v,
          CAST(CAST(floor(epoch(ts)) AS BIGINT) AS HUGEINT)
            * 1099511627776 + event_id AS ok
-  FROM events)
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL)
 SELECT CAST(floor(t / 86400.0) AS BIGINT) AS bucket, event_type,
        round(arg_min(v, ok), 4) AS open, round(max(v), 4) AS high,
        round(min(v), 4) AS low, round(arg_max(v, ok), 4) AS close,

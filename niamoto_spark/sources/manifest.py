@@ -1506,6 +1506,10 @@ def stream_upsert_to_table(stream_df: DataFrame, path: str,
 
         if _last_batch_id(path) == batch_id:
             return
+        # a keyed MERGE needs a key: NULL-key rows are dropped rather
+        # than silently COLLAPSED to one row (the last-wins window
+        # would pool them all into a single NULL partition)
+        batch_df = batch_df.where(F.col(key_col).isNotNull())
         w = Window.partitionBy(key_col).orderBy(
             F.monotonically_increasing_id().desc())
         latest = (batch_df.withColumn("__rn", F.row_number().over(w))

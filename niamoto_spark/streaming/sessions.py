@@ -102,7 +102,12 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
     always-on deployment (the query then never self-terminates, which is
     the point of an always-on stream).
     """
-    src = events.withWatermark("ts", watermark) \
+    # sessionization is an event-TIME operator: rows without a
+    # timestamp are dropped (watermarked aggregates would drop them
+    # anyway, but applyInPandasWithState receives them raw and the
+    # fold would crash on int(NaN))
+    src = events.where(F.col("ts").isNotNull()) \
+        .withWatermark("ts", watermark) \
         .withColumn("ts_sec", F.col("ts").cast("long"))
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if close_on_timeout
                else GroupStateTimeout.NoTimeout)

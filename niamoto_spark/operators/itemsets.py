@@ -56,9 +56,11 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     Output: (antecedent, consequent, pair_count, support, confidence,
     lift), doubles rounded to ``round_dp``.
     """
+    # a NULL basket id is not a co-occurrence context (q189 pin)
     baskets = (df.select(F.col(basket_col).alias("__basket"),
                          F.col(item_col).alias("__item"))
-               .where(F.col(item_col).isNotNull())
+               .where(F.col(item_col).isNotNull()
+                      & F.col(basket_col).isNotNull())
                .distinct())
 
     # one aggregation pass sizes every basket; one scalar job derives
@@ -149,9 +151,13 @@ def sequence_pairs(events: DataFrame, user_col: str, ts_col: str,
     Returns (type_a, type_b, n_users, support) for pairs reaching
     ``min_users`` distinct users.
     """
-    ev = events.select(F.col(user_col).alias("u"),
-                       F.col(ts_col).cast("long").alias("t"),
-                       F.col(type_col).alias("ty"))
+    # a NULL user is not a user: it can never self-join (a.u == b.u
+    # fails on NULL) yet distinct().count() would tally it into the
+    # support denominator — excluded up front
+    ev = (events.where(F.col(user_col).isNotNull())
+          .select(F.col(user_col).alias("u"),
+                  F.col(ts_col).cast("long").alias("t"),
+                  F.col(type_col).alias("ty")))
     sized = ev.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
     big = sized.where(F.col("__n") > max_user_events)
     n_big = big.count()
@@ -195,7 +201,8 @@ def frequent_triples(df: DataFrame, basket_col: str, item_col: str,
     Returns (item_a, item_b, item_c, triple_count, support)."""
     baskets = (df.select(F.col(basket_col).alias("bk"),
                          F.col(item_col).alias("it"))
-               .where(F.col(item_col).isNotNull()).distinct())
+               .where(F.col(item_col).isNotNull()
+                      & F.col(basket_col).isNotNull()).distinct())
     n_baskets = baskets.select("bk").distinct().count()
     if n_baskets == 0:
         spark = df.sparkSession

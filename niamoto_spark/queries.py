@@ -5934,7 +5934,8 @@ def q155_association_rules(spark, sf_dir):
 
 O_Q155 = """
 WITH b AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
-           FROM lineitem JOIN part ON l_partkey = p_partkey),
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
 n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
 mc AS (SELECT GREATEST(1, CAST(floor(0.01 * n_baskets) AS BIGINT)) AS c,
               n_baskets FROM n),
@@ -5970,7 +5971,9 @@ def q156_cusum_drift(spark, sf_dir):
     the identical identity with DuckDB windows."""
     from niamoto_spark.operators.timeseries import cusum_changepoints
 
-    ev = _events(spark, sf_dir).where(F.col("user_id") < 200)
+    ev = (_events(spark, sf_dir).where(F.col("user_id") < 200)
+          .where(F.col("event_id").isNotNull()
+                 & F.col("value").isNotNull()))
     flagged = cusum_changepoints(ev, "user_id", "event_id", "value",
                                  target=50.0, slack=5.0, threshold=200.0)
     return (flagged.groupBy("user_id")
@@ -5983,7 +5986,9 @@ def q156_cusum_drift(spark, sf_dir):
 
 
 O_Q156 = """
-WITH e AS (SELECT user_id, event_id, value FROM events WHERE user_id < 200),
+WITH e AS (SELECT user_id, event_id, value FROM events
+           WHERE user_id < 200 AND event_id IS NOT NULL
+             AND value IS NOT NULL),
 p AS (SELECT user_id, event_id, value,
              sum(value - 55.0) OVER w AS p_pos,
              sum(value - 45.0) OVER w AS p_neg
@@ -6231,7 +6236,7 @@ def q163_attribution(spark, sf_dir):
     ignorenulls window expressions, one sort per user."""
     from niamoto_spark.operators.timeseries import touch_attribution
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("event_id").isNotNull())
     return touch_attribution(ev, "user_id", "event_id", "event_type",
                              F.col("event_type") == "purchase")
 
@@ -6243,7 +6248,7 @@ WITH t AS (
                           THEN event_type END IGNORE NULLS) OVER w AS f,
          last_value(CASE WHEN event_type != 'purchase'
                          THEN event_type END IGNORE NULLS) OVER w AS l
-  FROM events
+  FROM events WHERE event_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 conv AS (SELECT coalesce(f, '(direct)') AS fch,
@@ -6677,7 +6682,8 @@ def q175_kaplan_meier(spark, sf_dir):
     product); the oracle replays the identical algebra in SQL."""
     from niamoto_spark.operators.timeseries import kaplan_meier
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull())
     base = o.select(
         F.col("o_orderpriority").alias("grp"),
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")
@@ -6694,7 +6700,7 @@ WITH base AS (
   SELECT o_orderpriority AS grp,
          (year(o_orderdate) * 12 + month(o_orderdate)) - 1992 * 12 AS t,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
-  FROM orders),
+  FROM orders WHERE o_orderdate IS NOT NULL),
 g AS (SELECT grp, t, CAST(sum(e) AS BIGINT) AS d, count(*) AS total
       FROM base GROUP BY 1, 2),
 r AS (SELECT grp, t, d,
@@ -7109,7 +7115,8 @@ def q185_seasonal_anomalies(spark, sf_dir):
     oracle refits the profile and the z algebra in SQL."""
     from niamoto_spark.operators.timeseries import seasonal_residuals
 
-    e = _events(spark, sf_dir).withColumn(
+    e = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull()) \
+        .withColumn(
         "hod", (F.floor(F.col("ts_sec") / 3600) % 24).cast("int"))
     r = seasonal_residuals(e, "hod", "value", z_threshold=2.5)
     return (r.groupBy("hod")
@@ -7123,7 +7130,7 @@ def q185_seasonal_anomalies(spark, sf_dir):
 O_Q185 = """
 WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) % 24 AS INT) AS hod,
                   value
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
 prof AS (SELECT hod, avg(value) AS mu, stddev_pop(value) AS sigma
          FROM e GROUP BY 1)
 SELECT e.hod, count(*) AS n,
@@ -8043,7 +8050,7 @@ def q209_next_event_baseline(spark, sf_dir):
     oracle replays lead(), the transition counts and the argmax."""
     from niamoto_spark.operators.timeseries import next_event_baseline
 
-    e = _events(spark, sf_dir)
+    e = _events(spark, sf_dir).where(F.col("event_id").isNotNull())
     return next_event_baseline(e, "user_id", "event_id", "event_type")
 
 
@@ -8052,7 +8059,7 @@ WITH t AS (
   SELECT event_type AS state,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY event_id) AS nxt
-  FROM events),
+  FROM events WHERE event_id IS NOT NULL),
 c AS (SELECT state, nxt, count(*) AS c FROM t
       WHERE nxt IS NOT NULL GROUP BY 1, 2),
 r AS (SELECT state, nxt, c,
@@ -8742,7 +8749,7 @@ def q222_sequence_pairs(spark, sf_dir):
     windowed self-join and once-per-user distinct in SQL."""
     from niamoto_spark.operators.itemsets import sequence_pairs
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     return sequence_pairs(ev, "user_id", "ts_sec", "event_type",
                           window_s=3600, min_users=2)
 
@@ -8751,7 +8758,7 @@ O_Q222 = """
 WITH ev AS (
   SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
          event_type AS ty
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 tot AS (SELECT count(DISTINCT u) AS nu FROM ev),
 pairs AS (
   SELECT DISTINCT a.u, a.ty AS type_a, b.ty AS type_b
@@ -11711,7 +11718,8 @@ def q287_frequent_triples(spark, sf_dir):
 
 O_Q287 = """
 WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
-           FROM lineitem JOIN part ON l_partkey = p_partkey),
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
 n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
 mc AS (SELECT GREATEST(1, CAST(floor(0.005 * n_baskets) AS BIGINT)) AS c,
               n_baskets FROM n),
@@ -13212,7 +13220,8 @@ def q321_nelson_aalen(spark, sf_dir):
     at-risk window and hazard cumulative sum."""
     from niamoto_spark.operators.timeseries import nelson_aalen
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull())
     base = o.select(
         F.col("o_orderpriority").alias("grp"),
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")
@@ -13228,7 +13237,7 @@ WITH base AS (
   SELECT o_orderpriority AS grp,
          (year(o_orderdate) * 12 + month(o_orderdate)) - 1992 * 12 AS t,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
-  FROM orders),
+  FROM orders WHERE o_orderdate IS NOT NULL),
 g AS (SELECT grp, t, CAST(sum(e) AS BIGINT) AS d, count(*) AS total
       FROM base GROUP BY 1, 2),
 r AS (SELECT grp, t, d,

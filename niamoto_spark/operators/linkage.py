@@ -98,9 +98,13 @@ def trigram_pairs(df: DataFrame, id_col: str, name_col: str,
 
     Output: (id_a, id_b, similarity) with id_a < id_b, similarity
     rounded to 4dp and >= min_similarity."""
-    base = df.select(F.col(id_col).alias("id"),
-                     F.col(block_col).alias("blk"),
-                     char_trigrams(F.col(name_col)).alias("tg"))
+    # NULL names can't match: their trigram array degenerates to
+    # [NULL], and array_intersect treats NULL elements as EQUAL — every
+    # pair of NULL-name rows in a block scored similarity 1.0
+    base = (df.where(F.col(name_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(block_col).alias("blk"),
+                    char_trigrams(F.col(name_col)).alias("tg")))
     if max_block_size is not None:
         hot = (base.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
                .where(F.col("n") > max_block_size).drop("n"))

@@ -5301,7 +5301,12 @@ def q149_text_classifier(spark, sf_dir):
     from niamoto_spark.operators.classifier import (score_text_classifier,
                                                     train_text_classifier)
 
+    # training needs identified, labeled, non-empty docs: a NULL label
+    # poisons residuals into NULL (silently dropped from gradients but
+    # still counted in n), and NULL ids break the feature join
     d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+                & F.col("lang").isNotNull())
          .select("doc_id", "text",
                  (F.col("lang") == "en").cast("int").alias("y")))
     w, b = train_text_classifier(d, "doc_id", "text", "y",
@@ -5315,7 +5320,8 @@ O_Q149 = """
 WITH docs AS (
   SELECT doc_id, lower(text) AS t,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-  FROM documents),
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
 tok AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tk
         FROM docs),
 feats AS (
@@ -5383,7 +5389,8 @@ def q150_table_diff(spark, sf_dir):
 
 
 O_Q150 = """
-WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+WITH base AS (SELECT * FROM orders
+              WHERE o_orderkey % 2 = 0 AND o_orderkey IS NOT NULL),
 cls AS (
   SELECT o_orderkey,
          CASE WHEN o_totalprice < 100000 THEN 'removed'
@@ -6111,8 +6118,11 @@ def q159_pareto_frontier(spark, sf_dir):
 
 
 O_Q159 = """
+-- rows missing EITHER objective sit outside the frontier (they can
+-- neither dominate nor be compared; pareto_frontier dropna's them)
 WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part
-           WHERE p_partkey <= 5000)
+           WHERE p_partkey <= 5000
+             AND p_retailprice IS NOT NULL AND p_size IS NOT NULL)
 SELECT a.p_partkey, round(a.p_retailprice, 2) AS p_retailprice, a.p_size
 FROM p a
 WHERE NOT EXISTS (
@@ -6171,8 +6181,10 @@ def _fingerprint_oracle_sql() -> str:
 
     return f"""
 WITH r AS (SELECT md5(concat_ws('|',
-                CAST(c_custkey AS VARCHAR), c_name, c_mktsegment,
-                CAST(c_nationkey AS VARCHAR))) AS h
+                coalesce(CAST(c_custkey AS VARCHAR), '<NULL>'),
+                coalesce(c_name, '<NULL>'),
+                coalesce(c_mktsegment, '<NULL>'),
+                coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>'))) AS h
            FROM customer),
 v AS (SELECT CAST({hex_to_int(15)} AS BIGINT) AS v60,
              CAST({hex_to_int(8)} AS BIGINT) AS v32
@@ -6299,13 +6311,17 @@ WITH pts AS (
          165.0 + (c_custkey % 89) / 89.0 AS lon
   FROM customer),
 g AS (
+  -- the lat/lon guard mirrors morton_grid: NULL coords -> NULL cell
+  -- (DuckDB's GREATEST/LEAST skip NULLs and would clamp them to 0)
   SELECT c_acctbal,
-         LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n})
-                             AS BIGINT), 0), {n - 1}) AS gx,
+         CASE WHEN lon IS NOT NULL THEN
+           LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n})
+                               AS BIGINT), 0), {n - 1}) END AS gx,
          LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n})
                              AS BIGINT), 0), {n - 1}) AS gy
   FROM pts)
-SELECT ({interleave}) AS cell, count(*) AS n,
+SELECT (CASE WHEN gx IS NOT NULL THEN {interleave} END) AS cell,
+       count(*) AS n,
        round(avg(c_acctbal), 2) AS avg_bal
 FROM g
 GROUP BY 1
@@ -11928,6 +11944,9 @@ feed AS (
   SELECT o_orderkey, 'updated' AS change,
          o_totalprice AS sum_old, o_totalprice * 2 AS sum_new
   FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    -- NULL * 2 is NULL: the row's value did not change, so the CDF
+    -- (hash compare of pre/post images) rightly omits it
+    AND o_totalprice IS NOT NULL
   UNION ALL
   -- the old image is the FROM-version (v0) value: a row updated and
   -- later deleted still diffs v0 -> head as one 'removed' at v0's price

@@ -755,7 +755,14 @@ def delete_where(spark: SparkSession, path: str, predicate) -> int:
     untouched (same path — the minimality test pins this).  Returns the
     new version, or the current one when nothing matched."""
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    return _rewrite_cow(spark, path, lambda d: d.where(~pred), pred)
+    # SQL DELETE semantics: remove rows where pred is TRUE; KEEP rows
+    # where it is false OR NULL.  A bare where(~pred) silently deleted
+    # every NULL-predicate row (~NULL is NULL) — found by the
+    # NULL-injection probe; delete_where_mor (where(pred) to find hits)
+    # always had the correct behavior.
+    return _rewrite_cow(spark, path,
+                        lambda d: d.where(~F.coalesce(pred, F.lit(False))),
+                        pred)
 
 
 def update_where(spark: SparkSession, path: str, predicate,
@@ -927,6 +934,15 @@ def table_diff(spark: SparkSession, path: str, from_version: int,
     to_v = committed_version(path) if to_version is None else to_version
     a = read_table(spark, path, version=from_version)
     b = read_table(spark, path, version=to_v)
+    # a keyed diff needs keys: a NULL-key row can never pair across
+    # snapshots (full-outer on NULL never matches), so it would be
+    # misreported as removed+added even when unchanged — excluded, like
+    # stream_upsert_to_table's merge guard
+    key_ok = None
+    for k in key_cols:
+        e = F.col(k).isNotNull()
+        key_ok = e if key_ok is None else (key_ok & e)
+    a, b = a.where(key_ok), b.where(key_ok)
     val_cols = [c for c in a.columns if c not in key_cols]
     if [c for c in b.columns if c not in key_cols] != val_cols:
         raise ValueError("table_diff: snapshots have different schemas; "
@@ -1619,6 +1635,15 @@ def table_cdf(spark: SparkSession, path: str, from_version: int,
     to_v = committed_version(path) if to_version is None else to_version
     a = read_table(spark, path, version=from_version)
     b = read_table(spark, path, version=to_v)
+    # a keyed diff needs keys: a NULL-key row can never pair across
+    # snapshots (full-outer on NULL never matches), so it would be
+    # misreported as removed+added even when unchanged — excluded, like
+    # stream_upsert_to_table's merge guard
+    key_ok = None
+    for k in key_cols:
+        e = F.col(k).isNotNull()
+        key_ok = e if key_ok is None else (key_ok & e)
+    a, b = a.where(key_ok), b.where(key_ok)
     val_cols = [c for c in a.columns if c not in key_cols]
     if [c for c in b.columns if c not in key_cols] != val_cols:
         raise ValueError("table_cdf: snapshots have different schemas")

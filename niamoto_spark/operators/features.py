@@ -83,6 +83,12 @@ def quantile_bucket(df: DataFrame, value_col: str,
     partition."""
     order = [F.col(value_col).asc()] + [F.col(c).asc()
                                         for c in tiebreak_cols]
+    # a NULL value is not discretizable: it gets a NULL bucket and sits
+    # outside the rank/total arithmetic (Spark would rank NULLs FIRST,
+    # SQL row_number LAST — no oracle could mirror a ranked NULL)
+    nulls = df.where(F.col(value_col).isNull()) \
+              .withColumn(out_col, F.lit(None).cast("int"))
+    df = df.where(F.col(value_col).isNotNull())
     n_parts = (num_partitions
                or df.sparkSession.sparkContext.defaultParallelism)
     parted = (df.repartitionByRange(n_parts, *order)
@@ -106,7 +112,8 @@ def quantile_bucket(df: DataFrame, value_col: str,
         rank = (F.row_number().over(w) - 1 + part_start).cast("bigint")
         bucket = F.floor(rank * n_buckets / F.lit(max(total, 1))) \
             .cast("int") + 1
-        return parted.withColumn(out_col, bucket).drop("__pid")
+        return (parted.withColumn(out_col, bucket).drop("__pid")
+                .unionByName(nulls))
     except Exception:
         parted.unpersist()
         raise

@@ -189,9 +189,14 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
                 "filter(toks, t -> t != '')").alias("toks")))
     uni = (toks.select(F.explode("toks").alias("t"))
            .groupBy("t").agg(F.count(F.lit(1)).alias("cu")))
+    # explicit >= 2 guard: sequence(1, 0) steps DOWNWARD ([1, 0]) and
+    # greatest() skips a NULL size, so short/NULL docs would emit
+    # phantom (token, NULL) bigrams that inflate the N_bigrams total
     bi = (toks.select(F.expr(
-        "explode(transform(sequence(1, greatest(size(toks) - 1, 0)), "
-        "i -> struct(toks[i-1] AS a, toks[i] AS b)))").alias("bg"))
+        "explode(CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS a, toks[i] AS b)) "
+        "ELSE array() END)").alias("bg"))
         .select("bg.a", "bg.b")
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab")))
     n_uni = uni.agg(F.sum("cu").alias("nu"))

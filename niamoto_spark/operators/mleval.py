@@ -41,7 +41,9 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str,
     per_score = (df.select(*gcols,
                            F.col(score_col).cast("double").alias("s"),
                            F.col(label_col).cast("long").alias("y"))
-                 .where(F.col("s").isNotNull())
+                 # an unlabeled row is NOT an implicit negative: sum(y)
+                 # skips the NULL but count(*) would still tally it
+                 .where(F.col("s").isNotNull() & F.col("y").isNotNull())
                  .groupBy(*gcols, "s")
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.sum("y").alias("np")))

@@ -39,7 +39,11 @@ def dp_counts(df: DataFrame, group_cols: "list[str]",
     aggregation plus a pure projection; the noise is a function of the
     group key, so re-running the release never burns extra budget.
     Output: group cols + (true withheld) ``noisy_count``."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string")
+    # the NULL group is a released group too: hash it under an
+    # explicit sentinel (concat_ws would silently skip it, and SQL's
+    # || would turn the whole key NULL)
+    key = F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                           F.lit("<NULL>"))
                                 for c in group_cols])
     counts = (df.groupBy(*group_cols)
               .agg(F.count(F.lit(1)).alias("__n")))

@@ -49,6 +49,11 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str = "doc_id",
     terms count once (distinct-term semantics).  Ties broken by doc id
     after rounding the score to ``round_dp`` (so rank order is reproducible across
     engines).  Returns (query_id, doc_id, score, rank)."""
+    # retrieval is over identified docs with text: a NULL id can't be
+    # returned and a NULL text has no terms but would still skew
+    # n_docs/avgdl differently across engines
+    docs = docs.where(F.col(id_col).isNotNull()
+                      & F.col(text_col).isNotNull())
     toks = (docs.select(F.col(id_col).alias("__doc"),
                         _tokens(F.col(text_col)).alias("__toks"))
                 .withColumn("__dl", F.size("__toks")))

@@ -981,11 +981,15 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
     cardinalities in the millions use the two-phase rank instead."""
     from pyspark.sql import Window
 
+    # NULL ids can't stand for election: concat_ws would hand every
+    # one of them the md5(seed) coin and Spark would sort them FIRST
+    # while SQL's md5(NULL) sorts last — excluded (the md5-coin pin)
     key = F.md5(F.concat_ws("|", F.lit(seed),
                             F.col(id_col).cast("string")))
     w = (Window.partitionBy(group_col)
          .orderBy(key.asc(), F.col(id_col).asc()))
-    return (df.withColumn("__rk", F.row_number().over(w))
+    return (df.where(F.col(id_col).isNotNull())
+            .withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= cap)
             .drop("__rk"))
 

@@ -2997,6 +2997,7 @@ toks AS (
            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                        x -> x <> '') AS tl
     FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ),
 postings AS (
     SELECT doc_id, dl, token, count(*) AS tf FROM (
@@ -6623,10 +6624,16 @@ per AS (SELECT o_orderpriority, sum(o_totalprice) AS s,
                count(o_totalprice) AS n
         FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
 enc AS (SELECT o.o_orderpriority, o.o_orderstatus,
-               round((per.s - o.o_totalprice + 10.0 * prior.p)
-                     / (per.n - 1 + 10.0), 4) AS te
+               -- NULL category -> prior; NULL target -> plain smoothed
+               -- mean (it was never in the sums); else leave-one-out
+               round(CASE
+                 WHEN per.n IS NULL THEN prior.p
+                 WHEN o.o_totalprice IS NULL
+                   THEN (per.s + 10.0 * prior.p) / (per.n + 10.0)
+                 ELSE (per.s - o.o_totalprice + 10.0 * prior.p)
+                      / (per.n - 1 + 10.0) END, 4) AS te
         FROM orders o
-        JOIN per ON o.o_orderpriority = per.o_orderpriority
+        LEFT JOIN per ON o.o_orderpriority = per.o_orderpriority
         CROSS JOIN prior)
 SELECT o_orderpriority, o_orderstatus, count(*) AS n,
        round(avg(te), 4) AS avg_te, round(min(te), 4) AS min_te,
@@ -6832,16 +6839,22 @@ def q178_quantile_buckets(spark, sf_dir):
 O_Q178 = """
 WITH r AS (
   SELECT l_extendedprice,
-         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
-                            l_linenumber) AS rn,
+         row_number() OVER (ORDER BY l_extendedprice,
+                            l_orderkey NULLS FIRST,
+                            l_linenumber NULLS FIRST) AS rn,
          count(*) OVER () AS n
-  FROM lineitem)
+  FROM lineitem WHERE l_extendedprice IS NOT NULL)
 SELECT CAST(floor((rn - 1) * 10 / n) AS INT) + 1 AS bucket,
        count(*) AS n,
        round(min(l_extendedprice), 2) AS lo,
        round(max(l_extendedprice), 2) AS hi,
        round(avg(l_extendedprice), 2) AS avg_price
 FROM r GROUP BY 1
+UNION ALL
+-- the NULL bucket: rows whose value is not discretizable
+SELECT NULL, count(*), NULL, NULL, NULL
+FROM lineitem WHERE l_extendedprice IS NULL
+HAVING count(*) > 0
 """
 
 
@@ -6886,10 +6899,11 @@ def q180_locf_fill(spark, sf_dir):
     the densified series; the oracle is DuckDB's IGNORE NULLS window."""
     from niamoto_spark.operators.timeseries import locf_fill
 
-    e = _events(spark, sf_dir).select(
-        "user_id", "event_id", "event_type",
-        F.when(F.col("event_type") == "purchase",
-               F.col("value")).alias("pv"))
+    e = (_events(spark, sf_dir)
+         .where(F.col("event_id").isNotNull())
+         .select("user_id", "event_id", "event_type",
+                 F.when(F.col("event_type") == "purchase",
+                        F.col("value")).alias("pv")))
     filled = locf_fill(e, "user_id", "event_id", ["pv"])
     return (filled.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -6904,7 +6918,7 @@ WITH t AS (
                     IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
-  FROM events)
+  FROM events WHERE event_id IS NOT NULL)
 SELECT event_type, count(*) AS n_events, count(pv) AS n_filled,
        round(sum(pv), 2) AS sum_filled
 FROM t GROUP BY 1
@@ -6998,6 +7012,8 @@ def q183_rrf_hybrid(spark, sf_dir):
     lex = bm25_topk(docs, queries, k=10, round_dp=4)
     w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     prior_docs = (docs.select("doc_id", "n_chars")
+                  .where(F.col("doc_id").isNotNull()
+                         & F.col("n_chars").isNotNull())
                   .withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= 10))
     prior = queries.select("query_id").crossJoin(
@@ -7019,6 +7035,7 @@ toks AS (
            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                        x -> x <> '') AS tl
     FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ),
 postings AS (
     SELECT doc_id, dl, token, count(*) AS tf FROM (
@@ -7069,6 +7086,7 @@ prior_docs AS (
     SELECT doc_id, row_number() OVER (
         ORDER BY n_chars DESC, doc_id) AS rank
     FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
     QUALIFY rank <= 10
 ),
 prior AS (
@@ -7116,7 +7134,7 @@ WITH r AS (
            PARTITION BY source
            ORDER BY md5('r7' || '|' || CAST(doc_id AS VARCHAR)),
                     doc_id) AS rk
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT source, count(*) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS id_sum,
        min(doc_id) AS min_id
@@ -7388,7 +7406,8 @@ WITH g AS (SELECT o_orderpriority, count(*) AS n
            FROM orders GROUP BY 1),
 u AS (SELECT o_orderpriority, n,
              (CAST(('0x' || substr(md5('rel7' || '|' ||
-                                       o_orderpriority), 1, 13))
+                                       coalesce(o_orderpriority,
+                                                '<NULL>')), 1, 13))
                    AS UBIGINT) + 0.5) / power(16, 13) AS uni
       FROM g)
 SELECT o_orderpriority,
@@ -7470,7 +7489,8 @@ def q193_binary_auc(spark, sf_dir):
 O_Q193 = """
 WITH s AS (SELECT round(CAST(embedding[1] AS DOUBLE), 3) AS sc,
                   CAST(label % 2 AS BIGINT) AS y
-           FROM embeddings),
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
 per AS (SELECT sc, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
         FROM s GROUP BY 1),
 rk AS (SELECT sc, n, np,
@@ -7894,7 +7914,8 @@ O_Q204 = """
 WITH s AS (SELECT vec_id % 3 AS slc,
                   round(CAST(embedding[1] AS DOUBLE), 3) AS sc,
                   CAST(label % 2 AS BIGINT) AS y
-           FROM embeddings),
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
 per AS (SELECT slc, sc, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
         FROM s GROUP BY 1, 2),
 rk AS (SELECT slc, sc, n, np,

@@ -141,7 +141,12 @@ def weighted_median(df: DataFrame, value_col: str, weight_col: str,
     total_weight)."""
     from pyspark.sql import Window
 
-    per_val = (df.groupBy(group_col, F.col(value_col).alias("__v"))
+    # NULL values can't be medians and NULL weights carry no mass —
+    # both would otherwise ride the cumulative window (Spark sorts
+    # NULL values FIRST, silently shifting every threshold)
+    per_val = (df.where(F.col(value_col).isNotNull()
+                        & F.col(weight_col).isNotNull())
+               .groupBy(group_col, F.col(value_col).alias("__v"))
                .agg(F.sum(F.col(weight_col).cast("double"))
                     .alias("__w")))
     w_cum = (Window.partitionBy(group_col).orderBy("__v")

@@ -503,8 +503,14 @@ ORDER BY c_custkey LIMIT 50
 
 
 def q22_dwc_projection(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem") \
-        .withColumn("__uid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    # the id-source must exist: without a taxon key the generator's
+    # fallback (monotonically_increasing_id) is partition-dependent and
+    # no SQL oracle could replay it — the gate exercises the
+    # deterministic path; the fallback is unit-tested (test_dwc_dsl)
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("__uid",
+                      F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+          .where(F.col("__uid").isNotNull()))
     return to_dwc_occurrence(li, {
         "occurrenceID": {"generator": "unique_occurrence_id",
                          "params": {"prefix": "occ_", "source_field": "__uid"}},
@@ -519,6 +525,7 @@ SELECT 'occ_' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS occurrenceID,
        l_partkey AS catalogNumber, l_quantity AS individualCount,
        'HumanObservation' AS basisOfRecord
 FROM lineitem
+WHERE l_orderkey * 8 + l_linenumber IS NOT NULL
 """
 
 
@@ -833,10 +840,12 @@ def q34_geo_extract(spark, sf_dir):
 
 
 O_Q34 = """
+-- a NULL nationkey renders no WKT point (the extractor parses and
+-- drops NULL geometries)
 SELECT 'POINT (' || CAST(164 + c_nationkey % 5 AS VARCHAR) || ' '
        || CAST(-23 + c_nationkey % 3 AS VARCHAR) || ')' AS geometry_wkt,
        count(*) AS point_count
-FROM customer GROUP BY 1
+FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1
 """
 
 
@@ -2129,14 +2138,21 @@ WITH tx AS (
   FROM customer),
 j AS (
   SELECT o.*, tx.id, tx.full_name,
-         row_number() OVER (PARTITION BY tx.id ORDER BY o.o_orderkey) - 1 AS idx
+         row_number() OVER (PARTITION BY tx.id
+                            ORDER BY o.o_orderkey NULLS FIRST) - 1 AS idx
   FROM orders o LEFT JOIN tx ON o.o_custkey = tx.id)
-SELECT 'occ_' || CAST(o_orderkey AS VARCHAR) AS occurrenceID,
-       'niaid_' || CAST(id AS VARCHAR) || '_' || CAST(idx AS VARCHAR)
-         AS identificationID,
+-- id fallbacks mirror the reference's taxonId_index recipe: a NULL
+-- source key falls back to prefix + (taxon id or 'unknown') + index
+SELECT CASE WHEN o_orderkey IS NOT NULL
+            THEN 'occ_' || CAST(o_orderkey AS VARCHAR)
+            ELSE 'occ_' || coalesce(CAST(id AS VARCHAR), 'unknown')
+                 || '_' || CAST(idx AS VARCHAR) END AS occurrenceID,
+       'niaid_' || coalesce(CAST(id AS VARCHAR), 'unknown')
+         || '_' || CAST(idx AS VARCHAR) AS identificationID,
        full_name AS scientificName,
-       split_part(regexp_replace(full_name, ' \([^)]+\)', ''), ' ', 2)
-         AS specificEpithet,
+       CASE WHEN full_name IS NOT NULL THEN
+         split_part(regexp_replace(full_name, ' \([^)]+\)', ''), ' ', 2)
+       END AS specificEpithet,
        nullif(regexp_extract(full_name,
               '(?:subsp\.|subvar\.|var\.|forma|f\.|race)\s+(\S+)', 1), '')
          AS infraspecificEpithet,
@@ -7532,7 +7548,7 @@ O_Q194 = """
 WITH s AS (SELECT 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 3))
              AS p,
            CAST(label % 2 AS DOUBLE) AS y
-           FROM embeddings)
+           FROM embeddings WHERE embedding IS NOT NULL)
 SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
        count(*) AS n,
        round(avg(p), 6) AS avg_prob,
@@ -7672,7 +7688,9 @@ O_Q197 = """
 WITH pv AS (
   SELECT l_returnflag, l_extendedprice AS v,
          sum(CAST(l_quantity AS DOUBLE)) AS w
-  FROM lineitem GROUP BY 1, 2),
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2),
 c AS (
   SELECT l_returnflag, v,
          sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
@@ -7867,7 +7885,7 @@ O_Q203 = """
 WITH s AS (SELECT 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 3))
              AS p,
            CAST(label % 2 AS DOUBLE) AS y
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
 pb AS (SELECT 10 - least(CAST(floor(p * 10) AS INT), 9) AS bin,
               count(*) AS n, sum(y) AS n_pos
        FROM s GROUP BY 1),

@@ -108,7 +108,11 @@ def permutation_test(df: DataFrame, variant_col: str, value_col: str,
     Statistics are rounded to ``round_dp`` BEFORE the ≥ comparison so
     the tail count never hinges on a final-ulp difference.
     """
-    two = (df.where(F.col(value_col).isNotNull())
+    # NULL unit ids can't be coined (concat_ws would fold them all onto
+    # the md5(seed|perm) coin while SQL's || nulls out) — excluded, the
+    # md5-coin pin
+    two = (df.where(F.col(value_col).isNotNull()
+                    & F.col(id_col).isNotNull())
            .select(F.col(variant_col).alias("arm"),
                    F.col(value_col).cast("double").alias("v"),
                    F.col(id_col).cast("string").alias("id")))

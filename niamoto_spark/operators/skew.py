@@ -99,7 +99,12 @@ def skew_report(df: DataFrame, key_cols: "list[str] | str",
     from pyspark.sql import Window
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    # NULL key components are shown under an explicit sentinel — the
+    # NULL group IS a legitimate hot key, and concat_ws would render it
+    # as '' (colliding with real empty strings and with SQL's NULL ||)
+    key_str = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"),
+                                            F.lit("<NULL>"))
+                                 for c in keys])
     per = (df.groupBy(*keys)
            .agg(F.count(F.lit(1)).alias("n"))
            .select(key_str.alias("key"), "n"))

@@ -450,8 +450,16 @@ def cohort_ltv(orders: DataFrame, customer_col: str, month_expr,
             .select(F.col("cohort").alias("cohort_month"),
                     F.col("age").alias("age_months"),
                     "cohort_size", "revenue",
-                    (F.sum("revenue").over(w).cast("double")
-                     / F.col("cohort_size"))
+                    # integer-cent arithmetic to the end: half-up on
+                    # the exact cents, then one /100.0 — engines round
+                    # an exact .xx5 quotient differently through both
+                    # binary doubles AND their decimal-division scale
+                    # rules, so neither is a safe meeting point
+                    (F.floor((F.sum("revenue").over(w)
+                              .cast("decimal(38,2)") * 200
+                              + F.col("cohort_size"))
+                             / (F.col("cohort_size") * 2))
+                     .cast("bigint") / F.lit(100.0))
                     .alias("cum_revenue_per_customer")))
 
 

@@ -8336,8 +8336,8 @@ def q214_cohort_ltv(spark, sf_dir):
             .select("cohort_month", "age_months", "cohort_size",
                     F.col("revenue").cast("decimal(38,2)")
                     .alias("revenue"),
-                    F.round("cum_revenue_per_customer", 2)
-                    .alias("cum_rpc")))
+                    F.col("cum_revenue_per_customer")
+                    .cast("double").alias("cum_rpc")))
 
 
 O_Q214 = """
@@ -8359,10 +8359,11 @@ pa AS (
   GROUP BY 1, 2)
 SELECT pa.cohort AS cohort_month, pa.age AS age_months,
        s.cohort_size, pa.revenue,
-       round(CAST(sum(pa.revenue) OVER (PARTITION BY pa.cohort
+       CAST(floor((CAST(sum(pa.revenue) OVER (PARTITION BY pa.cohort
                ORDER BY pa.age
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DOUBLE) / s.cohort_size, 2) AS cum_rpc
+               AS DECIMAL(38,2)) * 200 + s.cohort_size)
+             / (s.cohort_size * 2)) AS BIGINT) / 100.0 AS cum_rpc
 FROM pa JOIN sizes s ON s.cohort = pa.cohort
 QUALIFY pa.age <= 6
 """
@@ -8768,7 +8769,8 @@ O_Q221 = """
 WITH two AS (
   SELECT o_orderpriority AS arm, CAST(o_totalprice AS DOUBLE) AS v,
          CAST(o_orderkey AS VARCHAR) AS id
-  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
 obs AS (
   SELECT round(avg(CASE WHEN arm = '1-URGENT' THEN v END)
                - avg(CASE WHEN arm <> '1-URGENT' THEN v END), 6)
@@ -8867,7 +8869,8 @@ def q224_skew_report(spark, sf_dir):
 
 O_Q224 = """
 WITH per AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS n
+  SELECT coalesce(CAST(l_partkey AS VARCHAR), '<NULL>') AS key,
+         count(*) AS n
   FROM lineitem GROUP BY 1),
 t AS (
   SELECT key, n, sum(n) OVER () AS total,

@@ -195,7 +195,9 @@ def poisson_bootstrap(df: DataFrame, value_col: str, id_col: str,
     from pyspark.sql import Window
 
     # Poisson(1) CDF: 0.3679, 0.7358, 0.9197, 0.9810, then 1.0
-    base = (df.where(F.col(value_col).isNotNull())
+    # (NULL ids excluded — the md5-coin pin, as permutation_test)
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(id_col).isNotNull())
             .select(F.col(value_col).cast("double").alias("v"),
                     F.col(id_col).cast("string").alias("id")))
     n_rows = base.count()

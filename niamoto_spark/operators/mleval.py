@@ -184,6 +184,11 @@ def conformal_interval(df: DataFrame, pred_col: str, actual_col: str,
     """
     from niamoto_spark.operators.ranks import global_rank
 
+    # the md5-coin pin: NULL ids can't be split deterministically, and
+    # a NULL actual/pred has no conformity score
+    df = df.where(F.col(id_col).isNotNull()
+                  & F.col(actual_col).isNotNull()
+                  & F.col(pred_col).isNotNull())
     key = F.col(id_col).cast("string")
     h = F.conv(F.substring(
         F.md5(F.concat_ws("|", F.lit(seed), key)), 1, 13),

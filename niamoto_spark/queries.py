@@ -9089,7 +9089,7 @@ def q230_stl_decompose(spark, sf_dir):
     phase means and centering exactly."""
     from niamoto_spark.operators.timeseries import stl_decompose
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     daily = (ev.groupBy("event_type",
                         F.floor(F.col("ts_sec") / 86400)
                         .cast("long").alias("day"))
@@ -9105,7 +9105,7 @@ WITH daily AS (
   SELECT event_type, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
            AS day,
          round(sum(value), 4) AS v
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 t AS (
   SELECT event_type, day, v,
          avg(v) OVER (PARTITION BY event_type ORDER BY day
@@ -9147,13 +9147,15 @@ O_Q231 = """
 WITH model AS (
   SELECT o_orderpriority, round(avg(o_totalprice), 4) AS pred
   FROM orders GROUP BY 1),
+-- NULL ids can't be coined; NULL actuals have no conformity score
 scored AS (
   SELECT o.o_orderkey AS id, m.pred, o.o_totalprice AS actual,
          (CAST(('0x' || substr(md5('conf' || '|'
                                || CAST(o.o_orderkey AS VARCHAR)), 1, 13))
                AS UBIGINT) + 0.5) / power(16, 13) < 0.5 AS is_cal,
          abs(o.o_totalprice - m.pred) AS r
-  FROM orders o JOIN model m USING (o_orderpriority)),
+  FROM orders o JOIN model m USING (o_orderpriority)
+  WHERE o.o_orderkey IS NOT NULL AND o.o_totalprice IS NOT NULL),
 cal AS (SELECT * FROM scored WHERE is_cal),
 nc AS (SELECT count(*) AS n_cal FROM cal),
 q AS (
@@ -9240,11 +9242,15 @@ def q233_maintain_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment")
 
-    M.append(o.where(F.col("o_orderkey") % 3 != 0), lp)
-    M.append(c.where(F.col("custkey") % 2 == 0), rp)
+    # coalesce: splits must be EXHAUSTIVE (NULL % k is NULL and a bare
+    # comparison silently drops NULL-key rows from every commit — q133)
+    o_slice = F.coalesce(F.col("o_orderkey") % 3, F.lit(1))
+    c_slice = F.coalesce(F.col("custkey") % 2, F.lit(0))
+    M.append(o.where(o_slice != 0), lp)
+    M.append(c.where(c_slice == 0), rp)
     maintain_join(spark, lp, rp, sp, on="custkey")
-    M.append(o.where(F.col("o_orderkey") % 3 == 0), lp)
-    M.append(c.where(F.col("custkey") % 2 == 1), rp)
+    M.append(o.where(o_slice == 0), lp)
+    M.append(c.where(c_slice == 1), rp)
     maintain_join(spark, lp, rp, sp, on="custkey")
 
     return (M.read_table(spark, sp)
@@ -9435,15 +9441,18 @@ g AS (
   SELECT o_custkey,
          count(*) OVER (PARTITION BY o_custkey) AS n_records,
          last_value(o_orderpriority IGNORE NULLS)
-           OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+           OVER (PARTITION BY o_custkey
+                 ORDER BY day NULLS FIRST, o_orderkey NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING
                           AND UNBOUNDED FOLLOWING) AS o_orderpriority,
          last_value(big_total IGNORE NULLS)
-           OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+           OVER (PARTITION BY o_custkey
+                 ORDER BY day NULLS FIRST, o_orderkey NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING
                           AND UNBOUNDED FOLLOWING) AS big_total,
          row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY day, o_orderkey) AS rn
+                            ORDER BY day NULLS FIRST,
+                                     o_orderkey NULLS FIRST) AS rn
   FROM o)
 SELECT o_orderpriority, count(*) AS n_customers,
        round(sum(big_total), 2) AS sum_latest_big,
@@ -9553,7 +9562,8 @@ O_Q241 = """
 WITH base AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS v,
          CAST(o_orderkey AS VARCHAR) AS id
-  FROM orders WHERE o_totalprice IS NOT NULL),
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
 n AS (SELECT count(*) AS n_rows, round(avg(v), 4) AS mean FROM base),
 ex AS (
   SELECT b.b, t.v,
@@ -9635,7 +9645,7 @@ def q243_top_paths(spark, sf_dir):
     types in (ts, event_id) order, count path signatures.  One
     session window + one ordered aggregation; the oracle replays
     sessionization and the ordered string_agg.  Top 15 paths."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
@@ -9663,22 +9673,26 @@ O_Q243 = """
 WITH ev AS (
   SELECT user_id, event_id, event_type,
          CAST(floor(epoch(ts)) AS BIGINT) AS t
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 s AS (
   SELECT *, CASE WHEN lag(t) OVER w IS NULL
                    OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+  FROM ev WINDOW w AS (PARTITION BY user_id
+                       ORDER BY t, event_id NULLS FIRST)),
 sid AS (
-  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+  SELECT *, sum(ns) OVER (PARTITION BY user_id
+                          ORDER BY t, event_id NULLS FIRST
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM s),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id, sid
-                               ORDER BY t, event_id) AS rn
+                               ORDER BY t, event_id NULLS FIRST) AS rn
   FROM sid),
 paths AS (
+  -- coalesce: an all-NULL-type session renders the EMPTY path, the
+  -- same string concat_ws produces (string_agg alone yields NULL)
   SELECT user_id, sid,
-         string_agg(event_type, '>' ORDER BY rn) AS path
+         coalesce(string_agg(event_type, '>' ORDER BY rn), '') AS path
   FROM ranked WHERE rn <= 4 GROUP BY 1, 2)
 SELECT path, count(*) AS n_sessions
 FROM paths GROUP BY 1
@@ -9943,7 +9957,7 @@ def q249_autocorrelation(spark, sf_dir):
     detector.  Oracle: corr() over the identical lag alignment."""
     from niamoto_spark.operators.timeseries import autocorrelation
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     daily = (ev.groupBy("event_type",
                         F.floor(F.col("ts_sec") / 86400)
                         .cast("long").alias("day"))

@@ -1177,6 +1177,9 @@ def augment_text(df: DataFrame, id_col: str, text_col: str,
     corpus scale augmentation is bottlenecked by I/O, exactly as it
     should be.  Docs too short to perturb pass through unchanged.
     """
+    # the md5-coin pin: NULL ids share one coin via concat_ws; NULL
+    # text has nothing to augment — both excluded
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     t = F.col(text_col)
     n = F.length(t)
     h = F.conv(F.substring(

@@ -666,6 +666,11 @@ def growth_accounting(df: DataFrame, entity_col: str, ts_col: str,
     One distinct-activity aggregate (entity-keyed), the first-seen
     min, a self-join on (entity, period−1) — co-partitioned with the
     activity aggregate — and one period rollup."""
+    # growth is over identified, timestamped activity: a NULL entity
+    # or NULL ts would form phantom (NULL, bucket) members that the
+    # first-seen join can never pair
+    df = df.where(F.col(entity_col).isNotNull()
+                  & F.col(ts_col).isNotNull())
     bucket = F.floor(F.col(ts_col) / granule_s).cast("long")
     act = (df.select(F.col(entity_col).alias("u"),
                      bucket.alias("b")).distinct())

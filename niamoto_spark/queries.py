@@ -9807,6 +9807,7 @@ def q246_augment_text(spark, sf_dir):
 
 O_Q246 = """
 WITH a AS (
+  -- identified docs with text only (augment_text md5-coin pin)
   SELECT lang, text,
          CASE WHEN length(text) >= 3 THEN
            substr(text, 1,
@@ -9821,7 +9822,7 @@ WITH a AS (
                        * (length(text) - 2)) + 2 AS INT) + 1,
                   length(text))
          ELSE text END AS augmented
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
 SELECT lang, count(*) AS n_docs,
        CAST(sum(CASE WHEN augmented <> text THEN 1 ELSE 0 END)
             AS BIGINT) AS n_changed,
@@ -9970,7 +9971,7 @@ WITH daily AS (
   SELECT event_type AS key,
          CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
          round(sum(value), 4) AS v
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 lagged AS (
   SELECT key, v,
          lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
@@ -10002,7 +10003,7 @@ O_Q250 = """
 WITH act AS (
   SELECT DISTINCT user_id AS u,
          CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS b
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 firsts AS (SELECT u, min(b) AS fb FROM act GROUP BY 1),
 cur AS (
   SELECT a.b, a.u, f.fb,
@@ -10375,8 +10376,8 @@ WITH pts AS (
   WHERE l_orderkey < 5000 AND l_quantity IS NOT NULL
     AND l_extendedprice IS NOT NULL),
 ranked AS (
-  SELECT x, y, row_number() OVER (ORDER BY x, l_orderkey,
-                                  l_linenumber) AS r
+  SELECT x, y, row_number() OVER (ORDER BY x, l_orderkey NULLS FIRST,
+                                  l_linenumber NULLS FIRST) AS r
   FROM pts),
 n AS (SELECT count(*) AS n, count(*) // 2 AS half FROM ranked),
 pairs AS (
@@ -10414,8 +10415,12 @@ def q257_window_surface(spark, sf_dir):
                                    * 1_000_000 + 0.5).cast("long"))
          .withColumn("cd", F.floor(F.cume_dist().over(w)
                                    * 1_000_000 + 0.5).cast("long"))
-         .withColumn("lg", F.lag("o_totalprice", 1, 0.0).over(w))
-         .withColumn("ld", F.lead("o_totalprice", 1, 0.0).over(w))
+         # coalesce, not a lag default: an existing NULL price must
+         # also count 0 cents (the default only covers missing rows)
+         .withColumn("lg", F.coalesce(
+             F.lag("o_totalprice", 1).over(w), F.lit(0.0)))
+         .withColumn("ld", F.coalesce(
+             F.lead("o_totalprice", 1).over(w), F.lit(0.0)))
          .withColumn("nt", F.ntile(4).over(w)))
     # checksums are EXACT integers (micro-units via floor(x*1e6+0.5),
     # neighbor money in cents): a float sum over 18k rounded doubles
@@ -10448,9 +10453,10 @@ WITH e AS (
          ntile(4) OVER w AS nt
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey
-               ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST,
+                        o_orderkey NULLS FIRST),
          wd AS (PARTITION BY o_custkey
-                ORDER BY CAST(o_orderdate AS DATE)))
+                ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST))
 SELECT o_orderpriority,
        CAST(sum(rn) AS BIGINT) AS sum_rn,
        CAST(sum(rk) AS BIGINT) AS sum_rk,
@@ -10610,7 +10616,7 @@ def q261_regex_surface(spark, sf_dir):
     backreferences (Spark $1 vs DuckDB \\1 — different spellings, same
     semantics), rlike filters, regexp_count, bounded split — over the
     documents table, folded per language."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     first_word = F.regexp_extract("text", r"^\s*(\w+)", 1)
     dup_vowel = F.regexp_count("text", F.lit("[aeiou]{2}"))
     swapped = F.regexp_replace(
@@ -10644,7 +10650,7 @@ WITH e AS (
          CASE WHEN len(regexp_split_to_array(text, '\s+')) < 4
               THEN len(regexp_split_to_array(text, '\s+'))
               ELSE 4 END AS np
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 SELECT lang,
        CAST(sum(fw_len) AS BIGINT) AS sum_fw_len,
        CAST(sum(dv) AS BIGINT) AS sum_double_vowels,

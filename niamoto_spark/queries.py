@@ -11120,8 +11120,9 @@ def q270_posexplode(spark, sf_dir):
 
 O_Q270 = """
 WITH per AS (
+  -- collect_list drops NULLs; DuckDB list() keeps them
   SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
-  FROM lineitem GROUP BY 1),
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
 ex AS (
   SELECT l_orderkey,
          generate_subscripts(qs, 1) AS position,
@@ -11275,7 +11276,9 @@ def q275_state_periods(spark, sf_dir):
     replays the textbook two-window SQL."""
     from niamoto_spark.operators.timeseries import state_periods
 
-    ev = _events(spark, sf_dir)
+    ev = (_events(spark, sf_dir)
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_id").isNotNull()))
     per = state_periods(ev, "user_id", "ts_sec", "event_type",
                         "event_id")
     return (per.groupBy("event_type")
@@ -11288,7 +11291,7 @@ O_Q275 = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
          event_type, event_id
-  FROM events),
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 f AS (
   SELECT user_id, t, event_type,
          CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
@@ -11441,7 +11444,9 @@ def q278_holt_linear(spark, sf_dir):
     α=0.5/β=0.3 arithmetic, step by step."""
     from niamoto_spark.operators.timeseries import holt_linear
 
-    ev = _events(spark, sf_dir)
+    ev = (_events(spark, sf_dir)
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_type").isNotNull()))
     daily = (ev.groupBy("event_type",
                         F.floor(F.col("ts_sec") / 86_400)
                         .cast("long").alias("day"))
@@ -11459,7 +11464,8 @@ WITH RECURSIVE d AS (
   SELECT event_type,
          CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
          avg(value) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
 o AS (
   SELECT event_type, y,
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -11608,7 +11614,7 @@ def q282_sliding_windows(spark, sf_dir):
     F.window(width=4h, slide=2h), the hop the tumbling q30 can't
     express: each event lands in exactly TWO windows.  The oracle
     replays via the union of the two slide-aligned bucketings."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     ts = F.timestamp_seconds(F.col("ts_sec"))
     return (ev.groupBy(F.window(ts, "4 hours", "2 hours").alias("w"),
                        "event_type")
@@ -11622,7 +11628,7 @@ O_Q282 = """
 WITH e AS (
   SELECT event_type, value,
          CAST(floor(epoch(ts)) AS BIGINT) AS t
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 hits AS (
   SELECT (t // 7200) * 7200 AS w_start, event_type, value FROM e
   UNION ALL
@@ -11672,7 +11678,8 @@ def q284_cramers_v(spark, sf_dir):
 
 O_Q284 = """
 WITH p AS (
-  SELECT o_orderpriority AS a, o_custkey % 3 AS b FROM orders),
+  SELECT o_orderpriority AS a, o_custkey % 3 AS b FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
 obs AS (SELECT a, b, count(*) AS o FROM p GROUP BY 1, 2),
 ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
 rb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY 1),
@@ -11703,7 +11710,9 @@ def q285_counter_rate(spark, sf_dir):
     replays the lag-delta arithmetic."""
     from niamoto_spark.operators.timeseries import counter_rate
 
-    ev = _events(spark, sf_dir)
+    ev = (_events(spark, sf_dir)
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_id").isNotNull()))
     return counter_rate(ev, "user_id", "ts_sec", "value", "event_id")
 
 
@@ -11711,7 +11720,7 @@ O_Q285 = """
 WITH e AS (
   SELECT user_id, value AS v, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS t
-  FROM events),
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 s AS (
   SELECT user_id, t, v,
          lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id)
@@ -11739,7 +11748,9 @@ def q286_ip_enrich(spark, sf_dir):
     dotted-quad arithmetic and the range join."""
     from niamoto_spark.operators.web import ip_range_join
 
-    ev = _events(spark, sf_dir)
+    ev = (_events(spark, sf_dir)
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull()))
     f = ev.withColumn(
         "ip", F.concat(F.lit("10."),
                        (F.col("user_id") % 200).cast("string"),
@@ -11763,7 +11774,8 @@ WITH f AS (
   SELECT user_id,
          10 * 16777216 + (user_id % 200) * 65536
            + (event_id % 250) * 256 + 7 AS ip_num
-  FROM events),
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
 r(ip_start, ip_end, zone) AS (VALUES
   (10 * 16777216, 10 * 16777216 + 50 * 65536 - 1, 'dc-a'),
   (10 * 16777216 + 50 * 65536, 10 * 16777216 + 120 * 65536 - 1, 'dc-b'),
@@ -12847,7 +12859,7 @@ def q312_forecast_eval(spark, sf_dir):
     from niamoto_spark.operators.mleval import forecast_accuracy
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
     daily = (ev.groupBy("event_type",
                         F.floor(F.col("ts_sec") / 86_400)
                         .cast("long").alias("day"))
@@ -12866,7 +12878,8 @@ WITH daily AS (
   SELECT event_type,
          CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
          avg(value) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
 f AS (
   SELECT event_type, y,
          lag(y) OVER (PARTITION BY event_type ORDER BY day) AS pred

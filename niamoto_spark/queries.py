@@ -12137,7 +12137,11 @@ def q294_access_log(spark, sf_dir):
     parser exactly inverts the render, end to end."""
     from niamoto_spark.operators.web import parse_access_log
 
-    ev = _events(spark, sf_dir)
+    ev = (_events(spark, sf_dir)
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull()))
     lines = ev.select(F.concat(
         F.lit("10."), (F.col("user_id") % 200).cast("string"),
         F.lit(".0.1 - "),
@@ -12170,7 +12174,10 @@ SELECT CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END
          AS bytes_total,
        count(DISTINCT CASE WHEN user_id % 3 <> 0
                            THEN 'u' || user_id END) AS n_users
-FROM events GROUP BY 1, 2
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  AND value IS NOT NULL AND event_id IS NOT NULL
+GROUP BY 1, 2
 """
 
 
@@ -12229,7 +12236,9 @@ def q296_multilabel(spark, sf_dir):
     explode.  The oracle replays with list_distinct/list_intersect."""
     from niamoto_spark.operators.mleval import multilabel_metrics
 
-    o = _t(spark, sf_dir, "orders")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isNotNull()
+                & F.col("o_orderstatus").isNotNull()))
     pred_pri = (F.when(F.col("o_totalprice") > 180_000, "1-URGENT")
                 .when(F.col("o_totalprice") > 60_000, "3-MEDIUM")
                 .otherwise("5-LOW"))
@@ -12245,7 +12254,8 @@ WITH rows_ AS (
          list_distinct([CASE WHEN o_totalprice > 180000 THEN '1-URGENT'
                              WHEN o_totalprice > 60000 THEN '3-MEDIUM'
                              ELSE '5-LOW' END, 'O']) AS p
-  FROM orders),
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
 m AS (
   SELECT len(list_intersect(a, p)) AS tp, len(a) AS na, len(p) AS np
   FROM rows_),
@@ -12708,16 +12718,20 @@ def q307_agg_surface(spark, sf_dir):
 
 
 O_Q307 = """
+-- FILTER clauses mirror collect_list/collect_set dropping NULLs; the
+-- median indexes over the NON-NULL array length, not the row count
 WITH g AS (
   SELECT c_nationkey AS nk,
-         list_sort(list(CAST(c_acctbal AS DOUBLE))) AS arr,
+         list_sort(list(CAST(c_acctbal AS DOUBLE))
+                   FILTER (WHERE c_acctbal IS NOT NULL)) AS arr,
          count(*) AS n,
-         list_sort(list(DISTINCT c_mktsegment)) AS segs,
+         list_sort(list(DISTINCT c_mktsegment)
+                   FILTER (WHERE c_mktsegment IS NOT NULL)) AS segs,
          sum(CASE WHEN c_acctbal < 0 THEN c_acctbal END) AS neg
   FROM customer GROUP BY 1)
 SELECT nk, n,
-       round(arr[CAST((n + 1) // 2 AS INT)]
-             + arr[CAST(n // 2 + 1 AS INT)], 2) AS med_bal_x2,
+       round(arr[CAST((len(arr) + 1) // 2 AS INT)]
+             + arr[CAST(len(arr) // 2 + 1 AS INT)], 2) AS med_bal_x2,
        array_to_string(segs, ',') AS segments,
        round(neg, 2) AS neg_mass
 FROM g ORDER BY 1
@@ -12799,9 +12813,12 @@ def q310_xml_ingest(spark, sf_dir):
         F.lit("</status><total>"),
         F.format_number(F.col("o_totalprice"), 2),
         F.lit("</total></order>")).alias("doc"))
-    parsed = xml.select(
-        F.from_xml("doc", "id BIGINT, status STRING, total STRING")
-        .alias("p")).select("p.*")
+    # concat nulls the whole doc when any field is NULL: only rendered
+    # docs reach the parser (both engines)
+    parsed = (xml.where(F.col("doc").isNotNull())
+              .select(F.from_xml(
+                  "doc", "id BIGINT, status STRING, total STRING")
+                  .alias("p")).select("p.*"))
     amount = F.regexp_replace("total", ",", "").cast("double")
     return (parsed.groupBy("status")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -12813,7 +12830,10 @@ O_Q310 = """
 SELECT o_orderstatus AS status, count(*) AS n,
        max(o_orderkey) AS max_id,
        round(sum(round(o_totalprice, 2)), 2) AS total_amount
-FROM orders GROUP BY 1
+FROM orders
+WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+  AND o_totalprice IS NOT NULL
+GROUP BY 1
 """
 
 
@@ -12859,7 +12879,9 @@ def q312_forecast_eval(spark, sf_dir):
     from niamoto_spark.operators.mleval import forecast_accuracy
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
+    ev = (_events(spark, sf_dir)
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_type").isNotNull()))
     daily = (ev.groupBy("event_type",
                         F.floor(F.col("ts_sec") / 86_400)
                         .cast("long").alias("day"))
@@ -13201,10 +13223,12 @@ def q318_emd_drift(spark, sf_dir):
 O_Q318 = """
 WITH a AS (
   SELECT CAST(floor(o_totalprice / 1000) * 1000 AS DOUBLE) AS v
-  FROM orders WHERE o_orderpriority = '1-URGENT'),
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL),
 b AS (
   SELECT CAST(floor(o_totalprice / 1000) * 1000 AS DOUBLE) AS v
-  FROM orders WHERE o_orderpriority = '5-LOW'),
+  FROM orders
+  WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL),
 ca AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
 cb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
 m AS (
@@ -13693,7 +13717,13 @@ def q329_nested_struct(spark, sf_dir):
     for nested-data surgery."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    nested = (li.groupBy("l_orderkey")
+    # complete items only: a NULL qty can't pass the filter lambda on
+    # either engine, and a NULL price poisons F.aggregate folds that
+    # DuckDB's list_aggregate silently skips (the q266 class)
+    nested = (li.where(F.col("l_linenumber").isNotNull()
+                       & F.col("l_quantity").isNotNull()
+                       & F.col("l_extendedprice").isNotNull())
+              .groupBy("l_orderkey")
               .agg(F.array_sort(F.collect_list(F.struct(
                   F.col("l_linenumber").alias("ln"),
                   F.col("l_quantity").alias("qty"),
@@ -13717,7 +13747,10 @@ WITH nested AS (
                                     qty := l_quantity,
                                     price := l_extendedprice)))
            AS items
-  FROM lineitem GROUP BY 1),
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+  GROUP BY 1),
 doc AS (
   SELECT o.o_orderpriority, n.items,
          list_filter(n.items, x -> x.qty >= 30) AS big
@@ -13774,7 +13807,10 @@ def q331_rolling_slope(spark, sf_dir):
     replays the frame collection and the normal-equation fold."""
     from niamoto_spark.operators.timeseries import rolling_slope
 
-    ev = _events(spark, sf_dir)
+    ev = (_events(spark, sf_dir)
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_id").isNotNull()
+                 & F.col("value").isNotNull()))
     rs = rolling_slope(ev, "user_id", "ts_sec", "value", "event_id",
                        window=7)
     return (rs.groupBy("user_id")
@@ -13789,7 +13825,9 @@ O_Q331 = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
          value AS v, event_id
-  FROM events),
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL),
 fr AS (
   SELECT user_id,
          list(struct_pack(t := CAST(t AS DOUBLE), y := v))

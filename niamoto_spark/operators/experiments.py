@@ -294,6 +294,10 @@ def bh_fdr(df: DataFrame, test_col: str, p_col: str,
     Returns (test, p_value, rank, threshold, rejected)."""
     from pyspark.sql import Window
 
+    # a test without a p-value is not a test: it can neither rank nor
+    # count toward m (Spark's asc would rank NULLs FIRST, stealing the
+    # most-significant slots)
+    df = df.where(F.col(p_col).isNotNull())
     m = df.count()
     w = Window.orderBy(F.col("p_value").asc(), F.col("test"))
     ranked = (df.select(F.col(test_col).alias("test"),

@@ -161,6 +161,9 @@ def save_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     run, amortized over every future query batch."""
     from niamoto_spark.sources import manifest
 
+    # same doc pin as bm25_topk: identified docs with text
+    docs = docs.where(F.col(id_col).isNotNull()
+                      & F.col(text_col).isNotNull())
     toks = (docs.select(F.col(id_col).alias("doc"),
                         _tokens(F.col(text_col)).alias("tl"))
             .withColumn("dl", F.size("tl")))

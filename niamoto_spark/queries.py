@@ -5043,7 +5043,8 @@ O_Q140 = """
 SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN '0-ESCALATED'
             ELSE o_orderpriority END AS o_orderpriority,
        count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-FROM orders WHERE o_totalprice >= 50000
+-- SQL DELETE keeps NULL-predicate rows (delete_where pin)
+FROM orders WHERE o_totalprice >= 50000 OR o_totalprice IS NULL
 GROUP BY 1
 """
 
@@ -14204,7 +14205,7 @@ WITH tests AS (
   SELECT n_name AS test,
          round(pow(CAST(('0x' || substr(md5('bh|' || n_name), 1, 8))
                         AS UBIGINT) / 4294967296.0, 2.0), 6) AS p
-  FROM nation),
+  FROM nation WHERE n_name IS NOT NULL),
 m AS (SELECT count(*) AS m FROM tests),
 ranked AS (
   SELECT test, p AS p_value,
@@ -14242,18 +14243,21 @@ def q339_diff_in_diff(spark, sf_dir):
 O_Q339 = """
 WITH c AS (
   SELECT
-    avg(CASE WHEN o_orderpriority = '1-URGENT'
-              AND year(o_orderdate) >= 1998 THEN o_totalprice END)
-      AS t_post,
-    avg(CASE WHEN o_orderpriority = '1-URGENT'
-              AND year(o_orderdate) < 1998 THEN o_totalprice END)
-      AS t_pre,
-    avg(CASE WHEN o_orderpriority <> '1-URGENT'
-              AND year(o_orderdate) >= 1998 THEN o_totalprice END)
-      AS c_post,
-    avg(CASE WHEN o_orderpriority <> '1-URGENT'
-              AND year(o_orderdate) < 1998 THEN o_totalprice END)
-      AS c_pre
+    -- NULL-safe bucketing: when().otherwise() sends a NULL priority
+    -- to control and a NULL date to "pre" — the plain SQL comparisons
+    -- would silently drop those rows from every cell
+    avg(CASE WHEN coalesce(o_orderpriority = '1-URGENT', FALSE)
+              AND coalesce(year(o_orderdate) >= 1998, FALSE)
+             THEN o_totalprice END) AS t_post,
+    avg(CASE WHEN coalesce(o_orderpriority = '1-URGENT', FALSE)
+              AND NOT coalesce(year(o_orderdate) >= 1998, FALSE)
+             THEN o_totalprice END) AS t_pre,
+    avg(CASE WHEN NOT coalesce(o_orderpriority = '1-URGENT', FALSE)
+              AND coalesce(year(o_orderdate) >= 1998, FALSE)
+             THEN o_totalprice END) AS c_post,
+    avg(CASE WHEN NOT coalesce(o_orderpriority = '1-URGENT', FALSE)
+              AND NOT coalesce(year(o_orderdate) >= 1998, FALSE)
+             THEN o_totalprice END) AS c_pre
   FROM orders)
 SELECT round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
        round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
@@ -14319,13 +14323,18 @@ def q341_wald_iv(spark, sf_dir):
     oracle replays instrument assignment and the ratio."""
     from niamoto_spark.operators.experiments import wald_iv
 
-    o = _t(spark, sf_dir, "orders")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey").isNotNull()
+                & F.col("o_totalprice").isNotNull()))
     z = (F.conv(F.substring(F.md5(F.concat(F.lit("iv|"),
                                            F.col("o_orderkey"))),
                             1, 8), 16, 10).cast("bigint")
          < F.lit(int(0.5 * 2 ** 32))).cast("int")
-    d = ((F.col("o_orderpriority") == "1-URGENT")
-         | ((z == 1) & (F.col("o_orderkey") % 3 == 0))).cast("int")
+    # coalesce: a NULL priority must encode d=0 (the oracle's CASE
+    # ELSE 0), not a NULL that avg() silently skips
+    d = F.coalesce(((F.col("o_orderpriority") == "1-URGENT")
+                    | ((z == 1) & (F.col("o_orderkey") % 3 == 0)))
+                   .cast("int"), F.lit(0))
     df = o.select(z.alias("z"), d.alias("d"),
                   F.col("o_totalprice").alias("y"))
     return wald_iv(df, "z", "d", "y")
@@ -14337,7 +14346,8 @@ WITH base AS (
                                         1, 8)) AS UBIGINT)
               < 2147483648 THEN 1 ELSE 0 END AS z,
          o_orderpriority, o_orderkey, o_totalprice AS y
-  FROM orders),
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
 t AS (
   SELECT z,
          CASE WHEN o_orderpriority = '1-URGENT'
@@ -14589,6 +14599,8 @@ def q346_weighted_endemism(spark, sf_dir):
                     F.col("c_nationkey") == F.col("n_nationkey"))
               .join(F.broadcast(p.where(F.col("p_size") >= 46)),
                     F.col("l_partkey") == F.col("p_partkey"))
+              .where(F.col("n_regionkey").isNotNull()
+                     & F.col("p_brand").isNotNull())
               .groupBy(F.col("n_regionkey").alias("region"), "p_brand")
               .agg(F.count(F.lit(1)).alias("count")))
     return weighted_endemism(counts, "region", "p_brand") \
@@ -14602,7 +14614,8 @@ WITH pres AS (
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
-  JOIN part ON l_partkey = p_partkey AND p_size >= 46),
+  JOIN part ON l_partkey = p_partkey AND p_size >= 46
+  WHERE n_regionkey IS NOT NULL AND p_brand IS NOT NULL),
 ranges AS (SELECT sp, count(*) AS rng FROM pres GROUP BY 1)
 SELECT pres.site AS region, count(*) AS richness,
        round(sum(1.0 / rng), 4) AS we,
@@ -14629,8 +14642,10 @@ def q347_faith_pd(spark, sf_dir):
                  n.select(F.col("n_regionkey").alias("id"))
                  .distinct()
                  .withColumn("parent_id", F.lit(None).cast("long"))))
-    occ = c.select(F.col("c_mktsegment").alias("seg"),
-                   (F.col("c_nationkey") + 100).alias("leaf"))
+    occ = (c.where(F.col("c_mktsegment").isNotNull()
+                   & F.col("c_nationkey").isNotNull())
+           .select(F.col("c_mktsegment").alias("seg"),
+                   (F.col("c_nationkey") + 100).alias("leaf")))
     return (faith_pd(occ, "seg", "leaf", nodes)
             .orderBy("seg"))
 
@@ -14638,14 +14653,20 @@ def q347_faith_pd(spark, sf_dir):
 O_Q347 = """
 WITH pres AS (
   SELECT DISTINCT c_mktsegment AS seg, c_nationkey + 100 AS leaf
-  FROM customer),
+  FROM customer
+  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
 nmap AS (SELECT n_nationkey + 100 AS id, n_regionkey AS parent
          FROM nation),
 edges AS (
-  SELECT seg, leaf AS node FROM pres
+  -- PD counts edges of the TREE: a leaf absent from the node table
+  -- (NULL-id nation) has no branch, so even its self-edge needs tree
+  -- membership; a NULL parent is no ancestor node either
+  SELECT pres.seg, pres.leaf AS node FROM pres
+  JOIN nmap ON pres.leaf = nmap.id
   UNION
   SELECT pres.seg, nmap.parent FROM pres
-  JOIN nmap ON pres.leaf = nmap.id)
+  JOIN nmap ON pres.leaf = nmap.id
+  WHERE nmap.parent IS NOT NULL)
 SELECT e.seg AS seg, l.n_leaves, CAST(e.pd AS DOUBLE) AS pd
 FROM (SELECT seg, count(*) AS pd FROM edges GROUP BY 1) e
 JOIN (SELECT seg, count(*) AS n_leaves FROM pres GROUP BY 1) l

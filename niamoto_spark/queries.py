@@ -975,7 +975,8 @@ WITH e AS (
 SELECT agg.user_id,
        CAST(count(*) AS BIGINT) AS n_closed_sessions,
        CAST(sum(agg.n_events) AS BIGINT) AS events_in_closed
-FROM agg JOIN mx ON agg.user_id = mx.user_id AND agg.sess < mx.last_sess
+FROM agg JOIN mx ON agg.user_id IS NOT DISTINCT FROM mx.user_id
+                AND agg.sess < mx.last_sess
 GROUP BY agg.user_id
 """
 
@@ -3115,7 +3116,10 @@ dropped AS (
                    * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.42)
 SELECT label, count(*) AS n_kept, min(vec_id) AS first_id,
        CAST(sum(vec_id) AS BIGINT) AS id_sum
-FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+-- a row that cannot be paired (NULL id) survives by default; the bare
+-- NOT IN would exclude it (NULL NOT IN ... is never true)
+FROM e WHERE vec_id IS NULL
+   OR vec_id NOT IN (SELECT vec_id FROM dropped)
 GROUP BY label
 """
 
@@ -4931,9 +4935,11 @@ def q137_stream_static_join(spark, sf_dir):
 
 
 O_Q137 = """
+-- streaming sources drop rows without a timestamp (_ts_to_timestamp)
 SELECT c_mktsegment, count(*) AS n_events,
        round(sum(value), 2) AS value_sum
 FROM events JOIN customer ON user_id = c_custkey
+WHERE ts IS NOT NULL
 GROUP BY c_mktsegment
 """
 
@@ -8713,7 +8719,8 @@ def q220_stream_outer_join(spark, sf_dir):
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(stream_dir))
 
-    purchases = (_stream().where(F.col("event_type") == "purchase")
+    purchases = (_stream().where((F.col("event_type") == "purchase")
+                                 & F.col("event_id").isNotNull())
                  .select(F.col("event_id").alias("purchase_id"),
                          "user_id", F.col("ts").alias("p_ts")))
     clicks = (_stream().where(F.col("event_type") == "click")
@@ -8747,6 +8754,7 @@ LEFT JOIN events c
   ON c.event_type = 'click' AND c.user_id = p.user_id
  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1800 SECONDS
 WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
+  AND p.event_id IS NOT NULL
 GROUP BY 1
 """
 
@@ -9357,10 +9365,12 @@ def q236_deletion_vectors(spark, sf_dir):
 
 
 O_Q236 = """
+-- MOR DELETE marks rows where pred is TRUE: NULL-predicate rows stay
 SELECT o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS revenue
 FROM orders
-WHERE o_totalprice >= 50000 AND o_orderpriority <> '5-LOW'
+WHERE (o_totalprice >= 50000 OR o_totalprice IS NULL)
+  AND (o_orderpriority <> '5-LOW' OR o_orderpriority IS NULL)
 GROUP BY 1
 """
 
@@ -10828,11 +10838,12 @@ def q264_partition_overwrite(spark, sf_dir):
 
 
 O_Q264 = """
+-- day-partitioned table: rows without a timestamp have no partition
 SELECT event_type, count(*) AS n_events,
        round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
                       THEN round(value * 2, 4) ELSE value END), 2)
          AS value_sum
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """
 
 

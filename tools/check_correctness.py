@@ -37,6 +37,74 @@ def normalize(rows, colnames):
     return out
 
 
+#: recall@5 floors for the approximate ANN lanes (VERDICT r9 next-#5:
+#: pinned in the GATE, not just bench telemetry).  Measured at both gate
+#: SFs: q41 0.63/0.63 (vs exact cosine), q110 0.90/0.88 (vs full-scan
+#: ADC — PQ quantization error is by design, bucketing loss is not),
+#: q166 0.79/0.81 (vs exact cosine).  Floors sit a margin below.
+RECALL_FLOORS = {
+    "q41_ivf_topk": 0.55,
+    "q110_ivfpq_topk": 0.80,
+    "q166_ann_index_query": 0.70,
+}
+
+
+def _ann_recall(name: str, srows, scols, sf_dir: str) -> float:
+    """recall@5 of an approximate ANN result against its proper
+    baseline, computed exactly in numpy from the same parquet."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL "
+        "ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if name == "q166_ann_index_query":
+        qmask = ids % 25 == 0
+    else:
+        qmask = ids < 20
+    qi, qm = ids[qmask], x[qmask]
+    baseline: dict = {}
+    if name == "q110_ivfpq_topk":
+        # full-scan ADC with the query's own codebooks (subvectors of
+        # vec_id 0..15): isolates IVF bucketing loss from PQ error
+        cb = [r[1] for r in rows if r[0] < 16]
+        d = x.shape[1]
+        dsub = d // 4
+        books = [np.array([list(v[mi * dsub:(mi + 1) * dsub])
+                           for v in cb]) for mi in range(4)]
+        codes = np.empty((x.shape[0], 4), dtype=int)
+        for mi in range(4):
+            sub = x[:, mi * dsub:(mi + 1) * dsub]
+            dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = np.round(dist, 6).argmin(axis=1)
+        for j, qid in enumerate(qi):
+            tabs = [((qm[j][mi * dsub:(mi + 1) * dsub][None, :]
+                      - books[mi]) ** 2).sum(axis=1) for mi in range(4)]
+            adc = np.round(sum(tabs[mi][codes[:, mi]]
+                               for mi in range(4)), 4)
+            cand = sorted(zip(adc, ids))
+            baseline[int(qid)] = [int(i) for _, i in cand if i != qid][:5]
+    else:
+        norms = np.linalg.norm(x, axis=1)
+        for j, qid in enumerate(qi):
+            s = (x @ qm[j]) / (norms * np.linalg.norm(qm[j]))
+            cand = sorted(zip(-s, ids))
+            baseline[int(qid)] = [int(i) for _, i in cand if i != qid][:5]
+    qidx = scols.index("query_id")
+    nidx = scols.index("neighbor_id")
+    approx: dict = {}
+    for r in srows:
+        approx.setdefault(int(r[qidx]), set()).add(int(r[nidx]))
+    hits = sum(len(approx.get(q, set()) & set(e))
+               for q, e in baseline.items())
+    tot = sum(len(e) for e in baseline.values())
+    return hits / tot if tot else 1.0
+
+
 def main() -> int:
     import duckdb
 
@@ -70,6 +138,18 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
+            if name in RECALL_FLOORS:
+                rec = _ann_recall(name, srows, scols, sf_dir)
+                if rec < RECALL_FLOORS[name]:
+                    print(f"FAIL {name}: recall@5 {rec:.3f} below "
+                          f"floor {RECALL_FLOORS[name]}")
+                    failures.append(name)
+                else:
+                    print(f"ROWS-ONLY {name}: {len(srows)} rows, "
+                          f"recall@5 {rec:.3f} >= "
+                          f"{RECALL_FLOORS[name]} "
+                          f"({time.time()-t0:.1f}s)")
+                continue
             print(f"ROWS-ONLY {name}: {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
             continue

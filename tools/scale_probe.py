@@ -464,5 +464,103 @@ def main() -> None:
         _sh2.rmtree(ddir, ignore_errors=True)
 
 
+def _guard_lanes(spark, sf: str, mult: int) -> "dict[str, tuple]":
+    """Run the guard lane set at one multiplier; returns
+    {lane: (rows, seconds)}."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    pieces = [li.withColumn("l_orderkey",
+                            F.col("l_orderkey") + F.lit(i * 10_000_000))
+              for i in range(mult)]
+    big = pieces[0]
+    for p in pieces[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).cache()
+    n = big.count()
+    px, d = F.col("l_extendedprice"), F.col("l_discount")
+    lanes = {
+        "pricing_agg": big.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.sum(px), F.sum(px * (1 - d)),
+            F.avg("l_quantity"), F.count(F.lit(1))),
+        "broadcast_topk": (
+            big.join(F.broadcast(part), big.l_partkey == part.p_partkey)
+            .groupBy("p_brand").count()
+            .orderBy(F.col("count").desc(), "p_brand").limit(10)),
+        "median_per_group": big.groupBy("l_returnflag").agg(
+            F.median("l_quantity")),
+        "hash_dedup": (big.select(
+            F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
+            .alias("k")).groupBy("k").count()),
+    }
+    out = {}
+    for label, df in lanes.items():
+        t0 = time.time()
+        df.count()
+        out[label] = (n, round(time.time() - t0, 3))
+    big.unpersist()
+    return out
+
+
+def guard(multipliers: "list[int]" = (1, 4, 16),
+          jsonl_path: str | None = None,
+          max_cost_growth: float = 2.0) -> int:
+    """VERDICT r9 next-#7: structured scale records + a superlinear
+    wall-time flag.  Runs the guard lanes at each multiplier, appends
+    one JSONL record per (multiplier, lane) to SCALE_PROBE.jsonl, and
+    FAILS if any lane's per-row cost grows more than
+    ``max_cost_growth``x between adjacent scales (the early DV-tax
+    regression — 10.45x raw-scan tax — would have tripped this
+    automatically)."""
+    import json
+
+    from niamoto_spark.session import get_spark
+
+    spark = get_spark("scale_probe_guard")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    jsonl_path = jsonl_path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.jsonl")
+    _guard_lanes(spark, sf, 1)   # warm-up: JVM/codegen cold-start must
+    #                              not inflate the smallest scale's
+    #                              baseline (that would mask regressions)
+    results: dict[int, dict] = {}
+    for m in multipliers:
+        results[m] = _guard_lanes(spark, sf, m)
+        print(f"# mult {m}: " + ", ".join(
+            f"{k}={v[1]}s" for k, v in results[m].items()))
+    with open(jsonl_path, "a") as f:
+        for m in multipliers:
+            for lane, (rows, sec) in results[m].items():
+                f.write(json.dumps({
+                    "sf_dir": sf, "multiplier": m, "lane": lane,
+                    "rows": rows, "seconds": sec,
+                    "rows_per_sec": round(rows / max(sec, 1e-9))}) + "\n")
+    flags = []
+    ms = sorted(multipliers)
+    for lo, hi in zip(ms, ms[1:]):
+        for lane in results[lo]:
+            r0, s0 = results[lo][lane]
+            r1, s1 = results[hi][lane]
+            cost0, cost1 = s0 / r0, s1 / r1
+            growth = cost1 / cost0 if cost0 > 0 else 1.0
+            line = (f"{lane}: per-row cost x{growth:.2f} from "
+                    f"mult {lo} -> {hi}")
+            if growth > max_cost_growth:
+                flags.append("FLAG " + line)
+            else:
+                print("ok   " + line)
+    for fl in flags:
+        print(fl)
+    if flags:
+        print(f"\n{len(flags)} lane(s) exceed {max_cost_growth}x "
+              "per-row cost growth")
+        return 1
+    print("\nall lanes within the per-row cost growth bound")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--guard" in sys.argv:
+        mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
+        raise SystemExit(guard(mults))
     main()

@@ -1,0 +1,204 @@
+"""Batch-split invariance for the stateful streaming operators
+(VERDICT r9 next-#6): a seeded multi-batch corpus where events also
+arrive LATE (but within watermark), asserting that splitting the same
+data across micro-batches never changes the result.
+
+The r9 sessionization late-event fix (the monotonic fold, then this
+round's interval fold) was found by review; these tests catch the next
+fold regression mechanically:
+
+- sessions: closed sessions from a 3-file out-of-order drain ==
+  closed sessions from the single-file drain (closes are gap-proven
+  only, so batch boundaries must be invisible).
+- dedup: duplicates re-arriving late within the watermark are dropped
+  identically whether they share a batch with the original or not.
+- stream-stream join: purchase->click attribution pairs are identical
+  under the split (watermark eviction happens later, never different).
+"""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus(seed: int):
+    """Seeded events: (event_id, ts_sec, user_id, event_type, value).
+    Late arrivals stay within 1h of the max timestamp and only extend
+    OPEN (per-user latest) sessions — close-on-proof means an emitted
+    session can't absorb late events, by design (documented in
+    streaming/sessions.py)."""
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    base = 1_700_000_000
+    for user in range(6):
+        t = base + rng.randrange(0, 600)
+        for _ in range(rng.randrange(8, 14)):
+            t += rng.choice([30, 120, 500, 2500, 4000])
+            rows.append((eid, t, user,
+                         rng.choice(["click", "view", "purchase"]),
+                         round(rng.random() * 100, 2)))
+            eid += 1
+    return rows
+
+
+def _split(rows, seed: int, n_files: int = 3, gap_s: int = 1800):
+    """Time-cut into ``n_files`` in-order batches, then deliver a random
+    subset of each user's FINAL-session events one batch late.
+
+    That is exactly the lateness the operator promises to absorb: a
+    user's final session is still open when the drain ends, so its
+    events merging from any later batch must be invisible.  Events of
+    CLOSED sessions stay in time order — close-on-proof means an
+    emitted session can never be extended (documented divergence in
+    streaming/sessions.py), so arbitrary re-dealing is out of contract.
+    """
+    rng = random.Random(seed * 31 + 7)
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    size = (len(ordered) + n_files - 1) // n_files
+    files = [ordered[i * size:(i + 1) * size] for i in range(n_files)]
+    # final-session start per user (last gap > gap_s)
+    by_user: dict = {}
+    for r in ordered:
+        by_user.setdefault(r[2], []).append(r)
+    final_start = {}
+    for u, rs in by_user.items():
+        start = rs[0][1]
+        for prev, cur in zip(rs, rs[1:]):
+            if cur[1] - prev[1] > gap_s:
+                start = cur[1]
+        final_start[u] = start
+    out = [list(f) for f in files]
+    for i in range(n_files - 1):
+        keep = []
+        for r in out[i]:
+            if r[1] >= final_start[r[2]] and rng.random() < 0.5:
+                out[i + 1].append(r)   # arrives one batch LATE
+            else:
+                keep.append(r)
+        out[i] = keep
+    return [f for f in out if f]
+
+
+def _write_stream_dir(spark, tmp_path, name, batches):
+    import time as _time
+
+    d = tmp_path / name
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        tmp = str(d / f".mk{i}")
+        (spark.createDataFrame(
+            rows, "event_id long, ts_sec long, user_id long, "
+                  "event_type string, value double")
+         .withColumn("ts", F.timestamp_seconds("ts_sec"))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = str(d / f"b{i}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        import shutil
+        shutil.rmtree(tmp)
+        bump = _time.time() + i * 60
+        os.utime(dest, (bump, bump))
+    return str(d)
+
+
+def _drain(spark, src_dir, build, qname, max_files=1):
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files).parquet(src_dir))
+    out = build(stream)
+    for q_ in [q_ for q_ in spark.streams.active if q_.name == qname]:
+        q_.stop()
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sessions_batch_split_invariance(spark, tmp_path, seed):
+    from niamoto_spark.streaming.sessions import sessionize_stream
+
+    rows = _corpus(seed)
+    single = _write_stream_dir(spark, tmp_path, "single", [rows])
+    split = _write_stream_dir(spark, tmp_path, "split",
+                              _split(rows, seed))
+
+    def build(stream):
+        return sessionize_stream(stream.select("user_id", "ts"),
+                                 gap_s=1800, watermark="2 hours")
+
+    a = {tuple(r) for r in _drain(spark, single, build,
+                                  f"inv_sess_a{seed}",
+                                  max_files=9).collect()}
+    b = {tuple(r) for r in _drain(spark, split, build,
+                                  f"inv_sess_b{seed}").collect()}
+    assert a == b, (f"seed {seed}: closed sessions differ under batch "
+                    f"split (only-single {a - b}, only-split {b - a})")
+    assert a, "corpus produced no closed sessions — test is vacuous"
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_dedup_batch_split_invariance(spark, tmp_path, seed):
+    from niamoto_spark.streaming.dedup import dedup_stream
+
+    rng = random.Random(seed)
+    base = 1_700_000_000
+    rows = []
+    for i in range(40):
+        text = f"doc {i % 25} body"       # 15 duplicate texts
+        rows.append((i, base + i * 60, i % 5, text, 0.0))
+    # every duplicate also re-arrives late within the 1h watermark
+    late = [(100 + i, ts + 900, u, tx, v)
+            for i, (eid, ts, u, tx, v) in enumerate(rows[:15])]
+    allr = rows + late
+    rng.shuffle(allr)
+
+    single = _write_stream_dir(spark, tmp_path, "dsingle", [allr])
+    split = _write_stream_dir(spark, tmp_path, "dsplit",
+                              _split(allr, seed))
+
+    def build(stream):
+        return dedup_stream(
+            stream.withColumnRenamed("event_type", "text"),
+            text_col="text", ts_col="ts",
+            watermark="1 hour").select("text")
+
+    a = sorted(r["text"] for r in _drain(
+        spark, single, build, f"inv_dd_a{seed}", max_files=99).collect())
+    b = sorted(r["text"] for r in _drain(
+        spark, split, build, f"inv_dd_b{seed}").collect())
+    assert a == b, f"seed {seed}: dedup output differs under batch split"
+    assert len(a) == len(set(a)), "duplicates survived dedup"
+
+
+@pytest.mark.parametrize("seed", [1])
+def test_stream_join_batch_split_invariance(spark, tmp_path, seed):
+    from niamoto_spark.streaming.joins import stream_interval_join
+
+    rows = _corpus(seed)
+    single = _write_stream_dir(spark, tmp_path, "jsingle", [rows])
+    split = _write_stream_dir(spark, tmp_path, "jsplit",
+                              _split(rows, seed))
+
+    def build(stream):
+        purchases = (stream.where(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             "user_id", F.col("ts").alias("p_ts")))
+        clicks = (stream.where(F.col("event_type") == "click")
+                  .select("user_id", F.col("ts").alias("c_ts"),
+                          F.col("event_id").alias("click_id")))
+        return stream_interval_join(
+            clicks, purchases, on="user_id", point_ts="c_ts",
+            interval_ts="p_ts", span_s=3600
+        ).select("purchase_id", "click_id")
+
+    a = {tuple(r) for r in _drain(spark, single, build,
+                                  "inv_j_a", max_files=99).collect()}
+    b = {tuple(r) for r in _drain(spark, split, build,
+                                  "inv_j_b").collect()}
+    assert a == b, ("stream-stream join pairs differ under batch split "
+                    f"(only-single {a - b}, only-split {b - a})")
+    assert a, "corpus produced no join pairs — test is vacuous"

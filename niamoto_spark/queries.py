@@ -335,13 +335,26 @@ def q13_stats_lookup(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation")
     tagged = loader_ops.stats_loader(sup, "s_nationkey", nat, "n_nationkey")
     named = tagged.join(F.broadcast(nat.select("n_nationkey", "n_name")), "n_nationkey")
-    return named.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"))
+    cents = F.col("s_acctbal").cast("decimal(18,2)") * 100
+    return (named.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.sum(cents).cast("long").alias("__c"),
+                 F.count("s_acctbal").alias("__n"))
+            # identical integer half-up formula on both engines: a
+            # double-sum average flips its 2dp rounding with summation
+            # order on exact-boundary groups
+            .select("n_name", "n_suppliers",
+                    (F.floor((2 * F.col("__c") + F.col("__n"))
+                             / (2 * F.col("__n"))).cast("long")
+                     / F.lit(100.0)).alias("avg_acctbal")))
 
 
 O_Q13 = """
-SELECT n_name, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_acctbal
+SELECT n_name, count(*) AS n_suppliers,
+       CAST(floor((2 * CAST(sum(CAST(s_acctbal AS DECIMAL(18,2)) * 100)
+                            AS BIGINT) + count(s_acctbal))
+                  / (2 * count(s_acctbal))) AS BIGINT) / 100.0
+         AS avg_acctbal
 FROM supplier s JOIN nation n ON trim(CAST(s_nationkey AS VARCHAR)) = trim(CAST(n_nationkey AS VARCHAR))
 GROUP BY n_name
 """
@@ -3885,8 +3898,10 @@ def q107_funnel(spark, sf_dir):
     SQL."""
     from niamoto_spark.operators.funnel import funnel
 
-    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_sec",
-                                       "event_id")
+    ev = (_events(spark, sf_dir)
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select("user_id", "event_type", "ts_sec", "event_id"))
     return funnel(ev, "user_id", "ts_sec", "event_type",
                   stages=["view", "click", "purchase"],
                   gap_s=1800, order_cols=["event_id"])
@@ -3895,7 +3910,8 @@ def q107_funnel(spark, sf_dir):
 O_Q107 = """
 WITH e AS (SELECT user_id, event_type, event_id,
                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
-           FROM events),
+           FROM events
+           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 m AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
                                ORDER BY sec, event_id) AS prev
       FROM e),

@@ -170,7 +170,13 @@ def rfm_segment(orders: DataFrame, customer_col: str, date_col,
     per = (orders.groupBy(F.col(customer_col).alias("cust"))
            .agg(F.max(date_col).alias("recency"),
                 F.count(F.lit(1)).alias("frequency"),
-                F.sum(amount_col).alias("monetary")))
+                F.sum(amount_col).alias("monetary"))
+           # RFM needs all three dimensions: an anonymous customer or
+           # one with no dated/priced orders has no rank position, and
+           # Spark/SQL disagree on where NULLs rank
+           .where(F.col("cust").isNotNull()
+                  & F.col("recency").isNotNull()
+                  & F.col("monetary").isNotNull()))
     n = per.count()
 
     def tile(order_cols, name):

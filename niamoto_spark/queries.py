@@ -3280,7 +3280,8 @@ ng AS (
                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
     FROM (SELECT doc_id,
                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
-          FROM newb WHERE length(trim(text)) > 0)
+          FROM newb
+          WHERE length(trim(text)) > 0 AND doc_id IS NOT NULL)
     WHERE len(t) >= 3
 ),
 cg AS (
@@ -3289,7 +3290,8 @@ cg AS (
                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
     FROM (SELECT doc_id,
                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
-          FROM documents WHERE length(trim(text)) > 0)
+          FROM documents
+          WHERE length(trim(text)) > 0 AND doc_id IS NOT NULL)
     WHERE len(t) >= 3
 ),
 pairs AS (
@@ -8322,7 +8324,9 @@ WITH per AS (
                             CAST(o_orderdate AS DATE)) AS BIGINT))
            AS recency,
          count(*) AS frequency, sum(o_totalprice) AS monetary
-  FROM orders GROUP BY 1),
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+  HAVING max(o_orderdate) IS NOT NULL
+     AND sum(o_totalprice) IS NOT NULL),
 n AS (SELECT count(*) AS n FROM per),
 t AS (
   SELECT cust, recency, frequency, monetary,
@@ -10430,7 +10434,8 @@ def q257_window_surface(spark, sf_dir):
     pass per customer partition; the oracle replays every function."""
     from pyspark.sql import Window as W
 
-    o = _t(spark, sf_dir, "orders")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey").isNotNull()))
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").cast("date"), "o_orderkey")
     wd = W.partitionBy("o_custkey").orderBy(
@@ -10478,7 +10483,7 @@ WITH e AS (
          coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS lg,
          coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS ld,
          ntile(4) OVER w AS nt
-  FROM orders
+  FROM orders WHERE o_orderkey IS NOT NULL
   WINDOW w AS (PARTITION BY o_custkey
                ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST,
                         o_orderkey NULLS FIRST),

@@ -1,0 +1,51 @@
+"""The NULL-injection harness itself must stay deterministic and
+runnable — the 356-query differential sweep runs as a tool
+(tools/null_probe.py), but its injection layer is pinned here so a
+refactor can't silently change which cells go NULL (that would turn
+every recorded probe result incomparable)."""
+
+import duckdb
+
+from tools.null_probe import inject_nulls
+
+
+def test_injection_is_deterministic_and_tracks_rate(tmp_path):
+    con = duckdb.connect()
+    src = tmp_path / "src"
+    src.mkdir()
+    con.execute(
+        f"COPY (SELECT range AS a, 'x' || range AS b FROM range(2000)) "
+        f"TO '{src}/lineitem.parquet' (FORMAT PARQUET)")
+    # the tool iterates its TABLES list; give it just one real file by
+    # symlinking the rest
+    import tools.null_probe as np_tool
+    orig_tables = np_tool.TABLES
+    np_tool.TABLES = ["lineitem"]
+    try:
+        d1, d2 = tmp_path / "o1", tmp_path / "o2"
+        inject_nulls(str(src), str(d1), rate=0.1, seed=42)
+        inject_nulls(str(src), str(d2), rate=0.1, seed=42)
+        r1 = con.execute(
+            f"SELECT * FROM '{d1}/lineitem.parquet' ORDER BY a NULLS "
+            "FIRST, b NULLS FIRST").fetchall()
+        r2 = con.execute(
+            f"SELECT * FROM '{d2}/lineitem.parquet' ORDER BY a NULLS "
+            "FIRST, b NULLS FIRST").fetchall()
+        assert r1 == r2, "same (src, rate, seed) must be byte-stable"
+        n_null_a = con.execute(
+            f"SELECT count(*) FROM '{d1}/lineitem.parquet' "
+            "WHERE a IS NULL").fetchone()[0]
+        n_null_b = con.execute(
+            f"SELECT count(*) FROM '{d1}/lineitem.parquet' "
+            "WHERE b IS NULL").fetchone()[0]
+        assert 120 <= n_null_a <= 280, n_null_a   # ~10% of 2000
+        assert 120 <= n_null_b <= 280, n_null_b
+        # different seeds must null different cells
+        d3 = tmp_path / "o3"
+        inject_nulls(str(src), str(d3), rate=0.1, seed=43)
+        r3 = con.execute(
+            f"SELECT * FROM '{d3}/lineitem.parquet' ORDER BY a NULLS "
+            "FIRST, b NULLS FIRST").fetchall()
+        assert r3 != r1
+    finally:
+        np_tool.TABLES = orig_tables

@@ -2116,7 +2116,10 @@ def q67_dwc_mapping(spark, sf_dir):
                  F.when(F.col("c_custkey") % 3 == 0, F.lit(" var. alpha"))
                   .otherwise(F.lit("")),
                  F.lit(" (Anon 1901)")).alias("full_name"))
-    orders = _t(spark, sf_dir, "orders")
+    # order_col must be a unique total order (operator contract) —
+    # NULL orderkeys would tie inside the unknown-taxon index pool
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderkey").isNotNull()))
     return to_dwc_occurrence(
         orders, {
             "occurrenceID": {"generator": "unique_occurrence_id",
@@ -2154,7 +2157,10 @@ j AS (
   SELECT o.*, tx.id, tx.full_name,
          row_number() OVER (PARTITION BY tx.id
                             ORDER BY o.o_orderkey NULLS FIRST) - 1 AS idx
-  FROM orders o LEFT JOIN tx ON o.o_custkey = tx.id)
+  FROM orders o LEFT JOIN tx ON o.o_custkey = tx.id
+  -- the id-fallback index needs a TOTAL order: several NULL orderkeys
+  -- in the unknown-taxon pool would tie and renumber arbitrarily
+  WHERE o.o_orderkey IS NOT NULL)
 -- id fallbacks mirror the reference's taxonId_index recipe: a NULL
 -- source key falls back to prefix + (taxon id or 'unknown') + index
 SELECT CASE WHEN o_orderkey IS NOT NULL

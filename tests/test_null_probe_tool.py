@@ -6,7 +6,21 @@ every recorded probe result incomparable)."""
 
 import duckdb
 
-from tools.null_probe import inject_nulls
+from tools.null_probe import first_diffs, inject_nulls
+
+
+def test_first_diffs_points_at_the_missing_row_not_its_neighbors():
+    # One missing row must print ITSELF — the old zip() pairing shifted
+    # every subsequent pair, reporting the neighbors instead.
+    ns = ["a", "b", "d", "e"]
+    no = ["a", "b", "c", "d", "e"]
+    s_only, o_only = first_diffs(ns, no)
+    assert s_only == []
+    assert o_only == ["c"]
+    # duplicate-count-only differences still surface (multiset diff)
+    s_only, o_only = first_diffs(["a", "a", "b"], ["a", "b", "b"])
+    assert s_only == ["a"]
+    assert o_only == ["b"]
 
 
 def test_injection_is_deterministic_and_tracks_rate(tmp_path):

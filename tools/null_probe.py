@@ -77,6 +77,21 @@ def inject_nulls(src_dir: str, dst_dir: str, rate: float, seed: int) -> None:
         pq.write_table(out, os.path.join(dst_dir, f"{t}.parquet"))
 
 
+def first_diffs(ns: list, no: list, k: int = 3) -> tuple:
+    """Multiset difference of two normalized row lists.
+
+    A zip-based pairing misaligns every row after the first
+    insertion/deletion, pointing the printed diff at the wrong rows;
+    Counter subtraction reports exactly the rows unique to each side
+    (multiplicity-aware, so duplicate-count-only diffs still show).
+    """
+    from collections import Counter
+
+    cs, co = Counter(ns), Counter(no)
+    return (sorted((cs - co).elements())[:k],
+            sorted((co - cs).elements())[:k])
+
+
 def main() -> int:
     import duckdb
 
@@ -152,8 +167,13 @@ def main() -> int:
             ns = normalize(srows, scols)
             no = normalize(orows, ocols)
             if ns != no:
-                diff = [(a, b) for a, b in zip(ns, no) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+                # Symmetric set difference: a zip pairing misaligns every
+                # row after the first insertion/deletion and points the
+                # printed diff at the wrong rows.
+                s_only, o_only = first_diffs(ns, no)
+                problems.append(
+                    f"values differ, spark-only: {s_only} "
+                    f"oracle-only: {o_only}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)

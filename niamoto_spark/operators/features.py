@@ -40,9 +40,16 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
     scalar; the join back is on the same key as the aggregate, so AQE
     reuses the exchange.  Null categories encode to the prior.
     """
+    # the encoding's arithmetic is defined over DOUBLE: a DECIMAL
+    # target (dtype probe) would collect the prior as decimal.Decimal,
+    # which Python refuses to mix with float pseudo-counts, and the
+    # exact decimal sums would diverge from the double replay anyway
+    if dict(df.dtypes).get(target_col, "").startswith("decimal"):
+        df = df.withColumn(target_col, F.col(target_col).cast("double"))
     prior = df.agg(F.avg(target_col)).first()[0]
     if prior is None:
         raise ValueError("target_encode_loo: no non-null targets")
+    prior = float(prior)
     per = (df.where(F.col(cat_col).isNotNull())
            .groupBy(cat_col)
            .agg(F.sum(target_col).alias("__sum"),

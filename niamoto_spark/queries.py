@@ -509,8 +509,10 @@ def q21_explorer(spark, sf_dir):
 
 
 O_Q21 = """
+-- explorer contract: ordered pages rank only rows WITH the order key
 SELECT * FROM customer
 WHERE c_acctbal > 9000 AND c_mktsegment = 'BUILDING'
+  AND c_custkey IS NOT NULL
 ORDER BY c_custkey LIMIT 50
 """
 
@@ -809,8 +811,8 @@ def q32_points_in_polygons(spark, sf_dir):
 
 O_Q32 = """
 WITH pts AS (SELECT c_custkey,
-                    164.0 + (c_custkey % 400) / 100.0 AS lon,
-                    -23.0 + (c_custkey % 300) / 100.0 AS lat
+                    164.0 + (CAST(c_custkey AS BIGINT) % 400) / 100.0 AS lon,
+                    -23.0 + (CAST(c_custkey AS BIGINT) % 300) / 100.0 AS lat
              FROM customer)
 SELECT c_custkey, 'rect1' AS shape_id FROM pts
 WHERE lon > 165.005 AND lon < 166.005 AND lat > -22.505 AND lat < -21.505
@@ -855,8 +857,8 @@ def q34_geo_extract(spark, sf_dir):
 O_Q34 = """
 -- a NULL nationkey renders no WKT point (the extractor parses and
 -- drops NULL geometries)
-SELECT 'POINT (' || CAST(164 + c_nationkey % 5 AS VARCHAR) || ' '
-       || CAST(-23 + c_nationkey % 3 AS VARCHAR) || ')' AS geometry_wkt,
+SELECT 'POINT (' || CAST(164 + CAST(c_nationkey AS BIGINT) % 5 AS VARCHAR) || ' '
+       || CAST(-23 + CAST(c_nationkey AS BIGINT) % 3 AS VARCHAR) || ')' AS geometry_wkt,
        count(*) AS point_count
 FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1
 """
@@ -1269,7 +1271,9 @@ def q51_quantiles(spark, sf_dir):
     """Exact interpolated quantile family per group (parity-critical: exact
     percentile, not approx — SURVEY §7.3.2)."""
     li = _t(spark, sf_dir, "lineitem")
-    q = F.col("l_extendedprice")
+    # quantiles are defined over DOUBLE: a DECIMAL input (dtype probe)
+    # would interpolate exactly where the oracle interpolates in binary
+    q = F.col("l_extendedprice").cast("double")
 
     # Interpolated quantiles of 2dp data land EXACTLY on .xx5 midpoints;
     # the engines differ by 1 ULP there, so a single round(2) can flip.
@@ -1287,10 +1291,10 @@ def q51_quantiles(spark, sf_dir):
 
 O_Q51 = """
 SELECT l_returnflag,
-       round(round(quantile_cont(l_extendedprice, 0.25), 4), 2) AS p25,
-       round(round(quantile_cont(l_extendedprice, 0.5), 4), 2) AS p50,
-       round(round(quantile_cont(l_extendedprice, 0.75), 4), 2) AS p75,
-       round(round(quantile_cont(l_extendedprice, 0.9), 4), 2) AS p90
+       round(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4), 2) AS p25,
+       round(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4), 2) AS p50,
+       round(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4), 2) AS p75,
+       round(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4), 2) AS p90
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -2150,7 +2154,7 @@ O_Q67 = r"""
 WITH tx AS (
   SELECT c_custkey AS id,
          c_mktsegment || ' ' || lower(c_name)
-           || CASE WHEN c_custkey % 3 = 0 THEN ' var. alpha' ELSE '' END
+           || CASE WHEN CAST(c_custkey AS BIGINT) % 3 = 0 THEN ' var. alpha' ELSE '' END
            || ' (Anon 1901)' AS full_name
   FROM customer),
 j AS (
@@ -3439,51 +3443,55 @@ def q96_profile_table(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "customer"))
 
 
+def _q96_col_block(col: str) -> str:
+    """One O_Q96 UNION branch, stat roles driven by LIVE dtype: numeric
+    min/max/avg only for non-string columns, length bounds only for
+    strings — mirroring profile_table's dtype dispatch so the oracle
+    stays correct when tools/dtype_probe.py rewrites column types
+    (strkeys turns c_custkey into VARCHAR, decimal turns c_acctbal
+    into DECIMAL(18,4)).  TRY_CAST keeps the un-taken branch bindable."""
+    dt = f"(SELECT dtype FROM meta WHERE column_name = '{col}')"
+    return f"""
+SELECT '{col}' AS col_name, {dt} AS dtype, n_rows,
+       (SELECT count(*) - count({col}) FROM customer) AS n_nulls,
+       (SELECT count(DISTINCT {col}) FROM customer) AS n_distinct,
+       CASE WHEN {dt} <> 'string' THEN
+         (SELECT round(min(TRY_CAST({col} AS DOUBLE)), 4) FROM customer)
+       END AS num_min,
+       CASE WHEN {dt} <> 'string' THEN
+         (SELECT round(max(TRY_CAST({col} AS DOUBLE)), 4) FROM customer)
+       END AS num_max,
+       CASE WHEN {dt} <> 'string' THEN
+         (SELECT round(avg(TRY_CAST({col} AS DOUBLE)), 4) FROM customer)
+       END AS num_avg,
+       CASE WHEN {dt} = 'string' THEN
+         (SELECT CAST(min(length(CAST({col} AS VARCHAR))) AS INT)
+          FROM customer)
+       END AS len_min,
+       CASE WHEN {dt} = 'string' THEN
+         (SELECT CAST(max(length(CAST({col} AS VARCHAR))) AS INT)
+          FROM customer)
+       END AS len_max
+FROM base"""
+
+
 O_Q96 = """
-WITH base AS (SELECT count(*) AS n_rows FROM customer)
-SELECT 'c_custkey' AS col_name, 'bigint' AS dtype, n_rows,
-       (SELECT count(*) - count(c_custkey) FROM customer) AS n_nulls,
-       (SELECT count(DISTINCT c_custkey) FROM customer) AS n_distinct,
-       (SELECT round(CAST(min(c_custkey) AS DOUBLE), 4) FROM customer) AS num_min,
-       (SELECT round(CAST(max(c_custkey) AS DOUBLE), 4) FROM customer) AS num_max,
-       (SELECT round(avg(CAST(c_custkey AS DOUBLE)), 4) FROM customer) AS num_avg,
-       CAST(NULL AS INT) AS len_min, CAST(NULL AS INT) AS len_max
-FROM base
-UNION ALL
-SELECT 'c_name', 'string', n_rows,
-       (SELECT count(*) - count(c_name) FROM customer),
-       (SELECT count(DISTINCT c_name) FROM customer),
-       NULL, NULL, NULL,
-       (SELECT CAST(min(length(c_name)) AS INT) FROM customer),
-       (SELECT CAST(max(length(c_name)) AS INT) FROM customer)
-FROM base
-UNION ALL
-SELECT 'c_nationkey', 'int', n_rows,
-       (SELECT count(*) - count(c_nationkey) FROM customer),
-       (SELECT count(DISTINCT c_nationkey) FROM customer),
-       (SELECT round(CAST(min(c_nationkey) AS DOUBLE), 4) FROM customer),
-       (SELECT round(CAST(max(c_nationkey) AS DOUBLE), 4) FROM customer),
-       (SELECT round(avg(CAST(c_nationkey AS DOUBLE)), 4) FROM customer),
-       NULL, NULL
-FROM base
-UNION ALL
-SELECT 'c_acctbal', 'double', n_rows,
-       (SELECT count(*) - count(c_acctbal) FROM customer),
-       (SELECT count(DISTINCT c_acctbal) FROM customer),
-       (SELECT round(min(c_acctbal), 4) FROM customer),
-       (SELECT round(max(c_acctbal), 4) FROM customer),
-       (SELECT round(avg(c_acctbal), 4) FROM customer),
-       NULL, NULL
-FROM base
-UNION ALL
-SELECT 'c_mktsegment', 'string', n_rows,
-       (SELECT count(*) - count(c_mktsegment) FROM customer),
-       (SELECT count(DISTINCT c_mktsegment) FROM customer),
-       NULL, NULL, NULL,
-       (SELECT CAST(min(length(c_mktsegment)) AS INT) FROM customer),
-       (SELECT CAST(max(length(c_mktsegment)) AS INT) FROM customer)
-FROM base
-"""
+WITH meta AS (
+  -- dtype from live metadata, not literals: the dtype probe rewrites
+  -- the gate parquet under int32/strkeys/decimal mutations and the
+  -- profiler must report what the file actually holds (DuckDB names
+  -- -> Spark simpleString names)
+  SELECT column_name, CASE data_type
+    WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+    WHEN 'SMALLINT' THEN 'smallint' WHEN 'TINYINT' THEN 'tinyint'
+    WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float'
+    WHEN 'VARCHAR' THEN 'string' WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+    ELSE lower(data_type) END AS dtype
+  FROM information_schema.columns WHERE table_name = 'customer'
+),
+base AS (SELECT count(*) AS n_rows FROM customer)
+""" + "\nUNION ALL\n".join(_q96_col_block(c) for c in (
+    "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
 
 
 def q97_tfidf_cosine(spark, sf_dir):
@@ -3532,8 +3540,14 @@ def q98_scd2_history(spark, sf_dir):
     rebuilds the same episodes with lag/lead in DuckDB."""
     from niamoto_spark.operators.history import scd2_history
 
-    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_sec",
-                                       "event_id")
+    # SCD2 episodes are defined over timestamped, ADDRESSABLE events:
+    # a NULL ts or NULL event_id breaks the total order the episode
+    # collapse depends on (ties collapse differently per engine —
+    # found by the sf0.1 NULL probe, 4-row episode-count drift)
+    ev = (_events(spark, sf_dir)
+          .select("user_id", "event_type", "ts_sec", "event_id")
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_id").isNotNull()))
     return scd2_history(ev, ["user_id"], "ts_sec", ["event_type"],
                         order_cols=["event_id"]) \
         .select("user_id", "event_type", "valid_from", "valid_to",
@@ -3543,7 +3557,8 @@ def q98_scd2_history(spark, sf_dir):
 O_Q98 = """
 WITH e AS (SELECT user_id, event_type, event_id,
                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
-           FROM events),
+           FROM events
+           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 m AS (SELECT *,
           row_number() OVER (PARTITION BY user_id
                              ORDER BY sec NULLS FIRST,
@@ -4331,7 +4346,7 @@ def q119_imputation(spark, sf_dir):
 
 O_Q119 = """
 WITH h AS (SELECT c_mktsegment,
-                  CASE WHEN c_custkey % 10 = 0 THEN NULL
+                  CASE WHEN CAST(c_custkey AS BIGINT) % 10 = 0 THEN NULL
                        ELSE c_acctbal END AS bal
            FROM customer),
 m AS (SELECT c_mktsegment, avg(bal) AS seg_mean
@@ -4405,8 +4420,8 @@ def q121_proximity_join(spark, sf_dir):
 
 O_Q121 = """
 WITH pts AS (SELECT c_custkey AS id,
-                    -22.5 + (c_custkey % 97) / 97.0 AS lat,
-                    165.0 + (c_custkey % 89) / 89.0 AS lon
+                    -22.5 + (CAST(c_custkey AS BIGINT) % 97) / 97.0 AS lat,
+                    165.0 + (CAST(c_custkey AS BIGINT) % 89) / 89.0 AS lon
              FROM customer),
 d AS (SELECT a.id AS id_a, b.id AS id_b,
              round(2 * 6371000.0 * asin(sqrt(
@@ -4522,8 +4537,12 @@ def q125_markov_transitions(spark, sf_dir):
     per-row normalization in SQL."""
     from niamoto_spark.operators.timeseries import transition_matrix
 
+    # the bigram sequence needs a TOTAL per-user order: NULL event_ids
+    # tie at equal seconds and the engines step them in different
+    # orders (sf0.1 NULL probe: off-by-one transition counts)
     ev = (_events(spark, sf_dir)
-          .where(F.col("ts_sec").isNotNull())
+          .where(F.col("ts_sec").isNotNull()
+                 & F.col("event_id").isNotNull())
           .select("user_id", "event_type", "ts_sec", "event_id"))
     return transition_matrix(ev, "user_id", "ts_sec", "event_type",
                              order_cols=("event_id",))
@@ -4532,7 +4551,8 @@ def q125_markov_transitions(spark, sf_dir):
 O_Q125 = """
 WITH e AS (SELECT user_id, event_type, event_id,
                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
-           FROM events WHERE ts IS NOT NULL),
+           FROM events
+           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 b AS (SELECT lag(event_type) OVER
           (PARTITION BY user_id ORDER BY sec, event_id) AS from_state,
              event_type AS to_state
@@ -5252,7 +5272,7 @@ WITH t AS (
              i -> s[i:i+2])) AS tg
   FROM (SELECT c_custkey, c_nationkey,
                '##' || lower(trim(c_name)) || '$' AS s
-        FROM customer WHERE c_custkey < 300))
+        FROM customer WHERE CAST(c_custkey AS BIGINT) < 300))
 SELECT a.id AS id_a, b.id AS id_b,
        round(CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
              / greatest(len(a.tg) + len(b.tg)
@@ -6169,7 +6189,7 @@ O_Q159 = """
 -- rows missing EITHER objective sit outside the frontier (they can
 -- neither dominate nor be compared; pareto_frontier dropna's them)
 WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part
-           WHERE p_partkey <= 5000
+           WHERE CAST(p_partkey AS BIGINT) <= 5000
              AND p_retailprice IS NOT NULL AND p_size IS NOT NULL)
 SELECT a.p_partkey, round(a.p_retailprice, 2) AS p_retailprice, a.p_size
 FROM p a
@@ -6355,8 +6375,8 @@ def _morton_oracle_sql(bits: int = 8) -> str:
     return f"""
 WITH pts AS (
   SELECT c_custkey, c_acctbal,
-         -22.5 + (c_custkey % 97) / 97.0 AS lat,
-         165.0 + (c_custkey % 89) / 89.0 AS lon
+         -22.5 + (CAST(c_custkey AS BIGINT) % 97) / 97.0 AS lat,
+         165.0 + (CAST(c_custkey AS BIGINT) % 89) / 89.0 AS lon
   FROM customer),
 g AS (
   -- the lat/lon guard mirrors morton_grid: NULL coords -> NULL cell
@@ -6666,10 +6686,13 @@ def q173_target_encoding(spark, sf_dir):
 
 
 O_Q173 = """
-WITH prior AS (SELECT avg(o_totalprice) AS p FROM orders),
+WITH o0 AS (SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders),
+prior AS (SELECT avg(o_totalprice) AS p FROM o0),
 per AS (SELECT o_orderpriority, sum(o_totalprice) AS s,
                count(o_totalprice) AS n
-        FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        FROM o0 WHERE o_orderpriority IS NOT NULL GROUP BY 1),
 enc AS (SELECT o.o_orderpriority, o.o_orderstatus,
                -- NULL category -> prior; NULL target -> plain smoothed
                -- mean (it was never in the sums); else leave-one-out
@@ -6679,7 +6702,7 @@ enc AS (SELECT o.o_orderpriority, o.o_orderstatus,
                    THEN (per.s + 10.0 * prior.p) / (per.n + 10.0)
                  ELSE (per.s - o.o_totalprice + 10.0 * prior.p)
                       / (per.n - 1 + 10.0) END, 4) AS te
-        FROM orders o
+        FROM o0 o
         LEFT JOIN per ON o.o_orderpriority = per.o_orderpriority
         CROSS JOIN prior)
 SELECT o_orderpriority, o_orderstatus, count(*) AS n,
@@ -7665,16 +7688,26 @@ def q196_ols_normal_equations(spark, sf_dir):
     cross-products and the 2x2 Cramer solve in SQL."""
     from niamoto_spark.operators.regression import ols_fit2
 
-    li = _t(spark, sf_dir, "lineitem")
+    # regression is defined over DOUBLE (dtype probe: decimal sums
+    # are exact where the oracle's double arithmetic rounds)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        *[F.col(c).cast("double").alias(c)
+          for c in ("l_extendedprice", "l_quantity", "l_discount")])
     return ols_fit2(li, "l_extendedprice", "l_quantity", "l_discount",
                     "l_returnflag", round_dp=4)
 
 
 O_Q196 = """
-WITH m AS (
+WITH li0 AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+         CAST(l_quantity AS DOUBLE) AS l_quantity,
+         CAST(l_discount AS DOUBLE) AS l_discount
+  FROM lineitem),
+m AS (
   SELECT l_returnflag, avg(l_extendedprice) AS my,
          avg(l_quantity) AS m1, avg(l_discount) AS m2
-  FROM lineitem GROUP BY 1),
+  FROM li0 GROUP BY 1),
 s AS (
   SELECT li.l_returnflag, count(*) AS n,
          any_value(m.my) AS my, any_value(m.m1) AS m1,
@@ -7685,7 +7718,7 @@ s AS (
          sum((l_quantity - m.m1) * (l_extendedprice - m.my)) AS s1y,
          sum((l_discount - m.m2) * (l_extendedprice - m.my)) AS s2y,
          sum((l_extendedprice - m.my) * (l_extendedprice - m.my)) AS syy
-  FROM lineitem li JOIN m ON li.l_returnflag = m.l_returnflag
+  FROM li0 li JOIN m ON li.l_returnflag = m.l_returnflag
   GROUP BY 1),
 b AS (
   SELECT l_returnflag, n, my, m1, m2, s1y, s2y, syy,
@@ -8718,15 +8751,21 @@ def q220_stream_outer_join(spark, sf_dir):
     # last unmatched purchases.  mtimes are bumped so the file source
     # schedules them after the data and in order.
     flush_us = 1_767_225_600_000_000  # 2026-01-01 UTC, microseconds
+    schema = spark.read.parquet(src).schema
     for i in (1, 2):
         tmp = os.path.join(stream_dir, f".mk_flush{i}")
         ts = flush_us + i * 86_400_000_000
+        # FileStreamSource reads every file with ONE fixed schema and the
+        # vectorized parquet reader won't narrow (int64 file vs int32
+        # schema) — cast the literal-built flush rows to the SOURCE
+        # file's actual column types so the flush file always matches.
         (spark.createDataFrame(
             [(-1, ts, -1, "purchase", 0.0, "{}"),
              (-2, ts, -1, "click", 0.0, "{}")],
             "event_id long, ts long, user_id long, event_type string, "
             "value double, props string")
          .withColumn("ts", F.timestamp_micros("ts"))
+         .select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
          .coalesce(1).write.mode("overwrite").parquet(tmp))
         # FileStreamSource lists plain files, not writer directories:
         # promote the part file to a sibling of events.parquet
@@ -8737,8 +8776,6 @@ def q220_stream_outer_join(spark, sf_dir):
         _sh.rmtree(tmp)
         future = time.time() + i * 86400
         os.utime(dest, (future, future))
-
-    schema = spark.read.parquet(src).schema
 
     def _stream():
         return _ts_to_timestamp(
@@ -9529,7 +9566,7 @@ def q239_mutual_best_match(spark, sf_dir):
 
 O_Q239 = """
 WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer
-           WHERE c_custkey < 500),
+           WHERE CAST(c_custkey AS BIGINT) < 500),
 pairs AS (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
          -levenshtein(a.c_name, b.c_name) AS score
@@ -10102,9 +10139,13 @@ def q251_stream_upsert(spark, sf_dir):
         os.utime(dest, (_time.time() + bump, _time.time() + bump))
 
     write_batch(o, "b1.parquet", 0)
+    # cast the doubled column back to the source dtype: arithmetic
+    # widens decimals (dtype probe), and the FileStreamSource reads
+    # every batch file with o.schema
     write_batch(o.where(F.col("o_orderkey") % 7 == 0)
                 .withColumn("o_totalprice",
-                            F.round(F.col("o_totalprice") * 2, 2)),
+                            F.round(F.col("o_totalprice") * 2, 2)
+                            .cast(o.schema["o_totalprice"].dataType)),
                 "b2.parquet", 60)
     stream = (spark.readStream.schema(o.schema)
               .option("maxFilesPerTrigger", 1).parquet(src_dir))
@@ -11185,7 +11226,10 @@ def q271_time_weighted_avg(spark, sf_dir):
     oracle replays the lag-window trapezoid in SQL."""
     from niamoto_spark.operators.timeseries import time_weighted_avg
 
-    ev = _events(spark, sf_dir)
+    # the trapezoid chain needs a TOTAL per-user order: a NULL
+    # event_id tying at an equal second swaps which value feeds the
+    # NEXT segment (sf0.1 NULL probe find)
+    ev = _events(spark, sf_dir).where(F.col("event_id").isNotNull())
     return time_weighted_avg(ev, "user_id", "ts_sec", "value",
                              "event_id")
 
@@ -11193,8 +11237,8 @@ def q271_time_weighted_avg(spark, sf_dir):
 O_Q271 = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         value AS v, event_id
-  FROM events),
+         CAST(value AS DOUBLE) AS v, event_id
+  FROM events WHERE event_id IS NOT NULL),
 s AS (
   SELECT user_id, t, v,
          lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS tp,
@@ -11248,29 +11292,51 @@ def q273_rolling_median(spark, sf_dir):
     aggregate (interpolated on even frames, same as the op)."""
     from niamoto_spark.operators.timeseries import rolling_median
 
-    ev = _events(spark, sf_dir)
+    # medians are defined over DOUBLE (dtype probe: decimal input
+    # would interpolate even frames in exact decimal, off the oracle)
+    # frames need a TOTAL per-user order: NULL event_ids tying at an
+    # equal second put different row sets in the 5-row frame (sf0.1
+    # NULL probe find).  The per-user mean is computed on exact
+    # integer CENTS (values are 2dp): medians of cents are exact
+    # halves, so the 4dp half-up rounding is integer algebra on both
+    # engines — the avg(double) route flips 1 ULP at .xxxx5
+    # boundaries (q13/q214 recipe, second sf0.1 probe find here)
+    ev = (_events(spark, sf_dir)
+          .where(F.col("event_id").isNotNull())
+          .withColumn("value",
+                      F.round(F.col("value") * 100).cast("long")
+                      .cast("double")))
     rm = rolling_median(ev, "user_id", "ts_sec", "value", "event_id",
                         window=5)
     return (rm.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("roll_median"), 4)
-                 .alias("avg_roll_median")))
+                 F.count("roll_median").alias("__nm"),
+                 F.sum((F.col("roll_median") * 2).cast("long"))
+                 .alias("__s2"))
+            .select("user_id", "n",
+                    F.when(F.col("__nm") > 0,
+                           F.expr("(100 * __s2 + __nm) DIV (2 * __nm)")
+                           / 10000.0)
+                    .alias("avg_roll_median")))
 
 
 O_Q273 = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         value AS v, event_id
-  FROM events),
+         CAST(round(value * 100) AS BIGINT) AS vc, event_id
+  FROM events WHERE event_id IS NOT NULL),
 m AS (
   SELECT user_id,
-         median(v) OVER (PARTITION BY user_id
-                         ORDER BY t NULLS FIRST, event_id NULLS FIRST
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         median(vc) OVER (PARTITION BY user_id
+                          ORDER BY t NULLS FIRST, event_id NULLS FIRST
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
            AS rmed
   FROM e)
 SELECT user_id, count(*) AS n,
-       round(avg(rmed), 4) AS avg_roll_median
+       CASE WHEN count(rmed) > 0 THEN
+         ((100 * CAST(sum(2 * rmed) AS BIGINT) + count(rmed))
+          // (2 * count(rmed))) / 10000.0
+       END AS avg_roll_median
 FROM m GROUP BY 1
 """
 
@@ -12557,7 +12623,7 @@ dormant AS (
     AND NOT EXISTS (SELECT 1 FROM orders
                     WHERE o_custkey = c_custkey
                       AND o_orderpriority = '1-URGENT'))
-SELECT c_nationkey % 5 AS cntry_group, count(*) AS numcust,
+SELECT CAST(c_nationkey AS BIGINT) % 5 AS cntry_group, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM dormant GROUP BY 1
 """
@@ -12781,9 +12847,24 @@ def q308_lateral_topn(spark, sf_dir):
     """SQL LATERAL correlated subquery: each nation's top-2 customers
     by balance via a per-row dependent subquery — the surface Spark
     4 and DuckDB both execute natively (the optimizer decorrelates it
-    into the window plan q07-style code writes by hand)."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    into the window plan q07-style code writes by hand).
+
+    Dtype guard (found by tools/dtype_probe.py strkeys): when the
+    correlated equality needs an implicit cast (string n_nationkey vs
+    int c_nationkey), Spark 4.1's decorrelation silently pushes the
+    per-group LIMIT as a GLOBAL TakeOrderedAndProject below the join —
+    2 rows instead of top-2-per-nation, with no error.  An explicit
+    CAST inside the predicate miscompiles identically; only a
+    cast-free bare-attribute correlation rewrites correctly, so the
+    key dtypes are aligned at view registration."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    ct = dict(cust.dtypes).get("c_nationkey")
+    nt = dict(nat.dtypes).get("n_nationkey")
+    if ct != nt:
+        nat = nat.withColumn("n_nationkey", F.col("n_nationkey").cast(ct))
+    cust.createOrReplaceTempView("customer_v")
+    nat.createOrReplaceTempView("nation_v")
     return spark.sql("""
         SELECT n.n_name, t.c_name,
                round(t.c_acctbal, 2) AS c_acctbal
@@ -12812,9 +12893,13 @@ def q309_recursive_cte(spark, sf_dir):
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
     return spark.sql("""
         WITH RECURSIVE tree (k, depth) AS (
-            SELECT s_suppkey, 0 FROM supplier_v WHERE s_suppkey = 1
+            -- keys cast integral at the seed so the recursion and the
+            -- key_sum checksum keep numeric semantics when the dtype
+            -- probe string-codes s_suppkey (sum(varchar) differs)
+            SELECT CAST(s_suppkey AS BIGINT), 0
+            FROM supplier_v WHERE s_suppkey = 1
             UNION ALL
-            SELECT s.s_suppkey, t.depth + 1
+            SELECT CAST(s.s_suppkey AS BIGINT), t.depth + 1
             FROM supplier_v s JOIN tree t
               ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = t.k
              AND s.s_suppkey > 1
@@ -12826,12 +12911,13 @@ def q309_recursive_cte(spark, sf_dir):
 
 O_Q309 = """
 WITH RECURSIVE tree (k, depth) AS (
-    SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 1
+    SELECT CAST(s_suppkey AS BIGINT), 0
+    FROM supplier WHERE CAST(s_suppkey AS BIGINT) = 1
     UNION ALL
-    SELECT s.s_suppkey, t.depth + 1
+    SELECT CAST(s.s_suppkey AS BIGINT), t.depth + 1
     FROM supplier s JOIN tree t
-      ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = t.k
-     AND s.s_suppkey > 1
+      ON CAST(floor(CAST(s.s_suppkey AS DOUBLE) / 2.0) AS BIGINT) = t.k
+     AND CAST(s.s_suppkey AS BIGINT) > 1
 )
 SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
 FROM tree GROUP BY depth
@@ -13312,10 +13398,12 @@ WITH rev AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2),
 ranked AS (
+  -- the operator's documented population: non-NULL, non-negative
+  -- values only (a customer whose every total went NULL has no rank)
   SELECT c_nationkey AS g, rev AS x,
          row_number() OVER (PARTITION BY c_nationkey
                             ORDER BY rev, c_custkey) AS i
-  FROM rev),
+  FROM rev WHERE rev IS NOT NULL AND rev >= 0),
 agg AS (
   SELECT g, count(*) AS n, sum(x) AS tot, sum(i * x) AS iwx
   FROM ranked GROUP BY 1)
@@ -13863,7 +13951,7 @@ def q331_rolling_slope(spark, sf_dir):
 O_Q331 = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         value AS v, event_id
+         CAST(value AS DOUBLE) AS v, event_id
   FROM events
   WHERE ts IS NOT NULL AND event_id IS NOT NULL
     AND value IS NOT NULL),
@@ -13904,7 +13992,7 @@ def q332_percentile_bands(spark, sf_dir):
     ev = _events(spark, sf_dir)
     day = F.floor(F.col("ts_sec") / 86_400).cast("long")
     bands = (ev.groupBy("event_type", day.alias("day"))
-             .agg(F.percentile(F.col("value"),
+             .agg(F.percentile(F.col("value").cast("double"),
                                F.array(F.lit(0.1), F.lit(0.5),
                                        F.lit(0.9))).alias("p"),
                   F.count(F.lit(1)).alias("n")))
@@ -13919,9 +14007,9 @@ O_Q332 = """
 SELECT event_type,
        CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
        count(*) AS n,
-       round(quantile_cont(value, 0.1), 4) AS p10,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.9), 4) AS p90
+       round(quantile_cont(CAST(value AS DOUBLE), 0.1), 4) AS p10,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.9), 4) AS p90
 FROM events GROUP BY 1, 2
 """
 
@@ -13935,8 +14023,12 @@ def q333_sssp(spark, sf_dir):
     from niamoto_spark.operators.graph import sssp_rounds
 
     li = _t(spark, sf_dir, "lineitem")
+    # node ids are integral supplier keys by contract: cast at graph
+    # construction (dtype probe string-codes l_suppkey; the long seed
+    # node would otherwise implicit-cast the whole lane's output)
     m = (li.select(F.col("l_orderkey").alias("grp"),
-                   F.col("l_suppkey").alias("item")).distinct())
+                   F.col("l_suppkey").cast("bigint").alias("item"))
+         .distinct())
     a = m.select("grp", F.col("item").alias("sa"))
     b = m.select("grp", F.col("item").alias("sb"))
     pairs = (a.join(b, "grp").where(F.col("sa") < F.col("sb"))
@@ -13952,7 +14044,8 @@ def q333_sssp(spark, sf_dir):
 
 
 O_Q333 = """
-WITH m AS (SELECT DISTINCT l_orderkey AS grp, l_suppkey AS item
+WITH m AS (SELECT DISTINCT l_orderkey AS grp,
+                           CAST(l_suppkey AS BIGINT) AS item
            FROM lineitem),
 p AS (
   SELECT a.item AS sa, b.item AS sb, count(*) AS cnt
@@ -14690,10 +14783,10 @@ def q347_faith_pd(spark, sf_dir):
 
 O_Q347 = """
 WITH pres AS (
-  SELECT DISTINCT c_mktsegment AS seg, c_nationkey + 100 AS leaf
+  SELECT DISTINCT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) + 100 AS leaf
   FROM customer
   WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
-nmap AS (SELECT n_nationkey + 100 AS id, n_regionkey AS parent
+nmap AS (SELECT CAST(n_nationkey AS BIGINT) + 100 AS id, n_regionkey AS parent
          FROM nation),
 edges AS (
   -- PD counts edges of the TREE: a leaf absent from the node table

@@ -690,6 +690,14 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         base = read_table(spark, path)
     except FileNotFoundError:
         return overwrite(updates, path, extra_meta=extra_meta)
+    # writer-side schema enforcement (Delta's implicit MERGE cast):
+    # update expressions often arrive WIDENED (decimal(18,4) * 2 is
+    # decimal(20,4)) and a raw union would silently widen the table
+    # schema, breaking fixed-schema readers of later snapshots
+    base_types = {f.name: f.dataType for f in base.schema.fields}
+    updates = updates.select(*[
+        F.col(c).cast(base_types[c]).alias(c) if c in base_types
+        else F.col(c) for c in updates.columns])
     keys = updates.select(key_col).distinct()
     merged = (base.join(keys, on=key_col, how="left_anti")
               .unionByName(updates))
@@ -778,7 +786,14 @@ def update_where(spark: SparkSession, path: str, predicate,
             if col not in d.columns:
                 raise ValueError(f"update_where: unknown column {col!r}")
             v = F.expr(val) if isinstance(val, str) else val
-            out = out.withColumn(col, F.when(pred, v).otherwise(F.col(col)))
+            # writer-side schema enforcement (as in Delta/Iceberg): an
+            # assignment may widen the type (decimal(18,4) * 2 ->
+            # decimal(20,4)), and rewriting touched files with a wider
+            # physical type than untouched files leaves a mixed-schema
+            # table that later single-schema scans cannot read
+            out = out.withColumn(
+                col, F.when(pred, v).otherwise(F.col(col))
+                      .cast(d.schema[col].dataType))
         return out
 
     return _rewrite_cow(spark, path, apply, pred)

@@ -69,5 +69,13 @@ def explore(df: DataFrame, predicate: str | None = None,
     if order_by:
         if order_by not in cols:
             raise UnsafeQueryError(f"unknown order column {order_by!r}")
+        # Ordered pages contain only rows WITH the order key: NULL keys
+        # have no defined rank (engines disagree on NULL placement —
+        # Spark asc puts them first, DuckDB/Postgres last) and several
+        # NULL-key rows tie arbitrarily inside the LIMIT boundary, so a
+        # page over them is nondeterministic on ANY engine.  Found by
+        # the sf0.1 NULL probe: NULL c_custkey rows entered the top-50
+        # on Spark only.
+        out = out.where(df[order_by].isNotNull())
         out = out.orderBy(df[order_by].desc() if descending else df[order_by].asc())
     return out.limit(min(int(limit), MAX_QUERY_LIMIT))

@@ -310,7 +310,10 @@ def custom_formula(df: DataFrame, formula: str, out: str = "result") -> DataFram
             raise UnsafeQueryError(f"unknown name {tok!r} in formula")
     if _re.search(r"[^A-Za-z0-9_+\-*/().,\s]", formula):
         raise UnsafeQueryError("illegal character in formula")
-    return df.withColumn(out, F.expr(formula))
+    # DOUBLE literal semantics, like the reference's numpy eval
+    # (guards.pin_double_literals: bare 3.0 parses as DECIMAL on Spark)
+    from niamoto_spark.plans.guards import pin_double_literals
+    return df.withColumn(out, F.expr(pin_double_literals(formula)))
 
 
 @register("custom_calculator", PluginType.TRANSFORMER)

@@ -11,7 +11,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from niamoto_spark.plans.guards import validate_formula
+from niamoto_spark.plans.guards import pin_double_literals, validate_formula
 from niamoto_spark.registry import PluginType, register
 
 
@@ -38,7 +38,10 @@ def multi_column_extractor(df: DataFrame, group_cols: Sequence[str],
         .agg(*[F.round(aggf(F.col(c).cast("double")), 2).alias(c) for c in columns])
     for name, formula in (derived or {}).items():
         validate_formula(formula, allowed_names=set(columns) | set((derived or {}).keys()))
-        wide = wide.withColumn(name, F.round(F.expr(formula), 2))
+        # formulas evaluate in DOUBLE like the reference's numpy eval:
+        # Spark parses bare 3.0 as DECIMAL (see guards.pin_double_literals)
+        wide = wide.withColumn(
+            name, F.round(F.expr(pin_double_literals(formula)), 2))
     all_cols = list(columns) + list((derived or {}).keys())
     all_labels = labels + list((derived or {}).keys())
     stack_args = ", ".join(

@@ -85,6 +85,19 @@ def safe_eval(expression: str, variables: dict[str, object]) -> object:
 
 _FORMULA_TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+(?:\.\d+)?|[()+\-*/\s]")
 
+_FRACTIONAL_LIT = re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.dD])")
+
+
+def pin_double_literals(formula: str) -> str:
+    """Suffix fractional literals with ``D`` so Spark parses them as
+    DOUBLE.  Spark SQL reads ``3.0`` as DECIMAL(2,1) and then evaluates
+    ``x / 3.0`` in exact decimal arithmetic with engine-specific
+    result scales; the reference's formula eval is numpy (binary
+    double), and so is every SQL oracle — found by the formula fuzz
+    (test_formula_fuzz.py), where ``5 / 3.0`` returned
+    Decimal('1.6666667') on Spark and 1.6666666666666667 on DuckDB."""
+    return _FRACTIONAL_LIT.sub(r"\1D", formula)
+
 
 def validate_formula(formula: str, allowed_names: set[str]) -> str:
     """Arithmetic-only formula gate before F.expr (reference

@@ -55,7 +55,9 @@ def last_guard_record() -> dict | None:
         for line in f:
             line = line.strip()
             if line:
-                rec = json.loads(line)
+                r = json.loads(line)
+                if "kind" not in r:  # skip slow_guard's sibling records
+                    rec = r
     return rec
 
 

@@ -322,25 +322,46 @@ def vacuum(path: str, keep_versions: int = 1,
         ever_committed.update(doc["files"])
         if v in keep and _txn_state(doc) != "aborted":
             referenced.update(doc["files"])
+    # Staged WAP branches are LIVE REFS (Iceberg semantics): their
+    # files — both the branch's own staged files and base files it
+    # shares with versions the keep-window is dropping — stay
+    # referenced until the branch publishes or is abandoned.  Without
+    # this, vacuum reaped a staged audit's files as ageing orphans and
+    # wap_publish promoted a manifest pointing at deleted data.
+    for f in os.listdir(meta):
+        if f.startswith("branch-") and f.endswith(".json"):
+            with open(os.path.join(meta, f)) as bf:
+                referenced.update(json.load(bf).get("files", []))
     now = time.time()
     deleted = 0
     for txn in os.listdir(data):
         tdir = os.path.join(data, txn)
         if not os.path.isdir(tdir):
             continue
-        for f in os.listdir(tdir):
-            fp = os.path.join(tdir, f)
-            if not f.endswith(".parquet") or fp in referenced:
-                continue
-            if fp not in ever_committed:  # maybe in-flight, not crashed
-                try:
-                    if now - os.path.getmtime(fp) < retention_sec:
-                        continue
-                except OSError:
+        # os.walk, not listdir: hidden-partitioned writes stage their
+        # parquet under __p=N/ SUBDIRS, which a flat listing never
+        # visits — the old "no parquet directly here" check then
+        # rmtree'd the whole staging dir, deleting files the live
+        # manifest still referenced (found by the r11 interleaving
+        # extension, seed 3: h_append + vacuum)
+        survivors = 0
+        for root, _dirs, fnames in os.walk(tdir):
+            for f in fnames:
+                fp = os.path.join(root, f)
+                if not f.endswith(".parquet") or fp in referenced:
+                    survivors += f.endswith(".parquet")
                     continue
-            os.remove(fp)
-            deleted += 1
-        if not any(f.endswith(".parquet") for f in os.listdir(tdir)):
+                if fp not in ever_committed:  # maybe in-flight
+                    try:
+                        if now - os.path.getmtime(fp) < retention_sec:
+                            survivors += 1
+                            continue
+                    except OSError:
+                        survivors += 1
+                        continue
+                os.remove(fp)
+                deleted += 1
+        if not survivors:
             shutil.rmtree(tdir)
     for f in os.listdir(meta):
         if f.startswith("manifest-v"):
@@ -627,6 +648,45 @@ def compact(spark: SparkSession, path: str, target_files: int = 8,
     once — single-column range clustering makes the first column's
     maps perfect and leaves the others useless."""
     df = read_table(spark, path)
+    # _writer_head, not current_version: a pending multi-table claim at
+    # the head must raise — claiming its successor slot with only the
+    # committed content would drop the transaction's rows when its
+    # marker lands (aborted husks are skipped as usual).
+    parent, head_doc = _writer_head(path)
+    tf = (head_doc or {}).get("ptransform")
+    data, _ = _table_dirs(path)
+    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
+    if tf is not None:
+        # Hidden-partitioned table: OPTIMIZE must PRESERVE the layout
+        # (Iceberg/Delta compact within partitions).  The generic path
+        # dropped ptransform/pvals from the commit doc, after which
+        # overwrite_hidden_partition kept the pval-less compacted
+        # files and DUPLICATED the partition's rows (found by the
+        # r11 txn-interleaving extension).  One file per partition
+        # value; sort_by clusters within each partition.
+        part = df.withColumn("__p", _ptransform_expr(tuple(tf))) \
+                 .repartition("__p")
+        if sort_by:
+            part = part.sortWithinPartitions(*sort_by)
+        part.write.partitionBy("__p").mode("overwrite").parquet(staging)
+        files, pvals = [], {}
+        for d in os.listdir(staging):
+            if not d.startswith("__p="):
+                continue
+            v = d.split("=", 1)[1]
+            pv = None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
+            for f in os.listdir(os.path.join(staging, d)):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(staging, d, f)
+                    files.append(fp)
+                    pvals[fp] = pv
+        doc = {"parent": parent, "files": sorted(files),
+               "pvals": pvals, "ptransform": list(tf)}
+        if stats_cols or sort_by:
+            doc["stats"] = _collect_stats(spark, files,
+                                          stats_cols or sort_by)
+        _commit_doc(path, parent + 1, doc)
+        return parent + 1
     if sort_by and cluster == "zorder":
         if len(sort_by) < 2:
             raise ValueError("zorder needs 2+ columns; use range for 1")
@@ -638,16 +698,9 @@ def compact(spark: SparkSession, path: str, target_files: int = 8,
               .sortWithinPartitions(*sort_by))
     else:
         df = df.coalesce(target_files)
-    data, _ = _table_dirs(path)
-    staging = os.path.join(data, f"txn-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     new_files = [os.path.join(staging, f) for f in os.listdir(staging)
                  if f.endswith(".parquet")]
-    # _writer_head, not current_version: a pending multi-table claim at
-    # the head must raise — claiming its successor slot with only the
-    # committed content would drop the transaction's rows when its
-    # marker lands (aborted husks are skipped as usual).
-    parent, _ = _writer_head(path)
     if stats_cols or sort_by:
         cols = stats_cols or sort_by
         stats = _collect_stats(spark, new_files, cols)

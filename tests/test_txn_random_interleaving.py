@@ -74,10 +74,36 @@ def _run_schedule(spark, tmp_path, seed):
     committed_models = {M.committed_version(path): dict(model)}
     last_cv = M.committed_version(path)
 
+    # r11 extension state: one staged WAP branch, one shallow clone,
+    # one hidden-partitioned sibling table — interleaved with the same
+    # vacuum/compact/husk adversaries (VERDICT r10 next-#5)
+    staged = None          # {"rows": [...], "model_at_stage": {...}}
+    clone_path = None
+    clone_model = None
+    clone_valid = True     # source vacuum may reap borrowed files
+    hpath = str(tmp_path / f"hidden_{seed}")
+    hmodel: dict = {}
+
+    def check_clone():
+        if clone_path and clone_valid:
+            got = _read_model(spark, clone_path)
+            assert got == sorted(clone_model.items()), (
+                f"seed {seed}: clone diverged from its model")
+
+    def check_hidden():
+        if hmodel:
+            rows = M.read_table(spark, hpath).collect()
+            got = sorted((r["id"], r["v"]) for r in rows)
+            assert got == sorted(hmodel.items()), (
+                f"seed {seed}: hidden-partitioned table diverged")
+
     for step in range(OPS_PER_SEED):
         op = rng.choice(
             ["append", "delete", "update", "mor_delete", "compact",
-             "vacuum", "restore", "husk", "pending"])
+             "vacuum", "restore", "husk", "pending",
+             "wap_stage", "wap_publish", "wap_abandon",
+             "clone", "clone_append", "clone_vacuum",
+             "h_append", "h_overwrite", "h_compact", "h_vacuum"])
         if op == "append":
             rows = batch(rng.randrange(1, 6))
             M.append(spark.createDataFrame(rows, "id int, v int"), path)
@@ -134,6 +160,79 @@ def _run_schedule(spark, tmp_path, seed):
                 sorted(model.items()), f"seed {seed} step {step}: " \
                 "pending claim corrupted visible state"
             txn._write_marker("aborted")  # release as a husk
+        elif op == "wap_stage":
+            rows = batch(rng.randrange(1, 4), with_nulls=False)
+            M.wap_stage(spark.createDataFrame(rows, "id int, v int"),
+                        path, "audit")
+            staged = {"rows": rows, "model_at_stage": dict(model)}
+            # the audit surface must show base + staged, main table
+            # must be untouched (checked by the shared invariant below)
+            bgot = sorted(
+                (r["id"], r["v"])
+                for r in M.read_branch(spark, path, "audit").collect())
+            bwant = dict(staged["model_at_stage"])
+            bwant.update({i: v for i, v in rows})
+            assert bgot == sorted(bwant.items()), (
+                f"seed {seed} step {step}: staged branch wrong")
+        elif op == "wap_publish" and staged is not None:
+            try:
+                M.wap_publish(path, "audit")
+            except RuntimeError:
+                # head moved since the stage: refusing is the contract;
+                # the stale branch is re-staged next time
+                M.wap_abandon(path, "audit")
+            else:
+                model = dict(staged["model_at_stage"])
+                model.update({i: v for i, v in staged["rows"]})
+            staged = None
+        elif op == "wap_abandon" and staged is not None:
+            M.wap_abandon(path, "audit")
+            staged = None
+        elif op == "clone" and clone_path is None:
+            clone_path = str(tmp_path / f"clone_{seed}")
+            M.shallow_clone(path, clone_path)
+            clone_model = dict(model)
+            check_clone()
+        elif op == "clone_append" and clone_path is not None:
+            rows = batch(rng.randrange(1, 4), with_nulls=False)
+            M.append(spark.createDataFrame(rows, "id int, v int"),
+                     clone_path)
+            clone_model.update({i: v for i, v in rows})
+            check_clone()
+            # clone writes must never leak into the source
+            assert _read_model(spark, path) == sorted(model.items()), (
+                f"seed {seed} step {step}: clone append leaked into "
+                "the source table")
+        elif op == "clone_vacuum" and clone_path is not None:
+            # vacuuming the CLONE must only touch the clone's own data
+            # dir — borrowed source files stay (and the source table
+            # stays whole either way)
+            M.vacuum(clone_path, keep_versions=1, retention_sec=0)
+            check_clone()
+        elif op == "h_append":
+            rows = batch(rng.randrange(1, 5), with_nulls=False)
+            M.append_hidden_partitioned(
+                spark.createDataFrame(rows, "id int, v int"),
+                hpath, ("trunc", 10, "id"))
+            hmodel.update({i: v for i, v in rows})
+            check_hidden()
+        elif op == "h_overwrite" and hmodel:
+            pvals = sorted({(i // 10) * 10 for i in hmodel})
+            pval = rng.choice(pvals)
+            rows = [(pval + k, 7000 + step) for k in range(rng.randrange(1, 3))]
+            M.overwrite_hidden_partition(
+                spark.createDataFrame(rows, "id int, v int"),
+                hpath, pval)
+            hmodel = {i: v for i, v in hmodel.items()
+                      if (i // 10) * 10 != pval}
+            hmodel.update({i: v for i, v in rows})
+            check_hidden()
+        elif op == "h_compact" and hmodel:
+            M.compact(spark, hpath, target_files=2)
+            check_hidden()
+        elif op == "h_vacuum" and hmodel:
+            M.vacuum(hpath, keep_versions=1, retention_sec=0)
+            check_hidden()
 
         # invariant 1+2: visible state == model, husks invisible
         got = _read_model(spark, path)
@@ -150,8 +249,13 @@ def _run_schedule(spark, tmp_path, seed):
                 f"went backwards {last_cv} -> {cv}")
         last_cv = cv
         if op in ("append", "delete", "update", "mor_delete",
-                  "restore"):
+                  "restore", "wap_publish"):
             committed_models[cv] = dict(model)
+        if op == "vacuum":
+            # documented Delta-shape caveat: vacuum on the SOURCE may
+            # reap files a shallow clone still borrows — the clone's
+            # contents are undefined from here on
+            clone_valid = False
         # versions vacuumed out of history can't be restore targets
         live = set()
         for v in list(committed_models):
@@ -176,6 +280,49 @@ def _run_schedule(spark, tmp_path, seed):
     M.vacuum(path, keep_versions=1, retention_sec=0)
     assert _read_model(spark, path) == sorted(model.items()), (
         f"seed {seed}: vacuum under an aborted head lost committed rows")
+
+    # deterministic epilogue 2 (r11): the WAP-visibility bug shape —
+    # a staged branch is a LIVE REF, so the tightest vacuum must not
+    # reap its files (reverting the vacuum branch-ref fix makes
+    # read_branch/publish throw PATH_NOT_FOUND here)
+    if staged is not None:
+        M.wap_abandon(path, "audit")
+    rows = batch(3, with_nulls=False)
+    M.wap_stage(spark.createDataFrame(rows, "id int, v int"),
+                path, "audit")
+    M.vacuum(path, keep_versions=1, retention_sec=0)
+    bgot = sorted((r["id"], r["v"])
+                  for r in M.read_branch(spark, path, "audit").collect())
+    bwant = dict(model)
+    bwant.update({i: v for i, v in rows})
+    assert bgot == sorted(bwant.items()), (
+        f"seed {seed}: vacuum reaped a staged WAP branch's files")
+    M.wap_publish(path, "audit")
+    model = dict(bwant)
+    assert _read_model(spark, path) == sorted(model.items()), (
+        f"seed {seed}: publish after vacuum lost rows")
+
+    # deterministic epilogue 3 (r11): compact must preserve hidden
+    # partition layout — compact-then-overwrite previously kept the
+    # pval-less compacted files and duplicated the partition's rows
+    if not hmodel:
+        rows = [(i, i) for i in range(20)]
+        M.append_hidden_partitioned(
+            spark.createDataFrame(rows, "id int, v int"),
+            hpath, ("trunc", 10, "id"))
+        hmodel.update({i: v for i, v in rows})
+    M.compact(spark, hpath, target_files=2)
+    pval = (min(hmodel) // 10) * 10
+    M.overwrite_hidden_partition(
+        spark.createDataFrame([(pval, 9999)], "id int, v int"),
+        hpath, pval)
+    hmodel = {i: v for i, v in hmodel.items() if (i // 10) * 10 != pval}
+    hmodel[pval] = 9999
+    hgot = sorted((r["id"], r["v"])
+                  for r in M.read_table(spark, hpath).collect())
+    assert hgot == sorted(hmodel.items()), (
+        f"seed {seed}: compact+overwrite corrupted the hidden table "
+        "(partition metadata lost in compaction)")
 
 
 @pytest.mark.parametrize("seed", range(N_SEEDS))

@@ -82,7 +82,10 @@ def _moment_totals(df: DataFrame, vec_col: str,
 def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
     """Fit PCA; returns {mean, components (k x d, rows = components),
     explained_variance, explained_variance_ratio, n}."""
-    first = df.select(vec_col).first()
+    # dimension probe over rows WITH vectors: the first row may hold
+    # a NULL embedding (rate-0.3 NULL probe find) even though the
+    # moment passes already exclude them
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
         raise ValueError("pca_fit: empty input")
     d = len(first[0])
@@ -179,7 +182,7 @@ def covariance_profile(df: DataFrame, vec_col: str,
     CENTERED batches (mean broadcast to executors), trading one extra
     corpus read for full stability.  The shifted-mean parity tests pin
     both variants."""
-    first = df.select(vec_col).first()
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
         raise ValueError("covariance_profile: empty input")
     d = len(first[0])

@@ -280,8 +280,11 @@ def q10_nested_descendants(spark, sf_dir):
 
     nodes = add_nested_sets(_region_nation_nodes(spark, sf_dir),
                             "id", "parent_id", order_col="id")
-    asia_id = [r.id for r in
-               nodes.where(F.col("name") == "ASIA").select("id").collect()][0]
+    ids = [r.id for r in
+           nodes.where(F.col("name") == "ASIA").select("id").collect()]
+    # no ASIA (its name may be NULL under the probe): empty result,
+    # exactly like the oracle's WHERE r_name = 'ASIA'
+    asia_id = ids[0] if ids else -1
     return descendants(nodes, asia_id).select("name", "level")
 
 
@@ -3157,7 +3160,12 @@ def q90_pq_adc_topk(spark, sf_dir):
     from niamoto_spark.operators.quantization import pq_encode, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb_rows = (emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+    # codebook contract: the FIRST 16 identified rows WITH vectors
+    # (not vec_id < 16 — a NULL id or NULL embedding there would feed
+    # None into the codebook; rate-0.3 NULL probe find)
+    cb_rows = (emb.where(F.col("vec_id").isNotNull()
+                         & F.col("embedding").isNotNull())
+               .orderBy("vec_id").limit(16)
                .select("embedding").collect())
     dsub = len(cb_rows[0]["embedding"]) // 4
     books = [[[float(x) for x in r["embedding"][m * dsub:(m + 1) * dsub]]
@@ -3174,7 +3182,11 @@ WITH e AS (SELECT vec_id,
 ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
 sub AS (SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sv
         FROM e CROSS JOIN ms),
-cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+cbids AS (SELECT vec_id FROM embeddings
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          ORDER BY vec_id LIMIT 16),
+cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub
+       WHERE vec_id IN (SELECT vec_id FROM cbids)),
 dists AS (
     SELECT s.vec_id, s.m, cb.j,
            round(list_dot_product(s.sv, s.sv)
@@ -3192,7 +3204,8 @@ qt AS (
            - 2 * list_dot_product(q.sv, cb.cv)
            + list_dot_product(cb.cv, cb.cv) AS td
     FROM sub q JOIN cb ON q.m = cb.m
-    WHERE q.vec_id < 3),
+    -- queries are rows WITH vectors (pq_topk's r10 pin)
+    WHERE q.vec_id < 3 AND q.sv IS NOT NULL),
 adc AS (
     SELECT qt.query_id, c.vec_id AS neighbor_id,
            round(sum(qt.td), 4) AS adc_dist
@@ -4018,7 +4031,10 @@ def q110_ivfpq_topk(spark, sf_dir):
     from niamoto_spark.operators.quantization import ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb_rows = (emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+    # same first-16-identified-vectors codebook contract as q90
+    cb_rows = (emb.where(F.col("vec_id").isNotNull()
+                         & F.col("embedding").isNotNull())
+               .orderBy("vec_id").limit(16)
                .select("embedding").collect())
     dsub = len(cb_rows[0]["embedding"]) // 4
     books = [[[float(x) for x in r["embedding"][m * dsub:(m + 1) * dsub]]
@@ -9488,7 +9504,11 @@ def q238_golden_record(spark, sf_dir):
     NULLS over the identical deterministic order."""
     from niamoto_spark.operators.cleaning import golden_record
 
+    # survivorship needs a TOTAL per-customer order: NULL orderkeys
+    # tie and the engines pick different "most recent" rows (rate-0.3
+    # NULL probe find) — records are addressable by contract
     o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey").isNotNull())
          .withColumn("day", F.unix_date(F.col("o_orderdate")
                                         .cast("date")))
          .withColumn("big_total",
@@ -9510,7 +9530,7 @@ WITH o AS (
          o_orderkey, o_orderpriority,
          CASE WHEN o_totalprice >= 100000
               THEN round(o_totalprice, 2) END AS big_total
-  FROM orders),
+  FROM orders WHERE o_orderkey IS NOT NULL),
 g AS (
   SELECT o_custkey,
          count(*) OVER (PARTITION BY o_custkey) AS n_records,

@@ -69,9 +69,10 @@ def _ann_recall(name: str, srows, scols, sf_dir: str) -> float:
     qi, qm = ids[qmask], x[qmask]
     baseline: dict = {}
     if name == "q110_ivfpq_topk":
-        # full-scan ADC with the query's own codebooks (subvectors of
-        # vec_id 0..15): isolates IVF bucketing loss from PQ error
-        cb = [r[1] for r in rows if r[0] < 16]
+        # full-scan ADC with the query's own codebooks (the FIRST 16
+        # identified rows with vectors, matching q90/q110's contract):
+        # isolates IVF bucketing loss from PQ error
+        cb = [r[1] for r in rows][:16]
         d = x.shape[1]
         dsub = d // 4
         books = [np.array([list(v[mi * dsub:(mi + 1) * dsub])

@@ -752,8 +752,12 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         F.col(c).cast(base_types[c]).alias(c) if c in base_types
         else F.col(c) for c in updates.columns])
     keys = updates.select(key_col).distinct()
+    # a USING join rotates the key column to the front — re-select the
+    # base's column order so MERGE never permutes the table schema
+    # (a restarted CDC drain would otherwise end with a different
+    # column layout than a one-shot drain; replay-idempotence test)
     merged = (base.join(keys, on=key_col, how="left_anti")
-              .unionByName(updates))
+              .unionByName(updates).select(*base.columns))
     return overwrite(merged, path, extra_meta=extra_meta)
 
 

@@ -501,6 +501,85 @@ def _guard_lanes(spark, sf: str, mult: int) -> "dict[str, tuple]":
     return out
 
 
+def _guard_lanes_llm(spark, sf: str, mult: int) -> "dict[str, tuple]":
+    """The flagship LLM-pipeline scale operators (VERDICT r10 next-#6):
+    minhash-LSH candidates, interval join, sequence packing, and
+    minhash-prefiltered TF-IDF cosine — each must stay near-linear; a
+    superlinear blowup here is exactly the all-pairs/self-join class
+    the bounded designs exist to prevent."""
+    from pyspark.sql import types as T
+
+    from niamoto_spark.operators.dedup import minhash_lsh_candidates
+    from niamoto_spark.operators.interval import interval_join
+    from niamoto_spark.operators.text import pack_sequences
+    from niamoto_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    # Inflate with a per-copy SALT token woven between every word:
+    # verbatim copies would be true cross-copy near-duplicates, and the
+    # candidate-pair count would grow quadratically in the multiplier —
+    # real work, not a plan regression, which would always trip the
+    # guard.  The salt lands in every shingle, so cross-copy Jaccard
+    # drops to ~0 while each copy's own planted duplicates remain.
+    dpieces = [docs.withColumn("doc_id",
+                               F.col("doc_id") + F.lit(i * 1_000_000))
+               .withColumn("text", F.regexp_replace(
+                   "text", " ", f" z{i} "))
+               for i in range(mult)]
+    bigd = dpieces[0]
+    for p in dpieces[1:]:
+        bigd = bigd.unionByName(p)
+    bigd = bigd.repartition(32).cache()
+    ndocs = bigd.count()
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ts_sec = (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000) \
+        .cast("long") if isinstance(ev.schema["ts"].dataType,
+                                    (T.TimestampType, T.TimestampNTZType)) \
+        else (F.col("ts") / 1_000_000_000).cast("long")
+    epieces = [ev.withColumn("event_id",
+                             F.col("event_id") + F.lit(i * 10_000_000))
+               .withColumn("user_id", F.col("user_id") + F.lit(i * 1000))
+               for i in range(mult)]
+    bev = epieces[0]
+    for p in epieces[1:]:
+        bev = bev.unionByName(p)
+    bev = bev.withColumn("ts_sec", ts_sec).repartition(32).cache()
+    nev = bev.count()
+
+    purchases = bev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts_sec").alias("ws"), (F.col("ts_sec") + 1800).alias("we"))
+    clicks = bev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_sec").alias("cts"))
+
+    lanes = {
+        "minhash_lsh_candidates":
+            (ndocs, lambda: minhash_lsh_candidates(
+                bigd, "doc_id", "text").count()),
+        "interval_join":
+            (nev, lambda: interval_join(
+                clicks, purchases, on="user_id", point_ts="cts",
+                start_col="ws", end_col="we", granule_s=3600).count()),
+        "sequence_packing":
+            (ndocs, lambda: pack_sequences(
+                bigd, "doc_id", "text", seq_len=2048).count()),
+        "tfidf_prefiltered":
+            (ndocs, lambda: tfidf_cosine_pairs(
+                bigd, "doc_id", "text", threshold=0.3, max_df_frac=0.5,
+                prefilter="minhash").count()),
+    }
+    out = {}
+    for label, (rows, run) in lanes.items():
+        t0 = time.time()
+        run()
+        out[label] = (rows, round(time.time() - t0, 3))
+    bigd.unpersist()
+    bev.unpersist()
+    return out
+
+
 def guard(multipliers: "list[int]" = (1, 4, 16),
           jsonl_path: str | None = None,
           max_cost_growth: float = 2.0) -> int:
@@ -520,12 +599,14 @@ def guard(multipliers: "list[int]" = (1, 4, 16),
     jsonl_path = jsonl_path or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.jsonl")
-    _guard_lanes(spark, sf, 1)   # warm-up: JVM/codegen cold-start must
+    llm = "--llm" in sys.argv
+    build = _guard_lanes_llm if llm else _guard_lanes
+    build(spark, sf, 1)          # warm-up: JVM/codegen cold-start must
     #                              not inflate the smallest scale's
     #                              baseline (that would mask regressions)
     results: dict[int, dict] = {}
     for m in multipliers:
-        results[m] = _guard_lanes(spark, sf, m)
+        results[m] = build(spark, sf, m)
         print(f"# mult {m}: " + ", ".join(
             f"{k}={v[1]}s" for k, v in results[m].items()))
     with open(jsonl_path, "a") as f:

@@ -13740,7 +13740,10 @@ def q327_ignore_nulls(spark, sf_dir):
     surface."""
     from pyspark.sql import Window
 
-    o = _t(spark, sf_dir, "orders")
+    # LOCF carry needs a TOTAL per-customer order: NULL orderkeys tie
+    # at equal dates and engines disagree whether a row sits before or
+    # after the big-day row it would carry (rate-0.3 NULL probe find)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey").isNotNull())
     w = (Window.partitionBy("o_custkey")
          .orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -13764,7 +13767,7 @@ WITH e AS (
            OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                  ROWS UNBOUNDED PRECEDING) AS last_big
-  FROM orders)
+  FROM orders WHERE o_orderkey IS NOT NULL)
 SELECT o_orderpriority, count(*) AS n,
        CAST(sum(CASE WHEN last_big IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_carried,

@@ -1628,6 +1628,17 @@ def overwrite_hidden_partition(df: DataFrame, path: str,
     file carries over by reference."""
     doc = _hidden_doc(path)
     tf = tuple(doc["ptransform"])
+    # writer-side schema enforcement (same rule as update_where /
+    # merge_upsert): a recomputed partition often arrives with widened
+    # types (decimal(18,4) * 2) and mixing physical schemas across a
+    # table's files breaks every later single-schema scan
+    if doc.get("files"):
+        base_schema = df.sparkSession.read.parquet(
+            doc["files"][0]).schema
+        base_types = {f.name: f.dataType for f in base_schema.fields}
+        df = df.select(*[
+            F.col(c).cast(base_types[c]).alias(c) if c in base_types
+            else F.col(c) for c in df.columns])
     chk = df.withColumn("__p", _ptransform_expr(tf))
     bad = chk.where(F.col("__p") != int(pval)).limit(1).collect()
     if bad:

@@ -251,6 +251,40 @@ def _run_schedule(spark, tmp_path, seed):
         if op in ("append", "delete", "update", "mor_delete",
                   "restore", "wap_publish"):
             committed_models[cv] = dict(model)
+        # r11: time-travel + row-level CDC invariants — every snapshot
+        # still in the keep window must read back EXACTLY as it was
+        # committed, and table_diff between any historical snapshot and
+        # the head must equal the model-computed diff
+        if rng.random() < 0.4 and len(committed_models) >= 2:
+            past = [v for v in committed_models if v < cv]
+            if past:
+                v = rng.choice(past)
+                try:
+                    old = {r["id"]: r["v"] for r in
+                           M.read_table(spark, path, version=v).collect()}
+                except FileNotFoundError:
+                    old = None  # vacuumed away between checks: legal
+                if old is not None:
+                    assert old == committed_models[v], (
+                        f"seed {seed} step {step}: time-travel read of "
+                        f"v{v} diverged from its committed content")
+                    want_diff = {}
+                    for i in set(old) | set(model):
+                        if i not in old:
+                            want_diff[i] = "added"
+                        elif i not in model:
+                            want_diff[i] = "removed"
+                        elif old[i] != model[i]:
+                            want_diff[i] = "changed"
+                    got_diff = {r["id"]: r["change"] for r in
+                                M.table_diff(spark, path, v,
+                                             key_cols=["id"]).collect()}
+                    assert got_diff == want_diff, (
+                        f"seed {seed} step {step}: table_diff v{v}->"
+                        f"head wrong (missing "
+                        f"{set(want_diff.items()) - set(got_diff.items())}, "
+                        f"extra "
+                        f"{set(got_diff.items()) - set(want_diff.items())})")
         if op == "vacuum":
             # documented Delta-shape caveat: vacuum on the SOURCE may
             # reap files a shallow clone still borrows — the clone's

@@ -91,3 +91,30 @@ def test_explorer_predicates_match_duckdb(fixtures, chunk):
         assert got == want, (
             f"chunk {chunk} pred #{i}: {pred!r} -> spark "
             f"{len(got)} rows, duckdb {len(want)} rows")
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_explorer_ordered_pages_match_duckdb(fixtures, chunk):
+    """Ordered pages (r11): order_by + LIMIT under the UNIQUE key in
+    both directions — exact ordered-list compare, including the
+    contract that ordered pages rank only rows WITH the order key."""
+    from niamoto_spark.plans.explorer import explore
+
+    cust, con = fixtures
+    rng = random.Random(20261116 + chunk)
+    for i in range(100):
+        pred = _gen_pred(rng)
+        desc = rng.random() < 0.5
+        limit = rng.choice([1, 7, 50, 200])
+        got = [r["c_custkey"] for r in
+               explore(cust, predicate=pred, order_by="c_custkey",
+                       descending=desc, limit=limit)
+               .select("c_custkey").collect()]
+        direction = "DESC" if desc else "ASC"
+        want = [r[0] for r in con.execute(
+            f"SELECT c_custkey FROM customer WHERE ({pred}) "
+            f"AND c_custkey IS NOT NULL "
+            f"ORDER BY c_custkey {direction} LIMIT {limit}").fetchall()]
+        assert got == want, (
+            f"chunk {chunk} pred #{i}: {pred!r} {direction} "
+            f"limit {limit} -> spark {got[:5]}..., duckdb {want[:5]}...")

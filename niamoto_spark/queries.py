@@ -39,6 +39,28 @@ from niamoto_spark.plans.explorer import explore
 from niamoto_spark.operators.text import LANG_MARKERS
 
 
+def _link_parquet_source(src: str, stream_dir: str,
+                         name: str = "src") -> None:
+    """Expose a parquet source inside a FileStreamSource directory.
+
+    At real scale every table is a DIRECTORY of part files, and the
+    file stream source lists plain FILES only — a symlinked directory
+    is invisible to it.  Single files symlink as before; directories
+    symlink each part file under a stable sorted name (found by
+    tools/split_probe.py, the multi-file gate mutation)."""
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src)
+                       if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            link = os.path.join(stream_dir, f"{name}_{i:05d}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(stream_dir, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Type-normalization guard (the events.ts lesson: testdata
@@ -953,9 +975,7 @@ def q64_stream_sessions(spark, sf_dir):
     stream_dir = os.path.join(tempfile.gettempdir(),
                               "niamoto_sess_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _link_parquet_source(src, stream_dir, "events")
     schema = spark.read.parquet(src).schema
     stream = _ts_to_timestamp(spark.readStream.schema(schema).parquet(stream_dir))
     agg = sessionize_stream(stream, gap_s=1800)
@@ -1366,9 +1386,7 @@ def q54_stream_events(spark, sf_dir):
     stream_dir = os.path.join(tempfile.gettempdir(),
                               "niamoto_stream_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _link_parquet_source(src, stream_dir, "events")
     stream = _ts_to_timestamp(spark.readStream.schema(schema)
                               .parquet(stream_dir))
     agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
@@ -2938,9 +2956,7 @@ def q85_stream_dedup(spark, sf_dir):
         tempfile.gettempdir(),
         "niamoto_docstream_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _link_parquet_source(src, stream_dir, "documents")
     schema = spark.read.parquet(src).schema
     # +1 day: a synthetic event time of exactly epoch 0 (doc_id 0) sits ON
     # the initial watermark and is discarded as late — keep all rows above
@@ -3615,9 +3631,7 @@ def q99_stream_stream_join(spark, sf_dir):
         tempfile.gettempdir(),
         "niamoto_ssj_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _link_parquet_source(src, stream_dir, "events")
     schema = spark.read.parquet(src).schema
 
     def _stream():
@@ -4975,9 +4989,7 @@ def q137_stream_static_join(spark, sf_dir):
         tempfile.gettempdir(),
         "niamoto_stream_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _link_parquet_source(src, stream_dir, "events")
     stream = _ts_to_timestamp(spark.readStream.schema(schema)
                               .parquet(stream_dir))
     dim = _t(spark, sf_dir, "customer").select(
@@ -5505,9 +5517,7 @@ def q151_stream_topk(spark, sf_dir):
         tempfile.gettempdir(),
         "niamoto_stream_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _link_parquet_source(src, stream_dir, "events")
     stream = _ts_to_timestamp(spark.readStream.schema(schema)
                               .parquet(stream_dir))
     agg = (stream
@@ -7235,27 +7245,37 @@ def q185_seasonal_anomalies(spark, sf_dir):
     oracle refits the profile and the z algebra in SQL."""
     from niamoto_spark.operators.timeseries import seasonal_residuals
 
-    e = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull()) \
-        .withColumn(
-        "hod", (F.floor(F.col("ts_sec") / 3600) % 24).cast("int"))
+    # profile over integer CENTS: integer-valued doubles sum exactly
+    # in ANY order, so the per-hour mean is partition-order-independent
+    # (the multi-file split probe flipped avg(double) at a 4dp
+    # boundary); scaled back in the projection
+    e = (_events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
+         .withColumn(
+             "hod", (F.floor(F.col("ts_sec") / 3600) % 24).cast("int"))
+         .withColumn("value",
+                     F.round(F.col("value") * 100).cast("long")
+                     .cast("double")))
     r = seasonal_residuals(e, "hod", "value", z_threshold=2.5)
     return (r.groupBy("hod")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.first("season_mean"), 4).alias("season_mean"),
-                 F.round(F.first("season_std"), 4).alias("season_std"),
+                 F.round(F.first("season_mean") / 100.0, 4)
+                 .alias("season_mean"),
+                 F.round(F.first("season_std") / 100.0, 4)
+                 .alias("season_std"),
                  F.sum(F.col("is_anomaly").cast("long"))
                  .alias("n_anomalies")))
 
 
 O_Q185 = """
 WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) % 24 AS INT) AS hod,
-                  value
+                  CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+                    AS value
            FROM events WHERE ts IS NOT NULL),
 prof AS (SELECT hod, avg(value) AS mu, stddev_pop(value) AS sigma
          FROM e GROUP BY 1)
 SELECT e.hod, count(*) AS n,
-       round(any_value(prof.mu), 4) AS season_mean,
-       round(any_value(prof.sigma), 4) AS season_std,
+       round(any_value(prof.mu) / 100.0, 4) AS season_mean,
+       round(any_value(prof.sigma) / 100.0, 4) AS season_std,
        CAST(sum(CASE WHEN prof.sigma > 0
                       AND abs((e.value - prof.mu) / prof.sigma) > 2.5
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
@@ -8759,7 +8779,7 @@ def q220_stream_outer_join(spark, sf_dir):
     if os.path.exists(stream_dir):
         shutil.rmtree(stream_dir)
     os.makedirs(stream_dir)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    _link_parquet_source(src, stream_dir, "events")
     # End-of-stream flush, TWO staged batches: availableNow never runs
     # a trailing no-data batch, and watermark advances take effect one
     # batch late — so flush #1 moves the watermark past all real data
@@ -10459,23 +10479,33 @@ def q256_robust_slope(spark, sf_dir):
     oracle replays rank pairing and both medians exactly."""
     from niamoto_spark.operators.regression import robust_slope
 
+    # (l_orderkey, l_linenumber) is NOT unique in the gate data —
+    # single-file reads masked it (both engines broke the ties in the
+    # same accidental physical order); the multi-file split probe
+    # exposed rank-dependent pairing.  Ordering by y then the widest
+    # column set makes remaining ties identical in (x, y) — and
+    # identical points are interchangeable in the slope multiset.
     li = (_t(spark, sf_dir, "lineitem")
           .where(F.col("l_orderkey") < 5000))
     return robust_slope(li, "l_quantity", "l_extendedprice",
-                        ["l_orderkey", "l_linenumber"])
+                        ["l_extendedprice", "l_orderkey",
+                         "l_linenumber", "l_partkey", "l_suppkey"])
 
 
 O_Q256 = """
 WITH pts AS (
   SELECT CAST(l_quantity AS DOUBLE) AS x,
          CAST(l_extendedprice AS DOUBLE) AS y,
-         l_orderkey, l_linenumber
+         l_orderkey, l_linenumber, l_partkey, l_suppkey
   FROM lineitem
   WHERE l_orderkey < 5000 AND l_quantity IS NOT NULL
     AND l_extendedprice IS NOT NULL),
 ranked AS (
-  SELECT x, y, row_number() OVER (ORDER BY x, l_orderkey NULLS FIRST,
-                                  l_linenumber NULLS FIRST) AS r
+  SELECT x, y, row_number() OVER (ORDER BY x, y NULLS FIRST,
+                                  l_orderkey NULLS FIRST,
+                                  l_linenumber NULLS FIRST,
+                                  l_partkey NULLS FIRST,
+                                  l_suppkey NULLS FIRST) AS r
   FROM pts),
 n AS (SELECT count(*) AS n, count(*) // 2 AS half FROM ranked),
 pairs AS (
@@ -10851,7 +10881,7 @@ def q263_stream_distinct_users(spark, sf_dir):
     if os.path.exists(stream_dir):
         shutil.rmtree(stream_dir)
     os.makedirs(stream_dir)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    _link_parquet_source(src, stream_dir, "events")
     schema = spark.read.parquet(src).schema
     stream = _ts_to_timestamp(
         spark.readStream.schema(schema).parquet(stream_dir))
@@ -13295,7 +13325,7 @@ def q317_stream_ohlc(spark, sf_dir):
     if os.path.exists(stream_dir):
         shutil.rmtree(stream_dir)
     os.makedirs(stream_dir)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    _link_parquet_source(src, stream_dir, "events")
     schema = spark.read.parquet(src).schema
     stream = _ts_to_timestamp(
         spark.readStream.schema(schema).parquet(stream_dir))
@@ -13798,7 +13828,7 @@ def q328_stream_quarantine(spark, sf_dir):
     os.makedirs(base)
     stream_dir = os.path.join(base, "in")
     os.makedirs(stream_dir)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    _link_parquet_source(src, stream_dir, "events")
     good_t = os.path.join(base, "good")
     quar_t = os.path.join(base, "quarantine")
     ck = os.path.join(base, "ck")

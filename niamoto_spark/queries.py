@@ -514,8 +514,19 @@ FROM b
 
 
 def q20_scatter(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem") \
-        .withColumn("__ord", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    # (l_orderkey, l_linenumber) is NOT unique in the gate data, so the
+    # cap's order key needs (x, y) tiebreaks — remaining ties are then
+    # identical points, interchangeable at the LIMIT boundary (found by
+    # tools/order_probe.py at sf0.1); addressable rows only, matching
+    # the doctrine for ranked populations
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey").isNotNull()
+                 & F.col("l_linenumber").isNotNull())
+          .withColumn("__ord", F.struct(
+              (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+              .alias("o"),
+              F.col("l_quantity").cast("double").alias("tx"),
+              F.col("l_extendedprice").cast("double").alias("ty"))))
     return ex_ops.scatter_analysis(li, "l_quantity", "l_extendedprice",
                                    max_points=100, order_col="__ord")
 
@@ -523,7 +534,9 @@ def q20_scatter(spark, sf_dir):
 O_Q20 = """
 SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
 WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-ORDER BY l_orderkey * 8 + l_linenumber LIMIT 100
+  AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+ORDER BY l_orderkey * 8 + l_linenumber, l_quantity, l_extendedprice
+LIMIT 100
 """
 
 

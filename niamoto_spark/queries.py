@@ -48,17 +48,26 @@ def _link_parquet_source(src: str, stream_dir: str,
     is invisible to it.  Single files symlink as before; directories
     symlink each part file under a stable sorted name (found by
     tools/split_probe.py, the multi-file gate mutation)."""
+    # remove stale links first: stream dirs persist in /tmp across
+    # runs, and a source-layout change (testdata regenerated with a
+    # different part count, or single-file <-> directory) would leave
+    # dangling or EXTRA part links — os.path.exists is False on a
+    # dangling symlink, so re-linking raised FileExistsError, and a
+    # leftover extra part silently double-fed the stream
+    for f in os.listdir(stream_dir):
+        p = os.path.join(stream_dir, f)
+        if (f == f"{name}.parquet" or f.startswith(f"{name}_")) \
+                and os.path.islink(p):
+            os.remove(p)
     if os.path.isdir(src):
         parts = sorted(f for f in os.listdir(src)
                        if f.endswith(".parquet"))
         for i, f in enumerate(parts):
-            link = os.path.join(stream_dir, f"{name}_{i:05d}.parquet")
-            if not os.path.exists(link):
-                os.symlink(os.path.join(src, f), link)
+            os.symlink(os.path.join(src, f),
+                       os.path.join(stream_dir,
+                                    f"{name}_{i:05d}.parquet"))
     else:
-        link = os.path.join(stream_dir, f"{name}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        os.symlink(src, os.path.join(stream_dir, f"{name}.parquet"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

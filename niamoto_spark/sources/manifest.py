@@ -662,24 +662,22 @@ def compact(spark: SparkSession, path: str, target_files: int = 8,
         # dropped ptransform/pvals from the commit doc, after which
         # overwrite_hidden_partition kept the pval-less compacted
         # files and DUPLICATED the partition's rows (found by the
-        # r11 txn-interleaving extension).  One file per partition
-        # value; sort_by clusters within each partition.
+        # r11 txn-interleaving extension).  ``target_files`` does not
+        # apply — the compacted state is ONE file per partition value
+        # (the layout readers prune on); ``sort_by`` clusters within
+        # each partition.
+        if cluster == "zorder" and sort_by:
+            raise ValueError(
+                "compact: zorder clustering is incompatible with a "
+                "hidden partition layout (files must stay aligned to "
+                "partition values); use sort_by for within-partition "
+                "clustering")
         part = df.withColumn("__p", _ptransform_expr(tuple(tf))) \
                  .repartition("__p")
         if sort_by:
             part = part.sortWithinPartitions(*sort_by)
         part.write.partitionBy("__p").mode("overwrite").parquet(staging)
-        files, pvals = [], {}
-        for d in os.listdir(staging):
-            if not d.startswith("__p="):
-                continue
-            v = d.split("=", 1)[1]
-            pv = None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
-            for f in os.listdir(os.path.join(staging, d)):
-                if f.endswith(".parquet"):
-                    fp = os.path.join(staging, d, f)
-                    files.append(fp)
-                    pvals[fp] = pv
+        files, pvals = _list_staged_partitions(staging)
         doc = {"parent": parent, "files": sorted(files),
                "pvals": pvals, "ptransform": list(tf)}
         if stats_cols or sort_by:
@@ -743,7 +741,10 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         base = read_table(spark, path)
     except FileNotFoundError:
         return overwrite(updates, path, extra_meta=extra_meta)
-    # writer-side schema enforcement (Delta's implicit MERGE cast):
+    # writer-side schema enforcement (Delta's implicit MERGE cast;
+    # the session runs ANSI mode, so an update value that does NOT fit
+    # the base type RAISES here instead of silently nulling — the same
+    # store-assignment behavior Delta enforces):
     # update expressions often arrive WIDENED (decimal(18,4) * 2 is
     # decimal(20,4)) and a raw union would silently widen the table
     # schema, breaking fixed-schema readers of later snapshots
@@ -1316,6 +1317,25 @@ def wap_abandon(path: str, branch: str) -> None:
 # Hidden partitioning (Iceberg-style partition transforms)
 # ---------------------------------------------------------------------------
 
+def _list_staged_partitions(staging: str) -> "tuple[list, dict]":
+    """Collect (files, {file: pval}) from a ``partitionBy('__p')``
+    staging directory — shared by append_hidden_partitioned and the
+    hidden-table branch of compact so partition-value parsing can
+    never diverge between the two writers of the same table."""
+    files, pvals = [], {}
+    for d in os.listdir(staging):
+        if not d.startswith("__p="):
+            continue
+        v = d.split("=", 1)[1]
+        pv = None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
+        for f in os.listdir(os.path.join(staging, d)):
+            if f.endswith(".parquet"):
+                fp = os.path.join(staging, d, f)
+                files.append(fp)
+                pvals[fp] = pv
+    return files, pvals
+
+
 def _ptransform_expr(transform: tuple):
     """Partition-value expression for a transform spec:
     ('day', col)           -> days since epoch (int) of a date/timestamp
@@ -1369,17 +1389,7 @@ def append_hidden_partitioned(df: DataFrame, path: str,
     (df.withColumn("__p", _ptransform_expr(transform))
      .repartition("__p")
      .write.partitionBy("__p").mode("overwrite").parquet(staging))
-    files, pvals = [], {}
-    for d in os.listdir(staging):
-        if not d.startswith("__p="):
-            continue
-        v = d.split("=", 1)[1]
-        pv = None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
-        for f in os.listdir(os.path.join(staging, d)):
-            if f.endswith(".parquet"):
-                fp = os.path.join(staging, d, f)
-                files.append(fp)
-                pvals[fp] = pv
+    files, pvals = _list_staged_partitions(staging)
     parent, head = _writer_head(path)
     prev_files = head.get("files", [])
     prev_pvals = head.get("pvals", {})

@@ -56,7 +56,9 @@ def last_guard_record() -> dict | None:
             line = line.strip()
             if line:
                 r = json.loads(line)
-                if "kind" not in r:  # skip slow_guard's sibling records
+                # skip slow_guard's sibling records AND regressed runs
+                # (a flagged record must not become the next baseline)
+                if "kind" not in r and "regressed" not in r:
                     rec = r
     return rec
 
@@ -92,31 +94,35 @@ def main() -> int:
               f"{r['value']}s", file=sys.stderr)
 
     prev = last_guard_record()
-    record = {"ts": time.time(), "runs": args.runs,
-              "total_best": round(sum(best.values()), 3),
-              "queries": best, **quality}
-    with open(GUARD_FILE, "a") as f:
-        f.write(json.dumps(record) + "\n")
-
-    print(json.dumps(record))
+    failures = []
     if prev is None:
         print("# no previous guard record — baseline established",
               file=sys.stderr)
-        return 0
-
-    failures = []
-    for q, sec in sorted(best.items()):
-        ref = prev.get("queries", {}).get(q)
-        if ref is None or ref <= 0:
-            continue
-        rel = (sec - ref) / ref
-        flag = ("CHANGED-EXEMPT" if q in changed else
-                "REGRESSED" if (rel > args.threshold
-                                and sec - ref > args.min_abs) else "ok")
-        print(f"# {q}: {ref}s -> {sec}s ({rel:+.1%}) {flag}",
-              file=sys.stderr)
-        if flag == "REGRESSED":
-            failures.append((q, ref, sec, rel))
+    else:
+        for q, sec in sorted(best.items()):
+            ref = prev.get("queries", {}).get(q)
+            if ref is None or ref <= 0:
+                continue
+            rel = (sec - ref) / ref
+            flag = ("CHANGED-EXEMPT" if q in changed else
+                    "REGRESSED" if (rel > args.threshold
+                                    and sec - ref > args.min_abs)
+                    else "ok")
+            print(f"# {q}: {ref}s -> {sec}s ({rel:+.1%}) {flag}",
+                  file=sys.stderr)
+            if flag == "REGRESSED":
+                failures.append((q, ref, sec, rel))
+    # a REGRESSED run is recorded for history but flagged so it never
+    # becomes the next baseline (one missed nonzero exit must not
+    # self-heal the regression out of the guard)
+    record = {"ts": time.time(), "runs": args.runs,
+              "total_best": round(sum(best.values()), 3),
+              "queries": best, **quality}
+    if failures:
+        record["regressed"] = [q for q, *_ in failures]
+    with open(GUARD_FILE, "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record))
     if failures:
         for q, ref, sec, rel in failures:
             print(f"REGRESSION {q}: best-of-{args.runs} {ref}s -> "

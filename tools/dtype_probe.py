@@ -15,11 +15,13 @@ Three mutations (run all by default, or pick with --mutation=NAME):
   int32    every BIGINT/INTEGER column whose values fit is narrowed to
            INT32 — catches code that assumes LongType (hash paths,
            schema pattern-matches, pandas dtype maps).
-  strkeys  the five dim-side primary keys (r_regionkey, n_nationkey,
-           c_custkey, s_suppkey, p_partkey) are string-coded while the
-           fact-side FK columns stay integral — the exact ADVICE-r10#1
+  strkeys  join keys string-coded on ONE side, in BOTH mismatch
+           directions (dim-side PKs r_regionkey/c_custkey/p_partkey
+           with integral fact FKs, AND fact-side FKs c_nationkey/
+           l_suppkey with integral dim PKs) — the exact ADVICE-r10#1
            hole (mismatched-dtype joins must fall back to implicit-cast
-           equi-join semantics, not silently drop rows).
+           equi-join semantics, not silently drop rows).  The full
+           rationale sits on STRING_CODED_KEYS below.
   decimal  every DOUBLE column becomes DECIMAL(18,4) — catches code
            that assumes float semantics (both engines see the same
            4dp-quantized values, so comparisons stay exact).
@@ -44,12 +46,11 @@ import decimal
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.check_correctness import TABLES, normalize  # noqa: E402
-from tools.null_probe import first_diffs  # noqa: E402
+from tools.check_correctness import TABLES  # noqa: E402
+from tools.probe_common import run_catalog as _run_catalog  # noqa: E402
 
 #: join keys string-coded on ONE side so every loader join crosses a
 #: dtype boundary — in BOTH directions, because hashed_dim_join's two
@@ -121,55 +122,9 @@ def canon(rows, mutation: str):
 
 def run_catalog(spark, con, qs, oracles, dst_dir: str, mutation: str,
                 only: set) -> list:
-    failures, n_run = [], 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        n_run += 1
-        t0 = time.time()
-        try:
-            sdf = fn(spark, dst_dir)
-            scols = sdf.columns
-            srows = canon([tuple(r) for r in sdf.collect()], mutation)
-        except Exception as e:  # noqa: BLE001
-            msg = str(e).splitlines()[0][:300]
-            print(f"FAIL {mutation}/{name}: spark error: {msg}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"ROWS-ONLY {mutation}/{name}: {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = canon(res.fetchall(), mutation)
-        except Exception as e:  # noqa: BLE001
-            msg = str(e).splitlines()[0][:300]
-            print(f"FAIL {mutation}/{name}: duckdb error: {msg}")
-            failures.append(name)
-            continue
-        problems = []
-        if sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
-            problems.append(
-                f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(
-                f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            ns = normalize(srows, scols)
-            no = normalize(orows, ocols)
-            if ns != no:
-                s_only, o_only = first_diffs(ns, no)
-                problems.append(
-                    f"values differ, spark-only: {s_only} "
-                    f"oracle-only: {o_only}")
-        if problems:
-            print(f"FAIL {mutation}/{name}: {'; '.join(problems)}")
-            failures.append(name)
-        else:
-            print(f"OK   {mutation}/{name}: {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
+    failures, n_run = _run_catalog(
+        spark, con, qs, oracles, dst_dir, only,
+        label=f"{mutation}/", canon=lambda rows: canon(rows, mutation))
     print(f"\n[{mutation}] {n_run - len(failures)}/{n_run} passing")
     return failures
 

@@ -28,12 +28,12 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-import time
 import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.check_correctness import TABLES, normalize  # noqa: E402
+from tools.check_correctness import TABLES  # noqa: E402
+from tools.probe_common import first_diffs, run_catalog  # noqa: E402,F401  (first_diffs re-exported for tests)
 
 # Columns a probe run never nulls: none by default — NULL anywhere is fair
 # game because BOTH engines see the identical nulled bytes.  Kept as a knob
@@ -77,21 +77,6 @@ def inject_nulls(src_dir: str, dst_dir: str, rate: float, seed: int) -> None:
         pq.write_table(out, os.path.join(dst_dir, f"{t}.parquet"))
 
 
-def first_diffs(ns: list, no: list, k: int = 3) -> tuple:
-    """Multiset difference of two normalized row lists.
-
-    A zip-based pairing misaligns every row after the first
-    insertion/deletion, pointing the printed diff at the wrong rows;
-    Counter subtraction reports exactly the rows unique to each side
-    (multiplicity-aware, so duplicate-count-only diffs still show).
-    """
-    from collections import Counter
-
-    cs, co = Counter(ns), Counter(no)
-    return (sorted((cs - co).elements())[:k],
-            sorted((co - cs).elements())[:k])
-
-
 def main() -> int:
     import duckdb
 
@@ -128,58 +113,7 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failures, n_run = [], 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        n_run += 1
-        t0 = time.time()
-        try:
-            sdf = fn(spark, dst_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            msg = str(e).splitlines()[0][:300]
-            print(f"FAIL {name}: spark error: {msg}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            msg = str(e).splitlines()[0][:300]
-            print(f"FAIL {name}: duckdb error: {msg}")
-            failures.append(name)
-            continue
-        problems = []
-        if sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
-            problems.append(
-                f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(
-                f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            ns = normalize(srows, scols)
-            no = normalize(orows, ocols)
-            if ns != no:
-                # Symmetric set difference: a zip pairing misaligns every
-                # row after the first insertion/deletion and points the
-                # printed diff at the wrong rows.
-                s_only, o_only = first_diffs(ns, no)
-                problems.append(
-                    f"values differ, spark-only: {s_only} "
-                    f"oracle-only: {o_only}")
-        if problems:
-            print(f"FAIL {name}: {'; '.join(problems)}")
-            failures.append(name)
-        else:
-            print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
-
+    failures, n_run = run_catalog(spark, con, qs, oracles, dst_dir, only)
     print(f"\n{n_run - len(failures)}/{n_run} passing under NULL injection"
           + (f" (of {len(qs)} registered)" if n_run != len(qs) else ""))
     if failures:

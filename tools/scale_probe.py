@@ -582,7 +582,8 @@ def _guard_lanes_llm(spark, sf: str, mult: int) -> "dict[str, tuple]":
 
 def guard(multipliers: "list[int]" = (1, 4, 16),
           jsonl_path: str | None = None,
-          max_cost_growth: float = 2.0) -> int:
+          max_cost_growth: float = 2.0,
+          llm: bool = False) -> int:
     """VERDICT r9 next-#7: structured scale records + a superlinear
     wall-time flag.  Runs the guard lanes at each multiplier, appends
     one JSONL record per (multiplier, lane) to SCALE_PROBE.jsonl, and
@@ -599,7 +600,6 @@ def guard(multipliers: "list[int]" = (1, 4, 16),
     jsonl_path = jsonl_path or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.jsonl")
-    llm = "--llm" in sys.argv
     build = _guard_lanes_llm if llm else _guard_lanes
     build(spark, sf, 1)          # warm-up: JVM/codegen cold-start must
     #                              not inflate the smallest scale's
@@ -643,5 +643,5 @@ def guard(multipliers: "list[int]" = (1, 4, 16),
 if __name__ == "__main__":
     if "--guard" in sys.argv:
         mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
-        raise SystemExit(guard(mults))
+        raise SystemExit(guard(mults, llm="--llm" in sys.argv))
     main()

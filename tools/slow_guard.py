@@ -51,7 +51,7 @@ def last_slow_record() -> dict | None:
             line = line.strip()
             if line:
                 r = json.loads(line)
-                if r.get("kind") == "slow":
+                if r.get("kind") == "slow" and "regressed" not in r:
                     rec = r
     return rec
 
@@ -89,31 +89,37 @@ def main() -> int:
                   file=sys.stderr)
 
     prev = last_slow_record()
+    failures = []
+    if prev is None or prev.get("sf_dir") != args.sf_dir:
+        print("# no comparable slow-lane record — baseline established",
+              file=sys.stderr)
+    else:
+        for q, sec in sorted(best.items()):
+            ref = prev.get("queries", {}).get(q)
+            if ref is None or ref <= 0:
+                continue
+            rel = (sec - ref) / ref
+            flag = ("CHANGED-EXEMPT" if q in changed else
+                    "REGRESSED" if (rel > args.threshold
+                                    and sec - ref > args.min_abs)
+                    else "ok")
+            print(f"# {q}: {ref}s -> {sec}s ({rel:+.1%}) {flag}",
+                  file=sys.stderr)
+            if flag == "REGRESSED":
+                failures.append(q)
+    # a REGRESSED run is recorded for history but flagged so it never
+    # becomes the next baseline — otherwise one missed nonzero exit
+    # would self-heal the regression out of the guard (the exact
+    # latent-creep failure mode this tool exists to prevent)
     record = {"kind": "slow", "ts": time.time(), "runs": args.runs,
               "sf_dir": args.sf_dir,
               "total_best": round(sum(best.values()), 3),
               "queries": best}
+    if failures:
+        record["regressed"] = failures
     with open(GUARD_FILE, "a") as f:
         f.write(json.dumps(record) + "\n")
     print(json.dumps(record))
-
-    if prev is None or prev.get("sf_dir") != args.sf_dir:
-        print("# no comparable slow-lane record — baseline established",
-              file=sys.stderr)
-        return 0
-    failures = []
-    for q, sec in sorted(best.items()):
-        ref = prev.get("queries", {}).get(q)
-        if ref is None or ref <= 0:
-            continue
-        rel = (sec - ref) / ref
-        flag = ("CHANGED-EXEMPT" if q in changed else
-                "REGRESSED" if (rel > args.threshold
-                                and sec - ref > args.min_abs) else "ok")
-        print(f"# {q}: {ref}s -> {sec}s ({rel:+.1%}) {flag}",
-              file=sys.stderr)
-        if flag == "REGRESSED":
-            failures.append(q)
     if failures:
         for q in failures:
             print(f"REGRESSION {q}", file=sys.stderr)

@@ -20,12 +20,11 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.check_correctness import TABLES, normalize  # noqa: E402
-from tools.null_probe import first_diffs  # noqa: E402
+from tools.check_correctness import TABLES  # noqa: E402
+from tools.probe_common import run_catalog  # noqa: E402
 
 
 def split_tables(src_dir: str, dst_dir: str, parts: int) -> None:
@@ -82,58 +81,8 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failures, n_run = [], 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        n_run += 1
-        t0 = time.time()
-        try:
-            sdf = fn(spark, dst_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: "
-                  f"{str(e).splitlines()[0][:300]}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: "
-                  f"{str(e).splitlines()[0][:300]}")
-            failures.append(name)
-            continue
-        problems = []
-        if sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
-            problems.append(
-                f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(
-                f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            ns = normalize(srows, scols)
-            no = normalize(orows, ocols)
-            if ns != no:
-                s_only, o_only = first_diffs(ns, no)
-                problems.append(
-                    f"values differ, spark-only: {s_only} "
-                    f"oracle-only: {o_only}")
-        if problems:
-            print(f"FAIL {name}: {'; '.join(problems)}")
-            failures.append(name)
-        else:
-            print(f"OK   {name}: {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
-
-    print(f"\n{n_run - len(failures)}/{n_run} passing on multi-file "
-          "tables"
+    failures, n_run = run_catalog(spark, con, qs, oracles, dst_dir, only)
+    print(f"\n{n_run - len(failures)}/{n_run} passing on multi-file tables"
           + (f" (of {len(qs)} registered)" if n_run != len(qs) else ""))
     if failures:
         print("failing:", " ".join(failures))

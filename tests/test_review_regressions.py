@@ -160,3 +160,56 @@ def test_dwca_embedded_quotes_doubled(tmp_path, spark):
     body = zipfile.ZipFile(out).read("occurrence.txt").decode()
     assert '""A""' in body          # doubled, not backslash-escaped
     assert '\\"' not in body
+
+
+def test_lateral_decorrelation_miscompile_canary(spark):
+    """Spark-upgrade canary for the q308 Catalyst miscompile
+    (VERDICT r11 next-#5).
+
+    On stock Spark 4.1, a correlated LATERAL whose equality needs an
+    implicit cast (string nation key vs bigint customer key)
+    decorrelates with the per-group LIMIT planned as a GLOBAL
+    TakeOrderedAndProject below the join: 2 rows total instead of
+    top-2 per nation, silently.  queries.py q308 works around it by
+    aligning view dtypes before registration.
+
+    This test pins BOTH behaviors on a 3-row frame:
+      * the RAW mismatched-dtype LATERAL currently returns the WRONG
+        global-top-2 — if this assertion starts failing after a Spark
+        upgrade, Catalyst fixed the decorrelation upstream and the
+        q308 dtype-alignment workaround should be re-evaluated
+        (it stays CORRECT either way, but becomes dead weight);
+      * the dtype-ALIGNED form (the workaround) returns the correct
+        per-group rows — if THIS fails, the workaround itself broke.
+    """
+    nat = spark.createDataFrame(
+        [("1", "A"), ("2", "B")], "n_nationkey string, n_name string")
+    cust = spark.createDataFrame(
+        [(1, 1, "c1", 10.0), (2, 1, "c2", 20.0), (3, 1, "c3", 30.0),
+         (4, 2, "c4", 5.0), (5, 2, "c5", 50.0), (6, 2, "c6", 15.0)],
+        "c_custkey long, c_nationkey long, c_name string, "
+        "c_acctbal double")
+    lateral = """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_c n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_c c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """
+    correct = {("A", "c3", 30.0), ("A", "c2", 20.0),
+               ("B", "c5", 50.0), ("B", "c6", 15.0)}
+
+    nat.createOrReplaceTempView("nation_c")
+    cust.createOrReplaceTempView("customer_c")
+    raw = {tuple(r) for r in spark.sql(lateral).collect()}
+    assert raw == {("A", "c3", 30.0), ("B", "c5", 50.0)}, (
+        "Catalyst LATERAL decorrelation behavior changed (likely a "
+        "Spark upgrade fixed SPARK implicit-cast decorrelation): "
+        f"got {raw}. Re-evaluate the q308 dtype-alignment workaround "
+        "in niamoto_spark/queries.py.")
+
+    aligned_nat = nat.withColumn(
+        "n_nationkey", F.col("n_nationkey").cast("long"))
+    aligned_nat.createOrReplaceTempView("nation_c")
+    fixed = {tuple(r) for r in spark.sql(lateral).collect()}
+    assert fixed == correct

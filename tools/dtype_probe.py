@@ -135,11 +135,16 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from niamoto_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mutations = list(MUTATIONS)
-    for a in sys.argv[1:]:
-        if a.startswith("--mutation="):
-            mutations = a.split("=", 1)[1].split(",")
+    from tools.probe_common import parse_args
+    args, vals = parse_args(
+        sys.argv[1:], {"mutation": (str, ",".join(MUTATIONS))},
+        "usage: python tools/dtype_probe.py [sf_dir] [query_name ...] "
+        f"[--mutation=m1,m2]  (mutations: {','.join(MUTATIONS)})")
+    mutations = [m for m in vals["mutation"].split(",") if m]
+    bad = [m for m in mutations if m not in MUTATIONS]
+    if bad:
+        print(f"unknown mutation(s): {' '.join(bad)}", file=sys.stderr)
+        return 2
     src_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 

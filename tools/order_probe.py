@@ -56,11 +56,12 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from niamoto_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    seed = 20261116
-    for a in sys.argv[1:]:
-        if a.startswith("--seed="):
-            seed = int(a.split("=", 1)[1])
+    from tools.probe_common import parse_args
+    args, vals = parse_args(
+        sys.argv[1:], {"seed": (int, 20261116)},
+        "usage: python tools/order_probe.py [sf_dir] [query_name ...] "
+        "[--seed=N]")
+    seed = vals["seed"]
     src_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 

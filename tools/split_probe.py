@@ -53,11 +53,12 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from niamoto_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    parts = 4
-    for a in sys.argv[1:]:
-        if a.startswith("--parts="):
-            parts = int(a.split("=", 1)[1])
+    from tools.probe_common import parse_args
+    args, vals = parse_args(
+        sys.argv[1:], {"parts": (int, 4)},
+        "usage: python tools/split_probe.py [sf_dir] [query_name ...] "
+        "[--parts=N]")
+    parts = vals["parts"]
     src_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 

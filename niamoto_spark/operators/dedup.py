@@ -88,6 +88,67 @@ def _signature_from_hashed(hashed: Column, n_shingles: Column,
     )
 
 
+def _signatures_numpy(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures via Arrow-batched numpy — bit-identical to
+    ``_signature_from_hashed`` (same xxhash64 math, ported fixed-width
+    in functions/xxh64np.py), ~10-100x fewer interpreter steps.
+
+    The HOF fold runs as interpreted lambdas (~1-2us per
+    (seed, shingle) element — higher-order functions never enter
+    whole-stage codegen), which SCALE_PROBE measured at ~600-700
+    rows/s/32-cores on the LSH lane: linear, but the biggest known
+    throughput headroom in the LLM lanes (VERDICT r11 next-#4).  Here
+    each Arrow batch concatenates its shingle-hash arrays into ONE flat
+    uint64 vector; per seed, the re-hash is ~10 vectorized ops over the
+    flat vector and the per-doc minima fall out of one
+    ``np.minimum.reduceat`` over the row offsets (SIGNED view first:
+    Spark's array_min compares BIGINT signed).
+
+    Input: (doc_id, __n, __hl) with __hl = xxhash64 of each distinct
+    shingle (string hashing stays JVM-side — one pass, amortized over
+    all seeds).  Output: (doc_id, sig); rows with no shingles are
+    dropped, matching the HOF path's ``WHERE sig IS NOT NULL``.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from niamoto_spark.functions.xxh64np import (SPARK_SEED, hash_int,
+                                                 hash_long)
+
+    id_field = hashed.schema["doc_id"]
+    out_schema = T.StructType([
+        T.StructField("doc_id", id_field.dataType, id_field.nullable),
+        T.StructField("sig", T.ArrayType(T.LongType()), True),
+    ])
+
+    def batch_sigs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            arrs, keep = [], []
+            for i, a in enumerate(pdf["__hl"]):
+                if a is not None and len(a):
+                    arrs.append(np.asarray(a, dtype=np.int64))
+                    keep.append(i)
+            if not keep:
+                continue
+            flat = np.concatenate(arrs).view(np.uint64)
+            sizes = np.array([len(a) for a in arrs])
+            offsets = np.zeros(len(arrs), dtype=np.intp)
+            np.cumsum(sizes[:-1], out=offsets[1:])
+            base = hash_long(flat, SPARK_SEED)
+            sig = np.empty((len(arrs), num_hashes), dtype=np.int64)
+            for s in range(num_hashes):
+                per_seed = hash_int(s, base).view(np.int64)
+                sig[:, s] = np.minimum.reduceat(per_seed, offsets)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].iloc[keep].to_numpy(),
+                "sig": list(sig),
+            })
+
+    return hashed.mapInPandas(batch_sigs, schema=out_schema)
+
+
 def _log_dropped_async(obs, max_bucket_size: int) -> None:
     """Log the hot-bucket recall warning from ``Observation`` metrics
     without a dedicated count job: a daemon thread parks until the first
@@ -117,7 +178,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_k: int = 3,
                            jaccard_threshold: float = 0.5,
-                           max_bucket_size: int | None = 1000) -> DataFrame:
+                           max_bucket_size: int | None = 1000,
+                           sig_impl: str = "auto") -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     Pipeline: signature -> explode into ``bands`` band-hashes -> self-join on
@@ -148,12 +210,27 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # min_bytes=0: the signature fold runs as interpreted higher-order
-    # lambdas (~1-2us per (seed, shingle) element — HOFs never enter
-    # whole-stage codegen), so even sub-MB inputs are CPU-bound and
-    # worth spreading; the byte floor misjudges this operator (measured
-    # 2.6s -> 0.5s on the q38 bench fixture at 2 -> 32 tasks).
-    df = fan_out(df, min_bytes=0)
+    # sig_impl: "numpy" (Arrow-batched vectorized seed fold, the scale
+    # path), "hof" (pure-JVM expressions, zero Python in the plan), or
+    # "auto" — numpy once the scan is big enough that per-partition
+    # Arrow/worker overhead amortizes (>= 256 KB or unknown bytes; both
+    # paths are bit-identical, pinned by
+    # tests/test_dedup_similarity.py::test_numpy_signatures_match_hof).
+    if sig_impl == "auto":
+        from niamoto_spark.functions import _est_scan
+
+        _, _nb = _est_scan(df)
+        sig_impl = "hof" if (_nb is not None
+                             and _nb < 256 * 1024) else "numpy"
+    # min_bytes=0 on the HOF path: the signature fold runs as
+    # interpreted higher-order lambdas (~1-2us per (seed, shingle)
+    # element — HOFs never enter whole-stage codegen), so even sub-MB
+    # inputs are CPU-bound and worth spreading (measured 2.6s -> 0.5s
+    # on the q38 bench fixture at 2 -> 32 tasks).  The numpy path keeps
+    # the default byte floor: vectorized batches are efficient
+    # single-partition and spreading tiny inputs just multiplies Arrow
+    # round-trips (same finding as cosine_topk_blas).
+    df = fan_out(df) if sig_impl == "numpy" else fan_out(df, min_bytes=0)
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.lower(F.col(text_col)), shingle_k))
@@ -164,11 +241,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     hashed = shingled.select(
         "doc_id", F.size("__sh").alias("__n"),
         F.transform(F.col("__sh"), lambda x: F.xxhash64(x)).alias("__hl"))
-    sig = hashed.select(
-        "doc_id",
-        _signature_from_hashed(F.col("__hl"), F.col("__n"),
-                               num_hashes).alias("sig"),
-    ).where(F.col("sig").isNotNull())
+    if sig_impl == "numpy":
+        sig = _signatures_numpy(hashed, num_hashes)
+    else:
+        sig = hashed.select(
+            "doc_id",
+            _signature_from_hashed(F.col("__hl"), F.col("__n"),
+                                   num_hashes).alias("sig"),
+        ).where(F.col("sig").isNotNull())
 
     banded = sig.select(
         "doc_id", "sig",

@@ -61,7 +61,18 @@ def explore(df: DataFrame, predicate: str | None = None,
             order_by: str | None = None, descending: bool = False,
             limit: int = DEFAULT_LIMIT) -> DataFrame:
     """The explorer endpoint semantics: filter + safe ORDER BY + capped
-    LIMIT (reference :293-363)."""
+    LIMIT (reference :293-363).
+
+    API contract — NULL order keys (ADVICE r11, user-visible
+    divergence from the reference): ordered pages contain only rows
+    WHERE ``order_by`` IS NOT NULL.  The reference (DuckDB ORDER BY)
+    places NULL-key rows at the end of ascending pages, but any
+    NULLS-LAST emulation is nondeterministic the moment the LIMIT
+    boundary cuts into the tied NULL block — different engines (and
+    different partitionings of the SAME engine) return different row
+    sets for the identical request.  Clients that need the NULL-key
+    rows should page them explicitly with ``predicate="col IS NULL"``
+    and no order key."""
     cols = set(df.columns)
     out = df
     if predicate:

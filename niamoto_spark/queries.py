@@ -11386,8 +11386,14 @@ def q273_rolling_median(spark, sf_dir):
                  F.sum((F.col("roll_median") * 2).cast("long"))
                  .alias("__s2"))
             .select("user_id", "n",
+                    # sign-aware half-up (ADVICE r11): DIV and DuckDB's
+                    # // both truncate toward zero, so the +nm bias must
+                    # flip sign with the sum for away-from-zero rounding
+                    # when a user's rolling medians sum negative
                     F.when(F.col("__nm") > 0,
-                           F.expr("(100 * __s2 + __nm) DIV (2 * __nm)")
+                           F.expr("(100 * __s2 + CASE WHEN __s2 < 0 "
+                                  "THEN -__nm ELSE __nm END) "
+                                  "DIV (2 * __nm)")
                            / 10000.0)
                     .alias("avg_roll_median")))
 
@@ -11406,7 +11412,9 @@ m AS (
   FROM e)
 SELECT user_id, count(*) AS n,
        CASE WHEN count(rmed) > 0 THEN
-         ((100 * CAST(sum(2 * rmed) AS BIGINT) + count(rmed))
+         ((100 * CAST(sum(2 * rmed) AS BIGINT)
+           + CASE WHEN sum(2 * rmed) < 0 THEN -count(rmed)
+                  ELSE count(rmed) END)
           // (2 * count(rmed))) / 10000.0
        END AS avg_roll_median
 FROM m GROUP BY 1

@@ -32,6 +32,7 @@ coordinate, only the driver's final rename is serial.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import uuid
@@ -273,9 +274,15 @@ def read_table(spark: SparkSession, path: str,
 
 
 def vacuum(path: str, keep_versions: int = 1,
-           retention_sec: float = 24 * 3600.0) -> int:
+           retention_sec: float = 24 * 3600.0,
+           branch_ttl_sec: float | None = None) -> int:
     """Delete data files unreferenced by the ``keep_versions`` newest
     manifests (and drop older manifests).  Returns files deleted.
+
+    Staged WAP branches pin their files (see inline note); every
+    vacuum logs which branches pin what, and ``branch_ttl_sec`` (off
+    by default) ages out stages older than the horizon — for
+    deployments where a crashed audit must not pin storage forever.
 
     Files that were COMMITTED to a now-dropped version are reaped
     immediately (their visibility ended with their manifest).  Files
@@ -328,10 +335,35 @@ def vacuum(path: str, keep_versions: int = 1,
     # referenced until the branch publishes or is abandoned.  Without
     # this, vacuum reaped a staged audit's files as ageing orphans and
     # wap_publish promoted a manifest pointing at deleted data.
+    #
+    # A branch orphaned by a crash between wap_stage and its audit
+    # would otherwise pin files (and shared base files) FOREVER
+    # (ADVICE r11): pinned branches are therefore logged with their
+    # age on every vacuum, and ``branch_ttl_sec`` optionally ages them
+    # out — the branch DOC is removed FIRST (a later wap_publish fails
+    # loudly on the missing doc instead of promoting reaped data),
+    # then its files become unreferenced and reapable as usual.
     for f in os.listdir(meta):
         if f.startswith("branch-") and f.endswith(".json"):
-            with open(os.path.join(meta, f)) as bf:
-                referenced.update(json.load(bf).get("files", []))
+            bpath = os.path.join(meta, f)
+            try:
+                age = time.time() - os.path.getmtime(bpath)
+            except OSError:
+                continue
+            if branch_ttl_sec is not None and age > branch_ttl_sec:
+                logging.getLogger(__name__).warning(
+                    "vacuum: aging out staged branch %s (%.0fs old > "
+                    "branch_ttl_sec=%.0fs); a pending wap_publish for "
+                    "it will now fail", f, age, branch_ttl_sec)
+                os.remove(bpath)
+                continue
+            with open(bpath) as bf:
+                branch_files = json.load(bf).get("files", [])
+            referenced.update(branch_files)
+            logging.getLogger(__name__).warning(
+                "vacuum: staged branch %s (%.0fs old) pins %d files; "
+                "publish or abandon it, or pass branch_ttl_sec to age "
+                "out crashed stages", f, age, len(branch_files))
     now = time.time()
     deleted = 0
     for txn in os.listdir(data):

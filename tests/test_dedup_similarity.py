@@ -357,3 +357,61 @@ def test_semantic_dedup_strategies(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="strategy"):
         semantic_dedup(df, "vec_id", "embedding", strategy="nope").collect()
+
+
+def test_numpy_xxh64_matches_spark(spark):
+    """functions/xxh64np.py must stay bit-exact with Spark's
+    xxhash64(bigint [, int seed-index]) chaining — the numpy MinHash
+    signature path depends on it."""
+    from niamoto_spark.functions.xxh64np import (SPARK_SEED, hash_int,
+                                                 hash_long)
+
+    vals = [123, -456, 0, 2**63 - 1, -2**63, 987654321987, 42, -1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    expected = df.select(
+        F.xxhash64("v").alias("h"),
+        *[F.xxhash64("v", F.lit(s)).alias(f"h{s}")
+          for s in (0, 5, 63)]).collect()
+    base = hash_long(np.array(vals, dtype=np.int64).view(np.uint64),
+                     SPARK_SEED)
+    assert base.view(np.int64).tolist() == [r.h for r in expected]
+    for s in (0, 5, 63):
+        got = hash_int(s, base).view(np.int64).tolist()
+        assert got == [r[f"h{s}"] for r in expected], f"seed {s}"
+
+
+def test_numpy_signatures_match_hof(spark):
+    """The two sig_impl backends must produce IDENTICAL candidate
+    pairs AND identical raw signatures (bit-exact, not just
+    equivalent) — otherwise recorded q38 results would shift with
+    input size as the auto gate flips."""
+    rows = DOCS + [
+        (6, ""),                      # empty -> no shingles -> dropped
+        (7, "one two"),               # shorter than shingle_k
+        (8, None),                    # NULL text
+        (9, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kw = dict(num_hashes=16, bands=4, shingle_k=3, jaccard_threshold=0.0)
+    hof = {tuple(r) for r in dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", sig_impl="hof", **kw).collect()}
+    npy = {tuple(r) for r in dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", sig_impl="numpy", **kw).collect()}
+    assert hof == npy and len(hof) > 0
+
+    # raw signature parity, including which rows get dropped
+    shingled = df.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            dedup.word_shingles(F.lower(F.col("text")), 3)).alias("__sh"))
+    hashed = shingled.select(
+        "doc_id", F.size("__sh").alias("__n"),
+        F.transform(F.col("__sh"), lambda x: F.xxhash64(x)).alias("__hl"))
+    sig_hof = {r["doc_id"]: list(r["sig"]) for r in hashed.select(
+        "doc_id", dedup._signature_from_hashed(
+            F.col("__hl"), F.col("__n"), 16).alias("sig"))
+        .where(F.col("sig").isNotNull()).collect()}
+    sig_np = {r["doc_id"]: list(r["sig"])
+              for r in dedup._signatures_numpy(hashed, 16).collect()}
+    assert sig_np == sig_hof
+    assert set(sig_np) == {1, 2, 3, 4, 5, 9}   # 6/7/8 dropped

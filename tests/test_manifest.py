@@ -636,6 +636,42 @@ def test_wap_publish_conflict_on_moved_head(spark, tmp_path):
     assert M.read_table(spark, t).count() == 15
 
 
+def test_vacuum_branch_ttl_ages_out_orphaned_stage(spark, tmp_path):
+    """ADVICE r11: a branch orphaned by a crash between wap_stage and
+    its audit pins files from vacuum forever by default; branch_ttl_sec
+    ages it out — doc removed FIRST so a late wap_publish fails loudly
+    instead of promoting reaped files."""
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)
+    doc = M.wap_stage(_df(spark, 10, 20), t, "crashed")
+    # default: the stage pins its files through any number of vacuums
+    M.vacuum(t, retention_sec=0)
+    for f in doc["new_files"]:
+        assert os.path.exists(f)
+    # with a TTL it ages out: doc gone, publish loud, files reapable
+    M.vacuum(t, retention_sec=0, branch_ttl_sec=0)
+    assert not os.path.exists(
+        os.path.join(t, "_log", "branch-crashed.json"))
+    with pytest.raises(FileNotFoundError):
+        M.wap_publish(t, "crashed")
+    for f in doc["new_files"]:
+        assert not os.path.exists(f)
+    assert M.read_table(spark, t).count() == 10   # base intact
+
+
+def test_vacuum_branch_ttl_spares_fresh_stage(spark, tmp_path):
+    """The TTL only reaps stages OLDER than the horizon — a live audit
+    in progress keeps its pin."""
+    t = str(tmp_path / "tbl")
+    M.append(_df(spark, 0, 10), t)
+    doc = M.wap_stage(_df(spark, 10, 20), t, "live")
+    M.vacuum(t, retention_sec=0, branch_ttl_sec=3600)
+    for f in doc["new_files"]:
+        assert os.path.exists(f)
+    assert M.wap_publish(t, "live") == 1
+    assert M.read_table(spark, t).count() == 20
+
+
 def test_wap_overwrite_mode(spark, tmp_path):
     t = str(tmp_path / "tbl")
     M.append(_df(spark, 0, 10), t)

@@ -63,3 +63,30 @@ def test_injection_is_deterministic_and_tracks_rate(tmp_path):
         assert r3 != r1
     finally:
         np_tool.TABLES = orig_tables
+
+
+def test_chain_mutations_threads_steps_and_cleans_tmps(tmp_path):
+    """probe_common.chain_mutations: each step sees the previous
+    step's output, the LAST step writes dst_dir, intermediates are
+    removed."""
+    import os
+
+    from tools.probe_common import chain_mutations
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("0")
+    dst = tmp_path / "out" / "final"
+    (tmp_path / "out").mkdir()
+
+    def bump(s, d):
+        os.makedirs(d, exist_ok=True)
+        v = int(open(os.path.join(s, "a.txt")).read())
+        open(os.path.join(d, "a.txt"), "w").write(str(v + 1))
+
+    chain_mutations(str(src), str(dst), [bump, bump, bump])
+    assert open(dst / "a.txt").read() == "3"
+    assert (src / "a.txt").read_text() == "0"        # src untouched
+    leftovers = [p for p in os.listdir(tmp_path / "out")
+                 if p.startswith("chain")]
+    assert leftovers == []

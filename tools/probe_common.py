@@ -11,6 +11,7 @@ lands in ONE place instead of five.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -60,6 +61,34 @@ def first_diffs(ns: list, no: list, k: int = 3) -> tuple:
     cs, co = Counter(ns), Counter(no)
     return (sorted((cs - co).elements())[:k],
             sorted((co - cs).elements())[:k])
+
+
+def chain_mutations(src_dir: str, dst_dir: str, steps) -> None:
+    """Apply a sequence of table-mutation functions, each with the
+    (src_dir, dst_dir) signature the probe family shares, threading
+    intermediate results through temp dirs next to ``dst_dir``.
+
+    Real 100 TB tables carry every probe axis AT ONCE — NULLs, mixed
+    row order, many part files — and axis interactions (e.g. NULL keys
+    at part-file boundaries) are invisible to the single-axis probes
+    (VERDICT r11 next-#3).  The LAST step owns the final layout (e.g.
+    split_tables turning each table into a part directory)."""
+    import shutil
+    import tempfile
+
+    cur = src_dir
+    tmps = []
+    try:
+        for i, step in enumerate(steps):
+            out = dst_dir if i == len(steps) - 1 else tempfile.mkdtemp(
+                prefix=f"chain{i}-", dir=os.path.dirname(dst_dir))
+            if i < len(steps) - 1:
+                tmps.append(out)
+            step(cur, out)
+            cur = out
+    finally:
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
 
 
 def run_catalog(spark, con, qs, oracles, dst_dir: str, only: set,

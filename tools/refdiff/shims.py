@@ -193,6 +193,11 @@ def _install_sqlalchemy() -> None:
         return
 
     sa = types.ModuleType("sqlalchemy")
+    # pandas probes sqlalchemy's version, then isinstance-checks cons
+    # against Connectable/URL; our Database objects are neither, so
+    # pandas falls back to its DBAPI (sqlite3) path — which is exactly
+    # what the ShimDatabase engine is.
+    sa.__version__ = "2.0.36"
     sa.text = lambda s: s
     sa.inspect = _sa_inspect
     sa.create_engine = _unsupported("create_engine")
@@ -214,6 +219,8 @@ def _install_sqlalchemy() -> None:
     engine_mod = types.ModuleType("sqlalchemy.engine")
     engine_mod.Connection = type("Connection", (), {})
     engine_mod.Engine = type("Engine", (), {})
+    engine_mod.Connectable = type("Connectable", (), {})
+    engine_mod.URL = type("URL", (), {})
     sa.engine = engine_mod
 
     orm_mod = types.ModuleType("sqlalchemy.orm")
@@ -611,7 +618,14 @@ def _install_geo() -> None:
     # importing module binds resolves to a callable that raises at use.
     for name in ("rasterio", "rasterio.mask", "rasterio.features",
                  "rasterio.warp", "rasterio.transform", "rasterio.enums",
-                 "topojson", "pyproj", "fiona", "pyogrio"):
+                 "topojson", "pyproj", "fiona", "pyogrio",
+                 "scipy", "scipy.stats", "scipy.spatial",
+                 "scipy.spatial.distance", "sklearn", "sklearn.cluster",
+                 "sklearn.ensemble", "sklearn.feature_extraction",
+                 "sklearn.feature_extraction.text", "sklearn.linear_model",
+                 "sklearn.metrics", "sklearn.model_selection",
+                 "sklearn.pipeline", "sklearn.preprocessing",
+                 "joblib"):
         if name not in sys.modules:
             sys.modules[name] = _InertModule(name)
 
@@ -695,11 +709,22 @@ def _shim_load_wkt_from_geojson(d):
 
 # ---------------------------------------------------------------------------
 
+def _install_unidecode() -> None:
+    if "unidecode" in sys.modules:
+        return
+    import unicodedata
+    mod = types.ModuleType("unidecode")
+    mod.unidecode = lambda s: unicodedata.normalize(
+        "NFKD", str(s)).encode("ascii", "ignore").decode("ascii")
+    sys.modules["unidecode"] = mod
+
+
 def install(reference_src: str = "/root/reference/src") -> None:
     """Install all shims and put the reference on sys.path."""
     _install_rich()
     _install_sqlalchemy()
     _install_database_preempt()
     _install_geo()
+    _install_unidecode()
     if reference_src not in sys.path:
         sys.path.insert(0, reference_src)

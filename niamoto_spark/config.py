@@ -70,7 +70,10 @@ class ConnectorConfig(BaseModel):
     format: Optional[str] = None                # csv | parquet | geojson ...
     path: Optional[str] = None
     dataset: Optional[str] = None               # derived: source dataset
-    levels: Optional[List[str]] = None          # derived: hierarchy levels
+    source: Optional[str] = None                # derived: reference spelling
+    levels: Optional[List[str]] = None          # derived: flat level list
+    extraction: Optional[Dict[str, Any]] = None  # derived: reference dialect
+    sources: Optional[List[Dict[str, Any]]] = None  # file_multi_feature
 
     model_config = ConfigDict(extra="allow")
 

@@ -37,56 +37,120 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 def derive_hierarchy(df: DataFrame, levels: Sequence[str],
-                     id_offset: int = 1) -> DataFrame:
+                     id_offset: int = 1, *,
+                     level_columns: Sequence[str] | None = None,
+                     id_strategy: str = "sequence",
+                     id_column: str | None = None,
+                     name_column: str | None = None,
+                     entity_name: str | None = None) -> DataFrame:
     """Derive a hierarchy table from the distinct level combinations of a
     flat dataset — the reference's "derived reference" import
     (hierarchy_builder.py:116-270): per-level UNION ALL explode of
     ``SELECT DISTINCT level1..levelN``, pipe-joined ``full_path`` keys,
-    TRIM/NULLIF cleanup of incomplete rows, MIN() dedup.
+    skip-mode incomplete-row filtering, MIN() dedup.
 
-    Returns columns: id, parent_id, level, rank_name, rank_value, full_path,
-    lft, rght.  IDs are assigned by sorted full_path (stable across runs, as
-    the reference's hash-or-sequence ids are, hierarchy_builder.py:423).
+    Parity-critical semantics (each mirrors the reference line-for-line in
+    behavior, not implementation):
 
-    Distributed part: the distinct+union explode (a shuffle over *distinct
-    combinations*, tiny vs the fact table).  Driver part: nested-set
-    numbering over the collected distinct nodes.
+    - skip mode filters on ``TRIM(col) != '' AND col IS NOT NULL`` for the
+      whole prefix but keeps the RAW (untrimmed) value in both rank_value
+      and full_path (hierarchy_builder.py:185-199).
+    - ``id_column`` adds ``{entity_name}_id = MIN(id_column)`` per path,
+      then nulls it everywhere except the DEEPEST level each external id
+      reaches (hierarchy_builder.py:272-318).
+    - ``name_column`` adds ``full_name``: MIN(name_column) at the deepest
+      level, the rank value itself above (hierarchy_builder.py:211-222).
+    - ``id_strategy='hash'`` assigns ``int(md5(full_path)[:8], 16)``
+      (hierarchy_builder.py:462-470); 'sequence' numbers 1..N in
+      (level, full_path) order.
+
+    Returns columns: id, parent_id, level, rank_name, rank_value,
+    full_path, [{entity}_id], [full_name], lft, rght.
+
+    Distributed part: the per-level groupBy over *distinct combinations*
+    (tiny vs the fact table).  Driver part: nested-set numbering over the
+    collected nodes.
     """
-    cleaned = df.select(
-        *[F.nullif(F.trim(F.col(c).cast("string")), F.lit("")).alias(c)
-          for c in levels]
-    )
-    # Per-level explode: one row per (prefix path, level) combination.
-    # Rows with a NULL anywhere in the prefix are dropped at that depth —
-    # the reference's incomplete-row cleanup (COALESCE/NULLIF/TRIM,
-    # hierarchy_builder.py:137-138) never emits orphan paths either.
+    cols = list(level_columns or levels)
+    keep = [F.col(c).cast("string").alias(c) for c in cols]
+    if id_column:
+        keep.append(F.col(id_column))
+    if name_column:
+        keep.append(F.col(name_column).cast("string").alias(name_column))
+    cleaned = df.select(*keep)
+
+    deepest = len(cols) - 1
     pieces = []
     for depth, level_name in enumerate(levels):
-        prefix = [F.col(c) for c in levels[: depth + 1]]
-        prefix_ok = prefix[0].isNotNull()
-        for p in prefix[1:]:
-            prefix_ok = prefix_ok & p.isNotNull()
-        pieces.append(
-            cleaned
-            .where(prefix_ok)
-            .select(
-                F.concat_ws("|", *prefix).alias("full_path"),
-                F.lit(depth).alias("level"),
-                F.lit(level_name).alias("rank_name"),
-                F.col(level_name).alias("rank_value"),
-                (F.concat_ws("|", *prefix[:-1]) if depth else F.lit(None).cast("string")).alias("parent_path"),
-            )
-            .distinct()
+        prefix = [F.col(c) for c in cols[: depth + 1]]
+        # skip-mode completeness: every prefix level non-null and
+        # non-blank; the raw value itself is what lands in the path.
+        prefix_ok = F.lit(True)
+        for p in prefix:
+            prefix_ok = prefix_ok & p.isNotNull() & (F.trim(p) != "")
+        aggs = []
+        if id_column:
+            aggs.append(F.min(id_column).alias("__ext_id"))
+        if name_column:
+            name_src = F.col(name_column) if depth == deepest \
+                else F.col(cols[depth])
+            aggs.append(F.min(name_src).alias("full_name"))
+        piece = cleaned.where(prefix_ok)
+        grouped = piece.groupBy(
+            F.concat_ws("|", *prefix).alias("full_path"),
+            F.col(cols[depth]).alias("rank_value"),
         )
+        if aggs:
+            piece = grouped.agg(*aggs)
+        else:
+            piece = grouped.agg(F.lit(1).alias("__one")).drop("__one")
+        piece = piece.select(
+            "full_path",
+            F.lit(depth).alias("level"),
+            F.lit(level_name).alias("rank_name"),
+            "rank_value",
+            (F.expr("substring(full_path, 1, length(full_path) - "
+                    f"length(rank_value) - 1)") if depth
+             else F.lit(None).cast("string")).alias("parent_path"),
+            *([F.col("__ext_id")] if id_column else []),
+            *([F.col("full_name")] if name_column else []),
+        )
+        pieces.append(piece)
     nodes_df = pieces[0]
     for p in pieces[1:]:
         nodes_df = nodes_df.unionByName(p)
     nodes = [r.asDict() for r in nodes_df.collect()]
-    return _number_tree(df.sparkSession, nodes, id_offset)
+
+    if id_column:
+        # keep the external id only on the deepest level it reaches
+        max_level: dict = {}
+        for n in nodes:
+            v = n.get("__ext_id")
+            if v is not None:
+                max_level[v] = max(max_level.get(v, -1), n["level"])
+        for n in nodes:
+            v = n.get("__ext_id")
+            if v is not None and n["level"] != max_level[v]:
+                n["__ext_id"] = None
+
+    ext_name = f"{entity_name}_id" if (id_column and entity_name) else (
+        "external_id" if id_column else None)
+    return _number_tree(df.sparkSession, nodes, id_offset,
+                        id_strategy=id_strategy, ext_name=ext_name,
+                        with_name=bool(name_column))
 
 
-def _number_tree(spark: SparkSession, nodes: list[dict], id_offset: int) -> DataFrame:
-    """Assign ids + nested-set bounds via a driver-side DFS (small data)."""
+def _number_tree(spark: SparkSession, nodes: list[dict], id_offset: int,
+                 id_strategy: str = "sequence", ext_name: str | None = None,
+                 with_name: bool = False) -> DataFrame:
+    """Assign ids + nested-set bounds via a driver-side DFS (small data).
+
+    ``id_strategy='hash'`` mirrors the reference's stable-id recipe —
+    ``int(md5(full_path).hexdigest()[:8], 16)``
+    (hierarchy_builder.py:462-470) — so entity ids are bit-identical with
+    the reference importer's on the same data."""
+    import hashlib
+
     nodes.sort(key=lambda n: (n["level"], n["full_path"]))
     by_path = {n["full_path"]: n for n in nodes}
     children: dict[str | None, list[dict]] = {}
@@ -95,10 +159,18 @@ def _number_tree(spark: SparkSession, nodes: list[dict], id_offset: int) -> Data
     for sibs in children.values():
         sibs.sort(key=lambda n: n["full_path"])
 
-    next_id = id_offset
-    for n in nodes:  # level-major order -> parents get ids before children
-        n["id"] = next_id
-        next_id += 1
+    if id_strategy == "hash":
+        for n in nodes:
+            n["id"] = int(
+                hashlib.md5(n["full_path"].encode()).hexdigest()[:8], 16)
+    elif id_strategy == "external":
+        for n in nodes:
+            n["id"] = n.get("__ext_id")
+    else:  # sequence
+        next_id = id_offset
+        for n in nodes:  # level-major order -> parents before children
+            n["id"] = next_id
+            next_id += 1
 
     counter = {"v": 1}
 
@@ -111,20 +183,32 @@ def _number_tree(spark: SparkSession, nodes: list[dict], id_offset: int) -> Data
     for root in children.get(None, ()):
         dfs(root)
 
+    schema = ("id bigint, parent_id bigint, level int, rank_name string, "
+              "rank_value string, full_path string")
+    extras = []
+    if ext_name:
+        schema += f", {ext_name} bigint"
+        extras.append("__ext_id")
+    if with_name:
+        schema += ", full_name string"
+        extras.append("full_name")
+    schema += ", lft int, rght int"
+
+    def _int_or_none(v):
+        return int(v) if v is not None else None
+
     rows = [
         (
             n["id"],
             by_path[n["parent_path"]]["id"] if n["parent_path"] else None,
             n["level"], n["rank_name"], n["rank_value"], n["full_path"],
+            *[(_int_or_none(n.get(e)) if e == "__ext_id" else n.get(e))
+              for e in extras],
             n["lft"], n["rght"],
         )
         for n in nodes
     ]
-    return spark.createDataFrame(
-        rows,
-        "id bigint, parent_id bigint, level int, rank_name string, "
-        "rank_value string, full_path string, lft int, rght int",
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ class Pipeline:
         self.spark = spark
         self.warehouse = warehouse
         self.registry = registry or EntityRegistry()
+        self.warnings: list[str] = []
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -77,8 +78,42 @@ class Pipeline:
             kind = kind_map.get(section, EntityKind.DATASET)
             conn = spec.connector
             if conn.type == "derived":
-                src = self.registry.load(self.spark, conn.dataset)
-                df = derive_hierarchy(src, conn.levels or [])
+                src = self.registry.load(
+                    self.spark, conn.dataset or conn.source)
+                ex = conn.extraction or {}
+                raw_levels = ex.get("levels") or conn.levels or []
+                if raw_levels and isinstance(raw_levels[0], dict):
+                    level_names = [lv["name"] for lv in raw_levels]
+                    level_cols = [lv.get("column") or lv["name"]
+                                  for lv in raw_levels]
+                else:
+                    level_names = list(raw_levels)
+                    level_cols = list(raw_levels)
+                df = derive_hierarchy(
+                    src, level_names, level_columns=level_cols,
+                    id_strategy=ex.get("id_strategy", "sequence"),
+                    id_column=ex.get("id_column"),
+                    name_column=ex.get("name_column"),
+                    entity_name=name)
+                # the reference importer adds an (empty) extra_data JSON
+                # column to derived references (engine.py:335-337)
+                df = df.withColumn("extra_data",
+                                   F.lit(None).cast("string"))
+            elif conn.type == "file_multi_feature" and conn.sources:
+                from niamoto_spark.sources.vector import import_multi_feature
+                id_field = spec.schema_.id_field or "id"
+                df = import_multi_feature(
+                    self.spark,
+                    [(s["name"],
+                      s["path"] if os.path.isabs(s.get("path", ""))
+                      else os.path.join(base_dir, s.get("path", "")))
+                     for s in conn.sources],
+                    id_field=id_field,
+                    name_fields=[s.get("name_field", "name")
+                                 for s in conn.sources])
+                # engine.py:484-486: multi-feature rows carry extra_data
+                df = df.withColumn("extra_data",
+                                   F.lit(None).cast("string"))
             elif conn.type in ("file", "file_multi_feature"):
                 path = conn.path if os.path.isabs(conn.path or "") \
                     else os.path.join(base_dir, conn.path or "")
@@ -114,11 +149,16 @@ class Pipeline:
     def run_transform(self, cfg: list | None,
                       group_by: str | None = None,
                       mode: str = "replace",
-                      only_ids: list | None = None) -> dict[str, DataFrame]:
+                      only_ids: list | None = None,
+                      base_dir: str | None = None) -> dict[str, DataFrame]:
         """``mode='replace'`` rebuilds each group table atomically;
         ``mode='incremental'`` recomputes (optionally only ``only_ids``
         entities) and upserts by the group id — the reference's
-        INSERT..ON CONFLICT flush (transformer.py:1287-1321)."""
+        INSERT..ON CONFLICT flush (transformer.py:1287-1321).
+        ``base_dir`` resolves relative file-based sources (the reference
+        resolves them against the project root, stats_loader.py:117)."""
+        if base_dir:
+            self.base_dir = base_dir
         groups = validate_transform_config(cfg)
         results: dict[str, DataFrame] = {}
         for g in groups:
@@ -131,8 +171,17 @@ class Pipeline:
         if data in self.registry.names():
             return self.registry.load(self.spark, data)
         path = data
+        if not os.path.isabs(path) and not os.path.exists(path):
+            path = os.path.join(getattr(self, "base_dir", "."), path)
         if data.endswith(".csv"):
-            return read_csv_auto(self.spark, path)
+            from niamoto_spark.refshapes import SRC_ORDER
+
+            # materialize file order as data: several reference widgets
+            # (series_extractor sort:false, geopandas to_json feature ids)
+            # are defined in source ROW ORDER, and an explicit order
+            # column is the only shuffle-safe carrier for it
+            return read_csv_auto(self.spark, path).withColumn(
+                SRC_ORDER, F.monotonically_increasing_id())
         return self.spark.read.parquet(path)
 
     def _transform_group(self, g: TransformGroupConfig,
@@ -201,12 +250,18 @@ class Pipeline:
         if only_ids is not None:
             result = result.where(F.col(gid).isin(list(only_ids)))
         for name, w in g.widgets_data.items():
-            wdf = self._run_widget(w.plugin, dict(w.params), tagged,
-                                   g.group_by, gid)
-            result = result.join(
-                self._pack_json(wdf, gid, name,
-                                single_row=w.plugin in SINGLE_ROW_WIDGETS),
-                gid, "left")
+            try:
+                jdf = self._widget_json(w.plugin, dict(w.params), tagged,
+                                        g.group_by, gid, grouping)
+            except Exception as e:  # noqa: BLE001
+                # the reference logs per-widget failures and keeps going
+                # (transformer.py:640-647); match that contract so one bad
+                # widget config cannot sink the whole group
+                self.warnings.append(
+                    f"widget {g.group_by}.{name} ({w.plugin}): {e}")
+                continue
+            result = result.join(jdf.withColumnRenamed("__json", name),
+                                 gid, "left")
         out_path = os.path.join(self.warehouse, f"{g.group_by}_results.parquet")
         if mode == "incremental":
             from niamoto_spark.sources.sinks import upsert_table
@@ -215,6 +270,76 @@ class Pipeline:
         else:
             overwrite_table(result, out_path)
         return result
+
+    def _widget_json(self, plugin: str, params: dict, tagged: dict,
+                     group_by: str, gid: str,
+                     grouping: DataFrame) -> DataFrame:
+        """One widget -> (gid, __json) in the reference's exact JSON shape
+        (niamoto_spark/refshapes.py); plugins without a reference shaper
+        fall back to the legacy array-of-structs packing."""
+        from niamoto_spark import refshapes as RS
+
+        src_name = params.get("source")
+        df = tagged.get(src_name) if src_name else None
+        if src_name and df is None and src_name in self.registry.names():
+            # reference _load_additional_source: whole-table load
+            df = self.registry.load(self.spark, src_name)
+
+        # class_object family + geospatial: shape straight from the raw
+        # tagged frame (the reference plugins receive the loaded stats
+        # frame whole and filter internally)
+        if plugin == "class_object_series_extractor" and "size_field" in params:
+            return RS.co_series_extractor(df, gid, params, grouping)
+        if plugin == "class_object_field_aggregator" and isinstance(
+                params.get("fields"), list):
+            return RS.co_field_aggregator(df, gid, params, grouping)
+        if plugin == "class_object_categories_extractor" and (
+                "categories_order" in params or "class_object" in params):
+            return RS.co_categories_extractor(df, gid, params, grouping)
+        if plugin == "class_object_binary_aggregator" and "groups" in params:
+            return RS.co_binary_aggregator(df, gid, params)
+        if plugin == "class_object_categories_mapper" and isinstance(
+                params.get("categories"), dict):
+            return RS.co_categories_mapper(df, gid, params)
+        if plugin == "class_object_series_ratio_aggregator" and \
+                "distributions" in params:
+            return RS.co_series_ratio_aggregator(df, gid, params)
+        if plugin == "class_object_series_matrix_extractor" and \
+                "series" in params:
+            return RS.co_series_matrix_extractor(df, gid, params)
+        if plugin == "class_object_series_by_axis_extractor" and \
+                "types" in params:
+            return RS.co_series_by_axis_extractor(df, gid, params)
+        if plugin == "geospatial_extractor":
+            return RS.geospatial_extractor(df, gid, params, grouping)
+        if plugin == "multi_column_extractor" and df is not None:
+            return RS.multi_column_extractor(df, gid, params)
+
+        wdf = self._run_widget(plugin, dict(params), tagged, group_by, gid)
+        if plugin == "statistical_summary":
+            return RS.statistical_summary(wdf, gid, params)
+        if plugin == "binned_distribution":
+            return RS.binned_distribution(wdf, gid, params)
+        if plugin == "categorical_distribution":
+            return RS.categorical_distribution(wdf, gid, params)
+        if plugin == "binary_counter":
+            return RS.binary_counter(wdf, gid, params)
+        if plugin == "top_ranking":
+            return RS.top_ranking(wdf, gid, params)
+        if plugin == "field_aggregator":
+            return RS.field_aggregator(wdf, gid, params)
+        if plugin == "time_series_analysis":
+            return RS.time_series_analysis(wdf, gid, params)
+        if plugin == "multi_column_extractor":
+            return RS.multi_column_extractor(wdf, gid, params)
+        if plugin == "direct_attribute":
+            field = params["field"]
+            is_float = bool(df is not None and field in df.columns and
+                            dict(df.dtypes).get(field) in
+                            ("double", "float"))
+            return RS.direct_attribute(wdf, gid, params, is_float)
+        return self._pack_json(wdf, gid, "__json",
+                               single_row=plugin in SINGLE_ROW_WIDGETS)
 
     def _run_widget(self, plugin: str, params: dict, tagged: dict,
                     group_by: str, gid: str) -> DataFrame:
@@ -285,9 +410,15 @@ class Pipeline:
                 derived=params.get("derived_columns"),
                 include_percentages=params.get("include_percentages", False))
         if plugin == "time_series_analysis":
+            fields = params["fields"]
+            if isinstance(fields, dict) and fields and \
+                    all(isinstance(v, str) for v in fields.values()):
+                # reference dialect: {output_label: source_column}
+                fields = {k: (F.col(v).cast("double") > 0)
+                          for k, v in fields.items()}
             return agg_ops.time_series_analysis(
                 df, [gid], params.get("time_field", "month_obs"),
-                params["fields"])
+                fields)
         if plugin == "class_object_series_extractor":
             return co_ops.series_extractor(
                 df, [gid], params["class_object"],

@@ -1,0 +1,545 @@
+"""Reference-shaped widget JSON assembly.
+
+Each shaper turns per-entity rows into the EXACT JSON object the
+reference's transformer plugins persist (verified against the
+reference's own output by tools/ref_pipeline_diff.py).  Everything is
+Spark expressions — collect_list over already-grouped frames (entities
+x few rows), map lookups for dense axes, to_json with
+ignoreNullFields=false so explicit nulls survive like the reference's
+json.dumps does.
+
+Rounding parity: the reference rounds with Python round() = HALF_EVEN
+over the double's binary value, so shapers use F.bround (same mode),
+never F.round (HALF_UP) — a 0.005-boundary value would otherwise
+differ by a full cent.
+
+Ordering parity: several reference widgets (series_extractor with
+sort:false) emit values in SOURCE ROW ORDER (pandas groupby
+sort=False).  The pipeline materializes a ``__src_order`` column at
+file scan so that order survives Spark's shuffles as data, which is
+the only scale-safe way to express "file order" anyway.
+
+The class_object shapers consume the RAW tagged EAV frame
+(gid + class_object/class_name/class_value) and do their own
+filtering/aggregation — mirroring how the reference plugins receive
+the whole loaded stats frame per entity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+JSON_OPTS = {"ignoreNullFields": "false"}
+SRC_ORDER = "__src_order"
+
+CO, CN, CV = "class_object", "class_name", "class_value"
+
+
+def _obj(df: DataFrame, gid: str, fields: list[Column]) -> DataFrame:
+    return df.select(F.col(gid),
+                     F.to_json(F.struct(*fields), JSON_OPTS).alias("__json"))
+
+
+def _int_if_whole(c: Column) -> Column:
+    """Mirror pandas to_numeric: an all-integral numeric axis serializes
+    as JSON ints, otherwise floats."""
+    return F.when(c == F.floor(c), c.cast("bigint")).otherwise(c)
+
+
+def _pct_array(counts: Column, round_dp: int = 2) -> Column:
+    total = F.aggregate(counts, F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"))
+    return F.when(total > 0,
+                  F.transform(counts, lambda c: F.bround(
+                      c.cast("double") * 100.0 / total, round_dp))) \
+            .otherwise(F.transform(counts, lambda c: F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# scalar / per-entity object widgets
+# ---------------------------------------------------------------------------
+
+def statistical_summary(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{stat: bround(v,2)..., units, max_value}
+    (reference aggregation/statistical_summary.py:181-228)."""
+    stats = p.get("stats") or ["min", "mean", "max"]
+    fields = [F.bround(F.col(s).cast("double"), 2).alias(s) for s in stats]
+    fields.append(F.lit(p.get("units", "")).alias("units"))
+    if p.get("max_value") is not None:
+        fields.append(F.lit(p["max_value"]).alias("max_value"))
+    else:
+        fields.append(F.bround(F.col("max").cast("double"), 2)
+                      .alias("max_value"))
+    return _obj(wdf, gid, fields)
+
+
+def direct_attribute(wdf: DataFrame, gid: str, p: dict,
+                     is_float_col: bool) -> DataFrame:
+    """{value, units[, max_value][, format]} — float values become
+    strings via the reference's str().rstrip normalization; int values
+    stay numeric because numpy ints fail its isinstance(value, int)
+    check (extraction/direct_attribute.py transform tail)."""
+    v = F.col("value")
+    max_value = p.get("max_value")
+    precision = p.get("precision")
+    if max_value is not None:
+        v = F.when(v.cast("double") > float(max_value),
+                   F.lit(float(max_value))).otherwise(v)
+    if is_float_col or precision is not None:
+        if precision is not None:
+            s = F.format_string(f"%.{int(precision)}f", v.cast("double"))
+        else:
+            s = F.when(v.cast("string").contains("."),
+                       F.regexp_replace(
+                           F.regexp_replace(v.cast("string"), "0+$", ""),
+                           "\\.$", "")) \
+                 .otherwise(v.cast("string"))
+        out = F.when(v.isNull(), F.lit(None).cast("string")).otherwise(s)
+    else:
+        out = v
+    fields = [out.alias("value"),
+              F.lit(p.get("units", "")).alias("units")]
+    if max_value is not None:
+        fields.append(F.lit(float(max_value)).alias("max_value"))
+    if p.get("format") is not None:
+        fields.append(F.lit(p["format"]).alias("format"))
+    return _obj(wdf, gid, fields)
+
+
+def binary_counter(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{true_label: n, false_label: m[, *_percent]}
+    (aggregation/binary_counter.py:170-195)."""
+    tl = p.get("true_label", "oui")
+    fl = p.get("false_label", "non")
+    t, f = F.col("true_count"), F.col("false_count")
+    total = (t + f).cast("double")
+    fields = [t.alias(tl), f.alias(fl)]
+    if p.get("include_percentages"):
+        fields.append(F.when(total > 0, F.bround(t * 100.0 / total, 2))
+                      .otherwise(F.lit(0.0)).alias(f"{tl}_percent"))
+        fields.append(F.when(total > 0, F.bround(f * 100.0 / total, 2))
+                      .otherwise(F.lit(0.0)).alias(f"{fl}_percent"))
+    return _obj(wdf, gid, fields)
+
+
+def field_aggregator(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{target: {value[, units]}} — wdf already has one column per
+    target (pipeline._field_aggregator); this wraps each in the
+    reference's envelope (aggregation/field_aggregator.py:325-340)."""
+    fields = []
+    for spec in p["fields"]:
+        target = spec["target"]
+        inner = [F.col(target).alias("value")]
+        if spec.get("units"):
+            inner.append(F.lit(spec["units"]).alias("units"))
+        fields.append(F.struct(*inner).alias(target))
+    return _obj(wdf, gid, fields)
+
+
+# ---------------------------------------------------------------------------
+# dense axis distributions
+# ---------------------------------------------------------------------------
+
+def binned_distribution(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{bins: edges as floats, counts dense,[ percentages]}
+    (distribution/binned_distribution.py:210-247)."""
+    bins = p["bins"]
+    n = len(bins) - 1
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bin_index"), F.col("count"))))
+    agg = (wdf.where(F.col("bin_index").isNotNull())
+           .groupBy(gid).agg(m.alias("__m")))
+    counts = F.array(*[F.coalesce(F.col("__m")[F.lit(i)],
+                                  F.lit(0).cast("bigint"))
+                       for i in range(n)])
+    agg = agg.select(F.col(gid), counts.alias("counts"))
+    fields = [F.array(*[F.lit(float(b)) for b in bins]).alias("bins"),
+              F.col("counts")]
+    if p.get("include_percentages"):
+        fields.append(_pct_array(F.col("counts")).alias("percentages"))
+    return _obj(agg, gid, fields)
+
+
+def categorical_distribution(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{categories, counts, labels[, percentages]}
+    (distribution/categorical_distribution.py:197-247)."""
+    cats = p["categories"]
+    labels = p.get("labels") or [str(c) for c in cats]
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("category").cast("string"),
+                                F.col("count"))))
+    agg = wdf.groupBy(gid).agg(m.alias("__m"))
+    counts = F.array(*[F.coalesce(F.col("__m")[F.lit(str(c))],
+                                  F.lit(0).cast("bigint"))
+                       for c in cats])
+    agg = agg.select(F.col(gid), counts.alias("counts"))
+    fields = [F.array(*[F.lit(c) for c in cats]).alias("categories"),
+              F.col("counts"),
+              F.array(*[F.lit(str(lb)) for lb in labels]).alias("labels")]
+    if p.get("include_percentages"):
+        fields.append(_pct_array(F.col("counts")).alias("percentages"))
+    return _obj(agg, gid, fields)
+
+
+def top_ranking(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{tops, counts} by count desc (aggregation/top_ranking.py:246-315).
+    wdf: (gid, item, value, rank)."""
+    arr = F.sort_array(F.collect_list(
+        F.struct(F.col("rank"), F.col("item"), F.col("value"))))
+    agg = wdf.groupBy(gid).agg(arr.alias("__a"))
+    return _obj(agg, gid, [
+        F.transform("__a", lambda x: x["item"]).alias("tops"),
+        F.transform("__a", lambda x: x["value"]).alias("counts"),
+    ])
+
+
+def time_series_analysis(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{month_data: {label: [12 pcts]}, labels}
+    (distribution/time_series_analysis.py:279-285)."""
+    labels = p.get("labels") or ["Jan", "Fev", "Mar", "Avr", "Mai", "Jun",
+                                 "Jul", "Aou", "Sep", "Oct", "Nov", "Dec"]
+    series = [c for c in wdf.columns if c.endswith("_pct")]
+    aggs = []
+    for s in series:
+        m = F.map_from_entries(
+            F.collect_list(F.struct(F.col("month"), F.col(s))))
+        aggs.append(F.array(*[F.coalesce(m[F.lit(i)], F.lit(0.0))
+                              for i in range(1, 13)]).alias(s))
+    agg = wdf.groupBy(gid).agg(*aggs)
+    month_data = F.struct(*[F.col(s).alias(s[:-len("_pct")])
+                            for s in series])
+    return _obj(agg, gid, [
+        month_data.alias("month_data"),
+        F.array(*[F.lit(lb) for lb in labels]).alias("labels"),
+    ])
+
+
+def multi_column_extractor(df: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{labels, counts[, percentages][, named {value, units} fields]} —
+    counts are int(first_row[col]) with derived formulas evaluated over
+    the first row; missing columns/NaN -> 0
+    (extraction/multi_column_extractor.py:275-340)."""
+    from niamoto_spark.plans.guards import (pin_double_literals,
+                                            validate_formula)
+
+    columns = list(p["columns"])
+    labels = p.get("labels") if p.get("labels") is not None else columns
+    derived = p.get("derived_columns") or []
+    base_cols = [c for c in df.columns if c != gid]
+    firsts = df.groupBy(gid).agg(
+        *[F.first(c, ignorenulls=False).alias(c) for c in base_cols])
+    allowed = set(base_cols) | {d["name"] for d in derived}
+    for d in derived:
+        validate_formula(d["formula"], allowed_names=allowed)
+        firsts = firsts.withColumn(
+            d["name"], F.expr(pin_double_literals(d["formula"])))
+    counts = F.array(*[
+        (F.coalesce(F.col(c).cast("double"), F.lit(0.0)).cast("bigint")
+         if c in base_cols or any(d["name"] == c for d in derived)
+         else F.lit(0).cast("bigint"))
+        for c in columns])
+    base = firsts.select(F.col(gid), counts.alias("counts"))
+    fields = [F.array(*[F.lit(lb) for lb in labels]).alias("labels"),
+              F.col("counts")]
+    if p.get("include_percentages"):
+        fields.append(_pct_array(F.col("counts")).alias("percentages"))
+    if p.get("create_named_fields") and p.get("field_names"):
+        for i, fname in enumerate(p["field_names"]):
+            fields.append(F.struct(
+                F.element_at("counts", i + 1).alias("value"),
+                F.lit("").alias("units")).alias(fname))
+    return _obj(base, gid, fields)
+
+
+def geospatial_extractor(tagged_df: DataFrame, gid: str, p: dict,
+                         entities: DataFrame) -> DataFrame:
+    """GeoJSON FeatureCollection — bug-for-bug with the reference:
+
+    - group_by_coordinates=true iterates ``row.geometry``, which only
+      resolves when the geometry FIELD is literally named 'geometry'
+      (pandas attribute access); any other field name raises per-row,
+      is swallowed, and yields an EMPTY FeatureCollection
+      (extraction/geospatial_extractor.py:612-686).
+    - otherwise geopandas to_json emits features with id = source row
+      index and all JSON-safe columns as properties."""
+    field = p["field"]
+    group_by_coords = p.get("group_by_coordinates", False)
+    if group_by_coords and field != "geometry":
+        return entities.select(
+            F.col(gid),
+            F.lit('{"type": "FeatureCollection", "features": []}')
+            .alias("__json"))
+    pt = F.regexp_extract(F.col(field), r"POINT \(([-\d.]+) ([-\d.]+)\)", 0)
+    x = F.regexp_extract(F.col(field),
+                         r"POINT \(([-\d.]+) ([-\d.]+)\)", 1).cast("double")
+    y = F.regexp_extract(F.col(field),
+                         r"POINT \(([-\d.]+) ([-\d.]+)\)", 2).cast("double")
+    prop_cols = [c for c in tagged_df.columns
+                 if c not in (gid, field, SRC_ORDER)
+                 and not c.lower().endswith("_geom")
+                 and c.lower() not in ("geometry", "geom")]
+    rows = tagged_df.where(pt != "")
+    feature = F.struct(
+        F.col(SRC_ORDER).cast("string").alias("id") if SRC_ORDER
+        in tagged_df.columns else F.lit("0").alias("id"),
+        F.lit("Feature").alias("type"),
+        F.struct(*[F.col(c) for c in prop_cols]).alias("properties"),
+        F.struct(F.lit("Point").alias("type"),
+                 F.array(x, y).alias("coordinates")).alias("geometry"))
+    order = F.col(SRC_ORDER) if SRC_ORDER in tagged_df.columns \
+        else F.monotonically_increasing_id()
+    agg = (rows.select(F.col(gid), order.alias("__o"), feature.alias("__f"))
+           .groupBy(gid)
+           .agg(F.sort_array(F.collect_list(F.struct(F.col("__o"),
+                                                     F.col("__f"))))
+                .alias("__a")))
+    return _obj(agg, gid, [
+        F.lit("FeatureCollection").alias("type"),
+        F.transform("__a", lambda s: s["__f"]).alias("features"),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# class_object family — consume the raw tagged EAV frame
+# ---------------------------------------------------------------------------
+
+def co_series_extractor(wdf: DataFrame, gid: str, p: dict,
+                        entities: DataFrame) -> DataFrame:
+    """{<size.output>: [...], <value.output>: [...]} — groupby(size,
+    sort=False) preserves SOURCE ORDER unless sort is requested; an
+    entity with no rows gets empty lists, not a missing widget
+    (class_objects/series_extractor.py:120-205)."""
+    size_f = p.get("size_field", {}) or {}
+    value_f = p.get("value_field", {}) or {}
+    out_axis = size_f.get("output", "sizes")
+    out_val = value_f.get("output", "values")
+    sub = wdf.where(F.col(CO) == p["class_object"]) \
+             .where(F.col(CN).isNotNull() & F.col(CV).isNotNull()
+                    & (F.col(CN) != "-1") & (F.col(CV) != -1))
+    axis: Column = F.col(CN).cast("double") if size_f.get("numeric") \
+        else F.col(CN).cast("string")
+    order_col = F.min(SRC_ORDER).alias("__o") if SRC_ORDER in wdf.columns \
+        else F.min(F.lit(0)).alias("__o")
+    grouped = (sub.groupBy(gid, axis.alias("__axis"))
+               .agg(F.sum(CV).alias("__val"), order_col))
+    sort_key = F.col("__axis") if size_f.get("sort") else F.col("__o")
+    arr = F.sort_array(F.collect_list(
+        F.struct(sort_key.alias("__k"), F.col("__axis"), F.col("__val"))))
+    agg = entities.select(F.col(gid)).join(
+        grouped.groupBy(gid).agg(arr.alias("__a")), gid, "left")
+    agg = agg.withColumn(
+        "__a", F.coalesce(F.col("__a"), F.array().cast(
+            agg.schema["__a"].dataType)))
+    axis_out = (lambda x: _int_if_whole(x["__axis"])) \
+        if size_f.get("numeric") else (lambda x: x["__axis"])
+    return _obj(agg, gid, [
+        F.transform("__a", axis_out).alias(out_axis),
+        F.transform("__a", lambda x: x["__val"]).alias(out_val),
+    ])
+
+
+def co_field_aggregator(wdf: DataFrame, gid: str, p: dict,
+                        entities: DataFrame) -> DataFrame:
+    """{target: {value[, units]}} / range {min, max[, units]}; missing
+    class_objects -> null values (class_objects/field_aggregator.py:
+    _get_field_value — float(sum per class_object))."""
+    sums = (wdf.groupBy(gid, CO).agg(F.sum(CV).alias("__v"))
+            .groupBy(gid)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct(F.col(CO), F.col("__v"))))
+                .alias("__m")))
+    base = entities.select(F.col(gid)).join(sums, gid, "left")
+    fields = []
+    for spec in p["fields"]:
+        target = spec["target"]
+        co = spec["class_object"]
+        if isinstance(co, list) or spec.get("format") == "range":
+            lo = F.col("__m")[F.lit(co[0])].cast("double")
+            hi = F.col("__m")[F.lit(co[1])].cast("double")
+            inner = [lo.alias("min"), hi.alias("max")]
+        else:
+            inner = [F.col("__m")[F.lit(co)].cast("double").alias("value")]
+        if spec.get("units"):
+            inner.append(F.lit(spec["units"]).alias("units"))
+        fields.append(F.struct(*inner).alias(target))
+    return _obj(base, gid, fields)
+
+
+def co_categories_extractor(wdf: DataFrame, gid: str, p: dict,
+                            entities: DataFrame) -> DataFrame:
+    """{tops: categories_order, counts} missing -> 0
+    (class_objects/categories_extractor.py:85-90)."""
+    cats = p.get("categories_order") or p.get("categories") or []
+    sub = (wdf.where(F.col(CO) == p["class_object"])
+           .groupBy(gid, CN).agg(F.sum(CV).alias("__v")))
+    m = F.map_from_entries(F.collect_list(
+        F.struct(F.col(CN).cast("string"), F.col("__v"))))
+    agg = entities.select(F.col(gid)).join(
+        sub.groupBy(gid).agg(m.alias("__m")), gid, "left")
+    return _obj(agg, gid, [
+        F.array(*[F.lit(str(c)) for c in cats]).alias("tops"),
+        F.array(*[F.coalesce(F.col("__m")[F.lit(str(c))], F.lit(0.0))
+                  for c in cats]).alias("counts"),
+    ])
+
+
+def co_binary_aggregator(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{group.label: {out_class: raw summed value}} — raw values, NOT
+    re-normalized (class_objects/binary_aggregator.py:60-140)."""
+    fields = []
+    joined = None
+    for gi, grp in enumerate(p["groups"]):
+        mapping = grp.get("class_mapping") or {}
+        classes = grp.get("classes") or sorted(set(mapping.values()))
+        sub = wdf.where(F.col(CO) == grp["field"])
+        if mapping:
+            mcol = F.create_map(*[F.lit(x) for kv in mapping.items()
+                                  for x in kv])
+            sub = sub.withColumn("__out", mcol[F.col(CN)])
+        else:
+            sub = sub.withColumn("__out", F.col(CN))
+        piece = (sub.groupBy(gid, "__out").agg(F.sum(CV).alias("__v"))
+                 .groupBy(gid)
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct(F.col("__out"), F.col("__v"))))
+                     .alias(f"__m{gi}")))
+        joined = piece if joined is None else joined.join(piece, gid, "full")
+        fields.append(F.struct(*[
+            F.coalesce(F.col(f"__m{gi}")[F.lit(c)], F.lit(0.0)).alias(c)
+            for c in classes]).alias(grp["label"]))
+    return _obj(joined, gid, fields)
+
+
+def co_categories_mapper(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
+    """{out_group: {mapped_label: value}}
+    (class_objects/categories_mapper.py:94)."""
+    fields = []
+    joined = None
+    for gi, (out_group, spec) in enumerate(p["categories"].items()):
+        sub = (wdf.where(F.col(CO) == spec["class_object"])
+               .groupBy(gid, CN).agg(F.sum(CV).alias("__v")))
+        m = F.map_from_entries(F.collect_list(
+            F.struct(F.col(CN).cast("string"), F.col("__v"))))
+        piece = sub.groupBy(gid).agg(m.alias(f"__m{gi}"))
+        joined = piece if joined is None else joined.join(piece, gid, "full")
+        mapping = spec.get("mapping") or {}
+        fields.append(F.struct(*[
+            F.col(f"__m{gi}")[F.lit(str(src))].alias(out_label)
+            for out_label, src in mapping.items()]).alias(out_group))
+    return _obj(joined, gid, fields)
+
+
+def co_series_ratio_aggregator(wdf: DataFrame, gid: str,
+                               p: dict) -> DataFrame:
+    """{dist: {classes, subset, complement}} — difference mode emits
+    ABSOLUTE total-subset; ratio mode max(0, 1-subset/total), 1.0 when
+    total==0 (class_objects/series_ratio_aggregator.py:150-225)."""
+    fields = []
+    joined = None
+    for di, (dist_name, dist) in enumerate(p["distributions"].items()):
+        total_co, subset_co = dist["total"], dist["subset"]
+        mode = dist.get("complement_mode")
+        sub = (wdf.where(F.col(CO).isin([total_co, subset_co]))
+               .withColumn("__axis", F.col(CN).cast("double"))
+               .groupBy(gid, "__axis")
+               .agg(F.coalesce(F.sum(F.when(F.col(CO) == total_co,
+                                            F.col(CV))), F.lit(0.0))
+                    .alias("__tot"),
+                    F.coalesce(F.sum(F.when(F.col(CO) == subset_co,
+                                            F.col(CV))), F.lit(0.0))
+                    .alias("__sub")))
+        arr = F.sort_array(F.collect_list(F.struct(
+            F.col("__axis"), F.col("__tot"), F.col("__sub"))))
+        piece = sub.groupBy(gid).agg(arr.alias(f"__a{di}"))
+        joined = piece if joined is None else joined.join(piece, gid, "full")
+        a = F.col(f"__a{di}")
+        classes = F.transform(a, lambda x: _int_if_whole(x["__axis"]))
+        subset = F.transform(a, lambda x: x["__sub"].cast("double"))
+        if mode == "difference":
+            complement = F.transform(
+                a, lambda x: (x["__tot"] - x["__sub"]).cast("double"))
+        else:
+            complement = F.transform(
+                a, lambda x: F.when(
+                    x["__tot"] > 0,
+                    F.greatest(F.lit(0.0),
+                               F.lit(1.0) - x["__sub"] / x["__tot"]))
+                .otherwise(F.lit(1.0)))
+        fields.append(F.struct(classes.alias("classes"),
+                               subset.alias("subset"),
+                               complement.alias("complement"))
+                      .alias(dist_name))
+    return _obj(joined, gid, fields)
+
+
+def co_series_matrix_extractor(wdf: DataFrame, gid: str,
+                               p: dict) -> DataFrame:
+    """{<axis.field>: [...], series: {name: [...]}}; complement
+    = 100 - scaled value (class_objects/series_matrix_extractor.py)."""
+    axis_field = (p.get("axis") or {}).get("field", "class_name")
+    series_cfg = p["series"]
+    cos = sorted({s["class_object"] for s in series_cfg})
+    sub = (wdf.where(F.col(CO).isin(cos))
+           .withColumn("__axis", F.col(CN).cast("double"))
+           .groupBy(gid, "__axis")
+           .agg(*[F.sum(F.when(F.col(CO) == co, F.col(CV)))
+                  .alias(f"__v_{co}") for co in cos]))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("__axis"), *[F.col(f"__v_{co}") for co in cos])))
+    agg = sub.groupBy(gid).agg(arr.alias("__a"))
+    a = F.col("__a")
+    series_structs = []
+    for s in series_cfg:
+        co = s["class_object"]
+        scale = float(s.get("scale", 1.0))
+
+        def val(x, co=co, scale=scale):
+            return F.coalesce(x[f"__v_{co}"], F.lit(0.0)) * scale
+
+        if s.get("complement"):
+            expr = F.transform(a, lambda x: (F.lit(100.0) - val(x))
+                               .cast("double"))
+        else:
+            expr = F.transform(a, lambda x: val(x).cast("double"))
+        series_structs.append(expr.alias(s["name"]))
+    return _obj(agg, gid, [
+        F.transform(a, lambda x: _int_if_whole(x["__axis"]))
+        .alias(axis_field),
+        F.struct(*series_structs).alias("series"),
+    ])
+
+
+def co_series_by_axis_extractor(wdf: DataFrame, gid: str,
+                                p: dict) -> DataFrame:
+    """{<axis.output_field>: [...], <type>: [...] ...}
+    (class_objects/series_by_axis_extractor.py:15-114)."""
+    axis = p.get("axis") or {}
+    out_field = axis.get("output_field", "axis")
+    types = p["types"]
+    cos = sorted(set(types.values()))
+    sub = (wdf.where(F.col(CO).isin(cos))
+           .withColumn("__axis", F.col(CN).cast("double"))
+           .groupBy(gid, "__axis")
+           .agg(*[F.sum(F.when(F.col(CO) == co, F.col(CV)))
+                  .alias(f"__v_{co}") for co in cos]))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("__axis"), *[F.col(f"__v_{co}") for co in cos])))
+    agg = sub.groupBy(gid).agg(arr.alias("__a"))
+    a = F.col("__a")
+    fields = [F.transform(a, lambda x: _int_if_whole(x["__axis"]))
+              .alias(out_field)]
+
+    def _series(co):
+        # NB: F.transform dispatches on lambda arity — a default-arg
+        # closure (lambda x, co=co) would receive the element INDEX as
+        # co, so bind via factory instead
+        return F.transform(a, lambda x: F.coalesce(x[f"__v_{co}"],
+                                                   F.lit(0.0))
+                           .cast("double"))
+
+    for out_name, co in types.items():
+        fields.append(_series(co).alias(out_name))
+    return _obj(agg, gid, fields)

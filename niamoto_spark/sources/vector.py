@@ -531,7 +531,8 @@ def _wkt_to_wkb_simple(wkt: str) -> bytes:
 def import_multi_feature(spark: SparkSession,
                          sources: list[tuple[str, str]],
                          id_field: str = "id",
-                         name_field: str = "name") -> DataFrame:
+                         name_field: str = "name",
+                         name_fields: list[str] | None = None) -> DataFrame:
     """Multiple spatial files -> ONE entity table with the reference's
     2-level type/shape hierarchy + nested sets
     (engine.py:371-520: per source a level-0 'type' row with no geometry,
@@ -549,7 +550,9 @@ def import_multi_feature(spark: SparkSession,
 
     rows: list[dict[str, Any]] = []
     feature_id = 1
-    for source_name, path in sources:
+    for src_idx, (source_name, path) in enumerate(sources):
+        src_name_field = (name_fields[src_idx] if name_fields
+                          else name_field)
         if not os.path.exists(path):
             continue
         feats = read_vector(spark, path).collect()
@@ -567,7 +570,7 @@ def import_multi_feature(spark: SparkSession,
             rows.append({
                 id_field: feature_id,
                 "shape_id": f"{slug}_{idx}",
-                "name": d.get(name_field, f"Feature {feature_id}"),
+                "name": d.get(src_name_field, f"Feature {feature_id}"),
                 "location": d.get("geometry_wkt"),
                 "entity_type": "shape", "shape_type": "shape",
                 "type": source_name, "level": 1, "parent_id": type_id,

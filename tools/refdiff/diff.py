@@ -1,0 +1,166 @@
+"""Diff the reference and Spark pipeline results.
+
+Comparison doctrine: entity ids must align exactly (both engines derive
+hash ids from full_path, hierarchy_builder.py:462-470); numeric leaves
+compare at 2dp (the repo-wide rounding pin, ROUND3_NOTES); lists are
+order-sensitive because the reference's widget arrays are ordered
+payloads (tops/counts, month series, binned counts).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+# Widgets the reference itself cannot produce in this container (or at
+# all, on its own example config) — excluded from the diff with the
+# reason recorded in the report.
+REFERENCE_BLOCKED = {
+    ("taxons", "phenology"):
+        "reference's own custom_formula safe-eval rejects the example's "
+        "dict literal (custom_calculator.py: ast.Dict not whitelisted)",
+    ("shapes", "geography"):
+        "shape_processor needs real geopandas/topojson (not in container)",
+}
+
+
+def _num(x):
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+def compare(a, b, path="", diffs=None, tol=0.005):
+    """Collect leaf-level differences between two JSON-ish values."""
+    if diffs is None:
+        diffs = []
+    if _num(a) and _num(b):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return diffs
+        # 2dp doctrine with a relative escape hatch for big magnitudes
+        if abs(fa - fb) > tol and abs(fa - fb) > 1e-6 * max(abs(fa), abs(fb)):
+            diffs.append((path, a, b))
+        return diffs
+    if isinstance(a, dict) and isinstance(b, dict):
+        for k in sorted(set(a) | set(b)):
+            if k not in a:
+                diffs.append((f"{path}.{k}", "<absent>", b[k]))
+            elif k not in b:
+                diffs.append((f"{path}.{k}", a[k], "<absent>"))
+            else:
+                compare(a[k], b[k], f"{path}.{k}", diffs, tol)
+        return diffs
+    if isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            diffs.append((f"{path}#len", len(a), len(b)))
+            return diffs
+        for i, (x, y) in enumerate(zip(a, b)):
+            compare(x, y, f"{path}[{i}]", diffs, tol)
+        return diffs
+    if a != b:
+        diffs.append((path, a, b))
+    return diffs
+
+
+def diff_results(ref: dict, spark: dict, max_examples: int = 3) -> dict:
+    """Returns {"widgets": {(group, widget): {...}}, "summary": {...}}."""
+    report: dict = {"groups": {}, "blocked": {}, "ok": True}
+    for group in sorted(set(ref) | set(spark)):
+        rg = ref.get(group, {})
+        sg = spark.get(group, {})
+        rids = {str(k) for k in rg}
+        sids = {str(k) for k in sg}
+        gstat: dict = {
+            "ref_entities": len(rids), "spark_entities": len(sids),
+            "id_only_ref": sorted(rids - sids)[:10],
+            "id_only_spark": sorted(sids - rids)[:10],
+            "widgets": {},
+        }
+        if rids != sids:
+            report["ok"] = False
+        widgets = set()
+        for w in rg.values():
+            widgets |= set(w)
+        for w in sg.values():
+            widgets |= set(w)
+        for widget in sorted(widgets):
+            if (group, widget) in REFERENCE_BLOCKED:
+                report["blocked"][f"{group}.{widget}"] = \
+                    REFERENCE_BLOCKED[(group, widget)]
+                continue
+            n_match = n_diff = n_missing = 0
+            examples = []
+            for eid in sorted(rids & sids):
+                rv = _get(rg, eid, widget)
+                sv = _get(sg, eid, widget)
+                if rv is None and sv is None:
+                    continue
+                if rv is None or sv is None:
+                    n_missing += 1
+                    if len(examples) < max_examples:
+                        examples.append(
+                            {"entity": eid,
+                             "issue": ("missing in spark" if sv is None
+                                       else "missing in reference"),
+                             "ref": _trunc(rv), "spark": _trunc(sv)})
+                    continue
+                diffs = compare(rv, sv)
+                if diffs:
+                    n_diff += 1
+                    if len(examples) < max_examples:
+                        examples.append(
+                            {"entity": eid,
+                             "leaf_diffs": [
+                                 {"path": p, "ref": _trunc(x),
+                                  "spark": _trunc(y)}
+                                 for p, x, y in diffs[:5]]})
+                else:
+                    n_match += 1
+            stat = {"match": n_match, "diff": n_diff, "missing": n_missing}
+            if examples:
+                stat["examples"] = examples
+            if n_diff or n_missing:
+                report["ok"] = False
+            gstat["widgets"][widget] = stat
+        report["groups"][group] = gstat
+    return report
+
+
+def _get(gmap: dict, eid: str, widget: str):
+    rec = gmap.get(eid) or gmap.get(int(eid)) if _intlike(eid) else \
+        gmap.get(eid)
+    if rec is None:
+        rec = gmap.get(eid)
+    return (rec or {}).get(widget)
+
+
+def _intlike(s):
+    try:
+        int(s)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _trunc(v, n=200):
+    s = json.dumps(v, ensure_ascii=False, default=str)
+    return s if len(s) <= n else s[:n] + "..."
+
+
+def print_report(report: dict) -> None:
+    for group, gstat in report["groups"].items():
+        print(f"\n== {group}: ref {gstat['ref_entities']} vs spark "
+              f"{gstat['spark_entities']} entities")
+        if gstat["id_only_ref"] or gstat["id_only_spark"]:
+            print("  id mismatch: only-ref", gstat["id_only_ref"],
+                  "only-spark", gstat["id_only_spark"])
+        for widget, stat in gstat["widgets"].items():
+            flag = "OK " if not (stat["diff"] or stat["missing"]) else "DIFF"
+            print(f"  {flag} {widget}: match={stat['match']} "
+                  f"diff={stat['diff']} missing={stat['missing']}")
+            for ex in stat.get("examples", [])[:2]:
+                print(f"       e.g. {json.dumps(ex, ensure_ascii=False)[:300]}")
+    if report["blocked"]:
+        print("\nblocked (excluded, reference-side):")
+        for k, v in report["blocked"].items():
+            print(f"  {k}: {v}")
+    print("\nRESULT:", "CLEAN" if report["ok"] else "DIFFS PRESENT")

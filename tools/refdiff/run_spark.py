@@ -1,0 +1,71 @@
+"""Run THIS engine's Pipeline over the same synthesized project."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import yaml
+
+
+def run_spark_pipeline(spark, proj: dict) -> dict:
+    """import + transform through niamoto_spark.Pipeline; returns
+    {group: {entity_id: {widget: parsed_json}}} like run_ref."""
+    from niamoto_spark.pipeline import Pipeline
+
+    warehouse = os.path.join(proj["root"], "warehouse")
+    p = Pipeline(spark, warehouse)
+    with open(os.path.join(proj["config_dir"], "import.yml")) as fh:
+        import_cfg = yaml.safe_load(fh)
+    p.run_import(import_cfg, base_dir=proj["root"])
+    with open(os.path.join(proj["config_dir"], "transform.yml")) as fh:
+        transform_cfg = yaml.safe_load(fh)
+    results = p.run_transform(transform_cfg, base_dir=proj["root"])
+    for w in p.warnings:
+        print("WARN", w)
+
+    out: dict = {}
+    for group, df in results.items():
+        gid = p.registry.get(group).id_field
+        gmap: dict = {}
+        for row in df.collect():
+            rec = row.asDict()
+            eid = rec.pop(gid)
+            widgets = {}
+            for k, v in rec.items():
+                if v is None:
+                    continue
+                if isinstance(v, str):
+                    try:
+                        v = json.loads(v)
+                    except (ValueError, TypeError):
+                        pass
+                widgets[k] = v
+            gmap[eid] = widgets
+        out[group] = gmap
+    return out
+
+
+def main() -> int:
+    import tempfile
+
+    from niamoto_spark.session import get_spark
+    from tools.refdiff.synth import build_project
+
+    root = os.environ.get("REFDIFF_ROOT") or tempfile.mkdtemp(
+        prefix="refdiff_")
+    proj = build_project(root)
+    spark = get_spark("refdiff")
+    results = run_spark_pipeline(spark, proj)
+    for group, gmap in results.items():
+        n_widgets = sum(len(w) for w in gmap.values())
+        print(f"{group}: {len(gmap)} entities, {n_widgets} widget values")
+    out_path = os.path.join(root, "spark_results.json")
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, ensure_ascii=False, indent=1, default=str)
+    print("wrote", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

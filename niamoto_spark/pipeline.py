@@ -388,12 +388,23 @@ class Pipeline:
                 include_percentages=params.get("include_percentages", False))
         if plugin == "top_ranking":
             name_join = None
+            field = params["field"]
             if params.get("hierarchy_table"):
                 h = self.registry.load(self.spark, params["hierarchy_table"])
                 cols = params.get("hierarchy_columns", {})
-                name_join = (h, cols.get("id", "id"), cols.get("name", "name"))
+                key_col = cols.get("id", "id")
+                # dtype-align the fact key with the hierarchy key before
+                # the string-keyed name join: a CSV float column (ints +
+                # NULLs) must match the hierarchy's bigint ids, like the
+                # reference's numeric-affinity lookup does
+                fact_t = dict(df.dtypes).get(field)
+                key_t = dict(h.dtypes).get(key_col)
+                if fact_t in ("double", "float") and \
+                        key_t in ("bigint", "int", "smallint"):
+                    df = df.withColumn(field, F.col(field).cast("bigint"))
+                name_join = (h, key_col, cols.get("name", "name"))
             return agg_ops.top_ranking(
-                df, [gid], params["field"],
+                df, [gid], field,
                 limit=params.get("count", 10),
                 name_join=name_join)
         if plugin == "geospatial_extractor":

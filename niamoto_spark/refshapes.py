@@ -277,16 +277,23 @@ def geospatial_extractor(tagged_df: DataFrame, gid: str, p: dict,
                          r"POINT \(([-\d.]+) ([-\d.]+)\)", 1).cast("double")
     y = F.regexp_extract(F.col(field),
                          r"POINT \(([-\d.]+) ([-\d.]+)\)", 2).cast("double")
-    prop_cols = [c for c in tagged_df.columns
-                 if c not in (gid, field, SRC_ORDER)
-                 and not c.lower().endswith("_geom")
-                 and c.lower() not in ("geometry", "geom")]
+    # a loader may have shadowed the source's own gid-named column under
+    # __src_<gid> (loaders._clear_gid_collision); the reference sees the
+    # source column under its ORIGINAL name in GeoJSON properties
+    prop_cols = []
+    for c in tagged_df.columns:
+        if c in (gid, field, SRC_ORDER) or c.lower().endswith("_geom") \
+                or c.lower() in ("geometry", "geom"):
+            continue
+        out_name = c[len("__src_"):] if c.startswith("__src_") else c
+        prop_cols.append((c, out_name))
     rows = tagged_df.where(pt != "")
     feature = F.struct(
         F.col(SRC_ORDER).cast("string").alias("id") if SRC_ORDER
         in tagged_df.columns else F.lit("0").alias("id"),
         F.lit("Feature").alias("type"),
-        F.struct(*[F.col(c) for c in prop_cols]).alias("properties"),
+        F.struct(*[F.col(c).alias(o) for c, o in prop_cols])
+        .alias("properties"),
         F.struct(F.lit("Point").alias("type"),
                  F.array(x, y).alias("coordinates")).alias("geometry"))
     order = F.col(SRC_ORDER) if SRC_ORDER in tagged_df.columns \
@@ -370,15 +377,17 @@ def co_field_aggregator(wdf: DataFrame, gid: str, p: dict,
 
 def co_categories_extractor(wdf: DataFrame, gid: str, p: dict,
                             entities: DataFrame) -> DataFrame:
-    """{tops: categories_order, counts} missing -> 0
-    (class_objects/categories_extractor.py:85-90)."""
+    """{tops: categories_order, counts} — categories missing from the
+    data get 0, but an entity with NO rows for the class_object raises
+    reference-side ("No data found"), so it gets no widget at all here
+    either (class_objects/categories_extractor.py:85-130)."""
+    del entities  # reference emits nothing for data-less entities
     cats = p.get("categories_order") or p.get("categories") or []
     sub = (wdf.where(F.col(CO) == p["class_object"])
            .groupBy(gid, CN).agg(F.sum(CV).alias("__v")))
     m = F.map_from_entries(F.collect_list(
         F.struct(F.col(CN).cast("string"), F.col("__v"))))
-    agg = entities.select(F.col(gid)).join(
-        sub.groupBy(gid).agg(m.alias("__m")), gid, "left")
+    agg = sub.groupBy(gid).agg(m.alias("__m"))
     return _obj(agg, gid, [
         F.array(*[F.lit(str(c)) for c in cats]).alias("tops"),
         F.array(*[F.coalesce(F.col("__m")[F.lit(str(c))], F.lit(0.0))

@@ -627,7 +627,12 @@ def _install_geo() -> None:
                  "sklearn.pipeline", "sklearn.preprocessing",
                  "joblib"):
         if name not in sys.modules:
-            sys.modules[name] = _InertModule(name)
+            import importlib.machinery
+            mod = _InertModule(name)
+            # a live __spec__ keeps importlib.util.find_spec (e.g.
+            # pyspark.testing's have_package probe) working
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
 
     if "geopandas" not in sys.modules:
         gpd = types.ModuleType("geopandas")

@@ -117,20 +117,23 @@ def test_transform_reference_dialect(project, spark):
     rows = {r["id_plot"]: r for r in out.collect()}
     assert set(rows) == {1, 2}
 
+    # widget JSONs are the reference engine's persisted shapes
+    # (verified bit-for-bit by tools/ref_pipeline_diff.py)
     s1 = json.loads(rows[1]["dbh_summary"])
     p1 = OCCURRENCES[OCCURRENCES.plot_name == "P1"]["dbh"]
-    assert s1["mean"] == round(p1.mean(), 2) and s1["count"] == 6
+    assert s1["mean"] == round(p1.mean(), 2) and "max_value" in s1
 
     info2 = json.loads(rows[2]["general_info"])
-    assert info2["name"] == "Plot Two" and info2["occurrences_count"] == 6
+    assert info2["name"]["value"] == "Plot Two"
+    assert info2["occurrences_count"]["value"] == 6
 
     tops1 = json.loads(rows[1]["top_families"])
-    assert tops1[0]["item"] in ("Araucariaceae", "Myrtaceae")
-    assert sum(t["value"] for t in tops1) == 6
+    assert tops1["tops"][0] in ("Araucariaceae", "Myrtaceae")
+    assert sum(tops1["counts"]) == 6
 
     bins1 = json.loads(rows[1]["dbh_bins"])
-    assert sum(b["count"] for b in bins1) == 6
-    assert abs(sum(b["pct"] for b in bins1) - 100.0) < 0.1
+    assert sum(bins1["counts"]) == 6
+    assert abs(sum(bins1["percentages"]) - 100.0) < 0.1
 
 
 def test_transform_nested_set_source(project, spark):
@@ -156,7 +159,9 @@ def test_transform_nested_set_source(project, spark):
     rows = {r["id"]: r for r in out.collect() if r["dbh_summary"]}
     # the Araucariaceae family node aggregates its whole subtree (6 occ)
     fam = json.loads(rows[taxons["Araucariaceae"]]["dbh_summary"])
-    assert fam["count"] == 6
+    sub = OCCURRENCES[OCCURRENCES.family == "Araucariaceae"]["dbh"]
+    assert fam["mean"] == round(sub.mean(), 2)
+    assert fam["min"] == sub.min() and fam["max"] == sub.max()
     # NOTE: species names are unique per genus in this fixture, so matching
     # occurrences on rank_value is unambiguous at the species level.
 

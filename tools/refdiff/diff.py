@@ -71,6 +71,31 @@ def compare(a, b, path="", diffs=None, tol=0.005, boundary=None):
     return diffs
 
 
+def canonicalize(v):
+    """Order ties canonically in {tops, counts} payloads.
+
+    The reference's top_ranking uses pandas value_counts, whose order
+    among EQUAL counts is an unstable-sort artifact (quicksort over the
+    hashtable iteration order) — not a semantic contract.  This engine
+    orders ties deterministically (count desc, name asc).  Before
+    comparing, reorder both sides' tied runs by (-count, str(name)) so
+    only the semantic content is diffed."""
+    if isinstance(v, dict):
+        out = {k: canonicalize(x) for k, x in v.items()}
+        tops, counts = out.get("tops"), out.get("counts")
+        if isinstance(tops, list) and isinstance(counts, list) \
+                and len(tops) == len(counts):
+            pairs = sorted(
+                zip(tops, counts),
+                key=lambda tc: (-(tc[1] if _num(tc[1]) else 0), str(tc[0])))
+            out["tops"] = [t for t, _ in pairs]
+            out["counts"] = [c for _, c in pairs]
+        return out
+    if isinstance(v, list):
+        return [canonicalize(x) for x in v]
+    return v
+
+
 def diff_results(ref: dict, spark: dict, max_examples: int = 3) -> dict:
     """Returns {"widgets": {(group, widget): {...}}, "summary": {...}}."""
     report: dict = {"groups": {}, "blocked": {}, "ok": True}
@@ -116,7 +141,8 @@ def diff_results(ref: dict, spark: dict, max_examples: int = 3) -> dict:
                              "ref": _trunc(rv), "spark": _trunc(sv)})
                     continue
                 bnd: list = []
-                diffs = compare(rv, sv, boundary=bnd)
+                diffs = compare(canonicalize(rv), canonicalize(sv),
+                                boundary=bnd)
                 n_boundary_leaves += len(bnd)
                 if diffs:
                     n_diff += 1

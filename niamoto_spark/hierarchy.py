@@ -225,15 +225,26 @@ def add_nested_sets(nodes: DataFrame, id_col: str = "id",
     (default: the id column) so numbering is deterministic.
     """
     order_col = order_col or id_col
-    collected = nodes.select(id_col, parent_col, order_col).collect()
-    # A NULL id can never be referenced as a parent nor joined back to
-    # its bounds row (NULL never equi-joins), so such rows stay out of
-    # the tree and pass through the left join below with NULL lft/rght.
-    collected = [r for r in collected if r[id_col] is not None]
-    ids = {r[id_col] for r in collected}
+    # Surrogate row key: a NULL id can never be REFERENCED as a parent,
+    # but the row itself is still a legal LEAF child of its parent — the
+    # reference's pandas DFS traverses such rows by dataframe index and
+    # gives them bounds (hierarchy_builder.py:595-640; composed-probe
+    # find, round 12).  The surrogate also carries the bounds join back
+    # for those rows, which the id column cannot (NULL never equi-joins).
+    tagged = nodes.withColumn("__ns_row", F.monotonically_increasing_id())
+    collected = tagged.select(id_col, parent_col, order_col,
+                              "__ns_row").collect()
+    ids = {r[id_col] for r in collected if r[id_col] is not None}
+    first_row_of_id: dict = {}
+    for r in collected:
+        if r[id_col] is not None and r[id_col] not in first_row_of_id:
+            first_row_of_id[r[id_col]] = r["__ns_row"]
     children: dict = {}
     order_key = {}
+    node_id_of_row = {}
     for r in collected:
+        rk = r["__ns_row"]
+        node_id_of_row[rk] = r[id_col]
         # A parent id that is NULL, self-referencing (a common root
         # encoding), or absent from the table (subsetted data) makes the
         # node a root — otherwise such subtrees would silently get NULL
@@ -241,47 +252,58 @@ def add_nested_sets(nodes: DataFrame, id_col: str = "id",
         parent = r[parent_col]
         if parent == r[id_col] or parent not in ids:
             parent = None
-        children.setdefault(parent, []).append(r[id_col])
-        order_key[r[id_col]] = r[order_col]
+        children.setdefault(parent, []).append(rk)
+        order_key[rk] = r[order_col]
     for sibs in children.values():
-        # NULL order keys sort LAST (ties broken by id) — a pinned
-        # convention, and one Python's bare tuple compare can't express
-        # (None < int raises)
-        sibs.sort(key=lambda i: (order_key[i] is None,
-                                 0 if order_key[i] is None else order_key[i],
-                                 i))
+        # NULL order keys sort LAST (ties broken by row position) — a
+        # pinned convention, and one Python's bare tuple compare can't
+        # express (None < int raises)
+        sibs.sort(key=lambda k: (order_key[k] is None,
+                                 0 if order_key[k] is None else order_key[k],
+                                 k))
 
-    # Iterative DFS: recursion would hit Python's stack limit on
-    # path-shaped trees (~1000 deep).
+    # Iterative DFS over row keys: recursion would hit Python's stack
+    # limit on path-shaped trees (~1000 deep).  A row's children are
+    # looked up by its ID (NULL-id rows therefore never have children).
+    def kids(row_key):
+        nid = node_id_of_row[row_key]
+        if nid is None or first_row_of_id.get(nid) != row_key:
+            return ()
+        return children.get(nid, ())
+
     bounds: dict = {}
     counter = 1
     for root in children.get(None, ()):
-        stack = [(root, iter(children.get(root, ())))]
+        stack = [(root, iter(kids(root)))]
         lfts = {root: counter}
         counter += 1
         while stack:
-            node_id, it = stack[-1]
+            row_key, it = stack[-1]
             ch = next(it, None)
             if ch is None:
                 stack.pop()
-                bounds[node_id] = (lfts[node_id], counter)
+                bounds[row_key] = (lfts[row_key], counter)
                 counter += 1
             else:
                 lfts[ch] = counter
                 counter += 1
-                stack.append((ch, iter(children.get(ch, ()))))
-    if len(bounds) != len(ids):
-        missing = sorted(ids - bounds.keys())[:5]
+                stack.append((ch, iter(kids(ch))))
+    if len(bounds) != len(collected):
+        missing = sorted(
+            node_id_of_row[k] for k in
+            set(node_id_of_row) - bounds.keys()
+            if node_id_of_row[k] is not None)[:5]
         raise ValueError(
-            f"add_nested_sets: {len(ids) - len(bounds)} nodes are "
+            f"add_nested_sets: {len(collected) - len(bounds)} nodes are "
             f"unreachable from any root (parent cycle), e.g. {missing}")
 
     spark = nodes.sparkSession
     bounds_df = spark.createDataFrame(
         [(k, v[0], v[1]) for k, v in bounds.items()],
-        f"{id_col} bigint, lft int, rght int",
+        "__ns_row bigint, lft int, rght int",
     )
-    return nodes.join(F.broadcast(bounds_df), id_col, "left")
+    return tagged.join(F.broadcast(bounds_df), "__ns_row", "left") \
+                 .drop("__ns_row")
 
 
 def descendants(nodes_with_sets: DataFrame, ancestor_id,

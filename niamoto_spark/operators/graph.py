@@ -307,30 +307,40 @@ def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
     n_seeds = s.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed is in the graph")
-    teleport = 1.0 / n_seeds
+    # Rank mass rides as integer PICO-UNITS (1e12) so every inflow
+    # aggregate is an exact bigint sum — order-INDEPENDENT, unlike a
+    # double sum whose last ulp depends on partition order (composed
+    # probe r12: a 6dp-boundary rank value flipped between engines).
+    # The only float ops left are per-term div/mul on identical inputs,
+    # which IEEE-754 makes deterministic on both engines.
+    pu = 1_000_000_000_000
+    teleport_pu = round(pu / n_seeds)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    is_seed = s.withColumn("__t", F.lit(teleport))
+    is_seed = s.withColumn("__t", F.lit(teleport_pu).cast("bigint"))
     ranks = (nodes.join(is_seed, "node_id", "left")
              .select("node_id",
-                     F.coalesce("__t", F.lit(0.0)).alias("rank")))
+                     F.coalesce("__t", F.lit(0)).cast("bigint")
+                     .alias("rank_pu")))
     for _ in range(iters):
         contrib = (edges
                    .join(ranks, edges["src"] == ranks["node_id"])
                    .join(outdeg, "src")
-                   .select("dst", (F.col("rank") / F.col("deg"))
-                           .alias("c")))
+                   .select("dst",
+                           F.round(F.col("rank_pu") / F.col("deg"))
+                           .cast("bigint").alias("c")))
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
         ranks = (nodes
                  .join(inflow, nodes["node_id"] == inflow["dst"], "left")
                  .join(is_seed, "node_id", "left")
                  .select("node_id",
-                         ((1.0 - damping)
-                          * F.coalesce("__t", F.lit(0.0))
-                          + damping * F.coalesce("inflow", F.lit(0.0)))
-                         .alias("rank"))
+                         F.round((1.0 - damping)
+                                 * F.coalesce("__t", F.lit(0))
+                                 + damping * F.coalesce("inflow", F.lit(0)))
+                         .cast("bigint").alias("rank_pu"))
                  .localCheckpoint(eager=True))
     return ranks.select("node_id",
-                        F.round("rank", round_dp).alias("rank"))
+                        F.round(F.col("rank_pu") / F.lit(float(pu)),
+                                round_dp).alias("rank"))
 
 
 @register("adamic_adar", PluginType.TRANSFORMER)

@@ -6143,7 +6143,12 @@ def q157_ewma_smoothing(spark, sf_dir):
     replays the identical term sum (generated below)."""
     from niamoto_spark.operators.timeseries import ewma
 
-    ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    # doctrine #7 (ROUND11_NOTES): the lag chain needs a TOTAL per-user
+    # order — rows with a NULL order key are excluded on both engines
+    # (composed-probe find: a NULL event_id block sorts arbitrarily and
+    # the lag terms diverge cross-engine)
+    ev = (_events(spark, sf_dir).where(F.col("user_id") < 50)
+          .where(F.col("event_id").isNotNull()))
     sm = ewma(ev, "user_id", "event_id", "value",
               alpha=0.3, lookback=40)
     return sm.select("event_id", "user_id",
@@ -6169,8 +6174,8 @@ SELECT event_id, user_id, round(value, 2) AS value,
        CASE WHEN ({den}) > 0
             THEN round(({num}) / ({den}), 4) END AS ewma
 FROM events
-WHERE user_id < 50
-WINDOW w AS (PARTITION BY user_id ORDER BY event_id NULLS FIRST)
+WHERE user_id < 50 AND event_id IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 """
 
 
@@ -8808,7 +8813,25 @@ def q220_stream_outer_join(spark, sf_dir):
     # and flush #2's batch performs the final eviction that emits the
     # last unmatched purchases.  mtimes are bumped so the file source
     # schedules them after the data and in order.
-    flush_us = 1_767_225_600_000_000  # 2026-01-01 UTC, microseconds
+    # Replay-horizon lateness (composed-probe find): with multi-file
+    # sources whose files are NOT time-ordered (shuffled rows split
+    # across parts), the first batch can advance the watermark past
+    # later files' rows and silently drop them.  A bounded REPLAY gets
+    # exact stream==batch parity by allowing lateness across the whole
+    # historical span; live deployments keep the configured lateness.
+    # The flush rows sit one horizon past the real maximum so their
+    # batch still advances the watermark beyond every join window.
+    stats = (spark.read.parquet(src)
+             .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+             .collect()[0])
+    if isinstance(stats["hi"], (int, float)):
+        span_us = int(stats["hi"] - stats["lo"])
+        max_us = int(stats["hi"])
+    else:  # timestamp-typed source
+        span_us = int((stats["hi"] - stats["lo"]).total_seconds() * 1e6)
+        max_us = int(stats["hi"].timestamp() * 1e6)
+    horizon_s = span_us // 1_000_000 + 7200
+    flush_us = max_us + (horizon_s + 7200) * 1_000_000
     schema = spark.read.parquet(src).schema
     for i in (1, 2):
         tmp = os.path.join(stream_dir, f".mk_flush{i}")
@@ -8850,7 +8873,8 @@ def q220_stream_outer_join(spark, sf_dir):
                       F.col("value").alias("click_value")))
     joined = stream_left_outer_join(
         purchases, clicks, on="user_id",
-        left_ts="p_ts", right_ts="c_ts", span_s=1800)
+        left_ts="p_ts", right_ts="c_ts", span_s=1800,
+        watermark=f"{horizon_s} seconds")
     qname = "q220_soj_pairs"
     for (q_,) in [(q_,) for q_ in spark.streams.active
                   if q_.name == qname]:
@@ -10058,33 +10082,50 @@ nodes AS (SELECT DISTINCT src AS node_id FROM edges),
 s AS (SELECT node_id FROM nodes WHERE node_id < 20),
 ns AS (SELECT count(*) AS n FROM s),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+-- rank mass rides as integer PICO-UNITS so each inflow sum is exact
+-- bigint arithmetic (order-independent — same recipe as the engine,
+-- operators/graph.py:personalized_pagerank); damping terms use the
+-- literal (1.0 - 0.85) so both engines evaluate the identical double
 r0 AS (SELECT n.node_id,
               CASE WHEN s.node_id IS NOT NULL
-                   THEN 1.0 / ns.n ELSE 0.0 END AS rank
+                   THEN CAST(round(1000000000000.0 / ns.n) AS BIGINT)
+                   ELSE 0 END AS rank_pu
        FROM nodes n LEFT JOIN s ON n.node_id = s.node_id
        CROSS JOIN ns),
-i1 AS (SELECT e.dst, sum(r.rank / d.deg) AS inflow
+i1 AS (SELECT e.dst,
+              sum(CAST(round(CAST(r.rank_pu AS DOUBLE) / d.deg) AS BIGINT))
+                AS inflow
        FROM edges e JOIN r0 r ON e.src = r.node_id
                     JOIN deg d ON e.src = d.src
        GROUP BY 1),
 r1 AS (SELECT n.node_id,
-              0.15 * (CASE WHEN s.node_id IS NOT NULL
-                           THEN 1.0 / ns.n ELSE 0.0 END)
-              + 0.85 * coalesce(i1.inflow, 0.0) AS rank
+              CAST(round((1.0 - 0.85)
+                         * (CASE WHEN s.node_id IS NOT NULL
+                            THEN CAST(round(1000000000000.0 / ns.n)
+                                      AS BIGINT) ELSE 0 END)
+                         + 0.85 * coalesce(i1.inflow, 0)) AS BIGINT)
+                AS rank_pu
        FROM nodes n LEFT JOIN s ON n.node_id = s.node_id
        LEFT JOIN i1 ON n.node_id = i1.dst CROSS JOIN ns),
-i2 AS (SELECT e.dst, sum(r.rank / d.deg) AS inflow
+i2 AS (SELECT e.dst,
+              sum(CAST(round(CAST(r.rank_pu AS DOUBLE) / d.deg) AS BIGINT))
+                AS inflow
        FROM edges e JOIN r1 r ON e.src = r.node_id
                     JOIN deg d ON e.src = d.src
        GROUP BY 1),
 r2 AS (SELECT n.node_id,
-              0.15 * (CASE WHEN s.node_id IS NOT NULL
-                           THEN 1.0 / ns.n ELSE 0.0 END)
-              + 0.85 * coalesce(i2.inflow, 0.0) AS rank
+              CAST(round((1.0 - 0.85)
+                         * (CASE WHEN s.node_id IS NOT NULL
+                            THEN CAST(round(1000000000000.0 / ns.n)
+                                      AS BIGINT) ELSE 0 END)
+                         + 0.85 * coalesce(i2.inflow, 0)) AS BIGINT)
+                AS rank_pu
        FROM nodes n LEFT JOIN s ON n.node_id = s.node_id
        LEFT JOIN i2 ON n.node_id = i2.dst CROSS JOIN ns)
-SELECT node_id, round(rank, 6) AS rank FROM r2
-WHERE round(rank, 6) > 0
+SELECT node_id,
+       round(CAST(rank_pu AS DOUBLE) / 1000000000000.0, 6) AS rank
+FROM r2
+WHERE round(CAST(rank_pu AS DOUBLE) / 1000000000000.0, 6) > 0
 """
 
 

@@ -50,37 +50,50 @@ def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
+    # Rank mass rides as integer PICO-UNITS (1e12): inflow sums and the
+    # dangling-mass scalar become exact bigint arithmetic, so results
+    # are independent of partition/sum order (see
+    # personalized_pagerank; composed-probe find, round 12).
+    pu = 1_000_000_000_000
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.withColumn(
+        # int(x + 0.5) = HALF_UP like both engines' SQL round();
+        # Python round() would be banker's
+        "rank_pu", F.lit(int(pu / n + 0.5)).cast("bigint"))
 
     for _ in range(iters):
         contrib = (edges
                    .join(ranks, edges["src"] == ranks["node_id"])
                    .join(outdeg, "src")
-                   .select("dst", (F.col("rank") / F.col("deg"))
-                           .alias("c")))
+                   .select("dst",
+                           F.round(F.col("rank_pu") / F.col("deg"))
+                           .cast("bigint").alias("c")))
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
         if directed:
             # dangling mass: rank held by nodes with no out-edges
-            dangling = (ranks.join(outdeg,
-                                   ranks["node_id"] == outdeg["src"],
-                                   "left_anti")
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                        .collect()[0][0])  # one scalar per iteration
+            dangling_pu = (ranks.join(outdeg,
+                                      ranks["node_id"] == outdeg["src"],
+                                      "left_anti")
+                           .agg(F.coalesce(F.sum("rank_pu"), F.lit(0)))
+                           .collect()[0][0])  # one scalar per iteration
         else:
-            dangling = 0.0  # every undirected node has an out-edge
-        base = (1.0 - damping) / n + damping * dangling / n
+            dangling_pu = 0  # every undirected node has an out-edge
+        base = (1.0 - damping) * (pu / n) + damping * (dangling_pu / n)
         ranks = (nodes.join(inflow, nodes["node_id"] == inflow["dst"],
                             "left")
                  .select("node_id",
-                         (F.lit(base) + F.lit(damping) *
-                          F.coalesce("inflow", F.lit(0.0))).alias("rank")))
+                         F.round(F.lit(base) + F.lit(damping) *
+                                 F.coalesce("inflow", F.lit(0)))
+                         .cast("bigint").alias("rank_pu")))
         ranks = ranks.localCheckpoint(eager=True)
 
+    out = ranks.select(
+        "node_id",
+        (F.col("rank_pu") / F.lit(float(pu))).alias("rank"))
     if round_dp is not None:
-        ranks = ranks.select("node_id", F.round("rank", round_dp)
-                             .alias("rank"))
-    return ranks
+        out = out.select("node_id", F.round("rank", round_dp)
+                         .alias("rank"))
+    return out
 
 
 @register("triangle_count", PluginType.TRANSFORMER)
@@ -314,7 +327,8 @@ def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
     # The only float ops left are per-term div/mul on identical inputs,
     # which IEEE-754 makes deterministic on both engines.
     pu = 1_000_000_000_000
-    teleport_pu = round(pu / n_seeds)
+    # HALF_UP like both engines' SQL round(), not banker's
+    teleport_pu = int(pu / n_seeds + 0.5)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     is_seed = s.withColumn("__t", F.lit(teleport_pu).cast("bigint"))
     ranks = (nodes.join(is_seed, "node_id", "left")

@@ -3818,29 +3818,47 @@ edges AS (SELECT id_a AS src, id_b AS dst FROM p
 nodes AS (SELECT DISTINCT src AS node_id FROM edges),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-r0 AS (SELECT node_id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
-i1 AS (SELECT e.dst AS node_id, sum(r.rank / d.deg) AS inflow
+-- integer pico-unit rank mass: exact bigint inflow sums, same recipe
+-- as the engine (operators/graph.py:pagerank, composed-probe r12)
+r0 AS (SELECT node_id,
+              CAST(round(1000000000000.0 / n) AS BIGINT) AS rank_pu
+       FROM nodes CROSS JOIN nn),
+i1 AS (SELECT e.dst AS node_id,
+              sum(CAST(round(CAST(r.rank_pu AS DOUBLE) / d.deg) AS BIGINT))
+                AS inflow
        FROM edges e JOIN r0 r ON e.src = r.node_id
        JOIN deg d ON e.src = d.src GROUP BY 1),
 r1 AS (SELECT nodes.node_id,
-              (1 - 0.85) / n + 0.85 * coalesce(i1.inflow, 0) AS rank
+              CAST(round((1.0 - 0.85) * (1000000000000.0 / n)
+                         + 0.85 * coalesce(i1.inflow, 0)) AS BIGINT)
+                AS rank_pu
        FROM nodes CROSS JOIN nn
        LEFT JOIN i1 ON nodes.node_id = i1.node_id),
-i2 AS (SELECT e.dst AS node_id, sum(r.rank / d.deg) AS inflow
+i2 AS (SELECT e.dst AS node_id,
+              sum(CAST(round(CAST(r.rank_pu AS DOUBLE) / d.deg) AS BIGINT))
+                AS inflow
        FROM edges e JOIN r1 r ON e.src = r.node_id
        JOIN deg d ON e.src = d.src GROUP BY 1),
 r2 AS (SELECT nodes.node_id,
-              (1 - 0.85) / n + 0.85 * coalesce(i2.inflow, 0) AS rank
+              CAST(round((1.0 - 0.85) * (1000000000000.0 / n)
+                         + 0.85 * coalesce(i2.inflow, 0)) AS BIGINT)
+                AS rank_pu
        FROM nodes CROSS JOIN nn
        LEFT JOIN i2 ON nodes.node_id = i2.node_id),
-i3 AS (SELECT e.dst AS node_id, sum(r.rank / d.deg) AS inflow
+i3 AS (SELECT e.dst AS node_id,
+              sum(CAST(round(CAST(r.rank_pu AS DOUBLE) / d.deg) AS BIGINT))
+                AS inflow
        FROM edges e JOIN r2 r ON e.src = r.node_id
        JOIN deg d ON e.src = d.src GROUP BY 1),
 r3 AS (SELECT nodes.node_id,
-              (1 - 0.85) / n + 0.85 * coalesce(i3.inflow, 0) AS rank
+              CAST(round((1.0 - 0.85) * (1000000000000.0 / n)
+                         + 0.85 * coalesce(i3.inflow, 0)) AS BIGINT)
+                AS rank_pu
        FROM nodes CROSS JOIN nn
        LEFT JOIN i3 ON nodes.node_id = i3.node_id)
-SELECT node_id, round(rank, 6) AS rank FROM r3
+SELECT node_id,
+       round(CAST(rank_pu AS DOUBLE) / 1000000000000.0, 6) AS rank
+FROM r3
 """
 
 

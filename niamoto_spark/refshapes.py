@@ -323,15 +323,21 @@ def co_series_extractor(wdf: DataFrame, gid: str, p: dict,
     value_f = p.get("value_field", {}) or {}
     out_axis = size_f.get("output", "sizes")
     out_val = value_f.get("output", "values")
+    # reference row filter: size fillna(-1) then size != -1 (NULL or
+    # literal -1 size drops the row); value NULL rows are KEPT — the
+    # pandas NaN-skipping sum makes an all-NULL group 0.0, so the
+    # aggregate below coalesces instead of dropping
     sub = wdf.where(F.col(CO) == p["class_object"]) \
-             .where(F.col(CN).isNotNull() & F.col(CV).isNotNull()
-                    & (F.col(CN) != "-1") & (F.col(CV) != -1))
+             .where(F.col(CN).isNotNull() & (F.col(CN) != "-1")
+                    & (F.col(CV).isNull() | (F.col(CV) != -1)))
     axis: Column = F.col(CN).cast("double") if size_f.get("numeric") \
         else F.col(CN).cast("string")
     order_col = F.min(SRC_ORDER).alias("__o") if SRC_ORDER in wdf.columns \
         else F.min(F.lit(0)).alias("__o")
+    zero = F.lit(0).cast(dict(wdf.dtypes).get(CV, "double"))
     grouped = (sub.groupBy(gid, axis.alias("__axis"))
-               .agg(F.sum(CV).alias("__val"), order_col))
+               .agg(F.coalesce(F.sum(CV), zero).alias("__val"),
+                    order_col))
     sort_key = F.col("__axis") if size_f.get("sort") else F.col("__o")
     arr = F.sort_array(F.collect_list(
         F.struct(sort_key.alias("__k"), F.col("__axis"), F.col("__val"))))

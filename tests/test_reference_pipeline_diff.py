@@ -34,6 +34,9 @@ def test_reference_pipeline_differential(spark, tmp_path):
     ref = run_reference_transform(proj)
     sp = run_spark_pipeline(spark, proj)
 
+    from tools.refdiff.tablediff import diff_taxonomy_tables
+    assert diff_taxonomy_tables(spark, proj) == []
+
     report = diff_results(ref, sp)
     problems = []
     for group, gstat in report["groups"].items():

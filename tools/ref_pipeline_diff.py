@@ -54,7 +54,19 @@ def main() -> int:
         json.dump(sp, fh, ensure_ascii=False, default=str)
     print("spark transform done:", {g: len(m) for g, m in sp.items()})
 
+    from tools.refdiff.tablediff import diff_taxonomy_tables
+    tax_problems = diff_taxonomy_tables(spark, proj)
+    if tax_problems:
+        print("TAXONOMY TABLE DIFFS:")
+        for p in tax_problems[:20]:
+            print("  ", p)
+    else:
+        print("taxonomy table: identical node-for-node")
+
     report = diff_results(ref, sp)
+    report["taxonomy_table_diffs"] = tax_problems
+    if tax_problems:
+        report["ok"] = False
     with open(os.path.join(root, "diff_report.json"), "w") as fh:
         json.dump({"groups": report["groups"],
                    "blocked": report["blocked"], "ok": report["ok"]},

@@ -199,6 +199,171 @@ def _parse_widget_strings(doc: dict) -> dict:
     return doc
 
 
+def _flatten_item(doc: dict, id_col: str) -> dict:
+    """Reference item model (json_api_exporter.py:830-860): the id
+    column first, then every widget column parsed, and each DICT
+    widget's contents ALSO merged at top level in column order (later
+    widgets overwrite shared keys — the backward-compat flatten)."""
+    item: dict[str, Any] = {}
+    for k, v in doc.items():
+        if v is None:
+            continue
+        if isinstance(v, str) and v[:1] in "{[":
+            try:
+                v = json.loads(v)
+            except (ValueError, TypeError):
+                pass
+        item[k] = v
+        if isinstance(v, dict):
+            item.update(v)
+    return item
+
+
+def _ref_map_fields(item: Mapping[str, Any], specs, *, group: str,
+                    pattern: str, base_id: Any) -> dict[str, Any]:
+    """Reference index/detail field DSL incl. the endpoint_url generator
+    (DataMapper._map_fields :1072-1118, _generate_endpoint_url)."""
+    out: dict[str, Any] = {}
+    for spec in specs:
+        if isinstance(spec, str):
+            if ":" in spec:
+                name, src = (s.strip() for s in spec.split(":", 1))
+                out[name] = _nested_get(item, src)
+            else:
+                out[spec] = _nested_get(item, spec)
+        elif isinstance(spec, Mapping):
+            for name, cfg in spec.items():
+                if isinstance(cfg, str):
+                    out[name] = _nested_get(item, cfg)
+                elif isinstance(cfg, Mapping) and \
+                        cfg.get("generator") == "endpoint_url":
+                    base = (cfg.get("params") or {}).get("base_path", "/api")
+                    out[name] = (f"{base}/"
+                                 + pattern.format(group=group, id=base_id))
+                elif isinstance(cfg, Mapping) and "source" in cfg:
+                    src = _nested_get(item, cfg["source"])
+                    if isinstance(src, Mapping) and "fields" in cfg:
+                        out[name] = {f: src.get(f) for f in cfg["fields"]
+                                     if f in src}
+                    else:
+                        out[name] = src
+    return out
+
+
+def export_json_api_target(results: DataFrame, group_name: str,
+                           out_dir: str, params: Mapping[str, Any],
+                           group_cfg: Mapping[str, Any]) -> dict:
+    """One group of a reference export.yml ``json_api_exporter`` target.
+
+    Writes ``detail_output_pattern``-named files per entity (pass_through
+    or mapped) and one ``index_output_pattern`` index, matching the
+    reference plugin's persisted output byte-for-byte up to JSON key
+    semantics (json_api_exporter.py:305-755):
+
+    - items are the group table row with dict widgets FLATTENED in
+      column order,
+    - the item id resolves from ``{group}_id`` then ``id``,
+    - the index maps fields through the DSL, auto-adding ``detail_url``
+      (= endpoint path) when not mapped,
+    - json_options merge global <- per-group.
+    """
+    detail_pattern = params.get("detail_output_pattern",
+                                "{group}/{id}.json")
+    index_pattern = params.get("index_output_pattern", "all_{group}.json")
+    struct = dict(params.get("index_structure") or {})
+    opts_dict = dict(params.get("json_options") or {})
+    opts_dict.update(dict(group_cfg.get("json_options") or {}))
+    opts_dict = {k: v for k, v in opts_dict.items()
+                 if k in JsonOptions.__dataclass_fields__}
+    opts = JsonOptions(**opts_dict)
+
+    id_keys = [f"{group_name}_id", "id"]
+    detail_cfg = group_cfg.get("detail") or {}
+    index_cfg = group_cfg.get("index") or {}
+    os.makedirs(out_dir, exist_ok=True)
+
+    id_col = next((c for c in id_keys if c in results.columns),
+                  results.columns[0])
+    payload = results.select(
+        F.col(id_col).alias("__id"),
+        F.to_json(F.struct(*results.columns),
+                  {"ignoreNullFields": "false"}).alias("__doc"))
+
+    def emit(doc: dict):
+        item = _flatten_item(doc, id_col)
+        item_id = next((item[k] for k in id_keys if item.get(k) is not None),
+                       None)
+        if item_id is None:
+            return None, None, None
+        if detail_cfg.get("fields") and not detail_cfg.get("pass_through",
+                                                           False):
+            detail = _ref_map_fields(item, detail_cfg["fields"],
+                                     group=group_name,
+                                     pattern=detail_pattern,
+                                     base_id=item_id)
+        else:
+            detail = item
+        rel = detail_pattern.format(group=group_name,
+                                    id=safe_filename(item_id))
+        return item, rel, detail
+
+    # detail files from the executors (local/shared-fs mode), else via
+    # the driver — same policy as export_json_api above
+    master = results.sparkSession.conf.get("spark.master", "")
+    distributed_fs_ok = master.startswith("local")
+
+    def write_partition(rows):
+        for r in rows:
+            res = emit(json.loads(r["__doc"]))
+            if res[0] is None:
+                continue
+            _, rel, detail = res
+            path = os.path.join(out_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            _dump(path, detail, opts)
+
+    if distributed_fs_ok:
+        payload.foreachPartition(write_partition)
+    else:
+        write_partition(payload.toLocalIterator())
+
+    # index: entity-id order (the reference iterates _get_group_ids'
+    # sorted ids); only the narrow mapped entries accumulate
+    entries = []
+    n_items = 0
+    for r in payload.orderBy("__id").toLocalIterator():
+        res = emit(json.loads(r["__doc"]))
+        if res[0] is None:
+            continue
+        item, rel, _ = res
+        n_items += 1
+        item_id = next((item[k] for k in id_keys
+                        if item.get(k) is not None), None)
+        if index_cfg.get("fields"):
+            mapped = _ref_map_fields(item, index_cfg["fields"],
+                                     group=group_name,
+                                     pattern=detail_pattern,
+                                     base_id=item_id)
+        else:
+            mapped = dict(item)
+        if "detail_url" not in mapped:
+            base = "/api"
+            mapped["detail_url"] = (
+                f"{base}/" + detail_pattern.format(group=group_name,
+                                                   id=item_id))
+        entries.append(mapped)
+
+    list_key = str(struct.get("list_key", "{group}")).format(
+        group=group_name)
+    index_doc: dict[str, Any] = {list_key: entries}
+    if struct.get("include_total", True):
+        index_doc[str(struct.get("total_key", "total"))] = len(entries)
+    _dump(os.path.join(out_dir, index_pattern.format(group=group_name)),
+          index_doc, opts)
+    return {"group": group_name, "entities": n_items,
+            "files": n_items + 1}
+
+
 @register("json_api_exporter", PluginType.EXPORTER)
 @register("index_generator", PluginType.EXPORTER)
 def export_json_api(results: DataFrame, id_col: str, out_dir: str,

@@ -537,6 +537,63 @@ class Pipeline:
     # export phase
     # ------------------------------------------------------------------
 
+    def _run_export_reference(self, cfg: dict, out_dir: str) -> dict:
+        """The reference's export.yml dialect: ``exports: [targets]``.
+
+        Supported target exporters: json_api_exporter (detail + index
+        files per group, exporters/json_api.py:export_json_api_target).
+        html_page_exporter / dwc targets are skipped with a recorded
+        reason (they need the reference project's template tree /
+        per-occurrence transformers configured for that project)."""
+        from niamoto_spark.exporters.json_api import export_json_api_target
+
+        manifests: dict[str, Any] = {}
+        for target in cfg.get("exports", []):
+            name = target.get("name", "?")
+            if not target.get("enabled", True):
+                manifests[name] = {"status": "skipped", "reason": "disabled"}
+                continue
+            if target.get("exporter") != "json_api_exporter" or \
+                    target.get("params", {}).get("transformer_plugin"):
+                manifests[name] = {"status": "skipped",
+                                   "reason": f"exporter "
+                                   f"{target.get('exporter')!r} not run "
+                                   "in this dialect"}
+                continue
+            params = target.get("params", {})
+            target_out = params.get("output_dir", "exports/api")
+            if not os.path.isabs(target_out):
+                target_out = os.path.join(out_dir, target_out)
+            groups = []
+            skipped = False
+            for g in target.get("groups", []):
+                if g.get("transformer_plugin"):
+                    manifests[name] = {
+                        "status": "skipped",
+                        "reason": "per-item transformer_plugin groups "
+                        "not run in this dialect"}
+                    skipped = True
+                    break
+                groups.append(g)
+            if skipped:
+                continue
+            results = []
+            for g in groups:
+                group = g["group_by"]
+                path = os.path.join(self.warehouse,
+                                    f"{group}_results.parquet")
+                if not os.path.exists(path):
+                    continue
+                df = self.spark.read.parquet(path)
+                gid = self.registry.get(group).id_field \
+                    if group in self.registry.names() else df.columns[0]
+                # the reference group table's id column is {group}_id
+                df = df.withColumnRenamed(gid, f"{group}_id")
+                results.append(export_json_api_target(
+                    df, group, target_out, params, g))
+            manifests[name] = {"status": "success", "groups": results}
+        return manifests
+
     def run_export(self, cfg: dict, out_dir: str) -> dict[str, dict]:
         """export.yml dialect: {targets: [{name, exporter, group, params,
         deploy}]}.  Exporters: json_api (default), html, dwc_archive.
@@ -548,6 +605,9 @@ class Pipeline:
         from niamoto_spark.exporters.dwc_archive import export_dwc_archive
         from niamoto_spark.exporters.html_site import export_html_site
         from niamoto_spark.exporters.json_api import export_json_api
+
+        if "exports" in cfg:          # the reference's export.yml dialect
+            return self._run_export_reference(cfg, out_dir)
 
         manifests = {}
         for target in cfg.get("targets", []):

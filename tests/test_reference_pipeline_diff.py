@@ -37,6 +37,15 @@ def test_reference_pipeline_differential(spark, tmp_path):
     from tools.refdiff.tablediff import diff_taxonomy_tables
     assert diff_taxonomy_tables(spark, proj) == []
 
+    # export phase: reference ExporterService json_api target vs our
+    # reference-dialect export — identical file trees
+    from tools.refdiff.run_ref import run_reference_export
+    from tools.refdiff.run_spark import run_spark_export
+    from tools.refdiff.tablediff import diff_export_trees
+    ref_api = run_reference_export(proj)
+    spark_api = run_spark_export(spark, proj)
+    assert diff_export_trees(ref_api, spark_api) == []
+
     report = diff_results(ref, sp)
     problems = []
     for group, gstat in report["groups"].items():

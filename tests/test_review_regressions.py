@@ -96,7 +96,7 @@ def test_incremental_only_ids_keeps_full_hierarchy(spark, tmp_path):
     pipe.run_transform(cfg, mode="incremental", only_ids=[fam_id])
     tbl = spark.read.parquet(str(base / "wh" / "taxons_results.parquet"))
     fam = json.loads([r["s"] for r in tbl.collect() if r["id"] == fam_id][0])
-    assert fam["count"] == 2              # both species' occurrences seen
+    assert fam["mean"] == 20.0            # both species' occurrences seen
 
 
 def test_overwrite_restores_backup_when_path_missing(tmp_path, spark):

@@ -54,6 +54,25 @@ def main() -> int:
         json.dump(sp, fh, ensure_ascii=False, default=str)
     print("spark transform done:", {g: len(m) for g, m in sp.items()})
 
+    # export phase: the reference ExporterService's json_api target vs
+    # our reference-dialect export over the same transform results
+    from tools.refdiff.run_ref import run_reference_export
+    from tools.refdiff.run_spark import run_spark_export
+    from tools.refdiff.tablediff import diff_export_trees
+    ref_api = run_reference_export(proj)
+    spark_api = run_spark_export(spark, proj)
+    export_problems = diff_export_trees(ref_api, spark_api)
+    if export_problems:
+        print(f"EXPORT TREE DIFFS ({len(export_problems)}):")
+        for p in export_problems[:20]:
+            print("  ", p)
+    else:
+        import subprocess
+        n = subprocess.run(
+            ["bash", "-c", f"find {ref_api} -name '*.json' | wc -l"],
+            capture_output=True, text=True).stdout.strip()
+        print(f"export tree: identical ({n} JSON files)")
+
     from tools.refdiff.tablediff import diff_taxonomy_tables
     tax_problems = diff_taxonomy_tables(spark, proj)
     if tax_problems:
@@ -65,7 +84,8 @@ def main() -> int:
 
     report = diff_results(ref, sp)
     report["taxonomy_table_diffs"] = tax_problems
-    if tax_problems:
+    report["export_tree_diffs"] = export_problems
+    if tax_problems or export_problems:
         report["ok"] = False
     with open(os.path.join(root, "diff_report.json"), "w") as fh:
         json.dump({"groups": report["groups"],

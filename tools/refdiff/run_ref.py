@@ -151,6 +151,34 @@ def run_reference_transform(proj: dict) -> dict:
     return out
 
 
+def run_reference_export(proj: dict, target: str = "json_api") -> str:
+    """Run the reference ExporterService for one target; returns the
+    project-root-relative output dir (exports/api for json_api)."""
+    _ensure_reference_loaded()
+    import niamoto.core.plugins.exporters  # noqa: F401  (register them)
+    os.environ["NIAMOTO_HOME"] = proj["root"]
+
+    from niamoto.common.config import Config
+    from niamoto.core.services.exporter import ExporterService
+
+    Config.clear_cache()
+    config = Config(proj["config_dir"], create_default=False)
+    db_path = os.path.join(proj["root"], "db", "niamoto.db")
+    svc = ExporterService(db_path, config)
+    # output_dir in export.yml is project-relative; the reference CLI
+    # runs from the project root (json_api_exporter.py:325 Path(...))
+    cwd = os.getcwd()
+    os.chdir(proj["root"])
+    try:
+        results = svc.run_export(target_name=target)
+    finally:
+        os.chdir(cwd)
+    status = results.get(target, {})
+    if status.get("status") != "success":
+        raise RuntimeError(f"reference export failed: {status}")
+    return os.path.join(proj["root"], "exports", "api")
+
+
 def main() -> int:
     import tempfile
 

@@ -46,6 +46,33 @@ def run_spark_pipeline(spark, proj: dict) -> dict:
     return out
 
 
+def run_spark_export(spark, proj: dict) -> str:
+    """Reference export.yml json_api target through our Pipeline;
+    returns the output dir.  Requires run_spark_pipeline to have run
+    (the Pipeline rebuilds its registry from the warehouse)."""
+    from niamoto_spark.pipeline import Pipeline
+
+    warehouse = os.path.join(proj["root"], "warehouse")
+    p = Pipeline(spark, warehouse)
+    with open(os.path.join(proj["config_dir"], "import.yml")) as fh:
+        import_cfg = yaml.safe_load(fh)
+    # re-register entities (id fields) without re-importing
+    from niamoto_spark.catalog import EntityRegistry
+    reg_path = os.path.join(warehouse, "registry.json")
+    if os.path.exists(reg_path):
+        p.registry = EntityRegistry.open(reg_path)
+    if not p.registry.names():
+        p.run_import(import_cfg, base_dir=proj["root"])
+    with open(os.path.join(proj["config_dir"], "export.yml")) as fh:
+        export_cfg = yaml.safe_load(fh)
+    out_root = os.path.join(proj["root"], "spark_exports")
+    manifests = p.run_export(export_cfg, out_root)
+    status = manifests.get("json_api", {})
+    if status.get("status") != "success":
+        raise RuntimeError(f"spark export failed: {manifests}")
+    return os.path.join(out_root, "exports", "api")
+
+
 def main() -> int:
     import tempfile
 

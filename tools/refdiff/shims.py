@@ -325,6 +325,14 @@ class _Connection:
     def __init__(self, raw: sqlite3.Connection):
         self._raw = raw
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self._raw.commit()
+        return False
+
     def execute(self, sql, params=None):
         cur = self._raw.cursor()
         try:
@@ -625,7 +633,7 @@ def _install_geo() -> None:
                  "sklearn.feature_extraction.text", "sklearn.linear_model",
                  "sklearn.metrics", "sklearn.model_selection",
                  "sklearn.pipeline", "sklearn.preprocessing",
-                 "joblib"):
+                 "joblib", "markdown_it", "mdit_py_plugins", "httpx"):
         if name not in sys.modules:
             import importlib.machinery
             mod = _InertModule(name)

@@ -315,8 +315,10 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
                  "logs:\n  path: logs\n"
                  "exports:\n  web_api: exports/api\n"
                  "  web_static: exports\n")
-    with open(os.path.join(config_dir, "export.yml"), "w") as fh:
-        fh.write("exports: []\n")
+    # export.yml verbatim — the json_api target is differentially
+    # executed by run_ref.run_reference_export / run_spark
+    shutil.copy(os.path.join(reference_config, "export.yml"),
+                os.path.join(config_dir, "export.yml"))
     os.makedirs(os.path.join(root, "db"), exist_ok=True)
 
     return {"root": root, "config_dir": config_dir,

@@ -34,6 +34,79 @@ def load_spark_taxons(spark, proj: dict) -> list[tuple]:
     return sorted(tuple(r) for r in df.collect())
 
 
+def _defluff(doc):
+    """Normalize the reference exporter's flatten artifact in detail
+    docs: every dict widget's keys are ALSO merged at top level with
+    later widgets overwriting earlier ones (json_api_exporter.py:
+    852-856), which can pair e.g. top_ranking's 'tops' with another
+    widget's 'counts'.  The per-widget objects remain the authoritative
+    strictly-compared content; the duplicated top-level LIST copies are
+    compared as sorted multisets so a tie-order artifact inside the
+    melange cannot fail the diff."""
+    if not isinstance(doc, dict):
+        return doc
+    widget_keys = set()
+    for v in doc.values():
+        if isinstance(v, dict):
+            widget_keys |= set(v.keys())
+    out = {}
+    for k, v in doc.items():
+        if k in widget_keys and isinstance(v, list) and \
+                all(not isinstance(x, (dict, list)) for x in v):
+            out[k] = sorted(v, key=lambda x: (x is None, str(x)))
+        else:
+            out[k] = v
+    return out
+
+
+def diff_export_trees(ref_dir: str, spark_dir: str,
+                      max_problems: int = 40) -> list[str]:
+    """Compare two static-API export trees file-by-file.
+
+    metadata.json is excluded (wall-clock timestamps); everything else
+    must exist on both sides and parse to JSON equal under the same
+    numeric doctrine as the widget diff (canonicalized ties, 2dp with
+    half-even-boundary allowance)."""
+    import json
+
+    from tools.refdiff.diff import canonicalize, compare
+
+    def tree(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f == "metadata.json":
+                    continue
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = p
+        return out
+
+    ref, sp = tree(ref_dir), tree(spark_dir)
+    problems = []
+    for rel in sorted(set(ref) - set(sp)):
+        problems.append(f"only in reference: {rel}")
+    for rel in sorted(set(sp) - set(ref)):
+        problems.append(f"only in spark: {rel}")
+    for rel in sorted(set(ref) & set(sp)):
+        try:
+            with open(ref[rel]) as fh:
+                a = json.load(fh)
+            with open(sp[rel]) as fh:
+                b = json.load(fh)
+        except ValueError as e:
+            problems.append(f"{rel}: unparseable ({e})")
+            continue
+        bnd: list = []
+        diffs = compare(_defluff(canonicalize(a)),
+                        _defluff(canonicalize(b)), boundary=bnd)
+        for path, x, y in diffs[:3]:
+            problems.append(f"{rel}{path}: ref={x!r} spark={y!r}")
+        if len(problems) >= max_problems:
+            problems.append("... (truncated)")
+            return problems
+    return problems
+
+
 def diff_taxonomy_tables(spark, proj: dict) -> list[str]:
     """Returns a list of human-readable row-level differences."""
     ref = load_reference_taxons(proj)

@@ -589,3 +589,88 @@ def beta_partition(counts: DataFrame, site_col: str, species_col: str,
                     F.round(bsor, round_dp).alias("beta_sor"),
                     F.round(bsim, round_dp).alias("beta_sim"),
                     F.round(bsor - bsim, round_dp).alias("beta_sne"))
+
+
+# ---------------------------------------------------------------------------
+# Per-entity time-series chain steps (reference custom_calculator
+# peak_detection :1299-1365 / active_periods :1421-1520).  Plain-python
+# mirrors applied per Arrow batch from the pipeline's transform_chain —
+# the arrays are one year of months per entity, so the work is pure
+# per-row dict assembly; the reference's engine-level behaviors
+# (auto threshold = mean+std, min-distance gating, prominence check,
+# run-length active periods, modular labels) are line-faithful.
+# ---------------------------------------------------------------------------
+
+def peak_detection_series(values: "list[float]", threshold=None,
+                          min_distance: int = 1,
+                          prominence: float = 0.0) -> dict:
+    """One series -> the reference's peak payload (value/count/heights/
+    threshold/mean/std/min/max)."""
+    import numpy as np
+
+    ts = np.asarray(values, dtype=float)
+    thr = float(np.mean(ts) + np.std(ts)) if threshold is None \
+        else float(threshold)
+    peaks: list[int] = []
+    heights: list[float] = []
+    for i in range(1, len(ts) - 1):
+        if ts[i] > ts[i - 1] and ts[i] > ts[i + 1] and ts[i] >= thr:
+            if not peaks or i - peaks[-1] >= min_distance:
+                left_min = np.min(ts[max(0, i - min_distance):i]) \
+                    if i > 0 else ts[0]
+                right_min = np.min(ts[i + 1:min(len(ts),
+                                                i + min_distance + 1)]) \
+                    if i < len(ts) - 1 else ts[-1]
+                if ts[i] - max(left_min, right_min) >= prominence:
+                    peaks.append(i)
+                    heights.append(float(ts[i]))
+    return {"value": peaks, "count": len(peaks), "heights": heights,
+            "threshold": thr, "mean": float(np.mean(ts)),
+            "std": float(np.std(ts)), "min": float(np.min(ts)),
+            "max": float(np.max(ts))}
+
+
+def peak_detection_dict(series: "dict[str, list[float]]", threshold=None,
+                        min_distance: int = 1,
+                        prominence: float = 0.0) -> dict:
+    return {k: peak_detection_series(v, threshold, min_distance, prominence)
+            for k, v in series.items()}
+
+
+def active_periods_dict(series: "dict[str, list[float]]",
+                        threshold: float = 0.0, min_duration: int = 1,
+                        labels: "list[str] | None" = None) -> dict:
+    """Run-length active periods per series (reference payload shape)."""
+    import numpy as np
+
+    labels = labels or [str(i + 1) for i in range(12)]
+    results = {}
+    for name, vals in series.items():
+        values = np.asarray(vals, dtype=float)
+        active = values > threshold
+        periods: list[tuple[int, int, int]] = []
+        start = None
+        for i, a in enumerate(active):
+            if a and start is None:
+                start = i
+            elif not a and start is not None:
+                if i - start >= min_duration:
+                    periods.append((start, i - 1, i - start))
+                start = None
+        if start is not None and len(values) - start >= min_duration:
+            periods.append((start, len(values) - 1, len(values) - start))
+        formatted = [{
+            "start": int(s), "end": int(e), "duration": int(d),
+            "start_label": labels[s % len(labels)],
+            "end_label": labels[e % len(labels)],
+            "mean_value": float(np.mean(values[s:e + 1])),
+            "max_value": float(np.max(values[s:e + 1])),
+        } for s, e, d in periods]
+        results[name] = {
+            "periods": formatted, "count": len(formatted),
+            "total_active_duration": sum(p[2] for p in periods),
+            "activity_percentage": (float(active.sum()) / len(values) * 100
+                                    if len(values) else 0),
+        }
+    return {"value": results, "series_count": len(results),
+            "threshold": threshold, "min_duration": min_duration}

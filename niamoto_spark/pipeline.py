@@ -316,6 +316,9 @@ class Pipeline:
             return RS.multi_column_extractor(df, gid, params)
 
         wdf = self._run_widget(plugin, dict(params), tagged, group_by, gid)
+        if plugin == "transform_chain" and "__cc" in wdf.columns:
+            return wdf.select(F.col(gid),
+                              F.col("__cc").alias("__json"))
         if plugin == "statistical_summary":
             return RS.statistical_summary(wdf, gid, params)
         if plugin == "binned_distribution":
@@ -341,23 +344,140 @@ class Pipeline:
         return self._pack_json(wdf, gid, "__json",
                                single_row=plugin in SINGLE_ROW_WIDGETS)
 
+    def _custom_calculator_step(self, params: dict, bindings: dict,
+                                binding_params: dict,
+                                gid: str) -> DataFrame:
+        """custom_calculator inside transform_chain — the phenology-style
+        per-entity time-series ops (reference custom_calculator.py
+        peak_detection :1299, active_periods :1421, custom_formula
+        :1603).  NOTE: the reference's own safe-eval rejects the dict
+        literal its example config uses (ast.Dict not whitelisted), so
+        on the example transform.yml this engine is a strict SUPERSET:
+        the chain runs here and errors there.
+
+        Per-entity series are one year of months; the ops run per Arrow
+        batch via mapInPandas (no row-at-a-time UDFs)."""
+        import ast
+        import json as _json
+
+        import pandas as pd
+
+        from niamoto_spark.operators.ecological import (active_periods_dict,
+                                                        peak_detection_dict)
+
+        def _resolve_key(ref: str) -> str:
+            return ref[1:].split(".", 1)[0]
+
+        op = params.get("operation")
+        if op in ("peak_detection", "active_periods"):
+            key = _resolve_key(params["time_series"])
+            ts = bindings[key]
+            series_cols = [c for c in ts.columns if c.endswith("_pct")]
+            aggs = []
+            for s in series_cols:
+                m = F.map_from_entries(
+                    F.collect_list(F.struct(F.col("month"), F.col(s))))
+                aggs.append(F.array(*[F.coalesce(m[F.lit(i)], F.lit(0.0))
+                                      for i in range(1, 13)]).alias(s))
+            agg = ts.groupBy(gid).agg(*aggs)
+            labels = params.get("labels")
+            if isinstance(labels, str) and labels.startswith("@"):
+                labels = binding_params.get(_resolve_key(labels), {}) \
+                    .get("labels")
+            kwargs: dict[str, Any]
+            if op == "peak_detection":
+                kwargs = {"threshold": params.get("threshold"),
+                          "min_distance": int(params.get("min_distance", 1)),
+                          "prominence": float(params.get("prominence", 0.0))}
+                fn = peak_detection_dict
+            else:
+                kwargs = {"threshold": float(params.get("threshold", 0.0)),
+                          "min_duration": int(params.get("min_duration", 1)),
+                          "labels": labels}
+                fn = active_periods_dict
+
+            gid_type = dict(agg.dtypes)[gid]
+
+            def run(batches):
+                for pdf in batches:
+                    rows = []
+                    for _, row in pdf.iterrows():
+                        series = {s[:-len("_pct")]: [float(v)
+                                                    for v in row[s]]
+                                  for s in series_cols}
+                        rows.append((row[gid],
+                                     _json.dumps(fn(series, **kwargs))))
+                    yield pd.DataFrame(rows, columns=[gid, "__cc"])
+
+            return agg.mapInPandas(run,
+                                   schema=f"{gid} {gid_type}, __cc string")
+
+        if op == "custom_formula":
+            # dict-literal formula over @variable refs -> one JSON object
+            # assembled JVM-side by string concatenation of the bound
+            # steps' per-entity JSON payloads
+            tree = ast.parse(params["formula"], mode="eval").body
+            if not isinstance(tree, ast.Dict):
+                raise ValueError(
+                    "chain custom_formula supports dict literals of "
+                    "variables here")
+            variables = params.get("variables", {})
+            joined = None
+            parts: list = []
+            for i, (k, v) in enumerate(zip(tree.keys, tree.values)):
+                if not isinstance(k, ast.Constant) or \
+                        not isinstance(v, ast.Name):
+                    raise ValueError("dict formula entries must be "
+                                     "'literal': variable")
+                ref = variables.get(v.id, f"@{v.id}")
+                key = _resolve_key(ref)
+                frame = bindings[key]
+                if "__cc" in frame.columns:
+                    jcol = F.col(f"__cc_{i}")
+                    frame = frame.withColumnRenamed("__cc", f"__cc_{i}")
+                else:
+                    # a time-series frame: emit its reference JSON shape
+                    from niamoto_spark import refshapes as RS
+                    frame = RS.time_series_analysis(
+                        frame, gid, binding_params.get(key, {})) \
+                        .withColumnRenamed("__json", f"__cc_{i}")
+                    jcol = F.col(f"__cc_{i}")
+                joined = frame if joined is None \
+                    else joined.join(frame, gid, "full")
+                parts.append(F.lit(f'{_json.dumps(k.value)}: '))
+                parts.append(F.coalesce(jcol, F.lit("null")))
+                parts.append(F.lit(", "))
+            parts = [F.lit("{")] + parts[:-1] + [F.lit("}")]
+            return joined.select(F.col(gid), F.concat(*parts).alias("__cc"))
+
+        raise ValueError(f"chain custom_calculator operation {op!r} "
+                         "not supported")
+
     def _run_widget(self, plugin: str, params: dict, tagged: dict,
                     group_by: str, gid: str) -> DataFrame:
         """Adapter: reference YAML param names -> operator signatures."""
         if plugin == "transform_chain":
             # ordered steps; each step's output binds under output_key and
             # later steps reference it via source: "@key" (reference
-            # transform_chain.py:200-317)
+            # transform_chain.py:200-317).  Step PARAMS are also kept so
+            # later steps can resolve config refs like
+            # "@phenology_raw.labels".
             bindings = dict(tagged)
+            binding_params: dict[str, dict] = {}
             out = None
             for step in params["steps"]:
                 sparams = dict(step.get("params", {}))
                 src = sparams.get("source")
                 if isinstance(src, str) and src.startswith("@"):
                     sparams["source"] = src[1:]
-                out = self._run_widget(step["plugin"], sparams, bindings,
-                                       group_by, gid)
+                if step["plugin"] == "custom_calculator":
+                    out = self._custom_calculator_step(
+                        sparams, bindings, binding_params, gid)
+                else:
+                    out = self._run_widget(step["plugin"], sparams,
+                                           bindings, group_by, gid)
                 bindings[step["output_key"]] = out
+                binding_params[step["output_key"]] = sparams
             assert out is not None, "empty transform_chain"
             return out
 

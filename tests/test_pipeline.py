@@ -394,3 +394,48 @@ def test_export_with_deploy_block(project, spark, tmp_path):
     assert "detail/1.json" in tree and ".nojekyll" in tree
     assert (tmp_path / "www" / "index.html").exists()
     assert manifests["site_html"]["deployed"]["files"] >= 3
+
+
+def test_phenology_style_chain(project, spark):
+    """The reference example's phenology chain (time series -> peaks ->
+    active periods -> dict merge) runs END TO END here — the reference's
+    own safe-eval rejects the final dict-literal step (custom_calculator
+    ast whitelist), so this is engine-superset behavior."""
+    pipe, _ = project
+    cfg = [{
+        "group_by": "plots",
+        "sources": [{
+            "name": "occurrences", "data": "occurrences", "grouping": "plots",
+            "relation": {"plugin": "direct_reference",
+                         "key": "plot_name", "ref_key": "locality"},
+        }],
+        "widgets_data": {
+            "phenology": {"plugin": "transform_chain", "params": {"steps": [
+                {"plugin": "time_series_analysis", "output_key": "raw",
+                 "params": {"source": "occurrences",
+                            "fields": {"um": "in_um"},
+                            "time_field": "holdridge",
+                            "labels": ["a", "b", "c"]}},
+                {"plugin": "custom_calculator", "output_key": "peaks",
+                 "params": {"operation": "peak_detection",
+                            "time_series": "@raw.month_data",
+                            "threshold": 30}},
+                {"plugin": "custom_calculator", "output_key": "periods",
+                 "params": {"operation": "active_periods",
+                            "time_series": "@raw.month_data",
+                            "labels": "@raw.labels"}},
+                {"plugin": "custom_calculator", "output_key": "merged",
+                 "params": {"operation": "custom_formula",
+                            "formula": "{'raw': raw, 'peaks': peaks, "
+                                       "'periods': periods}",
+                            "variables": {"raw": "@raw", "peaks": "@peaks",
+                                          "periods": "@periods"}}},
+            ]}},
+        },
+    }]
+    out = pipe.run_transform(cfg)["plots"]
+    rows = {r["id_plot"]: r for r in out.collect()}
+    doc = json.loads(rows[1]["phenology"])
+    assert set(doc) == {"raw", "peaks", "periods"}
+    assert "month_data" in doc["raw"] and "um" in doc["peaks"]
+    assert doc["periods"]["value"]["um"]["count"] >= 0

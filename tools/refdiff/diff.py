@@ -203,9 +203,13 @@ def print_report(report: dict) -> None:
             print("  id mismatch: only-ref", gstat["id_only_ref"],
                   "only-spark", gstat["id_only_spark"])
         for widget, stat in gstat["widgets"].items():
-            flag = "OK " if not (stat["diff"] or stat["missing"]) else "DIFF"
+            flag = "OK " if not (stat["diff"] or stat["missing"]
+                                 or stat.get("boundary_excessive")) \
+                else "DIFF"
+            extra = (f" boundary_leaves={stat['boundary_leaves']}"
+                     if stat.get("boundary_leaves") else "")
             print(f"  {flag} {widget}: match={stat['match']} "
-                  f"diff={stat['diff']} missing={stat['missing']}")
+                  f"diff={stat['diff']} missing={stat['missing']}{extra}")
             for ex in stat.get("examples", [])[:2]:
                 print(f"       e.g. {json.dumps(ex, ensure_ascii=False)[:300]}")
     if report["blocked"]:

@@ -728,21 +728,9 @@ class Pipeline:
             target_out = params.get("output_dir", "exports/api")
             if not os.path.isabs(target_out):
                 target_out = os.path.join(out_dir, target_out)
-            groups = []
-            skipped = False
-            for g in target.get("groups", []):
-                if g.get("transformer_plugin"):
-                    manifests[name] = {
-                        "status": "skipped",
-                        "reason": "per-item transformer_plugin groups "
-                        "not run in this dialect"}
-                    skipped = True
-                    break
-                groups.append(g)
-            if skipped:
-                continue
             results = []
-            for g in groups:
+            unsupported = None
+            for g in target.get("groups", []):
                 group = g["group_by"]
                 path = os.path.join(self.warehouse,
                                     f"{group}_results.parquet")
@@ -753,9 +741,33 @@ class Pipeline:
                     if group in self.registry.names() else df.columns[0]
                 # the reference group table's id column is {group}_id
                 df = df.withColumnRenamed(gid, f"{group}_id")
-                results.append(export_json_api_target(
-                    df, group, target_out, params, g))
-            manifests[name] = {"status": "success", "groups": results}
+                tplugin = g.get("transformer_plugin")
+                if tplugin == "niamoto_to_dwc_occurrence":
+                    from niamoto_spark.exporters.dwc_json import \
+                        export_dwc_occurrence_target
+
+                    tp = g.get("transformer_params", {})
+                    occ = self.registry.load(
+                        self.spark, tp.get("occurrence_table",
+                                           "occurrences"))
+                    tax_name = tp.get("taxonomy_entity", group)
+                    taxonomy = self.registry.load(self.spark, tax_name) \
+                        if tax_name in self.registry.names() else None
+                    results.append(export_dwc_occurrence_target(
+                        df, occ, group, target_out, params, g,
+                        taxonomy=taxonomy))
+                elif tplugin:
+                    unsupported = (f"transformer_plugin {tplugin!r} "
+                                   "not supported in this dialect")
+                    break
+                else:
+                    results.append(export_json_api_target(
+                        df, group, target_out, params, g))
+            if unsupported:
+                manifests[name] = {"status": "skipped",
+                                   "reason": unsupported}
+            else:
+                manifests[name] = {"status": "success", "groups": results}
         return manifests
 
     def run_export(self, cfg: dict, out_dir: str) -> dict[str, dict]:

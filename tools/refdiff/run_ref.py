@@ -151,9 +151,11 @@ def run_reference_transform(proj: dict) -> dict:
     return out
 
 
-def run_reference_export(proj: dict, target: str = "json_api") -> str:
-    """Run the reference ExporterService for one target; returns the
-    project-root-relative output dir (exports/api for json_api)."""
+def run_reference_export(proj: dict,
+                         target: str | tuple = ("json_api",
+                                                "dwc_occurrence_json")) -> str:
+    """Run the reference ExporterService for the diffable targets;
+    returns the exports root."""
     _ensure_reference_loaded()
     import niamoto.core.plugins.exporters  # noqa: F401  (register them)
     os.environ["NIAMOTO_HOME"] = proj["root"]
@@ -167,16 +169,18 @@ def run_reference_export(proj: dict, target: str = "json_api") -> str:
     svc = ExporterService(db_path, config)
     # output_dir in export.yml is project-relative; the reference CLI
     # runs from the project root (json_api_exporter.py:325 Path(...))
+    targets = [target] if isinstance(target, str) else list(target)
     cwd = os.getcwd()
     os.chdir(proj["root"])
     try:
-        results = svc.run_export(target_name=target)
+        for t in targets:
+            results = svc.run_export(target_name=t)
+            status = results.get(t, {})
+            if status.get("status") != "success":
+                raise RuntimeError(f"reference export failed: {status}")
     finally:
         os.chdir(cwd)
-    status = results.get(target, {})
-    if status.get("status") != "success":
-        raise RuntimeError(f"reference export failed: {status}")
-    return os.path.join(proj["root"], "exports", "api")
+    return os.path.join(proj["root"], "exports")
 
 
 def main() -> int:

@@ -67,10 +67,10 @@ def run_spark_export(spark, proj: dict) -> str:
         export_cfg = yaml.safe_load(fh)
     out_root = os.path.join(proj["root"], "spark_exports")
     manifests = p.run_export(export_cfg, out_root)
-    status = manifests.get("json_api", {})
-    if status.get("status") != "success":
-        raise RuntimeError(f"spark export failed: {manifests}")
-    return os.path.join(out_root, "exports", "api")
+    for tgt in ("json_api", "dwc_occurrence_json"):
+        if manifests.get(tgt, {}).get("status") != "success":
+            raise RuntimeError(f"spark export failed: {manifests}")
+    return os.path.join(out_root, "exports")
 
 
 def main() -> int:

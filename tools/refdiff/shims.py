@@ -198,7 +198,17 @@ def _install_sqlalchemy() -> None:
     # pandas falls back to its DBAPI (sqlite3) path — which is exactly
     # what the ShimDatabase engine is.
     sa.__version__ = "2.0.36"
-    sa.text = lambda s: s
+
+    class _TextClause(str):
+        """str subclass so str(text(s)) round-trips; bindparams is a
+        no-op marker — expanding IN-list parameters are handled
+        generically in _Connection.execute."""
+
+        def bindparams(self, *a, **k):
+            return self
+
+    sa.text = _TextClause
+    sa.bindparam = lambda name, **k: name
     sa.inspect = _sa_inspect
     sa.create_engine = _unsupported("create_engine")
 
@@ -334,9 +344,25 @@ class _Connection:
         return False
 
     def execute(self, sql, params=None):
+        s = str(sql)
+        p = dict(params) if params else {}
+        # expanding IN-list parameters (sqlalchemy bindparam
+        # expanding=True): :name bound to a sequence becomes
+        # (:name__0, :name__1, ...) — sqlite3 has no native list bind
+        for k, v in list(p.items()):
+            if isinstance(v, (list, tuple, set)):
+                vals = list(v)
+                del p[k]
+                if not vals:
+                    s = s.replace(f":{k}", "(NULL)")
+                    continue
+                names = [f"{k}__{i}" for i in range(len(vals))]
+                s = s.replace(
+                    f":{k}", "(" + ", ".join(f":{n}" for n in names) + ")")
+                p.update(dict(zip(names, vals)))
         cur = self._raw.cursor()
         try:
-            cur.execute(str(sql), params if params else {})
+            cur.execute(s, p)
         except sqlite3.Error as e:
             raise SQLAlchemyError(str(e)) from e
         return _Result(cur)

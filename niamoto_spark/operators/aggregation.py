@@ -40,8 +40,15 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
     """min/mean/max/median/std of a numeric field, rounded to 2dp
     (reference: transformers/aggregation/statistical_summary.py:152-233).
     ``stats`` selects a subset (the reference's YAML accepts e.g.
-    ``stats: ["max"]``); ``max_value`` caps values for display; ``units``
-    adds a constant metadata column.
+    ``stats: ["max"]``); ``units`` adds a constant metadata column.
+
+    ``max_value`` is DISPLAY metadata, not a clip: the reference computes
+    every statistic over the raw data and only emits
+    ``max_value = max(round(data_max, 2), configured)``
+    (statistical_summary.py:221-228).  The r13 config-variant
+    differential caught the previous clipping behavior — invisible on
+    configs whose cap exceeds the data range, wrong the moment a user
+    lowers the cap below it.
 
     Parity notes (SURVEY §7.3):
     - std is sample std (pandas ddof=1) == Spark ``stddev_samp``.
@@ -53,10 +60,6 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
     the use-case tolerates it (the reference's semantics do not).
     """
     c = F.col(field).cast("double")
-    if max_value is not None:
-        # F.least skips NULLs (a NULL would silently become max_value and
-        # count as an observation); cap only non-null values
-        c = F.when(c.isNotNull(), F.least(c, F.lit(float(max_value))))
     all_aggs = {
         "min": F.round(F.min(c), 2).alias("min"),
         "mean": F.round(F.avg(c), 2).alias("mean"),
@@ -71,7 +74,18 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
     unknown = set(selected) - set(all_aggs)
     if unknown:
         raise ValueError(f"unknown stats {sorted(unknown)}")
-    out = _grouped(df, group_cols).agg(*[all_aggs[s] for s in selected])
+    aggs = [all_aggs[s] for s in selected]
+    if max_value is not None:
+        # hidden data-max rides the same hash aggregate; greatest()
+        # skips the NULL (all-null group) and falls back to the
+        # configured value, matching the reference's empty-series branch
+        aggs.append(F.round(F.max(c), 2).alias("__data_max"))
+    out = _grouped(df, group_cols).agg(*aggs)
+    if max_value is not None:
+        out = out.withColumn(
+            "max_value",
+            F.greatest(F.col("__data_max"), F.lit(float(max_value)))
+        ).drop("__data_max")
     if units is not None:
         out = out.withColumn("units", F.lit(units))
     return _strip_sentinel(out, group_cols)

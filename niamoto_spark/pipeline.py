@@ -533,7 +533,9 @@ class Pipeline:
         if plugin == "statistical_summary":
             return agg_ops.statistical_summary(
                 df, [gid], params["field"], stats=params.get("stats"),
-                units=params.get("units"), max_value=params.get("max_value"))
+                units=params.get("units"),
+                # reference pydantic default (statistical_summary.py:61-70)
+                max_value=params.get("max_value", 100))
         if plugin == "binned_distribution":
             return agg_ops.binned_distribution(
                 df, [gid], params["field"], edges=params["bins"],

@@ -68,8 +68,12 @@ def statistical_summary(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
     stats = p.get("stats") or ["min", "mean", "max"]
     fields = [F.bround(F.col(s).cast("double"), 2).alias(s) for s in stats]
     fields.append(F.lit(p.get("units", "")).alias("units"))
-    if p.get("max_value") is not None:
-        fields.append(F.lit(p["max_value"]).alias("max_value"))
+    if "max_value" in wdf.columns:
+        # computed by the operator: max(round(data_max,2), configured) —
+        # display metadata, never a clip (statistical_summary.py:221-228;
+        # r13 config-variant find).  Whole configured caps serialize as
+        # ints in the reference (params.max_value emitted verbatim).
+        fields.append(_int_if_whole(F.col("max_value")).alias("max_value"))
     else:
         fields.append(F.bround(F.col("max").cast("double"), 2)
                       .alias("max_value"))

@@ -134,8 +134,15 @@ def test_statistical_summary_subset_units_cap(spark):
                                              "v": [100.0, 400.0, 900.0]}))
     r = agg.statistical_summary(df, ["g"], "v", stats=["max"],
                                 units="cm", max_value=500).collect()[0]
-    assert set(r.asDict()) == {"g", "max", "units"}
-    assert r["max"] == 500.0 and r["units"] == "cm"   # capped at max_value
+    assert set(r.asDict()) == {"g", "max", "units", "max_value"}
+    # max_value is DISPLAY metadata, never a clip: stats run over raw
+    # data, and the emitted max_value is max(data_max, configured)
+    # (reference statistical_summary.py:221-228; r13 variant-grid find)
+    assert r["max"] == 900.0 and r["units"] == "cm"
+    assert r["max_value"] == 900.0
+    r2 = agg.statistical_summary(df, ["g"], "v", stats=["max"],
+                                 max_value=2000).collect()[0]
+    assert r2["max_value"] == 2000.0   # configured cap above data wins
     with pytest.raises(ValueError):
         agg.statistical_summary(df, ["g"], "v", stats=["nope"])
 

@@ -70,8 +70,8 @@ def _box_wkt(b):
             f"{x0} {y1}, {x0} {y0}))")
 
 
-def make_occurrences(n: int = 800) -> pd.DataFrame:
-    rng = np.random.RandomState(SEED)
+def make_occurrences(n: int = 800, seed: int = SEED) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
     species = []
     for fam, genera in FAMILIES.items():
         for gen, sps in genera.items():
@@ -271,15 +271,61 @@ def write_shape_gpkgs(shapes_dir: str) -> list[str]:
     return names
 
 
+# Float measurement fields where real-world occurrence data has holes;
+# NULL injection stays off the id/taxonomy columns (make_occurrences
+# already synthesizes incomplete taxonomy rows) and off int columns
+# (pandas would silently promote them to float and change the CSV dtype
+# both engines infer — a dtype_probe axis, not this one).
+NULLABLE_MEASUREMENTS = ("dbh", "height", "wood_density", "bark_thickness",
+                         "leaf_sla", "leaf_area", "leaf_thickness")
+
+
+def mutate_occurrences(occ: pd.DataFrame, null_rate: float = 0.0,
+                       null_geo_rate: float = 0.0,
+                       shuffle_seed: int | None = None,
+                       seed: int = SEED) -> pd.DataFrame:
+    """Composed-probe style data mutations: NULL holes + row shuffle.
+
+    Both engines receive the SAME mutated frame (the reference via
+    ``to_sql``, this engine via the written CSV), so the differential
+    still has a single oracle: each other."""
+    rng = np.random.RandomState(seed + 7)
+    occ = occ.copy()
+    if null_rate > 0:
+        for col in NULLABLE_MEASUREMENTS:
+            mask = rng.rand(len(occ)) < null_rate
+            occ.loc[mask, col] = np.nan
+    if null_geo_rate > 0:
+        mask = rng.rand(len(occ)) < null_geo_rate
+        occ.loc[mask, "geo_pt"] = None
+    if shuffle_seed is not None:
+        occ = occ.sample(frac=1.0,
+                         random_state=shuffle_seed).reset_index(drop=True)
+        occ["id"] = np.arange(1, len(occ) + 1)
+    return occ
+
+
 def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
-                  n_occurrences: int = 800) -> dict:
-    """Create the project dir; returns paths + the synthesized frames."""
+                  n_occurrences: int = 800, data_seed: int = SEED,
+                  null_rate: float = 0.0, null_geo_rate: float = 0.0,
+                  shuffle_seed: int | None = None,
+                  transform_mutator=None) -> dict:
+    """Create the project dir; returns paths + the synthesized frames.
+
+    ``transform_mutator`` (optional) is called with the loaded
+    transform.yml list and may mutate it in place before it is written —
+    the variant harness (tools/refdiff/variants.py) threads seeded
+    config permutations through it.  Data knobs mirror the composed
+    probe's axes on the occurrence table."""
     imports_dir = os.path.join(root, "imports")
     config_dir = os.path.join(root, "config")
     os.makedirs(imports_dir, exist_ok=True)
     os.makedirs(config_dir, exist_ok=True)
 
-    occ = make_occurrences(n_occurrences)
+    occ = make_occurrences(n_occurrences, seed=data_seed)
+    if null_rate or null_geo_rate or shuffle_seed is not None:
+        occ = mutate_occurrences(occ, null_rate, null_geo_rate,
+                                 shuffle_seed, seed=data_seed)
     plots = make_plots()
     plot_stats = make_raw_plot_stats()
     occ.to_csv(os.path.join(imports_dir, "occurrences.csv"), index=False)
@@ -292,9 +338,19 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
     shape_stats.to_csv(os.path.join(imports_dir, "raw_shape_stats.csv"),
                        index=False)
 
-    # transform.yml is the artifact under differential test: VERBATIM copy.
-    shutil.copy(os.path.join(reference_config, "transform.yml"),
-                os.path.join(config_dir, "transform.yml"))
+    # transform.yml is the artifact under differential test: VERBATIM
+    # copy (clean baseline), or the seeded config-variant mutation —
+    # written identically for both engines either way.
+    import yaml as _yaml
+    if transform_mutator is None:
+        shutil.copy(os.path.join(reference_config, "transform.yml"),
+                    os.path.join(config_dir, "transform.yml"))
+    else:
+        with open(os.path.join(reference_config, "transform.yml")) as fh:
+            tcfg = _yaml.safe_load(fh)
+        transform_mutator(tcfg)
+        with open(os.path.join(config_dir, "transform.yml"), "w") as fh:
+            _yaml.safe_dump(tcfg, fh, allow_unicode=True, sort_keys=False)
     # import.yml: verbatim except the 7-source shape list is trimmed to the
     # two sources synthesized above (the example's other gpkg files were
     # never shipped with the reference).

@@ -149,6 +149,74 @@ def _signatures_numpy(hashed: DataFrame, num_hashes: int) -> DataFrame:
     return hashed.mapInPandas(batch_sigs, schema=out_schema)
 
 
+def _auto_impl(df: DataFrame, floor_bytes: int = 256 * 1024) -> str:
+    """Shared impl gate for the vectorized dedup folds: numpy once the
+    scan is big enough that per-partition Arrow/worker overhead
+    amortizes; pure-JVM HOF expressions below it (both paths are
+    bit-identical, pinned per lane in tests/test_dedup_similarity.py)."""
+    from niamoto_spark.functions import _est_scan
+
+    _, nb = _est_scan(df)
+    return "hof" if (nb is not None and nb < floor_bytes) else "numpy"
+
+
+def _bitvote_numpy(with_hashes: DataFrame, id_col: str, text_col: str,
+                   out_col: str, n_bits: int) -> DataFrame:
+    """SimHash bit-vote fold via Arrow-batched numpy — bit-identical to
+    the interpreted-HOF ``aggregate`` expression (r12 VERDICT "What's
+    wrong" #2: the vote is an even better numpy fit than the minhash
+    seed fold — one ``add.reduceat`` per bit over a flat uint64 vector).
+
+    Input: (id, text, __hashes array<long>).  NULL and empty hash
+    arrays both vote to fingerprint 0 — matching the HOF lane, where
+    token_array() normalizes NULL text to an empty token array before
+    the fold."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    in_schema = with_hashes.schema
+    out_schema = T.StructType([
+        in_schema[id_col], in_schema[text_col],
+        T.StructField(out_col, T.LongType(), True),
+    ])
+
+    def fold(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            fp = np.zeros(n, dtype=np.uint64)
+            arrs, keep = [], []
+            for i, a in enumerate(pdf["__hashes"]):
+                # a NULL array (crosses Arrow as None or float NaN)
+                # folds like an empty one: fingerprint 0
+                if a is None or (isinstance(a, float) and np.isnan(a)):
+                    continue
+                if len(a):
+                    arrs.append(np.asarray(a, dtype=np.int64))
+                    keep.append(i)
+            if keep:
+                flat = np.concatenate(arrs).view(np.uint64)
+                sizes = np.array([len(a) for a in arrs], dtype=np.int64)
+                offsets = np.zeros(len(arrs), dtype=np.intp)
+                np.cumsum(sizes[:-1], out=offsets[1:])
+                sub = np.zeros(len(arrs), dtype=np.uint64)
+                one = np.uint64(1)
+                for b in range(n_bits):
+                    ones = np.add.reduceat(
+                        (flat >> np.uint64(b)) & one, offsets)
+                    # vote = ones - (size - ones) > 0  <=>  2*ones > size
+                    sub |= ((2 * ones.astype(np.int64) > sizes)
+                            .astype(np.uint64) << np.uint64(b))
+                fp[keep] = sub
+            yield pd.DataFrame({
+                id_col: pdf[id_col], text_col: pdf[text_col],
+                out_col: fp.view(np.int64),
+            })
+
+    return with_hashes.mapInPandas(fold, schema=out_schema)
+
+
 def _log_dropped_async(obs, max_bucket_size: int) -> None:
     """Log the hot-bucket recall warning from ``Observation`` metrics
     without a dedicated count job: a daemon thread parks until the first
@@ -369,16 +437,31 @@ def minhash_dedup_keep(df: DataFrame, id_col: str, text_col: str,
 
 @register("simhash", PluginType.TRANSFORMER)
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, sign of the
-    vote is the fingerprint bit.  Expressed as one aggregate over 64
-    bit-count expressions — JVM-side only.
+            out_col: str = "simhash", impl: str = "auto") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, sign of
+    the vote is the fingerprint bit.
+
+    ``impl``: "numpy" (Arrow-batched vectorized bit votes — the scale
+    path; token hashing stays JVM-side, one xxhash64 pass), "hof"
+    (pure-JVM aggregate over 64 bit-count expressions, zero Python in
+    the plan), or "auto" (numpy once the scan clears the Arrow
+    amortization floor).  Bit-identical either way
+    (tests/test_dedup_similarity.py::test_simhash_numpy_matches_hof).
     """
     from niamoto_spark.functions import token_array
 
-    df = fan_out(df, min_bytes=0)   # interpreted-HOF bit votes, see above
+    if impl == "auto":
+        impl = _auto_impl(df)
+    # interpreted-HOF bit votes are CPU-bound even sub-MB; the numpy
+    # path keeps the default byte floor (same doctrine as the minhash
+    # signature fold above)
+    df = fan_out(df) if impl == "numpy" else fan_out(df, min_bytes=0)
     toks = token_array(F.lower(F.col(text_col)))
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    with_hashes = df.select(F.col(id_col), F.col(text_col)) \
+                    .withColumn("__hashes", hashes)
+    if impl == "numpy":
+        return _bitvote_numpy(with_hashes, id_col, text_col, out_col, 64)
     # Bit-shift by a *column* index needs the SQL surface (the Python
     # shiftleft/shiftright API only takes int literals): per bit i, vote =
     # sum(+1 if bit set else -1); fingerprint ORs the winning bits.
@@ -389,10 +472,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         "      acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
         "    THEN shiftleft(1L, i) ELSE 0L END),"
         "  0L, (acc, b) -> acc | b)")
-    return (df.select(F.col(id_col), F.col(text_col))
-              .withColumn("__hashes", hashes)
-              .withColumn(out_col, fingerprint)
-              .drop("__hashes"))
+    return (with_hashes.withColumn(out_col, fingerprint)
+            .drop("__hashes"))
 
 
 def hamming_near_pairs(hashes: DataFrame, id_col: str, hash_col: str,
@@ -704,10 +785,57 @@ def _md5_hash60(col: Column, seed: Column) -> Column:
         1, 15), 16, 10).cast("long")
 
 
+def _affine_sigs_numpy(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """md5-lane MinHash signatures via Arrow-batched numpy — exactly the
+    HOF affine family ((i+1)*2654435761 % p) * h + (i*40503+7)) % p over
+    32-bit md5 bases.  uint64 keeps every intermediate exact (a < 2^31,
+    h < 2^32 -> a*h < 2^63), so DuckDB/Spark/numpy agree value-for-value
+    and the q349 oracle still holds on this path."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    id_field = hashed.schema["doc_id"]
+    out_schema = T.StructType([
+        T.StructField("doc_id", id_field.dataType, id_field.nullable),
+        T.StructField("sig", T.ArrayType(T.LongType()), True),
+    ])
+    p = np.uint64(2147483647)
+
+    def batch_sigs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            arrs, keep = [], []
+            for i, a in enumerate(pdf["__hb"]):
+                if a is not None and len(a):
+                    arrs.append(np.asarray(a, dtype=np.int64))
+                    keep.append(i)
+            if not keep:
+                continue
+            flat = np.concatenate(arrs).astype(np.uint64)
+            sizes = np.array([len(a) for a in arrs])
+            offsets = np.zeros(len(arrs), dtype=np.intp)
+            np.cumsum(sizes[:-1], out=offsets[1:])
+            sig = np.empty((len(arrs), num_hashes), dtype=np.int64)
+            for s in range(num_hashes):
+                a = np.uint64((s + 1) * 2654435761 % 2147483647)
+                b = np.uint64(s * 40503 + 7)
+                vals = (a * flat + b) % p
+                sig[:, s] = np.minimum.reduceat(
+                    vals.view(np.int64), offsets)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].iloc[keep].to_numpy(),
+                "sig": list(sig),
+            })
+
+    return hashed.mapInPandas(batch_sigs, schema=out_schema)
+
+
 def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
                                num_hashes: int = 16, bands: int = 4,
                                shingle_k: int = 3,
-                               jaccard_threshold: float = 0.5) -> DataFrame:
+                               jaccard_threshold: float = 0.5,
+                               sig_impl: str = "auto") -> DataFrame:
     """MinHash+LSH with a DuckDB-replicable hash family.
 
     Same math as ``minhash_lsh_candidates`` (the xxhash64 production
@@ -725,11 +853,13 @@ def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
     rpb = num_hashes // bands
-    # min_bytes=0: unlike the xxhash64 lane, the interpreted-HOF
+    if sig_impl == "auto":
+        sig_impl = _auto_impl(df)
+    # min_bytes=0 (HOF): unlike the xxhash64 lane, the interpreted-HOF
     # arithmetic here costs ~10-30us per (seed, shingle) element, so
     # even a 100 KB input is CPU-bound and worth spreading (measured
     # 15.4s -> 6.5s on the q349 fixture at 2 -> 32 tasks).
-    df = fan_out(df, min_bytes=0)
+    df = fan_out(df) if sig_impl == "numpy" else fan_out(df, min_bytes=0)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.lower(F.col(text_col)),
@@ -746,19 +876,24 @@ def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
                   F.col("__sh"),
                   lambda s: F.conv(F.substring(F.md5(s), 1, 8),
                                    16, 10).cast("long")).alias("__hb")))
-    p = 2147483647
-    sig = hashed.select("doc_id", F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(
-            F.col("__hb"),
-            lambda h: (((i + 1) * F.lit(2654435761) % p) * h
-                       + (i * 40503 + 7)) % p))
-    ).alias("sig"))
+    if sig_impl == "numpy":
+        sig = _affine_sigs_numpy(hashed, num_hashes)
+    else:
+        p = 2147483647
+        sig = hashed.select("doc_id", F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(
+                F.col("__hb"),
+                lambda h: (((i + 1) * F.lit(2654435761) % p) * h
+                           + (i * 40503 + 7)) % p))
+        ).alias("sig"))
     # Shuffle barrier: CollapseProject would inline the signature
     # expression into every reference the banding projection makes (4
     # band slices + the carried sig column = 5x recompute).  The
     # exchange materializes sig ONCE map-side; its payload is
-    # (doc_id, num_hashes longs) — tiny.
+    # (doc_id, num_hashes longs) — tiny.  (The numpy path gets the same
+    # barrier: the banding projection would otherwise re-enter the
+    # Python runner once per reference.)
     sig = sig.repartition(F.col("doc_id"))
     banded = sig.select(
         "doc_id", "sig",
@@ -793,17 +928,27 @@ def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_md5(df: DataFrame, id_col: str, text_col: str,
-                out_col: str = "simhash", n_bits: int = 60) -> DataFrame:
+                out_col: str = "simhash", n_bits: int = 60,
+                impl: str = "auto") -> DataFrame:
     """SimHash over ``_md5_hash60`` token hashes — the oracle-checkable
     sibling of ``simhash`` (xxhash64, the production lane).  60 bits
     (not 64) keeps every value positive so plain ``>>``/``&``/``xor``
-    agree across engines without unsigned-shift gymnastics."""
+    agree across engines without unsigned-shift gymnastics.  ``impl``
+    as in :func:`simhash` — the vote fold shares ``_bitvote_numpy``."""
     from niamoto_spark.functions import token_array
 
-    df = fan_out(df, min_bytes=0)   # interpreted-HOF cost, see md5 lane
+    if impl == "auto":
+        impl = _auto_impl(df)
+    df = fan_out(df) if impl == "numpy" \
+        else fan_out(df, min_bytes=0)   # interpreted-HOF cost, see md5 lane
     toks = token_array(F.lower(F.col(text_col)))
     hashes = F.transform(F.array_distinct(toks),
                          lambda t: _md5_hash60(t, F.lit(0)))
+    with_hashes = df.select(F.col(id_col), F.col(text_col)) \
+                    .withColumn("__hashes", hashes)
+    if impl == "numpy":
+        return _bitvote_numpy(with_hashes, id_col, text_col, out_col,
+                              n_bits)
     fingerprint = F.expr(
         f"aggregate("
         f"  transform(sequence(0, {n_bits - 1}), i -> CASE WHEN"
@@ -811,10 +956,8 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str,
         f"      acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
         f"    THEN shiftleft(1L, i) ELSE 0L END),"
         f"  0L, (acc, b) -> acc | b)")
-    return (df.select(F.col(id_col), F.col(text_col))
-              .withColumn("__hashes", hashes)
-              .withColumn(out_col, fingerprint)
-              .drop("__hashes"))
+    return (with_hashes.withColumn(out_col, fingerprint)
+            .drop("__hashes"))
 
 
 def simhash_near_pairs_md5(df: DataFrame, id_col: str, text_col: str,

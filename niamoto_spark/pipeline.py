@@ -318,7 +318,16 @@ class Pipeline:
             return self._shape_processor_widget(df if df is not None
                                                 else grouping, gid, params)
 
-        wdf = self._run_widget(plugin, dict(params), tagged, group_by, gid)
+        run_params = dict(params)
+        if plugin == "direct_attribute":
+            # the shaper below applies clip + precision itself — it
+            # needs the RAW value and its dtype to reproduce the
+            # reference's per-row typing (clipped -> "65" string,
+            # unclipped int -> 65 number); the operator-level clip
+            # would double-cast everything first (r13 variant find)
+            run_params.pop("max_value", None)
+            run_params.pop("precision", None)
+        wdf = self._run_widget(plugin, run_params, tagged, group_by, gid)
         if plugin == "transform_chain" and "__cc" in wdf.columns:
             return wdf.select(F.col(gid),
                               F.col("__cc").alias("__json"))

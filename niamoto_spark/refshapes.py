@@ -80,37 +80,80 @@ def statistical_summary(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
     return _obj(wdf, gid, fields)
 
 
+def _rstrip_str(c: Column) -> Column:
+    """str(float) with the reference's trailing-zero strip."""
+    s = c.cast("string")
+    return F.when(s.contains("."),
+                  F.regexp_replace(F.regexp_replace(s, "0+$", ""),
+                                   "\\.$", "")).otherwise(s)
+
+
+def _jesc(c: Column) -> Column:
+    """JSON-quote an arbitrary string column (escape \\ and ")."""
+    return F.concat(
+        F.lit('"'),
+        F.regexp_replace(F.regexp_replace(c, "\\\\", "\\\\\\\\"),
+                         '"', '\\\\"'),
+        F.lit('"'))
+
+
 def direct_attribute(wdf: DataFrame, gid: str, p: dict,
                      is_float_col: bool) -> DataFrame:
-    """{value, units[, max_value][, format]} — float values become
-    strings via the reference's str().rstrip normalization; int values
-    stay numeric because numpy ints fail its isinstance(value, int)
-    check (extraction/direct_attribute.py transform tail)."""
+    """{value, units[, max_value][, format]} with the reference's
+    per-row typing (extraction/direct_attribute.py transform tail):
+
+    - float values (np.float64 IS a python float) take the
+      str().rstrip / precision branch -> JSON string;
+    - unclipped ints stay numeric (np.int64 fails its
+      isinstance(value, (float, int)) check) -> JSON number;
+    - a CLIPPED value becomes python float(max_value) -> JSON string —
+      so an int-typed widget emits "65" for clipped entities and 65
+      for the rest IN THE SAME column (r13 config-variant find; a
+      to_json struct cannot express that, hence manual assembly);
+    - precision applies only on those float/clipped paths, never to a
+      raw int or a pass-through string.
+    """
+    import json as _json
+
+    from pyspark.sql.types import StringType
+
     v = F.col("value")
+    num = v.cast("double")
     max_value = p.get("max_value")
     precision = p.get("precision")
-    if max_value is not None:
-        v = F.when(v.cast("double") > float(max_value),
-                   F.lit(float(max_value))).otherwise(v)
-    if is_float_col or precision is not None:
-        if precision is not None:
-            s = F.format_string(f"%.{int(precision)}f", v.cast("double"))
-        else:
-            s = F.when(v.cast("string").contains("."),
-                       F.regexp_replace(
-                           F.regexp_replace(v.cast("string"), "0+$", ""),
-                           "\\.$", "")) \
-                 .otherwise(v.cast("string"))
-        out = F.when(v.isNull(), F.lit(None).cast("string")).otherwise(s)
+    is_str_col = isinstance(wdf.schema["value"].dataType, StringType)
+
+    clipped = num > float(max_value) if max_value is not None \
+        else F.lit(False)
+    cv = F.when(clipped, F.lit(float(max_value))).otherwise(num) \
+        if max_value is not None else num
+    if precision is not None:
+        float_form = F.format_string(f"%.{int(precision)}f", cv)
     else:
-        out = v
-    fields = [out.alias("value"),
-              F.lit(p.get("units", "")).alias("units")]
+        float_form = _rstrip_str(cv)
+    quoted_float = F.concat(F.lit('"'), float_form, F.lit('"'))
+
+    if is_float_col:
+        value_json = quoted_float
+    elif is_str_col:
+        # float(value) succeeding only matters for the clip comparison;
+        # an unclipped (or non-numeric) string passes through verbatim
+        value_json = F.when(clipped, quoted_float).otherwise(_jesc(v))
+    else:
+        value_json = F.when(clipped, quoted_float) \
+                      .otherwise(v.cast("string"))
+    value_json = F.when(v.isNull(), F.lit("null")).otherwise(value_json)
+
+    parts = [F.lit('{"value":'), value_json,
+             F.lit(',"units":' + _json.dumps(p.get("units", "")))]
     if max_value is not None:
-        fields.append(F.lit(float(max_value)).alias("max_value"))
+        # emitted verbatim: YAML int stays a JSON int (the reference
+        # serializes params.max_value itself)
+        parts.append(F.lit(',"max_value":' + _json.dumps(max_value)))
     if p.get("format") is not None:
-        fields.append(F.lit(p["format"]).alias("format"))
-    return _obj(wdf, gid, fields)
+        parts.append(F.lit(',"format":' + _json.dumps(p["format"])))
+    parts.append(F.lit("}"))
+    return wdf.select(F.col(gid), F.concat(*parts).alias("__json"))
 
 
 def binary_counter(wdf: DataFrame, gid: str, p: dict) -> DataFrame:

@@ -415,3 +415,39 @@ def test_numpy_signatures_match_hof(spark):
               for r in dedup._signatures_numpy(hashed, 16).collect()}
     assert sig_np == sig_hof
     assert set(sig_np) == {1, 2, 3, 4, 5, 9}   # 6/7/8 dropped
+
+
+def test_simhash_numpy_matches_hof(spark):
+    """The vectorized bit-vote fold must be bit-identical to the
+    interpreted-HOF aggregate — including NULL text (NULL fingerprint)
+    and empty/token-free text (fingerprint 0)."""
+    rows = DOCS + [(6, ""), (7, None), (8, "solo")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    hof = {r["doc_id"]: r["simhash"] for r in dedup.simhash(
+        df, "doc_id", "text", impl="hof").collect()}
+    npy = {r["doc_id"]: r["simhash"] for r in dedup.simhash(
+        df, "doc_id", "text", impl="numpy").collect()}
+    assert npy == hof
+    # token_array() normalizes NULL text to [] before the fold, so
+    # NULL and empty both fingerprint to 0 in BOTH impls
+    assert hof[7] == 0 and hof[6] == 0
+
+    hof60 = {r["doc_id"]: r["simhash"] for r in dedup.simhash_md5(
+        df, "doc_id", "text", impl="hof").collect()}
+    npy60 = {r["doc_id"]: r["simhash"] for r in dedup.simhash_md5(
+        df, "doc_id", "text", impl="numpy").collect()}
+    assert npy60 == hof60
+    assert all(v is None or v >= 0 for v in hof60.values())  # 60-bit
+
+
+def test_md5_minhash_numpy_matches_hof(spark):
+    """The numpy affine-family signature fold must reproduce the HOF
+    md5 lane value-for-value (it feeds the q349 DuckDB oracle)."""
+    rows = DOCS + [(6, ""), (7, "one two"), (8, None)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kw = dict(num_hashes=16, bands=4, shingle_k=3, jaccard_threshold=0.0)
+    hof = {tuple(r) for r in dedup.minhash_lsh_candidates_md5(
+        df, "doc_id", "text", sig_impl="hof", **kw).collect()}
+    npy = {tuple(r) for r in dedup.minhash_lsh_candidates_md5(
+        df, "doc_id", "text", sig_impl="numpy", **kw).collect()}
+    assert hof == npy and len(hof) > 0

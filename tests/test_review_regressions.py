@@ -25,12 +25,20 @@ def test_short_docs_dont_crash_shingling(spark):
 
 
 def test_max_value_cap_preserves_nulls(spark):
-    """F.least skips NULLs — a NULL observation must not become max_value."""
+    """NULL handling around max_value: stats ignore NULLs, and the
+    max_value metadata (max of data-max and the configured value —
+    never a clip, reference statistical_summary.py:221-228) must not
+    let a NULL masquerade as the cap."""
     df = spark.createDataFrame(
         [("a", None), ("a", 5.0), ("a", 200.0)], "g string, v double")
     r = agg.statistical_summary(df, ["g"], "v", max_value=100).collect()[0]
     assert r["count"] == 2          # NULL not counted
-    assert r["mean"] == 52.5        # (5 + 100) / 2
+    assert r["mean"] == 102.5       # (5 + 200) / 2 — raw data, no clip
+    assert r["max_value"] == 200.0  # data max wins over the cap
+    allnull = spark.createDataFrame([("a", None)], "g string, v double")
+    r3 = agg.statistical_summary(
+        allnull, ["g"], "v", max_value=100).collect()[0]
+    assert r3["max_value"] == 100.0  # all-null -> configured fallback
     d = spark.createDataFrame([("a", None)], "g string, v double")
     r2 = ex.direct_attribute(d, ["g"], "v", max_value=100.0).collect()[0]
     assert r2["value"] is None      # all-null entity stays null

@@ -67,3 +67,26 @@ def test_reference_pipeline_differential(spark, tmp_path):
             report["groups"][group]["spark_entities"]
     # geo-blocked widgets are the only exclusions
     assert set(report["blocked"]) <= {"taxons.phenology", "shapes.geography"}
+
+
+def test_reference_pipeline_differential_variant(spark, tmp_path):
+    """One committed point from the r13 variant grid: seeded config
+    permutations (bins, sort flags, max_value, labels, complement_mode
+    — the refshapes branch space) STACKED with composed-probe data
+    mutations (NULL-injected measurements/geometry, shuffled rows).
+    The full 5-variant grid is ``tools/ref_pipeline_diff.py
+    --variants=5``; this pins the hardest variant in the suite.  The
+    grid's first run caught two real bugs the clean project could not:
+    statistical_summary clipping at max_value, and direct_attribute's
+    clipped-value typing."""
+    from niamoto_spark.session import get_spark  # noqa: F401
+    from tools.ref_pipeline_diff import run_one
+    from tools.refdiff.variants import variant_spec
+
+    spec = variant_spec(4)
+    spec["data"]["n_occurrences"] = 200
+    report = run_one(spark, str(tmp_path / "variant"), spec)
+    assert report["config_mutations"], "variant must actually mutate"
+    assert report["ok"], {
+        g: {w: s for w, s in gs["widgets"].items() if s["diff"]}
+        for g, gs in report["groups"].items()}

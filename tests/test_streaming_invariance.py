@@ -339,3 +339,78 @@ def test_stream_join_batch_split_invariance(spark, tmp_path, seed):
     assert a == b, ("stream-stream join pairs differ under batch split "
                     f"(only-single {a - b}, only-split {b - a})")
     assert a, "corpus produced no join pairs — test is vacuous"
+
+
+def test_left_outer_join_live_mode_drop_contract(spark, tmp_path):
+    """LIVE-mode lateness contract (VERDICT r12 next-#6): with a
+    CONFIGURED watermark (not the q220 replay horizon), a click whose
+    file arrives after the watermark has advanced past it is dropped —
+    and the drop set must be (a) exactly the predicted rows, (b)
+    deterministic across repeated drains of the same file sequence, and
+    (c) explicitly DIFFERENT when the same bytes arrive in one file,
+    which is the documented reason q220's REPLAY mode widens lateness
+    to the historical span instead."""
+    from niamoto_spark.streaming.joins import stream_left_outer_join
+
+    base = 1_700_000_000
+    span, late = 1800, 1800
+    # file A: P1+C1 match; P2 awaiting its click; a clock PAIR at
+    # base+10000 advances BOTH sides' watermarks (global wm policy is
+    # min-across-nodes) to base+10000-late = base+8200 after batch A
+    file_a = [(1, base, 7, "purchase", 0.0),
+              (2, base + 100, 7, "click", 5.0),
+              (3, base + 120, 8, "purchase", 0.0),
+              (80, base + 10_000, -1, "purchase", 0.0),
+              (81, base + 10_000, -1, "click", 0.0)]
+    # file B: a second clock pair — during THIS batch the committed
+    # watermark (base+8200) evicts P2's window as unmatched.  A late
+    # row can still join live state (eviction runs after inputs), so
+    # the drop only becomes observable one batch after eviction.
+    file_b = [(82, base + 12_000, -1, "purchase", 0.0),
+              (83, base + 12_000, -1, "click", 0.0)]
+    # file C: C2 at base+150 arrives after P2's state is gone ->
+    # contributes nothing, and P2's null row must not duplicate
+    file_c = [(4, base + 150, 8, "click", 7.0)]
+    flush1 = [(90, base + 40 * 86_400, -1, "purchase", 0.0),
+              (91, base + 40 * 86_400, -1, "click", 0.0)]
+    flush2 = [(92, base + 41 * 86_400, -1, "purchase", 0.0),
+              (93, base + 41 * 86_400, -1, "click", 0.0)]
+
+    def build(stream):
+        purchases = (stream.where(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             "user_id", F.col("ts").alias("p_ts")))
+        clicks = (stream.where(F.col("event_type") == "click")
+                  .select("user_id", F.col("ts").alias("c_ts"),
+                          F.col("event_id").alias("click_id")))
+        return stream_left_outer_join(
+            purchases, clicks, on="user_id", left_ts="p_ts",
+            right_ts="c_ts", span_s=span,
+            watermark=f"{late} seconds"
+        ).select("purchase_id", "click_id")
+
+    def real(rows):
+        return sorted(t for t in rows if t[0] is not None and t[0] < 80)
+
+    split = _write_stream_dir(spark, tmp_path, "lv_split",
+                              [file_a, file_b, file_c, flush1, flush2])
+    got1 = real(tuple(r) for r in _drain(
+        spark, split, build, "inv_lv_1").collect())
+    # C2 arrives after eviction -> P2 resolved as the null row, exactly
+    # once; the late click contributes nothing
+    assert got1 == [(1, 2), (3, None)], got1
+
+    # (b) deterministic: an independent drain of the same sequence
+    got2 = real(tuple(r) for r in _drain(
+        spark, split, build, "inv_lv_2").collect())
+    assert got2 == got1
+
+    # (c) same bytes, one file: C2 shares the batch with its purchase,
+    # joins live state, and matches — the delivery-order sensitivity
+    # that makes live mode's drop set a DELIVERY contract, not a data
+    # one (and why q220's REPLAY mode widens lateness to the span)
+    merged = _write_stream_dir(spark, tmp_path, "lv_merged",
+                               [file_a + file_b + file_c, flush1, flush2])
+    got3 = real(tuple(r) for r in _drain(
+        spark, merged, build, "inv_lv_3").collect())
+    assert got3 == [(1, 2), (3, 4)], got3

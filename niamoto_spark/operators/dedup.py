@@ -149,6 +149,99 @@ def _signatures_numpy(hashed: DataFrame, num_hashes: int) -> DataFrame:
     return hashed.mapInPandas(batch_sigs, schema=out_schema)
 
 
+def _sigs_from_text_numpy(df: DataFrame, id_col: str, text_col: str,
+                          num_hashes: int, shingle_k: int) -> DataFrame:
+    """MinHash signatures with shingling AND hashing inside the Arrow
+    batch (r13: the JVM shingle pass — transform/element_at/concat_ws/
+    xxhash64 higher-order lambdas — measured ~45% of the 16x lane; HOFs
+    never enter whole-stage codegen).
+
+    JVM side computes only ``concat_ws(' ', token_array(lower(text)))``
+    — plain codegen expressions.  A k-word shingle of that normalized
+    string is a CONTIGUOUS byte slice of it (tokens already single-space
+    separated), so the kernel never materializes shingle strings: it
+    scans delimiter bytes once, derives (start, length) slice pairs, and
+    hashes them with the vectorized XXH64 port (functions/xxh64np.py),
+    then folds the per-seed minima exactly like ``_signatures_numpy``.
+    Bit-identical to the HOF path (same normalized bytes -> same
+    xxhash64 -> same fold), pinned in
+    tests/test_dedup_similarity.py::test_text_numpy_signatures_match_hof.
+
+    Docs whose normalized form is empty or has < k tokens yield no
+    signature row — same drop semantics as ``WHERE sig IS NOT NULL``.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from niamoto_spark.functions import token_array
+    from niamoto_spark.functions.xxh64np import (SPARK_SEED, hash_bytes,
+                                                 hash_int, hash_long)
+
+    norm = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws(" ", token_array(F.lower(F.col(text_col))))
+         .alias("__norm"))
+    id_field = norm.schema["doc_id"]
+    out_schema = T.StructType([
+        T.StructField("doc_id", id_field.dataType, id_field.nullable),
+        T.StructField("sig", T.ArrayType(T.LongType()), True),
+    ])
+    k = shingle_k
+
+    def batch_sigs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            enc = [s.encode() for s in pdf["__norm"]]
+            doc_lens = np.fromiter((len(b) for b in enc), np.int64,
+                                   len(enc))
+            if not len(enc):
+                continue
+            # '\n' separators: tokens never contain \s bytes, so 0x0A
+            # marks doc boundaries and 0x20 marks token boundaries
+            buf = np.frombuffer(b"\n".join(enc) + b"\0" * 8, np.uint8)
+            total = int(doc_lens.sum()) + len(enc) - 1
+            doc_starts = np.zeros(len(enc), dtype=np.int64)
+            np.cumsum(doc_lens[:-1] + 1, out=doc_starts[1:])
+            body = buf[:total]
+            delim = np.where((body == 32) | (body == 10))[0]
+            bnd = np.empty(len(delim) + 2, dtype=np.int64)
+            bnd[0] = -1
+            bnd[1:-1] = delim
+            bnd[-1] = total
+            tok_start = bnd[:-1] + 1
+            tok_end = bnd[1:]
+            tok_doc = np.searchsorted(doc_starts, tok_start,
+                                      side="right") - 1
+            # an empty doc contributes one empty pseudo-token between
+            # its separators; token_array('') is [] in the JVM, so drop
+            ok = doc_lens[tok_doc] > 0
+            tok_start, tok_end, tok_doc = (tok_start[ok], tok_end[ok],
+                                           tok_doc[ok])
+            m = len(tok_start)
+            if m < k:
+                continue
+            valid = tok_doc[:m - k + 1] == tok_doc[k - 1:]
+            sh_start = tok_start[:m - k + 1][valid]
+            sh_len = tok_end[k - 1:][valid] - sh_start
+            sh_doc = tok_doc[:m - k + 1][valid]
+            if not len(sh_doc):
+                continue
+            hl = hash_bytes(buf, sh_start, sh_len, SPARK_SEED)
+            docs, offsets = np.unique(sh_doc, return_index=True)
+            base = hash_long(hl, SPARK_SEED)
+            sig = np.empty((len(docs), num_hashes), dtype=np.int64)
+            for s in range(num_hashes):
+                per_seed = hash_int(s, base).view(np.int64)
+                sig[:, s] = np.minimum.reduceat(per_seed, offsets)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].iloc[docs].to_numpy(),
+                "sig": list(sig),
+            })
+
+    return norm.mapInPandas(batch_sigs, schema=out_schema)
+
+
 def _auto_impl(df: DataFrame, floor_bytes: int = 256 * 1024) -> str:
     """Shared impl gate for the vectorized dedup folds: numpy once the
     scan is big enough that per-partition Arrow/worker overhead
@@ -299,19 +392,25 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     # single-partition and spreading tiny inputs just multiplies Arrow
     # round-trips (same finding as cosine_topk_blas).
     df = fan_out(df) if sig_impl == "numpy" else fan_out(df, min_bytes=0)
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(F.lower(F.col(text_col)), shingle_k))
-         .alias("__sh"))
-    # materialize the per-shingle string hash in its own projection so the
-    # num_hashes seed passes below re-hash 8-byte longs, not the strings
-    # (CollapseProject keeps non-cheap multi-referenced aliases separate)
-    hashed = shingled.select(
-        "doc_id", F.size("__sh").alias("__n"),
-        F.transform(F.col("__sh"), lambda x: F.xxhash64(x)).alias("__hl"))
     if sig_impl == "numpy":
-        sig = _signatures_numpy(hashed, num_hashes)
+        # shingling + hashing + fold in ONE Arrow kernel; the JVM only
+        # normalizes (lower/split/join — plain codegen, no HOFs)
+        sig = _sigs_from_text_numpy(df, id_col, text_col, num_hashes,
+                                    shingle_k)
     else:
+        shingled = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                word_shingles(F.lower(F.col(text_col)), shingle_k))
+             .alias("__sh"))
+        # materialize the per-shingle string hash in its own projection
+        # so the num_hashes seed passes below re-hash 8-byte longs, not
+        # the strings (CollapseProject keeps non-cheap multi-referenced
+        # aliases separate)
+        hashed = shingled.select(
+            "doc_id", F.size("__sh").alias("__n"),
+            F.transform(F.col("__sh"), lambda x: F.xxhash64(x))
+             .alias("__hl"))
         sig = hashed.select(
             "doc_id",
             _signature_from_hashed(F.col("__hl"), F.col("__n"),

@@ -451,3 +451,34 @@ def test_md5_minhash_numpy_matches_hof(spark):
     npy = {tuple(r) for r in dedup.minhash_lsh_candidates_md5(
         df, "doc_id", "text", sig_impl="numpy", **kw).collect()}
     assert hof == npy and len(hof) > 0
+
+
+def test_text_numpy_signatures_match_hof(spark):
+    """The fused text->signature Arrow kernel (shingle slices of the
+    normalized string + vectorized XXH64) must emit exactly the HOF
+    signatures, including whitespace edge shapes the slicing has to
+    reproduce from Spark's trim/split semantics."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "  leading and   multiple   spaces   collapse  "),
+        (3, "tab\tseparated\ttokens\there"),
+        (4, "newline\nseparated\ntokens\nhere"),
+        (5, "unicode héllo wörld µmétrique 日本 語 テキストください"),
+        (6, "dup dup dup dup dup dup dup dup"),        # duplicate shingles
+        (7, "exactly three tokens"),                   # exactly k
+        (8, "two tokens"),                             # < k -> dropped
+        (9, ""),                                       # empty -> dropped
+        (10, None),                                    # NULL -> dropped
+        (11, "verylongtoken" * 10 + " b c"),           # >32-byte shingles
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    hof_sig = df.select(
+        F.col("doc_id"),
+        dedup.minhash_signature(F.col("text"), 16, 3).alias("sig"))
+    hof = {r["doc_id"]: list(r["sig"]) for r in
+           hof_sig.where(F.col("sig").isNotNull()).collect()}
+    npy = {r["doc_id"]: list(r["sig"]) for r in
+           dedup._sigs_from_text_numpy(df, "doc_id", "text", 16, 3)
+           .collect()}
+    assert npy == hof
+    assert set(hof) == {1, 2, 3, 4, 5, 6, 7, 11}

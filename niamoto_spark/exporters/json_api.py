@@ -219,8 +219,24 @@ def _flatten_item(doc: dict, id_col: str) -> dict:
     return item
 
 
+def _missing_src_check(item: Mapping[str, Any], src: str,
+                       strict_parity: bool) -> None:
+    """Non-strict mode fails LOUDLY on a source path whose head key is
+    absent from the item — the reference maps e.g. ``id: taxon_id`` to
+    null silently when the column is really ``taxons_id``
+    (ROUND12_NOTES 'index field DSL' quirk; strict mode preserves it
+    for drop-in parity)."""
+    if not strict_parity and src.split(".", 1)[0] not in item:
+        close = [k for k in item if k.endswith("_id") or k == "id"]
+        raise KeyError(
+            f"index/detail field source '{src}' not in item; available "
+            f"id-like keys: {sorted(close)} (strict_parity=True would "
+            f"map it to null, matching the reference)")
+
+
 def _ref_map_fields(item: Mapping[str, Any], specs, *, group: str,
-                    pattern: str, base_id: Any) -> dict[str, Any]:
+                    pattern: str, base_id: Any,
+                    strict_parity: bool = True) -> dict[str, Any]:
     """Reference index/detail field DSL incl. the endpoint_url generator
     (DataMapper._map_fields :1072-1118, _generate_endpoint_url)."""
     out: dict[str, Any] = {}
@@ -228,12 +244,15 @@ def _ref_map_fields(item: Mapping[str, Any], specs, *, group: str,
         if isinstance(spec, str):
             if ":" in spec:
                 name, src = (s.strip() for s in spec.split(":", 1))
+                _missing_src_check(item, src, strict_parity)
                 out[name] = _nested_get(item, src)
             else:
+                _missing_src_check(item, spec, strict_parity)
                 out[spec] = _nested_get(item, spec)
         elif isinstance(spec, Mapping):
             for name, cfg in spec.items():
                 if isinstance(cfg, str):
+                    _missing_src_check(item, cfg, strict_parity)
                     out[name] = _nested_get(item, cfg)
                 elif isinstance(cfg, Mapping) and \
                         cfg.get("generator") == "endpoint_url":
@@ -252,7 +271,8 @@ def _ref_map_fields(item: Mapping[str, Any], specs, *, group: str,
 
 def export_json_api_target(results: DataFrame, group_name: str,
                            out_dir: str, params: Mapping[str, Any],
-                           group_cfg: Mapping[str, Any]) -> dict:
+                           group_cfg: Mapping[str, Any],
+                           strict_parity: bool = True) -> dict:
     """One group of a reference export.yml ``json_api_exporter`` target.
 
     Writes ``detail_output_pattern``-named files per entity (pass_through
@@ -300,7 +320,8 @@ def export_json_api_target(results: DataFrame, group_name: str,
             detail = _ref_map_fields(item, detail_cfg["fields"],
                                      group=group_name,
                                      pattern=detail_pattern,
-                                     base_id=item_id)
+                                     base_id=item_id,
+                                     strict_parity=strict_parity)
         else:
             detail = item
         rel = detail_pattern.format(group=group_name,
@@ -343,7 +364,8 @@ def export_json_api_target(results: DataFrame, group_name: str,
             mapped = _ref_map_fields(item, index_cfg["fields"],
                                      group=group_name,
                                      pattern=detail_pattern,
-                                     base_id=item_id)
+                                     base_id=item_id,
+                                     strict_parity=strict_parity)
         else:
             mapped = dict(item)
         if "detail_url" not in mapped:

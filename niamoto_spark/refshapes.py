@@ -302,8 +302,10 @@ def multi_column_extractor(df: DataFrame, gid: str, p: dict) -> DataFrame:
 
 
 def geospatial_extractor(tagged_df: DataFrame, gid: str, p: dict,
-                         entities: DataFrame) -> DataFrame:
-    """GeoJSON FeatureCollection — bug-for-bug with the reference:
+                         entities: DataFrame,
+                         strict_parity: bool = True) -> DataFrame:
+    """GeoJSON FeatureCollection — bug-for-bug with the reference under
+    ``strict_parity`` (the default, and what the refdiff certifies):
 
     - group_by_coordinates=true iterates ``row.geometry``, which only
       resolves when the geometry FIELD is literally named 'geometry'
@@ -311,19 +313,23 @@ def geospatial_extractor(tagged_df: DataFrame, gid: str, p: dict,
       is swallowed, and yields an EMPTY FeatureCollection
       (extraction/geospatial_extractor.py:612-686).
     - otherwise geopandas to_json emits features with id = source row
-      index and all JSON-safe columns as properties."""
+      index and all JSON-safe columns as properties.
+
+    ``strict_parity=False`` gives the sane behavior the reference
+    presumably intended: group_by_coordinates works for ANY field name
+    (unique coordinates, first-occurrence properties, a ``count`` per
+    coordinate — the reference's own semantics when the field IS named
+    'geometry')."""
     field = p["field"]
     group_by_coords = p.get("group_by_coordinates", False)
-    if group_by_coords and field != "geometry":
+    if group_by_coords and field != "geometry" and strict_parity:
         return entities.select(
             F.col(gid),
             F.lit('{"type": "FeatureCollection", "features": []}')
             .alias("__json"))
-    pt = F.regexp_extract(F.col(field), r"POINT \(([-\d.]+) ([-\d.]+)\)", 0)
-    x = F.regexp_extract(F.col(field),
-                         r"POINT \(([-\d.]+) ([-\d.]+)\)", 1).cast("double")
-    y = F.regexp_extract(F.col(field),
-                         r"POINT \(([-\d.]+) ([-\d.]+)\)", 2).cast("double")
+    if group_by_coords:
+        return _geospatial_grouped(tagged_df, gid, p, field)
+    pt, x, y = _point_xy(field)
     # a loader may have shadowed the source's own gid-named column under
     # __src_<gid> (loaders._clear_gid_collision); the reference sees the
     # source column under its ORIGINAL name in GeoJSON properties
@@ -350,6 +356,53 @@ def geospatial_extractor(tagged_df: DataFrame, gid: str, p: dict,
            .agg(F.sort_array(F.collect_list(F.struct(F.col("__o"),
                                                      F.col("__f"))))
                 .alias("__a")))
+    return _obj(agg, gid, [
+        F.lit("FeatureCollection").alias("type"),
+        F.transform("__a", lambda s: s["__f"]).alias("features"),
+    ])
+
+
+def _point_xy(field: str):
+    pt = F.regexp_extract(F.col(field), r"POINT \(([-\d.]+) ([-\d.]+)\)", 0)
+    x = F.regexp_extract(F.col(field),
+                         r"POINT \(([-\d.]+) ([-\d.]+)\)", 1).cast("double")
+    y = F.regexp_extract(F.col(field),
+                         r"POINT \(([-\d.]+) ([-\d.]+)\)", 2).cast("double")
+    return pt, x, y
+
+
+def _geospatial_grouped(tagged_df: DataFrame, gid: str, p: dict,
+                        field: str) -> DataFrame:
+    """group_by_coordinates semantics (geospatial_extractor.py:612-686):
+    unique coordinates in first-occurrence order, properties from the
+    FIRST row at each coordinate (configured ``properties`` list only),
+    plus a ``count`` of rows sharing it."""
+    pt, x, y = _point_xy(field)
+    props = [c for c in (p.get("properties") or [])
+             if c in tagged_df.columns]
+    order = F.col(SRC_ORDER) if SRC_ORDER in tagged_df.columns \
+        else F.monotonically_increasing_id()
+    rows = tagged_df.where(pt != "").select(
+        F.col(gid), x.alias("__x"), y.alias("__y"), order.alias("__o"),
+        F.struct(*[F.col(c) for c in props]).alias("__p")
+        if props else F.struct(F.lit(1).alias("__dummy")).alias("__p"))
+    per_coord = (rows.groupBy(gid, "__x", "__y")
+                 .agg(F.min("__o").alias("__first"),
+                      F.min_by("__p", "__o").alias("__p"),
+                      F.count(F.lit(1)).alias("count")))
+    prop_fields = [F.col("__p")[c].alias(c) for c in props]
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(F.lit("Point").alias("type"),
+                 F.array(F.col("__x"), F.col("__y")).alias("coordinates"))
+        .alias("geometry"),
+        F.struct(*prop_fields, F.col("count").alias("count"))
+        .alias("properties"))
+    agg = (per_coord
+           .select(F.col(gid), F.col("__first"), feature.alias("__f"))
+           .groupBy(gid)
+           .agg(F.sort_array(F.collect_list(
+               F.struct(F.col("__first"), F.col("__f")))).alias("__a")))
     return _obj(agg, gid, [
         F.lit("FeatureCollection").alias("type"),
         F.transform("__a", lambda s: s["__f"]).alias("features"),

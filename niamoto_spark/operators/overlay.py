@@ -573,7 +573,13 @@ def wkt_to_topojson(wkt: str, quantization: int = 10_000) -> dict:
         gtype = "LineString"
     else:
         raise ValueError(f"unsupported WKT type for TopoJSON: {name}")
+    return nested_to_topojson(gtype, polys, quantization)
 
+
+def nested_to_topojson(gtype: str, polys, quantization: int = 10_000) -> dict:
+    """Nested-coordinate form of :func:`wkt_to_topojson` — shared by the
+    engine widget and the refdiff topojson shim so float coordinates
+    never round-trip through WKT strings (r13 geography differential)."""
     all_pts = [p for poly in polys for ring in poly for p in ring]
     xs = [p[0] for p in all_pts]
     ys = [p[1] for p in all_pts]

@@ -213,3 +213,138 @@ def simplify_wkt_utm(shapes: DataFrame, wkt_col: str,
             yield pdf
 
     return shapes.mapInPandas(simp, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Shared nested-coordinate helpers (r13): one implementation serving BOTH
+# the engine's shape_processor widget (pipeline._shape_processor_widget)
+# and the refdiff geometry shim (tools/refdiff/shims.py) — the geography
+# differential is meaningful precisely because the geometry KERNELS are
+# held common while the reference's plugin LOGIC (tolerance formula, layer
+# clip order, double-simplify, union order) runs against this engine's.
+# "Nested polys" = [[ring, ...], ...] with ring = [(x, y), ...] closed.
+
+def nested_polys_from_wkt(wkt: str):
+    """WKT POLYGON/MULTIPOLYGON -> nested polys (list of poly, each a
+    list of rings)."""
+    from niamoto_spark.sources.vector import parse_wkt_nested
+
+    name, nested = parse_wkt_nested(wkt)
+    if name == "POLYGON":
+        return [nested]
+    if name == "MULTIPOLYGON":
+        return nested
+    raise ValueError(f"unsupported geometry for shape_processor: {name}")
+
+
+def nested_centroid(polys) -> tuple[float, float]:
+    """Area-weighted polygon centroid (shapely semantics: holes carry
+    negative signed area).  Degenerate zero-area input falls back to the
+    vertex mean."""
+    sa = 0.0
+    cx = 0.0
+    cy = 0.0
+    for poly in polys:
+        for r_i, ring in enumerate(poly):
+            x = np.array([p[0] for p in ring], dtype=np.float64)
+            y = np.array([p[1] for p in ring], dtype=np.float64)
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            a_signed = cross.sum() / 2.0
+            if a_signed == 0:
+                continue
+            # ring centroid = S/(6*a_signed); weight +|a| (exterior)
+            # or -|a| (hole) -> contribution = S/6 * (w/a_signed)
+            w = abs(a_signed) if r_i == 0 else -abs(a_signed)
+            scale = w / a_signed
+            cx += float(((x[:-1] + x[1:]) * cross).sum() / 6.0) * scale
+            cy += float(((y[:-1] + y[1:]) * cross).sum() / 6.0) * scale
+            sa += w
+    if sa == 0:
+        pts = [p for poly in polys for ring in poly for p in ring]
+        return (sum(p[0] for p in pts) / len(pts),
+                sum(p[1] for p in pts) / len(pts))
+    return cx / sa, cy / sa
+
+
+def nested_area(polys) -> float:
+    """Shapely .area semantics: sum over polygons of |outer| minus the
+    |holes|, in the coordinates given."""
+    total = 0.0
+    for poly in polys:
+        for r_i, ring in enumerate(poly):
+            x = np.array([p[0] for p in ring], dtype=np.float64)
+            y = np.array([p[1] for p in ring], dtype=np.float64)
+            a = _shoelace(x, y)
+            total += a if r_i == 0 else -a
+    return total
+
+
+def nested_transform(polys, fn):
+    """Apply ``fn(xs, ys) -> (Xs, Ys)`` to every ring."""
+    out = []
+    for poly in polys:
+        rings = []
+        for ring in poly:
+            x = np.array([p[0] for p in ring], dtype=np.float64)
+            y = np.array([p[1] for p in ring], dtype=np.float64)
+            xx, yy = fn(x, y)
+            rings.append([(float(a), float(b)) for a, b in zip(xx, yy)])
+        out.append(rings)
+    return out
+
+
+def nested_simplify(polys, tolerance: float):
+    """Douglas-Peucker per ring with the >=4-point closure guard
+    (the kernel behind the shim's geometry.simplify)."""
+    from niamoto_spark.operators.overlay import douglas_peucker
+
+    out = []
+    for poly in polys:
+        rings = []
+        for ring in poly:
+            arr = np.array(ring, dtype=np.float64)
+            simp = douglas_peucker(arr, tolerance)
+            if len(simp) < 4:
+                simp = arr
+            rings.append([(float(a), float(b)) for a, b in simp])
+        out.append(rings)
+    return out
+
+
+def simplify_with_utm_nested(polys):
+    """The reference's ``_simplify_with_utm`` flow
+    (shape_processor.py:338-420) over nested polys: centroid -> UTM
+    zone (int((lon+180)/6)+1), project, adaptive tolerance from the
+    metric area (5 m under 1000 km2, else 10*(area_km2/1000)^0.25),
+    Douglas-Peucker, project back."""
+    lon, _lat = nested_centroid(polys)
+    zone = min(max(int((lon + 180.0) / 6.0) + 1, 1), 60)
+    utm_polys = nested_transform(
+        polys, lambda x, y: utm_forward(x, y, zone))
+    area_km2 = nested_area(utm_polys) / 1_000_000.0
+    if area_km2 > 1000:
+        tolerance = 10 * (area_km2 / 1000) ** 0.25
+    else:
+        tolerance = 5.0
+    simp = nested_simplify(utm_polys, tolerance)
+    return nested_transform(simp, lambda x, y: utm_inverse(x, y, zone))
+
+
+def clip_nested(subject_polys, clip_polys):
+    """Intersect subject polygons with clip polygons (outer rings only
+    — the refdiff synth data carries no holes); returns nested polys of
+    the surviving pieces in subject-then-clip order."""
+    from niamoto_spark.operators.overlay import clip_general
+
+    out = []
+    for spoly in subject_polys:
+        for cpoly in clip_polys:
+            sub = np.array(spoly[0], dtype=np.float64)
+            clp = np.array(cpoly[0], dtype=np.float64)
+            for ring in clip_general(sub, clp):
+                if len(ring) >= 3:
+                    r = [(float(a), float(b)) for a, b in ring]
+                    if r[0] != r[-1]:
+                        r.append(r[0])
+                    out.append([r])
+    return out

@@ -61,6 +61,7 @@ class Pipeline:
         # False gives new users the sane behavior at those sites
         # (VERDICT r12 "What's wrong" #3)
         self.strict_parity = strict_parity
+        self.layers_meta: dict[str, dict] = {}
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -70,6 +71,14 @@ class Pipeline:
     def run_import(self, cfg: dict | ImportConfig,
                    base_dir: str = ".") -> EntityRegistry:
         if not isinstance(cfg, ImportConfig):
+            # layer metadata (metadata.layers in the reference's
+            # import.yml) feeds the shape_processor widget at transform
+            # time; captured before validation narrows the dict
+            meta = cfg.get("metadata") or {}
+            self.layers_meta = {
+                lay.get("name"): lay
+                for lay in (meta.get("layers") or cfg.get("layers") or [])
+                if isinstance(lay, dict) and lay.get("name")}
             cfg = validate_import_config(cfg)
         kind_map = {"datasets": EntityKind.DATASET,
                     "references": EntityKind.REFERENCE,
@@ -477,25 +486,66 @@ class Pipeline:
     def _shape_processor_widget(self, df: DataFrame, gid: str,
                                 params: dict) -> DataFrame:
         """shape_processor widget: per-entity geometry -> TopoJSON
-        (reference transformers/geospatial/shape_processor.py — which
-        needs geopandas/topojson; here the repo's pure-python
-        simplify + TopoJSON encoder, operators/overlay.py:517-650).
-        Emits {"shape_coords": <Topology>} per entity with a geometry;
-        configured overlay layers whose files are absent are skipped,
-        like the reference's missing-layer warning path."""
+        (reference transformers/geospatial/shape_processor.py:486-560),
+        replicating the full plugin flow with the repo's pure-python
+        kernels (operators/utm.py nested helpers + the TopoJSON encoder
+        in operators/overlay.py — the SAME kernels the refdiff geometry
+        shim serves to the reference, so the geography differential
+        isolates the plugin logic):
+
+        - the entity geometry is UTM-adaptively simplified
+          (centroid-zone, metric area tolerance) -> ``shape_coords``;
+        - each configured vector layer (metadata.layers in import.yml)
+          is clipped against the SIMPLIFIED shape, simplified per
+          feature, unioned (disjoint flatten), simplified AGAIN (the
+          reference's get_coordinates_from_gdf double-simplify), and
+          encoded -> ``{layer}_coords``;
+        - entities with no geometry emit NOTHING: the plugin returns {}
+          (reference :524-526) and the service drops falsy widget
+          results (transformer.py:299), so the column stays NULL;
+        - layers missing from the import metadata or on disk are
+          SKIPPED (engine divergence: the reference raises and loses
+          the whole widget — skipping is strictly more useful and the
+          refdiff synth always provides the layer)."""
         import json as _json
 
-        from niamoto_spark.operators.overlay import (simplify_wkt,
-                                                     wkt_to_topojson)
+        from niamoto_spark.operators.overlay import nested_to_topojson
+        from niamoto_spark.operators.utm import (clip_nested,
+                                                 nested_polys_from_wkt,
+                                                 simplify_with_utm_nested)
 
         field = params.get("field", "location")
-        base = df.select(gid, field).where(F.col(field).isNotNull())
-        if params.get("simplify", False):
-            base = simplify_wkt(base, field, out_col="__wkt") \
-                .select(gid, "__wkt")
-        else:
-            base = base.select(gid, F.col(field).alias("__wkt"))
+        do_simplify = params.get("simplify", True)
+
+        # resolve layer vector data driver-side once (layer files are
+        # dims by nature; rows fan out through the closure broadcast)
+        layer_data: list[tuple[str, dict]] = []
+        for lc in params.get("layers") or []:
+            name = lc if isinstance(lc, str) else lc.get("name")
+            lclip = True if isinstance(lc, str) else lc.get("clip", True)
+            lsimp = True if isinstance(lc, str) else lc.get("simplify",
+                                                            True)
+            meta = self.layers_meta.get(name)
+            if not meta or meta.get("type") not in (None, "vector"):
+                continue
+            path = meta.get("path") or ""
+            if not os.path.isabs(path):
+                path = os.path.join(getattr(self, "base_dir", "."), path)
+            if not os.path.exists(path):
+                continue
+            from niamoto_spark.sources.vector import read_gpkg_records
+            geoms = [nested_polys_from_wkt(r["geometry_wkt"])
+                     for r in read_gpkg_records(path)
+                     if r.get("geometry_wkt")]
+            layer_data.append((name, {"geoms": geoms, "clip": lclip,
+                                      "simplify": lsimp}))
+
+        base = df.select(gid, F.col(field).alias("__wkt"))
         gid_type = dict(df.dtypes)[gid]
+
+        def _encode(polys):
+            gtype = "Polygon" if len(polys) == 1 else "MultiPolygon"
+            return nested_to_topojson(gtype, polys)
 
         def run(batches):
             import pandas as pd
@@ -505,11 +555,28 @@ class Pipeline:
                     if row["__wkt"] is None:
                         continue
                     try:
-                        tj = wkt_to_topojson(row["__wkt"])
+                        polys = nested_polys_from_wkt(row["__wkt"])
                     except ValueError:
                         continue
-                    rows.append((row[gid],
-                                 _json.dumps({"shape_coords": tj})))
+                    spolys = simplify_with_utm_nested(polys) \
+                        if do_simplify else polys
+                    doc = {"shape_coords": _encode(spolys)}
+                    for name, ld in layer_data:
+                        parts = []
+                        for g in ld["geoms"]:
+                            pieces = clip_nested(g, spolys) \
+                                if ld["clip"] else g
+                            if not pieces:
+                                continue
+                            if ld["simplify"]:
+                                pieces = simplify_with_utm_nested(pieces)
+                            parts.extend(pieces)
+                        if not parts:
+                            doc[f"{name}_coords"] = {}
+                            continue
+                        merged = simplify_with_utm_nested(parts)
+                        doc[f"{name}_coords"] = _encode(merged)
+                    rows.append((row[gid], _json.dumps(doc)))
                 yield pd.DataFrame(rows, columns=[gid, "__json"])
 
         return base.mapInPandas(run,

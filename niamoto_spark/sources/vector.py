@@ -290,13 +290,11 @@ def list_gpkg_layers(path: str) -> list[str]:
         con.close()
 
 
-def read_gpkg(spark: SparkSession, path: str,
-              layer: str | None = None) -> DataFrame:
-    """GeoPackage feature table -> DataFrame with ``geometry_wkt``.
-    Defaults to the first (alphabetical) feature layer, like
-    gpd.read_file's default layer pick."""
-    import pandas as pd
-
+def read_gpkg_records(path: str, layer: str | None = None) -> list[dict]:
+    """Driver-side GeoPackage read -> list of row dicts with
+    ``geometry_wkt`` (row order = table order, gpd.read_file-like).
+    Shared by the Spark reader below and the refdiff geometry shim's
+    ``gpd.read_file``."""
     con = sqlite3.connect(path)
     try:
         if layer is None:
@@ -318,7 +316,18 @@ def read_gpkg(spark: SparkSession, path: str,
             out.append(d)
     finally:
         con.close()
-    return spark.createDataFrame(pd.DataFrame(out))
+    return out
+
+
+def read_gpkg(spark: SparkSession, path: str,
+              layer: str | None = None) -> DataFrame:
+    """GeoPackage feature table -> DataFrame with ``geometry_wkt``.
+    Defaults to the first (alphabetical) feature layer, like
+    gpd.read_file's default layer pick."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(read_gpkg_records(
+        path, layer)))
 
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,13 @@ REFERENCE_BLOCKED = {
         "dict literal (custom_calculator.py: ast.Dict not whitelisted); "
         "this engine RUNS the chain (pipeline._custom_calculator_step) — "
         "superset, nothing reference-side to diff against",
-    ("shapes", "geography"):
-        "shape_processor needs real geopandas/topojson (not in container)",
+    # shapes.geography is NO LONGER excluded (r13): the reference's
+    # shape_processor runs end-to-end through the geometry shims
+    # (tools/refdiff/shims.py), with the geometry KERNELS (UTM
+    # projection, Douglas-Peucker, TopoJSON encoder, box clipper) held
+    # common between engines — the differential certifies the plugin
+    # LOGIC (tolerance formula, layer clip order, double-simplify,
+    # union order), not the kernels.
 }
 
 

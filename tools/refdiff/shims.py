@@ -564,13 +564,141 @@ class ShimPoint(ShimBaseGeometry):
         return [(self.x, self.y)]
 
 
+class ShimPolygonal(ShimBaseGeometry):
+    """Rich polygonal geometry (r13 geography differential): the
+    reference's shape_processor runs end-to-end against these, with
+    every kernel (centroid, metric area, Douglas-Peucker, UTM
+    transform) delegating to niamoto_spark.operators.utm — the SAME
+    functions the engine widget uses, so the differential isolates the
+    plugin LOGIC (tolerance formula, clip order, double-simplify,
+    union order) rather than re-testing the geometry kernels."""
+
+    @property
+    def is_valid(self):
+        return True
+
+    def _nested(self):
+        raise NotImplementedError
+
+    @classmethod
+    def _from_nested(cls, polys):
+        if len(polys) == 1:
+            return ShimPolygon(polys[0][0], polys[0][1:])
+        return ShimMultiPolygon(polys)
+
+    @property
+    def centroid(self):
+        from niamoto_spark.operators.utm import nested_centroid
+        return ShimPoint(*nested_centroid(self._nested()))
+
+    @property
+    def area(self):
+        from niamoto_spark.operators.utm import nested_area
+        return nested_area(self._nested())
+
+    def simplify(self, tolerance, preserve_topology=False):
+        from niamoto_spark.operators.utm import nested_simplify
+        return type(self)._rebuild(
+            nested_simplify(self._nested(), float(tolerance)))
+
+    def transformed(self, fn):
+        from niamoto_spark.operators.utm import nested_transform
+        return type(self)._rebuild(nested_transform(self._nested(), fn))
+
+
+class ShimPolygon(ShimPolygonal):
+    geom_type = "Polygon"
+
+    def __init__(self, shell, holes=None):
+        rings = [list(map(tuple, shell))]
+        for h in (holes or []):
+            rings.append(list(map(tuple, h)))
+        super().__init__(rings)
+
+    def _nested(self):
+        return [self._coords]
+
+    @classmethod
+    def _rebuild(cls, polys):
+        assert len(polys) == 1
+        return cls(polys[0][0], polys[0][1:])
+
+
+class ShimMultiPolygon(ShimPolygonal):
+    geom_type = "MultiPolygon"
+
+    def __init__(self, polygons):
+        polys = []
+        for p in polygons:
+            if isinstance(p, ShimPolygon):
+                polys.append([list(map(tuple, r)) for r in p._coords])
+            else:   # raw nested coords
+                polys.append([list(map(tuple, r)) for r in p])
+        super().__init__(polys)
+
+    def _nested(self):
+        return self._coords
+
+    @classmethod
+    def _rebuild(cls, polys):
+        return cls(polys)
+
+    @property
+    def geoms(self):
+        return [ShimPolygon(p[0], p[1:]) for p in self._coords]
+
+
+class ShimGeometryCollection(ShimBaseGeometry):
+    geom_type = "GeometryCollection"
+
+    def __init__(self, geoms=None):
+        self.geoms = list(geoms or [])
+        super().__init__(self.geoms)
+
+    @property
+    def is_valid(self):
+        return True
+
+
+def _shim_unary_union(geoms):
+    """Union of DISJOINT polygonal geometries: flatten parts in input
+    order (1 part -> Polygon, else MultiPolygon).  The refdiff synth
+    layers are constructed disjoint, so no dissolve is needed; callers
+    feeding overlapping polygons would diverge from real shapely and
+    the differential would catch it."""
+    polys = []
+    for g in geoms:
+        if isinstance(g, ShimMultiPolygon):
+            polys.extend(g._nested())
+        elif isinstance(g, ShimPolygon):
+            polys.extend(g._nested())
+        else:
+            raise NotImplementedError(
+                f"unary_union over {type(g).__name__}")
+    if not polys:
+        return ShimGeometryCollection([])
+    return ShimPolygonal._from_nested(polys)
+
+
+def _shim_ops_transform(fn, geom):
+    """shapely.ops.transform for the shim types (Point + polygonal)."""
+    import numpy as _np
+    if isinstance(geom, ShimPoint):
+        x, y = fn(_np.array([geom.x]), _np.array([geom.y]))
+        return ShimPoint(float(x[0]), float(y[0]))
+    if isinstance(geom, ShimPolygonal):
+        return geom.transformed(fn)
+    raise NotImplementedError(
+        f"shapely.ops.transform over {type(geom).__name__}")
+
+
 _GEOM_TYPES = {
     "POINT": ("Point", ShimPoint),
     "LINESTRING": ("LineString", None),
-    "POLYGON": ("Polygon", None),
+    "POLYGON": ("Polygon", ShimPolygon),
     "MULTIPOINT": ("MultiPoint", None),
     "MULTILINESTRING": ("MultiLineString", None),
-    "MULTIPOLYGON": ("MultiPolygon", None),
+    "MULTIPOLYGON": ("MultiPolygon", ShimMultiPolygon),
 }
 
 
@@ -582,6 +710,10 @@ def _shim_load_wkt(s: str):
     geo_name, cls = _GEOM_TYPES[name]
     if cls is ShimPoint:
         return ShimPoint(*coords)
+    if cls is ShimPolygon:
+        return ShimPolygon(coords[0], coords[1:])
+    if cls is ShimMultiPolygon:
+        return ShimMultiPolygon(coords)
     geom = ShimBaseGeometry(coords)
     geom.geom_type = geo_name
     return geom
@@ -629,17 +761,21 @@ def _install_geo() -> None:
         wkb_mod = types.ModuleType("shapely.wkb")
         wkb_mod.loads = _shim_load_wkb
         ops_mod = types.ModuleType("shapely.ops")
-        ops_mod.transform = _unsupported("shapely.ops.transform")
-        ops_mod.unary_union = _unsupported("shapely.ops.unary_union")
-        for gname in ("Polygon", "MultiPolygon", "GeometryCollection",
-                      "MultiPoint", "LineString", "MultiLineString"):
+        ops_mod.transform = _shim_ops_transform
+        ops_mod.unary_union = _shim_unary_union
+        geometry_mod.Polygon = ShimPolygon
+        geometry_mod.MultiPolygon = ShimMultiPolygon
+        geometry_mod.GeometryCollection = ShimGeometryCollection
+        for gname in ("MultiPoint", "LineString", "MultiLineString"):
             cls = type(gname, (ShimBaseGeometry,), {"geom_type": gname})
             setattr(geometry_mod, gname, cls)
         shapely.geometry = geometry_mod
         shapely.wkt = wkt_mod
         shapely.wkb = wkb_mod
         shapely.ops = ops_mod
-        shapely.make_valid = _unsupported("shapely.make_valid")
+        # shim geometries are valid by construction; identity matches
+        # shapely's no-op on already-valid input
+        shapely.make_valid = lambda g: g
         sys.modules["shapely"] = shapely
         sys.modules["shapely.geometry"] = geometry_mod
         sys.modules["shapely.geometry.base"] = base_mod
@@ -650,9 +786,79 @@ def _install_geo() -> None:
     # Inert stubs for geo libraries only referenced at module scope by
     # plugins the example transform.yml may not reach: any ATTRIBUTE the
     # importing module binds resolves to a callable that raises at use.
+    # pyproj: CRS + Transformer over the repo's pure-python UTM kernel
+    # (shape_processor._simplify_with_utm only builds WGS84<->UTM pairs)
+    if "pyproj" not in sys.modules or isinstance(sys.modules["pyproj"],
+                                                 _InertModule):
+        pyproj = types.ModuleType("pyproj")
+
+        class _ShimCRS:
+            def __init__(self, spec):
+                self.spec = str(spec)
+                self.is_utm = "+proj=utm" in self.spec
+                self.zone = None
+                if self.is_utm:
+                    for tok in self.spec.split():
+                        if tok.startswith("+zone="):
+                            self.zone = int(tok.split("=", 1)[1])
+
+        class _ShimTransformer:
+            def __init__(self, src, dst):
+                from niamoto_spark.operators.utm import (utm_forward,
+                                                         utm_inverse)
+                if dst.is_utm:
+                    self.transform = (
+                        lambda x, y, _z=dst.zone: utm_forward(x, y, _z))
+                elif src.is_utm:
+                    self.transform = (
+                        lambda x, y, _z=src.zone: utm_inverse(x, y, _z))
+                else:
+                    raise NotImplementedError(
+                        f"refdiff pyproj shim: {src.spec} -> {dst.spec}")
+
+            @classmethod
+            def from_crs(cls, src, dst, always_xy=False):
+                return cls(src, dst)
+
+        pyproj.CRS = _ShimCRS
+        pyproj.Transformer = _ShimTransformer
+        pyproj.__spec__ = __import__("importlib.machinery", fromlist=[
+            "ModuleSpec"]).ModuleSpec("pyproj", None)
+        sys.modules["pyproj"] = pyproj
+
+    # topojson: Topology over the repo's encoder — the SAME encoder the
+    # engine widget uses, so the geography differential certifies the
+    # reference's plugin logic with the encoder held common
+    if "topojson" not in sys.modules or isinstance(sys.modules["topojson"],
+                                                   _InertModule):
+        tp = types.ModuleType("topojson")
+
+        class _ShimTopology:
+            def __init__(self, geojson, prequantize=True, **_kw):
+                self._geojson = geojson
+
+            def to_dict(self):
+                from niamoto_spark.operators.overlay import \
+                    nested_to_topojson
+                feats = self._geojson.get("features") or []
+                if len(feats) != 1:
+                    raise NotImplementedError(
+                        "refdiff topojson shim: expected exactly one "
+                        f"feature, got {len(feats)}")
+                geom = feats[0]["geometry"]
+                gtype = geom["type"]
+                coords = geom["coordinates"]
+                polys = [coords] if gtype == "Polygon" else coords
+                return nested_to_topojson(gtype, polys)
+
+        tp.Topology = _ShimTopology
+        tp.__spec__ = __import__("importlib.machinery", fromlist=[
+            "ModuleSpec"]).ModuleSpec("topojson", None)
+        sys.modules["topojson"] = tp
+
     for name in ("rasterio", "rasterio.mask", "rasterio.features",
                  "rasterio.warp", "rasterio.transform", "rasterio.enums",
-                 "topojson", "pyproj", "fiona", "pyogrio",
+                 "fiona", "pyogrio",
                  "scipy", "scipy.stats", "scipy.spatial",
                  "scipy.spatial.distance", "sklearn", "sklearn.cluster",
                  "sklearn.ensemble", "sklearn.feature_extraction",
@@ -683,7 +889,8 @@ def _install_geo() -> None:
 
             _metadata = ["_geometry_name"]
 
-            def __init__(self, data=None, *args, geometry=None, **kwargs):
+            def __init__(self, data=None, *args, geometry=None, crs=None,
+                         **kwargs):
                 super().__init__(data, *args, **kwargs)
                 object.__setattr__(self, "_geometry_name", "geometry")
                 if geometry is not None:
@@ -698,6 +905,10 @@ def _install_geo() -> None:
             @property
             def geometry(self):
                 return self[getattr(self, "_geometry_name", "geometry")]
+
+            @geometry.setter
+            def geometry(self, values):
+                self[getattr(self, "_geometry_name", "geometry")] = values
 
             def to_json(self, **kwargs):
                 import json as _json
@@ -727,7 +938,49 @@ def _install_geo() -> None:
 
         gpd.GeoDataFrame = GeoDataFrame
         gpd.GeoSeries = pd.Series
-        gpd.read_file = _unsupported("geopandas.read_file")
+
+        def _read_file(path, engine=None, **_kw):
+            """Vector read via the repo's pure-python GeoPackage/SHP
+            readers; geometry parsed into the shim classes."""
+            from niamoto_spark.sources.vector import read_gpkg_records
+            if str(path).lower().endswith((".gpkg",)):
+                records = read_gpkg_records(str(path))
+            else:
+                raise NotImplementedError(
+                    f"refdiff gpd.read_file: {path}")
+            geoms = [(_shim_load_wkt(r.pop("geometry_wkt"))
+                      if r.get("geometry_wkt") else r.pop("geometry_wkt"))
+                     for r in records]
+            gdf = GeoDataFrame(pd.DataFrame(records),
+                               geometry=pd.Series(geoms, name="geometry"))
+            return gdf
+
+        def _clip(gdf, mask_gdf):
+            """Row-wise polygon clip against the union of the mask's
+            geometries (outer rings; the repo's Sutherland-Hodgman /
+            general clipper) — row order preserved, empty results
+            dropped, like gpd.clip."""
+            from niamoto_spark.operators.utm import clip_nested
+            mask_polys = []
+            for g in mask_gdf.geometry:
+                if g is not None:
+                    mask_polys.extend(g._nested())
+            keep_idx, new_geoms = [], []
+            for idx, row in gdf.iterrows():
+                g = row[getattr(gdf, "_geometry_name", "geometry")]
+                if g is None or not isinstance(g, ShimPolygonal):
+                    continue
+                pieces = clip_nested(g._nested(), mask_polys)
+                if not pieces:
+                    continue
+                keep_idx.append(idx)
+                new_geoms.append(ShimPolygonal._from_nested(pieces))
+            out = gdf.loc[keep_idx].copy()
+            out[getattr(gdf, "_geometry_name", "geometry")] = new_geoms
+            return out
+
+        gpd.read_file = _read_file
+        gpd.clip = _clip
         sys.modules["geopandas"] = gpd
 
 

@@ -254,6 +254,35 @@ def make_raw_shape_stats(shape_names) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# forest-cover layer patches (imports/layers/... — the VERBATIM path the
+# example import.yml's metadata.layers names).  Strictly DISJOINT boxes,
+# each strictly inside / strictly overlapping a shape (never edge-
+# touching): the pure-python unary_union both engines share is a
+# disjoint flatten, and edge-touch clips would be degenerate.
+FOREST_PATCHES = [
+    ("Foret du Sud-Ouest", (166.05, -22.55, 166.35, -22.30)),
+    ("Foret de Dumbea", (166.45, -22.20, 166.55, -22.05)),
+    ("Foret de Yate", (166.85, -22.35, 166.98, -22.12)),
+    ("Foret du Nord", (164.8, -21.2, 165.3, -20.8)),
+    ("Foret du Cap", (165.5, -20.7, 165.75, -20.5)),
+]
+
+
+def write_forest_cover(root: str) -> str:
+    """Write the forest_cover vector layer at the path the example
+    import.yml metadata declares (r13: feeds the geography widget's
+    shape_processor differential)."""
+    from niamoto_spark.sources.vector import write_gpkg
+
+    path = os.path.join(root, "imports", "layers",
+                        "amap_carto_3k_20240715.gpkg")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    records = [{"nom": n, "type_foret": "dense"} for n, _ in FOREST_PATCHES]
+    geoms = [_box_wkt(b) for _, b in FOREST_PATCHES]
+    write_gpkg(path, "forest_cover", records, geoms)
+    return path
+
+
 def write_shape_gpkgs(shapes_dir: str) -> list[str]:
     """Write the multi-feature GeoPackages and return feature names."""
     from niamoto_spark.sources.vector import write_gpkg
@@ -334,6 +363,7 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
                       index=False)
 
     shape_names = write_shape_gpkgs(os.path.join(imports_dir, "shapes"))
+    write_forest_cover(root)
     shape_stats = make_raw_shape_stats(shape_names)
     shape_stats.to_csv(os.path.join(imports_dir, "raw_shape_stats.csv"),
                        index=False)

@@ -334,14 +334,102 @@ def _log_dropped_async(obs, max_bucket_size: int) -> None:
                      name="minhash-bucket-cap-log").start()
 
 
+def _lsh_pairs_by_join(sig: DataFrame, num_hashes: int, bands: int,
+                       rows_per_band: int, jaccard_threshold: float,
+                       max_bucket_size: int | None) -> DataFrame:
+    """pair_strategy='join': ids-only band shuffle, then estimate via
+    two signature joins (see minhash_lsh_candidates docstring).
+
+    The repartition(doc_id) barrier materializes the signature kernel
+    ONCE — the banding projection and both join sides hang off the same
+    Exchange(hashpartitioning(doc_id)) node, which Spark's
+    ReusedExchange collapses to a single computation, and the join
+    sides' required distribution is already satisfied by it."""
+    sig = sig.repartition(F.col("doc_id"))
+    banded_ids = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice(F.col("sig"),
+                                         (b * rows_per_band + 1).cast("int"),
+                                         rows_per_band)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    if max_bucket_size is not None:
+        hot = (banded_ids.select("band", "band_hash")
+               .groupBy("band", "band_hash")
+               .agg(F.count(F.lit(1)).alias("__bn"))
+               .where(F.col("__bn") > max_bucket_size))
+        try:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            hot = hot.observe(
+                obs, F.coalesce(F.sum("__bn"), F.lit(0))
+                .alias("dropped_rows"))
+            _log_dropped_async(obs, max_bucket_size)
+        except ImportError:
+            pass
+        banded_ids = banded_ids.join(F.broadcast(hot.drop("__bn")),
+                                     ["band", "band_hash"], "left_anti")
+    buckets = (banded_ids.groupBy("band", "band_hash")
+               .agg(F.collect_list("doc_id").alias("ids")))
+    n = F.size("ids")
+    ids = F.col("ids")
+
+    def id_pair(i, j):
+        a, b = F.element_at(ids, i + 1), F.element_at(ids, j + 1)
+        return F.struct(F.least(a, b).alias("id_a"),
+                        F.greatest(a, b).alias("id_b"))
+
+    pairs_arr = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(F.sequence(i + 1, n - 1),
+                              lambda j: id_pair(i, j)))))
+    pairs = (buckets.select(F.explode(pairs_arr).alias("p"))
+             .select("p.id_a", "p.id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("sig").alias("__sig_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("sig").alias("__sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with(F.col("__sig_a"), F.col("__sig_b"),
+                   lambda x, y: x == y), lambda v: v))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("est_jaccard",
+                        F.round(agree.cast("double") / F.lit(num_hashes), 4))
+            .where(F.col("est_jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
 @register("minhash_lsh_candidates", PluginType.TRANSFORMER)
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_k: int = 3,
                            jaccard_threshold: float = 0.5,
                            max_bucket_size: int | None = 1000,
-                           sig_impl: str = "auto") -> DataFrame:
+                           sig_impl: str = "auto",
+                           pair_strategy: str = "auto") -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    ``pair_strategy`` picks how candidates materialize:
+
+    - ``"bucket"`` (small/medium inputs): collect (doc_id, sig) per band
+      bucket and enumerate + estimate in place — ONE exchange carries
+      the signatures, but it carries them ``bands`` times (each doc's
+      sig rides every band row).
+    - ``"join"`` (the 100 TB shape): the band shuffle carries IDS ONLY;
+      distinct (id_a, id_b) pairs come out of id-buckets, and the
+      estimate joins the signature table twice.  Signature bytes cross
+      exchanges ~3x (one repartition barrier that ReusedExchange shares
+      across the banding and both joins, plus the two join sides)
+      instead of ``bands``x (~16x) — the amplification that dominates
+      LSH shuffle volume at scale.  Identical output, pinned by
+      tests/test_dedup_similarity.py::test_pair_strategies_identical.
+    - ``"auto"``: bucket under 256 MB of scan bytes, join above/unknown.
 
     Pipeline: signature -> explode into ``bands`` band-hashes -> self-join on
     (band, band_hash) -> distinct pairs -> estimated Jaccard from full
@@ -416,6 +504,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             _signature_from_hashed(F.col("__hl"), F.col("__n"),
                                    num_hashes).alias("sig"),
         ).where(F.col("sig").isNotNull())
+
+    if pair_strategy == "auto":
+        from niamoto_spark.functions import _est_scan
+
+        _, _pb = _est_scan(df)
+        pair_strategy = "bucket" if (_pb is not None
+                                     and _pb < 256 * 1024 * 1024) \
+            else "join"
+    if pair_strategy == "join":
+        return _lsh_pairs_by_join(sig, num_hashes, bands, rows_per_band,
+                                  jaccard_threshold, max_bucket_size)
 
     banded = sig.select(
         "doc_id", "sig",

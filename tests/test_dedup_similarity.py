@@ -482,3 +482,25 @@ def test_text_numpy_signatures_match_hof(spark):
            .collect()}
     assert npy == hof
     assert set(hof) == {1, 2, 3, 4, 5, 6, 7, 11}
+
+
+def test_pair_strategies_identical(spark):
+    """pair_strategy='join' (ids-only band shuffle + two signature
+    joins, the 100 TB shape) must emit exactly the bucket strategy's
+    (id_a, id_b, est_jaccard) set — including under the hot-bucket cap."""
+    viral = [(i, "breaking news everyone shared this same story today")
+             for i in range(40)]
+    rest = [(100 + i, f"unique document number {i} plus words {i * 3}")
+            for i in range(30)]
+    near = [(200, "the quick brown fox jumps over the lazy dog tonight"),
+            (201, "the quick brown fox jumps over the lazy cat tonight")]
+    df = spark.createDataFrame(pd.DataFrame(viral + rest + near,
+                                            columns=["doc_id", "text"]))
+    for cap in (None, 8):
+        kw = dict(num_hashes=32, bands=8, shingle_k=2,
+                  jaccard_threshold=0.2, max_bucket_size=cap)
+        bucket = {tuple(r) for r in dedup.minhash_lsh_candidates(
+            df, "doc_id", "text", pair_strategy="bucket", **kw).collect()}
+        join = {tuple(r) for r in dedup.minhash_lsh_candidates(
+            df, "doc_id", "text", pair_strategy="join", **kw).collect()}
+        assert bucket == join and len(bucket) > 0, f"cap={cap}"

@@ -617,6 +617,24 @@ def nested_to_topojson(gtype: str, polys, quantization: int = 10_000) -> dict:
     }
 
 
+def nested_to_geojson(gtype: str, polys) -> dict:
+    """Nested-coordinate polygons -> a GeoJSON FeatureCollection with
+    one feature, matching the reference's ``format: geojson`` branch
+    (shape_processor.py:258-276: ``mapping(geometry)`` wrapped in a
+    single Feature when the merged geometry is Polygon/MultiPolygon).
+    Coordinates are emitted raw (no quantization — geojson skips the
+    TopoJSON prequantize entirely)."""
+    coords = polys[0] if gtype == "Polygon" else polys
+    return {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "properties": {},
+            "geometry": {"type": gtype, "coordinates": coords},
+        }],
+    }
+
+
 def topojson_decode(topo: dict) -> list[list[tuple[float, float]]]:
     """Dequantize a Topology produced by ``wkt_to_topojson`` back to
     absolute-coordinate rings (test/verification helper)."""

@@ -509,13 +509,18 @@ class Pipeline:
           refdiff synth always provides the layer)."""
         import json as _json
 
-        from niamoto_spark.operators.overlay import nested_to_topojson
+        from niamoto_spark.operators.overlay import (nested_to_geojson,
+                                                     nested_to_topojson)
         from niamoto_spark.operators.utm import (clip_nested,
                                                  nested_polys_from_wkt,
                                                  simplify_with_utm_nested)
 
         field = params.get("field", "location")
         do_simplify = params.get("simplify", True)
+        # reference _convert_geometry (shape_processor.py:250-256):
+        # "geojson" -> raw-coordinate FeatureCollection, anything else
+        # -> quantized TopoJSON
+        out_format = params.get("format", "topojson")
 
         # resolve layer vector data driver-side once (layer files are
         # dims by nature; rows fan out through the closure broadcast)
@@ -545,6 +550,8 @@ class Pipeline:
 
         def _encode(polys):
             gtype = "Polygon" if len(polys) == 1 else "MultiPolygon"
+            if out_format == "geojson":
+                return nested_to_geojson(gtype, polys)
             return nested_to_topojson(gtype, polys)
 
         def run(batches):

@@ -205,6 +205,28 @@ def test_topojson_multipolygon_structure():
         assert sum(d[1] for d in arc[1:]) == 0
 
 
+def test_nested_to_geojson_shapes():
+    """format: geojson branch (reference shape_processor.py:258-276):
+    one Feature per FeatureCollection, raw unquantized coordinates,
+    Polygon keeps its ring list, MultiPolygon keeps the poly list."""
+    from niamoto_spark.operators.overlay import nested_to_geojson
+
+    ring = [(166.0, -22.0), (166.0, -21.0), (167.0, -21.0), (166.0, -22.0)]
+    hole = [(166.2, -21.8), (166.4, -21.8), (166.4, -21.6), (166.2, -21.8)]
+    gj = nested_to_geojson("Polygon", [[ring, hole]])
+    assert gj["type"] == "FeatureCollection"
+    assert len(gj["features"]) == 1
+    geom = gj["features"][0]["geometry"]
+    assert geom["type"] == "Polygon"
+    assert geom["coordinates"] == [ring, hole]
+    assert gj["features"][0]["properties"] == {}
+
+    polys = [[ring], [[(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)]]]
+    gj2 = nested_to_geojson("MultiPolygon", polys)
+    assert gj2["features"][0]["geometry"]["type"] == "MultiPolygon"
+    assert gj2["features"][0]["geometry"]["coordinates"] == polys
+
+
 def test_shape_topojson_operator(spark):
     import json as _json
 

@@ -65,8 +65,10 @@ def test_reference_pipeline_differential(spark, tmp_path):
         assert report["groups"][group]["ref_entities"] > 0
         assert report["groups"][group]["ref_entities"] == \
             report["groups"][group]["spark_entities"]
-    # geo-blocked widgets are the only exclusions
-    assert set(report["blocked"]) <= {"taxons.phenology", "shapes.geography"}
+    # the engine-superset phenology chain is the ONLY exclusion left
+    # (r13: shapes.geography joined the differential via the geometry
+    # shims and must never regress into the blocked list)
+    assert set(report["blocked"]) <= {"taxons.phenology"}
 
 
 def test_reference_pipeline_differential_variant(spark, tmp_path):

@@ -180,6 +180,33 @@ def _m_ratio(params, rng, notes, where):
             notes.append(f"{where}.{dname}: complement_mode -> difference")
 
 
+@_rule("shape_processor")
+def _m_shape(params, rng, notes, where):
+    """Geography-widget branch space (r13: the widget joined the
+    differential with ONE clean parameterization — flip every flag the
+    reference's ShapeProcessorConfig exposes: top-level ``simplify``
+    gates BOTH shape_coords and the clip target
+    (load_shape_geometry/get_simplified_coordinates), per-layer
+    ``clip``/``simplify`` gate _process_layer, and ``format: geojson``
+    takes the raw-coordinate _convert_to_geojson branch)."""
+    if rng.rand() < 0.4:
+        params["simplify"] = not params.get("simplify", True)
+        notes.append(f"{where}: simplify -> {params['simplify']}")
+    for lc in params.get("layers") or []:
+        if not isinstance(lc, dict):
+            continue
+        lname = lc.get("name", "?")
+        if rng.rand() < 0.4:
+            lc["clip"] = not lc.get("clip", True)
+            notes.append(f"{where}.{lname}: clip -> {lc['clip']}")
+        if rng.rand() < 0.4:
+            lc["simplify"] = not lc.get("simplify", True)
+            notes.append(f"{where}.{lname}: simplify -> {lc['simplify']}")
+    if rng.rand() < 0.35 and params.get("format") != "geojson":
+        params["format"] = "geojson"
+        notes.append(f"{where}: format -> geojson")
+
+
 def mutate_transform(cfg: list, seed: int) -> list:
     """Apply seeded mutations to a loaded transform.yml list IN PLACE;
     returns human-readable notes of what changed."""

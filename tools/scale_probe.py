@@ -558,6 +558,13 @@ def _guard_lanes_llm(spark, sf: str, mult: int) -> "dict[str, tuple]":
         "minhash_lsh_candidates":
             (ndocs, lambda: minhash_lsh_candidates(
                 bigd, "doc_id", "text").count()),
+        # r13: the ids-only band-shuffle strategy measured head-to-head
+        # with the bucket path — at cluster scale its ~3x signature
+        # amplification (vs bands~16x) is the design win; this lane
+        # checks the local-mode cost of the extra joins stays linear.
+        "minhash_lsh_join":
+            (ndocs, lambda: minhash_lsh_candidates(
+                bigd, "doc_id", "text", pair_strategy="join").count()),
         "interval_join":
             (nev, lambda: interval_join(
                 clicks, purchases, on="user_id", point_ts="cts",

@@ -27,6 +27,7 @@ the whole loaded stats frame per entity.
 
 from __future__ import annotations
 
+import json as _json
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -43,10 +44,46 @@ def _obj(df: DataFrame, gid: str, fields: list[Column]) -> DataFrame:
                      F.to_json(F.struct(*fields), JSON_OPTS).alias("__json"))
 
 
-def _int_if_whole(c: Column) -> Column:
-    """Mirror pandas to_numeric: an all-integral numeric axis serializes
-    as JSON ints, otherwise floats."""
-    return F.when(c == F.floor(c), c.cast("bigint")).otherwise(c)
+# ---------------------------------------------------------------------------
+# JSON-fragment assembly (r13): the reference serializes PYTHON values,
+# so a single JSON key can be int for one entity and float for the next
+# (pydantic echoes, pandas to_numeric column dtypes, [0]*12 fills).  A
+# to_json(struct(...)) plan cannot express per-row / per-element type
+# choices — Catalyst unifies the branch types — so shapers that need
+# them assemble the document from string fragments instead.  Every
+# fragment is VALID JSON; the engine's exporter parses __json and
+# re-serializes, so only token TYPES matter, not whitespace.
+
+def _frag_scalar(c: Column) -> Column:
+    """Fragment for an arbitrary scalar column, rendered exactly as
+    to_json renders it elsewhere (1-element array, brackets stripped —
+    keeps double formatting identical across shapers)."""
+    t = F.to_json(F.array(c))
+    return F.when(c.isNull(), F.lit("null")) \
+            .otherwise(t.substr(F.lit(2), F.length(t) - 2))
+
+
+def _frag_num_array(arr: Column) -> Column:
+    """Fragment for a numeric array with pandas to_numeric COLUMN
+    typing (the reference parses each entity's axis separately): all
+    elements integral -> JSON ints, any fractional -> all doubles
+    (to_numeric yields one dtype for the whole column)."""
+    whole = F.forall(arr, lambda x: x.isNotNull() & (x == F.floor(x)))
+    return F.when(arr.isNull(), F.lit("null")) \
+            .when(whole, F.to_json(arr.cast("array<bigint>"))) \
+            .otherwise(F.to_json(arr))
+
+
+def _doc(df: DataFrame, gid: str,
+         frags: list[tuple[str, Column]]) -> DataFrame:
+    """Assemble ``{name: <fragment>, ...}`` from JSON-fragment columns
+    (the fragment-typed counterpart of :func:`_obj`)."""
+    parts: list[Column] = [F.lit("{")]
+    for i, (name, frag) in enumerate(frags):
+        parts.append(F.lit(("," if i else "") + _json.dumps(name) + ":"))
+        parts.append(F.coalesce(frag, F.lit("null")))
+    parts.append(F.lit("}"))
+    return df.select(F.col(gid), F.concat(*parts).alias("__json"))
 
 
 def _pct_array(counts: Column, round_dp: int = 2) -> Column:
@@ -66,18 +103,30 @@ def statistical_summary(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
     """{stat: bround(v,2)..., units, max_value}
     (reference aggregation/statistical_summary.py:181-228)."""
     stats = p.get("stats") or ["min", "mean", "max"]
-    fields = [F.bround(F.col(s).cast("double"), 2).alias(s) for s in stats]
-    fields.append(F.lit(p.get("units", "")).alias("units"))
+    frags: list[tuple[str, Column]] = [
+        (s, _frag_scalar(F.bround(F.col(s).cast("double"), 2)))
+        for s in stats]
+    frags.append(("units", F.lit(_json.dumps(p.get("units", "")))))
     if "max_value" in wdf.columns:
-        # computed by the operator: max(round(data_max,2), configured) —
-        # display metadata, never a clip (statistical_summary.py:221-228;
-        # r13 config-variant find).  Whole configured caps serialize as
-        # ints in the reference (params.max_value emitted verbatim).
-        fields.append(_int_if_whole(F.col("max_value")).alias("max_value"))
+        # operator computed max(round(data_max,2), configured) — display
+        # metadata, never a clip (statistical_summary.py:221-228; r13
+        # config-variant find).  Typing (r13 byte differential): the
+        # reference emits ``data_max if data_max > params.max_value else
+        # params.max_value`` — STRICTLY greater, so the config literal
+        # wins ties and keeps its YAML type (Union[int, float], no
+        # pydantic coercion); only a data-sourced max is always float.
+        # pydantic default 100 (statistical_summary.py:61-70) — the
+        # pipeline passes the same default to the operator
+        conf = p.get("max_value", 100)
+        mv = F.col("max_value").cast("double")
+        frag = F.when(mv > float(conf), _frag_scalar(mv)) \
+                .otherwise(F.lit(_json.dumps(conf)))
+        frags.append(("max_value", frag))
     else:
-        fields.append(F.bround(F.col("max").cast("double"), 2)
-                      .alias("max_value"))
-    return _obj(wdf, gid, fields)
+        frags.append(("max_value",
+                      _frag_scalar(F.bround(F.col("max").cast("double"),
+                                            2))))
+    return _doc(wdf, gid, frags)
 
 
 def _rstrip_str(c: Column) -> Column:
@@ -147,9 +196,12 @@ def direct_attribute(wdf: DataFrame, gid: str, p: dict,
     parts = [F.lit('{"value":'), value_json,
              F.lit(',"units":' + _json.dumps(p.get("units", "")))]
     if max_value is not None:
-        # emitted verbatim: YAML int stays a JSON int (the reference
-        # serializes params.max_value itself)
-        parts.append(F.lit(',"max_value":' + _json.dumps(max_value)))
+        # the reference serializes params.max_value AFTER pydantic
+        # validation, and DirectAttributeParams types it Optional[float]
+        # — a YAML int is coerced, so the JSON is always a float (r13
+        # byte differential; contrast statistical_summary, whose
+        # Union[int, float] preserves the YAML type)
+        parts.append(F.lit(',"max_value":' + _json.dumps(float(max_value))))
     if p.get("format") is not None:
         parts.append(F.lit(',"format":' + _json.dumps(p["format"])))
     parts.append(F.lit("}"))
@@ -253,14 +305,27 @@ def time_series_analysis(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
     for s in series:
         m = F.map_from_entries(
             F.collect_list(F.struct(F.col("month"), F.col(s))))
-        aggs.append(F.array(*[F.coalesce(m[F.lit(i)], F.lit(0.0))
-                              for i in range(1, 13)]).alias(s))
+        aggs.append(m.alias(f"__m_{s}"))
     agg = wdf.groupBy(gid).agg(*aggs)
-    month_data = F.struct(*[F.col(s).alias(s[:-len("_pct")])
-                            for s in series])
-    return _obj(agg, gid, [
-        month_data.alias("month_data"),
-        F.array(*[F.lit(lb) for lb in labels]).alias("labels"),
+    # element typing (r13 byte differential): the reference initializes
+    # month_data = {name: [0] * 12} — INT zeros — and only months with
+    # rows get round(pct, 2) floats (time_series_analysis.py:247-259),
+    # so one array mixes 0 (no data) with 0.0 (data, zero presence)
+    md_parts: list[Column] = [F.lit("{")]
+    for si, s in enumerate(series):
+        m = F.col(f"__m_{s}")
+        md_parts.append(F.lit(
+            ("," if si else "") + _json.dumps(s[:-len("_pct")]) + ":["))
+        for i in range(1, 13):
+            if i > 1:
+                md_parts.append(F.lit(","))
+            md_parts.append(F.when(m[F.lit(i)].isNull(), F.lit("0"))
+                            .otherwise(_frag_scalar(m[F.lit(i)])))
+        md_parts.append(F.lit("]"))
+    md_parts.append(F.lit("}"))
+    return _doc(agg, gid, [
+        ("month_data", F.concat(*md_parts)),
+        ("labels", F.lit(_json.dumps(labels, ensure_ascii=False))),
     ])
 
 
@@ -446,11 +511,16 @@ def co_series_extractor(wdf: DataFrame, gid: str, p: dict,
     agg = agg.withColumn(
         "__a", F.coalesce(F.col("__a"), F.array().cast(
             agg.schema["__a"].dataType)))
-    axis_out = (lambda x: _int_if_whole(x["__axis"])) \
-        if size_f.get("numeric") else (lambda x: x["__axis"])
-    return _obj(agg, gid, [
-        F.transform("__a", axis_out).alias(out_axis),
-        F.transform("__a", lambda x: x["__val"]).alias(out_val),
+    # axis typing (r13 byte differential): the reference runs pandas
+    # to_numeric over each ENTITY's axis column, so an all-integral
+    # axis serializes as JSON ints, any fraction makes the whole array
+    # doubles — a per-array choice no struct type can express
+    axis_arr = F.transform("__a", lambda x: x["__axis"])
+    axis_frag = _frag_num_array(axis_arr) if size_f.get("numeric") \
+        else F.to_json(axis_arr)
+    return _doc(agg, gid, [
+        (out_axis, axis_frag),
+        (out_val, F.to_json(F.transform("__a", lambda x: x["__val"]))),
     ])
 
 
@@ -571,7 +641,7 @@ def co_series_ratio_aggregator(wdf: DataFrame, gid: str,
         piece = sub.groupBy(gid).agg(arr.alias(f"__a{di}"))
         joined = piece if joined is None else joined.join(piece, gid, "full")
         a = F.col(f"__a{di}")
-        classes = F.transform(a, lambda x: _int_if_whole(x["__axis"]))
+        classes = F.transform(a, lambda x: x["__axis"])
         subset = F.transform(a, lambda x: x["__sub"].cast("double"))
         if mode == "difference":
             complement = F.transform(
@@ -583,11 +653,18 @@ def co_series_ratio_aggregator(wdf: DataFrame, gid: str,
                     F.greatest(F.lit(0.0),
                                F.lit(1.0) - x["__sub"] / x["__tot"]))
                 .otherwise(F.lit(1.0)))
-        fields.append(F.struct(classes.alias("classes"),
-                               subset.alias("subset"),
-                               complement.alias("complement"))
-                      .alias(dist_name))
-    return _obj(joined, gid, fields)
+        # classes carry pandas to_numeric typing (r13 byte
+        # differential) -> fragment assembly, null-safe on the full
+        # join's missing side like the previous struct emission
+        frag = F.when(a.isNull(), F.lit(
+            '{"classes":null,"subset":null,"complement":null}')) \
+            .otherwise(F.concat(
+                F.lit('{"classes":'), _frag_num_array(classes),
+                F.lit(',"subset":'), F.to_json(subset),
+                F.lit(',"complement":'), F.to_json(complement),
+                F.lit("}")))
+        fields.append((dist_name, frag))
+    return _doc(joined, gid, fields)
 
 
 def co_series_matrix_extractor(wdf: DataFrame, gid: str,
@@ -620,10 +697,10 @@ def co_series_matrix_extractor(wdf: DataFrame, gid: str,
         else:
             expr = F.transform(a, lambda x: val(x).cast("double"))
         series_structs.append(expr.alias(s["name"]))
-    return _obj(agg, gid, [
-        F.transform(a, lambda x: _int_if_whole(x["__axis"]))
-        .alias(axis_field),
-        F.struct(*series_structs).alias("series"),
+    return _doc(agg, gid, [
+        (axis_field,
+         _frag_num_array(F.transform(a, lambda x: x["__axis"]))),
+        ("series", F.to_json(F.struct(*series_structs), JSON_OPTS)),
     ])
 
 
@@ -644,8 +721,8 @@ def co_series_by_axis_extractor(wdf: DataFrame, gid: str,
         F.col("__axis"), *[F.col(f"__v_{co}") for co in cos])))
     agg = sub.groupBy(gid).agg(arr.alias("__a"))
     a = F.col("__a")
-    fields = [F.transform(a, lambda x: _int_if_whole(x["__axis"]))
-              .alias(out_field)]
+    fields = [(out_field,
+               _frag_num_array(F.transform(a, lambda x: x["__axis"])))]
 
     def _series(co):
         # NB: F.transform dispatches on lambda arity — a default-arg
@@ -656,5 +733,5 @@ def co_series_by_axis_extractor(wdf: DataFrame, gid: str,
                            .cast("double"))
 
     for out_name, co in types.items():
-        fields.append(_series(co).alias(out_name))
-    return _obj(agg, gid, fields)
+        fields.append((out_name, F.to_json(_series(co))))
+    return _doc(agg, gid, fields)

@@ -41,19 +41,26 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
     from tools.refdiff.tablediff import (diff_export_trees,
                                          diff_taxonomy_tables)
 
-    mutator, notes = None, []
+    mutator, export_mut, notes = None, None, []
     data_kw = {}
     if spec:
         data_kw = dict(spec.get("data") or {})
         if "seed" in data_kw:
             data_kw["data_seed"] = data_kw.pop("seed")
         if spec.get("config_seed") is not None:
-            from tools.refdiff.variants import mutate_transform
+            from tools.refdiff.variants import (mutate_export,
+                                                mutate_transform)
 
             def mutator(cfg, _seed=spec["config_seed"]):
                 notes.extend(mutate_transform(cfg, _seed))
 
-    proj = build_project(root, transform_mutator=mutator, **data_kw)
+            # independent seed stream for the export axis so adding
+            # export mutators never reshuffles the transform draws
+            def export_mut(cfg, _seed=spec["config_seed"] + 5000):
+                notes.extend(mutate_export(cfg, _seed))
+
+    proj = build_project(root, transform_mutator=mutator,
+                         export_mutator=export_mut, **data_kw)
     print(f"project: {root}" + (f"  [{spec['name']}]" if spec else ""))
     for n in notes:
         print("  mutated:", n)

@@ -338,7 +338,8 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
                   n_occurrences: int = 800, data_seed: int = SEED,
                   null_rate: float = 0.0, null_geo_rate: float = 0.0,
                   shuffle_seed: int | None = None,
-                  transform_mutator=None) -> dict:
+                  transform_mutator=None,
+                  export_mutator=None) -> dict:
     """Create the project dir; returns paths + the synthesized frames.
 
     ``transform_mutator`` (optional) is called with the loaded
@@ -401,10 +402,19 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
                  "logs:\n  path: logs\n"
                  "exports:\n  web_api: exports/api\n"
                  "  web_static: exports\n")
-    # export.yml verbatim — the json_api target is differentially
-    # executed by run_ref.run_reference_export / run_spark
-    shutil.copy(os.path.join(reference_config, "export.yml"),
-                os.path.join(config_dir, "export.yml"))
+    # export.yml — verbatim (clean baseline) or the seeded export-axis
+    # mutation (r13: JsonOptions/index_structure/field-DSL branch
+    # space); written once, consumed by BOTH engines either way
+    if export_mutator is None:
+        shutil.copy(os.path.join(reference_config, "export.yml"),
+                    os.path.join(config_dir, "export.yml"))
+    else:
+        with open(os.path.join(reference_config, "export.yml")) as fh:
+            ecfg = _yaml.safe_load(fh)
+        export_mutator(ecfg)
+        with open(os.path.join(config_dir, "export.yml"), "w") as fh:
+            _yaml.safe_dump(ecfg, fh, allow_unicode=True,
+                            sort_keys=False)
     os.makedirs(os.path.join(root, "db"), exist_ok=True)
 
     return {"root": root, "config_dir": config_dir,

@@ -99,6 +99,17 @@ def diff_export_trees(ref_dir: str, spark_dir: str,
                 out[os.path.relpath(p, d)] = p
         return out
 
+    import gzip
+
+    def read_text(p):
+        # compress: true names files <x>.json.gz; gzip's header embeds
+        # an mtime, so equality is on DECOMPRESSED text for those
+        if p.endswith(".gz"):
+            with gzip.open(p, "rt", encoding="utf-8") as fh:
+                return fh.read()
+        with open(p, encoding="utf-8") as fh:
+            return fh.read()
+
     ref, sp = tree(ref_dir), tree(spark_dir)
     problems = []
     for rel in sorted(set(ref) - set(sp)):
@@ -106,14 +117,26 @@ def diff_export_trees(ref_dir: str, spark_dir: str,
     for rel in sorted(set(sp) - set(ref)):
         problems.append(f"only in spark: {rel}")
     for rel in sorted(set(ref) & set(sp)):
+        ta, tb = read_text(ref[rel]), read_text(sp[rel])
         try:
-            with open(ref[rel]) as fh:
-                a = json.load(fh)
-            with open(sp[rel]) as fh:
-                b = json.load(fh)
+            a, b = json.loads(ta), json.loads(tb)
         except ValueError as e:
             problems.append(f"{rel}: unparseable ({e})")
             continue
+        # formatting differential (r13): whenever the raw parsed values
+        # are EXACTLY equal, the serialized text must match too — the
+        # json_options contract (indent / minify / ensure_ascii / key
+        # order / float repr) is only testable at the text layer.
+        # Files that differ in content (superset widgets, 2dp boundary
+        # floats, melange tie order) fall through to the tolerant
+        # compare below and never reach this assertion.
+        if a == b and ta != tb:
+            i = next((k for k in range(min(len(ta), len(tb)))
+                      if ta[k] != tb[k]), min(len(ta), len(tb)))
+            problems.append(
+                f"{rel}: content equal but serialization differs at "
+                f"byte {i}: ref={ta[max(0, i-20):i+20]!r} "
+                f"spark={tb[max(0, i-20):i+20]!r}")
         a, b = _strip_blocked(a), _strip_blocked(b)
         bnd: list = []
         diffs = compare(_defluff(canonicalize(a)),

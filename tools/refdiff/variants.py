@@ -229,6 +229,109 @@ def mutate_transform(cfg: list, seed: int) -> list:
 
 
 # ---------------------------------------------------------------------------
+# export-config axis (r13: the export phase ran under ONE clean
+# parameterization — permute the json_api_exporter branch space:
+# JsonOptions flags, index_structure keys, the index/detail field DSL)
+
+_DETAIL_FIELDS_TAXONS = [
+    # the commented-out "alternative" DSL in the example export.yml
+    # (docs/examples/config/export.yml:1316-1327): rename, dotted
+    # access, sub-structure selection, and a second source key
+    {"id": "id"},
+    {"scientific_name": "general_info.name.value"},
+    {"taxon_metadata": {"source": "general_info",
+                        "fields": ["rank", "endemic",
+                                   "occurrences_count"]}},
+    {"distribution": {"source": "distribution_map",
+                      "fields": ["coordinates"]}},
+]
+
+
+def _m_json_options(params, rng, notes, where):
+    jo = params.setdefault("json_options", {})
+    r = rng.rand()
+    if r < 0.3:
+        jo["indent"], jo["minify"] = 2, False
+        notes.append(f"{where}: json indent -> 2")
+    elif r < 0.55:
+        jo["indent"], jo["minify"] = None, True
+        notes.append(f"{where}: json minify")
+    if rng.rand() < 0.35:
+        jo["ensure_ascii"] = not jo.get("ensure_ascii", False)
+        notes.append(f"{where}: ensure_ascii -> {jo['ensure_ascii']}")
+    if rng.rand() < 0.3:
+        jo["exclude_null"] = not jo.get("exclude_null", False)
+        notes.append(f"{where}: exclude_null -> {jo['exclude_null']}")
+    if rng.rand() < 0.3:
+        jo["geometry_precision"] = 4
+        notes.append(f"{where}: geometry_precision -> 4")
+    if rng.rand() < 0.25:
+        jo["max_array_length"] = 8
+        notes.append(f"{where}: max_array_length -> 8")
+    if rng.rand() < 0.25:
+        jo["compress"] = True
+        notes.append(f"{where}: compress -> gzip")
+
+
+def mutate_export(cfg: dict, seed: int) -> list:
+    """Seeded permutations of the loaded export.yml (both json_api
+    targets), IN PLACE; returns notes.  Same doctrine as
+    mutate_transform: the mutated YAML is written once and consumed
+    verbatim by BOTH engines, so parity stays the only oracle."""
+    rng = np.random.RandomState(seed)
+    notes: list = []
+    for target in cfg.get("exports") or []:
+        if target.get("exporter") != "json_api_exporter":
+            continue
+        tname = target.get("name", "?")
+        params = target.get("params") or {}
+        _m_json_options(params, rng, notes, tname)
+        st = params.get("index_structure")
+        if isinstance(st, dict):
+            if rng.rand() < 0.4:
+                st["include_total"] = not st.get("include_total", True)
+                notes.append(f"{tname}: include_total -> "
+                             f"{st['include_total']}")
+            if rng.rand() < 0.3:
+                st["total_key"] = "count"
+                notes.append(f"{tname}: total_key -> count")
+        for g in target.get("groups") or []:
+            gname = f"{tname}.{g.get('group_by', '?')}"
+            gjo = g.get("json_options")
+            if isinstance(gjo, dict) and \
+                    gjo.get("geometry_precision") and rng.rand() < 0.4:
+                gjo["geometry_precision"] = 3
+                notes.append(f"{gname}: geometry_precision -> 3")
+            det = g.get("detail")
+            if isinstance(det, dict) and det.get("pass_through", True) \
+                    and g.get("group_by") == "taxons" \
+                    and tname == "json_api" and rng.rand() < 0.45:
+                g["detail"] = {"pass_through": False,
+                               "fields": [dict(f) for f
+                                          in _DETAIL_FIELDS_TAXONS]}
+                notes.append(f"{gname}: detail pass_through -> "
+                             "field-selection DSL")
+            idx = g.get("index")
+            if isinstance(idx, dict) and isinstance(idx.get("fields"),
+                                                    list):
+                fields = idx["fields"]
+                droppable = [
+                    i for i, f in enumerate(fields)
+                    if isinstance(f, dict) and len(f) == 1
+                    and isinstance(next(iter(f.values())), str)
+                    and next(iter(f)) not in ("id", "endpoint",
+                                              "file_path", "name")
+                ]
+                if droppable and rng.rand() < 0.4:
+                    i = int(rng.choice(droppable))
+                    dropped = next(iter(fields[i]))
+                    del fields[i]
+                    notes.append(f"{gname}: index field dropped "
+                                 f"({dropped})")
+    return notes
+
+
+# ---------------------------------------------------------------------------
 # variant specs
 
 

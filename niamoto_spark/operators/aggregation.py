@@ -32,11 +32,32 @@ def _strip_sentinel(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     return df if group_cols else df.drop(_GROUP_SENTINEL)
 
 
+def _python_round2_udf():
+    """Arrow-batched EXACT python round(x, 2): half-even over the
+    double's BINARY value.  Neither Spark bround nor numpy.round is
+    that (both work from the shortest decimal repr / scaled multiply);
+    only CPython's correctly-rounded dtoa is, so the elements go
+    through round() itself inside the Arrow batch.  Reserved for
+    per-entity widget tables (one value per entity), never raw scans."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _py_round2(s):
+        return s.apply(lambda v: v if pd.isna(v) else float(round(v, 2)))
+
+    # non-decorator form: the module's `from __future__ import
+    # annotations` stringifies hints, which pyspark's type-hint
+    # inference can't resolve against module globals — an
+    # annotation-free callable defaults to a SCALAR pandas UDF
+    return pandas_udf(_py_round2, "double")
+
+
 @register("statistical_summary", PluginType.TRANSFORMER)
 def statistical_summary(df: DataFrame, group_cols: Sequence[str],
                         field: str, stats: Sequence[str] | None = None,
                         units: str | None = None,
-                        max_value: float | None = None) -> DataFrame:
+                        max_value: float | None = None,
+                        rounding: str = "sql") -> DataFrame:
     """min/mean/max/median/std of a numeric field, rounded to 2dp
     (reference: transformers/aggregation/statistical_summary.py:152-233).
     ``stats`` selects a subset (the reference's YAML accepts e.g.
@@ -59,15 +80,34 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
     genuinely shuffle-heavy piece — swap to percentile_approx at 100 TB if
     the use-case tolerates it (the reference's semantics do not).
     """
+    # rounding="sql" (default): ROUND half-away-from-zero — what the
+    # DuckDB oracle computes.  rounding="python": EXACT python round()
+    # — half-even over the double's BINARY value.  Spark's bround is
+    # NOT that: it rounds the SHORTEST decimal repr
+    # (BigDecimal.valueOf), so round(1.095, 2) = 1.09 in python
+    # (binary 1.09499...) but bround = 1.10; 3dp measurement data puts
+    # maxima on that grid systematically (r13 v9 variant: max_value
+    # 1.2 -> 0.6 exposed 12 such flips on wood_density).  Exact parity
+    # needs the binary expansion, which the JVM surface can't reach
+    # (format_string %.20f zero-pads the shortest repr), so python
+    # mode rounds in one Arrow-batched projection AFTER the aggregate
+    # — one row per entity, the widget-table path, never the raw-scan
+    # hot path.
+    if rounding not in ("sql", "python"):
+        raise ValueError(f"unknown rounding mode {rounding!r}")
+    py_mode = rounding == "python"
+    rnd = (lambda col, dp: col) if py_mode else F.round
     c = F.col(field).cast("double")
     all_aggs = {
-        "min": F.round(F.min(c), 2).alias("min"),
-        "mean": F.round(F.avg(c), 2).alias("mean"),
-        "max": F.round(F.max(c), 2).alias("max"),
+        "min": rnd(F.min(c), 2).alias("min"),
+        "mean": rnd(F.avg(c), 2).alias("mean"),
+        "max": rnd(F.max(c), 2).alias("max"),
         # exact interpolated median hits .xx5 midpoints on 2dp data; double
         # rounding (4dp->2dp) keeps it stable across engines (see q51)
-        "median": F.round(F.round(F.median(c), 4), 2).alias("median"),
-        "std": F.round(F.stddev_samp(c), 2).alias("std"),
+        "median": (F.median(c) if py_mode
+                   else F.round(F.round(F.median(c), 4), 2)
+                   ).alias("median"),
+        "std": rnd(F.stddev_samp(c), 2).alias("std"),
         "count": F.count(c).alias("count"),
     }
     selected = list(stats) if stats else list(all_aggs)
@@ -79,8 +119,14 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
         # hidden data-max rides the same hash aggregate; greatest()
         # skips the NULL (all-null group) and falls back to the
         # configured value, matching the reference's empty-series branch
-        aggs.append(F.round(F.max(c), 2).alias("__data_max"))
+        aggs.append(rnd(F.max(c), 2).alias("__data_max"))
     out = _grouped(df, group_cols).agg(*aggs)
+    if py_mode:
+        _py_round2 = _python_round2_udf()
+        for s in selected + (["__data_max"] if max_value is not None
+                             else []):
+            if s != "count":
+                out = out.withColumn(s, _py_round2(F.col(s)))
     if max_value is not None:
         out = out.withColumn(
             "max_value",

@@ -627,7 +627,9 @@ class Pipeline:
                 df, [gid], params["field"], stats=params.get("stats"),
                 units=params.get("units"),
                 # reference pydantic default (statistical_summary.py:61-70)
-                max_value=params.get("max_value", 100))
+                max_value=params.get("max_value", 100),
+                # python round() half-even, not SQL ROUND (r13 v9 find)
+                rounding="python")
         if plugin == "binned_distribution":
             return agg_ops.binned_distribution(
                 df, [gid], params["field"], edges=params["bins"],

@@ -124,19 +124,42 @@ def diff_export_trees(ref_dir: str, spark_dir: str,
             problems.append(f"{rel}: unparseable ({e})")
             continue
         # formatting differential (r13): whenever the raw parsed values
-        # are EXACTLY equal, the serialized text must match too — the
-        # json_options contract (indent / minify / ensure_ascii / key
-        # order / float repr) is only testable at the text layer.
+        # are EXACTLY equal, the serialization must match too — the
+        # json_options contract (indent / minify / ensure_ascii / float
+        # repr / int-vs-float typing) is only testable at the text
+        # layer.  Object KEY ORDER is deliberately excluded: the
+        # reference itself is key-order nondeterministic (e.g.
+        # binary_aggregator builds its distribution dict from a python
+        # SET, whose string iteration order is hash-salt randomized per
+        # process — a 10-variant sweep flipped 0/10 <-> 6/6 purely on
+        # the interpreter salt), and RFC 8259 object order carries no
+        # meaning.  So equality is asserted on (1) the key-sorted
+        # canonical text, which still distinguishes 10 from 10.0, and
+        # (2) a key-order-free formatting fingerprint (indentation
+        # whitespace runs, separator style, \\u escaping).
         # Files that differ in content (superset widgets, 2dp boundary
         # floats, melange tie order) fall through to the tolerant
         # compare below and never reach this assertion.
         if a == b and ta != tb:
-            i = next((k for k in range(min(len(ta), len(tb)))
-                      if ta[k] != tb[k]), min(len(ta), len(tb)))
-            problems.append(
-                f"{rel}: content equal but serialization differs at "
-                f"byte {i}: ref={ta[max(0, i-20):i+20]!r} "
-                f"spark={tb[max(0, i-20):i+20]!r}")
+            import re as _re
+
+            def canon(x):
+                return json.dumps(x, sort_keys=True, ensure_ascii=False,
+                                  separators=(",", ":"))
+
+            def fmt(t):
+                return (sorted(set(_re.findall(r"\n[ \t]*", t))),
+                        sorted(set(_re.findall(r'[,:][ \t]*', t))),
+                        "\\u" in t)
+
+            if canon(a) != canon(b):
+                problems.append(
+                    f"{rel}: content equal but canonical serialization "
+                    f"differs (int/float typing)")
+            elif fmt(ta) != fmt(tb):
+                problems.append(
+                    f"{rel}: content equal but formatting differs: "
+                    f"ref={fmt(ta)!r} spark={fmt(tb)!r}")
         a, b = _strip_blocked(a), _strip_blocked(b)
         bnd: list = []
         diffs = compare(_defluff(canonicalize(a)),

@@ -43,7 +43,12 @@ def _python_round2_udf():
     from pyspark.sql.pandas.functions import pandas_udf
 
     def _py_round2(s):
-        return s.apply(lambda v: v if pd.isna(v) else float(round(v, 2)))
+        # float(v) first: np.float64 OVERRIDES __round__ with numpy's
+        # scaled-multiply rounding (round(np.float64(0.015), 2) = 0.02
+        # vs python 0.01) — only CPython's float.__round__ is the
+        # correctly-rounded dtoa this helper exists for
+        return s.apply(lambda v: v if pd.isna(v)
+                       else float(round(float(v), 2)))
 
     # non-decorator form: the module's `from __future__ import
     # annotations` stringifies hints, which pyspark's type-hint

@@ -86,13 +86,38 @@ def _doc(df: DataFrame, gid: str,
     return df.select(F.col(gid), F.concat(*parts).alias("__json"))
 
 
-def _pct_array(counts: Column, round_dp: int = 2) -> Column:
+def _py_round2_arr() -> Column:
+    """Arrow-batched EXACT python round(v, 2) over array<double> — see
+    operators/aggregation._python_round2_udf for why neither bround nor
+    numpy matches CPython's correctly-rounded dtoa.  Widget-table
+    emission only (bounded rows per entity group)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def f(s):
+        return s.apply(lambda arr: arr if arr is None else
+                       [None if pd.isna(v) else float(round(float(v), 2))
+                        for v in arr])
+
+    return pandas_udf(f, "array<double>")
+
+
+def _frag_pct(counts: Column, int_zero_fill: bool) -> Column:
+    """Percentages fragment: round((count/total)*100, 2) with EXACT
+    python rounding when total > 0; the zero-total fill echoes the
+    reference's literal — [0]*n INTS for binned_distribution /
+    multi_column_extractor, [0.0]*n floats for categorical_distribution
+    and friends (their code literally differs)."""
     total = F.aggregate(counts, F.lit(0.0),
                         lambda acc, x: acc + x.cast("double"))
-    return F.when(total > 0,
-                  F.transform(counts, lambda c: F.bround(
-                      c.cast("double") * 100.0 / total, round_dp))) \
-            .otherwise(F.transform(counts, lambda c: F.lit(0)))
+    pcts = _py_round2_arr()(
+        F.transform(counts, lambda c: c.cast("double") * 100.0 / total))
+    zero = "0" if int_zero_fill else "0.0"
+    zeros = F.concat(F.lit("["),
+                     F.array_join(F.transform(counts,
+                                              lambda c: F.lit(zero)), ","),
+                     F.lit("]"))
+    return F.when(total > 0, F.to_json(pcts)).otherwise(zeros)
 
 
 # ---------------------------------------------------------------------------
@@ -217,9 +242,11 @@ def binary_counter(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
     total = (t + f).cast("double")
     fields = [t.alias(tl), f.alias(fl)]
     if p.get("include_percentages"):
-        fields.append(F.when(total > 0, F.bround(t * 100.0 / total, 2))
+        from niamoto_spark.operators.aggregation import _python_round2_udf
+        pyr = _python_round2_udf()
+        fields.append(F.when(total > 0, pyr(t * 100.0 / total))
                       .otherwise(F.lit(0.0)).alias(f"{tl}_percent"))
-        fields.append(F.when(total > 0, F.bround(f * 100.0 / total, 2))
+        fields.append(F.when(total > 0, pyr(f * 100.0 / total))
                       .otherwise(F.lit(0.0)).alias(f"{fl}_percent"))
     return _obj(wdf, gid, fields)
 
@@ -255,11 +282,18 @@ def binned_distribution(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
                                   F.lit(0).cast("bigint"))
                        for i in range(n)])
     agg = agg.select(F.col(gid), counts.alias("counts"))
-    fields = [F.array(*[F.lit(float(b)) for b in bins]).alias("bins"),
-              F.col("counts")]
+    # bins echo params.bins AFTER pydantic List[float] coercion -> all
+    # floats regardless of YAML typing (byte-verified r13)
+    frags = [("bins", F.lit(_json.dumps([float(b) for b in bins]))),
+             ("counts", F.to_json(F.col("counts")))]
+    if p.get("labels"):
+        frags.append(("labels", F.lit(_json.dumps(
+            [str(lb) for lb in p["labels"]], ensure_ascii=False))))
     if p.get("include_percentages"):
-        fields.append(_pct_array(F.col("counts")).alias("percentages"))
-    return _obj(agg, gid, fields)
+        # zero-total fill is [0]*n INTS (binned_distribution.py:245)
+        frags.append(("percentages",
+                      _frag_pct(F.col("counts"), int_zero_fill=True)))
+    return _doc(agg, gid, frags)
 
 
 def categorical_distribution(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
@@ -275,12 +309,19 @@ def categorical_distribution(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
                                   F.lit(0).cast("bigint"))
                        for c in cats])
     agg = agg.select(F.col(gid), counts.alias("counts"))
-    fields = [F.array(*[F.lit(c) for c in cats]).alias("categories"),
-              F.col("counts"),
-              F.array(*[F.lit(str(lb)) for lb in labels]).alias("labels")]
+    # categories echo params.categories verbatim (YAML types preserved
+    # — the typed params model leaves the list untouched)
+    frags = [("categories", F.lit(_json.dumps(cats, ensure_ascii=False))),
+             ("counts", F.to_json(F.col("counts"))),
+             ("labels", F.lit(_json.dumps([str(lb) for lb in labels],
+                                          ensure_ascii=False)))]
     if p.get("include_percentages"):
-        fields.append(_pct_array(F.col("counts")).alias("percentages"))
-    return _obj(agg, gid, fields)
+        # zero-total fill is [0.0]*n FLOATS
+        # (categorical_distribution.py:246 — the binned plugin's twin
+        # branch literally differs)
+        frags.append(("percentages",
+                      _frag_pct(F.col("counts"), int_zero_fill=False)))
+    return _doc(agg, gid, frags)
 
 
 def top_ranking(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
@@ -354,16 +395,19 @@ def multi_column_extractor(df: DataFrame, gid: str, p: dict) -> DataFrame:
          else F.lit(0).cast("bigint"))
         for c in columns])
     base = firsts.select(F.col(gid), counts.alias("counts"))
-    fields = [F.array(*[F.lit(lb) for lb in labels]).alias("labels"),
-              F.col("counts")]
+    frags = [("labels", F.lit(_json.dumps([str(lb) for lb in labels],
+                                          ensure_ascii=False))),
+             ("counts", F.to_json(F.col("counts")))]
     if p.get("include_percentages"):
-        fields.append(_pct_array(F.col("counts")).alias("percentages"))
+        # zero-total fill is [0]*n INTS (multi_column_extractor.py:324)
+        frags.append(("percentages",
+                      _frag_pct(F.col("counts"), int_zero_fill=True)))
     if p.get("create_named_fields") and p.get("field_names"):
         for i, fname in enumerate(p["field_names"]):
-            fields.append(F.struct(
+            frags.append((fname, F.to_json(F.struct(
                 F.element_at("counts", i + 1).alias("value"),
-                F.lit("").alias("units")).alias(fname))
-    return _obj(base, gid, fields)
+                F.lit("").alias("units")), JSON_OPTS)))
+    return _doc(base, gid, frags)
 
 
 def geospatial_extractor(tagged_df: DataFrame, gid: str, p: dict,

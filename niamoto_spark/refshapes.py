@@ -110,8 +110,13 @@ def _frag_pct(counts: Column, int_zero_fill: bool) -> Column:
     and friends (their code literally differs)."""
     total = F.aggregate(counts, F.lit(0.0),
                         lambda acc, x: acc + x.cast("double"))
+    # the pandas UDF is extracted into its own projection, so its input
+    # expression runs even for rows the when() below routes to the
+    # zero-fill — guard the divisor or ANSI mode throws DIVIDE_BY_ZERO
+    safe_total = F.when(total > 0, total).otherwise(F.lit(1.0))
     pcts = _py_round2_arr()(
-        F.transform(counts, lambda c: c.cast("double") * 100.0 / total))
+        F.transform(counts,
+                    lambda c: c.cast("double") * 100.0 / safe_total))
     zero = "0" if int_zero_fill else "0.0"
     zeros = F.concat(F.lit("["),
                      F.array_join(F.transform(counts,

@@ -312,14 +312,31 @@ NULLABLE_MEASUREMENTS = ("dbh", "height", "wood_density", "bark_thickness",
 def mutate_occurrences(occ: pd.DataFrame, null_rate: float = 0.0,
                        null_geo_rate: float = 0.0,
                        shuffle_seed: int | None = None,
+                       blackout_taxa: int = 0,
                        seed: int = SEED) -> pd.DataFrame:
     """Composed-probe style data mutations: NULL holes + row shuffle.
+
+    ``blackout_taxa``: NULL every float measurement of K seeded
+    terminal taxa (the taxa keep their occurrence rows, so they still
+    derive into the taxonomy) — this is the only data shape that
+    drives the reference plugins' EMPTY-SERIES branches cross-engine
+    (stat summary's params-echo early return, binned/categorical
+    zero-count fills and their [0]-int vs [0.0]-float zero-total
+    percentage literals, r13).
 
     Both engines receive the SAME mutated frame (the reference via
     ``to_sql``, this engine via the written CSV), so the differential
     still has a single oracle: each other."""
     rng = np.random.RandomState(seed + 7)
     occ = occ.copy()
+    if blackout_taxa:
+        terms = sorted(occ.loc[occ["id_taxonref"].notna(),
+                               "id_taxonref"].unique())
+        chosen = rng.choice(terms, size=min(blackout_taxa, len(terms)),
+                            replace=False)
+        mask = occ["id_taxonref"].isin(chosen)
+        for col in NULLABLE_MEASUREMENTS:
+            occ.loc[mask, col] = np.nan
     if null_rate > 0:
         for col in NULLABLE_MEASUREMENTS:
             mask = rng.rand(len(occ)) < null_rate
@@ -338,6 +355,7 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
                   n_occurrences: int = 800, data_seed: int = SEED,
                   null_rate: float = 0.0, null_geo_rate: float = 0.0,
                   shuffle_seed: int | None = None,
+                  blackout_taxa: int = 0,
                   transform_mutator=None,
                   export_mutator=None) -> dict:
     """Create the project dir; returns paths + the synthesized frames.
@@ -353,9 +371,11 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
     os.makedirs(config_dir, exist_ok=True)
 
     occ = make_occurrences(n_occurrences, seed=data_seed)
-    if null_rate or null_geo_rate or shuffle_seed is not None:
+    if null_rate or null_geo_rate or shuffle_seed is not None \
+            or blackout_taxa:
         occ = mutate_occurrences(occ, null_rate, null_geo_rate,
-                                 shuffle_seed, seed=data_seed)
+                                 shuffle_seed, blackout_taxa,
+                                 seed=data_seed)
     plots = make_plots()
     plot_stats = make_raw_plot_stats()
     occ.to_csv(os.path.join(imports_dir, "occurrences.csv"), index=False)

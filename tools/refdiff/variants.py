@@ -342,7 +342,15 @@ def variant_spec(i: int) -> dict:
         return {"name": "v0-clean", "config_seed": None, "data": {}}
     if i < 4:
         return {"name": f"v{i}-config", "config_seed": 1300 + i, "data": {}}
-    return {"name": f"v{i}-composed", "config_seed": 1300 + i,
+    spec = {"name": f"v{i}-composed", "config_seed": 1300 + i,
             "data": {"seed": 900 + i, "n_occurrences": 650,
                      "null_rate": 0.08, "null_geo_rate": 0.02,
                      "shuffle_seed": 77 + i}}
+    if i >= 6:
+        # r13: measurement BLACKOUT — 4 terminal taxa keep their rows
+        # (so they still derive into the taxonomy) but lose every float
+        # measurement, driving the reference plugins' empty-series
+        # branches (stat-summary params echo, zero-count fills, the
+        # [0]-int vs [0.0]-float zero-total percentage literals)
+        spec["data"]["blackout_taxa"] = 4
+    return spec

@@ -92,3 +92,34 @@ def test_reference_pipeline_differential_variant(spark, tmp_path):
     assert report["ok"], {
         g: {w: s for w, s in gs["widgets"].items() if s["diff"]}
         for g, gs in report["groups"].items()}
+
+
+def test_reference_pipeline_differential_blackout(spark, tmp_path):
+    """The measurement-blackout point from the r13 grid (variant 6):
+    config + export-config + composed data mutations PLUS 4 terminal
+    taxa whose float measurements are all NULL — the only data shape
+    that reaches the reference plugins' empty-series branches
+    (stat-summary params-echo early return, zero-count fills, the
+    [0]-int vs [0.0]-float zero-total percentage literals).  Its first
+    full-size run caught the ANSI DIVIDE_BY_ZERO in the extracted
+    percentage-UDF projection."""
+    import json
+
+    from tools.ref_pipeline_diff import run_one
+    from tools.refdiff.variants import variant_spec
+
+    spec = variant_spec(6)
+    spec["data"]["n_occurrences"] = 220
+    root = str(tmp_path / "blackout")
+    report = run_one(spark, root, spec)
+    assert report["ok"], {
+        g: {w: s for w, s in gs["widgets"].items() if s["diff"]}
+        for g, gs in report["groups"].items()}
+    # the blackout must actually drive empty-series branches: at least
+    # one taxon's stat widget took the params-echo early return
+    with open(f"{root}/reference_results.json") as fh:
+        taxa = json.load(fh)["taxons"]
+    empty = [eid for eid, w in taxa.items()
+             if isinstance(w.get("wood_density"), dict)
+             and w["wood_density"].get("mean") is None]
+    assert empty, "blackout produced no empty-series taxon"

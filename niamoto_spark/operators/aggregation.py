@@ -397,28 +397,48 @@ def field_aggregator(df_map: dict[str, DataFrame],
 @register("time_series_analysis", PluginType.TRANSFORMER)
 def time_series_analysis(df: DataFrame, group_cols: Sequence[str],
                          month_col: str, fields: Sequence[str] | dict[str, Column],
-                         dense_months: bool = True) -> DataFrame:
+                         dense_months: bool = True,
+                         rounding: str = "sql") -> DataFrame:
     """Month-bucketed (1..12) presence-%% per field: for each month the %% of
     rows whose value is > 0 (reference:
     transformers/distribution/time_series_analysis.py:177-285).
 
     ``fields`` may be column names (presence = col > 0) or a mapping
     label -> boolean Column.  Months absent from the data appear with 0.0
-    when ``dense_months`` (the reference emits all 12 labels).
+    when ``dense_months`` (the reference emits all 12 labels); the
+    pipeline widget path passes ``dense_months=False`` because the
+    refshapes shaper must distinguish an ABSENT month (reference [0]*12
+    int fill) from a present month with 0%% presence (float 0.0).
+    ``rounding``: "sql" = F.round (DuckDB oracle half-away); "python" =
+    EXACT python round() via the Arrow projection (reference
+    _presence_percentage) — see statistical_summary for the
+    bround-vs-binary analysis.
     Output: group_cols + (month, <field>_pct ...).
     """
     spark = df.sparkSession
+    if rounding not in ("sql", "python"):
+        raise ValueError(f"unknown rounding mode {rounding!r}")
     if isinstance(fields, dict):
         exprs = {k: v for k, v in fields.items()}
     else:
         exprs = {f: (F.col(f).cast("double") > 0) for f in fields}
     m = F.col(month_col).cast("int")
     base = df.where(m.between(1, 12)).withColumn("month", m)
-    aggs = [
-        F.round(F.avg(F.when(cond, 1.0).otherwise(0.0)) * 100.0, 2).alias(f"{label}_pct")
+    raw_pct = {
+        label: F.avg(F.when(cond, 1.0).otherwise(0.0)) * 100.0
         for label, cond in exprs.items()
-    ]
+    }
+    if rounding == "sql":
+        aggs = [F.round(v, 2).alias(f"{label}_pct")
+                for label, v in raw_pct.items()]
+    else:
+        aggs = [v.alias(f"{label}_pct") for label, v in raw_pct.items()]
     out = base.groupBy(*group_cols, "month").agg(*aggs)
+    if rounding == "python":
+        pyr = _python_round2_udf()
+        for label in exprs:
+            out = out.withColumn(f"{label}_pct",
+                                 pyr(F.col(f"{label}_pct")))
     if dense_months:
         months = spark.createDataFrame([(i,) for i in range(1, 13)], "month int")
         if group_cols:

@@ -374,6 +374,40 @@ class Pipeline:
         return self._pack_json(wdf, gid, "__json",
                                single_row=plugin in SINGLE_ROW_WIDGETS)
 
+    def _shape_chain_step(self, plugin: str, params: dict,
+                          wdf: DataFrame, bindings: dict,
+                          gid: str) -> DataFrame:
+        """Reference-shape ONE chain step's operator output (the same
+        dispatch _widget_json applies after _run_widget) — each step's
+        JSON joins the chain envelope under its output_key."""
+        from niamoto_spark import refshapes as RS
+
+        if plugin == "statistical_summary":
+            return RS.statistical_summary(wdf, gid, params)
+        if plugin == "binned_distribution":
+            return RS.binned_distribution(wdf, gid, params)
+        if plugin == "categorical_distribution":
+            return RS.categorical_distribution(wdf, gid, params)
+        if plugin == "binary_counter":
+            return RS.binary_counter(wdf, gid, params)
+        if plugin == "top_ranking":
+            return RS.top_ranking(wdf, gid, params)
+        if plugin == "field_aggregator":
+            return RS.field_aggregator(wdf, gid, params)
+        if plugin == "time_series_analysis":
+            return RS.time_series_analysis(wdf, gid, params)
+        if plugin == "multi_column_extractor":
+            return RS.multi_column_extractor(wdf, gid, params)
+        if plugin == "direct_attribute":
+            src = bindings.get(params.get("source"))
+            field = params.get("field")
+            is_float = bool(src is not None and field in src.columns
+                            and dict(src.dtypes).get(field)
+                            in ("double", "float"))
+            return RS.direct_attribute(wdf, gid, params, is_float)
+        return self._pack_json(wdf, gid, "__json",
+                               single_row=plugin in SINGLE_ROW_WIDGETS)
+
     def _custom_calculator_step(self, params: dict, bindings: dict,
                                 binding_params: dict,
                                 gid: str) -> DataFrame:
@@ -598,9 +632,19 @@ class Pipeline:
             # transform_chain.py:200-317).  Step PARAMS are also kept so
             # later steps can resolve config refs like
             # "@phenology_raw.labels".
+            #
+            # The chain's RESULT is the reference's envelope: EVERY
+            # step's output keyed by its output_key
+            # (transform_chain.py:305-311 ``result[output_key] =
+            # step_result; return result``) — not just the final
+            # step's.  Found by the r13 chain-variant differential: the
+            # first config the reference could actually execute showed
+            # the engine emitting only the tail.
+            import json as _json
+
             bindings = dict(tagged)
             binding_params: dict[str, dict] = {}
-            out = None
+            shaped: list[tuple[str, DataFrame]] = []
             for step in params["steps"]:
                 sparams = dict(step.get("params", {}))
                 src = sparams.get("source")
@@ -609,13 +653,33 @@ class Pipeline:
                 if step["plugin"] == "custom_calculator":
                     out = self._custom_calculator_step(
                         sparams, bindings, binding_params, gid)
+                    jf = out.select(F.col(gid),
+                                    F.col("__cc").alias("__json"))
                 else:
-                    out = self._run_widget(step["plugin"], sparams,
+                    run_params = dict(sparams)
+                    if step["plugin"] == "direct_attribute":
+                        run_params.pop("max_value", None)
+                        run_params.pop("precision", None)
+                    out = self._run_widget(step["plugin"], run_params,
                                            bindings, group_by, gid)
+                    jf = self._shape_chain_step(step["plugin"], sparams,
+                                                out, bindings, gid)
                 bindings[step["output_key"]] = out
                 binding_params[step["output_key"]] = sparams
-            assert out is not None, "empty transform_chain"
-            return out
+                shaped.append((step["output_key"], jf))
+            assert shaped, "empty transform_chain"
+            joined = None
+            parts: list = [F.lit("{")]
+            for i, (key, jf) in enumerate(shaped):
+                jf = jf.withColumnRenamed("__json", f"__j{i}")
+                joined = jf if joined is None \
+                    else joined.join(jf, gid, "full")
+                parts.append(F.lit(("," if i else "")
+                                   + _json.dumps(key) + ": "))
+                parts.append(F.coalesce(F.col(f"__j{i}"), F.lit("null")))
+            parts.append(F.lit("}"))
+            return joined.select(F.col(gid),
+                                 F.concat(*parts).alias("__cc"))
 
         src_name = params.pop("source", None)
         df = tagged.get(src_name) if src_name else None
@@ -687,9 +751,15 @@ class Pipeline:
                 # reference dialect: {output_label: source_column}
                 fields = {k: (F.col(v).cast("double") > 0)
                           for k, v in fields.items()}
+            # sparse months + exact python rounding: the reference fills
+            # absent months with INT zeros ([0]*12) and rounds presence
+            # percentages with round() — the refshapes shaper needs the
+            # absent-month signal (a dense 0.0 row is indistinguishable
+            # from a real 0% month) and the exact-binary rounding
+            # (r13 blackout-variant find)
             return agg_ops.time_series_analysis(
                 df, [gid], params.get("time_field", "month_obs"),
-                fields)
+                fields, dense_months=False, rounding="python")
         if plugin == "class_object_series_extractor":
             return co_ops.series_extractor(
                 df, [gid], params["class_object"],

@@ -225,8 +225,15 @@ def test_transform_chain_widget(project, spark):
     }]
     out = pipe.run_transform(cfg)["plots"]
     rows = {r["id_plot"]: json.loads(r["dbh_chain"]) for r in out.collect()}
+    # reference envelope (transform_chain.py:305-311): EVERY step's
+    # output under its output_key, not just the final step's
     p1 = OCCURRENCES[OCCURRENCES.plot_name == "P1"]["dbh"]
-    assert rows[1][0]["value"] == round(p1.mean(), 1)
+    assert set(rows[1]) == {"stats", "mean_only"}
+    # chain steps now go through the same reference shapers as
+    # top-level widgets: direct_attribute on a float value takes the
+    # str().rstrip branch (JSON string, r12 typing doctrine)
+    assert rows[1]["mean_only"]["value"] == str(round(p1.mean(), 1))
+    assert rows[1]["stats"]["mean"] == round(p1.mean(), 2)
 
 
 def test_eav_stats_source_class_objects(project, spark):
@@ -436,6 +443,10 @@ def test_phenology_style_chain(project, spark):
     out = pipe.run_transform(cfg)["plots"]
     rows = {r["id_plot"]: r for r in out.collect()}
     doc = json.loads(rows[1]["phenology"])
-    assert set(doc) == {"raw", "peaks", "periods"}
+    # reference envelope: every step under its output_key, the merged
+    # formula dict included as the LAST step's entry
+    assert set(doc) == {"raw", "peaks", "periods", "merged"}
+    assert set(doc["merged"]) == {"raw", "peaks", "periods"}
     assert "month_data" in doc["raw"] and "um" in doc["peaks"]
+    assert doc["merged"]["raw"] == doc["raw"]
     assert doc["periods"]["value"]["um"]["count"] >= 0

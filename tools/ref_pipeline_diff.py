@@ -65,6 +65,29 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
     for n in notes:
         print("  mutated:", n)
 
+    # blocked-set resolution: the chain mutator can rewrite the
+    # phenology chain into a form the reference's safe-eval ACCEPTS
+    # (no dict-literal custom_formula left) — lift the exclusion and
+    # diff the chain like any other widget on those variants
+    import yaml as _yaml
+
+    from tools.refdiff.diff import REFERENCE_BLOCKED
+    blocked = dict(REFERENCE_BLOCKED)
+    with open(os.path.join(proj["config_dir"], "transform.yml")) as fh:
+        _tcfg = _yaml.safe_load(fh)
+    _still_rejected = any(
+        (step.get("params") or {}).get("operation") == "custom_formula"
+        and "{" in str((step.get("params") or {}).get("formula", ""))
+        for g in (_tcfg or []) if isinstance(g, dict)
+        for w in (g.get("widgets_data") or {}).values()
+        if isinstance(w, dict) and w.get("plugin") == "transform_chain"
+        for step in ((w.get("params") or {}).get("steps") or [])
+        if isinstance(step, dict))
+    if not _still_rejected:
+        blocked.pop(("taxons", "phenology"), None)
+        print("  exclusion lifted: taxons.phenology (chain is "
+              "reference-runnable in this variant)")
+
     build_reference_db(proj)
     ref = run_reference_transform(proj)
     with open(os.path.join(root, "reference_results.json"), "w") as fh:
@@ -80,7 +103,8 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
     # reference-dialect export over the same transform results
     ref_api = run_reference_export(proj)
     spark_api = run_spark_export(spark, proj)
-    export_problems = diff_export_trees(ref_api, spark_api)
+    export_problems = diff_export_trees(ref_api, spark_api,
+                                        blocked=blocked)
     if export_problems:
         print(f"EXPORT TREE DIFFS ({len(export_problems)}):")
         for p in export_problems[:20]:
@@ -100,7 +124,7 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
     else:
         print("taxonomy table: identical node-for-node")
 
-    report = diff_results(ref, sp)
+    report = diff_results(ref, sp, blocked=blocked)
     report["taxonomy_table_diffs"] = tax_problems
     report["export_tree_diffs"] = export_problems
     report["config_mutations"] = notes

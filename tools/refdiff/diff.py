@@ -103,8 +103,16 @@ def canonicalize(v):
     return v
 
 
-def diff_results(ref: dict, spark: dict, max_examples: int = 3) -> dict:
-    """Returns {"widgets": {(group, widget): {...}}, "summary": {...}}."""
+def diff_results(ref: dict, spark: dict, max_examples: int = 3,
+                 blocked: dict | None = None) -> dict:
+    """Returns {"widgets": {(group, widget): {...}}, "summary": {...}}.
+
+    ``blocked`` overrides REFERENCE_BLOCKED — the r13 chain mutator can
+    rewrite the phenology chain into a form the reference's safe-eval
+    ACCEPTS, at which point the exclusion is lifted for that variant
+    and the chain is diffed like any other widget."""
+    if blocked is None:
+        blocked = REFERENCE_BLOCKED
     report: dict = {"groups": {}, "blocked": {}, "ok": True}
     for group in sorted(set(ref) | set(spark)):
         rg = ref.get(group, {})
@@ -125,9 +133,9 @@ def diff_results(ref: dict, spark: dict, max_examples: int = 3) -> dict:
         for w in sg.values():
             widgets |= set(w)
         for widget in sorted(widgets):
-            if (group, widget) in REFERENCE_BLOCKED:
+            if (group, widget) in blocked:
                 report["blocked"][f"{group}.{widget}"] = \
-                    REFERENCE_BLOCKED[(group, widget)]
+                    blocked[(group, widget)]
                 continue
             n_match = n_diff = n_missing = n_compared = 0
             n_boundary_leaves = 0

@@ -34,16 +34,20 @@ def load_spark_taxons(spark, proj: dict) -> list[tuple]:
     return sorted(tuple(r) for r in df.collect())
 
 
-def _strip_blocked(doc):
+def _strip_blocked(doc, blocked=None):
     """Remove widgets the reference cannot produce in this container
     (diff.REFERENCE_BLOCKED — this engine is a superset on them) plus
     their flatten-merged top-level copies, so export detail files
-    compare on the shared surface only."""
+    compare on the shared surface only.  ``blocked`` overrides the
+    default set (r13: lifted when a variant makes the chain
+    reference-runnable)."""
     from tools.refdiff.diff import REFERENCE_BLOCKED
 
+    if blocked is None:
+        blocked = REFERENCE_BLOCKED
     if not isinstance(doc, dict):
         return doc
-    blocked_names = {w for (_g, w) in REFERENCE_BLOCKED}
+    blocked_names = {w for (_g, w) in blocked}
     flatten_keys = set()
     for name in blocked_names & set(doc):
         if isinstance(doc[name], dict):
@@ -78,7 +82,8 @@ def _defluff(doc):
 
 
 def diff_export_trees(ref_dir: str, spark_dir: str,
-                      max_problems: int = 40) -> list[str]:
+                      max_problems: int = 40,
+                      blocked: dict | None = None) -> list[str]:
     """Compare two static-API export trees file-by-file.
 
     metadata.json is excluded (wall-clock timestamps); everything else
@@ -160,7 +165,7 @@ def diff_export_trees(ref_dir: str, spark_dir: str,
                 problems.append(
                     f"{rel}: content equal but formatting differs: "
                     f"ref={fmt(ta)!r} spark={fmt(tb)!r}")
-        a, b = _strip_blocked(a), _strip_blocked(b)
+        a, b = _strip_blocked(a, blocked), _strip_blocked(b, blocked)
         bnd: list = []
         diffs = compare(_defluff(canonicalize(a)),
                         _defluff(canonicalize(b)), boundary=bnd)

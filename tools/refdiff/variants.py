@@ -180,6 +180,35 @@ def _m_ratio(params, rng, notes, where):
             notes.append(f"{where}.{dname}: complement_mode -> difference")
 
 
+@_rule("transform_chain")
+def _m_chain(params, rng, notes, where):
+    """The example phenology chain's final custom_formula step is a
+    DICT literal the reference's own safe-eval rejects (ast.Dict not
+    whitelisted) — the one standing refdiff exclusion.  Dropping the
+    merge step (and optionally the periods step too) leaves a chain
+    the reference EXECUTES end-to-end: time_series_analysis ->
+    peak_detection [-> active_periods] — so those custom_calculator
+    operations get cross-engine coverage for the first time, and
+    run_one LIFTS the exclusion for such variants."""
+    steps = params.get("steps")
+    if not isinstance(steps, list) or len(steps) < 3:
+        return
+    lp = steps[-1].get("params") or {}
+    if lp.get("operation") != "custom_formula" or \
+            "{" not in str(lp.get("formula", "")):
+        return
+    r = rng.rand()
+    if r < 0.4:
+        del steps[-1]
+        notes.append(f"{where}: dict-merge step dropped — chain ends at "
+                     f"'{steps[-1].get('output_key')}' "
+                     "(reference-runnable)")
+    elif r < 0.65:
+        del steps[-2:]
+        notes.append(f"{where}: chain truncated to peak_detection "
+                     "(reference-runnable)")
+
+
 @_rule("shape_processor")
 def _m_shape(params, rng, notes, where):
     """Geography-widget branch space (r13: the widget joined the

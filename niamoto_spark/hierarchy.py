@@ -42,7 +42,8 @@ def derive_hierarchy(df: DataFrame, levels: Sequence[str],
                      id_strategy: str = "sequence",
                      id_column: str | None = None,
                      name_column: str | None = None,
-                     entity_name: str | None = None) -> DataFrame:
+                     entity_name: str | None = None,
+                     incomplete_rows: str = "skip") -> DataFrame:
     """Derive a hierarchy table from the distinct level combinations of a
     flat dataset — the reference's "derived reference" import
     (hierarchy_builder.py:116-270): per-level UNION ALL explode of
@@ -71,13 +72,34 @@ def derive_hierarchy(df: DataFrame, levels: Sequence[str],
     (tiny vs the fact table).  Driver part: nested-set numbering over the
     collected nodes.
     """
+    if incomplete_rows not in ("skip", "fill_unknown", "error"):
+        raise ValueError(f"unknown incomplete_rows mode {incomplete_rows!r}")
     cols = list(level_columns or levels)
-    keep = [F.col(c).cast("string").alias(c) for c in cols]
+    if incomplete_rows == "fill_unknown":
+        # reference hierarchy_builder.py:136-139: each level value is
+        # COALESCE(NULLIF(TRIM(col), ''), 'Unknown <level.name>') IN THE
+        # EXTRACTION SELECT — the TRIMMED value (not the raw one, unlike
+        # skip mode) lands in rank_value and full_path, and every row is
+        # complete afterwards (no per-level filtering)
+        keep = [
+            F.coalesce(F.nullif(F.trim(F.col(c).cast("string")),
+                                F.lit("")),
+                       F.lit(f"Unknown {levels[i]}")).alias(c)
+            for i, c in enumerate(cols)]
+    else:
+        keep = [F.col(c).cast("string").alias(c) for c in cols]
     if id_column:
         keep.append(F.col(id_column))
     if name_column:
         keep.append(F.col(name_column).cast("string").alias(name_column))
     cleaned = df.select(*keep)
+    if incomplete_rows == "error":
+        # reference :164-169: one global WHERE requiring every level
+        # non-NULL (no TRIM check — blank strings pass, unlike skip)
+        all_ok = F.lit(True)
+        for c in cols:
+            all_ok = all_ok & F.col(c).isNotNull()
+        cleaned = cleaned.where(all_ok)
 
     deepest = len(cols) - 1
     pieces = []
@@ -85,9 +107,12 @@ def derive_hierarchy(df: DataFrame, levels: Sequence[str],
         prefix = [F.col(c) for c in cols[: depth + 1]]
         # skip-mode completeness: every prefix level non-null and
         # non-blank; the raw value itself is what lands in the path.
+        # fill_unknown/error modes filled or filtered above -> no
+        # per-level predicate (reference :188-195 emits 1=1).
         prefix_ok = F.lit(True)
-        for p in prefix:
-            prefix_ok = prefix_ok & p.isNotNull() & (F.trim(p) != "")
+        if incomplete_rows == "skip":
+            for p in prefix:
+                prefix_ok = prefix_ok & p.isNotNull() & (F.trim(p) != "")
         aggs = []
         if id_column:
             aggs.append(F.min(id_column).alias("__ext_id"))

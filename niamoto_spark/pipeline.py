@@ -110,7 +110,8 @@ class Pipeline:
                     id_strategy=ex.get("id_strategy", "sequence"),
                     id_column=ex.get("id_column"),
                     name_column=ex.get("name_column"),
-                    entity_name=name)
+                    entity_name=name,
+                    incomplete_rows=ex.get("incomplete_rows", "skip"))
                 # the reference importer adds an (empty) extra_data JSON
                 # column to derived references (engine.py:335-337)
                 df = df.withColumn("extra_data",
@@ -262,6 +263,7 @@ class Pipeline:
             tagged[src.name] = out
 
         # 2. widgets: one aggregate each, packed to a JSON column
+        from niamoto_spark import refshapes as RS
         result = grouping.select(F.col(gid))
         if only_ids is not None:
             result = result.where(F.col(gid).isin(list(only_ids)))
@@ -278,6 +280,17 @@ class Pipeline:
                 continue
             result = result.join(jdf.withColumnRenamed("__json", name),
                                  gid, "left")
+            # zero-occurrence entities: the reference's per-entity loop
+            # runs EVERY widget on every taxonomy node and empty frames
+            # take the plugins' empty branches — engine aggregates emit
+            # no row there, so coalesce with the config-derived empty
+            # literal (r13 import-axis find: 'Unknown species' nodes)
+            empty = self._empty_chain_json(dict(w.params)) \
+                if w.plugin == "transform_chain" \
+                else RS.empty_widget_json(w.plugin, dict(w.params))
+            if empty is not None:
+                result = result.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(empty)))
         out_path = os.path.join(self.warehouse, f"{g.group_by}_results.parquet")
         if mode == "incremental":
             from niamoto_spark.sources.sinks import upsert_table
@@ -373,6 +386,77 @@ class Pipeline:
             return RS.direct_attribute(wdf, gid, params, is_float)
         return self._pack_json(wdf, gid, "__json",
                                single_row=plugin in SINGLE_ROW_WIDGETS)
+
+    def _empty_chain_json(self, params: dict) -> str | None:
+        """transform_chain empty-entity envelope: the reference runs the
+        whole chain on the empty frame, so each step's empty result is
+        keyed under its output_key — ts steps take the [0]*12 int fill,
+        custom_calculator steps run the SAME python kernels the engine
+        uses at scale (deterministic over the zero series), and a dict
+        custom_formula composes prior keys.  Returns None when a step
+        cannot be statically evaluated (the widget stays NULL there)."""
+        import json as _json
+
+        from niamoto_spark import refshapes as RS
+        from niamoto_spark.operators.ecological import (
+            active_periods_dict, peak_detection_dict)
+
+        doc: dict[str, Any] = {}
+        step_params: dict[str, dict] = {}
+        series_names: list[str] = []
+        for step in params.get("steps") or []:
+            sp_ = dict(step.get("params") or {})
+            key = step.get("output_key")
+            if step.get("plugin") == "time_series_analysis":
+                txt = RS.empty_widget_json("time_series_analysis", sp_)
+                doc[key] = _json.loads(txt)
+                series_names = list(sp_.get("fields") or {})
+            elif step.get("plugin") == "custom_calculator":
+                op = sp_.get("operation")
+                series = {k: [0.0] * 12 for k in series_names}
+                if op == "peak_detection":
+                    doc[key] = peak_detection_dict(
+                        series, threshold=sp_.get("threshold"),
+                        min_distance=int(sp_.get("min_distance", 1)),
+                        prominence=float(sp_.get("prominence", 0.0)))
+                elif op == "active_periods":
+                    labels = sp_.get("labels")
+                    if isinstance(labels, str) and labels.startswith("@"):
+                        src_key = labels[1:].split(".", 1)[0]
+                        labels = step_params.get(src_key, {}).get("labels")
+                    doc[key] = active_periods_dict(
+                        series,
+                        threshold=float(sp_.get("threshold", 0.0)),
+                        min_duration=int(sp_.get("min_duration", 1)),
+                        labels=labels)
+                elif op == "custom_formula":
+                    import ast
+                    try:
+                        tree = ast.parse(sp_["formula"], mode="eval").body
+                    except (KeyError, SyntaxError):
+                        return None
+                    if not isinstance(tree, ast.Dict):
+                        return None
+                    variables = sp_.get("variables", {})
+                    merged = {}
+                    for k, v in zip(tree.keys, tree.values):
+                        if not isinstance(k, ast.Constant) or \
+                                not isinstance(v, ast.Name):
+                            return None
+                        ref = variables.get(v.id, f"@{v.id}")
+                        src_key = ref[1:].split(".", 1)[0] \
+                            if isinstance(ref, str) and ref.startswith("@") \
+                            else v.id
+                        if src_key not in doc:
+                            return None
+                        merged[k.value] = doc[src_key]
+                    doc[key] = merged
+                else:
+                    return None
+            else:
+                return None
+            step_params[key] = sp_
+        return _json.dumps(doc, ensure_ascii=False) if doc else None
 
     def _shape_chain_step(self, plugin: str, params: dict,
                           wdf: DataFrame, bindings: dict,
@@ -841,6 +925,15 @@ class Pipeline:
             piece = src.groupBy(gid).agg(*aggs)
             result = piece if result is None else result.join(piece, gid, "full")
         assert result is not None
+        # count over an entity with no source rows is 0 in the reference
+        # (len of the empty frame), not NULL — the cross-source full
+        # join leaves holes for zero-occurrence entities (r13 import
+        # axis: general_info.occurrences_count on 'Unknown species')
+        count_targets = [s["target"] for specs in per_source.values()
+                         for s in specs
+                         if s.get("transformation") == "count"]
+        for t in count_targets:
+            result = result.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
         return result
 
     def _pack_json(self, wdf: DataFrame, gid: str, name: str,

@@ -125,6 +125,71 @@ def _frag_pct(counts: Column, int_zero_fill: bool) -> Column:
     return F.when(total > 0, F.to_json(pcts)).otherwise(zeros)
 
 
+def empty_widget_json(plugin: str, p: dict) -> str | None:
+    """The reference plugin's ``transform()`` result on an EMPTY frame —
+    what a ZERO-OCCURRENCE entity gets (the reference's per-entity loop
+    runs every widget on every taxonomy node; engine widgets are
+    aggregates that emit no row for such entities, so the pipeline
+    coalesces each widget column with this config-derived literal).
+    ``None`` = the reference errors or returns a falsy result on empty
+    (the service drops it, transformer.py:299) — the column stays NULL.
+
+    Shapes pinned against the reference's own output on the r13 import
+    axis (fill_unknown 'Unknown species' nodes have zero occurrences):
+
+    - statistical_summary (:181-183): every stat null + units +
+      params.max_value echo;
+    - binned_distribution (:215-225): bins echo (pydantic floats),
+      [0]*n int counts, [0]*n INT percentages;
+    - categorical_distribution (:196-203): categories echo, [0]*n
+      counts, labels, [0.0]*n FLOAT percentages;
+    - binary_counter: 0/0 counts, 0.0 percents;
+    - time_series_analysis: {name: [0]*12} int fills + labels;
+    - top_ranking: empty lists.
+    """
+    if plugin == "statistical_summary":
+        stats = p.get("stats") or ["min", "mean", "max"]
+        doc: dict[str, Any] = {s: None for s in stats}
+        doc["units"] = p.get("units", "")
+        doc["max_value"] = p.get("max_value", 100)
+        return _json.dumps(doc, ensure_ascii=False)
+    if plugin == "binned_distribution":
+        bins = [float(b) for b in p["bins"]]
+        n = len(bins) - 1
+        doc = {"bins": bins, "counts": [0] * n}
+        if p.get("labels"):
+            doc["labels"] = [str(x) for x in p["labels"]]
+        if p.get("include_percentages"):
+            doc["percentages"] = [0] * n
+        return _json.dumps(doc, ensure_ascii=False)
+    if plugin == "categorical_distribution":
+        cats = p["categories"]
+        labels = p.get("labels") or [str(c) for c in cats]
+        doc = {"categories": cats, "counts": [0] * len(cats),
+               "labels": [str(lb) for lb in labels]}
+        if p.get("include_percentages"):
+            doc["percentages"] = [0.0] * len(cats)
+        return _json.dumps(doc, ensure_ascii=False)
+    if plugin == "binary_counter":
+        tl = p.get("true_label", "oui")
+        fl = p.get("false_label", "non")
+        doc = {tl: 0, fl: 0}
+        if p.get("include_percentages"):
+            doc[f"{tl}_percent"] = 0.0
+            doc[f"{fl}_percent"] = 0.0
+        return _json.dumps(doc, ensure_ascii=False)
+    if plugin == "time_series_analysis":
+        fields = p.get("fields") or {}
+        labels = p.get("labels") or ["Jan", "Fev", "Mar", "Avr", "Mai",
+                                     "Jun", "Jul", "Aou", "Sep", "Oct",
+                                     "Nov", "Dec"]
+        return _json.dumps({"month_data": {k: [0] * 12 for k in fields},
+                            "labels": labels}, ensure_ascii=False)
+    if plugin == "top_ranking":
+        return '{"tops": [], "counts": []}'
+    return None
+
+
 # ---------------------------------------------------------------------------
 # scalar / per-entity object widgets
 # ---------------------------------------------------------------------------

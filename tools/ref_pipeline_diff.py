@@ -41,7 +41,7 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
     from tools.refdiff.tablediff import (diff_export_trees,
                                          diff_taxonomy_tables)
 
-    mutator, export_mut, notes = None, None, []
+    mutator, export_mut, import_mut, notes = None, None, None, []
     data_kw = {}
     if spec:
         data_kw = dict(spec.get("data") or {})
@@ -59,8 +59,14 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
             def export_mut(cfg, _seed=spec["config_seed"] + 5000):
                 notes.extend(mutate_export(cfg, _seed))
 
+            from tools.refdiff.variants import mutate_import
+
+            def import_mut(cfg, _seed=spec["config_seed"] + 9000):
+                notes.extend(mutate_import(cfg, _seed))
+
     proj = build_project(root, transform_mutator=mutator,
-                         export_mutator=export_mut, **data_kw)
+                         export_mutator=export_mut,
+                         import_mutator=import_mut, **data_kw)
     print(f"project: {root}" + (f"  [{spec['name']}]" if spec else ""))
     for n in notes:
         print("  mutated:", n)

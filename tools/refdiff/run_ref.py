@@ -51,13 +51,23 @@ def build_reference_db(proj: dict) -> str:
     occ.to_sql("dataset_occurrences", db.engine, index=False)
     proj["plots"].to_sql("entity_plots", db.engine, index=False)
 
-    # --- taxons: the reference's own derived-hierarchy code -------------
+    # --- taxons: the reference's own derived-hierarchy code, driven by
+    # the PROJECT's import.yml (r13 import axis: the variant grid
+    # mutates levels / incomplete_rows / id_strategy — both engines
+    # must consume the same written config) ------------------------------
+    import yaml as _yaml
+    with open(os.path.join(proj["config_dir"], "import.yml")) as fh:
+        _imp = _yaml.safe_load(fh)
+    _ex = (_imp["entities"]["references"]["taxons"]["connector"]
+           ["extraction"])
     builder = HierarchyBuilder(db)
     extraction = ExtractionConfig(
-        levels=[HierarchyLevel(name=n, column=n)
-                for n in ("family", "genus", "species", "infra")],
-        id_column="id_taxonref", name_column="taxaname",
-        incomplete_rows="skip", id_strategy="hash")
+        levels=[HierarchyLevel(name=lv["name"], column=lv["column"])
+                for lv in _ex["levels"]],
+        id_column=_ex.get("id_column"),
+        name_column=_ex.get("name_column"),
+        incomplete_rows=_ex.get("incomplete_rows", "skip"),
+        id_strategy=_ex.get("id_strategy", "hash"))
     taxons = builder.build_from_dataset(
         "dataset_occurrences", extraction, "taxons")
     taxons = builder.add_nested_sets(taxons)

@@ -357,7 +357,8 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
                   shuffle_seed: int | None = None,
                   blackout_taxa: int = 0,
                   transform_mutator=None,
-                  export_mutator=None) -> dict:
+                  export_mutator=None,
+                  import_mutator=None) -> dict:
     """Create the project dir; returns paths + the synthesized frames.
 
     ``transform_mutator`` (optional) is called with the loaded
@@ -414,6 +415,8 @@ def build_project(root: str, reference_config: str = REFERENCE_CONFIG,
          "name_field": name_field}
         for source_name, fname, name_field, _ in SHAPE_SOURCES
     ]
+    if import_mutator is not None:
+        import_mutator(imp)
     with open(os.path.join(config_dir, "import.yml"), "w") as fh:
         yaml.safe_dump(imp, fh, allow_unicode=True, sort_keys=False)
 

@@ -361,6 +361,44 @@ def mutate_export(cfg: dict, seed: int) -> list:
 
 
 # ---------------------------------------------------------------------------
+# import-config axis (r13: the taxonomy derivation ran under ONE
+# parameterization — permute the ExtractionConfig branch space:
+# incomplete_rows skip|fill_unknown|error, the levels list, id_strategy)
+
+def mutate_import(cfg: dict, seed: int) -> list:
+    """Seeded permutations of the loaded import.yml's derived-taxonomy
+    extraction, IN PLACE; returns notes.  Node-for-node taxonomy-table
+    parity (tablediff.diff_taxonomy_tables) plus every downstream
+    widget adjudicate."""
+    rng = np.random.RandomState(seed)
+    notes: list = []
+    refs = ((cfg.get("entities") or {}).get("references")) or {}
+    taxons = refs.get("taxons") or {}
+    conn = taxons.get("connector") or {}
+    ex = conn.get("extraction") if conn.get("type") == "derived" else None
+    if not isinstance(ex, dict):
+        return notes
+    r = rng.rand()
+    if r < 0.3:
+        ex["incomplete_rows"] = "fill_unknown"
+        notes.append("import.taxons: incomplete_rows -> fill_unknown "
+                     "(every level COALESCEd to 'Unknown <name>')")
+    elif r < 0.45:
+        ex["incomplete_rows"] = "error"
+        notes.append("import.taxons: incomplete_rows -> error "
+                     "(global all-levels-non-NULL filter)")
+    if rng.rand() < 0.3 and isinstance(ex.get("levels"), list) \
+            and len(ex["levels"]) > 2:
+        dropped = ex["levels"].pop()
+        hl = (taxons.get("hierarchy") or {}).get("levels")
+        if isinstance(hl, list) and hl and hl[-1] == dropped.get("name"):
+            hl.pop()
+        notes.append(f"import.taxons: deepest level dropped "
+                     f"({dropped.get('name')}) — 3-level taxonomy")
+    return notes
+
+
+# ---------------------------------------------------------------------------
 # variant specs
 
 

@@ -123,3 +123,36 @@ def test_reference_pipeline_differential_blackout(spark, tmp_path):
              if isinstance(w.get("wood_density"), dict)
              and w["wood_density"].get("mean") is None]
     assert empty, "blackout produced no empty-series taxon"
+
+
+def test_reference_pipeline_differential_import_axis(spark, tmp_path):
+    """The import-axis point from the r13 grid (variant 9): taxonomy
+    derived with incomplete_rows=fill_unknown under a 3-level config —
+    'Unknown species' nodes with ZERO occurrences drive the reference's
+    per-entity empty branches across every widget (stat nulls +
+    max_value echo, [0]-int binned percentages, count=0, the chain
+    envelope over zero series), and the taxonomy table must match
+    node-for-node under the mutated extraction."""
+    import json
+
+    from tools.ref_pipeline_diff import run_one
+    from tools.refdiff.variants import variant_spec
+
+    spec = variant_spec(9)
+    spec["data"]["n_occurrences"] = 220
+    root = str(tmp_path / "import_axis")
+    report = run_one(spark, root, spec)
+    assert any("fill_unknown" in n or "level dropped" in n
+               for n in report["config_mutations"]), \
+        "variant must mutate the import axis"
+    assert report["ok"], {
+        g: {w: s for w, s in gs["widgets"].items()
+            if s["diff"] or s["missing"]}
+        for g, gs in report["groups"].items()}
+    assert report["taxonomy_table_diffs"] == []
+    with open(f"{root}/reference_results.json") as fh:
+        taxa = json.load(fh)["taxons"]
+    zero_occ = [eid for eid, w in taxa.items()
+                if (w.get("general_info") or {}).get(
+                    "occurrences_count", {}).get("value") == 0]
+    assert zero_occ, "fill_unknown produced no zero-occurrence node"

@@ -61,21 +61,39 @@ def main() -> None:
     # process spawn otherwise)
     r.mapInPandas(lambda it: it, schema=r.schema).count()
 
+    # Self-adjudicating measurement (VERDICT r13 next #1): four straight
+    # rounds of driver-vs-judge bench disputes were ambient-load noise on
+    # a shared microVM.  The bench now carries its own credibility:
+    #   - os.getloadavg() recorded before/after every pass, emitted in
+    #     the JSON line so a noisy record is identifiable post hoc;
+    #   - best-of-3 per query (was best-of-2);
+    #   - the whole pass auto-reruns (up to MAX_PASSES total) when the
+    #     1-min load exceeds LOAD_CEIL during the pass, or when the
+    #     round-over-round deltas show the lockstep-noise signature
+    #     (most queries moving >30% in the SAME direction — code changes
+    #     never do that, background load does);
+    #   - per-query result is the min across all accepted passes.
+    LOAD_CEIL = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_CEIL", "4.0"))
+    MAX_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "3"))
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        # Evict persisted frames leaked by PREVIOUS queries (operators
-        # persist intermediates; a bench loop would otherwise accumulate
-        # them and slow later queries round over round — the q38 creep).
-        spark.catalog.clearCache()
-        best, n = None, 0
-        for _ in range(2):  # best-of-2: steady-state, not scheduler noise
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    pass_loads: list[dict] = []
+    passes_run = 0
+    for pass_no in range(1, MAX_PASSES + 1):
+        passes_run = pass_no
+        pass_timings, load_rec = _measure_pass(spark, queries, sf_dir)
+        pass_loads.append(load_rec)
+        for name, t in pass_timings.items():
+            if name not in timings or t < timings[name]:
+                timings[name] = t
+        noisy = load_rec["max_1min"] > LOAD_CEIL
+        lockstep = _lockstep_noise(timings)
+        if not (noisy or lockstep):
+            break
+        if pass_no < MAX_PASSES:
+            why = ("load %.2f > %.1f" % (load_rec["max_1min"], LOAD_CEIL)
+                   if noisy else "lockstep deltas vs prev round")
+            print(f"# RERUN pass {pass_no + 1}: {why}", file=sys.stderr)
 
     # IVF approximation-quality telemetry (VERDICT r2 next #8): q41 is
     # rows-only in the correctness gate (approximate by design), so its
@@ -114,6 +132,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "deltas_vs_prev": _deltas_vs_prev(timings),
+        "load": {
+            "passes": pass_loads,
+            "max_1min": max(p["max_1min"] for p in pass_loads),
+            "ceil": LOAD_CEIL,
+        },
+        "runs_per_query": 3,
+        "passes_run": passes_run,
+        "lockstep_noise_suspected": _lockstep_noise(timings),
         "ivf_recall_at_5": ivf_recall,
         "ivfpq_recall_at_5": ivfpq_recall,
         "approx_distinct_rel_err": sketch["distinct_rel_err"],
@@ -122,6 +148,55 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(result))
+
+
+def _measure_pass(spark, queries, sf_dir: str) -> tuple[dict, dict]:
+    """One full best-of-3 pass over HEADLINE, bracketed by getloadavg()."""
+    load_before = _loadavg()
+    pass_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # Evict persisted frames leaked by PREVIOUS queries (operators
+        # persist intermediates; a bench loop would otherwise accumulate
+        # them and slow later queries round over round — the q38 creep).
+        spark.catalog.clearCache()
+        best, n = None, 0
+        for _ in range(3):  # best-of-3: steady-state, not scheduler noise
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        pass_timings[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {pass_timings[name]}s", file=sys.stderr)
+    load_after = _loadavg()
+    load_rec = {
+        "before": load_before,
+        "after": load_after,
+        "max_1min": max(load_before[0], load_after[0]),
+    }
+    return pass_timings, load_rec
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover — platform without getloadavg
+        return [0.0, 0.0, 0.0]
+
+
+def _lockstep_noise(timings: dict[str, float]) -> bool:
+    """True when the deltas vs the previous round's record carry the
+    ambient-load signature: >=80% of comparable queries slower by >30%.
+    Real regressions move the one or two queries whose code changed;
+    background load moves everything together (the r10-r13 dispute
+    pattern, adjudicated as noise four rounds running)."""
+    deltas = _deltas_vs_prev(timings)
+    pcts = [v for k, v in deltas.items()
+            if isinstance(v, (int, float)) and k != "prev_round"]
+    if len(pcts) < 5:
+        return False
+    slow = sum(1 for p in pcts if p > 30.0)
+    return slow >= 0.8 * len(pcts)
 
 
 def _deltas_vs_prev(timings: dict[str, float]) -> dict:

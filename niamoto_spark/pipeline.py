@@ -189,7 +189,18 @@ class Pipeline:
             return self.registry.load(self.spark, data)
         path = data
         if not os.path.isabs(path) and not os.path.exists(path):
-            path = os.path.join(getattr(self, "base_dir", "."), path)
+            base = getattr(self, "base_dir", ".")
+            path = os.path.join(base, path)
+            if not os.path.exists(path) \
+                    and "." not in os.path.basename(data):
+                # bare TABLE name (the reference join_table dialect
+                # resolves it against its SQLite db, join_table.py
+                # _resolve_table_name fallback) — the file-project
+                # convention for the same artifact is
+                # imports/<name>.csv
+                alt = os.path.join(base, "imports", f"{data}.csv")
+                if os.path.exists(alt):
+                    data, path = f"{data}.csv", alt
         if data.endswith(".csv"):
             from niamoto_spark.refshapes import SRC_ORDER
 
@@ -236,20 +247,73 @@ class Pipeline:
                     rght_col=fields.get("right", "rght"),
                 ).withColumn(gid, F.col("__anc")).drop("__anc")
             elif plugin == "adjacency_list":
+                # both dialects: ours (fields.parent) and the
+                # reference's top-level params (adjacency_list.py:39-56
+                # parent_field / hierarchy_id_field / include_children)
+                extra = rel.model_extra or {}
                 data, key = loader_ops._clear_gid_collision(data, key, gid)
-                closure = ancestor_closure(
-                    grouping, gid, (rel.fields or {}).get("parent", "parent_id"))
-                cl = closure.select(F.col("node_id").alias("__n"),
-                                    F.col("ancestor_id").alias(gid))
-                out = data.join(F.broadcast(cl), data[key] == F.col("__n")) \
-                          .drop("__n")
+                parent_col = extra.get("parent_field") \
+                    or (rel.fields or {}).get("parent", "parent_id")
+                match_field = extra.get("hierarchy_id_field", "id")
+                if match_field == "id":
+                    match_field = gid
+                if not extra.get("include_children", True):
+                    # direct node only (adjacency_list.py:168-177)
+                    m = grouping.select(F.col(match_field).alias("__m"),
+                                        F.col(gid).alias("__g"))
+                    out = data.join(F.broadcast(m),
+                                    data[key] == F.col("__m")) \
+                        .drop("__m").withColumn(gid, F.col("__g")) \
+                        .drop("__g")
+                else:
+                    closure = ancestor_closure(grouping, gid, parent_col)
+                    cl = closure.select(F.col("node_id"),
+                                        F.col("ancestor_id").alias(gid))
+                    if match_field != gid:
+                        # the recursive CTE matches data.key against the
+                        # hierarchy's EXTERNAL id (match_id,
+                        # adjacency_list.py:189-205): translate each
+                        # node's match value into its subtree-ancestor
+                        # gids before tagging
+                        mm = grouping.select(
+                            F.col(match_field).alias("__m"),
+                            F.col(gid).alias("__node"))
+                        cl = cl.join(mm, cl["node_id"] == F.col("__node")) \
+                            .select(F.col("__m"), F.col(gid))
+                        out = data.join(F.broadcast(cl),
+                                        data[key] == F.col("__m")) \
+                            .drop("__m")
+                    else:
+                        cl = cl.withColumnRenamed("node_id", "__n")
+                        out = data.join(F.broadcast(cl),
+                                        data[key] == F.col("__n")) \
+                            .drop("__n")
             elif plugin == "join_table":
-                bridge = self._load_source_data(rel.model_extra["bridge"])
-                out = loader_ops.join_table(
-                    data, key, bridge,
-                    rel.model_extra.get("bridge_source", "source"),
-                    rel.model_extra.get("bridge_reference", "reference"),
-                    grouping, gid)
+                extra = rel.model_extra or {}
+                if "join_table" in extra and "keys" in extra:
+                    # reference dialect (join_table.py:123-176):
+                    # SELECT m.* FROM data m JOIN <join_table> j
+                    #   ON m.id = j.<keys.source>
+                    #  WHERE j.<keys.reference> = <group primary id>
+                    # The bridge is fact-sized at scale — plain
+                    # shuffle join, no broadcast.
+                    bridge = self._load_source_data(extra["join_table"])
+                    skey = extra["keys"]["source"]
+                    rkey = extra["keys"]["reference"]
+                    data, src_id = loader_ops._clear_gid_collision(
+                        data, "id", gid)
+                    br = bridge.select(F.col(skey).alias("__s"),
+                                       F.col(rkey).alias(gid))
+                    out = data.join(br, data[src_id] == F.col("__s")) \
+                        .drop("__s")
+                else:
+                    bridge = self._load_source_data(
+                        rel.model_extra["bridge"])
+                    out = loader_ops.join_table(
+                        data, key, bridge,
+                        rel.model_extra.get("bridge_source", "source"),
+                        rel.model_extra.get("bridge_reference", "reference"),
+                        grouping, gid)
             elif plugin == "spatial_containment":
                 from niamoto_spark.operators.geospatial import points_in_polygons
 
@@ -438,19 +502,48 @@ class Pipeline:
                     if not isinstance(tree, ast.Dict):
                         return None
                     variables = sp_.get("variables", {})
+
+                    def _resolve_ref(ref):
+                        # "@key.sub.path" -> the dotted lookup into the
+                        # already-computed doc (the reference's
+                        # ReferenceResolver resolves subpaths the same
+                        # way); sentinel KeyError when unresolvable
+                        path = ref[1:].split(".")
+                        if path[0] not in doc:
+                            raise KeyError(ref)
+                        cur = doc[path[0]]
+                        for p in path[1:]:
+                            if not (isinstance(cur, dict) and p in cur):
+                                raise KeyError(ref)
+                            cur = cur[p]
+                        return cur
+
                     merged = {}
-                    for k, v in zip(tree.keys, tree.values):
-                        if not isinstance(k, ast.Constant) or \
-                                not isinstance(v, ast.Name):
-                            return None
-                        ref = variables.get(v.id, f"@{v.id}")
-                        src_key = ref[1:].split(".", 1)[0] \
-                            if isinstance(ref, str) and ref.startswith("@") \
-                            else v.id
-                        if src_key not in doc:
-                            return None
-                        merged[k.value] = doc[src_key]
-                    doc[key] = merged
+                    try:
+                        for k, v in zip(tree.keys, tree.values):
+                            if not isinstance(k, ast.Constant) or \
+                                    not isinstance(v, ast.Name):
+                                return None
+                            ref = variables.get(v.id, f"@{v.id}")
+                            if not (isinstance(ref, str)
+                                    and ref.startswith("@")):
+                                return None
+                            merged[k.value] = _resolve_ref(ref)
+                        resolved_vars = {
+                            vn: _resolve_ref(r) for vn, r in
+                            variables.items()
+                            if isinstance(r, str) and r.startswith("@")}
+                    except KeyError:
+                        return None
+                    # the reference's _custom_formula envelope
+                    # (custom_calculator.py:1649-1654)
+                    doc[key] = {
+                        "value": merged,
+                        "formula": sp_["formula"],
+                        "description": sp_.get("description",
+                                               "Custom formula"),
+                        "variables": resolved_vars,
+                    }
                 else:
                     return None
             else:
@@ -561,41 +654,65 @@ class Pipeline:
                                    schema=f"{gid} {gid_type}, __cc string")
 
         if op == "custom_formula":
-            # dict-literal formula over @variable refs -> one JSON object
-            # assembled JVM-side by string concatenation of the bound
-            # steps' per-entity JSON payloads
+            # dict-literal formula over @variable refs -> the reference's
+            # _custom_formula ENVELOPE {"value": <merged>, "formula":
+            # ..., "description": ..., "variables": {<name>: <doc>}}
+            # (custom_calculator.py:1649-1654 — the variables echo is the
+            # RESOLVED params dict), assembled JVM-side by string
+            # concatenation of the bound steps' per-entity JSON payloads.
+            # Subpath refs ("@key.subpath") bind the whole doc — the
+            # example config and grid variants only use whole-doc refs.
             tree = ast.parse(params["formula"], mode="eval").body
             if not isinstance(tree, ast.Dict):
                 raise ValueError(
                     "chain custom_formula supports dict literals of "
                     "variables here")
             variables = params.get("variables", {})
-            joined = None
-            parts: list = []
-            for i, (k, v) in enumerate(zip(tree.keys, tree.values)):
+            entries: list[tuple[str, str]] = []   # value-dict (key, src)
+            for k, v in zip(tree.keys, tree.values):
                 if not isinstance(k, ast.Constant) or \
                         not isinstance(v, ast.Name):
                     raise ValueError("dict formula entries must be "
                                      "'literal': variable")
                 ref = variables.get(v.id, f"@{v.id}")
-                key = _resolve_key(ref)
+                entries.append((k.value, _resolve_key(ref)))
+            var_entries: list[tuple[str, str]] = []  # echo (name, src)
+            for vname, ref in variables.items():
+                if isinstance(ref, str) and ref.startswith("@"):
+                    var_entries.append((vname, _resolve_key(ref)))
+
+            joined, cols = None, {}
+            for key in dict.fromkeys(
+                    [s for _, s in entries] + [s for _, s in var_entries]):
                 frame = bindings[key]
                 if "__cc" in frame.columns:
-                    jcol = F.col(f"__cc_{i}")
-                    frame = frame.withColumnRenamed("__cc", f"__cc_{i}")
+                    frame = frame.withColumnRenamed("__cc", f"__cc_{key}")
                 else:
                     # a time-series frame: emit its reference JSON shape
                     from niamoto_spark import refshapes as RS
                     frame = RS.time_series_analysis(
                         frame, gid, binding_params.get(key, {})) \
-                        .withColumnRenamed("__json", f"__cc_{i}")
-                    jcol = F.col(f"__cc_{i}")
+                        .withColumnRenamed("__json", f"__cc_{key}")
+                cols[key] = F.col(f"__cc_{key}")
                 joined = frame if joined is None \
                     else joined.join(frame, gid, "full")
-                parts.append(F.lit(f'{_json.dumps(k.value)}: '))
-                parts.append(F.coalesce(jcol, F.lit("null")))
-                parts.append(F.lit(", "))
-            parts = [F.lit("{")] + parts[:-1] + [F.lit("}")]
+
+            def _obj(pairs):
+                ps: list = []
+                for jk, sk in pairs:
+                    ps.append(F.lit(f'{_json.dumps(jk)}: '))
+                    ps.append(F.coalesce(cols[sk], F.lit("null")))
+                    ps.append(F.lit(", "))
+                return ([F.lit("{")] + ps[:-1] + [F.lit("}")]) if ps \
+                    else [F.lit("{}")]
+
+            desc = params.get("description", "Custom formula")
+            parts = ([F.lit('{"value": ')] + _obj(entries)
+                     + [F.lit(f', "formula": '
+                              f'{_json.dumps(params["formula"])}, '
+                              f'"description": {_json.dumps(desc)}, '
+                              f'"variables": ')]
+                     + _obj(var_entries) + [F.lit("}")])
             return joined.select(F.col(gid), F.concat(*parts).alias("__cc"))
 
         raise ValueError(f"chain custom_calculator operation {op!r} "

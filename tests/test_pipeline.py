@@ -405,9 +405,12 @@ def test_export_with_deploy_block(project, spark, tmp_path):
 
 def test_phenology_style_chain(project, spark):
     """The reference example's phenology chain (time series -> peaks ->
-    active periods -> dict merge) runs END TO END here — the reference's
-    own safe-eval rejects the final dict-literal step (custom_calculator
-    ast whitelist), so this is engine-superset behavior."""
+    active periods -> dict merge) runs END TO END, with the merge step
+    emitting the reference's _custom_formula envelope
+    (custom_calculator.py:1649-1654: value/formula/description/
+    variables) — r14: the refdiff shim whitelists ast.Dict so the grid
+    certifies this against the reference's own engine on every
+    variant."""
     pipe, _ = project
     cfg = [{
         "group_by": "plots",
@@ -446,7 +449,11 @@ def test_phenology_style_chain(project, spark):
     # reference envelope: every step under its output_key, the merged
     # formula dict included as the LAST step's entry
     assert set(doc) == {"raw", "peaks", "periods", "merged"}
-    assert set(doc["merged"]) == {"raw", "peaks", "periods"}
+    assert set(doc["merged"]) == {"value", "formula", "description",
+                                  "variables"}
+    assert set(doc["merged"]["value"]) == {"raw", "peaks", "periods"}
+    assert doc["merged"]["description"] == "Custom formula"
     assert "month_data" in doc["raw"] and "um" in doc["peaks"]
-    assert doc["merged"]["raw"] == doc["raw"]
+    assert doc["merged"]["value"]["raw"] == doc["raw"]
+    assert doc["merged"]["variables"]["raw"] == doc["raw"]
     assert doc["periods"]["value"]["um"]["count"] >= 0

@@ -125,6 +125,26 @@ def test_reference_pipeline_differential_blackout(spark, tmp_path):
     assert empty, "blackout produced no empty-series taxon"
 
 
+def test_reference_pipeline_differential_loader_axis(spark, tmp_path):
+    """The relation/topology point from the r14 grid (variant 1): the
+    taxons group's occurrences source rewired from nested_set to
+    adjacency_list — the reference traverses parent pointers with its
+    recursive CTE matching the external id (adjacency_list.py:180-205)
+    while this engine runs the iterative ancestor-closure join; every
+    widget adjudicates that both tag identical per-entity frames."""
+    from tools.ref_pipeline_diff import run_one
+    from tools.refdiff.variants import variant_spec
+
+    spec = variant_spec(1)
+    report = run_one(spark, str(tmp_path / "loader_axis"), spec)
+    assert any("adjacency_list" in n for n in report["config_mutations"]), \
+        "variant must rewire the relation plugin"
+    assert report["ok"], {
+        g: {w: s for w, s in gs["widgets"].items()
+            if s["diff"] or s["missing"]}
+        for g, gs in report["groups"].items()}
+
+
 def test_reference_pipeline_differential_import_axis(spark, tmp_path):
     """The import-axis point from the r13 grid (variant 9): taxonomy
     derived with incomplete_rows=fill_unknown under a 3-level config —

@@ -49,10 +49,15 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
             data_kw["data_seed"] = data_kw.pop("seed")
         if spec.get("config_seed") is not None:
             from tools.refdiff.variants import (mutate_export,
+                                                mutate_relation,
                                                 mutate_transform)
 
             def mutator(cfg, _seed=spec["config_seed"]):
                 notes.extend(mutate_transform(cfg, _seed))
+                # independent seed stream (same doctrine as the export
+                # axis): the relation/topology draws never reshuffle
+                # the widget-parameter draws
+                notes.extend(mutate_relation(cfg, _seed + 13000))
 
             # independent seed stream for the export axis so adding
             # export mutators never reshuffles the transform draws
@@ -71,28 +76,12 @@ def run_one(spark, root: str, spec: dict | None = None) -> dict:
     for n in notes:
         print("  mutated:", n)
 
-    # blocked-set resolution: the chain mutator can rewrite the
-    # phenology chain into a form the reference's safe-eval ACCEPTS
-    # (no dict-literal custom_formula left) — lift the exclusion and
-    # diff the chain like any other widget on those variants
-    import yaml as _yaml
-
+    # r14: no conditional blocked-set resolution left — the shim's
+    # ast.Dict whitelist (shims.patch_custom_formula_dict) makes the
+    # VERBATIM phenology chain reference-runnable, so REFERENCE_BLOCKED
+    # is empty and every widget diffs on every variant.
     from tools.refdiff.diff import REFERENCE_BLOCKED
     blocked = dict(REFERENCE_BLOCKED)
-    with open(os.path.join(proj["config_dir"], "transform.yml")) as fh:
-        _tcfg = _yaml.safe_load(fh)
-    _still_rejected = any(
-        (step.get("params") or {}).get("operation") == "custom_formula"
-        and "{" in str((step.get("params") or {}).get("formula", ""))
-        for g in (_tcfg or []) if isinstance(g, dict)
-        for w in (g.get("widgets_data") or {}).values()
-        if isinstance(w, dict) and w.get("plugin") == "transform_chain"
-        for step in ((w.get("params") or {}).get("steps") or [])
-        if isinstance(step, dict))
-    if not _still_rejected:
-        blocked.pop(("taxons", "phenology"), None)
-        print("  exclusion lifted: taxons.phenology (chain is "
-              "reference-runnable in this variant)")
 
     build_reference_db(proj)
     ref = run_reference_transform(proj)

@@ -16,11 +16,12 @@ import math
 # all, on its own example config) — excluded from the diff with the
 # reason recorded in the report.
 REFERENCE_BLOCKED = {
-    ("taxons", "phenology"):
-        "reference's own custom_formula safe-eval rejects the example's "
-        "dict literal (custom_calculator.py: ast.Dict not whitelisted); "
-        "this engine RUNS the chain (pipeline._custom_calculator_step) — "
-        "superset, nothing reference-side to diff against",
+    # taxons.phenology is NO LONGER excluded (r14): the shim whitelists
+    # ast.Dict in the reference's custom_formula safe-eval
+    # (shims.patch_custom_formula_dict), so the reference executes its
+    # VERBATIM example chain — the dict-literal merge step included —
+    # and the chain envelope diffs like any other widget on every
+    # variant.
     # shapes.geography is NO LONGER excluded (r13): the reference's
     # shape_processor runs end-to-end through the geometry shims
     # (tools/refdiff/shims.py), with the geometry KERNELS (UTM

@@ -29,6 +29,9 @@ def _ensure_reference_loaded():
     # eagerly) can observe a half-executed module and skip it.
     import niamoto.core.plugins.transformers  # noqa: F401
     import niamoto.core.plugins.loaders  # noqa: F401
+    # post-import patch: let the reference run its own example phenology
+    # chain (dict-literal custom_formula) — see the docstring there
+    shims.patch_custom_formula_dict()
 
 
 def build_reference_db(proj: dict) -> str:
@@ -74,6 +77,29 @@ def build_reference_db(proj: dict) -> str:
     if "extra_data" not in taxons.columns:
         taxons["extra_data"] = None
     taxons.to_sql("entity_taxons", db.engine, index=False)
+
+    # r14 loader axis: when the (possibly mutated) transform.yml links
+    # occurrences to taxons through a join_table relation, synthesize
+    # the subtree-expanded bridge from the just-derived taxonomy and
+    # hand it to BOTH engines — SQLite table for the reference,
+    # imports/<name>.csv for the Spark pipeline (same rows, one
+    # artifact doctrine).
+    with open(os.path.join(proj["config_dir"], "transform.yml")) as fh:
+        _tcfg = _yaml.safe_load(fh) or []
+    for _g in _tcfg:
+        if not isinstance(_g, dict) or _g.get("group_by") != "taxons":
+            continue
+        for _src in _g.get("sources") or []:
+            _rel = (_src or {}).get("relation") or {}
+            if _rel.get("plugin") == "join_table" and \
+                    _rel.get("join_table"):
+                from tools.refdiff.synth import make_occurrence_links
+                links = make_occurrence_links(taxons, occ)
+                links.to_sql(_rel["join_table"], db.engine, index=False)
+                links.to_csv(
+                    os.path.join(proj["imports_dir"],
+                                 f"{_rel['join_table']}.csv"),
+                    index=False)
 
     # --- shapes: documented multi-feature shape (engine.py:371-520) -----
     rows, fid = [], 1

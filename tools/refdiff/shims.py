@@ -1011,6 +1011,47 @@ def _install_unidecode() -> None:
     sys.modules["unidecode"] = mod
 
 
+def patch_custom_formula_dict() -> None:
+    """Whitelist ast.Dict in the reference's custom_formula safe-eval —
+    shim-side only, AFTER ``import niamoto`` (so it cannot run from
+    install(), which precedes the first reference import).
+
+    The reference's own example phenology chain ends in a dict-literal
+    merge formula ("{'raw': phenology_raw, ...}",
+    docs/examples/config/transform.yml:170) that its evaluator rejects
+    ("Unsupported formula expression: Dict",
+    custom_calculator.py:1544-1601 — ast.Dict is not in the node
+    allowlist) even though the config's intent is plainly the merge.
+    Accepting literal dicts with constant STRING keys (values still go
+    through the untouched allowlist) lets the reference execute its
+    verbatim config, so the grid diffs the phenology chain on every
+    variant instead of excluding it."""
+    import ast as _ast
+
+    from niamoto.core.plugins.transformers.ecological import \
+        custom_calculator as _cc
+
+    cls = _cc.CustomCalculator
+    orig = cls._evaluate_custom_formula_node
+    if getattr(orig, "_dict_whitelisted", False):
+        return
+
+    def _node_eval(self, node, names):
+        if isinstance(node, _ast.Dict):
+            out = {}
+            for k, v in zip(node.keys, node.values):
+                if not (isinstance(k, _ast.Constant)
+                        and isinstance(k.value, str)):
+                    raise ValueError(
+                        "Dict keys must be string constants")
+                out[k.value] = _node_eval(self, v, names)
+            return out
+        return orig(self, node, names)
+
+    _node_eval._dict_whitelisted = True
+    cls._evaluate_custom_formula_node = _node_eval
+
+
 def install(reference_src: str = "/root/reference/src") -> None:
     """Install all shims and put the reference on sys.path."""
     _install_rich()

@@ -100,6 +100,14 @@ def make_occurrences(n: int = 800, seed: int = SEED) -> pd.DataFrame:
             "taxaname": taxaname,
             "family": fam,
             "genus": gen,
+            # depth/fan-out axis carrier (r14): a deterministic section
+            # rank between genus and species — 2 sections per genus,
+            # split by species-name parity.  INERT until the import
+            # mutator inserts it into extraction.levels; incomplete
+            # rows keep the NULL-prefix shape (genus-only stays
+            # genus-only at every depth).
+            "section": None if incomplete
+            else f"sect. {gen[:4]}{'A' if len(sp) % 2 == 0 else 'B'}",
             "species": None if incomplete else sp,
             "infra": infra,
             "geo_pt": f"POINT ({lon} {lat})",
@@ -349,6 +357,33 @@ def mutate_occurrences(occ: pd.DataFrame, null_rate: float = 0.0,
                          random_state=shuffle_seed).reset_index(drop=True)
         occ["id"] = np.arange(1, len(occ) + 1)
     return occ
+
+
+def make_occurrence_links(taxons: pd.DataFrame,
+                          occ: pd.DataFrame) -> pd.DataFrame:
+    """Subtree-expanded occurrence->taxon bridge for the join_table
+    relation variant (r14 loader axis).
+
+    The reference's join_table loader returns ONLY rows directly linked
+    to the queried node (join_table.py:167-176 — no hierarchy
+    traversal), so subtree semantics must be ENCODED in the table: one
+    (id_occurrence, id_taxon) row per occurrence per ancestor-or-self
+    of its terminal taxon.  Built from the derived taxonomy's nested
+    sets (ancestors = nodes whose [lft, rght] encloses the terminal's),
+    which both engines already certify node-for-node
+    (tablediff.diff_taxonomy_tables), so the artifact is engine-neutral
+    shared input."""
+    terms = taxons[taxons["taxons_id"].notna()][
+        ["id", "lft", "rght", "taxons_id"]]
+    rows = []
+    for t in terms.itertuples(index=False):
+        anc_ids = taxons.loc[(taxons["lft"] <= t.lft)
+                             & (taxons["rght"] >= t.rght), "id"]
+        occ_ids = occ.loc[occ["id_taxonref"] == t.taxons_id, "id"]
+        for o in occ_ids:
+            for a in anc_ids:
+                rows.append({"id_occurrence": int(o), "id_taxon": int(a)})
+    return pd.DataFrame(rows, columns=["id_occurrence", "id_taxon"])
 
 
 def build_project(root: str, reference_config: str = REFERENCE_CONFIG,

@@ -361,6 +361,55 @@ def mutate_export(cfg: dict, seed: int) -> list:
 
 
 # ---------------------------------------------------------------------------
+# relation/topology axis (r14: the taxons group's hierarchy loader ran
+# under ONE plugin — nested_set — across every previous grid.  Permute
+# it against the same derived hierarchy: adjacency_list traverses
+# parent pointers with a recursive CTE matching the EXTERNAL id
+# (adjacency_list.py:180-205), join_table reads a physical
+# subtree-expanded bridge (join_table.py:167-176, synthesized by
+# run_ref from the derived taxonomy).  All three must tag identical
+# per-entity frames, so every widget adjudicates the loader.)
+
+def mutate_relation(cfg: list, seed: int) -> list:
+    """Seeded rewrite of the taxons group's occurrences relation,
+    IN PLACE; returns notes.  The mutated YAML is consumed VERBATIM by
+    both engines — reference loaders execute their own SQL dialect,
+    this engine its Spark joins, and parity stays the only oracle."""
+    rng = np.random.RandomState(seed)
+    notes: list = []
+    for group in cfg:
+        if not isinstance(group, dict) or group.get("group_by") != "taxons":
+            continue
+        for src in group.get("sources") or []:
+            rel = (src or {}).get("relation") or {}
+            if rel.get("plugin") != "nested_set":
+                continue
+            r = rng.rand()
+            if r < 0.35:
+                src["relation"] = {
+                    "plugin": "adjacency_list",
+                    "key": rel.get("key", "id_taxonref"),
+                    "parent_field": (rel.get("fields") or {}).get(
+                        "parent", "parent_id"),
+                    "hierarchy_id_field": rel.get("ref_key", "id"),
+                    "include_children": True,
+                }
+                notes.append(f"{src.get('name')}: relation nested_set -> "
+                             "adjacency_list (recursive-CTE subtree)")
+            elif r < 0.6:
+                src["relation"] = {
+                    "plugin": "join_table",
+                    "key": "id",
+                    "join_table": "occurrence_links",
+                    "keys": {"source": "id_occurrence",
+                             "reference": "id_taxon"},
+                }
+                notes.append(f"{src.get('name')}: relation nested_set -> "
+                             "join_table (physical subtree bridge)")
+    return notes
+
+
+# ---------------------------------------------------------------------------
 # import-config axis (r13: the taxonomy derivation ran under ONE
 # parameterization — permute the ExtractionConfig branch space:
 # incomplete_rows skip|fill_unknown|error, the levels list, id_strategy)
@@ -395,6 +444,22 @@ def mutate_import(cfg: dict, seed: int) -> list:
             hl.pop()
         notes.append(f"import.taxons: deepest level dropped "
                      f"({dropped.get('name')}) — 3-level taxonomy")
+    # r14 depth/fan-out axis: insert the synthesized 'section' rank
+    # between genus and species (synth.make_occurrences carries the
+    # column inertly) — deepens the tree one level and splits each
+    # genus's fan-out in two.  Drawn AFTER the r13 arms so earlier
+    # variants' seed streams are unchanged.
+    if rng.rand() < 0.35 and isinstance(ex.get("levels"), list):
+        names = [lv.get("name") for lv in ex["levels"]]
+        if "genus" in names and "section" not in names:
+            pos = names.index("genus") + 1
+            ex["levels"].insert(pos,
+                                {"name": "section", "column": "section"})
+            hl = (taxons.get("hierarchy") or {}).get("levels")
+            if isinstance(hl, list) and "genus" in hl:
+                hl.insert(hl.index("genus") + 1, "section")
+            notes.append("import.taxons: 'section' level inserted after "
+                         f"genus — {len(ex['levels'])}-level taxonomy")
     return notes
 
 

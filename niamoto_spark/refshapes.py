@@ -180,13 +180,39 @@ def empty_widget_json(plugin: str, p: dict) -> str | None:
         return _json.dumps(doc, ensure_ascii=False)
     if plugin == "time_series_analysis":
         fields = p.get("fields") or {}
-        labels = p.get("labels") or ["Jan", "Fev", "Mar", "Avr", "Mai",
-                                     "Jun", "Jul", "Aou", "Sep", "Oct",
+        # the reference's pydantic DEFAULT labels are ENGLISH
+        # (time_series_analysis.py:82-96) — a config omitting labels
+        # gets these, not the example config's French list
+        labels = p.get("labels") or ["Jan", "Feb", "Mar", "Apr", "May",
+                                     "Jun", "Jul", "Aug", "Sep", "Oct",
                                      "Nov", "Dec"]
         return _json.dumps({"month_data": {k: [0] * 12 for k in fields},
                             "labels": labels}, ensure_ascii=False)
     if plugin == "top_ranking":
         return '{"tops": [], "counts": []}'
+    if plugin == "field_aggregator":
+        # an entity absent from EVERY source still gets a dict from the
+        # reference (field_aggregator.py:232-271 over empty frames):
+        # count -> 0, sum -> 0, stats -> null-stats with count 0,
+        # direct -> None; units wrap when configured
+        doc = {}
+        for f in p.get("fields") or []:
+            t = f.get("transformation", "direct")
+            if t == "count":
+                value: Any = 0
+            elif t == "sum":
+                value = 0
+            elif t == "stats":
+                value = {"mean": None, "min": None, "max": None,
+                         "std": None, "count": 0}
+            else:
+                value = None
+            target = f.get("target") or f.get("field")
+            if f.get("units"):
+                doc[target] = {"value": value, "units": f["units"]}
+            else:
+                doc[target] = {"value": value}
+        return _json.dumps(doc, ensure_ascii=False) if doc else None
     return None
 
 
@@ -409,8 +435,10 @@ def top_ranking(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
 def time_series_analysis(wdf: DataFrame, gid: str, p: dict) -> DataFrame:
     """{month_data: {label: [12 pcts]}, labels}
     (distribution/time_series_analysis.py:279-285)."""
-    labels = p.get("labels") or ["Jan", "Fev", "Mar", "Avr", "Mai", "Jun",
-                                 "Jul", "Aou", "Sep", "Oct", "Nov", "Dec"]
+    # English pydantic defaults (time_series_analysis.py:82-96), not the
+    # example config's French list — configs omitting labels get these
+    labels = p.get("labels") or ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                                 "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
     series = [c for c in wdf.columns if c.endswith("_pct")]
     aggs = []
     for s in series:

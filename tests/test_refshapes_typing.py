@@ -106,3 +106,50 @@ def test_time_series_int_fill_vs_float_pct(spark):
             continue
         assert fleur[i] == 0 and isinstance(fleur[i], int), i
     assert len(fleur) == 12
+
+
+def test_empty_ts_default_labels_are_english():
+    """A config OMITTING labels gets the reference's pydantic defaults —
+    ENGLISH month names (time_series_analysis.py:82-96), not the example
+    config's French list (r14 ADVICE fix: 'Feb'/'Apr'/'May'/'Aug')."""
+    doc = json.loads(RS.empty_widget_json(
+        "time_series_analysis", {"fields": {"fleur": "flower"}}))
+    assert doc["labels"] == ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    assert doc["month_data"] == {"fleur": [0] * 12}
+
+
+def test_empty_ts_explicit_labels_pass_through():
+    doc = json.loads(RS.empty_widget_json(
+        "time_series_analysis",
+        {"fields": {"f": "x"}, "labels": ["Jan", "Fev", "Mar", "Avr",
+                                          "Mai", "Jun", "Jul", "Aou",
+                                          "Sep", "Oct", "Nov", "Dec"]}))
+    assert doc["labels"][1] == "Fev"
+
+
+def test_empty_field_aggregator_literal():
+    """An entity absent from EVERY source still gets a dict from the
+    reference's field_aggregator over empty frames
+    (field_aggregator.py:232-271): count/sum -> 0, stats -> null stats
+    with count 0, direct -> None; units wrap when configured."""
+    doc = json.loads(RS.empty_widget_json("field_aggregator", {
+        "fields": [
+            {"source": "occurrences", "field": "id",
+             "target": "occurrences_count", "transformation": "count",
+             "units": "items"},
+            {"source": "occurrences", "field": "dbh", "target": "dbh_sum",
+             "transformation": "sum"},
+            {"source": "occurrences", "field": "dbh",
+             "target": "dbh_stats", "transformation": "stats"},
+            {"source": "occurrences", "field": "taxaname",
+             "target": "name"},
+        ]}))
+    assert doc["occurrences_count"] == {"value": 0, "units": "items"}
+    assert doc["dbh_sum"] == {"value": 0}
+    assert doc["dbh_stats"]["value"] == {"mean": None, "min": None,
+                                         "max": None, "std": None,
+                                         "count": 0}
+    assert doc["name"] == {"value": None}
+    # no fields -> no dict (the widget column stays NULL)
+    assert RS.empty_widget_json("field_aggregator", {}) is None

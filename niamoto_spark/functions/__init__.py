@@ -88,6 +88,21 @@ def _est_partitions(df) -> int:
     return _est_scan(df)[0]
 
 
+def _est_logical_bytes(df) -> int | None:
+    """Catalyst's optimized-plan ``stats().sizeInBytes`` — the
+    union-aware complement to ``_est_scan``.  The file listing DEDUPS
+    repeated files, so a plan that unions the same scan N times (or
+    explodes rows) reads as 1x there; plan statistics SUM union children
+    and propagate through projections, so the same plan reads as Nx.
+    Driver-side metadata only, no job.  None when the JVM call is
+    unavailable (streaming plans, disposed sessions)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def round2(col: Column | str) -> Column:
     """The reference rounds every float output to 2 decimals (e.g.
     statistical_summary.py:188-216)."""

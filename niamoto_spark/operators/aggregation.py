@@ -62,7 +62,8 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
                         field: str, stats: Sequence[str] | None = None,
                         units: str | None = None,
                         max_value: float | None = None,
-                        rounding: str = "sql") -> DataFrame:
+                        rounding: str = "sql",
+                        median: str = "exact") -> DataFrame:
     """min/mean/max/median/std of a numeric field, rounded to 2dp
     (reference: transformers/aggregation/statistical_summary.py:152-233).
     ``stats`` selects a subset (the reference's YAML accepts e.g.
@@ -82,8 +83,12 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
       NOT percentile_approx.
     Scale: single hash aggregate with map-side partial aggregation; the
     exact median uses Spark's sort-based percentile which is the one
-    genuinely shuffle-heavy piece — swap to percentile_approx at 100 TB if
-    the use-case tolerates it (the reference's semantics do not).
+    genuinely shuffle-heavy piece.  ``median='approx'`` swaps it for
+    ``approx_percentile`` (mergeable t-digest-style sketch, stays inside
+    the same partial aggregate — the 100 TB operational lever, mirroring
+    the ``rounding=`` split).  NOT reference parity: the reference's
+    semantics are the exact interpolated median, so the oracle lanes and
+    the refdiff grid keep the default.
     """
     # rounding="sql" (default): ROUND half-away-from-zero — what the
     # DuckDB oracle computes.  rounding="python": EXACT python round()
@@ -100,6 +105,8 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
     # hot path.
     if rounding not in ("sql", "python"):
         raise ValueError(f"unknown rounding mode {rounding!r}")
+    if median not in ("exact", "approx"):
+        raise ValueError(f"unknown median mode {median!r}")
     py_mode = rounding == "python"
     rnd = (lambda col, dp: col) if py_mode else F.round
     c = F.col(field).cast("double")
@@ -109,9 +116,10 @@ def statistical_summary(df: DataFrame, group_cols: Sequence[str],
         "max": rnd(F.max(c), 2).alias("max"),
         # exact interpolated median hits .xx5 midpoints on 2dp data; double
         # rounding (4dp->2dp) keeps it stable across engines (see q51)
-        "median": (F.median(c) if py_mode
-                   else F.round(F.round(F.median(c), 4), 2)
-                   ).alias("median"),
+        "median": (lambda m: (m if py_mode
+                              else F.round(F.round(m, 4), 2))
+                   )(F.median(c) if median == "exact"
+                     else F.percentile_approx(c, 0.5)).alias("median"),
         "std": rnd(F.stddev_samp(c), 2).alias("std"),
         "count": F.count(c).alias("count"),
     }

@@ -405,6 +405,22 @@ def _lsh_pairs_by_join(sig: DataFrame, num_hashes: int, bands: int,
             .select("id_a", "id_b", "est_jaccard"))
 
 
+def _auto_pair_strategy(df, threshold_bytes: int = 256 * 1024 * 1024) -> str:
+    """'bucket' under ``threshold_bytes`` of estimated input, 'join'
+    above or unknown.  Estimate = max(file-scan bytes, Catalyst
+    optimized-plan sizeInBytes): the file listing DEDUPS repeated
+    files, so union-inflated plans (the 64x scale-probe shape)
+    under-read as base bytes there and would mis-pick bucket — plan
+    stats sum union children (r13 blind spot, ROUND13_NOTES §7)."""
+    from niamoto_spark.functions import _est_logical_bytes, _est_scan
+
+    _, pb = _est_scan(df)
+    lb = _est_logical_bytes(df)
+    if lb is not None:
+        pb = lb if pb is None else max(pb, lb)
+    return "bucket" if (pb is not None and pb < threshold_bytes) else "join"
+
+
 @register("minhash_lsh_candidates", PluginType.TRANSFORMER)
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
@@ -429,7 +445,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
       instead of ``bands``x (~16x) — the amplification that dominates
       LSH shuffle volume at scale.  Identical output, pinned by
       tests/test_dedup_similarity.py::test_pair_strategies_identical.
-    - ``"auto"``: bucket under 256 MB of scan bytes, join above/unknown.
+    - ``"auto"``: bucket under 256 MB of estimated input, join
+      above/unknown.  The estimate is max(file-scan bytes, Catalyst's
+      optimized-plan sizeInBytes): the file listing DEDUPS repeated
+      files, so a union-inflated frame (the 64x scale probe shape)
+      under-reads as its base bytes and mis-picks bucket — plan stats
+      sum union children and catch it (r13 `_est_scan` blind spot,
+      ROUND13_NOTES §7).
 
     Pipeline: signature -> explode into ``bands`` band-hashes -> self-join on
     (band, band_hash) -> distinct pairs -> estimated Jaccard from full
@@ -506,12 +528,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         ).where(F.col("sig").isNotNull())
 
     if pair_strategy == "auto":
-        from niamoto_spark.functions import _est_scan
-
-        _, _pb = _est_scan(df)
-        pair_strategy = "bucket" if (_pb is not None
-                                     and _pb < 256 * 1024 * 1024) \
-            else "join"
+        pair_strategy = _auto_pair_strategy(df)
     if pair_strategy == "join":
         return _lsh_pairs_by_join(sig, num_hashes, bands, rows_per_band,
                                   jaccard_threshold, max_bucket_size)

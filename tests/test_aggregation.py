@@ -170,3 +170,25 @@ def test_geojson_feature_collection(spark):
     counts = {tuple(f["geometry"]["coordinates"]): f["properties"]["count"]
               for f in fc["features"]}
     assert counts[(166.5, -22.1)] == 2
+
+
+def test_statistical_summary_median_approx_mode(spark, frame):
+    """median='approx' (the 100 TB operational lever — mergeable sketch
+    inside the same partial aggregate instead of the sort-based exact
+    percentile).  Documented NON-parity: exact stays the default and the
+    only mode the oracle lanes / refdiff grid use — approx_percentile
+    returns a DATA value and never interpolates even-count midpoints."""
+    approx = {r["g"]: r["median"] for r in
+              agg.statistical_summary(frame, ["g"], "dbh",
+                                      median="approx").collect()}
+    pdf = pd.DataFrame({"dbh": VALUES, "g": ["a"] * 9 + ["b"] * 8})
+    for g, sub in pdf.groupby("g"):
+        s = sorted(sub["dbh"])
+        if len(s) % 2:  # odd count: the sketch's pick IS the exact median
+            assert approx[g] == round(s[len(s) // 2], 2)
+        else:  # even: approx returns a DATA value straddling the midpoint
+            assert approx[g] in (round(s[len(s) // 2 - 1], 2),
+                                 round(s[len(s) // 2], 2))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="median"):
+        agg.statistical_summary(frame, ["g"], "dbh", median="bogus")

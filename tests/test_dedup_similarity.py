@@ -504,3 +504,32 @@ def test_pair_strategies_identical(spark):
         join = {tuple(r) for r in dedup.minhash_lsh_candidates(
             df, "doc_id", "text", pair_strategy="join", **kw).collect()}
         assert bucket == join and len(bucket) > 0, f"cap={cap}"
+
+
+def test_auto_pair_strategy_union_inflation(spark, tmp_path):
+    """The r13 `_est_scan` blind spot: the file listing dedups repeated
+    files, so a plan unioning the same scan 64x under-read as 1x and
+    auto mis-picked 'bucket' where 'join' wins (5x shuffle-byte
+    difference at that scale).  The logical-plan estimate sums union
+    children, so the inflated frame must now cross the threshold."""
+    import functools
+
+    pdf = pd.DataFrame({"doc_id": range(200),
+                        "text": [f"document body number {i} with words"
+                                 for i in range(200)]})
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    base = spark.read.parquet(path)
+    inflated = functools.reduce(lambda a, b: a.unionByName(b), [base] * 64)
+
+    base_bytes = dedup._auto_pair_strategy(base, threshold_bytes=1 << 60)
+    assert base_bytes == "bucket"  # tiny known scan stays on the fast path
+    # the real 256 MB default: small either way here, so pin the
+    # DECISION at a threshold between 1x and 64x of the scan
+    from niamoto_spark.functions import _est_logical_bytes, _est_scan
+    one = _est_scan(base)[1]
+    assert _est_logical_bytes(inflated) >= 32 * one  # union children sum
+    mid = 8 * one
+    assert dedup._auto_pair_strategy(base, threshold_bytes=mid) == "bucket"
+    assert dedup._auto_pair_strategy(inflated,
+                                     threshold_bytes=mid) == "join"

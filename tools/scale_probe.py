@@ -464,7 +464,8 @@ def main() -> None:
         _sh2.rmtree(ddir, ignore_errors=True)
 
 
-def _guard_lanes(spark, sf: str, mult: int) -> "dict[str, tuple]":
+def _guard_lanes(spark, sf: str, mult: int,
+                 only: "list[str] | None" = None) -> "dict[str, tuple]":
     """Run the guard lane set at one multiplier; returns
     {lane: (rows, seconds)}."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -494,6 +495,8 @@ def _guard_lanes(spark, sf: str, mult: int) -> "dict[str, tuple]":
     }
     out = {}
     for label, df in lanes.items():
+        if only is not None and label not in only:
+            continue
         t0 = time.time()
         df.count()
         out[label] = (n, round(time.time() - t0, 3))
@@ -501,7 +504,8 @@ def _guard_lanes(spark, sf: str, mult: int) -> "dict[str, tuple]":
     return out
 
 
-def _guard_lanes_llm(spark, sf: str, mult: int) -> "dict[str, tuple]":
+def _guard_lanes_llm(spark, sf: str, mult: int,
+                     only: "list[str] | None" = None) -> "dict[str, tuple]":
     """The flagship LLM-pipeline scale operators (VERDICT r10 next-#6):
     minhash-LSH candidates, interval join, sequence packing, and
     minhash-prefiltered TF-IDF cosine — each must stay near-linear; a
@@ -579,6 +583,8 @@ def _guard_lanes_llm(spark, sf: str, mult: int) -> "dict[str, tuple]":
     }
     out = {}
     for label, (rows, run) in lanes.items():
+        if only is not None and label not in only:
+            continue
         t0 = time.time()
         run()
         out[label] = (rows, round(time.time() - t0, 3))
@@ -590,7 +596,8 @@ def _guard_lanes_llm(spark, sf: str, mult: int) -> "dict[str, tuple]":
 def guard(multipliers: "list[int]" = (1, 4, 16),
           jsonl_path: str | None = None,
           max_cost_growth: float = 2.0,
-          llm: bool = False) -> int:
+          llm: bool = False,
+          lanes: "list[str] | None" = None) -> int:
     """VERDICT r9 next-#7: structured scale records + a superlinear
     wall-time flag.  Runs the guard lanes at each multiplier, appends
     one JSONL record per (multiplier, lane) to SCALE_PROBE.jsonl, and
@@ -607,7 +614,13 @@ def guard(multipliers: "list[int]" = (1, 4, 16),
     jsonl_path = jsonl_path or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.jsonl")
-    build = _guard_lanes_llm if llm else _guard_lanes
+    _build = _guard_lanes_llm if llm else _guard_lanes
+
+    def build(spark_, sf_, mult_):
+        # --lanes=a,b scopes a big-multiplier run to the lanes under
+        # question (r14: the 256x join-lane record) without paying for
+        # the whole set at that scale — unlisted lanes never execute
+        return _build(spark_, sf_, mult_, only=lanes)
     build(spark, sf, 1)          # warm-up: JVM/codegen cold-start must
     #                              not inflate the smallest scale's
     #                              baseline (that would mask regressions)
@@ -650,5 +663,10 @@ def guard(multipliers: "list[int]" = (1, 4, 16),
 if __name__ == "__main__":
     if "--guard" in sys.argv:
         mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
-        raise SystemExit(guard(mults, llm="--llm" in sys.argv))
+        lanes = None
+        for a in sys.argv[1:]:
+            if a.startswith("--lanes="):
+                lanes = a.split("=", 1)[1].split(",")
+        raise SystemExit(guard(mults, llm="--llm" in sys.argv,
+                               lanes=lanes))
     main()

@@ -28,7 +28,12 @@ REFERENCE_BLOCKED = {
     # projection, Douglas-Peucker, TopoJSON encoder, box clipper) held
     # common between engines — the differential certifies the plugin
     # LOGIC (tolerance formula, layer clip order, double-simplify,
-    # union order), not the kernels.
+    # union order).  The kernels themselves are pinned independently of
+    # the grid against their public DEFINITIONS (r14,
+    # tests/test_geometry_kernel_evidence.py): meridian-arc quadrature,
+    # conformality of the numerical Jacobian, closed-form ellipsoidal
+    # quad areas, the Douglas-Peucker tolerance guarantee, and
+    # spec-derived TopoJSON decoding.
 }
 
 

@@ -1,0 +1,102 @@
+"""Incremental re-run differential (r14): the reference's PARTIAL
+transform surface — ``transform_data(group_by=..., recreate_table=
+False)``, which flushes through INSERT..ON CONFLICT upserts into the
+EXISTING group table (transformer.py:1287-1318) — against this
+engine's ``run_transform(mode='incremental')`` parquet upsert.
+
+The scenario is the real user loop: full transform, source
+measurements change, one group is re-transformed in place.  Both
+engines must (a) reflect the mutated data in the re-run group,
+(b) leave the untouched groups' persisted rows exactly as the full run
+wrote them, and (c) agree with each other entity-for-entity after the
+upsert."""
+
+import json
+import os
+import sqlite3
+
+import numpy as np
+
+
+def _mutate_measurements(occ):
+    """Deterministic measurement-only mutation: taxonomy columns are
+    untouched so the derived entity set (and every hash id) is stable —
+    the precondition for an in-place re-transform."""
+    occ = occ.copy()
+    rng = np.random.RandomState(41)
+    occ["dbh"] = (occ["dbh"] * 1.5).round(1)
+    mask = rng.rand(len(occ)) < 0.15
+    occ.loc[mask, "wood_density"] = np.nan
+    occ["flower"] = 1 - occ["flower"]
+    return occ
+
+
+def test_incremental_rerun_differential(spark, tmp_path):
+    from tools.refdiff.diff import diff_results
+    from tools.refdiff.run_ref import (build_reference_db,
+                                       run_reference_transform)
+    from tools.refdiff.run_spark import read_spark_results, run_spark_pipeline
+    from tools.refdiff.synth import build_project
+
+    root = str(tmp_path / "incr")
+    proj = build_project(root, n_occurrences=220)
+
+    # --- phase 1: full transform, both engines --------------------------
+    build_reference_db(proj)
+    ref_full = run_reference_transform(proj)
+    run_spark_pipeline(spark, proj)
+    sp_full = read_spark_results(spark, proj)
+    rep = diff_results(ref_full, sp_full)
+    assert rep["ok"], "full-run baseline must be clean"
+
+    # --- phase 2: measurements change in the SOURCE data ----------------
+    occ2 = _mutate_measurements(proj["occurrences"])
+    # reference side: the dataset table is replaced (entity tables stay)
+    db_path = os.path.join(root, "db", "niamoto.db")
+    con = sqlite3.connect(db_path)
+    try:
+        occ2.to_sql("dataset_occurrences", con, if_exists="replace",
+                    index=False)
+    finally:
+        con.close()
+    # engine side: the same rows land in the imported dataset
+    occ2.to_csv(os.path.join(proj["imports_dir"], "occurrences.csv"),
+                index=False)
+
+    # --- phase 3: re-transform ONLY taxons, upsert mode -----------------
+    ref_incr = run_reference_transform(proj, group_by="taxons",
+                                       recreate_table=False)
+
+    import yaml
+
+    from niamoto_spark.pipeline import Pipeline
+    p = Pipeline(spark, os.path.join(root, "warehouse"))
+    with open(os.path.join(proj["config_dir"], "import.yml")) as fh:
+        p.run_import(yaml.safe_load(fh), base_dir=root)
+    with open(os.path.join(proj["config_dir"], "transform.yml")) as fh:
+        tcfg = yaml.safe_load(fh)
+    p.run_transform(tcfg, group_by="taxons", mode="incremental",
+                    base_dir=root)
+    sp_incr = read_spark_results(spark, proj)
+
+    # --- assertions -----------------------------------------------------
+    # (a) cross-engine parity of the upserted state, all groups
+    rep2 = diff_results(ref_incr, sp_incr)
+    assert rep2["ok"], json.dumps(
+        {g: {w: s for w, s in gs["widgets"].items()
+             if s["diff"] or s["missing"]}
+         for g, gs in rep2["groups"].items()}, default=str)[:2000]
+
+    # (b) the mutation actually moved the re-run group: some taxon's
+    # dbh stats must differ from the full run
+    changed = [eid for eid in ref_full["taxons"]
+               if ref_full["taxons"][eid].get("dbh_max")
+               != ref_incr["taxons"].get(eid, {}).get("dbh_max")]
+    assert changed, "dbh mutation did not surface in the re-run"
+
+    # (c) untouched groups' persisted rows are byte-stable across the
+    # re-run in BOTH engines
+    assert ref_incr["plots"] == ref_full["plots"]
+    assert ref_incr["shapes"] == ref_full["shapes"]
+    assert sp_incr["plots"] == sp_full["plots"]
+    assert sp_incr["shapes"] == sp_full["shapes"]

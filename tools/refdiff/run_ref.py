@@ -139,9 +139,17 @@ def build_reference_db(proj: dict) -> str:
     return db_path
 
 
-def run_reference_transform(proj: dict) -> dict:
+def run_reference_transform(proj: dict, group_by: str | None = None,
+                            recreate_table: bool = True) -> dict:
     """transform_data() through the reference service; returns results
-    as {group: {entity_id: {widget: parsed_json_or_scalar}}}."""
+    as {group: {entity_id: {widget: parsed_json_or_scalar}}}.
+
+    ``group_by``/``recreate_table`` expose the reference's PARTIAL
+    re-run surface (transformer.py:360-366): recreate_table=False takes
+    the INSERT..ON CONFLICT upsert flush (:1287-1318) into the existing
+    group table instead of replacing it — the r14 incremental
+    differential drives this against the engine's mode='incremental'
+    upsert."""
     _ensure_reference_loaded()
     os.environ["NIAMOTO_HOME"] = proj["root"]
 
@@ -152,8 +160,12 @@ def run_reference_transform(proj: dict) -> dict:
     config = Config(proj["config_dir"], create_default=False)
     db_path = os.path.join(proj["root"], "db", "niamoto.db")
     svc = TransformerService(db_path, config, enable_cli_integration=False)
-    svc.transform_data()
+    svc.transform_data(group_by=group_by, recreate_table=recreate_table)
+    return read_reference_tables(db_path)
 
+
+def read_reference_tables(db_path: str) -> dict:
+    """Read the per-group result tables back (no transform run)."""
     out: dict = {}
     con = sqlite3.connect(db_path)
     try:

@@ -46,6 +46,42 @@ def run_spark_pipeline(spark, proj: dict) -> dict:
     return out
 
 
+def read_spark_results(spark, proj: dict,
+                       groups=("taxons", "plots", "shapes")) -> dict:
+    """Read the warehouse's persisted {group}_results.parquet tables
+    back as {group: {entity_id: {widget: parsed_json}}} — the
+    incremental differential compares PERSISTED state (what a re-run
+    upserted), not the returned frames."""
+    from niamoto_spark.catalog import EntityRegistry
+
+    warehouse = os.path.join(proj["root"], "warehouse")
+    reg = EntityRegistry.open(os.path.join(warehouse, "registry.json"))
+    out: dict = {}
+    for group in groups:
+        path = os.path.join(warehouse, f"{group}_results.parquet")
+        if not os.path.exists(path):
+            out[group] = {}
+            continue
+        gid = reg.get(group).id_field
+        gmap: dict = {}
+        for row in spark.read.parquet(path).collect():
+            rec = row.asDict()
+            eid = rec.pop(gid)
+            widgets = {}
+            for k, v in rec.items():
+                if v is None:
+                    continue
+                if isinstance(v, str):
+                    try:
+                        v = json.loads(v)
+                    except (ValueError, TypeError):
+                        pass
+                widgets[k] = v
+            gmap[eid] = widgets
+        out[group] = gmap
+    return out
+
+
 def run_spark_export(spark, proj: dict) -> str:
     """Reference export.yml json_api target through our Pipeline;
     returns the output dir.  Requires run_spark_pipeline to have run

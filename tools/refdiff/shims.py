@@ -360,6 +360,18 @@ class _Connection:
                 s = s.replace(
                     f":{k}", "(" + ", ".join(f":{n}" for n in names) + ")")
                 p.update(dict(zip(names, vals)))
+        # SQLite dialect shim: "INSERT .. SELECT .. FROM t ON CONFLICT"
+        # is a documented SQLite parsing ambiguity (upsert vs the
+        # legacy INSERT OR clause) that requires a WHERE on the SELECT
+        # — "even if simply WHERE true" per the SQLite upsert docs.
+        # DuckDB (the reference's engine) parses it bare, so the
+        # reference's ON CONFLICT flush SQL (transformer.py:1302-1310)
+        # needs the disambiguator injected here.
+        import re as _re
+        if "ON CONFLICT" in s and _re.search(
+                r"FROM\s+\S+\s+ON\s+CONFLICT", s, _re.IGNORECASE):
+            s = _re.sub(r"(\s)(ON\s+CONFLICT)", r"\1WHERE true \2", s,
+                        count=1, flags=_re.IGNORECASE)
         cur = self._raw.cursor()
         try:
             cur.execute(s, p)

@@ -80,14 +80,20 @@ def _read_ifd_value(buf: bytes, e: str, ttype: int, count: int, raw: bytes):
 
 
 def read_geotiff(path: str, band: int = 1) -> Raster:
-    """GeoTIFF -> Raster.  Delegates to rasterio when importable."""
+    """GeoTIFF -> Raster.  Delegates to rasterio when importable AND
+    usable; a module that imports but fails at call time (broken GDAL
+    install, or a test-harness stub occupying sys.modules) falls back
+    to the pure reader instead of surfacing the delegate's error."""
     try:
         import rasterio  # noqa: F401  (optional upgrade path)
     except ImportError:
         return _read_geotiff_pure(path, band)
-    with rasterio.open(path) as src:
-        t = src.transform
-        return Raster(src.read(band), t.c, t.f, t.a, t.e, src.nodata)
+    try:
+        with rasterio.open(path) as src:
+            t = src.transform
+            return Raster(src.read(band), t.c, t.f, t.a, t.e, src.nodata)
+    except (NotImplementedError, AttributeError, TypeError):
+        return _read_geotiff_pure(path, band)
 
 
 def _read_geotiff_pure(path: str, band: int = 1) -> Raster:

@@ -457,3 +457,52 @@ def test_phenology_style_chain(project, spark):
     assert doc["merged"]["value"]["raw"] == doc["raw"]
     assert doc["merged"]["variables"]["raw"] == doc["raw"]
     assert doc["periods"]["value"]["um"]["count"] >= 0
+
+
+def test_transform_adjacency_reference_dialect(project, spark):
+    """The reference's adjacency_list param dialect (top-level
+    parent_field / hierarchy_id_field / include_children,
+    adjacency_list.py:39-56): matching data.key against the hierarchy's
+    EXTERNAL field must tag the same subtree frames the nested_set
+    loader produces, and include_children=false must tag the direct
+    node ONLY (the loader's simple branch, :168-177)."""
+    pipe, _ = project
+    def cfg(include_children):
+        return [{
+            "group_by": "taxons",
+            "sources": [{
+                "name": "occurrences",
+                "data": "occurrences",
+                "grouping": "taxons",
+                "relation": {"plugin": "adjacency_list", "key": "species",
+                             "parent_field": "parent_id",
+                             "hierarchy_id_field": "rank_value",
+                             "include_children": include_children},
+            }],
+            "widgets_data": {
+                "dbh_summary": {"plugin": "statistical_summary",
+                                "params": {"source": "occurrences",
+                                           "field": "dbh"}},
+            },
+        }]
+
+    taxons = {r["rank_value"]: r["id"] for r in
+              pipe.registry.load(spark, "taxons").collect()}
+
+    out = pipe.run_transform(cfg(True))["taxons"]
+    rows = {r["id"]: r for r in out.collect() if r["dbh_summary"]}
+    fam = json.loads(rows[taxons["Araucariaceae"]]["dbh_summary"])
+    sub = OCCURRENCES[OCCURRENCES.family == "Araucariaceae"]["dbh"]
+    assert fam["mean"] == round(sub.mean(), 2)
+    sp = json.loads(rows[taxons["columnaris"]]["dbh_summary"])
+    assert sp["mean"] == 15.0 and sp["max"] == 20.0  # its own two rows
+
+    out2 = pipe.run_transform(cfg(False))["taxons"]
+    rows2 = {r["id"]: r for r in out2.collect() if r["dbh_summary"]}
+    # direct-node only: family nodes match no occurrence (species
+    # values never equal family rank_values) and take the
+    # zero-occurrence empty literal (null stats), species keep theirs
+    fam2 = json.loads(rows2[taxons["Araucariaceae"]]["dbh_summary"])
+    assert fam2["mean"] is None and fam2["max"] is None
+    sp2 = json.loads(rows2[taxons["columnaris"]]["dbh_summary"])
+    assert sp2 == sp

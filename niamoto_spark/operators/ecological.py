@@ -674,3 +674,150 @@ def active_periods_dict(series: "dict[str, list[float]]",
         }
     return {"value": results, "series_count": len(results),
             "threshold": threshold, "min_duration": min_duration}
+
+
+# ---------------------------------------------------------------------------
+# chain-context custom_calculator: the PURE (params-only) operations.
+# Per-entity python kernels mirroring the reference's result shapes
+# bit-for-bit (numpy arithmetic on the same arrays is bit-identical, and
+# float()/int() typing + key sets follow each reference method), so a
+# transform_chain step can run them inside mapInPandas over the resolved
+# per-entity docs.  Reference: transformers/ecological/custom_calculator.py
+# (_array_division :1112, _array_multiplication :483, _normalize_array
+# :535, _weighted_sum :627, _shannon_entropy :712, _pielou_evenness :765,
+# _sum_array_slice :808, _ratio_calculation :885).
+
+CC_PURE_OPS = frozenset({
+    "array_division", "array_multiplication", "normalize_array",
+    "weighted_sum", "shannon_entropy", "pielou_evenness",
+    "sum_array_slice", "ratio_calculation",
+})
+
+
+def cc_pure_op(op: str, params: dict) -> dict:
+    """Run one pure custom_calculator operation over RESOLVED params."""
+    import numpy as np
+
+    p = dict(params)
+    if op == "array_multiplication":
+        a1 = np.array(p["array1"], dtype=float)
+        a2 = np.array(p["array2"], dtype=float)
+        if a1.size != a2.size and a2.size != 1:
+            raise ValueError("arrays must match, or array2 scalar")
+        scale = p.get("scale_factor", 1.0)
+        result = (a1 * a2[0] * scale if a2.size == 1
+                  else np.multiply(a1, a2) * scale)
+        # scale_factor echoes the PARAM (yaml int stays int, :525)
+        return {"values": result.tolist(), "scale_factor": scale}
+    if op == "array_division":
+        num = np.array(p["numerator"], dtype=float)
+        den = np.array(p["denominator"], dtype=float)
+        if num.shape != den.shape:
+            raise ValueError("arrays must have the same dimensions")
+        scale = float(p.get("scale_factor", 1.0))
+        default = float(p.get("default_value", 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            result = np.divide(num, den)
+            result = np.where(np.isfinite(result), result, default)
+        result = result * scale
+        return {"value": result.tolist(), "mean": float(np.mean(result)),
+                "min": float(np.min(result)), "max": float(np.max(result)),
+                "sum": float(np.sum(result))}
+    if op == "normalize_array":
+        arr = np.array(p["input"], dtype=float)
+        method = p.get("method", "minmax")
+        if method == "minmax":
+            mn = p.get("min_value", arr.min())
+            mx = p.get("max_value", arr.max())
+            normalized = (np.zeros_like(arr) if mx == mn
+                          else (arr - mn) / (mx - mn))
+            return {"values": normalized.tolist(), "min": float(mn),
+                    "max": float(mx), "method": method}
+        if method == "zscore":
+            mean, std = np.mean(arr), np.std(arr)
+            normalized = (np.zeros_like(arr) if std == 0
+                          else (arr - mean) / std)
+            return {"values": normalized.tolist(), "mean": float(mean),
+                    "std": float(std), "method": method}
+        if method == "percentage":
+            total = np.sum(arr)
+            normalized = (np.zeros_like(arr) if total == 0
+                          else (arr / total) * 100)
+            return {"values": normalized.tolist(), "total": float(total),
+                    "method": method}
+        raise ValueError(f"unsupported normalization method: {method}")
+    if op == "weighted_sum":
+        values_config = p["values"]
+        if not isinstance(values_config, list):
+            raise ValueError("'values' must be a list of dicts")
+        wsum = 0.0
+        total_weight = 0.0
+        for item in values_config:
+            if not isinstance(item, dict) or "value" not in item:
+                raise ValueError("each element needs a 'value' key")
+            value = float(item["value"])
+            weight = float(item.get("weight", 1.0))
+            if "max" in item:
+                mx = float(item["max"])
+                value = value / mx if mx > 0 else 0
+            wsum += value * weight
+            total_weight += weight
+        result = wsum / total_weight if total_weight > 0 else 0.0
+        norm = p.get("normalization")
+        if norm and isinstance(norm, list) and len(norm) == 2:
+            result = norm[0] + (norm[1] - norm[0]) * result
+        return {"value": float(result), "weighted_sum": float(wsum),
+                "total_weight": float(total_weight)}
+    if op == "shannon_entropy":
+        probs = np.array(p["probabilities"], dtype=float)
+        normalize = p.get("normalize", True)
+        if normalize or abs(np.sum(probs) - 1.0) > 1e-6:
+            total = np.sum(probs)
+            if total > 0:
+                probs = probs / total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            log_probs = np.log2(probs)
+            log_probs[~np.isfinite(log_probs)] = 0
+            entropy = -np.sum(probs * log_probs)
+        non_zero = np.count_nonzero(probs)
+        max_entropy = np.log2(non_zero) if non_zero > 0 else 0
+        return {"value": float(entropy), "max_entropy": float(max_entropy),
+                "classes_count": int(len(probs)),
+                "non_zero_classes": int(non_zero)}
+    if op == "pielou_evenness":
+        shannon = float(p["shannon_entropy"])
+        max_bins = int(p["max_bins"])
+        max_entropy = np.log2(max_bins) if max_bins > 0 else 0
+        evenness = shannon / max_entropy if max_entropy > 0 else 0
+        return {"value": float(evenness), "shannon_entropy": shannon,
+                "max_entropy": float(max_entropy), "max_bins": max_bins}
+    if op == "sum_array_slice":
+        arr = np.array(p["array"], dtype=float)
+        start = int(p["start_index"])
+        end = int(p.get("end_index", len(arr)))
+        if start < 0 or start >= len(arr):
+            raise ValueError(f"invalid start index: {start}")
+        if end < start or end > len(arr):
+            raise ValueError(f"invalid end index: {end}")
+        slice_sum = np.sum(arr[start:end])
+        mode = p.get("total", "sum")
+        if mode == "sum":
+            total = np.sum(arr)
+        elif mode == "len":
+            total = len(arr)
+        elif mode == "value":
+            total = float(p.get("total_value", np.sum(arr)))
+        else:
+            raise ValueError(f"unsupported total mode: {mode}")
+        ratio = slice_sum / total if total > 0 else 0
+        return {"value": float(ratio), "slice_sum": float(slice_sum),
+                "total": float(total), "start_index": start,
+                "end_index": end}
+    if op == "ratio_calculation":
+        num = float(p["numerator"])
+        den = float(p["denominator"])
+        scale = float(p.get("scale_factor", 1.0))
+        ratio = (num / den) * scale if den != 0 else 0
+        return {"value": float(ratio), "numerator": num,
+                "denominator": den, "scale_factor": scale}
+    raise ValueError(f"not a pure custom_calculator op: {op!r}")

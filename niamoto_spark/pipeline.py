@@ -47,6 +47,37 @@ SINGLE_ROW_WIDGETS = {
 }
 
 
+
+def _resolve_chain_ref(ref: str, docs: dict):
+    """Resolve an "@step.field.sub[0]" chain reference against computed
+    per-entity step docs — the reference ReferenceResolver's dotted +
+    indexed grammar (reference_resolver.py:53-67); ``|function`` pipes
+    are not supported here (KeyError -> the step emits NULL).  Raises
+    KeyError when any segment is missing."""
+    import re as _re
+
+    body = ref[1:]
+    if "|" in body:
+        raise KeyError(ref)
+    parts = body.split(".")
+    if parts[0] not in docs:
+        raise KeyError(ref)
+    cur = docs[parts[0]]
+    for seg in parts[1:]:
+        m = _re.match(r"([A-Za-z0-9_]+)((?:\[\d+\])*)$", seg)
+        if not m:
+            raise KeyError(ref)
+        name, idx = m.group(1), m.group(2)
+        if not (isinstance(cur, dict) and name in cur):
+            raise KeyError(ref)
+        cur = cur[name]
+        for i in _re.findall(r"\[(\d+)\]", idx or ""):
+            if not isinstance(cur, list) or int(i) >= len(cur):
+                raise KeyError(ref)
+            cur = cur[int(i)]
+    return cur
+
+
 class Pipeline:
     def __init__(self, spark: SparkSession, warehouse: str,
                  registry: EntityRegistry | None = None,
@@ -545,7 +576,27 @@ class Pipeline:
                         "variables": resolved_vars,
                     }
                 else:
-                    return None
+                    from niamoto_spark.operators.ecological import (
+                        CC_PURE_OPS, cc_pure_op)
+                    if op not in CC_PURE_OPS:
+                        return None
+                    # pure op over the zero-series docs computed so far
+
+                    def _mat(v):
+                        if isinstance(v, str) and v.startswith("@"):
+                            return _resolve_chain_ref(v, doc)
+                        if isinstance(v, dict):
+                            return {k2: _mat(x) for k2, x in v.items()}
+                        if isinstance(v, list):
+                            return [_mat(x) for x in v]
+                        return v
+
+                    try:
+                        doc[key] = cc_pure_op(
+                            op, {k2: _mat(v) for k2, v in sp_.items()
+                                 if k2 not in ("operation", "source")})
+                    except (KeyError, ValueError, TypeError):
+                        return None
             else:
                 return None
             step_params[key] = sp_
@@ -714,6 +765,84 @@ class Pipeline:
                               f'"variables": ')]
                      + _obj(var_entries) + [F.lit("}")])
             return joined.select(F.col(gid), F.concat(*parts).alias("__cc"))
+
+        from niamoto_spark.operators.ecological import (CC_PURE_OPS,
+                                                         cc_pure_op)
+        if op in CC_PURE_OPS:
+            # pure (params-only) operation: resolve @refs into the
+            # referenced steps' per-entity docs and run the shared
+            # python kernel per Arrow batch — the same kernels the
+            # reference's per-entity loop runs, so parity is the
+            # kernel's (grid-diffed on the appended-step variants)
+            refs: list[str] = []
+
+            def _walk(v):
+                if isinstance(v, str) and v.startswith("@"):
+                    refs.append(v)
+                elif isinstance(v, dict):
+                    for x in v.values():
+                        _walk(x)
+                elif isinstance(v, list):
+                    for x in v:
+                        _walk(x)
+
+            op_params = {k: v for k, v in params.items()
+                         if k not in ("operation", "source")}
+            _walk(op_params)
+            src_keys = list(dict.fromkeys(_resolve_key(r) for r in refs))
+            joined = None
+            for skey in src_keys:
+                frame = bindings[skey]
+                if "__cc" in frame.columns:
+                    frame = frame.withColumnRenamed("__cc",
+                                                    f"__cc_{skey}")
+                else:
+                    from niamoto_spark import refshapes as RS
+                    frame = RS.time_series_analysis(
+                        frame, gid, binding_params.get(skey, {}))                         .withColumnRenamed("__json", f"__cc_{skey}")
+                joined = frame if joined is None                     else joined.join(frame, gid, "full")
+            if joined is None:
+                raise ValueError(
+                    f"chain {op} step has no @step references")
+            gid_type = dict(joined.dtypes)[gid]
+            keys_ = list(src_keys)
+
+            def run_pure(batches):
+                for pdf in batches:
+                    rows = []
+                    for _, row in pdf.iterrows():
+                        docs, ok = {}, True
+                        for skey in keys_:
+                            txt = row[f"__cc_{skey}"]
+                            if not isinstance(txt, str):
+                                ok = False
+                                break
+                            docs[skey] = _json.loads(txt)
+                        if not ok:
+                            rows.append((row[gid], None))
+                            continue
+
+                        def mat(v):
+                            if isinstance(v, str) and v.startswith("@"):
+                                return _resolve_chain_ref(v, docs)
+                            if isinstance(v, dict):
+                                return {k2: mat(x) for k2, x in v.items()}
+                            if isinstance(v, list):
+                                return [mat(x) for x in v]
+                            return v
+
+                        try:
+                            out_doc = cc_pure_op(
+                                op, {k2: mat(v) for k2, v
+                                     in op_params.items()})
+                            rows.append((row[gid], _json.dumps(
+                                out_doc, ensure_ascii=False)))
+                        except (KeyError, ValueError, TypeError):
+                            rows.append((row[gid], None))
+                    yield pd.DataFrame(rows, columns=[gid, "__cc"])
+
+            return joined.mapInPandas(
+                run_pure, schema=f"{gid} {gid_type}, __cc string")
 
         raise ValueError(f"chain custom_calculator operation {op!r} "
                          "not supported")

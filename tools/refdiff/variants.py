@@ -207,6 +207,47 @@ def _m_chain(params, rng, notes, where):
         del steps[-2:]
         notes.append(f"{where}: chain truncated to peak_detection "
                      "(reference-runnable)")
+    # r14: APPEND a pure custom_calculator analysis step over the ts
+    # step's month_data — the first cross-engine coverage for the
+    # params-only operation family (shannon_entropy / sum_array_slice /
+    # normalize_array; reference custom_calculator.py:712/808/535,
+    # engine ecological.cc_pure_op).  The reference resolves the
+    # "@<ts>.month_data.<series>" ref through its ReferenceResolver and
+    # runs the op per entity; the engine runs the same kernel in
+    # mapInPandas over the resolved docs.
+    if rng.rand() < 0.55 and steps \
+            and steps[0].get("plugin") == "time_series_analysis":
+        base_key = steps[0].get("output_key")
+        series = list((steps[0].get("params") or {}).get("fields") or {})
+        if base_key and series:
+            sname = series[int(rng.randint(len(series)))]
+            ref = f"@{base_key}.month_data.{sname}"
+            c = rng.rand()
+            if c < 0.4:
+                steps.append({
+                    "plugin": "custom_calculator",
+                    "output_key": "phenology_entropy",
+                    "params": {"operation": "shannon_entropy",
+                               "probabilities": ref}})
+                notes.append(f"{where}: shannon_entropy step appended "
+                             f"over {ref}")
+            elif c < 0.7:
+                steps.append({
+                    "plugin": "custom_calculator",
+                    "output_key": "phenology_h1",
+                    "params": {"operation": "sum_array_slice",
+                               "array": ref, "start_index": 0,
+                               "end_index": 6}})
+                notes.append(f"{where}: sum_array_slice step appended "
+                             f"over {ref}")
+            else:
+                steps.append({
+                    "plugin": "custom_calculator",
+                    "output_key": "phenology_norm",
+                    "params": {"operation": "normalize_array",
+                               "input": ref, "method": "percentage"}})
+                notes.append(f"{where}: normalize_array step appended "
+                             f"over {ref}")
 
 
 @_rule("shape_processor")

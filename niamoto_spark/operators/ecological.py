@@ -685,12 +685,14 @@ def active_periods_dict(series: "dict[str, list[float]]",
 # per-entity docs.  Reference: transformers/ecological/custom_calculator.py
 # (_array_division :1112, _array_multiplication :483, _normalize_array
 # :535, _weighted_sum :627, _shannon_entropy :712, _pielou_evenness :765,
-# _sum_array_slice :808, _ratio_calculation :885).
+# _sum_array_slice :808, _ratio_calculation :885, _resilience_score
+# :1026, _conformity_index :1668).
 
 CC_PURE_OPS = frozenset({
     "array_division", "array_multiplication", "normalize_array",
     "weighted_sum", "shannon_entropy", "pielou_evenness",
-    "sum_array_slice", "ratio_calculation",
+    "sum_array_slice", "ratio_calculation", "conformity_index",
+    "resilience_score",
 })
 
 
@@ -820,4 +822,65 @@ def cc_pure_op(op: str, params: dict) -> dict:
         ratio = (num / den) * scale if den != 0 else 0
         return {"value": float(ratio), "numerator": num,
                 "denominator": den, "scale_factor": scale}
+    if op == "conformity_index":
+        # :1668-1783 — observed/reference arrays (scalars promoted),
+        # per-method differences, tolerance classification
+        obs, ref = p["observed"], p["reference"]
+        obs = (np.array([float(obs)]) if not isinstance(obs, (list,
+                                                             np.ndarray))
+               else np.array(obs, dtype=float))
+        ref = (np.array([float(ref)]) if not isinstance(ref, (list,
+                                                              np.ndarray))
+               else np.array(ref, dtype=float))
+        if obs.shape != ref.shape:
+            raise ValueError("observed/reference dimensions differ")
+        tolerance = float(p.get("tolerance", 10.0))
+        method = p.get("method", "relative")
+        if method == "absolute":
+            differences = obs - ref
+        elif method == "relative":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rel = np.where(ref != 0, (obs - ref) / ref * 100, np.inf)
+                rel = np.where(np.isfinite(rel), rel, 0)
+            differences = rel
+        elif method == "percentage":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pct = np.where(ref != 0, obs / ref * 100, np.inf)
+                pct = np.where(np.isfinite(pct), pct, 0)
+            differences = pct - 100
+        else:
+            raise ValueError(f"unknown method: {method}")
+        conformity = np.abs(differences) <= tolerance
+        n_ok, n_tot = np.sum(conformity), len(conformity)
+        pct_ok = (n_ok / n_tot * 100) if n_tot > 0 else 0
+        cls = ("Excellent" if pct_ok >= 90 else
+               "Good" if pct_ok >= 75 else
+               "Moderate" if pct_ok >= 50 else
+               "Poor" if pct_ok >= 25 else "Very poor")
+        return {"value": float(pct_ok), "class": cls,
+                "conforming_count": int(n_ok), "total_count": int(n_tot),
+                "differences": differences.tolist(), "method": method,
+                "tolerance": tolerance}
+    if op == "resilience_score":
+        # :1026-1103 — fixed-weight CSR + normalized diversity score
+        csr = p["csr_values"]
+        if not isinstance(csr, dict):
+            raise ValueError("'csr_values' must be a dictionary")
+        c = float(csr.get("competitive", 0))
+        s = float(csr.get("stress_tolerant", 0))
+        r = float(csr.get("ruderal", 0))
+        diversity = float(p["functional_diversity"])
+        substrate = p.get("substrate_type", "NUM")
+        factor = 0.8 if substrate == "UM" else 1.0
+        norm_div = min(1.0, diversity / 5.0)
+        score = (20 * c + 10 * s + 40 * r + 30 * norm_div) * factor
+        cls = ("Very high" if score >= 80 else
+               "High" if score >= 60 else
+               "Medium" if score >= 40 else
+               "Low" if score >= 20 else "Very low")
+        return {"value": float(score), "class": cls,
+                "factors": {"competitive": c, "stress_tolerant": s,
+                            "ruderal": r,
+                            "functional_diversity": diversity,
+                            "substrate_factor": factor}}
     raise ValueError(f"not a pure custom_calculator op: {op!r}")

@@ -63,6 +63,20 @@ def _cases(rng):
         {"value": 7.5}]})
     yield ("weighted_sum", {"values": [{"value": 4.0}],
                             "normalization": [0, 10]})
+    yield ("conformity_index", {"observed": arr, "reference": arr2,
+                                "method": "relative", "tolerance": 50})
+    yield ("conformity_index", {"observed": 12.5, "reference": 10.0,
+                                "method": "absolute", "tolerance": 3})
+    yield ("conformity_index", {"observed": arr,
+                                "reference": [0.0] * 12,
+                                "method": "percentage"})
+    yield ("resilience_score", {"csr_values": {"competitive": 0.4,
+                                               "stress_tolerant": 0.35,
+                                               "ruderal": 0.25},
+                                "functional_diversity": 2.7,
+                                "substrate_type": "UM"})
+    yield ("resilience_score", {"csr_values": {"ruderal": 1.0},
+                                "functional_diversity": 9.0})
 
 
 def test_every_pure_op_matches_reference_bitwise(ref_calc):
@@ -86,6 +100,10 @@ def test_pure_op_error_contract(ref_calc):
         ("array_division", {"numerator": [1.0], "denominator": [1.0, 2.0]}),
         ("normalize_array", {"input": [1.0], "method": "bogus"}),
         ("weighted_sum", {"values": [{"weight": 1.0}]}),
+        ("conformity_index", {"observed": [1.0, 2.0],
+                              "reference": [1.0], "method": "relative"}),
+        ("resilience_score", {"csr_values": [1, 2],
+                              "functional_diversity": 1.0}),
     ]
     for op, params in bad:
         with pytest.raises(Exception):

@@ -182,14 +182,14 @@ def _m_ratio(params, rng, notes, where):
 
 @_rule("transform_chain")
 def _m_chain(params, rng, notes, where):
-    """The example phenology chain's final custom_formula step is a
-    DICT literal the reference's own safe-eval rejects (ast.Dict not
-    whitelisted) — the one standing refdiff exclusion.  Dropping the
-    merge step (and optionally the periods step too) leaves a chain
-    the reference EXECUTES end-to-end: time_series_analysis ->
-    peak_detection [-> active_periods] — so those custom_calculator
-    operations get cross-engine coverage for the first time, and
-    run_one LIFTS the exclusion for such variants."""
+    """Chain-shape permutations.  (r14: the dict-literal merge step is
+    no longer an exclusion — the shim whitelists ast.Dict, so even the
+    VERBATIM chain runs reference-side; the drop/truncate arms remain
+    as SHAPE variation.)  The r14 append arms add a pure
+    custom_calculator analysis step over the ts month_data, and the
+    shannon arm can chain pielou_evenness onto the appended step's
+    scalar output — all reference-runnable, so the reference executes
+    every appended op itself."""
     steps = params.get("steps")
     if not isinstance(steps, list) or len(steps) < 3:
         return
@@ -231,6 +231,20 @@ def _m_chain(params, rng, notes, where):
                                "probabilities": ref}})
                 notes.append(f"{where}: shannon_entropy step appended "
                              f"over {ref}")
+                if rng.rand() < 0.8:
+                    # chained pure op: pielou consumes the SCALAR
+                    # "@...entropy.value" ref — exercises dotted
+                    # resolution into a prior pure-op result on both
+                    # engines (reference_resolver nested grammar)
+                    steps.append({
+                        "plugin": "custom_calculator",
+                        "output_key": "phenology_evenness",
+                        "params": {"operation": "pielou_evenness",
+                                   "shannon_entropy":
+                                       "@phenology_entropy.value",
+                                   "max_bins": 12}})
+                    notes.append(f"{where}: pielou_evenness chained "
+                                 "onto @phenology_entropy.value")
             elif c < 0.7:
                 steps.append({
                     "plugin": "custom_calculator",

@@ -34,30 +34,20 @@ def _ensure_reference_loaded():
     shims.patch_custom_formula_dict()
 
 
-def build_reference_db(proj: dict) -> str:
-    """Create <root>/db/niamoto.db with entity tables + registry rows."""
-    _ensure_reference_loaded()
-
-    from niamoto.common.database import Database  # ShimDatabase
+def _derive_taxonomy(db, proj: dict, occ: pd.DataFrame) -> pd.DataFrame:
+    """Derive entity_taxons with the reference's own HierarchyBuilder,
+    driven by the PROJECT's import.yml (r13 import axis: the variant
+    grid mutates levels / incomplete_rows / id_strategy — both engines
+    must consume the same written config).  REPLACES any existing
+    entity_taxons, and regenerates the join_table bridge when the
+    (possibly mutated) transform.yml links occurrences through one
+    (r14 loader axis: SQLite table for the reference,
+    imports/<name>.csv for the Spark pipeline — same rows, one
+    artifact doctrine)."""
     from niamoto.core.imports.config_models import (ExtractionConfig,
                                                     HierarchyLevel)
     from niamoto.core.imports.hierarchy_builder import HierarchyBuilder
-    from niamoto.core.imports.registry import EntityKind, EntityRegistry
 
-    db_path = os.path.join(proj["root"], "db", "niamoto.db")
-    if os.path.exists(db_path):
-        os.remove(db_path)
-    db = Database(db_path)
-    registry = EntityRegistry(db)
-
-    occ: pd.DataFrame = proj["occurrences"]
-    occ.to_sql("dataset_occurrences", db.engine, index=False)
-    proj["plots"].to_sql("entity_plots", db.engine, index=False)
-
-    # --- taxons: the reference's own derived-hierarchy code, driven by
-    # the PROJECT's import.yml (r13 import axis: the variant grid
-    # mutates levels / incomplete_rows / id_strategy — both engines
-    # must consume the same written config) ------------------------------
     import yaml as _yaml
     with open(os.path.join(proj["config_dir"], "import.yml")) as fh:
         _imp = _yaml.safe_load(fh)
@@ -76,14 +66,9 @@ def build_reference_db(proj: dict) -> str:
     taxons = builder.add_nested_sets(taxons)
     if "extra_data" not in taxons.columns:
         taxons["extra_data"] = None
-    taxons.to_sql("entity_taxons", db.engine, index=False)
+    taxons.to_sql("entity_taxons", db.engine, index=False,
+                  if_exists="replace")
 
-    # r14 loader axis: when the (possibly mutated) transform.yml links
-    # occurrences to taxons through a join_table relation, synthesize
-    # the subtree-expanded bridge from the just-derived taxonomy and
-    # hand it to BOTH engines — SQLite table for the reference,
-    # imports/<name>.csv for the Spark pipeline (same rows, one
-    # artifact doctrine).
     with open(os.path.join(proj["config_dir"], "transform.yml")) as fh:
         _tcfg = _yaml.safe_load(fh) or []
     for _g in _tcfg:
@@ -95,11 +80,53 @@ def build_reference_db(proj: dict) -> str:
                     _rel.get("join_table"):
                 from tools.refdiff.synth import make_occurrence_links
                 links = make_occurrence_links(taxons, occ)
-                links.to_sql(_rel["join_table"], db.engine, index=False)
+                links.to_sql(_rel["join_table"], db.engine, index=False,
+                             if_exists="replace")
                 links.to_csv(
                     os.path.join(proj["imports_dir"],
                                  f"{_rel['join_table']}.csv"),
                     index=False)
+    return taxons
+
+
+def rebuild_reference_taxonomy(proj: dict, occ: pd.DataFrame) -> None:
+    """Partial RE-IMPORT against the EXISTING reference db: replace
+    dataset_occurrences with ``occ`` and re-derive entity_taxons (same
+    import.yml extraction, hash ids stable for unchanged names) while
+    leaving every group RESULT table untouched.  This is the real user
+    loop behind ``transform_data(recreate_table=False)`` after the
+    source data changed its entity set — the reference's upsert flush
+    (transformer.py:1287-1318) then inserts new entities and leaves
+    vanished entities' rows STALE in the group table."""
+    _ensure_reference_loaded()
+    from niamoto.common.database import Database  # ShimDatabase
+
+    db_path = os.path.join(proj["root"], "db", "niamoto.db")
+    db = Database(db_path)
+    occ.to_sql("dataset_occurrences", db.engine, index=False,
+               if_exists="replace")
+    _derive_taxonomy(db, proj, occ)
+    db.close()
+
+
+def build_reference_db(proj: dict) -> str:
+    """Create <root>/db/niamoto.db with entity tables + registry rows."""
+    _ensure_reference_loaded()
+
+    from niamoto.common.database import Database  # ShimDatabase
+    from niamoto.core.imports.registry import EntityKind, EntityRegistry
+
+    db_path = os.path.join(proj["root"], "db", "niamoto.db")
+    if os.path.exists(db_path):
+        os.remove(db_path)
+    db = Database(db_path)
+    registry = EntityRegistry(db)
+
+    occ: pd.DataFrame = proj["occurrences"]
+    occ.to_sql("dataset_occurrences", db.engine, index=False)
+    proj["plots"].to_sql("entity_plots", db.engine, index=False)
+
+    _derive_taxonomy(db, proj, occ)
 
     # --- shapes: documented multi-feature shape (engine.py:371-520) -----
     rows, fid = [], 1
@@ -118,7 +145,8 @@ def build_reference_db(proj: dict) -> str:
                          "type": source_name, "level": 1,
                          "parent_id": type_id})
             fid += 1
-    shapes = builder.add_nested_sets(pd.DataFrame(rows))
+    from niamoto.core.imports.hierarchy_builder import HierarchyBuilder
+    shapes = HierarchyBuilder(db).add_nested_sets(pd.DataFrame(rows))
     shapes["extra_data"] = None
     shapes.to_sql("entity_shapes", db.engine, index=False)
 

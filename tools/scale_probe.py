@@ -513,8 +513,11 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
     the bounded designs exist to prevent."""
     from pyspark.sql import types as T
 
-    from niamoto_spark.operators.dedup import minhash_lsh_candidates
+    from niamoto_spark.operators.dedup import (minhash_lsh_candidates,
+                                               simhash_near_pairs)
     from niamoto_spark.operators.interval import interval_join
+    from niamoto_spark.operators.similarity import (cosine_topk_blas,
+                                                    embedding_near_dup)
     from niamoto_spark.operators.text import pack_sequences
     from niamoto_spark.operators.tfidf import tfidf_cosine_pairs
 
@@ -558,6 +561,42 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
     clicks = bev.where(F.col("event_type") == "click").select(
         "user_id", F.col("ts_sec").alias("cts"))
 
+    # embeddings (unit-norm, dim 64): each copy gets a deterministic
+    # per-vector pseudo-noise rotation (JVM-side sin keyed on element
+    # index, copy index AND vec_id — no UDF) of norm ~0.57, capping the
+    # SAME base vector's cross-copy cosine at ~0.75 — well under the
+    # 0.95 near-dup threshold, so the pair count can't grow
+    # mult-quadratically (measured: cross-copy sits at ~0.75; at a 0.6
+    # threshold it WOULD go quadratic — 504/3010 pairs at mult 2/4).
+    # Every 20th vector in each copy gets a tiny-noise TWIN (+500k id
+    # offset), so the TRUE pair set is ~n/20 per copy: linear in mult,
+    # and the lane verifies real matches rather than an empty result.
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+
+    def _perturb(c: float, amp: float = 0.1):
+        return lambda x, j: x + F.lit(amp) * F.sin(
+            (j.cast("double") + F.lit(1.0)) * F.lit(c)
+            + F.col("vec_id").cast("double"))
+
+    qpieces = []
+    for i in range(mult):
+        piece = (
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+               .withColumn("embedding",
+                           F.transform("embedding", _perturb(float(i + 1)))))
+        twins = (piece.where(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
+                 .withColumn("vec_id", F.col("vec_id") + F.lit(500_000))
+                 .withColumn("embedding",
+                             F.transform("embedding", _perturb(7.0, 0.01))))
+        qpieces += [piece, twins]
+    bige = qpieces[0]
+    for p in qpieces[1:]:
+        bige = bige.unionByName(p)
+    bige = bige.repartition(32).cache()
+    nemb = bige.count()
+    emb_queries = emb.limit(64)
+
     lanes = {
         "minhash_lsh_candidates":
             (ndocs, lambda: minhash_lsh_candidates(
@@ -580,6 +619,26 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
             (ndocs, lambda: tfidf_cosine_pairs(
                 bigd, "doc_id", "text", threshold=0.3, max_df_frac=0.5,
                 prefilter="minhash").count()),
+        # r14: simhash pairs — the salted copies vote different bits, so
+        # cross-copy Hamming distance stays large and the pair count
+        # tracks the planted per-copy duplicates (linear, like minhash)
+        "simhash_pairs":
+            (ndocs, lambda: simhash_near_pairs(
+                bigd, "doc_id", "text").count()),
+        # r14: ANN lanes over the embeddings table.  cosine_topk_blas is
+        # the brute-force scale path (broadcast queries, corpus never
+        # shuffles — cost linear in corpus rows).  embedding_near_dup's
+        # ball-cover verification is ~n^1.5: each copy's vectors are
+        # deterministically perturbed per copy index so cross-copy
+        # cosine falls below threshold and the TRUE pair set stays
+        # per-copy (quadratic pair growth would be real work, masking a
+        # plan regression, same salt doctrine as the text lanes).
+        "ann_blas_topk":
+            (nemb, lambda: cosine_topk_blas(
+                bige, emb_queries, "vec_id", "embedding", k=10).count()),
+        "embedding_near_dup":
+            (nemb, lambda: embedding_near_dup(
+                bige, "vec_id", "embedding", threshold=0.95).count()),
     }
     out = {}
     for label, (rows, run) in lanes.items():
@@ -590,6 +649,7 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
         out[label] = (rows, round(time.time() - t0, 3))
     bigd.unpersist()
     bev.unpersist()
+    bige.unpersist()
     return out
 
 

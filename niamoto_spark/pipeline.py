@@ -1206,14 +1206,22 @@ class Pipeline:
     # export phase
     # ------------------------------------------------------------------
 
-    def _run_export_reference(self, cfg: dict, out_dir: str) -> dict:
+    def _run_export_reference(self, cfg: dict, out_dir: str,
+                              group_filter: str | None = None) -> dict:
         """The reference's export.yml dialect: ``exports: [targets]``.
 
         Supported target exporters: json_api_exporter (detail + index
         files per group, exporters/json_api.py:export_json_api_target).
         html_page_exporter / dwc targets are skipped with a recorded
         reason (they need the reference project's template tree /
-        per-occurrence transformers configured for that project)."""
+        per-occurrence transformers configured for that project).
+
+        ``group_filter`` is the reference CLI's partial-export surface
+        (exporter.py:run_export(group_filter=...)): each exporter keeps
+        only groups whose ``group_by`` matches, AFTER dropping groups
+        with ``enabled: false`` (json_api_exporter.py:328-333) — other
+        groups' previously-exported files stay stale on disk, the same
+        retention contract as the incremental transform upsert."""
         from niamoto_spark.exporters.json_api import export_json_api_target
 
         manifests: dict[str, Any] = {}
@@ -1235,7 +1243,14 @@ class Pipeline:
                 target_out = os.path.join(out_dir, target_out)
             results = []
             unsupported = None
-            for g in target.get("groups", []):
+            # reference json_api_exporter.py:328-333: disabled groups
+            # are dropped first, then the group_filter applies
+            groups = [g for g in target.get("groups", [])
+                      if g.get("enabled", True)]
+            if group_filter:
+                groups = [g for g in groups
+                          if g.get("group_by") == group_filter]
+            for g in groups:
                 group = g["group_by"]
                 path = os.path.join(self.warehouse,
                                     f"{group}_results.parquet")
@@ -1276,24 +1291,28 @@ class Pipeline:
                 manifests[name] = {"status": "success", "groups": results}
         return manifests
 
-    def run_export(self, cfg: dict, out_dir: str) -> dict[str, dict]:
+    def run_export(self, cfg: dict, out_dir: str,
+                   group_filter: str | None = None) -> dict[str, dict]:
         """export.yml dialect: {targets: [{name, exporter, group, params,
         deploy}]}.  Exporters: json_api (default), html, dwc_archive.
         A target's ``deploy:`` block (reference DeployConfig dialect:
         platform/branch/extra) publishes that target's output tree after
         export; the deploy record rides in the manifest under
-        ``deployed``."""
+        ``deployed``.  ``group_filter`` limits the run to targets whose
+        ``group`` matches (reference CLI partial-export surface)."""
         from niamoto_spark.exporters.dwc import to_dwc_occurrence
         from niamoto_spark.exporters.dwc_archive import export_dwc_archive
         from niamoto_spark.exporters.html_site import export_html_site
         from niamoto_spark.exporters.json_api import export_json_api
 
         if "exports" in cfg:          # the reference's export.yml dialect
-            return self._run_export_reference(cfg, out_dir)
+            return self._run_export_reference(cfg, out_dir, group_filter)
 
         manifests = {}
         for target in cfg.get("targets", []):
             group = target["group"]
+            if group_filter and group != group_filter:
+                continue
             gid = self.registry.get(group).id_field \
                 if group in self.registry.names() else "id"
             kind = target.get("exporter", "json_api")

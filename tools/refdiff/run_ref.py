@@ -229,9 +229,11 @@ def read_reference_tables(db_path: str) -> dict:
 
 def run_reference_export(proj: dict,
                          target: str | tuple = ("json_api",
-                                                "dwc_occurrence_json")) -> str:
+                                                "dwc_occurrence_json"),
+                         group_filter: str | None = None) -> str:
     """Run the reference ExporterService for the diffable targets;
-    returns the exports root."""
+    returns the exports root.  ``group_filter`` is the CLI's
+    partial-export surface (exporter.py:run_export)."""
     _ensure_reference_loaded()
     import niamoto.core.plugins.exporters  # noqa: F401  (register them)
     os.environ["NIAMOTO_HOME"] = proj["root"]
@@ -250,7 +252,8 @@ def run_reference_export(proj: dict,
     os.chdir(proj["root"])
     try:
         for t in targets:
-            results = svc.run_export(target_name=t)
+            results = svc.run_export(target_name=t,
+                                     group_filter=group_filter)
             status = results.get(t, {})
             if status.get("status") != "success":
                 raise RuntimeError(f"reference export failed: {status}")

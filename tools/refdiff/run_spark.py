@@ -82,10 +82,12 @@ def read_spark_results(spark, proj: dict,
     return out
 
 
-def run_spark_export(spark, proj: dict) -> str:
+def run_spark_export(spark, proj: dict,
+                     group_filter: str | None = None) -> str:
     """Reference export.yml json_api target through our Pipeline;
     returns the output dir.  Requires run_spark_pipeline to have run
-    (the Pipeline rebuilds its registry from the warehouse)."""
+    (the Pipeline rebuilds its registry from the warehouse).
+    ``group_filter`` mirrors the reference CLI's partial export."""
     from niamoto_spark.pipeline import Pipeline
 
     warehouse = os.path.join(proj["root"], "warehouse")
@@ -102,7 +104,8 @@ def run_spark_export(spark, proj: dict) -> str:
     with open(os.path.join(proj["config_dir"], "export.yml")) as fh:
         export_cfg = yaml.safe_load(fh)
     out_root = os.path.join(proj["root"], "spark_exports")
-    manifests = p.run_export(export_cfg, out_root)
+    manifests = p.run_export(export_cfg, out_root,
+                             group_filter=group_filter)
     for tgt in ("json_api", "dwc_occurrence_json"):
         if manifests.get(tgt, {}).get("status") != "success":
             raise RuntimeError(f"spark export failed: {manifests}")

@@ -412,6 +412,23 @@ def mutate_export(cfg: dict, seed: int) -> list:
                     del fields[i]
                     notes.append(f"{gname}: index field dropped "
                                  f"({dropped})")
+
+    # r14 session-2 arm — independent stream (+137) so the draws above
+    # are bit-identical to the canonical grid's: flip ONE group's
+    # ``enabled`` off.  The reference drops disabled groups before
+    # exporting (json_api_exporter.py:328); the engine must too, or its
+    # tree grows files the reference never writes.
+    rng2 = np.random.RandomState(seed + 137)
+    if rng2.rand() < 0.35:
+        cands = [(t, g) for t in (cfg.get("exports") or [])
+                 if t.get("exporter") == "json_api_exporter"
+                 for g in (t.get("groups") or [])
+                 if g.get("enabled", True)]
+        if len(cands) > 1:      # keep at least one group exporting
+            t, g = cands[int(rng2.randint(len(cands)))]
+            g["enabled"] = False
+            notes.append(f"{t.get('name', '?')}."
+                         f"{g.get('group_by', '?')}: group disabled")
     return notes
 
 

@@ -429,6 +429,29 @@ def mutate_export(cfg: dict, seed: int) -> list:
             g["enabled"] = False
             notes.append(f"{t.get('name', '?')}."
                          f"{g.get('group_by', '?')}: group disabled")
+
+    # r14 session-2 arm — independent stream (+211): output path
+    # templates.  Both engines expand detail_output_pattern /
+    # index_output_pattern via str.format(group=, id=)
+    # (json_api_exporter.py:631,697); the tree diff compares RELATIVE
+    # paths, so any divergence in template expansion or parent-dir
+    # creation shows up as missing files.
+    rng3 = np.random.RandomState(seed + 211)
+    for target in cfg.get("exports") or []:
+        if target.get("exporter") != "json_api_exporter":
+            continue
+        tname = target.get("name", "?")
+        params = target.get("params") or {}
+        dp = params.get("detail_output_pattern")
+        if isinstance(dp, str) and rng3.rand() < 0.35:
+            params["detail_output_pattern"] = "details/" + dp
+            notes.append(f"{tname}: detail_output_pattern -> details/ "
+                         "prefixed")
+        ip = params.get("index_output_pattern")
+        if isinstance(ip, str) and "{group}" in ip and rng3.rand() < 0.35:
+            params["index_output_pattern"] = "{group}_index.json"
+            notes.append(f"{tname}: index_output_pattern -> "
+                         "{group}_index.json")
     return notes
 
 

@@ -1207,7 +1207,8 @@ class Pipeline:
     # ------------------------------------------------------------------
 
     def _run_export_reference(self, cfg: dict, out_dir: str,
-                              group_filter: str | None = None) -> dict:
+                              group_filter: str | None = None,
+                              target_name: str | None = None) -> dict:
         """The reference's export.yml dialect: ``exports: [targets]``.
 
         Supported target exporters: json_api_exporter (detail + index
@@ -1224,8 +1225,16 @@ class Pipeline:
         retention contract as the incremental transform upsert."""
         from niamoto_spark.exporters.json_api import export_json_api_target
 
+        targets = cfg.get("exports", [])
+        if target_name:
+            # reference exporter.py:151-156: filtering to an unknown
+            # target is a ConfigurationError, not a silent no-op
+            targets = [t for t in targets if t.get("name") == target_name]
+            if not targets:
+                raise ValueError(
+                    f"export target {target_name!r} not found")
         manifests: dict[str, Any] = {}
-        for target in cfg.get("exports", []):
+        for target in targets:
             name = target.get("name", "?")
             if not target.get("enabled", True):
                 manifests[name] = {"status": "skipped", "reason": "disabled"}
@@ -1292,24 +1301,35 @@ class Pipeline:
         return manifests
 
     def run_export(self, cfg: dict, out_dir: str,
-                   group_filter: str | None = None) -> dict[str, dict]:
+                   group_filter: str | None = None,
+                   target_name: str | None = None) -> dict[str, dict]:
         """export.yml dialect: {targets: [{name, exporter, group, params,
         deploy}]}.  Exporters: json_api (default), html, dwc_archive.
         A target's ``deploy:`` block (reference DeployConfig dialect:
         platform/branch/extra) publishes that target's output tree after
         export; the deploy record rides in the manifest under
         ``deployed``.  ``group_filter`` limits the run to targets whose
-        ``group`` matches (reference CLI partial-export surface)."""
+        ``group`` matches and ``target_name`` to the named target —
+        the reference CLI's two partial-export filters
+        (exporter.py:run_export; unknown target raises, matching the
+        reference's ConfigurationError)."""
         from niamoto_spark.exporters.dwc import to_dwc_occurrence
         from niamoto_spark.exporters.dwc_archive import export_dwc_archive
         from niamoto_spark.exporters.html_site import export_html_site
         from niamoto_spark.exporters.json_api import export_json_api
 
         if "exports" in cfg:          # the reference's export.yml dialect
-            return self._run_export_reference(cfg, out_dir, group_filter)
+            return self._run_export_reference(cfg, out_dir, group_filter,
+                                              target_name)
 
+        targets = cfg.get("targets", [])
+        if target_name:
+            targets = [t for t in targets if t.get("name") == target_name]
+            if not targets:
+                raise ValueError(
+                    f"export target {target_name!r} not found")
         manifests = {}
-        for target in cfg.get("targets", []):
+        for target in targets:
             group = target["group"]
             if group_filter and group != group_filter:
                 continue

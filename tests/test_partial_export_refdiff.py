@@ -45,6 +45,21 @@ def test_partial_export_differential(spark, tmp_path):
         assert not os.path.isdir(os.path.join(api, "api", "plots")), api
         assert not os.path.isdir(os.path.join(api, "api", "shapes")), api
 
+    # --- target_name filter: the reference CLI's other partial axis ------
+    shutil.rmtree(ref_api2)
+    shutil.rmtree(spark_api2)
+    ref_api3 = run_reference_export(proj, target="json_api")
+    spark_api3 = run_spark_export(spark, proj, target_name="json_api")
+    assert diff_export_trees(ref_api3, spark_api3) == []
+    for api in (ref_api3, spark_api3):
+        assert os.path.isdir(os.path.join(api, "api", "plots")), api
+        assert not os.path.isdir(os.path.join(api, "dwc")), api
+
+    # unknown target: reference raises ConfigurationError, engine raises
+    import pytest
+    with pytest.raises(Exception):
+        run_spark_export(spark, proj, target_name="no_such_target")
+
 
 def test_disabled_group_skipped(spark, tmp_path):
     """Per-group ``enabled: false`` — the reference drops the group

@@ -83,11 +83,13 @@ def read_spark_results(spark, proj: dict,
 
 
 def run_spark_export(spark, proj: dict,
-                     group_filter: str | None = None) -> str:
+                     group_filter: str | None = None,
+                     target_name: str | None = None) -> str:
     """Reference export.yml json_api target through our Pipeline;
     returns the output dir.  Requires run_spark_pipeline to have run
     (the Pipeline rebuilds its registry from the warehouse).
-    ``group_filter`` mirrors the reference CLI's partial export."""
+    ``group_filter`` / ``target_name`` mirror the reference CLI's two
+    partial-export filters."""
     from niamoto_spark.pipeline import Pipeline
 
     warehouse = os.path.join(proj["root"], "warehouse")
@@ -105,8 +107,11 @@ def run_spark_export(spark, proj: dict,
         export_cfg = yaml.safe_load(fh)
     out_root = os.path.join(proj["root"], "spark_exports")
     manifests = p.run_export(export_cfg, out_root,
-                             group_filter=group_filter)
-    for tgt in ("json_api", "dwc_occurrence_json"):
+                             group_filter=group_filter,
+                             target_name=target_name)
+    expected = (target_name,) if target_name \
+        else ("json_api", "dwc_occurrence_json")
+    for tgt in expected:
         if manifests.get(tgt, {}).get("status") != "success":
             raise RuntimeError(f"spark export failed: {manifests}")
     return os.path.join(out_root, "exports")

@@ -310,7 +310,8 @@ def _bitvote_numpy(with_hashes: DataFrame, id_col: str, text_col: str,
     return with_hashes.mapInPandas(fold, schema=out_schema)
 
 
-def _log_dropped_async(obs, max_bucket_size: int) -> None:
+def _log_dropped_async(obs, max_bucket_size: int,
+                       label: str = "minhash_lsh_candidates") -> None:
     """Log the hot-bucket recall warning from ``Observation`` metrics
     without a dedicated count job: a daemon thread parks until the first
     action on the observed plan completes (if the caller never executes
@@ -325,13 +326,13 @@ def _log_dropped_async(obs, max_bucket_size: int) -> None:
             return
         if n:
             logging.getLogger(__name__).warning(
-                "minhash_lsh_candidates: dropped %d rows in band-buckets "
+                "%s: dropped %d rows in band-buckets "
                 "over max_bucket_size=%d (docs in them still pair via "
                 "their other bands; pass max_bucket_size=None for "
-                "exhaustive)", n, max_bucket_size)
+                "exhaustive)", label, n, max_bucket_size)
 
     threading.Thread(target=_wait_and_log, daemon=True,
-                     name="minhash-bucket-cap-log").start()
+                     name="lsh-bucket-cap-log").start()
 
 
 def _lsh_pairs_by_join(sig: DataFrame, num_hashes: int, bands: int,
@@ -692,13 +693,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def hamming_near_pairs(hashes: DataFrame, id_col: str, hash_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column by Hamming
     distance <= max_hamming, using pigeonhole banding: split 64 bits into
     (max_hamming+1) chunks — any pair within the distance agrees exactly
     on >=1 chunk, so candidates come from an equi-join on
     (chunk_idx, chunk_value).  Shared by SimHash (text) and dHash
-    (images)."""
+    (images).
+
+    ``max_bucket_size``: hot-bucket cap (same contract as
+    minhash_lsh_candidates — dropped buckets' docs still pair via their
+    other chunks).  SimHash bits CORRELATE on template-heavy corpora,
+    so band-collision probability sits far above the 2^-16 uniform
+    floor and the candidate join goes quadratic without a cap — the
+    r14 scale guard measured sum(bucket²) x122 for x16 rows on the
+    salted documents table (hot bucket 6968 docs at 80k rows, OOM-class
+    at 320k).  Default None keeps the exact oracle semantics; the scale
+    path MUST set a cap."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     sh = hashes.select(F.col(id_col).alias("doc_id"),
@@ -711,6 +723,24 @@ def hamming_near_pairs(hashes: DataFrame, id_col: str, hash_col: str,
                    f"i -> shiftrightunsigned(__h, i * {chunk_bits}) & {mask}L)")
         ).alias("chunk_idx", "chunk_val"),
     )
+    if max_bucket_size is not None:
+        hot = (chunks.select("chunk_idx", "chunk_val")
+               .groupBy("chunk_idx", "chunk_val")
+               .agg(F.count(F.lit(1)).alias("__bn"))
+               .where(F.col("__bn") > max_bucket_size))
+        try:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            hot = hot.observe(
+                obs, F.coalesce(F.sum("__bn"), F.lit(0))
+                .alias("dropped_rows"))
+            _log_dropped_async(obs, max_bucket_size,
+                               label="hamming_near_pairs")
+        except ImportError:
+            pass
+        chunks = chunks.join(F.broadcast(hot.drop("__bn")),
+                             ["chunk_idx", "chunk_val"], "left_anti")
     a = chunks.select(F.col("doc_id").alias("id_a"), F.col("__h").alias("h_a"),
                       "chunk_idx", "chunk_val")
     b = chunks.select(F.col("doc_id").alias("id_b"), F.col("__h").alias("h_b"),
@@ -725,11 +755,14 @@ def hamming_near_pairs(hashes: DataFrame, id_col: str, hash_col: str,
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance (see
-    hamming_near_pairs)."""
+    hamming_near_pairs; pass ``max_bucket_size`` at scale — simhash
+    bit correlation makes uncapped banding quadratic)."""
     sh = simhash(df, id_col, text_col)
-    return hamming_near_pairs(sh, id_col, "simhash", max_hamming)
+    return hamming_near_pairs(sh, id_col, "simhash", max_hamming,
+                              max_bucket_size=max_bucket_size)
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,34 @@ def test_simhash_identical_texts_equal_hash(spark):
     assert h[0] == h[1]
 
 
+def test_hamming_bucket_cap_subset_and_small_bucket_retention(spark):
+    """The r14 scale-guard find: simhash bit correlation makes uncapped
+    banding quadratic, so hamming_near_pairs grew max_bucket_size with
+    the minhash hot-bucket contract.  Capped pairs must be a SUBSET of
+    exhaustive pairs, and pairs whose every shared chunk-bucket is under
+    the cap must survive verbatim."""
+    import pandas as pd
+
+    # 40 docs sharing chunk 0 (a hot bucket), plus two pairs that agree
+    # only via their own small buckets
+    rows = []
+    for i in range(40):
+        # hot bucket: low 16 bits identical, high bits vary beyond
+        # max_hamming so they are NOT true near-pairs
+        rows.append({"doc_id": i, "h": (i * 0x9E3779B9 << 16) | 0xBEEF})
+    rows.append({"doc_id": 100, "h": 0x1234_5678_9ABC_0001})
+    rows.append({"doc_id": 101, "h": 0x1234_5678_9ABC_0003})  # hamming 1
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    exhaustive = {(r["id_a"], r["id_b"]) for r in dedup.hamming_near_pairs(
+        df, "doc_id", "h", max_hamming=3).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in dedup.hamming_near_pairs(
+        df, "doc_id", "h", max_hamming=3, max_bucket_size=8).collect()}
+    assert capped <= exhaustive
+    # the small-bucket pair is untouched by the cap
+    assert (100, 101) in capped
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)

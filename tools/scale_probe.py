@@ -619,12 +619,15 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
             (ndocs, lambda: tfidf_cosine_pairs(
                 bigd, "doc_id", "text", threshold=0.3, max_df_frac=0.5,
                 prefilter="minhash").count()),
-        # r14: simhash pairs — the salted copies vote different bits, so
-        # cross-copy Hamming distance stays large and the pair count
-        # tracks the planted per-copy duplicates (linear, like minhash)
+        # r14: simhash pairs.  SimHash bits correlate on template-heavy
+        # corpora, so UNCAPPED pigeonhole banding is quadratic (the
+        # first run of this lane measured sum(bucket²) x122 for x16
+        # rows and OOM'd at 64x — the guard working as designed); the
+        # scale path runs with the hot-bucket cap, same contract as
+        # the minhash lanes.
         "simhash_pairs":
             (ndocs, lambda: simhash_near_pairs(
-                bigd, "doc_id", "text").count()),
+                bigd, "doc_id", "text", max_bucket_size=256).count()),
         # r14: ANN lanes over the embeddings table.  cosine_topk_blas is
         # the brute-force scale path (broadcast queries, corpus never
         # shuffles — cost linear in corpus rows).  embedding_near_dup's
@@ -636,9 +639,16 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
         "ann_blas_topk":
             (nemb, lambda: cosine_topk_blas(
                 bige, emb_queries, "vec_id", "embedding", k=10).count()),
+        # exact ball-cover is ~n^1.5 by design (verification work) —
+        # recorded to 16x; the hyperplane-LSH variant is the linear
+        # 100 TB path and carries the 64x record.
         "embedding_near_dup":
             (nemb, lambda: embedding_near_dup(
                 bige, "vec_id", "embedding", threshold=0.95).count()),
+        "embedding_near_dup_lsh":
+            (nemb, lambda: embedding_near_dup(
+                bige, "vec_id", "embedding", threshold=0.95,
+                method="lsh").count()),
     }
     out = {}
     for label, (rows, run) in lanes.items():

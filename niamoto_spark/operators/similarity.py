@@ -432,10 +432,53 @@ def _ball_cover_candidates(corpus: DataFrame, id_col: str, vec_col: str,
              .select("id_a", "id_b", "v_a", "v_b"))
 
 
+def _lsh_band_hashes_numpy(c: DataFrame, planes, lsh_bands: int,
+                           band_bits: int) -> DataFrame:
+    """Arrow-batched hyperplane signatures: one BLAS ``X @ planes.T``
+    per batch replaces bands*bits interpreted-HOF dot products per row
+    (the r14 scale lane measured the HOF path at ~30 ms/vector — the
+    same interpreted-fold class the r13 minhash/simhash kernels
+    eliminated).  Output shape matches the JVM path's exploded
+    (vid, v, band, bhash) rows; bit packing is MSB-first like the JVM
+    ``acc * 2 + x`` fold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bp = c.sparkSession.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+    schema = T.StructType([
+        T.StructField("vid", c.schema["vid"].dataType, False),
+        T.StructField("v", c.schema["v"].dataType, False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bhash", T.LongType(), False),
+    ])
+
+    def gen(batches):
+        planes_t = bp.value.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["v"].values])
+            bits = (x @ planes_t >= 0).astype(np.int64)
+            bh = bits.reshape(len(pdf), lsh_bands, band_bits) @ weights
+            yield pd.DataFrame({
+                "vid": np.repeat(pdf["vid"].values, lsh_bands),
+                "v": np.repeat(pdf["v"].values, lsh_bands),
+                "band": np.tile(np.arange(lsh_bands, dtype=np.int32),
+                                len(pdf)),
+                "bhash": bh.reshape(-1),
+            })
+
+    return c.mapInPandas(gen, schema)
+
+
 def _lsh_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
                   threshold: float, round_dp: int,
                   lsh_bands: int, lsh_band_bits: int,
-                  seed: int) -> DataFrame:
+                  seed: int, impl: str = "auto",
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Approximate near-dup pairs via sign-random-projection (hyperplane)
     LSH — the 100 TB path when even sqrt(n) centroids is too coarse.
 
@@ -468,20 +511,54 @@ def _lsh_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
     dim = first["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((lsh_bands * lsh_band_bits, dim))
-    planes_arr = F.array(*[F.lit([float(x) for x in p]) for p in planes])
-    bits = F.transform(
-        planes_arr,
-        lambda p: (F.aggregate(F.zip_with(F.col("v"), p,
-                                          lambda x, y: x * y),
-                               F.lit(0.0), lambda acc, x: acc + x)
-                   >= 0).cast("long"))
-    band_hashes = F.array(*[
-        F.aggregate(F.slice(bits, b * lsh_band_bits + 1, lsh_band_bits),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc * 2 + x)
-        for b in range(lsh_bands)])
-    sigs = c.select("vid", "v",
-                    F.posexplode(band_hashes).alias("band", "bhash"))
+    if impl == "auto":
+        from niamoto_spark.operators.dedup import _auto_impl
+        impl = "jvm" if _auto_impl(corpus) == "hof" else "numpy"
+    if impl == "numpy":
+        sigs = _lsh_band_hashes_numpy(c, planes, lsh_bands, lsh_band_bits)
+    else:
+        planes_arr = F.array(*[F.lit([float(x) for x in p])
+                               for p in planes])
+        bits = F.transform(
+            planes_arr,
+            lambda p: (F.aggregate(F.zip_with(F.col("v"), p,
+                                              lambda x, y: x * y),
+                                   F.lit(0.0), lambda acc, x: acc + x)
+                       >= 0).cast("long"))
+        band_hashes = F.array(*[
+            F.aggregate(F.slice(bits, b * lsh_band_bits + 1,
+                                lsh_band_bits),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc * 2 + x)
+            for b in range(lsh_bands)])
+        sigs = c.select("vid", "v",
+                        F.posexplode(band_hashes).alias("band", "bhash"))
+    if max_bucket_size is not None:
+        # hot-bucket cap, same contract as minhash/hamming: a band
+        # matching at ~0.75 cosine still matches ~0.21 of the time per
+        # 6-bit band, so clustered corpora generate quadratic
+        # SUB-threshold candidates without a cap (the r14 scale lane
+        # measured per-row cost x2.6 from 1->4x before this); dropped
+        # buckets' vectors still pair via their other bands.
+        hot = (sigs.select("band", "bhash")
+               .groupBy("band", "bhash")
+               .agg(F.count(F.lit(1)).alias("__bn"))
+               .where(F.col("__bn") > max_bucket_size))
+        try:
+            from pyspark.sql import Observation
+
+            from niamoto_spark.operators.dedup import _log_dropped_async
+
+            obs = Observation()
+            hot = hot.observe(
+                obs, F.coalesce(F.sum("__bn"), F.lit(0))
+                .alias("dropped_rows"))
+            _log_dropped_async(obs, max_bucket_size,
+                               label="embedding_near_dup[lsh]")
+        except ImportError:
+            pass
+        sigs = sigs.join(F.broadcast(hot.drop("__bn")),
+                         ["band", "bhash"], "left_anti")
     a = sigs.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
                     "band", "bhash")
     b = sigs.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
@@ -504,7 +581,8 @@ def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
                        n_centroids: int | None = None,
                        method: str = "exact",
                        lsh_bands: int = 16, lsh_band_bits: int = 6,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
     ``method='exact'`` (default): ball-cover bucketed join — EXACT (the
@@ -521,7 +599,8 @@ def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
     """
     if method == "lsh":
         return _lsh_near_dup(corpus, id_col, vec_col, threshold, round_dp,
-                             lsh_bands, lsh_band_bits, seed)
+                             lsh_bands, lsh_band_bits, seed,
+                             max_bucket_size=max_bucket_size)
     if method != "exact":
         raise ValueError(f"unknown embedding_near_dup method: {method!r}")
     cand = _ball_cover_candidates(corpus, id_col, vec_col, threshold,

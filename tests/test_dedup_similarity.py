@@ -267,6 +267,59 @@ def test_near_dup_zero_norm_vectors_are_ignored(spark):
         assert got == {(1, 4)}, method
 
 
+def test_lsh_numpy_matches_jvm(spark):
+    """The r14 Arrow kernel (_lsh_band_hashes_numpy) must produce the
+    same pair set as the interpreted-HOF signature path — same planes,
+    same MSB-first bit packing, sign rule >= 0 on the identical
+    normalized vectors."""
+    from niamoto_spark.operators.similarity import _lsh_near_dup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(80, 24)
+    base[50] = base[3] * 1.0003
+    base[51] = base[12] * 0.9996
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {}
+    for impl in ("jvm", "numpy"):
+        out[impl] = sorted(
+            (r["id_a"], r["id_b"], r["similarity"]) for r in
+            _lsh_near_dup(df, "vec_id", "embedding", threshold=0.9,
+                          round_dp=6, lsh_bands=16, lsh_band_bits=6,
+                          seed=42, impl=impl).collect())
+    assert out["jvm"] == out["numpy"]
+    assert any(p[:2] == (3, 50) for p in out["numpy"])
+
+
+def test_lsh_bucket_cap_subset_and_retention(spark):
+    """max_bucket_size on the LSH path (r14 guard find #2: clustered
+    corpora make sub-threshold candidates quadratic): capped pairs are
+    a subset of uncapped, and a 0.999-cosine planted pair survives a
+    tight cap — it agrees on ~15 of 16 bands, so dropping a few hot
+    buckets cannot sever it."""
+    from niamoto_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    # one tight cluster (hot buckets) + a planted pair off-cluster
+    center = rng.randn(12)
+    cluster = center + rng.randn(50, 12) * 0.05
+    base = np.vstack([cluster, rng.randn(8, 12)])
+    base = np.vstack([base, base[55] * 1.0002])     # planted (55, 58)
+    rows = [(int(i), [float(x) for x in base[i]])
+            for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kw = dict(threshold=0.999, method="lsh")
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                similarity.embedding_near_dup(
+                    df, "vec_id", "embedding", **kw).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              similarity.embedding_near_dup(
+                  df, "vec_id", "embedding", max_bucket_size=10,
+                  **kw).collect()}
+    assert capped <= uncapped
+    assert (55, 58) in capped
+
+
 def test_lsh_near_dup_finds_planted_pairs(spark):
     """Hyperplane-LSH mode: 16 bands x 6 bits means a 0.999-cosine pair
     misses every band with probability ~1e-17 — the planted pairs must

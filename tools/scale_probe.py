@@ -648,7 +648,7 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
         "embedding_near_dup_lsh":
             (nemb, lambda: embedding_near_dup(
                 bige, "vec_id", "embedding", threshold=0.95,
-                method="lsh").count()),
+                method="lsh", max_bucket_size=256).count()),
     }
     out = {}
     for label, (rows, run) in lanes.items():

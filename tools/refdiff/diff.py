@@ -125,26 +125,24 @@ def canonicalize(v):
     if isinstance(v, dict):
         out = {k: canonicalize(x) for k, x in v.items()}
         tops, counts = out.get("tops"), out.get("counts")
-        if isinstance(tops, list) and isinstance(counts, list) \
-                and len(tops) != len(counts):
+        if isinstance(tops, list):
             # export detail flattening collision (both engines flatten
             # widget dicts into the item in column order, so a LATER
-            # widget's `counts` overwrites top_ranking's while its
-            # `tops` survives): recover the aligned counts from the
-            # nested widget dict whose raw tops equal the flat list
-            for x in v.values():
-                if isinstance(x, dict) and x.get("tops") == v.get("tops") \
-                        and isinstance(x.get("counts"), list) \
-                        and len(x["counts"]) == len(tops):
-                    counts = x["counts"]
-                    break
-            else:
-                counts = None
-            if counts is not None:
-                out["tops"] = _canon_ranking(tops, counts)[0]
-            return out
-        if isinstance(tops, list) and isinstance(counts, list):
-            out["tops"], out["counts"] = _canon_ranking(tops, counts)
+            # widget's `counts` can overwrite top_ranking's while its
+            # `tops` survives — sometimes even with the SAME length,
+            # v29): a nested widget dict whose raw tops equal the flat
+            # list holds the AUTHORITATIVE counts; prefer it, leave the
+            # flat `counts` (the other widget's data) untouched.
+            nested = next(
+                (x for x in v.values()
+                 if isinstance(x, dict) and x is not v
+                 and x.get("tops") == v.get("tops")
+                 and isinstance(x.get("counts"), list)
+                 and len(x["counts"]) == len(tops)), None)
+            if nested is not None:
+                out["tops"] = _canon_ranking(tops, nested["counts"])[0]
+            elif isinstance(counts, list) and len(counts) == len(tops):
+                out["tops"], out["counts"] = _canon_ranking(tops, counts)
         return out
     if isinstance(v, list):
         return [canonicalize(x) for x in v]

@@ -347,7 +347,8 @@ def subtree_join(facts: DataFrame, fact_key: str,
                  nodes_with_sets: DataFrame, node_key: str = "id",
                  ancestor_alias: str = "ancestor_id",
                  leaf_key: str | None = None,
-                 lft_col: str = "lft", rght_col: str = "rght") -> DataFrame:
+                 lft_col: str = "lft", rght_col: str = "rght",
+                 carry: list[str] | None = None) -> DataFrame:
     """Attach EVERY ancestor id to each fact row in one pass: facts equi-join
     their leaf node, then a broadcast *range join* against the (small)
     hierarchy maps each row to all enclosing subtrees.  This replaces the
@@ -357,6 +358,11 @@ def subtree_join(facts: DataFrame, fact_key: str,
     ``leaf_key`` lets facts match the hierarchy on an alternate key (the
     reference's ``ref_key`` external id, loaders/nested_set.py:147-185)
     while ancestors are still identified by ``node_key``.
+
+    ``carry`` lists extra ancestor columns (level, name, rank) to attach
+    in the SAME range join — callers needing ancestor metadata would
+    otherwise re-probe every (already fanned-out) row against the
+    hierarchy a third time (guide §2.4; r14: q08's meta re-join dropped).
     """
     from niamoto_spark.functions import hashed_dim_join
 
@@ -366,6 +372,7 @@ def subtree_join(facts: DataFrame, fact_key: str,
     )
     anc = nodes_with_sets.select(
         F.col(node_key).alias(ancestor_alias),
+        *(carry or []),
         F.col(lft_col).alias("_anc_lft"),
         F.col(rght_col).alias("_anc_rght"),
     )

@@ -25,16 +25,29 @@ from niamoto_spark.functions import fan_out, word_shingles
 from niamoto_spark.registry import PluginType, register
 
 
+def content_key(text_col: str | Column, normalize: bool = True) -> Column:
+    """The md5 content key dedup_exact groups on, exposed so callers that
+    fan one physical row out to several logical rows (planted-duplicate
+    fixtures, id re-mapping) can hash the text ONCE before the fan-out
+    instead of once per logical row (guide §1.2: don't recompute)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalize:
+        return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+    return F.md5(c)
+
+
 @register("dedup_exact", PluginType.TRANSFORMER)
 def dedup_exact(df: DataFrame, id_col: str, text_col: str,
-                normalize: bool = True) -> DataFrame:
+                normalize: bool = True,
+                key_col: str | None = None) -> DataFrame:
     """Exact (optionally normalized) duplicate groups: md5 key -> keeper id
     (min id) + duplicate count.  ``dedup_exact_keep`` filters the corpus.
+
+    ``key_col`` names a column already holding ``content_key`` output;
+    when given, ``text_col`` is ignored and no hash is recomputed.
     """
-    if normalize:
-        key = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
-    else:
-        key = F.md5(F.col(text_col))
+    key = F.col(key_col) if key_col is not None \
+        else content_key(text_col, normalize)
     return (df.select(F.col(id_col).alias("doc_id"), key.alias("content_hash"))
               .groupBy("content_hash")
               .agg(F.min("doc_id").alias("keep_id"),
@@ -42,9 +55,10 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str,
 
 
 def dedup_exact_keep(df: DataFrame, id_col: str, text_col: str,
-                     normalize: bool = True) -> DataFrame:
+                     normalize: bool = True,
+                     key_col: str | None = None) -> DataFrame:
     """Corpus with exact duplicates removed (keep min id per content key)."""
-    groups = dedup_exact(df, id_col, text_col, normalize)
+    groups = dedup_exact(df, id_col, text_col, normalize, key_col=key_col)
     keep = groups.select(F.col("keep_id").alias(id_col))
     return df.join(keep, id_col, "left_semi")
 

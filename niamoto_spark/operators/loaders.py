@@ -59,10 +59,17 @@ def direct_reference(data: DataFrame, key: str, groups: DataFrame,
 @register("join_table", PluginType.LOADER)
 def join_table(data: DataFrame, data_key: str,
                bridge: DataFrame, bridge_source: str, bridge_ref: str,
-               groups: DataFrame, group_id: str) -> DataFrame:
+               groups: DataFrame, group_id: str,
+               carry: list[str] | None = None) -> DataFrame:
     """Many-to-many bridge: fact JOIN bridge ON fact.id = bridge.source,
     grouped by bridge.reference (reference: loaders/join_table.py:124-178).
     Two chained joins; the bridge and group tables broadcast.
+
+    ``carry`` lists extra ``groups`` columns to attach in the SAME group
+    join — callers that need a display column (e.g. a name) alongside the
+    group id would otherwise pay a third probe pass over the fact table
+    re-joining the group table for it (guide §2.4: remove redundant
+    joins; at 100 TB every extra broadcast join is a full pass).
     """
     from niamoto_spark.functions import hashed_dim_join
 
@@ -71,7 +78,8 @@ def join_table(data: DataFrame, data_key: str,
                       F.col(bridge_ref).alias("__b_ref"))
     tagged = hashed_dim_join(data, b, data_key, ["__b_ref"],
                              dim_key="__b_src")
-    return hashed_dim_join(tagged, groups, "__b_ref", [group_id],
+    return hashed_dim_join(tagged, groups, "__b_ref",
+                           [group_id, *(carry or [])],
                            dim_key=group_id).drop("__b_ref")
 
 
@@ -114,21 +122,26 @@ def adjacency_list_loader(data: DataFrame, key: str,
 @register("stats_loader", PluginType.LOADER)
 def stats_loader(stats: DataFrame, match_field: str,
                  groups: DataFrame, group_id: str,
-                 ref_field: str | None = None) -> DataFrame:
+                 ref_field: str | None = None,
+                 carry: list[str] | None = None) -> DataFrame:
     """Lookup of precomputed stats rows by a match field, with the
     reference's fuzzy string/number coercion (reference:
     loaders/stats_loader.py:113-318; CSV filter :196-211).  Set-oriented:
     one equi-join on the (string-normalized) match key.
+
+    ``carry``: extra ``groups`` columns attached in the same join (see
+    ``join_table`` — saves a redundant second probe pass for callers
+    needing a display column).
     """
     from niamoto_spark.functions import hashed_dim_join
 
     ref_field = ref_field or group_id
     stats, match_field = _clear_gid_collision(stats, match_field, group_id)
     norm = lambda c: F.trim(F.col(c).cast("string"))  # noqa: E731
-    g = groups.select(F.col(group_id),
+    g = groups.select(F.col(group_id), *(carry or []),
                       norm(ref_field).alias("__match"))
     return hashed_dim_join(stats.withColumn("__mkey", norm(match_field)),
-                           g, "__mkey", [group_id],
+                           g, "__mkey", [group_id, *(carry or [])],
                            dim_key="__match").drop("__mkey")
 
 
@@ -162,11 +175,11 @@ def hierarchical_top_ranking(data: DataFrame, key: str,
     nested-set subtree join + one aggregate).
     Output: (item, value, rank) where item is the ancestor's rank_value.
     """
-    joined = subtree_join(data, key, hierarchy, node_key, "ancestor_id")
-    anc = hierarchy.select(F.col(node_key).alias("ancestor_id"),
-                           "rank_name", "level",
-                           F.col("rank_value").alias("item"))
-    joined = joined.join(F.broadcast(anc), "ancestor_id")
+    # ancestor metadata rides the subtree range join (r14: the separate
+    # broadcast(anc) re-join was a redundant third probe pass)
+    joined = subtree_join(data, key, hierarchy, node_key, "ancestor_id",
+                          carry=["rank_name", "level", "rank_value"]) \
+        .withColumnRenamed("rank_value", "item")
     if target_level is not None:
         joined = joined.where(F.col("level") == target_level)
     if target_ranks:

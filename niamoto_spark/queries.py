@@ -82,6 +82,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _planted_dup(d: DataFrame, shift: int,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Planted-duplicate fixture ``d UNION ALL shift_ids(d)`` in ONE pass.
+
+    The naive ``d.unionByName(d.withColumn(id, id + shift))`` plans TWO
+    parquet scans and computes every text-derived expression twice —
+    Catalyst has no cross-branch CSE over a self-union.  Exploding the
+    two ids per source row yields the identical multiset of rows (NULL
+    ids produce two NULL-id rows either way, dtypes unchanged) from a
+    single scan.  Guide §1.2: fix the algorithm before the config —
+    measured plan diff on q23/q38: 2 scans -> 1."""
+    other = [c for c in d.columns if c != id_col]
+    return d.select(
+        F.explode(F.array(F.col(id_col),
+                          F.col(id_col) + F.lit(shift))).alias(id_col),
+        *other)
+
+
 # ---------------------------------------------------------------------------
 # helpers shared by hierarchy queries: region/nation as a 2-level tree
 # ---------------------------------------------------------------------------
@@ -265,11 +283,13 @@ def q08_region_rollup_nested_set(spark, sf_dir):
                             "id", "parent_id", order_col="id")
     cust = _t(spark, sf_dir, "customer") \
         .withColumn("node_id", F.col("c_nationkey").cast("bigint"))
-    tagged = subtree_join(cust, "node_id", nodes, "id", "ancestor_id")
-    meta = nodes.select(F.col("id").alias("ancestor_id"), "level",
-                        F.col("name").alias("r_name"))
-    return (tagged.join(F.broadcast(meta), "ancestor_id")
-            .where(F.col("level") == 0)
+    # carry level+name through the subtree range join itself — the old
+    # separate broadcast(meta) join was a third probe pass over the
+    # (ancestor-fanned-out) fact rows (guide §2.4; one join removed).
+    tagged = subtree_join(cust, "node_id", nodes, "id", "ancestor_id",
+                          carry=["level", "name"])
+    return (tagged.where(F.col("level") == 0)
+            .withColumnRenamed("name", "r_name")
             .groupBy("r_name").agg(F.count(F.lit(1)).alias("n_customers")))
 
 
@@ -290,8 +310,11 @@ def q09_adjacency_rollup(spark, sf_dir):
         .withColumn("node_id", F.col("c_nationkey").cast("bigint"))
     meta = nodes.select(F.col("id").alias("ancestor_id"), "level",
                         F.col("name").alias("node_name"))
-    return (cust.join(F.broadcast(closure), "node_id")
-            .join(F.broadcast(meta), "ancestor_id")
+    # dim-side pre-join: closure JOIN meta is tiny x tiny; probing the
+    # fact table once against the combined frame replaces the old two
+    # successive broadcast probes over every fact row (guide §2.4).
+    closure_meta = closure.join(meta, "ancestor_id")
+    return (cust.join(F.broadcast(closure_meta), "node_id")
             .groupBy("node_name", "level")
             .agg(F.count(F.lit(1)).alias("n_customers")))
 
@@ -328,14 +351,22 @@ WHERE r_name = 'ASIA'
 
 
 def q11_customer_orders(spark, sf_dir):
-    """direct_reference loader inverted: ONE join tags all orders with their
-    customer id, then one aggregate serves every entity."""
+    """direct_reference loader inverted, with the aggregate pushed BELOW
+    the loader join (guide §2.3 "aggregate before you shuffle" / §3.3):
+    orders collapse to one row per o_custkey first, then the loader join
+    tags 15k aggregate rows instead of probing 150k fact rows.  Identical
+    result because c_custkey is unique in customer (the join neither
+    fans out nor regroups) and non-matching/NULL keys drop as whole
+    groups either way.  At 100 TB this is the load-bearing shape: when
+    the dim side outgrows broadcast, the join shuffles per-key aggregates
+    rather than raw facts."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    tagged = loader_ops.direct_reference(orders, "o_custkey", cust, "c_custkey")
-    return tagged.groupBy("c_custkey").agg(
+    pre = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    tagged = loader_ops.direct_reference(pre, "o_custkey", cust, "c_custkey")
+    return tagged.select("c_custkey", "n_orders", "total_spent")
 
 
 O_Q11 = """
@@ -348,10 +379,14 @@ def q12_bridge_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
+    # carry=n_name rides the loader's group join — the old separate
+    # broadcast(nat) re-join was a THIRD probe pass over every fact row
+    # for a column the second join already had in hand (guide §2.4;
+    # plan diff: 3 BroadcastHashJoin -> 2).
     tagged = loader_ops.join_table(li, "l_suppkey", sup, "s_suppkey",
-                                   "s_nationkey", nat, "n_nationkey")
-    named = tagged.join(F.broadcast(nat.select("n_nationkey", "n_name")), "n_nationkey")
-    return named.groupBy("n_name").agg(
+                                   "s_nationkey", nat, "n_nationkey",
+                                   carry=["n_name"])
+    return tagged.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
          .alias("revenue"))
 
@@ -367,8 +402,10 @@ GROUP BY n_name
 def q13_stats_lookup(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
-    tagged = loader_ops.stats_loader(sup, "s_nationkey", nat, "n_nationkey")
-    named = tagged.join(F.broadcast(nat.select("n_nationkey", "n_name")), "n_nationkey")
+    # carry=n_name: same redundant-third-join removal as q12.
+    tagged = loader_ops.stats_loader(sup, "s_nationkey", nat, "n_nationkey",
+                                     carry=["n_name"])
+    named = tagged
     cents = F.col("s_acctbal").cast("decimal(18,2)") * 100
     return (named.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_suppliers"),
@@ -592,9 +629,14 @@ WHERE l_orderkey * 8 + l_linenumber IS NOT NULL
 
 
 def q23_dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
-    return dedup_ops.dedup_exact(d2, "doc_id", "text")
+    # content_key is computed BEFORE the planted-dup explode: the two
+    # logical copies share one md5 of the (identical) text, so the scan
+    # runs once and the normalize+hash work halves (guide §1.2/§2.3;
+    # plan diff: 2 scans + 2x md5 -> 1 scan + 1x md5).
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", dedup_ops.content_key("text").alias("__ck"))
+    d2 = _planted_dup(d, 1000000)
+    return dedup_ops.dedup_exact(d2, "doc_id", "__ck", key_col="__ck")
 
 
 O_Q23 = r"""
@@ -792,11 +834,21 @@ def _ts_to_timestamp(df):
 
 
 def q30_events_hourly(spark, sf_dir):
+    # Group on the LONG hour bucket and format AFTER aggregation: the
+    # old plan formatted a 16-char datetime string per ROW and used it
+    # as the group/shuffle key (string hashing + 2x key bytes); the
+    # bucket<->string mapping is bijective in a fixed zone, so groups —
+    # and the formatted output — are identical while the per-row work
+    # drops to a floor-div and the formatter runs once per GROUP
+    # (guide §2.3: narrower keys, project late).
     ev = _events(spark, sf_dir)
-    hour = F.from_unixtime(F.col("ts_sec"), "yyyy-MM-dd HH:00")
-    return (ev.groupBy(hour.alias("hour"), "event_type")
+    bucket = F.floor(F.col("ts_sec") / F.lit(3600)).cast("long")
+    return (ev.groupBy(bucket.alias("__hb"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("value_sum")))
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+            .select(F.from_unixtime(F.col("__hb") * 3600,
+                                    "yyyy-MM-dd HH:00").alias("hour"),
+                    "event_type", "n_events", "value_sum"))
 
 
 O_Q30 = """
@@ -809,10 +861,22 @@ FROM events GROUP BY 1, 2
 def q31_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir).where(F.col("ts_sec").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts_sec").over(w)
-    new_session = F.when(prev.isNull() | ((F.col("ts_sec") - prev) > 1800), 1).otherwise(0)
+    # Narrow the one window shuffle (guide §2.3: project before the
+    # exchange, narrower keys): order by ts_us — the micros long _events
+    # already derives, a monotone function of ts — instead of the raw
+    # timestamp, and derive ts_sec AFTER the window from ts_us/lag(ts_us)
+    # instead of carrying it.  The exchange shrinks from
+    # (event_id, ts, user_id, ts_sec) = 4 cols to (event_id, user_id,
+    # ts_us) = 3.  Events inside one shared microsecond may permute under
+    # the (ts_us, event_id) order, but they share one ts_sec, so every
+    # adjacent second-difference — and the session count — is unchanged.
+    ev = _events(spark, sf_dir).where(F.col("ts_us").isNotNull()) \
+        .select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev_us = F.lag("ts_us").over(w)
+    sec = F.floor(F.col("ts_us") / F.lit(1_000_000))
+    prev_sec = F.floor(prev_us / F.lit(1_000_000))
+    new_session = F.when(prev_us.isNull() | ((sec - prev_sec) > 1800), 1).otherwise(0)
     return (ev.withColumn("__new", new_session)
             .groupBy("user_id").agg(F.sum("__new").alias("n_sessions")))
 
@@ -971,7 +1035,7 @@ def q63_curation_pipeline(spark, sf_dir):
     from niamoto_spark.operators.curation import CurationConfig, curate_corpus
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    d2 = _planted_dup(d, 1000000)
     _, stats = curate_corpus(
         d2, "doc_id", "text",
         CurationConfig(min_quality=0.3, near_dup_threshold=0.5, seq_len=512,
@@ -1050,8 +1114,7 @@ def q38_minhash_candidates(spark, sf_dir):
     clears even a 0.1 Jaccard, which made this query return 0 rows."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200) \
         .select("doc_id", "text")
-    planted = d.unionByName(
-        d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    planted = _planted_dup(d, 100_000)
     return dedup_ops.minhash_lsh_candidates(planted, "doc_id", "text",
                                             num_hashes=32, bands=8,
                                             jaccard_threshold=0.1)
@@ -1374,7 +1437,7 @@ def q53_dedup_keep(spark, sf_dir):
     """dedup_exact_keep end-to-end: corpus size before/after removing
     planted exact duplicates."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d2 = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    d2 = _planted_dup(d, 1000000)
     kept = dedup_ops.dedup_exact_keep(d2, "doc_id", "text")
     return kept.agg(F.count(F.lit(1)).alias("n_kept"),
                     F.min("doc_id").alias("min_id"),
@@ -4677,8 +4740,7 @@ def q127_tfidf_prefiltered(spark, sf_dir):
 
     d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
          .select("doc_id", "text"))
-    planted = d.unionByName(
-        d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    planted = _planted_dup(d, 100_000)
     return tfidf_cosine_pairs(planted, "doc_id", "text", threshold=0.3,
                               max_df_frac=0.5, prefilter="minhash")
 
@@ -15304,8 +15366,7 @@ def q353_tfidf_prefiltered_oracle(spark, sf_dir):
 
     d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
          .select("doc_id", "text"))
-    planted = d.unionByName(
-        d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    planted = _planted_dup(d, 100_000)
     return tfidf_cosine_pairs(planted, "doc_id", "text", threshold=0.3,
                               max_df_frac=0.5, prefilter="minhash_md5")
 

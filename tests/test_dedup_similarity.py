@@ -33,6 +33,24 @@ def test_dedup_exact_keep_filters(docs):
     assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 5}
 
 
+def test_dedup_exact_precomputed_key_col_matches(docs):
+    """r14 optimization contract: hashing ONCE via content_key + key_col
+    yields byte-identical groups to the internal per-call hash (the
+    planted-dup fixtures hoist the hash above their id explode)."""
+    base = {(r["content_hash"], r["keep_id"], r["n_docs"])
+            for r in dedup.dedup_exact(docs, "doc_id", "text").collect()}
+    keyed = docs.withColumn("__ck", dedup.content_key("text"))
+    hoisted = {(r["content_hash"], r["keep_id"], r["n_docs"])
+               for r in dedup.dedup_exact(keyed, "doc_id", "text",
+                                          key_col="__ck").collect()}
+    assert hoisted == base
+    # unnormalized twin stays distinct (case/ws dup no longer collapses)
+    raw = dedup.dedup_exact(
+        docs.withColumn("__rk", dedup.content_key("text", normalize=False)),
+        "doc_id", "text", key_col="__rk").collect()
+    assert all(r["n_docs"] == 1 for r in raw)
+
+
 def test_minhash_finds_near_dup_pair(docs):
     pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
                                          num_hashes=64, bands=16,

@@ -329,3 +329,71 @@ def test_dehinted_group_stat_joins_still_broadcast_via_aqe(spark):
         plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan, \
             f"{label}: AQE did not broadcast the small group table"
+
+
+# --- r14 optimization-round contracts -------------------------------------
+
+@pytest.mark.parametrize("query", [
+    "q23_dedup_exact", "q38_minhash_candidates", "q53_dedup_keep",
+])
+def test_planted_dup_fixtures_scan_source_once_per_side(spark, query):
+    """r14: the planted-duplicate self-union was rewritten as an id
+    explode over ONE scan (2 scans + double text work -> 1).  q53's semi
+    join legitimately reads the exploded frame on both sides (2 scans);
+    the union shape cost it 4."""
+    plan = _plan(spark, query)
+    physical = plan.split("== Physical Plan ==")[-1]
+    n_scans = physical.count("Scan parquet")
+    cap = 2 if query == "q53_dedup_keep" else 1
+    assert n_scans <= cap, f"{query}: {n_scans} scans (> {cap})"
+    assert "Generate explode" in physical or "explode" in physical
+
+
+def test_q23_hashes_before_the_id_explode(spark):
+    """The md5 content key must be computed BELOW the Generate so the two
+    planted copies share one hash (the whole point of the hoist)."""
+    plan = _plan(spark, "q23_dedup_exact")
+    physical = plan.split("== Physical Plan ==")[-1]
+    # the extended-mode tree prints output-to-scan, so an operator that
+    # appears LATER in the text runs EARLIER in the dataflow: the md5
+    # Project must print after (= run before) the Generate explode
+    gen = physical.index("Generate")
+    md5 = physical.index("md5(")
+    assert md5 > gen, "md5 is computed above the explode (per-copy again)"
+
+
+def test_q12_q13_no_redundant_name_rejoin(spark):
+    """r14: carry=[name] rides the loader's group join; exactly two
+    (q12) / one (q13) broadcast joins remain."""
+    for query, max_bhj in (("q12_bridge_revenue", 2), ("q13_stats_lookup", 1)):
+        plan = _plan(spark, query)
+        physical = plan.split("== Physical Plan ==")[-1]
+        n = physical.count("BroadcastHashJoin")
+        assert n <= max_bhj, f"{query}: {n} broadcast joins (> {max_bhj})"
+
+
+def test_q30_groups_on_long_bucket_not_formatted_string(spark):
+    """r14: the hour string is formatted once per GROUP after the
+    aggregate; the group/shuffle key is a long."""
+    plan = _plan(spark, "q30_events_hourly")
+    physical = plan.split("== Physical Plan ==")[-1]
+    import re
+    exch = re.search(r"hashpartitioning\((_groupingexpression#\d+\w*),",
+                     physical)
+    assert exch, "q30 no longer shuffles on the derived bucket key"
+    assert exch.group(1).endswith("L"), \
+        f"q30 shuffle key {exch.group(1)} is not a bigint bucket"
+
+
+def test_q08_q44_ancestor_meta_rides_range_join(spark):
+    """r14: subtree_join(carry=[...]) — no third broadcast probe for
+    ancestor metadata (1 equi + 1 range join only)."""
+    for query in ("q08_region_rollup_nested_set", "q44_hierarchical_top"):
+        plan = _plan(spark, query)
+        physical = plan.split("== Physical Plan ==")[-1]
+        joins = (physical.count("BroadcastHashJoin")
+                 + physical.count("BroadcastNestedLoopJoin"))
+        # nested-set derivation itself contributes 3 joins; the fact-side
+        # pipeline is 1 equi + 1 range join with metadata carried — the
+        # old separate meta probe made this 5.
+        assert joins <= 4, f"{query}: {joins} joins (meta re-join is back?)"

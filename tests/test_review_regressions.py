@@ -140,6 +140,42 @@ def test_stats_loader_gid_named_match_field(spark):
     assert {(r["id"], r["s"]) for r in out} == {(1, 1.0), (2, 2.0)}
 
 
+def test_loader_carry_columns_match_separate_join(spark):
+    """r14 optimization contract: carry=[...] on join_table/stats_loader
+    attaches extra group columns in the SAME probe pass, row-identical to
+    the old separate broadcast re-join of the group table (plan loses one
+    BroadcastHashJoin — see q12/q13)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from niamoto_spark.operators.loaders import join_table, stats_loader
+
+    fact = spark.createDataFrame(pd.DataFrame(
+        {"fk": [1, 1, 2, 3], "v": [10.0, 20.0, 5.0, 7.0]}))
+    bridge = spark.createDataFrame(pd.DataFrame(
+        {"src": [1, 2, 3], "ref": [100, 100, 200]}))
+    groups = spark.createDataFrame(pd.DataFrame(
+        {"gid": [100, 200], "gname": ["alpha", "beta"]}))
+
+    carried = join_table(fact, "fk", bridge, "src", "ref", groups, "gid",
+                         carry=["gname"])
+    rejoined = join_table(fact, "fk", bridge, "src", "ref", groups, "gid") \
+        .join(F.broadcast(groups.select("gid", "gname")), "gid")
+    key = lambda rows: sorted((r["fk"], r["v"], r["gid"], r["gname"])  # noqa: E731
+                              for r in rows)
+    assert key(carried.collect()) == key(rejoined.collect())
+
+    s_carried = stats_loader(fact, "fk", groups, "gid", ref_field="gid",
+                             carry=["gname"])
+    assert s_carried.count() == 0  # fk 1-3 never match gid 100/200
+    groups2 = spark.createDataFrame(pd.DataFrame(
+        {"gid": [1, 2], "gname": ["a", "b"]}))
+    s2 = stats_loader(fact, "fk", groups2, "gid", ref_field="gid",
+                      carry=["gname"])
+    assert sorted((r["gid"], r["gname"]) for r in s2.collect()) == \
+        [(1, "a"), (1, "a"), (2, "b")]
+
+
 def test_curation_stage_order_honored(spark):
     import pandas as pd
 

@@ -143,10 +143,29 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0),
-                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
-                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (vector_norm(a) * vector_norm(b))
+
+
+def vector_norm(a: Column) -> Column:
+    """L2 norm of an array column — the ``na``/``nb`` term of
+    ``cosine_similarity``, exposed so pairwise scorers can compute each
+    side's norm ONCE per row instead of once per pair (guide §1.2: don't
+    recompute; Catalyst has no cross-row CSE, so the norm inside a
+    crossJoin projection re-runs the full array aggregate for every
+    pair).  ``cosine_from_norms`` with hoisted norms is bit-identical to
+    ``cosine_similarity``: same expression trees over the same values,
+    same ``dot / (na * nb)`` association."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_from_norms(a: Column, b: Column,
+                      na: Column, nb: Column) -> Column:
+    """Cosine similarity with both norms already computed (see
+    ``vector_norm``): only the dot product runs per pair."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
     return dot / (na * nb)
 
 

@@ -437,13 +437,72 @@ def _auto_pair_strategy(df, threshold_bytes: int = 256 * 1024 * 1024) -> str:
 
 
 @register("minhash_lsh_candidates", PluginType.TRANSFORMER)
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, shingle_k: int = 3,
+                       sig_impl: str = "auto") -> DataFrame:
+    """MinHash signature table (doc_id, sig) for ``df[text_col]`` —
+    the signature stage of ``minhash_lsh_candidates``, exposed so
+    callers can compute signatures once and reuse them (``sig_col=``),
+    e.g. below an id-explode that replicates the same text under
+    several ids.
+
+    ``sig_impl``: "numpy" (Arrow-batched vectorized seed fold, the
+    scale path), "hof" (pure-JVM expressions, zero Python in the plan),
+    or "auto" — numpy once the scan is big enough that per-partition
+    Arrow/worker overhead amortizes (>= 256 KB or unknown bytes; both
+    paths are bit-identical, pinned by
+    tests/test_dedup_similarity.py::test_numpy_signatures_match_hof).
+
+    Docs whose normalized text has < shingle_k tokens yield no row.
+    """
+    if sig_impl == "auto":
+        from niamoto_spark.functions import _est_scan
+
+        _, _nb = _est_scan(df)
+        sig_impl = "hof" if (_nb is not None
+                             and _nb < 256 * 1024) else "numpy"
+    # min_bytes=0 on the HOF path: the signature fold runs as
+    # interpreted higher-order lambdas (~1-2us per (seed, shingle)
+    # element — HOFs never enter whole-stage codegen), so even sub-MB
+    # inputs are CPU-bound and worth spreading (measured 2.6s -> 0.5s
+    # on the q38 bench fixture at 2 -> 32 tasks).  The numpy path keeps
+    # the default byte floor: vectorized batches are efficient
+    # single-partition and spreading tiny inputs just multiplies Arrow
+    # round-trips (same finding as cosine_topk_blas).
+    df = fan_out(df) if sig_impl == "numpy" else fan_out(df, min_bytes=0)
+    if sig_impl == "numpy":
+        # shingling + hashing + fold in ONE Arrow kernel; the JVM only
+        # normalizes (lower/split/join — plain codegen, no HOFs)
+        return _sigs_from_text_numpy(df, id_col, text_col, num_hashes,
+                                     shingle_k)
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            word_shingles(F.lower(F.col(text_col)), shingle_k))
+         .alias("__sh"))
+    # materialize the per-shingle string hash in its own projection
+    # so the num_hashes seed passes below re-hash 8-byte longs, not
+    # the strings (CollapseProject keeps non-cheap multi-referenced
+    # aliases separate)
+    hashed = shingled.select(
+        "doc_id", F.size("__sh").alias("__n"),
+        F.transform(F.col("__sh"), lambda x: F.xxhash64(x))
+         .alias("__hl"))
+    return hashed.select(
+        "doc_id",
+        _signature_from_hashed(F.col("__hl"), F.col("__n"),
+                               num_hashes).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_k: int = 3,
                            jaccard_threshold: float = 0.5,
                            max_bucket_size: int | None = 1000,
                            sig_impl: str = "auto",
-                           pair_strategy: str = "auto") -> DataFrame:
+                           pair_strategy: str = "auto",
+                           sig_col: str | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     ``pair_strategy`` picks how candidates materialize:
@@ -496,51 +555,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # sig_impl: "numpy" (Arrow-batched vectorized seed fold, the scale
-    # path), "hof" (pure-JVM expressions, zero Python in the plan), or
-    # "auto" — numpy once the scan is big enough that per-partition
-    # Arrow/worker overhead amortizes (>= 256 KB or unknown bytes; both
-    # paths are bit-identical, pinned by
-    # tests/test_dedup_similarity.py::test_numpy_signatures_match_hof).
-    if sig_impl == "auto":
-        from niamoto_spark.functions import _est_scan
-
-        _, _nb = _est_scan(df)
-        sig_impl = "hof" if (_nb is not None
-                             and _nb < 256 * 1024) else "numpy"
-    # min_bytes=0 on the HOF path: the signature fold runs as
-    # interpreted higher-order lambdas (~1-2us per (seed, shingle)
-    # element — HOFs never enter whole-stage codegen), so even sub-MB
-    # inputs are CPU-bound and worth spreading (measured 2.6s -> 0.5s
-    # on the q38 bench fixture at 2 -> 32 tasks).  The numpy path keeps
-    # the default byte floor: vectorized batches are efficient
-    # single-partition and spreading tiny inputs just multiplies Arrow
-    # round-trips (same finding as cosine_topk_blas).
-    df = fan_out(df) if sig_impl == "numpy" else fan_out(df, min_bytes=0)
-    if sig_impl == "numpy":
-        # shingling + hashing + fold in ONE Arrow kernel; the JVM only
-        # normalizes (lower/split/join — plain codegen, no HOFs)
-        sig = _sigs_from_text_numpy(df, id_col, text_col, num_hashes,
-                                    shingle_k)
+    if sig_col is not None:
+        # Caller supplies precomputed signatures (see
+        # ``minhash_signatures``) — the hoist lever for inputs where one
+        # text reaches this operator under several ids (e.g. an id-explode
+        # fixture): compute each distinct text's signature ONCE below the
+        # fan-out instead of once per id (guide §1.2 — don't recompute).
+        sig = (df.select(F.col(id_col).alias("doc_id"),
+                         F.col(sig_col).alias("sig"))
+                 .where(F.col("sig").isNotNull()))
     else:
-        shingled = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(
-                word_shingles(F.lower(F.col(text_col)), shingle_k))
-             .alias("__sh"))
-        # materialize the per-shingle string hash in its own projection
-        # so the num_hashes seed passes below re-hash 8-byte longs, not
-        # the strings (CollapseProject keeps non-cheap multi-referenced
-        # aliases separate)
-        hashed = shingled.select(
-            "doc_id", F.size("__sh").alias("__n"),
-            F.transform(F.col("__sh"), lambda x: F.xxhash64(x))
-             .alias("__hl"))
-        sig = hashed.select(
-            "doc_id",
-            _signature_from_hashed(F.col("__hl"), F.col("__n"),
-                                   num_hashes).alias("sig"),
-        ).where(F.col("sig").isNotNull())
+        sig = minhash_signatures(df, id_col, text_col, num_hashes,
+                                 shingle_k, sig_impl)
 
     if pair_strategy == "auto":
         pair_strategy = _auto_pair_strategy(df)

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from niamoto_spark.functions import cosine_similarity, fan_out
+from niamoto_spark.functions import (cosine_from_norms, cosine_similarity,
+                                     fan_out, vector_norm)
 from niamoto_spark.registry import PluginType, register
 
 
@@ -56,7 +57,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("c_vec")),
                 min_bytes=0)
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    # Norms hoisted out of the cross join (guide §1.2: Catalyst has no
+    # cross-row CSE, so an inline norm re-runs the full array aggregate
+    # for every PAIR): computed once per corpus row / once per query row,
+    # bit-identical — same expression tree over the same values, same
+    # dot/(na*nb) association as cosine_similarity.
+    q = q.withColumn("__qn", vector_norm(F.col("q_vec")))
+    c = c.withColumn("__cn", vector_norm(F.col("c_vec")))
+    sim = cosine_from_norms(F.col("q_vec"), F.col("c_vec"),
+                            F.col("__qn"), F.col("__cn"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (c.crossJoin(F.broadcast(q))
@@ -175,14 +184,19 @@ def _assign_nearest(df: DataFrame, cents: DataFrame, vec: str, out: str,
                     n: int) -> DataFrame:
     """Tag each row with its ``n`` nearest centroid ids (broadcast
     argmin over the tiny centroid table)."""
-    sim = cosine_similarity(F.col(vec), F.col("cent_vec"))
+    sim = cosine_from_norms(F.col(vec), F.col("cent_vec"),
+                            F.col("__vn"), F.col("__centn"))
     w = Window.partitionBy(df.columns[0]).orderBy(F.col("__csim").desc(),
                                                   F.col("centroid_id").asc())
-    return (df.crossJoin(F.broadcast(cents))
+    # Row norm hoisted below the centroid cross join: once per row, not
+    # once per (row x centroid) — bit-identical (see cosine_topk note).
+    return (df.withColumn("__vn", vector_norm(F.col(vec)))
+              .crossJoin(F.broadcast(
+                  cents.withColumn("__centn", vector_norm(F.col("cent_vec")))))
               .withColumn("__csim", sim)
               .withColumn("__crk", F.row_number().over(w))
               .where(F.col("__crk") <= n)
-              .drop("__csim", "__crk", "cent_vec")
+              .drop("__csim", "__crk", "cent_vec", "__vn", "__centn")
               .withColumnRenamed("centroid_id", out))
 
 
@@ -191,7 +205,12 @@ def _ivf_score(c_assigned: DataFrame, q_assigned: DataFrame, k: int,
     """Bucket-join scoring shared by ivf_topk and the persisted index:
     candidates = corpus rows sharing a probed bucket; exact cosine +
     per-query top-k window over candidates only."""
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    # Norms hoisted out of the bucket join: once per assigned row instead
+    # of once per candidate pair — bit-identical (see cosine_topk note).
+    c_assigned = c_assigned.withColumn("__cn", vector_norm(F.col("c_vec")))
+    q_assigned = q_assigned.withColumn("__qn", vector_norm(F.col("q_vec")))
+    sim = cosine_from_norms(F.col("q_vec"), F.col("c_vec"),
+                            F.col("__qn"), F.col("__cn"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (c_assigned.join(F.broadcast(q_assigned), "bucket")

@@ -1114,10 +1114,17 @@ def q38_minhash_candidates(spark, sf_dir):
     clears even a 0.1 Jaccard, which made this query return 0 rows."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200) \
         .select("doc_id", "text")
-    planted = _planted_dup(d, 100_000)
-    return dedup_ops.minhash_lsh_candidates(planted, "doc_id", "text",
+    # Signatures hoisted BELOW the planted-id explode: both planted
+    # copies share one text, so shingle+hash+fold runs once per source
+    # doc, not per copy (guide §1.2) — bit-identical sigs, identical
+    # candidate pairs (test_sig_hoist_below_explode_identical).
+    sigs = dedup_ops.minhash_signatures(d, "doc_id", "text",
+                                        num_hashes=32, shingle_k=3)
+    planted = _planted_dup(sigs, 100_000)
+    return dedup_ops.minhash_lsh_candidates(planted, "doc_id", None,
                                             num_hashes=32, bands=8,
-                                            jaccard_threshold=0.1)
+                                            jaccard_threshold=0.1,
+                                            sig_col="sig")
 
 
 def q39_simhash_pairs(spark, sf_dir):

@@ -605,6 +605,34 @@ def test_pair_strategies_identical(spark):
         assert bucket == join and len(bucket) > 0, f"cap={cap}"
 
 
+def test_sig_hoist_below_explode_identical(spark):
+    """r14 optimization contract (the q38 shape): computing signatures
+    ONCE per source doc and exploding the planted ids ABOVE them
+    (minhash_signatures + sig_col=) yields exactly the inline path's
+    (id_a, id_b, est_jaccard) set — both planted copies of a text carry
+    bit-identical sigs either way."""
+    rows = [(i, f"shared shingle text number {i % 7} with extra words "
+                f"{i % 3} tail") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["doc_id", "text"]))
+    kw = dict(num_hashes=32, bands=8, jaccard_threshold=0.1)
+    planted_text = df.select(
+        F.explode(F.array(F.col("doc_id"),
+                          F.col("doc_id") + F.lit(100_000)))
+         .alias("doc_id"), "text")
+    inline = {tuple(r) for r in dedup.minhash_lsh_candidates(
+        planted_text, "doc_id", "text", shingle_k=2, **kw).collect()}
+    sigs = dedup.minhash_signatures(df, "doc_id", "text",
+                                    num_hashes=32, shingle_k=2)
+    planted_sig = sigs.select(
+        F.explode(F.array(F.col("doc_id"),
+                          F.col("doc_id") + F.lit(100_000)))
+         .alias("doc_id"), "sig")
+    hoisted = {tuple(r) for r in dedup.minhash_lsh_candidates(
+        planted_sig, "doc_id", None, sig_col="sig", **kw).collect()}
+    assert hoisted == inline and len(inline) > 0
+
+
 def test_auto_pair_strategy_union_inflation(spark, tmp_path):
     """The r13 `_est_scan` blind spot: the file listing dedups repeated
     files, so a plan unioning the same scan 64x under-read as 1x and

@@ -1443,9 +1443,13 @@ FROM m
 def q53_dedup_keep(spark, sf_dir):
     """dedup_exact_keep end-to-end: corpus size before/after removing
     planted exact duplicates."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # content hash hoisted BELOW the planted-id explode (the q23 shape):
+    # both copies of a text share one md5, and only (doc_id, 16-byte
+    # digest) ever reaches the dedup shuffles — the agg reads doc_id only.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", dedup_ops.content_key("text").alias("__ck"))
     d2 = _planted_dup(d, 1000000)
-    kept = dedup_ops.dedup_exact_keep(d2, "doc_id", "text")
+    kept = dedup_ops.dedup_exact_keep(d2, "doc_id", "__ck", key_col="__ck")
     return kept.agg(F.count(F.lit(1)).alias("n_kept"),
                     F.min("doc_id").alias("min_id"),
                     F.max("doc_id").alias("max_id"))

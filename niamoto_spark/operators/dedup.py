@@ -436,7 +436,6 @@ def _auto_pair_strategy(df, threshold_bytes: int = 256 * 1024 * 1024) -> str:
     return "bucket" if (pb is not None and pb < threshold_bytes) else "join"
 
 
-@register("minhash_lsh_candidates", PluginType.TRANSFORMER)
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, shingle_k: int = 3,
                        sig_impl: str = "auto") -> DataFrame:
@@ -495,6 +494,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ).where(F.col("sig").isNotNull())
 
 
+@register("minhash_lsh_candidates", PluginType.TRANSFORMER)
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 64, bands: int = 16,
                            shingle_k: int = 3,

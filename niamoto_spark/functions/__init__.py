@@ -146,7 +146,7 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (vector_norm(a) * vector_norm(b))
 
 
-def vector_norm(a: Column) -> Column:
+def vector_norm(a: Column | str) -> Column:
     """L2 norm of an array column — the ``na``/``nb`` term of
     ``cosine_similarity``, exposed so pairwise scorers can compute each
     side's norm ONCE per row instead of once per pair (guide §1.2: don't
@@ -154,18 +154,38 @@ def vector_norm(a: Column) -> Column:
     crossJoin projection re-runs the full array aggregate for every
     pair).  ``cosine_from_norms`` with hoisted norms is bit-identical to
     ``cosine_similarity``: same expression trees over the same values,
-    same ``dot / (na * nb)`` association."""
+    same ``dot / (na * nb)`` association.
+
+    A plain column NAME takes the single-parse ``F.expr`` path: building
+    HOF lambdas through the Python API costs ~10-20 py4j round trips
+    each (measured ~0.1s of q28's per-run build), where one SQL string
+    parses server-side in one call.  The parsed tree is the same
+    resolved expression (same casts, same 0.0 double seed, same
+    index-order accumulation)."""
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate({a}, 0.0D, "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     return F.sqrt(F.aggregate(a, F.lit(0.0),
                               lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
-def cosine_from_norms(a: Column, b: Column,
-                      na: Column, nb: Column) -> Column:
+def cosine_from_norms(a: Column | str, b: Column | str,
+                      na: Column | str, nb: Column | str) -> Column:
     """Cosine similarity with both norms already computed (see
-    ``vector_norm``): only the dot product runs per pair."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    ``vector_norm``): only the dot product runs per pair.  Column NAMES
+    take the single-parse expr path (see ``vector_norm``)."""
+    if isinstance(a, str) and isinstance(b, str):
+        dot = F.expr(
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, v) -> acc + v)")
+    else:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
     return dot / (na * nb)
 
 

@@ -574,16 +574,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         return _lsh_pairs_by_join(sig, num_hashes, bands, rows_per_band,
                                   jaccard_threshold, max_bucket_size)
 
+    # Single-parse SQL text instead of Python-API HOF lambdas: each
+    # lambda construction costs ~10-20 py4j round trips; one expr string
+    # parses server-side in one call.  Same resolved expression (hash
+    # over the same int-typed slice bounds).
     banded = sig.select(
         "doc_id", "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice(F.col("sig"),
-                                         (b * rows_per_band + 1).cast("int"),
-                                         rows_per_band)),
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> hash(slice(sig, CAST(b * {rows_per_band} + 1 AS INT), "
+            f"{rows_per_band})))"
+        )).alias("band", "band_hash"),
     )
     # Cap strategy is size-adaptive.  Big inputs: a keys-only count
     # aggregate finds the (few, ≤ n/cap) viral buckets and a broadcast
@@ -641,25 +642,21 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         except ImportError:
             pass
         buckets = buckets.where(F.size("ms") <= max_bucket_size)
-    n = F.size("ms")
-    ms = F.col("ms")
-
-    def pair(i, j):
-        a, b = F.element_at(ms, i + 1), F.element_at(ms, j + 1)
-        agree = F.size(F.filter(
-            F.zip_with(a["sig"], b["sig"], lambda x, y: x == y),
-            lambda v: v))
-        return F.struct(
-            F.least(a["doc_id"], b["doc_id"]).alias("id_a"),
-            F.greatest(a["doc_id"], b["doc_id"]).alias("id_b"),
-            F.round(agree.cast("double") / F.lit(num_hashes), 4)
-            .alias("est_jaccard"))
-
-    # guard n>=2: sequence(0, -1) would DESCEND, not be empty
-    pairs_arr = F.when(n >= 2, F.flatten(F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.transform(F.sequence(i + 1, n - 1),
-                              lambda j: pair(i, j)))))
+    # Pair enumeration as ONE parsed SQL expression (same resolved tree
+    # as the previous Python-API HOF construction — identical functions,
+    # identical int/double coercions — but a single py4j round trip
+    # instead of ~8 lambda builds, measured ~0.16s of q38's per-run
+    # build).  guard n>=2: sequence(0, -1) would DESCEND, not be empty.
+    pair_a, pair_b = "element_at(ms, i + 1)", "element_at(ms, j + 1)"
+    pairs_arr = F.expr(
+        "CASE WHEN size(ms) >= 2 THEN flatten(transform("
+        "sequence(0, size(ms) - 2), i -> transform("
+        "sequence(i + 1, size(ms) - 1), j -> struct("
+        f"least({pair_a}.doc_id, {pair_b}.doc_id) AS id_a, "
+        f"greatest({pair_a}.doc_id, {pair_b}.doc_id) AS id_b, "
+        f"round(CAST(size(filter(zip_with({pair_a}.sig, {pair_b}.sig, "
+        "(x, y) -> x = y), v -> v)) AS DOUBLE) "
+        f"/ {num_hashes}, 4) AS est_jaccard)))) END")
     return (buckets.select(F.explode(pairs_arr).alias("p"))
             .select("p.id_a", "p.id_b", "p.est_jaccard")
             .where(F.col("est_jaccard") >= jaccard_threshold)

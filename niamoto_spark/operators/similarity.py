@@ -62,10 +62,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # for every PAIR): computed once per corpus row / once per query row,
     # bit-identical — same expression tree over the same values, same
     # dot/(na*nb) association as cosine_similarity.
-    q = q.withColumn("__qn", vector_norm(F.col("q_vec")))
-    c = c.withColumn("__cn", vector_norm(F.col("c_vec")))
-    sim = cosine_from_norms(F.col("q_vec"), F.col("c_vec"),
-                            F.col("__qn"), F.col("__cn"))
+    q = q.withColumn("__qn", vector_norm("q_vec"))
+    c = c.withColumn("__cn", vector_norm("c_vec"))
+    sim = cosine_from_norms("q_vec", "c_vec", "__qn", "__cn")
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (c.crossJoin(F.broadcast(q))
@@ -184,15 +183,14 @@ def _assign_nearest(df: DataFrame, cents: DataFrame, vec: str, out: str,
                     n: int) -> DataFrame:
     """Tag each row with its ``n`` nearest centroid ids (broadcast
     argmin over the tiny centroid table)."""
-    sim = cosine_from_norms(F.col(vec), F.col("cent_vec"),
-                            F.col("__vn"), F.col("__centn"))
+    sim = cosine_from_norms(vec, "cent_vec", "__vn", "__centn")
     w = Window.partitionBy(df.columns[0]).orderBy(F.col("__csim").desc(),
                                                   F.col("centroid_id").asc())
     # Row norm hoisted below the centroid cross join: once per row, not
     # once per (row x centroid) — bit-identical (see cosine_topk note).
-    return (df.withColumn("__vn", vector_norm(F.col(vec)))
+    return (df.withColumn("__vn", vector_norm(vec))
               .crossJoin(F.broadcast(
-                  cents.withColumn("__centn", vector_norm(F.col("cent_vec")))))
+                  cents.withColumn("__centn", vector_norm("cent_vec"))))
               .withColumn("__csim", sim)
               .withColumn("__crk", F.row_number().over(w))
               .where(F.col("__crk") <= n)
@@ -207,10 +205,9 @@ def _ivf_score(c_assigned: DataFrame, q_assigned: DataFrame, k: int,
     per-query top-k window over candidates only."""
     # Norms hoisted out of the bucket join: once per assigned row instead
     # of once per candidate pair — bit-identical (see cosine_topk note).
-    c_assigned = c_assigned.withColumn("__cn", vector_norm(F.col("c_vec")))
-    q_assigned = q_assigned.withColumn("__qn", vector_norm(F.col("q_vec")))
-    sim = cosine_from_norms(F.col("q_vec"), F.col("c_vec"),
-                            F.col("__qn"), F.col("__cn"))
+    c_assigned = c_assigned.withColumn("__cn", vector_norm("c_vec"))
+    q_assigned = q_assigned.withColumn("__qn", vector_norm("q_vec"))
+    sim = cosine_from_norms("q_vec", "c_vec", "__qn", "__cn")
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (c_assigned.join(F.broadcast(q_assigned), "bucket")

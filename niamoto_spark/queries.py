@@ -71,6 +71,24 @@ def _link_parquet_source(src: str, stream_dir: str,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Per-SESSION table-handle catalog (guide §7.3 driver latency): a
+    # fresh `spark.read.parquet` costs ~0.1-0.2s of driver-side py4j +
+    # footer/schema resolution PER CALL, and the 369 `_t` call sites
+    # re-paid it on every query build — measured ~0.2s of q38's build
+    # and ~0.4s of q12's (3 tables).  A real engine resolves a table
+    # through its catalog once; this memo holds only the base
+    # DataFrame/plan handle — no data, no results: every action still
+    # scans the parquet (the bench's clearCache() between queries
+    # remains in force, and the source dirs are immutable within a
+    # session — the mutation probes build their copies before reading).
+    cache = getattr(spark, "_ns_table_handles", None)
+    if cache is None:
+        cache = {}
+        spark._ns_table_handles = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is not None:
+        return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Type-normalization guard (the events.ts lesson: testdata
     # regenerations have changed physical column types between rounds).
@@ -79,6 +97,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # instead of defensively at 16 call sites.
     if name == "orders" and dict(df.dtypes).get("o_orderdate") == "string":
         df = df.withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    cache[key] = df
     return df
 
 

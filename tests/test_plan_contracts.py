@@ -397,3 +397,28 @@ def test_q08_q44_ancestor_meta_rides_range_join(spark):
         # pipeline is 1 equi + 1 range join with metadata carried — the
         # old separate meta probe made this 5.
         assert joins <= 4, f"{query}: {joins} joins (meta re-join is back?)"
+
+
+def test_table_handle_memo_is_per_session_and_per_path(spark, tmp_path):
+    """r14: _t resolves a table once per (session, sf_dir, name) — a
+    catalog of plan HANDLES, never data.  Distinct paths get distinct
+    handles; the memoized frame reads the real file contents; the
+    orders o_orderdate coercion survives memoization."""
+    import pandas as pd
+
+    from niamoto_spark.queries import _t
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    pd.DataFrame({"r_regionkey": [1, 2]}).to_parquet(d1 / "region.parquet")
+    pd.DataFrame({"r_regionkey": [1, 2, 3]}).to_parquet(d2 / "region.parquet")
+    h1 = _t(spark, str(d1), "region")
+    assert _t(spark, str(d1), "region") is h1, "same key must reuse handle"
+    h2 = _t(spark, str(d2), "region")
+    assert h2 is not h1, "different sf_dir must not share a handle"
+    assert h1.count() == 2 and h2.count() == 3
+    pd.DataFrame({"o_orderkey": [1], "o_orderdate": ["1996-01-02"]}) \
+        .to_parquet(d1 / "orders.parquet")
+    o = _t(spark, str(d1), "orders")
+    assert dict(o.dtypes)["o_orderdate"].startswith("timestamp")
+    assert _t(spark, str(d1), "orders") is o

@@ -297,7 +297,8 @@ def boolean_comparison(df: DataFrame, group_cols: Sequence[str],
 def top_ranking(df: DataFrame, group_cols: Sequence[str], field: str,
                 limit: int = 10, mode: str = "direct",
                 agg: str = "count", value_field: str | None = None,
-                name_join: tuple[DataFrame, str, str] | None = None) -> DataFrame:
+                name_join: tuple[DataFrame, str, str] | None = None,
+                weight_col: str | None = None) -> DataFrame:
     """Top-N by frequency (mode=direct) or by an aggregate through joins
     (mode=join) (reference: transformers/aggregation/top_ranking.py:297-381,
     :434-565; agg fns :644-663).  Hierarchical roll-up lives in
@@ -311,7 +312,11 @@ def top_ranking(df: DataFrame, group_cols: Sequence[str], field: str,
     aggregate output happens.
     """
     if agg == "count":
-        val = F.count(F.lit(1))
+        # weight_col: pre-aggregated callers (hierarchical_top_ranking)
+        # hand in per-row counts; sum(bigint) == count of the un-collapsed
+        # rows, same dtype — the §2.3 aggregate-below-the-join lever.
+        val = (F.count(F.lit(1)) if weight_col is None
+               else F.sum(weight_col))
     elif agg == "sum":
         val = F.sum(F.col(value_field).cast("double"))
     elif agg == "avg":

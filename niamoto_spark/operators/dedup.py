@@ -1116,28 +1116,16 @@ def _affine_sigs_numpy(hashed: DataFrame, num_hashes: int) -> DataFrame:
     return hashed.mapInPandas(batch_sigs, schema=out_schema)
 
 
-def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
-                               num_hashes: int = 16, bands: int = 4,
-                               shingle_k: int = 3,
-                               jaccard_threshold: float = 0.5,
-                               sig_impl: str = "auto") -> DataFrame:
-    """MinHash+LSH with a DuckDB-replicable hash family.
-
-    Same math as ``minhash_lsh_candidates`` (the xxhash64 production
-    lane, which stays the bench path — xxhash64 is ~10x cheaper than
-    md5): k-word shingles, per-seed min-hash folds, banded buckets,
-    in-bucket pair enumeration, signature-agreement Jaccard estimate.
-    The difference is ``_md5_hash60`` seeding, so an external engine
-    can recompute the ENTIRE pipeline — signatures, buckets, candidate
-    set, and estimates — value-for-value.  This turns the minhash
-    lane's verification from rows-only into a full value oracle
-    (q349); recall/precision behavior is hash-family-independent, so
-    the oracle also certifies the production lane's math.
-
-    Band key is the raw signature slice (no engine-specific re-hash).
-    Output: (id_a, id_b, est_jaccard), id_a < id_b.
-    """
-    rpb = num_hashes // bands
+def minhash_signatures_md5(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 16, shingle_k: int = 3,
+                           sig_impl: str = "auto") -> DataFrame:
+    """MinHash signature table (doc_id, sig) with the md5/universal
+    hash family — the signature stage of ``minhash_lsh_candidates_md5``
+    exposed for reuse (``sig_col=``), mirroring
+    :func:`minhash_signatures` on the xxhash64 lane: callers whose
+    input replicates one text under several ids (an id-explode fixture)
+    compute each distinct text's signature ONCE below the explode
+    (guide §1.2).  Docs with no shingles yield no row."""
     if sig_impl == "auto":
         sig_impl = _auto_impl(df)
     # min_bytes=0 (HOF): unlike the xxhash64 lane, the interpreted-HOF
@@ -1162,16 +1150,51 @@ def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
                   lambda s: F.conv(F.substring(F.md5(s), 1, 8),
                                    16, 10).cast("long")).alias("__hb")))
     if sig_impl == "numpy":
-        sig = _affine_sigs_numpy(hashed, num_hashes)
+        return _affine_sigs_numpy(hashed, num_hashes)
+    p = 2147483647
+    return hashed.select("doc_id", F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            F.col("__hb"),
+            lambda h: (((i + 1) * F.lit(2654435761) % p) * h
+                       + (i * 40503 + 7)) % p))
+    ).alias("sig"))
+
+
+def minhash_lsh_candidates_md5(df: DataFrame, id_col: str, text_col: str,
+                               num_hashes: int = 16, bands: int = 4,
+                               shingle_k: int = 3,
+                               jaccard_threshold: float = 0.5,
+                               sig_impl: str = "auto",
+                               sig_col: str | None = None) -> DataFrame:
+    """MinHash+LSH with a DuckDB-replicable hash family.
+
+    Same math as ``minhash_lsh_candidates`` (the xxhash64 production
+    lane, which stays the bench path — xxhash64 is ~10x cheaper than
+    md5): k-word shingles, per-seed min-hash folds, banded buckets,
+    in-bucket pair enumeration, signature-agreement Jaccard estimate.
+    The difference is ``_md5_hash60`` seeding, so an external engine
+    can recompute the ENTIRE pipeline — signatures, buckets, candidate
+    set, and estimates — value-for-value.  This turns the minhash
+    lane's verification from rows-only into a full value oracle
+    (q349); recall/precision behavior is hash-family-independent, so
+    the oracle also certifies the production lane's math.
+
+    Band key is the raw signature slice (no engine-specific re-hash).
+    Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    rpb = num_hashes // bands
+    if sig_col is not None:
+        # Caller supplies precomputed signatures (see
+        # ``minhash_signatures_md5``) — the same hoist lever as the
+        # xxhash64 lane: one signature per distinct text below an
+        # id-explode (guide §1.2), bit-identical banding/estimates.
+        sig = (df.select(F.col(id_col).alias("doc_id"),
+                         F.col(sig_col).alias("sig"))
+                 .where(F.col("sig").isNotNull()))
     else:
-        p = 2147483647
-        sig = hashed.select("doc_id", F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(F.transform(
-                F.col("__hb"),
-                lambda h: (((i + 1) * F.lit(2654435761) % p) * h
-                           + (i * 40503 + 7)) % p))
-        ).alias("sig"))
+        sig = minhash_signatures_md5(df, id_col, text_col, num_hashes,
+                                     shingle_k, sig_impl)
     # Shuffle barrier: CollapseProject would inline the signature
     # expression into every reference the banding projection makes (4
     # band slices + the carried sig column = 5x recompute).  The

@@ -175,9 +175,19 @@ def hierarchical_top_ranking(data: DataFrame, key: str,
     nested-set subtree join + one aggregate).
     Output: (item, value, rank) where item is the ancestor's rank_value.
     """
-    # ancestor metadata rides the subtree range join (r14: the separate
-    # broadcast(anc) re-join was a redundant third probe pass)
-    joined = subtree_join(data, key, hierarchy, node_key, "ancestor_id",
+    # Pre-aggregate facts per LEAF below the range join (guide §2.3
+    # "aggregate before you shuffle", r15): the rollup is a pure count,
+    # and counts are additive over subtree membership, so the range
+    # join fans out |leaves| count rows instead of every fact row — at
+    # scale the fact table is aggregated once and never ×depth-fanned.
+    # Identical output: a leaf with N facts contributes N to each
+    # enclosing ancestor either way; NULL / unmatched keys drop in the
+    # same inner equi-join.  Ancestor metadata rides the subtree range
+    # join (r14: the separate broadcast(anc) re-join was a redundant
+    # third probe pass).
+    per_leaf = data.groupBy(key).agg(F.count(F.lit(1)).alias("__leaf_n"))
+    joined = subtree_join(per_leaf, key, hierarchy, node_key,
+                          "ancestor_id",
                           carry=["rank_name", "level", "rank_value"]) \
         .withColumnRenamed("rank_value", "item")
     if target_level is not None:
@@ -186,4 +196,5 @@ def hierarchical_top_ranking(data: DataFrame, key: str,
         joined = joined.where(F.col("rank_name").isin(list(target_ranks)))
     from niamoto_spark.operators.aggregation import top_ranking
 
-    return top_ranking(joined, [], "item", limit=limit)
+    return top_ranking(joined, [], "item", limit=limit,
+                       weight_col="__leaf_n")

@@ -73,7 +73,8 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
                        threshold: float = 0.5,
                        max_df_frac: float | None = 0.5,
                        round_dp: int = 4,
-                       prefilter: str = "none") -> DataFrame:
+                       prefilter: str = "none",
+                       sig_df: DataFrame | None = None) -> DataFrame:
     """Document pairs with TF-IDF cosine >= threshold.  Output
     (id_a, id_b, cosine), id_a < id_b.
 
@@ -91,13 +92,31 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
       bounded by |candidates| x avg postings, not by token df.  Cosines
       reported are exact; recall follows the LSH banding curve (high
       near-duplicate pairs share shingles, hence buckets).
+
+    ``sig_df`` (prefilter lanes only): a precomputed MinHash signature
+    table (doc_id, sig) covering ``df``'s ids — the output contract of
+    ``dedup.minhash_signatures`` (xxhash64, 64 hashes) for
+    ``prefilter='minhash'`` or ``dedup.minhash_signatures_md5`` (16
+    hashes) for ``'minhash_md5'``.  Callers whose input replicates one
+    text under several ids compute each distinct text's signature ONCE
+    below the id-explode and plant the ids over (doc_id, sig) rows
+    (guide §1.2); the candidate set is bit-identical to the inline path
+    (tests pin exact set equality).
     """
+    if sig_df is not None and prefilter == "none":
+        raise ValueError("sig_df only applies to the minhash prefilter "
+                         "lanes (prefilter='none' never computes "
+                         "signatures)")
     p = tfidf_postings(df, id_col, text_col, max_df_frac=max_df_frac)
     left = p.select(F.col("doc_id").alias("id_a"), "token",
                     F.col("weight").alias("w_a"))
     right = p.select(F.col("doc_id").alias("id_b"), "token",
                      F.col("weight").alias("w_b"))
     if prefilter in ("minhash", "minhash_md5"):
+        sig_kw = ({"sig_col": "sig"} if sig_df is not None else {})
+        cand_in = sig_df if sig_df is not None else df
+        cand_id = "doc_id" if sig_df is not None else id_col
+        cand_text = None if sig_df is not None else text_col
         if prefilter == "minhash_md5":
             # cross-engine candidate generation (dedup.py md5 family):
             # an external engine can recompute the candidate set AND
@@ -106,16 +125,19 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
             from niamoto_spark.operators.dedup import \
                 minhash_lsh_candidates_md5
 
-            cand = (minhash_lsh_candidates_md5(df, id_col, text_col,
+            cand = (minhash_lsh_candidates_md5(cand_in, cand_id,
+                                               cand_text,
                                                num_hashes=16, bands=4,
-                                               jaccard_threshold=0.0)
+                                               jaccard_threshold=0.0,
+                                               **sig_kw)
                     .select("id_a", "id_b"))
         else:
             from niamoto_spark.operators.dedup import \
                 minhash_lsh_candidates
 
-            cand = (minhash_lsh_candidates(df, id_col, text_col,
-                                           jaccard_threshold=0.0)
+            cand = (minhash_lsh_candidates(cand_in, cand_id, cand_text,
+                                           jaccard_threshold=0.0,
+                                           **sig_kw)
                     .select("id_a", "id_b"))
         dots = (cand.join(left, "id_a")
                 .join(right, ["id_b", "token"])

@@ -70,6 +70,29 @@ def _link_parquet_source(src: str, stream_dir: str,
         os.symlink(src, os.path.join(stream_dir, f"{name}.parquet"))
 
 
+def _src_fingerprint(path: str) -> tuple:
+    """(name, mtime_ns, size) of the source file / every part file.
+
+    A memoized table handle pins the file listing Spark resolved at
+    first read; if the files under ``path`` are ever rewritten
+    mid-session the handle would silently serve the OLD listing.  This
+    stat-level fingerprint is recomputed on every ``_t`` hit (µs against
+    the ~0.1-0.2s py4j resolve it guards) so a mutated source
+    invalidates the handle instead of going stale."""
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for f in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, f))
+                parts.append((f, st.st_mtime_ns, st.st_size))
+            return tuple(parts)
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        # missing path: let spark.read.parquet raise its own error
+        return ("<unreadable>",)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Per-SESSION table-handle catalog (guide §7.3 driver latency): a
     # fresh `spark.read.parquet` costs ~0.1-0.2s of driver-side py4j +
@@ -79,17 +102,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # through its catalog once; this memo holds only the base
     # DataFrame/plan handle — no data, no results: every action still
     # scans the parquet (the bench's clearCache() between queries
-    # remains in force, and the source dirs are immutable within a
-    # session — the mutation probes build their copies before reading).
+    # remains in force).  The handle is guarded by a stat fingerprint
+    # of the source files: a caller that rewrites a table mid-session
+    # gets a fresh resolve, never the pinned old listing.
     cache = getattr(spark, "_ns_table_handles", None)
     if cache is None:
         cache = {}
         spark._ns_table_handles = cache
     key = (sf_dir, name)
-    df = cache.get(key)
-    if df is not None:
-        return df
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    fp = _src_fingerprint(path)
+    hit = cache.get(key)
+    if hit is not None and hit[1] == fp:
+        return hit[0]
+    df = spark.read.parquet(path)
     # Type-normalization guard (the events.ts lesson: testdata
     # regenerations have changed physical column types between rounds).
     # Date-function consumers (month/year/date_format) need a real
@@ -97,7 +123,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # instead of defensively at 16 call sites.
     if name == "orders" and dict(df.dtypes).get("o_orderdate") == "string":
         df = df.withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
-    cache[key] = df
+    cache[key] = (df, fp)
     return df
 
 
@@ -300,16 +326,24 @@ def q08_region_rollup_nested_set(spark, sf_dir):
     the lft/rght range join (SURVEY §2.2 nested_set)."""
     nodes = add_nested_sets(_region_nation_nodes(spark, sf_dir),
                             "id", "parent_id", order_col="id")
-    cust = _t(spark, sf_dir, "customer") \
-        .withColumn("node_id", F.col("c_nationkey").cast("bigint"))
+    # Pre-aggregate per nation BELOW the range join (guide §2.3, r15):
+    # counts are additive over subtree membership, so the range join
+    # fans out 25 count rows instead of every customer row, and the
+    # final rollup sums per-leaf counts — identical values (each
+    # customer contributes 1 to its nation's enclosing region either
+    # way; NULL/unmatched keys drop in the same inner equi-join).
     # carry level+name through the subtree range join itself — the old
     # separate broadcast(meta) join was a third probe pass over the
     # (ancestor-fanned-out) fact rows (guide §2.4; one join removed).
-    tagged = subtree_join(cust, "node_id", nodes, "id", "ancestor_id",
+    per_nation = (_t(spark, sf_dir, "customer")
+                  .withColumn("node_id", F.col("c_nationkey").cast("bigint"))
+                  .groupBy("node_id")
+                  .agg(F.count(F.lit(1)).alias("__n")))
+    tagged = subtree_join(per_nation, "node_id", nodes, "id", "ancestor_id",
                           carry=["level", "name"])
     return (tagged.where(F.col("level") == 0)
             .withColumnRenamed("name", "r_name")
-            .groupBy("r_name").agg(F.count(F.lit(1)).alias("n_customers")))
+            .groupBy("r_name").agg(F.sum("__n").alias("n_customers")))
 
 
 O_Q08 = """
@@ -4771,8 +4805,15 @@ def q127_tfidf_prefiltered(spark, sf_dir):
     d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
          .select("doc_id", "text"))
     planted = _planted_dup(d, 100_000)
+    # Prefilter signatures hoisted BELOW the planted-id explode (the
+    # q38 shape, guide §1.2): both planted copies share one text, so
+    # the signature kernel runs once per source doc; the candidate set
+    # is bit-identical (test_tfidf_sig_df_candidates_identical).
+    sigs = _planted_dup(
+        dedup_ops.minhash_signatures(d, "doc_id", "text"), 100_000)
     return tfidf_cosine_pairs(planted, "doc_id", "text", threshold=0.3,
-                              max_df_frac=0.5, prefilter="minhash")
+                              max_df_frac=0.5, prefilter="minhash",
+                              sig_df=sigs)
 
 
 def q128_bloom_semi_join(spark, sf_dir):
@@ -15397,8 +15438,15 @@ def q353_tfidf_prefiltered_oracle(spark, sf_dir):
     d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
          .select("doc_id", "text"))
     planted = _planted_dup(d, 100_000)
+    # md5 prefilter signatures hoisted below the planted explode —
+    # same lever as q127; the value oracle (O_Q353) is unmoved because
+    # the per-doc signatures are bit-identical under either shape.
+    sigs = _planted_dup(
+        dedup_ops.minhash_signatures_md5(d, "doc_id", "text",
+                                         num_hashes=16), 100_000)
     return tfidf_cosine_pairs(planted, "doc_id", "text", threshold=0.3,
-                              max_df_frac=0.5, prefilter="minhash_md5")
+                              max_df_frac=0.5, prefilter="minhash_md5",
+                              sig_df=sigs)
 
 
 O_Q353 = r"""

@@ -338,6 +338,44 @@ def test_lsh_bucket_cap_subset_and_retention(spark):
     assert (55, 58) in capped
 
 
+def test_lsh_bucket_cap_defaults_on_and_warns(spark, caplog):
+    """r15 (verdict Wrong #3): the embedding-LSH hot-bucket cap must be
+    ON by default (1000, the minhash contract) so the guard-found
+    clustered-corpus quadratic cannot fire silently at scale, and
+    dropped rows must surface through the async Observation warning."""
+    import inspect
+    import logging
+    import time
+
+    from niamoto_spark.operators import similarity
+
+    assert (inspect.signature(similarity.embedding_near_dup)
+            .parameters["max_bucket_size"].default == 1000), \
+        "embedding_near_dup must default max_bucket_size to 1000"
+
+    rng = np.random.RandomState(3)
+    center = rng.randn(10)
+    cluster = center + rng.randn(40, 10) * 0.03   # hot buckets of ~40
+    rows = [(int(i), [float(x) for x in cluster[i]])
+            for i in range(len(cluster))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with caplog.at_level(logging.WARNING,
+                         logger="niamoto_spark.operators.dedup"):
+        similarity.embedding_near_dup(
+            df, "vec_id", "embedding", threshold=0.999,
+            method="lsh", max_bucket_size=5).collect()
+        # the warning is emitted from a daemon thread once the action's
+        # Observation resolves — poll briefly instead of racing it
+        deadline = time.time() + 10
+        while time.time() < deadline and not any(
+                "embedding_near_dup[lsh]" in r.message
+                for r in caplog.records):
+            time.sleep(0.1)
+    assert any("embedding_near_dup[lsh]" in r.message
+               and "dropped" in r.message for r in caplog.records), \
+        "hot-bucket drops must log the recall warning"
+
+
 def test_lsh_near_dup_finds_planted_pairs(spark):
     """Hyperplane-LSH mode: 16 bands x 6 bits means a 0.999-cosine pair
     misses every band with probability ~1e-17 — the planted pairs must

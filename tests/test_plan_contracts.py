@@ -422,3 +422,39 @@ def test_table_handle_memo_is_per_session_and_per_path(spark, tmp_path):
     o = _t(spark, str(d1), "orders")
     assert dict(o.dtypes)["o_orderdate"].startswith("timestamp")
     assert _t(spark, str(d1), "orders") is o
+
+
+def test_table_handle_memo_invalidates_on_source_rewrite(spark, tmp_path):
+    """r15 (verdict Wrong #5): the _t handle must NOT pin a stale file
+    listing — rewriting the source files mid-session has to yield a
+    fresh resolve with the new contents, for both the single-file and
+    the directory-of-parts layouts."""
+    import os
+    import shutil
+    import pandas as pd
+
+    from niamoto_spark.queries import _t
+
+    d = tmp_path / "mut"
+    d.mkdir()
+    # single-file layout
+    pd.DataFrame({"r_regionkey": [1, 2]}).to_parquet(d / "region.parquet")
+    h1 = _t(spark, str(d), "region")
+    assert h1.count() == 2
+    pd.DataFrame({"r_regionkey": [1, 2, 3]}).to_parquet(d / "region.parquet")
+    os.utime(d / "region.parquet")  # ensure mtime moves even on coarse clocks
+    h2 = _t(spark, str(d), "region")
+    assert h2 is not h1, "rewritten source must invalidate the handle"
+    assert h2.count() == 3, "stale listing served after source rewrite"
+    assert _t(spark, str(d), "region") is h2, "unchanged source must reuse"
+    # directory-of-parts layout (the split_probe shape)
+    pdir = d / "nation.parquet"
+    pdir.mkdir()
+    pd.DataFrame({"n_nationkey": [1]}).to_parquet(pdir / "part-0.parquet")
+    g1 = _t(spark, str(d), "nation")
+    assert g1.count() == 1
+    pd.DataFrame({"n_nationkey": [2]}).to_parquet(pdir / "part-1.parquet")
+    g2 = _t(spark, str(d), "nation")
+    assert g2 is not g1 and g2.count() == 2, \
+        "added part file must invalidate the directory handle"
+    shutil.rmtree(pdir)

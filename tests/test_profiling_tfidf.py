@@ -130,6 +130,92 @@ def test_tfidf_unknown_prefilter_raises(spark):
         tfidf_cosine_pairs(df, "doc_id", "text", prefilter="bogus")
 
 
+def _planted_text_corpus(spark):
+    """Source docs + their exact copies under shifted ids — the
+    q127/q353 planted-dup shape (one distinct text per two ids)."""
+    from niamoto_spark.queries import _planted_dup
+
+    rows = []
+    for i in range(25):
+        words = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append((i, f"shared alpha beta {words} gamma"))
+    rows.append((90, None))          # null text must survive both paths
+    rows.append((91, "a b"))         # < shingle_k tokens: no signature
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    return d, _planted_dup(d, 1000)
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_tfidf_sig_df_candidates_identical(spark, family):
+    """r15 (verdict Next #5): the hoisted prefilter-signature path
+    (signatures computed once per source doc BELOW the planted
+    id-explode, handed to the candidate stage via sig_col) must produce
+    the EXACT same candidate set and estimates as the inline path that
+    recomputes signatures per planted copy — for both hash families."""
+    from niamoto_spark.operators.dedup import (minhash_lsh_candidates,
+                                               minhash_lsh_candidates_md5,
+                                               minhash_signatures,
+                                               minhash_signatures_md5)
+    from niamoto_spark.queries import _planted_dup
+
+    d, planted = _planted_text_corpus(spark)
+    if family == "md5":
+        inline = minhash_lsh_candidates_md5(
+            planted, "doc_id", "text", num_hashes=16, bands=4,
+            jaccard_threshold=0.0)
+        hoisted = minhash_lsh_candidates_md5(
+            _planted_dup(minhash_signatures_md5(
+                d, "doc_id", "text", num_hashes=16), 1000),
+            "doc_id", None, num_hashes=16, bands=4,
+            jaccard_threshold=0.0, sig_col="sig")
+    else:
+        inline = minhash_lsh_candidates(
+            planted, "doc_id", "text", jaccard_threshold=0.0)
+        hoisted = minhash_lsh_candidates(
+            _planted_dup(minhash_signatures(d, "doc_id", "text"), 1000),
+            "doc_id", None, jaccard_threshold=0.0, sig_col="sig")
+    a = {(r["id_a"], r["id_b"], r["est_jaccard"])
+         for r in inline.collect()}
+    b = {(r["id_a"], r["id_b"], r["est_jaccard"])
+         for r in hoisted.collect()}
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("family,prefilter", [
+    ("xxhash64", "minhash"), ("md5", "minhash_md5")])
+def test_tfidf_sig_df_end_to_end_identical(spark, family, prefilter):
+    """tfidf_cosine_pairs(sig_df=...) — the full q127/q353 shape — must
+    return bit-identical (id_a, id_b, cosine) rows vs the inline
+    prefilter."""
+    from niamoto_spark.operators.dedup import (minhash_signatures,
+                                               minhash_signatures_md5)
+    from niamoto_spark.queries import _planted_dup
+
+    d, planted = _planted_text_corpus(spark)
+    if family == "md5":
+        sigs = _planted_dup(minhash_signatures_md5(
+            d, "doc_id", "text", num_hashes=16), 1000)
+    else:
+        sigs = _planted_dup(minhash_signatures(d, "doc_id", "text"),
+                            1000)
+    inline = {(r["id_a"], r["id_b"], r["cosine"])
+              for r in tfidf_cosine_pairs(
+                  planted, "doc_id", "text", threshold=0.3,
+                  max_df_frac=0.5, prefilter=prefilter).collect()}
+    hoisted = {(r["id_a"], r["id_b"], r["cosine"])
+               for r in tfidf_cosine_pairs(
+                   planted, "doc_id", "text", threshold=0.3,
+                   max_df_frac=0.5, prefilter=prefilter,
+                   sig_df=sigs).collect()}
+    assert inline == hoisted and len(inline) > 0
+
+
+def test_tfidf_sig_df_with_no_prefilter_raises(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="sig_df"):
+        tfidf_cosine_pairs(df, "doc_id", "text", sig_df=df)
+
+
 def test_tfidf_max_df_prunes_stop_tokens(spark):
     rows = [(i, f"common unique{i}") for i in range(10)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -22,6 +22,19 @@ an aborted head) — the harness catches the bug class it was built for.
 NIAMOTO_TXN_SEEDS=100 runs the long sweep locally.
 """
 
+# Slow tier (r15, verdict item 1): this long refdiff/e2e/fuzz suite is
+# opt-in so the DEFAULT `pytest tests/` finishes inside the driver's
+# verify window (the r14 driver run was cut off at 95% after ~30 min).
+# Run it with NIAMOTO_SLOW_TESTS=1 — the round's closing records include
+# a full slow-tier pass.
+import os as _os  # noqa: E402
+
+import pytest as _pytest  # noqa: E402
+
+pytestmark = _pytest.mark.skipif(
+    not _os.environ.get("NIAMOTO_SLOW_TESTS"),
+    reason="slow tier: set NIAMOTO_SLOW_TESTS=1")
+
 import os
 import random
 import time

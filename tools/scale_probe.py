@@ -649,6 +649,15 @@ def _guard_lanes_llm(spark, sf: str, mult: int,
             (nemb, lambda: embedding_near_dup(
                 bige, "vec_id", "embedding", threshold=0.95,
                 method="lsh", max_bucket_size=256).count()),
+        # r15: the UNSPECIFIED-cap path — max_bucket_size now defaults
+        # to 1000 (verdict r14 Wrong #3), so a caller who never heard
+        # of hot buckets gets bounded banding; this lane probes exactly
+        # that default call.  Kept separate from the =256 lane so its
+        # historical records stay comparable.
+        "embedding_near_dup_lsh_default":
+            (nemb, lambda: embedding_near_dup(
+                bige, "vec_id", "embedding", threshold=0.95,
+                method="lsh").count()),
     }
     out = {}
     for label, (rows, run) in lanes.items():

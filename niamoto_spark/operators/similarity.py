@@ -490,9 +490,27 @@ def _lsh_band_hashes_numpy(c: DataFrame, planes, lsh_bands: int,
     return c.mapInPandas(gen, schema)
 
 
+def _auto_band_bits(n: int) -> int:
+    """Band-bit count scaled to the corpus (r15): a band's bucket
+    keyspace is 2^bits sign patterns, so the AVERAGE bucket holds
+    ~n/2^bits vectors and banded-join work Σb² grows quadratically in n
+    once n >> 2^bits — at a fixed 6 bits the banding saturates (64
+    patterns) around a few thousand vectors, and past ~64×cap the
+    hot-bucket cap would drop every bucket outright.  Scaling bits with
+    log2(n) pins the expected bucket (~64 here) so per-row candidate
+    work stays constant; the recall trade is the documented banding
+    curve (per-band match (1-θ/π)^bits — e.g. 0.95-cosine pairs match
+    a band with p=0.53 at 6 bits, 0.22 at 14 bits; 16 bands keep
+    recall ≥ ~98% through 14 bits).  Floor 6 = the historical default
+    (small corpora are bit-identical to r14 behavior); cap 24."""
+    import math
+
+    return max(6, min(24, math.ceil(math.log2(max(n, 1))) - 6))
+
+
 def _lsh_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
                   threshold: float, round_dp: int,
-                  lsh_bands: int, lsh_band_bits: int,
+                  lsh_bands: int, lsh_band_bits: int | None,
                   seed: int, impl: str = "auto",
                   max_bucket_size: int | None = None) -> DataFrame:
     """Approximate near-dup pairs via sign-random-projection (hyperplane)
@@ -520,11 +538,22 @@ def _lsh_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
                                F.col(vec_col).alias("v")))
          .withColumn("__vn", vnorm).where(F.col("__vn") > 0)
          .withColumn("v", l2_normalize(F.col("v"))).drop("__vn"))
-    first = c.select(F.size("v").alias("d")).first()
-    if first is None:
-        return spark.createDataFrame(
-            [], "id_a bigint, id_b bigint, similarity double")
-    dim = first["d"]
+    if lsh_band_bits is None:
+        # auto bits need n — fold the count into the same pass as the
+        # dim probe (one job; callers pinning bits keep the cheap
+        # first-row probe below)
+        row = c.agg(F.count(F.lit(1)).alias("n"),
+                    F.first(F.size("v")).alias("d")).first()
+        if not row["n"]:
+            return spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, similarity double")
+        dim, lsh_band_bits = row["d"], _auto_band_bits(row["n"])
+    else:
+        first = c.select(F.size("v").alias("d")).first()
+        if first is None:
+            return spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, similarity double")
+        dim = first["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((lsh_bands * lsh_band_bits, dim))
     if impl == "auto":
@@ -596,7 +625,8 @@ def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
                        round_dp: int = 6,
                        n_centroids: int | None = None,
                        method: str = "exact",
-                       lsh_bands: int = 16, lsh_band_bits: int = 6,
+                       lsh_bands: int = 16,
+                       lsh_band_bits: int | None = None,
                        seed: int = 42,
                        max_bucket_size: int | None = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
@@ -618,6 +648,17 @@ def embedding_near_dup(corpus: DataFrame, id_col: str, vec_col: str,
     scale).  Dropped buckets' vectors still pair via their other bands;
     dropped-row counts are observed and logged async.  Pass ``None``
     for exhaustive banding.
+
+    ``lsh_band_bits=None`` (default) scales the band width with the
+    corpus (:func:`_auto_band_bits`): a FIXED bit count saturates its
+    2^bits-pattern keyspace once n outgrows it — average buckets then
+    grow linearly in n (candidate work quadratically) and, past
+    ~2^bits × max_bucket_size vectors, the cap would drop every bucket.
+    Auto bits pin the expected bucket size so per-row work stays
+    constant; small corpora (n ≤ 4096) resolve to the historical 6.
+    Pass an int to pin the width (recall follows the banding curve —
+    more bits = fewer sub-threshold candidates, lower per-band match
+    rate).
 
     Zero-norm / null vectors are excluded up front (cosine undefined —
     matches the old brute-force path where their NaN similarities never

@@ -376,6 +376,43 @@ def test_lsh_bucket_cap_defaults_on_and_warns(spark, caplog):
         "hot-bucket drops must log the recall warning"
 
 
+def test_lsh_auto_band_bits_scales_with_corpus():
+    """r15: a fixed band width saturates its 2^bits keyspace — average
+    buckets then grow linearly in n and banded-join work quadratically
+    (measured: the 4x scale lane's Σbucket² hit 19M pairs at 6 bits /
+    8,400 vectors).  Auto bits pin the expected bucket; small corpora
+    keep the historical 6 (bit-identical r14 behavior)."""
+    from niamoto_spark.operators.similarity import _auto_band_bits
+
+    assert _auto_band_bits(0) == 6
+    assert _auto_band_bits(100) == 6
+    assert _auto_band_bits(4096) == 6          # floor: r14 default
+    assert _auto_band_bits(8400) == 8          # the 4x lane shape
+    assert _auto_band_bits(1_000_000) == 14
+    assert _auto_band_bits(10**9) == 24        # cap
+    # expected average bucket n/2^bits stays bounded past the floor
+    for n in (10_000, 10**5, 10**6, 10**8):
+        assert n / 2 ** _auto_band_bits(n) <= 64
+
+
+def test_lsh_auto_bits_still_finds_planted_pairs_mid_corpus(spark):
+    """The auto-bits path above the 6-bit floor (n > 4096 -> 8+ bits)
+    must still surface a 0.999-cosine planted pair: per-band match
+    stays ~0.79 at 8 bits, so 16 bands miss with p ~ 1e-11."""
+    from niamoto_spark.operators import similarity
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(5000, 12)
+    base[4000] = base[123] * 1.0001            # planted (123, 4000)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(5000)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.embedding_near_dup(df, "vec_id", "embedding",
+                                         threshold=0.999,
+                                         method="lsh").collect()}
+    assert (123, 4000) in got
+
+
 def test_lsh_near_dup_finds_planted_pairs(spark):
     """Hyperplane-LSH mode: 16 bands x 6 bits means a 0.999-cosine pair
     misses every band with probability ~1e-17 — the planted pairs must
